@@ -1,13 +1,292 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator surface (SURVEY.md §2 + §7.4 extensions);
+  * `oracleSql` is per-query ANSI SQL the driver runs in DuckDB over the
+  * same parquet tables. Column names AND value types are aligned pairwise
+  * (explicit casts on whichever side is narrower) because the driver's
+  * compare hashes values after sorting columns by name.
+  *
+  * Omitted oracles (weaker rows-only check): the two SimHash queries —
+  * their fingerprints are built on Spark's xxhash64, which DuckDB cannot
+  * reproduce.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- relational core (SURVEY §2.3–§2.7) --------------------------------
+    "q_pricing_summary" -> Relational.pricingSummary,
+    "q_filter_project" -> Relational.filterProject,
+    "q_join_revenue" -> Relational.joinRevenue,
+    "q_region_revenue" -> Relational.regionRevenue,
+    "q_cust_without_recent_orders" -> Relational.custWithoutRecentOrders,
+    "q_segments_with_orders" -> Relational.segmentsWithOrders,
+    "q_top_orders_per_customer" -> Relational.topOrdersPerCustomer,
+    "q_order_day_expansion" -> Relational.orderDayExpansion,
+    "q_geo_radius" -> Relational.geoRadius,
+    "q_checksum_xor" -> Relational.checksumXor,
+    "q_nation_rollup" -> Relational.nationRollup,
+    "q_purchasers_without_errors" -> Relational.purchasersWithoutErrors,
+    // -- event/stream batch twins (SURVEY §2.14, §7.4) ---------------------
+    "q_hourly_type_counts" -> Events.hourlyTypeCounts,
+    "q_user_sessions" -> Events.userSessions,
+    "q_json_prop_stats" -> Events.jsonPropStats,
+    // -- text analysis (§7.4) ----------------------------------------------
+    "q_lang_id_confusion" -> TextOps.langIdConfusion,
+    "q_quality_scores" -> TextOps.qualityScores,
+    "q_token_stats" -> TextOps.tokenStats,
+    "q_fingerprint_stats" -> TextOps.fingerprintStats,
+    // -- dedup suite (§7.4) ------------------------------------------------
+    "q_dedup_exact" -> Dedup.exact,
+    "q_jaccard_pairs" -> Dedup.ngramJaccardPairs,
+    "q_minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashLshPairs(s, dir)),
+    "q_simhash_fingerprints" -> Dedup.simhashFingerprints,
+    "q_simhash_pairs" -> Dedup.simhashPairs,
+    // -- similarity search (§7.4) ------------------------------------------
+    "q_brute_force_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    "q_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    // -- multimodal metadata path (§7.4) -----------------------------------
+    "q_blob_metadata" -> Multimodal.blobMetadata,
+  )
+
+  // DuckDB dialect notes: `//` = integer division (Spark `/ .cast("int")`),
+  // `strlen` = bytes (Spark octet_length), sums of INT are cast BIGINT to
+  // match Spark's long, len() casts to INT where Spark size() yields int.
+  private val toks =
+    """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           AND l_discount > 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_join_revenue" ->
+      """SELECT l_orderkey,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "q_region_revenue" ->
+      """SELECT r_name, n_name,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                       JOIN nation ON s_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_cust_without_recent_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey
+             AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+         ORDER BY c_custkey""",
+    "q_segments_with_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+         CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_acctbal
+         FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_top_orders_per_customer" ->
+      """SELECT o_custkey, CAST(rank_in_cust AS INT) AS rank_in_cust,
+                o_orderkey, o_totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_cust
+               FROM orders)
+         WHERE rank_in_cust <= 3 ORDER BY o_custkey, rank_in_cust""",
+    "q_order_day_expansion" ->
+      """SELECT CAST(gs AS DATE) AS d, count(*) AS n_active_orders
+         FROM orders, LATERAL (SELECT unnest(generate_series(
+           CAST(o_orderdate AS DATE),
+           CAST(o_orderdate AS DATE) + INTERVAL 6 DAY,
+           INTERVAL 1 DAY))) t(gs)
+         GROUP BY 1 ORDER BY 1""",
+    "q_geo_radius" ->
+      """WITH pts AS (
+           SELECT c_custkey,
+             52.0 + (c_custkey % 100) / 100.0 AS lat,
+             13.0 + ((c_custkey * 7) % 100) / 100.0 AS lon
+           FROM customer),
+         d AS (
+           SELECT c_custkey,
+             2 * 6371000.0 * atan2(sqrt(
+               pow(sin((radians(lat) - radians(52.52437)) / 2), 2) +
+               cos(radians(52.52437)) * cos(radians(lat)) *
+               pow(sin((radians(lon) - radians(13.41053)) / 2), 2)),
+               sqrt(1.0 - (
+               pow(sin((radians(lat) - radians(52.52437)) / 2), 2) +
+               cos(radians(52.52437)) * cos(radians(lat)) *
+               pow(sin((radians(lon) - radians(13.41053)) / 2), 2)))) AS dist_m
+           FROM pts)
+         SELECT c_custkey, CAST(round(dist_m, 0) AS BIGINT) AS dist_m
+         FROM d WHERE dist_m <= 30000.0 ORDER BY c_custkey""",
+    "q_checksum_xor" ->
+      """SELECT source,
+         bit_xor(CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)) AS fingerprint,
+         count(*) AS n_docs
+         FROM documents GROUP BY source ORDER BY source""",
+    "q_nation_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+         CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q_purchasers_without_errors" ->
+      """SELECT user_id, day FROM (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+             WHERE event_type = 'purchase'
+           EXCEPT
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+             WHERE event_type = 'error')
+         ORDER BY user_id, day""",
+    "q_hourly_type_counts" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         event_type, count(*) AS n_events,
+         CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_user_sessions" ->
+      """WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+         FROM events)
+         SELECT user_id,
+           CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+         FROM e GROUP BY user_id ORDER BY user_id""",
+    "q_json_prop_stats" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INT) AS k
+               FROM events)
+         WHERE k IS NOT NULL GROUP BY event_type ORDER BY event_type""",
+    "q_lang_id_confusion" ->
+      s"""WITH s AS (SELECT lang,
+           len(list_filter($toks, t -> list_contains(['the','of','and','to','in','is','that','it','was','for'], t))) AS en,
+           len(list_filter($toks, t -> list_contains(['der','die','das','und','ist','ich','nicht','mit','ein','zu'], t))) AS de,
+           len(list_filter($toks, t -> list_contains(['le','la','les','et','est','un','une','des','du','je'], t))) AS fr,
+           len(list_filter($toks, t -> list_contains(['el','los','de','que','y','en','se','no','por','con'], t))) AS es,
+           len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]', 0)) AS cjk
+         FROM documents)
+         SELECT lang,
+           CASE WHEN cjk > 0 THEN 'zh'
+                WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                WHEN de >= fr AND de >= es THEN 'de'
+                WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred,
+           count(*) AS n_docs
+         FROM s GROUP BY lang, pred ORDER BY lang, pred""",
+    "q_quality_scores" ->
+      s"""SELECT doc_id, round(
+           0.4 * (len(regexp_extract_all(text, '[A-Za-z]', 0)) / CAST(n_chars AS DOUBLE)) +
+           0.3 * (1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) / CAST(n_chars AS DOUBLE)) * 4, 1.0)) +
+           0.3 * least((len(list_filter($toks, t -> list_contains(['the','of','and','to','in','is','that','it','was','for'], t)))
+             / CAST(greatest(len($toks), 1) AS DOUBLE)) * 5, 1.0),
+           4) AS quality
+         FROM documents ORDER BY doc_id""",
+    "q_token_stats" ->
+      s"""WITH d AS (SELECT lang,
+           CAST(len($toks) AS INT) AS ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS INT) AS bpe
+         FROM documents)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS sum_ws_tokens, round(avg(ws), 2) AS avg_ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS sum_bpe_tokens, round(avg(bpe), 2) AS avg_bpe_tokens
+         FROM d GROUP BY lang ORDER BY lang""",
+    "q_fingerprint_stats" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp
+         FROM (SELECT source,
+                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+               FROM documents)
+         GROUP BY source ORDER BY source""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+         count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_jaccard_pairs" ->
+      s"""WITH d AS (SELECT doc_id, lang, n_chars, list_distinct($toks) AS toks
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                 len(list_distinct(a.toks || b.toks)), 4) AS jaccard
+         FROM d a JOIN d b
+           ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
+    "q_minhash_lsh_pairs" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM docs WHERE len(toks) >= 3),
+         seeds AS (SELECT unnest(generate_series(0, 11)) AS seed),
+         mh AS (SELECT doc_id, seed,
+             min(md5(concat(CAST(seed AS VARCHAR), ':', sh))) AS mh
+           FROM sh, seeds GROUP BY doc_id, seed),
+         bands AS (SELECT doc_id, seed // 3 AS band,
+             string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || mh, ','
+               ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || mh) AS sig
+           FROM mh GROUP BY doc_id, band)
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
+    "q_brute_force_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
+         FROM e, q WHERE vec_id <> 0
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         a AS (SELECT e.vec_id, e.v, c.cid,
+             list_cosine_similarity(e.v, c.cv) AS sim FROM e, c),
+         r AS (SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+           FROM a),
+         asg AS (SELECT vec_id, v, cid FROM r WHERE rn = 1),
+         qc AS (SELECT cid AS qcid, v AS qv FROM asg WHERE vec_id = 0)
+         SELECT asg.vec_id, asg.cid,
+           round(list_cosine_similarity(asg.v, qv), 4) AS cos_sim
+         FROM asg, qc WHERE asg.cid = qcid AND asg.vec_id <> 0
+         ORDER BY cos_sim DESC, asg.vec_id LIMIT 5""",
+    "q_blob_metadata" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+         max(n_bytes) AS max_bytes,
+         CAST(sum(n_chunks) AS BIGINT) AS sum_chunks
+         FROM (SELECT lang, strlen(text) AS n_bytes,
+                 CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_chunks
+               FROM documents)
+         GROUP BY lang ORDER BY lang""",
+  )
 }

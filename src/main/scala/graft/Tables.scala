@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Reader for the driver's synthetic tables (TESTDATA.md).
+  *
+  * Each table is a single parquet file under the scale-factor dir. At real
+  * scale these would be directory-partitioned datasets; the reader is the
+  * one place that changes (point it at a partitioned root and Catalyst's
+  * partition pruning does the rest).
+  *
+  * events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's vectorized
+  * reader rejects; we read it as raw Long (legacy.parquet.nanosAsLong, set
+  * in [[Sessions]]) and rebuild the timestamp with integer `div` (a double
+  * division would lose precision above 2^53 ns).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
+}
+
+/** One place for engine SparkSession defaults (scale posture: AQE on,
+  * shuffle partitions sized to the local core count — on a real cluster
+  * AQE coalesces to data-proportional numbers anyway).
+  */
+object Sessions {
+  def local(cores: String, shufflePartitions: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-table operators: the batch twins of the streaming surface
+  * (SURVEY.md §2.14 + §7.4 extensions). Each has a Structured Streaming
+  * counterpart in graft.streaming that shares the same column logic —
+  * batch here is what the oracle can check.
+  */
+object Events {
+
+  /** Tumbling-window aggregation (window() generator): hourly counts and
+    * value sums per event type. In streaming this is
+    * `withWatermark("ts","1 hour").groupBy(window($"ts","1 hour"), ...)`.
+    */
+  def hourlyTypeCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), Relational.moneySum($"value").as("sum_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:00").as("hour"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy($"hour", $"event_type")
+  }
+
+  /** Gap-based sessionization (session_window analog, computed with lag +
+    * running sum so the oracle can mirror it): a new session starts after
+    * a >30 min silence per user. Exact integer math on microseconds.
+    */
+  def userSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    val gapUs = 30L * 60 * 1000000
+    Tables(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_session",
+        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > gapUs, 1L).otherwise(0L))
+      .groupBy($"user_id")
+      .agg(sum($"new_session").as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        Relational.moneySum($"value").as("sum_value"))
+      .orderBy($"user_id")
+  }
+
+  /** JSON payload extraction (F15/F16 analog): parse props.k, aggregate
+    * per event type. `get_json_object` returns null on corrupt input —
+    * the reference predicate's parse-failure→drop semantics.
+    */
+  def jsonPropStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .filter($"k".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+}

@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.geo
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2.3–§2.7, §2.9): projection,
+  * pushdown-friendly filters, composite-key join chains, broadcast dim
+  * joins, anti/semi joins, window top-k, generator (calendar) expansion,
+  * rollup, set ops, geo-radius filter.
+  *
+  * Scale notes (100 TB posture):
+  *  - filters/projections are plain Catalyst exprs → parquet pushdown &
+  *    column pruning apply (verify via explain: PushedFilters/ReadSchema);
+  *  - dimension joins broadcast explicitly (region/nation/supplier are
+  *    tiny at any SF); fact-fact joins shuffle on their keys and AQE
+  *    handles skew;
+  *  - every query ends in a deterministic ORDER BY so results are stable
+  *    for the oracle compare — at scale you'd drop the final sort.
+  *
+  * Money aggregates go through exact DECIMAL arithmetic: the stored
+  * doubles are 2-dp values, so casting to decimal recovers them exactly
+  * and the sums become independent of partial-aggregation order — the
+  * only way a distributed sum can hash-match a single-threaded oracle at
+  * every scale factor. Final cast back to double for a stable output type.
+  */
+object Relational {
+  import org.apache.spark.sql.Column
+
+  /** Exact 2-dp money value (prices, balances: |x| < 1e10). */
+  private[operators] def dec(c: Column): Column = c.cast("decimal(12,2)")
+  /** Exact 2-dp rate value (discount, tax: |x| < 100). */
+  private[operators] def rate(c: Column): Column = c.cast("decimal(4,2)")
+  /** Order-insensitive 2-dp sum, surfaced as double. */
+  private[operators] def moneySum(c: Column): Column =
+    round(sum(dec(c)), 2).cast("double")
+
+  /** Q1-style pricing summary: wide aggregation with map-side combine
+    * (reference analog: A1 row-count deltas, generalized).
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        moneySum($"l_quantity").as("sum_qty"),
+        moneySum($"l_extendedprice").as("sum_base_price"),
+        round(sum(dec($"l_extendedprice") * (lit(1) - rate($"l_discount"))), 2)
+          .cast("double").as("sum_disc_price"),
+        round(sum(dec($"l_extendedprice") * (lit(1) - rate($"l_discount")) *
+          (lit(1) + rate($"l_tax"))), 2).cast("double").as("sum_charge"),
+        round(sum(dec($"l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(rate($"l_discount")).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Pushdown demo: range + value predicates and a narrow projection —
+    * both must reach the parquet scan (P1/P2 in SURVEY §2.3).
+    */
+  def filterProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp") &&
+        $"l_discount" > 0.05)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** 3-table composite join chain + grouped revenue (J1 analog: the
+    * reference's calendar⋈trips⋈stop_times⋈stops chain, GtfsDAO.java:44-46).
+    * customer is small → broadcast; orders⋈lineitem shuffles on orderkey.
+    */
+  def joinRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = Tables(s, dir, "customer")
+    val orders = Tables(s, dir, "orders")
+    val lineitem = Tables(s, dir, "lineitem")
+    broadcast(customer.filter($"c_mktsegment" === "BUILDING"))
+      .join(orders, $"c_custkey" === $"o_custkey")
+      .join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp") &&
+        $"l_shipdate" >= lit("1996-01-01").cast("timestamp"))
+      .groupBy($"l_orderkey")
+      .agg(round(sum(dec($"l_extendedprice") * (lit(1) - rate($"l_discount"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"l_orderkey")
+  }
+
+  /** Star-schema rollup through two broadcast dims. */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(round(sum(dec($"l_extendedprice") * (lit(1) - rate($"l_discount"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Anti join — the reference's new-data identification (J2/J3,
+    * database_loader/operators.py:68-90): customers with no 2001 orders.
+    * (The synthetic data covers every FK, so the right side is filtered
+    * to keep the anti-join result nonempty.)
+    */
+  def custWithoutRecentOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recent = Tables(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+    Tables(s, dir, "customer")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Semi join (EXISTS) + grouped count. */
+  def segmentsWithOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        moneySum($"c_acctbal").as("sum_acctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Window top-k: top-3 orders per customer by totalprice. Ranks on
+    * stored (not computed) doubles + key tie-break → exact across engines.
+    */
+  def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables(s, dir, "orders")
+      .withColumn("rank_in_cust", row_number().over(w))
+      .filter($"rank_in_cust" <= 3)
+      .select($"o_custkey", $"rank_in_cust", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rank_in_cust")
+  }
+
+  /** Generator expansion — the reference's calendar×dates loop
+    * (GtfsDAO.java:65-81,108-121) re-expressed as explode(sequence(...)):
+    * each order contributes one row per day of its first week.
+    */
+  def orderDayExpansion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select($"o_orderkey", to_date($"o_orderdate").as("start"))
+      .select($"o_orderkey",
+        explode(sequence($"start", date_add($"start", 6), expr("interval 1 day"))).as("d"))
+      .groupBy($"d")
+      .agg(count(lit(1)).as("n_active_orders"))
+      .orderBy($"d")
+  }
+
+  /** Geo-radius filter (P5/F5): coordinates synthesised deterministically
+    * from c_custkey (testdata has no lat/lon), haversine distance to the
+    * reference test centre (Alexanderplatz, GeoPredicateSpec), 30 km radius.
+    */
+  def geoRadius(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val centerLat = 52.52437
+    val centerLon = 13.41053
+    Tables(s, dir, "customer")
+      .withColumn("lat", lit(52.0) + ($"c_custkey" % 100).cast("double") / 100.0)
+      .withColumn("lon", lit(13.0) + (($"c_custkey" * 7) % 100).cast("double") / 100.0)
+      .withColumn("dist_m",
+        geo.haversineMeters(lit(centerLat), lit(centerLon), $"lat", $"lon"))
+      .filter($"dist_m" <= 30000.0)
+      .select($"c_custkey", round($"dist_m", 0).cast("long").as("dist_m"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Content-checksum fold — the reference's XOR-of-CRC32 archive
+    * fingerprint (A2, data_provider/operators.py:145-152) generalized:
+    * bit_xor over a 60-bit md5-derived content hash, per source.
+    */
+  def checksumXor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("h", conv(substring(md5($"text"), 1, 15), 16, 10).cast("long"))
+      .groupBy($"source")
+      .agg(bit_xor($"h").as("fingerprint"), count(lit(1)).as("n_docs"))
+      .orderBy($"source")
+  }
+
+  /** ROLLUP grouping-set aggregation over two broadcast dims. */
+  def nationRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "customer")
+      .join(broadcast(Tables(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        moneySum($"c_acctbal").as("sum_acctbal"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** Set difference (§2.7) at (user, day) grain: days on which a user
+    * purchased but saw no error. (User-level difference is always empty in
+    * the synthetic data — every user emits every event type.)
+    */
+  def purchasersWithoutErrors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("day"), $"event_type")
+    ev.filter($"event_type" === "purchase").select($"user_id", $"day").distinct()
+      .except(ev.filter($"event_type" === "error").select($"user_id", $"day").distinct())
+      .orderBy($"user_id", $"day")
+  }
+}

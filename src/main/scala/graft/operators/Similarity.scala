@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (array<float> column).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k — the exact baseline; one broadcast of the
+  *    query vector, one scan, one top-k. At 100 TB this is a full scan
+  *    but embarrassingly parallel (no shuffle until the final top-k).
+  *  - IVF (inverted-file) — deterministic coarse quantizer: assign every
+  *    vector to its nearest centroid (argmax cosine), search only the
+  *    query's cell. This is the scale path: the scan shrinks by ~1/nlist
+  *    and the assignment is a broadcast join, no shuffle of the vectors.
+  */
+object Similarity {
+
+  private def embDouble(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), vectors.toDoubleArray(col("embedding")).as("v"))
+
+  /** Exact cosine top-k against the embedding of `queryId`. */
+  def bruteForceTopK(s: SparkSession, dir: String, queryId: Long = 0L,
+                     k: Int = 10): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir)
+    val q = e.filter($"vec_id" === queryId).select($"v".as("qv"))
+    e.join(broadcast(q))
+      .filter($"vec_id" =!= queryId)
+      .select($"vec_id",
+        round(vectors.cosineSimilarity($"v", $"qv"), 4).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(k)
+  }
+
+  /** IVF top-k: centroids = embeddings with vec_id < nlist (deterministic
+    * "training" so the oracle can replicate); every vector assigned to its
+    * max-cosine centroid; search restricted to the query's cell.
+    */
+  def ivfTopK(s: SparkSession, dir: String, queryId: Long = 0L,
+              k: Int = 5, nlist: Int = 8): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir)
+    val cents = e.filter($"vec_id" < nlist).select($"vec_id".as("cid"), $"v".as("cv"))
+    val byVec = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")
+    val assigned = e.join(broadcast(cents))
+      .select($"vec_id", $"v", $"cid",
+        vectors.cosineSimilarity($"v", $"cv").as("sim"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"cid")
+    val qCell = assigned.filter($"vec_id" === queryId)
+      .select($"cid".as("qcid"), $"v".as("qv"))
+    assigned.join(broadcast(qCell), $"cid" === $"qcid")
+      .filter($"vec_id" =!= queryId)
+      .select($"vec_id", $"cid",
+        round(vectors.cosineSimilarity($"v", $"qv"), 4).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(k)
+  }
+}
