@@ -1,0 +1,28 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot, norms, cosine on known vectors") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(
+      vectors.dot($"a", $"b").as("dot"),
+      vectors.l2Norm($"a").as("na"),
+      vectors.cosineSimilarity($"a", $"b").as("cos"),
+      vectors.l2Distance($"a", $"b").as("dist")).head()
+    assert(r.getDouble(0) === 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+    assert(math.abs(r.getDouble(3) - math.sqrt(27)) < 1e-12)
+  }
+
+  test("cosine of identical vectors is 1") {
+    val df = Seq(Tuple1(Seq(0.5f, -1.5f, 2.0f))).toDF("v")
+      .select(vectors.toDoubleArray($"v").as("v"))
+    val c = df.select(vectors.cosineSimilarity($"v", $"v")).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "a", 43L),
+    (2L, "the quick brown fox jumps over the lazy dog", "en", "b", 43L), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat", "en", "a", 43L), // near dup of 1
+    (4L, "completely different content about spark engines", "en", "a", 48L),
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical content, keeps smallest id") {
+    val r = docs.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keep"), count(lit(1)).as("n"))
+      .filter($"n" > 1).head()
+    assert(r.getLong(1) === 1L && r.getLong(2) === 2L)
+  }
+
+  test("minhash signatures identical for identical docs") {
+    val sig = Dedup.minhashSignatures(docs, shingleSize = 3, numHashes = 8)
+      .groupBy($"doc_id").agg(concat_ws("|", array_sort(collect_list($"mh"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(4L))
+  }
+
+  test("minhash LSH pairs exact dups, never unrelated docs") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedupspec").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.minhashLshPairs(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("simhash: identical docs share fingerprints; distinct content differs") {
+    val fp = docs.select($"doc_id", Dedup.simhash64(graft.functions.text.tokensLower($"text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(4L))
+    // near-dup differs in few bits
+    val hamming = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    assert(hamming <= 16, s"near-dup hamming=$hamming")
+  }
+}

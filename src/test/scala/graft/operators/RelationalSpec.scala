@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Sanity-level invariants over the synthetic testdata at sf0.001; exact
+  * value parity is covered by the DuckDB oracle gate (tools/compare_oracle.py).
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pricing summary: one row per (returnflag, linestatus), counts add up") {
+    val df = Relational.pricingSummary(spark, sf).cache()
+    assert(df.count() === df.select($"l_returnflag", $"l_linestatus").distinct().count())
+    val total = df.agg(sum($"count_order")).head().getLong(0)
+    val expected = Tables(spark, sf, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp")).count()
+    assert(total === expected)
+  }
+
+  test("anti join + semi join partition the customer set") {
+    val all = Tables(spark, sf, "customer").count()
+    val without = Relational.custWithoutRecentOrders(spark, sf).count()
+    val withOrders = Tables(spark, sf, "customer")
+      .join(Tables(spark, sf, "orders")
+        .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp")),
+        $"c_custkey" === $"o_custkey", "left_semi").count()
+    assert(without + withOrders === all)
+  }
+
+  test("window top-k emits at most 3 rows per customer, rank contiguous") {
+    val df = Relational.topOrdersPerCustomer(spark, sf)
+    val bad = df.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), max($"rank_in_cust").as("mx"))
+      .filter($"n" > 3 || $"n" =!= $"mx")
+    assert(bad.count() === 0)
+  }
+
+  test("calendar-style expansion: 7 rows per order") {
+    val orders = Tables(spark, sf, "orders").count()
+    val days = Relational.orderDayExpansion(spark, sf)
+      .agg(sum($"n_active_orders")).head().getLong(0)
+    assert(days === orders * 7)
+  }
+
+  test("rollup has grand-total row equal to customer count") {
+    val grand = Relational.nationRollup(spark, sf)
+      .filter($"r_name".isNull && $"n_name".isNull)
+      .select($"n_customers").head().getLong(0)
+    assert(grand === Tables(spark, sf, "customer").count())
+  }
+
+  test("geo radius keeps only points within 30km") {
+    val df = Relational.geoRadius(spark, sf)
+    assert(df.count() > 0)
+    assert(df.filter($"dist_m" > 30000L).count() === 0)
+  }
+}
