@@ -1,0 +1,172 @@
+package graft.gtfs
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.io.{File, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** End-to-end loader + arrivals golden tests on the FIXTURES.md synthetic
+  * feed: dirty headers, ""->NULL, unknown members, checksum dedup,
+  * double-load idempotency, CHECK quarantine, 25:10 day-roll.
+  */
+class GtfsLoadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeZip(path: File, members: Map[String, String]): Unit = {
+    val out = new ZipOutputStream(new FileOutputStream(path))
+    members.foreach { case (name, content) =>
+      out.putNextEntry(new ZipEntry(name))
+      out.write(content.getBytes(StandardCharsets.UTF_8))
+      out.closeEntry()
+    }
+    out.close()
+  }
+
+  /** The fixture feed (FIXTURES.md §A): 3 stops incl. the Spock geo pair,
+    * weekday + weekend services, a 25:10:00 post-midnight arrival and a
+    * pickup_type=4 CHECK violation, junk chars in the stops header (KVV),
+    * empty strings, and an unknown member.
+    */
+  private val feedMembers = Map(
+    "agency.txt" ->
+      """agency_id,agency_name,agency_url,agency_timezone
+        |vbb1,VBB Fixture,https://example.org,Europe/Berlin""".stripMargin,
+    // header carries junk chars to exercise sanitize (operators.py:160-162)
+    "stops.txt" ->
+      """stop_id ;,stop_code,stop_name,stop_desc,stop_lat,stop_lon
+        |S1,,Alexanderplatz,,52.52437,13.41053
+        |S2,,Potsdam Hbf,,52.39886,13.06566
+        |S3,,Outer Rim,,48.13743,11.57549""".stripMargin,
+    "routes.txt" ->
+      """route_id,agency_id,route_short_name,route_type
+        |R1,vbb1,U2,400""".stripMargin,
+    "calendar.txt" ->
+      """service_id,monday,tuesday,wednesday,thursday,friday,saturday,sunday,start_date,end_date
+        |WD,1,1,1,1,1,0,0,20190201,20190331
+        |WE,0,0,0,0,0,1,1,20190201,20190331
+        |EXP,1,1,1,1,1,1,1,20190201,20190218""".stripMargin,
+    "calendar_dates.txt" ->
+      """service_id,date,exception_type
+        |WD,20190220,2""".stripMargin,
+    "trips.txt" ->
+      """route_id,service_id,trip_id,trip_headsign
+        |R1,WD,T1,Pankow
+        |R1,WE,T2,Ruhleben
+        |R1,EXP,T3,Depot""".stripMargin,
+    "stop_times.txt" ->
+      """trip_id,arrival_time,departure_time,stop_id,stop_sequence,pickup_type,drop_off_type
+        |T1,08:30:15,08:31:00,S1,1,0,0
+        |T1,25:10:00,25:11:00,S2,2,0,0
+        |T2,10:00:00,10:01:00,S1,1,0,0
+        |T3,09:00:00,09:01:00,S3,1,0,0
+        |T3,09:30:00,09:31:00,S1,2,4,0""".stripMargin,
+    "fare_rules.txt" -> "fare_id,route_id\nF1,R1", // unknown member -> skipped
+  )
+
+  private def freshLoader(): (GtfsLoad, File) = {
+    val wh = Files.createTempDirectory("gtfs_wh").toFile
+    (new GtfsLoad(spark, wh.getAbsolutePath), wh)
+  }
+
+  private def fixtureZip(name: String = "2019-02-21.zip"): File = {
+    val dir = Files.createTempDirectory("gtfs_zip").toFile
+    val f = new File(dir, name)
+    writeZip(f, feedMembers)
+    f
+  }
+
+  test("load conforms dirty input: sanitized headers, nulls, skipped members, quarantine") {
+    val (loader, _) = freshLoader()
+    val counts = loader.loadArchive("vbb", "2019-02-21", fixtureZip().getAbsolutePath).get
+    assert(counts("stops") === 3) // junk header sanitized to stop_id
+    assert(counts("calendar") === 3)
+    assert(counts("stop_times") === 4) // pickup_type=4 quarantined
+    assert(!counts.contains("fare_rules"))
+    val st = loader.table("stop_times")
+    assert(st.filter($"pickup_type" === 4).count() === 0)
+    assert(loader.table("stop_times_rejects").count() === 1)
+    // "" -> NULL
+    assert(loader.table("stops").filter($"stop_code".isNull).count() === 3)
+    // GTFS >24h time preserved as seconds
+    assert(st.filter($"arrival_time" === (25 * 3600 + 10 * 60)).count() === 1)
+    // FK audit: fixture is referentially intact
+    assert(loader.fkOrphans("stop_times").values.forall(_ == 0L))
+  }
+
+  test("double load is idempotent; duplicate-content archive is dropped") {
+    val (loader, _) = freshLoader()
+    val zip = fixtureZip()
+    assert(loader.loadArchive("vbb", "2019-02-21", zip.getAbsolutePath).isDefined)
+    // same (provider, run_date) -> run-level short-circuit
+    assert(loader.loadArchive("vbb", "2019-02-21", zip.getAbsolutePath).isEmpty)
+    // same content, new run_date -> checksum dedup
+    val dup = fixtureZip("2019-02-22.zip")
+    assert(loader.loadArchive("vbb", "2019-02-22", dup.getAbsolutePath).isEmpty)
+    assert(loader.table("stops").count() === 3)
+    assert(loader.table("run").count() === 1)
+  }
+
+  test("arrivals pipeline: expansion honors weekdays, validity, exceptions, day-roll") {
+    val (loader, _) = freshLoader()
+    loader.loadArchive("vbb", "2019-02-21", fixtureZip().getAbsolutePath)
+    // window: Mon 2019-02-18 .. Mon 2019-02-25 (exclusive)
+    val raw = ArrivalsQuery.arrivals(
+      loader.table("calendar"), loader.table("trips"),
+      loader.table("stop_times"), loader.table("stops"),
+      "2019-02-18", "2019-02-25")
+    val withExc = ArrivalsQuery.applyCalendarExceptions(
+      raw, loader.table("calendar_dates"))
+
+    val perTrip = raw.groupBy($"trip_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // WD (T1): Mon-Fri = 5 service days x 2 stops = 10
+    assert(perTrip("T1") === 10)
+    // WE (T2): Sat+Sun = 2 x 1 stop = 2
+    assert(perTrip("T2") === 2)
+    // EXP (T3): expires 02-18 -> only Monday survives validity
+    assert(perTrip("T3") === 1)
+
+    // calendar_dates removal: WD removed on 2019-02-20 -> T1 loses 2 rows
+    val perTripExc = withExc.groupBy($"trip_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perTripExc("T1") === 8)
+
+    // 25:10:00 on service day 02-18 rolls to 02-19 01:10:00
+    val rolled = raw.filter($"service_date" === "2019-02-18" && $"stop_id" === "S2")
+      .select($"event_ts".cast("string")).head().getString(0)
+    assert(rolled === "2019-02-19 01:10:00")
+  }
+
+  test("arrival JSON golden shape: field names and 7-digit fraction") {
+    val (loader, _) = freshLoader()
+    loader.loadArchive("vbb", "2019-02-21", fixtureZip().getAbsolutePath)
+    val js = ArrivalsQuery.toArrivalJson(
+      ArrivalsQuery.arrivals(
+        loader.table("calendar"), loader.table("trips"),
+        loader.table("stop_times"), loader.table("stops"),
+        "2019-02-18", "2019-02-19")
+        .filter($"stop_id" === "S1" && $"trip_id" === "T1"))
+      .head().getString(0)
+    assert(js ===
+      """{"local-time":"2019-02-18 08:30:15.0000000","name":"Alexanderplatz","latitude":52.52437,"longitude":13.41053}""")
+  }
+
+  test("geo filter matches the Spock table on real stops") {
+    val (loader, _) = freshLoader()
+    loader.loadArchive("vbb", "2019-02-21", fixtureZip().getAbsolutePath)
+    val arr = ArrivalsQuery.arrivals(
+      loader.table("calendar"), loader.table("trips"),
+      loader.table("stop_times"), loader.table("stops"),
+      "2019-02-18", "2019-02-25")
+    val in30 = ArrivalsQuery.withinRadius(arr, 52.52437, 13.41053, 30000)
+      .select($"stop_name").distinct().collect().map(_.getString(0)).toSet
+    val in25 = ArrivalsQuery.withinRadius(arr, 52.52437, 13.41053, 25000)
+      .select($"stop_name").distinct().collect().map(_.getString(0)).toSet
+    assert(in30.contains("Potsdam Hbf")) // inside 30km (Spock row 4)
+    assert(!in25.contains("Potsdam Hbf")) // outside 25km (Spock row 5)
+    assert(!in30.contains("Outer Rim")) // Munich is far away
+  }
+}
