@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.functions.{dates, geo}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.14 + §7.4 windows).
+  *
+  * Every transform is source/sink-agnostic `DataFrame => DataFrame` over a
+  * streaming frame: bind a source with `spark.readStream.format("kafka")
+  * .option("subscribe","gtfs-arrivals")` (the reference topic,
+  * docker-compose.yml:61 in XComp/vbb-data-pipeline) or MemoryStream in
+  * tests, and a sink with `writeStream.format("kafka"|"memory"|...)`.
+  * Checkpointed micro-batches give at-least-once to Kafka (matching the
+  * reference producer, T5) and exactly-once to idempotent sinks.
+  */
+object Streams {
+
+  /** Wire schema of a GtfsArrival JSON record (the reference's Jackson
+    * field names, domain/GtfsArrival.java:20-36).
+    */
+  val arrivalSchema: StructType = StructType(Seq(
+    StructField("local-time", StringType),
+    StructField("name", StringType),
+    StructField("latitude", DoubleType),
+    StructField("longitude", DoubleType)))
+
+  /** Parse a `value: STRING` stream of arrival JSON. Corrupt records
+    * (unparseable JSON or missing coordinates) are dropped — the
+    * reference predicate's parse-failure -> false semantics
+    * (utils/GeoPredicate.java:42-48).
+    */
+  def parseArrivals(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast("string"), arrivalSchema).as("a"))
+      .filter(col("a").isNotNull &&
+        col("a.latitude").isNotNull && col("a.longitude").isNotNull)
+      .select(
+        to_timestamp(col("a.`local-time`")).as("event_ts"),
+        col("a.name").as("name"),
+        col("a.latitude").as("latitude"),
+        col("a.longitude").as("longitude"))
+
+  /** The reference's intended-but-missing GeoFilterStream stage
+    * (pom.xml:291 declares the main class; no source exists): stateless
+    * haversine radius filter, no watermark required.
+    */
+  def geoFilter(parsed: DataFrame, centerLat: Double, centerLon: Double,
+                radiusMeters: Double): DataFrame =
+    parsed.filter(geo.withinRadius(
+      col("latitude"), col("longitude"), centerLat, centerLon, radiusMeters))
+
+  /** Serialize back to the wire shape for a Kafka value column. */
+  def toArrivalValue(parsed: DataFrame): DataFrame =
+    parsed.select(to_json(struct(
+      dates.gtfsLocalTimeString(col("event_ts")).as("local-time"),
+      col("name"), col("latitude"), col("longitude"))).as("value"))
+
+  // ---- windowed aggregations over the events stream (§7.4) --------------
+
+  /** Tumbling 1h counts per event type; late data beyond `lateness`
+    * dropped by the watermark, so state is bounded — the property that
+    * lets this run forever on an unbounded topic.
+    */
+  def hourlyTypeCounts(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding window: 1h span every 15min — same state-bounding shape. */
+  def slidingTypeCounts(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Gap-based session windows per user (built-in session_window —
+    * merges events separated by < gap into one growing window).
+    */
+  def userSessionWindows(events: DataFrame, gap: String = "30 minutes",
+                         lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+}

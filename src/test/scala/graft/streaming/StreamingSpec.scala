@@ -1,0 +1,147 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("arrival parse drops corrupt JSON, geo filter matches the Spock pair") {
+    val input = MemoryStream[String](spark)
+    val q = Streams.geoFilter(
+        Streams.parseArrivals(input.toDF().withColumnRenamed("value", "value")),
+        52.52437, 13.41053, 30000)
+      .writeStream.format("memory").queryName("geo_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      """{"local-time":"2019-02-18 08:30:15.0000000","name":"Alexanderplatz","latitude":52.52437,"longitude":13.41053}""",
+      """{"local-time":"2019-02-19 01:10:00.0000000","name":"Potsdam Hbf","latitude":52.39886,"longitude":13.06566}""",
+      """{"local-time":"2019-02-19 02:00:00.0000000","name":"Outer Rim","latitude":48.13743,"longitude":11.57549}""",
+      """not json at all""",
+      """{"local-time":"2019-02-19 03:00:00.0000000","name":"no-coords"}""")
+    q.processAllAvailable()
+    val names = spark.table("geo_out").select($"name").collect().map(_.getString(0)).toSet
+    q.stop()
+    assert(names === Set("Alexanderplatz", "Potsdam Hbf"))
+  }
+
+  test("round-trip: parse -> filter -> serialize preserves the wire shape") {
+    val input = MemoryStream[String](spark)
+    val q = Streams.toArrivalValue(Streams.parseArrivals(input.toDF()))
+      .writeStream.format("memory").queryName("wire_out")
+      .outputMode(OutputMode.Append).start()
+    val wire = """{"local-time":"2019-02-18 08:30:15.0000000","name":"Alexanderplatz","latitude":52.52437,"longitude":13.41053}"""
+    input.addData(wire)
+    q.processAllAvailable()
+    val got = spark.table("wire_out").head().getString(0)
+    q.stop()
+    assert(got === wire)
+  }
+
+  test("tumbling window with watermark aggregates per hour, late data dropped") {
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.hourlyTypeCounts(events, lateness = "30 minutes")
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 11:10:00"), "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark far: hour-10 window (ends 11:00) closes once
+    // watermark (max 13:00 - 30min lateness = 12:30) passes it
+    input.addData((ts("2024-01-01 13:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 10:30:00"), "click", 99.0)) // too late, dropped
+    q.processAllAvailable()
+    val rows = spark.table("hourly_out")
+      .select($"window_start".cast("string"), $"event_type", $"n_events", $"sum_value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    q.stop()
+    assert(rows.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+    assert(!rows.exists(_._4 == 99.0))
+  }
+
+  test("session_window merges events within gap") {
+    val input = MemoryStream[(Timestamp, Long, Double)](spark)
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val q = Streams.userSessionWindows(events, gap = "30 minutes", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, 2.0), // same session
+      (ts("2024-01-01 11:30:00"), 1L, 4.0)) // new session (80min gap)
+    input.addData((ts("2024-01-01 14:00:00"), 2L, 0.0)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.table("sess_out")
+      .filter($"user_id" === 1L)
+      .select($"session_start".cast("string"), $"n_events", $"sum_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(rows === Set(
+      ("2024-01-01 10:00:00", 2L, 3.0),
+      ("2024-01-01 11:30:00", 1L, 4.0)))
+  }
+
+  test("flatMapGroupsWithState sessionization emits summaries on close") {
+    import StatefulSessions._
+    val input = MemoryStream[Event](spark)
+    val q = sessionize(
+        input.toDS().withWatermark("ts", "10 minutes"), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+      Event(1L, ts("2024-01-01 10:10:00"), 2.0),
+      Event(1L, ts("2024-01-01 11:30:00"), 4.0)) // in-batch gap: closes first session
+    q.processAllAvailable()
+    input.addData(Event(2L, ts("2024-01-01 14:00:00"), 0.0)) // watermark -> timeout
+    q.processAllAvailable()
+    input.addData(Event(2L, ts("2024-01-01 15:00:00"), 0.0)) // one more trigger
+    q.processAllAvailable()
+    val rows = spark.table("state_out")
+      .filter($"user_id" === 1L)
+      .select($"session_start".cast("string"), $"session_end".cast("string"),
+        $"n_events", $"sum_value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 11:30:00", "2024-01-01 11:30:00", 1L, 4.0)))
+  }
+
+  test("replay pacing: sleeps event-time deltas minus elapsed wall time") {
+    var clock = 1000L
+    val sleeps = collection.mutable.Buffer[Long]()
+    val emitted = collection.mutable.Buffer[String]()
+    val records = Iterator(
+      (ts("2024-01-01 10:00:00"), "a"),
+      (ts("2024-01-01 10:00:02"), "b"), // 2s after a
+      (ts("2024-01-01 10:00:02"), "c"), // same ts -> immediate
+      (ts("2024-01-01 10:00:05"), "d")) // 3s later
+    Replay.replay[String](records,
+      r => emitted += r._2,
+      speedup = 1.0,
+      nowMs = () => clock,
+      sleep = d => { sleeps += d; clock += d })
+    assert(emitted.toSeq === Seq("a", "b", "c", "d"))
+    assert(sleeps.toSeq === Seq(2000L, 3000L)) // no sleep for same-ts pair
+  }
+
+  test("replay speedup divides the waits") {
+    var clock = 0L
+    val sleeps = collection.mutable.Buffer[Long]()
+    Replay.replay[String](
+      Iterator((ts("2024-01-01 10:00:00"), "a"), (ts("2024-01-01 10:00:10"), "b")),
+      _ => (), speedup = 5.0, nowMs = () => clock,
+      sleep = d => { sleeps += d; clock += d })
+    assert(sleeps.toSeq === Seq(2000L))
+  }
+}
