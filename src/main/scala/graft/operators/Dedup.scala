@@ -52,17 +52,44 @@ object Dedup {
   /** MinHash signature matrix: md5-keyed min-hash per (doc, seed).
     * md5 (not xxhash64) so an external SQL oracle can reproduce it bit
     * for bit. numHashes seeds, lexicographic min of md5(seed ":" shingle).
+    *
+    * Shape: shingles explode once (never seeds — that would multiply the
+    * shuffle by numHashes); all seed-mins ride one map-side-combined
+    * groupBy as parallel agg columns, then unpivot to (doc, seed, mh).
     */
-  private[graft] def minhashSignatures(docs: DataFrame, shingleSize: Int,
-                                       numHashes: Int): DataFrame = {
-    val seeds = array((0 until numHashes).map(lit): _*)
-    docs
-      .filter(text.wsTokenCount(col("text")) >= shingleSize)
-      .select(col("doc_id"), explode(text.wordShingles(col("text"), shingleSize)).as("sh"))
-      .select(col("doc_id"), col("sh"), explode(seeds).as("seed"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
+  /** Wide signature frame: one row per doc, numHashes min-hash columns
+    * mh0..mhN — the single-shuffle core both the signature matrix and the
+    * LSH banding read from.
+    */
+  private[graft] def minhashMins(docs: DataFrame, shingleSize: Int,
+                                 numHashes: Int): DataFrame = {
+    // Shingles via posexplode + window lead: every operator stays inside
+    // whole-stage codegen (an array-slicing lambda would run interpreted
+    // and re-evaluate per element). The window's hash partitioning on
+    // doc_id is exactly what the groupBy needs, so the whole pipeline
+    // shuffles the token stream once.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(text.tokensLower(col("text"))).as(Seq("pos", "tok")))
+    val shingleCols = Seq(col("doc_id"), col("tok")) ++ (1 until shingleSize).map(k =>
+      lead(col("tok"), k).over(w).as(s"t$k"))
+    val sh = toks
+      .select(shingleCols: _*)
+      .filter(col(s"t${shingleSize - 1}").isNotNull) // tail positions: no full shingle
+      .select(col("doc_id"), concat_ws(" ",
+        (col("tok") +: (1 until shingleSize).map(k => col(s"t$k"))): _*).as("sh"))
+    val minCols = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
+
+  private[graft] def minhashSignatures(docs: DataFrame, shingleSize: Int,
+                                       numHashes: Int): DataFrame =
+    minhashMins(docs, shingleSize, numHashes)
+      .select(col("doc_id"),
+        posexplode(array((0 until numHashes).map(i => col(s"mh$i")): _*)))
+      .withColumnRenamed("pos", "seed").withColumnRenamed("col", "mh")
 
   /** MinHash + LSH candidate pairs: band the signature (rowsPerBand
     * hashes per band), bucket-join on (band, band-signature). Docs
@@ -73,14 +100,22 @@ object Dedup {
                       shingleSize: Int = 3, numHashes: Int = 12,
                       rowsPerBand: Int = 3): DataFrame = {
     import s.implicits._
-    val sig = minhashSignatures(Tables(s, dir, "documents"), shingleSize, numHashes)
-    // Deterministic band signature: sort "ss:md5" strings (zero-padded
-    // seed prefix ⇒ lexicographic = numeric seed order).
-    val bands = sig
-      .withColumn("band", ($"seed" / rowsPerBand).cast("int"))
-      .groupBy($"doc_id", $"band")
-      .agg(concat_ws(",", array_sort(collect_list(
-        concat(lpad($"seed".cast("string"), 2, "0"), lit(":"), $"mh")))).as("sig"))
+    val mins = minhashMins(Tables(s, dir, "documents"), shingleSize, numHashes)
+    // Band signatures concatenated straight off the wide columns — the
+    // zero-padded seed prefixes make seed order = lexicographic order, so
+    // this equals sorting "ss:md5" strings (and the SQL oracle's
+    // string_agg ORDER BY) without another shuffle.
+    val nBands = numHashes / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val sig = concat_ws(",", (0 until rowsPerBand).map { r =>
+        val seed = b * rowsPerBand + r
+        concat(lit(f"$seed%02d:"), col(s"mh$seed"))
+      }: _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val bands = mins
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val a = bands.alias("a")
     val b = bands.alias("b")
     a.join(b,
@@ -95,6 +130,12 @@ object Dedup {
     * token-hash bit, sign → fingerprint bit. Near-dups share fingerprints
     * within small Hamming distance; bucketing on 16-bit bands makes the
     * candidate join linear.
+    *
+    * Reference semantics for tiny literal frames; the corpus-scale path is
+    * [[simhashFingerprints]], which computes the identical fingerprint via
+    * explode + codegen'd aggregation (64 interpreted higher-order
+    * `aggregate` calls per row don't vectorize — measured 13s vs <1s on
+    * the 5k-doc bench corpus).
     */
   private[graft] def simhash64(tokens: Column): Column = {
     val hashes = transform(tokens, t => xxhash64(t))
@@ -106,13 +147,32 @@ object Dedup {
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** Corpus-scale SimHash: explode tokens once, xxhash64 each, then one
+    * map-side-combined groupBy with 64 parallel ±1-vote sums (whole-stage
+    * codegen throughout), fingerprint assembled from the vote signs.
+    * Token-less docs keep fingerprint 0 via the left join.
+    */
+  private[graft] def simhashFast(docs: DataFrame): DataFrame = {
+    val h = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(text.tokensLower(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val voteCols = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
+    val fp = h.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("simhash"))
+    docs.select(col("doc_id")).join(fp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
+  }
+
   /** SimHash fingerprints + band buckets (4×16-bit bands). Output: docs
     * with their fingerprint; pair generation would join on any equal band.
     */
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents")
-      .select($"doc_id", simhash64(text.tokensLower($"text")).as("simhash"))
+    simhashFast(Tables(s, dir, "documents"))
       .withColumn("band0", shiftright($"simhash", 0).bitwiseAND(0xffffL))
       .withColumn("band1", shiftright($"simhash", 16).bitwiseAND(0xffffL))
       .withColumn("band2", shiftright($"simhash", 32).bitwiseAND(0xffffL))

@@ -12,11 +12,30 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Language-ID confusion matrix: labelled lang × heuristic prediction. */
+  /** Language-ID confusion matrix: labelled lang × heuristic prediction.
+    *
+    * Staged so each expensive expression evaluates once per row: tokenize
+    * -> per-language hit counts as named columns -> CASE over plain
+    * columns. (Inlining text.langId would re-tokenize per language per
+    * comparison branch — ~12 regex splits/row.)
+    */
   def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents")
-      .select($"lang", text.langId($"text").as("pred"))
+    val scored = Tables(s, dir, "documents")
+      .select($"lang", $"text", text.tokensLower($"text").as("toks"))
+      .select($"lang",
+        text.stopwordHitsTokens($"toks", text.stopwords("en")).as("en"),
+        text.stopwordHitsTokens($"toks", text.stopwords("de")).as("de"),
+        text.stopwordHitsTokens($"toks", text.stopwords("fr")).as("fr"),
+        text.stopwordHitsTokens($"toks", text.stopwords("es")).as("es"),
+        text.cjkCharCount($"text").as("cjk"))
+    scored
+      .select($"lang",
+        when($"cjk" > 0, "zh")
+          .when($"en" >= $"de" && $"en" >= $"fr" && $"en" >= $"es", "en")
+          .when($"de" >= $"fr" && $"de" >= $"es", "de")
+          .when($"fr" >= $"es", "fr")
+          .otherwise("es").as("pred"))
       .groupBy($"lang", $"pred")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy($"lang", $"pred")
@@ -26,7 +45,9 @@ object TextOps {
   def qualityScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
-      .select($"doc_id", text.qualityScore($"text", $"n_chars").as("quality"))
+      .select($"doc_id", $"text", $"n_chars", text.tokensLower($"text").as("toks"))
+      .select($"doc_id",
+        text.qualityScoreTokens($"text", $"toks", $"n_chars").as("quality"))
       .orderBy($"doc_id")
   }
 

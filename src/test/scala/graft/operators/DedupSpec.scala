@@ -37,6 +37,15 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("simhashFast equals the reference simhash64 expression") {
+    val slow = docs.select($"doc_id",
+        Dedup.simhash64(graft.functions.text.tokensLower($"text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Dedup.simhashFast(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === slow)
+  }
+
   test("simhash: identical docs share fingerprints; distinct content differs") {
     val fp = docs.select($"doc_id", Dedup.simhash64(graft.functions.text.tokensLower($"text")).as("f"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
