@@ -35,10 +35,19 @@ object SparkEntry {
     "q_checksum_xor" -> Relational.checksumXor,
     "q_nation_rollup" -> Relational.nationRollup,
     "q_purchasers_without_errors" -> Relational.purchasersWithoutErrors,
+    "q_cube_status" -> Relational.cubeStatus,
+    "q_repeat_purchasers" -> Relational.repeatPurchasers,
+    "q_salted_join_revenue" -> ((s, dir) => Relational.saltedJoinRevenue(s, dir)),
+    "q_running_revenue" -> Relational.runningRevenue,
+    "q_part_brand_stats" -> Relational.partBrandStats,
+    "q_asof_join" -> AsOf.eventOrderAsof,
     // -- event/stream batch twins (SURVEY §2.14, §7.4) ---------------------
     "q_hourly_type_counts" -> Events.hourlyTypeCounts,
     "q_user_sessions" -> Events.userSessions,
     "q_json_prop_stats" -> Events.jsonPropStats,
+    "q_daily_type_pivot" -> Events.dailyTypePivot,
+    "q_value_percentiles" -> Events.valuePercentiles,
+    "q_distinct_users" -> Events.distinctUsers,
     // -- text analysis (§7.4) ----------------------------------------------
     "q_lang_id_confusion" -> TextOps.langIdConfusion,
     "q_quality_scores" -> TextOps.qualityScores,
@@ -53,6 +62,7 @@ object SparkEntry {
     // -- similarity search (§7.4) ------------------------------------------
     "q_brute_force_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "q_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
     // -- multimodal metadata path (§7.4) -----------------------------------
     "q_blob_metadata" -> Multimodal.blobMetadata,
   )
@@ -160,6 +170,52 @@ object SparkEntry {
                        JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name)
          ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q_cube_status" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q_repeat_purchasers" ->
+      """SELECT user_id FROM (
+           SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'purchase' AND day(ts) <= 15
+           INTERSECT
+           SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'purchase' AND day(ts) > 15)
+         ORDER BY user_id""",
+    "q_salted_join_revenue" ->
+      """SELECT l_orderkey,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "q_running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_spend
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_part_brand_stats" ->
+      """SELECT p_brand, count(*) AS n_parts,
+         CAST(round(sum(CAST(p_retailprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_retail,
+         max(upper(substring(p_name, 1, 8))) AS max_name_prefix
+         FROM part WHERE p_type LIKE '%ECO%' OR p_size >= 40
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q_asof_join" ->
+      """WITH r AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+           FROM (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                     ORDER BY o_orderkey DESC) AS rn
+                 FROM orders) WHERE rn = 1)
+         SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+         FROM events e ASOF JOIN r
+           ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+         ORDER BY e.event_id""",
     "q_purchasers_without_errors" ->
       """SELECT user_id, day FROM (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
@@ -183,6 +239,23 @@ object SparkEntry {
            count(*) AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
          FROM e GROUP BY user_id ORDER BY user_id""",
+    "q_daily_type_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_value_percentiles" ->
+      """SELECT event_type,
+         quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.5) AS p50,
+         quantile_cont(value, 0.75) AS p75, quantile_cont(value, 0.9) AS p90
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+         count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_json_prop_stats" ->
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
@@ -279,6 +352,14 @@ object SparkEntry {
            round(list_cosine_similarity(asg.v, qv), 4) AS cos_sim
          FROM asg, qc WHERE asg.cid = qcid AND asg.vec_id <> 0
          ORDER BY cos_sim DESC, asg.vec_id LIMIT 5""",
+    "q_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+         ORDER BY vec_a, vec_b""",
     "q_blob_metadata" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,

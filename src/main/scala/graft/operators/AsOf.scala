@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, the most recent right row
+  * with rightTime <= leftTime on the same key. Spark has no built-in
+  * as-of join; this composes one from a union + running last_value
+  * (SURVEY custom-operator preference (a): compose existing ops).
+  *
+  * Scale shape: one shuffle on the key, one window sort within
+  * partitions — same cost envelope as a sort-merge join. No per-key
+  * driver loops, no range cross-product: the union trick turns the
+  * temporal predicate into a linear scan inside each key partition.
+  * Skewed keys behave like any window skew (salt or split upstream).
+  */
+object AsOf {
+
+  /** @param payload right-side columns carried onto matched left rows
+    * @param rightTieBreak deterministic winner among right rows sharing
+    *   (key, time): the one with the greatest tie-break value
+    */
+  def asofJoin(left: DataFrame, leftKey: String, leftTime: String,
+               right: DataFrame, rightKey: String, rightTime: String,
+               payload: Seq[String], rightTieBreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
+      .withColumn("__is_left", lit(1))
+      .withColumn("__tie", lit(null).cast(right.schema(rightTieBreak).dataType))
+    val lWithNullPayload = payload.foldLeft(l)((df, c) =>
+      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    val r0 = right
+      .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
+      .withColumn("__is_left", lit(0))
+      .withColumn("__tie", col(rightTieBreak))
+    val rWithNullLeft = leftCols.foldLeft(r0)((df, c) =>
+      if (payload.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val cols = (leftCols ++ payload ++ Seq("__k", "__t", "__is_left", "__tie")).distinct
+    val u = lWithNullPayload.select(cols.map(col): _*)
+      .unionByName(rWithNullLeft.select(cols.map(col): _*))
+    // right rows order before left at equal time (ASOF's >= semantics);
+    // among right rows at identical (key,time), greatest tie-break wins
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__is_left"), col("__tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(u)((df, c) =>
+      df.withColumn(s"__m_$c", last(col(c), ignoreNulls = true).over(w)))
+    carried
+      .filter(col("__is_left") === 1 && col(s"__m_${payload.head}").isNotNull)
+      .select((leftCols.map(col) ++
+        payload.map(c => col(s"__m_$c").as(c))): _*)
+  }
+
+  /** Bench/oracle instance: each event joined to the user's most recent
+    * order at event time (right side deduped to one row per
+    * (custkey, orderdate) — as-of requires unique right timestamps for a
+    * well-defined answer).
+    */
+  def eventOrderAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rdedup = Window.partitionBy($"o_custkey", $"o_orderdate")
+      .orderBy($"o_orderkey".desc)
+    val orders = Tables(s, dir, "orders")
+      .withColumn("rn", row_number().over(rdedup)).filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey", $"o_totalprice")
+    val events = Tables(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts")
+    asofJoin(events, "user_id", "ts", orders, "o_custkey", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+      .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
+      .orderBy($"event_id")
+  }
+}

@@ -45,6 +45,49 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** Pivot: one column per event type, daily counts (explicit value list
+    * keeps the output schema static — at scale an inferred pivot would
+    * need an extra distinct pass).
+    */
+  def dailyTypePivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select(to_date($"ts").as("day"), $"event_type")
+      .groupBy($"day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"day")
+  }
+
+  /** Exact percentiles of value per event type (sort-based `percentile`,
+    * linear interpolation — matches quantile_cont).
+    */
+  def valuePercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        percentile($"value", lit(0.25)).as("p25"),
+        percentile($"value", lit(0.5)).as("p50"),
+        percentile($"value", lit(0.75)).as("p75"),
+        percentile($"value", lit(0.9)).as("p90"))
+      .orderBy($"event_type")
+  }
+
+  /** Distinct cardinalities: exact countDistinct per type (the HLL
+    * approx_count_distinct variant lives in the same plan shape; exact is
+    * what an oracle can check).
+    */
+  def distinctUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
   /** JSON payload extraction (F15/F16 analog): parse props.k, aggregate
     * per event type. `get_json_object` returns null on corrupt input —
     * the reference predicate's parse-failure→drop semantics.

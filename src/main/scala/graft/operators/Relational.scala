@@ -203,6 +203,77 @@ object Relational {
       .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
   }
 
+  /** CUBE grouping sets over order status x priority. */
+  def cubeStatus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), moneySum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** INTERSECT (§2.7): users who purchased in BOTH halves of the month. */
+  def repeatPurchasers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables(s, dir, "events").filter($"event_type" === "purchase")
+    p.filter(dayofmonth($"ts") <= 15).select($"user_id").distinct()
+      .intersect(p.filter(dayofmonth($"ts") > 15).select($"user_id").distinct())
+      .orderBy($"user_id")
+  }
+
+  /** Salted variant of [[joinRevenue]]'s orders⋈lineitem leg — the
+    * skew-mitigation pattern for hot keys at scale: the skewed (left)
+    * side scatters over `salts` sub-keys derived from a row-local column,
+    * the other side replicates `salts`x via a generator, so one hot
+    * orderkey spreads across `salts` reducers. Result is provably
+    * identical to the plain join (the oracle runs the unsalted SQL).
+    */
+  def saltedJoinRevenue(s: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    import s.implicits._
+    val lineitem = Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp"))
+      .withColumn("salt", pmod(xxhash64($"l_linenumber"), lit(salts)).cast("int"))
+    val orders = Tables(s, dir, "orders")
+      .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(Tables(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")),
+        $"o_custkey" === $"c_custkey")
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey") &&
+          lineitem("salt") === orders("salt"))
+      .groupBy($"l_orderkey")
+      .agg(round(sum(dec($"l_extendedprice") * (lit(1) - rate($"l_discount"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"l_orderkey")
+  }
+
+  /** Running-total window: cumulative spend per customer over order time
+    * (DECIMAL-exact so distributed and oracle sums agree).
+    */
+  def runningRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        round(sum(dec($"o_totalprice")).over(w), 2).cast("double").as("cum_spend"))
+      .select($"o_custkey", $"o_orderkey", $"cum_spend")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** String predicates + part-dimension stats (LIKE/substring surface). */
+  def partBrandStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "part")
+      .filter($"p_type".like("%ECO%") || $"p_size" >= 40)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        moneySum($"p_retailprice").as("sum_retail"),
+        max(upper(substring($"p_name", 1, 8))).as("max_name_prefix"))
+      .orderBy($"p_brand")
+  }
+
   /** Set difference (§2.7) at (user, day) grain: days on which a user
     * purchased but saw no error. (User-level difference is always empty in
     * the synthetic data — every user emits every event type.)

@@ -37,6 +37,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-dup candidate pairs, blocked by label: the
+    * pair space is sum of per-block squares, never corpus², and norms are
+    * staged per vector (not recomputed per pair). At 100 TB the block key
+    * would be an LSH bucket (sign-random-projection) instead of a label —
+    * the join shape is identical.
+    */
+  def embeddingNearDupPairs(s: SparkSession, dir: String,
+                            threshold: Double = 0.3): DataFrame = {
+    import s.implicits._
+    // norms staged once per vector — recomputing sqrt(dot(v,v)) per pair
+    // triples the (interpreted) higher-order-function work; the final
+    // arithmetic dot/(na*nb) is bit-identical to inline cosineSimilarity
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label", vectors.toDoubleArray($"embedding").as("v"))
+      .withColumn("nrm", vectors.l2Norm($"v"))
+    val a = e.alias("a")
+    val b = e.alias("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(vectors.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4)
+          .as("cos_sim"))
+      .filter($"cos_sim" >= threshold)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   /** IVF top-k: centroids = embeddings with vec_id < nlist (deterministic
     * "training" so the oracle can replicate); every vector assigned to its
     * max-cosine centroid; search restricted to the query's cell.

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("asof join picks the most recent right row at or before left time") {
+    val quotes = Seq(
+      (1L, t("2024-01-01 10:00:00"), 100.0, 1L),
+      (1L, t("2024-01-01 10:05:00"), 101.0, 2L),
+      (1L, t("2024-01-01 10:10:00"), 102.0, 3L),
+      (2L, t("2024-01-01 10:00:00"), 50.0, 4L),
+    ).toDF("qkey", "qts", "price", "qid")
+    val trades = Seq(
+      (1L, t("2024-01-01 10:03:00"), "a"), // -> 100.0
+      (1L, t("2024-01-01 10:05:00"), "b"), // equal ts -> 101.0 (>= semantics)
+      (1L, t("2024-01-01 10:30:00"), "c"), // -> 102.0
+      (2L, t("2024-01-01 09:59:00"), "d"), // before any quote -> dropped
+      (3L, t("2024-01-01 10:00:00"), "e"), // no key match -> dropped
+    ).toDF("tkey", "tts", "tag")
+    val got = AsOf.asofJoin(trades, "tkey", "tts", quotes, "qkey", "qts",
+        Seq("price", "qid"), "qid")
+      .select($"tag", $"price").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("a" -> 100.0, "b" -> 101.0, "c" -> 102.0))
+  }
+
+  test("asof join ties on right time resolve to greatest tie-break") {
+    val right = Seq(
+      (1L, t("2024-01-01 10:00:00"), "old", 1L),
+      (1L, t("2024-01-01 10:00:00"), "new", 2L),
+    ).toDF("k", "rts", "v", "id")
+    val left = Seq((1L, t("2024-01-01 11:00:00"))).toDF("k2", "lts")
+    val got = AsOf.asofJoin(left, "k2", "lts", right, "k", "rts", Seq("v"), "id")
+      .select($"v").head().getString(0)
+    assert(got === "new")
+  }
+
+  test("salted join equals the plain join") {
+    val plain = Relational.joinRevenue(spark, sf).collect().toSeq
+    val salted = Relational.saltedJoinRevenue(spark, sf).collect().toSeq
+    assert(salted === plain)
+  }
+}
