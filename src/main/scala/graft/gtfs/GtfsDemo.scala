@@ -25,13 +25,23 @@ object GtfsDemo {
       case _ => (syntheticFeed(), "vbb", "2019-02-21")
     }
 
-    println(s"== loading $zipPath as ($provider, $runDate) into $wh")
-    loader.loadArchive(provider, runDate, zipPath) match {
-      case Some(counts) => println(s"== appended: $counts")
-      case None => println("== skipped (already loaded or duplicate content)")
-    }
-    println(s"== second load (idempotency check): " +
-      loader.loadArchive(provider, runDate, zipPath).fold("skipped")(_.toString))
+    // full extract pipeline: scrape page -> extract url -> stage-commit
+    // download -> checksum/run dedup -> FK-wave load (SURVEY §3.2-§3.3)
+    import graft.ingest.Ingest
+    import graft.ingest.Ingest._
+    val page = java.nio.file.Files.createTempFile("provider_page", ".html")
+    java.nio.file.Files.writeString(page,
+      s"""<html><a href="$zipPath" class="gtfs-download">GTFS-Daten</a></html>""")
+    val spec = ProviderSpec(provider, page.toString,
+      UrlExtractor("""<a href="([^"]*)" class="gtfs-download">""".r))
+    val landing = java.nio.file.Files.createTempDirectory("gtfs_landing")
+
+    println(s"== ingesting $provider/$runDate via scraped page into $wh")
+    println("== first ingest: " + Ingest.runProviderIngest(
+      spec, new LocalFileFetcher, landing, loader, runDate))
+    println("== second ingest (idempotency): " + Ingest.runProviderIngest(
+      spec, new LocalFileFetcher, landing, loader, runDate))
+    println("== landing catalog: " + Ingest.discoverArchives(landing))
 
     val arrivals = ArrivalsQuery.applyCalendarExceptions(
       ArrivalsQuery.arrivals(
