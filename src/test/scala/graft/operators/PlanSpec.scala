@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Physical-plan audits: the scale properties SURVEY §4 promises —
+  * predicate pushdown into the parquet scan, column pruning, broadcast
+  * for dims, bounded shuffle counts — asserted on the actual executed
+  * plans so a regression fails the build, not the 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+  // sf0.01, not the shared sf0.001: RelationalSpec caches some of the
+  // same plans, and a cache hit would serve InMemoryRelation instead of
+  // the physical operators these audits inspect
+  override val sf: String = "/root/testdata/sf0.01"
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes its plan choices
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def allNodes(df: DataFrame): Seq[SparkPlan] = {
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def countShuffles(df: DataFrame): Int =
+    allNodes(df).count(_.isInstanceOf[ShuffleExchangeExec])
+
+  test("filters and projection reach the parquet scan") {
+    val plan = planString(Relational.filterProject(spark, sf))
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    assert(plan.contains("l_discount"), "discount predicate should be pushed")
+    // pruned read schema: no l_returnflag/l_tax columns in the scan
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("dimension joins broadcast, fact side never builds the hash table") {
+    val plan = planString(Relational.regionRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "supplier/nation/region must broadcast against lineitem")
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val df = Relational.pricingSummary(spark, sf)
+    val aggs = allNodes(df)
+      .collect { case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      aggs.map(_.aggregateExpressions.map(_.mode)).toString)
+    // "*(n)" prefixes mark WholeStageCodegen spans in compact plan strings
+    assert(planString(df).contains("*("))
+  }
+
+  test("minhash signature pipeline shuffles the token stream once") {
+    val mins = Dedup.minhashMins(
+      Tables(spark, sf, "documents"), shingleSize = 3, numHashes = 12)
+    // window partitioning is reused by the groupBy: 1 data shuffle
+    assert(countShuffles(mins) <= 1, planString(mins).take(3000))
+  }
+
+  test("arrivals query pushes the date-window predicate to the calendar scan") {
+    val wh = java.nio.file.Files.createTempDirectory("plan_wh").toString
+    val loader = new graft.gtfs.GtfsLoad(spark, wh)
+    // tiny calendar written as parquet so the scan shows pushdown
+    import spark.implicits._
+    Seq(("WD", true, true, true, true, true, false, false, 20190201, 20190331, 1, "p"))
+      .toDF("service_id", "monday", "tuesday", "wednesday", "thursday",
+        "friday", "saturday", "sunday", "start_date", "end_date", "run_id", "provider_id")
+      .write.parquet(s"$wh/calendar")
+    val cal = spark.read.parquet(s"$wh/calendar")
+      .filter($"end_date" >= 20190218 && $"start_date" < 20190225)
+    val plan = planString(cal)
+    assert(plan.contains("PushedFilters:") && plan.contains("end_date"), plan.take(1500))
+  }
+}
