@@ -48,6 +48,8 @@ object SparkEntry {
     "q_daily_type_pivot" -> Events.dailyTypePivot,
     "q_value_percentiles" -> Events.valuePercentiles,
     "q_distinct_users" -> Events.distinctUsers,
+    "q_user_type_sets" -> Events.userTypeSets,
+    "q_approx_distinct_users" -> Events.approxDistinctUsers,
     // -- text analysis (§7.4) ----------------------------------------------
     "q_lang_id_confusion" -> TextOps.langIdConfusion,
     "q_quality_scores" -> TextOps.qualityScores,
@@ -256,6 +258,10 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_user_type_sets" ->
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+         count(*) AS n_events
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q_json_prop_stats" ->
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k

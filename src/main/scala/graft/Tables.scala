@@ -28,6 +28,18 @@ object Tables {
       case None => df
     }
   }
+
+  /** Optional JDBC connector (SURVEY §2.1 S7 — the reference reads its
+    * tables over JDBC from Postgres; here parquet is the canonical store
+    * and JDBC is a source option, with predicate pushdown into the remote
+    * DB handled by Spark's JDBC relation).
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           props: Map[String, String] = Map.empty): DataFrame = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    spark.read.jdbc(url, table, p)
+  }
 }
 
 /** One place for engine SparkSession defaults (scale posture: AQE on,

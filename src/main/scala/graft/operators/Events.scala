@@ -88,6 +88,33 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Set-collect (A3 analog: the reference's provider->run_date set
+    * build): per user, the sorted distinct set of event types.
+    */
+  def userTypeSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(array_sort(collect_set($"event_type")).as("types"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  /** Sketch cardinalities: HyperLogLog++ approximate distinct users per
+    * type at 2% target error — the constant-memory path for 10^10-key
+    * cardinality at 100 TB (exact twin: [[distinctUsers]]). No SQL
+    * oracle: HLL estimates are engine-specific (driver records a
+    * rows-only check).
+    */
+  def approxDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
   /** JSON payload extraction (F15/F16 analog): parse props.k, aggregate
     * per event type. `get_json_object` returns null on corrupt input —
     * the reference predicate's parse-failure→drop semantics.

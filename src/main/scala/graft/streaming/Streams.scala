@@ -56,6 +56,29 @@ object Streams {
       dates.gtfsLocalTimeString(col("event_ts")).as("local-time"),
       col("name"), col("latitude"), col("longitude"))).as("value"))
 
+  // ---- Kafka bindings (S8/K3) — config, not semantics: every transform
+  // above is source/sink-agnostic. No broker exists in this container, so
+  // these are exercised in production deployments only.
+
+  /** `gtfs-arrivals` topic source (reference topic, docker-compose.yml:61). */
+  def kafkaSource(spark: org.apache.spark.sql.SparkSession,
+                  bootstrap: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .load()
+
+  /** Kafka value sink; Spark batches sends per epoch (the reference's
+    * per-record synchronous send().get() is its main throughput cap —
+    * BASELINE.md), checkpointing gives at-least-once.
+    */
+  def kafkaSink(values: DataFrame, bootstrap: String, topic: String,
+                checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    values.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
   // ---- windowed aggregations over the events stream (§7.4) --------------
 
   /** Tumbling 1h counts per event type; late data beyond `lateness`
