@@ -61,6 +61,7 @@ object SparkEntry {
     "q_minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashLshPairs(s, dir)),
     "q_simhash_fingerprints" -> Dedup.simhashFingerprints,
     "q_simhash_pairs" -> Dedup.simhashPairs,
+    "q_chunk_pairs" -> ((s, dir) => Chunker.sharedChunkPairs(s, dir)),
     // -- similarity search (§7.4) ------------------------------------------
     "q_brute_force_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "q_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
