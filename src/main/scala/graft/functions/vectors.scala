@@ -17,7 +17,19 @@ object vectors {
     */
   def toDoubleArray(v: Column): Column = transform(v, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Native codegen'd dot product (graft.functions.expressions.DotProduct);
+    * index-ascending accumulation, bit-identical to [[dotHof]].
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(expressions.DotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** Higher-order-function composition kept as the reference semantics
+    * (interpreted; used to cross-check the native expression in specs).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

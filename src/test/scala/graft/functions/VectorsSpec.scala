@@ -19,6 +19,16 @@ class VectorsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - math.sqrt(27)) < 1e-12)
   }
 
+  test("native DotProduct expression is bit-identical to the HOF composition") {
+    val e = graft.Tables(spark, sf, "embeddings")
+      .select($"vec_id", vectors.toDoubleArray($"embedding").as("v"))
+    val q = e.limit(1).select($"v".as("qv"))
+    val diff = e.crossJoin(q)
+      .select((vectors.dot($"v", $"qv") === vectors.dotHof($"v", $"qv")).as("eq"))
+      .filter(!$"eq")
+    assert(diff.count() === 0)
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq(Tuple1(Seq(0.5f, -1.5f, 2.0f))).toDF("v")
       .select(vectors.toDoubleArray($"v").as("v"))
