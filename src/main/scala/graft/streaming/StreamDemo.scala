@@ -64,6 +64,24 @@ object StreamDemo {
     println("== closed sessions emitted:")
     spark.table("demo_sessions").collect().foreach(r => println("   " + r))
     sessQ.stop()
+
+    // ---- streaming dedup + SQL-registered native expression -------------
+    val dupes = MemoryStream[(Long, Timestamp, Double)](spark)
+    val dedupQ = Streams.dedupEvents(
+        dupes.toDF().toDF("event_id", "ts", "value"), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("demo_dedup")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    dupes.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:00:30"), 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"), 2.0))
+    dedupQ.processAllAvailable()
+    println(s"== streaming dedup kept ${spark.table("demo_dedup").count()} of 3 (1 dup dropped)")
+    dedupQ.stop()
+
+    graft.functions.registry.registerAll(spark)
+    println("== SQL dot_product(array(1,2,3),(4,5,6)) = " + spark.sql(
+      "SELECT dot_product(array(1.0d,2.0d,3.0d), array(4.0d,5.0d,6.0d))").head().getDouble(0))
     spark.stop()
   }
 }

@@ -99,6 +99,14 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** Streaming exact dedup on event id: state bounded by the watermark
+    * (duplicates arriving within the lateness horizon are dropped; state
+    * for older keys is evicted) — the streaming twin of Dedup.exact.
+    */
+  def dedupEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based session windows per user (built-in session_window —
     * merges events separated by < gap into one growing window).
     */

@@ -117,6 +117,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 11:30:00", "2024-01-01 11:30:00", 1L, 4.0)))
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val input = MemoryStream[(Long, Timestamp, Double)](spark)
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    val q = Streams.dedupEvents(events, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:00:30"), 1.0), // dup id
+      (2L, ts("2024-01-01 10:01:00"), 2.0))
+    q.processAllAvailable()
+    input.addData((1L, ts("2024-01-01 10:02:00"), 9.0)) // still within watermark
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select($"event_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    q.stop()
+    assert(ids === Seq(1L, 2L))
+  }
+
   test("replay pacing: sleeps event-time deltas minus elapsed wall time") {
     var clock = 1000L
     val sleeps = collection.mutable.Buffer[Long]()
