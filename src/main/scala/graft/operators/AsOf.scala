@@ -62,11 +62,15 @@ object AsOf {
     */
   def eventOrderAsof(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rdedup = Window.partitionBy($"o_custkey", $"o_orderdate")
-      .orderBy($"o_orderkey".desc)
+    // dedup to one row per (custkey, orderdate) via max(struct): struct
+    // ordering is lexicographic on the leading o_orderkey, so this picks
+    // the same row as a row_number window but with map-side partial
+    // aggregation instead of a full sort
     val orders = Tables(s, dir, "orders")
-      .withColumn("rn", row_number().over(rdedup)).filter($"rn" === 1)
-      .select($"o_custkey", $"o_orderdate", $"o_orderkey", $"o_totalprice")
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max(struct($"o_orderkey", $"o_totalprice")).as("m"))
+      .select($"o_custkey", $"o_orderdate",
+        $"m.o_orderkey".as("o_orderkey"), $"m.o_totalprice".as("o_totalprice"))
     val events = Tables(s, dir, "events")
       .select($"event_id", $"user_id", $"ts")
     asofJoin(events, "user_id", "ts", orders, "o_custkey", "o_orderdate",

@@ -136,6 +136,31 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L))
   }
 
+  test("checkpoint recovery: restarted query resumes without loss or duplication") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ckpt_out").toString
+    val input = MemoryStream[(Long, Timestamp, Double)](spark)
+    def startQuery() = input.toDF().toDF("event_id", "ts", "value")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    val q1 = startQuery()
+    input.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-01 10:01:00"), 2.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = startQuery() // same source + checkpoint: resumes past batch 0
+    input.addData((3L, ts("2024-01-01 10:02:00"), 3.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val ids = spark.read.parquet(outDir).select($"event_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids === Seq(1L, 2L, 3L)) // no loss, no duplication
+  }
+
   test("replay pacing: sleeps event-time deltas minus elapsed wall time") {
     var clock = 1000L
     val sleeps = collection.mutable.Buffer[Long]()
