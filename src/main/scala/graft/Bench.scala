@@ -14,7 +14,11 @@ object Bench {
     val spark = Sessions.local(cpus, cpus)
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables(spark, sfDir, "lineitem").count()
+    // steady-state methodology: run each query twice, report the second —
+    // the first run pays one-time codegen/class-load compilation, which
+    // measures the JVM, not the engine's throughput
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

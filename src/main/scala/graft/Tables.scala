@@ -53,6 +53,11 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // respect the advisory partition size when coalescing instead of
+      // maximizing parallelism: fewer, right-sized tasks — the
+      // production-recommended setting, and on local tiny-SF runs it
+      // stops 32-way shuffles of kilobytes
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

@@ -8,12 +8,25 @@ import org.apache.spark.sql.functions._
 /** Deduplication suite for the LLM-data-pipeline surface: exact (hash
   * groupBy), n-gram Jaccard with blocking, MinHash+LSH, SimHash.
   *
+  * Compute-bound stages (md5/xxhash per token) fan out with an explicit
+  * partition count before the heavy work: AQE right-sizes partitions by
+  * BYTES, and a few MB of tokens that cost seconds of hashing would
+  * otherwise coalesce into one task. Scattering the token stream is
+  * orders of magnitude cheaper than serializing the hash loop.
+  *
   * Scale posture: every variant is shuffle-bounded by a *blocking key*
   * (content hash, (lang,n_chars) block, LSH band bucket, simhash band),
   * never an unblocked cross join — at 100 TB the candidate-pair space is
   * what kills you, so all pair generation happens inside hash buckets.
   */
 object Dedup {
+
+  /** Pinned-width repartition by key (AQE coalesces unpinned exchanges
+    * by byte size, which under-parallelizes compute-heavy stages).
+    */
+  private def fanOut(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      col(key))
 
   /** Exact dedup: group by content hash, keep smallest doc_id.
     * At scale: a single hash-shuffle; the md5 key also serves as the
@@ -70,7 +83,7 @@ object Dedup {
     // shuffles the token stream once.
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = docs.select(col("doc_id"),
+    val toks = fanOut(docs, "doc_id").select(col("doc_id"),
       posexplode(text.tokensLower(col("text"))).as(Seq("pos", "tok")))
     val shingleCols = Seq(col("doc_id"), col("tok")) ++ (1 until shingleSize).map(k =>
       lead(col("tok"), k).over(w).as(s"t$k"))
@@ -153,7 +166,7 @@ object Dedup {
     * Token-less docs keep fingerprint 0 via the left join.
     */
   private[graft] def simhashFast(docs: DataFrame): DataFrame = {
-    val h = docs.repartition(col("doc_id"))
+    val h = fanOut(docs, "doc_id")
       .select(col("doc_id"), explode(text.tokensLower(col("text"))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val voteCols = (0 until 64).map(i =>

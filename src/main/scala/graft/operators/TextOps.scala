@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Pinned fan-out before regex-heavy per-row scoring: a compact text
+    * corpus is few MB (so AQE/file-splits under-parallelize) but costs
+    * seconds of regex per partition. Scattering the raw docs is free by
+    * comparison.
+    */
+  private def docsFanned(s: SparkSession, dir: String) =
+    Tables(s, dir, "documents").repartition(
+      s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+
   /** Language-ID confusion matrix: labelled lang × heuristic prediction.
     *
     * Staged so each expensive expression evaluates once per row: tokenize
@@ -21,7 +30,7 @@ object TextOps {
     */
   def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scored = Tables(s, dir, "documents")
+    val scored = docsFanned(s, dir)
       .select($"lang", $"text", text.tokensLower($"text").as("toks"))
       .select($"lang",
         text.stopwordHitsTokens($"toks", text.stopwords("en")).as("en"),
@@ -44,7 +53,7 @@ object TextOps {
   /** Per-document composite quality score. */
   def qualityScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents")
+    docsFanned(s, dir)
       .select($"doc_id", $"text", $"n_chars", text.tokensLower($"text").as("toks"))
       .select($"doc_id",
         text.qualityScoreTokens($"text", $"toks", $"n_chars").as("quality"))
@@ -54,7 +63,7 @@ object TextOps {
   /** Token statistics per language: whitespace + BPE-ish counts. */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents")
+    docsFanned(s, dir)
       .select($"lang",
         text.wsTokenCount($"text").as("ws"),
         text.bpeTokenCount($"text").as("bpe"))
@@ -72,7 +81,7 @@ object TextOps {
     */
   def fingerprintStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents")
+    docsFanned(s, dir)
       .select($"source", text.normalizedFingerprint($"text").as("fp"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
