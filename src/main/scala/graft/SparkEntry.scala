@@ -62,6 +62,7 @@ object SparkEntry {
     "q_simhash_fingerprints" -> Dedup.simhashFingerprints,
     "q_simhash_pairs" -> Dedup.simhashPairs,
     "q_chunk_pairs" -> ((s, dir) => Chunker.sharedChunkPairs(s, dir)),
+    "q_dedup_assignments" -> Dedup.dedupAssignments,
     // -- similarity search (§7.4) ------------------------------------------
     "q_brute_force_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "q_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),

@@ -193,6 +193,60 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation: every doc adopts the smallest doc_id
+    * reachable so far; converges in O(diameter) rounds (dup clusters are
+    * tiny, so 3-8 rounds in practice; `maxIters` bounds pathology).
+    * Output: (doc_id, canon_id) for every doc appearing in a pair —
+    * keep canon_id, drop the rest. This is the step that turns candidate
+    * pairs into an actual deduplicated corpus.
+    *
+    * Scale: each round is one join + one groupBy on doc_id — no driver
+    * data, no cross product. At 100 TB, checkpoint every few rounds to
+    * cut lineage (here rounds are few enough not to need it).
+    */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("canon_id", col("doc_id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "b2"), col("b") === col("b2"))
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("canon_id")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canon_id"), coalesce(col("nmin"), col("canon_id"))).as("canon_id"))
+        .cache()
+      changed = updated.join(labels.withColumnRenamed("canon_id", "old"), Seq("doc_id"))
+        .filter(col("canon_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup dedup over the corpus: exact-dup pairs (same
+    * md5) unioned with MinHash-LSH candidates -> components -> canonical
+    * assignment, ordered for the oracle/rows check.
+    */
+  def dedupAssignments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exactPairs = Tables(s, dir, "documents")
+      .groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_a"), max($"doc_id").as("doc_b"),
+        count(lit(1)).as("n"))
+      .filter($"n" > 1)
+      .select($"doc_a", $"doc_b")
+    val pairs = minhashLshPairs(s, dir).unionByName(exactPairs).distinct()
+    dedupClusters(pairs).orderBy($"doc_id")
+  }
+
   /** SimHash near-dup candidate pairs via 16-bit band bucketing. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -99,6 +99,24 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** Idempotent warehouse merge sink — the streaming twin of the
+    * loader's PK-dedup append (K1 / ON CONFLICT DO NOTHING): each
+    * micro-batch anti-joins the target on the key before appending, so
+    * replayed batches after a failure (at-least-once delivery) cannot
+    * duplicate rows. Combined with checkpointing this upgrades the sink
+    * to effectively-once.
+    */
+  def idempotentMergeSink(stream: DataFrame, targetDir: String, keyCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val fresh =
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(targetDir))) batch
+        else batch.join(spark.read.parquet(targetDir).select(keyCol), Seq(keyCol), "left_anti")
+      fresh.write.mode("append").parquet(targetDir)
+      ()
+    }
+
   /** Streaming exact dedup on event id: state bounded by the watermark
     * (duplicates arriving within the lateness horizon are dropped; state
     * for older keys is evicted) — the streaming twin of Dedup.exact.

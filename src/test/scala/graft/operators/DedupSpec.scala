@@ -46,6 +46,25 @@ class DedupSpec extends SparkSpec {
     assert(fast === slow)
   }
 
+  test("dedupClusters finds connected components with min-id canon") {
+    // graph: {1-2, 2-3} one cluster, {10-11} another, chain {20-21, 21-22, 22-23}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("dedupAssignments groups the exact dups in the fixture corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedupassign").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.dedupAssignments(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) === 1L) // exact dup of doc 1
+    assert(got.getOrElse(4L, 4L) === 4L) // unrelated doc never absorbed
+  }
+
   test("simhash: identical docs share fingerprints; distinct content differs") {
     val fp = docs.select($"doc_id", Dedup.simhash64(graft.functions.text.tokensLower($"text")).as("f"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

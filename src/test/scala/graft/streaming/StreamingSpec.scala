@@ -136,6 +136,27 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L))
   }
 
+  test("idempotent merge sink survives batch replay without duplicates") {
+    val target = java.nio.file.Files.createTempDirectory("merge_out").toString + "/t"
+    val input = MemoryStream[(Long, Timestamp, Double)](spark)
+    val stream = input.toDF().toDF("event_id", "ts", "value")
+    val q = Streams.idempotentMergeSink(stream, target, "event_id")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("merge_ckpt").toString)
+      .start()
+    input.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-01 10:01:00"), 2.0))
+    q.processAllAvailable()
+    // simulate at-least-once replay: same keys arrive again (+ one new)
+    input.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (3L, ts("2024-01-01 10:02:00"), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(target).select($"event_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids === Seq(1L, 2L, 3L)) // replayed key 1 not duplicated
+  }
+
   test("checkpoint recovery: restarted query resumes without loss or duplication") {
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
     val outDir = java.nio.file.Files.createTempDirectory("ckpt_out").toString
