@@ -23,18 +23,31 @@ case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
 
   override def nullIntolerant: Boolean = true
+  // nullable even for non-null inputs: mismatched lengths / null ELEMENTS
+  // produce NULL (without this the codegen isNull slot is a literal false
+  // and the null result would be silently dropped)
+  override def nullable: Boolean = true
   override def inputTypes: Seq[GraftBridge.AbstractDT] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  // Mismatched lengths or null elements yield NULL — matching the HOF
+  // composition (zip_with pads with null, null poisons the fold), so a
+  // truncated/corrupt embedding surfaces as null instead of silently
+  // scoring on a prefix.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -44,10 +57,15 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

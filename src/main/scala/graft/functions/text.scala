@@ -50,11 +50,16 @@ object text {
   def wordShingles(c: Column, n: Int): Column =
     shinglesFromTokens(tokensLower(c), n)
 
-  /** Shingles over a materialized token array column. */
+  /** Shingles over a materialized token array column; empty for docs
+    * with fewer than n tokens (a negative sequence bound would otherwise
+    * step downward into an invalid slice index).
+    */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Normalised content fingerprint: md5 of whitespace-collapsed,
     * lowercased, trimmed text. Stable across incidental formatting.

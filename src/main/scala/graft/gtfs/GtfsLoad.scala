@@ -181,42 +181,58 @@ class GtfsLoad(spark: SparkSession, warehouseDir: String) {
     val withProv = conformed
       .withColumn("run_id", lit(runId))
       .withColumn("provider_id", lit(providerId))
-    val (ok, quarantined) = GtfsSchemas.checkConstraints.get(tableName) match {
-      case Some(pred) => (withProv.filter(pred), withProv.filter(!pred))
-      case None => (withProv, spark.emptyDataFrame)
-    }
-    val qn = if (quarantined.isEmpty) 0L else {
-      quarantined.write.mode(SaveMode.Append)
-        .partitionBy("provider_id", "run_id")
-        .parquet(tablePath(s"${tableName}_rejects"))
-      quarantined.count()
-    }
-    val pk = GtfsSchemas.primaryKeys.getOrElse(tableName,
-      Seq("run_id") ++ conformed.columns)
-    val fresh =
-      if (!exists(tableName)) ok
-      else ok.join(
-        // pruned to this run's partition by the run_id filter
-        table(tableName).filter($"run_id" === runId || $"provider_id" === providerId)
-          .select(pk.map(col).toIndexedSeq: _*),
-        pk, "left_anti")
-    val n = fresh.count()
-    if (n > 0)
-      fresh.write.mode(SaveMode.Append)
-        .partitionBy("provider_id", "run_id")
-        .parquet(tablePath(tableName))
-    (n, qn)
+    // cache: the CHECK split and anti-join feed both a count and a write
+    // (without it each conform+filter DAG re-executes per action)
+    withProv.cache()
+    try {
+      val (ok, quarantined) = GtfsSchemas.checkConstraints.get(tableName) match {
+        case Some(pred) => (withProv.filter(pred), withProv.filter(!pred))
+        case None => (withProv, spark.emptyDataFrame)
+      }
+      val qn = if (quarantined.isEmpty) 0L else {
+        quarantined.write.mode(SaveMode.Append)
+          .partitionBy("provider_id", "run_id")
+          .parquet(tablePath(s"${tableName}_rejects"))
+        quarantined.count()
+      }
+      val pk = GtfsSchemas.primaryKeys.getOrElse(tableName,
+        Seq("run_id") ++ conformed.columns)
+      val fresh =
+        if (!exists(tableName)) ok
+        else ok.join(
+          // pruned to this run's partition by the run_id filter
+          table(tableName).filter($"run_id" === runId || $"provider_id" === providerId)
+            .select(pk.map(col).toIndexedSeq: _*),
+          pk, "left_anti").cache()
+      val n = fresh.count()
+      if (n > 0)
+        fresh.write.mode(SaveMode.Append)
+          .partitionBy("provider_id", "run_id")
+          .parquet(tablePath(tableName))
+      fresh.unpersist()
+      (n, qn)
+    } finally withProv.unpersist()
   }
 
   /** Load one archive end-to-end in FK waves. Returns per-table appended
     * counts; None if the run was already loaded or the archive is a
     * content-duplicate.
+    *
+    * Failure atomicity: the run row and checksum manifest are written
+    * only AFTER every table appended successfully — a mid-load crash
+    * leaves the run unregistered, so the retry re-enters (run anti-join
+    * passes) and the PK anti-join appends skip whatever rows the failed
+    * attempt already landed. Recording bookkeeping first would instead
+    * permanently fence out the archive.
     */
   def loadArchive(providerId: String, runDate: String, zipPath: String): Option[Map[String, Long]] = {
     if (identifyNewRuns(Seq((providerId, runDate))).isEmpty) return None
-    if (checkAndRecordChecksum(providerId, runDate, archiveChecksum(zipPath))) return None
+    val checksum = archiveChecksum(zipPath)
+    if (exists("archive_manifest") &&
+      table("archive_manifest").filter(col("checksum") === checksum).count() > 0)
+      return None
     registerProvider(providerId)
-    val runId = registerRun(providerId, runDate)
+    val runId = nextRunId()
     val members = extractMembers(zipPath)
     val counts = GtfsSchemas.loadWaves.flatMap { wave =>
       wave.flatMap { t =>
@@ -225,6 +241,10 @@ class GtfsLoad(spark: SparkSession, warehouseDir: String) {
         }
       }
     }.toMap
+    // commit point: run row + manifest only once all appends succeeded
+    Seq((runId, runDate, providerId)).toDF("run_id", "run_date", "provider_id")
+      .write.mode(SaveMode.Append).parquet(tablePath("run"))
+    checkAndRecordChecksum(providerId, runDate, checksum)
     Some(counts)
   }
 

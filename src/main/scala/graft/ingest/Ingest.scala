@@ -61,12 +61,20 @@ object Ingest {
     * provider's landing dir; unchanged -> short-circuit (note the
     * reference disables this in live config — check_url=False,
     * extract_dag.py:102-113 — so it's opt-in here too).
+    *
+    * Read and write are split: the memo is recorded only AFTER a
+    * successful ingest — writing it up front would short-circuit every
+    * retry of a failed download/load as UrlUnchanged forever.
     */
   def urlChanged(landingDir: Path, url: String): Boolean = {
     val memo = landingDir.resolve("url.txt")
     val prev = if (Files.exists(memo)) Files.readString(memo).trim else ""
-    if (prev == url) false
-    else { Files.createDirectories(landingDir); Files.writeString(memo, url); true }
+    prev != url
+  }
+
+  def recordUrl(landingDir: Path, url: String): Unit = {
+    Files.createDirectories(landingDir)
+    Files.writeString(landingDir.resolve("url.txt"), url)
   }
 
   /** One provider's extract->download->stage->load pass (X1 composition):
@@ -94,10 +102,12 @@ object Ingest {
           fetcher.download(url, staged)
           Files.move(staged, committed, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
-          loader.loadArchive(provider.id, runDate, committed.toString) match {
+          val result = loader.loadArchive(provider.id, runDate, committed.toString) match {
             case Some(counts) => Loaded(runDate, counts)
             case None => DuplicateContent
           }
+          if (checkUrl) recordUrl(dir, url) // memo only after success
+          result
         }
     }
   }

@@ -47,12 +47,18 @@ object AsOf {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__is_left"), col("__tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(u)((df, c) =>
-      df.withColumn(s"__m_$c", last(col(c), ignoreNulls = true).over(w)))
+    // ONE struct per right row (null marker for left rows): per-column
+    // last() calls would tear the match — a null field in the matched
+    // right row back-filled from an older row, a composite that never
+    // existed — and would drop matches whose first payload field is null
+    val carried = u
+      .withColumn("__p", when(col("__is_left") === 0,
+        struct(payload.map(col): _*)).otherwise(lit(null)))
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
     carried
-      .filter(col("__is_left") === 1 && col(s"__m_${payload.head}").isNotNull)
+      .filter(col("__is_left") === 1 && col("__m").isNotNull)
       .select((leftCols.map(col) ++
-        payload.map(c => col(s"__m_$c").as(c))): _*)
+        payload.map(c => col(s"__m.$c").as(c))): _*)
   }
 
   /** Bench/oracle instance: each event joined to the user's most recent

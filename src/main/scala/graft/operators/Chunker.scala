@@ -79,8 +79,10 @@ object Chunker {
     */
   def sharedChunkPairs(s: SparkSession, dir: String, minShared: Int = 2): DataFrame = {
     import s.implicits._
+    // distinct per doc: a chunk hash repeated inside one document would
+    // otherwise multiply the join matches (2x2 rows for 1 shared chunk)
     val chunks = chunkDocuments(s, dir)
-      .select($"doc_id", explode($"chunk_hashes").as("ch"))
+      .select($"doc_id", explode(array_distinct($"chunk_hashes")).as("ch"))
     val a = chunks.alias("a")
     val b = chunks.alias("b")
     a.join(b, col("a.ch") === col("b.ch") && col("a.doc_id") < col("b.doc_id"))

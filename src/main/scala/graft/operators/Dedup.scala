@@ -237,12 +237,13 @@ object Dedup {
     */
   def dedupAssignments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // star edges min->each member (not min->max: a 3+-copy group's middle
+    // members would fall out of the component otherwise)
     val exactPairs = Tables(s, dir, "documents")
       .groupBy(md5($"text").as("h"))
-      .agg(min($"doc_id").as("doc_a"), max($"doc_id").as("doc_b"),
-        count(lit(1)).as("n"))
-      .filter($"n" > 1)
-      .select($"doc_a", $"doc_b")
+      .agg(min($"doc_id").as("doc_a"), collect_list($"doc_id").as("members"))
+      .select($"doc_a", explode($"members").as("doc_b"))
+      .filter($"doc_a" < $"doc_b")
     val pairs = minhashLshPairs(s, dir).unionByName(exactPairs).distinct()
     dedupClusters(pairs).orderBy($"doc_id")
   }

@@ -60,7 +60,11 @@ object StatefulSessions {
             }
             opened.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastEvent + gapMs)
+              // clamp past the watermark: flatMapGroupsWithState still
+              // hands us late rows, and a timeout at/before the current
+              // watermark is rejected by Spark (query-failing)
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.lastEvent + gapMs, wm + 1))
             }
             closed.iterator
           }

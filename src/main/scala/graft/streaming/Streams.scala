@@ -110,9 +110,13 @@ object Streams {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
+      // dedup WITHIN the batch too — an at-least-once source can deliver
+      // the same key twice in one micro-batch, which the target anti-join
+      // alone would let through
+      val batchDedup = batch.dropDuplicates(keyCol)
       val fresh =
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(targetDir))) batch
-        else batch.join(spark.read.parquet(targetDir).select(keyCol), Seq(keyCol), "left_anti")
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(targetDir))) batchDedup
+        else batchDedup.join(spark.read.parquet(targetDir).select(keyCol), Seq(keyCol), "left_anti")
       fresh.write.mode("append").parquet(targetDir)
       ()
     }

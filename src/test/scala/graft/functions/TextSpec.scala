@@ -18,6 +18,12 @@ class TextSpec extends SparkSpec {
     assert(got === Seq("a b c", "b c d", "c d e"))
   }
 
+  test("shingles of a too-short document are empty, not an error") {
+    val got = Seq("a b", "", "one").toDF("t")
+      .select(text.wordShingles($"t", 3)).collect().map(_.getSeq[String](0))
+    assert(got.forall(_.isEmpty))
+  }
+
   test("bpe-ish token count splits alpha runs, digit runs, symbols") {
     val got = Seq("hello, world 42!").toDF("t")
       .select(text.bpeTokenCount($"t")).head().getInt(0)

@@ -29,6 +29,18 @@ class VectorsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("dot of mismatched-length or null-element arrays is NULL (HOF parity)") {
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)), // length mismatch
+    ).toDF("a", "b")
+    assert(df.select(vectors.dot($"a", $"b")).head().isNullAt(0))
+    assert(df.select(vectors.dotHof($"a", $"b")).head().isNullAt(0))
+    val withNull = spark.sql(
+      "SELECT array(1.0d, CAST(NULL AS DOUBLE)) AS a, array(1.0d, 2.0d) AS b")
+    assert(withNull.select(vectors.dot($"a", $"b")).head().isNullAt(0))
+    assert(withNull.select(vectors.dotHof($"a", $"b")).head().isNullAt(0))
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq(Tuple1(Seq(0.5f, -1.5f, 2.0f))).toDF("v")
       .select(vectors.toDoubleArray($"v").as("v"))

@@ -41,6 +41,29 @@ class AsOfSpec extends SparkSpec {
     assert(got === "new")
   }
 
+  test("asof join does not tear payload columns across right rows") {
+    // matched right row has a NULL price: the result must carry that
+    // null, not back-fill from the older row
+    val right = Seq(
+      (1L, t("2024-01-01 10:00:00"), Option(5.0), 100L),
+      (1L, t("2024-01-01 10:05:00"), None, 200L),
+    ).toDF("k", "rts", "price", "rid")
+    val left = Seq((1L, t("2024-01-01 11:00:00"))).toDF("k2", "lts")
+    val got = AsOf.asofJoin(left, "k2", "lts", right, "k", "rts",
+      Seq("rid", "price"), "rid").select($"rid", $"price").head()
+    assert(got.getLong(0) === 200L)
+    assert(got.isNullAt(1), "price must be the matched row's NULL, not 5.0")
+  }
+
+  test("asof join keeps matches whose first payload field is null") {
+    val right = Seq((1L, t("2024-01-01 10:00:00"), Option.empty[Double], 7L))
+      .toDF("k", "rts", "price", "rid")
+    val left = Seq((1L, t("2024-01-01 11:00:00"))).toDF("k2", "lts")
+    val got = AsOf.asofJoin(left, "k2", "lts", right, "k", "rts",
+      Seq("price", "rid"), "rid")
+    assert(got.count() === 1)
+  }
+
   test("salted join equals the plain join") {
     val plain = Relational.joinRevenue(spark, sf).collect().toSeq
     val salted = Relational.saltedJoinRevenue(spark, sf).collect().toSeq

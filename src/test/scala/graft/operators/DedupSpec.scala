@@ -65,6 +65,22 @@ class DedupSpec extends SparkSpec {
     assert(got.getOrElse(4L, 4L) === 4L) // unrelated doc never absorbed
   }
 
+  test("dedupAssignments catches middle members of 3+-copy short-doc groups") {
+    // "hi there" has < shingleSize tokens -> invisible to MinHash; only
+    // the exact-dup star edges can cluster it, including the middle id
+    val tmp = java.nio.file.Files.createTempDirectory("dedupmid").toString
+    Seq(
+      (1L, "hi there", "en", "a", 8L),
+      (5L, "hi there", "en", "b", 8L),
+      (9L, "hi there", "en", "c", 8L),
+      (20L, "something else entirely different", "en", "a", 33L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.dedupAssignments(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
+  }
+
   test("simhash: identical docs share fingerprints; distinct content differs") {
     val fp = docs.select($"doc_id", Dedup.simhash64(graft.functions.text.tokensLower($"text")).as("f"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -147,8 +147,10 @@ class StreamingSpec extends SparkSpec {
     input.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
       (2L, ts("2024-01-01 10:01:00"), 2.0))
     q.processAllAvailable()
-    // simulate at-least-once replay: same keys arrive again (+ one new)
+    // simulate at-least-once replay: same key again, an intra-batch
+    // duplicate pair, and one new key
     input.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (3L, ts("2024-01-01 10:02:00"), 3.0),
       (3L, ts("2024-01-01 10:02:00"), 3.0))
     q.processAllAvailable()
     q.stop()
