@@ -206,8 +206,11 @@ object Dedup {
     * cut lineage (here rounds are few enough not to need it).
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // cache the edge list: it embeds the whole candidate-pair pipeline
+    // (MinHash etc.) and every propagation round joins it
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .cache()
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("canon_id", col("doc_id"))
     var changed = 1L
@@ -228,6 +231,7 @@ object Dedup {
       labels = updated
       i += 1
     }
+    edges.unpersist()
     labels
   }
 
