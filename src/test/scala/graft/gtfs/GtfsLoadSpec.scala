@@ -140,6 +140,38 @@ class GtfsLoadSpec extends SparkSpec {
     assert(rolled === "2019-02-19 01:10:00")
   }
 
+  test("per-run queries prune to their own warehouse partition") {
+    val (loader, _) = freshLoader()
+    loader.loadArchive("vbb", "2019-02-21", fixtureZip().getAbsolutePath)
+    // second run with different content (extra stop) -> second partition
+    val altMembers = feedMembers.updated("stops.txt",
+      feedMembers("stops.txt") + "\nS4,,Neu Stop,,52.1,13.1")
+    val dir2 = Files.createTempDirectory("gtfs_zip2").toFile
+    val zip2 = new File(dir2, "2019-03-01.zip")
+    writeZip(zip2, altMembers)
+    loader.loadArchive("vbb", "2019-03-01", zip2.getAbsolutePath)
+
+    val all = loader.table("stops")
+    val one = all.filter($"run_id" === 1)
+    assert(all.count() === 7 && one.count() === 3)
+    // partition pruning: the run filter must reach the scan as a
+    // PartitionFilter and the scan must read strictly fewer files
+    def scanNumFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value }.getOrElse(-1L)
+    }
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    val (nOne, nAll) = (scanNumFiles(one), scanNumFiles(all))
+    assert(nOne > 0 && nOne < nAll, s"pruned=$nOne total=$nAll")
+  }
+
   test("arrival JSON golden shape: field names and 7-digit fraction") {
     val (loader, _) = freshLoader()
     loader.loadArchive("vbb", "2019-02-21", fixtureZip().getAbsolutePath)
