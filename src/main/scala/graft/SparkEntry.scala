@@ -261,7 +261,8 @@ object SparkEntry {
          count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_user_type_sets" ->
-      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+      """SELECT user_id,
+         array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
          count(*) AS n_events
          FROM events GROUP BY user_id ORDER BY user_id""",
     "q_json_prop_stats" ->

@@ -43,9 +43,10 @@ object AsOf {
     val u = lWithNullPayload.select(cols.map(col): _*)
       .unionByName(rWithNullLeft.select(cols.map(col): _*))
     // right rows order before left at equal time (ASOF's >= semantics);
-    // among right rows at identical (key,time), greatest tie-break wins
+    // among right rows at identical (key,time), greatest tie-break wins —
+    // nulls first so a NULL tie-break loses to any concrete value
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__is_left"), col("__tie").asc_nulls_last)
+      .orderBy(col("__t"), col("__is_left"), col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // ONE struct per right row (null marker for left rows): per-column
     // last() calls would tear the match — a null field in the matched

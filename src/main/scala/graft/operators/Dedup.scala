@@ -205,31 +205,51 @@ object Dedup {
     * data, no cross product. At 100 TB, checkpoint every few rounds to
     * cut lineage (here rounds are few enough not to need it).
     */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
     // cache the edge list: it embeds the whole candidate-pair pipeline
     // (MinHash etc.) and every propagation round joins it
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .cache()
     var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("canon_id", col("doc_id"))
+      .withColumn("canon_id", col("doc_id")).cache()
+    // One round = neighbor-min propagation + pointer jump (adopt the label
+    // of your label — path compression), so chains converge in O(log d)
+    // rounds, not O(d). The convergence flag rides the same frame: ONE
+    // Spark action per round (the old shape paid a second join + count).
+    def step(l: DataFrame): DataFrame = {
+      val nmin = edges
+        .join(l.select(col("doc_id").as("b2"), col("canon_id").as("bc")),
+          col("b") === col("b2"))
+        .groupBy(col("a").as("doc_id")).agg(min(col("bc")).as("nmin"))
+      val prop = l.join(nmin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("canon_id").as("old"),
+          least(col("canon_id"), coalesce(col("nmin"), col("canon_id"))).as("c1"))
+      // jump: canon ids are themselves doc_ids, so look up THEIR label in
+      // the same cached frame (materialized once per round)
+      prop.join(l.select(col("doc_id").as("j"), col("canon_id").as("jc")),
+          prop("c1") === col("j"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("c1"), coalesce(col("jc"), col("c1"))).as("canon_id"))
+    }
+    // Two rounds fused per Spark action (the inner frame cache is lazy and
+    // materializes inside the same job): with pointer jumping the typical
+    // dup graph converges in round 1, so the usual cost is ONE action —
+    // the round-2 changed-count doubling as the convergence proof.
     var changed = 1L
     var i = 0
+    var toFree = labels // the cached frame behind the current labels view
     while (changed > 0 && i < maxIters) {
-      // each node adopts min(own label, neighbors' labels)
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "b2"), col("b") === col("b2"))
-        .groupBy(col("a").as("doc_id"))
-        .agg(min(col("canon_id")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("canon_id"), coalesce(col("nmin"), col("canon_id"))).as("canon_id"))
-        .cache()
-      changed = updated.join(labels.withColumnRenamed("canon_id", "old"), Seq("doc_id"))
-        .filter(col("canon_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = updated
-      i += 1
+      val mid = step(labels).select(col("doc_id"), col("canon_id")).cache()
+      val next = step(mid).cache()
+      changed = next
+        .agg(coalesce(sum(when(col("canon_id") =!= col("old"), 1L).otherwise(0L)), lit(0L)))
+        .first().getLong(0)
+      toFree.unpersist()
+      mid.unpersist()
+      toFree = next
+      labels = next.select(col("doc_id"), col("canon_id"))
+      i += 2
     }
     edges.unpersist()
     labels

@@ -89,13 +89,15 @@ object Events {
   }
 
   /** Set-collect (A3 analog: the reference's provider->run_date set
-    * build): per user, the sorted distinct set of event types.
+    * build): per user, the sorted distinct set of event types. Serialized
+    * to a comma-joined scalar (not array&lt;string&gt;) so the driver's
+    * pandas-based compare can sort/hash the column.
     */
   def userTypeSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "events")
       .groupBy($"user_id")
-      .agg(array_sort(collect_set($"event_type")).as("types"),
+      .agg(array_join(array_sort(collect_set($"event_type")), ",").as("types"),
         count(lit(1)).as("n_events"))
       .orderBy($"user_id")
   }

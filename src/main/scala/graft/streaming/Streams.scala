@@ -114,8 +114,12 @@ object Streams {
       // the same key twice in one micro-batch, which the target anti-join
       // alone would let through
       val batchDedup = batch.dropDuplicates(keyCol)
+      // target-existence probe must go through Hadoop's FileSystem so it
+      // works on HDFS/S3 paths too, not just the local filesystem
+      val hPath = new org.apache.hadoop.fs.Path(targetDir)
+      val exists = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
       val fresh =
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(targetDir))) batchDedup
+        if (!exists) batchDedup
         else batchDedup.join(spark.read.parquet(targetDir).select(keyCol), Seq(keyCol), "left_anti")
       fresh.write.mode("append").parquet(targetDir)
       ()
