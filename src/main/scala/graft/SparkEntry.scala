@@ -11,9 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (explicit casts on whichever side is narrower) because the driver's
   * compare hashes values after sorting columns by name.
   *
-  * Omitted oracles (weaker rows-only check): the two SimHash queries —
-  * their fingerprints are built on Spark's xxhash64, which DuckDB cannot
-  * reproduce.
+  * Omitted oracles (weaker rows-only check), exactly two:
+  * q_approx_distinct_users (HLL++ estimates are engine-specific) and
+  * q_chunk_pairs (content-defined chunk boundaries are a sequential
+  * per-byte state machine SQL cannot express). Everything else —
+  * including SimHash (md5-prefix token hash, chosen for oracle parity)
+  * and dedup assignments (recursive-CTE connected components) — is
+  * DuckDB-verified.
   */
 object SparkEntry {
 
@@ -76,6 +80,48 @@ object SparkEntry {
   // match Spark's long, len() casts to INT where Spark size() yields int.
   private val toks =
     """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')"""
+
+  /** MinHash-LSH candidate pairs, sans ORDER BY — shared between the
+    * q_minhash_lsh_pairs oracle and the dedup-assignments oracle's edge
+    * list (both must agree bit-for-bit with Dedup.minhashLshPairs).
+    */
+  private val minhashPairsCore =
+    s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+       sh AS (SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(toks) - 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         FROM docs WHERE len(toks) >= 3),
+       seeds AS (SELECT unnest(generate_series(0, 11)) AS seed),
+       mh AS (SELECT doc_id, seed,
+           min(md5(concat(CAST(seed AS VARCHAR), ':', sh))) AS mh
+         FROM sh, seeds GROUP BY doc_id, seed),
+       bands AS (SELECT doc_id, seed // 3 AS band,
+           string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || mh, ','
+             ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || mh) AS sig
+         FROM mh GROUP BY doc_id, band)
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM bands a JOIN bands b
+         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
+
+  /** Per-doc 60-bit SimHash (md5-prefix token hash — the same
+    * engine-portable hash Dedup.tokenHash60 uses), sans ORDER BY.
+    * Token-less docs get fingerprint 0 via the left join.
+    */
+  private val simhashCore =
+    s"""SELECT d.doc_id, CAST(coalesce(f.simhash, 0) AS BIGINT) AS simhash
+       FROM documents d LEFT JOIN (
+         SELECT doc_id, CAST(sum(CASE WHEN v > 0
+             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+         FROM (
+           SELECT doc_id, i,
+             sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM (
+             SELECT doc_id,
+               CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
+             FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)),
+             (SELECT unnest(generate_series(0, 59)) AS i)
+           GROUP BY doc_id, i)
+         GROUP BY doc_id) f USING (doc_id)"""
 
   def oracleSql: Map[String, String] = Map(
     "q_pricing_summary" ->
@@ -324,23 +370,43 @@ object SparkEntry {
            ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
          ORDER BY doc_a, doc_b""",
     "q_minhash_lsh_pairs" ->
-      s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
-         sh AS (SELECT doc_id, unnest(list_transform(
-             generate_series(1, len(toks) - 2),
-             i -> array_to_string(toks[i:i+2], ' '))) AS sh
-           FROM docs WHERE len(toks) >= 3),
-         seeds AS (SELECT unnest(generate_series(0, 11)) AS seed),
-         mh AS (SELECT doc_id, seed,
-             min(md5(concat(CAST(seed AS VARCHAR), ':', sh))) AS mh
-           FROM sh, seeds GROUP BY doc_id, seed),
-         bands AS (SELECT doc_id, seed // 3 AS band,
-             string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || mh, ','
-               ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || mh) AS sig
-           FROM mh GROUP BY doc_id, band)
-         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b
-           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      s"""$minhashPairsCore
          ORDER BY doc_a, doc_b""",
+    "q_simhash_fingerprints" ->
+      s"""SELECT doc_id, simhash,
+         (simhash >> 0) & 32767 AS band0,
+         (simhash >> 15) & 32767 AS band1,
+         (simhash >> 30) & 32767 AS band2,
+         (simhash >> 45) & 32767 AS band3
+         FROM ($simhashCore)
+         ORDER BY doc_id""",
+    "q_simhash_pairs" ->
+      s"""WITH f AS ($simhashCore),
+         buckets AS (SELECT doc_id,
+             concat(CAST(bi AS VARCHAR), ':',
+               CAST((simhash >> (bi * 15)) & 32767 AS VARCHAR)) AS bucket
+           FROM f, (SELECT unnest(generate_series(0, 3)) AS bi))
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM buckets a JOIN buckets b
+           ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
+    "q_dedup_assignments" ->
+      s"""WITH RECURSIVE
+         lsh AS ($minhashPairsCore),
+         ex AS (SELECT mn AS doc_a, doc_id AS doc_b FROM (
+             SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
+             FROM documents)
+           WHERE doc_id > mn),
+         e0 AS (SELECT doc_a, doc_b FROM lsh
+                UNION SELECT doc_a, doc_b FROM ex),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM e0
+                   UNION SELECT doc_b AS a, doc_a AS b FROM e0),
+         reach(a, r) AS (
+           SELECT a, b FROM edges
+           UNION SELECT a, a FROM edges
+           UNION SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a)
+         SELECT a AS doc_id, min(r) AS canon_id
+         FROM reach GROUP BY a ORDER BY doc_id""",
     "q_brute_force_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

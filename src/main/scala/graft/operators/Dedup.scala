@@ -139,20 +139,31 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by
-    * token-hash bit, sign → fingerprint bit. Near-dups share fingerprints
-    * within small Hamming distance; bucketing on 16-bit bands makes the
+  /** SimHash bit width. 60 (not 64): the token hash is the first 15 hex
+    * digits of md5, chosen because an external SQL oracle can reproduce
+    * md5 bit-for-bit (DuckDB has no xxhash64) — same design trade as the
+    * MinHash seeds above.
+    */
+  private[graft] val SimhashBits = 60
+
+  /** 60-bit token hash from the md5 hex prefix (engine-portable). */
+  private[graft] def tokenHash60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** SimHash over word tokens: per bit, sum +1/-1 weighted by token-hash
+    * bit, sign → fingerprint bit. Near-dups share fingerprints within
+    * small Hamming distance; bucketing on 15-bit bands makes the
     * candidate join linear.
     *
     * Reference semantics for tiny literal frames; the corpus-scale path is
     * [[simhashFingerprints]], which computes the identical fingerprint via
-    * explode + codegen'd aggregation (64 interpreted higher-order
+    * explode + codegen'd aggregation (60 interpreted higher-order
     * `aggregate` calls per row don't vectorize — measured 13s vs <1s on
     * the 5k-doc bench corpus).
     */
   private[graft] def simhash64(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
+    val hashes = transform(tokens, t => tokenHash60(t))
+    val bits = (0 until SimhashBits).map { i =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(votes > 0, shiftleft(lit(1L), i)).otherwise(0L)
@@ -160,36 +171,36 @@ object Dedup {
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
 
-  /** Corpus-scale SimHash: explode tokens once, xxhash64 each, then one
-    * map-side-combined groupBy with 64 parallel ±1-vote sums (whole-stage
+  /** Corpus-scale SimHash: explode tokens once, hash each, then one
+    * map-side-combined groupBy with 60 parallel ±1-vote sums (whole-stage
     * codegen throughout), fingerprint assembled from the vote signs.
     * Token-less docs keep fingerprint 0 via the left join.
     */
   private[graft] def simhashFast(docs: DataFrame): DataFrame = {
     val h = fanOut(docs, "doc_id")
       .select(col("doc_id"), explode(text.tokensLower(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val voteCols = (0 until 64).map(i =>
+      .select(col("doc_id"), tokenHash60(col("tok")).as("h"))
+    val voteCols = (0 until SimhashBits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
     val fp = h.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(i =>
+        (0 until SimhashBits).map(i =>
           when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
           .reduce(_ bitwiseOR _).as("simhash"))
     docs.select(col("doc_id")).join(fp, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
-  /** SimHash fingerprints + band buckets (4×16-bit bands). Output: docs
+  /** SimHash fingerprints + band buckets (4×15-bit bands). Output: docs
     * with their fingerprint; pair generation would join on any equal band.
     */
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     simhashFast(Tables(s, dir, "documents"))
-      .withColumn("band0", shiftright($"simhash", 0).bitwiseAND(0xffffL))
-      .withColumn("band1", shiftright($"simhash", 16).bitwiseAND(0xffffL))
-      .withColumn("band2", shiftright($"simhash", 32).bitwiseAND(0xffffL))
-      .withColumn("band3", shiftright($"simhash", 48).bitwiseAND(0xffffL))
+      .withColumn("band0", shiftright($"simhash", 0).bitwiseAND(0x7fffL))
+      .withColumn("band1", shiftright($"simhash", 15).bitwiseAND(0x7fffL))
+      .withColumn("band2", shiftright($"simhash", 30).bitwiseAND(0x7fffL))
+      .withColumn("band3", shiftright($"simhash", 45).bitwiseAND(0x7fffL))
       .orderBy($"doc_id")
   }
 
