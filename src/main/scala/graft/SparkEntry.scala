@@ -45,6 +45,7 @@ object SparkEntry {
     "q_running_revenue" -> Relational.runningRevenue,
     "q_part_brand_stats" -> Relational.partBrandStats,
     "q_asof_join" -> AsOf.eventOrderAsof,
+    "q_range_join_attrib" -> Relational.attributionRangeJoin,
     // -- event/stream batch twins (SURVEY §2.14, §7.4) ---------------------
     "q_hourly_type_counts" -> Events.hourlyTypeCounts,
     "q_user_sessions" -> Events.userSessions,
@@ -59,6 +60,11 @@ object SparkEntry {
     "q_quality_scores" -> TextOps.qualityScores,
     "q_token_stats" -> TextOps.tokenStats,
     "q_fingerprint_stats" -> TextOps.fingerprintStats,
+    "q_top_tokens" -> ((s, dir) => TextOps.topTokensPerLang(s, dir)),
+    "q_tfidf_top_terms" -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
+    "q_pii_stats" -> TextOps.piiStats,
+    "q_hash_split" -> TextOps.hashSplit,
+    "q_stratified_sample" -> TextOps.stratifiedSample,
     // -- dedup suite (§7.4) ------------------------------------------------
     "q_dedup_exact" -> Dedup.exact,
     "q_jaccard_pairs" -> Dedup.ngramJaccardPairs,
@@ -70,6 +76,7 @@ object SparkEntry {
     // -- similarity search (§7.4) ------------------------------------------
     "q_brute_force_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "q_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
     // -- multimodal metadata path (§7.4) -----------------------------------
     "q_blob_metadata" -> Multimodal.blobMetadata,
@@ -435,6 +442,74 @@ object SparkEntry {
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
          ORDER BY vec_a, vec_b""",
+    "q_range_join_attrib" ->
+      """SELECT p.event_id, count(*) AS n_clicks,
+         CAST(round(sum(CAST(c.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_click_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+           ON c.user_id = p.user_id
+           AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+         GROUP BY p.event_id ORDER BY p.event_id""",
+    "q_top_tokens" ->
+      s"""WITH t AS (SELECT lang, unnest($toks) AS tok FROM documents),
+         c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY lang, tok),
+         r AS (SELECT lang, tok, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk
+           FROM c)
+         SELECT lang, CAST(rk AS INT) AS rk, tok, n
+         FROM r WHERE rk <= 5 ORDER BY lang, rk""",
+    "q_tfidf_top_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS n_tf FROM t GROUP BY doc_id, tok),
+         idf AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         x AS (SELECT doc_id, tok,
+             round(n_tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+           FROM tf JOIN idf USING (tok), n),
+         r AS (SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+           FROM x)
+         SELECT doc_id, CAST(rk AS INT) AS rk, tok, tfidf
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "q_pii_stats" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0))) AS BIGINT) AS n_emails,
+         CAST(sum(len(regexp_extract_all(text, 'https?://[^ \t\n]+', 0))) AS BIGINT) AS n_urls,
+         CAST(sum(len(regexp_extract_all(text, '[0-9]+', 0))) AS BIGINT) AS n_digit_runs
+         FROM documents GROUP BY source ORDER BY source""",
+    "q_hash_split" ->
+      """SELECT doc_id,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS b
+           FROM documents)
+         ORDER BY doc_id""",
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             CAST(concat('0x', substring(md5(concat('sample:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS b
+           FROM documents)
+         WHERE b < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 20
+           WHEN 'fr' THEN 30 WHEN 'es' THEN 40 ELSE 50 END
+         ORDER BY doc_id""",
+    "q_hyperplane_lsh_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pl AS (SELECT j, list(comp ORDER BY d) AS p FROM (
+             SELECT j, d,
+               (CAST(concat('0x', substring(md5(concat(CAST(j AS VARCHAR), ':', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0 AS comp
+             FROM (SELECT unnest(generate_series(0, 7)) AS j),
+                  (SELECT unnest(generate_series(0, 63)) AS d))
+           GROUP BY j),
+         sig AS (SELECT vec_id,
+             sum(CASE WHEN list_dot_product(v, p) > 0
+               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
+           FROM e, pl GROUP BY vec_id),
+         q AS (SELECT e.v AS qv, sig.bucket AS qb
+           FROM e JOIN sig USING (vec_id) WHERE vec_id = 0)
+         SELECT e.vec_id, round(list_cosine_similarity(e.v, qv), 4) AS cos_sim
+         FROM e JOIN sig USING (vec_id), q
+         WHERE sig.bucket = qb AND e.vec_id <> 0
+         ORDER BY cos_sim DESC, e.vec_id LIMIT 5""",
     "q_blob_metadata" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,

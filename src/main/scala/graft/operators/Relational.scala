@@ -286,4 +286,28 @@ object Relational {
       .except(ev.filter($"event_type" === "error").select($"user_id", $"day").distinct())
       .orderBy($"user_id", $"day")
   }
+
+  /** Time-range (interval) join — click-to-purchase attribution: for each
+    * purchase, the same user's clicks in the preceding 30 minutes. The
+    * equi-key (user) carries the shuffle; the temporal bounds ride along
+    * as residual predicates — so this stays a hash/sort-merge join on
+    * user_id at any scale, never a cross product. (The banded twin —
+    * bucketing ts into window-width bands and joining on (user, band ± 1)
+    * — is the shape for range joins with NO equi-key.)
+    */
+  def attributionRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id".as("p_user"), $"ts".as("p_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"value")
+    purchases.join(clicks,
+        $"user_id" === $"p_user" &&
+          $"ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+          $"ts" < $"p_ts")
+      .groupBy($"event_id")
+      .agg(count(lit(1)).as("n_clicks"), moneySum($"value").as("sum_click_value"))
+      .orderBy($"event_id")
+  }
 }

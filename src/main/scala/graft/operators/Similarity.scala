@@ -62,6 +62,45 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]: first
+    * 15 hex digits of md5("j:d") → 60-bit int → affine map. Pure public
+    * arithmetic any SQL engine reproduces bit-for-bit — the planes are
+    * engine-portable constants, not learned state.
+    */
+  private[graft] def planeComponent(j: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$d".getBytes("UTF-8"))
+    val hex = digest.map("%02x".format(_)).mkString.substring(0, 15)
+    ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+  }
+
+  /** ANN via sign-random-projection (hyperplane) LSH: nPlanes fixed
+    * pseudo-random hyperplanes; a vector's bucket is the sign bitmask of
+    * its dot products with them. Search touches only the query's bucket —
+    * the corpus scan shrinks ~2^nPlanes-fold, and bucketing is a
+    * scan-speed projection (planes ride along as literals; no shuffle
+    * until the final top-k). The LSH twin of [[ivfTopK]]'s coarse
+    * quantizer, with zero training.
+    */
+  def hyperplaneLshTopK(s: SparkSession, dir: String, queryId: Long = 0L,
+                        k: Int = 5, nPlanes: Int = 8): DataFrame = {
+    import s.implicits._
+    val dim = 64
+    val bucket = (0 until nPlanes).map { j =>
+      val plane = typedLit((0 until dim).map(d => planeComponent(j, d)))
+      when(vectors.dot(col("v"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = embDouble(s, dir).withColumn("bucket", bucket)
+    val q = sig.filter($"vec_id" === queryId)
+      .select($"v".as("qv"), $"bucket".as("qb"))
+    sig.join(broadcast(q), $"bucket" === $"qb")
+      .filter($"vec_id" =!= queryId)
+      .select($"vec_id",
+        round(vectors.cosineSimilarity($"v", $"qv"), 4).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(k)
+  }
+
   /** IVF top-k: centroids = embeddings with vec_id < nlist (deterministic
     * "training" so the oracle can replicate); every vector assigned to its
     * max-cosine centroid; search restricted to the query's cell.

@@ -2,7 +2,8 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.text
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the documents table: language ID,
@@ -87,5 +88,108 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct($"fp").as("n_distinct_fp"))
       .orderBy($"source")
+  }
+
+  /** Exact heavy-hitters: top-k most frequent tokens per language.
+    * Token counting is one map-side-combined groupBy (the distinct-token
+    * space, not the token stream, reaches the shuffle); the rank window
+    * partitions by lang so no single-node sort of the whole vocabulary.
+    */
+  def topTokensPerLang(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val counts = docsFanned(s, dir)
+      .select($"lang", explode(text.tokensLower($"text")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"tok")
+    counts.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"lang", $"rk", $"tok", $"n")
+      .orderBy($"lang", $"rk")
+  }
+
+  /** TF-IDF top terms per document: tf = in-doc occurrences, idf =
+    * ln(N/df). Two map-side-combined groupBys + a broadcast of the corpus
+    * size; scores rounded BEFORE ranking so the order is reproducible
+    * across engines (ulp-level double drift cannot flip ranks).
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val docs = docsFanned(s, dir)
+    val tf = docs
+      .select($"doc_id", explode(text.tokensLower($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("n_tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"tok")
+    tf.join(df, "tok").crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        round($"n_tf" * log($"n_docs".cast("double") / $"df"), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"doc_id", $"rk", $"tok", $"tfidf")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  /** PII / pattern-scan statistics per source: email, URL, and digit-run
+    * match counts — the scrubbing pre-pass of a training-data pipeline
+    * (counting here; redaction is the same regexp_replace shape). ASCII
+    * regexes only, identical semantics under Java regex and RE2.
+    */
+  def piiStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def hits(re: String): Column =
+      size(regexp_extract_all($"text", lit(re), lit(0)))
+    docsFanned(s, dir)
+      .select($"source",
+        hits("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}").as("emails"),
+        hits("https?://[^ \\t\\n]+").as("urls"),
+        hits("[0-9]+").as("digit_runs"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"emails").as("n_emails"),
+        sum($"urls").as("n_urls"),
+        sum($"digit_runs").as("n_digit_runs"))
+      .orderBy($"source")
+  }
+
+  /** 60-bit md5 bucket in [0,100) — the engine-portable deterministic
+    * hash for split assignment and sampling (same md5-prefix trick as
+    * Dedup.tokenHash60, reproducible in any SQL engine).
+    */
+  private[graft] def hashBucket(c: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(lit(salt), c.cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(100L))
+
+  /** Deterministic train/val/test split by content-independent doc_id
+    * hash (80/10/10). Pure per-row expression: at 100 TB the split is a
+    * scan-speed projection, stable across reruns and engines, and needs
+    * no shuffle or state.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsFanned(s, dir)
+      .withColumn("bucket", hashBucket($"doc_id", "split:"))
+      .select($"doc_id",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic stratified sampling: per-language keep rates applied
+    * via hash threshold (en 10% … zh 50%). The selection is a stateless
+    * per-row predicate — no sort, no reservoir, no driver coordination —
+    * so it distributes perfectly and is reproducible for audit.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rate =
+      when($"lang" === "en", 10).when($"lang" === "de", 20)
+        .when($"lang" === "fr", 30).when($"lang" === "es", 40)
+        .otherwise(50)
+    docsFanned(s, dir)
+      .withColumn("bucket", hashBucket($"doc_id", "sample:"))
+      .filter($"bucket" < rate)
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
   }
 }

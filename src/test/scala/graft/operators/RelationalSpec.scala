@@ -55,4 +55,24 @@ class RelationalSpec extends SparkSpec {
     assert(df.count() > 0)
     assert(df.filter($"dist_m" > 30000L).count() === 0)
   }
+
+  test("range join matches a per-purchase recount through a different plan") {
+    val got = Relational.attributionRangeJoin(spark, sf)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) >= 1)) // inner join: only attributed purchases
+    // recount one purchase's window membership through a plain filter
+    val probe = rows.head
+    val (eid, n) = (probe.getLong(0), probe.getLong(1))
+    val p = Tables(spark, sf, "events")
+      .filter($"event_id" === eid)
+      .select($"user_id", $"ts").head()
+    val recount = Tables(spark, sf, "events")
+      .filter($"event_type" === "click" &&
+        $"user_id" === p.getLong(0) &&
+        $"ts" >= lit(p.getTimestamp(1)) - expr("INTERVAL 30 MINUTES") &&
+        $"ts" < lit(p.getTimestamp(1)))
+      .count()
+    assert(recount === n)
+  }
 }

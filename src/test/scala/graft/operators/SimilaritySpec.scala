@@ -14,6 +14,24 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
   }
 
+  test("hyperplane LSH: plane components are deterministic and bounded") {
+    val c1 = Similarity.planeComponent(3, 17)
+    val c2 = Similarity.planeComponent(3, 17)
+    assert(c1 === c2)
+    val all = for (j <- 0 until 8; d <- 0 until 64) yield Similarity.planeComponent(j, d)
+    assert(all.forall(c => c >= -1.0 && c <= 1.0))
+    assert(all.distinct.length > 400) // not collapsing to a few values
+  }
+
+  test("hyperplane LSH top-k: sorted, bounded, excludes the query") {
+    val rows = Similarity.hyperplaneLshTopK(spark, sf, queryId = 0L, k = 5).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    assert(rows.forall(_.getLong(0) != 0L))
+    val sims = rows.map(_.getDouble(1)).toSeq
+    assert(sims === sims.sorted.reverse)
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+  }
+
   test("IVF search result is a subset of the query cell, never the query itself") {
     val df = Similarity.ivfTopK(spark, sf, queryId = 0L, k = 5)
     val rows = df.collect()

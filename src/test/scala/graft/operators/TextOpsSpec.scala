@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.Tables
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topTokensPerLang: ranks 1..k, counts non-increasing within a lang") {
+    val rows = TextOps.topTokensPerLang(spark, sf, k = 5)
+      .select($"lang", $"rk", $"n").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, grp) =>
+      val sorted = grp.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+      val ns = sorted.map(_._3).toSeq
+      assert(ns === ns.sorted.reverse, s"counts not non-increasing: $ns")
+    }
+  }
+
+  test("tfidfTopTerms: per-doc ranks 1..k with non-increasing scores") {
+    val rows = TextOps.tfidfTopTerms(spark, sf, k = 3)
+      .select($"doc_id", $"rk", $"tfidf").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, grp) =>
+      val sorted = grp.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+      val scores = sorted.map(_._3).toSeq
+      assert(scores === scores.sorted.reverse)
+    }
+  }
+
+  test("hashSplit covers every doc deterministically with sane shares") {
+    val total = Tables(spark, sf, "documents").count()
+    val a = TextOps.hashSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val b = TextOps.hashSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(a.length.toLong === total)
+    assert(a.toMap === b.toMap) // deterministic
+    val shares = a.groupBy(_._2).view.mapValues(_.length.toDouble / total).toMap
+    assert(shares.keySet.subsetOf(Set("train", "val", "test")))
+    assert(shares("train") > 0.6 && shares("train") < 0.95)
+  }
+
+  test("stratifiedSample is a deterministic subset") {
+    val all = Tables(spark, sf, "documents")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = TextOps.stratifiedSample(spark, sf).collect().map(_.getLong(0)).toSet
+    val s2 = TextOps.stratifiedSample(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+    assert(s1.nonEmpty && s1.size < all.size)
+    assert(s1.subsetOf(all))
+  }
+
+  test("piiStats accounts for every document with non-negative counts") {
+    val total = Tables(spark, sf, "documents").count()
+    val rows = TextOps.piiStats(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(3) >= 0 && r.getLong(4) >= 0)
+    }
+  }
+}
