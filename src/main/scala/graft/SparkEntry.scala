@@ -11,13 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (explicit casts on whichever side is narrower) because the driver's
   * compare hashes values after sorting columns by name.
   *
-  * Omitted oracles (weaker rows-only check), exactly two:
-  * q_approx_distinct_users (HLL++ estimates are engine-specific) and
-  * q_chunk_pairs (content-defined chunk boundaries are a sequential
-  * per-byte state machine SQL cannot express). Everything else —
-  * including SimHash (md5-prefix token hash, chosen for oracle parity)
-  * and dedup assignments (recursive-CTE connected components) — is
-  * DuckDB-verified.
+  * Omitted oracles (weaker rows-only check), exactly one:
+  * q_approx_distinct_users — HLL++ estimates are engine-specific by
+  * construction. Everything else — including SimHash (md5-prefix token
+  * hash, chosen for oracle parity), dedup assignments (recursive-CTE
+  * connected components), and chunk pairs (portable position-independent
+  * CDC) — is DuckDB-verified.
   */
 object SparkEntry {
 
@@ -109,6 +108,16 @@ object SparkEntry {
        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM bands a JOIN bands b
          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
+
+  /** Windowed polynomial hash terms for the portable-CDC chunk oracle —
+    * generated from Chunker.Bpow so the SQL constants cannot drift from
+    * the Scala chunker.
+    */
+  private val chunkHashTerms: String = (0 until operators.Chunker.W).map { k =>
+    val bk = operators.Chunker.Bpow(k)
+    if (k == 0) s"(c % ${operators.Chunker.M}) * $bk"
+    else s"(coalesce(lag(c, $k) OVER w, 0) % ${operators.Chunker.M}) * $bk"
+  }.mkString(" + ")
 
   /** Per-doc 60-bit SimHash (md5-prefix token hash — the same
     * engine-portable hash Dedup.tokenHash60 uses), sans ORDER BY.
@@ -363,6 +372,27 @@ object SparkEntry {
                  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
                FROM documents)
          GROUP BY source ORDER BY source""",
+    "q_chunk_pairs" ->
+      s"""WITH ch AS (SELECT doc_id, i, unicode(text[i:i]) AS c
+           FROM (SELECT doc_id, text,
+               unnest(generate_series(1, len(text))) AS i
+             FROM documents)),
+         h AS (SELECT doc_id, i, $chunkHashTerms AS hv
+           FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         cuts AS (SELECT doc_id, i AS cut FROM h
+             WHERE i >= ${operators.Chunker.W}
+               AND hv % ${operators.Chunker.M} % 64 = 0
+           UNION SELECT doc_id, len(text) AS cut FROM documents),
+         segs AS (SELECT doc_id, cut,
+             coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) AS prev
+           FROM cuts),
+         fps AS (SELECT DISTINCT s.doc_id,
+             md5(substring(d.text, s.prev + 1, s.cut - s.prev)) AS fp
+           FROM segs s JOIN documents d USING (doc_id))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY doc_a, doc_b HAVING count(*) >= 2
+         ORDER BY doc_a, doc_b""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS n_copies

@@ -72,6 +72,51 @@ object Chunker {
       })
   }
 
+  // ---- portable CDC variant (SQL-oracle-reproducible) ---------------------
+  // Pure mask rule, no min/max bounds: a cut lands after code point p
+  // (1-based, p >= W) iff the windowed polynomial hash of the last W code
+  // points is 0 mod 64, plus a final cut at the end. Dropping the bounds
+  // makes every cut position-independent, so the whole chunking is ONE
+  // parallel pass — and expressible in plain SQL (lag window + md5), which
+  // is what lets DuckDB verify it bit-for-bit. The bounded byte-based
+  // variant above remains the production chunker (bounded chunk sizes);
+  // this one is the verification/bench surface with identical join shape.
+
+  private[graft] val W = 16
+  private[graft] val M = 1L << 20
+  /** B^k mod M for k = 0..W-1 (B = 257). 64 divides M, so reducing the
+    * coefficients mod M never changes the cut rule (h mod 64).
+    */
+  private[graft] val Bpow: Array[Long] =
+    Iterator.iterate(1L)(p => p * 257L % M).take(W).toArray
+
+  /** Portable chunk split of a document (code-point domain). */
+  def portableChunks(text: String): Seq[String] = {
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    val cuts = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = W - 1
+    while (i < n) {
+      var h = 0L
+      var k = 0
+      while (k < W) { h += (cps(i - k) % M) * Bpow(k); k += 1 }
+      if (h % M % 64 == 0) cuts += i + 1
+      i += 1
+    }
+    if (cuts.isEmpty || cuts.last != n) cuts += n
+    var prev = 0
+    cuts.map { c => val s = new String(cps, prev, c - prev); prev = c; s }.toSeq
+  }
+
+  /** md5 hex fingerprints of a document's portable chunks. */
+  def portableChunkFingerprints(text: String): Array[String] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    portableChunks(text).map { ch =>
+      digest.reset()
+      digest.digest(ch.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.toArray
+  }
+
   /** Shared-chunk near-dup candidates: docs sharing >= minShared chunk
     * fingerprints (explode -> self-join on chunk hash -> count). Pair
     * generation is blocked by chunk hash — linear in corpus, like the
@@ -81,8 +126,13 @@ object Chunker {
     import s.implicits._
     // distinct per doc: a chunk hash repeated inside one document would
     // otherwise multiply the join matches (2x2 rows for 1 shared chunk)
-    val chunks = chunkDocuments(s, dir)
-      .select($"doc_id", explode(array_distinct($"chunk_hashes")).as("ch"))
+    val chunks = Tables(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, portableChunkFingerprints(text).distinct)
+      })
+      .toDF("doc_id", "fps")
+      .select($"doc_id", explode($"fps").as("ch"))
     val a = chunks.alias("a")
     val b = chunks.alias("b")
     a.join(b, col("a.ch") === col("b.ch") && col("a.doc_id") < col("b.doc_id"))

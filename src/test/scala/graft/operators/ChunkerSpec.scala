@@ -31,6 +31,31 @@ class ChunkerSpec extends SparkSpec {
     assert(chunkHashes(a).toSeq === chunkHashes(a.clone()).toSeq)
   }
 
+  test("portable chunks reconstruct the document and respect the cut rule") {
+    val doc = "The quick brown fox jumps over the lazy dog. ".repeat(40) +
+      "Ünïcödé 中文 テスト " + "tail text to finish the doc."
+    val chunks = portableChunks(doc)
+    assert(chunks.mkString === doc) // exact reconstruction
+    assert(portableChunks(doc) === chunks) // deterministic
+    // every non-final cut satisfies the windowed-hash mask rule
+    val cps = doc.codePoints().toArray
+    var pos = 0
+    chunks.init.foreach { ch =>
+      pos += ch.codePointCount(0, ch.length)
+      val h = (0 until W).map(k => (cps(pos - 1 - k) % M) * Bpow(k)).sum
+      assert(h % M % 64 === 0, s"cut at $pos violates mask rule")
+    }
+  }
+
+  test("portable fingerprints: identical text identical, edit resynchronizes") {
+    val base = "lorem ipsum dolor sit amet consectetur ".repeat(60)
+    val f1 = portableChunkFingerprints(base)
+    assert(f1.toSeq === portableChunkFingerprints(base).toSeq)
+    val edited = "XYZ " + base
+    val shared = f1.toSet.intersect(portableChunkFingerprints(edited).toSet).size
+    assert(shared >= f1.toSet.size / 2, s"shared=$shared of ${f1.toSet.size}")
+  }
+
   test("sharedChunkPairs finds no false pairs on the (distinct) corpus") {
     // sf0.001 documents are short and distinct; duplicate texts share all
     // chunks, distinct texts nearly none -> exact dups must dominate
