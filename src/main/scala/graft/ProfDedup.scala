@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Scratch stage-profiler for the dedup-assignments pipeline (dev tool). */
+/** Scratch stage-profiler for slow bench queries (dev tool). */
 object ProfDedup {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,9 +12,11 @@ object ProfDedup {
       val t0 = System.nanoTime(); val n = f
       println(f"== $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  (rows=$n)")
     }
-    time("lsh pairs")(operators.Dedup.minhashLshPairs(spark, sfDir).count())
-    time("full assignments 1")(operators.Dedup.dedupAssignments(spark, sfDir).count())
-    time("full assignments 2")(operators.Dedup.dedupAssignments(spark, sfDir).count())
+    for (i <- 1 to 3) {
+      time(s"chunk_pairs $i")(operators.Chunker.sharedChunkPairs(spark, sfDir).count())
+      time(s"asof $i")(operators.AsOf.eventOrderAsof(spark, sfDir).count())
+      time(s"assignments $i")(operators.Dedup.dedupAssignments(spark, sfDir).count())
+    }
     spark.stop()
   }
 }

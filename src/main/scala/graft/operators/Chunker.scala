@@ -61,10 +61,13 @@ object Chunker {
     }.toArray
   }
 
-  /** Chunk every document (typed, partition-parallel). */
+  /** Chunk every document (typed, partition-parallel; pinned fan-out —
+    * the corpus is byte-small but CPU-heavy per row).
+    */
   def chunkDocuments(s: SparkSession, dir: String): Dataset[DocChunks] = {
     import s.implicits._
     Tables(s, dir, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"doc_id")
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val hashes = chunkHashes(text.getBytes("UTF-8"))
@@ -108,12 +111,22 @@ object Chunker {
     cuts.map { c => val s = new String(cps, prev, c - prev); prev = c; s }.toSeq
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
   /** md5 hex fingerprints of a document's portable chunks. */
   def portableChunkFingerprints(text: String): Array[String] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
     portableChunks(text).map { ch =>
       digest.reset()
-      digest.digest(ch.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bytes = digest.digest(ch.getBytes("UTF-8"))
+      val out = new Array[Char](bytes.length * 2)
+      var i = 0
+      while (i < bytes.length) {
+        out(i * 2) = HexDigits((bytes(i) >> 4) & 0xf)
+        out(i * 2 + 1) = HexDigits(bytes(i) & 0xf)
+        i += 1
+      }
+      new String(out)
     }.toArray
   }
 
@@ -126,7 +139,10 @@ object Chunker {
     import s.implicits._
     // distinct per doc: a chunk hash repeated inside one document would
     // otherwise multiply the join matches (2x2 rows for 1 shared chunk)
+    // pinned fan-out before the compute-heavy chunk+md5 pass: the raw
+    // corpus is few MB (1-2 file splits) but costs CPU-seconds per split
     val chunks = Tables(s, dir, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"doc_id")
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         (id, portableChunkFingerprints(text).distinct)
