@@ -125,6 +125,30 @@ object Streams {
       ()
     }
 
+  /** Stream-stream interval join — the streaming twin of
+    * Relational.attributionRangeJoin: each purchase joined to the same
+    * user's clicks in the preceding `window`. Both sides carry watermarks
+    * and the join condition bounds event time in both directions, which is
+    * what lets Spark size the join state and evict expired rows — the
+    * requirement for an unbounded stream-stream join to run forever.
+    */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+                      window: String = "30 minutes",
+                      lateness: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("value"))
+      .withWatermark("c_ts", lateness)
+    p.join(c,
+        col("c_user") === col("p_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+          col("c_ts") < col("p_ts"))
+      .select(col("event_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("c_ts"), col("value"))
+  }
+
   /** Streaming exact dedup on event id: state bounded by the watermark
     * (duplicates arriving within the lateness horizon are dropped; state
     * for older keys is evicted) — the streaming twin of Dedup.exact.

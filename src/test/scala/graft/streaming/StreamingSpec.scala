@@ -117,6 +117,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 11:30:00", "2024-01-01 11:30:00", 1L, 4.0)))
   }
 
+  test("stream-stream interval join attributes clicks in the window only") {
+    val purchases = MemoryStream[(Long, Long, Timestamp)](spark)
+    val clicks = MemoryStream[(Long, Timestamp, Double)](spark)
+    val q = Streams.attributionJoin(
+        purchases.toDF().toDF("event_id", "user_id", "ts"),
+        clicks.toDF().toDF("user_id", "ts", "value"),
+        window = "30 minutes")
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData(
+      (1L, ts("2024-01-01 09:20:00"), 1.0), // too early, outside window
+      (1L, ts("2024-01-01 10:00:00"), 2.0), // boundary: included (>=)
+      (1L, ts("2024-01-01 10:20:00"), 3.0), // inside
+      (2L, ts("2024-01-01 10:25:00"), 9.0)) // other user
+    purchases.addData((100L, 1L, ts("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    val rows = spark.table("attrib_out")
+      .select($"event_id", $"value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    q.stop()
+    assert(rows === Set((100L, 2.0), (100L, 3.0)))
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val input = MemoryStream[(Long, Timestamp, Double)](spark)
     val events = input.toDF().toDF("event_id", "ts", "value")
