@@ -69,6 +69,26 @@ class PlanSpec extends SparkSpec {
     assert(countShuffles(mins) <= 1, planString(mins).take(3000))
   }
 
+  test("range join plans as an equi-join with temporal residual, never cartesian") {
+    val df = Relational.attributionRangeJoin(spark, sf)
+    val nodes = allNodes(df)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "temporal bounds must ride the user_id equi-join as residual predicates")
+    val plan = planString(df)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("hyperplane LSH bucketing is scan-speed: no shuffle before the bucket probe") {
+    val sig = Similarity.hyperplaneLshTopK(spark, sf)
+    // broadcast of the 1-row query side + final top-k exchange only — the
+    // corpus side must not shuffle to compute its buckets
+    assert(countShuffles(sig) <= 1, planString(sig).take(3000))
+  }
+
   test("arrivals query pushes the date-window predicate to the calendar scan") {
     val wh = java.nio.file.Files.createTempDirectory("plan_wh").toString
     val loader = new graft.gtfs.GtfsLoad(spark, wh)
