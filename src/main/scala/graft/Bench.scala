@@ -29,7 +29,10 @@ object Bench {
       s"\"" + k + "\":" + (if (ok) v.toString else "\"error\"")
     }.mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // top-level error count: a broken run must not look like a fast run
+    // to anything that reads only the headline value
+    val errors = results.count(!_._3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -93,18 +93,33 @@ object Chunker {
   private[graft] val Bpow: Array[Long] =
     Iterator.iterate(1L)(p => p * 257L % M).take(W).toArray
 
-  /** Portable chunk split of a document (code-point domain). */
+  /** B^W mod M — the outgoing code point's coefficient in the rolling
+    * update.
+    */
+  private[graft] val BW: Long = Bpow(W - 1) * 257L % M
+
+  /** Portable chunk split of a document (code-point domain). The hash
+    * rolls in O(1) per position — h' = (h*B + c_in - c_out*B^W) mod M —
+    * which is congruent mod M to the windowed sum the oracle computes,
+    * and 64 | M so the cut rule (h % 64) is unchanged.
+    */
   def portableChunks(text: String): Seq[String] = {
     val cps = text.codePoints().toArray
     val n = cps.length
     val cuts = scala.collection.mutable.ArrayBuffer[Int]()
-    var i = W - 1
-    while (i < n) {
+    if (n >= W) {
       var h = 0L
       var k = 0
-      while (k < W) { h += (cps(i - k) % M) * Bpow(k); k += 1 }
-      if (h % M % 64 == 0) cuts += i + 1
-      i += 1
+      // seed: windowed sum at position W-1 (newest code point ↔ B^0)
+      while (k < W) { h += (cps(W - 1 - k) % M) * Bpow(k); k += 1 }
+      h %= M
+      var i = W - 1
+      while (i < n) {
+        if (h % 64 == 0) cuts += i + 1
+        i += 1
+        if (i < n)
+          h = ((h * 257L + cps(i) % M - (cps(i - W) % M) * BW) % M + M) % M
+      }
     }
     if (cuts.isEmpty || cuts.last != n) cuts += n
     var prev = 0

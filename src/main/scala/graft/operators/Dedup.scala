@@ -215,6 +215,11 @@ object Dedup {
     * Scale: each round is one join + one groupBy on doc_id — no driver
     * data, no cross product. At 100 TB, checkpoint every few rounds to
     * cut lineage (here rounds are few enough not to need it).
+    *
+    * The returned frame reads from a cache the loop materialized; the
+    * caller owns it (unpersisting here would force a full loop recompute
+    * on first use). Repeated calls on the same input do NOT accumulate
+    * entries — Spark's CacheManager dedups identical logical plans.
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
     // cache the edge list: it embeds the whole candidate-pair pipeline

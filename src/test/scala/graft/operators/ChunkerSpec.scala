@@ -31,6 +31,16 @@ class ChunkerSpec extends SparkSpec {
     assert(chunkHashes(a).toSeq === chunkHashes(a.clone()).toSeq)
   }
 
+  test("chunkDocuments matches the local chunker on the corpus") {
+    import spark.implicits._
+    val fromDs = Chunker.chunkDocuments(spark, sf)
+      .collect().map(d => d.doc_id -> d.chunk_hashes.toSeq).toMap
+    val local = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> chunkHashes(t.getBytes("UTF-8")).toSeq }.toMap
+    assert(fromDs === local)
+  }
+
   test("portable chunks reconstruct the document and respect the cut rule") {
     val doc = "The quick brown fox jumps over the lazy dog. ".repeat(40) +
       "Ünïcödé 中文 テスト " + "tail text to finish the doc."
