@@ -69,7 +69,7 @@ object SparkEntry {
     "q_jaccard_pairs" -> Dedup.ngramJaccardPairs,
     "q_minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashLshPairs(s, dir)),
     "q_simhash_fingerprints" -> Dedup.simhashFingerprints,
-    "q_simhash_pairs" -> Dedup.simhashPairs,
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "q_chunk_pairs" -> ((s, dir) => Chunker.sharedChunkPairs(s, dir)),
     "q_dedup_assignments" -> Dedup.dedupAssignments,
     // -- similarity search (§7.4) ------------------------------------------
@@ -419,13 +419,15 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_simhash_pairs" ->
       s"""WITH f AS ($simhashCore),
-         buckets AS (SELECT doc_id,
+         buckets AS (SELECT doc_id, simhash,
              concat(CAST(bi AS VARCHAR), ':',
                CAST((simhash >> (bi * 15)) & 32767 AS VARCHAR)) AS bucket
            FROM f, (SELECT unnest(generate_series(0, 3)) AS bi))
-         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          FROM buckets a JOIN buckets b
            ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
          ORDER BY doc_a, doc_b""",
     "q_dedup_assignments" ->
       s"""WITH RECURSIVE

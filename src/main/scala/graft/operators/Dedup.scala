@@ -288,8 +288,15 @@ object Dedup {
     dedupClusters(pairs).orderBy($"doc_id")
   }
 
-  /** SimHash near-dup candidate pairs via 16-bit band bucketing. */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** SimHash near-dup pairs: 15-bit band bucketing generates candidates
+    * (linear in corpus), then the exact Hamming distance — bit_count of
+    * the fingerprint XOR, one codegen'd expression — refines them to
+    * pairs within `maxHamming` bits. The two-phase shape (cheap blocking
+    * join, exact verify on candidates only) is the whole point of SimHash
+    * at scale: the verify step never sees the corpus² pair space.
+    */
+  def simhashPairs(s: SparkSession, dir: String,
+                   maxHamming: Int = 12): DataFrame = {
     import s.implicits._
     val fp = simhashFingerprints(s, dir)
     val banded = fp.select($"doc_id", $"simhash",
@@ -299,7 +306,9 @@ object Dedup {
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter($"hamming" <= maxHamming)
       .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
