@@ -13,9 +13,8 @@ object ProfDedup {
       println(f"== $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  (rows=$n)")
     }
     for (i <- 1 to 3) {
-      time(s"chunk_pairs $i")(operators.Chunker.sharedChunkPairs(spark, sfDir).count())
-      time(s"asof $i")(operators.AsOf.eventOrderAsof(spark, sfDir).count())
-      time(s"assignments $i")(operators.Dedup.dedupAssignments(spark, sfDir).count())
+      time(s"simhash_fp $i")(operators.Dedup.simhashFingerprints(spark, sfDir).count())
+      time(s"simhash_pairs $i")(operators.Dedup.simhashPairs(spark, sfDir).count())
     }
     spark.stop()
   }

@@ -427,7 +427,7 @@ object SparkEntry {
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          FROM buckets a JOIN buckets b
            ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= ${operators.Dedup.DefaultMaxHamming}
          ORDER BY doc_a, doc_b""",
     "q_dedup_assignments" ->
       s"""WITH RECURSIVE

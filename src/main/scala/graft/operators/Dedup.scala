@@ -295,8 +295,13 @@ object Dedup {
     * join, exact verify on candidates only) is the whole point of SimHash
     * at scale: the verify step never sees the corpus² pair space.
     */
+  /** Default Hamming cutoff: 6 of 60 bits (10%) — the conventional
+    * near-dup band for word-level SimHash. Shared with the SQL oracle.
+    */
+  val DefaultMaxHamming = 6
+
   def simhashPairs(s: SparkSession, dir: String,
-                   maxHamming: Int = 12): DataFrame = {
+                   maxHamming: Int = DefaultMaxHamming): DataFrame = {
     import s.implicits._
     val fp = simhashFingerprints(s, dir)
     val banded = fp.select($"doc_id", $"simhash",
