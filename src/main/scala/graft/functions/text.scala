@@ -24,16 +24,18 @@ object text {
   val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   def bpeTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit(BpeTokenRe), lit(0)))
+    regexp_count(c, lit(BpeTokenRe)).cast("int")
 
   /** ASCII-letter / punctuation character counts (unicode-safe: counts
     * regex matches, never relies on length() code-unit semantics).
+    * regexp_count, not size(regexp_extract_all): counting must not
+    * materialize an array of every match.
     */
   def alphaCharCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[A-Za-z]"), lit(0)))
+    regexp_count(c, lit("[A-Za-z]")).cast("int")
 
   def punctCharCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("int")
 
   /** Distinct lowercase word set (for Jaccard near-dup). */
   def distinctTokens(c: Column): Column = array_distinct(tokensLower(c))
@@ -93,7 +95,7 @@ object text {
 
   /** Count of CJK (BMP unified ideograph) characters. */
   def cjkCharCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]")).cast("int")
 
   /** Heuristic language ID over {en,de,fr,es,zh}: CJK presence wins,
     * otherwise argmax of stopword hits with fixed precedence

@@ -138,7 +138,7 @@ object TextOps {
   def piiStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def hits(re: String): Column =
-      size(regexp_extract_all($"text", lit(re), lit(0)))
+      regexp_count($"text", lit(re)).cast("int")
     docsFanned(s, dir)
       .select($"source",
         hits("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}").as("emails"),
