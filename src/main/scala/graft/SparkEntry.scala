@@ -68,6 +68,11 @@ object SparkEntry {
     "q_dedup_exact" -> Dedup.exact,
     "q_jaccard_pairs" -> Dedup.ngramJaccardPairs,
     "q_minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashLshPairs(s, dir)),
+    "q_minhash_signatures" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Dedup.minhashSignatures(Tables(s, dir, "documents"), 3, 12)
+        .orderBy(col("doc_id"), col("seed"))
+    }),
     "q_simhash_fingerprints" -> Dedup.simhashFingerprints,
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "q_chunk_pairs" -> ((s, dir) => Chunker.sharedChunkPairs(s, dir)),
@@ -409,6 +414,16 @@ object SparkEntry {
     "q_minhash_lsh_pairs" ->
       s"""$minhashPairsCore
          ORDER BY doc_a, doc_b""",
+    "q_minhash_signatures" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM docs WHERE len(toks) >= 3)
+         SELECT doc_id, CAST(seed AS INT) AS seed,
+           min(md5(concat(CAST(seed AS VARCHAR), ':', sh))) AS mh
+         FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed)
+         GROUP BY doc_id, seed ORDER BY doc_id, seed""",
     "q_simhash_fingerprints" ->
       s"""SELECT doc_id, simhash,
          (simhash >> 0) & 32767 AS band0,
