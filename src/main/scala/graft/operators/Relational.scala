@@ -235,10 +235,15 @@ object Relational {
       .withColumn("salt", pmod(xxhash64($"l_linenumber"), lit(salts)).cast("int"))
     val orders = Tables(s, dir, "orders")
       .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
-      .join(broadcast(Tables(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")),
-        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey")
       .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
-    lineitem.join(orders,
+    // shuffle-HASH join, not sort-merge: the whole point of salting is a
+    // huge skewed probe side — sorting it costs more than hashing the
+    // replicated (small) build side. Also prune the build side to the
+    // join key before replicating it `salts`x.
+    lineitem.join(orders.hint("shuffle_hash"),
         lineitem("l_orderkey") === orders("o_orderkey") &&
           lineitem("salt") === orders("salt"))
       .groupBy($"l_orderkey")
