@@ -12,11 +12,8 @@ object ProfDedup {
       val t0 = System.nanoTime(); val n = f
       println(f"== $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  (rows=$n)")
     }
-    for (i <- 1 to 2) {
-      time(s"join_revenue $i")(operators.Relational.joinRevenue(spark, sfDir).count())
-      time(s"salted $i")(operators.Relational.saltedJoinRevenue(spark, sfDir).count())
-    }
-    operators.Relational.saltedJoinRevenue(spark, sfDir).explain("formatted")
+    time("assignments 1")(operators.Dedup.dedupAssignments(spark, sfDir).count())
+    time("assignments 2")(operators.Dedup.dedupAssignments(spark, sfDir).count())
     spark.stop()
   }
 }

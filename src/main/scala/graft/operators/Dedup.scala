@@ -216,19 +216,26 @@ object Dedup {
     * data, no cross product. At 100 TB, checkpoint every few rounds to
     * cut lineage (here rounds are few enough not to need it).
     *
-    * The returned frame reads from a cache the loop materialized; the
-    * caller owns it (unpersisting here would force a full loop recompute
-    * on first use). Repeated calls on the same input do NOT accumulate
-    * entries — Spark's CacheManager dedups identical logical plans.
+    * The returned frame reads from checkpointed blocks the loop
+    * materialized; Spark's ContextCleaner reclaims them when the frame is
+    * garbage-collected, so repeated calls do not accumulate storage.
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
-    // cache the edge list: it embeds the whole candidate-pair pipeline
-    // (MinHash etc.) and every propagation round joins it
+    // localCheckpoint, not cache: the edge list embeds the whole
+    // candidate-pair pipeline (MinHash etc.) and every propagation round
+    // joins it. A cache keeps that full plan nested inside every round's
+    // plan — and each round nests the previous round's cache in turn, so
+    // per-round planning cost GROWS with the iteration count (measured
+    // 2s → 15s/round by round 4 at 10x scale). Checkpointing truncates
+    // lineage to a flat LogicalRDD: every round plans over two leaf
+    // relations, constant cost. (On a real cluster use reliable
+    // checkpoint(dir) — localCheckpoint blocks don't survive executor
+    // loss.) Block cleanup is GC-driven; no manual unpersist bookkeeping.
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("canon_id", col("doc_id")).cache()
+      .withColumn("canon_id", col("doc_id")).localCheckpoint()
     // One round = neighbor-min propagation + pointer jump (adopt the label
     // of your label — path compression), so chains converge in O(log d)
     // rounds, not O(d). The convergence flag rides the same frame: ONE
@@ -248,26 +255,22 @@ object Dedup {
         .select(col("doc_id"), col("old"),
           least(col("c1"), coalesce(col("jc"), col("c1"))).as("canon_id"))
     }
-    // Two rounds fused per Spark action (the inner frame cache is lazy and
-    // materializes inside the same job): with pointer jumping the typical
-    // dup graph converges in round 1, so the usual cost is ONE action —
-    // the round-2 changed-count doubling as the convergence proof.
+    // One round per Spark action; the convergence flag rides the same
+    // frame (no separate join+count). Each round's result is checkpointed
+    // so round plans never nest.
     var changed = 1L
     var i = 0
-    var toFree = labels // the cached frame behind the current labels view
     while (changed > 0 && i < maxIters) {
-      val mid = step(labels).select(col("doc_id"), col("canon_id")).cache()
-      val next = step(mid).cache()
+      val t0 = System.nanoTime()
+      val next = step(labels).localCheckpoint()
       changed = next
         .agg(coalesce(sum(when(col("canon_id") =!= col("old"), 1L).otherwise(0L)), lit(0L)))
         .first().getLong(0)
-      toFree.unpersist()
-      mid.unpersist()
-      toFree = next
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"-- cc round $i changed=$changed ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       labels = next.select(col("doc_id"), col("canon_id"))
-      i += 2
+      i += 1
     }
-    edges.unpersist()
     labels
   }
 
