@@ -262,7 +262,9 @@ object Dedup {
     var i = 0
     while (changed > 0 && i < maxIters) {
       val t0 = System.nanoTime()
-      val next = step(labels).localCheckpoint()
+      // lazy checkpoint: the flag aggregation below materializes it, so
+      // each round is ONE job; lineage still truncates for later rounds
+      val next = step(labels).localCheckpoint(eager = false)
       changed = next
         .agg(coalesce(sum(when(col("canon_id") =!= col("old"), 1L).otherwise(0L)), lit(0L)))
         .first().getLong(0)
