@@ -2,18 +2,27 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Scratch stage-profiler for slow bench queries (dev tool). */
+/** Scratch stage-profiler for slow bench queries (dev tool): repeated
+  * warm timings of the heavy dedup-suite queries, the only reliable way
+  * to A/B under ambient load (single full-bench runs swing ±40%).
+  * GRAFT_CC_DEBUG=1 additionally prints per-round connected-components
+  * timings from Dedup.dedupClusters.
+  */
 object ProfDedup {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("32", "32")
     spark.range(1000000).selectExpr("sum(id)").collect()
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"== $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  (rows=$n)")
     }
-    time("assignments 1")(operators.Dedup.dedupAssignments(spark, sfDir).count())
-    time("assignments 2")(operators.Dedup.dedupAssignments(spark, sfDir).count())
+    for (i <- 1 to 2) {
+      time(s"minhash_lsh_pairs $i")(operators.Dedup.minhashLshPairs(spark, sfDir).count())
+      time(s"dedup_assignments $i")(operators.Dedup.dedupAssignments(spark, sfDir).count())
+      time(s"chunk_pairs $i")(operators.Chunker.sharedChunkPairs(spark, sfDir).count())
+      time(s"simhash_pairs $i")(operators.Dedup.simhashPairs(spark, sfDir).count())
+    }
     spark.stop()
   }
 }
