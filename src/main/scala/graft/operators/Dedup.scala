@@ -268,7 +268,7 @@ object Dedup {
       changed = next
         .agg(coalesce(sum(when(col("canon_id") =!= col("old"), 1L).otherwise(0L)), lit(0L)))
         .first().getLong(0)
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
+      if (sys.env.get("GRAFT_CC_DEBUG").contains("1"))
         println(f"-- cc round $i changed=$changed ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       labels = next.select(col("doc_id"), col("canon_id"))
       i += 1

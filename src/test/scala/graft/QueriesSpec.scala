@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 
 /** Whole-surface smoke + plan audit: every SparkEntry query must execute
@@ -11,18 +9,10 @@ import org.apache.spark.sql.execution.joins.CartesianProductExec
   */
 class QueriesSpec extends SparkSpec {
 
-  private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
-    case q: QueryStageExec => q +: walk(q.plan)
-    case other => other +: other.children.flatMap(walk)
-  }
-
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001 without a cartesian product") {
       val df = fn(spark, sf)
-      df.collect() // must not throw; also finalizes AQE
-      assert(!walk(df.queryExecution.executedPlan)
-        .exists(_.isInstanceOf[CartesianProductExec]),
+      assert(!planNodes(df).exists(_.isInstanceOf[CartesianProductExec]),
         df.queryExecution.executedPlan.toString.take(2000))
     }
   }

@@ -3,7 +3,6 @@ package graft.operators
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
 /** Physical-plan audits: the scale properties SURVEY §4 promises —
@@ -22,15 +21,7 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
-  private def allNodes(df: DataFrame): Seq[SparkPlan] = {
-    df.collect()
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: walk(q.plan)
-      case other => other +: other.children.flatMap(walk)
-    }
-    walk(df.queryExecution.executedPlan)
-  }
+  private def allNodes(df: DataFrame): Seq[SparkPlan] = planNodes(df)
 
   private def countShuffles(df: DataFrame): Int =
     allNodes(df).count(_.isInstanceOf[ShuffleExchangeExec])
