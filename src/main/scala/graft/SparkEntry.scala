@@ -84,6 +84,7 @@ object SparkEntry {
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
     // -- multimodal metadata path (§7.4) -----------------------------------
     "q_blob_metadata" -> Multimodal.blobMetadata,
+    "q_frame_samples" -> ((s, dir) => Multimodal.frameSampleStats(s, dir)),
   )
 
   // DuckDB dialect notes: `//` = integer division (Spark `/ .cast("int")`),
@@ -557,6 +558,11 @@ object SparkEntry {
          FROM e JOIN sig USING (vec_id), q
          WHERE sig.bucket = qb AND e.vec_id <> 0
          ORDER BY cos_sim DESC, e.vec_id LIMIT 5""",
+    "q_frame_samples" ->
+      """SELECT doc_id,
+         CAST(greatest(ceil(strlen(text) / 64.0), 1) AS INT) AS n_frames,
+         CAST((CAST(greatest(ceil(strlen(text) / 64.0), 1) AS BIGINT) + 3) // 4 AS BIGINT) AS n_sampled
+         FROM documents ORDER BY doc_id""",
     "q_blob_metadata" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,

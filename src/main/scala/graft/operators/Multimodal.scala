@@ -79,6 +79,22 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
 
+  /** Frame-sampling stats over documents-as-blobs (UTF-8 bytes as the
+    * payload): every doc's stride-4 sampled frame count via the REAL
+    * sequence-explode generator, which the SQL oracle cross-checks
+    * against the closed-form (n_frames + 3) / 4 — so the generator
+    * arithmetic itself is what's verified.
+    */
+  def frameSampleStats(s: SparkSession, dir: String, stride: Int = 4): DataFrame = {
+    import s.implicits._
+    val assets = Tables(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    sampleFrameIndexes(assets, stride)
+      .groupBy($"doc_id", $"n_frames")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy($"doc_id")
+  }
+
   /** Oracle-checkable metadata path over documents-as-blobs: byte length
     * (octet_length = UTF-8 bytes) and 64-byte chunk counts per lang. This
     * exercises the same arithmetic the binary pipeline uses, on data the
