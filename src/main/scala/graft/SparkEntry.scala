@@ -77,6 +77,7 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "q_chunk_pairs" -> ((s, dir) => Chunker.sharedChunkPairs(s, dir)),
     "q_dedup_assignments" -> Dedup.dedupAssignments,
+    "q_dedup_corpus" -> Dedup.dedupCorpus,
     // -- similarity search (§7.4) ------------------------------------------
     "q_brute_force_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "q_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -124,6 +125,26 @@ object SparkEntry {
     if (k == 0) s"(c % ${operators.Chunker.M}) * $bk"
     else s"(coalesce(lag(c, $k) OVER w, 0) % ${operators.Chunker.M}) * $bk"
   }.mkString(" + ")
+
+  /** Near-dup connected components as recursive-CTE fragments (edges =
+    * exact-dup star pairs ∪ MinHash-LSH candidates, symmetrized; `reach`
+    * = transitive closure) — shared by the dedup-assignments and
+    * dedup-corpus oracles so their edge lists cannot drift.
+    */
+  private val ccReachCtes =
+    s"""lsh AS ($minhashPairsCore),
+       ex AS (SELECT mn AS doc_a, doc_id AS doc_b FROM (
+           SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
+           FROM documents)
+         WHERE doc_id > mn),
+       e0 AS (SELECT doc_a, doc_b FROM lsh
+              UNION SELECT doc_a, doc_b FROM ex),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM e0
+                 UNION SELECT doc_b AS a, doc_a AS b FROM e0),
+       reach(a, r) AS (
+         SELECT a, b FROM edges
+         UNION SELECT a, a FROM edges
+         UNION SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a)"""
 
   /** Per-doc 60-bit SimHash (md5-prefix token hash — the same
     * engine-portable hash Dedup.tokenHash60 uses), sans ORDER BY.
@@ -446,22 +467,17 @@ object SparkEntry {
          WHERE bit_count(xor(a.simhash, b.simhash)) <= ${operators.Dedup.DefaultMaxHamming}
          ORDER BY doc_a, doc_b""",
     "q_dedup_assignments" ->
-      s"""WITH RECURSIVE
-         lsh AS ($minhashPairsCore),
-         ex AS (SELECT mn AS doc_a, doc_id AS doc_b FROM (
-             SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
-             FROM documents)
-           WHERE doc_id > mn),
-         e0 AS (SELECT doc_a, doc_b FROM lsh
-                UNION SELECT doc_a, doc_b FROM ex),
-         edges AS (SELECT doc_a AS a, doc_b AS b FROM e0
-                   UNION SELECT doc_b AS a, doc_a AS b FROM e0),
-         reach(a, r) AS (
-           SELECT a, b FROM edges
-           UNION SELECT a, a FROM edges
-           UNION SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a)
+      s"""WITH RECURSIVE $ccReachCtes
          SELECT a AS doc_id, min(r) AS canon_id
          FROM reach GROUP BY a ORDER BY doc_id""",
+    "q_dedup_corpus" ->
+      s"""WITH RECURSIVE $ccReachCtes,
+         canon AS (SELECT a AS doc_id, min(r) AS canon_id
+           FROM reach GROUP BY a)
+         SELECT d.doc_id, d.lang FROM documents d
+         LEFT JOIN canon c ON d.doc_id = c.doc_id
+         WHERE c.doc_id IS NULL OR c.canon_id = d.doc_id
+         ORDER BY d.doc_id""",
     "q_brute_force_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -293,6 +293,22 @@ object Dedup {
     dedupClusters(pairs).orderBy($"doc_id")
   }
 
+  /** The deduplicated corpus: every document whose doc_id is its
+    * cluster's canonical (minimum) id survives; non-canonical members of
+    * any near-dup/exact-dup cluster drop. Docs in no cluster pass
+    * through untouched (left anti join against the losers — a broadcast
+    * at any scale where the dup fraction is small).
+    */
+  def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val losers = dedupAssignments(s, dir)
+      .filter($"doc_id" =!= $"canon_id").select($"doc_id")
+    Tables(s, dir, "documents")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
   /** SimHash near-dup pairs: 15-bit band bucketing generates candidates
     * (linear in corpus), then the exact Hamming distance — bit_count of
     * the fingerprint XOR, one codegen'd expression — refines them to

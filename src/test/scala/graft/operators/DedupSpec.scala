@@ -65,6 +65,18 @@ class DedupSpec extends SparkSpec {
     assert(got.getOrElse(4L, 4L) === 4L) // unrelated doc never absorbed
   }
 
+  test("dedupCorpus keeps exactly the canonical member of each cluster") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedupcorpus").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val assignments = Dedup.dedupAssignments(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = Dedup.dedupCorpus(spark, tmp)
+      .collect().map(_.getLong(0)).toSet
+    val expected = all.filter(id => assignments.getOrElse(id, id) == id)
+    assert(survivors === expected)
+  }
+
   test("dedupAssignments catches middle members of 3+-copy short-doc groups") {
     // "hi there" has < shingleSize tokens -> invisible to MinHash; only
     // the exact-dup star edges can cluster it, including the middle id
