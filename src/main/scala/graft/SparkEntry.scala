@@ -63,6 +63,7 @@ object SparkEntry {
     "q_tfidf_top_terms" -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
     "q_pii_stats" -> TextOps.piiStats,
     "q_hash_split" -> TextOps.hashSplit,
+    "q_decontamination" -> ((s, dir) => TextOps.decontamination(s, dir)),
     "q_stratified_sample" -> TextOps.stratifiedSample,
     // -- dedup suite (§7.4) ------------------------------------------------
     "q_dedup_exact" -> Dedup.exact,
@@ -541,6 +542,20 @@ object SparkEntry {
          CAST(sum(len(regexp_extract_all(text, 'https?://[^ \t\n]+', 0))) AS BIGINT) AS n_urls,
          CAST(sum(len(regexp_extract_all(text, '[0-9]+', 0))) AS BIGINT) AS n_digit_runs
          FROM documents GROUP BY source ORDER BY source""",
+    "q_decontamination" ->
+      s"""WITH b AS (SELECT doc_id, $toks AS toks,
+           CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket
+           FROM documents),
+         sh AS (SELECT doc_id, bucket, md5(unnest(list_transform(
+             generate_series(1, len(toks) - 7),
+             i -> array_to_string(toks[i:i+7], ' ')))) AS h
+           FROM b WHERE len(toks) >= 8),
+         t AS (SELECT DISTINCT doc_id AS train_doc, h FROM sh WHERE bucket < 80),
+         e AS (SELECT DISTINCT doc_id AS eval_doc, h FROM sh WHERE bucket >= 90)
+         SELECT train_doc, eval_doc, count(*) AS n_shared_ngrams
+         FROM t JOIN e USING (h)
+         GROUP BY train_doc, eval_doc
+         ORDER BY train_doc, eval_doc""",
     "q_hash_split" ->
       """SELECT doc_id,
          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split

@@ -175,6 +175,32 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Train/eval decontamination: find training documents sharing word
+    * n-grams with the held-out test split (the [[hashSplit]] buckets), so
+    * leaked near-copies of eval data can be dropped before training.
+    * Blocked on exact n-gram hash — the join only ever sees matching
+    * shingles, never the train×eval cross product; at 100 TB the eval
+    * side's shingle set is small enough to broadcast.
+    */
+  def decontamination(s: SparkSession, dir: String, n: Int = 8,
+                      minShared: Int = 1): DataFrame = {
+    import s.implicits._
+    val docs = docsFanned(s, dir)
+      .withColumn("bucket", hashBucket($"doc_id", "split:"))
+    def shingles(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs),
+        explode(text.shinglesFromTokens(text.tokensLower($"text"), n)).as("sh"))
+      .select(col(idAs), md5($"sh").as("h"))
+      .distinct()
+    val train = shingles(docs.filter($"bucket" < 80), "train_doc")
+    val eval_ = shingles(docs.filter($"bucket" >= 90), "eval_doc")
+    train.join(eval_, "h")
+      .groupBy($"train_doc", $"eval_doc")
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .filter($"n_shared_ngrams" >= minShared)
+      .orderBy($"train_doc", $"eval_doc")
+  }
+
   /** Deterministic stratified sampling: per-language keep rates applied
     * via hash threshold (en 10% … zh 50%). The selection is a stateless
     * per-row predicate — no sort, no reservoir, no driver coordination —

@@ -55,6 +55,17 @@ class TextOpsSpec extends SparkSpec {
     assert(s1.subsetOf(all))
   }
 
+  test("decontamination pairs live strictly across the split boundary") {
+    val split = TextOps.hashSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextOps.decontamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (train, eval_, n) =>
+      assert(split(train) === "train" && split(eval_) === "test")
+      assert(n >= 1)
+    }
+  }
+
   test("piiStats accounts for every document with non-negative counts") {
     val total = Tables(spark, sf, "documents").count()
     val rows = TextOps.piiStats(spark, sf).collect()
