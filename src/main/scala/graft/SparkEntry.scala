@@ -590,9 +590,9 @@ object SparkEntry {
          WHERE sig.bucket = qb AND e.vec_id <> 0
          ORDER BY cos_sim DESC, e.vec_id LIMIT 5""",
     "q_frame_samples" ->
-      """SELECT doc_id,
-         CAST(greatest(ceil(strlen(text) / 64.0), 1) AS INT) AS n_frames,
-         CAST((CAST(greatest(ceil(strlen(text) / 64.0), 1) AS BIGINT) + 3) // 4 AS BIGINT) AS n_sampled
+      s"""SELECT doc_id,
+         CAST(greatest(ceil(strlen(text) / ${operators.Multimodal.FakeDecoder.FrameBytes}.0), 1) AS INT) AS n_frames,
+         CAST((CAST(greatest(ceil(strlen(text) / ${operators.Multimodal.FakeDecoder.FrameBytes}.0), 1) AS BIGINT) + ${operators.Multimodal.DefaultStride - 1}) // ${operators.Multimodal.DefaultStride} AS BIGINT) AS n_sampled
          FROM documents ORDER BY doc_id""",
     "q_blob_metadata" ->
       """SELECT lang, count(*) AS n_docs,

@@ -85,7 +85,11 @@ object Multimodal {
     * against the closed-form (n_frames + 3) / 4 — so the generator
     * arithmetic itself is what's verified.
     */
-  def frameSampleStats(s: SparkSession, dir: String, stride: Int = 4): DataFrame = {
+  /** Default frame-sampling stride; shared with the SQL oracle. */
+  val DefaultStride = 4
+
+  def frameSampleStats(s: SparkSession, dir: String,
+                       stride: Int = DefaultStride): DataFrame = {
     import s.implicits._
     val assets = Tables(s, dir, "documents")
       .select($"doc_id", $"text".cast("binary").as("payload"))

@@ -187,9 +187,12 @@ object TextOps {
     import s.implicits._
     val docs = docsFanned(s, dir)
       .withColumn("bucket", hashBucket($"doc_id", "split:"))
+    // token array staged BEFORE the shingling HOF: a lambda that embeds
+    // the tokenizer re-splits the text once per shingle (text.scala note)
     def shingles(df: DataFrame, idAs: String) = df
-      .select(col("doc_id").as(idAs),
-        explode(text.shinglesFromTokens(text.tokensLower($"text"), n)).as("sh"))
+      .select(col("doc_id").as(idAs), text.tokensLower($"text").as("toks"))
+      .select(col(idAs),
+        explode(text.shinglesFromTokens($"toks", n)).as("sh"))
       .select(col(idAs), md5($"sh").as("h"))
       .distinct()
     val train = shingles(docs.filter($"bucket" < 80), "train_doc")
