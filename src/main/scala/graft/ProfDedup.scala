@@ -18,10 +18,9 @@ object ProfDedup {
       println(f"== $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  (rows=$n)")
     }
     for (i <- 1 to 2) {
-      time(s"minhash_lsh_pairs $i")(operators.Dedup.minhashLshPairs(spark, sfDir).count())
-      time(s"dedup_assignments $i")(operators.Dedup.dedupAssignments(spark, sfDir).count())
-      time(s"chunk_pairs $i")(operators.Chunker.sharedChunkPairs(spark, sfDir).count())
-      time(s"simhash_pairs $i")(operators.Dedup.simhashPairs(spark, sfDir).count())
+      time(s"decontamination $i")(operators.TextOps.decontamination(spark, sfDir).count())
+      time(s"dedup_corpus $i")(operators.Dedup.dedupCorpus(spark, sfDir).count())
+      time(s"frame_samples $i")(operators.Multimodal.frameSampleStats(spark, sfDir).count())
     }
     spark.stop()
   }
