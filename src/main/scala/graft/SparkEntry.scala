@@ -45,6 +45,8 @@ object SparkEntry {
     "q_part_brand_stats" -> Relational.partBrandStats,
     "q_asof_join" -> AsOf.eventOrderAsof,
     "q_range_join_attrib" -> Relational.attributionRangeJoin,
+    "q_above_avg_orders" -> Relational.aboveAvgOrders,
+    "q_grouping_sets" -> Relational.groupingSetsRevenue,
     // -- event/stream batch twins (SURVEY §2.14, §7.4) ---------------------
     "q_hourly_type_counts" -> Events.hourlyTypeCounts,
     "q_user_sessions" -> Events.userSessions,
@@ -54,6 +56,7 @@ object SparkEntry {
     "q_distinct_users" -> Events.distinctUsers,
     "q_user_type_sets" -> Events.userTypeSets,
     "q_approx_distinct_users" -> Events.approxDistinctUsers,
+    "q_funnel_stages" -> Events.funnelStages,
     // -- text analysis (§7.4) ----------------------------------------------
     "q_lang_id_confusion" -> TextOps.langIdConfusion,
     "q_quality_scores" -> TextOps.qualityScores,
@@ -65,6 +68,9 @@ object SparkEntry {
     "q_hash_split" -> TextOps.hashSplit,
     "q_decontamination" -> ((s, dir) => TextOps.decontamination(s, dir)),
     "q_stratified_sample" -> TextOps.stratifiedSample,
+    "q_repetition_scores" -> TextOps.repetitionScores,
+    "q_seq_packing" -> ((s, dir) => Packing.sequencePacking(s, dir)),
+    "q_context_windows" -> ((s, dir) => Packing.contextWindows(s, dir)),
     // -- dedup suite (§7.4) ------------------------------------------------
     "q_dedup_exact" -> Dedup.exact,
     "q_jaccard_pairs" -> Dedup.ngramJaccardPairs,
@@ -84,6 +90,7 @@ object SparkEntry {
     "q_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
+    "q_quant_stats" -> Similarity.quantizationStats,
     // -- multimodal metadata path (§7.4) -----------------------------------
     "q_blob_metadata" -> Multimodal.blobMetadata,
     "q_frame_samples" -> ((s, dir) => Multimodal.frameSampleStats(s, dir)),
@@ -594,6 +601,105 @@ object SparkEntry {
          CAST(greatest(ceil(strlen(text) / ${operators.Multimodal.FakeDecoder.FrameBytes}.0), 1) AS INT) AS n_frames,
          CAST((CAST(greatest(ceil(strlen(text) / ${operators.Multimodal.FakeDecoder.FrameBytes}.0), 1) AS BIGINT) + ${operators.Multimodal.DefaultStride - 1}) // ${operators.Multimodal.DefaultStride} AS BIGINT) AS n_sampled
          FROM documents ORDER BY doc_id""",
+    "q_above_avg_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 count(*) OVER (PARTITION BY o_custkey) AS n_cust,
+                 sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                   OVER (PARTITION BY o_custkey) AS sum_cust
+               FROM orders)
+         WHERE CAST(o_totalprice AS DECIMAL(12,2)) * n_cust > sum_cust
+         ORDER BY o_custkey, o_orderkey""",
+    "q_grouping_sets" ->
+      """SELECT r_name, n_name,
+         CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
+         count(*) AS n_customers,
+         CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY GROUPING SETS ((r_name), (n_name))
+         ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q_funnel_stages" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         v AS (SELECT user_id, min(ts) AS view_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+               JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.view_ts
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+               JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+               GROUP BY e.user_id)
+         SELECT u.user_id,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage
+         FROM u LEFT JOIN v ON u.user_id = v.user_id
+                LEFT JOIN c ON u.user_id = c.user_id
+                LEFT JOIN p ON u.user_id = p.user_id
+         ORDER BY u.user_id""",
+    "q_repetition_scores" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         tc AS (SELECT doc_id, tok, count(*) AS n
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+           GROUP BY doc_id, tok),
+         ts AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct, max(n) AS max_n
+           FROM tc GROUP BY doc_id),
+         gc AS (SELECT doc_id, g, count(*) AS c
+           FROM (SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1])) AS g
+             FROM d WHERE len(toks) >= 2)
+           GROUP BY doc_id, g),
+         gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup
+           FROM gc GROUP BY doc_id)
+         SELECT ts.doc_id, n_tokens,
+           round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS distinct_ratio,
+           round(CAST(max_n AS DOUBLE) / n_tokens, 4) AS top_tok_frac,
+           round(CAST(coalesce(n_dup, 0) AS DOUBLE) /
+             greatest(coalesce(n_grams, 0), 1), 4) AS dup_2gram_frac
+         FROM ts LEFT JOIN gs USING (doc_id) ORDER BY doc_id""",
+    "q_seq_packing" ->
+      s"""WITH d AS (SELECT lang, doc_id, CAST(len($toks) AS BIGINT) AS n_tok
+           FROM documents),
+         o AS (SELECT lang, doc_id, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tok AS off
+           FROM d)
+         SELECT lang, off // ${operators.Packing.PackBudget} AS bin,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM o GROUP BY lang, bin ORDER BY lang, bin""",
+    "q_context_windows" ->
+      s"""SELECT doc_id,
+           CAST(start_tok // ${operators.Packing.WindowStride} AS INT) AS win_id,
+           start_tok,
+           least(start_tok + ${operators.Packing.WindowSize}, n_tok) AS end_tok
+         FROM (SELECT doc_id, n_tok, unnest(generate_series(0,
+                 greatest(n_tok - 1, 0), ${operators.Packing.WindowStride})) AS start_tok
+               FROM (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok
+                     FROM documents))
+         ORDER BY doc_id, win_id""",
+    "q_quant_stats" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         s AS (SELECT vec_id, label, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         q AS (SELECT vec_id, label, v, scale,
+             list_transform(v, x -> round(x / scale)) AS qv FROM s),
+         r AS (SELECT vec_id, label, scale, qv,
+             list_transform(generate_series(1, len(v)),
+               i -> v[i] - qv[i] * scale) AS err, len(v) AS dim FROM q)
+         SELECT vec_id, label,
+           CAST(list_max(list_transform(qv, x -> abs(x))) AS INT) AS max_abs_q,
+           CAST(list_sum(list_transform(qv, x -> CAST(abs(x) AS BIGINT))) AS BIGINT) AS sum_abs_q,
+           round(list_dot_product(err, err) / dim * 1e9, 4) AS mse_nano
+         FROM r ORDER BY vec_id""",
     "q_blob_metadata" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,

@@ -131,4 +131,36 @@ object Events {
         min($"k").as("min_k"), max($"k").as("max_k"))
       .orderBy($"event_type")
   }
+
+  /** Ordered-funnel stage per user: first view, then the first click
+    * AFTER that view, then the first purchase AFTER that click — the
+    * event-sequence query behind conversion analysis. Three min-aggregates
+    * chained on the user key: every join is equi on user_id (one shuffle
+    * partitioning reused end-to-end), the temporal ordering rides as a
+    * residual filter, and nothing ever pairs events across users.
+    */
+  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select($"user_id", $"event_type", $"ts")
+    def firstAfter(typ: String, prev: DataFrame, prevTs: String, outTs: String) =
+      ev.filter($"event_type" === typ)
+        .join(prev, Seq("user_id"))
+        .filter($"ts" > col(prevTs))
+        .groupBy($"user_id").agg(min($"ts").as(outTs))
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("view_ts"))
+    val clicks = firstAfter("click", views, "view_ts", "click_ts")
+    val purchases = firstAfter("purchase", clicks.select($"user_id", $"click_ts"),
+      "click_ts", "purchase_ts")
+    ev.select($"user_id").distinct()
+      .join(views, Seq("user_id"), "left")
+      .join(clicks.select($"user_id", $"click_ts"), Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select($"user_id",
+        (when($"purchase_ts".isNotNull, 3)
+          .when($"click_ts".isNotNull, 2)
+          .when($"view_ts".isNotNull, 1)
+          .otherwise(0)).cast("int").as("stage"))
+      .orderBy($"user_id")
+  }
 }

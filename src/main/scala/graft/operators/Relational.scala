@@ -212,6 +212,46 @@ object Relational {
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
+  /** Correlated-scalar-subquery shape, decorrelated by construction:
+    * orders strictly above their customer's average order value. The
+    * comparison is cross-multiplied into exact DECIMAL arithmetic
+    * (`price·n > Σprice`) so no engine's floating-point average can flip
+    * a borderline row. One window over the join key — at scale this is
+    * the partial-agg + broadcast-back plan Catalyst would pick for the
+    * equivalent subquery, without the second scan.
+    */
+  def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+    Tables(s, dir, "orders")
+      .withColumn("n_cust", count(lit(1)).over(w))
+      .withColumn("sum_cust", sum(dec($"o_totalprice")).over(w))
+      .filter(dec($"o_totalprice") * $"n_cust" > $"sum_cust")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** GROUPING SETS beyond rollup/cube — two disjoint groupings
+    * ((region), (nation)) in one pass with grouping indicators, via the
+    * SQL surface (the DataFrame API stops at rollup/cube; Catalyst's
+    * Expand operator computes both sets in a single scan).
+    */
+  def groupingSetsRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("gs_customer")
+    Tables(s, dir, "nation").createOrReplaceTempView("gs_nation")
+    Tables(s, dir, "region").createOrReplaceTempView("gs_region")
+    s.sql(
+      """SELECT r_name, n_name,
+           CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS gid,
+           count(*) AS n_customers,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_acctbal
+         FROM gs_customer
+           JOIN gs_nation ON c_nationkey = n_nationkey
+           JOIN gs_region ON n_regionkey = r_regionkey
+         GROUP BY GROUPING SETS ((r_name), (n_name))
+         ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+  }
+
   /** INTERSECT (§2.7): users who purchased in BOTH halves of the month. */
   def repeatPurchasers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

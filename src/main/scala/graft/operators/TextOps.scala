@@ -204,6 +204,40 @@ object TextOps {
       .orderBy($"train_doc", $"eval_doc")
   }
 
+  /** Repetition quality signals (the Gopher-style filters): per document,
+    * the distinct-token ratio, the most-frequent-token fraction, and the
+    * fraction of 2-gram occurrences belonging to a repeated 2-gram. High
+    * repetition marks boilerplate/templated docs for dropping before
+    * training. Two map-side-combined groupBys over exploded tokens /
+    * bigrams — the shuffle carries the per-doc distinct term space, never
+    * the raw token stream.
+    */
+  def repetitionScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docsFanned(s, dir)
+      .select($"doc_id", text.tokensLower($"text").as("toks"))
+    val tokStats = toks
+      .select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max($"n").as("max_n"))
+    val gramStats = toks
+      .select($"doc_id", explode(text.shinglesFromTokens($"toks", 2)).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_grams"),
+        sum(when($"c" >= 2, $"c").otherwise(0L)).as("n_dup_grams"))
+    tokStats.join(gramStats, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        round($"n_distinct".cast("double") / $"n_tokens", 4).as("distinct_ratio"),
+        round($"max_n".cast("double") / $"n_tokens", 4).as("top_tok_frac"),
+        round(coalesce($"n_dup_grams", lit(0L)).cast("double") /
+          greatest(coalesce($"n_grams", lit(0L)), lit(1L)), 4).as("dup_2gram_frac"))
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic stratified sampling: per-language keep rates applied
     * via hash threshold (en 10% … zh 50%). The selection is a stateless
     * per-row predicate — no sort, no reservoir, no driver coordination —

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.text
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tokenTotal = Tables(spark, sf, "documents")
+    .select(text.wsTokenCount($"text").cast("long").as("n"))
+    .agg(sum($"n")).first().getLong(0)
+
+  test("sequencePacking conserves docs and tokens, bins contiguous per lang") {
+    val rows = Packing.sequencePacking(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(rows.map(_._3).sum === nDocs)
+    assert(rows.map(_._4).sum === tokenTotal)
+    rows.groupBy(_._1).foreach { case (lang, grp) =>
+      val bins = grp.map(_._2).sorted.toSeq
+      assert(bins === (bins.head to bins.last), s"$lang bins not contiguous: $bins")
+      assert(bins.head === 0L)
+    }
+  }
+
+  test("contextWindows tile every doc: first window at 0, strides of 64, full coverage") {
+    val byDoc = Packing.contextWindows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val nTok = Tables(spark, sf, "documents")
+      .select($"doc_id", text.wsTokenCount($"text").cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.keySet === nTok.keySet)
+    byDoc.foreach { case (doc, wins) =>
+      val sorted = wins.sortBy(_._2).toSeq
+      assert(sorted.head._3 === 0L)
+      assert(sorted.map(_._2) === sorted.indices.map(identity))
+      sorted.foreach { case (_, winId, start, end) =>
+        assert(start === winId.toLong * Packing.WindowStride)
+        assert(end === math.min(start + Packing.WindowSize, nTok(doc)))
+      }
+      // strides overlap or touch: no token between windows is ever skipped
+      assert(sorted.last._3 < math.max(nTok(doc), 1L))
+    }
+  }
+}

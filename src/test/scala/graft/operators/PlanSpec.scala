@@ -80,6 +80,38 @@ class PlanSpec extends SparkSpec {
     assert(countShuffles(sig) <= 1, planString(sig).take(3000))
   }
 
+  test("aboveAvgOrders: one data shuffle — the window and nothing else") {
+    // window on o_custkey + final sort; the cross-multiplied comparison
+    // must not introduce a join or a second aggregation pass
+    val df = Relational.aboveAvgOrders(spark, sf)
+    assert(countShuffles(df) <= 2, planString(df).take(3000))
+    assert(!planString(df).contains("Join"), "decorrelated shape needs no join")
+  }
+
+  test("quantizationStats and contextWindows are scan-speed: no data shuffle") {
+    // only the final presentation sort may exchange
+    val q = Similarity.quantizationStats(spark, sf)
+    assert(countShuffles(q) <= 1, planString(q).take(3000))
+    val w = Packing.contextWindows(spark, sf)
+    assert(countShuffles(w) <= 1, planString(w).take(3000))
+  }
+
+  test("sequencePacking reuses the lang partitioning for the bin aggregation") {
+    // window partitionBy(lang) hash-shuffles once; groupBy(lang, bin) is
+    // satisfied by that clustering (subset rule) — no second data shuffle
+    val df = Packing.sequencePacking(spark, sf)
+    assert(countShuffles(df) <= 2, planString(df).take(3000))
+  }
+
+  test("funnel chain: every join stays equi on user_id") {
+    val nodes = allNodes(Events.funnelStages(spark, sf))
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "temporal ordering must ride the user_id equi-joins as residual filters")
+  }
+
   test("arrivals query pushes the date-window predicate to the calendar scan") {
     val wh = java.nio.file.Files.createTempDirectory("plan_wh").toString
     val loader = new graft.gtfs.GtfsLoad(spark, wh)

@@ -75,4 +75,28 @@ class RelationalSpec extends SparkSpec {
       .count()
     assert(recount === n)
   }
+
+  test("aboveAvgOrders: every kept order beats its customer's mean, none missed") {
+    val byCust = Tables(spark, sf, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val expected = byCust.toSeq.flatMap { case (_, os) =>
+      val avg = os.map(_._3).sum / os.length
+      os.filter(_._3 > avg).map(_._2)
+    }.toSet
+    val got = Relational.aboveAvgOrders(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    assert(got === expected)
+  }
+
+  test("groupingSets: each grouping's counts sum to the joined row count") {
+    val total = Relational.nationRollup(spark, sf)
+      .filter($"r_name".isNull).head().getLong(2) // rollup grand total
+    val rows = Relational.groupingSetsRevenue(spark, sf).collect()
+      .map(r => (r.getInt(2), r.getLong(3)))
+    val byGid = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(byGid.keySet === Set(1, 2)) // (r_name) keeps n_name null and vice versa
+    assert(byGid(1) === total && byGid(2) === total)
+  }
 }

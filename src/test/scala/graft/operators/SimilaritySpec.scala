@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
@@ -38,5 +38,18 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.length === 5)
     assert(rows.forall(_.getLong(0) != 0L))
     assert(rows.map(_.getLong(1)).distinct.length === 1) // single cell searched
+  }
+
+  test("quantizationStats: codes bounded by int8, error below half-step bound") {
+    val rows = Similarity.quantizationStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.length.toLong === Tables(spark, sf, "embeddings").count())
+    rows.foreach { case (_, maxQ, sumQ, mseNano) =>
+      assert(maxQ === 127) // symmetric scale puts the max component at ±127
+      assert(sumQ > 0 && sumQ <= 127L * 64)
+      assert(mseNano >= 0)
+      // per-component error ≤ scale/2; scale ≤ 1/127·max|v| with |v| ≤ ~1
+      assert(mseNano < 1e9 * 0.25, s"mse too large: $mseNano")
+    }
   }
 }

@@ -68,6 +68,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("repetitionScores: ratios in (0,1], hand-recount on one doc") {
+    val rows = TextOps.repetitionScores(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length.toLong === Tables(spark, sf, "documents").count())
+    rows.foreach { case (_, n, dr, tf, dg) =>
+      assert(n > 0)
+      assert(dr > 0 && dr <= 1.0)
+      assert(tf > 0 && tf <= 1.0)
+      assert(dg >= 0 && dg <= 1.0)
+    }
+    // recount doc 0 with plain Scala
+    val txt = Tables(spark, sf, "documents")
+      .filter($"doc_id" === 0L).head().getAs[String]("text")
+    val toks = txt.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val grams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    val gramCounts = grams.groupBy(identity).view.mapValues(_.length)
+    val (_, n0, dr0, tf0, dg0) = rows.find(_._1 == 0L).get
+    assert(n0 === toks.length.toLong)
+    assert(dr0 === BigDecimal(toks.distinct.length.toDouble / toks.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(tf0 === BigDecimal(
+      toks.groupBy(identity).values.map(_.length).max.toDouble / toks.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(dg0 === BigDecimal(
+      gramCounts.values.filter(_ >= 2).sum.toDouble / math.max(grams.length, 1))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("piiStats accounts for every document with non-negative counts") {
     val total = Tables(spark, sf, "documents").count()
     val rows = TextOps.piiStats(spark, sf).collect()
