@@ -52,10 +52,11 @@ object ArrivalsQuery {
         col("start_date"), col("end_date")))
   }
 
-  /** Apply GTFS calendar_dates exceptions (1=added, 2=removed) to an
-    * expanded (service_id, run_id, service_date) frame — the fidelity gap
+  /** Apply GTFS calendar_dates REMOVALS (exception_type=2) to an expanded
+    * (service_id, run_id, service_date) frame — half of the fidelity gap
     * the reference leaves open (SURVEY §1.3: exception_type is stored but
-    * never consulted, data/GtfsDAO.java:37-48).
+    * never consulted, data/GtfsDAO.java:37-48). Additions (type=1) need
+    * the pre-expansion service rows and live in [[arrivalsWithExceptions]].
     */
   def applyCalendarExceptions(expanded: DataFrame, calendarDates: DataFrame): DataFrame = {
     val removed = calendarDates.filter(col("exception_type") === 2)
@@ -77,14 +78,14 @@ object ArrivalsQuery {
     * its composite key (run_id, trip_id) joins against the already-joined
     * calendar×trips side.
     */
-  def arrivals(calendar: DataFrame, trips: DataFrame, stopTimes: DataFrame,
-               stops: DataFrame, windowStart: String, windowEnd: String): DataFrame = {
-    val startInt = windowStart.replace("-", "").toInt
-    val endInt = windowEnd.replace("-", "").toInt
-    // P2 window-overlap pushdown — reaches the calendar scan
-    val cal = calendar.filter(
-      col("end_date") >= startInt && col("start_date") < endInt)
-    val joined = cal
+  /** The 4-way composite-key join chain, pre-expansion (J1). Shared by
+    * [[arrivals]] (calendar pre-filtered by the P2 window predicate) and
+    * the exceptions path (unfiltered: a type-1 added date is valid even
+    * outside the service's calendar range, per the GTFS spec).
+    */
+  private def joinServiceRows(calendar: DataFrame, trips: DataFrame,
+                              stopTimes: DataFrame, stops: DataFrame): DataFrame =
+    calendar
       .join(trips, Seq("run_id", "service_id"))
       .join(stopTimes, Seq("run_id", "trip_id"))
       .join(stops, Seq("run_id", "stop_id"))
@@ -93,7 +94,12 @@ object ArrivalsQuery {
           col("run_id"), col("service_id"), col("trip_id"), col("stop_id"),
           col("stop_name"), col("arrival_time"), col("stop_lat"),
           col("stop_lon"), col("start_date"), col("end_date"))): _*)
-    expandServiceDates(joined, windowStart, windowEnd)
+
+  /** Event-time materialisation + presentation columns shared by both
+    * arrival pipelines.
+    */
+  private def finishArrivals(expanded: DataFrame): DataFrame =
+    expanded
       .withColumn("event_ts",
         dates.gtfsEventTimestamp(col("service_date"), col("arrival_time")))
       .select(
@@ -101,6 +107,49 @@ object ArrivalsQuery {
         col("run_id"), col("service_id"), col("trip_id"), col("stop_id"),
         col("service_date"))
       .orderBy(col("event_ts"))
+
+  def arrivals(calendar: DataFrame, trips: DataFrame, stopTimes: DataFrame,
+               stops: DataFrame, windowStart: String, windowEnd: String): DataFrame = {
+    val startInt = windowStart.replace("-", "").toInt
+    val endInt = windowEnd.replace("-", "").toInt
+    // P2 window-overlap pushdown — reaches the calendar scan
+    val cal = calendar.filter(
+      col("end_date") >= startInt && col("start_date") < endInt)
+    finishArrivals(
+      expandServiceDates(joinServiceRows(cal, trips, stopTimes, stops),
+        windowStart, windowEnd))
+  }
+
+  /** Full-fidelity arrivals: [[arrivals]] plus BOTH calendar_dates
+    * exception kinds (GTFS spec: 1=service added on that date, 2=service
+    * removed) — closing the reference's open gap entirely. Added dates
+    * join the UNfiltered service rows (an addition may fall outside the
+    * calendar row's weekday pattern or validity range) and are
+    * anti-joined against the regular expansion so a date that is both
+    * weekday-active and explicitly added emits once. Exceptions are tiny
+    * relative to stop_times — both exception joins broadcast at any scale.
+    */
+  def arrivalsWithExceptions(calendar: DataFrame, calendarDates: DataFrame,
+                             trips: DataFrame, stopTimes: DataFrame, stops: DataFrame,
+                             windowStart: String, windowEnd: String): DataFrame = {
+    val startInt = windowStart.replace("-", "").toInt
+    val endInt = windowEnd.replace("-", "").toInt
+    val cal = calendar.filter(
+      col("end_date") >= startInt && col("start_date") < endInt)
+    val regular = applyCalendarExceptions(
+      expandServiceDates(joinServiceRows(cal, trips, stopTimes, stops),
+        windowStart, windowEnd),
+      calendarDates)
+    val addedDates = calendarDates.filter(col("exception_type") === 1)
+      .filter(col("date") >= startInt && col("date") < endInt)
+      .select(col("run_id"), col("service_id"),
+        dates.decodeDateInt(col("date")).as("service_date"))
+    val added = joinServiceRows(calendar, trips, stopTimes, stops)
+      .join(addedDates, Seq("run_id", "service_id"))
+      .join(regular.select(col("run_id"), col("service_id"), col("service_date"))
+          .distinct(),
+        Seq("run_id", "service_id", "service_date"), "left_anti")
+    finishArrivals(regular.unionByName(added.select(regular.columns.map(col): _*)))
   }
 
   /** Kafka-ready JSON shaping with the reference's exact field names and

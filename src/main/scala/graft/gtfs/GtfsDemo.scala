@@ -43,12 +43,10 @@ object GtfsDemo {
       spec, new LocalFileFetcher, landing, loader, runDate))
     println("== landing catalog: " + Ingest.discoverArchives(landing))
 
-    val arrivals = ArrivalsQuery.applyCalendarExceptions(
-      ArrivalsQuery.arrivals(
-        loader.table("calendar"), loader.table("trips"),
-        loader.table("stop_times"), loader.table("stops"),
-        "2019-02-18", "2019-02-25"),
-      loader.table("calendar_dates"))
+    val arrivals = ArrivalsQuery.arrivalsWithExceptions(
+      loader.table("calendar"), loader.table("calendar_dates"),
+      loader.table("trips"), loader.table("stop_times"), loader.table("stops"),
+      "2019-02-18", "2019-02-25")
     println(s"== arrivals in window: ${arrivals.count()}")
     val berlin = ArrivalsQuery.withinRadius(arrivals, 52.52437, 13.41053, 30000)
     println(s"== within 30km of Alexanderplatz: ${berlin.count()}")

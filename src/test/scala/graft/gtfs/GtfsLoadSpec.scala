@@ -50,7 +50,9 @@ class GtfsLoadSpec extends SparkSpec {
         |EXP,1,1,1,1,1,1,1,20190201,20190218""".stripMargin,
     "calendar_dates.txt" ->
       """service_id,date,exception_type
-        |WD,20190220,2""".stripMargin,
+        |WD,20190220,2
+        |WE,20190220,1
+        |WD,20190219,1""".stripMargin,
     "trips.txt" ->
       """route_id,service_id,trip_id,trip_headsign
         |R1,WD,T1,Pankow
@@ -138,6 +140,23 @@ class GtfsLoadSpec extends SparkSpec {
     val rolled = raw.filter($"service_date" === "2019-02-18" && $"stop_id" === "S2")
       .select($"event_ts".cast("string")).head().getString(0)
     assert(rolled === "2019-02-19 01:10:00")
+
+    // full pipeline: type-1 additions too. WE added on Wed 02-20 (outside
+    // its weekend pattern) -> T2 gains its 1 stop; WD's redundant type-1
+    // on 02-19 (already weekday-active) must NOT double-emit; WD's type-2
+    // removal on 02-20 still applies.
+    val full = ArrivalsQuery.arrivalsWithExceptions(
+      loader.table("calendar"), loader.table("calendar_dates"),
+      loader.table("trips"), loader.table("stop_times"), loader.table("stops"),
+      "2019-02-18", "2019-02-25")
+    val perTripFull = full.groupBy($"trip_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perTripFull("T1") === 8)
+    assert(perTripFull("T2") === 3)
+    assert(perTripFull("T3") === 1)
+    // the added service day materialises real arrival rows on that date
+    assert(full.filter($"trip_id" === "T2" && $"service_date" === "2019-02-20")
+      .count() === 1)
   }
 
   test("per-run queries prune to their own warehouse partition") {
