@@ -691,7 +691,8 @@ object SparkEntry {
          s AS (SELECT vec_id, label, v,
              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
          q AS (SELECT vec_id, label, v, scale,
-             list_transform(v, x -> round(x / scale)) AS qv FROM s),
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+               ELSE round(x / scale) END) AS qv FROM s),
          r AS (SELECT vec_id, label, scale, qv,
              list_transform(generate_series(1, len(v)),
                i -> v[i] - qv[i] * scale) AS err, len(v) AS dim FROM q)

@@ -120,14 +120,27 @@ object ArrivalsQuery {
         windowStart, windowEnd))
   }
 
+  /** Columns both arrival branches reduce to before the union (weekday
+    * flags and validity bounds are branch-internal).
+    */
+  private val arrivalCols = Seq("run_id", "service_id", "trip_id", "stop_id",
+    "stop_name", "arrival_time", "stop_lat", "stop_lon", "service_date")
+
   /** Full-fidelity arrivals: [[arrivals]] plus BOTH calendar_dates
     * exception kinds (GTFS spec: 1=service added on that date, 2=service
-    * removed) — closing the reference's open gap entirely. Added dates
-    * join the UNfiltered service rows (an addition may fall outside the
-    * calendar row's weekday pattern or validity range) and are
-    * anti-joined against the regular expansion so a date that is both
-    * weekday-active and explicitly added emits once. Exceptions are tiny
-    * relative to stop_times — both exception joins broadcast at any scale.
+    * removed) — closing the reference's open gap entirely.
+    *
+    * The added branch joins trips⋈stop_times⋈stops WITHOUT calendar:
+    * calendar.txt is conditionally optional in GTFS, so a service may be
+    * defined solely by its type-1 dates and must still emit. Dedup
+    * against the weekday expansion is a per-row predicate on the added
+    * side (calendar row exists ∧ weekday flag set ∧ date within
+    * validity), NOT an anti-join against the expanded frame — the
+    * expansion subtree would otherwise execute twice per action. Per the
+    * GTFS spec a (service_id, date) pair appears at most once in
+    * calendar_dates, so type-1 and type-2 can never collide on a date.
+    * Exceptions and calendar are tiny relative to stop_times — their
+    * joins broadcast at any scale.
     */
   def arrivalsWithExceptions(calendar: DataFrame, calendarDates: DataFrame,
                              trips: DataFrame, stopTimes: DataFrame, stops: DataFrame,
@@ -144,12 +157,24 @@ object ArrivalsQuery {
       .filter(col("date") >= startInt && col("date") < endInt)
       .select(col("run_id"), col("service_id"),
         dates.decodeDateInt(col("date")).as("service_date"))
-    val added = joinServiceRows(calendar, trips, stopTimes, stops)
+    val flags = array(weekdayFlags.map(col): _*)
+    val weekdayActive = col("start_date").isNotNull &&
+      element_at(flags, dates.weekdayIndex(col("service_date")) + 1) &&
+      dates.encodeDateInt(col("service_date")).between(
+        col("start_date"), col("end_date"))
+    val added = trips
+      .join(stopTimes, Seq("run_id", "trip_id"))
+      .join(stops, Seq("run_id", "stop_id"))
       .join(addedDates, Seq("run_id", "service_id"))
-      .join(regular.select(col("run_id"), col("service_id"), col("service_date"))
-          .distinct(),
-        Seq("run_id", "service_id", "service_date"), "left_anti")
-    finishArrivals(regular.unionByName(added.select(regular.columns.map(col): _*)))
+      .join(calendar.select((Seq("run_id", "service_id", "start_date", "end_date")
+          ++ weekdayFlags).map(col): _*),
+        Seq("run_id", "service_id"), "left")
+      // already emitted by the regular expansion (coalesce: a null weekday
+      // flag must read "not active", not filter the row out via 3VL)
+      .filter(!coalesce(weekdayActive, lit(false)))
+    finishArrivals(
+      regular.select(arrivalCols.map(col): _*)
+        .unionByName(added.select(arrivalCols.map(col): _*)))
   }
 
   /** Kafka-ready JSON shaping with the reference's exact field names and

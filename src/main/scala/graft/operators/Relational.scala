@@ -232,24 +232,21 @@ object Relational {
   }
 
   /** GROUPING SETS beyond rollup/cube — two disjoint groupings
-    * ((region), (nation)) in one pass with grouping indicators, via the
-    * SQL surface (the DataFrame API stops at rollup/cube; Catalyst's
-    * Expand operator computes both sets in a single scan).
+    * ((region), (nation)) in one pass with grouping indicators; Catalyst's
+    * Expand operator computes both sets in a single scan. Pure DataFrame
+    * API (`Dataset.groupingSets`, Spark 4) — no temp-view session state.
     */
   def groupingSetsRevenue(s: SparkSession, dir: String): DataFrame = {
-    Tables(s, dir, "customer").createOrReplaceTempView("gs_customer")
-    Tables(s, dir, "nation").createOrReplaceTempView("gs_nation")
-    Tables(s, dir, "region").createOrReplaceTempView("gs_region")
-    s.sql(
-      """SELECT r_name, n_name,
-           CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS gid,
-           count(*) AS n_customers,
-           CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_acctbal
-         FROM gs_customer
-           JOIN gs_nation ON c_nationkey = n_nationkey
-           JOIN gs_region ON n_regionkey = r_regionkey
-         GROUP BY GROUPING SETS ((r_name), (n_name))
-         ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+    import s.implicits._
+    Tables(s, dir, "customer")
+      .join(broadcast(Tables(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .groupingSets(Seq(Seq($"r_name"), Seq($"n_name")), $"r_name", $"n_name")
+      .agg((grouping($"r_name") * 2 + grouping($"n_name")).cast("int").as("gid"),
+        count(lit(1)).as("n_customers"),
+        moneySum($"c_acctbal").as("sum_acctbal"))
+      .select($"r_name", $"n_name", $"gid", $"n_customers", $"sum_acctbal")
+      .orderBy($"gid", $"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
   }
 
   /** INTERSECT (§2.7): users who purchased in BOTH halves of the month. */

@@ -114,7 +114,9 @@ object Similarity {
     Tables(s, dir, "embeddings")
       .select($"vec_id", $"label", vectors.toDoubleArray($"embedding").as("v"))
       .withColumn("scale", array_max(transform($"v", x => abs(x))) / 127.0)
-      .withColumn("q", transform($"v", x => round(x / $"scale")))
+      // zero vector → scale 0: codes are all-zero by definition, never 0/0
+      .withColumn("q", transform($"v",
+        x => when($"scale" === 0.0, 0.0).otherwise(round(x / $"scale"))))
       .withColumn("err", zip_with($"v", $"q", (x, qi) => x - qi * $"scale"))
       .select($"vec_id", $"label",
         array_max(transform($"q", x => abs(x))).cast("int").as("max_abs_q"),

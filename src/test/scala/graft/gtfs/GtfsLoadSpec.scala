@@ -52,19 +52,22 @@ class GtfsLoadSpec extends SparkSpec {
       """service_id,date,exception_type
         |WD,20190220,2
         |WE,20190220,1
-        |WD,20190219,1""".stripMargin,
+        |WD,20190219,1
+        |XTRA,20190221,1""".stripMargin,
     "trips.txt" ->
       """route_id,service_id,trip_id,trip_headsign
         |R1,WD,T1,Pankow
         |R1,WE,T2,Ruhleben
-        |R1,EXP,T3,Depot""".stripMargin,
+        |R1,EXP,T3,Depot
+        |R1,XTRA,T4,Sonderfahrt""".stripMargin,
     "stop_times.txt" ->
       """trip_id,arrival_time,departure_time,stop_id,stop_sequence,pickup_type,drop_off_type
         |T1,08:30:15,08:31:00,S1,1,0,0
         |T1,25:10:00,25:11:00,S2,2,0,0
         |T2,10:00:00,10:01:00,S1,1,0,0
         |T3,09:00:00,09:01:00,S3,1,0,0
-        |T3,09:30:00,09:31:00,S1,2,4,0""".stripMargin,
+        |T3,09:30:00,09:31:00,S1,2,4,0
+        |T4,11:00:00,11:01:00,S1,1,0,0""".stripMargin,
     "fare_rules.txt" -> "fare_id,route_id\nF1,R1", // unknown member -> skipped
   )
 
@@ -85,7 +88,7 @@ class GtfsLoadSpec extends SparkSpec {
     val counts = loader.loadArchive("vbb", "2019-02-21", fixtureZip().getAbsolutePath).get
     assert(counts("stops") === 3) // junk header sanitized to stop_id
     assert(counts("calendar") === 3)
-    assert(counts("stop_times") === 4) // pickup_type=4 quarantined
+    assert(counts("stop_times") === 5) // pickup_type=4 quarantined
     assert(!counts.contains("fare_rules"))
     val st = loader.table("stop_times")
     assert(st.filter($"pickup_type" === 4).count() === 0)
@@ -154,8 +157,13 @@ class GtfsLoadSpec extends SparkSpec {
     assert(perTripFull("T1") === 8)
     assert(perTripFull("T2") === 3)
     assert(perTripFull("T3") === 1)
+    // XTRA (T4) exists ONLY in calendar_dates (calendar.txt is
+    // conditionally optional in GTFS) — its added day must still emit
+    assert(perTripFull("T4") === 1)
     // the added service day materialises real arrival rows on that date
     assert(full.filter($"trip_id" === "T2" && $"service_date" === "2019-02-20")
+      .count() === 1)
+    assert(full.filter($"trip_id" === "T4" && $"service_date" === "2019-02-21")
       .count() === 1)
   }
 

@@ -19,8 +19,18 @@ class PackingSpec extends SparkSpec {
     assert(rows.map(_._4).sum === tokenTotal)
     rows.groupBy(_._1).foreach { case (lang, grp) =>
       val bins = grp.map(_._2).sorted.toSeq
-      assert(bins === (bins.head to bins.last), s"$lang bins not contiguous: $bins")
+      assert(bins === bins.distinct, s"$lang duplicate bins: $bins")
       assert(bins.head === 0L)
+      // a gap larger than one doc's token span is impossible: doc i+1
+      // starts at most n_tok(i) tokens after doc i, so consecutive
+      // non-empty bins differ by at most ceil(maxDoc/budget)+1
+      val maxDoc = Tables(spark, sf, "documents")
+        .select(text.wsTokenCount($"text").cast("long")).collect().map(_.getLong(0)).max
+      val maxGap = maxDoc / Packing.PackBudget + 1
+      bins.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a <= maxGap, s"$lang bin gap $a->$b")
+        case _ =>
+      }
     }
   }
 

@@ -81,9 +81,13 @@ class RelationalSpec extends SparkSpec {
       .select($"o_custkey", $"o_orderkey", $"o_totalprice").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .groupBy(_._1)
+    // exact-decimal recount (price·n > Σprice), mirroring the operator —
+    // a floating-point average here could flip the same borderline rows
+    // the operator's DECIMAL arithmetic exists to protect
+    def dec2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val expected = byCust.toSeq.flatMap { case (_, os) =>
-      val avg = os.map(_._3).sum / os.length
-      os.filter(_._3 > avg).map(_._2)
+      val sum = os.map(o => dec2(o._3)).sum
+      os.filter(o => dec2(o._3) * os.length > sum).map(_._2)
     }.toSet
     val got = Relational.aboveAvgOrders(spark, sf).collect()
       .map(_.getLong(1)).toSet

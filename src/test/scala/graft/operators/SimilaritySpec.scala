@@ -45,8 +45,9 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getDouble(4)))
     assert(rows.length.toLong === Tables(spark, sf, "embeddings").count())
     rows.foreach { case (_, maxQ, sumQ, mseNano) =>
-      assert(maxQ === 127) // symmetric scale puts the max component at ±127
-      assert(sumQ > 0 && sumQ <= 127L * 64)
+      // symmetric scale puts the max component at ±127 (0 for a zero vector)
+      assert(maxQ === 127 || (maxQ === 0 && sumQ === 0L))
+      assert(sumQ >= 0 && sumQ <= 127L * 64)
       assert(mseNano >= 0)
       // per-component error ≤ scale/2; scale ≤ 1/127·max|v| with |v| ≤ ~1
       assert(mseNano < 1e9 * 0.25, s"mse too large: $mseNano")
