@@ -117,6 +117,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 11:30:00", "2024-01-01 11:30:00", 1L, 4.0)))
   }
 
+  test("stateful funnel finalizes exact stages under out-of-order arrival") {
+    import StatefulFunnel._
+    val input = MemoryStream[Event](spark)
+    // 1-hour watermark: the straggler below must still be ABOVE the
+    // watermark when it lands (stateful operators drop older rows)
+    val q = funnel(
+        input.toDS().withWatermark("ts", "1 hour"), quietMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append).start()
+    // user 1: click arrives BEFORE any view; the straggler view@09:00
+    // lands a batch later and retroactively validates it -> stage 3.
+    // user 2: view then purchase but no click -> stage 1.
+    // user 3: purchase only -> stage 0.
+    input.addData(
+      Event(1L, "click", ts("2024-01-01 09:30:00")),
+      Event(1L, "purchase", ts("2024-01-01 09:45:00")),
+      Event(2L, "view", ts("2024-01-01 09:10:00")),
+      Event(2L, "purchase", ts("2024-01-01 09:20:00")),
+      Event(3L, "purchase", ts("2024-01-01 09:15:00")))
+    q.processAllAvailable()
+    input.addData(Event(1L, "view", ts("2024-01-01 09:00:00"))) // straggler
+    q.processAllAvailable()
+    input.addData(Event(9L, "view", ts("2024-01-01 14:00:00"))) // watermark on
+    q.processAllAvailable()
+    input.addData(Event(9L, "view", ts("2024-01-01 15:00:00"))) // trigger timeouts
+    q.processAllAvailable()
+    val stages = spark.table("funnel_out").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    q.stop()
+    assert(stages(1L) === 3)
+    assert(stages(2L) === 1)
+    assert(stages(3L) === 0)
+    // cross-check against the batch operator's semantics on the same events
+    assert(resolveStage(FunnelState(ts("2024-01-01 09:00:00").getTime,
+      Vector(ts("2024-01-01 09:30:00").getTime),
+      Vector(ts("2024-01-01 09:45:00").getTime), 0L)) === 3)
+  }
+
   test("stream-stream interval join attributes clicks in the window only") {
     val purchases = MemoryStream[(Long, Long, Timestamp)](spark)
     val clicks = MemoryStream[(Long, Timestamp, Double)](spark)
