@@ -47,6 +47,9 @@ object SparkEntry {
     "q_range_join_attrib" -> Relational.attributionRangeJoin,
     "q_above_avg_orders" -> Relational.aboveAvgOrders,
     "q_grouping_sets" -> Relational.groupingSetsRevenue,
+    "q_scd2_customers" -> Relational.scd2Customers,
+    "q_profile_orders" -> Relational.profileOrders,
+    "q_cohort_retention" -> Events.cohortRetention,
     // -- event/stream batch twins (SURVEY §2.14, §7.4) ---------------------
     "q_hourly_type_counts" -> Events.hourlyTypeCounts,
     "q_user_sessions" -> Events.userSessions,
@@ -57,6 +60,7 @@ object SparkEntry {
     "q_user_type_sets" -> Events.userTypeSets,
     "q_approx_distinct_users" -> Events.approxDistinctUsers,
     "q_funnel_stages" -> Events.funnelStages,
+    "q_value_deciles" -> Events.valueDeciles,
     // -- text analysis (§7.4) ----------------------------------------------
     "q_lang_id_confusion" -> TextOps.langIdConfusion,
     "q_quality_scores" -> TextOps.qualityScores,
@@ -69,6 +73,7 @@ object SparkEntry {
     "q_decontamination" -> ((s, dir) => TextOps.decontamination(s, dir)),
     "q_stratified_sample" -> TextOps.stratifiedSample,
     "q_repetition_scores" -> TextOps.repetitionScores,
+    "q_token_cooccurrence" -> ((s, dir) => TextOps.tokenCooccurrence(s, dir)),
     "q_seq_packing" -> ((s, dir) => Packing.sequencePacking(s, dir)),
     "q_context_windows" -> ((s, dir) => Packing.contextWindows(s, dir)),
     // -- dedup suite (§7.4) ------------------------------------------------
@@ -619,6 +624,63 @@ object SparkEntry {
                        JOIN region ON n_regionkey = r_regionkey
          GROUP BY GROUPING SETS ((r_name), (n_name))
          ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q_value_deciles" ->
+      """WITH t AS (SELECT event_type, event_id, value,
+           ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+         FROM events)
+         SELECT event_type, CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(value) AS min_value, max(value) AS max_value,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+         FROM t GROUP BY event_type, decile ORDER BY event_type, decile""",
+    "q_cohort_retention" ->
+      """WITH o AS (SELECT o_custkey,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS om FROM orders),
+         c AS (SELECT o_custkey, min(om) AS cohort_month FROM o GROUP BY o_custkey)
+         SELECT cohort_month,
+           CAST(datediff('month', cohort_month, om) AS INT) AS month_offset,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+         FROM o JOIN c USING (o_custkey)
+         GROUP BY cohort_month, month_offset ORDER BY cohort_month, month_offset""",
+    "q_scd2_customers" ->
+      """WITH upd AS (SELECT o_custkey AS c_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend,
+             max(CAST(o_orderdate AS DATE)) AS eff_date
+           FROM orders GROUP BY o_custkey)
+         SELECT c.c_custkey, CAST(1 AS INT) AS version,
+           CAST(round(CAST(c_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE) AS acctbal,
+           DATE '1992-01-01' AS valid_from, u.eff_date AS valid_to,
+           (u.c_custkey IS NULL) AS is_current
+         FROM customer c LEFT JOIN upd u USING (c_custkey)
+         UNION ALL
+         SELECT c.c_custkey, CAST(2 AS INT) AS version,
+           CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) + u.spend, 2) AS DOUBLE),
+           u.eff_date, CAST(NULL AS DATE), TRUE
+         FROM customer c JOIN upd u USING (c_custkey)
+         ORDER BY c_custkey, version""",
+    "q_profile_orders" ->
+      """SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls, CAST(n_distinct AS BIGINT) AS n_distinct
+         FROM (
+           SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+             count(*) - count(o_orderkey) AS n_nulls,
+             count(DISTINCT o_orderkey) AS n_distinct FROM orders
+           UNION ALL
+           SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+             count(DISTINCT o_custkey) FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+             count(DISTINCT o_orderstatus) FROM orders
+           UNION ALL
+           SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+             count(DISTINCT o_totalprice) FROM orders
+           UNION ALL
+           SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+             count(DISTINCT o_orderdate) FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+             count(DISTINCT o_orderpriority) FROM orders)
+         ORDER BY col_name""",
     "q_funnel_stages" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
          v AS (SELECT user_id, min(ts) AS view_ts FROM events
@@ -663,6 +725,21 @@ object SparkEntry {
            round(CAST(coalesce(n_dup, 0) AS DOUBLE) /
              greatest(coalesce(n_grams, 0), 1), 4) AS dup_2gram_frac
          FROM ts LEFT JOIN gs USING (doc_id) ORDER BY doc_id""",
+    "q_token_cooccurrence" ->
+      s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($toks)) AS tok
+           FROM documents),
+         df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+         top AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 40),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         ft AS (SELECT dt.doc_id, dt.tok, top.df FROM dt JOIN top USING (tok)),
+         p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+           FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+           GROUP BY a.tok, b.tok, a.df, b.df)
+         SELECT tok_a, tok_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) * n_docs / (df_a * df_b), 4) AS lift
+         FROM p, nd WHERE n_ab >= 5
+         ORDER BY lift DESC, tok_a, tok_b LIMIT 50""",
     "q_seq_packing" ->
       s"""WITH d AS (SELECT lang, doc_id, CAST(len($toks) AS BIGINT) AS n_tok
            FROM documents),

@@ -163,4 +163,44 @@ object Events {
           .otherwise(0)).cast("int").as("stage"))
       .orderBy($"user_id")
   }
+
+  /** Equi-depth decile buckets per event type (`ntile` window): count,
+    * min/max, and decimal-exact sum of `value` per bucket. The window
+    * partitions by event_type so no single task sorts the whole table;
+    * the (value, event_id) order key is total, making bucket assignment
+    * deterministic under ties. min/max pass stored values through
+    * untouched (bit-exact); only the sum needs the decimal cast.
+    */
+  def valueDeciles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    Tables(s, dir, "events")
+      .select($"event_type", $"event_id", $"value")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"event_type", $"decile")
+      .agg(count(lit(1)).as("n_events"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"),
+        Relational.moneySum($"value").as("sum_value"))
+      .orderBy($"event_type", $"decile")
+  }
+
+  /** Cohort retention over orders: customers grouped by first-order
+    * month, then distinct purchasers counted per month offset. Two
+    * hash-shuffles on o_custkey (cohort min + the distinct), both
+    * map-side combined; the cohort frame joins back broadcast-small
+    * relative to orders at any scale.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables(s, dir, "orders")
+      .select($"o_custkey", date_trunc("month", $"o_orderdate").cast("date").as("om"))
+    val cohort = orders.groupBy($"o_custkey").agg(min($"om").as("cohort_month"))
+    orders.join(cohort, Seq("o_custkey"))
+      .select($"o_custkey", $"cohort_month",
+        months_between($"om", $"cohort_month").cast("int").as("month_offset"))
+      .groupBy($"cohort_month", $"month_offset")
+      .agg(countDistinct($"o_custkey").as("n_customers"))
+      .orderBy($"cohort_month", $"month_offset")
+  }
 }

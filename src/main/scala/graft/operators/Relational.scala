@@ -352,4 +352,61 @@ object Relational {
       .agg(count(lit(1)).as("n_clicks"), moneySum($"value").as("sum_click_value"))
       .orderBy($"event_id")
   }
+
+  /** SCD2 (slowly-changing-dimension, type 2) merge: the customer
+    * dimension versioned against an update set derived from orders
+    * (new balance = old + total spend, effective at the customer's last
+    * order date). Customers with no orders keep their single current
+    * row; updated customers get their v1 row closed at the effective
+    * date and a v2 row opened. Spark has no MERGE over raw parquet, so
+    * the idiomatic shape is exactly this: closed-old UNION opened-new,
+    * one agg + two broadcast-or-shuffle equi-joins, rewrite the
+    * partition. All balance arithmetic in DECIMAL (exact, associative —
+    * double sums would drift under Spark's partial aggregation).
+    */
+  def scd2Customers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+    val upd = Tables(s, dir, "orders")
+      .groupBy($"o_custkey".as("c_custkey"))
+      .agg(sum(dec($"o_totalprice")).as("spend"),
+        max($"o_orderdate".cast("date")).as("eff_date"))
+    val v1 = cust.join(upd, Seq("c_custkey"), "left")
+      .select($"c_custkey", lit(1).cast("int").as("version"),
+        round(dec($"c_acctbal"), 2).cast("double").as("acctbal"),
+        to_date(lit("1992-01-01")).as("valid_from"),
+        $"eff_date".as("valid_to"),
+        $"eff_date".isNull.as("is_current"))
+    val v2 = cust.join(upd, Seq("c_custkey"))
+      .select($"c_custkey", lit(2).cast("int").as("version"),
+        round(dec($"c_acctbal") + $"spend", 2).cast("double").as("acctbal"),
+        $"eff_date".as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+    v1.unionByName(v2).orderBy($"c_custkey", $"version")
+  }
+
+  /** Column-profiling audit over orders (null / distinct counts per
+    * column) — the generic data-quality scan a load pipeline runs before
+    * accepting a batch (reference analog: the CHECK-constraint schema,
+    * 05-create-schema.sh). Shape: unpivot to (col_name, value) then one
+    * two-phase distinct aggregation keyed by column name — scales as a
+    * single shuffle of width × rows, with no per-column job fan-out and
+    * no multi-countDistinct EXPAND over the wide row. Values feed only
+    * COUNT(DISTINCT), so the string cast's formatting is irrelevant
+    * (any injective rendering yields the same counts).
+    */
+  def profileOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables(s, dir, "orders")
+    val stackExpr = orders.columns.map(c => s"'$c', CAST($c AS STRING)")
+      .mkString(s"stack(${orders.columns.length}, ", ", ", ")")
+    orders
+      .select(expr(stackExpr).as(Seq("col_name", "value")))
+      .groupBy($"col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count($"value")).as("n_nulls"),
+        countDistinct($"value").as("n_distinct"))
+      .orderBy($"col_name")
+  }
 }

@@ -255,4 +255,37 @@ object TextOps {
       .select($"doc_id", $"lang")
       .orderBy($"doc_id")
   }
+
+  /** Token co-occurrence lift over a bounded vocabulary: the top-`vocab`
+    * tokens by document frequency, paired within documents, scored by
+    * pointwise lift `n_ab·N / (df_a·df_b)` (PMI sans the log — the log
+    * adds nothing to ranking and libm implementations differ in the last
+    * ulp across engines). The vocabulary cap is the scale lever: pair
+    * space is ≤ vocab²/2 per doc regardless of corpus size, the top
+    * frame broadcasts, and the only large shuffle is the doc_id-blocked
+    * self-join. Integer operands keep the double arithmetic bit-exact.
+    */
+  def tokenCooccurrence(s: SparkSession, dir: String, vocab: Int = 40,
+                        minPairs: Int = 5, k: Int = 50): DataFrame = {
+    import s.implicits._
+    val docToks = docsFanned(s, dir)
+      .select($"doc_id", explode(text.distinctTokens($"text")).as("tok"))
+    val df = docToks.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val top = df.orderBy($"df".desc, $"tok").limit(vocab)
+    val nDocs = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val ft = docToks.join(broadcast(top), Seq("tok"))
+    val a = ft.alias("a")
+    val b = ft.alias("b")
+    a.join(b, col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .groupBy($"tok_a", $"tok_b", $"df_a", $"df_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= minPairs)
+      .crossJoin(broadcast(nDocs))
+      .select($"tok_a", $"tok_b", $"n_ab",
+        round($"n_ab".cast("double") * $"n_docs" / ($"df_a" * $"df_b"), 4).as("lift"))
+      .orderBy($"lift".desc, $"tok_a", $"tok_b")
+      .limit(k)
+  }
 }

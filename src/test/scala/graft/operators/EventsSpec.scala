@@ -40,4 +40,39 @@ class EventsSpec extends SparkSpec {
     }.filter(_._2).map(_._1).toSet
     assert(stages.filter(_._2 == 3).keySet === expected3)
   }
+
+  test("valueDeciles: 10 near-equal buckets per type, contiguous value ranges") {
+    val rows = Events.valueDeciles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val typeCounts = Tables(spark, sf, "events")
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (t, ds) =>
+      assert(ds.map(_._2).sorted.toSeq === (1 to 10))
+      assert(ds.map(_._3).sum === typeCounts(t))
+      // ntile: bucket sizes differ by at most 1, larger buckets first
+      val sizes = ds.sortBy(_._2).map(_._3)
+      assert(sizes.max - sizes.min <= 1 && sizes.sorted.reverse.toSeq === sizes.toSeq)
+      // value ranges are non-overlapping and ordered across deciles
+      ds.sortBy(_._2).sliding(2).foreach {
+        case Array(lo, hi) => assert(lo._5 <= hi._4 + 1e-9)
+        case _ =>
+      }
+    }
+  }
+
+  test("cohortRetention: offset-0 equals cohort size, totals match order months") {
+    val rows = Events.cohortRetention(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    val cohorts = Tables(spark, sf, "orders")
+      .groupBy($"o_custkey")
+      .agg(min(date_trunc("month", $"o_orderdate").cast("date")).as("cm"))
+      .groupBy($"cm").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val zero = rows.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    assert(zero === cohorts) // every customer is active in their cohort month
+    assert(rows.forall(_._2 >= 0))
+    // per-cohort retention never exceeds the cohort's size
+    rows.foreach { case (cm, _, n) => assert(n <= cohorts(cm)) }
+  }
 }

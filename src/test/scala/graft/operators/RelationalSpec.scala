@@ -103,4 +103,46 @@ class RelationalSpec extends SparkSpec {
     assert(byGid.keySet === Set(1, 2)) // (r_name) keeps n_name null and vice versa
     assert(byGid(1) === total && byGid(2) === total)
   }
+
+  test("scd2Customers: one current row per customer, versions chain exactly") {
+    val rows = Relational.scd2Customers(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(2),
+        Option(r.getDate(3)).map(_.toString), Option(r.getDate(4)).map(_.toString),
+        r.getBoolean(5)))
+    val nCust = Tables(spark, sf, "customer").count()
+    val withOrders = Tables(spark, sf, "orders")
+      .select($"o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.length === nCust + withOrders.size)
+    val byCust = rows.groupBy(_._1)
+    assert(byCust.keySet.size === nCust)
+    // exact-decimal recount of the updated balance for ordered customers
+    def dec2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val spend = Tables(spark, sf, "orders")
+      .select($"o_custkey", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), dec2(r.getDouble(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    byCust.foreach { case (ck, vs) =>
+      assert(vs.count(_._6) === 1) // exactly one current version
+      if (withOrders(ck)) {
+        val Seq(v1, v2) = vs.sortBy(_._2).toSeq
+        assert(!v1._6 && v2._6)
+        assert(v1._5 === v2._4) // v1 closes exactly where v2 opens
+        assert(dec2(v2._3) === dec2(v1._3) + spend(ck))
+      } else {
+        assert(vs.length === 1 && vs.head._6 && vs.head._5.isEmpty)
+      }
+    }
+  }
+
+  test("profileOrders: counts match independent per-column recounts") {
+    val prof = Relational.profileOrders(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val orders = Tables(spark, sf, "orders")
+    val n = orders.count()
+    assert(prof.keySet === orders.columns.toSet)
+    prof.values.foreach { case (rows, _, _) => assert(rows === n) }
+    assert(prof("o_orderkey") === ((n, 0L, n))) // PK: no nulls, all distinct
+    val distinctStatus = orders.select($"o_orderstatus").distinct().count()
+    assert(prof("o_orderstatus")._3 === distinctStatus)
+  }
 }

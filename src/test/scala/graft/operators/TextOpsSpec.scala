@@ -104,4 +104,26 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getLong(2) >= 0 && r.getLong(3) >= 0 && r.getLong(4) >= 0)
     }
   }
+
+  test("tokenCooccurrence matches a full driver-side recomputation") {
+    val got = TextOps.tokenCooccurrence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // independent recount from raw text on the tiny SF
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSet)
+    val nDocs = docs.length.toLong
+    val df = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val top = df.toSeq.sortBy { case (t, d) => (-d, t) }.take(40).toMap
+    val pairCounts = docs.flatMap { case (_, toks) =>
+      val kept = toks.filter(top.contains).toSeq.sorted
+      for (i <- kept.indices; j <- i + 1 until kept.length) yield (kept(i), kept(j))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = pairCounts.collect { case ((a, b), nab) if nab >= 5 =>
+      val lift = BigDecimal(nab.toDouble * nDocs / (top(a) * top(b)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, nab, lift)
+    }.toSeq.sortBy { case (a, b, _, l) => (-l, a, b) }.take(50)
+    assert(got.toSeq === expected)
+  }
 }
