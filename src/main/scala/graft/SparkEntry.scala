@@ -428,9 +428,12 @@ object SparkEntry {
            FROM cuts),
          fps AS (SELECT DISTINCT s.doc_id,
              md5(substring(d.text, s.prev + 1, s.cut - s.prev)) AS fp
-           FROM segs s JOIN documents d USING (doc_id))
+           FROM segs s JOIN documents d USING (doc_id)),
+         rare AS (SELECT doc_id, fp FROM (
+             SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps)
+           WHERE df <= ${operators.Chunker.MaxChunkDf})
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-         FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY doc_a, doc_b HAVING count(*) >= 2
          ORDER BY doc_a, doc_b""",
     "q_dedup_exact" ->

@@ -145,12 +145,25 @@ object Chunker {
     }.toArray
   }
 
-  /** Shared-chunk near-dup candidates: docs sharing >= minShared chunk
-    * fingerprints (explode -> self-join on chunk hash -> count). Pair
-    * generation is blocked by chunk hash — linear in corpus, like the
-    * other dedup variants.
+  /** Document-frequency cap for blocking chunks: fingerprints present in
+    * more than this many documents are boilerplate ("stop chunks") and
+    * are dropped before pair generation. Shared with the SQL oracle.
     */
-  def sharedChunkPairs(s: SparkSession, dir: String, minShared: Int = 2): DataFrame = {
+  val MaxChunkDf = 64
+
+  /** Shared-chunk near-dup candidates: docs sharing >= minShared *rare*
+    * chunk fingerprints (explode -> df-cap -> self-join on chunk hash ->
+    * count). Pair generation is blocked by chunk hash, and the df cap
+    * bounds every bucket: without it one boilerplate chunk shared by k
+    * docs costs k²/2 join rows (measured: a single df=11k fingerprint
+    * contributed 65M of 72M pairs at 10× bench scale — the classic
+    * stop-shingle blowup). Common chunks carry no near-dup signal anyway.
+    * The df window shuffles on ch, the same key the self-join needs, so
+    * the cap adds no extra exchange and the two join inputs reuse one
+    * shuffle (ReuseExchange).
+    */
+  def sharedChunkPairs(s: SparkSession, dir: String, minShared: Int = 2,
+                       maxDf: Int = MaxChunkDf): DataFrame = {
     import s.implicits._
     // distinct per doc: a chunk hash repeated inside one document would
     // otherwise multiply the join matches (2x2 rows for 1 shared chunk)
@@ -164,8 +177,11 @@ object Chunker {
       })
       .toDF("doc_id", "fps")
       .select($"doc_id", explode($"fps").as("ch"))
-    val a = chunks.alias("a")
-    val b = chunks.alias("b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"ch")
+    val rare = chunks.withColumn("df", count(lit(1)).over(w))
+      .filter($"df" <= maxDf).select($"doc_id", $"ch")
+    val a = rare.alias("a")
+    val b = rare.alias("b")
     a.join(b, col("a.ch") === col("b.ch") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
