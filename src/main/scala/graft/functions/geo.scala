@@ -31,4 +31,27 @@ object geo {
                    centerLat: Double, centerLon: Double,
                    radiusMeters: Double): Column =
     haversineMeters(lit(centerLat), lit(centerLon), lat, lon) <= lit(radiusMeters)
+
+  /** Sargable degree bounding box around a centre — a strict SUPERSET of
+    * the radius circle (1% slack over the spherical degree metrics), so
+    * conjoining it with [[withinRadius]] never changes results. The point
+    * at scale: simple range predicates on stored lat/lon columns push
+    * into the parquet scan (min/max row-group pruning, PushedFilters),
+    * which the transcendental haversine never can — so a radius query
+    * over a geo-partitioned 100 TB table prunes to the relevant files
+    * and only candidates pay the trig. Near the poles the longitude
+    * span degenerates; the box widens to all longitudes (still a
+    * superset).
+    */
+  def inBoundingBox(lat: Column, lon: Column,
+                    centerLat: Double, centerLon: Double,
+                    radiusMeters: Double): Column = {
+    val mPerDegLat = math.Pi * EarthRadiusMeters / 180.0
+    val dLat = radiusMeters / mPerDegLat * 1.01
+    val cosLat = math.cos(math.toRadians(centerLat))
+    val dLon =
+      if (cosLat < 1e-6) 360.0 else radiusMeters / (mPerDegLat * cosLat) * 1.01
+    lat.between(lit(centerLat - dLat), lit(centerLat + dLat)) &&
+      lon.between(lit(centerLon - dLon), lit(centerLon + dLon))
+  }
 }

@@ -171,6 +171,10 @@ object Relational {
     Tables(s, dir, "customer")
       .withColumn("lat", lit(52.0) + ($"c_custkey" % 100).cast("double") / 100.0)
       .withColumn("lon", lit(13.0) + (($"c_custkey" * 7) % 100).cast("double") / 100.0)
+      // superset bounding box first: over stored coordinates this range
+      // predicate reaches the scan (min/max pruning); here it short-
+      // circuits the trig for out-of-box rows. Result set unchanged.
+      .filter(geo.inBoundingBox($"lat", $"lon", centerLat, centerLon, 30000.0))
       .withColumn("dist_m",
         geo.haversineMeters(lit(centerLat), lit(centerLon), $"lat", $"lon"))
       .filter($"dist_m" <= 30000.0)

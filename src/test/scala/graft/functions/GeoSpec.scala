@@ -42,4 +42,18 @@ class GeoSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6)
     assert(r.getDouble(2) === 0.0)
   }
+
+  test("bounding box is a strict superset of the radius circle") {
+    // dense grid around the centre: every in-radius point must be in-box
+    val centerLat = 52.52437; val centerLon = 13.41053; val r = 30000.0
+    val grid = for (i <- -60 to 60; j <- -60 to 60)
+      yield (centerLat + i * 0.01, centerLon + j * 0.01)
+    val df = grid.toDF("lat", "lon")
+      .select(
+        geo.withinRadius($"lat", $"lon", centerLat, centerLon, r).as("in_r"),
+        geo.inBoundingBox($"lat", $"lon", centerLat, centerLon, r).as("in_b"))
+    assert(df.filter($"in_r" && !$"in_b").count() === 0)
+    // and the box is tight: it must not admit everything
+    assert(df.filter(!$"in_b").count() > 0)
+  }
 }
