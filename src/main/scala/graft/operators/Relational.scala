@@ -362,11 +362,11 @@ object Relational {
     * (new balance = old + total spend, effective at the customer's last
     * order date). Customers with no orders keep their single current
     * row; updated customers get their v1 row closed at the effective
-    * date and a v2 row opened. Spark has no MERGE over raw parquet, so
-    * the idiomatic shape is exactly this: closed-old UNION opened-new,
-    * one agg + two broadcast-or-shuffle equi-joins, rewrite the
-    * partition. All balance arithmetic in DECIMAL (exact, associative —
-    * double sums would drift under Spark's partial aggregation).
+    * date and a v2 row opened. Spark has no MERGE over raw parquet; the
+    * scalable shape is one agg + one equi-join + a version generator,
+    * then rewrite the partition. All balance arithmetic in DECIMAL
+    * (exact, associative — double sums would drift under Spark's
+    * partial aggregation).
     */
   def scd2Customers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -375,19 +375,25 @@ object Relational {
       .groupBy($"o_custkey".as("c_custkey"))
       .agg(sum(dec($"o_totalprice")).as("spend"),
         max($"o_orderdate".cast("date")).as("eff_date"))
-    val v1 = cust.join(upd, Seq("c_custkey"), "left")
-      .select($"c_custkey", lit(1).cast("int").as("version"),
-        round(dec($"c_acctbal"), 2).cast("double").as("acctbal"),
-        to_date(lit("1992-01-01")).as("valid_from"),
-        $"eff_date".as("valid_to"),
-        $"eff_date".isNull.as("is_current"))
-    val v2 = cust.join(upd, Seq("c_custkey"))
-      .select($"c_custkey", lit(2).cast("int").as("version"),
-        round(dec($"c_acctbal") + $"spend", 2).cast("double").as("acctbal"),
-        $"eff_date".as("valid_from"),
-        lit(null).cast("date").as("valid_to"),
-        lit(true).as("is_current"))
-    v1.unionByName(v2).orderBy($"c_custkey", $"version")
+    // one join, versions from a generator — NOT a union of two joins:
+    // column pruning specializes union branches (v1 drops `spend`), so
+    // Catalyst plans the orders aggregation twice and nothing reuses.
+    // The generator shape scans customer and orders exactly once each.
+    cust.join(upd, Seq("c_custkey"), "left")
+      .select($"c_custkey", $"c_acctbal", $"spend", $"eff_date",
+        explode(when($"eff_date".isNull, array(lit(1)))
+          .otherwise(array(lit(1), lit(2)))).as("version"))
+      .select($"c_custkey", $"version".cast("int").as("version"),
+        when($"version" === 1, round(dec($"c_acctbal"), 2))
+          .otherwise(round(dec($"c_acctbal") + $"spend", 2))
+          .cast("double").as("acctbal"),
+        when($"version" === 1, to_date(lit("1992-01-01")))
+          .otherwise($"eff_date").as("valid_from"),
+        when($"version" === 1, $"eff_date")
+          .otherwise(lit(null).cast("date")).as("valid_to"),
+        when($"version" === 1, $"eff_date".isNull)
+          .otherwise(lit(true)).as("is_current"))
+      .orderBy($"c_custkey", $"version")
   }
 
   /** Column-profiling audit over orders (null / distinct counts per

@@ -126,4 +126,38 @@ class PlanSpec extends SparkSpec {
     val plan = planString(cal)
     assert(plan.contains("PushedFilters:") && plan.contains("end_date"), plan.take(1500))
   }
+
+  test("shared-chunk self-join reuses one exchange for both sides") {
+    // the df-cap window shuffles on ch — the same key the self-join
+    // needs — so the expensive chunking pass must be computed once and
+    // its exchange reused, not duplicated per join side
+    val df = Chunker.sharedChunkPairs(spark, sf)
+    val plan = planString(df)
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+      plan.take(3000))
+  }
+
+  test("token co-occurrence broadcasts the capped vocabulary and doc total") {
+    val nodes = allNodes(TextOps.tokenCooccurrence(spark, sf))
+    val bhj = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj >= 1, "vocab join must broadcast, never shuffle the token stream")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
+
+  test("SCD2 scans customer and orders exactly once each") {
+    // the generator shape, not union-of-two-joins: column pruning would
+    // specialize union branches and plan the orders aggregation twice
+    val df = Relational.scd2Customers(spark, sf)
+    df.collect()
+    val scans = allNodes(df)
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.mkString }
+    assert(scans.count(_.contains("orders")) === 1, scans)
+    assert(scans.count(_.contains("customer")) === 1, scans)
+    assert(allNodes(df).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.GenerateExec]),
+      "versions come from one generator pass")
+  }
 }
