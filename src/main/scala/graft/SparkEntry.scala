@@ -80,6 +80,7 @@ object SparkEntry {
     "q_dedup_exact" -> Dedup.exact,
     "q_jaccard_pairs" -> Dedup.ngramJaccardPairs,
     "q_minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashLshPairs(s, dir)),
+    "q_minhash_jaccard_est" -> ((s, dir) => Dedup.minhashJaccardEst(s, dir)),
     "q_minhash_signatures" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       Dedup.minhashSignatures(Tables(s, dir, "documents"), 3, 12)
@@ -107,12 +108,12 @@ object SparkEntry {
   private val toks =
     """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')"""
 
-  /** MinHash-LSH candidate pairs, sans ORDER BY — shared between the
-    * q_minhash_lsh_pairs oracle and the dedup-assignments oracle's edge
-    * list (both must agree bit-for-bit with Dedup.minhashLshPairs).
+  /** MinHash CTE chain (docs → shingles → per-seed mins → LSH bands) —
+    * the single source for every MinHash-derived oracle (candidate
+    * pairs, dedup edges, Jaccard estimates), so they cannot drift.
     */
-  private val minhashPairsCore =
-    s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+  private val minhashCtes =
+    s"""docs AS (SELECT doc_id, $toks AS toks FROM documents),
        sh AS (SELECT doc_id, unnest(list_transform(
            generate_series(1, len(toks) - 2),
            i -> array_to_string(toks[i:i+2], ' '))) AS sh
@@ -124,10 +125,20 @@ object SparkEntry {
        bands AS (SELECT doc_id, seed // 3 AS band,
            string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || mh, ','
              ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || mh) AS sig
-         FROM mh GROUP BY doc_id, band)
-       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM mh GROUP BY doc_id, band)"""
+
+  private val minhashPairsSelect =
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM bands a JOIN bands b
          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
+
+  /** MinHash-LSH candidate pairs, sans ORDER BY — shared between the
+    * q_minhash_lsh_pairs oracle and the dedup-assignments oracle's edge
+    * list (both must agree bit-for-bit with Dedup.minhashLshPairs).
+    */
+  private val minhashPairsCore =
+    s"""WITH $minhashCtes
+       $minhashPairsSelect"""
 
   /** Windowed polynomial hash terms for the portable-CDC chunk oracle —
     * generated from Chunker.Bpow so the SQL constants cannot drift from
@@ -451,6 +462,26 @@ object SparkEntry {
          ORDER BY doc_a, doc_b""",
     "q_minhash_lsh_pairs" ->
       s"""$minhashPairsCore
+         ORDER BY doc_a, doc_b""",
+    "q_minhash_jaccard_est" ->
+      s"""WITH $minhashCtes,
+         pairs AS ($minhashPairsSelect),
+         est AS (SELECT p.doc_a, p.doc_b,
+             round(CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+               / 12, 4) AS est_jaccard
+           FROM pairs p
+           JOIN mh ma ON ma.doc_id = p.doc_a
+           JOIN mh mb ON mb.doc_id = p.doc_b AND mb.seed = ma.seed
+           GROUP BY p.doc_a, p.doc_b),
+         shs AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i:i+2], ' '))) AS shs
+           FROM docs WHERE len(toks) >= 3)
+         SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+             / len(list_distinct(a.shs || b.shs)), 4) AS true_jaccard
+         FROM est e JOIN shs a ON a.doc_id = e.doc_a
+                    JOIN shs b ON b.doc_id = e.doc_b
          ORDER BY doc_a, doc_b""",
     "q_minhash_signatures" ->
       s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.{dates, geo}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -167,4 +167,21 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Streaming heavy hitters: the space-saving sketch Aggregator over a
+    * keyed (group, item) stream — bounded per-group state at any item
+    * cardinality, the streaming twin of TextOps.topTokensPerLang. The
+    * typed Aggregator runs as a regular streaming aggregation (update/
+    * complete mode), so its state lives in the state store and merges
+    * across micro-batches via the sketch's own merge — this is exactly
+    * what the Aggregator abstraction buys over a driver-side counter.
+    */
+  def streamingTopItems(items: Dataset[(String, String)], capacity: Int = 1024,
+                        k: Int = 5): Dataset[(String, Seq[(String, Long)])] = {
+    val s = items.sparkSession
+    import s.implicits._
+    items.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.aggregates.SpaceSavingTopK(capacity, k).toColumn)
+  }
 }

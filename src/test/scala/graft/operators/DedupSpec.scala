@@ -93,6 +93,25 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
   }
 
+  test("minhashJaccardEst: one row per LSH candidate, estimator brackets truth") {
+    val est = Dedup.minhashJaccardEst(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val pairs = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(est.map(e => (e._1, e._2)).toSet === pairs)
+    est.foreach { case (_, _, e, t) =>
+      assert(e >= 0.0 && e <= 1.0 && t >= 0.0 && t <= 1.0)
+      // LSH candidates agreed on a full band (3 of 12 seeds) by construction
+      assert(e >= 0.25 - 1e-9)
+    }
+    // exact duplicates must estimate exactly 1 and measure exactly 1
+    val dupes = Dedup.exact(spark, sf).filter($"n_copies" > 1)
+    if (dupes.count() > 0) {
+      val perfect = est.filter(_._4 == 1.0)
+      assert(perfect.forall(_._3 == 1.0), "identical shingle sets ⇒ identical minhashes")
+    }
+  }
+
   test("simhash: identical docs share fingerprints; distinct content differs") {
     val fp = docs.select($"doc_id", Dedup.simhash64(graft.functions.text.tokensLower($"text")).as("f"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -272,4 +272,25 @@ class StreamingSpec extends SparkSpec {
       sleep = d => { sleeps += d; clock += d })
     assert(sleeps.toSeq === Seq(2000L))
   }
+
+  test("streaming top items: sketch state merges exactly across micro-batches") {
+    val input = MemoryStream[(String, String)](spark)
+    val q = Streams.streamingTopItems(input.toDS(), capacity = 100, k = 2)
+      .toDF("grp", "top")
+      .writeStream.format("memory").queryName("topitems_out")
+      .outputMode(OutputMode.Complete).start()
+    input.addData(("en", "the"), ("en", "the"), ("en", "of"), ("de", "der"))
+    q.processAllAvailable()
+    input.addData(("en", "of"), ("en", "of"), ("de", "der"), ("de", "und"))
+    q.processAllAvailable()
+    val rows = spark.table("topitems_out")
+      .selectExpr("grp", "top[0]._1", "top[0]._2", "top[1]._1", "top[1]._2")
+      .collect().map(r =>
+        r.getString(0) -> Seq(r.getString(1) -> r.getLong(2), r.getString(3) -> r.getLong(4)))
+      .toMap
+    q.stop()
+    // capacity >> cardinality: the sketch is exact across both batches
+    assert(rows("en") === Seq("of" -> 3L, "the" -> 2L))
+    assert(rows("de") === Seq("der" -> 2L, "und" -> 1L))
+  }
 }
