@@ -94,6 +94,7 @@ object SparkEntry {
     // -- similarity search (§7.4) ------------------------------------------
     "q_brute_force_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "q_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "q_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
     "q_quant_stats" -> Similarity.quantizationStats,
@@ -545,6 +546,36 @@ object SparkEntry {
            round(list_cosine_similarity(asg.v, qv), 4) AS cos_sim
          FROM asg, qc WHERE asg.cid = qcid AND asg.vec_id <> 0
          ORDER BY cos_sim DESC, asg.vec_id LIMIT 5""",
+    "q_ann_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         a AS (SELECT e.vec_id, e.v, c.cid,
+             list_cosine_similarity(e.v, c.cv) AS sim FROM e, c),
+         r AS (SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+           FROM a),
+         asg AS (SELECT vec_id, v, cid FROM r WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, v AS qv, cid AS qcid FROM asg
+           WHERE vec_id < 20),
+         brute AS (SELECT qid, vec_id FROM (
+             SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(e.v, q.qv), 4) DESC,
+                   e.vec_id) AS rn
+             FROM e, q WHERE e.vec_id <> q.qid)
+           WHERE rn <= 5),
+         ivf AS (SELECT qid, vec_id FROM (
+             SELECT q.qid, asg.vec_id, row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(asg.v, q.qv), 4) DESC,
+                   asg.vec_id) AS rn
+             FROM asg, q WHERE asg.cid = q.qcid AND asg.vec_id <> q.qid)
+           WHERE rn <= 5)
+         SELECT b.qid AS query_id, CAST(count(*) AS BIGINT) AS n_brute,
+           CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overlap,
+           round(CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 4) AS recall
+         FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.vec_id = b.vec_id
+         GROUP BY b.qid ORDER BY query_id""",
     "q_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings)

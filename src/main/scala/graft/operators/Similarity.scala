@@ -150,4 +150,54 @@ object Similarity {
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(k)
   }
+
+  /** ANN recall audit: per query vector, how much of the exact cosine
+    * top-k the IVF cell search recovers — the acceptance gate every
+    * approximate index must pass before it replaces the exact path. The
+    * brute side is affordable because it runs only for the `nQueries`
+    * probes (each a broadcast against the scan), not all pairs; the IVF
+    * side reuses the very assignment the index would serve. Same
+    * determinism discipline as the search paths: ranks on the ROUNDED
+    * similarity (4dp) then vec_id, so ulp drift cannot flip ranks.
+    */
+  def annRecall(s: SparkSession, dir: String, nQueries: Int = 20,
+                k: Int = 5, nlist: Int = 8): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir)
+    val cents = e.filter($"vec_id" < nlist).select($"vec_id".as("cid"), $"v".as("cv"))
+    val byVec = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")
+    // feeds the probe set AND the cell search — checkpoint or the
+    // centroid-assignment join runs twice
+    val assigned = e.join(broadcast(cents))
+      .select($"vec_id", $"v", $"cid",
+        vectors.cosineSimilarity($"v", $"cv").as("sim"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"cid")
+      .localCheckpoint()
+    val queries = assigned.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"cid".as("qcid"))
+    val byQuery = Window.partitionBy($"qid").orderBy($"cs".desc, $"vec_id")
+    val brute = e.join(broadcast(queries.select($"qid", $"qv")))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        round(vectors.cosineSimilarity($"v", $"qv"), 4).as("cs"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter($"rn" <= k)
+    val ivf = assigned.join(broadcast(queries), $"cid" === $"qcid")
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        round(vectors.cosineSimilarity($"v", $"qv"), 4).as("cs"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter($"rn" <= k)
+    brute
+      .join(ivf.select($"qid", $"vec_id", lit(1).as("hit")),
+        Seq("qid", "vec_id"), "left")
+      .groupBy($"qid".as("query_id"))
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce($"hit", lit(0))).cast("long").as("n_overlap"))
+      .select($"query_id", $"n_brute", $"n_overlap",
+        round($"n_overlap".cast("double") / $"n_brute", 4).as("recall"))
+      .orderBy($"query_id")
+  }
 }

@@ -40,6 +40,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).distinct.length === 1) // single cell searched
   }
 
+  test("annRecall: query 0's row reproduces ivfTopK-vs-bruteForce overlap") {
+    val rows = Similarity.annRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === rows.map(_._1).toSeq.sorted)
+    rows.foreach { case (_, nBrute, nOverlap, recall) =>
+      assert(nBrute === 5L)
+      assert(nOverlap >= 0 && nOverlap <= nBrute)
+      assert(recall === BigDecimal(nOverlap.toDouble / nBrute)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // independent recount for query 0 from the two single-query operators
+    val brute0 = Similarity.bruteForceTopK(spark, sf, k = 5).collect()
+      .map(_.getLong(0)).toSet
+    val ivf0 = Similarity.ivfTopK(spark, sf).collect().map(_.getLong(0)).toSet
+    val row0 = rows.find(_._1 == 0L).get
+    assert(row0._3 === brute0.intersect(ivf0).size.toLong)
+  }
+
   test("quantizationStats: codes bounded by int8, error below half-step bound") {
     val rows = Similarity.quantizationStats(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getDouble(4)))
