@@ -50,6 +50,7 @@ object SparkEntry {
     "q_scd2_customers" -> Relational.scd2Customers,
     "q_profile_orders" -> Relational.profileOrders,
     "q_cohort_retention" -> Events.cohortRetention,
+    "q_order_gaps" -> Relational.orderGaps,
     // -- event/stream batch twins (SURVEY §2.14, §7.4) ---------------------
     "q_hourly_type_counts" -> Events.hourlyTypeCounts,
     "q_user_sessions" -> Events.userSessions,
@@ -61,6 +62,7 @@ object SparkEntry {
     "q_approx_distinct_users" -> Events.approxDistinctUsers,
     "q_funnel_stages" -> Events.funnelStages,
     "q_value_deciles" -> Events.valueDeciles,
+    "q_approx_quantile_audit" -> ((s, dir) => Events.approxQuantileAudit(s, dir)),
     // -- text analysis (§7.4) ----------------------------------------------
     "q_lang_id_confusion" -> TextOps.langIdConfusion,
     "q_quality_scores" -> TextOps.qualityScores,
@@ -76,6 +78,10 @@ object SparkEntry {
     "q_token_cooccurrence" -> ((s, dir) => TextOps.tokenCooccurrence(s, dir)),
     "q_seq_packing" -> ((s, dir) => Packing.sequencePacking(s, dir)),
     "q_context_windows" -> ((s, dir) => Packing.contextWindows(s, dir)),
+    "q_char_entropy" -> TextOps.charEntropy,
+    "q_inverted_index" -> ((s, dir) => TextOps.invertedIndex(s, dir)),
+    "q_keyword_search" -> ((s, dir) => TextOps.keywordSearch(s, dir)),
+    "q_bigram_surprisal" -> TextOps.bigramSurprisal,
     // -- dedup suite (§7.4) ------------------------------------------------
     "q_dedup_exact" -> Dedup.exact,
     "q_jaccard_pairs" -> Dedup.ngramJaccardPairs,
@@ -108,6 +114,28 @@ object SparkEntry {
   // match Spark's long, len() casts to INT where Spark size() yields int.
   private val toks =
     """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')"""
+
+  /** a–z letter-count fragments for the char-entropy oracle — generated
+    * from one letter seq (the same 'a' to 'z' range TextOps.charEntropy
+    * folds over, in the same order, so the double-sum association and
+    * the SQL cannot drift from the Scala).
+    */
+  private val entLetters = ('a' to 'z').map(_.toString)
+  private val entCountCols = entLetters.map(l =>
+    s"length(t) - length(replace(t, '$l', '')) AS c_$l").mkString(", ")
+  private val entSumN = entLetters.map(l => s"c_$l").mkString(" + ")
+  private val entTerms = entLetters.map(l =>
+    s"CASE WHEN c_$l > 0 THEN -(CAST(c_$l AS DOUBLE) / n_letters) * " +
+      s"ln(CAST(c_$l AS DOUBLE) / n_letters) ELSE 0.0 END").mkString(" + ")
+
+  /** 2-gram shingle stream (same slice algebra as the 3-gram minhash
+    * CTE) — shared by the bigram-LM oracle's train and eval sides.
+    */
+  private def bigramUnnest(where: String) =
+    s"""SELECT doc_id, unnest(list_transform(
+          generate_series(1, len(toks) - 1),
+          i -> array_to_string(toks[i:i+1], ' '))) AS g
+        FROM docs WHERE $where AND len(toks) >= 2"""
 
   /** MinHash CTE chain (docs → shingles → per-seed mins → LSH bands) —
     * the single source for every MinHash-derived oracle (candidate
@@ -648,6 +676,70 @@ object SparkEntry {
          WHERE b < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 20
            WHEN 'fr' THEN 30 WHEN 'es' THEN 40 ELSE 50 END
          ORDER BY doc_id""",
+    "q_order_gaps" ->
+      """WITH g AS (SELECT o_custkey,
+           date_diff('day',
+             CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS DATE),
+             CAST(o_orderdate AS DATE)) AS gap
+           FROM orders)
+         SELECT o_custkey, count(*) AS n_orders,
+           round(avg(gap), 2) AS avg_gap_days,
+           max(gap) AS max_gap_days
+         FROM g GROUP BY o_custkey HAVING count(*) >= 5
+         ORDER BY o_custkey""",
+    "q_approx_quantile_audit" ->
+      """SELECT event_type, CAST(p AS DOUBLE) AS p, CAST(true AS BOOLEAN) AS ok
+         FROM (SELECT DISTINCT event_type FROM events)
+         CROSS JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) t(p)
+         ORDER BY event_type, p""",
+    "q_char_entropy" ->
+      s"""WITH t0 AS (SELECT doc_id, lower(text) AS t FROM documents),
+         c AS (SELECT doc_id, $entCountCols FROM t0),
+         n AS (SELECT *, $entSumN AS n_letters FROM c)
+         SELECT doc_id, CAST(n_letters AS BIGINT) AS n_letters,
+           round(CASE WHEN n_letters > 0 THEN $entTerms ELSE 0.0 END, 4) AS entropy
+         FROM n ORDER BY doc_id""",
+    "q_inverted_index" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, unnest($toks) AS tok FROM documents)),
+         d AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+         cap AS (SELECT tok, doc_id FROM (
+             SELECT tok, doc_id,
+               row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rk
+             FROM dt)
+           WHERE rk <= 20),
+         p AS (SELECT tok, array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+           FROM cap GROUP BY tok)
+         SELECT d.tok, d.df, p.postings
+         FROM d JOIN p USING (tok)
+         ORDER BY d.df DESC, d.tok LIMIT 50""",
+    "q_keyword_search" ->
+      s"""SELECT doc_id, count(*) AS score
+         FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+         WHERE tok IN ('vector', 'hash', 'spark')
+         GROUP BY doc_id
+         HAVING count(DISTINCT tok) = 3
+         ORDER BY score DESC, doc_id LIMIT 25""",
+    "q_bigram_surprisal" ->
+      s"""WITH docs AS (SELECT doc_id,
+           CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket,
+           $toks AS toks FROM documents),
+         tg AS (${bigramUnnest("bucket < 80")}),
+         cab AS (SELECT g, count(*) AS c_ab FROM tg GROUP BY g),
+         tu AS (SELECT unnest(toks) AS a FROM docs WHERE bucket < 80),
+         ca AS (SELECT a, count(*) AS c_a FROM tu GROUP BY a),
+         voc AS (SELECT count(*) AS v FROM ca),
+         ev AS (${bigramUnnest("bucket >= 90")}),
+         sc AS (SELECT ev.doc_id,
+             ln(CAST(coalesce(c_ab, 0) + 1 AS DOUBLE) /
+                CAST(coalesce(c_a, 0) + v AS DOUBLE)) AS logp
+           FROM ev
+           LEFT JOIN cab USING (g)
+           LEFT JOIN ca ON split_part(ev.g, ' ', 1) = ca.a
+           CROSS JOIN voc)
+         SELECT doc_id, count(*) AS n_bigrams, round(-avg(logp), 4) AS xent
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q_hyperplane_lsh_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          pl AS (SELECT j, list(comp ORDER BY d) AS p FROM (

@@ -177,6 +177,58 @@ object ArrivalsQuery {
         .unionByName(added.select(arrivalCols.map(col): _*)))
   }
 
+  /** Materialize GTFS frequencies.txt (headway-based service) into
+    * concrete trip instances — the LAST table the reference loads but
+    * never queries (05-create-schema.sh:184-195; absent from
+    * GtfsDAO.java:36-48), closing the remaining fidelity gap alongside
+    * calendar_dates.
+    *
+    * GTFS semantics: a trip listed in frequencies repeats every
+    * `headway_secs` with first departure at `start_time`, last strictly
+    * before `end_time`; its stop_times rows are offset templates
+    * (instance arrival = instance start + (arrival_time − first
+    * departure of the template)). Trips not in frequencies pass through
+    * unchanged.
+    *
+    * Scale shape: frequencies is a tiny dim — the instance-start
+    * generator (`explode(sequence(...))`) runs over it and broadcasts,
+    * as does the per-trip base offset (aggregated from the
+    * frequency-trip subset only, never all of stop_times). The fact
+    * table is touched by broadcast joins only — no shuffle at any
+    * corpus size. Instance rows intentionally repeat (run_id, trip_id,
+    * stop_sequence); `trip_start_secs` disambiguates instances.
+    */
+  def expandFrequencies(stopTimes: DataFrame, frequencies: DataFrame): DataFrame = {
+    val freq = frequencies
+      .select(col("run_id"), col("trip_id"),
+        dates.gtfsTimeToSeconds(col("start_time")).as("freq_start"),
+        dates.gtfsTimeToSeconds(col("end_time")).as("freq_end"),
+        col("headway_secs").cast("long").as("headway"))
+      .filter(col("headway") > 0 && col("freq_end") > col("freq_start"))
+    val freqKeys = freq.select("run_id", "trip_id").distinct()
+    val freqStopTimes = stopTimes
+      .join(broadcast(freqKeys), Seq("run_id", "trip_id"))
+    val base = freqStopTimes
+      .groupBy(col("run_id"), col("trip_id"))
+      .agg(min(col("departure_time")).as("trip_base"))
+    val starts = freq
+      .withColumn("trip_start_secs",
+        explode(sequence(col("freq_start"), col("freq_end") - 1, col("headway"))))
+      .select(col("run_id"), col("trip_id"), col("trip_start_secs"))
+    val instances = freqStopTimes
+      .join(broadcast(starts), Seq("run_id", "trip_id"))
+      .join(broadcast(base), Seq("run_id", "trip_id"))
+      .withColumn("arrival_time",
+        col("trip_start_secs") + (col("arrival_time") - col("trip_base")))
+      .withColumn("departure_time",
+        col("trip_start_secs") + (col("departure_time") - col("trip_base")))
+      .drop("trip_base")
+    stopTimes
+      .join(broadcast(freqKeys), Seq("run_id", "trip_id"), "left_anti")
+      .withColumn("trip_start_secs", lit(null).cast("long"))
+      .unionByName(instances)
+  }
+
   /** Kafka-ready JSON shaping with the reference's exact field names and
     * 7-fractional-digit local-time (domain/GtfsArrival.java:20-36).
     */

@@ -75,6 +75,40 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Acceptance audit for the GK-sketch approximate quantiles: for each
+    * event type and p ∈ {.25,.5,.75,.95}, `percentile_approx` at
+    * accuracy 100 must land within the algorithm's guaranteed rank band
+    * rank(approx) ∈ [(p−ε)·n, (p+ε)·n], ε = 1/accuracy — checked
+    * exactly by counting values strictly below / at-or-below the
+    * estimate. The bound survives partial-aggregate merges, so the ok
+    * flags are deterministically true at any parallelism — which is
+    * what makes an engine-specific sketch oracle-checkable (same
+    * pattern as the ANN recall@k audit). The sketch, not the exact
+    * sort, is the 100 TB path: constant memory per group.
+    */
+  def approxQuantileAudit(s: SparkSession, dir: String,
+                          accuracy: Int = 100): DataFrame = {
+    import s.implicits._
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val eps = 1.0 / accuracy
+    val apx = Tables(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(percentile_approx($"value", array(ps.map(lit): _*), lit(accuracy)).as("apx"))
+      .select($"event_type", posexplode($"apx").as(Seq("pos", "approx")))
+      .withColumn("p", element_at(array(ps.map(lit): _*), $"pos" + 1))
+      .drop("pos")
+    Tables(s, dir, "events")
+      .join(broadcast(apx), Seq("event_type"))
+      .groupBy($"event_type", $"p")
+      .agg(sum(when($"value" < $"approx", 1L).otherwise(0L)).as("n_lt"),
+        sum(when($"value" <= $"approx", 1L).otherwise(0L)).as("n_le"),
+        count(lit(1)).as("n"))
+      .select($"event_type", $"p",
+        ($"n_lt" <= ceil(($"p" + eps) * $"n") &&
+          $"n_le" >= floor(($"p" - eps) * $"n")).as("ok"))
+      .orderBy($"event_type", $"p")
+  }
+
   /** Distinct cardinalities: exact countDistinct per type (the HLL
     * approx_count_distinct variant lives in the same plan shape; exact is
     * what an oracle can check).

@@ -308,6 +308,27 @@ object Relational {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Inter-order gap analysis per customer (lag window): days between
+    * consecutive orders, averaged and maxed per customer with ≥ 5
+    * orders. One hash-shuffle on o_custkey feeds both the lag window
+    * and the aggregate — per-customer order counts are bounded, so no
+    * partition skew at any corpus size.
+    */
+  def orderGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+      .withColumn("gap",
+        datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)).cast("long"))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg($"gap"), 2).as("avg_gap_days"),
+        max($"gap").as("max_gap_days"))
+      .filter($"n_orders" >= 5)
+      .orderBy($"o_custkey")
+  }
+
   /** String predicates + part-dimension stats (LIKE/substring surface). */
   def partBrandStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

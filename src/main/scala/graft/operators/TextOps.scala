@@ -256,6 +256,114 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Shannon entropy of the a–z letter distribution per document — a
+    * character-level quality signal (low entropy = repeated filler,
+    * high = natural mixed text). Letter counts via length-difference
+    * after `replace` (each ASCII letter is one length unit in any
+    * engine's string semantics, so the difference is exactly the
+    * occurrence count — and replace is far cheaper than 26 regex
+    * scans). One projection, no shuffle: scan-speed at 100 TB.
+    */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val letters = ('a' to 'z').map(_.toString)
+    val counts = letters.map(l =>
+      (length($"t") - length(translate($"t", l, ""))).cast("long").as(s"c_$l"))
+    val staged = docsFanned(s, dir)
+      .select($"doc_id", lower($"text").as("t"))
+      .select($"doc_id" +: counts: _*)
+      .withColumn("n_letters", letters.map(l => col(s"c_$l")).reduce(_ + _))
+    val ent = letters.map { l =>
+      val p = col(s"c_$l").cast("double") / $"n_letters"
+      when(col(s"c_$l") > 0, -p * log(p)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    staged
+      .select($"doc_id", $"n_letters",
+        round(when($"n_letters" > 0, ent).otherwise(lit(0.0)), 4).as("entropy"))
+      .orderBy($"doc_id")
+  }
+
+  /** Inverted-index build: per token, document frequency and a capped
+    * posting list (the `cap` smallest doc_ids). The cap is the scale
+    * lever — per-token collected state is bounded regardless of how
+    * common the token is (an uncapped collect_list of a stopword's
+    * postings is a single-task OOM at 100 TB); full postings would be
+    * written sharded, this materializes the index head for the top-k
+    * tokens by df.
+    */
+  def invertedIndex(s: SparkSession, dir: String, cap: Int = 20,
+                    k: Int = 50): DataFrame = {
+    import s.implicits._
+    val dt = docsFanned(s, dir)
+      .select($"doc_id", explode(text.distinctTokens($"text")).as("tok"))
+    val dfreq = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val wr = Window.partitionBy($"tok").orderBy($"doc_id")
+    val capped = dt.withColumn("rk", row_number().over(wr))
+      .filter($"rk" <= cap)
+      .groupBy($"tok")
+      .agg(array_join(sort_array(collect_list($"doc_id")), ",").as("postings"))
+    dfreq.join(capped, Seq("tok"))
+      .orderBy($"df".desc, $"tok").limit(k)
+      .select($"tok", $"df", $"postings")
+  }
+
+  /** Conjunctive keyword search over the corpus: documents containing
+    * ALL query terms, ranked by total term frequency. The term filter
+    * applies before the shuffle, so only matching token occurrences
+    * leave the scan — the distributed twin of an inverted-index lookup
+    * (df-bounded, never a corpus-wide sort).
+    */
+  def keywordSearch(s: SparkSession, dir: String,
+                    terms: Seq[String] = Seq("vector", "hash", "spark"),
+                    k: Int = 25): DataFrame = {
+    import s.implicits._
+    docsFanned(s, dir)
+      .select($"doc_id", explode(text.tokensLower($"text")).as("tok"))
+      .filter($"tok".isInCollection(terms))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"tok").as("n_terms"), count(lit(1)).as("score"))
+      .filter($"n_terms" === terms.size)
+      .select($"doc_id", $"score")
+      .orderBy($"score".desc, $"doc_id").limit(k)
+  }
+
+  /** Bigram language-model cross-entropy of held-out documents: train
+    * add-one-smoothed bigram probabilities P(b|a) = (c_ab+1)/(c_a+V) on
+    * the train split of [[hashSplit]], score each test-split document by
+    * its average negative log-probability (high = surprising / possibly
+    * corrupt text — a model-based quality filter). The model tables are
+    * bounded by the vocabulary (distinct unigrams/bigrams), so they
+    * broadcast; scoring is then a single scan over the eval token
+    * stream. At an unbounded vocabulary the model would be capped to
+    * top-V unigrams first — V here doubles as the smoothing constant.
+    */
+  def bigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docsFanned(s, dir)
+      .withColumn("bucket", hashBucket($"doc_id", "split:"))
+      .select($"doc_id", $"bucket", text.tokensLower($"text").as("toks"))
+    val train = toks.filter($"bucket" < 80)
+    val cAb = train
+      .select(explode(text.shinglesFromTokens($"toks", 2)).as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("c_ab"))
+    val cA = train
+      .select(explode($"toks").as("a"))
+      .groupBy($"a").agg(count(lit(1)).as("c_a"))
+    val vocab = cA.agg(count(lit(1)).as("v"))
+    toks.filter($"bucket" >= 90)
+      .select($"doc_id", explode(text.shinglesFromTokens($"toks", 2)).as("g"))
+      .withColumn("a", split($"g", " ").getItem(0))
+      .join(broadcast(cAb), Seq("g"), "left")
+      .join(broadcast(cA), Seq("a"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((coalesce($"c_ab", lit(0L)) + 1).cast("double") /
+          (coalesce($"c_a", lit(0L)) + $"v").cast("double")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(-avg($"logp"), 4).as("xent"))
+      .orderBy($"doc_id")
+  }
+
   /** Token co-occurrence lift over a bounded vocabulary: the top-`vocab`
     * tokens by document frequency, paired within documents, scored by
     * pointwise lift `n_ab·N / (df_a·df_b)` (PMI sans the log — the log

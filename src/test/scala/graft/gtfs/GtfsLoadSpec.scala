@@ -228,4 +228,34 @@ class GtfsLoadSpec extends SparkSpec {
     assert(!in25.contains("Potsdam Hbf")) // outside 25km (Spock row 5)
     assert(!in30.contains("Outer Rim")) // Munich is far away
   }
+
+  test("frequencies expansion materializes headway instances; plain trips pass through") {
+    val st = Seq(
+      (1, "T", "A", 1, 28800L, 28800L), // template: first departure 08:00:00
+      (1, "T", "B", 2, 29100L, 29100L), // +300s offset
+      (1, "U", "A", 1, 36000L, 36000L)) // not in frequencies
+      .toDF("run_id", "trip_id", "stop_id", "stop_sequence",
+        "arrival_time", "departure_time")
+    val freq = Seq((1, "T", "08:00:00", "08:30:00", "600", "0"))
+      .toDF("run_id", "trip_id", "start_time", "end_time",
+        "headway_secs", "exact_times")
+    val out = ArrivalsQuery.expandFrequencies(st, freq)
+      .select($"trip_id", $"stop_id", $"arrival_time", $"trip_start_secs")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // starts at 08:00, 08:10, 08:20 — 08:30 is exclusive; U untouched
+    val expected = Set(
+      ("U", "A", 36000L, -1L),
+      ("T", "A", 28800L, 28800L), ("T", "B", 29100L, 28800L),
+      ("T", "A", 29400L, 29400L), ("T", "B", 29700L, 29400L),
+      ("T", "A", 30000L, 30000L), ("T", "B", 30300L, 30000L))
+    assert(out === expected)
+    // zero/negative headway and empty windows expand to nothing
+    val bad = Seq((1, "T", "08:00:00", "08:00:00", "0", "0"))
+      .toDF("run_id", "trip_id", "start_time", "end_time",
+        "headway_secs", "exact_times")
+    assert(ArrivalsQuery.expandFrequencies(st, bad)
+      .filter($"trip_start_secs".isNotNull).count() === 0)
+  }
 }

@@ -75,4 +75,14 @@ class EventsSpec extends SparkSpec {
     // per-cohort retention never exceeds the cohort's size
     rows.foreach { case (cm, _, n) => assert(n <= cohorts(cm)) }
   }
+
+  test("approxQuantileAudit: every sketch estimate is inside its rank band") {
+    val rows = Events.approxQuantileAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    val nTypes = Tables(spark, sf, "events")
+      .select($"event_type").distinct().count()
+    assert(rows.length.toLong === nTypes * 4)
+    assert(rows.map(_._2).distinct.sorted.toSeq === Seq(0.25, 0.5, 0.75, 0.95))
+    rows.foreach { case (t, p, ok) => assert(ok, s"rank band violated at ($t, $p)") }
+  }
 }

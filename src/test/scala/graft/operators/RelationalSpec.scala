@@ -145,4 +145,24 @@ class RelationalSpec extends SparkSpec {
     val distinctStatus = orders.select($"o_orderstatus").distinct().count()
     assert(prof("o_orderstatus")._3 === distinctStatus)
   }
+
+  test("orderGaps matches a driver-side lag recomputation") {
+    val got = Relational.orderGaps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val orders = Tables(spark, sf, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate".cast("date")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate))
+    val expected = orders.groupBy(_._1).toSeq.collect {
+      case (ck, os) if os.length >= 5 =>
+        val sorted = os.sortBy(o => (o._3.toEpochDay, o._2))
+        val gaps = sorted.sliding(2).collect {
+          case Array(a, b) => b._3.toEpochDay - a._3.toEpochDay
+        }.toSeq
+        (ck, os.length.toLong,
+          BigDecimal(gaps.sum.toDouble / gaps.length)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          gaps.max)
+    }.sortBy(_._1)
+    assert(got.toSeq === expected)
+  }
 }

@@ -126,4 +126,78 @@ class TextOpsSpec extends SparkSpec {
     }.toSeq.sortBy { case (a, b, _, l) => (-l, a, b) }.take(50)
     assert(got.toSeq === expected)
   }
+
+  test("charEntropy matches a full driver-side recomputation") {
+    val got = TextOps.charEntropy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map { r =>
+        val t = r.getString(1).toLowerCase
+        val counts = ('a' to 'z').map(l => t.count(_ == l).toLong)
+        val n = counts.sum
+        val ent =
+          if (n == 0) 0.0
+          else counts.filter(_ > 0).map { c =>
+            val p = c.toDouble / n; -p * math.log(p)
+          }.sum
+        (r.getLong(0), n,
+          BigDecimal(ent).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy(_._1)
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("invertedIndex: df is the true document frequency, postings capped & sorted") {
+    val rows = TextOps.invertedIndex(spark, sf, cap = 20, k = 50).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet)
+    rows.foreach { case (tok, df, postings) =>
+      val withTok = docs.collect { case (id, toks) if toks(tok) => id }.sorted
+      assert(df === withTok.length.toLong, s"df mismatch for '$tok'")
+      val ids = postings.split(",").map(_.toLong).toSeq
+      assert(ids === ids.sorted, s"postings unsorted for '$tok'")
+      assert(ids === withTok.take(20).toSeq, s"postings wrong for '$tok'")
+    }
+    // top-k ordering: df non-increasing
+    val dfs = rows.map(_._2).toSeq
+    assert(dfs === dfs.sorted.reverse)
+  }
+
+  test("keywordSearch: conjunctive semantics with exact tf scores") {
+    val terms = Seq("vector", "hash", "spark")
+    val got = TextOps.keywordSearch(spark, sf, terms, k = 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val expected = docs
+      .filter { case (_, toks) => terms.forall(toks.contains) }
+      .map { case (id, toks) => (id, toks.count(terms.contains).toLong) }
+      .sortBy { case (id, score) => (-score, id) }.take(25)
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("bigramSurprisal: scores exactly the test split, positive cross-entropy") {
+    val split = TextOps.hashSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextOps.bigramSurprisal(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nBigrams, xent) =>
+      assert(split(id) === "test", s"doc $id not in test split")
+      assert(nBigrams > 0)
+      // add-one smoothing keeps every P(b|a) < 1, so -avg(log p) > 0
+      assert(xent > 0.0, s"non-positive cross-entropy for doc $id")
+    }
+    // every test-split doc with >= 2 tokens is scored
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").count(_.nonEmpty))
+    val expectedIds = docs.collect {
+      case (id, n) if split(id) == "test" && n >= 2 => id
+    }.toSet
+    assert(rows.map(_._1).toSet === expectedIds)
+  }
 }
