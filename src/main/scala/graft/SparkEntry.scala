@@ -63,6 +63,9 @@ object SparkEntry {
     "q_funnel_stages" -> Events.funnelStages,
     "q_value_deciles" -> Events.valueDeciles,
     "q_approx_quantile_audit" -> ((s, dir) => Events.approxQuantileAudit(s, dir)),
+    "q_daily_anomalies" -> Events.dailyAnomalies,
+    "q_type_transitions" -> Events.typeTransitions,
+    "q_source_reconciliation" -> Relational.sourceReconciliation,
     // -- text analysis (§7.4) ----------------------------------------------
     "q_lang_id_confusion" -> TextOps.langIdConfusion,
     "q_quality_scores" -> TextOps.qualityScores,
@@ -82,6 +85,7 @@ object SparkEntry {
     "q_inverted_index" -> ((s, dir) => TextOps.invertedIndex(s, dir)),
     "q_keyword_search" -> ((s, dir) => TextOps.keywordSearch(s, dir)),
     "q_bigram_surprisal" -> TextOps.bigramSurprisal,
+    "q_zipf_slope" -> ((s, dir) => TextOps.zipfSlope(s, dir)),
     // -- dedup suite (§7.4) ------------------------------------------------
     "q_dedup_exact" -> Dedup.exact,
     "q_jaccard_pairs" -> Dedup.ngramJaccardPairs,
@@ -104,6 +108,7 @@ object SparkEntry {
     "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
     "q_quant_stats" -> Similarity.quantizationStats,
+    "q_kmeans_step" -> ((s, dir) => Similarity.kmeansStep(s, dir)),
     // -- multimodal metadata path (§7.4) -----------------------------------
     "q_blob_metadata" -> Multimodal.blobMetadata,
     "q_frame_samples" -> ((s, dir) => Multimodal.frameSampleStats(s, dir)),
@@ -740,6 +745,82 @@ object SparkEntry {
            CROSS JOIN voc)
          SELECT doc_id, count(*) AS n_bigrams, round(-avg(logp), 4) AS xent
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "q_daily_anomalies" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS n
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         st AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS sn,
+           CAST(sum(n * n) AS BIGINT) AS sn2, count(*) AS nd
+           FROM daily GROUP BY event_type),
+         z AS (SELECT d.event_type, d.day, d.n,
+           round((d.n - CAST(sn AS DOUBLE) / nd) /
+             sqrt((CAST(sn2 AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nd) /
+               (nd - 1)), 4) AS z
+           FROM daily d JOIN st USING (event_type))
+         SELECT event_type, day, n, z, abs(z) >= 2.0 AS anomaly
+         FROM z ORDER BY event_type, day""",
+    "q_type_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM p
+           WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+         SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4)
+             AS prob
+         FROM c ORDER BY from_type, to_type""",
+    "q_source_reconciliation" ->
+      """WITH od AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS order_total,
+           count(*) AS n_orders
+           FROM orders GROUP BY 1),
+         ed AS (SELECT CAST(ts AS DATE) AS day,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS event_total,
+           count(*) AS n_purchases
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT day,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_purchases, 0) AS n_purchases,
+           coalesce(order_total, 0.0) AS order_total,
+           coalesce(event_total, 0.0) AS event_total,
+           CASE WHEN order_total IS NULL THEN 'events_only'
+                WHEN event_total IS NULL THEN 'orders_only'
+                ELSE 'both' END AS status
+         FROM od FULL OUTER JOIN ed USING (day)
+         ORDER BY day""",
+    "q_zipf_slope" ->
+      s"""WITH f AS (SELECT tok, count(*) AS freq
+           FROM (SELECT unnest($toks) AS tok FROM documents)
+           GROUP BY tok HAVING count(*) >= 5),
+         r AS (SELECT
+             ln(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE)) AS x,
+             ln(CAST(freq AS DOUBLE)) AS y
+           FROM f),
+         a AS (SELECT count(*) AS n_tokens, sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sx2 FROM r)
+         SELECT n_tokens,
+           round((n_tokens * sxy - sx * sy) / (n_tokens * sx2 - sx * sx), 4) AS slope
+         FROM a""",
+    "q_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         a AS (SELECT e.vec_id, e.v, c.cid,
+             list_cosine_similarity(e.v, c.cv) AS sim FROM e, c),
+         r AS (SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+           FROM a),
+         asg AS (SELECT vec_id, v, cid FROM r WHERE rn = 1),
+         dx0 AS (SELECT cid, unnest(generate_series(1, len(v))) AS d,
+             unnest(v) AS x FROM asg),
+         dx AS (SELECT cid, d, CAST(round(x * 1000000.0) AS BIGINT) AS xf FROM dx0),
+         g AS (SELECT cid, d, CAST(sum(xf) AS BIGINT) AS sx, count(*) AS n
+           FROM dx GROUP BY cid, d)
+         SELECT cid, max(n) AS n_members,
+           round(sqrt(sum(pow(CAST(sx AS DOUBLE) / n / 1000000.0, 2))), 4) AS centroid_norm
+         FROM g GROUP BY cid ORDER BY cid""",
     "q_hyperplane_lsh_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          pl AS (SELECT j, list(comp ORDER BY d) AS p FROM (

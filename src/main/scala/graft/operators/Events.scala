@@ -109,6 +109,59 @@ object Events {
       .orderBy($"event_type", $"p")
   }
 
+  /** Daily event-count anomaly scores per type: z-score of each day's
+    * count against that type's own distribution. Variance comes from
+    * EXACT integer sums (Σn, Σn², N — associative longs), not a
+    * stddev_samp of doubles whose partial-merge order varies by engine
+    * and parallelism: with identical integer inputs, both sides of the
+    * oracle compute bit-identical doubles. The anomaly flag compares
+    * the ROUNDED score so the cutoff decision is reproducible too.
+    * This is the batch twin of a streaming monitoring query (windowed
+    * count → score against a broadcast baseline).
+    */
+  def dailyAnomalies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy($"event_type")
+      .agg(sum($"n").as("sn"), sum($"n" * $"n").as("sn2"),
+        count(lit(1)).as("nd"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("mean", $"sn".cast("double") / $"nd")
+      .withColumn("variance",
+        ($"sn2".cast("double") - $"sn".cast("double") * $"sn" / $"nd") /
+          ($"nd" - 1))
+      .withColumn("z", round(($"n" - $"mean") / sqrt($"variance"), 4))
+      .select($"event_type", $"day", $"n", $"z",
+        (abs($"z") >= 2.0).as("anomaly"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * counts and conditional probabilities of event_type → next
+    * event_type. One lag window per user (total order on (ts, event_id)
+    * — same tie-break discipline as the decile order key) feeding a
+    * map-side-combined groupBy; the matrix itself is |types|² — constant
+    * size at any event volume. Probabilities divide exact integer
+    * counts, so both oracle sides compute identical doubles.
+    */
+  def typeTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy($"from_type")
+    pairs
+      .withColumn("prob",
+        round($"n".cast("double") / sum($"n").over(totals), 4))
+      .orderBy($"from_type", $"to_type")
+  }
+
   /** Distinct cardinalities: exact countDistinct per type (the HLL
     * approx_count_distinct variant lives in the same plan shape; exact is
     * what an oracle can check).

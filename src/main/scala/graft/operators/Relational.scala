@@ -329,6 +329,37 @@ object Relational {
       .orderBy($"o_custkey")
   }
 
+  /** Cross-source reconciliation audit (FULL OUTER join surface): daily
+    * order revenue vs daily purchase-event value, with per-day match
+    * status — the control query a pipeline runs after ingesting the same
+    * business activity from two systems. Both sides pre-aggregate to day
+    * grain BEFORE the join (the join input is bounded by the calendar,
+    * not the fact volume) and money goes through DECIMAL so the
+    * comparison is exact.
+    */
+  def sourceReconciliation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orderDays = Tables(s, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(moneySum($"o_totalprice").as("order_total"),
+        count(lit(1)).as("n_orders"))
+    val eventDays = Tables(s, dir, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("day"))
+      .agg(moneySum($"value").as("event_total"),
+        count(lit(1)).as("n_purchases"))
+    orderDays.join(eventDays, Seq("day"), "full_outer")
+      .select($"day",
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"n_purchases", lit(0L)).as("n_purchases"),
+        coalesce($"order_total", lit(0.0)).as("order_total"),
+        coalesce($"event_total", lit(0.0)).as("event_total"),
+        when($"order_total".isNull, "events_only")
+          .when($"event_total".isNull, "orders_only")
+          .otherwise("both").as("status"))
+      .orderBy($"day")
+  }
+
   /** String predicates + part-dimension stats (LIKE/substring surface). */
   def partBrandStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

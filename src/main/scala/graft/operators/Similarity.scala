@@ -200,4 +200,43 @@ object Similarity {
         round($"n_overlap".cast("double") / $"n_brute", 4).as("recall"))
       .orderBy($"query_id")
   }
+
+  /** One Lloyd iteration of k-means over the embeddings — the training
+    * step that produces the IVF coarse quantizer ([[ivfTopK]] freezes
+    * its centroids at the seed assignment; this moves them). Assignment
+    * is the same broadcast argmax-cosine join as the index itself; the
+    * update is a per-(cluster, dimension) mean via posexplode + one
+    * map-side-combined groupBy — never a collect, never a per-cluster
+    * array build, so a 10^10-vector corpus streams through.
+    *
+    * Member coordinates are accumulated in FIXED-POINT (×10^6 longs):
+    * integer sums are associative, so the reduction is bit-reproducible
+    * at any parallelism (and engine-portable — float partial-sum order
+    * is neither). The returned summary (member count + updated-centroid
+    * L2 norm) is what a training loop logs per iteration; iterating is
+    * this same plan with `cents` swapped for the update (localCheckpoint
+    * per round, per the connected-components lineage discipline).
+    */
+  def kmeansStep(s: SparkSession, dir: String, nlist: Int = 8): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir)
+    val cents = e.filter($"vec_id" < nlist).select($"vec_id".as("cid"), $"v".as("cv"))
+    val byVec = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")
+    val assigned = e.join(broadcast(cents))
+      .select($"vec_id", $"v", $"cid",
+        vectors.cosineSimilarity($"v", $"cv").as("sim"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"cid")
+    assigned
+      .select($"cid", posexplode($"v").as(Seq("d", "x")))
+      .select($"cid", $"d", round($"x" * 1e6).cast("long").as("xf"))
+      .groupBy($"cid", $"d")
+      .agg(sum($"xf").as("sx"), count(lit(1)).as("n"))
+      .groupBy($"cid")
+      .agg(max($"n").as("n_members"), // n identical across dims of a cluster
+        round(sqrt(sum(pow($"sx".cast("double") / $"n" / 1e6, 2))), 4)
+          .as("centroid_norm"))
+      .orderBy($"cid")
+  }
 }

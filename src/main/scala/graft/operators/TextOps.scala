@@ -292,14 +292,22 @@ object TextOps {
     * tokens by df.
     */
   def invertedIndex(s: SparkSession, dir: String, cap: Int = 20,
-                    k: Int = 50): DataFrame = {
+                    k: Int = 50, shards: Int = 64): DataFrame = {
     import s.implicits._
     val dt = docsFanned(s, dir)
       .select($"doc_id", explode(text.distinctTokens($"text")).as("tok"))
     val dfreq = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
-    val wr = Window.partitionBy($"tok").orderBy($"doc_id")
-    val capped = dt.withColumn("rk", row_number().over(wr))
-      .filter($"rk" <= cap)
+    // staged top-k: a stopword's postings would otherwise stream through
+    // ONE task's sort. Shard by doc_id first — each (tok, shard) keeps
+    // its `cap` smallest (distributed sorts), so the global per-token
+    // window sees at most shards·cap survivors, which provably contain
+    // the cap smallest doc_ids overall.
+    val wShard = Window.partitionBy($"tok", $"shard").orderBy($"doc_id")
+    val wTok = Window.partitionBy($"tok").orderBy($"doc_id")
+    val capped = dt
+      .withColumn("shard", pmod($"doc_id", lit(shards.toLong)))
+      .withColumn("rs", row_number().over(wShard)).filter($"rs" <= cap)
+      .withColumn("rk", row_number().over(wTok)).filter($"rk" <= cap)
       .groupBy($"tok")
       .agg(array_join(sort_array(collect_list($"doc_id")), ",").as("postings"))
     dfreq.join(capped, Seq("tok"))
@@ -362,6 +370,36 @@ object TextOps {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(-avg($"logp"), 4).as("xent"))
       .orderBy($"doc_id")
+  }
+
+  /** Zipf-fit audit of the corpus vocabulary: least-squares slope of
+    * ln(freq) against ln(rank) over tokens with freq ≥ minFreq — natural
+    * text tracks slope ≈ −1, so a far-off slope flags synthetic or
+    * templated corpora. The slope comes from explicit Σx/Σy/Σxy/Σx²
+    * (the same closed form on both oracle sides, over a deterministic
+    * ranked set), not an engine's regr_slope whose merge path may
+    * differ. Token counting is the usual map-side-combined groupBy; the
+    * ranked frequency table is vocabulary-sized, so the final window +
+    * regression is trivially small at any corpus size.
+    */
+  def zipfSlope(s: SparkSession, dir: String, minFreq: Long = 5): DataFrame = {
+    import s.implicits._
+    val freqs = docsFanned(s, dir)
+      .select(explode(text.tokensLower($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+      .filter($"freq" >= minFreq)
+    val ranked = freqs
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"freq".desc, $"tok")))
+      .select(log($"rank".cast("double")).as("x"),
+        log($"freq".cast("double")).as("y"))
+    ranked
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sx2"))
+      .select($"n_tokens",
+        round(($"n_tokens" * $"sxy" - $"sx" * $"sy") /
+          ($"n_tokens" * $"sx2" - $"sx" * $"sx"), 4).as("slope"))
   }
 
   /** Token co-occurrence lift over a bounded vocabulary: the top-`vocab`

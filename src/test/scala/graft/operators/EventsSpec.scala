@@ -85,4 +85,74 @@ class EventsSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.sorted.toSeq === Seq(0.25, 0.5, 0.75, 0.95))
     rows.foreach { case (t, p, ok) => assert(ok, s"rank band violated at ($t, $p)") }
   }
+
+  test("dailyAnomalies matches a driver-side z-score recomputation") {
+    val got = Events.dailyAnomalies(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val daily = Tables(spark, sf, "events")
+      .select($"event_type", to_date($"ts").cast("string").as("day")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((t, d), n) => (t, d, n) }
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (t, ds) =>
+      val ns = ds.map(_._3)
+      val nd = ns.length
+      val sn = ns.sum
+      val sn2 = ns.map(n => n * n).sum
+      val mean = sn.toDouble / nd
+      val variance = (sn2.toDouble - sn.toDouble * sn / nd) / (nd - 1)
+      ds.map { case (_, d, n) =>
+        val z = BigDecimal((n - mean) / math.sqrt(variance))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t, d, n, z, math.abs(z) >= 2.0)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq === expected)
+    assert(got.exists(_._5), "synthetic data should contain at least one anomaly")
+  }
+
+  test("typeTransitions: pair counts conserve events, probs sum to 1 per row type") {
+    val rows = Events.typeTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val nEvents = Tables(spark, sf, "events").count()
+    val nUsers = Tables(spark, sf, "events")
+      .select($"user_id").distinct().count()
+    // each user's sequence of k events yields k-1 transitions
+    assert(rows.map(_._3).sum === nEvents - nUsers)
+    rows.groupBy(_._1).foreach { case (ft, grp) =>
+      val total = grp.map(_._3).sum
+      grp.foreach { case (_, _, n, p) =>
+        assert(p === BigDecimal(n.toDouble / total)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          s"prob mismatch for $ft")
+      }
+    }
+  }
+
+  test("sourceReconciliation: day-grain totals match per-source recounts") {
+    import org.apache.spark.sql.functions.to_date
+    val rows = Relational.sourceReconciliation(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getString(5)))
+    val orderDays = Tables(spark, sf, "orders")
+      .groupBy(to_date($"o_orderdate").as("d")).count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val purchaseDays = Tables(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("d")).count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet === orderDays.keySet ++ purchaseDays.keySet)
+    rows.foreach { case (day, nOrd, nPur, oTot, eTot, status) =>
+      assert(nOrd === orderDays.getOrElse(day, 0L))
+      assert(nPur === purchaseDays.getOrElse(day, 0L))
+      val expectedStatus =
+        if (!orderDays.contains(day)) "events_only"
+        else if (!purchaseDays.contains(day)) "orders_only"
+        else "both"
+      assert(status === expectedStatus, s"status wrong on $day")
+      if (status == "events_only") assert(oTot === 0.0)
+      if (status == "orders_only") assert(eTot === 0.0)
+    }
+  }
 }

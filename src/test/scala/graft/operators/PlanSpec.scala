@@ -160,4 +160,65 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.execution.GenerateExec]),
       "versions come from one generator pass")
   }
+
+  test("sourceReconciliation pre-aggregates both sides before the outer join") {
+    val df = Relational.sourceReconciliation(spark, sf)
+    df.collect()
+    val nodes = allNodes(df)
+    val join = nodes.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(join.isDefined, "expected a shuffled outer join on day")
+    // every join input contains a final aggregate below it: the join sees
+    // day-grain rows, never raw orders/events
+    join.get.children.foreach { side =>
+      assert(side.collectFirst {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+        case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+        case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec => s
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec
+          if q.plan.collectFirst {
+            case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+          }.isDefined => q.plan
+      }.isDefined, s"join input not pre-aggregated:\n${side.toString.take(1500)}")
+    }
+  }
+
+  test("keywordSearch: term filter above the generator, agg reuses the fan-out") {
+    val df = TextOps.keywordSearch(spark, sf)
+    df.collect()
+    val nodes = allNodes(df)
+    // the term filter prunes the token stream immediately above the
+    // tokenizing generator, before any aggregation work
+    val gen = nodes.collectFirst {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gen.isDefined, "expected an explode generator")
+    assert(nodes.exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.toString.contains("tok") &&
+          f.collectFirst {
+            case g: org.apache.spark.sql.execution.GenerateExec => g }.isDefined
+      case _ => false
+    }, "term filter must sit directly above the generator")
+    // the doc_id aggregation reuses the docsFanned hash partitioning:
+    // the pinned fan-out is the ONLY exchange in the whole plan
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) === 1,
+      "post-explode aggregation must not re-shuffle")
+  }
+
+  test("kmeansStep assignment broadcasts centroids; update is map-side combined") {
+    val df = Similarity.kmeansStep(spark, sf)
+    df.collect()
+    val nodes = allNodes(df)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+      || nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "centroid assignment must broadcast, not shuffle the vectors")
+    val aggs = nodes.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      "per-(cluster,dim) sums must partial-aggregate before the exchange")
+  }
 }

@@ -71,4 +71,37 @@ class SimilaritySpec extends SparkSpec {
       assert(mseNano < 1e9 * 0.25, s"mse too large: $mseNano")
     }
   }
+
+  test("kmeansStep matches a driver-side Lloyd iteration") {
+    val nlist = 8
+    val got = Similarity.kmeansStep(spark, sf, nlist).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cents = vecs.filter(_._1 < nlist)
+    val assigned = vecs.map { case (id, v) =>
+      val best = cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .maxBy { case (cid, s) => (s, -cid) } // sim desc, cid asc on ties
+      (best._1, v)
+    }
+    val expected = assigned.groupBy(_._1).toSeq.map { case (cid, members) =>
+      val n = members.length
+      val dims = members.head._2.indices
+      val norm2 = dims.map { d =>
+        val sx = members.map(m => math.round(m._2(d) * 1e6)).sum
+        val mean = sx.toDouble / n / 1e6
+        mean * mean
+      }.sum
+      (cid, n.toLong,
+        BigDecimal(math.sqrt(norm2))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    assert(got.map(_._2).sum === vecs.length.toLong) // every vector assigned
+    assert(got.toSeq === expected)
+  }
 }

@@ -200,4 +200,24 @@ class TextOpsSpec extends SparkSpec {
     }.toSet
     assert(rows.map(_._1).toSet === expectedIds)
   }
+
+  test("zipfSlope: negative slope matching a driver-side least-squares fit") {
+    val Array(row) = TextOps.zipfSlope(spark, sf).collect()
+    val (nTokens, slope) = (row.getLong(0), row.getDouble(1))
+    val freqs = Tables(spark, sf, "documents").select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .filter(_._2 >= 5)
+    val ranked = freqs.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+      .map { case ((_, f), i) => (math.log(i + 1.0), math.log(f.toDouble)) }
+    val n = ranked.length
+    assert(nTokens === n.toLong)
+    val (sx, sy) = (ranked.map(_._1).sum, ranked.map(_._2).sum)
+    val sxy = ranked.map { case (x, y) => x * y }.sum
+    val sx2 = ranked.map { case (x, _) => x * x }.sum
+    val expected = BigDecimal((n * sxy - sx * sy) / (n * sx2 - sx * sx))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(slope === expected)
+    assert(slope < 0.0, s"token frequencies should fall with rank: $slope")
+  }
 }

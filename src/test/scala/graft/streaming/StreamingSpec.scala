@@ -293,4 +293,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows("en") === Seq("of" -> 3L, "the" -> 2L))
     assert(rows("de") === Seq("der" -> 2L, "und" -> 1L))
   }
+
+  test("stateful transitions: straggler rewrites adjacency, matches batch order") {
+    import StatefulTransitions._
+    val input = MemoryStream[Event](spark)
+    val q = transitions(
+        input.toDS().withWatermark("ts", "1 hour"), quietMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode(OutputMode.Append).start()
+    // user 1 sees view@9:00 then purchase@9:40; the straggler click@9:20
+    // lands a batch later and must SPLIT view->purchase into
+    // view->click + click->purchase — nothing emitted before finality
+    input.addData(
+      Event(1L, "view", ts("2024-01-01 09:00:00"), 1L),
+      Event(1L, "purchase", ts("2024-01-01 09:40:00"), 2L),
+      Event(2L, "view", ts("2024-01-01 09:10:00"), 3L),
+      Event(2L, "view", ts("2024-01-01 09:12:00"), 4L))
+    q.processAllAvailable()
+    input.addData(Event(1L, "click", ts("2024-01-01 09:20:00"), 5L)) // straggler
+    q.processAllAvailable()
+    input.addData(Event(9L, "view", ts("2024-01-01 14:00:00"), 6L)) // move watermark
+    q.processAllAvailable()
+    input.addData(Event(9L, "view", ts("2024-01-01 15:00:00"), 7L)) // fire timeouts
+    q.processAllAvailable()
+    val rows = spark.table("trans_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    q.stop()
+    assert(rows === Set(
+      (1L, "view", "click", 1L),
+      (1L, "click", "purchase", 1L),
+      (2L, "view", "view", 1L)))
+    // resolve() alone: same-timestamp ties fall back to event_id order,
+    // exactly like the batch operator's (ts, event_id) window key
+    val tied = resolve(5L, Vector(
+      Ev(1000L, 2L, "b"), Ev(1000L, 1L, "a"), Ev(2000L, 3L, "c"))).toSet
+    assert(tied === Set(
+      Transition(5L, "a", "b", 1L), Transition(5L, "b", "c", 1L)))
+  }
 }
