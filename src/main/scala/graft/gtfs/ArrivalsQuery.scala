@@ -2,6 +2,7 @@ package graft.gtfs
 
 import graft.functions.dates
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's flagship query, Spark-first: expand the GTFS service
@@ -227,6 +228,56 @@ object ArrivalsQuery {
       .join(broadcast(freqKeys), Seq("run_id", "trip_id"), "left_anti")
       .withColumn("trip_start_secs", lit(null).cast("long"))
       .unionByName(instances)
+  }
+
+  /** Feasible transfer connections — closes the final loaded-but-never-
+    * queried reference table (transfers, 05-create-schema.sh:163-182;
+    * absent from GtfsDAO.java:36-48): for each expanded arrival at a
+    * transfer's from_stop, the FIRST other-trip arrival event at its
+    * to_stop departing at least `min_transfer_time` later (GTFS
+    * transfer_type 2; types 0/1 = no minimum, type 3 = transfer
+    * impossible) and within `maxWaitSecs`.
+    *
+    * Join shape: equi on (run_id, stop edge) — the transfer table
+    * blocks the pair space exactly like the attribution range join
+    * (Relational.attributionRangeJoin) — with the time window as a
+    * residual predicate, then a per-arrival window picks the earliest
+    * feasible departure. transfers is a dim (broadcasts); the
+    * arrival×arrival volume is bounded by edges × per-stop events in
+    * the wait window, never stops².
+    */
+  def feasibleConnections(arrivals: DataFrame, transfers: DataFrame,
+                          maxWaitSecs: Long = 3600L): DataFrame = {
+    val edges = transfers
+      .filter(coalesce(col("transfer_type"), lit(0)) =!= 3)
+      .filter(col("from_stop_id").isNotNull && col("to_stop_id").isNotNull)
+      .select(col("run_id"), col("from_stop_id"), col("to_stop_id"),
+        when(coalesce(col("transfer_type"), lit(0)) === 2,
+          coalesce(col("min_transfer_time"), lit(0)).cast("long"))
+          .otherwise(lit(0L)).as("min_xfer"))
+    val a = arrivals.select(col("run_id"),
+      col("trip_id").as("from_trip"), col("stop_id").as("from_stop_id"),
+      col("event_ts").as("arr_ts"))
+    val b = arrivals.select(col("run_id"),
+      col("trip_id").as("to_trip"), col("stop_id").as("to_stop_id"),
+      col("event_ts").as("dep_ts"))
+    val firstFeasible = Window
+      .partitionBy(col("run_id"), col("from_trip"), col("from_stop_id"),
+        col("arr_ts"), col("to_stop_id"))
+      .orderBy(col("dep_ts"), col("to_trip"))
+    a.join(broadcast(edges), Seq("run_id", "from_stop_id"))
+      .join(b, Seq("run_id", "to_stop_id"))
+      .filter(col("to_trip") =!= col("from_trip"))
+      .filter(unix_timestamp(col("dep_ts")) >=
+        unix_timestamp(col("arr_ts")) + col("min_xfer"))
+      .filter(unix_timestamp(col("dep_ts")) <=
+        unix_timestamp(col("arr_ts")) + maxWaitSecs)
+      .withColumn("rn", row_number().over(firstFeasible))
+      .filter(col("rn") === 1)
+      .select(col("run_id"), col("from_trip"), col("from_stop_id"),
+        col("arr_ts"), col("to_trip"), col("to_stop_id"), col("dep_ts"),
+        (unix_timestamp(col("dep_ts")) - unix_timestamp(col("arr_ts")))
+          .as("wait_secs"))
   }
 
   /** Kafka-ready JSON shaping with the reference's exact field names and

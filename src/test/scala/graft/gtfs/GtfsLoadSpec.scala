@@ -258,4 +258,37 @@ class GtfsLoadSpec extends SparkSpec {
     assert(ArrivalsQuery.expandFrequencies(st, bad)
       .filter($"trip_start_secs".isNotNull).count() === 0)
   }
+
+  test("feasible connections honor min transfer time, type 3, first departure") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val arrivals = Seq(
+      (1, "T1", "A", t("2024-01-01 09:00:00")), // the incoming arrival
+      (1, "T2", "B", t("2024-01-01 09:04:00")), // 240s < min 300s -> infeasible
+      (1, "T3", "B", t("2024-01-01 09:10:00")), // first feasible
+      (1, "T4", "B", t("2024-01-01 09:30:00")), // feasible but not first
+      (1, "T5", "B", t("2024-01-01 11:30:00")), // beyond maxWait
+      (1, "T6", "D", t("2024-01-01 09:15:00")), // reachable only via type-3 edge
+      (1, "T1", "B", t("2024-01-01 09:20:00"))) // same trip: never a transfer
+      .toDF("run_id", "trip_id", "stop_id", "event_ts")
+    val transfers = Seq(
+      (1, "A", "B", 2, 300),
+      (1, "A", "D", 3, 0)) // type 3: transfer not possible
+      .toDF("run_id", "from_stop_id", "to_stop_id",
+        "transfer_type", "min_transfer_time")
+    val got = ArrivalsQuery.feasibleConnections(arrivals, transfers)
+      .select($"from_trip", $"to_trip", $"to_stop_id", $"wait_secs")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // T1@A -> first feasible departure at B is T3 (600s wait); D never
+    // (type 3); T2 too soon; T4 not first; T5 outside the wait window.
+    // Arrivals at B also probe edges FROM B — none exist, so nothing else.
+    assert(got.toSeq === Seq(("T1", "T3", "B", 600L)))
+    // with no minimum (type 0), the 240s connection becomes the first
+    val t0 = Seq((1, "A", "B", 0, 0))
+      .toDF("run_id", "from_stop_id", "to_stop_id",
+        "transfer_type", "min_transfer_time")
+    val relaxed = ArrivalsQuery.feasibleConnections(arrivals, t0)
+      .select($"to_trip").collect().map(_.getString(0))
+    assert(relaxed.toSeq === Seq("T2"))
+  }
 }
