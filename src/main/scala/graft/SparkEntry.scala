@@ -86,6 +86,7 @@ object SparkEntry {
     "q_keyword_search" -> ((s, dir) => TextOps.keywordSearch(s, dir)),
     "q_bigram_surprisal" -> TextOps.bigramSurprisal,
     "q_zipf_slope" -> ((s, dir) => TextOps.zipfSlope(s, dir)),
+    "q_quality_weighted_sample" -> ((s, dir) => TextOps.qualityWeightedSample(s, dir)),
     // -- dedup suite (§7.4) ------------------------------------------------
     "q_dedup_exact" -> Dedup.exact,
     "q_jaccard_pairs" -> Dedup.ngramJaccardPairs,
@@ -109,6 +110,7 @@ object SparkEntry {
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
     "q_quant_stats" -> Similarity.quantizationStats,
     "q_kmeans_step" -> ((s, dir) => Similarity.kmeansStep(s, dir)),
+    "q_embedding_clusters" -> ((s, dir) => Similarity.embeddingClusters(s, dir)),
     // -- multimodal metadata path (§7.4) -----------------------------------
     "q_blob_metadata" -> Multimodal.blobMetadata,
     "q_frame_samples" -> ((s, dir) => Multimodal.frameSampleStats(s, dir)),
@@ -132,6 +134,18 @@ object SparkEntry {
   private val entTerms = entLetters.map(l =>
     s"CASE WHEN c_$l > 0 THEN -(CAST(c_$l AS DOUBLE) / n_letters) * " +
       s"ln(CAST(c_$l AS DOUBLE) / n_letters) ELSE 0.0 END").mkString(" + ")
+
+  /** Composite quality score SQL (mirrors text.qualityScoreTokens) —
+    * shared by the quality-scores oracle and the quality-weighted
+    * sampling oracle so the two cannot drift.
+    */
+  private val qualityExpr =
+    s"""round(
+       0.4 * (len(regexp_extract_all(text, '[A-Za-z]', 0)) / CAST(n_chars AS DOUBLE)) +
+       0.3 * (1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) / CAST(n_chars AS DOUBLE)) * 4, 1.0)) +
+       0.3 * least((len(list_filter($toks, t -> list_contains(['the','of','and','to','in','is','that','it','was','for'], t)))
+         / CAST(greatest(len($toks), 1) AS DOUBLE)) * 5, 1.0),
+       4)"""
 
   /** 2-gram shingle stream (same slice algebra as the 3-gram minhash
     * CTE) — shared by the bigram-LM oracle's train and eval sides.
@@ -435,13 +449,15 @@ object SparkEntry {
            count(*) AS n_docs
          FROM s GROUP BY lang, pred ORDER BY lang, pred""",
     "q_quality_scores" ->
-      s"""SELECT doc_id, round(
-           0.4 * (len(regexp_extract_all(text, '[A-Za-z]', 0)) / CAST(n_chars AS DOUBLE)) +
-           0.3 * (1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) / CAST(n_chars AS DOUBLE)) * 4, 1.0)) +
-           0.3 * least((len(list_filter($toks, t -> list_contains(['the','of','and','to','in','is','that','it','was','for'], t)))
-             / CAST(greatest(len($toks), 1) AS DOUBLE)) * 5, 1.0),
-           4) AS quality
+      s"""SELECT doc_id, $qualityExpr AS quality
          FROM documents ORDER BY doc_id""",
+    "q_quality_weighted_sample" ->
+      s"""SELECT doc_id, quality FROM (
+           SELECT doc_id, quality,
+             CAST(round(quality * 50) AS BIGINT) AS rate,
+             CAST(concat('0x', substring(md5(concat('qsample:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS b
+           FROM (SELECT doc_id, $qualityExpr AS quality FROM documents))
+         WHERE b < rate ORDER BY doc_id""",
     "q_token_stats" ->
       s"""WITH d AS (SELECT lang,
            CAST(len($toks) AS INT) AS ws,
@@ -617,6 +633,21 @@ object SparkEntry {
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
          ORDER BY vec_a, vec_b""",
+    "q_embedding_clusters" ->
+      """WITH RECURSIVE
+         e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                   UNION SELECT doc_b AS a, doc_a AS b FROM p),
+         reach(a, r) AS (
+           SELECT a, b FROM edges
+           UNION SELECT a, a FROM edges
+           UNION SELECT e2.a, reach.r FROM edges e2 JOIN reach ON e2.b = reach.a)
+         SELECT a AS vec_id, min(r) AS canon_id
+         FROM reach GROUP BY a ORDER BY vec_id""",
     "q_range_join_attrib" ->
       """SELECT p.event_id, count(*) AS n_clicks,
          CAST(round(sum(CAST(c.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_click_value

@@ -201,6 +201,24 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  /** Near-dup clusters over the embedding space: connected components of
+    * the [[embeddingNearDupPairs]] graph, each vector labelled with its
+    * cluster's canonical (minimum) vec_id — the embedding-side twin of
+    * the text pipeline's `Dedup.dedupAssignments`, reusing the same
+    * pointer-jumping CC loop (localCheckpoint-truncated lineage,
+    * O(log d) rounds). Covers exactly the vectors that appear in ≥ 1
+    * pair, matching the text convention.
+    */
+  def embeddingClusters(s: SparkSession, dir: String,
+                        threshold: Double = 0.3): DataFrame = {
+    import s.implicits._
+    val pairs = embeddingNearDupPairs(s, dir, threshold)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    Dedup.dedupClusters(pairs)
+      .select($"doc_id".as("vec_id"), $"canon_id")
+      .orderBy($"vec_id")
+  }
+
   /** One Lloyd iteration of k-means over the embeddings — the training
     * step that produces the IVF coarse quantizer ([[ivfTopK]] freezes
     * its centroids at the seed assignment; this moves them). Assignment

@@ -238,6 +238,28 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Quality-weighted sampling: each document's keep probability is
+    * proportional to its [[text.qualityScoreTokens]] (rate = round(
+    * quality·maxRate) percent), decided by the same deterministic
+    * md5-bucket predicate as [[hashSplit]] — high-quality docs are
+    * oversampled for curation without any sort, reservoir, or driver
+    * state. The rate is an integer percent of an already-rounded score,
+    * so the keep decision is reproducible across engines and reruns.
+    */
+  def qualityWeightedSample(s: SparkSession, dir: String,
+                            maxRate: Int = 50): DataFrame = {
+    import s.implicits._
+    docsFanned(s, dir)
+      .select($"doc_id", $"text", $"n_chars", text.tokensLower($"text").as("toks"))
+      .select($"doc_id",
+        text.qualityScoreTokens($"text", $"toks", $"n_chars").as("quality"))
+      .withColumn("rate", round($"quality" * maxRate).cast("long"))
+      .withColumn("bucket", hashBucket($"doc_id", "qsample:"))
+      .filter($"bucket" < $"rate")
+      .select($"doc_id", $"quality")
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic stratified sampling: per-language keep rates applied
     * via hash threshold (en 10% … zh 50%). The selection is a stateless
     * per-row predicate — no sort, no reservoir, no driver coordination —

@@ -72,6 +72,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingClusters matches a driver-side union-find over the pair graph") {
+    val pairs = Similarity.embeddingNearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = Similarity.embeddingClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // independent union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val roots = nodes.map(n => n -> find(n)).toMap
+    // canonical id = min member of each component
+    val canon = nodes.groupBy(roots).toSeq.flatMap { case (_, members) =>
+      val m = members.min; members.toSeq.map(_ -> m)
+    }.toMap
+    assert(got === canon)
+  }
+
   test("kmeansStep matches a driver-side Lloyd iteration") {
     val nlist = 8
     val got = Similarity.kmeansStep(spark, sf, nlist).collect()

@@ -201,6 +201,24 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_._1).toSet === expectedIds)
   }
 
+  test("qualityWeightedSample keeps exactly bucket < round(quality*50)") {
+    val quality = TextOps.qualityScores(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val buckets = Tables(spark, sf, "documents")
+      .select($"doc_id",
+        TextOps.hashBucket(org.apache.spark.sql.functions.col("doc_id"),
+          "qsample:").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = quality.collect {
+      case (id, q) if buckets(id) < math.round(q * 50) => id
+    }.toSet
+    val got = TextOps.qualityWeightedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSet === expected)
+    got.foreach { case (id, q) => assert(q === quality(id)) }
+    assert(expected.nonEmpty && expected.size < quality.size)
+  }
+
   test("zipfSlope: negative slope matching a driver-side least-squares fit") {
     val Array(row) = TextOps.zipfSlope(spark, sf).collect()
     val (nTokens, slope) = (row.getLong(0), row.getDouble(1))
