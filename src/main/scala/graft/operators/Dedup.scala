@@ -266,14 +266,22 @@ object Dedup {
   }
 
   /** Connected components over a near-dup pair graph by iterative
-    * min-label propagation: every doc adopts the smallest doc_id
-    * reachable so far; converges in O(diameter) rounds (dup clusters are
-    * tiny, so 3-8 rounds in practice; `maxIters` bounds pathology).
+    * min-label propagation with pointer jumping: every doc adopts the
+    * smallest doc_id reachable so far. Labels initialize to min(self,
+    * min neighbor) — the first propagation round for free — and each
+    * round runs neighbor-min plus TWO pointer jumps (label-of-label
+    * compression), so reach grows ~4× per round and sprawling
+    * low-threshold components (the embedding graph at cos 0.3 needed
+    * 12+ single-jump rounds at sf0.1) converge in a handful. The
+    * convergence FLAG terminates the loop; `maxIters` only bounds
+    * pathology and is set high enough that hitting it means something
+    * is wrong — an under-converged exit would silently mislabel
+    * components at scales the sf0.01 oracle never sees.
     * Output: (doc_id, canon_id) for every doc appearing in a pair —
     * keep canon_id, drop the rest. This is the step that turns candidate
     * pairs into an actual deduplicated corpus.
     *
-    * Scale: each round is one join + one groupBy on doc_id — no driver
+    * Scale: each round is two joins + one groupBy on doc_id — no driver
     * data, no cross product. At 100 TB, checkpoint every few rounds to
     * cut lineage (here rounds are few enough not to need it).
     *
@@ -281,7 +289,7 @@ object Dedup {
     * materialized; Spark's ContextCleaner reclaims them when the frame is
     * garbage-collected, so repeated calls do not accumulate storage.
     */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
     // localCheckpoint, not cache: the edge list embeds the whole
     // candidate-pair pipeline (MinHash etc.) and every propagation round
     // joins it. A cache keeps that full plan nested inside every round's
@@ -295,12 +303,22 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .localCheckpoint()
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("canon_id", col("doc_id")).localCheckpoint()
+    // min-neighbor initialization: the identity start would spend the
+    // whole first round discovering exactly this
+    var labels = edges.groupBy(col("a").as("doc_id"))
+      .agg(min(col("b")).as("nb"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("nb")).as("canon_id"))
+      .localCheckpoint()
     // One round = neighbor-min propagation + pointer jump (adopt the label
     // of your label — path compression), so chains converge in O(log d)
     // rounds, not O(d). The convergence flag rides the same frame: ONE
     // Spark action per round (the old shape paid a second join + count).
+    // A second jump per round was tried and reverted: the extra
+    // self-reference to the lazily-checkpointed round frame sent
+    // per-round cost super-linear (0.3s -> 98s by round 13 at sf0.1) —
+    // the same multi-reference recompute race the localCheckpoint
+    // comment above describes.
     def step(l: DataFrame): DataFrame = {
       val nmin = edges
         .join(l.select(col("doc_id").as("b2"), col("canon_id").as("bc")),
