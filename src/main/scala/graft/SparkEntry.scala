@@ -114,6 +114,15 @@ object SparkEntry {
     // -- multimodal metadata path (§7.4) -----------------------------------
     "q_blob_metadata" -> Multimodal.blobMetadata,
     "q_frame_samples" -> ((s, dir) => Multimodal.frameSampleStats(s, dir)),
+    // -- round-4 additions: exact-moment stats, window frames, islands -----
+    "q_corr_stats" -> Relational.corrStats,
+    "q_moving_avg_revenue" -> Relational.movingAvgRevenue,
+    "q_nations_listagg" -> Relational.nationsListagg,
+    "q_activity_streaks" -> Events.activityStreaks,
+    "q_value_histogram" -> Events.valueHistogram,
+    "q_median_value" -> Events.medianValue,
+    "q_rolling_active_users" -> Events.rollingActiveUsers,
+    "q_value_skewness" -> Events.valueSkewness,
   )
 
   // DuckDB dialect notes: `//` = integer division (Spark `/ .cast("int")`),
@@ -1056,5 +1065,111 @@ object SparkEntry {
                  CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_chunks
                FROM documents)
          GROUP BY lang ORDER BY lang""",
+    // -- round-4 additions -------------------------------------------------
+    // Exact Pearson corr/cov from fixed-point integer moments: the 2-dp
+    // stored doubles recover exactly as ×100 longs, sums are associative
+    // (engine- and partition-order-independent), and the double formula
+    // has identical association on both sides.
+    "q_corr_stats" ->
+      """WITH t AS (SELECT l_returnflag,
+           CAST(round(l_quantity * 100) AS BIGINT) AS x,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+         FROM lineitem),
+         s AS (SELECT l_returnflag, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+         FROM t GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+              sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price,
+           round((CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE) / 10000.0, 4) AS cov_qty_price
+         FROM s ORDER BY l_returnflag""",
+    // Window frame: trailing 7-row moving average over the daily rollup;
+    // window sums stay DECIMAL-exact until the final double division.
+    "q_moving_avg_revenue" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+         FROM orders GROUP BY 1)
+         SELECT day, CAST(round(rev, 2) AS DOUBLE) AS daily_rev,
+           round(CAST(sum(rev) OVER w AS DOUBLE) / count(*) OVER w, 4) AS avg_7d
+         FROM daily
+         WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY day""",
+    "q_nations_listagg" ->
+      """SELECT r_name, count(*) AS n_nations,
+         string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    // Gaps-and-islands: day-index minus row_number is constant within a
+    // run of consecutive active days. All-integer math.
+    "q_activity_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+         i AS (SELECT user_id, day,
+           date_diff('day', DATE '2024-01-01', day)
+             - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+         FROM ud),
+         runs AS (SELECT user_id, island, count(*) AS len
+           FROM i GROUP BY user_id, island)
+         SELECT user_id, count(*) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS max_streak,
+           CAST(sum(len) AS BIGINT) AS n_active_days
+         FROM runs GROUP BY user_id ORDER BY user_id""",
+    "q_value_histogram" ->
+      """WITH b AS (SELECT CAST(floor(value / 10) AS INT) AS bin,
+           count(*) AS n_events
+         FROM events GROUP BY 1)
+         SELECT bin, CAST(bin * 10 AS DOUBLE) AS bin_lo, n_events,
+           round(CAST(n_events AS DOUBLE) / sum(n_events) OVER (), 4) AS share
+         FROM b ORDER BY bin""",
+    // Exact interpolated median via middle row_number ranks — engine
+    // median()/quantile implementations differ; picking the middle one or
+    // two values by rank and averaging is formula-identical everywhere.
+    "q_median_value" ->
+      """WITH t AS (SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+         FROM events)
+         SELECT event_type, round(sum(value) / count(*), 4) AS median_value,
+           CAST(max(n) AS BIGINT) AS n_events
+         FROM t WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+         GROUP BY event_type ORDER BY event_type""",
+    // Trailing 7-day distinct users. The oracle's range join is fine at
+    // oracle scale; the Spark side uses the linear explode-to-window-day
+    // shape instead (see Events.rollingActiveUsers).
+    "q_rolling_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+         days AS (SELECT DISTINCT day FROM ud)
+         SELECT d.day, count(DISTINCT u.user_id) AS n_users_7d
+         FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+         GROUP BY d.day ORDER BY d.day""",
+    // Exact skewness from ×1e4 fixed-point power sums (scale cancels);
+    // v³ exceeds 64-bit range so the cube sum accumulates as HUGEINT /
+    // DECIMAL — both exact, both converting to the same double.
+    "q_value_skewness" ->
+      """WITH t AS (SELECT event_type,
+           CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+         s AS (SELECT event_type, count(*) AS n,
+           CAST(sum(v) AS BIGINT) AS sv,
+           sum(CAST(v AS HUGEINT) * v) AS sv2,
+           sum(CAST(v AS HUGEINT) * v * v) AS sv3
+         FROM t GROUP BY event_type)
+         SELECT event_type, n,
+           round((CAST(sv3 AS DOUBLE) / n
+               - 3.0 * (CAST(sv AS DOUBLE) / n) * (CAST(sv2 AS DOUBLE) / n)
+               + 2.0 * (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)
+                     * (CAST(sv AS DOUBLE) / n)) /
+             pow(CAST(sv2 AS DOUBLE) / n
+               - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 1.5), 4)
+             AS skewness
+         FROM s ORDER BY event_type""",
   )
 }

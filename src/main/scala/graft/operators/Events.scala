@@ -290,4 +290,110 @@ object Events {
       .agg(countDistinct($"o_custkey").as("n_customers"))
       .orderBy($"cohort_month", $"month_offset")
   }
+
+  /** Gaps-and-islands: per-user runs of consecutive active days. The
+    * island key is day-index minus dense row_number — constant within a
+    * run of consecutive days, different across gaps — so streak stats
+    * fall out of two map-side-combined aggregations; the window and both
+    * groupBys share the user_id hash partitioning (one shuffle total).
+    * All-integer math, so the oracle matches bit for bit.
+    */
+  def activityStreaks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val days = Tables(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .withColumn("island",
+        datediff($"day", lit("2024-01-01").cast("date")) - row_number().over(w))
+    days.groupBy($"user_id", $"island").agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_streaks"), max($"len").as("max_streak"),
+        sum($"len").as("n_active_days"))
+      .orderBy($"user_id")
+  }
+
+  /** Fixed-width histogram of event values (width 10): bin counts plus
+    * each bin's share of all events. One groupBy; the grand total rides a
+    * single-partition window over the |bins|-sized aggregate (constant at
+    * any event volume), never over the raw events.
+    */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bins = Tables(s, dir, "events")
+      .groupBy(floor($"value" / 10).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n_events"))
+    bins
+      .withColumn("share",
+        round($"n_events".cast("double") /
+          sum($"n_events").over(Window.partitionBy()), 4))
+      .select($"bin", ($"bin" * 10).cast("double").as("bin_lo"), $"n_events", $"share")
+      .orderBy($"bin")
+  }
+
+  /** Exact interpolated median per event type, computed from window ranks
+    * instead of an engine median() so every engine produces the identical
+    * double: pick the one (odd n) or two (even n) middle values by
+    * row_number and average them. Ties in `value` are harmless — any
+    * permutation of equal values puts the same numbers at the middle
+    * ranks.
+    */
+  def medianValue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value")
+    Tables(s, dir, "events")
+      .select($"event_type", $"value")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("n div 2 + 1"))
+      .groupBy($"event_type")
+      .agg(round(sum($"value") / count(lit(1)), 4).as("median_value"),
+        max($"n").as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  /** Trailing 7-day distinct active users per day. Scale shape: each
+    * (user, day) contributes itself to the 7 window-ending days it can
+    * appear in (explode of a constant-length sequence — linear, never a
+    * range join), then one distinct-count per window day; days with no
+    * events contribute no window row (semi join against observed days).
+    */
+  def rollingActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val userDays = Tables(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val observed = userDays.select($"day").distinct()
+    userDays
+      .select($"user_id", explode(sequence(lit(0), lit(6))).as("k"), $"day")
+      .select($"user_id", date_add($"day", $"k").as("day"))
+      .join(observed, Seq("day"), "left_semi")
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("n_users_7d"))
+      .orderBy($"day")
+  }
+
+  /** Exact skewness of event values per type via fixed-point power sums:
+    * values quantize to 1e-4 longs, Σv/Σv²/Σv³ accumulate as integers
+    * (decimal where v³ exceeds long range), and one double formula at
+    * the end — associative sums make the result independent of partition
+    * count AND engine, unlike built-in skewness whose merge order varies.
+    * The 1e4 scale cancels: skewness is scale-invariant.
+    */
+  def valueSkewness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = round($"value" * 10000).cast("decimal(8,0)")
+    val stats = Tables(s, dir, "events")
+      .select($"event_type", v.as("v"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+        sum(($"v" * $"v").cast("decimal(28,0)")).as("sv2"),
+        sum(($"v" * $"v" * $"v").cast("decimal(36,0)")).as("sv3"))
+    stats
+      .withColumn("m1", $"sv".cast("double") / $"n")
+      .withColumn("m2", $"sv2".cast("double") / $"n")
+      .withColumn("m3", $"sv3".cast("double") / $"n")
+      .select($"event_type", $"n",
+        round(($"m3" - lit(3.0) * $"m1" * $"m2" + lit(2.0) * $"m1" * $"m1" * $"m1") /
+          pow($"m2" - $"m1" * $"m1", 1.5), 4).as("skewness"))
+      .orderBy($"event_type")
+  }
 }

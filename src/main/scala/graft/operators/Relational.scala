@@ -471,4 +471,72 @@ object Relational {
         countDistinct($"value").as("n_distinct"))
       .orderBy($"col_name")
   }
+
+  /** Exact Pearson correlation and covariance of quantity vs extended
+    * price per return flag. The stored doubles are 2-dp, so ×100 longs
+    * recover them exactly; all five moments accumulate as integers
+    * (decimal where the squared-price sum exceeds long range) and the
+    * final formula runs once in doubles — associative sums, so the same
+    * answer at any partition count, unlike built-in corr() whose
+    * merge-order drift diverges across engines. The covariance is
+    * rescaled by the 100·100 quantization factor; correlation is
+    * scale-free.
+    */
+  def corrStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = round($"l_quantity" * 100).cast("long")
+    val y = round($"l_extendedprice" * 100).cast("long")
+    val stats = Tables(s, dir, "lineitem")
+      .select($"l_returnflag", x.as("x"), y.as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum(($"y".cast("decimal(16,0)") * $"y").cast("decimal(30,0)")).as("syy"))
+    stats
+      .withColumn("nd", $"n".cast("double"))
+      .withColumn("dx", $"sx".cast("double"))
+      .withColumn("dy", $"sy".cast("double"))
+      .select($"l_returnflag", $"n",
+        round(($"nd" * $"sxy".cast("double") - $"dx" * $"dy") /
+          (sqrt($"nd" * $"sxx".cast("double") - $"dx" * $"dx") *
+            sqrt($"nd" * $"syy".cast("double") - $"dy" * $"dy")), 6).as("corr_qty_price"),
+        round(($"sxy".cast("double") - $"dx" * $"dy" / $"nd") / $"nd" / lit(10000.0), 4)
+          .as("cov_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Daily revenue with a trailing 7-day moving average. The daily
+    * rollup is one map-side-combined shuffle on day; the moving window
+    * then runs over the |days|-sized aggregate (single range partition
+    * here; at scale the window would partition by month and carry a
+    * 6-day overlap). Window sums stay in exact DECIMAL until the final
+    * division.
+    */
+  def movingAvgRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(dec($"o_totalprice")).as("rev"))
+    val w = Window.orderBy($"day").rowsBetween(-6, 0)
+    daily
+      .select($"day", round($"rev", 2).cast("double").as("daily_rev"),
+        round(sum($"rev").over(w).cast("double") / count(lit(1)).over(w), 4)
+          .as("avg_7d"))
+      .orderBy($"day")
+  }
+
+  /** LISTAGG/string_agg: each region's nations as one sorted CSV cell.
+    * collect_list + array_sort keeps the result deterministic regardless
+    * of shuffle arrival order — never rely on collect order.
+    */
+  def nationsListagg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "nation")
+      .join(broadcast(Tables(s, dir, "region")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list($"n_name")), ",").as("nations"))
+      .orderBy($"r_name")
+  }
 }
