@@ -11,12 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (explicit casts on whichever side is narrower) because the driver's
   * compare hashes values after sorting columns by name.
   *
-  * Omitted oracles (weaker rows-only check), exactly one:
-  * q_approx_distinct_users — HLL++ estimates are engine-specific by
-  * construction. Everything else — including SimHash (md5-prefix token
-  * hash, chosen for oracle parity), dedup assignments (recursive-CTE
-  * connected components), and chunk pairs (portable position-independent
-  * CDC) — is DuckDB-verified.
+  * Every query has a DuckDB oracle — including the engine-specific
+  * sketches (HLL distinct, percentile_approx, SpaceSaving top-k), which
+  * are checked via acceptance audits: the query emits the algorithm's
+  * PROVEN guarantee as a boolean the oracle asserts literally, exact
+  * witnesses alongside. SimHash (md5-prefix token hash, chosen for
+  * oracle parity), dedup assignments (recursive-CTE connected
+  * components), and chunk pairs (portable position-independent CDC)
+  * are DuckDB-verified value-for-value.
   */
 object SparkEntry {
 
@@ -78,6 +80,7 @@ object SparkEntry {
     "q_decontamination" -> ((s, dir) => TextOps.decontamination(s, dir)),
     "q_stratified_sample" -> TextOps.stratifiedSample,
     "q_repetition_scores" -> TextOps.repetitionScores,
+    "q_topk_audit" -> ((s, dir) => TextOps.topkAudit(s, dir)),
     "q_token_cooccurrence" -> ((s, dir) => TextOps.tokenCooccurrence(s, dir)),
     "q_seq_packing" -> ((s, dir) => Packing.sequencePacking(s, dir)),
     "q_context_windows" -> ((s, dir) => Packing.contextWindows(s, dir)),
@@ -430,6 +433,10 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_approx_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+         count(*) AS n_events, CAST(true AS BOOLEAN) AS ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_user_type_sets" ->
       """SELECT user_id,
          array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
@@ -721,6 +728,13 @@ object SparkEntry {
          WHERE b < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 20
            WHEN 'fr' THEN 30 WHEN 'es' THEN 40 ELSE 50 END
          ORDER BY doc_id""",
+    "q_topk_audit" ->
+      s"""WITH tk AS (SELECT lang, unnest($toks) AS tok FROM documents),
+         s AS (SELECT lang, count(*) AS n_tokens,
+             count(DISTINCT tok) AS vocab FROM tk GROUP BY lang)
+         SELECT lang, n_tokens, least(16, vocab) AS n_tracked,
+           CAST(true AS BOOLEAN) AS ok
+         FROM s ORDER BY lang""",
     "q_order_gaps" ->
       """WITH g AS (SELECT o_custkey,
            date_diff('day',

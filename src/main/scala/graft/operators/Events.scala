@@ -189,18 +189,26 @@ object Events {
       .orderBy($"user_id")
   }
 
-  /** Sketch cardinalities: HyperLogLog++ approximate distinct users per
-    * type at 2% target error — the constant-memory path for 10^10-key
-    * cardinality at 100 TB (exact twin: [[distinctUsers]]). No SQL
-    * oracle: HLL estimates are engine-specific (driver records a
-    * rows-only check).
+  /** Acceptance audit for HyperLogLog++ approximate distinct counts: the
+    * sketch estimate per event type at rsd 0.02 must land within a 5×rsd
+    * relative-error band of the exact cardinality. HLL merges registers
+    * by max — commutative and associative — so the estimate (and hence
+    * the ok flag) is bit-deterministic at any parallelism, which is what
+    * makes an engine-specific sketch oracle-checkable (same pattern as
+    * [[approxQuantileAudit]] / the ANN recall audit). The sketch, not the
+    * exact distinct, is the 100 TB path: constant memory per group for
+    * 10^10-key cardinality; the exact side here is the audit's witness.
     */
   def approxDistinctUsers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "events")
       .groupBy($"event_type")
       .agg(approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
+        count_distinct($"user_id").as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select($"event_type", $"exact_users", $"n_events",
+        (abs($"approx_users" - $"exact_users").cast("double") /
+          $"exact_users" <= 0.1).as("ok"))
       .orderBy($"event_type")
   }
 

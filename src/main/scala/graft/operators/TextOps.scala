@@ -456,4 +456,39 @@ object TextOps {
       .orderBy($"lift".desc, $"tok_a", $"tok_b")
       .limit(k)
   }
+
+  /** Acceptance audit for the SpaceSaving heavy-hitters sketch in batch:
+    * run the typed Aggregator per language with `capacity` counters over
+    * the token stream, then assert the sketch's order-independent
+    * guarantee against exact counts — every reported count overestimates
+    * its true frequency by at most floor(N/capacity) (each partial's
+    * eviction inheritance injects ≤ floor(N_p/capacity), keywise-sum
+    * merging adds the partials' bounds, and the trim only drops keys).
+    * The tracked-set SIZE is also order-independent (= min(capacity,
+    * vocabulary)), so both witness columns and the ok flag are
+    * deterministic at any parallelism even though WHICH tail keys the
+    * sketch tracks can vary with merge order — same oracle pattern as
+    * [[Events.approxQuantileAudit]]. Bounded state per group is the
+    * 100 TB story: capacity counters regardless of key cardinality.
+    */
+  def topkAudit(s: SparkSession, dir: String, capacity: Int = 16): DataFrame = {
+    import s.implicits._
+    val tok = docsFanned(s, dir)
+      .select($"lang", explode(text.tokensLower($"text")).as("tok"))
+    val sketch = tok.as[(String, String)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.aggregates.SpaceSavingTopK(capacity, capacity).toColumn)
+      .toDF("lang", "sketch")
+      .select($"lang", explode($"sketch").as("e"))
+      .select($"lang", $"e._1".as("tok"), $"e._2".as("c"))
+    val exact = tok.groupBy($"lang", $"tok").agg(count(lit(1)).as("f"))
+    val totals = tok.groupBy($"lang").agg(count(lit(1)).as("n_tokens"))
+    sketch.join(exact, Seq("lang", "tok"))
+      .join(broadcast(totals), Seq("lang"))
+      .groupBy($"lang")
+      .agg(max($"n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_tracked"),
+        bool_and($"c" <= $"f" + floor($"n_tokens" / capacity)).as("ok"))
+      .orderBy($"lang")
+  }
 }
