@@ -38,8 +38,12 @@ object Bench {
     // to anything that reads only the headline value
     val errors = results.count(!_._3)
 
+    // Locale.ROOT: the f interpolator uses the JVM default locale, which
+    // on comma-decimal locales would emit "0,680" and break the JSON
     def entry(r: (String, Double, Boolean)): String =
-      "\"" + r._1 + "\":" + (if (r._3) f"${r._2}%.3f" else "\"error\"")
+      "\"" + r._1 + "\":" + (if (r._3)
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(r._2))
+      else "\"error\"")
 
     // full detail (all queries, name order) → file
     val fullQs = results.map(entry).mkString("{", ",", "}")

@@ -1091,7 +1091,8 @@ object SparkEntry {
          FROM lineitem),
          s AS (SELECT l_returnflag, count(*) AS n,
            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-           CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
            sum(CAST(y AS HUGEINT) * y) AS syy
          FROM t GROUP BY l_returnflag)
          SELECT l_returnflag, n,

@@ -289,7 +289,9 @@ object Dedup {
     * materialized; Spark's ContextCleaner reclaims them when the frame is
     * garbage-collected, so repeated calls do not accumulate storage.
     */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 40,
+                    contractAfter: Int = 2, contractEvery: Int = 4,
+                    maxLocalEdges: Long = 4000000L): DataFrame = {
     // localCheckpoint, not cache: the edge list embeds the whole
     // candidate-pair pipeline (MinHash etc.) and every propagation round
     // joins it. A cache keeps that full plan nested inside every round's
@@ -300,8 +302,14 @@ object Dedup {
     // relations, constant cost. (On a real cluster use reliable
     // checkpoint(dir) — localCheckpoint blocks don't survive executor
     // loss.) Block cleanup is GC-driven; no manual unpersist bookkeeping.
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // Self-loops ride along so one edge-join aggregation per round yields
+    // BOTH the propagated min over {self} ∪ neighbors AND the node's old
+    // label (the self row carries it) — no separate prop join against the
+    // label frame: one fewer join per round.
+    val undirected = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    val edges = undirected
+      .unionByName(undirected.select(col("a"), col("a").as("b")).distinct())
       .localCheckpoint()
     // min-neighbor initialization: the identity start would spend the
     // whole first round discovering exactly this
@@ -310,25 +318,25 @@ object Dedup {
       .select(col("doc_id"),
         least(col("doc_id"), col("nb")).as("canon_id"))
       .localCheckpoint()
-    // One round = neighbor-min propagation + pointer jump (adopt the label
-    // of your label — path compression), so chains converge in O(log d)
-    // rounds, not O(d). The convergence flag rides the same frame: ONE
-    // Spark action per round (the old shape paid a second join + count).
-    // A second jump per round was tried and reverted: the extra
-    // self-reference to the lazily-checkpointed round frame sent
-    // per-round cost super-linear (0.3s -> 98s by round 13 at sf0.1) —
-    // the same multi-reference recompute race the localCheckpoint
-    // comment above describes.
+    // One round = neighbor-min propagation + ONE pointer jump (adopt the
+    // label of your label — path compression). EXACTLY this shape, no
+    // more: extra jump joins against the label frame were tried twice
+    // (round 3, and 2-/3-jump variants this round) and every variant
+    // sent per-round cost super-linear (0.3s -> 98..131s within a few
+    // rounds at sf0.1) — chained self-joins through the lazily-
+    // localCheckpointed frame stop reusing its blocks. The convergence
+    // flag rides the same frame: ONE Spark action per round.
     def step(l: DataFrame): DataFrame = {
-      val nmin = edges
+      // min over {self} ∪ neighbors' labels AND the old self label, one
+      // aggregation — the self-loop row is the one where b == a
+      val prop = edges
         .join(l.select(col("doc_id").as("b2"), col("canon_id").as("bc")),
           col("b") === col("b2"))
-        .groupBy(col("a").as("doc_id")).agg(min(col("bc")).as("nmin"))
-      val prop = l.join(nmin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("canon_id").as("old"),
-          least(col("canon_id"), coalesce(col("nmin"), col("canon_id"))).as("c1"))
-      // jump: canon ids are themselves doc_ids, so look up THEIR label in
-      // the same cached frame (materialized once per round)
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("bc")).as("c1"),
+          max(when(col("b2") === col("a"), col("bc"))).as("old"))
+      // jump: canon ids are themselves doc_ids, so look up THEIR label
+      // in the same materialized frame
       prop.join(l.select(col("doc_id").as("j"), col("canon_id").as("jc")),
           prop("c1") === col("j"), "left")
         .select(col("doc_id"), col("old"),
@@ -337,9 +345,25 @@ object Dedup {
     // One round per Spark action; the convergence flag rides the same
     // frame (no separate join+count). Each round's result is checkpointed
     // so round plans never nest.
+    //
+    // Contract-and-finish: label propagation converges in O(log d)
+    // rounds, but the LAST rounds move only a handful of nodes — a long
+    // per-job-overhead tail (17 rounds at sf0.1, ~3.5s of wall-clock for
+    // <600 changing labels). So after `contractAfter` rounds the loop
+    // contracts the graph through the current labels — the quotient
+    // graph (l(a), l(b)) of inter-cluster edges, connected per component
+    // because a connected graph's cluster quotient is connected — and if
+    // the remainder is small enough to BOUND (maxLocalEdges, ~tens of MB
+    // in one task), finishes it with a sequential union-find in a single
+    // executor task. At 100 TB the early rounds do the heavy lifting
+    // distributed, the contracted remainder is exactly the convergence
+    // tail, and the guard keeps the local step from ever seeing an
+    // unbounded graph (if the remainder is still large, the distributed
+    // loop simply continues — correctness never depends on the finisher).
     var changed = 1L
     var i = 0
-    while (changed > 0 && i < maxIters) {
+    var done = false
+    while (!done && changed > 0 && i < maxIters) {
       val t0 = System.nanoTime()
       // lazy checkpoint: the flag aggregation below materializes it, so
       // each round is ONE job; lineage still truncates for later rounds
@@ -351,8 +375,67 @@ object Dedup {
         println(f"-- cc round $i changed=$changed ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       labels = next.select(col("doc_id"), col("canon_id"))
       i += 1
+      if (changed > 0 && i >= contractAfter && (i - contractAfter) % contractEvery == 0) {
+        val t1 = System.nanoTime()
+        val quotient = edges
+          .join(labels.select(col("doc_id").as("a2"), col("canon_id").as("ca")),
+            col("a") === col("a2"))
+          .join(labels.select(col("doc_id").as("b3"), col("canon_id").as("cb")),
+            col("b") === col("b3"))
+          .filter(col("ca") =!= col("cb"))
+          .select(col("ca"), col("cb")).distinct()
+          .localCheckpoint()
+        val m = quotient.count()
+        if (m <= maxLocalEdges) {
+          // rep(label) = min doc_id of the label's quotient component; a
+          // label cluster with no quotient edge is already a complete
+          // component whose label IS its min (l(min) = min always), so
+          // the left join's misses keep their label
+          val reps = localUnionFind(quotient)
+          labels = labels
+            .join(reps, labels("canon_id") === reps("node"), "left")
+            .select(col("doc_id"),
+              coalesce(col("rep"), col("canon_id")).as("canon_id"))
+          done = true
+        }
+        if (sys.env.get("GRAFT_CC_DEBUG").contains("1"))
+          println(f"-- cc contract i=$i quotient=$m local=${m <= maxLocalEdges} ${(System.nanoTime() - t1) / 1e9}%6.2f s")
+      }
     }
     labels
+  }
+
+  /** Sequential union-find over a BOUNDED quotient edge list, in one
+    * executor task (never the driver). Union-by-min keeps every tree's
+    * root at the component's minimum id, so `rep` is exact. Only called
+    * on graphs whose size [[dedupClusters]] has already counted against
+    * its maxLocalEdges guard.
+    */
+  private def localUnionFind(quotient: DataFrame): DataFrame = {
+    val s = quotient.sparkSession
+    import s.implicits._
+    quotient.select(col("ca").cast("long"), col("cb").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // only non-root nodes ever enter the map; a root's rep is itself
+        // and the caller's left-join coalesce already keeps those labels
+        val nodes = parent.keys.toArray
+        nodes.iterator.map(k => (k, find(k)))
+      }
+      .toDF("node", "rep")
   }
 
   /** End-to-end near-dup dedup over the corpus: exact-dup pairs (same

@@ -388,7 +388,10 @@ object Events {
     */
   def valueSkewness(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val v = round($"value" * 10000).cast("decimal(8,0)")
+    // decimal(12,0): |value| < 10^8 headroom — at decimal(8,0) a value at
+    // or above 10^4 would overflow the quantized column (ANSI throw)
+    // while the oracle's BIGINT path kept working
+    val v = round($"value" * 10000).cast("decimal(12,0)")
     val stats = Tables(s, dir, "events")
       .select($"event_type", v.as("v"))
       .groupBy($"event_type")

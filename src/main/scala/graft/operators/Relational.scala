@@ -475,7 +475,8 @@ object Relational {
   /** Exact Pearson correlation and covariance of quantity vs extended
     * price per return flag. The stored doubles are 2-dp, so ×100 longs
     * recover them exactly; all five moments accumulate as integers
-    * (decimal where the squared-price sum exceeds long range) and the
+    * (the product sums as decimal — at 100 TB row counts Σxy/Σxx/Σyy
+    * all exceed long range, and ANSI mode would throw) and the
     * final formula runs once in doubles — associative sums, so the same
     * answer at any partition count, unlike built-in corr() whose
     * merge-order drift diverges across engines. The covariance is
@@ -490,7 +491,8 @@ object Relational {
       .select($"l_returnflag", x.as("x"), y.as("y"))
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
-        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum(($"x".cast("decimal(16,0)") * $"y").cast("decimal(30,0)")).as("sxy"),
+        sum(($"x".cast("decimal(16,0)") * $"x").cast("decimal(30,0)")).as("sxx"),
         sum(($"y".cast("decimal(16,0)") * $"y").cast("decimal(30,0)")).as("syy"))
     stats
       .withColumn("nd", $"n".cast("double"))
