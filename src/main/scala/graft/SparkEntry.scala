@@ -37,6 +37,7 @@ object SparkEntry {
     "q_top_orders_per_customer" -> Relational.topOrdersPerCustomer,
     "q_order_day_expansion" -> Relational.orderDayExpansion,
     "q_geo_radius" -> Relational.geoRadius,
+    "q_shape_lengths" -> Relational.shapePolylineLengths,
     "q_checksum_xor" -> Relational.checksumXor,
     "q_nation_rollup" -> Relational.nationRollup,
     "q_purchasers_without_errors" -> Relational.purchasersWithoutErrors,
@@ -316,6 +317,34 @@ object SparkEntry {
            CAST(o_orderdate AS DATE) + INTERVAL 6 DAY,
            INTERVAL 1 DAY))) t(gs)
          GROUP BY 1 ORDER BY 1""",
+    "q_shape_lengths" ->
+      """WITH pts AS (
+           SELECT user_id % 40 AS shape_id, event_id AS seq,
+             52.0 + (event_id % 400) / 1000.0 AS lat,
+             13.0 + ((event_id * 7) % 400) / 1000.0 AS lon
+           FROM events),
+         legs AS (
+           SELECT shape_id,
+             lag(lat) OVER (PARTITION BY shape_id ORDER BY seq) AS plat,
+             lag(lon) OVER (PARTITION BY shape_id ORDER BY seq) AS plon,
+             lat, lon
+           FROM pts),
+         mm AS (
+           SELECT shape_id,
+             CASE WHEN plat IS NULL THEN 0 ELSE
+               CAST(round(2 * 6371000.0 * atan2(sqrt(
+                 pow(sin((radians(lat) - radians(plat)) / 2), 2) +
+                 cos(radians(plat)) * cos(radians(lat)) *
+                 pow(sin((radians(lon) - radians(plon)) / 2), 2)),
+                 sqrt(1.0 - (
+                 pow(sin((radians(lat) - radians(plat)) / 2), 2) +
+                 cos(radians(plat)) * cos(radians(lat)) *
+                 pow(sin((radians(lon) - radians(plon)) / 2), 2)))) * 1000, 0)
+               AS BIGINT) END AS leg_mm
+           FROM legs)
+         SELECT shape_id, count(*) AS n_points,
+           CAST(sum(leg_mm) AS BIGINT) AS length_mm
+         FROM mm GROUP BY shape_id ORDER BY shape_id""",
     "q_geo_radius" ->
       """WITH pts AS (
            SELECT c_custkey,

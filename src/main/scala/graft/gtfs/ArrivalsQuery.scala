@@ -297,4 +297,46 @@ object ArrivalsQuery {
                    radiusMeters: Double): DataFrame =
     arrivals.filter(graft.functions.geo.withinRadius(
       col("stop_lat"), col("stop_lon"), centerLat, centerLon, radiusMeters))
+
+  /** Cumulative distance along each GTFS shape polyline: per point, the
+    * haversine leg from the previous point (by `shape_pt_sequence`) and
+    * the running distance from the shape's start. The reference loads
+    * shapes.txt but never queries it (05-create-schema.sh:108-119 in
+    * XComp/vbb-data-pipeline) — this is the distance-along-shape operator
+    * a consumer of that table actually wants (e.g. to place a vehicle on
+    * its polyline).
+    *
+    * Legs quantize to millimetre longs before summing: integer running
+    * sums are associative, so the cumulative column is bit-identical at
+    * any partition count (and engine — the SQL twin sums the same longs),
+    * unlike a double running sum whose last bits depend on merge order.
+    *
+    * Scale shape: one hash shuffle on shape_id for the lag window; the
+    * downstream per-shape rollup ([[shapeLengths]]) reuses that
+    * partitioning, so the whole pipeline is a single exchange. Input
+    * frame needs columns (shape_id, shape_pt_sequence, shape_pt_lat,
+    * shape_pt_lon).
+    */
+  def distanceAlongShape(shapes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("shape_id")).orderBy(col("shape_pt_sequence"))
+    val legM = graft.functions.geo.haversineMeters(
+      lag(col("shape_pt_lat"), 1).over(w), lag(col("shape_pt_lon"), 1).over(w),
+      col("shape_pt_lat"), col("shape_pt_lon"))
+    shapes
+      .select(col("shape_id"), col("shape_pt_sequence"),
+        col("shape_pt_lat"), col("shape_pt_lon"),
+        // first point of a shape has no predecessor: leg 0
+        coalesce(round(legM * 1000).cast("long"), lit(0L)).as("leg_mm"))
+      .withColumn("cum_mm", sum(col("leg_mm")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-shape polyline rollup over [[distanceAlongShape]]: point count
+    * and total length. No extra shuffle — the groupBy key matches the
+    * window's hash partitioning.
+    */
+  def shapeLengths(shapes: DataFrame): DataFrame =
+    distanceAlongShape(shapes)
+      .groupBy(col("shape_id"))
+      .agg(count(lit(1)).as("n_points"), max(col("cum_mm")).as("length_mm"))
 }

@@ -23,15 +23,53 @@ object Ingest {
     def download(url: String, dest: Path): Unit
   }
 
-  /** Local-filesystem fetcher: `url` is a path. The production HTTP
-    * binding is a straightforward java.net.http implementation; it is
-    * deliberately not constructed here (no egress in this environment).
+  /** Local-filesystem fetcher: `url` is a path — the test seam (and this
+    * zero-egress container's only live binding).
     */
   final class LocalFileFetcher extends Fetcher {
     def fetchPage(url: String): String =
       new String(Files.readAllBytes(Paths.get(url)), "UTF-8")
     def download(url: String, dest: Path): Unit =
       Files.copy(Paths.get(url), dest, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Production HTTP binding over java.net.http (the page-scrape +
+    * zip-download client of reference S1/S3, data_provider/
+    * operators.py:54-61 — requests.get there, HttpClient here). The
+    * client is injectable so specs exercise the request/response wiring
+    * offline at the HttpClient seam; redirects follow (the reference
+    * providers serve zips behind 302s) and downloads stream to the
+    * staging file rather than buffering the archive on the heap. Non-2xx
+    * responses raise — callers treat a failed fetch as a failed ingest
+    * pass, never a partial file (the `.zip~` staging + atomic promote in
+    * [[runProviderIngest]] guarantees that even mid-download crashes
+    * leave no committed artifact).
+    */
+  final class HttpFetcher(
+      client: java.net.http.HttpClient = java.net.http.HttpClient.newBuilder()
+        .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+        .connectTimeout(java.time.Duration.ofSeconds(30))
+        .build()) extends Fetcher {
+    import java.net.http.{HttpRequest, HttpResponse}
+
+    private def get[T](url: String,
+                       handler: HttpResponse.BodyHandler[T]): HttpResponse[T] = {
+      val req = HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMinutes(10)).GET().build()
+      val resp = client.send(req, handler)
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"GET $url -> HTTP ${resp.statusCode()}")
+      resp
+    }
+
+    def fetchPage(url: String): String =
+      get(url, HttpResponse.BodyHandlers.ofString()).body()
+
+    def download(url: String, dest: Path): Unit =
+      get(url, HttpResponse.BodyHandlers.ofFile(dest,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
   }
 
   /** Provider-specific download-URL extraction strategies (S1/F1): regex

@@ -160,6 +160,25 @@ object Relational {
       .orderBy($"d")
   }
 
+  /** Distance-along-polyline rollup — the GTFS shapes.txt operator
+    * (`ArrivalsQuery.shapeLengths`) driven through an oracle-checkable
+    * surface: polylines synthesised deterministically from events
+    * (testdata has no lat/lon; one polyline per user bucket, point order
+    * = event_id), exercising the same lag-window + millimetre fixed-point
+    * cumulative pipeline the GTFS table gets.
+    */
+  def shapePolylineLengths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shapes = Tables(s, dir, "events")
+      .select(($"user_id" % 40).as("shape_id"),
+        $"event_id".as("shape_pt_sequence"),
+        (lit(52.0) + ($"event_id" % 400).cast("double") / 1000.0)
+          .as("shape_pt_lat"),
+        (lit(13.0) + (($"event_id" * 7) % 400).cast("double") / 1000.0)
+          .as("shape_pt_lon"))
+    graft.gtfs.ArrivalsQuery.shapeLengths(shapes).orderBy($"shape_id")
+  }
+
   /** Geo-radius filter (P5/F5): coordinates synthesised deterministically
     * from c_custkey (testdata has no lat/lon), haversine distance to the
     * reference test centre (Alexanderplatz, GeoPredicateSpec), 30 km radius.
