@@ -435,10 +435,14 @@ object TextOps {
     * tokens by document frequency, paired within documents, scored by
     * pointwise lift `n_ab·N / (df_a·df_b)` (PMI sans the log — the log
     * adds nothing to ranking and libm implementations differ in the last
-    * ulp across engines). The vocabulary cap is the scale lever: pair
-    * space is ≤ vocab²/2 per doc regardless of corpus size, the top
-    * frame broadcasts, and the only large shuffle is the doc_id-blocked
-    * self-join. Integer operands keep the double arithmetic bit-exact.
+    * ulp across engines). The vocabulary cap is the scale lever: each
+    * doc's vocab hits collapse to ONE sorted array (≤ vocab structs of
+    * bounded size), pairs generate in-row from that array — ≤ vocab²/2
+    * per doc regardless of corpus size — and the pair rollup is a
+    * map-side-combined groupBy over a ≤ vocab²-key space. No self-join:
+    * the former doc_id-blocked self-join shuffled the vocab-hit stream
+    * twice and joined; this shape shuffles it once into the per-doc
+    * collect. Integer operands keep the double arithmetic bit-exact.
     */
   def tokenCooccurrence(s: SparkSession, dir: String, vocab: Int = 40,
                         minPairs: Int = 5, k: Int = 50): DataFrame = {
@@ -448,12 +452,18 @@ object TextOps {
     val df = docToks.groupBy($"tok").agg(count(lit(1)).as("df"))
     val top = df.orderBy($"df".desc, $"tok").limit(vocab)
     val nDocs = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-    val ft = docToks.join(broadcast(top), Seq("tok"))
-    val a = ft.alias("a")
-    val b = ft.alias("b")
-    a.join(b, col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
-      .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
-        col("a.df").as("df_a"), col("b.df").as("df_b"))
+    // per-doc sorted (tok, df) array; strictly-after pairing over the
+    // sorted array gives each unordered pair once with tok_a < tok_b
+    val perDoc = docToks.join(broadcast(top), Seq("tok"))
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"tok", $"df"))).as("ts"))
+    perDoc
+      .select(explode(expr(
+        """flatten(transform(ts, (x, i) ->
+             transform(slice(ts, i + 2, size(ts)), y ->
+               struct(x.tok AS tok_a, y.tok AS tok_b,
+                      x.df AS df_a, y.df AS df_b))))""")).as("p"))
+      .select($"p.*")
       .groupBy($"tok_a", $"tok_b", $"df_a", $"df_b")
       .agg(count(lit(1)).as("n_ab"))
       .filter($"n_ab" >= minPairs)

@@ -56,6 +56,24 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("contract-and-finish equals the pure distributed loop on a deep chain") {
+    // one 60-node chain (depth forces many propagation rounds), ids
+    // DESCENDING along the chain plus a separate triangle and a pair —
+    // exercises quotient contraction + the single-task union-find against
+    // maxLocalEdges=0, which forbids the local finisher entirely
+    val chain = (0 until 59).map(i => (100L - i, 99L - i))
+    val pairs = (chain ++ Seq((200L, 201L), (201L, 202L), (200L, 202L), (300L, 301L)))
+      .toDF("doc_a", "doc_b")
+    val expected = ((41L to 100L).map(_ -> 41L) ++
+      Seq(200L -> 200L, 201L -> 200L, 202L -> 200L, 300L -> 300L, 301L -> 300L)).toMap
+    val local = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distributed = Dedup.dedupClusters(pairs, maxLocalEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === expected)
+    assert(distributed === expected)
+  }
+
   test("dedupAssignments groups the exact dups in the fixture corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("dedupassign").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
