@@ -308,11 +308,17 @@ object Dedup {
     // label frame: one fewer join per round.
     val undirected = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    // eager: a lazy checkpoint (folding pair-pipeline materialization
+    // into the labels-init job) was tried — no measurable win at sf0.1,
+    // and eager keeps the init aggregation planning over materialized
+    // blocks with known stats
     val edges = undirected
       .unionByName(undirected.select(col("a"), col("a").as("b")).distinct())
       .localCheckpoint()
     // min-neighbor initialization: the identity start would spend the
-    // whole first round discovering exactly this
+    // whole first round discovering exactly this. Eager: the round loop
+    // references this frame three times, which is only safe against
+    // already-materialized blocks (see the recompute-race note below).
     var labels = edges.groupBy(col("a").as("doc_id"))
       .agg(min(col("b")).as("nb"))
       .select(col("doc_id"),
