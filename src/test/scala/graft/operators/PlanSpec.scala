@@ -144,6 +144,25 @@ class PlanSpec extends SparkSpec {
     assert(bhj >= 1, "vocab join must broadcast, never shuffle the token stream")
     assert(!nodes.exists(_.isInstanceOf[
       org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    // pairs generate in-row from the per-doc vocab array: the vocab-hit
+    // stream must NOT self-join (no sort-merge join anywhere in the plan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "vocab-hit self-join crept back in")
+  }
+
+  test("shape length pipeline: one exchange feeds both window and rollup") {
+    // the lag window hash-partitions on shape_id; the per-shape groupBy
+    // must reuse that partitioning, so the whole pipeline shuffles the
+    // point stream exactly once (plus nothing for the final sort's AQE
+    // read) — the single-exchange promise in the operator's scaladoc
+    val df = Relational.shapePolylineLengths(spark, sf)
+    val shuffles = allNodes(df).collect {
+      case s: ShuffleExchangeExec => s.outputPartitioning
+    }
+    val dataShuffles = shuffles.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning])
+    assert(dataShuffles.size === 1, s"expected 1 hash shuffle, got: $shuffles")
   }
 
   test("SCD2 scans customer and orders exactly once each") {
