@@ -96,6 +96,7 @@ object SparkEntry {
     "q_jaccard_pairs" -> Dedup.ngramJaccardPairs,
     "q_minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashLshPairs(s, dir)),
     "q_minhash_jaccard_est" -> ((s, dir) => Dedup.minhashJaccardEst(s, dir)),
+    "q_incremental_lsh" -> ((s, dir) => Dedup.incrementalLshPairs(s, dir)),
     "q_minhash_signatures" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       Dedup.minhashSignatures(Tables(s, dir, "documents"), 3, 12)
@@ -558,6 +559,12 @@ object SparkEntry {
     "q_minhash_lsh_pairs" ->
       s"""$minhashPairsCore
          ORDER BY doc_a, doc_b""",
+    "q_incremental_lsh" ->
+      s"""WITH $minhashCtes
+         SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS index_doc
+         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         WHERE a.doc_id % 4 = 3 AND b.doc_id % 4 <> 3
+         ORDER BY new_doc, index_doc""",
     "q_minhash_jaccard_est" ->
       s"""WITH $minhashCtes,
          pairs AS ($minhashPairsSelect),

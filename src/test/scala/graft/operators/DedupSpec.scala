@@ -37,6 +37,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("incremental LSH probes batch against index only, both directions absent") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedupincr").toString
+    // batch = {2} (exact dup of indexed 1); index = {1, 3, 4}
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.incrementalLshPairs(spark, tmp,
+        batchPred = $"doc_id" === 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 1L)), s"batch dup must hit its indexed twin: $pairs")
+    // no index-internal pairs (1-3 are near dups but both indexed), and
+    // the unrelated doc never appears
+    assert(pairs.forall(_._1 == 2L), pairs)
+    assert(!pairs.exists(_._2 == 4L), pairs)
+  }
+
   test("simhashFast equals the reference simhash64 expression") {
     val slow = docs.select($"doc_id",
         Dedup.simhash64(graft.functions.text.tokensLower($"text")).as("simhash"))
