@@ -80,6 +80,7 @@ object SparkEntry {
     "q_hash_split" -> TextOps.hashSplit,
     "q_decontamination" -> ((s, dir) => TextOps.decontamination(s, dir)),
     "q_stratified_sample" -> TextOps.stratifiedSample,
+    "q_group_sample" -> ((s, dir) => TextOps.groupSample(s, dir)),
     "q_repetition_scores" -> TextOps.repetitionScores,
     "q_topk_audit" -> ((s, dir) => TextOps.topkAudit(s, dir)),
     "q_token_cooccurrence" -> ((s, dir) => TextOps.tokenCooccurrence(s, dir)),
@@ -764,6 +765,13 @@ object SparkEntry {
          WHERE b < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 20
            WHEN 'fr' THEN 30 WHEN 'es' THEN 40 ELSE 50 END
          ORDER BY doc_id""",
+    "q_group_sample" ->
+      """SELECT lang, rk, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(concat('gsample:', CAST(doc_id AS VARCHAR))), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 5 ORDER BY lang, rk""",
     "q_topk_audit" ->
       s"""WITH tk AS (SELECT lang, unnest($toks) AS tok FROM documents),
          s AS (SELECT lang, count(*) AS n_tokens,

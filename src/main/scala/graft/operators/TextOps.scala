@@ -285,6 +285,30 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Exactly-k-per-language document sample via the bottom-k-by-hash
+    * sketch ([[graft.functions.aggregates.BottomK]]): priority =
+    * md5-of-id, so the draw is uniform, reproducible, and — because
+    * min-k selection is associative — identical at any parallelism.
+    * Fixed-size complements the fixed-rate [[stratifiedSample]]; the
+    * aggregator shape moves ≤ k rows per (partition, group) into the
+    * shuffle where the equivalent row_number window would move and sort
+    * every row of the corpus.
+    */
+  def groupSample(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"lang",
+        md5(concat(lit("gsample:"), $"doc_id".cast("string"))).as("p"),
+        $"doc_id")
+      .as[(String, String, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.aggregates.BottomK(k).toColumn)
+      .toDF("lang", "picks")
+      .select($"lang", posexplode($"picks"))
+      .select($"lang", ($"pos" + 1).cast("long").as("rk"), $"col._2".as("doc_id"))
+      .orderBy($"lang", $"rk")
+  }
+
   /** Shannon entropy of the a–z letter distribution per document — a
     * character-level quality signal (low entropy = repeated filler,
     * high = natural mixed text). Letter counts via length-difference
