@@ -94,18 +94,27 @@ object Events {
     val apx = Tables(s, dir, "events")
       .groupBy($"event_type")
       .agg(percentile_approx($"value", array(ps.map(lit): _*), lit(accuracy)).as("apx"))
-      .select($"event_type", posexplode($"apx").as(Seq("pos", "approx")))
-      .withColumn("p", element_at(array(ps.map(lit): _*), $"pos" + 1))
-      .drop("pos")
+    // ONE audit pass: the wide sketch row broadcasts per type (no 4×
+    // row multiplication from a long-form join) and every percentile's
+    // rank counts ride the same map-side-combined aggregation as
+    // conditional sums; the per-p rows only materialize after the
+    // aggregate, |types|×4 of them
+    val rankCols = ps.indices.flatMap { i =>
+      val a = element_at($"apx", i + 1)
+      Seq(sum(when($"value" < a, 1L).otherwise(0L)).as(s"lt$i"),
+        sum(when($"value" <= a, 1L).otherwise(0L)).as(s"le$i"))
+    } :+ count(lit(1)).as("n")
+    val oks = ps.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("p"),
+        (col(s"lt$i") <= ceil(($"n" * lit(p + eps))) &&
+          col(s"le$i") >= floor(($"n" * lit(p - eps)))).as("ok"))
+    }
     Tables(s, dir, "events")
       .join(broadcast(apx), Seq("event_type"))
-      .groupBy($"event_type", $"p")
-      .agg(sum(when($"value" < $"approx", 1L).otherwise(0L)).as("n_lt"),
-        sum(when($"value" <= $"approx", 1L).otherwise(0L)).as("n_le"),
-        count(lit(1)).as("n"))
-      .select($"event_type", $"p",
-        ($"n_lt" <= ceil(($"p" + eps) * $"n") &&
-          $"n_le" >= floor(($"p" - eps) * $"n")).as("ok"))
+      .groupBy($"event_type")
+      .agg(rankCols.head, rankCols.tail: _*)
+      .select($"event_type", explode(array(oks: _*)).as("e"))
+      .select($"event_type", $"e.p".as("p"), $"e.ok".as("ok"))
       .orderBy($"event_type", $"p")
   }
 

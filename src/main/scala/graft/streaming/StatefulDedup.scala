@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.functions.text
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Streaming near-dup detection — the ingest-time twin of
+  * `Dedup.incrementalLshPairs`: every arriving document is checked
+  * against everything already seen in its LSH buckets, emitting a
+  * candidate pair the moment a near-dup lands. The reference pipeline
+  * dedups at load time with batch anti-joins (K1/J3); at 100 TB the
+  * stream form is how a continuously-ingesting corpus keeps itself
+  * deduplicated without re-pairing.
+  *
+  * Two stages, both executor-scaled:
+  *  1. STATELESS banding: per-doc minhash needs no cross-row state, so
+  *     band signatures compute in-row (HOF fold over the shingle array —
+  *     the same md5 seed scheme as the batch `Dedup` pipeline, so stream
+  *     and batch candidates agree exactly; `DedupStreamSpec` pins that).
+  *  2. Bucket membership in `flatMapGroupsWithState` keyed by
+  *     (band, sig): state is the doc ids seen in the bucket. LSH bucket
+  *     sizes are the operator's own bound (the same property that makes
+  *     the batch join linear); the event-time timeout expires idle
+  *     buckets past the watermark, so state is also time-bounded — the
+  *     streaming analog of a dedup retention horizon.
+  *
+  * A pair agreeing on k bands is emitted k times (once per bucket),
+  * tagged with the band — cross-bucket dedup would need a second
+  * stateful stage; consumers that need unique pairs drop the band
+  * column and distinct per sink-side micro-batch.
+  */
+object StatefulDedup {
+
+  case class BandedDoc(band: Int, sig: String, doc_id: Long, ts: Timestamp)
+  case class BucketState(docIds: Vector[Long], lastMs: Long)
+  case class DupCandidate(band: Int, new_doc: Long, index_doc: Long)
+
+  /** In-row (band, sig) array for a text column — bit-identical to the
+    * batch `Dedup.bandSignatures ∘ minhashMins` scheme: seed-i min over
+    * md5("i:" ++ shingle), "%02d:"-prefixed and comma-joined per band.
+    * Docs with no full shingle yield an empty array (the batch groupBy
+    * drops them the same way).
+    */
+  def bandArray(textCol: Column, shingleSize: Int = 3, numHashes: Int = 12,
+                rowsPerBand: Int = 3): Column = {
+    val sh = text.shinglesFromTokens(text.tokensLower(textCol), shingleSize)
+    val mins = (0 until numHashes).map(i =>
+      array_min(transform(sh, x => md5(concat(lit(s"$i:"), x)))))
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val sig = concat_ws(",", (0 until rowsPerBand).map { r =>
+        val seed = b * rowsPerBand + r
+        concat(lit(f"$seed%02d:"), mins(seed))
+      }: _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    when(size(sh) > 0, array(bands: _*))
+      .otherwise(array().cast("array<struct<band:int,sig:string>>"))
+  }
+
+  /** Stateless stage 1: (doc_id, text, ts) frame -> one row per (doc,
+    * band) with the bucket signature. Works on batch and streaming
+    * frames alike (no aggregation, no state).
+    */
+  def banded(docs: DataFrame, shingleSize: Int = 3, numHashes: Int = 12,
+             rowsPerBand: Int = 3): Dataset[BandedDoc] = {
+    implicit val enc = Encoders.product[BandedDoc]
+    docs
+      .select(col("doc_id"), col("ts"),
+        explode(bandArray(col("text"), shingleSize, numHashes, rowsPerBand)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("doc_id"), col("ts"))
+      .as[BandedDoc]
+  }
+
+  /** Stage 2: per-bucket membership state; every arriving doc emits one
+    * candidate per already-seen bucket member. `retentionMs` of
+    * event-time silence expires a bucket (docs older than the horizon
+    * are no longer dedup targets). Requires an upstream watermark on ts.
+    */
+  def dupCandidates(bandedDocs: Dataset[BandedDoc],
+                    retentionMs: Long): Dataset[DupCandidate] = {
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val outEnc = Encoders.product[DupCandidate]
+    bandedDocs
+      .groupByKey(d => (d.band, d.sig))(Encoders.product[(Int, String)])
+      .flatMapGroupsWithState[BucketState, DupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, String), batch: Iterator[BandedDoc],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic within-batch order: event time then id, the
+            // same tiebreak the batch operators use
+            val arrivals = batch.toVector.sortBy(d => (d.ts.getTime, d.doc_id))
+            val s0 = state.getOption.getOrElse(BucketState(Vector.empty, 0L))
+            val (out, s1) = arrivals.foldLeft(
+              (Vector.empty[DupCandidate], s0)) { case ((acc, s), d) =>
+              val hits = s.docIds.filterNot(_ == d.doc_id)
+                .map(seen => DupCandidate(key._1, d.doc_id, seen))
+              val ids = if (s.docIds.contains(d.doc_id)) s.docIds
+                        else s.docIds :+ d.doc_id
+              (acc ++ hits, BucketState(ids, math.max(s.lastMs, d.ts.getTime)))
+            }
+            state.update(s1)
+            state.setTimeoutTimestamp(s1.lastMs + retentionMs)
+            out.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+object DedupStreamSpec {
+  case class Doc(doc_id: Long, text: String, ts: Timestamp)
+}
+
+/** Streaming LSH dedup: candidates fire the moment a near-dup arrives,
+  * buckets expire past the retention horizon, and — the load-bearing
+  * claim — the stream's candidate set agrees with the batch LSH pair
+  * generator on identical data (same md5 seed scheme end to end).
+  */
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import StatefulDedup._
+  import DedupStreamSpec.Doc
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different content about spark engines"))
+
+  test("arriving duplicate emits a candidate against the seen corpus, once seen") {
+    val input = MemoryStream[Doc](spark)
+    val q = dupCandidates(
+        banded(input.toDF().withWatermark("ts", "10 minutes")),
+        retentionMs = 60 * 60 * 1000)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      Doc(1L, corpus(0)._2, ts("2024-01-01 09:00:00")),
+      Doc(4L, corpus(3)._2, ts("2024-01-01 09:01:00")))
+    q.processAllAvailable()
+    val before = spark.table("dedup_out").count()
+    input.addData(Doc(2L, corpus(1)._2, ts("2024-01-01 09:05:00")))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_out").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(before === 0L, "no pair may fire before a duplicate exists")
+    assert(rows.contains((2L, 1L)), s"dup must pair against the indexed doc: $rows")
+    assert(!rows.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc paired")
+  }
+
+  test("buckets expire past the retention horizon") {
+    val input = MemoryStream[Doc](spark)
+    val q = dupCandidates(
+        banded(input.toDF().withWatermark("ts", "10 minutes")),
+        retentionMs = 60 * 60 * 1000)
+      .writeStream.format("memory").queryName("dedup_exp")
+      .outputMode(OutputMode.Append).start()
+    input.addData(Doc(1L, corpus(0)._2, ts("2024-01-01 09:00:00")))
+    q.processAllAvailable()
+    // push the watermark far past 09:00 + 1h retention: bucket expires
+    input.addData(Doc(4L, corpus(3)._2, ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    // the same text again — its bucket is gone, so nothing to pair with
+    input.addData(Doc(2L, corpus(1)._2, ts("2024-01-01 12:55:00")))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_exp").count()
+    q.stop()
+    assert(rows === 0L, "expired bucket must not produce pairs")
+  }
+
+  test("stream candidates equal the batch LSH pair generator on the same corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    corpus.map { case (id, t) => (id, t, "en", "a", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val batchPairs = Dedup.minhashLshPairs(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val input = MemoryStream[Doc](spark)
+    val q = dupCandidates(
+        banded(input.toDF().withWatermark("ts", "10 minutes")),
+        retentionMs = 24 * 60 * 60 * 1000)
+      .writeStream.format("memory").queryName("dedup_agree")
+      .outputMode(OutputMode.Append).start()
+    input.addData(corpus.zipWithIndex.map { case ((id, t), i) =>
+      Doc(id, t, ts(f"2024-01-01 09:${i}%02d:00")) }: _*)
+    q.processAllAvailable()
+    val streamPairs = spark.table("dedup_agree").collect()
+      .map(r => (math.min(r.getLong(1), r.getLong(2)),
+        math.max(r.getLong(1), r.getLong(2)))).toSet
+    q.stop()
+    assert(streamPairs === batchPairs,
+      s"stream $streamPairs must equal batch $batchPairs")
+  }
+}
