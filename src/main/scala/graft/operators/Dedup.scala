@@ -95,6 +95,14 @@ object Dedup {
         (col("tok") +: (1 until shingleSize).map(k => col(s"t$k"))): _*).as("sh"))
   }
 
+  // Kept as explode + window + map-side-combined groupBy DELIBERATELY:
+  // the zero-shuffle in-row alternative (12 × array_min(transform(sh,
+  // md5…)), the scheme StatefulDedup.bandArray uses where streaming
+  // statelessness demands it) measured 5-8× SLOWER here at sf0.1 —
+  // higher-order-function lambdas run interpreted and the 12 seed
+  // transforms get no common-subexpression elimination, while this
+  // pipeline keeps every md5 inside whole-stage codegen and the shuffle
+  // carries only the doc-partitioned token stream once.
   private[graft] def minhashMins(docs: DataFrame, shingleSize: Int,
                                  numHashes: Int): DataFrame = {
     val minCols = (0 until numHashes).map(i =>
