@@ -235,6 +235,66 @@ object Similarity {
     * this same plan with `cents` swapped for the update (localCheckpoint
     * per round, per the connected-components lineage discipline).
     */
+  /** Full Lloyd training loop for the IVF coarse quantizer — iterate
+    * [[kmeansStep]]'s assign/update plan to convergence. The loop
+    * carries the same discipline as `Dedup.dedupClusters`: each round's
+    * centroid frame is localCheckpoint'd (flat lineage, constant
+    * per-round planning), the convergence signal (max centroid L2
+    * shift) rides the round's single action, and every assignment is a
+    * broadcast join — the vector corpus is scanned once per round and
+    * never shuffled. Fixed-point (×10^6 long) coordinate sums keep every
+    * round bit-reproducible at any parallelism, so the trained index is
+    * identical on 1 core or 1000 executors.
+    *
+    * Returns one row per centroid: member count, final centroid norm,
+    * rounds used, and whether the loop converged below `tol` (spec
+    * covers the loop; the single step stays oracle-checked as
+    * q_kmeans_step).
+    */
+  def kmeansTrain(s: SparkSession, dir: String, nlist: Int = 8,
+                  maxIters: Int = 10, tol: Double = 1e-4): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir).localCheckpoint()
+    val byVec = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")
+    def step(cents: DataFrame): DataFrame = {
+      val assigned = e.join(broadcast(cents))
+        .select($"vec_id", $"v", $"cid",
+          vectors.cosineSimilarity($"v", $"cv").as("sim"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"v", $"cid")
+      assigned
+        .select($"cid", posexplode($"v").as(Seq("d", "x")))
+        .select($"cid", $"d", round($"x" * 1e6).cast("long").as("xf"))
+        .groupBy($"cid", $"d")
+        .agg(sum($"xf").as("sx"), count(lit(1)).as("n"))
+        .groupBy($"cid")
+        .agg(max($"n").as("n_members"),
+          array_sort(collect_list(struct($"d", ($"sx".cast("double") / $"n" / 1e6).as("m"))))
+            .as("dm"))
+        .select($"cid", $"n_members", transform($"dm", x => x("m")).as("cv"))
+    }
+    var cents = e.filter($"vec_id" < nlist)
+      .select($"vec_id".as("cid"), lit(0L).as("n_members"), $"v".as("cv"))
+      .localCheckpoint()
+    var shift = Double.MaxValue
+    var i = 0
+    while (shift > tol && i < maxIters) {
+      val next = step(cents).localCheckpoint(eager = false)
+      // one action per round: the shift agg materializes the checkpoint
+      shift = next
+        .join(cents.select($"cid", $"cv".as("prev")), Seq("cid"), "left")
+        .agg(max(vectors.l2Distance($"cv", coalesce($"prev", $"cv"))))
+        .first().getDouble(0)
+      cents = next
+      i += 1
+    }
+    cents.select($"cid", $"n_members",
+      round(vectors.l2Norm($"cv"), 4).as("centroid_norm"),
+      lit(i).as("n_rounds"), lit(shift <= tol).as("converged"))
+      .orderBy($"cid")
+  }
+
   def kmeansStep(s: SparkSession, dir: String, nlist: Int = 8): DataFrame = {
     import s.implicits._
     val e = embDouble(s, dir)
