@@ -1,0 +1,42 @@
+package graft.warehouse
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1L to 30L).map { i =>
+    (i, s"document number $i", if (i % 3 == 0) "de" else "en",
+      if (i % 5 == 0) "val" else "train")
+  }.toDF("doc_id", "text", "lang", "split")
+
+  test("shards are partition-foldered, record-bounded, and roundtrip exactly") {
+    val dst = java.nio.file.Files.createTempDirectory("export").toString
+    val manifest = Export.trainingShards(docs, dst, maxRecordsPerFile = 4)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // every (split, lang) combination present with the right record count
+    val expected = docs.groupBy($"split", $"lang").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(manifest.view.mapValues(_._2).toMap === expected)
+    // record bound holds per shard: shards × bound covers the partition
+    manifest.foreach { case (part, (shards, records)) =>
+      assert(records <= shards * 4, s"$part: $records records in $shards shards")
+    }
+    // hive-style partition dirs, not flat files
+    assert(new java.io.File(s"$dst/split=train/lang=en").isDirectory)
+    // JSON payload roundtrips every column exactly
+    val back = spark.read.text(dst)
+      .select($"split", $"lang",
+        from_json($"value",
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING")).as("j"))
+      .select($"j.doc_id", $"j.text", $"lang", $"split")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    val orig = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(back === orig)
+  }
+}
