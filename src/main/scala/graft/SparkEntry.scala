@@ -114,6 +114,7 @@ object SparkEntry {
     "q_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
+    "q_embedding_lsh_recall" -> ((s, dir) => Similarity.embeddingLshRecall(s, dir)),
     "q_quant_stats" -> Similarity.quantizationStats,
     "q_kmeans_step" -> ((s, dir) => Similarity.kmeansStep(s, dir)),
     "q_embedding_clusters" -> ((s, dir) => Similarity.embeddingClusters(s, dir)),
@@ -252,6 +253,27 @@ object SparkEntry {
              (SELECT unnest(generate_series(0, 59)) AS i)
            GROUP BY doc_id, i)
          GROUP BY doc_id) f USING (doc_id)"""
+
+  /** Banded sign-projection LSH over the embeddings (24 bands × 4
+    * planes, mirroring Similarity.bandedPlaneBuckets): planes from the
+    * md5 scheme of Similarity.planeComponent, per-band sign bitmask
+    * signatures, candidates = any shared (band, sig) bucket. Spliced
+    * mid-WITH (expects an `e(vec_id, v)` CTE before it; no trailing
+    * comma — the splice site adds one if more CTEs follow).
+    */
+  private val EmbLshSigCte =
+    """pl AS (SELECT j, list(comp ORDER BY d) AS p FROM (
+           SELECT j, d,
+             (CAST(concat('0x', substring(md5(concat(CAST(j AS VARCHAR), ':', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0 AS comp
+           FROM (SELECT unnest(generate_series(0, 95)) AS j),
+                (SELECT unnest(generate_series(0, 63)) AS d))
+         GROUP BY j),
+       sg AS (SELECT vec_id, j // 4 AS band,
+           sum(CASE WHEN list_dot_product(v, p) > 0 THEN (1 << (j % 4)) ELSE 0 END) AS sig
+         FROM e, pl GROUP BY vec_id, j // 4),
+       cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         FROM sg x JOIN sg y
+           ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)"""
 
   def oracleSql: Map[String, String] = Map(
     "q_pricing_summary" ->
@@ -679,19 +701,38 @@ object SparkEntry {
          FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.vec_id = b.vec_id
          GROUP BY b.qid ORDER BY query_id""",
     "q_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings)
-         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         $EmbLshSigCte
+         SELECT c.vec_a, c.vec_b,
            round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
-         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
          ORDER BY vec_a, vec_b""",
-    "q_embedding_clusters" ->
-      """WITH RECURSIVE
-         e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    "q_embedding_lsh_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
-         p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         $EmbLshSigCte,
+         truth AS (SELECT p.vec_id AS vec_a, o.vec_id AS vec_b,
+             round(list_cosine_similarity(p.v, o.v), 4) AS cos_sim
+           FROM e p JOIN e o ON p.vec_id < o.vec_id AND p.vec_id < 100
+           WHERE round(list_cosine_similarity(p.v, o.v), 4) >= 0.3)
+         SELECT round(t.cos_sim, 1) AS cos_bucket,
+           count(*) AS n_true,
+           CAST(sum(CASE WHEN c.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_caught,
+           round(CAST(sum(CASE WHEN c.vec_a IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 4) AS recall
+         FROM truth t LEFT JOIN (SELECT * FROM cand WHERE vec_a < 100) c
+           ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b
+         GROUP BY 1 ORDER BY cos_bucket""",
+    "q_embedding_clusters" ->
+      s"""WITH RECURSIVE
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         $EmbLshSigCte,
+         p AS (SELECT c.vec_a AS doc_a, c.vec_b AS doc_b
+           FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3),
          edges AS (SELECT doc_a AS a, doc_b AS b FROM p
                    UNION SELECT doc_b AS a, doc_a AS b FROM p),

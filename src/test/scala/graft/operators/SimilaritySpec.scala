@@ -96,6 +96,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got === canon)
   }
 
+  test("banded-LSH near-dup: pairs are exactly verified (precision 1) and " +
+    "the recall audit clears the acceptance bar") {
+    // precision is structural — every emitted pair passed the exact
+    // cosine verify — so assert it directly against a brute all-pairs
+    val brute = {
+      val vecs = Tables(spark, sf, "embeddings")
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      (for {
+        (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+        dot = va.zip(vb).map { case (x, y) => x * y }.sum
+        c = dot / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+        if BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.3
+      } yield (ia, ib)).toSet
+    }
+    val lsh = Similarity.embeddingNearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH emitted a pair below the threshold")
+    assert(lsh.size >= (brute.size * 0.9).toInt,
+      s"recall ${lsh.size}/${brute.size} below the 0.9 acceptance bar")
+    // and the audit query reports the same story, bucketed by similarity
+    val audit = Similarity.embeddingLshRecall(spark, sf).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      val recall = r.getDouble(3)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1)) // caught <= true
+    }
+  }
+
   test("kmeansStep matches a driver-side Lloyd iteration") {
     val nlist = 8
     val got = Similarity.kmeansStep(spark, sf, nlist).collect()
