@@ -179,10 +179,19 @@ object Dedup {
     * batch side is broadcast explicitly. Index-internal pairs are by
     * construction absent: every candidate joins NEW × INDEX.
     */
+  /** `broadcastBatch`: hint the batch side for broadcast. Right for the
+    * genuine daily-batch case (a day's ingest vs a 100 TB index), WRONG
+    * when the "batch" is a large corpus fraction — the hint overrides
+    * Spark's size check, and a too-big build side OOMs the executors. The
+    * default leaves the decision to AQE (which broadcasts small frames on
+    * measured size), because the default batchPred selects 25% of the
+    * corpus — small here, unbounded in general.
+    */
   def incrementalLshPairs(s: SparkSession, dir: String,
                           batchPred: Column = col("doc_id") % 4 === 3,
                           shingleSize: Int = 3, numHashes: Int = 12,
-                          rowsPerBand: Int = 3): DataFrame = {
+                          rowsPerBand: Int = 3,
+                          broadcastBatch: Boolean = false): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
     // batch membership is an id-bucket here (synthetic stand-in — in
@@ -196,7 +205,8 @@ object Dedup {
     val indexBands = bandSignatures(
       minhashMins(docs.filter(!batchPred), shingleSize, numHashes),
       numHashes, rowsPerBand)
-    broadcast(batchBands).alias("n")
+    val batchSide = if (broadcastBatch) broadcast(batchBands) else batchBands
+    batchSide.alias("n")
       .join(indexBands.alias("i"),
         col("n.band") === col("i.band") && col("n.sig") === col("i.sig"))
       .select(col("n.doc_id").as("new_doc"), col("i.doc_id").as("index_doc"))
@@ -342,9 +352,29 @@ object Dedup {
     * materialized; Spark's ContextCleaner reclaims them when the frame is
     * garbage-collected, so repeated calls do not accumulate storage.
     */
+  /** Default lineage-truncation strategy for the iterative loops:
+    * localCheckpoint (fast, executor-memory blocks). Cluster callers
+    * running hours-long jobs should pass `reliableCheckpoint` instead —
+    * localCheckpoint blocks die with an executor, and a lost block
+    * restarts the whole loop. The Boolean is Spark's `eager` flag (the
+    * loops lazily checkpoint frames whose materialization rides the
+    * round's one action).
+    */
+  val localCheckpointStrategy: (DataFrame, Boolean) => DataFrame =
+    (df, eager) => df.localCheckpoint(eager)
+
+  /** Reliable-checkpoint strategy: writes blocks to the SparkContext's
+    * checkpoint dir (HDFS/object store on a real cluster — survives
+    * executor loss). Caller must have set `sc.setCheckpointDir` first.
+    */
+  val reliableCheckpointStrategy: (DataFrame, Boolean) => DataFrame =
+    (df, eager) => df.checkpoint(eager)
+
   def dedupClusters(pairs: DataFrame, maxIters: Int = 40,
                     contractAfter: Int = 2, contractEvery: Int = 4,
-                    maxLocalEdges: Long = 4000000L): DataFrame = {
+                    maxLocalEdges: Long = 4000000L,
+                    checkpoint: (DataFrame, Boolean) => DataFrame =
+                      localCheckpointStrategy): DataFrame = {
     // localCheckpoint, not cache: the edge list embeds the whole
     // candidate-pair pipeline (MinHash etc.) and every propagation round
     // joins it. A cache keeps that full plan nested inside every round's
@@ -352,9 +382,10 @@ object Dedup {
     // per-round planning cost GROWS with the iteration count (measured
     // 2s → 15s/round by round 4 at 10x scale). Checkpointing truncates
     // lineage to a flat LogicalRDD: every round plans over two leaf
-    // relations, constant cost. (On a real cluster use reliable
-    // checkpoint(dir) — localCheckpoint blocks don't survive executor
-    // loss.) Block cleanup is GC-driven; no manual unpersist bookkeeping.
+    // relations, constant cost. On a real cluster pass
+    // [[reliableCheckpointStrategy]] — localCheckpoint blocks don't
+    // survive executor loss. Block cleanup is GC-driven; no manual
+    // unpersist bookkeeping.
     // Self-loops ride along so one edge-join aggregation per round yields
     // BOTH the propagated min over {self} ∪ neighbors AND the node's old
     // label (the self row carries it) — no separate prop join against the
@@ -365,18 +396,18 @@ object Dedup {
     // into the labels-init job) was tried — no measurable win at sf0.1,
     // and eager keeps the init aggregation planning over materialized
     // blocks with known stats
-    val edges = undirected
-      .unionByName(undirected.select(col("a"), col("a").as("b")).distinct())
-      .localCheckpoint()
+    val edges = checkpoint(undirected
+      .unionByName(undirected.select(col("a"), col("a").as("b")).distinct()),
+      true)
     // min-neighbor initialization: the identity start would spend the
     // whole first round discovering exactly this. Eager: the round loop
     // references this frame three times, which is only safe against
     // already-materialized blocks (see the recompute-race note below).
-    var labels = edges.groupBy(col("a").as("doc_id"))
+    var labels = checkpoint(edges.groupBy(col("a").as("doc_id"))
       .agg(min(col("b")).as("nb"))
       .select(col("doc_id"),
-        least(col("doc_id"), col("nb")).as("canon_id"))
-      .localCheckpoint()
+        least(col("doc_id"), col("nb")).as("canon_id")),
+      true)
     // One round = neighbor-min propagation + ONE pointer jump (adopt the
     // label of your label — path compression). EXACTLY this shape, no
     // more: extra jump joins against the label frame were tried twice
@@ -426,7 +457,7 @@ object Dedup {
       val t0 = System.nanoTime()
       // lazy checkpoint: the flag aggregation below materializes it, so
       // each round is ONE job; lineage still truncates for later rounds
-      val next = step(labels).localCheckpoint(eager = false)
+      val next = checkpoint(step(labels), false)
       changed = next
         .agg(coalesce(sum(when(col("canon_id") =!= col("old"), 1L).otherwise(0L)), lit(0L)))
         .first().getLong(0)
@@ -443,14 +474,14 @@ object Dedup {
             col("b") === col("b3"))
           .filter(col("ca") =!= col("cb"))
           .select(col("ca"), col("cb")).distinct()
-          .localCheckpoint()
-        val m = quotient.count()
+        val quotientCk = checkpoint(quotient, true)
+        val m = quotientCk.count()
         if (m <= maxLocalEdges) {
           // rep(label) = min doc_id of the label's quotient component; a
           // label cluster with no quotient edge is already a complete
           // component whose label IS its min (l(min) = min always), so
           // the left join's misses keep their label
-          val reps = localUnionFind(quotient)
+          val reps = localUnionFind(quotientCk)
           labels = labels
             .join(reps, labels("canon_id") === reps("node"), "left")
             .select(col("doc_id"),

@@ -326,8 +326,10 @@ object Similarity {
   /** Full Lloyd training loop for the IVF coarse quantizer — iterate
     * [[kmeansStep]]'s assign/update plan to convergence. The loop
     * carries the same discipline as `Dedup.dedupClusters`: each round's
-    * centroid frame is localCheckpoint'd (flat lineage, constant
-    * per-round planning), the convergence signal (max centroid L2
+    * centroid frame is checkpointed (flat lineage, constant per-round
+    * planning; strategy-pluggable — pass
+    * `Dedup.reliableCheckpointStrategy` on a real cluster so a lost
+    * executor doesn't restart training), the convergence signal (max centroid L2
     * shift) rides the round's single action, and every assignment is a
     * broadcast join — the vector corpus is scanned once per round and
     * never shuffled. Fixed-point (×10^6 long) coordinate sums keep every
@@ -340,9 +342,11 @@ object Similarity {
     * q_kmeans_step).
     */
   def kmeansTrain(s: SparkSession, dir: String, nlist: Int = 8,
-                  maxIters: Int = 10, tol: Double = 1e-4): DataFrame = {
+                  maxIters: Int = 10, tol: Double = 1e-4,
+                  checkpoint: (DataFrame, Boolean) => DataFrame =
+                    Dedup.localCheckpointStrategy): DataFrame = {
     import s.implicits._
-    val e = embDouble(s, dir).localCheckpoint()
+    val e = checkpoint(embDouble(s, dir), true)
     val byVec = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")
     def step(cents: DataFrame): DataFrame = {
       val assigned = e.join(broadcast(cents))
@@ -362,13 +366,13 @@ object Similarity {
             .as("dm"))
         .select($"cid", $"n_members", transform($"dm", x => x("m")).as("cv"))
     }
-    var cents = e.filter($"vec_id" < nlist)
-      .select($"vec_id".as("cid"), lit(0L).as("n_members"), $"v".as("cv"))
-      .localCheckpoint()
+    var cents = checkpoint(e.filter($"vec_id" < nlist)
+      .select($"vec_id".as("cid"), lit(0L).as("n_members"), $"v".as("cv")),
+      true)
     var shift = Double.MaxValue
     var i = 0
     while (shift > tol && i < maxIters) {
-      val next = step(cents).localCheckpoint(eager = false)
+      val next = checkpoint(step(cents), false)
       // one action per round: the shift agg materializes the checkpoint
       shift = next
         .join(cents.select($"cid", $"cv".as("prev")), Seq("cid"), "left")

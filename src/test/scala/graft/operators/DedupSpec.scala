@@ -88,6 +88,22 @@ class DedupSpec extends SparkSpec {
     assert(distributed === expected)
   }
 
+  test("dedupClusters with a reliable checkpoint dir matches the default strategy") {
+    val ckDir = java.nio.file.Files.createTempDirectory("cc-ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("doc_a", "doc_b")
+    val reliable = Dedup.dedupClusters(pairs,
+        checkpoint = Dedup.reliableCheckpointStrategy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val default = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === default)
+    // the strategy actually wrote blocks to the reliable dir
+    val wrote = new java.io.File(ckDir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint written")
+  }
+
   test("dedupAssignments groups the exact dups in the fixture corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("dedupassign").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")

@@ -36,4 +36,15 @@ class KMeansSpec extends SparkSpec {
     val b = Similarity.kmeansTrain(spark, dir, nlist = 2).collect().toSeq
     assert(a === b)
   }
+
+  test("training with a reliable checkpoint dir matches the default strategy") {
+    val ckDir = java.nio.file.Files.createTempDirectory("km-ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val reliable = Similarity.kmeansTrain(spark, dir, nlist = 2,
+      checkpoint = Dedup.reliableCheckpointStrategy).collect().toSeq
+    val default = Similarity.kmeansTrain(spark, dir, nlist = 2).collect().toSeq
+    assert(reliable === default)
+    val wrote = new java.io.File(ckDir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint written")
+  }
 }
