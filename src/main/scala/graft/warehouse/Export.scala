@@ -1,7 +1,10 @@
 package graft.warehouse
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Training-shard export — the engine-to-trainer handoff: JSONL files
   * partitioned by (split, lang) with a bounded record count per shard.
@@ -17,8 +20,10 @@ import org.apache.spark.sql.functions._
   * one level up).
   *
   * The row payload is `to_json(struct(...))` of the passed columns — a
-  * codegen'd projection, so the export runs at scan speed; there is no
-  * driver-side iteration at any corpus size.
+  * codegen'd projection with `ignoreNullFields=false` (a null column is
+  * emitted as an explicit JSON null, so rows round-trip field-for-field;
+  * the default silently drops null fields) — so the export runs at scan
+  * speed; there is no driver-side iteration at any corpus size.
   */
 object Export {
 
@@ -26,8 +31,18 @@ object Export {
     * `partitionCols` (default split+lang) with ≤ `maxRecordsPerFile`
     * lines per shard. All non-partition columns ride the JSON payload.
     * Returns the manifest: one row per partition with shard and record
-    * counts (computed from the written files' metadata — a listing-scale
-    * job, not a data rescan of the payload).
+    * counts.
+    *
+    * Manifest cost model (the reason it is NOT a read-back of the
+    * output): record counts come from a column-pruned aggregation of the
+    * INPUT — only the partition columns are scanned, the JSON payload is
+    * neither recomputed nor re-read — and shard counts come from a
+    * driver filesystem walk of the partition directories, which is
+    * metadata-scale (O(#partitions + #files), zero data bytes). At
+    * 100 TB a read-back manifest would double the export's I/O; this one
+    * costs a partition-column scan plus a listing. Partition values in
+    * the manifest are the input's own typed values (no re-inference from
+    * path strings — a numeric-looking `lang` stays a string).
     */
   def trainingShards(docs: DataFrame, dstDir: String,
                      maxRecordsPerFile: Int = 100000,
@@ -36,15 +51,55 @@ object Export {
     val payloadCols = docs.columns.filterNot(partitionCols.contains)
     docs
       .select(partitionCols.map(col) :+
-        to_json(struct(payloadCols.map(col): _*)).as("value"): _*)
+        to_json(struct(payloadCols.map(col): _*),
+          Map("ignoreNullFields" -> "false")).as("value"): _*)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy(partitionCols: _*)
       .text(dstDir)
-    spark.read.text(dstDir)
-      .select(partitionCols.map(col) :+ input_file_name().as("f"): _*)
-      .groupBy(partitionCols.map(col): _*)
-      .agg(countDistinct(col("f")).as("n_shards"), count(lit(1)).as("n_records"))
+    val counts = docs.groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_records"))
+    val shards = shardCounts(spark, dstDir, partitionCols)
+    // join on the string form — the committer wrote each partition dir
+    // from exactly this cast, so the match is total
+    val cond = partitionCols
+      .map(c => counts(c).cast("string") === shards(s"__$c"))
+      .reduce(_ && _)
+    counts.join(broadcast(shards), cond)
+      .select(partitionCols.map(col) :+ col("n_shards") :+ col("n_records"): _*)
       .orderBy(partitionCols.map(col): _*)
+  }
+
+  /** Per-partition shard (file) counts from a driver filesystem walk of
+    * the Hive-style partition tree — a listing, never a data read. Dir
+    * names are unescaped with the same codec the committer escaped them
+    * with. Committer bookkeeping files (`_SUCCESS`, dotfiles) are not
+    * shards.
+    */
+  private def shardCounts(spark: SparkSession, dstDir: String,
+                          partitionCols: Seq[String]): DataFrame = {
+    val root = new Path(dstDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(p: Path, depth: Int): Seq[(Seq[String], Long)] =
+      if (depth == 0) {
+        val n = fs.listStatus(p).count { s =>
+          val nm = s.getPath.getName
+          s.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+        }
+        Seq((Nil, n.toLong))
+      } else
+        fs.listStatus(p).filter(_.isDirectory).toSeq.flatMap { d =>
+          val name = d.getPath.getName
+          val v = ExternalCatalogUtils.unescapePathName(
+            name.substring(name.indexOf('=') + 1))
+          walk(d.getPath, depth - 1).map { case (vs, n) => (v +: vs, n) }
+        }
+    val rows = walk(root, partitionCols.length)
+      .map { case (vs, n) => Row.fromSeq(vs :+ n) }
+    val schema = StructType(
+      partitionCols.map(c => StructField(s"__$c", StringType)) :+
+        StructField("n_shards", LongType))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 }

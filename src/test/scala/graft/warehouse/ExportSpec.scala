@@ -39,4 +39,31 @@ class ExportSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
     assert(back === orig)
   }
+
+  test("manifest never rescans the written payload") {
+    val dst = java.nio.file.Files.createTempDirectory("export-plan").toString
+    val manifest = Export.trainingShards(docs, dst, maxRecordsPerFile = 4)
+    // the manifest plan must not contain ANY file scan of the output dir
+    // (the old implementation re-read every JSONL line — 2x export I/O)
+    val plan = manifest.queryExecution.executedPlan.toString
+    assert(!plan.contains(dst), s"manifest plan reads back the output:\n$plan")
+    // and it still reconciles: listing-derived shard counts x bound
+    // cover the input-derived record counts
+    manifest.collect().foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) * 4)
+      assert(r.getLong(2) >= 1L)
+    }
+  }
+
+  test("null payload fields survive the JSON round-trip explicitly") {
+    val dst = java.nio.file.Files.createTempDirectory("export-null").toString
+    val withNulls = docs.withColumn("text",
+      when($"doc_id" % 7 === 0, lit(null: String)).otherwise($"text"))
+    Export.trainingShards(withNulls, dst, maxRecordsPerFile = 100)
+    // ignoreNullFields=false: the field must be PRESENT as a JSON null,
+    // not omitted — readers see every field on every row
+    val rawNullRows = spark.read.text(dst)
+      .filter($"value".contains("\"text\":null")).count()
+    assert(rawNullRows === withNulls.filter($"text".isNull).count())
+  }
 }
