@@ -26,18 +26,48 @@ class BottomK(k: Int)
 
   require(k > 0, "k must be positive")
 
-  private def trim(s: Seq[(String, Long)]): Seq[(String, Long)] =
-    if (s.size <= k) s else s.sorted.take(k)
+  private val ord = Ordering[(String, Long)]
+
+  // Invariant: every buffer is SORTED (zero trivially; reduce inserts in
+  // place; merge is a sorted merge). Once a buffer holds k entries the
+  // hot path is a single comparison against the max — the earlier
+  // sort-per-row trim was O(k log k) on every row past k, this is O(1)
+  // reject / O(k) insert, and inserts die out as the bottom-k stabilizes.
+  private def insertionPoint(b: Seq[(String, Long)], x: (String, Long)): Int = {
+    var lo = 0
+    var hi = b.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ord.lteq(b(mid), x)) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 
   override def zero: Seq[(String, Long)] = Vector.empty
 
   override def reduce(b: Seq[(String, Long)], x: (String, Long)): Seq[(String, Long)] =
-    trim(b :+ x)
+    if (b.size >= k && ord.gteq(x, b.last)) b
+    else {
+      val i = insertionPoint(b, x)
+      val inserted = (b.take(i) :+ x) ++ b.drop(i)
+      if (inserted.size > k) inserted.take(k) else inserted
+    }
 
-  override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
-    trim(a ++ b)
+  override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val out = Vector.newBuilder[(String, Long)]
+    var i = 0
+    var j = 0
+    var n = 0
+    val lim = math.min(k, a.size + b.size)
+    while (n < lim) {
+      if (j >= b.size || (i < a.size && ord.lteq(a(i), b(j)))) { out += a(i); i += 1 }
+      else { out += b(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
 
-  override def finish(b: Seq[(String, Long)]): Seq[(String, Long)] = b.sorted
+  override def finish(b: Seq[(String, Long)]): Seq[(String, Long)] = b
 
   override def bufferEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
 
