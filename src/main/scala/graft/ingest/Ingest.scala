@@ -66,10 +66,20 @@ object Ingest {
       get(url, HttpResponse.BodyHandlers.ofString()).body()
 
     def download(url: String, dest: Path): Unit =
-      get(url, HttpResponse.BodyHandlers.ofFile(dest,
+      // ofFile streams the body BEFORE the status check runs, so a non-
+      // 2xx response would leave its error page sitting in the staging
+      // file; delete it on the way out or a retry loop inspecting the
+      // staging file sees garbage (the atomic promote already keeps it
+      // from ever being committed — this keeps the staging area honest
+      // too)
+      try get(url, HttpResponse.BodyHandlers.ofFile(dest,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE,
         java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
+      catch { case e: Throwable =>
+        java.nio.file.Files.deleteIfExists(dest)
+        throw e
+      }
   }
 
   /** Provider-specific download-URL extraction strategies (S1/F1): regex

@@ -95,6 +95,18 @@ class HttpFetcherSpec extends AnyFunSuite {
     assert(e.getMessage.contains("404"))
   }
 
+  test("non-2xx download deletes the staging file it streamed into") {
+    val f = new Ingest.HttpFetcher(stubClient(Map(
+      "https://files.example/err.zip" -> (503, "<html>maintenance</html>".getBytes("UTF-8")))))
+    val dest = Files.createTempFile("fetch-err", ".zip~")
+    val e = intercept[java.io.IOException](
+      f.download("https://files.example/err.zip", dest))
+    assert(e.getMessage.contains("503"))
+    // ofFile consumed the error body before the status check — the
+    // fetcher must not leave it behind in the staging area
+    assert(!Files.exists(dest), "staging file with an error-page body survived")
+  }
+
   test("extractor + HttpFetcher wire together on a canned provider page") {
     val f = new Ingest.HttpFetcher(stubClient(Map(
       "https://provider.example/page" -> (200, page.getBytes("UTF-8")))))
