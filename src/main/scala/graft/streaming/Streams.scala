@@ -57,27 +57,77 @@ object Streams {
       col("name"), col("latitude"), col("longitude"))).as("value"))
 
   // ---- Kafka bindings (S8/K3) — config, not semantics: every transform
-  // above is source/sink-agnostic. No broker exists in this container, so
-  // these are exercised in production deployments only.
+  // above is source/sink-agnostic. The connector jar (spark-sql-kafka-
+  // 0-10 + kafka-clients) is NOT on this build's classpath (build.sbt
+  // resolves only from /opt/spark/jars, which ships without it), so
+  // format("kafka") would fail provider lookup here even with a broker.
+  // What IS testable offline — and is — lives one level down:
+  // option-string validation against the connector's documented surface,
+  // and a capability probe via the public DataSourceRegister service
+  // registry, so a misconfigured deployment fails at config time with a
+  // named error instead of deep inside a Spark job. Deployments add the
+  // connector with `--packages org.apache.spark:spark-sql-kafka-0-10_2.13`
+  // (matching the Spark version) — see README.
+
+  /** True iff a data source registered under `kafka` is on the
+    * classpath — the public ServiceLoader registry, the same lookup
+    * `format("kafka")` resolves through.
+    */
+  def kafkaConnectorAvailable: Boolean = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[org.apache.spark.sql.sources.DataSourceRegister])
+      .asScala.exists(_.shortName == "kafka")
+  }
+
+  /** Validated Kafka endpoint config. Fails fast (IllegalArgumentException
+    * naming the bad option) on the classic misconfigurations the
+    * connector itself only reports mid-job: empty/portless bootstrap
+    * list, blank topic, or an unknown startingOffsets value.
+    */
+  final case class KafkaEndpoint(bootstrap: String, topic: String,
+                                 startingOffsets: String = "latest") {
+    require(bootstrap.nonEmpty && bootstrap.split(",").forall { b =>
+      val hp = b.trim.split(":")
+      hp.length == 2 && hp(0).nonEmpty && hp(1).forall(_.isDigit) && hp(1).nonEmpty
+    }, s"kafka.bootstrap.servers must be host:port[,host:port...], got '$bootstrap'")
+    require(topic.nonEmpty && !topic.exists(_.isWhitespace),
+      s"topic must be a non-blank Kafka topic name, got '$topic'")
+    require(startingOffsets == "latest" || startingOffsets == "earliest" ||
+      startingOffsets.trim.startsWith("{"),
+      s"startingOffsets must be latest|earliest|{json offsets}, got '$startingOffsets'")
+  }
+
+  private def requireConnector(): Unit =
+    if (!kafkaConnectorAvailable)
+      throw new IllegalStateException(
+        "Kafka connector not on the classpath: add " +
+          "org.apache.spark:spark-sql-kafka-0-10_2.13 (same Spark version) " +
+          "via --packages or the cluster's jars dir")
 
   /** `gtfs-arrivals` topic source (reference topic, docker-compose.yml:61). */
   def kafkaSource(spark: org.apache.spark.sql.SparkSession,
-                  bootstrap: String, topic: String): DataFrame =
+                  endpoint: KafkaEndpoint): DataFrame = {
+    requireConnector()
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
+      .option("kafka.bootstrap.servers", endpoint.bootstrap)
+      .option("subscribe", endpoint.topic)
+      .option("startingOffsets", endpoint.startingOffsets)
       .load()
+  }
 
   /** Kafka value sink; Spark batches sends per epoch (the reference's
     * per-record synchronous send().get() is its main throughput cap —
     * BASELINE.md), checkpointing gives at-least-once.
     */
-  def kafkaSink(values: DataFrame, bootstrap: String, topic: String,
-                checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  def kafkaSink(values: DataFrame, endpoint: KafkaEndpoint,
+                checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    requireConnector()
     values.writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
+      .option("kafka.bootstrap.servers", endpoint.bootstrap)
+      .option("topic", endpoint.topic)
       .option("checkpointLocation", checkpoint)
+  }
 
   // ---- windowed aggregations over the events stream (§7.4) --------------
 

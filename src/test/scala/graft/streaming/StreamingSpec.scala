@@ -330,4 +330,33 @@ class StreamingSpec extends SparkSpec {
     assert(tied === Set(
       Transition(5L, "a", "b", 1L), Transition(5L, "b", "c", 1L)))
   }
+
+  test("Kafka endpoint config validates at construction, not mid-job") {
+    // valid shapes pass
+    Streams.KafkaEndpoint("broker1:9092", "gtfs-arrivals")
+    Streams.KafkaEndpoint("b1:9092,b2:9093", "t", "earliest")
+    Streams.KafkaEndpoint("b1:9092", "t", """{"t":{"0":23}}""")
+    // the classic misconfigurations fail fast with a named option
+    val bads = Seq(
+      () => Streams.KafkaEndpoint("", "t"),
+      () => Streams.KafkaEndpoint("broker-no-port", "t"),
+      () => Streams.KafkaEndpoint("b:港", "t"), // non-numeric port
+      () => Streams.KafkaEndpoint("b:9092", ""),
+      () => Streams.KafkaEndpoint("b:9092", "has space"),
+      () => Streams.KafkaEndpoint("b:9092", "t", "sometimes"))
+    bads.foreach(b => intercept[IllegalArgumentException](b()))
+  }
+
+  test("Kafka source/sink fail with the classpath remedy when the connector is absent") {
+    // this container ships no spark-sql-kafka jar: the probe must say so,
+    // and the bindings must name the fix instead of failing provider
+    // lookup deep inside Spark
+    assert(!Streams.kafkaConnectorAvailable)
+    val ep = Streams.KafkaEndpoint("broker:9092", "gtfs-arrivals")
+    val e = intercept[IllegalStateException](Streams.kafkaSource(spark, ep))
+    assert(e.getMessage.contains("spark-sql-kafka"))
+    val df = Seq(("k", "v")).toDF("key", "value")
+    val e2 = intercept[IllegalStateException](Streams.kafkaSink(df, ep, "/tmp/ck"))
+    assert(e2.getMessage.contains("--packages"))
+  }
 }
