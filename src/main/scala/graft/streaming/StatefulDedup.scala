@@ -28,15 +28,15 @@ import java.sql.Timestamp
   *     streaming analog of a dedup retention horizon.
   *
   * A pair agreeing on k bands is emitted k times (once per bucket),
-  * tagged with the band — cross-bucket dedup would need a second
-  * stateful stage; consumers that need unique pairs drop the band
-  * column and distinct per sink-side micro-batch.
+  * tagged with the band; [[uniquePairsSink]] is the second stage that
+  * collapses them to exactly one stored row per (new_doc, index_doc).
   */
 object StatefulDedup {
 
   case class BandedDoc(band: Int, sig: String, doc_id: Long, ts: Timestamp)
   case class BucketState(docIds: Vector[Long], lastMs: Long)
-  case class DupCandidate(band: Int, new_doc: Long, index_doc: Long)
+  case class DupCandidate(band: Int, new_doc: Long, index_doc: Long,
+                          ts: Timestamp)
 
   /** In-row (band, sig) array for a text column — bit-identical to the
     * batch `Dedup.bandSignatures ∘ minhashMins` scheme: seed-i min over
@@ -103,15 +103,46 @@ object StatefulDedup {
             val (out, s1) = arrivals.foldLeft(
               (Vector.empty[DupCandidate], s0)) { case ((acc, s), d) =>
               val hits = s.docIds.filterNot(_ == d.doc_id)
-                .map(seen => DupCandidate(key._1, d.doc_id, seen))
+                .map(seen => DupCandidate(key._1, d.doc_id, seen, d.ts))
               val ids = if (s.docIds.contains(d.doc_id)) s.docIds
                         else s.docIds :+ d.doc_id
               (acc ++ hits, BucketState(ids, math.max(s.lastMs, d.ts.getTime)))
             }
             state.update(s1)
-            state.setTimeoutTimestamp(s1.lastMs + retentionMs)
+            // clamp past the watermark: flatMapGroupsWithState does NOT
+            // drop late rows, so a doc arriving more than retentionMs
+            // behind the watermark would otherwise compute a timeout at
+            // or below it — an IllegalArgumentException that kills the
+            // whole query instead of expiring one stale bucket
+            state.setTimeoutTimestamp(math.max(s1.lastMs + retentionMs,
+              state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }
   }
+
+  /** Cross-band unique-pair stage: a pair agreeing on k bands leaves
+    * [[dupCandidates]] k times; this collapses them to exactly one row
+    * per (new_doc, index_doc) in the parquet pair store at `targetDir`,
+    * via the audited idempotent merge sink (within-batch dropDuplicates +
+    * anti-join against the store — at-least-once delivery in, exactly-
+    * once pair rows out). A second WATERMARK-EVICTING stage was tried
+    * and rejected: Spark's stateful-operator correctness check flags any
+    * eviction-based dedup downstream of flatMapGroupsWithState, because
+    * FMGWS legitimately emits candidates for late arrivals whose event
+    * time is already behind the watermark — exactly the rows a
+    * watermark-bounded dedup would silently discard. The merge sink has
+    * no such horizon: uniqueness holds across the whole store lifetime.
+    * Orientation is stable — the later (ts, doc_id) arrival is always
+    * `new_doc` in every band's bucket — so no cross-band flip can split
+    * a pair into two keys.
+    */
+  def uniquePairsSink(bandedDocs: Dataset[BandedDoc], retentionMs: Long,
+                      targetDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    Streams.idempotentMergeSink(
+      dupCandidates(bandedDocs, retentionMs)
+        .select(col("new_doc"), col("index_doc"), col("ts"),
+          concat_ws(":", col("new_doc"), col("index_doc")).as("pair_key")),
+      targetDir, "pair_key")
 }

@@ -95,4 +95,60 @@ class DedupStreamSpec extends SparkSpec {
     assert(streamPairs === batchPairs,
       s"stream $streamPairs must equal batch $batchPairs")
   }
+
+  test("uniquePairsSink stores each pair exactly once, equal to the batch pair set") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedupuniq").toString
+    corpus.map { case (id, t) => (id, t, "en", "a", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val batchPairs = Dedup.minhashLshPairs(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty)
+
+    val store = java.nio.file.Files.createTempDirectory("pairstore").toString + "/pairs"
+    val input = MemoryStream[Doc](spark)
+    val q = uniquePairsSink(
+        banded(input.toDF().withWatermark("ts", "10 minutes")),
+        retentionMs = 24 * 60 * 60 * 1000, store)
+      .start()
+    // two micro-batches, second re-sends doc 2's text as doc 2 again via
+    // a near-identical doc 5 — multi-band agreement + cross-batch both
+    // exercised against the store's exactly-once guarantee
+    input.addData(corpus.zipWithIndex.map { case ((id, t), i) =>
+      Doc(id, t, ts(f"2024-01-01 09:${i}%02d:00")) }: _*)
+    q.processAllAvailable()
+    input.addData(Doc(5L, corpus(0)._2, ts("2024-01-01 09:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(store).collect()
+      .map(r => (r.getAs[Long]("new_doc"), r.getAs[Long]("index_doc")))
+    // UNIQUE: one stored row per pair (the raw candidate stage emits one
+    // per agreeing band — exact dups agree on all 4)
+    assert(rows.length === rows.distinct.length,
+      s"duplicate pair rows survived: ${rows.toSeq}")
+    val normalized = rows.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val batchWith5 = batchPairs ++ Set((1L, 5L), (2L, 5L), (3L, 5L))
+    assert(normalized === batchWith5,
+      s"stream $normalized must equal batch-with-arrival $batchWith5")
+  }
+
+  test("a doc arriving far behind the watermark expires quietly, not as a query crash") {
+    val input = MemoryStream[Doc](spark)
+    val q = dupCandidates(
+        banded(input.toDF().withWatermark("ts", "10 minutes")),
+        retentionMs = 60 * 60 * 1000)
+      .writeStream.format("memory").queryName("dedup_late")
+      .outputMode(OutputMode.Append).start()
+    // advance the watermark to ~12:50
+    input.addData(Doc(4L, corpus(3)._2, ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    // >1h (the retention) behind the watermark: the un-clamped timeout
+    // (09:00 + 1h < watermark) used to throw inside the state handler
+    // and kill the whole query
+    input.addData(Doc(1L, corpus(0)._2, ts("2024-01-01 09:00:00")))
+    q.processAllAvailable()
+    assert(q.exception.isEmpty,
+      s"late arrival must not crash the query: ${q.exception}")
+    q.stop()
+  }
 }
