@@ -22,16 +22,22 @@ object Bench {
     val spark = Sessions.local(cpus, cpus)
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables(spark, sfDir, "lineitem").count()
-    // steady-state methodology: run each query twice, report the second —
-    // the first run pays one-time codegen/class-load compilation, which
-    // measures the JVM, not the engine's throughput
+    // steady-state methodology: one untimed warmup (pays one-time
+    // codegen/class-load compilation — the JVM, not the engine), then
+    // MIN of 3 timed runs. Min, not mean: ambient load on a shared box
+    // only ever ADDS time, so the minimum is the least-contaminated
+    // estimate of the engine's cost (a round-5 driver artifact recorded
+    // 113s for a 32s suite purely from end-of-session load).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
       // a failing query must be distinguishable from a fast one: emit the
       // JSON per-query value as "error" instead of a normal-looking time
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, runs.map(_._1).min, runs.forall(_._2))
     }
     val total = results.filter(_._3).map(_._2).sum
     // top-level error count: a broken run must not look like a fast run
