@@ -78,6 +78,9 @@ object SparkEntry {
     "q_tfidf_top_terms" -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
     "q_pii_stats" -> TextOps.piiStats,
     "q_hash_split" -> TextOps.hashSplit,
+    "q_boilerplate_scores" -> ((s, dir) => TextOps.boilerplateScores(s, dir)),
+    "q_training_order" -> ((s, dir) => TextOps.trainingOrder(s, dir)),
+    "q_source_overlap" -> Dedup.sourceOverlap,
     "q_decontamination" -> ((s, dir) => TextOps.decontamination(s, dir)),
     "q_stratified_sample" -> TextOps.stratifiedSample,
     "q_group_sample" -> ((s, dir) => TextOps.groupSample(s, dir)),
@@ -798,6 +801,43 @@ object SparkEntry {
              CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS b
            FROM documents)
          ORDER BY doc_id""",
+    "q_boilerplate_scores" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM docs WHERE len(toks) >= 3),
+         bp AS (SELECT sh FROM (
+             SELECT sh, count(DISTINCT doc_id) AS nd FROM sh GROUP BY sh)
+           WHERE nd >= 4)
+         SELECT s.doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           round(CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 4) AS bp_frac
+         FROM sh s LEFT JOIN bp b ON s.sh = b.sh
+         GROUP BY s.doc_id ORDER BY doc_id""",
+    "q_training_order" ->
+      """WITH o AS (SELECT doc_id,
+             md5(concat('s0', ':', CAST(doc_id AS VARCHAR))) AS ok
+           FROM documents),
+         s2 AS (SELECT doc_id, ok,
+             CAST(CAST(concat('0x', substring(ok, 1, 15)) AS BIGINT) % 8 AS INT)
+               AS shard
+           FROM o)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+             AS BIGINT) AS pos
+         FROM s2 ORDER BY shard, pos""",
+    "q_source_overlap" ->
+      s"""WITH lsh AS ($minhashPairsCore),
+         d AS (SELECT doc_id, source FROM documents)
+         SELECT least(a.source, b.source) AS source_x,
+           greatest(a.source, b.source) AS source_y,
+           count(*) AS n_pairs
+         FROM lsh JOIN d a ON a.doc_id = lsh.doc_a
+           JOIN d b ON b.doc_id = lsh.doc_b
+         GROUP BY 1, 2 ORDER BY source_x, source_y""",
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,

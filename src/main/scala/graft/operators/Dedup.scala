@@ -263,6 +263,27 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Cross-source overlap matrix: near-dup pair counts per unordered
+    * source pair — the provenance question a multi-source corpus asks
+    * before training ("how much of source B is already in source A?").
+    * Rides the MinHash-LSH candidate set, so the pair space is the
+    * LSH-bounded one, never corpus²; the two attribute joins are plain
+    * doc_id equi-joins (shuffle or broadcast per AQE). Unordered pairs
+    * via least/greatest, so (srcA, srcB) and (srcB, srcA) collapse.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables(s, dir, "documents").select($"doc_id", $"source")
+    minhashLshPairs(s, dir)
+      .join(src.toDF("doc_a", "source_a"), Seq("doc_a"))
+      .join(src.toDF("doc_b", "source_b"), Seq("doc_b"))
+      .select(least($"source_a", $"source_b").as("source_x"),
+        greatest($"source_a", $"source_b").as("source_y"))
+      .groupBy($"source_x", $"source_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"source_x", $"source_y")
+  }
+
   /** SimHash bit width. 60 (not 64): the token hash is the first 15 hex
     * digits of md5, chosen because an external SQL oracle can reproduce
     * md5 bit-for-bit (DuckDB has no xxhash64) — same design trade as the

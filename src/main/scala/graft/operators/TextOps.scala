@@ -512,6 +512,62 @@ object TextOps {
     * [[Events.approxQuantileAudit]]. Bounded state per group is the
     * 100 TB story: capacity counters regardless of key cardinality.
     */
+  /** CCNet-style boilerplate scoring: a shingle appearing in ≥ `minDocs`
+    * distinct documents is boilerplate (headers, footers, navigation,
+    * license blurbs — content shared across documents rather than
+    * authored in one), and each document is scored by the fraction of
+    * its shingle occurrences that are boilerplate — the filter signal a
+    * web-scale corpus applies before training. Two shuffles, both
+    * key-bounded: document frequency per shingle (vocab-bounded, the
+    * same key space as the minhash pipeline), then the occurrence join
+    * back (boilerplate set ≤ vocab; AQE broadcasts it when small).
+    * Documents with no full shingle are absent, matching the minhash
+    * convention.
+    */
+  def boilerplateScores(s: SparkSession, dir: String, shingleSize: Int = 3,
+                        minDocs: Int = 4): DataFrame = {
+    import s.implicits._
+    // one materialization feeds the document-frequency aggregation and
+    // the per-doc occurrence join
+    val sh = Dedup.shingleStream(Tables(s, dir, "documents"), shingleSize)
+      .localCheckpoint()
+    val bp = sh.select($"doc_id", $"sh").distinct()
+      .groupBy($"sh").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= minDocs)
+      .select($"sh", lit(1).as("isbp"))
+    sh.join(bp, Seq("sh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce($"isbp", lit(0))).cast("long").as("n_boilerplate"))
+      .select($"doc_id", $"n_shingles", $"n_boilerplate",
+        round($"n_boilerplate".cast("double") / $"n_shingles", 4).as("bp_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic training order: every document gets a (shard, pos)
+    * from the md5 of (seed, doc_id) — a reproducible global shuffle, the
+    * property a training run needs so a restart (or a second lab)
+    * consumes the corpus in the identical order. Same md5-bucket idiom
+    * as [[hashSplit]]. Scale shape: the position window is
+    * hash-partition-by-shard + sort-within — exactly one shuffle of
+    * (doc_id, key) pairs, never the payload; at export time the order
+    * rides `repartition(shard).sortWithinPartitions(ok)` into the
+    * shard writer.
+    */
+  def trainingOrder(s: SparkSession, dir: String, nShards: Int = 8,
+                    seed: String = "s0"): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"ok", $"doc_id")
+    Tables(s, dir, "documents")
+      .select($"doc_id", md5(concat_ws(":", lit(seed), $"doc_id")).as("ok"))
+      .withColumn("shard",
+        pmod(conv(substring($"ok", 1, 15), 16, 10).cast("long"), lit(nShards))
+          .cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
   def topkAudit(s: SparkSession, dir: String, capacity: Int = 16): DataFrame = {
     import s.implicits._
     val tok = docsFanned(s, dir)

@@ -88,6 +88,16 @@ class DedupSpec extends SparkSpec {
     assert(distributed === expected)
   }
 
+  test("sourceOverlap conserves the LSH pair count across the source matrix") {
+    val pairTotal = Dedup.minhashLshPairs(spark, sf).count()
+    val overlap = Dedup.sourceOverlap(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(overlap.map(_._2).sum === pairTotal, "every pair lands in one cell")
+    // unordered pairs: key is (least, greatest), each cell unique
+    overlap.foreach { case ((x, y), _) => assert(x <= y) }
+    assert(overlap.map(_._1).distinct.length === overlap.length)
+  }
+
   test("dedupClusters with a reliable checkpoint dir matches the default strategy") {
     val ckDir = java.nio.file.Files.createTempDirectory("cc-ck").toString
     spark.sparkContext.setCheckpointDir(ckDir)

@@ -238,4 +238,37 @@ class TextOpsSpec extends SparkSpec {
     assert(slope === expected)
     assert(slope < 0.0, s"token frequencies should fall with rank: $slope")
   }
+
+  test("boilerplateScores matches a driver-side shingle-frequency recount") {
+    val rows = TextOps.boilerplateScores(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val shingles = docs.map { case (id, t) =>
+      id -> t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+    }.filter(_._2.nonEmpty)
+    val df = shingles.flatMap { case (id, sh) => sh.distinct.map(s => (s, id)) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val expected = shingles.map { case (id, sh) =>
+      id -> (sh.length.toLong, sh.count(s => df(s) >= 4).toLong)
+    }.toMap
+    assert(rows === expected)
+  }
+
+  test("trainingOrder: a reproducible permutation — each shard a dense 1..n run") {
+    val rows = TextOps.trainingOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(rows.length.toLong === nDocs) // a permutation covers every doc once
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.groupBy(_._2).foreach { case (shard, grp) =>
+      assert(grp.map(_._3).sorted.toSeq === (1L to grp.length.toLong).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // deterministic: a second run is bit-identical
+    val again = TextOps.trainingOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSeq === rows.toSeq)
+  }
 }
