@@ -118,6 +118,7 @@ object SparkEntry {
     "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
     "q_embedding_lsh_recall" -> ((s, dir) => Similarity.embeddingLshRecall(s, dir)),
+    "q_embedding_incremental" -> ((s, dir) => Similarity.incrementalEmbeddingPairs(s, dir)),
     "q_quant_stats" -> Similarity.quantizationStats,
     "q_kmeans_step" -> ((s, dir) => Similarity.kmeansStep(s, dir)),
     "q_embedding_clusters" -> ((s, dir) => Similarity.embeddingClusters(s, dir)),
@@ -729,6 +730,19 @@ object SparkEntry {
          FROM truth t LEFT JOIN (SELECT * FROM cand WHERE vec_a < 100) c
            ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b
          GROUP BY 1 ORDER BY cos_bucket""",
+    "q_embedding_incremental" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         $EmbLshSigCte,
+         ip AS (SELECT DISTINCT x.vec_id AS new_vec, y.vec_id AS index_vec
+           FROM sg x JOIN sg y ON x.band = y.band AND x.sig = y.sig
+           WHERE x.vec_id % 4 = 3 AND y.vec_id % 4 <> 3)
+         SELECT ip.new_vec, ip.index_vec,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+         FROM ip JOIN e a ON a.vec_id = ip.new_vec
+           JOIN e b ON b.vec_id = ip.index_vec
+         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+         ORDER BY new_vec, index_vec""",
     "q_embedding_clusters" ->
       s"""WITH RECURSIVE
          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

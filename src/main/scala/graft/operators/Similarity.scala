@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.vectors
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -287,6 +287,43 @@ object Similarity {
       .select($"query_id", $"n_brute", $"n_overlap",
         round($"n_overlap".cast("double") / $"n_brute", 4).as("recall"))
       .orderBy($"query_id")
+  }
+
+  /** Incremental embedding dedup probe: banded-LSH candidates between a
+    * NEW vector batch and the already-indexed corpus — the embedding
+    * twin of `Dedup.incrementalLshPairs`, and the query a continuously-
+    * embedding pipeline runs per ingest (re-pairing the whole corpus per
+    * batch is off the table at scale). Per-vector buckets are
+    * independent of the rest of the corpus, so side-restricted band
+    * frames equal the full band table filtered — the index side is
+    * precomputable/bucketable by (band, sig) at index build. Candidates
+    * are verified with the exact cosine, same as the batch pair
+    * generator. Cost scales with the BATCH, never the corpus.
+    */
+  def incrementalEmbeddingPairs(s: SparkSession, dir: String,
+                                batchPred: Column = col("vec_id") % 4 === 3,
+                                threshold: Double = 0.3,
+                                planesPerBand: Int = 4, nBands: Int = 24): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", vectors.toDoubleArray($"embedding").as("v"))
+      .withColumn("nrm", vectors.l2Norm($"v"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"vec_id")
+      .localCheckpoint()
+    val batchBands = bandedPlaneBuckets(e.filter(batchPred), planesPerBand, nBands)
+    val indexBands = bandedPlaneBuckets(e.filter(!batchPred), planesPerBand, nBands)
+    val cand = batchBands.alias("n")
+      .join(indexBands.alias("i"),
+        col("n.band") === col("i.band") && col("n.sig") === col("i.sig"))
+      .select(col("n.vec_id").as("new_vec"), col("i.vec_id").as("index_vec"))
+      .distinct()
+    cand
+      .join(e.select($"vec_id".as("new_vec"), $"v".as("va"), $"nrm".as("na")), Seq("new_vec"))
+      .join(e.select($"vec_id".as("index_vec"), $"v".as("vb"), $"nrm".as("nb")), Seq("index_vec"))
+      .select($"new_vec", $"index_vec",
+        round(vectors.dot($"va", $"vb") / ($"na" * $"nb"), 4).as("cos_sim"))
+      .filter($"cos_sim" >= threshold)
+      .orderBy($"new_vec", $"index_vec")
   }
 
   /** Near-dup clusters over the embedding space: connected components of

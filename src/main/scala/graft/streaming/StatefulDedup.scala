@@ -79,6 +79,37 @@ object StatefulDedup {
       .as[BandedDoc]
   }
 
+  /** Stateless stage 1 for EMBEDDINGS: one row per (vector, band) with
+    * the sign-random-projection bucket — the streaming twin of
+    * `Similarity.bandedPlaneBuckets` (identical planes and bucket
+    * algebra; sig rendered as a string so stage 2 is shared verbatim
+    * with the text pipeline). A continuously-embedding ingest chains
+    * this into the same [[dupCandidates]]/[[uniquePairsSink]] stages:
+    * arriving vectors pair against everything seen in their buckets,
+    * bucket state expires past the retention horizon. Expects
+    * (vec_id, embedding: array<float>, ts).
+    */
+  def bandedEmbeddings(vecs: DataFrame, planesPerBand: Int = 4,
+                       nBands: Int = 24, dim: Int = 64): Dataset[BandedDoc] = {
+    import graft.functions.vectors
+    implicit val enc = Encoders.product[BandedDoc]
+    val bandStructs = (0 until nBands).map { b =>
+      val sig = (0 until planesPerBand).map { k =>
+        val plane = typedLit((0 until dim).map(d =>
+          graft.operators.Similarity.planeComponent(b * planesPerBand + k, d)))
+        when(vectors.dot(col("v"), plane) > 0, lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), sig.cast("string").as("sig"))
+    }
+    vecs
+      .select(col("vec_id").as("doc_id"), col("ts"),
+        vectors.toDoubleArray(col("embedding")).as("v"))
+      .select(col("doc_id"), col("ts"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("doc_id"), col("ts"))
+      .as[BandedDoc]
+  }
+
   /** Stage 2: per-bucket membership state; every arriving doc emits one
     * candidate per already-seen bucket member. `retentionMs` of
     * event-time silence expires a bucket (docs older than the horizon

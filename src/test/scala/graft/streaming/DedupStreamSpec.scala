@@ -9,6 +9,7 @@ import java.sql.Timestamp
 
 object DedupStreamSpec {
   case class Doc(doc_id: Long, text: String, ts: Timestamp)
+  case class Vec(vec_id: Long, embedding: Array[Float], ts: Timestamp)
 }
 
 /** Streaming LSH dedup: candidates fire the moment a near-dup arrives,
@@ -130,6 +131,39 @@ class DedupStreamSpec extends SparkSpec {
     val batchWith5 = batchPairs ++ Set((1L, 5L), (2L, 5L), (3L, 5L))
     assert(normalized === batchWith5,
       s"stream $normalized must equal batch-with-arrival $batchWith5")
+  }
+
+  test("embedding stream candidates equal the batch band self-join on the same vectors") {
+    // deterministic 8-dim-ish vectors padded to 64 dims; a few near-parallel
+    val mk: (Long, Double) => (Long, Array[Float]) = (id, tilt) =>
+      id -> Array.tabulate(64)(d => (math.sin(d * 0.3) + tilt * d / 64.0).toFloat)
+    val vecs = Seq(mk(1L, 0.0), mk(2L, 0.01), mk(3L, 0.02), mk(4L, 5.0), mk(5L, 5.01))
+    import org.apache.spark.sql.functions.col
+    val batchFrame = vecs.toDF("vec_id", "v")
+      .select(col("vec_id"), graft.functions.vectors.toDoubleArray(col("v")).as("v"))
+    val bands = graft.operators.Similarity.bandedPlaneBuckets(batchFrame, 4, 24)
+    val batchCand = bands.alias("x").join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchCand.nonEmpty)
+
+    val input = MemoryStream[DedupStreamSpec.Vec](spark)
+    val q = dupCandidates(
+        bandedEmbeddings(input.toDF().withWatermark("ts", "10 minutes")),
+        retentionMs = 24 * 60 * 60 * 1000)
+      .writeStream.format("memory").queryName("emb_stream")
+      .outputMode(OutputMode.Append).start()
+    input.addData(vecs.zipWithIndex.map { case ((id, v), i) =>
+      DedupStreamSpec.Vec(id, v, ts(f"2024-01-01 09:${i}%02d:00")) }: _*)
+    q.processAllAvailable()
+    val streamCand = spark.table("emb_stream").collect()
+      .map(r => (math.min(r.getLong(1), r.getLong(2)),
+        math.max(r.getLong(1), r.getLong(2)))).toSet
+    q.stop()
+    assert(streamCand === batchCand,
+      s"stream $streamCand must equal batch $batchCand")
   }
 
   test("a doc arriving far behind the watermark expires quietly, not as a query crash") {
