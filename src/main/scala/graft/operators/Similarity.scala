@@ -51,6 +51,27 @@ object Similarity {
     * inline here is the synthetic stand-in, exactly as with the MinHash
     * index in `Dedup.incrementalLshPairs`.
     */
+  /** Sentinel for "derive planesPerBand from the corpus size". */
+  val AutoPlanes: Int = 0
+
+  /** Adaptive band width: the smallest r keeping EXPECTED bucket
+    * occupancy n/2^r at or below `targetOccupancy` (floor 4). With r
+    * FIXED, bucket occupancy grows linearly in corpus size and the
+    * candidate mass Σn² quadratically — the classic fixed-granularity
+    * LSH failure at scale. Holding occupancy constant instead keeps
+    * random-collision candidates ~linear in n; the price is recall,
+    * which falls as r grows (p^r per band) — the explicit LSH trade, and
+    * [[embeddingLshRecall]] measures it at whatever size the corpus is.
+    * At genuine near-dup thresholds (≥0.8, per-bit agreement ~0.8+) the
+    * recall loss per added bit is small; this synthetic corpus's loose
+    * 0.3 threshold is the adversarial regime where the quadratic TRUE
+    * pair mass dominates anyway (no parameterization beats
+    * Θ(output)).
+    */
+  private[graft] def autoPlanesPerBand(n: Long, targetOccupancy: Long = 125L): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetOccupancy) / math.log(2.0)).toInt)
+
   private[graft] def bandedPlaneBuckets(e: DataFrame, planesPerBand: Int,
                                         nBands: Int, dim: Int = 64): DataFrame = {
     val bandStructs = (0 until nBands).map { b =>
@@ -79,10 +100,17 @@ object Similarity {
     * (4, 24) still reaches 97% recall and the candidate set degrades
     * gracefully toward all-pairs rather than losing recall. The audit
     * query makes that curve visible per similarity bucket.
+    *
+    * Band width defaults to [[AutoPlanes]]: sized by
+    * [[autoPlanesPerBand]] so expected bucket occupancy stays constant
+    * as the corpus grows (4 at the oracle scale factors — identical to
+    * the fixed scheme there — 8 at the 10x stress size), which keeps
+    * random-collision candidate mass ~linear in n instead of quadratic.
     */
   def embeddingNearDupPairs(s: SparkSession, dir: String,
                             threshold: Double = 0.3,
-                            planesPerBand: Int = 4, nBands: Int = 24): DataFrame = {
+                            planesPerBand: Int = AutoPlanes,
+                            nBands: Int = 24): DataFrame = {
     import s.implicits._
     // vectors+norms feed the band projection and both verify joins;
     // checkpoint or the 96-dot band subtree plans and runs per consumer.
@@ -96,7 +124,8 @@ object Similarity {
       .withColumn("nrm", vectors.l2Norm($"v"))
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"vec_id")
       .localCheckpoint()
-    val bands = bandedPlaneBuckets(e, planesPerBand, nBands)
+    val r = if (planesPerBand > 0) planesPerBand else autoPlanesPerBand(e.count())
+    val bands = bandedPlaneBuckets(e, r, nBands)
     val cand = bands.alias("x").join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -121,7 +150,7 @@ object Similarity {
     * of the probes against one scan), never corpus².
     */
   def embeddingLshRecall(s: SparkSession, dir: String, threshold: Double = 0.3,
-                         planesPerBand: Int = 4, nBands: Int = 24,
+                         planesPerBand: Int = AutoPlanes, nBands: Int = 24,
                          nProbes: Int = 100): DataFrame = {
     import s.implicits._
     // same parallelism pin as the pair generator (single-file corpus)
@@ -135,7 +164,9 @@ object Similarity {
       .select($"vec_a", col("o.vec_id").as("vec_b"),
         round(vectors.cosineSimilarity($"va", col("o.v")), 4).as("cos_sim"))
       .filter($"cos_sim" >= threshold)
-    val bands = bandedPlaneBuckets(e, planesPerBand, nBands)
+    // audit the SAME band width the pair generator would use
+    val r = if (planesPerBand > 0) planesPerBand else autoPlanesPerBand(e.count())
+    val bands = bandedPlaneBuckets(e, r, nBands)
     val cand = bands.alias("x").join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id") && col("x.vec_id") < nProbes)
@@ -303,15 +334,19 @@ object Similarity {
   def incrementalEmbeddingPairs(s: SparkSession, dir: String,
                                 batchPred: Column = col("vec_id") % 4 === 3,
                                 threshold: Double = 0.3,
-                                planesPerBand: Int = 4, nBands: Int = 24): DataFrame = {
+                                planesPerBand: Int = AutoPlanes,
+                                nBands: Int = 24): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir, "embeddings")
       .select($"vec_id", vectors.toDoubleArray($"embedding").as("v"))
       .withColumn("nrm", vectors.l2Norm($"v"))
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"vec_id")
       .localCheckpoint()
-    val batchBands = bandedPlaneBuckets(e.filter(batchPred), planesPerBand, nBands)
-    val indexBands = bandedPlaneBuckets(e.filter(!batchPred), planesPerBand, nBands)
+    // band width sized to the INDEX side (the corpus) — the batch probes
+    // whatever granularity the stored index was built with
+    val r = if (planesPerBand > 0) planesPerBand else autoPlanesPerBand(e.count())
+    val batchBands = bandedPlaneBuckets(e.filter(batchPred), r, nBands)
+    val indexBands = bandedPlaneBuckets(e.filter(!batchPred), r, nBands)
     val cand = batchBands.alias("n")
       .join(indexBands.alias("i"),
         col("n.band") === col("i.band") && col("n.sig") === col("i.sig"))

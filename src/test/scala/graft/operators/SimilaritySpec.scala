@@ -96,6 +96,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got === canon)
   }
 
+  test("autoPlanesPerBand holds bucket occupancy: 4 at oracle SFs, grows with n") {
+    assert(Similarity.autoPlanesPerBand(100L) === 4)   // spec corpus
+    assert(Similarity.autoPlanesPerBand(500L) === 4)   // sf0.01 (oracle SF)
+    assert(Similarity.autoPlanesPerBand(2000L) === 4)  // sf0.1 (bench SF)
+    assert(Similarity.autoPlanesPerBand(20000L) === 8) // 10x stress
+    assert(Similarity.autoPlanesPerBand(2000000L) === 14)
+    // expected occupancy n/2^r stays <= target (for n above target)
+    Seq(500L, 2000L, 20000L, 2000000L).foreach { n =>
+      val r = Similarity.autoPlanesPerBand(n)
+      assert(n.toDouble / (1L << r) <= 125.0, s"occupancy breached at n=$n r=$r")
+    }
+  }
+
   test("banded-LSH near-dup: pairs are exactly verified (precision 1) and " +
     "the recall audit clears the acceptance bar") {
     // precision is structural — every emitted pair passed the exact
