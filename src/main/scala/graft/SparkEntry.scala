@@ -118,6 +118,8 @@ object SparkEntry {
     "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
     "q_embedding_lsh_recall" -> ((s, dir) => Similarity.embeddingLshRecall(s, dir)),
+    "q_embedding_mp_recall" ->
+      ((s, dir) => Similarity.embeddingLshRecall(s, dir, multiProbe = true)),
     "q_embedding_incremental" -> ((s, dir) => Similarity.incrementalEmbeddingPairs(s, dir)),
     "q_quant_stats" -> Similarity.quantizationStats,
     "q_kmeans_step" -> ((s, dir) => Similarity.kmeansStep(s, dir)),
@@ -728,6 +730,27 @@ object SparkEntry {
            round(CAST(sum(CASE WHEN c.vec_a IS NOT NULL THEN 1 ELSE 0 END)
              AS DOUBLE) / count(*), 4) AS recall
          FROM truth t LEFT JOIN (SELECT * FROM cand WHERE vec_a < 100) c
+           ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b
+         GROUP BY 1 ORDER BY cos_bucket""",
+    "q_embedding_mp_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         $EmbLshSigCte,
+         mp AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           FROM sg x JOIN sg y ON x.band = y.band
+             AND bit_count(xor(CAST(x.sig AS BIGINT), CAST(y.sig AS BIGINT))) <= 1
+             AND x.vec_id < y.vec_id AND x.vec_id < 100),
+         truth AS (SELECT p.vec_id AS vec_a, o.vec_id AS vec_b,
+             round(list_cosine_similarity(p.v, o.v), 4) AS cos_sim
+           FROM e p JOIN e o ON p.vec_id < o.vec_id AND p.vec_id < 100
+           WHERE round(list_cosine_similarity(p.v, o.v), 4) >= 0.3)
+         SELECT round(t.cos_sim, 1) AS cos_bucket,
+           count(*) AS n_true,
+           CAST(sum(CASE WHEN c.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_caught,
+           round(CAST(sum(CASE WHEN c.vec_a IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 4) AS recall
+         FROM truth t LEFT JOIN mp c
            ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b
          GROUP BY 1 ORDER BY cos_bucket""",
     "q_embedding_incremental" ->

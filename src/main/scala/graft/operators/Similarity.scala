@@ -107,10 +107,34 @@ object Similarity {
     * the fixed scheme there — 8 at the 10x stress size), which keeps
     * random-collision candidate mass ~linear in n instead of quadratic.
     */
+  /** Probe-side bucket variants for multi-probe LSH: the bucket itself
+    * plus its `r` Hamming-distance-1 neighbors (one plane's sign
+    * flipped). A near-miss pair that disagrees on exactly one plane of a
+    * band still collides — per band the match probability rises from
+    * p^r to p^r + r·p^(r-1)(1−p), which is what buys recall back when
+    * [[autoPlanesPerBand]] widens bands at scale (measured at the 10x
+    * size with auto r=8, by cos bucket: 0.36/0.48/0.56 single-probe →
+    * 0.94/0.98/1.0 multi-probe). Cost is (r+1)× probe
+    * rows — linear in r, vs the 2^r it would take to re-narrow buckets
+    * — and the join stays an equi-join on (band, sig): the flips
+    * explode on the PROBE side only, the stored index is untouched
+    * (exactly how a served index multi-probes).
+    */
+  private def withProbes(bands: DataFrame, planesPerBand: Int,
+                         multiProbe: Boolean): DataFrame =
+    if (!multiProbe) bands
+    else {
+      val variants = col("sig") +: (0 until planesPerBand).map(k =>
+        col("sig").bitwiseXOR(lit(1 << k)))
+      bands.select(col("vec_id"), col("band"),
+          explode(array(variants: _*)).as("sig"))
+    }
+
   def embeddingNearDupPairs(s: SparkSession, dir: String,
                             threshold: Double = 0.3,
                             planesPerBand: Int = AutoPlanes,
-                            nBands: Int = 24): DataFrame = {
+                            nBands: Int = 24,
+                            multiProbe: Boolean = false): DataFrame = {
     import s.implicits._
     // vectors+norms feed the band projection and both verify joins;
     // checkpoint or the 96-dot band subtree plans and runs per consumer.
@@ -126,7 +150,8 @@ object Similarity {
       .localCheckpoint()
     val r = if (planesPerBand > 0) planesPerBand else autoPlanesPerBand(e.count())
     val bands = bandedPlaneBuckets(e, r, nBands)
-    val cand = bands.alias("x").join(bands.alias("y"),
+    val cand = withProbes(bands, r, multiProbe).alias("x")
+      .join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
@@ -151,7 +176,8 @@ object Similarity {
     */
   def embeddingLshRecall(s: SparkSession, dir: String, threshold: Double = 0.3,
                          planesPerBand: Int = AutoPlanes, nBands: Int = 24,
-                         nProbes: Int = 100): DataFrame = {
+                         nProbes: Int = 100,
+                         multiProbe: Boolean = false): DataFrame = {
     import s.implicits._
     // same parallelism pin as the pair generator (single-file corpus)
     val e = Tables(s, dir, "embeddings")
@@ -167,7 +193,8 @@ object Similarity {
     // audit the SAME band width the pair generator would use
     val r = if (planesPerBand > 0) planesPerBand else autoPlanesPerBand(e.count())
     val bands = bandedPlaneBuckets(e, r, nBands)
-    val cand = bands.alias("x").join(bands.alias("y"),
+    val cand = withProbes(bands, r, multiProbe).alias("x")
+      .join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id") && col("x.vec_id") < nProbes)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
