@@ -79,6 +79,7 @@ object SparkEntry {
     "q_pii_stats" -> TextOps.piiStats,
     "q_hash_split" -> TextOps.hashSplit,
     "q_boilerplate_scores" -> ((s, dir) => TextOps.boilerplateScores(s, dir)),
+    "q_dataset_card" -> TextOps.datasetCard,
     "q_training_order" -> ((s, dir) => TextOps.trainingOrder(s, dir)),
     "q_source_overlap" -> Dedup.sourceOverlap,
     "q_decontamination" -> ((s, dir) => TextOps.decontamination(s, dir)),
@@ -121,6 +122,7 @@ object SparkEntry {
     "q_embedding_mp_recall" ->
       ((s, dir) => Similarity.embeddingLshRecall(s, dir, multiProbe = true)),
     "q_embedding_incremental" -> ((s, dir) => Similarity.incrementalEmbeddingPairs(s, dir)),
+    "q_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "q_quant_stats" -> Similarity.quantizationStats,
     "q_kmeans_step" -> ((s, dir) => Similarity.kmeansStep(s, dir)),
     "q_embedding_clusters" -> ((s, dir) => Similarity.embeddingClusters(s, dir)),
@@ -732,6 +734,19 @@ object SparkEntry {
          FROM truth t LEFT JOIN (SELECT * FROM cand WHERE vec_a < 100) c
            ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b
          GROUP BY 1 ORDER BY cos_bucket""",
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         p AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+           FROM e WHERE vec_id < 20),
+         scored AS (SELECT p.query_id, e.vec_id,
+             round(list_cosine_similarity(e.v, p.qv), 4) AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY p.query_id
+               ORDER BY round(list_cosine_similarity(e.v, p.qv), 4) DESC,
+                 e.vec_id) AS INT) AS rank
+           FROM e JOIN p ON e.label <> p.qlabel)
+         SELECT query_id, vec_id, cos_sim, rank FROM scored
+         WHERE rank <= 3 ORDER BY query_id, rank""",
     "q_embedding_mp_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
@@ -854,6 +869,22 @@ object SparkEntry {
              AS DOUBLE) / count(*), 4) AS bp_frac
          FROM sh s LEFT JOIN bp b ON s.sh = b.sh
          GROUP BY s.doc_id ORDER BY doc_id""",
+    "q_dataset_card" ->
+      s"""WITH scored AS (SELECT lang, source, n_chars, md5(text) AS h,
+             len($toks) AS n_toks,
+             CAST(round($qualityExpr * 10000) AS BIGINT) AS q4
+           FROM documents),
+         dup AS (SELECT md5(text) AS h, count(*) AS n_copies
+           FROM documents GROUP BY 1)
+         SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(s.n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(s.n_chars) AS BIGINT) AS n_chars,
+           CAST(CAST(sum(q4) AS BIGINT) * 10000 // count(*) AS DOUBLE)
+             / 100000000.0 AS avg_quality,
+           CAST(sum(CASE WHEN d.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dup_docs
+         FROM scored s JOIN dup d USING (h)
+         GROUP BY lang, source ORDER BY lang, source""",
     "q_training_order" ->
       """WITH o AS (SELECT doc_id,
              md5(concat('s0', ':', CAST(doc_id AS VARCHAR))) AS ok

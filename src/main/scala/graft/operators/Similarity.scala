@@ -388,6 +388,33 @@ object Similarity {
       .orderBy($"new_vec", $"index_vec")
   }
 
+  /** Hard-negative mining for contrastive training: per probe vector,
+    * the k most-similar vectors carrying a DIFFERENT label — close to
+    * the anchor in embedding space yet semantically distinct, which is
+    * exactly what a contrastive objective wants its negatives to be
+    * (random negatives are too easy to teach anything). Shape is the
+    * [[annRecall]] probe pattern: the probe set broadcasts against one
+    * corpus scan, ranks on the ROUNDED similarity then vec_id so ulp
+    * drift cannot flip ranks, and only the per-probe top-k survives to
+    * the shuffle. At scale the scan side is the ANN index's candidate
+    * set instead of the full corpus — same query, smaller left side.
+    */
+  def hardNegatives(s: SparkSession, dir: String, nQueries: Int = 20,
+                    k: Int = 3): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label", vectors.toDoubleArray($"embedding").as("v"))
+    val probes = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"), $"v".as("qv"))
+    val byQuery = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    e.join(broadcast(probes), $"label" =!= $"qlabel")
+      .select($"query_id", $"vec_id",
+        round(vectors.cosineSimilarity($"v", $"qv"), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter($"rank" <= k)
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Near-dup clusters over the embedding space: connected components of
     * the [[embeddingNearDupPairs]] graph, each vector labelled with its
     * cluster's canonical (minimum) vec_id — the embedding-side twin of

@@ -568,6 +568,44 @@ object TextOps {
       .orderBy($"shard", $"pos")
   }
 
+  /** Dataset card: the per-(lang, source) summary a corpus release
+    * publishes — document and token volume, mean quality, exact-dup
+    * incidence — assembled in ONE pass over the documents plus one
+    * hash-group for the dup flags (each a single shuffle on a bounded
+    * key space). Mean quality is computed from the 4dp-rounded per-doc
+    * scores lifted to integer ten-thousandths and summed as longs:
+    * integer sums are order-independent, so the average is
+    * bit-reproducible at any parallelism and engine-portable (a double
+    * running sum is neither).
+    */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = docsFanned(s, dir)
+      .select($"lang", $"source", $"n_chars",
+        md5($"text").as("h"),
+        size(text.tokensLower($"text")).cast("long").as("n_toks"),
+        round(text.qualityScore($"text", $"n_chars") * 10000).cast("long").as("q4"))
+    val dupGroups = Tables(s, dir, "documents")
+      .groupBy(md5($"text").as("h"))
+      .agg(count(lit(1)).as("n_copies"))
+    scored.join(dupGroups, Seq("h"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_tokens"),
+        sum($"n_chars").as("n_chars"),
+        sum($"q4").as("sq4"),
+        sum(when($"n_copies" > 1, 1L).otherwise(0L)).as("n_exact_dup_docs"))
+      // mean via integer floor-division to a fixed 10^-8 scale: a float
+      // divide + round can land exactly on a .5 boundary where engines'
+      // decimal-vs-binary rounding diverge (observed: 26794/4/10^4);
+      // integer div of identical longs is bit-identical everywhere and
+      // the final /1e8 maps the same integer to the same double
+      .select($"lang", $"source", $"n_docs", $"n_tokens", $"n_chars",
+        (expr("sq4 * 10000 div n_docs").cast("double") / 1e8).as("avg_quality"),
+        $"n_exact_dup_docs")
+      .orderBy($"lang", $"source")
+  }
+
   def topkAudit(s: SparkSession, dir: String, capacity: Int = 16): DataFrame = {
     import s.implicits._
     val tok = docsFanned(s, dir)

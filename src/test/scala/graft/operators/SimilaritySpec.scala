@@ -139,6 +139,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: never the probe's own label, dense ranks, descending similarity") {
+    val labels = Tables(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.hardNegatives(spark, sf, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, v, _, _) =>
+      assert(labels(v) !== labels(q), s"negative $v shares label with probe $q")
+    }
+    rows.groupBy(_._1).foreach { case (_, grp) =>
+      val sorted = grp.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to sorted.length))
+      val sims = sorted.map(_._3).toSeq
+      assert(sims === sims.sorted.reverse)
+    }
+  }
+
   test("kmeansStep matches a driver-side Lloyd iteration") {
     val nlist = 8
     val got = Similarity.kmeansStep(spark, sf, nlist).collect()

@@ -256,6 +256,22 @@ class TextOpsSpec extends SparkSpec {
     assert(rows === expected)
   }
 
+  test("datasetCard: volumes recount exactly, quality mean in [0,1]") {
+    val card = TextOps.datasetCard(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(4), r.getDouble(5)))).toMap
+    val docs = Tables(spark, sf, "documents")
+      .select("lang", "source", "n_chars").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val expected = docs.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    assert(card.keySet === expected.keySet)
+    card.foreach { case (k, (nDocs, nChars, avgQ)) =>
+      assert((nDocs, nChars) === expected(k))
+      assert(avgQ >= 0.0 && avgQ <= 1.0, s"$k avg_quality out of range: $avgQ")
+    }
+  }
+
   test("trainingOrder: a reproducible permutation — each shard a dense 1..n run") {
     val rows = TextOps.trainingOrder(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
