@@ -70,6 +70,47 @@ object Export {
       .orderBy(partitionCols.map(col): _*)
   }
 
+  /** Training-ordered export: shards laid out by the reproducible
+    * (shard, pos) permutation of `TextOps.trainingOrder` — shard
+    * membership and intra-shard line order both derive from
+    * md5(seed, doc_id), so a restarted run (or a second site) reads the
+    * corpus in the identical order straight off the files, no shuffle at
+    * load time. One `repartition(nShards, shard)` + sortWithinPartitions
+    * carries the entire layout: each task owns exactly one shard
+    * directory and the committer writes its lines already ordered
+    * (`maxRecordsPerFile` splits preserve order — Spark numbers the
+    * split files in write order). Returns the same manifest shape as
+    * [[trainingShards]].
+    */
+  def orderedTrainingShards(docs: DataFrame, dstDir: String,
+                            nShards: Int = 8, seed: String = "s0",
+                            maxRecordsPerFile: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    val payloadCols = docs.columns
+    val keyed = docs
+      .withColumn("ok", md5(concat_ws(":", lit(seed), col("doc_id"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("ok"), 1, 15), 16, 10).cast("long"), lit(nShards))
+          .cast("int"))
+    keyed
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("ok"), col("doc_id"))
+      .select(col("shard"),
+        to_json(struct(payloadCols.map(col): _*),
+          Map("ignoreNullFields" -> "false")).as("value"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("shard")
+      .text(dstDir)
+    val counts = keyed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_records"))
+    val shards = shardCounts(spark, dstDir, Seq("shard"))
+    counts.join(broadcast(shards),
+        counts("shard").cast("string") === shards("__shard"))
+      .select(col("shard"), col("n_shards"), col("n_records"))
+      .orderBy(col("shard"))
+  }
+
   /** Per-partition shard (file) counts from a driver filesystem walk of
     * the Hive-style partition tree — a listing, never a data read. Dir
     * names are unescaped with the same codec the committer escaped them

@@ -55,6 +55,38 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("orderedTrainingShards: files replay the trainingOrder permutation verbatim") {
+    val dst = java.nio.file.Files.createTempDirectory("export-ord").toString
+    val docsTmp = java.nio.file.Files.createTempDirectory("export-ord-src").toString
+    docs.withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$docsTmp/documents.parquet")
+    // record bound of 3 forces multiple split files per shard, so the
+    // name-ordered concatenation must still replay the permutation
+    val manifest = Export.orderedTrainingShards(docs, dst, nShards = 4,
+        maxRecordsPerFile = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(manifest.values.sum === docs.count())
+    assert(manifest.exists(_._2 > 3), "fixture too small to force file splits")
+    // expected order from the operator the layout claims to implement
+    val expected = graft.operators.TextOps.trainingOrder(spark, docsTmp, nShards = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // read each shard dir file-by-file, lines in file order
+    (0 until 4).foreach { sh =>
+      val dir = new java.io.File(s"$dst/shard=$sh")
+      if (expected.contains(sh)) {
+        val files = dir.listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
+          && !f.getName.startsWith(".")).sortBy(_.getName)
+        val got = files.flatMap { f =>
+          scala.io.Source.fromFile(f).getLines().map { line =>
+            "\"doc_id\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toLong
+          }
+        }.toSeq
+        assert(got === expected(sh), s"shard $sh order mismatch")
+      }
+    }
+  }
+
   test("null payload fields survive the JSON round-trip explicitly") {
     val dst = java.nio.file.Files.createTempDirectory("export-null").toString
     val withNulls = docs.withColumn("text",
