@@ -29,8 +29,10 @@ object Bench {
     // estimate of the engine's cost (a round-5 driver artifact recorded
     // 113s for a 32s suite purely from end-of-session load).
     // GRAFT_BENCH_RUNS=1 for the heavy 10x stress gate, where the
-    // quadratic-output queries make three passes cost an hour
-    val nRuns = sys.env.getOrElse("GRAFT_BENCH_RUNS", "3").toInt
+    // quadratic-output queries make three passes cost an hour; clamped
+    // so a typo'd 0/garbage value can't kill the bench mid-suite
+    val nRuns = math.max(1,
+      sys.env.get("GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       // a failing query must be distinguishable from a fast one: emit the

@@ -149,7 +149,9 @@ object Similarity {
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"vec_id")
       .localCheckpoint()
     val r = if (planesPerBand > 0) planesPerBand else autoPlanesPerBand(e.count())
-    val bands = bandedPlaneBuckets(e, r, nBands)
+    // both join sides read the band frame — checkpoint it or the
+    // nBands x r hyperplane-dot projection runs once per side
+    val bands = bandedPlaneBuckets(e, r, nBands).localCheckpoint()
     val cand = withProbes(bands, r, multiProbe).alias("x")
       .join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -192,7 +194,7 @@ object Similarity {
       .filter($"cos_sim" >= threshold)
     // audit the SAME band width the pair generator would use
     val r = if (planesPerBand > 0) planesPerBand else autoPlanesPerBand(e.count())
-    val bands = bandedPlaneBuckets(e, r, nBands)
+    val bands = bandedPlaneBuckets(e, r, nBands).localCheckpoint()
     val cand = withProbes(bands, r, multiProbe).alias("x")
       .join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&

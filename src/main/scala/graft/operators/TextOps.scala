@@ -554,15 +554,26 @@ object TextOps {
     * rides `repartition(shard).sortWithinPartitions(ok)` into the
     * shard writer.
     */
+  /** The (ok, shard) training-order key columns over `doc_id` — ONE
+    * definition shared by [[trainingOrder]] and
+    * `Export.orderedTrainingShards`, because the export's file layout
+    * guarantees it replays exactly this permutation: a divergent copy of
+    * the hash scheme would silently break that property.
+    */
+  private[graft] def trainingOrderKey(nShards: Int, seed: String): (Column, Column) = {
+    val ok = md5(concat_ws(":", lit(seed), col("doc_id")))
+    val shard = pmod(conv(substring(ok, 1, 15), 16, 10).cast("long"), lit(nShards))
+      .cast("int")
+    (ok, shard)
+  }
+
   def trainingOrder(s: SparkSession, dir: String, nShards: Int = 8,
                     seed: String = "s0"): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"shard").orderBy($"ok", $"doc_id")
+    val (ok, shard) = trainingOrderKey(nShards, seed)
     Tables(s, dir, "documents")
-      .select($"doc_id", md5(concat_ws(":", lit(seed), $"doc_id")).as("ok"))
-      .withColumn("shard",
-        pmod(conv(substring($"ok", 1, 15), 16, 10).cast("long"), lit(nShards))
-          .cast("int"))
+      .select($"doc_id", ok.as("ok"), shard.as("shard"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select($"doc_id", $"shard", $"pos")
       .orderBy($"shard", $"pos")

@@ -164,9 +164,12 @@ object StatefulDedup {
     * time is already behind the watermark — exactly the rows a
     * watermark-bounded dedup would silently discard. The merge sink has
     * no such horizon: uniqueness holds across the whole store lifetime.
-    * Orientation is stable — the later (ts, doc_id) arrival is always
-    * `new_doc` in every band's bucket — so no cross-band flip can split
-    * a pair into two keys.
+    * The store key is the UNORDERED pair (least:greatest): within one
+    * run orientation is stable (the later (ts, doc_id) arrival is
+    * `new_doc` in every band's bucket), but an at-least-once source can
+    * REDELIVER an already-indexed doc, and the re-emitted candidate
+    * carries the flipped orientation — an oriented key would store that
+    * pair twice.
     */
   def uniquePairsSink(bandedDocs: Dataset[BandedDoc], retentionMs: Long,
                       targetDir: String)
@@ -174,6 +177,7 @@ object StatefulDedup {
     Streams.idempotentMergeSink(
       dupCandidates(bandedDocs, retentionMs)
         .select(col("new_doc"), col("index_doc"), col("ts"),
-          concat_ws(":", col("new_doc"), col("index_doc")).as("pair_key")),
+          concat_ws(":", least(col("new_doc"), col("index_doc")),
+            greatest(col("new_doc"), col("index_doc"))).as("pair_key")),
       targetDir, "pair_key")
 }

@@ -89,8 +89,12 @@ object Streams {
                                  startingOffsets: String = "latest") {
     require(bootstrap.nonEmpty && bootstrap.split(",").forall { b =>
       val hp = b.trim.split(":")
-      hp.length == 2 && hp(0).nonEmpty && hp(1).forall(_.isDigit) && hp(1).nonEmpty
-    }, s"kafka.bootstrap.servers must be host:port[,host:port...], got '$bootstrap'")
+      // ASCII digits only (Character.isDigit accepts Unicode digit sets
+      // the Kafka client won't parse) and a real port range
+      hp.length == 2 && hp(0).nonEmpty && hp(1).nonEmpty &&
+        hp(1).forall(c => c >= '0' && c <= '9') &&
+        hp(1).length <= 5 && hp(1).toInt >= 1 && hp(1).toInt <= 65535
+    }, s"kafka.bootstrap.servers must be host:port[,host:port...] with port 1-65535, got '$bootstrap'")
     require(topic.nonEmpty && !topic.exists(_.isWhitespace),
       s"topic must be a non-blank Kafka topic name, got '$topic'")
     require(startingOffsets == "latest" || startingOffsets == "earliest" ||

@@ -60,10 +60,16 @@ object Export {
     val counts = docs.groupBy(partitionCols.map(col): _*)
       .agg(count(lit(1)).as("n_records"))
     val shards = shardCounts(spark, dstDir, partitionCols)
-    // join on the string form — the committer wrote each partition dir
-    // from exactly this cast, so the match is total
+    // join on the string form the committer actually wrote: null and
+    // empty partition values both land in the Hive default-partition
+    // dir, so translate them or those rows silently vanish from an
+    // inner-joined manifest
+    def dirForm(c: org.apache.spark.sql.Column) = when(
+      c.isNull || c.cast("string") === "",
+      lit(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+    ).otherwise(c.cast("string"))
     val cond = partitionCols
-      .map(c => counts(c).cast("string") === shards(s"__$c"))
+      .map(c => dirForm(counts(c)) === shards(s"__$c"))
       .reduce(_ && _)
     counts.join(broadcast(shards), cond)
       .select(partitionCols.map(col) :+ col("n_shards") :+ col("n_records"): _*)
@@ -76,22 +82,24 @@ object Export {
     * md5(seed, doc_id), so a restarted run (or a second site) reads the
     * corpus in the identical order straight off the files, no shuffle at
     * load time. One `repartition(nShards, shard)` + sortWithinPartitions
-    * carries the entire layout: each task owns exactly one shard
-    * directory and the committer writes its lines already ordered
-    * (`maxRecordsPerFile` splits preserve order — Spark numbers the
-    * split files in write order). Returns the same manifest shape as
-    * [[trainingShards]].
+    * carries the entire layout: hash routing means a task may own zero
+    * or several whole shards (never a partial one), each kept contiguous
+    * by the leading sort key, and the committer writes every shard's
+    * lines already ordered (`maxRecordsPerFile` splits preserve order —
+    * Spark numbers the split files in write order). Returns the same
+    * manifest shape as [[trainingShards]].
     */
   def orderedTrainingShards(docs: DataFrame, dstDir: String,
                             nShards: Int = 8, seed: String = "s0",
                             maxRecordsPerFile: Int = 100000): DataFrame = {
     val spark = docs.sparkSession
     val payloadCols = docs.columns
+    // the SAME key derivation trainingOrder uses — shared, not copied,
+    // because the file layout's contract is to replay that permutation
+    val (okCol, shardCol) = graft.operators.TextOps.trainingOrderKey(nShards, seed)
     val keyed = docs
-      .withColumn("ok", md5(concat_ws(":", lit(seed), col("doc_id"))))
-      .withColumn("shard",
-        pmod(conv(substring(col("ok"), 1, 15), 16, 10).cast("long"), lit(nShards))
-          .cast("int"))
+      .withColumn("ok", okCol)
+      .withColumn("shard", shardCol)
     keyed
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("ok"), col("doc_id"))

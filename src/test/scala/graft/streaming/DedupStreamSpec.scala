@@ -120,6 +120,11 @@ class DedupStreamSpec extends SparkSpec {
     q.processAllAvailable()
     input.addData(Doc(5L, corpus(0)._2, ts("2024-01-01 09:30:00")))
     q.processAllAvailable()
+    // at-least-once redelivery of an ALREADY-INDEXED doc: the re-emitted
+    // candidate carries flipped orientation (redelivered doc becomes
+    // new_doc) — the unordered store key must still dedup it
+    input.addData(Doc(1L, corpus(0)._2, ts("2024-01-01 09:31:00")))
+    q.processAllAvailable()
     q.stop()
     val rows = spark.read.parquet(store).collect()
       .map(r => (r.getAs[Long]("new_doc"), r.getAs[Long]("index_doc")))

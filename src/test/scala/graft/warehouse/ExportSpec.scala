@@ -87,6 +87,19 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("manifest keeps partitions with null/empty partition values") {
+    val dst = java.nio.file.Files.createTempDirectory("export-nullpart").toString
+    val withNullLang = docs.withColumn("lang",
+      when($"doc_id" % 3 === 0, lit(null: String)).otherwise($"lang"))
+    val manifest = Export.trainingShards(withNullLang, dst, maxRecordsPerFile = 100)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(3)))
+    // every record accounted for — the null-lang rows land in the Hive
+    // default partition and must NOT vanish from the manifest
+    assert(manifest.map(_._2).sum === withNullLang.count())
+    assert(manifest.exists(_._1._2 == null),
+      s"null-lang partition missing from manifest: ${manifest.toSeq}")
+  }
+
   test("null payload fields survive the JSON round-trip explicitly") {
     val dst = java.nio.file.Files.createTempDirectory("export-null").toString
     val withNulls = docs.withColumn("text",
