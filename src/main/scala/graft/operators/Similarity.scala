@@ -192,9 +192,14 @@ object Similarity {
       .select($"vec_a", col("o.vec_id").as("vec_b"),
         round(vectors.cosineSimilarity($"va", col("o.v")), 4).as("cos_sim"))
       .filter($"cos_sim" >= threshold)
-    // audit the SAME band width the pair generator would use
+    // audit the SAME band width the pair generator would use.
+    // NO checkpoint on the band frame here (unlike the pair generator):
+    // the x side filters to the nProbes smallest vec_ids and Catalyst
+    // pushes that filter below the band projection, so its "recompute"
+    // costs ~nProbes vectors — cheaper than materializing the full
+    // frame (measured 1.8s vs 0.6s at sf0.1 with the checkpoint)
     val r = if (planesPerBand > 0) planesPerBand else autoPlanesPerBand(e.count())
-    val bands = bandedPlaneBuckets(e, r, nBands).localCheckpoint()
+    val bands = bandedPlaneBuckets(e, r, nBands)
     val cand = withProbes(bands, r, multiProbe).alias("x")
       .join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
