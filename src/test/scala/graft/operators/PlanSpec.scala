@@ -226,6 +226,73 @@ class PlanSpec extends SparkSpec {
       "post-explode aggregation must not re-shuffle")
   }
 
+  test("trainingOrder never reads the payload: doc_id-only scan, bounded shuffles") {
+    // the permutation is computed from doc_id alone — a scan that drags
+    // the text column through the window shuffle would move the whole
+    // corpus payload to order a key stream
+    val df = TextOps.trainingOrder(spark, sf)
+    val plan = planString(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"), readSchema)
+    // shard-window hash shuffle + presentation range sort, nothing else
+    assert(countShuffles(df) <= 2, plan.take(3000))
+  }
+
+  test("hardNegatives broadcasts the probes; corpus shuffles only at the rank window") {
+    val df = Similarity.hardNegatives(spark, sf)
+    df.collect()
+    val nodes = allNodes(df)
+    // label =!= qlabel is non-equi by design: the probe set is tiny and
+    // must be the broadcast side of a nested-loop join — the corpus scan
+    // side must never sort-merge or cartesian
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "probe join must broadcast the probe set")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]) &&
+      !nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    // rank window partitioned by query_id + final presentation sort
+    assert(countShuffles(df) <= 2, planString(df).take(3000))
+  }
+
+  test("boilerplateScores: df agg partial-combines; occurrence join stays equi") {
+    val df = TextOps.boilerplateScores(spark, sf)
+    df.collect()
+    val nodes = allNodes(df)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]) &&
+      !nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "shingle-occurrence join must stay an equi-join on sh")
+    val aggs = nodes.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      "document-frequency count must map-side combine before the shuffle")
+  }
+
+  test("incremental embedding probe joins the index on (band, sig) equi keys") {
+    val df = Similarity.incrementalEmbeddingPairs(spark, sf)
+    df.collect()
+    val nodes = allNodes(df)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]) &&
+      !nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "candidate generation must stay an equi-join on (band, sig)")
+  }
+
+  test("sourceOverlap attribute joins stay equi on doc ids") {
+    val df = Dedup.sourceOverlap(spark, sf)
+    df.collect()
+    val nodes = allNodes(df)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]) &&
+      !nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "source attribution must ride doc_id equi-joins over the LSH pair set")
+  }
+
   test("kmeansStep assignment broadcasts centroids; update is map-side combined") {
     val df = Similarity.kmeansStep(spark, sf)
     df.collect()
