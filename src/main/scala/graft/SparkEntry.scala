@@ -96,6 +96,8 @@ object SparkEntry {
     "q_bigram_surprisal" -> TextOps.bigramSurprisal,
     "q_zipf_slope" -> ((s, dir) => TextOps.zipfSlope(s, dir)),
     "q_quality_weighted_sample" -> ((s, dir) => TextOps.qualityWeightedSample(s, dir)),
+    "q_filter_cascade" -> ((s, dir) => TextOps.filterCascade(s, dir)),
+    "q_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(s, dir)),
     // -- dedup suite (§7.4) ------------------------------------------------
     "q_dedup_exact" -> Dedup.exact,
     "q_jaccard_pairs" -> Dedup.ngramJaccardPairs,
@@ -112,6 +114,7 @@ object SparkEntry {
     "q_chunk_pairs" -> ((s, dir) => Chunker.sharedChunkPairs(s, dir)),
     "q_dedup_assignments" -> Dedup.dedupAssignments,
     "q_dedup_corpus" -> Dedup.dedupCorpus,
+    "q_dedup_best" -> Dedup.dedupBest,
     // -- similarity search (§7.4) ------------------------------------------
     "q_brute_force_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "q_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -646,6 +649,62 @@ object SparkEntry {
            ON a.bucket = b.bucket AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= ${operators.Dedup.DefaultMaxHamming}
          ORDER BY doc_a, doc_b""",
+    "q_filter_cascade" ->
+      s"""WITH s AS (SELECT lang, n_chars, len($toks) AS n_toks,
+           $qualityExpr AS q,
+           len(list_distinct($toks)) * 2 >= len($toks) AS dok,
+           len(list_filter($toks, t -> list_contains(['the','of','and','to','in','is','that','it','was','for'], t))) AS en,
+           len(list_filter($toks, t -> list_contains(['der','die','das','und','ist','ich','nicht','mit','ein','zu'], t))) AS de,
+           len(list_filter($toks, t -> list_contains(['le','la','les','et','est','un','une','des','du','je'], t))) AS fr,
+           len(list_filter($toks, t -> list_contains(['el','los','de','que','y','en','se','no','por','con'], t))) AS es,
+           len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]', 0)) AS cjk
+         FROM documents),
+         f AS (SELECT n_toks,
+           CASE WHEN n_chars < 150 THEN 0
+                WHEN q < 0.65 THEN 1
+                WHEN (CASE WHEN cjk > 0 THEN 'zh'
+                           WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                           WHEN de >= fr AND de >= es THEN 'de'
+                           WHEN fr >= es THEN 'fr' ELSE 'es' END) <> lang THEN 2
+                WHEN NOT dok THEN 3 ELSE 4 END AS lvl
+         FROM s)
+         SELECT CAST(v.stage AS INT) AS stage, v.stage_name,
+           count(*) FILTER (WHERE f.lvl >= v.stage) AS n_docs,
+           CAST(coalesce(sum(f.n_toks) FILTER (WHERE f.lvl >= v.stage), 0) AS BIGINT) AS n_tokens
+         FROM f, (VALUES (0,'raw'),(1,'min_length'),(2,'quality'),
+                         (3,'lang_match'),(4,'distinct_ratio')) AS v(stage, stage_name)
+         GROUP BY v.stage, v.stage_name
+         ORDER BY stage""",
+    "q_mixture_sample" ->
+      s"""WITH t AS (SELECT source, CAST(sum(len($toks)) AS BIGINT) AS total
+           FROM documents GROUP BY source),
+         w AS (SELECT source, total,
+             CAST(floor(sqrt(CAST(total AS DOUBLE))) AS BIGINT) AS w FROM t),
+         sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
+         r AS (SELECT source,
+             least(CAST(10000 AS BIGINT),
+               (CAST(${operators.TextOps.DefaultMixtureBudget} AS BIGINT) * w * 10000)
+                 // (sw.sw * total)) AS rate_bp
+           FROM w, sw),
+         b AS (SELECT doc_id, source,
+             CAST(concat('0x', substring(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 AS bk
+           FROM documents)
+         SELECT b.doc_id, b.source, CAST(r.rate_bp AS INT) AS rate_bp
+         FROM b JOIN r USING (source)
+         WHERE b.bk < r.rate_bp ORDER BY doc_id""",
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE $ccReachCtes,
+         canon AS (SELECT a AS doc_id, min(r) AS canon_id
+           FROM reach GROUP BY a),
+         q AS (SELECT doc_id, $qualityExpr AS quality FROM documents),
+         j AS (SELECT c.canon_id, c.doc_id, q.quality,
+             row_number() OVER (PARTITION BY c.canon_id
+               ORDER BY q.quality DESC, c.doc_id) AS rk,
+             count(*) OVER (PARTITION BY c.canon_id) AS nm
+           FROM canon c JOIN q USING (doc_id))
+         SELECT canon_id, CAST(doc_id AS BIGINT) AS best_id,
+           CAST(nm AS BIGINT) AS n_members, quality
+         FROM j WHERE rk = 1 ORDER BY canon_id""",
     "q_dedup_assignments" ->
       s"""WITH RECURSIVE $ccReachCtes
          SELECT a AS doc_id, min(r) AS canon_id

@@ -582,6 +582,31 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Quality-aware survivor selection: per near-dup cluster, the member
+    * with the highest quality score (ties to the smallest doc_id) — what
+    * a production dedup actually keeps. [[dedupCorpus]]'s min-id rule is
+    * the right canonical LABEL, but the document you train on should be
+    * the best copy, not the earliest-crawled one. Covers exactly the
+    * clustered docs (singletons pass through dedup untouched and need no
+    * selection). The argmax is `max(struct(quality, -doc_id))` under a
+    * plain groupBy — partial-aggregatable, so a viral-dup cluster with
+    * 10^6 members map-side combines to one candidate per task instead of
+    * co-locating every member on one window partition.
+    */
+  def dedupBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quality = Tables(s, dir, "documents")
+      .select($"doc_id", text.qualityScore($"text", $"n_chars").as("quality"))
+    dedupAssignments(s, dir)
+      .join(quality, Seq("doc_id"))
+      .groupBy($"canon_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct($"quality", (-$"doc_id").as("neg_id"))).as("m"))
+      .select($"canon_id", (-$"m.neg_id").as("best_id"), $"n_members",
+        $"m.quality".as("quality"))
+      .orderBy($"canon_id")
+  }
+
   /** SimHash near-dup pairs: 15-bit band bucketing generates candidates
     * (linear in corpus), then the exact Hamming distance — bit_count of
     * the fingerprint XOR, one codegen'd expression — refines them to

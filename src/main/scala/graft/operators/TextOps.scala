@@ -157,8 +157,14 @@ object TextOps {
     * Dedup.tokenHash60, reproducible in any SQL engine).
     */
   private[graft] def hashBucket(c: Column, salt: String): Column =
+    hashBucketMod(c, salt, 100L)
+
+  /** Same md5-prefix hash at a caller-chosen granularity (sampling rates
+    * finer than 1% need more than 100 buckets).
+    */
+  private[graft] def hashBucketMod(c: Column, salt: String, mod: Long): Column =
     pmod(conv(substring(md5(concat(lit(salt), c.cast("string"))), 1, 15), 16, 10)
-      .cast("long"), lit(100L))
+      .cast("long"), lit(mod))
 
   /** Deterministic train/val/test split by content-independent doc_id
     * hash (80/10/10). Pure per-row expression: at 100 TB the split is a
@@ -615,6 +621,101 @@ object TextOps {
         (expr("sq4 * 10000 div n_docs").cast("double") / 1e8).as("avg_quality"),
         $"n_exact_dup_docs")
       .orderBy($"lang", $"source")
+  }
+
+  /** Filter-cascade audit: document and token survivor counts through
+    * the ordered filter chain a pretraining corpus applies — minimum
+    * length, quality score, language-ID agreement, distinct-token ratio
+    * (the repetition guard). The report every pipeline publishes before
+    * training ("how much survives each gate, and where does the volume
+    * go"). One scan computes every per-doc flag plus the first-failing
+    * stage; ONE map-side-combined aggregation folds the corpus to ten
+    * numbers; `stack` unpivots those to the 5-row report — at 100 TB
+    * this is parquet-scan speed with a 10-column reduce, no shuffle of
+    * document rows at all.
+    */
+  def filterCascade(s: SparkSession, dir: String,
+                    minChars: Long = 150, minQuality: Double = 0.65): DataFrame = {
+    import s.implicits._
+    // staged like langIdConfusion: tokenize once, stopword-hit counts as
+    // named columns, CASE over plain columns (inlining langId would
+    // re-tokenize per language per branch)
+    val scored = docsFanned(s, dir)
+      .select($"lang", $"n_chars", $"text", text.tokensLower($"text").as("toks"))
+      .select($"lang", $"n_chars",
+        size($"toks").cast("long").as("n_toks"),
+        text.qualityScoreTokens($"text", $"toks", $"n_chars").as("q"),
+        (size(array_distinct($"toks")) * 2 >= size($"toks")).as("dok"),
+        text.stopwordHitsTokens($"toks", text.stopwords("en")).as("en"),
+        text.stopwordHitsTokens($"toks", text.stopwords("de")).as("de"),
+        text.stopwordHitsTokens($"toks", text.stopwords("fr")).as("fr"),
+        text.stopwordHitsTokens($"toks", text.stopwords("es")).as("es"),
+        text.cjkCharCount($"text").as("cjk"))
+      .withColumn("pred",
+        when($"cjk" > 0, "zh")
+          .when($"en" >= $"de" && $"en" >= $"fr" && $"en" >= $"es", "en")
+          .when($"de" >= $"fr" && $"de" >= $"es", "de")
+          .when($"fr" >= $"es", "fr")
+          .otherwise("es"))
+    // first failing stage (docs passing all four get level 4); a doc at
+    // level L survives stages 0..L of the cascade
+    val lvl = when($"n_chars" < minChars, 0)
+      .when($"q" < minQuality, 1)
+      .when($"pred" =!= $"lang", 2)
+      .when(!$"dok", 3)
+      .otherwise(4)
+    val cols = (0 to 4).flatMap(i => Seq(
+      sum(when($"lvl" >= i, 1L).otherwise(0L)).as(s"n$i"),
+      sum(when($"lvl" >= i, $"n_toks").otherwise(0L)).as(s"t$i")))
+    scored.withColumn("lvl", lvl)
+      .agg(cols.head, cols.tail: _*)
+      .selectExpr(
+        """stack(5,
+           0, 'raw',            n0, t0,
+           1, 'min_length',     n1, t1,
+           2, 'quality',        n2, t2,
+           3, 'lang_match',     n3, t3,
+           4, 'distinct_ratio', n4, t4) AS (stage, stage_name, n_docs, n_tokens)""")
+      .orderBy($"stage")
+  }
+
+  /** Shared with the SQL oracle so the two cannot drift. */
+  val DefaultMixtureBudget: Long = 10000L
+
+  /** Temperature-weighted source-mixture sampling: draw a deterministic
+    * subsample whose per-source token volume tracks weight ∝ √(source
+    * tokens) — the τ=0.5 temperature mix a multi-source pretraining run
+    * uses to up-weight small sources without drowning in the biggest
+    * one. Per-source keep-rates come from PURE INTEGER arithmetic
+    * (⌊√total⌋ weights, basis-point rate via integer division) so the
+    * rate is bit-identical on any engine — a float Σ√ would round
+    * differently per association order and flip docs at the rate
+    * boundary. Membership is the md5-bucket draw of [[hashSplit]] at
+    * 1/10000 granularity: content-independent, stable across reruns.
+    * Scale shape: one token-count scan folds to a ~|sources|-row rate
+    * table that broadcasts back over a second scan — no shuffle of
+    * document rows; at 100 TB the totals scan is the same pass a corpus
+    * stats job already runs.
+    */
+  def mixtureSample(s: SparkSession, dir: String,
+                    budgetTokens: Long = DefaultMixtureBudget): DataFrame = {
+    import s.implicits._
+    val perSrc = docsFanned(s, dir)
+      .select($"source", size(text.tokensLower($"text")).cast("long").as("nt"))
+      .groupBy($"source").agg(sum($"nt").as("total"))
+      .withColumn("w", floor(sqrt($"total".cast("double"))).cast("long"))
+    val sumW = perSrc.agg(sum($"w").as("sw"))
+    val rates = perSrc.crossJoin(broadcast(sumW))
+      .withColumn("rate_bp",
+        least(lit(10000L), expr(s"($budgetTokens * w * 10000) div (sw * total)")))
+      .select($"source", $"rate_bp")
+    docsFanned(s, dir)
+      .select($"doc_id", $"source",
+        hashBucketMod($"doc_id", "mix:", 10000L).as("bk"))
+      .join(broadcast(rates), Seq("source"))
+      .filter($"bk" < $"rate_bp")
+      .select($"doc_id", $"source", $"rate_bp".cast("int").as("rate_bp"))
+      .orderBy($"doc_id")
   }
 
   def topkAudit(s: SparkSession, dir: String, capacity: Int = 16): DataFrame = {

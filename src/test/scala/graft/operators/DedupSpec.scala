@@ -135,6 +135,31 @@ class DedupSpec extends SparkSpec {
     assert(survivors === expected)
   }
 
+  test("dedupBest keeps each cluster's highest-quality member, min-id ties") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedupbest").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val assignments = Dedup.dedupAssignments(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = graft.Tables(spark, tmp, "documents")
+      .select($"doc_id", graft.functions.text.qualityScore($"text", $"n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val best = Dedup.dedupBest(spark, tmp)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // one row per cluster, covering exactly the clustered docs
+    val clusters = assignments.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    assert(best.keySet === clusters.keySet)
+    best.foreach { case (canon, (bestId, nMembers, q)) =>
+      val members = clusters(canon)
+      assert(members.contains(bestId), s"$bestId not in cluster $canon")
+      assert(nMembers === members.length.toLong)
+      val topQ = members.map(quality).max
+      assert(q === topQ)
+      // argmax ties break to the smallest doc_id
+      assert(bestId === members.filter(quality(_) == topQ).min)
+    }
+  }
+
   test("dedupAssignments catches middle members of 3+-copy short-doc groups") {
     // "hi there" has < shingleSize tokens -> invisible to MinHash; only
     // the exact-dup star edges can cluster it, including the middle id

@@ -287,4 +287,46 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(again.toSeq === rows.toSeq)
   }
+
+  test("filterCascade: 5 monotone stages starting from the full corpus") {
+    val rows = TextOps.filterCascade(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (0 to 4))
+    assert(rows.map(_._2).toSeq ===
+      Seq("raw", "min_length", "quality", "lang_match", "distinct_ratio"))
+    // stage 0 is the unfiltered corpus
+    assert(rows.head._3 === Tables(spark, sf, "documents").count())
+    // each gate can only shrink the survivor set, docs and tokens alike
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"cascade grew: $a -> $b")
+    }
+    // a permissive cascade keeps everything: survivors == raw at every stage
+    val open = TextOps.filterCascade(spark, sf, minChars = 0, minQuality = 0.0)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    val raw = open.head._2
+    assert(open.take(2).forall(_._2 === raw), open.toSeq.toString)
+  }
+
+  test("mixtureSample: deterministic, rate-consistent, within-budget draw") {
+    val rows = TextOps.mixtureSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    // one rate per source, in basis points
+    val bySrc = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+    bySrc.foreach { case (src, rates) =>
+      assert(rates.length === 1 && rates.head >= 0 && rates.head <= 10000,
+        s"$src rates: ${rates.toSeq}")
+    }
+    // the draw is a subset of the corpus and reruns bit-identically
+    val ids = Tables(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).forall(ids))
+    val again = TextOps.mixtureSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(again.toSeq === rows.toSeq)
+    // a budget beyond the corpus saturates every rate: the whole corpus drawn
+    val all = TextOps.mixtureSample(spark, sf, budgetTokens = 100000000L)
+      .collect()
+    assert(all.length.toLong === ids.size)
+  }
 }
