@@ -631,8 +631,9 @@ object TextOps {
     * go"). One scan computes every per-doc flag plus the first-failing
     * stage; ONE map-side-combined aggregation folds the corpus to ten
     * numbers; `stack` unpivots those to the 5-row report — at 100 TB
-    * this is parquet-scan speed with a 10-column reduce, no shuffle of
-    * document rows at all.
+    * this is parquet-scan speed with a 10-column reduce. The only
+    * document-row exchange is the deliberate regex fan-out scatter; the
+    * reduce itself moves ten longs per task.
     */
   def filterCascade(s: SparkSession, dir: String,
                     minChars: Long = 150, minQuality: Double = 0.65): DataFrame = {

@@ -293,6 +293,60 @@ class PlanSpec extends SparkSpec {
       "source attribution must ride doc_id equi-joins over the LSH pair set")
   }
 
+  test("filterCascade folds to one partial-combined reduce: fan-out + final agg only") {
+    val df = TextOps.filterCascade(spark, sf)
+    df.collect()
+    val nodes = allNodes(df)
+    // deliberate regex fan-out scatter + the single-row aggregation
+    // exchange — nothing else moves document rows
+    assert(countShuffles(df) <= 2, planString(df).take(3000))
+    val aggs = nodes.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      "cascade counters must map-side combine before the exchange")
+  }
+
+  test("mixtureSample broadcasts the rate table over the corpus scan") {
+    val df = TextOps.mixtureSample(spark, sf)
+    df.collect()
+    val nodes = allNodes(df)
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "per-source rates must broadcast, never shuffle the documents to join")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]) &&
+      !nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
+
+  test("dedupBest argmax is a partial-combined groupBy, quality join stays equi") {
+    val df = Dedup.dedupBest(spark, sf)
+    df.collect()
+    val nodes = allNodes(df)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]) &&
+      !nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "quality attribution must ride a doc_id equi-join")
+    // a struct-valued max buffer can't live in HashAggregate's flat
+    // UnsafeRow — Spark plans it as ObjectHash/SortAggregate; what
+    // matters for the viral-cluster guarantee is a Partial max BELOW the
+    // exchange, whatever the exec flavor
+    val aggExprs = nodes.flatMap {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        h.aggregateExpressions
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+        o.aggregateExpressions
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+        s.aggregateExpressions
+      case _ => Nil
+    }
+    assert(aggExprs.exists(e => e.mode.toString == "Partial" &&
+      e.aggregateFunction.toString.startsWith("max")),
+      s"cluster argmax must map-side combine (the viral-cluster guarantee): " +
+        aggExprs.map(e => (e.mode, e.aggregateFunction)).toString)
+  }
+
   test("kmeansStep assignment broadcasts centroids; update is map-side combined") {
     val df = Similarity.kmeansStep(spark, sf)
     df.collect()
