@@ -56,6 +56,22 @@ object Streams {
       dates.gtfsLocalTimeString(col("event_ts")).as("local-time"),
       col("name"), col("latitude"), col("longitude"))).as("value"))
 
+  /** Per-ingest mixture sampling: the streaming twin of
+    * `TextOps.mixtureSample`'s draw stage. Rates are FROZEN — designed
+    * batch-side from corpus totals and broadcast as a tiny (source,
+    * rate_bp) table — while the draw itself is the same stateless
+    * md5-bucket expression at 1/10000 granularity, so a document stream
+    * samples at wire speed with no state store and no watermark.
+    * Because membership depends only on (doc_id, its source's rate),
+    * the union of per-micro-batch draws equals the batch draw over the
+    * union — the exactly-one-decision-per-doc property the spec pins.
+    */
+  def mixtureFilter(docs: DataFrame, ratesBp: DataFrame): DataFrame =
+    docs.join(broadcast(ratesBp), Seq("source"))
+      .filter(graft.operators.TextOps.hashBucketMod(
+        col("doc_id"), "mix:", 10000L) < col("rate_bp"))
+      .drop("rate_bp")
+
   // ---- Kafka bindings (S8/K3) — config, not semantics: every transform
   // above is source/sink-agnostic. The connector jar (spark-sql-kafka-
   // 0-10 + kafka-clients) is NOT on this build's classpath (build.sbt

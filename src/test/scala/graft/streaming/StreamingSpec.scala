@@ -31,6 +31,36 @@ class StreamingSpec extends SparkSpec {
     assert(names === Set("Alexanderplatz", "Potsdam Hbf"))
   }
 
+  test("mixtureFilter: per-micro-batch draws equal the batch draw over the union") {
+    def src(i: Long) = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
+    val rates = Seq(("a", 5000), ("b", 10000), ("c", 0)).toDF("source", "rate_bp")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.mixtureFilter(input.toDF().toDF("doc_id", "source"), rates)
+      .select($"doc_id", $"source")
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode(OutputMode.Append).start()
+    // two micro-batches: the draw must not depend on batch boundaries
+    input.addData((1L to 40L).map(i => (i, src(i))))
+    q.processAllAvailable()
+    input.addData((41L to 80L).map(i => (i, src(i))))
+    q.processAllAvailable()
+    val streamed = spark.table("mix_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    val static = (1L to 80L).map(i => (i, src(i))).toDF("doc_id", "source")
+    val batch = Streams.mixtureFilter(static, rates)
+      .select($"doc_id", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch)
+    // rate semantics: a saturated source passes whole, a zero source not at all
+    assert(batch.filter(_._2 == "b").map(_._1) === (1L to 80L).filter(src(_) == "b").toSet)
+    assert(!batch.exists(_._2 == "c"))
+    // and the half-rate source is a strict, non-empty subset
+    val aDrawn = batch.filter(_._2 == "a").map(_._1)
+    val aAll = (1L to 80L).filter(src(_) == "a").toSet
+    assert(aDrawn.nonEmpty && aDrawn.subsetOf(aAll) && aDrawn.size < aAll.size)
+  }
+
   test("round-trip: parse -> filter -> serialize preserves the wire shape") {
     val input = MemoryStream[String](spark)
     val q = Streams.toArrivalValue(Streams.parseArrivals(input.toDF()))
