@@ -98,6 +98,7 @@ object SparkEntry {
     "q_quality_weighted_sample" -> ((s, dir) => TextOps.qualityWeightedSample(s, dir)),
     "q_filter_cascade" -> ((s, dir) => TextOps.filterCascade(s, dir)),
     "q_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(s, dir)),
+    "q_repeated_spans" -> ((s, dir) => TextOps.repeatedSpans(s, dir)),
     // -- dedup suite (§7.4) ------------------------------------------------
     "q_dedup_exact" -> Dedup.exact,
     "q_jaccard_pairs" -> Dedup.ngramJaccardPairs,
@@ -115,6 +116,7 @@ object SparkEntry {
     "q_dedup_assignments" -> Dedup.dedupAssignments,
     "q_dedup_corpus" -> Dedup.dedupCorpus,
     "q_dedup_best" -> Dedup.dedupBest,
+    "q_dedup_profile" -> Dedup.dedupProfile,
     // -- similarity search (§7.4) ------------------------------------------
     "q_brute_force_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "q_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -692,6 +694,25 @@ object SparkEntry {
          SELECT b.doc_id, b.source, CAST(r.rate_bp AS INT) AS rate_bp
          FROM b JOIN r USING (source)
          WHERE b.bk < r.rate_bp ORDER BY doc_id""",
+    "q_repeated_spans" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 7),
+             i -> array_to_string(toks[i:i+7], ' '))) AS span
+           FROM docs WHERE len(toks) >= 8)
+         SELECT span, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occur
+         FROM sh GROUP BY span HAVING n_docs >= 2
+         ORDER BY n_docs DESC, n_occur DESC, span LIMIT 25""",
+    "q_dedup_profile" ->
+      s"""WITH RECURSIVE $ccReachCtes,
+         canon AS (SELECT a AS doc_id, min(r) AS canon_id
+           FROM reach GROUP BY a),
+         cs AS (SELECT canon_id, count(*) AS cluster_size
+           FROM canon GROUP BY canon_id)
+         SELECT cluster_size, count(*) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
     "q_dedup_best" ->
       s"""WITH RECURSIVE $ccReachCtes,
          canon AS (SELECT a AS doc_id, min(r) AS canon_id

@@ -607,6 +607,24 @@ object Dedup {
       .orderBy($"canon_id")
   }
 
+  /** Dedup profile: the cluster-size histogram of the near-dup graph —
+    * how many clusters of each size, and how many documents they hold.
+    * The one-screen summary a corpus owner reads before deciding the
+    * dedup policy (a fat tail of giant clusters means templated spam; a
+    * wall of pairs means crawl-level duplication). Two key-bounded
+    * aggregations over the assignment frame; output is at most the
+    * largest cluster size in rows.
+    */
+  def dedupProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dedupAssignments(s, dir)
+      .groupBy($"canon_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"cluster_size").as("n_docs"))
+      .orderBy($"cluster_size")
+  }
+
   /** SimHash near-dup pairs: 15-bit band bucketing generates candidates
     * (linear in corpus), then the exact Hamming distance — bit_count of
     * the fingerprint XOR, one codegen'd expression — refines them to

@@ -680,6 +680,29 @@ object TextOps {
       .orderBy($"stage")
   }
 
+  /** Cross-doc repeated-span report: the n-gram spans that appear in ≥
+    * `minDocs` distinct documents, ranked by spread then volume — the
+    * span-granular dedup signal (repeated lines/spans are scrubbed at
+    * span level where whole-doc dedup can't see them, and the top
+    * offenders are what a corpus owner actually reads). One shuffle on
+    * the shingle key (the same key space as the MinHash document-
+    * frequency pass), then a top-k that plans as TakeOrdered — per-
+    * partition heads only, never a global sort of the span table.
+    * Ordering is fully deterministic ((n_docs, n_occur) desc, span) so
+    * the cut is reproducible across engines and runs.
+    */
+  def repeatedSpans(s: SparkSession, dir: String, spanTokens: Int = 8,
+                    minDocs: Int = 2, k: Int = 25): DataFrame = {
+    import s.implicits._
+    Dedup.shingleStream(Tables(s, dir, "documents"), spanTokens)
+      .groupBy($"sh".as("span"))
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occur"))
+      .filter($"n_docs" >= minDocs)
+      .orderBy($"n_docs".desc, $"n_occur".desc, $"span")
+      .limit(k)
+  }
+
   /** Shared with the SQL oracle so the two cannot drift. */
   val DefaultMixtureBudget: Long = 10000L
 

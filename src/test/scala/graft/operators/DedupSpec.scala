@@ -160,6 +160,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupProfile histogram matches a recount of the assignment frame") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedupprof").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sizes = Dedup.dedupAssignments(spark, tmp)
+      .collect().map(r => r.getLong(1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap // canon -> size
+    val expected = sizes.values.groupBy(identity).view
+      .mapValues(g => (g.size.toLong, g.sum)).toMap // size -> (n_clusters, n_docs)
+    val got = Dedup.dedupProfile(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+  }
+
   test("dedupAssignments catches middle members of 3+-copy short-doc groups") {
     // "hi there" has < shingleSize tokens -> invisible to MinHash; only
     // the exact-dup star edges can cluster it, including the middle id

@@ -307,6 +307,26 @@ class TextOpsSpec extends SparkSpec {
     assert(open.take(2).forall(_._2 === raw), open.toSeq.toString)
   }
 
+  test("repeatedSpans: deterministic top-k of genuinely shared spans") {
+    val rows = TextOps.repeatedSpans(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { case (span, nDocs, nOccur) =>
+      assert(span.split(" ").length === 8)
+      assert(nDocs >= 2 && nOccur >= nDocs)
+    }
+    // ranking is (n_docs, n_occur) non-increasing, span-tiebroken
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 > b._2 || (a._2 == b._2 && (a._3 > b._3 ||
+          (a._3 == b._3 && a._1 < b._1))), s"order violated: $a then $b")
+      case _ => ()
+    }
+    val again = TextOps.repeatedSpans(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("mixtureSample: deterministic, rate-consistent, within-budget draw") {
     val rows = TextOps.mixtureSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
