@@ -347,6 +347,21 @@ class PlanSpec extends SparkSpec {
         aggExprs.map(e => (e.mode, e.aggregateFunction)).toString)
   }
 
+  test("repeatedSpans top-k plans as TakeOrdered, never a global sort") {
+    val df = TextOps.repeatedSpans(spark, sf)
+    df.collect()
+    val nodes = allNodes(df)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "the bounded cut must be per-partition heads + merge")
+    // no RangePartitioning exchange: a global sort of the span table
+    // would shuffle the whole shingle aggregate to rank 25 rows
+    val range = allNodes(df).collect {
+      case s: ShuffleExchangeExec if s.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => s }
+    assert(range.isEmpty, "global sort crept into the top-k")
+  }
+
   test("kmeansStep assignment broadcasts centroids; update is map-side combined") {
     val df = Similarity.kmeansStep(spark, sf)
     df.collect()
