@@ -56,6 +56,22 @@ object Streams {
       dates.gtfsLocalTimeString(col("event_ts")).as("local-time"),
       col("name"), col("latitude"), col("longitude"))).as("value"))
 
+  /** Per-ingest quality gate: the streaming twin of the batch
+    * filter-cascade's scoring stages — length floor plus the composite
+    * quality-score floor, evaluated as pure per-row expressions (one
+    * tokenization, no state, no watermark), so a document stream is
+    * gated at wire speed on ingest instead of re-scanning the corpus
+    * later. Stages match `TextOps.filterCascade` stages 1–2 exactly;
+    * the spec pins stream == batch on identical rows.
+    */
+  def qualityGate(docs: DataFrame, minChars: Long = 150,
+                  minQuality: Double = 0.65): DataFrame = {
+    val toks = graft.functions.text.tokensLower(col("text"))
+    docs.filter(col("n_chars") >= minChars &&
+      graft.functions.text.qualityScoreTokens(
+        col("text"), toks, col("n_chars")) >= minQuality)
+  }
+
   /** Per-ingest mixture sampling: the streaming twin of
     * `TextOps.mixtureSample`'s draw stage. Rates are FROZEN — designed
     * batch-side from corpus totals and broadcast as a tiny (source,

@@ -31,6 +31,32 @@ class StreamingSpec extends SparkSpec {
     assert(names === Set("Alexanderplatz", "Potsdam Hbf"))
   }
 
+  test("qualityGate stream equals the batch cascade stages on identical docs") {
+    // real corpus rows through the stream: the gate must agree with the
+    // batch operator on actual text, not fixture strings
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text", $"n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val q = Streams.qualityGate(
+        input.toDF().toDF("doc_id", "text", "n_chars"))
+      .select($"doc_id")
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(docs.take(docs.length / 2))
+    q.processAllAvailable()
+    input.addData(docs.drop(docs.length / 2))
+    q.processAllAvailable()
+    val streamed = spark.table("gate_out").collect().map(_.getLong(0)).toSet
+    q.stop()
+    val batch = Streams.qualityGate(
+        graft.Tables(spark, sf, "documents").select($"doc_id", $"text", $"n_chars"))
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === batch)
+    // the gate genuinely separates: some docs pass, some do not
+    assert(batch.nonEmpty && batch.size < docs.length)
+  }
+
   test("mixtureFilter: per-micro-batch draws equal the batch draw over the union") {
     def src(i: Long) = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
     val rates = Seq(("a", 5000), ("b", 10000), ("c", 0)).toDF("source", "rate_bp")
