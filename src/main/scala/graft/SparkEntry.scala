@@ -662,8 +662,8 @@ object SparkEntry {
            len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]', 0)) AS cjk
          FROM documents),
          f AS (SELECT n_toks,
-           CASE WHEN n_chars < 150 THEN 0
-                WHEN q < 0.65 THEN 1
+           CASE WHEN n_chars < ${operators.TextOps.DefaultMinChars} THEN 0
+                WHEN q < ${operators.TextOps.DefaultMinQuality} THEN 1
                 WHEN (CASE WHEN cjk > 0 THEN 'zh'
                            WHEN en >= de AND en >= fr AND en >= es THEN 'en'
                            WHEN de >= fr AND de >= es THEN 'de'
@@ -685,8 +685,8 @@ object SparkEntry {
          sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
          r AS (SELECT source,
              least(CAST(10000 AS BIGINT),
-               (CAST(${operators.TextOps.DefaultMixtureBudget} AS BIGINT) * w * 10000)
-                 // (sw.sw * total)) AS rate_bp
+               CAST((CAST(${operators.TextOps.DefaultMixtureBudget} AS HUGEINT) * w * 10000)
+                 // (CAST(sw.sw AS HUGEINT) * total) AS BIGINT)) AS rate_bp
            FROM w, sw),
          b AS (SELECT doc_id, source,
              CAST(concat('0x', substring(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 AS bk

@@ -101,17 +101,24 @@ object text {
     * otherwise argmax of stopword hits with fixed precedence
     * en > de > fr > es (deterministic ties).
     */
-  def langId(c: Column): Column = {
-    val en = stopwordHits(c, stopwords("en"))
-    val de = stopwordHits(c, stopwords("de"))
-    val fr = stopwordHits(c, stopwords("fr"))
-    val es = stopwordHits(c, stopwords("es"))
-    when(cjkCharCount(c) > 0, "zh")
+  def langId(c: Column): Column =
+    langIdFromHits(cjkCharCount(c),
+      stopwordHits(c, stopwords("en")), stopwordHits(c, stopwords("de")),
+      stopwordHits(c, stopwords("fr")), stopwordHits(c, stopwords("es")))
+
+  /** THE precedence chain over pre-staged hit counts — the single
+    * definition shared by [[langId]], `TextOps.langIdConfusion` and
+    * `TextOps.filterCascade` (which stage the expensive hit counts as
+    * named columns first), so a precedence tweak cannot drift between
+    * the confusion matrix and the cascade's lang_match gate.
+    */
+  def langIdFromHits(cjk: Column, en: Column, de: Column,
+                     fr: Column, es: Column): Column =
+    when(cjk > 0, "zh")
       .when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
       .when(fr >= es, "fr")
       .otherwise("es")
-  }
 
   /** Composite quality score in [0,1]: alpha density, low punctuation,
     * English-stopword presence. Denominator is the n_chars column (never

@@ -41,11 +41,7 @@ object TextOps {
         text.cjkCharCount($"text").as("cjk"))
     scored
       .select($"lang",
-        when($"cjk" > 0, "zh")
-          .when($"en" >= $"de" && $"en" >= $"fr" && $"en" >= $"es", "en")
-          .when($"de" >= $"fr" && $"de" >= $"es", "de")
-          .when($"fr" >= $"es", "fr")
-          .otherwise("es").as("pred"))
+        text.langIdFromHits($"cjk", $"en", $"de", $"fr", $"es").as("pred"))
       .groupBy($"lang", $"pred")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy($"lang", $"pred")
@@ -635,8 +631,15 @@ object TextOps {
     * document-row exchange is the deliberate regex fan-out scatter; the
     * reduce itself moves ten longs per task.
     */
+  /** Cascade gate thresholds — shared by [[filterCascade]], the SQL
+    * oracle, and `Streams.qualityGate` so the three cannot drift.
+    */
+  val DefaultMinChars: Long = 150L
+  val DefaultMinQuality: Double = 0.65
+
   def filterCascade(s: SparkSession, dir: String,
-                    minChars: Long = 150, minQuality: Double = 0.65): DataFrame = {
+                    minChars: Long = DefaultMinChars,
+                    minQuality: Double = DefaultMinQuality): DataFrame = {
     import s.implicits._
     // staged like langIdConfusion: tokenize once, stopword-hit counts as
     // named columns, CASE over plain columns (inlining langId would
@@ -653,11 +656,7 @@ object TextOps {
         text.stopwordHitsTokens($"toks", text.stopwords("es")).as("es"),
         text.cjkCharCount($"text").as("cjk"))
       .withColumn("pred",
-        when($"cjk" > 0, "zh")
-          .when($"en" >= $"de" && $"en" >= $"fr" && $"en" >= $"es", "en")
-          .when($"de" >= $"fr" && $"de" >= $"es", "de")
-          .when($"fr" >= $"es", "fr")
-          .otherwise("es"))
+        text.langIdFromHits($"cjk", $"en", $"de", $"fr", $"es"))
     // first failing stage (docs passing all four get level 4); a doc at
     // level L survives stages 0..L of the cascade
     val lvl = when($"n_chars" < minChars, 0)
@@ -729,9 +728,17 @@ object TextOps {
       .groupBy($"source").agg(sum($"nt").as("total"))
       .withColumn("w", floor(sqrt($"total".cast("double"))).cast("long"))
     val sumW = perSrc.agg(sum($"w").as("sw"))
+    // DECIMAL(38,0) intermediates: at petascale token counts the Long
+    // products overflow (total ~1e13 -> sw*total ~3e19 > Long.MAX; Spark
+    // would wrap negative and silently zero the source's sample, DuckDB
+    // would error). 128-bit integer arithmetic is exact and identical on
+    // both engines (`div`/`//` integral division), so the rate stays
+    // bit-portable at any corpus size.
     val rates = perSrc.crossJoin(broadcast(sumW))
       .withColumn("rate_bp",
-        least(lit(10000L), expr(s"($budgetTokens * w * 10000) div (sw * total)")))
+        least(lit(10000L), expr(
+          s"(CAST($budgetTokens AS DECIMAL(38,0)) * w * 10000)" +
+            " div (CAST(sw AS DECIMAL(38,0)) * total)")))
       .select($"source", $"rate_bp")
     docsFanned(s, dir)
       .select($"doc_id", $"source",

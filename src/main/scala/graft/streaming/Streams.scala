@@ -64,8 +64,10 @@ object Streams {
     * later. Stages match `TextOps.filterCascade` stages 1–2 exactly;
     * the spec pins stream == batch on identical rows.
     */
-  def qualityGate(docs: DataFrame, minChars: Long = 150,
-                  minQuality: Double = 0.65): DataFrame = {
+  def qualityGate(docs: DataFrame,
+                  minChars: Long = graft.operators.TextOps.DefaultMinChars,
+                  minQuality: Double =
+                    graft.operators.TextOps.DefaultMinQuality): DataFrame = {
     val toks = graft.functions.text.tokensLower(col("text"))
     docs.filter(col("n_chars") >= minChars &&
       graft.functions.text.qualityScoreTokens(

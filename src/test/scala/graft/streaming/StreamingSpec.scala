@@ -55,6 +55,11 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     // the gate genuinely separates: some docs pass, some do not
     assert(batch.nonEmpty && batch.size < docs.length)
+    // and it IS the cascade's stage-2 survivor set — the gate pins to
+    // TextOps.filterCascade, not merely to itself
+    val stage2 = graft.operators.TextOps.filterCascade(spark, sf).collect()
+      .collectFirst { case r if r.getInt(0) == 2 => r.getLong(2) }.get
+    assert(streamed.size.toLong === stage2)
   }
 
   test("mixtureFilter: per-micro-batch draws equal the batch draw over the union") {

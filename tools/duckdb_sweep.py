@@ -15,7 +15,10 @@ con = duckdb.connect()
 con.execute("SET threads TO 32")
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     t = os.path.basename(p)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # Spark writes each table as a DIRECTORY of part files (the ScaleUp
+    # stress dirs); the hand-built fixture dirs are single files
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(os.path.join(vdir, "oracle_sql.json")))
 times = {}
