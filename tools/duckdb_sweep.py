@@ -3,14 +3,18 @@
 (oracle_sql.json) against the same parquet tables, warm (run each twice,
 keep the second), 32 threads. Usage:
 
-    python3 tools/duckdb_sweep.py <sf_dir> <verify_out_dir>
+    python3 tools/duckdb_sweep.py <sf_dir> <verify_out_dir> [timeout_sec]
 
 Prints one JSON line {"total_sec": ..., "n_queries": ..., "queries": {...}}.
-Run on an IDLE box (no concurrent Spark JVM) — same discipline as Bench.
+A query exceeding timeout_sec (default: none) is interrupted and recorded
+as "timeout"; total_sec then counts timed-out queries at the cap (a lower
+bound). Run on an IDLE box (no concurrent Spark JVM) — same discipline as
+Bench.
 """
-import duckdb, json, sys, time, glob, os
+import duckdb, json, sys, time, glob, os, threading
 
 sf_dir, vdir = sys.argv[1], sys.argv[2]
+timeout_sec = float(sys.argv[3]) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 con.execute("SET threads TO 32")
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
@@ -20,17 +24,40 @@ for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     src = f"{p}/*.parquet" if os.path.isdir(p) else p
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
+def timed(sql):
+    """Run once; returns seconds, or None on interrupt (timeout)."""
+    cancel = None
+    if timeout_sec is not None:
+        cancel = threading.Timer(timeout_sec, con.interrupt)
+        cancel.start()
+    t0 = time.perf_counter()
+    try:
+        con.execute(sql).fetchall()
+        return time.perf_counter() - t0
+    except duckdb.InterruptException:
+        return None
+    finally:
+        if cancel is not None:
+            cancel.cancel()
+
 oracle = json.load(open(os.path.join(vdir, "oracle_sql.json")))
-times = {}
+times, timeouts = {}, []
 for name in sorted(oracle):
     sql = oracle[name]
-    con.execute(sql).fetchall()  # warm: plan cache, buffer pool
-    t0 = time.perf_counter()
-    con.execute(sql).fetchall()
-    times[name] = round(time.perf_counter() - t0, 3)
+    warm = timed(sql)  # warm: plan cache, buffer pool
+    second = timed(sql) if warm is not None else None
+    if second is None:
+        timeouts.append(name)
+        times[name] = "timeout"
+    else:
+        times[name] = round(second, 3)
 
+numeric = [v for v in times.values() if isinstance(v, float)]
 print(json.dumps({
-    "total_sec": round(sum(times.values()), 2),
+    "total_sec": round(sum(numeric) + len(timeouts) * (timeout_sec or 0), 2),
     "n_queries": len(times),
-    "queries": dict(sorted(times.items(), key=lambda kv: -kv[1])),
+    "n_timeouts": len(timeouts),
+    "timeout_sec": timeout_sec,
+    "queries": dict(sorted(times.items(),
+        key=lambda kv: -((timeout_sec or 1e9) if kv[1] == "timeout" else kv[1]))),
 }))
