@@ -26,9 +26,12 @@ for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
 
 def timed(sql):
     """Run once; returns seconds, or None on interrupt (timeout)."""
-    cancel = None
+    cancel, done = None, threading.Event()
     if timeout_sec is not None:
-        cancel = threading.Timer(timeout_sec, con.interrupt)
+        # gate on `done` so a timer firing in the gap between query
+        # completion and cancel() can't interrupt the NEXT query
+        cancel = threading.Timer(
+            timeout_sec, lambda: None if done.is_set() else con.interrupt())
         cancel.start()
     t0 = time.perf_counter()
     try:
@@ -37,6 +40,7 @@ def timed(sql):
     except duckdb.InterruptException:
         return None
     finally:
+        done.set()
         if cancel is not None:
             cancel.cancel()
 
