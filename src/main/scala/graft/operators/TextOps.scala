@@ -720,6 +720,19 @@ object TextOps {
     * document rows; at 100 TB the totals scan is the same pass a corpus
     * stats job already runs.
     */
+  /** Basis-point keep rate over (w, sw, total) columns. DECIMAL(38,0)
+    * intermediates: at petascale token counts the Long products overflow
+    * (total ~1e13 -> sw*total ~3e19 > Long.MAX; Spark would wrap
+    * negative and silently zero the source's sample, DuckDB would
+    * error). 128-bit integral division is exact and identical on both
+    * engines, so the rate stays bit-portable at any corpus size —
+    * property-tested against BigInt reference math at petascale values.
+    */
+  private[graft] def mixtureRateBp(budgetTokens: Long): Column =
+    least(lit(10000L), expr(
+      s"(CAST($budgetTokens AS DECIMAL(38,0)) * w * 10000)" +
+        " div (CAST(sw AS DECIMAL(38,0)) * total)"))
+
   def mixtureSample(s: SparkSession, dir: String,
                     budgetTokens: Long = DefaultMixtureBudget): DataFrame = {
     import s.implicits._
@@ -728,17 +741,8 @@ object TextOps {
       .groupBy($"source").agg(sum($"nt").as("total"))
       .withColumn("w", floor(sqrt($"total".cast("double"))).cast("long"))
     val sumW = perSrc.agg(sum($"w").as("sw"))
-    // DECIMAL(38,0) intermediates: at petascale token counts the Long
-    // products overflow (total ~1e13 -> sw*total ~3e19 > Long.MAX; Spark
-    // would wrap negative and silently zero the source's sample, DuckDB
-    // would error). 128-bit integer arithmetic is exact and identical on
-    // both engines (`div`/`//` integral division), so the rate stays
-    // bit-portable at any corpus size.
     val rates = perSrc.crossJoin(broadcast(sumW))
-      .withColumn("rate_bp",
-        least(lit(10000L), expr(
-          s"(CAST($budgetTokens AS DECIMAL(38,0)) * w * 10000)" +
-            " div (CAST(sw AS DECIMAL(38,0)) * total)")))
+      .withColumn("rate_bp", mixtureRateBp(budgetTokens))
       .select($"source", $"rate_bp")
     docsFanned(s, dir)
       .select($"doc_id", $"source",

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.Tables
+import org.apache.spark.sql.functions.{floor, lit, sqrt, sum}
 
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -327,6 +328,33 @@ class TextOpsSpec extends SparkSpec {
     val again = TextOps.repeatedSpans(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq === rows.toSeq)
+  }
+
+  test("mixtureRateBp matches BigInt reference math at petascale token counts") {
+    // totals up to 2e13 tokens per source (a multi-TB source): the naive
+    // Long product sw*total overflows at ~3e19, which wrapped negative
+    // and silently zeroed the source's sample before the DECIMAL fix
+    val rnd = new scala.util.Random(7)
+    val rows = (Seq(1L, 999L, 1500000000000L, 20000000000000L) ++
+      Seq.fill(20)(math.abs(rnd.nextLong()) % 20000000000000L + 1))
+      .zipWithIndex.map { case (total, i) => (s"s$i", total) }
+    val budget = 3000000000000L // 3e12-token training budget
+    val df = rows.toDF("source", "total")
+      .withColumn("w", floor(sqrt($"total".cast("double"))).cast("long"))
+    val sw = df.agg(sum($"w")).head().getLong(0)
+    val got = df.withColumn("sw", lit(sw))
+      .withColumn("rate_bp", TextOps.mixtureRateBp(budget))
+      .select($"source", $"w", $"rate_bp")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (src, total) =>
+      val (w, rateBp) = got(src)
+      val expected = (BigInt(budget) * w * 10000 / (BigInt(sw) * total))
+        .min(BigInt(10000)).toLong
+      assert(rateBp === expected, s"$src total=$total")
+      assert(rateBp >= 0 && rateBp <= 10000)
+    }
+    // the stress totals genuinely exceed Long capacity in the naive form
+    assert(rows.map(_._2).max * BigInt(sw) > BigInt(Long.MaxValue))
   }
 
   test("mixtureSample: deterministic, rate-consistent, within-budget draw") {
