@@ -69,6 +69,7 @@ object SparkEntry {
     "q_daily_anomalies" -> Events.dailyAnomalies,
     "q_type_transitions" -> Events.typeTransitions,
     "q_source_reconciliation" -> Relational.sourceReconciliation,
+    "q_snapshot_diff" -> Relational.corpusSnapshotDiff,
     // -- text analysis (§7.4) ----------------------------------------------
     "q_lang_id_confusion" -> TextOps.langIdConfusion,
     "q_quality_scores" -> TextOps.qualityScores,
@@ -694,6 +695,22 @@ object SparkEntry {
          SELECT b.doc_id, b.source, CAST(r.rate_bp AS INT) AS rate_bp
          FROM b JOIN r USING (source)
          WHERE b.bk < r.rate_bp ORDER BY doc_id""",
+    "q_snapshot_diff" ->
+      """WITH d AS (SELECT doc_id, text,
+           CAST(concat('0x', substring(md5(concat('snap:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bk
+         FROM documents),
+         a AS (SELECT doc_id, md5(text) AS fp FROM d WHERE bk < 90),
+         b AS (SELECT doc_id,
+             md5(CASE WHEN bk >= 40 AND bk < 60 THEN upper(text) ELSE text END) AS fp
+           FROM d WHERE bk >= 10),
+         j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.fp <> b.fp THEN 'modified'
+                  ELSE 'unchanged' END AS status
+           FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+         ORDER BY doc_id""",
     "q_repeated_spans" ->
       s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
          sh AS (SELECT doc_id, unnest(list_transform(

@@ -17,9 +17,14 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("oracleSql keys are a subset of queries keys, and entry returns rows") {
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
-      SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet).toString)
+  test("EVERY query has an oracle, and entry returns rows") {
+    // full equality, not subset: the engine's standing invariant since
+    // round 5 is that no query ships without a DuckDB cross-check — a
+    // new queries entry missing its oracleSql twin fails here, not in
+    // the driver's gate a round later
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet,
+      s"missing oracles: ${SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)}; " +
+        s"orphan oracles: ${SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)}")
     assert(SparkEntry.entry(spark).count() > 0)
   }
 }

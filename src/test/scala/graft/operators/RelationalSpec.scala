@@ -165,4 +165,16 @@ class RelationalSpec extends SparkSpec {
     }.sortBy(_._1)
     assert(got.toSeq === expected)
   }
+
+  test("snapshotDiff classifies every CDC case from fixture snapshots") {
+    import spark.implicits._
+    val a = Seq((1L, "fa"), (2L, "fb"), (3L, "fc"))
+      .toDF("doc_id", "fp")
+    val b = Seq((2L, "fb"), (3L, "fc2"), (4L, "fd"))
+      .toDF("doc_id", "fp")
+    val got = Relational.snapshotDiff(a, b)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "modified", 4L -> "added"))
+  }
 }
