@@ -347,6 +347,25 @@ class PlanSpec extends SparkSpec {
         aggExprs.map(e => (e.mode, e.aggregateFunction)).toString)
   }
 
+  test("corpusSnapshotDiff: one equi full-outer join, fingerprints only in the exchange") {
+    val df = Relational.corpusSnapshotDiff(spark, sf)
+    df.collect()
+    val nodes = allNodes(df)
+    val joins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.size === 1, s"expected exactly one shuffled join, got ${joins.size}")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    // the payload must not ride the shuffle: only doc_id, fingerprint
+    // and the presence markers may appear in the exchange schemas
+    nodes.collect { case s: ShuffleExchangeExec => s }.foreach { ex =>
+      assert(!ex.child.output.exists(_.name == "text"),
+        s"document payload entered the exchange: ${ex.child.output.map(_.name)}")
+    }
+  }
+
   test("repeatedSpans top-k plans as TakeOrdered, never a global sort") {
     val df = TextOps.repeatedSpans(spark, sf)
     df.collect()
