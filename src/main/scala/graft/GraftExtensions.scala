@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.DotProduct
+import graft.functions.expressions.{BloomMightContain, DotProduct, ZOrderKey}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -29,5 +29,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_product"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[BloomMightContain].getCanonicalName, "bloom_might_contain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomMightContain(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("z_order_key"),
+      new ExpressionInfo(classOf[ZOrderKey].getCanonicalName, "z_order_key"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ZOrderKey(exprs)))
   }
 }

@@ -84,6 +84,8 @@ object SparkEntry {
     "q_training_order" -> ((s, dir) => TextOps.trainingOrder(s, dir)),
     "q_source_overlap" -> Dedup.sourceOverlap,
     "q_decontamination" -> ((s, dir) => TextOps.decontamination(s, dir)),
+    "q_bloom_decontamination" -> ((s, dir) => TextOps.bloomDecontamination(s, dir)),
+    "q_zorder_key" -> graft.warehouse.Layout.zOrderKeys,
     "q_stratified_sample" -> TextOps.stratifiedSample,
     "q_group_sample" -> ((s, dir) => TextOps.groupSample(s, dir)),
     "q_repetition_scores" -> TextOps.repetitionScores,
@@ -289,7 +291,22 @@ object SparkEntry {
          FROM sg x JOIN sg y
            ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)"""
 
+  /** Explicit Morton-interleave bit arithmetic for the q_zorder_key
+    * oracle: bit `b` of lane `lane` (of `n` lanes) lands at result bit
+    * `b * n + lane` — written out as integer terms DuckDB evaluates
+    * directly, so the oracle pins the interleave contract independently
+    * of the engine's ZOrderKey expression.
+    */
+  private def zOracleTerms(col: String, lane: Int, n: Int): String =
+    (0 until 16).map(b =>
+      s"(($col // ${1L << b}) % 2) * ${1L << (b * n + lane)}").mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
+    "q_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         CAST(${zOracleTerms("(l_partkey % 65536)", 0, 2)}
+            + ${zOracleTerms("(l_suppkey % 65536)", 1, 2)} AS BIGINT) AS zkey
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
@@ -930,6 +947,23 @@ object SparkEntry {
          CAST(sum(len(regexp_extract_all(text, '[0-9]+', 0))) AS BIGINT) AS n_digit_runs
          FROM documents GROUP BY source ORDER BY source""",
     "q_decontamination" ->
+      s"""WITH b AS (SELECT doc_id, $toks AS toks,
+           CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket
+           FROM documents),
+         sh AS (SELECT doc_id, bucket, md5(unnest(list_transform(
+             generate_series(1, len(toks) - 7),
+             i -> array_to_string(toks[i:i+7], ' ')))) AS h
+           FROM b WHERE len(toks) >= 8),
+         t AS (SELECT DISTINCT doc_id AS train_doc, h FROM sh WHERE bucket < 80),
+         e AS (SELECT DISTINCT doc_id AS eval_doc, h FROM sh WHERE bucket >= 90)
+         SELECT train_doc, eval_doc, count(*) AS n_shared_ngrams
+         FROM t JOIN e USING (h)
+         GROUP BY train_doc, eval_doc
+         ORDER BY train_doc, eval_doc""",
+    // Identical oracle to q_decontamination by design: the bloom prune
+    // has no false negatives and survivors are verified exactly, so the
+    // pruned operator must reproduce the exact result bit for bit.
+    "q_bloom_decontamination" ->
       s"""WITH b AS (SELECT doc_id, $toks AS toks,
            CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket
            FROM documents),

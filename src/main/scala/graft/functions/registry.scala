@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.DotProduct
+import graft.functions.expressions.{BloomMightContain, DotProduct, ZOrderKey}
 import org.apache.spark.sql.SparkSession
 
 /** SQL-surface registration for the engine's native Catalyst expressions,
@@ -15,5 +15,10 @@ object registry {
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "z_order_key", exprs => ZOrderKey(exprs), "scala_udf")
   }
 }

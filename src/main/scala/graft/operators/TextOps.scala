@@ -213,6 +213,67 @@ object TextOps {
       .orderBy($"train_doc", $"eval_doc")
   }
 
+  /** Bloom-pruned decontamination: identical output to
+    * [[decontamination]], different 100 TB cost shape. The exact form
+    * shuffles every distinct train-side shingle into the join — at scale
+    * that is the full corpus token stream through the wire even though
+    * almost none of it matches. Here the eval split's shingle set
+    * (benchmark-suite scale: MBs, not the corpus) is folded once into a
+    * `BloomFilter` via `df.stat.bloomFilter` (a tree-aggregated sketch,
+    * driver holds only the bits), and the train side probes it
+    * scan-side through the native [[graft.functions.expressions.BloomMightContain]]
+    * expression BEFORE distinct/shuffle/join — only true matches and an
+    * `fpp` fraction of false positives ever leave the scan stage. The
+    * surviving sliver joins the eval shingles exactly (md5 key), so
+    * false positives drop out and the result matches the un-pruned
+    * operator bit for bit: bloom probes have no false negatives.
+    *
+    * Reference analog: SURVEY §7.4 decontamination, same contract as
+    * [[decontamination]] (reference has no equivalent; LLM-pipeline
+    * extension surface).
+    */
+  def bloomDecontamination(s: SparkSession, dir: String, n: Int = 8,
+                           minShared: Int = 1, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.expressions.BloomMightContain
+    import org.apache.spark.sql.GraftBridge
+    import s.implicits._
+    val docs = docsFanned(s, dir)
+      .withColumn("bucket", hashBucket($"doc_id", "split:"))
+    // Eval side (held-out split): shingle once, keep BOTH hashes — the
+    // 64-bit xxhash feeds the bloom, the 128-bit md5 is the exact-verify
+    // join key (same key the un-pruned operator and the oracle use).
+    // Checkpointed: it is consumed three times (count, bloom build,
+    // verify join) and is small by construction.
+    val evalSh = docs.filter($"bucket" >= 90)
+      .select($"doc_id".as("eval_doc"), text.tokensLower($"text").as("toks"))
+      .select($"eval_doc", explode(text.shinglesFromTokens($"toks", n)).as("sh"))
+      .select($"eval_doc", md5($"sh").as("h"), xxhash64($"sh").as("hb"))
+      .distinct()
+      .localCheckpoint()
+    val expected = math.max(evalSh.count(), 1L)
+    val bloom = evalSh.stat.bloomFilter("hb", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    def probe(key: Column): Column = GraftBridge.column(BloomMightContain(
+      GraftBridge.expression(lit(bytes)), GraftBridge.expression(key)))
+    // Train side: probe per exploded shingle at scan granularity — the
+    // distinct (the first shuffle) only ever sees bloom survivors.
+    val trainSh = docs.filter($"bucket" < 80)
+      .select($"doc_id".as("train_doc"), text.tokensLower($"text").as("toks"))
+      .select($"train_doc", explode(text.shinglesFromTokens($"toks", n)).as("sh"))
+      .filter(probe(xxhash64($"sh")))
+      .select($"train_doc", md5($"sh").as("h"))
+      .distinct()
+    trainSh.join(evalSh.select($"eval_doc", $"h"), "h")
+      .groupBy($"train_doc", $"eval_doc")
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .filter($"n_shared_ngrams" >= minShared)
+      .orderBy($"train_doc", $"eval_doc")
+  }
+
   /** Repetition quality signals (the Gopher-style filters): per document,
     * the distinct-token ratio, the most-frequent-token fraction, and the
     * fraction of 2-gram occurrences belonging to a repeated 2-gram. High

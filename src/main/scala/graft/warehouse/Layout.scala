@@ -1,7 +1,7 @@
 package graft.warehouse
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 
 /** Table-maintenance operators for a parquet warehouse: small-file
   * compaction and sort-clustered rewrite (the OPTIMIZE step of any
@@ -56,6 +56,73 @@ object Layout {
         df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
       }
     shaped.write.mode("overwrite").parquet(dstDir)
+    spark.read.parquet(dstDir).inputFiles.length
+  }
+
+  /** Column expression for the Morton interleave of already-normalized
+    * dimensions (each in [0, 2^16) — see
+    * [[graft.functions.expressions.ZOrderKey]]).
+    */
+  def zOrderKey(dims: Seq[Column]): Column =
+    GraftBridge.column(graft.functions.expressions.ZOrderKey(
+      dims.map(GraftBridge.expression)))
+
+  /** Oracle-checkable projection of the interleave itself: the Z-order
+    * key of every lineitem over its (part, supplier) low-16-bit lanes.
+    * Pure per-row expression — the oracle reproduces the same bit
+    * arithmetic explicitly, pinning the exact interleave contract
+    * (which bit of which dimension lands where) rather than just
+    * round-tripping our own implementation.
+    */
+  def zOrderKeys(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables(s, dir, "lineitem")
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        zOrderKey(Seq(
+          pmod(col("l_partkey"), lit(65536)).cast("long"),
+          pmod(col("l_suppkey"), lit(65536)).cast("long"))).as("zkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Multi-dimensional clustered rewrite: like [[compact]] with
+    * `clusterBy`, but range-partitions + sorts on the Z-order interleave
+    * of 2-3 columns, so every output file is bounded in EVERY clustered
+    * dimension (a Z-curve segment ≈ a hyper-rectangle) instead of only
+    * the first sort column. File/row-group min-max pruning then fires
+    * for range predicates on any of the clustered columns — the layout a
+    * 100 TB table wants when two independent access paths (say user_id
+    * and event day) both matter.
+    *
+    * Dimensions are linearly scaled into the 16-bit lane via one small
+    * min/max aggregation over the input (a metadata-cheap extra scan —
+    * at scale, pass cached table stats instead). Degenerate (constant)
+    * dimensions scale to lane 0 and simply stop contributing bits.
+    */
+  def zOrderCompact(spark: SparkSession, srcDir: String, dstDir: String,
+                    zorderBy: Seq[String],
+                    targetFileBytes: Long = 128L << 20): Int = {
+    import org.apache.spark.sql.functions._
+    require(zorderBy.size >= 2 && zorderBy.size <= 3,
+      s"zOrderCompact clusters 2-3 dims, got ${zorderBy.size}")
+    val df = spark.read.parquet(srcDir)
+    val nOut = math.max(1, math.ceil(
+      inputBytes(df).toDouble / targetFileBytes).toInt)
+    val aggs = zorderBy.flatMap(c => Seq(
+      min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val laneMax = (1L << 16) - 1
+    val dims = zorderBy.zipWithIndex.map { case (c, i) =>
+      val lo = bounds.getDouble(2 * i)
+      val hi = bounds.getDouble(2 * i + 1)
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(lit(laneMax), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(laneMax.toDouble))
+          .cast("long")))
+    }
+    val zkey = zOrderKey(dims)
+    df.repartitionByRange(nOut, zkey)
+      .sortWithinPartitions(zkey)
+      .write.mode("overwrite").parquet(dstDir)
     spark.read.parquet(dstDir).inputFiles.length
   }
 }
