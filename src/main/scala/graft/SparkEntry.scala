@@ -57,6 +57,7 @@ object SparkEntry {
     // -- event/stream batch twins (SURVEY §2.14, §7.4) ---------------------
     "q_hourly_type_counts" -> Events.hourlyTypeCounts,
     "q_user_sessions" -> Events.userSessions,
+    "q_session_outage_overlap" -> ((s, dir) => Events.sessionOutageOverlap(s, dir)),
     "q_json_prop_stats" -> Events.jsonPropStats,
     "q_daily_type_pivot" -> Events.dailyTypePivot,
     "q_value_percentiles" -> Events.valuePercentiles,
@@ -500,6 +501,30 @@ object SparkEntry {
            count(*) AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
          FROM e GROUP BY user_id ORDER BY user_id""",
+    // The oracle states the overlap join directly as the inequality join
+    // (DuckDB plans it as an IEJoin); the engine's banded equi-join form
+    // must produce the identical pair set.
+    "q_session_outage_overlap" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         w AS (SELECT (us // 3600000000) * 3600000000 AS w_start,
+                      ((us // 3600000000) + 1) * 3600000000 AS w_end
+           FROM e WHERE event_type = 'error'
+           GROUP BY 1, 2 HAVING count(*) >= 8),
+         se AS (SELECT user_id, us,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+               THEN 1 ELSE 0 END AS new_s
+           FROM e),
+         ss AS (SELECT user_id, us, sum(new_s) OVER
+             (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+           FROM se),
+         sess AS (SELECT user_id, sid, min(us) AS s_start, max(us) AS s_end
+           FROM ss GROUP BY 1, 2)
+         SELECT user_id, s_start AS session_start_us,
+           count(*) AS n_outage_windows,
+           CAST(sum(least(s_end, w_end) - greatest(s_start, w_start)) AS BIGINT) AS overlap_us
+         FROM sess JOIN w ON s_start < w_end AND w_start <= s_end
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_daily_type_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,
          count(CASE WHEN event_type = 'click' THEN 1 END) AS click,

@@ -45,6 +45,61 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** Interval-overlap join with NO equi-key, banded so it never plans as
+    * a nested loop: user sessions (gap-30-min intervals, same definition
+    * as [[userSessions]]) against global outage windows (hours whose
+    * error count reaches `errPerHour` — no user column at all), reporting
+    * per overlapping session the window count and the exact overlap in
+    * microseconds.
+    *
+    * Left to Spark, `a.start < b.end AND b.start <= a.end` is a
+    * BroadcastNestedLoopJoin — every session against every window, the
+    * O(n·m) shape that dies first at scale. The banded form (documented
+    * as "the banded twin" at [[Relational.attributionRangeJoin]], now
+    * implemented) makes it an equi-join: each session explodes to the
+    * hour buckets it touches (bounded by session duration — gap
+    * sessionization keeps these short), each hour-aligned window sits in
+    * exactly its own bucket, so `join on hour` finds every overlapping
+    * pair exactly once and the shuffle is hash-partitioned, AQE-sized,
+    * and skew-splittable like any other equi-join. The residual interval
+    * predicate stays for the general (non-aligned-window) case, where
+    * banding over-generates by at most one bucket per side. Overlap is
+    * summed in integer microseconds — exact and associative under
+    * partial aggregation.
+    */
+  def sessionOutageOverlap(s: SparkSession, dir: String,
+                           errPerHour: Long = 8): DataFrame = {
+    import s.implicits._
+    val hourUs = 3600L * 1000000
+    val gapUs = 30L * 60 * 1000000
+    val ev = Tables(s, dir, "events").withColumn("us", unix_micros($"ts"))
+    val outages = ev.filter($"event_type" === "error")
+      .groupBy(expr(s"us div $hourUs").as("hour"))
+      .agg(count(lit(1)).as("n_errors"))
+      .filter($"n_errors" >= errPerHour)
+      .select($"hour", ($"hour" * hourUs).as("w_start"),
+        (($"hour" + 1) * hourUs).as("w_end"))
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+    val sess = ev
+      .withColumn("prev_us", lag($"us", 1).over(w))
+      .withColumn("new_session",
+        when($"prev_us".isNull || $"us" - $"prev_us" > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_session").over(w))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("s_start"), max($"us").as("s_end"))
+    val banded = sess.withColumn("hour",
+      explode(sequence(expr(s"s_start div $hourUs"), expr(s"s_end div $hourUs"))))
+    banded.join(outages, Seq("hour"))
+      .filter($"s_start" < $"w_end" && $"w_start" <= $"s_end")
+      .groupBy($"user_id", $"s_start")
+      .agg(count(lit(1)).as("n_outage_windows"),
+        sum(least($"s_end", $"w_end") - greatest($"s_start", $"w_start"))
+          .as("overlap_us"))
+      .select($"user_id", $"s_start".as("session_start_us"),
+        $"n_outage_windows", $"overlap_us")
+      .orderBy($"user_id", $"session_start_us")
+  }
+
   /** Pivot: one column per event type, daily counts (explicit value list
     * keeps the output schema static — at scale an inferred pivot would
     * need an extra distinct pass).

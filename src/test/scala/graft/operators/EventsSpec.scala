@@ -155,4 +155,47 @@ class EventsSpec extends SparkSpec {
       if (status == "orders_only") assert(eTot === 0.0)
     }
   }
+
+  test("sessionOutageOverlap: banded equi-join equals the naive interval join") {
+    // lower threshold at sf0.001 (fewer events/hour) so windows exist
+    val banded = Events.sessionOutageOverlap(spark, sf, errPerHour = 2)
+    val out = banded.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty, "expected at least one session-outage overlap")
+    // naive twin: same sessions/windows, direct O(n*m) scan in Scala
+    val hourUs = 3600L * 1000000
+    val gapUs = 30L * 60 * 1000000
+    val evRows = Tables(spark, sf, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val windows = evRows.filter(_._2 == "error").groupBy(_._3 / hourUs)
+      .collect { case (h, es) if es.length >= 2 => (h * hourUs, (h + 1) * hourUs) }
+      .toSeq
+    val sessions = evRows.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ts = rows.map(_._3).sorted
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      ts.foreach { t =>
+        if (bounds.nonEmpty && t - bounds.last._2 <= gapUs)
+          bounds(bounds.size - 1) = (bounds.last._1, t)
+        else bounds += ((t, t))
+      }
+      bounds.map { case (a, b) => (u, a, b) }
+    }
+    val expected = sessions.flatMap { case (u, a, b) =>
+      val hits = windows.filter { case (ws, we) => a < we && ws <= b }
+      if (hits.isEmpty) None
+      else Some((u, a, hits.size.toLong,
+        hits.map { case (ws, we) => math.min(b, we) - math.max(a, ws) }.sum))
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq === expected)
+  }
+
+  test("sessionOutageOverlap never plans a nested-loop or cartesian join") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val nodes = planNodes(Events.sessionOutageOverlap(spark, sf, errPerHour = 2))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "interval overlap must band to an equi-join, not BNLJ")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+  }
 }
