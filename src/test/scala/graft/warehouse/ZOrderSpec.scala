@@ -104,5 +104,26 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(zDst).count() === 65536L)
     assert(spark.read.parquet(zDst).select(sum($"x" * lit(65536L) + $"y")).head().getLong(0) ===
       spark.read.parquet(src).select(sum($"x" * lit(65536L) + $"y")).head().getLong(0))
+
+    // The payoff: a predicate on the SECOND dimension only. Parquet
+    // min/max stats let the scan skip row groups; under z-order most
+    // files exclude the y-slice, under lexicographic (x, y) every file
+    // spans all of y so nothing can be skipped. Measured as rows the
+    // scan actually decoded.
+    def scanRows(dir: String): Long = {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val q = spark.read.parquet(dir).filter($"y" >= 0L && $"y" <= 31L)
+      val n = q.count()
+      assert(n === 32L * 256) // correctness of the slice itself
+      planNodes(q).collectFirst { case f: FileSourceScanExec =>
+        f.metrics("numOutputRows").value
+      }.getOrElse(fail("no FileSourceScanExec in plan"))
+    }
+    val zDecoded = scanRows(zDst)
+    val lexDecoded = scanRows(lexDst)
+    assert(lexDecoded === 65536L,
+      s"lexicographic layout should decode everything, got $lexDecoded")
+    assert(zDecoded <= 65536L / 3,
+      s"z-order layout should skip most row groups, decoded $zDecoded")
   }
 }
