@@ -120,6 +120,7 @@ object SparkEntry {
     "q_dedup_assignments" -> Dedup.dedupAssignments,
     "q_dedup_corpus" -> Dedup.dedupCorpus,
     "q_dedup_best" -> Dedup.dedupBest,
+    "q_neardup_pagerank" -> ((s, dir) => Dedup.nearDupPageRank(s, dir)),
     "q_dedup_profile" -> Dedup.dedupProfile,
     // -- similarity search (§7.4) ------------------------------------------
     "q_brute_force_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
@@ -291,6 +292,20 @@ object SparkEntry {
        cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
          FROM sg x JOIN sg y
            ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)"""
+
+  /** One unrolled PageRank round for the q_neardup_pagerank oracle —
+    * generated so every round's integer arithmetic (rank div degree,
+    * 0.85 damping as `(85 * sum) // 100`) is written once and cannot
+    * drift between rounds or from the Spark loop's expressions.
+    */
+  private def prIterCte(prev: String, next: String): String =
+    s"""$next AS (SELECT d0.doc_id,
+         15000 + (85 * coalesce(s.c, 0)) // 100 AS r
+       FROM docs0 d0 LEFT JOIN (
+         SELECT e.dst AS doc_id, sum($prev.r // deg.d) AS c
+         FROM e JOIN $prev ON $prev.doc_id = e.src
+           JOIN deg ON deg.src = e.src
+         GROUP BY 1) s ON s.doc_id = d0.doc_id)"""
 
   /** Explicit Morton-interleave bit arithmetic for the q_zorder_key
     * oracle: bit `b` of lane `lane` (of `n` lanes) lands at result bit
@@ -1062,6 +1077,17 @@ object SparkEntry {
          FROM lsh JOIN d a ON a.doc_id = lsh.doc_a
            JOIN d b ON b.doc_id = lsh.doc_b
          GROUP BY 1, 2 ORDER BY source_x, source_y""",
+    "q_neardup_pagerank" ->
+      s"""WITH lsh AS ($minhashPairsCore),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM lsh
+               UNION ALL SELECT doc_b AS src, doc_a AS dst FROM lsh),
+         deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+         docs0 AS (SELECT doc_id FROM documents),
+         r0 AS (SELECT doc_id, CAST(100000 AS BIGINT) AS r FROM docs0),
+         ${prIterCte("r0", "r1")},
+         ${prIterCte("r1", "r2")},
+         ${prIterCte("r2", "r3")}
+         SELECT doc_id, CAST(r AS BIGINT) AS pr FROM r3 ORDER BY doc_id""",
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,

@@ -271,6 +271,45 @@ object Dedup {
     * doc_id equi-joins (shuffle or broadcast per AQE). Unordered pairs
     * via least/greatest, so (srcA, srcB) and (srcB, srcA) collapse.
     */
+  /** Damped PageRank over the near-dup candidate graph, `iters` rounds —
+    * a centrality score for canonical-document selection: among a family
+    * of near-copies, the doc connected to the most (and most-connected)
+    * variants is the natural keeper, a different signal than
+    * [[dedupBest]]'s per-cluster quality argmax.
+    *
+    * All arithmetic is scaled integer (rank in 1e-5 units, floor
+    * division for the degree split and the 0.85 damping) so partial-agg
+    * order cannot move a result bit: integer sums are associative where
+    * float sums are not, which is what lets a distributed loop stay
+    * hash-identical to the single-threaded oracle. Per round: one join
+    * of the static adjacency (edges + out-degree, checkpointed once)
+    * against the current rank, one map-side-combined sum per target,
+    * one left join back to the doc universe — rank frames are
+    * localCheckpointed per round (lineage rule at [[dedupClusters]]).
+    * Isolated docs settle at the 0.15 baseline.
+    */
+  def nearDupPageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst")
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    val adj = edges.join(deg, "src").localCheckpoint()
+    val docs = Tables(s, dir, "documents").select($"doc_id").localCheckpoint()
+    var rank = docs.select($"doc_id", lit(100000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = adj.join(rank, adj("src") === rank("doc_id"))
+        .select($"dst", expr("r div d").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("c"))
+      rank = docs.join(contrib, docs("doc_id") === contrib("dst"), "left")
+        .select($"doc_id",
+          expr("15000L + (85L * coalesce(c, 0L)) div 100L").as("r"))
+        .localCheckpoint()
+    }
+    rank.select($"doc_id", $"r".as("pr")).orderBy($"doc_id")
+  }
+
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val src = Tables(s, dir, "documents").select($"doc_id", $"source")

@@ -217,4 +217,31 @@ class DedupSpec extends SparkSpec {
     val hamming = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
     assert(hamming <= 16, s"near-dup hamming=$hamming")
   }
+
+  test("nearDupPageRank matches a single-threaded integer recompute") {
+    val got = Dedup.nearDupPageRank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // driver recompute from the same candidate edges, plain Scala
+    val pairs = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs ++ pairs.map(p => (p._2, p._1))
+    val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.length.toLong }
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    var rank = docs.map(_ -> 100000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = docs.map(d => d -> (15000L + 85L * contrib.getOrElse(d, 0L) / 100L)).toMap
+    }
+    assert(got.toSeq === docs.map(d => d -> rank(d)).toSeq)
+    // centrality sanity: isolated docs sit at the damping baseline,
+    // connected docs above it
+    val connected = edges.map(_._1).toSet
+    got.foreach { case (d, pr) =>
+      if (!connected.contains(d)) assert(pr === 15000L)
+      else assert(pr > 15000L)
+    }
+  }
 }
