@@ -121,6 +121,7 @@ object SparkEntry {
     "q_dedup_corpus" -> Dedup.dedupCorpus,
     "q_dedup_best" -> Dedup.dedupBest,
     "q_neardup_pagerank" -> ((s, dir) => Dedup.nearDupPageRank(s, dir)),
+    "q_containment_pairs" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "q_dedup_profile" -> Dedup.dedupProfile,
     // -- similarity search (§7.4) ------------------------------------------
     "q_brute_force_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
@@ -678,6 +679,20 @@ object SparkEntry {
              / len(list_distinct(a.shs || b.shs)), 4) AS true_jaccard
          FROM est e JOIN shs a ON a.doc_id = e.doc_a
                     JOIN shs b ON b.doc_id = e.doc_b
+         ORDER BY doc_a, doc_b""",
+    "q_containment_pairs" ->
+      s"""WITH $minhashCtes,
+         pairs AS ($minhashPairsSelect),
+         shs AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i:i+2], ' '))) AS shs
+           FROM docs WHERE len(toks) >= 3)
+         SELECT p.doc_a, p.doc_b,
+           CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_shared,
+           CAST((len(list_intersect(a.shs, b.shs)) * 10000) // len(a.shs) AS BIGINT) AS cont_a4,
+           CAST((len(list_intersect(a.shs, b.shs)) * 10000) // len(b.shs) AS BIGINT) AS cont_b4
+         FROM pairs p JOIN shs a ON a.doc_id = p.doc_a
+           JOIN shs b ON b.doc_id = p.doc_b
          ORDER BY doc_a, doc_b""",
     "q_minhash_signatures" ->
       s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -263,6 +263,39 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Asymmetric containment over LSH candidates: `|A∩B| / |A|` and
+    * `/ |B|` on distinct shingles. Jaccard misses near-subsets — a
+    * document quoted wholesale inside a much larger one scores low
+    * resemblance but containment ≈ 1 on the smaller side, which is the
+    * signal a dedup pipeline needs to catch quotes/excerpts before
+    * training. Scores are integer ten-thousandths (floor division), so
+    * no float divide can straddle a rounding boundary between engines.
+    * Same scale shape as [[minhashJaccardEst]]: LSH-bounded pair space,
+    * intersection via the exploded-shingle equi-join (never per-row
+    * arrays), shingle stream checkpointed once for its three consumers.
+    */
+  def containmentPairs(s: SparkSession, dir: String,
+                       shingleSize: Int = 3, numHashes: Int = 12,
+                       rowsPerBand: Int = 3): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val mins = minhashMins(docs, shingleSize, numHashes).localCheckpoint()
+    val pairs = lshPairsFromMins(mins, numHashes, rowsPerBand)
+    val sd = shingleStream(docs, shingleSize).distinct().localCheckpoint()
+    val sizes = sd.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sd.toDF("doc_a", "sh"), Seq("doc_a"))
+      .join(sd.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.toDF("doc_a", "n_a"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "n_b"), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", $"n_shared",
+        expr("(n_shared * 10000) div n_a").as("cont_a4"),
+        expr("(n_shared * 10000) div n_b").as("cont_b4"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Cross-source overlap matrix: near-dup pair counts per unordered
     * source pair — the provenance question a multi-source corpus asks
     * before training ("how much of source B is already in source A?").

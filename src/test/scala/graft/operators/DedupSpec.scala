@@ -244,4 +244,41 @@ class DedupSpec extends SparkSpec {
       else assert(pr > 15000L)
     }
   }
+
+  test("containmentPairs matches driver set arithmetic; exact dups score 10000/10000") {
+    import org.apache.spark.sql.functions._
+    val got = Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    // driver recompute: shingle sets via the same public column helpers,
+    // intersection/containment as plain Scala set arithmetic
+    val shingles = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", explode(graft.functions.text.shinglesFromTokens(
+        graft.functions.text.tokensLower($"text"), 3)).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    got.foreach { case ((a, b), (nsh, ca, cb)) =>
+      val ia = shingles(a); val ib = shingles(b)
+      val inter = (ia & ib).size.toLong
+      assert(nsh === inter, s"pair ($a,$b)")
+      assert(ca === inter * 10000 / ia.size, s"pair ($a,$b) cont_a")
+      assert(cb === inter * 10000 / ib.size, s"pair ($a,$b) cont_b")
+      assert(nsh >= 1 && ca >= 0 && ca <= 10000 && cb >= 0 && cb <= 10000)
+    }
+    // identical texts are LSH candidates by construction and must score
+    // full containment on both sides
+    val textOf = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", md5($"text").as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dupPairs = textOf.groupBy(_._2).values.filter(_.length > 1).flatMap { g =>
+      val ids = g.map(_._1).sorted
+      ids.combinations(2).map(p => (p(0), p(1)))
+    }.filter { case (a, b) => shingles.contains(a) && shingles.contains(b) }
+    dupPairs.foreach { p =>
+      assert(got.contains(p), s"exact-dup pair $p missing from candidates")
+      val (_, ca, cb) = got(p)
+      assert(ca === 10000L && cb === 10000L, s"exact dup $p not fully contained")
+    }
+  }
 }
