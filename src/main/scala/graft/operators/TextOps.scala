@@ -232,6 +232,42 @@ object TextOps {
     * [[decontamination]] (reference has no equivalent; LLM-pipeline
     * extension surface).
     */
+  /** The eval (held-out) split's distinct shingle set: `(eval_doc, h,
+    * hb)` — the 64-bit xxhash `hb` feeds the bloom, the 128-bit md5 `h`
+    * is the exact-verify join key (same key the un-pruned operator and
+    * the oracle use). Checkpointed: consumed by the count, the bloom
+    * build, and the verify join, and small by construction.
+    */
+  private[graft] def evalShingles(s: SparkSession, dir: String,
+                                  n: Int): DataFrame = {
+    import s.implicits._
+    docsFanned(s, dir)
+      .withColumn("bucket", hashBucket($"doc_id", "split:"))
+      .filter($"bucket" >= 90)
+      .select($"doc_id".as("eval_doc"), text.tokensLower($"text").as("toks"))
+      .select($"eval_doc", explode(text.shinglesFromTokens($"toks", n)).as("sh"))
+      .select($"eval_doc", md5($"sh").as("h"), xxhash64($"sh").as("hb"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  /** Serialized bloom filter over the eval split's shingle hashes — the
+    * static artifact a streaming ingest gate
+    * ([[graft.streaming.Streams.decontaminationGate]]) probes without
+    * touching the eval corpus again.
+    */
+  def evalShingleBloom(s: SparkSession, dir: String, n: Int = 8,
+                       fpp: Double = 0.01): Array[Byte] =
+    serializeBloom(evalShingles(s, dir, n), fpp)
+
+  private def serializeBloom(evalSh: DataFrame, fpp: Double): Array[Byte] = {
+    val expected = math.max(evalSh.count(), 1L)
+    val bloom = evalSh.stat.bloomFilter("hb", expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
   def bloomDecontamination(s: SparkSession, dir: String, n: Int = 8,
                            minShared: Int = 1, fpp: Double = 0.01): DataFrame = {
     import graft.functions.expressions.BloomMightContain
@@ -239,24 +275,8 @@ object TextOps {
     import s.implicits._
     val docs = docsFanned(s, dir)
       .withColumn("bucket", hashBucket($"doc_id", "split:"))
-    // Eval side (held-out split): shingle once, keep BOTH hashes — the
-    // 64-bit xxhash feeds the bloom, the 128-bit md5 is the exact-verify
-    // join key (same key the un-pruned operator and the oracle use).
-    // Checkpointed: it is consumed three times (count, bloom build,
-    // verify join) and is small by construction.
-    val evalSh = docs.filter($"bucket" >= 90)
-      .select($"doc_id".as("eval_doc"), text.tokensLower($"text").as("toks"))
-      .select($"eval_doc", explode(text.shinglesFromTokens($"toks", n)).as("sh"))
-      .select($"eval_doc", md5($"sh").as("h"), xxhash64($"sh").as("hb"))
-      .distinct()
-      .localCheckpoint()
-    val expected = math.max(evalSh.count(), 1L)
-    val bloom = evalSh.stat.bloomFilter("hb", expected, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    val evalSh = evalShingles(s, dir, n)
+    val bytes = serializeBloom(evalSh, fpp)
     def probe(key: Column): Column = GraftBridge.column(BloomMightContain(
       GraftBridge.expression(lit(bytes)), GraftBridge.expression(key)))
     // Train side: probe per exploded shingle at scan granularity — the

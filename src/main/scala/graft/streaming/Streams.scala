@@ -74,6 +74,32 @@ object Streams {
         col("text"), toks, col("n_chars")) >= minQuality)
   }
 
+  /** Streaming decontamination gate: the stateless streaming twin of
+    * `TextOps.bloomDecontamination`'s scan-side prune. The eval-split
+    * shingle bloom is built ONCE batch-side
+    * (`TextOps.evalShingleBloom`) and rides the plan as a static
+    * artifact; each arriving document probes its own shingles against
+    * it — no state store, no watermark, no join, so the gate runs at
+    * wire speed in any micro-batch or continuous trigger. No false
+    * negatives (a doc sharing an n-gram with the eval split ALWAYS
+    * flags); `fpp` false positives flag conservatively — route flagged
+    * docs to the exact batch verify instead of dropping them.
+    */
+  def decontaminationGate(docs: DataFrame, evalBloomBytes: Array[Byte],
+                          n: Int = 8): DataFrame = {
+    import graft.functions.expressions.BloomMightContain
+    import org.apache.spark.sql.GraftBridge
+    val toks = graft.functions.text.tokensLower(col("text"))
+    val shingles = graft.functions.text.shinglesFromTokens(toks, n)
+    val suspect = filter(shingles, sh => GraftBridge.column(BloomMightContain(
+      GraftBridge.expression(lit(evalBloomBytes)),
+      GraftBridge.expression(xxhash64(sh)))))
+    docs
+      .withColumn("n_suspect_shingles",
+        coalesce(size(suspect), lit(0)).cast("long"))
+      .withColumn("contaminated", col("n_suspect_shingles") > 0)
+  }
+
   /** Per-ingest mixture sampling: the streaming twin of
     * `TextOps.mixtureSample`'s draw stage. Rates are FROZEN — designed
     * batch-side from corpus totals and broadcast as a tiny (source,

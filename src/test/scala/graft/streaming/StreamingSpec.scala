@@ -62,6 +62,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size.toLong === stage2)
   }
 
+  test("decontaminationGate: streaming flags equal batch; exact pairs never missed") {
+    val bloomBytes = graft.operators.TextOps.evalShingleBloom(spark, sf)
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.decontaminationGate(
+        input.toDF().toDF("doc_id", "text"), bloomBytes)
+      .select($"doc_id", $"contaminated")
+      .writeStream.format("memory").queryName("decon_gate_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(docs.take(docs.length / 2))
+    q.processAllAvailable()
+    input.addData(docs.drop(docs.length / 2))
+    q.processAllAvailable()
+    val streamed = spark.table("decon_gate_out").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    q.stop()
+    // stateless: the stream's per-doc decision equals the batch one
+    val batch = Streams.decontaminationGate(
+        graft.Tables(spark, sf, "documents").select($"doc_id", $"text"),
+        bloomBytes)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated"))).toMap
+    assert(streamed === batch)
+    assert(streamed.size === docs.length)
+    // no false negatives: every train doc the EXACT operator pairs with
+    // the eval split must flag (eval docs flag trivially - their own
+    // shingles are in the bloom)
+    val exactTrain = graft.operators.TextOps.decontamination(spark, sf)
+      .select($"train_doc").collect().map(_.getLong(0)).toSet
+    exactTrain.foreach { d =>
+      assert(streamed(d), s"train doc $d shares an eval n-gram but did not flag")
+    }
+    // the gate separates: not everything flags
+    assert(streamed.values.exists(v => !v))
+  }
+
   test("mixtureFilter: per-micro-batch draws equal the batch draw over the union") {
     def src(i: Long) = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
     val rates = Seq(("a", 5000), ("b", 10000), ("c", 0)).toDF("source", "rate_bp")
