@@ -58,6 +58,7 @@ object SparkEntry {
     "q_hourly_type_counts" -> Events.hourlyTypeCounts,
     "q_user_sessions" -> Events.userSessions,
     "q_session_outage_overlap" -> ((s, dir) => Events.sessionOutageOverlap(s, dir)),
+    "q_value_window_funcs" -> Events.valueWindowFuncs,
     "q_json_prop_stats" -> Events.jsonPropStats,
     "q_daily_type_pivot" -> Events.dailyTypePivot,
     "q_value_percentiles" -> Events.valuePercentiles,
@@ -517,6 +518,16 @@ object SparkEntry {
            count(*) AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
          FROM e GROUP BY user_id ORDER BY user_id""",
+    "q_value_window_funcs" ->
+      """SELECT user_id, event_id, value,
+         lag(value) OVER w AS prev_value,
+         lead(value) OVER w AS next_value,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist() OVER w AS cume,
+         nth_value(value, 2) OVER w AS second_value
+         FROM events WHERE event_type = 'purchase'
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, ts, event_id""",
     // The oracle states the overlap join directly as the inequality join
     // (DuckDB plans it as an IEJoin); the engine's banded equi-join form
     // must produce the identical pair set.

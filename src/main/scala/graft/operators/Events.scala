@@ -45,6 +45,31 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** The remaining SQL window-function surface in one pass: lag/lead
+    * neighbors, percent_rank, cume_dist, and nth_value over each user's
+    * purchase history. One hash-partitioned sort per user — the window
+    * frame never leaves its partition, so the operator scales with the
+    * per-user history length, not the corpus. Tie-broken on (ts,
+    * event_id) so rank-based results are engine-independent; the ratio
+    * functions divide the same integers in both engines, so even the
+    * doubles compare hash-exact.
+    */
+  def valueWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(s, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"value",
+        lag($"value", 1).over(w).as("prev_value"),
+        lead($"value", 1).over(w).as("next_value"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value($"value", 2).over(w).as("second_value"),
+        $"ts")
+      .orderBy($"user_id", $"ts", $"event_id")
+      .drop($"ts")
+  }
+
   /** Interval-overlap join with NO equi-key, banded so it never plans as
     * a nested loop: user sessions (gap-30-min intervals, same definition
     * as [[userSessions]]) against global outage windows (hours whose
