@@ -41,6 +41,7 @@ object SparkEntry {
     "q_checksum_xor" -> Relational.checksumXor,
     "q_nation_rollup" -> Relational.nationRollup,
     "q_purchasers_without_errors" -> Relational.purchasersWithoutErrors,
+    "q_set_ops_bag" -> Relational.setOpsBag,
     "q_cube_status" -> Relational.cubeStatus,
     "q_repeat_purchasers" -> Relational.repeatPurchasers,
     "q_salted_join_revenue" -> ((s, dir) => Relational.saltedJoinRevenue(s, dir)),
@@ -503,6 +504,18 @@ object SparkEntry {
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
              WHERE event_type = 'error')
          ORDER BY user_id, day""",
+    "q_set_ops_bag" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+             WHERE event_type = 'purchase'),
+         e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+             WHERE event_type = 'error'),
+         ea AS (SELECT 'except_all' AS op, user_id FROM
+             (SELECT * FROM p EXCEPT ALL SELECT * FROM e)),
+         ia AS (SELECT 'intersect_all' AS op, user_id FROM
+             (SELECT * FROM p INTERSECT ALL SELECT * FROM e))
+         SELECT op, user_id, count(*) AS n_days
+         FROM (SELECT * FROM ea UNION ALL SELECT * FROM ia)
+         GROUP BY 1, 2 ORDER BY op, user_id""",
     "q_hourly_type_counts" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
          event_type, count(*) AS n_events,

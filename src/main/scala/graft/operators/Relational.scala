@@ -391,6 +391,28 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** Duplicate-preserving set algebra (§2.7's ALL variants): per user,
+    * the purchase-event (user, day) MULTISET minus / intersected with
+    * the error-event multiset, surfaced as per-user surviving-row
+    * counts. Bag semantics matter when multiplicity is the signal (one
+    * error "cancels" one purchase that day, not all of them) — the
+    * DISTINCT forms ([[purchasersWithoutErrors]] etc.) can't express
+    * that. Spark plans exceptAll/intersectAll as a count-tagged
+    * aggregate + replicate generator — one shuffle on the row key, no
+    * join, scale-safe at any multiplicity skew.
+    */
+  def setOpsBag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("day"), $"event_type")
+    val p = ev.filter($"event_type" === "purchase").select($"user_id", $"day")
+    val e = ev.filter($"event_type" === "error").select($"user_id", $"day")
+    p.exceptAll(e).withColumn("op", lit("except_all"))
+      .unionByName(p.intersectAll(e).withColumn("op", lit("intersect_all")))
+      .groupBy($"op", $"user_id").agg(count(lit(1)).as("n_days"))
+      .orderBy($"op", $"user_id")
+  }
+
   /** Set difference (§2.7) at (user, day) grain: days on which a user
     * purchased but saw no error. (User-level difference is always empty in
     * the synthetic data — every user emits every event type.)

@@ -29,4 +29,43 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq
     assert(got === Seq(0, 2)) // frames 0..2, stride 2
   }
+
+  test("end-to-end: decoded features feed cosine top-k like any embedding") {
+    import graft.functions.vectors
+    // documents-as-blobs through the REAL typed decode stage
+    val corpus = graft.Tables(spark, sf, "documents")
+      .select($"doc_id".as("asset_id"), lit("text/plain").as("media_type"),
+        $"text".cast("binary").as("payload"))
+      .as[Multimodal.Asset]
+    val feats = Multimodal.extractFeatures(corpus)
+      .select($"asset_id",
+        vectors.toDoubleArray($"features").as("v"))
+      .localCheckpoint()
+    val query = feats.filter($"asset_id" === 0L).select($"v".as("qv"))
+    val topk = feats.join(org.apache.spark.sql.functions.broadcast(query))
+      .filter($"asset_id" =!= 0L)
+      .select($"asset_id",
+        round(vectors.cosineSimilarity($"v", $"qv"), 6).as("cos"))
+      .orderBy($"cos".desc, $"asset_id")
+      .limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // driver recompute from the same FakeDecoder, plain Scala
+    val raw = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> Multimodal.FakeDecoder.features(
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val q0 = raw(0L)
+    val expected = raw.toSeq.filter(_._1 != 0L)
+      .map { case (id, f) =>
+        (id, BigDecimal(cos(q0, f)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(topk.toSeq === expected)
+  }
 }
