@@ -42,6 +42,7 @@ object SparkEntry {
     "q_nation_rollup" -> Relational.nationRollup,
     "q_purchasers_without_errors" -> Relational.purchasersWithoutErrors,
     "q_set_ops_bag" -> Relational.setOpsBag,
+    "q_skew_profile" -> Relational.skewProfile,
     "q_cube_status" -> Relational.cubeStatus,
     "q_repeat_purchasers" -> Relational.repeatPurchasers,
     "q_salted_join_revenue" -> ((s, dir) => Relational.saltedJoinRevenue(s, dir)),
@@ -516,6 +517,25 @@ object SparkEntry {
          SELECT op, user_id, count(*) AS n_days
          FROM (SELECT * FROM ea UNION ALL SELECT * FROM ia)
          GROUP BY 1, 2 ORDER BY op, user_id""",
+    "q_skew_profile" ->
+      """WITH c1 AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
+         a1 AS (SELECT count(*) AS n_keys, max(n) AS max_rows,
+             quantile_cont(n, 0.5) AS p50_rows, quantile_cont(n, 0.99) AS p99_rows,
+             sum(n) AS total FROM c1),
+         t1 AS (SELECT sum(n) AS top10 FROM
+             (SELECT n FROM c1 ORDER BY n DESC, k LIMIT 10)),
+         c2 AS (SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+         a2 AS (SELECT count(*) AS n_keys, max(n) AS max_rows,
+             quantile_cont(n, 0.5) AS p50_rows, quantile_cont(n, 0.99) AS p99_rows,
+             sum(n) AS total FROM c2),
+         t2 AS (SELECT sum(n) AS top10 FROM
+             (SELECT n FROM c2 ORDER BY n DESC, k LIMIT 10))
+         SELECT 'orders.o_custkey' AS join_key, n_keys, max_rows, p50_rows, p99_rows,
+           CAST((top10 * 10000) // total AS BIGINT) AS top10_share4 FROM a1, t1
+         UNION ALL
+         SELECT 'lineitem.l_suppkey', n_keys, max_rows, p50_rows, p99_rows,
+           CAST((top10 * 10000) // total AS BIGINT) FROM a2, t2
+         ORDER BY join_key""",
     "q_hourly_type_counts" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
          event_type, count(*) AS n_events,

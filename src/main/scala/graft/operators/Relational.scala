@@ -391,6 +391,40 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** Join-key skew profile — the pre-join diagnosis that decides between
+    * a plain shuffle join, AQE skew splitting, and explicit salting
+    * ([[saltedJoinRevenue]]): per-key row-count distribution (max, p50,
+    * p99) and the share of rows owned by the 10 hottest keys, for the
+    * fact-table keys the engine joins on. One map-side-combined count
+    * per key, then two single-row aggregates — the profile costs one
+    * scan regardless of key cardinality, and the top-10 share is exact
+    * integer ten-thousandths. A p99/p50 near 1 with a tiny top-10 share
+    * says the shuffle is safe; a hot top-10 share says salt first.
+    */
+  def skewProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def prof(df: DataFrame, key: String, label: String): DataFrame = {
+      val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val top10 = counts.orderBy($"n".desc, $"k").limit(10)
+        .agg(sum($"n").as("top10")).withColumn("j", lit(1))
+      counts
+        .agg(count(lit(1)).as("n_keys"), max($"n").as("max_rows"),
+          expr("percentile(n, 0.5)").as("p50_rows"),
+          expr("percentile(n, 0.99)").as("p99_rows"),
+          sum($"n").as("total"))
+        .withColumn("j", lit(1))
+        .join(top10, "j")
+        .select(lit(label).as("join_key"), $"n_keys", $"max_rows",
+          $"p50_rows", $"p99_rows",
+          expr("(top10 * 10000) div total").as("top10_share4"))
+    }
+    prof(Tables(s, dir, "orders"), "o_custkey", "orders.o_custkey")
+      .unionByName(
+        prof(Tables(s, dir, "lineitem"), "l_suppkey", "lineitem.l_suppkey"))
+      .orderBy($"join_key")
+  }
+
   /** Duplicate-preserving set algebra (§2.7's ALL variants): per user,
     * the purchase-event (user, day) MULTISET minus / intersected with
     * the error-event multiset, surfaced as per-user surviving-row
