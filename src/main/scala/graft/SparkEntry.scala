@@ -89,6 +89,7 @@ object SparkEntry {
     "q_source_overlap" -> Dedup.sourceOverlap,
     "q_decontamination" -> ((s, dir) => TextOps.decontamination(s, dir)),
     "q_bloom_decontamination" -> ((s, dir) => TextOps.bloomDecontamination(s, dir)),
+    "q_bpe_merges" -> ((s, dir) => TextOps.bpeMerges(s, dir)),
     "q_zorder_key" -> graft.warehouse.Layout.zOrderKeys,
     "q_stratified_sample" -> TextOps.stratifiedSample,
     "q_group_sample" -> ((s, dir) => TextOps.groupSample(s, dir)),
@@ -296,6 +297,32 @@ object SparkEntry {
        cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
          FROM sg x JOIN sg y
            ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)"""
+
+  /** BPE oracle fragments: the word-frequency seed and one unrolled
+    * merge round — generated so every round's pair counting, argmax
+    * tie-break, and left-to-right `replace` rewrite are written once and
+    * cannot drift between rounds or from the Spark loop.
+    */
+  private val bpeSeedCtes =
+    s"""bpe_words AS (SELECT word, count(*) AS cnt FROM (
+           SELECT unnest($toks) AS word FROM documents)
+         WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
+       v0 AS (SELECT ' ' || array_to_string(regexp_extract_all(word, '[a-z]'), ' ') || ' ' AS w, cnt
+         FROM bpe_words)"""
+
+  private def bpeRoundCtes(i: Int): String =
+    s"""p$i AS (SELECT pr, sum(cnt) AS total FROM (
+           SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+             j -> a[j] || ' ' || a[j + 1])) AS pr, cnt
+           FROM (SELECT string_split(trim(w), ' ') AS a, cnt FROM v${i - 1})
+           WHERE len(a) >= 2) GROUP BY 1),
+       b$i AS (SELECT pr, total FROM p$i ORDER BY total DESC, pr LIMIT 1),
+       v$i AS (SELECT replace(w, ' ' || pr || ' ', ' ' || replace(pr, ' ', '') || ' ') AS w, cnt
+         FROM v${i - 1}, b$i)"""
+
+  private def bpeStepSelect(i: Int): String =
+    s"""SELECT $i AS step, pr AS pair, replace(pr, ' ', '') AS merged,
+       CAST(total AS BIGINT) AS cnt FROM b$i"""
 
   /** One unrolled PageRank round for the q_neardup_pagerank oracle —
     * generated so every round's integer arithmetic (rank div degree,
@@ -1059,6 +1086,11 @@ object SparkEntry {
          FROM t JOIN e USING (h)
          GROUP BY train_doc, eval_doc
          ORDER BY train_doc, eval_doc""",
+    "q_bpe_merges" ->
+      s"""WITH $bpeSeedCtes,
+         ${(1 to 5).map(bpeRoundCtes).mkString(",\n")}
+         SELECT * FROM (${(1 to 5).map(bpeStepSelect).mkString(" UNION ALL ")})
+         ORDER BY step""",
     // Identical oracle to q_decontamination by design: the bloom prune
     // has no false negatives and survivors are verified exactly, so the
     // pruned operator must reproduce the exact result bit for bit.

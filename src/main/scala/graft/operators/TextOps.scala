@@ -294,6 +294,58 @@ object TextOps {
       .orderBy($"train_doc", $"eval_doc")
   }
 
+  /** Distributed BPE tokenizer training: `k` merge rounds over the
+    * corpus word-frequency table (the Sennrich algorithm's shape). The
+    * vocabulary — distinct lowercase alphabetic words with counts — is
+    * what iterates, so round cost scales with VOCAB size, not corpus
+    * size: the corpus is scanned exactly once, like the centroid loop in
+    * the IVF trainer. Each round: count adjacent symbol pairs weighted
+    * by word frequency (map-side-combined sum), pick the argmax with a
+    * deterministic tie-break (count desc, then lexicographic pair), and
+    * rewrite every word's symbol string with the merged pair. The merge
+    * RULE is a scalar, so collecting one row per round is the natural
+    * distributed shape (exactly the k-means-centroid pattern); the
+    * rewrite is a plain left-to-right non-overlapping `replace`, whose
+    * semantics the oracle reproduces verbatim. Words are spelled as
+    * space-joined single letters bracketed by spaces, so a pair match
+    * can never cross symbol boundaries. Output: the learned merge table
+    * (step, pair, merged, cnt) — the artifact a tokenizer ships.
+    */
+  def bpeMerges(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val words = docsFanned(s, dir)
+      .select(explode(text.tokensLower($"text")).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    var vocab = words
+      .select(concat(lit(" "),
+          concat_ws(" ", expr("regexp_extract_all(word, '[a-z]', 0)")),
+          lit(" ")).as("w"),
+        $"cnt")
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to k) {
+      val best = vocab
+        .select(expr("split(trim(w), ' ')").as("a"), $"cnt")
+        .filter(size($"a") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(a) - 1)," +
+            " i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))")).as("pr"),
+          $"cnt")
+        .groupBy($"pr").agg(sum($"cnt").as("total"))
+        .orderBy($"total".desc, $"pr")
+        .limit(1).collect()(0)
+      val pair = best.getString(0)
+      val merged = pair.replace(" ", "")
+      merges += ((step, pair, merged, best.getLong(1)))
+      vocab = vocab
+        .select(expr(s"replace(w, ' ${pair} ', ' ${merged} ')").as("w"), $"cnt")
+        .localCheckpoint()
+    }
+    s.createDataFrame(merges.toSeq).toDF("step", "pair", "merged", "cnt")
+      .orderBy($"step")
+  }
+
   /** Repetition quality signals (the Gopher-style filters): per document,
     * the distinct-token ratio, the most-frequent-token fraction, and the
     * fraction of 2-gram occurrences belonging to a repeated 2-gram. High

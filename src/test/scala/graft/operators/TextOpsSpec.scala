@@ -379,4 +379,45 @@ class TextOpsSpec extends SparkSpec {
       .collect()
     assert(all.length.toLong === ids.size)
   }
+
+  test("bpeMerges learns the same merge table as a sequential reference") {
+    val got = TextOps.bpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got.length === 5)
+    // sequential reference: same tokenizer, plain Scala merge loop
+    val wordCounts = graft.Tables(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.text.tokensLower($"text")).as("word"))
+      .collect().map(_.getString(0)).filter(_.matches("^[a-z]+$"))
+      .groupBy(w => w).map { case (w, ws) => w -> ws.length.toLong }
+    var vocab: Map[Vector[String], Long] =
+      wordCounts.map { case (w, c) => w.toVector.map(_.toString) -> c }.toMap
+    def mergeLeftToRight(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val expected = (1 to 5).map { step =>
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      val ((a, b), total) = pairCounts.toSeq
+        .minBy { case ((x, y), t) => (-t, s"$x $y") }
+      vocab = vocab.toSeq.map { case (syms, c) => mergeLeftToRight(syms, a, b) -> c }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      (step, s"$a $b", a + b, total)
+    }
+    assert(got === expected)
+    // the merges genuinely compose: later steps may merge earlier outputs
+    assert(got.map(_._4).sliding(2).forall { case Seq(x, y) => x >= y; case _ => true })
+  }
 }
