@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Reader for the driver's synthetic tables (TESTDATA.md).
   *
@@ -11,10 +11,16 @@ import org.apache.spark.sql.types.LongType
   * one place that changes (point it at a partitioned root and Catalyst's
   * partition pruning does the rest).
   *
-  * events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's vectorized
-  * reader rejects; we read it as raw Long (legacy.parquet.nanosAsLong, set
-  * in [[Sessions]]) and rebuild the timestamp with integer `div` (a double
-  * division would lose precision above 2^53 ns).
+  * Timestamp normalization (this reader is the ONE place generator schema
+  * drift is absorbed):
+  *  - INT64 TIMESTAMP(NANOS) (earlier generator): Spark's vectorized
+  *    reader rejects it; read as raw Long (legacy.parquet.nanosAsLong, set
+  *    in [[Sessions]]) and rebuild with integer `div` (a double division
+  *    would lose precision above 2^53 ns).
+  *  - TIMESTAMP(MICROS) isAdjustedToUTC=false (current generator): Spark
+  *    reads it as TIMESTAMP_NTZ; cast to the session-zone TIMESTAMP
+  *    (session zone pinned to UTC in [[Sessions]], so the wall-clock
+  *    values are preserved bit-for-bit and match DuckDB's naive read).
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -22,7 +28,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df = raw.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(raw)((d, f) => d.withColumn(f.name, col(f.name).cast("timestamp")))
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
