@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+import org.apache.spark.sql.types._
 
 /** Reader for the driver's synthetic tables (TESTDATA.md).
   *
@@ -27,10 +27,37 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** True iff the type contains TimestampNTZ anywhere below the top level. */
+  private def hasNestedNtz(dt: DataType): Boolean = dt match {
+    case s: StructType => s.fields.exists(f => containsNtz(f.dataType))
+    case a: ArrayType  => containsNtz(a.elementType)
+    case m: MapType    => containsNtz(m.keyType) || containsNtz(m.valueType)
+    case _             => false
+  }
+  private def containsNtz(dt: DataType): Boolean = dt match {
+    case TimestampNTZType => true
+    case other            => hasNestedNtz(other)
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // the NTZ→TIMESTAMP cast below preserves wall-clock values only when
+    // the session zone is UTC (Sessions pins it); a drifted config would
+    // silently shift every timestamp, so fail loudly instead
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables requires spark.sql.session.timeZone=UTC (use graft.Sessions)")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // only top-level NTZ columns are normalized; a generator that starts
+    // emitting NTZ inside structs/arrays/maps must extend this, not slip
+    // through half-converted
+    raw.schema.fields.foreach { f =>
+      require(!hasNestedNtz(f.dataType),
+        s"nested TimestampNTZ in $name.${f.name} is not normalized by Tables")
+    }
     val df = raw.schema.fields.filter(_.dataType == TimestampNTZType)
-      .foldLeft(raw)((d, f) => d.withColumn(f.name, col(f.name).cast("timestamp")))
+      .foldLeft(raw)((d, f) =>
+        // backtick-quote: a dotted column name must resolve as the literal
+        // top-level column, not as a nested field path
+        d.withColumn(f.name, col(s"`${f.name}`").cast("timestamp")))
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
