@@ -90,6 +90,8 @@ object SparkEntry {
     "q_decontamination" -> ((s, dir) => TextOps.decontamination(s, dir)),
     "q_bloom_decontamination" -> ((s, dir) => TextOps.bloomDecontamination(s, dir)),
     "q_bpe_merges" -> ((s, dir) => TextOps.bpeMerges(s, dir)),
+    "q_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(s, dir)),
+    "q_packing_encoded" -> ((s, dir) => Packing.sequencePackingEncoded(s, dir)),
     "q_zorder_key" -> graft.warehouse.Layout.zOrderKeys,
     "q_stratified_sample" -> TextOps.stratifiedSample,
     "q_group_sample" -> ((s, dir) => TextOps.groupSample(s, dir)),
@@ -323,6 +325,36 @@ object SparkEntry {
   private def bpeStepSelect(i: Int): String =
     s"""SELECT $i AS step, pr AS pair, replace(pr, ' ', '') AS merged,
        CAST(total AS BIGINT) AS cnt FROM b$i"""
+
+  /** Encode-side fragments for q_bpe_encode / q_packing_encoded —
+    * generated from the same round CTEs as training so the merge
+    * application order and `replace` semantics are written once. The
+    * k merges are applied innermost-first (step 1 innermost = first),
+    * per WORD, never whole-document: a global rewrite could consume a
+    * word-final space and let a later merge match across a boundary.
+    */
+  private def bpeApplySql(spelled: String): String =
+    (1 to 5).foldLeft(spelled)((acc, i) =>
+      s"replace($acc,\n ' ' || b$i.pr || ' ', ' ' || replace(b$i.pr, ' ', '') || ' ')")
+
+  // CASE order = step order (first-match-wins), mirroring the engine's
+  // reversed when-chain; letters fall through to alphabet position
+  private def bpeIdCaseSql: String =
+    s"""CASE ${(1 to 5).map(i =>
+        s"WHEN s = replace(b$i.pr, ' ', '') THEN ${25 + i}").mkString(" ")}
+       ELSE ascii(s) - 97 END"""
+
+  /** Per-doc encoded symbol list: filter to the trained `^[a-z]+$` word
+    * population, spell, apply merges, split back to symbols, flatten.
+    */
+  private def bpeSymsCte: String =
+    s"""encw AS (SELECT doc_id, lang, list_transform(
+           list_filter($toks, w -> regexp_matches(w, '^[a-z]+$$')),
+           w -> ${bpeApplySql("' ' || array_to_string(regexp_extract_all(w, '[a-z]'), ' ') || ' '")}) AS ws
+         FROM documents, b1, b2, b3, b4, b5),
+       syms AS (SELECT doc_id, lang,
+           flatten(list_transform(ws, w -> string_split(trim(w), ' '))) AS syms
+         FROM encw)"""
 
   /** One unrolled PageRank round for the q_neardup_pagerank oracle —
     * generated so every round's integer arithmetic (rank div degree,
@@ -1091,6 +1123,29 @@ object SparkEntry {
          ${(1 to 5).map(bpeRoundCtes).mkString(",\n")}
          SELECT * FROM (${(1 to 5).map(bpeStepSelect).mkString(" UNION ALL ")})
          ORDER BY step""",
+    "q_bpe_encode" ->
+      s"""WITH $bpeSeedCtes,
+         ${(1 to 5).map(bpeRoundCtes).mkString(",\n")},
+         $bpeSymsCte
+         SELECT doc_id, lang, CAST(len(syms) AS BIGINT) AS n_tokens,
+           array_to_string(list_transform(syms,
+             s -> CAST($bpeIdCaseSql AS VARCHAR)), ' ') AS ids
+         FROM syms, b1, b2, b3, b4, b5
+         ORDER BY doc_id""",
+    "q_packing_encoded" ->
+      s"""WITH $bpeSeedCtes,
+         ${(1 to 5).map(bpeRoundCtes).mkString(",\n")},
+         $bpeSymsCte,
+         d AS (SELECT lang, doc_id, CAST(len(syms) AS BIGINT) AS n_tok FROM syms),
+         o AS (SELECT lang, doc_id, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tok AS off
+           FROM d)
+         SELECT lang, off // ${operators.Packing.PackBudget} AS bin,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM o GROUP BY lang, bin ORDER BY lang, bin""",
     // Identical oracle to q_decontamination by design: the bloom prune
     // has no false negatives and survivors are verified exactly, so the
     // pruned operator must reproduce the exact result bit for bit.

@@ -33,16 +33,42 @@ object Packing {
   def sequencePacking(s: SparkSession, dir: String,
                       budget: Int = PackBudget): DataFrame = {
     import s.implicits._
+    packCounts(
+      Tables(s, dir, "documents")
+        .select($"lang", $"doc_id",
+          text.wsTokenCount($"text").cast("long").as("n_tok")),
+      budget)
+  }
+
+  /** The packing core over any (lang, doc_id, n_tok) frame — one
+    * running-sum window per shard, then the bin rollup.
+    */
+  private def packCounts(counts: DataFrame, budget: Int): DataFrame = {
+    import counts.sparkSession.implicits._
     val w = Window.partitionBy($"lang").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(s, dir, "documents")
-      .select($"lang", $"doc_id", text.wsTokenCount($"text").cast("long").as("n_tok"))
+    counts
       .withColumn("off", sum($"n_tok").over(w) - $"n_tok")
       .withColumn("bin", expr(s"off div $budget"))
       .groupBy($"lang", $"bin")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
         min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
       .orderBy($"lang", $"bin")
+  }
+
+  /** Packing over ENGINE-produced token counts: the [[TextOps.bpeEncode]]
+    * per-doc `n_tokens` (the trained tokenizer applied to the corpus)
+    * replaces the whitespace proxy, closing the loop — the batch
+    * assembler consumes counts the engine computed, not a number the
+    * data generator happened to ship.
+    */
+  def sequencePackingEncoded(s: SparkSession, dir: String,
+                             budget: Int = PackBudget): DataFrame = {
+    import s.implicits._
+    packCounts(
+      TextOps.bpeEncode(s, dir)
+        .select($"lang", $"doc_id", $"n_tokens".as("n_tok")),
+      budget)
   }
 
   /** Sliding context windows over each document's token sequence:

@@ -346,6 +346,57 @@ object TextOps {
       .orderBy($"step")
   }
 
+  /** Distributed BPE encode: apply the trained merge table to the corpus.
+    *
+    * Training ([[bpeMerges]]) produces a k-row scalar merge table; the
+    * encode broadcasts it into the expression tree (k literal `replace`
+    * calls — the table IS the program) and rewrites every document at
+    * scan speed: no shuffle, no UDF, whole-stage codegen end to end.
+    * Per document: keep the same `^[a-z]+$` word population training
+    * learned from, spell each word as space-joined letters bracketed by
+    * spaces, apply the k merges IN STEP ORDER with the same left-to-right
+    * non-overlapping `replace` semantics as training (and the oracle),
+    * then flatten the per-word symbol runs into the document's token
+    * sequence. Word-at-a-time, never whole-document: a single global
+    * string rewrite could consume a word-final space and let a later
+    * merge match ACROSS a word boundary.
+    *
+    * Token ids are deterministic from the table alone: letters a–z get
+    * 0–25 (their alphabet position), the step-i merged symbol gets 25+i —
+    * the id space a tokenizer ships with its merges. Output per doc:
+    * `n_tokens` (the count [[Packing]] consumes instead of trusting a
+    * generator-provided number) and `ids`, the space-joined id sequence
+    * (pins the exact encoding for the oracle hash).
+    */
+  def bpeEncode(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val merges: Seq[(String, String)] = bpeMerges(s, dir, k).orderBy($"step")
+      .select($"pair", $"merged").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    def spell(w: Column): Column =
+      concat(lit(" "),
+        concat_ws(" ", regexp_extract_all(w, lit("[a-z]"), lit(0))), lit(" "))
+    def applyMerges(w: Column): Column =
+      merges.foldLeft(w) { case (c, (p, m)) => replace(c, lit(s" $p "), lit(s" $m ")) }
+    // first-match-wins in step order (two distinct pairs can in theory
+    // concat to the same merged string); reversed fold puts step 1
+    // outermost, mirroring the oracle's CASE branch order
+    def idFor(sym: Column): Column =
+      merges.zipWithIndex.reverse.foldLeft((ascii(sym) - lit(97)).cast("int")) {
+        case (els, ((_, m), i)) => when(sym === m, lit(26 + i)).otherwise(els)
+      }
+    docsFanned(s, dir)
+      .select($"doc_id", $"lang",
+        filter(text.tokensLower($"text"), w => w.rlike("^[a-z]+$")).as("words"))
+      .select($"doc_id", $"lang",
+        flatten(transform($"words",
+          w => split(trim(applyMerges(spell(w))), " "))).as("syms"))
+      .select($"doc_id", $"lang",
+        size($"syms").cast("long").as("n_tokens"),
+        concat_ws(" ", transform($"syms", sym => idFor(sym).cast("string"))).as("ids"))
+      .orderBy($"doc_id")
+  }
+
   /** Repetition quality signals (the Gopher-style filters): per document,
     * the distinct-token ratio, the most-frequent-token fraction, and the
     * fraction of 2-gram occurrences belonging to a repeated 2-gram. High

@@ -420,4 +420,43 @@ class TextOpsSpec extends SparkSpec {
     // the merges genuinely compose: later steps may merge earlier outputs
     assert(got.map(_._4).sliding(2).forall { case Seq(x, y) => x >= y; case _ => true })
   }
+
+  test("bpeEncode matches a sequential re-application of the trained merges") {
+    val merges = TextOps.bpeMerges(spark, sf).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.length === 5)
+    // engine tokenization reused (validated elsewhere); the reference
+    // re-applies the merges with java String.replace, which shares the
+    // SQL replace contract: left-to-right, non-overlapping, scan resumes
+    // AFTER the replacement (the engine, oracle, and reference must all
+    // agree on the consumed-boundary-space case)
+    val docWords = Tables(spark, sf, "documents")
+      .select($"doc_id", $"lang",
+        org.apache.spark.sql.functions.filter(
+          graft.functions.text.tokensLower($"text"),
+          w => w.rlike("^[a-z]+$")).as("words"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    def idOf(sym: String): Int = merges.indexWhere(_._2 == sym) match {
+      case -1 => sym.head - 'a'
+      case i  => 26 + i
+    }
+    val expected = docWords.map { case (id, lang, words) =>
+      val syms = words.flatMap { w =>
+        val spelled = " " + w.map(_.toString).mkString(" ") + " "
+        val enc = merges.foldLeft(spelled) { case (acc, (p, m)) =>
+          acc.replace(" " + p + " ", " " + m + " ")
+        }
+        enc.trim.split(" ").filter(_.nonEmpty)
+      }
+      (id, lang, syms.length.toLong, syms.map(idOf).mkString(" "))
+    }.sortBy(_._1).toSeq
+    val got = TextOps.bpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got === expected)
+    // packing on engine counts conserves tokens: bin sums == corpus total
+    val totalTokens = expected.map(_._3).sum
+    val packed = Packing.sequencePackingEncoded(spark, sf).collect()
+    assert(packed.map(_.getLong(3)).sum === totalTokens)
+  }
 }
