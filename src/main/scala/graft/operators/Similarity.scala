@@ -46,10 +46,12 @@ object Similarity {
     * join in `Dedup.bandSignatures`. All nBands×planesPerBand dots are
     * one scan-side projection BEFORE the band explode, so the corpus is
     * read once and only (vec_id, band, sig) rows — never the vectors —
-    * enter the candidate shuffle. In production the band table is
-    * written once at index build (bucketed by (band, sig)); deriving it
-    * inline here is the synthetic stand-in, exactly as with the MinHash
-    * index in `Dedup.incrementalLshPairs`.
+    * enter the candidate shuffle. For the incremental probe the
+    * corpus-side band table is written once at index build, bucketed by
+    * (band, sig) ([[writeEmbeddingBandIndex]]), and read shuffle-free —
+    * exactly as with the MinHash index in `Dedup.incrementalLshPairs`;
+    * the self-join pair generators still derive it inline (their join
+    * reads BOTH sides from the same frame).
     */
   /** Sentinel for "derive planesPerBand from the corpus size". */
   val AutoPlanes: Int = 0
@@ -360,10 +362,12 @@ object Similarity {
     * embedding pipeline runs per ingest (re-pairing the whole corpus per
     * batch is off the table at scale). Per-vector buckets are
     * independent of the rest of the corpus, so side-restricted band
-    * frames equal the full band table filtered — the index side is
-    * precomputable/bucketable by (band, sig) at index build. Candidates
-    * are verified with the exact cosine, same as the batch pair
-    * generator. Cost scales with the BATCH, never the corpus.
+    * frames equal the full band table filtered — which is what lets the
+    * index side be the STORED bucketed table ([[writeEmbeddingBandIndex]]
+    * via [[embeddingBandIndexFor]]), read shuffle-free on its (band,
+    * sig) bucketing. Candidates are verified with the exact cosine, same
+    * as the batch pair generator. Cost scales with the BATCH, never the
+    * corpus.
     */
   def incrementalEmbeddingPairs(s: SparkSession, dir: String,
                                 batchPred: Column = col("vec_id") % 4 === 3,
@@ -380,7 +384,7 @@ object Similarity {
     // whatever granularity the stored index was built with
     val r = if (planesPerBand > 0) planesPerBand else autoPlanesPerBand(e.count())
     val batchBands = bandedPlaneBuckets(e.filter(batchPred), r, nBands)
-    val indexBands = bandedPlaneBuckets(e.filter(!batchPred), r, nBands)
+    val indexBands = embeddingBandIndexFor(s, dir, batchPred, r, nBands)
     val cand = batchBands.alias("n")
       .join(indexBands.alias("i"),
         col("n.band") === col("i.band") && col("n.sig") === col("i.sig"))
@@ -393,6 +397,47 @@ object Similarity {
         round(vectors.dot($"va", $"vb") / ($"na" * $"nb"), 4).as("cos_sim"))
       .filter($"cos_sim" >= threshold)
       .orderBy($"new_vec", $"index_vec")
+  }
+
+  /** Persist the corpus-side embedding band table as a warehouse table
+    * bucketed (and sorted) by the probe join's key (band, sig) — the
+    * write-once index the incremental embedding probe reads without
+    * shuffling. `planesPerBand` must be the width probes will use
+    * ([[autoPlanesPerBand]] of the corpus size for the auto scheme);
+    * the sign projection is deterministic, so index and probe agree on
+    * the scheme by construction.
+    */
+  def writeEmbeddingBandIndex(s: SparkSession, dir: String, table: String,
+                              indexPred: Column, planesPerBand: Int,
+                              nBands: Int = 24, nBuckets: Int = 8): Unit = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", vectors.toDoubleArray($"embedding").as("v"))
+    bandedPlaneBuckets(e.filter(indexPred), planesPerBand, nBands)
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "band", "sig").sortBy("band", "sig")
+      .saveAsTable(table)
+  }
+
+  /** Build-once memo for the stored embedding band index (the embedding
+    * twin of `Dedup.bandIndexFor`): first use per (dir, scheme) writes
+    * the bucketed table, later probes read it. A changed corpus under
+    * the same path rebuilds explicitly via [[writeEmbeddingBandIndex]].
+    */
+  private[graft] def embeddingBandIndexFor(s: SparkSession, dir: String,
+                                           batchPred: Column, planesPerBand: Int,
+                                           nBands: Int): DataFrame = {
+    val key = Seq(dir, batchPred.toString, planesPerBand, nBands).mkString("|")
+    val table = "graft_emb_index_" + java.security.MessageDigest
+      .getInstance("MD5").digest(key.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    Dedup.indexBuildLock.synchronized {
+      if (!s.catalog.tableExists(table)) {
+        Dedup.dropStaleLocation(s, table)
+        writeEmbeddingBandIndex(s, dir, table, !batchPred, planesPerBand, nBands)
+      }
+    }
+    s.table(table)
   }
 
   /** Hard-negative mining for contrastive training: per probe vector,

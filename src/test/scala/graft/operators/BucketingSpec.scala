@@ -56,4 +56,62 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
     }
   }
+
+  /** The stored-index contract of the incremental probes: the index side
+    * of the batch-vs-index join must come straight off the bucketed scan
+    * with NO exchange between scan and join — only the (small) batch
+    * side may shuffle.
+    */
+  private def assertIndexSideUnshuffled(df: DataFrame, tablePrefix: String): Unit = {
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    def scansIndex(p: SparkPlan): Boolean = walk(p).exists {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(tablePrefix))
+      case _ => false
+    }
+    def isJoin(p: SparkPlan): Boolean =
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]
+    val joins = walk(df.queryExecution.executedPlan).filter(isJoin)
+    // the INNERMOST join over the index scan — the band-bucket probe
+    // itself, not a downstream join whose subtree happens to contain it
+    val probeJoin = joins.find(j => j.children.exists(c =>
+      scansIndex(c) && !walk(c).drop(1).exists(isJoin)))
+    assert(probeJoin.isDefined,
+      s"no join reads the $tablePrefix scan directly:\n" +
+        df.queryExecution.executedPlan.toString.take(3000))
+    val indexChild = probeJoin.get.children.find(c =>
+      scansIndex(c) && !walk(c).drop(1).exists(isJoin)).get
+    val shuffles = walk(indexChild).count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles === 0,
+      s"index side shuffled:\n${indexChild.toString.take(3000)}")
+  }
+
+  test("incremental LSH probe reads the stored band index without shuffling it") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = Dedup.incrementalLshPairs(spark, sf)
+      assertIndexSideUnshuffled(pairs, "graft_lsh_index_")
+      // and the explicit-index overload lands on the same stored table
+      val explicit = Dedup.incrementalLshPairs(spark, sf,
+        Dedup.bandIndexFor(spark, sf,
+          org.apache.spark.sql.functions.col("doc_id") % 4 === 3, 3, 12, 3),
+        org.apache.spark.sql.functions.col("doc_id") % 4 === 3, 3, 12, 3, false)
+      assert(pairs.collect().toSeq === explicit.collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("incremental embedding probe reads the stored band index without shuffling it") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = Similarity.incrementalEmbeddingPairs(spark, sf)
+      assertIndexSideUnshuffled(pairs, "graft_emb_index_")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
 }
