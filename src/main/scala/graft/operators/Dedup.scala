@@ -341,13 +341,39 @@ object Dedup {
     * intersection via the exploded-shingle equi-join (never per-row
     * arrays), shingle stream checkpointed once for its three consumers.
     */
+  /** One banding pass, materialized for fan-out: the MinHash-LSH
+    * candidate pair frame, localCheckpoint'ed so every graph consumer
+    * ([[containmentPairs]], [[nearDupPageRank]], [[sourceOverlap]],
+    * `Similarity.embeddingClusters`' text twin) reads the materialized
+    * pairs instead of re-running shingle→minhash→band→bucket-join per
+    * consumer. At 100 TB the banding pass is the dominant cost of every
+    * one of those queries — paying it once and fanning out is the whole
+    * point of generating candidates separately from consuming them.
+    */
+  def sharedLshPairs(s: SparkSession, dir: String, shingleSize: Int = 3,
+                     numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame =
+    lshPairsFromMins(
+      minhashMins(Tables(s, dir, "documents"), shingleSize, numHashes),
+      numHashes, rowsPerBand).localCheckpoint()
+
   def containmentPairs(s: SparkSession, dir: String,
                        shingleSize: Int = 3, numHashes: Int = 12,
                        rowsPerBand: Int = 3): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
     val mins = minhashMins(docs, shingleSize, numHashes).localCheckpoint()
-    val pairs = lshPairsFromMins(mins, numHashes, rowsPerBand)
+    containmentPairs(s, dir, lshPairsFromMins(mins, numHashes, rowsPerBand),
+      shingleSize)
+  }
+
+  /** Containment over a precomputed candidate pair frame (doc_a, doc_b) —
+    * normally [[sharedLshPairs]], so one banding pass feeds this and the
+    * other graph consumers.
+    */
+  def containmentPairs(s: SparkSession, dir: String, pairs: DataFrame,
+                       shingleSize: Int): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
     val sd = shingleStream(docs, shingleSize).distinct().localCheckpoint()
     val sizes = sd.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = pairs
@@ -388,9 +414,16 @@ object Dedup {
     * localCheckpointed per round (lineage rule at [[dedupClusters]]).
     * Isolated docs settle at the 0.15 baseline.
     */
-  def nearDupPageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  def nearDupPageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    nearDupPageRank(s, dir, minhashLshPairs(s, dir), iters)
+
+  /** PageRank over a precomputed candidate pair frame (doc_a, doc_b) —
+    * normally [[sharedLshPairs]].
+    */
+  def nearDupPageRank(s: SparkSession, dir: String, pairFrame: DataFrame,
+                      iters: Int): DataFrame = {
     import s.implicits._
-    val pairs = minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
+    val pairs = pairFrame.select($"doc_a", $"doc_b")
     val edges = pairs
       .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .toDF("src", "dst")
@@ -410,10 +443,16 @@ object Dedup {
     rank.select($"doc_id", $"r".as("pr")).orderBy($"doc_id")
   }
 
-  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlap(s, dir, minhashLshPairs(s, dir))
+
+  /** Overlap matrix over a precomputed candidate pair frame (doc_a,
+    * doc_b) — normally [[sharedLshPairs]].
+    */
+  def sourceOverlap(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
     import s.implicits._
     val src = Tables(s, dir, "documents").select($"doc_id", $"source")
-    minhashLshPairs(s, dir)
+    pairs
       .join(src.toDF("doc_a", "source_a"), Seq("doc_a"))
       .join(src.toDF("doc_b", "source_b"), Seq("doc_b"))
       .select(least($"source_a", $"source_b").as("source_x"),

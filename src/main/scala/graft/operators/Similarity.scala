@@ -476,11 +476,27 @@ object Similarity {
     * pair, matching the text convention.
     */
   def embeddingClusters(s: SparkSession, dir: String,
-                        threshold: Double = 0.3): DataFrame = {
+                        threshold: Double = 0.3): DataFrame =
+    embeddingClusters(s, embeddingNearDupPairs(s, dir, threshold))
+
+  /** One banding+verify pass, materialized for fan-out — the embedding
+    * twin of `Dedup.sharedLshPairs`: feed this to [[embeddingClusters]]
+    * (and any other consumer of the near-dup graph) so the hyperplane
+    * projection, bucket self-join, and exact-cosine verify run once, not
+    * once per consumer.
+    */
+  def sharedEmbeddingPairs(s: SparkSession, dir: String,
+                           threshold: Double = 0.3): DataFrame =
+    embeddingNearDupPairs(s, dir, threshold)
+      .select(col("vec_a"), col("vec_b")).localCheckpoint()
+
+  /** Clustering over a precomputed near-dup pair frame (vec_a, vec_b) —
+    * normally [[sharedEmbeddingPairs]].
+    */
+  def embeddingClusters(s: SparkSession, pairFrame: DataFrame): DataFrame = {
     import s.implicits._
-    val pairs = embeddingNearDupPairs(s, dir, threshold)
-      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
-    Dedup.dedupClusters(pairs)
+    Dedup.dedupClusters(
+        pairFrame.select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))
       .select($"doc_id".as("vec_id"), $"canon_id")
       .orderBy($"vec_id")
   }
