@@ -146,6 +146,7 @@ object SparkEntry {
     // -- multimodal metadata path (§7.4) -----------------------------------
     "q_blob_metadata" -> Multimodal.blobMetadata,
     "q_frame_samples" -> ((s, dir) => Multimodal.frameSampleStats(s, dir)),
+    "q_media_neardup" -> ((s, dir) => Multimodal.mediaNearDupPairs(s, dir)),
     // -- round-4 additions: exact-moment stats, window frames, islands -----
     "q_corr_stats" -> Relational.corrStats,
     "q_moving_avg_revenue" -> Relational.movingAvgRevenue,
@@ -296,6 +297,41 @@ object SparkEntry {
        sg AS (SELECT vec_id, j // 4 AS band,
            sum(CASE WHEN list_dot_product(v, p) > 0 THEN (1 << (j % 4)) ELSE 0 END) AS sig
          FROM e, pl GROUP BY vec_id, j // 4),
+       cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         FROM sg x JOIN sg y
+           ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)"""
+
+  /** Decoded-media feature + banded-LSH fragments for q_media_neardup —
+    * the 8-dim twin of [[EmbLshSigCte]] (6 planes × 8 bands; fixed, not
+    * adaptive, because 8-dim sign-LSH saturates and the scheme must be
+    * reproducible here at any SF). Features mirror
+    * Multimodal.FakeDecoder: per residue class mod 8, the exact integer
+    * byte sum (documents are ASCII, so byte i = unicode of char i), one
+    * float division at the end; centering is the explicit left-to-right
+    * 8-term mean the engine writes out. Zero vectors drop before
+    * banding on both sides.
+    */
+  private val MediaFeatureCtes =
+    """fe AS (SELECT doc_id AS vec_id,
+           list_transform(generate_series(0, 7), j ->
+             CAST(coalesce(list_sum(list_transform(generate_series(1, length(text)),
+               i -> CASE WHEN (i - 1) % 8 = j THEN unicode(text[i:i]) ELSE 0 END)), 0)
+               / 255.0 AS FLOAT)) AS vf
+         FROM documents),
+       ed AS (SELECT vec_id, CAST(vf AS DOUBLE[]) AS vd FROM fe),
+       e AS (SELECT vec_id, list_transform(vd,
+             x -> x - (vd[1]+vd[2]+vd[3]+vd[4]+vd[5]+vd[6]+vd[7]+vd[8]) / 8.0) AS v
+         FROM ed),
+       e2 AS (SELECT vec_id, v FROM e WHERE list_dot_product(v, v) > 0),
+       pl AS (SELECT j, list(comp ORDER BY d) AS p FROM (
+           SELECT j, d,
+             (CAST(concat('0x', substring(md5(concat(CAST(j AS VARCHAR), ':', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0 AS comp
+           FROM (SELECT unnest(generate_series(0, 47)) AS j),
+                (SELECT unnest(generate_series(0, 7)) AS d))
+         GROUP BY j),
+       sg AS (SELECT vec_id, j // 6 AS band,
+           sum(CASE WHEN list_dot_product(v, p) > 0 THEN (1 << (j % 6)) ELSE 0 END) AS sig
+         FROM e2, pl GROUP BY vec_id, j // 6),
        cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
          FROM sg x JOIN sg y
            ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)"""
@@ -989,6 +1025,14 @@ object SparkEntry {
          FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
          ORDER BY vec_a, vec_b""",
+    "q_media_neardup" ->
+      s"""WITH $MediaFeatureCtes
+         SELECT c.vec_a AS asset_a, c.vec_b AS asset_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+         FROM cand c JOIN e2 a ON a.vec_id = c.vec_a
+           JOIN e2 b ON b.vec_id = c.vec_b
+         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.8
+         ORDER BY asset_a, asset_b""",
     "q_embedding_lsh_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),

@@ -138,22 +138,37 @@ object Similarity {
                             nBands: Int = 24,
                             multiProbe: Boolean = false): DataFrame = {
     import s.implicits._
-    // vectors+norms feed the band projection and both verify joins;
-    // checkpoint or the 96-dot band subtree plans and runs per consumer.
-    // The repartition pins parallelism BEFORE the checkpoint: the corpus
-    // parquet is a single small file at test SF, and without it the whole
-    // band self-join (the stage that emits the multi-million-row
-    // candidate stream) inherits one partition and serializes onto one
-    // task (measured 5.1s -> 0.6s at sf0.1).
-    val e = Tables(s, dir, "embeddings")
+    val e0 = Tables(s, dir, "embeddings")
       .select($"vec_id", vectors.toDoubleArray($"embedding").as("v"))
+    val r = if (planesPerBand > 0) planesPerBand else autoPlanesPerBand(e0.count())
+    bandedPairsCore(e0, threshold, r, nBands, 64, multiProbe)
+  }
+
+  /** The banded near-dup engine over ANY (vec_id, v: array<double>)
+    * frame — text embeddings use it with dim 64, decoded media feature
+    * vectors (`Multimodal.mediaNearDupPairs`) with dim 8. Band
+    * projection, bucket self-join, exact-cosine verify on candidates.
+    *
+    * Vectors+norms feed the band projection and both verify joins;
+    * checkpoint or the nBands×r-dot band subtree plans and runs per
+    * consumer. The repartition pins parallelism BEFORE the checkpoint:
+    * the corpus parquet is a single small file at test SF, and without
+    * it the whole band self-join (the stage that emits the multi-
+    * million-row candidate stream) inherits one partition and
+    * serializes onto one task (measured 5.1s -> 0.6s at sf0.1).
+    */
+  private[graft] def bandedPairsCore(e0: DataFrame, threshold: Double,
+                                     r: Int, nBands: Int, dim: Int,
+                                     multiProbe: Boolean): DataFrame = {
+    val s = e0.sparkSession
+    import s.implicits._
+    val e = e0.select($"vec_id", $"v")
       .withColumn("nrm", vectors.l2Norm($"v"))
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"vec_id")
       .localCheckpoint()
-    val r = if (planesPerBand > 0) planesPerBand else autoPlanesPerBand(e.count())
     // both join sides read the band frame — checkpoint it or the
     // nBands x r hyperplane-dot projection runs once per side
-    val bands = bandedPlaneBuckets(e, r, nBands).localCheckpoint()
+    val bands = bandedPlaneBuckets(e, r, nBands, dim).localCheckpoint()
     val cand = withProbes(bands, r, multiProbe).alias("x")
       .join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&

@@ -68,4 +68,57 @@ class MultimodalSpec extends SparkSpec {
       .sortBy { case (id, c) => (-c, id) }.take(5)
     assert(topk.toSeq === expected)
   }
+
+  test("mediaNearDupPairs and mediaClusters match a sequential recount") {
+    // sequential reference: same decoder, same centering, same plane
+    // scheme (6 planes x 8 bands), all-pairs — affordable at sf0.001
+    val raw = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> Multimodal.FakeDecoder.features(
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val centered = raw.map { case (id, f) =>
+      val d = f.map(_.toDouble)
+      val mean = d.reduceLeft(_ + _) / 8.0
+      id -> d.map(_ - mean)
+    }.filter { case (_, v) => v.map(x => x * x).sum > 0 }.sortBy(_._1)
+    def sig(v: Array[Double], band: Int): Int =
+      (0 until 6).map { k =>
+        val j = band * 6 + k
+        val dot = (0 until 8).map(d =>
+          v(d) * Similarity.planeComponent(j, d)).sum
+        if (dot > 0) 1 << k else 0
+      }.sum
+    val sigs = centered.map { case (id, v) =>
+      id -> (0 until 8).map(b => sig(v, b)) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = (0 until 8).map(i => a(i) * b(i)).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      (a, va) <- centered; (b, vb) <- centered if a < b
+      if (0 until 8).exists(band => sigs(a)(band) == sigs(b)(band))
+      c = r4(cos(va, vb)) if c >= 0.8
+    } yield (a, b, c)).sortBy(p => (p._1, p._2)).toSeq
+    val got = Multimodal.mediaNearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "degenerate test: no media near-dup pairs at sf0.001")
+    // clusters: connected components over those pairs, canonical min id
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    expected.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = expected.flatMap(p => Seq(p._1, p._2)).distinct
+    val expClusters = members.map(m => (m, find(m))).sortBy(_._1)
+    val gotClusters = Multimodal.mediaClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotClusters === expClusters)
+  }
 }
