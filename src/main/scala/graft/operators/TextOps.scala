@@ -368,32 +368,51 @@ object TextOps {
     * generator-provided number) and `ids`, the space-joined id sequence
     * (pins the exact encoding for the oracle hash).
     */
-  def bpeEncode(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import s.implicits._
-    val merges: Seq[(String, String)] = bpeMerges(s, dir, k).orderBy($"step")
-      .select($"pair", $"merged").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq
+  /** The encode expressions for a trained merge table, shared by the
+    * batch encode and the streaming tokenize gate (the table is driver
+    * data; the expressions ARE the program). `bpeSymsCol`: text → the
+    * document's symbol sequence; `bpeIdFor`: symbol → token id.
+    */
+  private[graft] def bpeSymsCol(textCol: Column,
+                                merges: Seq[(String, String)]): Column = {
     def spell(w: Column): Column =
       concat(lit(" "),
         concat_ws(" ", regexp_extract_all(w, lit("[a-z]"), lit(0))), lit(" "))
     def applyMerges(w: Column): Column =
       merges.foldLeft(w) { case (c, (p, m)) => replace(c, lit(s" $p "), lit(s" $m ")) }
-    // first-match-wins in step order (two distinct pairs can in theory
-    // concat to the same merged string); reversed fold puts step 1
-    // outermost, mirroring the oracle's CASE branch order
-    def idFor(sym: Column): Column =
-      merges.zipWithIndex.reverse.foldLeft((ascii(sym) - lit(97)).cast("int")) {
-        case (els, ((_, m), i)) => when(sym === m, lit(26 + i)).otherwise(els)
-      }
+    flatten(transform(
+      filter(text.tokensLower(textCol), w => w.rlike("^[a-z]+$")),
+      w => split(trim(applyMerges(spell(w))), " ")))
+  }
+
+  /** First-match-wins in step order (two distinct pairs can in theory
+    * concat to the same merged string); reversed fold puts step 1
+    * outermost, mirroring the oracle's CASE branch order.
+    */
+  private[graft] def bpeIdFor(sym: Column,
+                              merges: Seq[(String, String)]): Column =
+    merges.zipWithIndex.reverse.foldLeft((ascii(sym) - lit(97)).cast("int")) {
+      case (els, ((_, m), i)) => when(sym === m, lit(26 + i)).otherwise(els)
+    }
+
+  /** Collect the trained merge table in step order (k driver rows — the
+    * artifact the encode broadcasts into its expressions).
+    */
+  def bpeMergeTable(s: SparkSession, dir: String, k: Int = 5): Seq[(String, String)] = {
+    import s.implicits._
+    bpeMerges(s, dir, k).orderBy($"step")
+      .select($"pair", $"merged").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  def bpeEncode(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val merges = bpeMergeTable(s, dir, k)
     docsFanned(s, dir)
-      .select($"doc_id", $"lang",
-        filter(text.tokensLower($"text"), w => w.rlike("^[a-z]+$")).as("words"))
-      .select($"doc_id", $"lang",
-        flatten(transform($"words",
-          w => split(trim(applyMerges(spell(w))), " "))).as("syms"))
+      .select($"doc_id", $"lang", bpeSymsCol($"text", merges).as("syms"))
       .select($"doc_id", $"lang",
         size($"syms").cast("long").as("n_tokens"),
-        concat_ws(" ", transform($"syms", sym => idFor(sym).cast("string"))).as("ids"))
+        concat_ws(" ", transform($"syms", sym => bpeIdFor(sym, merges).cast("string"))).as("ids"))
       .orderBy($"doc_id")
   }
 

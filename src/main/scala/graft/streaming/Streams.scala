@@ -239,6 +239,79 @@ object Streams {
       ()
     }
 
+  /** Streaming tokenize→pack→shard sink: the foreachBatch twin of the
+    * batch assembly chain (`TextOps.bpeEncode` →
+    * `Packing.sequencePackingEncoded` → JSONL shards). Each micro-batch
+    * of documents is tokenized with the FROZEN trained merge table (the
+    * same expressions as the batch encode — shared via
+    * `TextOps.bpeSymsCol`, designed batch-side exactly like the
+    * mixture-filter's rates), then packed against a persisted per-lang
+    * running token offset so bin assignment continues seamlessly across
+    * micro-batches, and appended as JSONL under `dstDir` partitioned by
+    * (lang, bin). For an append-only ingest arriving in doc_id order the
+    * shard contents equal the batch export over the union — the property
+    * the spec pins.
+    *
+    * Exactly-once: the tiny `_pack_state` table carries (lang, next_off)
+    * plus the last committed batch id; a replayed micro-batch (id ≤
+    * committed) is skipped whole, and the data write itself goes through
+    * Spark's committer (no half-visible shard files). State is
+    * rewritten via write-new-then-swap so a crash between data and state
+    * commits at a batch boundary, never half a batch.
+    */
+  def tokenizePackShardSink(docs: DataFrame, merges: Seq[(String, String)],
+                            dstDir: String,
+                            budget: Int = graft.operators.Packing.PackBudget)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import org.apache.spark.sql.expressions.Window
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val statePath = new org.apache.hadoop.fs.Path(dstDir, "_pack_state")
+      val fs = statePath.getFileSystem(hconf)
+      val (state, committedId) =
+        if (!fs.exists(statePath)) (Map.empty[String, Long], -1L)
+        else {
+          val rows = spark.read.parquet(statePath.toString).collect()
+          (rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+            rows.map(_.getLong(2)).foldLeft(-1L)(math.max))
+        }
+      if (batchId > committedId) {
+        val syms = graft.operators.TextOps.bpeSymsCol(col("text"), merges)
+        val enc = batch
+          .select(col("doc_id"), col("lang"),
+            size(syms).cast("long").as("n_tok"),
+            concat_ws(" ", transform(syms,
+              s => graft.operators.TextOps.bpeIdFor(s, merges).cast("string")))
+              .as("ids"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val baseOf = state.foldLeft(lit(0L)) { case (els, (lang, off)) =>
+          when(col("lang") === lang, lit(off)).otherwise(els)
+        }
+        val packed = enc
+          .withColumn("off", baseOf + sum(col("n_tok")).over(w) - col("n_tok"))
+          .withColumn("bin", expr(s"off div $budget"))
+          .localCheckpoint()
+        packed
+          .select(col("lang"), col("bin"),
+            to_json(struct(col("doc_id"), col("n_tok"), col("off"), col("ids")),
+              Map("ignoreNullFields" -> "false")).as("value"))
+          .write.mode("append").partitionBy("lang", "bin").text(dstDir)
+        val newTotals = packed.groupBy(col("lang"))
+          .agg(max(col("off") + col("n_tok")).as("next_off")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val merged = (state ++ newTotals).toSeq
+        val tmp = new org.apache.hadoop.fs.Path(dstDir, "_pack_state_tmp")
+        spark.createDataFrame(merged.map { case (l, o) => (l, o, batchId) })
+          .toDF("lang", "next_off", "batch_id")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(statePath)) fs.delete(statePath, true)
+        fs.rename(tmp, statePath)
+      }
+      ()
+    }
+
   /** Stream-stream interval join — the streaming twin of
     * Relational.attributionRangeJoin: each purchase joined to the same
     * user's clicks in the preceding `window`. Both sides carry watermarks

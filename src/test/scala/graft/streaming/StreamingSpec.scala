@@ -129,6 +129,58 @@ class StreamingSpec extends SparkSpec {
     assert(aDrawn.nonEmpty && aDrawn.subsetOf(aAll) && aDrawn.size < aAll.size)
   }
 
+  test("tokenize-pack-shard stream equals the batch export on identical docs") {
+    val dst = java.nio.file.Files.createTempDirectory("pack-shards").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pack-ckpt").toString
+    val merges = graft.operators.TextOps.bpeMergeTable(spark, sf)
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"lang", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = Streams.tokenizePackShardSink(
+        input.toDF().toDF("doc_id", "lang", "text"), merges, dst)
+      .option("checkpointLocation", ckpt).start()
+    // append-only ingest in doc_id order, three micro-batches
+    docs.grouped(math.max(docs.length / 3, 1)).foreach { g =>
+      input.addData(g); q.processAllAvailable()
+    }
+    q.stop()
+    // read the shards back: partition dirs carry (lang, bin), payload
+    // carries the encoded doc
+    val payload = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tok",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("off",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ids",
+        org.apache.spark.sql.types.StringType)))
+    val shards = spark.read.text(dst)
+      .select(col("lang"), col("bin"),
+        from_json(col("value"), payload).as("p"))
+      .select($"lang", $"bin".cast("long").as("bin"), $"p.doc_id", $"p.n_tok", $"p.ids")
+    // bin rollup == the batch packing over the same encoded counts
+    val gotBins = shards.groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"lang", $"bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val expBins = graft.operators.Packing.sequencePackingEncoded(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(gotBins === expBins)
+    // per-doc token ids equal the batch encode (the tokenizer itself)
+    val gotIds = shards.select($"doc_id", $"n_tok", $"ids").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    val expIds = graft.operators.TextOps.bpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(gotIds === expIds)
+    assert(gotBins.map(_._3).sum === docs.length.toLong)
+  }
+
   test("round-trip: parse -> filter -> serialize preserves the wire shape") {
     val input = MemoryStream[String](spark)
     val q = Streams.toArrivalValue(Streams.parseArrivals(input.toDF()))
