@@ -302,9 +302,9 @@ object SparkEntry {
            ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)"""
 
   /** Decoded-media feature + banded-LSH fragments for q_media_neardup —
-    * the 8-dim twin of [[EmbLshSigCte]] (6 planes × 8 bands; fixed, not
-    * adaptive, because 8-dim sign-LSH saturates and the scheme must be
-    * reproducible here at any SF). Features mirror
+    * the 8-dim twin of [[EmbLshSigCte]] (8 bands × the width
+    * autoPlanesPerBand yields at the oracle SFs, which is the floor 4 —
+    * same convention as the embedding oracle). Features mirror
     * Multimodal.FakeDecoder: per residue class mod 8, the exact integer
     * byte sum (documents are ASCII, so byte i = unicode of char i), one
     * float division at the end; centering is the explicit left-to-right
@@ -326,12 +326,12 @@ object SparkEntry {
        pl AS (SELECT j, list(comp ORDER BY d) AS p FROM (
            SELECT j, d,
              (CAST(concat('0x', substring(md5(concat(CAST(j AS VARCHAR), ':', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0 AS comp
-           FROM (SELECT unnest(generate_series(0, 47)) AS j),
+           FROM (SELECT unnest(generate_series(0, 31)) AS j),
                 (SELECT unnest(generate_series(0, 7)) AS d))
          GROUP BY j),
-       sg AS (SELECT vec_id, j // 6 AS band,
-           sum(CASE WHEN list_dot_product(v, p) > 0 THEN (1 << (j % 6)) ELSE 0 END) AS sig
-         FROM e2, pl GROUP BY vec_id, j // 6),
+       sg AS (SELECT vec_id, j // 4 AS band,
+           sum(CASE WHEN list_dot_product(v, p) > 0 THEN (1 << (j % 4)) ELSE 0 END) AS sig
+         FROM e2, pl GROUP BY vec_id, j // 4),
        cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
          FROM sg x JOIN sg y
            ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)"""

@@ -131,19 +131,27 @@ object Multimodal {
   /** Media near-dup: decoded feature vectors through the same banded
     * sign-LSH + exact-cosine-verify path as the text embeddings
     * (`Similarity.bandedPairsCore`) — the image-dedup operator a
-    * multimodal corpus runs before training. Fixed (6-plane, 8-band)
-    * scheme: 8-dim vectors saturate sign diversity quickly, and at
-    * threshold 0.8 this keeps ~22% of pairs as candidates at 96% recall
-    * (measured at sf0.01); zero-vectors (uniform payloads) are dropped
-    * on both engine and oracle sides before banding.
+    * multimodal corpus runs before training. Band width defaults to the
+    * same `autoPlanesPerBand` discipline as the embedding path (4 at the
+    * oracle SFs — the value the SQL oracle hardcodes — wider at stress
+    * sizes), so expected bucket occupancy stays constant and candidate
+    * mass ~linear as the corpus grows; the price is recall at wider r,
+    * the standard LSH trade the embedding recall audits quantify.
+    * Zero-vectors (uniform payloads) are dropped on both engine and
+    * oracle sides before banding.
     */
   def mediaNearDupPairs(s: SparkSession, dir: String,
                         threshold: Double = 0.8,
-                        planesPerBand: Int = 6, nBands: Int = 8): DataFrame = {
+                        planesPerBand: Int = Similarity.AutoPlanes,
+                        nBands: Int = 8): DataFrame = {
     import s.implicits._
     val feats = mediaFeatureVectors(s, dir)
       .filter(graft.functions.vectors.dot($"v", $"v") > 0)
-    Similarity.bandedPairsCore(feats, threshold, planesPerBand, nBands,
+    // width sized from the ASSET count (a metadata-cheap parquet count),
+    // not a decode pass over the payloads
+    val r = if (planesPerBand > 0) planesPerBand
+            else Similarity.autoPlanesPerBand(Tables(s, dir, "documents").count())
+    Similarity.bandedPairsCore(feats, threshold, r, nBands,
         FakeDecoder.FeatureDim, multiProbe = false)
       .select($"vec_a".as("asset_a"), $"vec_b".as("asset_b"), $"cos_sim")
   }
@@ -154,7 +162,8 @@ object Multimodal {
     */
   def mediaClusters(s: SparkSession, dir: String,
                     threshold: Double = 0.8,
-                    planesPerBand: Int = 6, nBands: Int = 8): DataFrame = {
+                    planesPerBand: Int = Similarity.AutoPlanes,
+                    nBands: Int = 8): DataFrame = {
     import s.implicits._
     Similarity.embeddingClusters(s,
         mediaNearDupPairs(s, dir, threshold, planesPerBand, nBands)

@@ -71,19 +71,21 @@ class MultimodalSpec extends SparkSpec {
 
   test("mediaNearDupPairs and mediaClusters match a sequential recount") {
     // sequential reference: same decoder, same centering, same plane
-    // scheme (6 planes x 8 bands), all-pairs — affordable at sf0.001
+    // scheme (8 bands x the auto width for this corpus size), all-pairs
+    // — affordable at sf0.001
     val raw = graft.Tables(spark, sf, "documents")
       .select($"doc_id", $"text").collect()
       .map(r => r.getLong(0) -> Multimodal.FakeDecoder.features(
         r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val rw = Similarity.autoPlanesPerBand(raw.length.toLong)
     val centered = raw.map { case (id, f) =>
       val d = f.map(_.toDouble)
       val mean = d.reduceLeft(_ + _) / 8.0
       id -> d.map(_ - mean)
     }.filter { case (_, v) => v.map(x => x * x).sum > 0 }.sortBy(_._1)
     def sig(v: Array[Double], band: Int): Int =
-      (0 until 6).map { k =>
-        val j = band * 6 + k
+      (0 until rw).map { k =>
+        val j = band * rw + k
         val dot = (0 until 8).map(d =>
           v(d) * Similarity.planeComponent(j, d)).sum
         if (dot > 0) 1 << k else 0
