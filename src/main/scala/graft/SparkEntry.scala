@@ -147,6 +147,7 @@ object SparkEntry {
     "q_blob_metadata" -> Multimodal.blobMetadata,
     "q_frame_samples" -> ((s, dir) => Multimodal.frameSampleStats(s, dir)),
     "q_media_neardup" -> ((s, dir) => Multimodal.mediaNearDupPairs(s, dir)),
+    "q_media_lsh_recall" -> ((s, dir) => Multimodal.mediaLshRecall(s, dir)),
     // -- round-4 additions: exact-moment stats, window frames, islands -----
     "q_corr_stats" -> Relational.corrStats,
     "q_moving_avg_revenue" -> Relational.movingAvgRevenue,
@@ -1033,6 +1034,21 @@ object SparkEntry {
            JOIN e2 b ON b.vec_id = c.vec_b
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.8
          ORDER BY asset_a, asset_b""",
+    "q_media_lsh_recall" ->
+      s"""WITH $MediaFeatureCtes,
+         truth AS (SELECT p.vec_id AS vec_a, o.vec_id AS vec_b,
+             round(list_cosine_similarity(p.v, o.v), 4) AS cos_sim
+           FROM e2 p JOIN e2 o ON p.vec_id < o.vec_id AND p.vec_id < 100
+           WHERE round(list_cosine_similarity(p.v, o.v), 4) >= 0.8)
+         SELECT round(t.cos_sim, 1) AS cos_bucket,
+           count(*) AS n_true,
+           CAST(sum(CASE WHEN c.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_caught,
+           round(CAST(sum(CASE WHEN c.vec_a IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 4) AS recall
+         FROM truth t LEFT JOIN (SELECT * FROM cand WHERE vec_a < 100) c
+           ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b
+         GROUP BY 1 ORDER BY cos_bucket""",
     "q_embedding_lsh_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),

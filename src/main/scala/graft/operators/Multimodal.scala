@@ -156,6 +156,25 @@ object Multimodal {
       .select($"vec_a".as("asset_a"), $"vec_b".as("asset_b"), $"cos_sim")
   }
 
+  /** Recall audit for the media LSH — the decoded-media twin of
+    * `Similarity.embeddingLshRecall`, over the same centered feature
+    * vectors and band scheme as [[mediaNearDupPairs]]: per similarity
+    * bucket, what fraction of TRUE near-dups the bucket join catches.
+    * This is the measurement that justifies (and bounds) the adaptive
+    * band width at scale.
+    */
+  def mediaLshRecall(s: SparkSession, dir: String, threshold: Double = 0.8,
+                     planesPerBand: Int = Similarity.AutoPlanes,
+                     nBands: Int = 8, nProbes: Int = 100): DataFrame = {
+    import s.implicits._
+    val feats = mediaFeatureVectors(s, dir)
+      .filter(graft.functions.vectors.dot($"v", $"v") > 0)
+    val r = if (planesPerBand > 0) planesPerBand
+            else Similarity.autoPlanesPerBand(Tables(s, dir, "documents").count())
+    Similarity.lshRecallCore(feats, threshold, r, nBands,
+      FakeDecoder.FeatureDim, nProbes, multiProbe = false)
+  }
+
   /** Near-dup clusters over the media feature space — the decoded-media
     * twin of `Similarity.embeddingClusters`, riding the same
     * connected-components path over [[mediaNearDupPairs]].

@@ -198,9 +198,32 @@ object Similarity {
                          nProbes: Int = 100,
                          multiProbe: Boolean = false): DataFrame = {
     import s.implicits._
-    // same parallelism pin as the pair generator (single-file corpus)
-    val e = Tables(s, dir, "embeddings")
+    val e0 = Tables(s, dir, "embeddings")
       .select($"vec_id", vectors.toDoubleArray($"embedding").as("v"))
+    val r = if (planesPerBand > 0) planesPerBand else autoPlanesPerBand(e0.count())
+    lshRecallCore(e0, threshold, r, nBands, 64, nProbes, multiProbe)
+  }
+
+  /** The recall-audit core over ANY (vec_id, v) frame — the acceptance
+    * gate that quantifies what the bucket join trades for its bounded
+    * pair space, per similarity bucket; media features audit through it
+    * with dim 8 (`Multimodal.mediaLshRecall`). The exact side is
+    * affordable at any scale because it is probe×corpus (a broadcast of
+    * the probes against one scan), never corpus².
+    *
+    * NO checkpoint on the band frame here (unlike the pair generator):
+    * the x side filters to the nProbes smallest vec_ids and Catalyst
+    * pushes that filter below the band projection, so its "recompute"
+    * costs ~nProbes vectors — cheaper than materializing the full
+    * frame (measured 1.8s vs 0.6s at sf0.1 with the checkpoint).
+    */
+  private[graft] def lshRecallCore(e0: DataFrame, threshold: Double, r: Int,
+                                   nBands: Int, dim: Int, nProbes: Int,
+                                   multiProbe: Boolean): DataFrame = {
+    val s = e0.sparkSession
+    import s.implicits._
+    // same parallelism pin as the pair generator (single-file corpus)
+    val e = e0.select($"vec_id", $"v")
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"vec_id")
       .localCheckpoint()
     val probes = e.filter($"vec_id" < nProbes)
@@ -209,14 +232,8 @@ object Similarity {
       .select($"vec_a", col("o.vec_id").as("vec_b"),
         round(vectors.cosineSimilarity($"va", col("o.v")), 4).as("cos_sim"))
       .filter($"cos_sim" >= threshold)
-    // audit the SAME band width the pair generator would use.
-    // NO checkpoint on the band frame here (unlike the pair generator):
-    // the x side filters to the nProbes smallest vec_ids and Catalyst
-    // pushes that filter below the band projection, so its "recompute"
-    // costs ~nProbes vectors — cheaper than materializing the full
-    // frame (measured 1.8s vs 0.6s at sf0.1 with the checkpoint)
-    val r = if (planesPerBand > 0) planesPerBand else autoPlanesPerBand(e.count())
-    val bands = bandedPlaneBuckets(e, r, nBands)
+    // audit the SAME band width the pair generator would use
+    val bands = bandedPlaneBuckets(e, r, nBands, dim)
     val cand = withProbes(bands, r, multiProbe).alias("x")
       .join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&

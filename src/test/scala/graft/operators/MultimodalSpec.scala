@@ -122,5 +122,24 @@ class MultimodalSpec extends SparkSpec {
     val gotClusters = Multimodal.mediaClusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(gotClusters === expClusters)
+
+    // recall audit cross-check: with nProbes covering every doc at this
+    // SF, truth = all-pairs cos >= 0.8 and caught = the pair generator's
+    // output (candidates ∩ truth) — so the audit's totals must reconcile
+    // exactly with the two frames already recounted above
+    val truthAll = (for {
+      (a, va) <- centered; (b, vb) <- centered if a < b
+      c = r4(cos(va, vb)) if c >= 0.8
+    } yield (a, b, c)).toSeq
+    val audit = Multimodal.mediaLshRecall(spark, sf, nProbes = 100000).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(audit.map(_._2).sum === truthAll.length.toLong)
+    assert(audit.map(_._3).sum === expected.length.toLong)
+    audit.foreach { case (_, nTrue, nCaught, recall) =>
+      assert(nCaught <= nTrue)
+      assert(recall ===
+        BigDecimal(nCaught.toDouble / nTrue)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
   }
 }
