@@ -396,14 +396,25 @@ object TextOps {
     }
 
   /** Collect the trained merge table in step order (k driver rows — the
-    * artifact the encode broadcasts into its expressions).
+    * artifact the encode broadcasts into its expressions). Train-once
+    * memo per (dir, k): a tokenizer is trained once and applied many
+    * times, so every encode consumer in a session reuses the first
+    * training run — the same stored-artifact contract as the band
+    * index (a changed corpus under the same path retrains explicitly
+    * via [[bpeMerges]]).
     */
-  def bpeMergeTable(s: SparkSession, dir: String, k: Int = 5): Seq[(String, String)] = {
-    import s.implicits._
-    bpeMerges(s, dir, k).orderBy($"step")
-      .select($"pair", $"merged").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq
-  }
+  def bpeMergeTable(s: SparkSession, dir: String, k: Int = 5): Seq[(String, String)] =
+    mergeTableMemo.synchronized {
+      mergeTableMemo.getOrElseUpdate((dir, k), {
+        import s.implicits._
+        bpeMerges(s, dir, k).orderBy($"step")
+          .select($"pair", $"merged").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+      })
+    }
+
+  private val mergeTableMemo =
+    scala.collection.mutable.Map.empty[(String, Int), Seq[(String, String)]]
 
   def bpeEncode(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import s.implicits._
