@@ -91,6 +91,7 @@ object SparkEntry {
     "q_bloom_decontamination" -> ((s, dir) => TextOps.bloomDecontamination(s, dir)),
     "q_bpe_merges" -> ((s, dir) => TextOps.bpeMerges(s, dir)),
     "q_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(s, dir)),
+    "q_bpe_vocab_stats" -> ((s, dir) => TextOps.bpeVocabStats(s, dir)),
     "q_packing_encoded" -> ((s, dir) => Packing.sequencePackingEncoded(s, dir)),
     "q_zorder_key" -> graft.warehouse.Layout.zOrderKeys,
     "q_stratified_sample" -> TextOps.stratifiedSample,
@@ -376,10 +377,10 @@ object SparkEntry {
 
   // CASE order = step order (first-match-wins), mirroring the engine's
   // reversed when-chain; letters fall through to alphabet position
-  private def bpeIdCaseSql: String =
+  private def bpeIdCaseSql(sym: String = "s"): String =
     s"""CASE ${(1 to 5).map(i =>
-        s"WHEN s = replace(b$i.pr, ' ', '') THEN ${25 + i}").mkString(" ")}
-       ELSE ascii(s) - 97 END"""
+        s"WHEN $sym = replace(b$i.pr, ' ', '') THEN ${25 + i}").mkString(" ")}
+       ELSE ascii($sym) - 97 END"""
 
   /** Per-doc encoded symbol list: filter to the trained `^[a-z]+$` word
     * population, spell, apply merges, split back to symbols, flatten.
@@ -1189,9 +1190,19 @@ object SparkEntry {
          $bpeSymsCte
          SELECT doc_id, lang, CAST(len(syms) AS BIGINT) AS n_tokens,
            array_to_string(list_transform(syms,
-             s -> CAST($bpeIdCaseSql AS VARCHAR)), ' ') AS ids
+             s -> CAST(${bpeIdCaseSql()} AS VARCHAR)), ' ') AS ids
          FROM syms, b1, b2, b3, b4, b5
          ORDER BY doc_id""",
+    "q_bpe_vocab_stats" ->
+      s"""WITH $bpeSeedCtes,
+         ${(1 to 5).map(bpeRoundCtes).mkString(",\n")},
+         $bpeSymsCte,
+         u AS (SELECT unnest(syms) AS sym FROM syms),
+         g AS (SELECT sym, count(*) AS n_uses FROM u GROUP BY sym)
+         SELECT CAST(${bpeIdCaseSql("sym")} AS INT) AS token_id, sym AS symbol,
+           CAST(n_uses AS BIGINT) AS n_uses, len(sym) > 1 AS is_merge
+         FROM g, b1, b2, b3, b4, b5
+         ORDER BY token_id, symbol""",
     "q_packing_encoded" ->
       s"""WITH $bpeSeedCtes,
          ${(1 to 5).map(bpeRoundCtes).mkString(",\n")},

@@ -416,6 +416,23 @@ object TextOps {
   private val mergeTableMemo =
     scala.collection.mutable.Map.empty[(String, Int), Seq[(String, String)]]
 
+  /** Tokenizer vocabulary usage over the encoded corpus: per symbol, its
+    * token id, use count, and whether it is a learned merge — the QA
+    * rollup a tokenizer ships with its merge table (how much usage the
+    * merges actually capture). One scan-speed encode + one map-side-
+    * combined groupBy over the bounded symbol space (≤ 26 + k rows).
+    */
+  def bpeVocabStats(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val merges = bpeMergeTable(s, dir, k)
+    docsFanned(s, dir)
+      .select(explode(bpeSymsCol($"text", merges)).as("sym"))
+      .groupBy($"sym").agg(count(lit(1)).as("n_uses"))
+      .select(bpeIdFor($"sym", merges).as("token_id"), $"sym".as("symbol"),
+        $"n_uses", (length($"sym") > 1).as("is_merge"))
+      .orderBy($"token_id", $"symbol")
+  }
+
   def bpeEncode(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import s.implicits._
     val merges = bpeMergeTable(s, dir, k)

@@ -458,5 +458,17 @@ class TextOpsSpec extends SparkSpec {
     val totalTokens = expected.map(_._3).sum
     val packed = Packing.sequencePackingEncoded(spark, sf).collect()
     assert(packed.map(_.getLong(3)).sum === totalTokens)
+    // vocab stats reconcile with the same encode: per-symbol uses sum to
+    // the corpus token count, ids/is_merge consistent with the reference
+    val vocab = TextOps.bpeVocabStats(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(vocab.map(_._3).sum === totalTokens)
+    val refUses = expected.flatMap(_._4.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (id, xs) => id.toInt -> xs.length.toLong }
+    assert(vocab.map(v => v._1 -> v._3).toMap === refUses)
+    vocab.foreach { case (id, sym, _, isMerge) =>
+      assert(isMerge === (sym.length > 1))
+      assert(if (isMerge) id >= 26 else id === sym.head - 'a')
+    }
   }
 }
