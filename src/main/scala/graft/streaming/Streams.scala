@@ -312,6 +312,45 @@ object Streams {
       ()
     }
 
+  /** Stream-vs-stored-index dedup probe: arriving documents are banded
+    * in-row (`StatefulDedup.bandArray` — bit-identical to the batch
+    * scheme) and stream-static-joined against the PERSISTED bucketed
+    * band index (`Dedup.writeBandIndex`), emitting (new_doc, index_doc)
+    * candidates — the serving path of the stored index: batch builds it
+    * once, the ingest stream probes it at wire speed. The static side's
+    * (band, sig) bucketing means the join never shuffles the index;
+    * only the arriving micro-batch moves. The foreachBatch sink
+    * collapses multi-band agreements to one row per pair and anti-joins
+    * the target before appending, so replayed batches cannot duplicate
+    * (the idempotentMergeSink discipline on a composite key).
+    */
+  def indexProbeSink(docs: DataFrame, index: DataFrame, targetDir: String,
+                     shingleSize: Int = 3, numHashes: Int = 12,
+                     rowsPerBand: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val banded = docs.select(col("doc_id").as("new_doc"),
+        explode(StatefulDedup.bandArray(col("text"), shingleSize, numHashes,
+          rowsPerBand)).as("bs"))
+      .select(col("new_doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = banded
+      .join(index.select(col("doc_id").as("index_doc"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select(col("new_doc"), col("index_doc"))
+    cand.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val fresh = batch.dropDuplicates("new_doc", "index_doc")
+      val hPath = new org.apache.hadoop.fs.Path(targetDir)
+      val exists = hPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(hPath)
+      val out =
+        if (!exists) fresh
+        else fresh.join(spark.read.parquet(targetDir),
+          Seq("new_doc", "index_doc"), "left_anti")
+      out.write.mode("append").parquet(targetDir)
+      ()
+    }
+  }
+
   /** Stream-stream interval join — the streaming twin of
     * Relational.attributionRangeJoin: each purchase joined to the same
     * user's clicks in the preceding `window`. Both sides carry watermarks

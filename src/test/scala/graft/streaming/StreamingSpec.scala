@@ -181,6 +181,31 @@ class StreamingSpec extends SparkSpec {
     assert(gotBins.map(_._3).sum === docs.length.toLong)
   }
 
+  test("index probe stream equals the batch incremental probe on identical docs") {
+    val dst = java.nio.file.Files.createTempDirectory("probe-out").toString + "/pairs"
+    val ckpt = java.nio.file.Files.createTempDirectory("probe-ckpt").toString
+    val index = graft.operators.Dedup.bandIndexFor(spark, sf,
+      col("doc_id") % 4 === 3, 3, 12, 3)
+    val batchDocs = graft.Tables(spark, sf, "documents")
+      .filter($"doc_id" % 4 === 3)
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.indexProbeSink(
+        input.toDF().toDF("doc_id", "text"), index, dst)
+      .option("checkpointLocation", ckpt).start()
+    batchDocs.grouped(math.max(batchDocs.length / 2, 1)).foreach { g =>
+      input.addData(g); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.read.parquet(dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batch = graft.operators.Dedup.incrementalLshPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "degenerate test: no candidate pairs at this SF")
+  }
+
   test("round-trip: parse -> filter -> serialize preserves the wire shape") {
     val input = MemoryStream[String](spark)
     val q = Streams.toArrivalValue(Streams.parseArrivals(input.toDF()))
