@@ -93,6 +93,7 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(s, dir)),
     "q_bpe_vocab_stats" -> ((s, dir) => TextOps.bpeVocabStats(s, dir)),
     "q_packing_encoded" -> ((s, dir) => Packing.sequencePackingEncoded(s, dir)),
+    "q_packed_sequences" -> ((s, dir) => Packing.packedSequences(s, dir)),
     "q_zorder_key" -> graft.warehouse.Layout.zOrderKeys,
     "q_stratified_sample" -> TextOps.stratifiedSample,
     "q_group_sample" -> ((s, dir) => TextOps.groupSample(s, dir)),
@@ -1193,6 +1194,24 @@ object SparkEntry {
              s -> CAST(${bpeIdCaseSql()} AS VARCHAR)), ' ') AS ids
          FROM syms, b1, b2, b3, b4, b5
          ORDER BY doc_id""",
+    "q_packed_sequences" ->
+      s"""WITH $bpeSeedCtes,
+         ${(1 to 5).map(bpeRoundCtes).mkString(",\n")},
+         $bpeSymsCte,
+         d AS (SELECT doc_id, lang, CAST(len(syms) AS BIGINT) AS n_tok,
+             array_to_string(list_transform(syms,
+               s -> CAST(${bpeIdCaseSql()} AS VARCHAR)), ' ') AS ids
+           FROM syms, b1, b2, b3, b4, b5),
+         o AS (SELECT lang, doc_id, n_tok, ids,
+             CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tok AS off
+           FROM d)
+         SELECT lang, off // ${operators.Packing.PackBudget} AS bin,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           coalesce(string_agg(ids, ' ' ORDER BY doc_id)
+             FILTER (WHERE n_tok > 0), '') AS token_ids
+         FROM o GROUP BY lang, bin ORDER BY lang, bin""",
     "q_bpe_vocab_stats" ->
       s"""WITH $bpeSeedCtes,
          ${(1 to 5).map(bpeRoundCtes).mkString(",\n")},

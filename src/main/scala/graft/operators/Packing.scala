@@ -71,6 +71,34 @@ object Packing {
       budget)
   }
 
+  /** Materialized packed sequences — the actual trainer input: per
+    * (lang, bin), the documents' token ids concatenated in doc_id order
+    * (empty encodes skipped), plus the bin stats. Deterministic at any
+    * parallelism: the per-bin doc set is collected as (doc_id, ids)
+    * structs and `sort_array`-ordered before concatenation, so no
+    * collect_list arrival-order nondeterminism can leak into the
+    * output. Row size is bounded by the pack budget (plus the last
+    * doc's overflow), so bins stream through the shuffle no matter the
+    * corpus size.
+    */
+  def packedSequences(s: SparkSession, dir: String,
+                      budget: Int = PackBudget): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    TextOps.bpeEncode(s, dir)
+      .select($"lang", $"doc_id", $"n_tokens".as("n_tok"), $"ids")
+      .withColumn("off", sum($"n_tok").over(w) - $"n_tok")
+      .withColumn("bin", expr(s"off div $budget"))
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when($"n_tok" > 0,
+            struct($"doc_id", $"ids")))),
+          x => x.getField("ids"))).as("token_ids"))
+      .orderBy($"lang", $"bin")
+  }
+
   /** Sliding context windows over each document's token sequence:
     * starts at 0, stride, 2·stride, … while the start is inside the doc;
     * a window is `[start, min(start+size, n_tok))`. Pure generator

@@ -54,4 +54,29 @@ class PackingSpec extends SparkSpec {
       assert(sorted.last._3 < math.max(nTok(doc), 1L))
     }
   }
+
+  test("packedSequences materialize each bin's ids in doc order, token-exact") {
+    val enc = TextOps.bpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    // driver reference: same greedy offsets, ids joined in doc_id order
+    val expected = enc.groupBy(_._2).toSeq.flatMap { case (lang, docs) =>
+      var off = 0L
+      docs.sortBy(_._1).map { case (id, _, n, ids) =>
+        val bin = off / Packing.PackBudget; off += n; (lang, bin, id, n, ids)
+      }.groupBy(_._2).map { case (bin, rows) =>
+        (lang, bin, rows.size.toLong, rows.map(_._4).sum,
+          rows.toSeq.sortBy(_._3).collect { case (_, _, _, n, ids) if n > 0 => ids }
+            .mkString(" "))
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = Packing.packedSequences(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got === expected)
+    // every bin's payload really carries its token count
+    got.foreach { case (_, _, _, nTokens, ids) =>
+      val n = if (ids.isEmpty) 0L else ids.split(" ").length.toLong
+      assert(n === nTokens)
+    }
+  }
 }
