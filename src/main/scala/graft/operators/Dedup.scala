@@ -245,15 +245,15 @@ object Dedup {
   /** Build-once memo for the stored band index: first use per (dir,
     * scheme) writes the bucketed table, later probes in the session (or
     * a later session over the same warehouse files) read it. The name
-    * hashes dir + scheme so distinct corpora/schemes never collide; a
-    * changed corpus under the SAME path must rebuild explicitly via
-    * [[writeBandIndex]] — exactly the contract of any stored index.
+    * hashes dir + a corpus version stamp + scheme, so distinct corpora,
+    * schemes, AND regenerations of the same path never collide — a
+    * changed corpus simply keys a fresh build.
     */
   private[graft] def bandIndexFor(s: SparkSession, dir: String,
                                   batchPred: Column, shingleSize: Int,
                                   numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val key = Seq(dir, batchPred.toString, shingleSize, numHashes,
-      rowsPerBand).mkString("|")
+    val key = Seq(dir, corpusStamp(s, dir, "documents"), batchPred.toString,
+      shingleSize, numHashes, rowsPerBand).mkString("|")
     val table = "graft_lsh_index_" + java.security.MessageDigest
       .getInstance("MD5").digest(key.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
@@ -268,6 +268,20 @@ object Dedup {
   }
 
   private[graft] val indexBuildLock = new Object
+
+  /** Cheap corpus version stamp (file length + mtime from one driver
+    * metadata call): folded into memo keys so an index or tokenizer
+    * built from a corpus that was since REGENERATED under the same path
+    * can never be served stale — the memo key simply changes and the
+    * artifact rebuilds.
+    */
+  private[graft] def corpusStamp(s: SparkSession, dir: String,
+                                 table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    s"${st.getLen}:${st.getModificationTime}"
+  }
 
   /** A previous JVM's in-memory catalog dies with its session but the
     * warehouse files it wrote do not; saveAsTable then refuses the

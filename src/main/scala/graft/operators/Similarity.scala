@@ -453,13 +453,14 @@ object Similarity {
 
   /** Build-once memo for the stored embedding band index (the embedding
     * twin of `Dedup.bandIndexFor`): first use per (dir, scheme) writes
-    * the bucketed table, later probes read it. A changed corpus under
-    * the same path rebuilds explicitly via [[writeEmbeddingBandIndex]].
+    * the bucketed table, later probes read it; the key carries a corpus
+    * version stamp, so a regenerated corpus keys a fresh build.
     */
   private[graft] def embeddingBandIndexFor(s: SparkSession, dir: String,
                                            batchPred: Column, planesPerBand: Int,
                                            nBands: Int): DataFrame = {
-    val key = Seq(dir, batchPred.toString, planesPerBand, nBands).mkString("|")
+    val key = Seq(dir, Dedup.corpusStamp(s, dir, "embeddings"),
+      batchPred.toString, planesPerBand, nBands).mkString("|")
     val table = "graft_emb_index_" + java.security.MessageDigest
       .getInstance("MD5").digest(key.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)

@@ -397,15 +397,15 @@ object TextOps {
 
   /** Collect the trained merge table in step order (k driver rows — the
     * artifact the encode broadcasts into its expressions). Train-once
-    * memo per (dir, k): a tokenizer is trained once and applied many
-    * times, so every encode consumer in a session reuses the first
-    * training run — the same stored-artifact contract as the band
-    * index (a changed corpus under the same path retrains explicitly
-    * via [[bpeMerges]]).
+    * memo per (dir, corpus stamp, k): a tokenizer is trained once and
+    * applied many times, so every encode consumer in a session reuses
+    * the first training run — and the corpus version stamp in the key
+    * means a regenerated corpus retrains automatically.
     */
   def bpeMergeTable(s: SparkSession, dir: String, k: Int = 5): Seq[(String, String)] =
     mergeTableMemo.synchronized {
-      mergeTableMemo.getOrElseUpdate((dir, k), {
+      mergeTableMemo.getOrElseUpdate(
+        (dir + "|" + Dedup.corpusStamp(s, dir, "documents"), k), {
         import s.implicits._
         bpeMerges(s, dir, k).orderBy($"step")
           .select($"pair", $"merged").collect()
