@@ -92,6 +92,7 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, dir) => TextOps.bpeMerges(s, dir)),
     "q_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(s, dir)),
     "q_bpe_vocab_stats" -> ((s, dir) => TextOps.bpeVocabStats(s, dir)),
+    "q_bpe_roundtrip" -> ((s, dir) => TextOps.bpeRoundtrip(s, dir)),
     "q_packing_encoded" -> ((s, dir) => Packing.sequencePackingEncoded(s, dir)),
     "q_packed_sequences" -> ((s, dir) => Packing.packedSequences(s, dir)),
     "q_zorder_key" -> graft.warehouse.Layout.zOrderKeys,
@@ -143,6 +144,8 @@ object SparkEntry {
     "q_embedding_incremental" -> ((s, dir) => Similarity.incrementalEmbeddingPairs(s, dir)),
     "q_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "q_quant_stats" -> Similarity.quantizationStats,
+    "q_quantized_recall" -> ((s, dir) => Similarity.quantizedRecall(s, dir)),
+    "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
     "q_kmeans_step" -> ((s, dir) => Similarity.kmeansStep(s, dir)),
     "q_embedding_clusters" -> ((s, dir) => Similarity.embeddingClusters(s, dir)),
     // -- multimodal metadata path (§7.4) -----------------------------------
@@ -382,6 +385,14 @@ object SparkEntry {
     s"""CASE ${(1 to 5).map(i =>
         s"WHEN $sym = replace(b$i.pr, ' ', '') THEN ${25 + i}").mkString(" ")}
        ELSE ascii($sym) - 97 END"""
+
+  // id → symbol, the inverse of bpeIdCaseSql (26+i → step-i merged
+  // symbol, letters fall through to chr) — the decode half of the
+  // q_bpe_roundtrip oracle
+  private def bpeSymCaseSql(id: String = "id"): String =
+    s"""CASE ${(1 to 5).map(i =>
+        s"WHEN $id = ${25 + i} THEN replace(b$i.pr, ' ', '')").mkString(" ")}
+       ELSE chr($id + 97) END"""
 
   /** Per-doc encoded symbol list: filter to the trained `^[a-z]+$` word
     * population, spell, apply merges, split back to symbols, flatten.
@@ -1194,6 +1205,21 @@ object SparkEntry {
              s -> CAST(${bpeIdCaseSql()} AS VARCHAR)), ' ') AS ids
          FROM syms, b1, b2, b3, b4, b5
          ORDER BY doc_id""",
+    "q_bpe_roundtrip" ->
+      s"""WITH $bpeSeedCtes,
+         ${(1 to 5).map(bpeRoundCtes).mkString(",\n")},
+         $bpeSymsCte,
+         dec AS (SELECT doc_id, CAST(len(syms) AS BIGINT) AS n_tokens,
+             array_to_string(list_transform(
+               list_transform(syms, t -> ${bpeIdCaseSql("t")}),
+               id -> ${bpeSymCaseSql()}), '') AS decoded
+           FROM syms, b1, b2, b3, b4, b5)
+         SELECT d.doc_id, d.n_tokens,
+           CAST(length(d.decoded) AS BIGINT) AS decoded_chars,
+           d.decoded = array_to_string(list_filter($toks,
+             w -> regexp_matches(w, '^[a-z]+$$')), '') AS roundtrip_ok
+         FROM dec d JOIN documents doc ON doc.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "q_packed_sequences" ->
       s"""WITH $bpeSeedCtes,
          ${(1 to 5).map(bpeRoundCtes).mkString(",\n")},
@@ -1681,6 +1707,51 @@ object SparkEntry {
            CAST(list_sum(list_transform(qv, x -> CAST(abs(x) AS BIGINT))) AS BIGINT) AS sum_abs_q,
            round(list_dot_product(err, err) / dim * 1e9, 4) AS mse_nano
          FROM r ORDER BY vec_id""",
+    "q_quantized_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM e),
+         rq AS (SELECT vec_id, v, list_transform(v,
+             x -> CASE WHEN sc = 0 THEN 0.0 ELSE round(x / sc) * sc END) AS q
+           FROM s),
+         qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+         ex AS (SELECT qid, vec_id FROM (
+             SELECT q.qid, r.vec_id, row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(r.v, q.qv), 4) DESC,
+                   r.vec_id) AS rn
+             FROM rq r, qs q WHERE r.vec_id <> q.qid)
+           WHERE rn <= 5),
+         qz AS (SELECT qid, vec_id FROM (
+             SELECT q.qid, r.vec_id, row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(r.q, q.qv), 4) DESC,
+                   r.vec_id) AS rn
+             FROM rq r, qs q WHERE r.vec_id <> q.qid)
+           WHERE rn <= 5)
+         SELECT ex.qid AS query_id, CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN qz.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overlap,
+           round(CAST(sum(CASE WHEN qz.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 4) AS recall
+         FROM ex LEFT JOIN qz ON qz.qid = ex.qid AND qz.vec_id = ex.vec_id
+         GROUP BY ex.qid ORDER BY query_id""",
+    "q_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         a AS (SELECT e.vec_id, e.v, c.cid,
+             list_cosine_similarity(e.v, c.cv) AS sim FROM e, c),
+         r AS (SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+           FROM a),
+         asg AS (SELECT vec_id, v, cid FROM r WHERE rn = 1),
+         ls AS (SELECT a2.vec_id,
+             max(round(list_cosine_similarity(a2.v, b.v), 4)) AS mx
+           FROM asg a2 JOIN asg b ON a2.cid = b.cid AND b.vec_id < a2.vec_id
+           GROUP BY a2.vec_id)
+         SELECT asg.vec_id, asg.cid AS cluster_id,
+           coalesce(ls.mx, -9.0) AS max_sim_lower,
+           coalesce(ls.mx, -9.0) < 0.3 AS kept
+         FROM asg LEFT JOIN ls ON ls.vec_id = asg.vec_id
+         ORDER BY asg.vec_id""",
     "q_blob_metadata" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,

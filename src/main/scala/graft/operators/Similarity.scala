@@ -534,6 +534,97 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    * scoped to k-means cells. Every vector is assigned to its
+    * max-cosine centroid (the same deterministic broadcast argmax as
+    * [[ivfTopK]], so the oracle replays it); within each cell a vector
+    * is a semantic duplicate iff some LOWER-id cell-mate sits above the
+    * cosine threshold — keep-lowest-id, the same canonical-survivor
+    * convention as the text dedup. The in-cell pairwise compare is the
+    * point of the clustering: O(Σ c²) instead of n², and at 100 TB
+    * `nlist` scales with n (cells stay bounded-size), so the cell
+    * self-join's shuffle is on `cid` with bounded per-key mass — never
+    * an all-pairs. The assignment frame feeds both sides of that join
+    * and is checkpointed so the argmax runs once.
+    *
+    * Output per vector: its cell, the max cosine to a lower-id
+    * cell-mate (sentinel -9 for cell minima — no NULLs in the hash),
+    * and the keep verdict.
+    */
+  def semDedup(s: SparkSession, dir: String, nlist: Int = 8,
+               threshold: Double = 0.3): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir)
+    val cents = e.filter($"vec_id" < nlist).select($"vec_id".as("cid"), $"v".as("cv"))
+    val byVec = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")
+    val assigned = e.join(broadcast(cents))
+      .select($"vec_id", $"v", $"cid",
+        vectors.cosineSimilarity($"v", $"cv").as("sim"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"cid")
+      .localCheckpoint()
+    val lowerSims = assigned
+      .join(assigned.select($"vec_id".as("b_id"), $"v".as("bv"),
+          $"cid".as("b_cid")),
+        $"cid" === $"b_cid" && $"b_id" < $"vec_id")
+      .select($"vec_id",
+        round(vectors.cosineSimilarity($"v", $"bv"), 4).as("cs"))
+      .groupBy($"vec_id").agg(max($"cs").as("mx"))
+    assigned.join(lowerSims, Seq("vec_id"), "left")
+      .select($"vec_id", $"cid".as("cluster_id"),
+        coalesce($"mx", lit(-9.0)).as("max_sim_lower"),
+        (coalesce($"mx", lit(-9.0)) < threshold).as("kept"))
+      .orderBy($"vec_id")
+  }
+
+  /** Quantized-serving recall audit: the acceptance gate for shipping
+    * the int8 index [[quantizationStats]] describes. Corpus vectors are
+    * dequantized (`round(x/scale)·scale` — the values an int8 index
+    * actually serves); queries stay float, as at serving time. Per
+    * probe: exact-float top-k vs top-k over the reconstructed corpus,
+    * overlap = the recall quantization costs. Ranks use the ROUNDED
+    * (4dp) similarity then vec_id, the same ulp-proof discipline as
+    * [[annRecall]]; the reconstruction frame feeds both rank joins and
+    * is checkpointed so the scan + quantize runs once. Both sides are
+    * broadcast-probe scans — no all-pairs, cost is nQueries × corpus
+    * scan, embarrassingly parallel at any scale.
+    */
+  def quantizedRecall(s: SparkSession, dir: String, nQueries: Int = 20,
+                      k: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir)
+    val recon = e
+      .withColumn("scale", array_max(transform($"v", x => abs(x))) / 127.0)
+      // zero vector → scale 0: reconstruction is the zero vector itself
+      .withColumn("rq", transform($"v",
+        x => when($"scale" === 0.0, 0.0).otherwise(round(x / $"scale") * $"scale")))
+      .select($"vec_id", $"v", $"rq")
+      .localCheckpoint()
+    val queries = recon.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val byQuery = Window.partitionBy($"qid").orderBy($"cs".desc, $"vec_id")
+    val exact = recon.join(broadcast(queries)).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        round(vectors.cosineSimilarity($"v", $"qv"), 4).as("cs"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter($"rn" <= k)
+    val quant = recon.join(broadcast(queries)).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        round(vectors.cosineSimilarity($"rq", $"qv"), 4).as("cs"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter($"rn" <= k)
+    exact
+      .join(quant.select($"qid", $"vec_id", lit(1).as("hit")),
+        Seq("qid", "vec_id"), "left")
+      .groupBy($"qid".as("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce($"hit", lit(0))).cast("long").as("n_overlap"))
+      .select($"query_id", $"n_exact", $"n_overlap",
+        round($"n_overlap".cast("double") / $"n_exact", 4).as("recall"))
+      .orderBy($"query_id")
+  }
+
   /** One Lloyd iteration of k-means over the embeddings — the training
     * step that produces the IVF coarse quantizer ([[ivfTopK]] freezes
     * its centroids at the seed assignment; this moves them). Assignment

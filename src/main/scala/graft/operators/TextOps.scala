@@ -444,6 +444,37 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** BPE decode + roundtrip audit: ids → symbols → text, the other half
+    * of the tokenizer contract ([[bpeEncode]] is only shippable if
+    * decode(encode(x)) gives x back). The id→symbol map is the inverse
+    * of [[bpeIdFor]], derived from the same driver-side merge table
+    * (26+i → step-i merged symbol, 0–25 → the letter); the audit
+    * re-spells each document THROUGH the id space and compares against
+    * the letters of the trained word population directly. Pure per-row
+    * projection — scan speed, no shuffle, no UDF — and the verdict is
+    * COMPUTED on both engine and oracle sides, not asserted.
+    */
+  def bpeRoundtrip(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val merges = bpeMergeTable(s, dir, k)
+    def symForId(id: Column): Column =
+      merges.zipWithIndex.reverse.foldLeft(char(id + lit(97))) {
+        case (els, ((_, m), i)) => when(id === lit(26 + i), lit(m)).otherwise(els)
+      }
+    docsFanned(s, dir)
+      .select($"doc_id", $"text", bpeSymsCol($"text", merges).as("syms"))
+      .select($"doc_id",
+        size($"syms").cast("long").as("n_tokens"),
+        concat_ws("", transform($"syms",
+          sym => symForId(bpeIdFor(sym, merges)))).as("decoded"),
+        concat_ws("", filter(text.tokensLower($"text"),
+          w => w.rlike("^[a-z]+$"))).as("orig"))
+      .select($"doc_id", $"n_tokens",
+        length($"decoded").cast("long").as("decoded_chars"),
+        ($"decoded" === $"orig").as("roundtrip_ok"))
+      .orderBy($"doc_id")
+  }
+
   /** Repetition quality signals (the Gopher-style filters): per document,
     * the distinct-token ratio, the most-frequent-token fraction, and the
     * fraction of 2-gram occurrences belonging to a repeated 2-gram. High

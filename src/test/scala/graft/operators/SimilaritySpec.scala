@@ -157,6 +157,71 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedup matches a driver-side cell-scoped sweep") {
+    val nlist = 8
+    val vecs = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = vecs.filter(_._1 < nlist)
+    val assigned = vecs.map { case (id, v) =>
+      val cid = cents.map { case (c, cv) => (c, cos(v, cv)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+      (id, cid, v)
+    }
+    val expected = assigned.map { case (id, cid, v) =>
+      val lower = assigned.filter(o => o._2 == cid && o._1 < id)
+      val mx = if (lower.isEmpty) -9.0 else lower.map(o => r4(cos(v, o._3))).max
+      (id, cid, mx, mx < 0.3)
+    }.sortBy(_._1).toSeq
+    val got = Similarity.semDedup(spark, sf, nlist).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(got === expected)
+    // the sweep keeps at least the 8 cell minima and prunes something
+    // on this near-dup-rich corpus
+    assert(got.count(_._4) >= nlist && got.exists(!_._4))
+  }
+
+  test("quantizedRecall matches a driver-side int8-serving recount") {
+    val (nQ, k) = (20, 5)
+    val vecs = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val recon = vecs.map { case (id, v) =>
+      val sc = v.map(math.abs).max / 127.0
+      id -> (if (sc == 0.0) v.map(_ => 0.0)
+             else v.map(x => math.round(x / sc).toDouble * sc))
+    }.toMap
+    def topk(qid: Long, qv: Array[Double], of: Long => Array[Double]): Set[Long] =
+      vecs.filter(_._1 != qid)
+        .map { case (id, _) => (id, r4(cos(of(id), qv))) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    val byId = vecs.toMap
+    val expected = vecs.filter(_._1 < nQ).map { case (qid, qv) =>
+      val ex = topk(qid, qv, byId)
+      val qz = topk(qid, qv, recon)
+      val ov = ex.intersect(qz).size.toLong
+      (qid, k.toLong, ov, r4(ov.toDouble / k))
+    }.toSeq
+    val got = Similarity.quantizedRecall(spark, sf, nQ, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    // int8 at 64 dims should barely dent retrieval
+    assert(got.map(_._4).sum / got.length >= 0.8)
+  }
+
   test("kmeansStep matches a driver-side Lloyd iteration") {
     val nlist = 8
     val got = Similarity.kmeansStep(spark, sf, nlist).collect()

@@ -471,4 +471,28 @@ class TextOpsSpec extends SparkSpec {
       assert(if (isMerge) id >= 26 else id === sym.head - 'a')
     }
   }
+
+  test("bpeRoundtrip: decode(encode(x)) restores every document's letters") {
+    val got = TextOps.bpeRoundtrip(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // the verdict column is computed, not asserted — assert it here
+    assert(got.nonEmpty && got.forall(_._4),
+      s"roundtrip broke for docs ${got.filterNot(_._4).take(5).map(_._1).mkString(",")}")
+    // n_tokens agrees with the encode; decoded_chars with the raw letter
+    // count of the trained word population (ids carry ALL the chars)
+    val enc = TextOps.bpeEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val letters = Tables(spark, sf, "documents")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.filter(
+          graft.functions.text.tokensLower($"text"),
+          w => w.rlike("^[a-z]+$")).as("words"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).map(_.length).sum.toLong)
+      .toMap
+    got.foreach { case (id, nTok, nChars, _) =>
+      assert(nTok === enc(id))
+      assert(nChars === letters(id))
+    }
+  }
 }
