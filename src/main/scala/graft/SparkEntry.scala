@@ -96,6 +96,7 @@ object SparkEntry {
     "q_packing_encoded" -> ((s, dir) => Packing.sequencePackingEncoded(s, dir)),
     "q_packed_sequences" -> ((s, dir) => Packing.packedSequences(s, dir)),
     "q_zorder_key" -> graft.warehouse.Layout.zOrderKeys,
+    "q_domain_cap_sample" -> ((s, dir) => TextOps.domainCapSample(s, dir)),
     "q_stratified_sample" -> TextOps.stratifiedSample,
     "q_group_sample" -> ((s, dir) => TextOps.groupSample(s, dir)),
     "q_repetition_scores" -> TextOps.repetitionScores,
@@ -146,6 +147,8 @@ object SparkEntry {
     "q_quant_stats" -> Similarity.quantizationStats,
     "q_quantized_recall" -> ((s, dir) => Similarity.quantizedRecall(s, dir)),
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
+    "q_semantic_decontamination" ->
+      ((s, dir) => Similarity.semanticDecontamination(s, dir)),
     "q_kmeans_step" -> ((s, dir) => Similarity.kmeansStep(s, dir)),
     "q_embedding_clusters" -> ((s, dir) => Similarity.embeddingClusters(s, dir)),
     // -- multimodal metadata path (§7.4) -----------------------------------
@@ -1350,6 +1353,14 @@ object SparkEntry {
          ${prIterCte("r1", "r2")},
          ${prIterCte("r2", "r3")}
          SELECT doc_id, CAST(r AS BIGINT) AS pr FROM r3 ORDER BY doc_id""",
+    "q_domain_cap_sample" ->
+      """SELECT doc_id, source, CAST(rk AS BIGINT) AS rank_in_domain FROM (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY
+               CAST(concat('0x', substring(md5(concat('domcap:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000,
+               doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 10 ORDER BY doc_id""",
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,
@@ -1752,6 +1763,21 @@ object SparkEntry {
            coalesce(ls.mx, -9.0) < 0.3 AS kept
          FROM asg LEFT JOIN ls ON ls.vec_id = asg.vec_id
          ORDER BY asg.vec_id""",
+    "q_semantic_decontamination" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           CAST(concat('0x', substring(md5(concat('split:', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS b
+           FROM embeddings),
+         tr AS (SELECT vec_id, v FROM e WHERE b < 80),
+         ev AS (SELECT vec_id AS eval_id, v AS ev FROM e WHERE b >= 90),
+         sc AS (SELECT ev.eval_id, tr.vec_id,
+             round(list_cosine_similarity(tr.v, ev.ev), 4) AS cs,
+             row_number() OVER (PARTITION BY ev.eval_id
+               ORDER BY round(list_cosine_similarity(tr.v, ev.ev), 4) DESC,
+                 tr.vec_id) AS rn
+           FROM tr, ev)
+         SELECT eval_id, vec_id AS train_id, cs AS cos_sim,
+           cs >= 0.3 AS contaminated
+         FROM sc WHERE rn = 1 ORDER BY eval_id""",
     "q_blob_metadata" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,

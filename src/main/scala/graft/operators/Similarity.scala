@@ -551,11 +551,25 @@ object Similarity {
     * cell-mate (sentinel -9 for cell minima — no NULLs in the hash),
     * and the keep verdict.
     */
-  def semDedup(s: SparkSession, dir: String, nlist: Int = 8,
+  /** Sentinel for "derive nlist from the corpus size". */
+  val AutoNlist: Int = 0
+
+  /** Cells sized like the LSH buckets: nlist grows with n so expected
+    * cell occupancy stays ≤ `targetCell` (floor 8 keeps the oracle's
+    * deterministic seed at the test SFs) — in-cell pair mass stays
+    * ~linear in n instead of quadratic, the same fixed-granularity
+    * failure [[autoPlanesPerBand]] guards the band join against.
+    */
+  private[graft] def autoNlist(n: Long, targetCell: Long = 250L): Int =
+    math.max(8, math.ceil(math.max(n, 1L).toDouble / targetCell).toInt)
+
+  def semDedup(s: SparkSession, dir: String, nlist: Int = AutoNlist,
                threshold: Double = 0.3): DataFrame = {
     import s.implicits._
-    val e = embDouble(s, dir)
-    val cents = e.filter($"vec_id" < nlist).select($"vec_id".as("cid"), $"v".as("cv"))
+    val e0 = embDouble(s, dir)
+    val k = if (nlist == AutoNlist) autoNlist(e0.count()) else nlist
+    val e = e0
+    val cents = e.filter($"vec_id" < k).select($"vec_id".as("cid"), $"v".as("cv"))
     val byVec = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")
     val assigned = e.join(broadcast(cents))
       .select($"vec_id", $"v", $"cid",
@@ -623,6 +637,37 @@ object Similarity {
       .select($"query_id", $"n_exact", $"n_overlap",
         round($"n_overlap".cast("double") / $"n_exact", 4).as("recall"))
       .orderBy($"query_id")
+  }
+
+  /** Semantic decontamination: the embedding-space twin of
+    * `TextOps.decontamination` — n-gram overlap misses paraphrased eval
+    * leaks, so the held-out split is ALSO screened by nearest-neighbor
+    * cosine against the train split. Splits ride the same deterministic
+    * md5 buckets as `TextOps.hashSplit` (train <80, test ≥90). Per eval
+    * vector: the argmax-cosine train vector (rank on the ROUNDED 4dp
+    * similarity then vec_id — ulp-proof, as every search path here) and
+    * the contamination verdict at `threshold`. The eval side is
+    * benchmark-suite sized, so it broadcasts and the train corpus
+    * streams through one scan — no shuffle of the big side, cost linear
+    * in train size at any scale.
+    */
+  def semanticDecontamination(s: SparkSession, dir: String,
+                              threshold: Double = 0.3): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir)
+      .withColumn("bucket", TextOps.hashBucket($"vec_id", "split:"))
+    val train = e.filter($"bucket" < 80).select($"vec_id", $"v")
+    val eval_ = e.filter($"bucket" >= 90)
+      .select($"vec_id".as("eval_id"), $"v".as("ev"))
+    val byEval = Window.partitionBy($"eval_id").orderBy($"cs".desc, $"vec_id")
+    train.join(broadcast(eval_))
+      .select($"eval_id", $"vec_id",
+        round(vectors.cosineSimilarity($"v", $"ev"), 4).as("cs"))
+      .withColumn("rn", row_number().over(byEval))
+      .filter($"rn" === 1)
+      .select($"eval_id", $"vec_id".as("train_id"), $"cs".as("cos_sim"),
+        ($"cs" >= threshold).as("contaminated"))
+      .orderBy($"eval_id")
   }
 
   /** One Lloyd iteration of k-means over the embeddings — the training

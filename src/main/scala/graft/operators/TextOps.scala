@@ -531,6 +531,37 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Per-domain cap sampling: keep at most `cap` documents per source —
+    * the anti-monoculture guard a crawl pipeline applies before anything
+    * else sees the data (one mega-domain must not dominate the corpus).
+    * Selection within a domain is by the deterministic md5 hash (an
+    * unbiased, reproducible draw — NOT first-N, which would bias toward
+    * whatever the upstream scan order was), doc_id tie-broken.
+    *
+    * Exact two-level top-k so a mega-domain never sorts on one task:
+    * stage 1 takes the per-(source, salt) top `cap` — 64-way salted, so
+    * a 10^9-doc domain spreads over 64 tasks and each emits ≤ cap rows;
+    * stage 2 re-ranks the ≤ 64·cap survivors per domain. The global
+    * per-domain top-cap is always contained in the union of per-salt
+    * top-caps, so the composition is EXACT, not approximate — the
+    * standard salted-window remedy, same playbook as
+    * `Relational.saltedJoinRevenue`.
+    */
+  def domainCapSample(s: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    import s.implicits._
+    val docs = docsFanned(s, dir)
+      .select($"doc_id", $"source",
+        hashBucketMod($"doc_id", "domcap:", 1000000L).as("rank_h"),
+        hashBucketMod($"doc_id", "domsalt:", 64L).as("salt"))
+    val w1 = Window.partitionBy($"source", $"salt").orderBy($"rank_h", $"doc_id")
+    val w2 = Window.partitionBy($"source").orderBy($"rank_h", $"doc_id")
+    docs
+      .withColumn("rk1", row_number().over(w1)).filter($"rk1" <= cap)
+      .withColumn("rk", row_number().over(w2)).filter($"rk" <= cap)
+      .select($"doc_id", $"source", $"rk".cast("long").as("rank_in_domain"))
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic stratified sampling: per-language keep rates applied
     * via hash threshold (en 10% … zh 50%). The selection is a stateless
     * per-row predicate — no sort, no reservoir, no driver coordination —

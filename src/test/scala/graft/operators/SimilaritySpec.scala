@@ -185,6 +185,13 @@ class SimilaritySpec extends SparkSpec {
     // the sweep keeps at least the 8 cell minima and prunes something
     // on this near-dup-rich corpus
     assert(got.count(_._4) >= nlist && got.exists(!_._4))
+    // AutoNlist resolves to the oracle's 8 at the test SFs, grows with n
+    assert(Similarity.autoNlist(500L) === 8)
+    assert(Similarity.autoNlist(2000L) === 8)
+    assert(Similarity.autoNlist(20000L) === 80)   // 10x stress: cells stay ~250
+    val auto = Similarity.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(auto === expected)
   }
 
   test("quantizedRecall matches a driver-side int8-serving recount") {
@@ -220,6 +227,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
     // int8 at 64 dims should barely dent retrieval
     assert(got.map(_._4).sum / got.length >= 0.8)
+  }
+
+  test("semanticDecontamination matches a driver-side nearest-train sweep") {
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(h, 16) % 100
+    }
+    val vecs = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val train = vecs.filter(v => bucket(v._1) < 80)
+    val eval_ = vecs.filter(v => bucket(v._1) >= 90)
+    assert(train.nonEmpty && eval_.nonEmpty)
+    val expected = eval_.map { case (eid, ev) =>
+      val (tid, cs) = train.map { case (t, tv) => (t, r4(cos(tv, ev))) }
+        .minBy { case (t, s) => (-s, t) }
+      (eid, tid, cs, cs >= 0.3)
+    }.sortBy(_._1).toSeq
+    val got = Similarity.semanticDecontamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(got === expected)
   }
 
   test("kmeansStep matches a driver-side Lloyd iteration") {

@@ -472,6 +472,29 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("domainCapSample: salted two-stage top-k equals the global per-domain rank") {
+    def h(id: Long, salt: String, mod: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(d, 16) % mod
+    }
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cap = 10
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy { case (id, _) => (h(id, "domcap:", 1000000L), id) }
+        .take(cap).zipWithIndex
+        .map { case ((id, _), i) => (id, src, (i + 1).toLong) }
+    }.sortBy(_._1)
+    val got = TextOps.domainCapSample(spark, sf, cap).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // every domain capped, none over
+    assert(got.groupBy(_._2).values.forall(_.length <= cap))
+  }
+
   test("bpeRoundtrip: decode(encode(x)) restores every document's letters") {
     val got = TextOps.bpeRoundtrip(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
