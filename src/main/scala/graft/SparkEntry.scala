@@ -93,6 +93,7 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(s, dir)),
     "q_bpe_vocab_stats" -> ((s, dir) => TextOps.bpeVocabStats(s, dir)),
     "q_bpe_roundtrip" -> ((s, dir) => TextOps.bpeRoundtrip(s, dir)),
+    "q_bpe_compression" -> ((s, dir) => TextOps.bpeCompressionStats(s, dir)),
     "q_packing_encoded" -> ((s, dir) => Packing.sequencePackingEncoded(s, dir)),
     "q_packed_sequences" -> ((s, dir) => Packing.packedSequences(s, dir)),
     "q_zorder_key" -> graft.warehouse.Layout.zOrderKeys,
@@ -131,6 +132,8 @@ object SparkEntry {
     "q_dedup_corpus" -> Dedup.dedupCorpus,
     "q_dedup_best" -> Dedup.dedupBest,
     "q_neardup_pagerank" -> ((s, dir) => Dedup.nearDupPageRank(s, dir)),
+    "q_neardup_lpa" -> ((s, dir) => Dedup.labelPropagation(s, dir)),
+    "q_neardup_triangles" -> ((s, dir) => Dedup.nearDupTriangles(s, dir)),
     "q_containment_pairs" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "q_dedup_profile" -> Dedup.dedupProfile,
     // -- similarity search (§7.4) ------------------------------------------
@@ -422,6 +425,18 @@ object SparkEntry {
          FROM e JOIN $prev ON $prev.doc_id = e.src
            JOIN deg ON deg.src = e.src
          GROUP BY 1) s ON s.doc_id = d0.doc_id)"""
+
+  /** One synchronous label-propagation round for the q_neardup_lpa
+    * oracle — generated so every round's neighbor-label counting and
+    * (count DESC, label ASC) argmax are written once and cannot drift
+    * between rounds or from the Spark loop.
+    */
+  private def lpaRoundCtes(i: Int): String =
+    s"""r$i AS (SELECT e.a AS v, l.lbl, count(*) AS c
+         FROM edges e JOIN l${i - 1} l ON l.v = e.b GROUP BY 1, 2),
+       l$i AS (SELECT v, lbl FROM (
+           SELECT v, lbl, row_number() OVER (PARTITION BY v
+             ORDER BY c DESC, lbl) AS rn FROM r$i) WHERE rn = 1)"""
 
   /** Explicit Morton-interleave bit arithmetic for the q_zorder_key
     * oracle: bit `b` of lane `lane` (of `n` lanes) lands at result bit
@@ -1223,6 +1238,20 @@ object SparkEntry {
              w -> regexp_matches(w, '^[a-z]+$$')), '') AS roundtrip_ok
          FROM dec d JOIN documents doc ON doc.doc_id = d.doc_id
          ORDER BY d.doc_id""",
+    "q_bpe_compression" ->
+      s"""WITH $bpeSeedCtes,
+         ${(1 to 5).map(bpeRoundCtes).mkString(",\n")},
+         $bpeSymsCte,
+         d AS (SELECT lang,
+             CAST(length(array_to_string(syms, '')) AS BIGINT) AS nl,
+             CAST(len(syms) AS BIGINT) AS nt FROM syms),
+         g AS (SELECT lang, count(*) AS n_docs,
+             CAST(sum(nl) AS BIGINT) AS n_letters,
+             CAST(sum(nt) AS BIGINT) AS n_tokens FROM d GROUP BY lang)
+         SELECT lang, n_docs, n_letters, n_tokens,
+           CAST((n_letters * 10000) // n_tokens AS DOUBLE) / 10000.0
+             AS chars_per_token
+         FROM g ORDER BY lang""",
     "q_packed_sequences" ->
       s"""WITH $bpeSeedCtes,
          ${(1 to 5).map(bpeRoundCtes).mkString(",\n")},
@@ -1353,6 +1382,23 @@ object SparkEntry {
          ${prIterCte("r1", "r2")},
          ${prIterCte("r2", "r3")}
          SELECT doc_id, CAST(r AS BIGINT) AS pr FROM r3 ORDER BY doc_id""",
+    "q_neardup_lpa" ->
+      s"""WITH lsh AS ($minhashPairsCore),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM lsh
+                   UNION ALL SELECT doc_b AS a, doc_a AS b FROM lsh),
+         l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM edges),
+         ${lpaRoundCtes(1)},
+         ${lpaRoundCtes(2)},
+         ${lpaRoundCtes(3)}
+         SELECT v AS doc_id, lbl AS community FROM l3 ORDER BY doc_id""",
+    "q_neardup_triangles" ->
+      s"""WITH lsh AS ($minhashPairsCore),
+         t AS (SELECT x.doc_a AS a, x.doc_b AS b, y.doc_b AS c
+           FROM lsh x JOIN lsh y ON y.doc_a = x.doc_b
+             JOIN lsh z ON z.doc_a = x.doc_a AND z.doc_b = y.doc_b),
+         m AS (SELECT unnest([a, b, c]) AS doc_id FROM t)
+         SELECT doc_id, count(*) AS n_triangles FROM m
+         GROUP BY 1 ORDER BY doc_id""",
     "q_domain_cap_sample" ->
       """SELECT doc_id, source, CAST(rk AS BIGINT) AS rank_in_domain FROM (
            SELECT doc_id, source,

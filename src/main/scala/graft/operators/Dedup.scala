@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for the LLM-data-pipeline surface: exact (hash
@@ -455,6 +456,73 @@ object Dedup {
         .localCheckpoint()
     }
     rank.select($"doc_id", $"r".as("pr")).orderBy($"doc_id")
+  }
+
+  def labelPropagation(s: SparkSession, dir: String): DataFrame =
+    labelPropagation(s, minhashLshPairs(s, dir))
+
+  /** Label-propagation communities over a precomputed candidate pair
+    * frame (doc_a, doc_b) — normally [[sharedLshPairs]]. Where connected
+    * components ([[dedupClusters]]) answer "reachable at all", LPA finds
+    * DENSE regions inside a component — the near-dup "families" a large
+    * weakly-joined component hides. Synchronous and fully deterministic:
+    * each round every node takes the most frequent label among its
+    * neighbors, ties broken by MINIMUM label (integer counts, no
+    * randomness, no update-order dependence — the classic async LPA is
+    * neither reproducible nor oracle-checkable). Fixed `rounds` (the
+    * oracle unrolls the same rounds); per round one shuffle-join of the
+    * edge list against the label frame plus one map-side-combined
+    * groupBy — cost O(E) per round at any scale, same discipline as the
+    * PageRank loop (checkpoint per round, flat lineage).
+    */
+  def labelPropagation(s: SparkSession, pairFrame: DataFrame,
+                       rounds: Int = 3): DataFrame = {
+    import s.implicits._
+    val pairs = pairFrame.select($"doc_a", $"doc_b")
+    val edges = pairs.select($"doc_a".as("a"), $"doc_b".as("b"))
+      .union(pairs.select($"doc_b".as("a"), $"doc_a".as("b")))
+      .localCheckpoint()
+    val byV = Window.partitionBy($"v").orderBy($"c".desc, $"lbl")
+    var labels = edges.select($"a".as("v")).distinct()
+      .select($"v", $"v".as("lbl")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.select($"v".as("b"), $"lbl"), "b")
+        .groupBy($"a".as("v"), $"lbl").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byV))
+        .filter($"rn" === 1)
+        .select($"v", $"lbl")
+        .localCheckpoint()
+    }
+    labels.select($"v".as("doc_id"), $"lbl".as("community"))
+      .orderBy($"doc_id")
+  }
+
+  def nearDupTriangles(s: SparkSession, dir: String): DataFrame =
+    nearDupTriangles(s, minhashLshPairs(s, dir))
+
+  /** Triangle counts over a precomputed candidate pair frame — the
+    * local-clustering signal on the near-dup graph (a doc in many
+    * triangles sits in a tight copy-cluster; a high-degree doc with NO
+    * triangles is a hub/template matching many unrelated docs — a
+    * different cleanup action). Pairs arrive id-oriented (a<b), so
+    * wedges (a,b)+(b,c) close a triangle iff (a,c) is also an edge:
+    * two equi-joins on the pair frame, counted once per triangle with
+    * a<b<c — no symmetrization blow-up. The pair frame is
+    * bucket-bounded by construction, and at genuinely skewed degree
+    * distributions the standard remedy (orient wedges at the
+    * lower-degree endpoint) drops in without changing the contract.
+    */
+  def nearDupTriangles(s: SparkSession, pairFrame: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = pairFrame.select($"doc_a".as("a"), $"doc_b".as("b"))
+      .localCheckpoint()
+    e.toDF("a", "b")
+      .join(e.toDF("b", "c"), "b")
+      .join(e.toDF("a", "c"), Seq("a", "c"))
+      .select(explode(array($"a", $"b", $"c")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"doc_id")
   }
 
   def sourceOverlap(s: SparkSession, dir: String): DataFrame =

@@ -444,6 +444,31 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Tokenizer compression ratio per language: letters in / tokens out —
+    * THE tokenizer QA number (how many chars one token buys, per lang;
+    * a tokenizer trained on one language under-compresses the others,
+    * and this is the rollup that shows it). One scan-speed encode + a
+    * map-side-combined groupBy over the lang space. The ratio is
+    * integer-floor-scaled (×10⁴ div, then one exact double divide) so
+    * no float division can straddle a rounding boundary between
+    * engines — the `datasetCard` discipline.
+    */
+  def bpeCompressionStats(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val merges = bpeMergeTable(s, dir, k)
+    docsFanned(s, dir)
+      .select($"lang", bpeSymsCol($"text", merges).as("syms"))
+      .select($"lang", length(concat_ws("", $"syms")).cast("long").as("nl"),
+        size($"syms").cast("long").as("nt"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"nl").as("n_letters"),
+        sum($"nt").as("n_tokens"))
+      .select($"lang", $"n_docs", $"n_letters", $"n_tokens",
+        (expr("(n_letters * 10000L) div n_tokens").cast("double") / 10000.0)
+          .as("chars_per_token"))
+      .orderBy($"lang")
+  }
+
   /** BPE decode + roundtrip audit: ids → symbols → text, the other half
     * of the tokenizer contract ([[bpeEncode]] is only shippable if
     * decode(encode(x)) gives x back). The id→symbol map is the inverse

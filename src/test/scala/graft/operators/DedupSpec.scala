@@ -245,6 +245,49 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation matches a single-threaded synchronous LPA") {
+    val pairs = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs ++ pairs.map(p => (p._2, p._1))
+    val nodes = edges.map(_._1).distinct.sorted
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      val byDst = edges.groupBy(_._1)
+      lbl = nodes.map { v =>
+        val counts = byDst(v).map { case (_, nb) => lbl(nb) }
+          .groupBy(identity).map { case (l, xs) => (l, xs.length) }
+        // most frequent neighbor label, minimum label on ties
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val got = Dedup.labelPropagation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === nodes.map(n => (n, lbl(n))).toSeq)
+    // communities refine reachability: same community => same CC canon
+    val canon = Dedup.dedupAssignments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.groupBy(_._2).values.foreach { grp =>
+      assert(grp.map(g => canon.getOrElse(g._1, g._1)).distinct.length <= 1)
+    }
+  }
+
+  test("nearDupTriangles matches a brute-force triple scan") {
+    val pairs = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && pairs((a, b))
+      c <- nodes if b < c && pairs((b, c)) && pairs((a, c))
+    } yield (a, b, c)
+    val expected = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (d, xs) => (d, xs.length.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = Dedup.nearDupTriangles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+    assert(tris.nonEmpty, "corpus should close at least one triangle")
+  }
+
   test("containmentPairs matches driver set arithmetic; exact dups score 10000/10000") {
     import org.apache.spark.sql.functions._
     val got = Dedup.containmentPairs(spark, sf).collect()

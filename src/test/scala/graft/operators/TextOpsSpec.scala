@@ -472,6 +472,27 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeCompressionStats reconciles with the encode and roundtrip frames") {
+    val enc = TextOps.bpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val chars = TextOps.bpeRoundtrip(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = enc.groupBy(_._2).map { case (lang, ds) =>
+      val nl = ds.map(d => chars(d._1)).sum
+      val nt = ds.map(_._3).sum
+      (lang, ds.length.toLong, nl, nt, (nl * 10000L / nt).toDouble / 10000.0)
+    }.toSeq.sortBy(_._1)
+    val got = TextOps.bpeCompressionStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected)
+    // merges exist, so every lang compresses below 1 token per char
+    got.foreach { case (lang, _, nl, nt, cpt) =>
+      assert(nt < nl, s"$lang: merges should shrink the token count")
+      assert(cpt > 1.0)
+    }
+  }
+
   test("domainCapSample: salted two-stage top-k equals the global per-domain rank") {
     def h(id: Long, salt: String, mod: Long): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
