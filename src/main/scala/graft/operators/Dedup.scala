@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import graft.functions.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for the LLM-data-pipeline surface: exact (hash
@@ -479,19 +478,26 @@ object Dedup {
                        rounds: Int = 3): DataFrame = {
     import s.implicits._
     val pairs = pairFrame.select($"doc_a", $"doc_b")
+    // pinned to the per-round join's key: LogicalRDD keeps the hash
+    // partitioning across localCheckpoint, so each round's edge side
+    // arrives pre-shuffled and only the (much smaller) label frame moves
     val edges = pairs.select($"doc_a".as("a"), $"doc_b".as("b"))
       .union(pairs.select($"doc_b".as("a"), $"doc_a".as("b")))
+      .repartition(col("b"))
       .localCheckpoint()
-    val byV = Window.partitionBy($"v").orderBy($"c".desc, $"lbl")
     var labels = edges.select($"a".as("v")).distinct()
       .select($"v", $"v".as("lbl")).localCheckpoint()
     for (_ <- 1 to rounds) {
+      // argmax as max(struct(c, -lbl)): (count DESC, label ASC), same
+      // row the oracle's window picks — but both aggregations partial-
+      // combine map-side, so the per-round shuffles carry the (v, lbl)
+      // count space and then one row per node, never a sorted window
+      // over the whole neighbor-label stream
       labels = edges
         .join(labels.select($"v".as("b"), $"lbl"), "b")
         .groupBy($"a".as("v"), $"lbl").agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(byV))
-        .filter($"rn" === 1)
-        .select($"v", $"lbl")
+        .groupBy($"v").agg(max(struct($"c", (-$"lbl").as("nl"))).as("m"))
+        .select($"v", (-$"m.nl").as("lbl"))
         .localCheckpoint()
     }
     labels.select($"v".as("doc_id"), $"lbl".as("community"))

@@ -659,14 +659,19 @@ object Similarity {
     val train = e.filter($"bucket" < 80).select($"vec_id", $"v")
     val eval_ = e.filter($"bucket" >= 90)
       .select($"vec_id".as("eval_id"), $"v".as("ev"))
-    val byEval = Window.partitionBy($"eval_id").orderBy($"cs".desc, $"vec_id")
+    // argmax as max(struct(cs, -vec_id)): struct ordering is (cs DESC →
+    // max cs, then max -id → MIN vec_id), identical to the rank-1 row of
+    // a (cs DESC, vec_id) window — but the aggregate partial-combines
+    // map-side, so the shuffle carries one row per eval probe instead of
+    // the full eval×train score matrix (measured 8.6 s → sub-second at
+    // the 10x size; a window would sort 34M scored rows)
     train.join(broadcast(eval_))
-      .select($"eval_id", $"vec_id",
-        round(vectors.cosineSimilarity($"v", $"ev"), 4).as("cs"))
-      .withColumn("rn", row_number().over(byEval))
-      .filter($"rn" === 1)
-      .select($"eval_id", $"vec_id".as("train_id"), $"cs".as("cos_sim"),
-        ($"cs" >= threshold).as("contaminated"))
+      .select($"eval_id",
+        struct(round(vectors.cosineSimilarity($"v", $"ev"), 4).as("cs"),
+          (-$"vec_id").as("nid")).as("sc"))
+      .groupBy($"eval_id").agg(max($"sc").as("m"))
+      .select($"eval_id", (-$"m.nid").as("train_id"), $"m.cs".as("cos_sim"),
+        ($"m.cs" >= threshold).as("contaminated"))
       .orderBy($"eval_id")
   }
 
