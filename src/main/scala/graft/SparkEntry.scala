@@ -152,6 +152,8 @@ object SparkEntry {
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
     "q_semantic_decontamination" ->
       ((s, dir) => Similarity.semanticDecontamination(s, dir)),
+    "q_semantic_decon_indexed" ->
+      ((s, dir) => Similarity.semanticDecontaminationIndexed(s, dir)),
     "q_kmeans_step" -> ((s, dir) => Similarity.kmeansStep(s, dir)),
     "q_embedding_clusters" -> ((s, dir) => Similarity.embeddingClusters(s, dir)),
     // -- multimodal metadata path (§7.4) -----------------------------------
@@ -299,7 +301,7 @@ object SparkEntry {
     * mid-WITH (expects an `e(vec_id, v)` CTE before it; no trailing
     * comma — the splice site adds one if more CTEs follow).
     */
-  private val EmbLshSigCte =
+  private val EmbLshPlSgCte =
     """pl AS (SELECT j, list(comp ORDER BY d) AS p FROM (
            SELECT j, d,
              (CAST(concat('0x', substring(md5(concat(CAST(j AS VARCHAR), ':', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0 AS comp
@@ -308,7 +310,10 @@ object SparkEntry {
          GROUP BY j),
        sg AS (SELECT vec_id, j // 4 AS band,
            sum(CASE WHEN list_dot_product(v, p) > 0 THEN (1 << (j % 4)) ELSE 0 END) AS sig
-         FROM e, pl GROUP BY vec_id, j // 4),
+         FROM e, pl GROUP BY vec_id, j // 4)"""
+
+  private val EmbLshSigCte =
+    s"""$EmbLshPlSgCte,
        cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
          FROM sg x JOIN sg y
            ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)"""
@@ -1824,6 +1829,31 @@ object SparkEntry {
          SELECT eval_id, vec_id AS train_id, cs AS cos_sim,
            cs >= 0.3 AS contaminated
          FROM sc WHERE rn = 1 ORDER BY eval_id""",
+    "q_semantic_decon_indexed" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           CAST(concat('0x', substring(md5(concat('split:', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bkt
+           FROM embeddings),
+         e AS (SELECT vec_id, v FROM e0),
+         $EmbLshPlSgCte,
+         cand AS (SELECT DISTINCT y.vec_id AS eval_id, x.vec_id AS train_id
+           FROM sg x JOIN sg y ON x.band = y.band AND x.sig = y.sig
+           JOIN e0 tx ON tx.vec_id = x.vec_id AND tx.bkt < 80
+           JOIN e0 ty ON ty.vec_id = y.vec_id AND ty.bkt >= 90),
+         ver AS (SELECT c.eval_id, c.train_id,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cs
+           FROM cand c JOIN e0 a ON a.vec_id = c.train_id
+             JOIN e0 b ON b.vec_id = c.eval_id),
+         best AS (SELECT eval_id, train_id, cs FROM (
+             SELECT eval_id, train_id, cs, row_number() OVER (
+               PARTITION BY eval_id ORDER BY cs DESC, train_id) AS rn
+             FROM ver) WHERE rn = 1)
+         SELECT ev.vec_id AS eval_id,
+           coalesce(b.train_id, CAST(-1 AS BIGINT)) AS train_id,
+           coalesce(b.cs, -9.0) AS cos_sim,
+           coalesce(b.cs >= 0.3, FALSE) AS contaminated
+         FROM (SELECT vec_id FROM e0 WHERE bkt >= 90) ev
+         LEFT JOIN best b ON b.eval_id = ev.vec_id
+         ORDER BY eval_id""",
     "q_blob_metadata" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,

@@ -458,16 +458,26 @@ object Similarity {
     */
   private[graft] def embeddingBandIndexFor(s: SparkSession, dir: String,
                                            batchPred: Column, planesPerBand: Int,
-                                           nBands: Int): DataFrame = {
+                                           nBands: Int): DataFrame =
+    embeddingBandIndexByPred(s, dir, !batchPred, planesPerBand, nBands)
+
+  /** The same build-once memo keyed directly on the INDEX-side
+    * predicate (for callers whose index side is not simply the batch's
+    * complement — e.g. the decontamination screen indexes the train
+    * split only, leaving the val slice out of both sides).
+    */
+  private[graft] def embeddingBandIndexByPred(s: SparkSession, dir: String,
+                                              indexPred: Column, planesPerBand: Int,
+                                              nBands: Int): DataFrame = {
     val key = Seq(dir, Dedup.corpusStamp(s, dir, "embeddings"),
-      batchPred.toString, planesPerBand, nBands).mkString("|")
+      "ix:" + indexPred.toString, planesPerBand, nBands).mkString("|")
     val table = "graft_emb_index_" + java.security.MessageDigest
       .getInstance("MD5").digest(key.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     Dedup.indexBuildLock.synchronized {
       if (!s.catalog.tableExists(table)) {
         Dedup.dropStaleLocation(s, table)
-        writeEmbeddingBandIndex(s, dir, table, !batchPred, planesPerBand, nBands)
+        writeEmbeddingBandIndex(s, dir, table, indexPred, planesPerBand, nBands)
       }
     }
     s.table(table)
@@ -672,6 +682,61 @@ object Similarity {
       .groupBy($"eval_id").agg(max($"sc").as("m"))
       .select($"eval_id", (-$"m.nid").as("train_id"), $"m.cs".as("cos_sim"),
         ($"m.cs" >= threshold).as("contaminated"))
+      .orderBy($"eval_id")
+  }
+
+  /** Index-probing semantic decontamination — the 100 TB form of
+    * [[semanticDecontamination]]. The brute screen scans the whole train
+    * corpus per release of the eval suite; here the train split's band
+    * table is the PERSISTED bucketed index ([[embeddingBandIndexByPred]],
+    * read shuffle-free on its (band, sig) bucketing), eval probes band
+    * in-row and equi-join it, and only band-collision survivors pay the
+    * exact cosine — per-screen cost scales with the eval suite and its
+    * candidate set, never the corpus. Recall is the band scheme's,
+    * measured by [[embeddingLshRecall]]; an eval doc whose nearest train
+    * neighbor the bands miss reports the best CANDIDATE (or the -9/-1
+    * sentinel if none), which is the honest contract of an indexed
+    * screen — and a flagged doc is always genuinely contaminated
+    * (exact-verified), so flags are a subset of the brute screen's.
+    */
+  def semanticDecontaminationIndexed(s: SparkSession, dir: String,
+                                     threshold: Double = 0.3,
+                                     planesPerBand: Int = AutoPlanes,
+                                     nBands: Int = 24): DataFrame = {
+    import s.implicits._
+    val bucket = TextOps.hashBucket(col("vec_id"), "split:")
+    val e = embDouble(s, dir)
+      .withColumn("bucket", bucket)
+      .withColumn("nrm", vectors.l2Norm($"v"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"vec_id")
+      .localCheckpoint()
+    val trainPred = TextOps.hashBucket(col("vec_id"), "split:") < 80
+    // band width sized to the INDEX side (the train corpus)
+    val r = if (planesPerBand > 0) planesPerBand
+            else autoPlanesPerBand(e.filter($"bucket" < 80).count())
+    val evalBands = bandedPlaneBuckets(
+      e.filter($"bucket" >= 90).select($"vec_id", $"v"), r, nBands)
+    val indexBands = embeddingBandIndexByPred(s, dir, trainPred, r, nBands)
+    val cand = evalBands.alias("p")
+      .join(indexBands.alias("i"),
+        col("p.band") === col("i.band") && col("p.sig") === col("i.sig"))
+      .select(col("p.vec_id").as("eval_id"), col("i.vec_id").as("train_id"))
+      .distinct()
+    val best = cand
+      .join(e.select($"vec_id".as("eval_id"), $"v".as("ev"), $"nrm".as("ne")),
+        Seq("eval_id"))
+      .join(e.select($"vec_id".as("train_id"), $"v".as("tv"), $"nrm".as("nt")),
+        Seq("train_id"))
+      .select($"eval_id",
+        struct(round(vectors.dot($"ev", $"tv") / ($"ne" * $"nt"), 4).as("cs"),
+          (-$"train_id").as("nid")).as("sc"))
+      .groupBy($"eval_id").agg(max($"sc").as("m"))
+    e.filter($"bucket" >= 90).select($"vec_id".as("eval_id"))
+      .join(best, Seq("eval_id"), "left")
+      .select($"eval_id",
+        coalesce(-$"m.nid", lit(-1L)).as("train_id"),
+        coalesce($"m.cs", lit(-9.0)).as("cos_sim"),
+        coalesce($"m.cs" >= threshold, lit(false)).as("contaminated"))
       .orderBy($"eval_id")
   }
 

@@ -258,6 +258,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("indexed decontamination: flags subset of brute, candidates exact-verified") {
+    val brute = Similarity.semanticDecontamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    val idx = Similarity.semanticDecontaminationIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(idx.length === brute.size, "every eval doc must be reported")
+    idx.foreach { case (eid, tid, cs, flag) =>
+      val (_, bcs, bflag) = brute(eid)
+      if (tid >= 0) assert(cs <= bcs, s"eval $eid: candidate best above global best")
+      if (flag) assert(bflag, s"eval $eid: indexed flag not confirmed by brute")
+    }
+    // loose-threshold regime: the band scheme should catch nearly all flags
+    val bruteFlagged = brute.values.count(_._3)
+    assert(bruteFlagged > 0)
+    assert(idx.count(_._4) >= (bruteFlagged * 0.9).toInt,
+      s"indexed recall ${idx.count(_._4)}/$bruteFlagged below acceptance")
+  }
+
   test("kmeansStep matches a driver-side Lloyd iteration") {
     val nlist = 8
     val got = Similarity.kmeansStep(spark, sf, nlist).collect()
