@@ -351,6 +351,59 @@ object Streams {
     }
   }
 
+  /** Embedding index serving path — the vector twin of
+    * [[indexProbeSink]]: arriving vectors band in-row with the SAME
+    * deterministic planes the stored index was built with
+    * (`Similarity.bandedPlaneBuckets` — integer sigs, matching the
+    * bucketed table), stream-static join it (the index side never
+    * shuffles), and band-collision survivors pay the exact cosine
+    * against the static corpus vectors before landing in the pair
+    * store. Replayed batches are anti-joined out, so the store holds
+    * each verified pair exactly once — at-least-once in, exactly-once
+    * rows out. Per-batch cost scales with the batch and its candidate
+    * set, never the corpus: this is the continuously-serving form of
+    * `Similarity.incrementalEmbeddingPairs`.
+    */
+  def embeddingIndexProbeSink(vecs: DataFrame, index: DataFrame,
+                              corpus: DataFrame, targetDir: String,
+                              planesPerBand: Int = 4, nBands: Int = 24,
+                              threshold: Double = 0.3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.vectors
+    val banded = graft.operators.Similarity.bandedPlaneBuckets(
+        vecs.select(col("vec_id"),
+          vectors.toDoubleArray(col("embedding")).as("v")),
+        planesPerBand, nBands)
+      .select(col("vec_id").as("new_vec"), col("band"), col("sig"))
+    val cand = banded
+      .join(index.select(col("vec_id").as("index_vec"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select(col("new_vec"), col("index_vec"))
+    val c = corpus.select(col("vec_id"),
+      vectors.toDoubleArray(col("embedding")).as("v"))
+    val verified = cand
+      .join(c.select(col("vec_id").as("new_vec"), col("v").as("va")),
+        Seq("new_vec"))
+      .join(c.select(col("vec_id").as("index_vec"), col("v").as("vb")),
+        Seq("index_vec"))
+      .select(col("new_vec"), col("index_vec"),
+        round(vectors.cosineSimilarity(col("va"), col("vb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+    verified.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val fresh = batch.dropDuplicates("new_vec", "index_vec")
+      val hPath = new org.apache.hadoop.fs.Path(targetDir)
+      val exists = hPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(hPath)
+      val out =
+        if (!exists) fresh
+        else fresh.join(spark.read.parquet(targetDir),
+          Seq("new_vec", "index_vec"), "left_anti")
+      out.write.mode("append").parquet(targetDir)
+      ()
+    }
+  }
+
   /** Stream-stream interval join — the streaming twin of
     * Relational.attributionRangeJoin: each purchase joined to the same
     * user's clicks in the preceding `window`. Both sides carry watermarks

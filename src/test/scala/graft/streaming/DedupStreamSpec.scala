@@ -171,6 +171,40 @@ class DedupStreamSpec extends SparkSpec {
       s"stream $streamCand must equal batch $batchCand")
   }
 
+  test("embedding stream probe against the stored index equals the batch incremental generator") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val sfDir = sf
+    val batchPred = col("vec_id") % 4 === 3
+    // same stored index + scheme the batch incremental probe uses
+    // (r = auto of the corpus size = 4 at this SF)
+    val index = Similarity.embeddingBandIndexFor(spark, sfDir, batchPred, 4, 24)
+    val corpus = graft.Tables(spark, sfDir, "embeddings")
+    val expected = Similarity.incrementalEmbeddingPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty)
+
+    val probes = corpus.filter(batchPred)
+      .select("vec_id", "embedding").collect()
+      .map(r => DedupStreamSpec.Vec(r.getLong(0),
+        r.getSeq[Float](1).toArray, ts("2024-01-01 09:00:00")))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("emb_probe_store").toString + "/pairs"
+    val input = MemoryStream[DedupStreamSpec.Vec](spark)
+    val q = Streams.embeddingIndexProbeSink(input.toDF(), index, corpus, outDir)
+      .start()
+    // two batches + a replay of the first: the store must end exact
+    val (b1, b2) = probes.splitAt(probes.length / 2)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    input.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected,
+      s"stream store (${got.size}) must equal batch pairs (${expected.size})")
+  }
+
   test("a doc arriving far behind the watermark expires quietly, not as a query crash") {
     val input = MemoryStream[Doc](spark)
     val q = dupCandidates(
