@@ -88,6 +88,7 @@ object SparkEntry {
     "q_training_order" -> ((s, dir) => TextOps.trainingOrder(s, dir)),
     "q_source_overlap" -> Dedup.sourceOverlap,
     "q_decontamination" -> ((s, dir) => TextOps.decontamination(s, dir)),
+    "q_contamination_report" -> ((s, dir) => TextOps.contaminationReport(s, dir)),
     "q_bloom_decontamination" -> ((s, dir) => TextOps.bloomDecontamination(s, dir)),
     "q_bpe_merges" -> ((s, dir) => TextOps.bpeMerges(s, dir)),
     "q_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(s, dir)),
@@ -1214,6 +1215,44 @@ object SparkEntry {
          FROM t JOIN e USING (h)
          GROUP BY train_doc, eval_doc
          ORDER BY train_doc, eval_doc""",
+    "q_contamination_report" ->
+      s"""WITH b AS (SELECT doc_id, $toks AS toks,
+           CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket
+           FROM documents),
+         sh AS (SELECT doc_id, bucket, md5(unnest(list_transform(
+             generate_series(1, len(toks) - 7),
+             i -> array_to_string(toks[i:i+7], ' ')))) AS h
+           FROM b WHERE len(toks) >= 8),
+         t AS (SELECT DISTINCT doc_id AS train_doc, h FROM sh WHERE bucket < 80),
+         ng0 AS (SELECT train_doc, eval_doc, count(*) AS n_shared
+           FROM t JOIN (SELECT DISTINCT doc_id AS eval_doc, h FROM sh
+             WHERE bucket >= 90) e USING (h)
+           GROUP BY train_doc, eval_doc),
+         ng AS (SELECT eval_doc, CAST(count(*) AS BIGINT) AS n_ngram_train_docs,
+             CAST(sum(n_shared) AS BIGINT) AS n_shared_ngrams
+           FROM ng0 GROUP BY eval_doc),
+         ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           CAST(concat('0x', substring(md5(concat('split:', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS vb
+           FROM embeddings),
+         tr AS (SELECT vec_id, v FROM ve WHERE vb < 80),
+         ev AS (SELECT vec_id AS eval_id, v AS evv FROM ve WHERE vb >= 90),
+         sem AS (SELECT eval_id, cs, cs >= 0.3 AS sem_flag FROM (
+             SELECT ev.eval_id,
+               round(list_cosine_similarity(tr.v, ev.evv), 4) AS cs,
+               row_number() OVER (PARTITION BY ev.eval_id
+                 ORDER BY round(list_cosine_similarity(tr.v, ev.evv), 4) DESC,
+                   tr.vec_id) AS rn
+             FROM tr, ev) WHERE rn = 1)
+         SELECT d.doc_id AS eval_doc,
+           coalesce(ng.n_ngram_train_docs, 0) AS n_ngram_train_docs,
+           coalesce(ng.n_shared_ngrams, 0) AS n_shared_ngrams,
+           coalesce(sem.cs, -9.0) AS sem_cos,
+           (coalesce(ng.n_ngram_train_docs, 0) > 0
+             OR coalesce(sem.sem_flag, FALSE)) AS flagged
+         FROM (SELECT doc_id FROM b WHERE bucket >= 90) d
+         LEFT JOIN ng ON ng.eval_doc = d.doc_id
+         LEFT JOIN sem ON sem.eval_id = d.doc_id
+         ORDER BY eval_doc""",
     "q_bpe_merges" ->
       s"""WITH $bpeSeedCtes,
          ${(1 to 5).map(bpeRoundCtes).mkString(",\n")}

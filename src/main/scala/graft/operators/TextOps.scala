@@ -213,6 +213,42 @@ object TextOps {
       .orderBy($"train_doc", $"eval_doc")
   }
 
+  /** The contamination dashboard: BOTH screens joined per eval doc —
+    * exact n-gram overlap ([[decontamination]]) and embedding-space
+    * nearest-train cosine (`Similarity.semanticDecontamination`), which
+    * catch different leaks (verbatim copies vs paraphrases). One row
+    * per held-out doc: how many train docs share ≥1 n-gram, the total
+    * shared-gram mass, the nearest-train cosine, and the combined
+    * verdict. This is the artifact an eval-suite release actually
+    * ships; the split convention (md5 doc-id buckets) is shared by both
+    * screens, so the join is total by construction. Cost = the two
+    * screens (each scale-audited on its own) + two broadcast-sized
+    * joins on the eval population.
+    */
+  def contaminationReport(s: SparkSession, dir: String, n: Int = 8,
+                          threshold: Double = 0.3): DataFrame = {
+    import s.implicits._
+    val ngram = decontamination(s, dir, n)
+      .groupBy($"eval_doc")
+      .agg(count(lit(1)).as("n_ngram_train_docs"),
+        sum($"n_shared_ngrams").as("n_shared_ngrams"))
+    val sem = Similarity.semanticDecontamination(s, dir, threshold)
+      .select($"eval_id".as("eval_doc"), $"cos_sim".as("sem_cos"),
+        $"contaminated".as("sem_flag"))
+    docsFanned(s, dir)
+      .select($"doc_id".as("eval_doc"))
+      .filter(hashBucket($"eval_doc", "split:") >= 90)
+      .join(ngram, Seq("eval_doc"), "left")
+      .join(sem, Seq("eval_doc"), "left")
+      .select($"eval_doc",
+        coalesce($"n_ngram_train_docs", lit(0L)).as("n_ngram_train_docs"),
+        coalesce($"n_shared_ngrams", lit(0L)).as("n_shared_ngrams"),
+        coalesce($"sem_cos", lit(-9.0)).as("sem_cos"),
+        (coalesce($"n_ngram_train_docs", lit(0L)) > 0 ||
+          coalesce($"sem_flag", lit(false))).as("flagged"))
+      .orderBy($"eval_doc")
+  }
+
   /** Bloom-pruned decontamination: identical output to
     * [[decontamination]], different 100 TB cost shape. The exact form
     * shuffles every distinct train-side shingle into the join — at scale

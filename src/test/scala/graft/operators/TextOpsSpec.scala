@@ -472,6 +472,28 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("contaminationReport reconciles with both parent screens") {
+    val ngram = TextOps.decontamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sem = Similarity.semanticDecontamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    val got = TextOps.contaminationReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got.length === sem.size, "one row per held-out doc")
+    val byEval = ngram.groupBy(_._2)
+    got.foreach { case (eid, nDocs, nGrams, semCos, flagged) =>
+      val hits = byEval.getOrElse(eid, Array.empty)
+      assert(nDocs === hits.length.toLong)
+      assert(nGrams === hits.map(_._3).sum)
+      val (bcs, bflag) = sem(eid)
+      assert(semCos === bcs)
+      assert(flagged === (nDocs > 0 || bflag))
+    }
+    // the two screens genuinely disagree somewhere, or the report is moot
+    assert(got.exists(g => g._2 > 0 || g._5))
+  }
+
   test("bpeCompressionStats reconciles with the encode and roundtrip frames") {
     val enc = TextOps.bpeEncode(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
