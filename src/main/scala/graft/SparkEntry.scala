@@ -162,6 +162,7 @@ object SparkEntry {
     "q_frame_samples" -> ((s, dir) => Multimodal.frameSampleStats(s, dir)),
     "q_media_neardup" -> ((s, dir) => Multimodal.mediaNearDupPairs(s, dir)),
     "q_media_lsh_recall" -> ((s, dir) => Multimodal.mediaLshRecall(s, dir)),
+    "q_media_dedup_best" -> ((s, dir) => Multimodal.mediaDedupBest(s, dir)),
     // -- round-4 additions: exact-moment stats, window frames, islands -----
     "q_corr_stats" -> Relational.corrStats,
     "q_moving_avg_revenue" -> Relational.movingAvgRevenue,
@@ -1086,6 +1087,29 @@ object SparkEntry {
          FROM truth t LEFT JOIN (SELECT * FROM cand WHERE vec_a < 100) c
            ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b
          GROUP BY 1 ORDER BY cos_bucket""",
+    "q_media_dedup_best" ->
+      s"""WITH RECURSIVE $MediaFeatureCtes,
+         vp AS (SELECT c.vec_a AS a0, c.vec_b AS b0 FROM cand c
+           JOIN e2 a ON a.vec_id = c.vec_a JOIN e2 b ON b.vec_id = c.vec_b
+           WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.8),
+         edges AS (SELECT a0 AS a, b0 AS b FROM vp
+                   UNION SELECT b0 AS a, a0 AS b FROM vp),
+         reach(a, r) AS (
+           SELECT a, b FROM edges
+           UNION SELECT a, a FROM edges
+           UNION SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a),
+         canon AS (SELECT a AS asset_id, min(r) AS canon_id
+           FROM reach GROUP BY a),
+         byts AS (SELECT doc_id AS asset_id,
+             CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
+         j AS (SELECT c.canon_id, c.asset_id, b.n_bytes,
+             row_number() OVER (PARTITION BY c.canon_id
+               ORDER BY b.n_bytes DESC, c.asset_id) AS rn,
+             count(*) OVER (PARTITION BY c.canon_id) AS n_members
+           FROM canon c JOIN byts b USING (asset_id))
+         SELECT canon_id, asset_id AS best_id,
+           CAST(n_members AS BIGINT) AS n_members, n_bytes
+         FROM j WHERE rn = 1 ORDER BY canon_id""",
     "q_embedding_lsh_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),

@@ -190,6 +190,29 @@ object Multimodal {
       .select($"vec_id".as("asset_id"), $"canon_id")
   }
 
+  /** Survivor selection for media clusters — the media twin of
+    * `Dedup.dedupBest`, with the media-native quality signal: keep the
+    * LARGEST payload per cluster (for real assets, bytes ≈ resolution/
+    * fidelity — dedup should keep the best copy, not the earliest id),
+    * min-id ties. Same partial-aggregatable `max(struct)` argmax as the
+    * text path: one shuffle on canon_id, no window sort.
+    */
+  def mediaDedupBest(s: SparkSession, dir: String,
+                     threshold: Double = 0.8): DataFrame = {
+    import s.implicits._
+    val bytes = Tables(s, dir, "documents")
+      .select($"doc_id".as("asset_id"),
+        octet_length($"text").cast("long").as("n_bytes"))
+    mediaClusters(s, dir, threshold)
+      .join(bytes, Seq("asset_id"))
+      .groupBy($"canon_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct($"n_bytes", (-$"asset_id").as("neg_id"))).as("m"))
+      .select($"canon_id", (-$"m.neg_id").as("best_id"), $"n_members",
+        $"m.n_bytes".as("n_bytes"))
+      .orderBy($"canon_id")
+  }
+
   /** Oracle-checkable metadata path over documents-as-blobs: byte length
     * (octet_length = UTF-8 bytes) and 64-byte chunk counts per lang. This
     * exercises the same arithmetic the binary pipeline uses, on data the

@@ -123,6 +123,20 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(gotClusters === expClusters)
 
+    // survivor selection: largest payload per cluster, min-id ties
+    val byteLen = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length.toLong)
+      .toMap
+    val expBest = expClusters.groupBy(_._2).toSeq.map { case (canon, ms) =>
+      val ids = ms.map(_._1)
+      val best = ids.maxBy(id => (byteLen(id), -id))
+      (canon, best, ids.length.toLong, byteLen(best))
+    }.sortBy(_._1)
+    val gotBest = Multimodal.mediaDedupBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotBest === expBest)
+
     // recall audit cross-check: with nProbes covering every doc at this
     // SF, truth = all-pairs cos >= 0.8 and caught = the pair generator's
     // output (candidates ∩ truth) — so the audit's totals must reconcile
