@@ -57,13 +57,23 @@ object Export {
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy(partitionCols: _*)
       .text(dstDir)
+    partitionManifest(docs, dstDir, partitionCols)
+  }
+
+  /** Write-side manifest for a Hive-partitioned export: per partition,
+    * the shard (file) count from a metadata walk joined to the exact
+    * record count from the input frame itself — the manifest never
+    * reads the output back. Joined on the string form the committer
+    * actually wrote: null and empty partition values both land in the
+    * Hive default-partition dir, so translate them or those rows
+    * silently vanish from an inner-joined manifest.
+    */
+  private def partitionManifest(docs: DataFrame, dstDir: String,
+                                partitionCols: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
     val counts = docs.groupBy(partitionCols.map(col): _*)
       .agg(count(lit(1)).as("n_records"))
     val shards = shardCounts(spark, dstDir, partitionCols)
-    // join on the string form the committer actually wrote: null and
-    // empty partition values both land in the Hive default-partition
-    // dir, so translate them or those rows silently vanish from an
-    // inner-joined manifest
     def dirForm(c: org.apache.spark.sql.Column) = when(
       c.isNull || c.cast("string") === "",
       lit(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
@@ -74,6 +84,31 @@ object Export {
     counts.join(broadcast(shards), cond)
       .select(partitionCols.map(col) :+ col("n_shards") :+ col("n_records"): _*)
       .orderBy(partitionCols.map(col): _*)
+  }
+
+  /** Columnar warehouse handoff: the typed sibling of the JSONL
+    * [[trainingShards]] — same partition tree, same write-side manifest,
+    * but the payload stays COLUMNAR (native ORC, no serialization to
+    * text), sorted within partitions on `sortCol` so file/row-group
+    * min-max stats are tight. The contract this buys downstream: any
+    * engine reading the tree gets partition pruning from the dir layout
+    * and predicate pushdown from the sorted stats (`InterchangeSpec`
+    * asserts both on the read-back plan plus byte-exact round-trip,
+    * arrays included). `maxRecordsPerFile` bounds shard size exactly as
+    * in the text export.
+    */
+  def columnarShards(docs: DataFrame, dstDir: String,
+                     maxRecordsPerFile: Int = 100000,
+                     partitionCols: Seq[String] = Seq("split", "lang"),
+                     sortCol: String = "doc_id"): DataFrame = {
+    docs
+      .repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols :+ sortCol).map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy(partitionCols: _*)
+      .orc(dstDir)
+    partitionManifest(docs, dstDir, partitionCols)
   }
 
   /** Training-ordered export: shards laid out by the reproducible
