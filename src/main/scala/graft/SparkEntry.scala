@@ -135,6 +135,7 @@ object SparkEntry {
     "q_neardup_pagerank" -> ((s, dir) => Dedup.nearDupPageRank(s, dir)),
     "q_neardup_lpa" -> ((s, dir) => Dedup.labelPropagation(s, dir)),
     "q_neardup_triangles" -> ((s, dir) => Dedup.nearDupTriangles(s, dir)),
+    "q_triangles_oriented" -> ((s, dir) => Dedup.nearDupTrianglesOriented(s, dir)),
     "q_containment_pairs" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "q_dedup_profile" -> Dedup.dedupProfile,
     // -- similarity search (§7.4) ------------------------------------------
@@ -1460,6 +1461,16 @@ object SparkEntry {
          ${lpaRoundCtes(3)}
          SELECT v AS doc_id, lbl AS community FROM l3 ORDER BY doc_id""",
     "q_neardup_triangles" ->
+      s"""WITH lsh AS ($minhashPairsCore),
+         t AS (SELECT x.doc_a AS a, x.doc_b AS b, y.doc_b AS c
+           FROM lsh x JOIN lsh y ON y.doc_a = x.doc_b
+             JOIN lsh z ON z.doc_a = x.doc_a AND z.doc_b = y.doc_b),
+         m AS (SELECT unnest([a, b, c]) AS doc_id FROM t)
+         SELECT doc_id, count(*) AS n_triangles FROM m
+         GROUP BY 1 ORDER BY doc_id""",
+    // Identical oracle to q_neardup_triangles by design: orientation
+    // changes the join schedule, never the triangle set
+    "q_triangles_oriented" ->
       s"""WITH lsh AS ($minhashPairsCore),
          t AS (SELECT x.doc_a AS a, x.doc_b AS b, y.doc_b AS c
            FROM lsh x JOIN lsh y ON y.doc_a = x.doc_b

@@ -286,6 +286,10 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === expected)
     assert(tris.nonEmpty, "corpus should close at least one triangle")
+    // the degree-oriented schedule counts the identical triangle set
+    val oriented = Dedup.nearDupTrianglesOriented(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(oriented === expected)
   }
 
   test("containmentPairs matches driver set arithmetic; exact dups score 10000/10000") {
