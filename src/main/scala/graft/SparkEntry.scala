@@ -126,6 +126,7 @@ object SparkEntry {
       Dedup.minhashSignatures(Tables(s, dir, "documents"), 3, 12)
         .orderBy(col("doc_id"), col("seed"))
     }),
+    "q_hashed_tf_neardup" -> ((s, dir) => TextOps.hashedTfNearDupPairs(s, dir)),
     "q_simhash_fingerprints" -> Dedup.simhashFingerprints,
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "q_chunk_pairs" -> ((s, dir) => Chunker.sharedChunkPairs(s, dir)),
@@ -1056,6 +1057,31 @@ object SparkEntry {
              AS DOUBLE) / count(*), 4) AS recall
          FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.vec_id = b.vec_id
          GROUP BY b.qid ORDER BY query_id""",
+    "q_hashed_tf_neardup" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         nn AS (SELECT count(DISTINCT doc_id) AS nd FROM tk),
+         dfc AS (SELECT tok, count(DISTINCT doc_id) AS d FROM tk GROUP BY tok),
+         kept AS (SELECT tk.doc_id, tk.tok FROM tk JOIN dfc USING (tok), nn
+           WHERE dfc.d * 10 <= nn.nd),
+         tf AS (SELECT doc_id, h % 64 AS j,
+             sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS x
+           FROM (SELECT doc_id,
+               CAST(concat('0x', substring(md5(concat('fh:', tok)), 1, 15)) AS BIGINT) AS h
+             FROM kept)
+           GROUP BY doc_id, h % 64),
+         pr AS (SELECT doc_id, list(struct_pack(j := j, x := x)) AS pairs
+           FROM tf GROUP BY doc_id),
+         e0 AS (SELECT doc_id AS vec_id, list_transform(generate_series(0, 63),
+             jj -> CAST(coalesce(list_sum(list_transform(
+               list_filter(pairs, w -> w.j = jj), w -> w.x)), 0) AS DOUBLE)) AS v
+           FROM pr),
+         e AS (SELECT vec_id, v FROM e0 WHERE list_dot_product(v, v) > 0),
+         $EmbLshSigCte
+         SELECT c.vec_a AS doc_a, c.vec_b AS doc_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+         FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
+         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.6
+         ORDER BY doc_a, doc_b""",
     "q_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),

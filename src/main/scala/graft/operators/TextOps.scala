@@ -213,6 +213,63 @@ object TextOps {
       .orderBy($"train_doc", $"eval_doc")
   }
 
+  /** Feature-hashed TF document vectors (the hashing trick, Weinberger
+    * et al. 2009): every kept token hashes to one of `dim` buckets with
+    * a ±1 sign from its own hash bits, and a document's vector is the
+    * signed term-frequency sum per bucket — COSINE semantics over raw
+    * text with no trained embedding model and no vocabulary state (the
+    * hash IS the vocabulary). Tokens in more than n/`dfCapDenom` of the
+    * corpus are dropped first (document-frequency stopword cap —
+    * integer-exact, engine-portable, unlike a float idf weight): on
+    * this corpus that turns a common-word-dominated unimodal cosine
+    * distribution into a clean bimodal dup/non-dup separation. One
+    * df aggregation + one vocab-keyed join + one (doc, bucket) groupBy;
+    * the dense vector assembles per doc from a map literal — no pivot,
+    * no per-dim shuffle. Output (vec_id, v) plugs into every consumer
+    * the embedding column has.
+    */
+  def hashedTfVectors(s: SparkSession, dir: String, dim: Int = 64,
+                      dfCapDenom: Int = 10): DataFrame = {
+    import s.implicits._
+    val tk = docsFanned(s, dir)
+      .select($"doc_id", explode(text.tokensLower($"text")).as("tok"))
+    val nDocs = tk.select($"doc_id").distinct().count()
+    val keptVocab = tk.distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("d"))
+      .filter($"d" * dfCapDenom <= nDocs)
+      .select($"tok")
+    tk.join(keptVocab, "tok")
+      .select($"doc_id",
+        conv(substring(md5(concat(lit("fh:"), $"tok")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .select($"doc_id", pmod($"h", lit(dim.toLong)).as("j"),
+        when(pmod(expr(s"h div $dim"), lit(2L)) === 0L, lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+      .groupBy($"doc_id", $"j").agg(sum($"sgn").as("x"))
+      .groupBy($"doc_id")
+      .agg(map_from_entries(collect_list(struct($"j", $"x"))).as("m"))
+      .select($"doc_id".as("vec_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          j => coalesce(element_at($"m", j), lit(0L)).cast("double")).as("v"))
+  }
+
+  /** Text near-dup by hashed-TF cosine — the third dedup geometry next
+    * to Jaccard (MinHash) and Hamming (SimHash): true cosine on sparse
+    * term frequencies, caught by the same banded sign-LSH + exact-verify
+    * path as the embedding column (`Similarity.bandedPairsCore`), with
+    * no model in the loop. Zero vectors (docs whose kept tokens all
+    * cancel, or all-stopword docs) drop before banding on both engine
+    * and oracle sides.
+    */
+  def hashedTfNearDupPairs(s: SparkSession, dir: String,
+                           threshold: Double = 0.6): DataFrame = {
+    import s.implicits._
+    val vecs = hashedTfVectors(s, dir)
+      .filter(graft.functions.vectors.dot($"v", $"v") > 0)
+    Similarity.bandedPairsCore(vecs, threshold, 4, 24, 64, multiProbe = false)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"), $"cos_sim")
+  }
+
   /** The contamination dashboard: BOTH screens joined per eval doc —
     * exact n-gram overlap ([[decontamination]]) and embedding-space
     * nearest-train cosine (`Similarity.semanticDecontamination`), which

@@ -472,6 +472,52 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("hashedTfNearDupPairs matches a full driver recount (df cap, hashing, banding)") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def tokens(t: String) = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val tk = docs.flatMap { case (id, t) => tokens(t).map(id -> _) }
+    val nd = tk.map(_._1).distinct.length
+    val df = tk.distinct.groupBy(_._2)
+      .map { case (tok, xs) => tok -> xs.map(_._1).distinct.length }
+    val kept = tk.filter { case (_, tok) => df(tok) * 10 <= nd }
+    def h(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"fh:$tok".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(d, 16)
+    }
+    val vecs = kept.groupBy(_._1).map { case (id, xs) =>
+      val v = Array.fill(64)(0.0)
+      xs.foreach { case (_, tok) =>
+        val hh = h(tok)
+        v((hh % 64).toInt) += (if ((hh / 64) % 2 == 0) 1.0 else -1.0)
+      }
+      id -> v
+    }.filter(_._2.exists(_ != 0.0))
+    def sig(v: Array[Double], band: Int): Int =
+      (0 until 4).map { k =>
+        val dot = (0 until 64).map(d => v(d) * Similarity.planeComponent(band * 4 + k, d)).sum
+        if (dot > 0) 1 << k else 0
+      }.sum
+    val sigs = vecs.map { case (id, v) => id -> (0 until 24).map(b => sig(v, b)) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ids = vecs.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if (0 until 24).exists(band => sigs(a)(band) == sigs(b)(band))
+      c = r4(cos(vecs(a), vecs(b))) if c >= 0.6
+    } yield (a, b, c)).toSeq
+    val got = TextOps.hashedTfNearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "corpus should contain hashed-TF near-dups")
+  }
+
   test("contaminationReport reconciles with both parent screens") {
     val ngram = TextOps.decontamination(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
