@@ -1080,7 +1080,7 @@ object SparkEntry {
          SELECT c.vec_a AS doc_a, c.vec_b AS doc_b,
            round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
          FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
-         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.6
+         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
          ORDER BY doc_a, doc_b""",
     "q_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -260,13 +260,33 @@ object TextOps {
     * no model in the loop. Zero vectors (docs whose kept tokens all
     * cancel, or all-stopword docs) drop before banding on both engine
     * and oracle sides.
+    *
+    * Representation caveat, measured: cosine over TF vectors is only as
+    * discriminative as the KEPT vocabulary. This repo's synthetic
+    * corpus has ~40 distinct tokens total; at the stress sizes the df
+    * cap leaves ~10, every doc keeps ~1 distinct token, vectors
+    * collapse onto ~10 one-hot directions, and the ≥0.9 pair output
+    * degenerates to the cross-product of those classes (measured 102M
+    * pairs at 10x — Θ(output), the join itself stays bucket-bounded).
+    * On a real crawl vocabulary (10⁵+ surviving terms) directions are
+    * high-entropy and the output is near-dup-sized. The diagnosis query
+    * is the class structure itself: groupBy the normalized vector and
+    * look for fat classes before trusting TF-cosine on a new corpus.
     */
   def hashedTfNearDupPairs(s: SparkSession, dir: String,
-                           threshold: Double = 0.6): DataFrame = {
+                           threshold: Double = 0.9,
+                           planesPerBand: Int = Similarity.AutoPlanes,
+                           nBands: Int = 24): DataFrame = {
     import s.implicits._
     val vecs = hashedTfVectors(s, dir)
       .filter(graft.functions.vectors.dot($"v", $"v") > 0)
-    Similarity.bandedPairsCore(vecs, threshold, 4, 24, 64, multiProbe = false)
+    // band width from the metadata-cheap doc count (the media-path
+    // convention), not a count over the hashed-vector pipeline — 4 at
+    // the oracle SFs (the width the SQL hardcodes), wider at stress
+    // sizes so bucket occupancy stays constant
+    val r = if (planesPerBand > 0) planesPerBand
+            else Similarity.autoPlanesPerBand(Tables(s, dir, "documents").count())
+    Similarity.bandedPairsCore(vecs, threshold, r, nBands, 64, multiProbe = false)
       .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"), $"cos_sim")
   }
 

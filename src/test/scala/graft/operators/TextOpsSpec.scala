@@ -510,7 +510,7 @@ class TextOpsSpec extends SparkSpec {
     val expected = (for {
       a <- ids; b <- ids if a < b
       if (0 until 24).exists(band => sigs(a)(band) == sigs(b)(band))
-      c = r4(cos(vecs(a), vecs(b))) if c >= 0.6
+      c = r4(cos(vecs(a), vecs(b))) if c >= 0.9
     } yield (a, b, c)).toSeq
     val got = TextOps.hashedTfNearDupPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
