@@ -165,6 +165,8 @@ object SparkEntry {
     "q_media_neardup" -> ((s, dir) => Multimodal.mediaNearDupPairs(s, dir)),
     "q_media_lsh_recall" -> ((s, dir) => Multimodal.mediaLshRecall(s, dir)),
     "q_media_dedup_best" -> ((s, dir) => Multimodal.mediaDedupBest(s, dir)),
+    "q_media_mp_recall" ->
+      ((s, dir) => Multimodal.mediaLshRecall(s, dir, multiProbe = true)),
     // -- round-4 additions: exact-moment stats, window frames, islands -----
     "q_corr_stats" -> Relational.corrStats,
     "q_moving_avg_revenue" -> Relational.movingAvgRevenue,
@@ -1137,6 +1139,25 @@ object SparkEntry {
          SELECT canon_id, asset_id AS best_id,
            CAST(n_members AS BIGINT) AS n_members, n_bytes
          FROM j WHERE rn = 1 ORDER BY canon_id""",
+    "q_media_mp_recall" ->
+      s"""WITH $MediaFeatureCtes,
+         mp AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           FROM sg x JOIN sg y ON x.band = y.band
+             AND bit_count(xor(CAST(x.sig AS BIGINT), CAST(y.sig AS BIGINT))) <= 1
+             AND x.vec_id < y.vec_id AND x.vec_id < 100),
+         truth AS (SELECT p.vec_id AS vec_a, o.vec_id AS vec_b,
+             round(list_cosine_similarity(p.v, o.v), 4) AS cos_sim
+           FROM e2 p JOIN e2 o ON p.vec_id < o.vec_id AND p.vec_id < 100
+           WHERE round(list_cosine_similarity(p.v, o.v), 4) >= 0.8)
+         SELECT round(t.cos_sim, 1) AS cos_bucket,
+           count(*) AS n_true,
+           CAST(sum(CASE WHEN c.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_caught,
+           round(CAST(sum(CASE WHEN c.vec_a IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 4) AS recall
+         FROM truth t LEFT JOIN mp c
+           ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b
+         GROUP BY 1 ORDER BY cos_bucket""",
     "q_embedding_lsh_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),

@@ -165,14 +165,15 @@ object Multimodal {
     */
   def mediaLshRecall(s: SparkSession, dir: String, threshold: Double = 0.8,
                      planesPerBand: Int = Similarity.AutoPlanes,
-                     nBands: Int = 8, nProbes: Int = 100): DataFrame = {
+                     nBands: Int = 8, nProbes: Int = 100,
+                     multiProbe: Boolean = false): DataFrame = {
     import s.implicits._
     val feats = mediaFeatureVectors(s, dir)
       .filter(graft.functions.vectors.dot($"v", $"v") > 0)
     val r = if (planesPerBand > 0) planesPerBand
             else Similarity.autoPlanesPerBand(Tables(s, dir, "documents").count())
     Similarity.lshRecallCore(feats, threshold, r, nBands,
-      FakeDecoder.FeatureDim, nProbes, multiProbe = false)
+      FakeDecoder.FeatureDim, nProbes, multiProbe)
   }
 
   /** Near-dup clusters over the media feature space — the decoded-media

@@ -155,5 +155,18 @@ class MultimodalSpec extends SparkSpec {
         BigDecimal(nCaught.toDouble / nTrue)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
+
+    // multi-probe dominates single-probe bucket-for-bucket (a superset
+    // of candidates can only catch more), same truth totals
+    val mp = Multimodal.mediaLshRecall(spark, sf, nProbes = 100000,
+        multiProbe = true).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(mp.map(_._2).sum === truthAll.length.toLong)
+    val singleByBucket = audit.map(a => a._1 -> a._3).toMap
+    mp.foreach { case (bucket, nTrue, nCaught) =>
+      assert(nCaught >= singleByBucket(bucket),
+        s"bucket $bucket: multi-probe caught less than single-probe")
+      assert(nCaught <= nTrue)
+    }
   }
 }
