@@ -205,6 +205,52 @@ class DedupStreamSpec extends SparkSpec {
       s"stream store (${got.size}) must equal batch pairs (${expected.size})")
   }
 
+  test("streaming semantic-decon gate: train vectors flag against the eval-split index") {
+    import org.apache.spark.sql.functions.{broadcast, col, round}
+    import graft.operators.{Similarity, TextOps}
+    import graft.functions.vectors
+    // the gate is a pure composition: the SAME probe sink, pointed at an
+    // index built from the EVAL split — arriving train vectors that band-
+    // collide with a held-out doc and verify above threshold are leaks
+    val evalPred = TextOps.hashBucket(col("vec_id"), "split:") >= 90
+    val trainPred = TextOps.hashBucket(col("vec_id"), "split:") < 80
+    val index = Similarity.embeddingBandIndexByPred(spark, sf, evalPred, 4, 24)
+    val corpus = graft.Tables(spark, sf, "embeddings")
+    // batch expectation from the same pieces the sink composes
+    val ed = corpus.select(col("vec_id"),
+      vectors.toDoubleArray(col("embedding")).as("v"))
+    val trainBands = Similarity.bandedPlaneBuckets(ed.filter(trainPred), 4, 24)
+    val expected = trainBands.alias("p")
+      .join(index.alias("i"),
+        col("p.band") === col("i.band") && col("p.sig") === col("i.sig"))
+      .select(col("p.vec_id").as("new_vec"), col("i.vec_id").as("index_vec"))
+      .distinct()
+      .join(ed.select(col("vec_id").as("new_vec"), col("v").as("va")), "new_vec")
+      .join(broadcast(ed.select(col("vec_id").as("index_vec"), col("v").as("vb"))),
+        "index_vec")
+      .select(col("new_vec"), col("index_vec"),
+        round(vectors.cosineSimilarity(col("va"), col("vb")), 4).as("cs"))
+      .filter(col("cs") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "fixture should contain at least one train-side leak")
+
+    val probes = corpus.filter(trainPred)
+      .select("vec_id", "embedding").collect()
+      .map(r => DedupStreamSpec.Vec(r.getLong(0),
+        r.getSeq[Float](1).toArray, ts("2024-01-01 09:00:00")))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("sem_gate_store").toString + "/flags"
+    val input = MemoryStream[DedupStreamSpec.Vec](spark)
+    val q = Streams.embeddingIndexProbeSink(input.toDF(), index, corpus, outDir)
+      .start()
+    input.addData(probes.take(probes.length / 2): _*); q.processAllAvailable()
+    input.addData(probes.drop(probes.length / 2): _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+  }
+
   test("a doc arriving far behind the watermark expires quietly, not as a query crash") {
     val input = MemoryStream[Doc](spark)
     val q = dupCandidates(
