@@ -109,6 +109,8 @@ object SparkEntry {
     "q_char_entropy" -> TextOps.charEntropy,
     "q_inverted_index" -> ((s, dir) => TextOps.invertedIndex(s, dir)),
     "q_keyword_search" -> ((s, dir) => TextOps.keywordSearch(s, dir)),
+    "q_bm25_topk" -> ((s, dir) => TextOps.bm25TopK(s, dir)),
+    "q_quality_lr" -> ((s, dir) => TextOps.qualityLrTrain(s, dir)),
     "q_bigram_surprisal" -> TextOps.bigramSurprisal,
     "q_zipf_slope" -> ((s, dir) => TextOps.zipfSlope(s, dir)),
     "q_quality_weighted_sample" -> ((s, dir) => TextOps.qualityWeightedSample(s, dir)),
@@ -134,6 +136,7 @@ object SparkEntry {
     "q_dedup_corpus" -> Dedup.dedupCorpus,
     "q_dedup_best" -> Dedup.dedupBest,
     "q_neardup_pagerank" -> ((s, dir) => Dedup.nearDupPageRank(s, dir)),
+    "q_neardup_kcore" -> ((s, dir) => Dedup.kCore(s, dir)),
     "q_neardup_lpa" -> ((s, dir) => Dedup.labelPropagation(s, dir)),
     "q_neardup_triangles" -> ((s, dir) => Dedup.nearDupTriangles(s, dir)),
     "q_triangles_oriented" -> ((s, dir) => Dedup.nearDupTrianglesOriented(s, dir)),
@@ -152,6 +155,8 @@ object SparkEntry {
     "q_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "q_quant_stats" -> Similarity.quantizationStats,
     "q_quantized_recall" -> ((s, dir) => Similarity.quantizedRecall(s, dir)),
+    "q_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
+    "q_pq_recall" -> ((s, dir) => Similarity.pqRecall(s, dir)),
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
     "q_semantic_decontamination" ->
       ((s, dir) => Similarity.semanticDecontamination(s, dir)),
@@ -217,6 +222,30 @@ object SparkEntry {
           generate_series(1, len(toks) - 1),
           i -> array_to_string(toks[i:i+1], ' '))) AS g
         FROM docs WHERE $where AND len(toks) >= 2"""
+
+  /** Product-quantization CTE chain (vectors → subspace slices → sampled
+    * codebook → fixed-point distances → code assignment) — shared by the
+    * ADC top-k and PQ-recall oracles. Distances are per-dim squared
+    * diffs rounded to the 1e-12 grid and summed as BIGINTs, mirroring
+    * `vectors.l2SqFixed` exactly (same per-element IEEE expression, same
+    * rounding, order-free integer sum).
+    */
+  private val pqCtes =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       sv AS (SELECT vec_id, j, v[(j * 8 + 1):(j * 8 + 8)] AS sub FROM e
+         CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)),
+       cb AS (SELECT vec_id AS cid, j, sub AS cv FROM sv WHERE vec_id < 16),
+       ad0 AS (SELECT sv.vec_id, sv.j, cb.cid,
+           CAST(round((sv.sub[i] - cb.cv[i]) * (sv.sub[i] - cb.cv[i])
+             * 1000000000000.0) AS BIGINT) AS t
+         FROM sv JOIN cb USING (j)
+         CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)),
+       ad AS (SELECT vec_id, j, cid, CAST(sum(t) AS BIGINT) AS d
+         FROM ad0 GROUP BY vec_id, j, cid),
+       asg AS (SELECT vec_id, j, cid FROM (
+           SELECT vec_id, j, cid,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+           FROM ad) WHERE rn = 1)"""
 
   /** MinHash CTE chain (docs → shingles → per-seed mins → LSH bands) —
     * the single source for every MinHash-derived oracle (candidate
@@ -448,6 +477,46 @@ object SparkEntry {
        l$i AS (SELECT v, lbl FROM (
            SELECT v, lbl, row_number() OVER (PARTITION BY v
              ORDER BY c DESC, lbl) AS rn FROM r$i) WHERE rn = 1)"""
+
+  /** One gradient-descent step for the q_quality_lr oracle: hard-sigmoid
+    * forward pass with the weights of CTE w(i-1) folded into the
+    * expression (same left-assoc dot order as the Spark loop), per-row
+    * gradients fixed-pointed to 1e-6 and summed as BIGINTs, weight
+    * update in integer micro-units. Generated so all steps are the same
+    * text and cannot drift from the Scala loop.
+    */
+  private def lrStepCtes(i: Int): String = {
+    val z = (0 to 3)
+      .map(j => s"CAST(w${j}u AS DOUBLE) / 1000000.0 * x$j")
+      .mkString(" + ")
+    val gs = (0 to 3)
+      .map(j => s"CAST(sum(CAST(round((p - y) * x$j * 1000000.0) AS BIGINT)) AS BIGINT) AS g$j")
+      .mkString(", ")
+    val ws = (0 to 3)
+      .map(j => s"w${j}u - CAST(round(0.5 * CAST(g$j AS DOUBLE) / n) AS BIGINT) AS w${j}u")
+      .mkString(", ")
+    s"""g$i AS (SELECT $gs FROM (
+         SELECT y, x0, x1, x2, x3,
+           greatest(0.0, least(1.0, 0.5 + 0.25 * ($z))) AS p
+         FROM feats CROSS JOIN w${i - 1})),
+       w$i AS (SELECT $ws FROM w${i - 1} CROSS JOIN g$i CROSS JOIN nn)"""
+  }
+
+  /** One k-core peel round for the q_neardup_kcore oracle — an edge
+    * survives iff BOTH endpoints currently keep ≥ k incident edges.
+    * Written as windows over a single scan of the previous round (the
+    * symmetrized edge set makes count-over-a ≡ count-over-b per node),
+    * NOT as semi-joins: DuckDB inlines CTEs, so a round referencing its
+    * predecessor twice would re-expand the whole MinHash chain 2^rounds
+    * times. Generated so every round is the same text and cannot drift
+    * from the Spark loop.
+    */
+  private def kcoreRoundCtes(i: Int, k: Int): String =
+    s"""e$i AS (SELECT a, b FROM (
+         SELECT a, b, count(*) OVER (PARTITION BY a) AS da,
+           count(*) OVER (PARTITION BY b) AS db
+         FROM e${i - 1})
+       WHERE da >= $k AND db >= $k)"""
 
   /** Explicit Morton-interleave bit arithmetic for the q_zorder_key
     * oracle: bit `b` of lane `lane` (of `n` lanes) lands at result bit
@@ -1515,6 +1584,18 @@ object SparkEntry {
          m AS (SELECT unnest([a, b, c]) AS doc_id FROM t)
          SELECT doc_id, count(*) AS n_triangles FROM m
          GROUP BY 1 ORDER BY doc_id""",
+    "q_neardup_kcore" ->
+      s"""WITH lsh AS ($minhashPairsCore),
+         e0 AS (SELECT doc_a AS a, doc_b AS b FROM lsh
+                UNION ALL SELECT doc_b AS a, doc_a AS b FROM lsh),
+         ${kcoreRoundCtes(1, 2)},
+         ${kcoreRoundCtes(2, 2)},
+         ${kcoreRoundCtes(3, 2)},
+         ${kcoreRoundCtes(4, 2)},
+         ${kcoreRoundCtes(5, 2)},
+         ${kcoreRoundCtes(6, 2)}
+         SELECT a AS doc_id, count(*) AS core_degree FROM e6
+         GROUP BY 1 ORDER BY doc_id""",
     // Identical oracle to q_neardup_triangles by design: orientation
     // changes the join schedule, never the triangle set
     "q_triangles_oriented" ->
@@ -1600,6 +1681,49 @@ object SparkEntry {
          GROUP BY doc_id
          HAVING count(DISTINCT tok) = 3
          ORDER BY score DESC, doc_id LIMIT 25""",
+    "q_quality_lr" ->
+      s"""WITH feats AS (SELECT
+           CASE WHEN list_contains(toks, 'spark') AND len(toks) >= 54
+             THEN 1.0 ELSE 0.0 END AS y,
+           1.0 AS x0,
+           len(toks) / 100.0 AS x1,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS x2,
+           CAST(n_chars AS DOUBLE) / len(toks) / 10.0 AS x3
+         FROM (SELECT n_chars, $toks AS toks FROM documents)),
+         nn AS (SELECT count(*) AS n FROM feats),
+         w0 AS (SELECT CAST(0 AS BIGINT) AS w0u, CAST(0 AS BIGINT) AS w1u,
+           CAST(0 AS BIGINT) AS w2u, CAST(0 AS BIGINT) AS w3u),
+         ${lrStepCtes(1)},
+         ${lrStepCtes(2)},
+         ${lrStepCtes(3)},
+         ${lrStepCtes(4)},
+         ${lrStepCtes(5)}
+         SELECT * FROM (
+           SELECT CAST(1 AS INT) AS step, w0u AS w0_u, w1u AS w1_u,
+             w2u AS w2_u, w3u AS w3_u FROM w1
+           UNION ALL SELECT CAST(2 AS INT), w0u, w1u, w2u, w3u FROM w2
+           UNION ALL SELECT CAST(3 AS INT), w0u, w1u, w2u, w3u FROM w3
+           UNION ALL SELECT CAST(4 AS INT), w0u, w1u, w2u, w3u FROM w4
+           UNION ALL SELECT CAST(5 AS INT), w0u, w1u, w2u, w3u FROM w5)
+         ORDER BY step""",
+    "q_bm25_topk" ->
+      s"""WITH dd AS (SELECT doc_id, len($toks) AS dl FROM documents),
+         st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
+         tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM
+             (SELECT doc_id, len($toks) AS dl, unnest($toks) AS tok
+              FROM documents)
+           WHERE tok IN ('vector', 'hash', 'spark') GROUP BY doc_id, dl, tok),
+         dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         c AS (SELECT doc_id,
+             CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+               (tf * ${1.2 + 1.0}) /
+               (tf + 1.2 * (${1.0 - 0.75} + 0.75 * dl /
+                 (CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000.0) AS BIGINT)
+               AS cf
+           FROM tf JOIN dfreq USING (tok) CROSS JOIN st)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           round(CAST(sum(cf) AS DOUBLE) / 1000000.0, 4) AS bm25
+         FROM c GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 25""",
     "q_bigram_surprisal" ->
       s"""WITH docs AS (SELECT doc_id,
            CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket,
@@ -1917,6 +2041,46 @@ object SparkEntry {
              AS DOUBLE) / count(*), 4) AS recall
          FROM ex LEFT JOIN qz ON qz.qid = ex.qid AND qz.vec_id = ex.vec_id
          GROUP BY ex.qid ORDER BY query_id""",
+    "q_pq_topk" ->
+      s"""$pqCtes,
+         lut AS (SELECT j, cid, d AS qd FROM ad WHERE vec_id = 0),
+         adc AS (SELECT asg.vec_id, CAST(sum(lut.qd) AS BIGINT) AS adc
+           FROM asg JOIN lut USING (j, cid) GROUP BY asg.vec_id)
+         SELECT vec_id, adc,
+           round(sqrt(CAST(adc AS DOUBLE) / 1000000000000.0), 4) AS adc_l2
+         FROM adc WHERE vec_id <> 0 ORDER BY adc, vec_id LIMIT 10""",
+    "q_pq_recall" ->
+      s"""$pqCtes,
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+         ex0 AS (SELECT q.qid, e.vec_id,
+             CAST(round((e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])
+               * 1000000000000.0) AS BIGINT) AS t
+           FROM e CROSS JOIN q
+           CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+           WHERE e.vec_id <> q.qid),
+         ex AS (SELECT qid, vec_id, CAST(sum(t) AS BIGINT) AS d
+           FROM ex0 GROUP BY qid, vec_id),
+         exk AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+             FROM ex) WHERE rn <= 5),
+         lut AS (SELECT vec_id AS qid, j, cid, d AS qd FROM ad
+           WHERE vec_id < 20),
+         adc AS (SELECT lut.qid, asg.vec_id, CAST(sum(lut.qd) AS BIGINT) AS adc
+           FROM asg JOIN lut USING (j, cid) WHERE asg.vec_id <> lut.qid
+           GROUP BY lut.qid, asg.vec_id),
+         adck AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+             FROM adc) WHERE rn <= 5)
+         SELECT exk.qid AS query_id, CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN adck.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_overlap,
+           round(CAST(sum(CASE WHEN adck.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 4) AS recall
+         FROM exk LEFT JOIN adck
+           ON adck.qid = exk.qid AND adck.vec_id = exk.vec_id
+         GROUP BY exk.qid ORDER BY query_id""",
     "q_semdedup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

@@ -40,4 +40,17 @@ object vectors {
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
+
+  /** Fixed-point squared L2 distance: per-dim squared difference rounded
+    * to the 1e-12 grid, then summed as longs. Each per-dim term is a
+    * deterministic IEEE expression (same value in any engine evaluating
+    * the same order), and the long sum is order-free — so distances
+    * compare EXACTLY across engines, with no ulp-tiebreak risk in
+    * argmin/top-k (the PQ codebook-assignment / ADC arithmetic).
+    */
+  def l2SqFixed(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => round((x - y) * (x - y) * lit(1000000000000.0)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
 }

@@ -575,6 +575,46 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  def kCore(s: SparkSession, dir: String): DataFrame =
+    kCore(s, minhashLshPairs(s, dir))
+
+  /** k-core peel over a precomputed candidate pair frame — normally
+    * [[sharedLshPairs]]. Where triangles score LOCAL density and LPA
+    * finds label basins, the k-core is the maximal subgraph where every
+    * member keeps ≥ k near-dup neighbors AFTER all weakly-attached docs
+    * are peeled away — the standard "dense copy-family vs incidental
+    * collision" cut on a dedup graph (a hub/template's spokes peel off;
+    * a genuine k-clique family survives).
+    *
+    * Synchronous peel, `rounds` fixed so the oracle can unroll the same
+    * rounds (the spec asserts the peel has CONVERGED by then at test
+    * scale — extra rounds are then identity, so fixed-vs-fixpoint cannot
+    * diverge). Per round: one map-side-combined degree aggregation and
+    * one semi-join per endpoint over the current edge set — O(E) per
+    * round, edges only ever shrink, per-round frames localCheckpointed
+    * (lineage rule at [[dedupClusters]]).
+    */
+  def kCore(s: SparkSession, pairFrame: DataFrame, k: Int = 2,
+            rounds: Int = 6): DataFrame = {
+    import s.implicits._
+    val und = pairFrame.select($"doc_a".as("a"), $"doc_b".as("b"))
+    var edges = und
+      .union(und.select($"b".as("a"), $"a".as("b")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy($"a").agg(count(lit(1)).as("d"))
+        .filter($"d" >= k).select($"a".as("v"))
+        .localCheckpoint()
+      edges = edges
+        .join(keep.toDF("a"), Seq("a"), "left_semi")
+        .join(keep.toDF("b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    edges.groupBy($"a".as("doc_id"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy($"doc_id")
+  }
+
   def sourceOverlap(s: SparkSession, dir: String): DataFrame =
     sourceOverlap(s, dir, minhashLshPairs(s, dir))
 

@@ -842,4 +842,118 @@ object Similarity {
           .as("centroid_norm"))
       .orderBy($"cid")
   }
+
+  // --- product quantization (ADC) ---------------------------------------
+
+  /** Per-vector per-subspace sub-vectors: `(vec_id, j, sub)` with
+    * j ∈ [0, m) and `sub` the j-th `subDim`-slice of the vector. The
+    * subspace explode is row-local (no shuffle) and each output row
+    * carries only its slice — at 100 TB the PQ pipeline never moves the
+    * full vectors after this projection.
+    */
+  private def pqSubvecs(e: DataFrame, m: Int, subDim: Int): DataFrame =
+    e.select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("v"))
+      .select(col("vec_id"), col("j"),
+        slice(col("v"), col("j") * subDim + 1, lit(subDim)).as("sub"))
+
+  /** Product-quantization code assignment: codebook = the sub-vectors of
+    * `vec_id < ncodes` (the sampled-data codebook, deterministic like the
+    * IVF centroids so the oracle can replicate), every vector's j-th
+    * slice assigned to its nearest codeword by FIXED-POINT squared L2
+    * ([[graft.functions.vectors.l2SqFixed]]) — integer distances, so the
+    * argmin has no ulp-tiebreak risk in any engine. One broadcast join
+    * against the m·ncodes codebook; cost linear in corpus size.
+    */
+  private[graft] def pqAssigned(s: SparkSession, e: DataFrame,
+                                m: Int, subDim: Int, ncodes: Int): DataFrame = {
+    import s.implicits._
+    val sv = pqSubvecs(e, m, subDim)
+    val cb = pqSubvecs(e.filter($"vec_id" < ncodes), m, subDim)
+      .select($"vec_id".as("cid"), $"j", $"sub".as("cv"))
+    val byVecJ = Window.partitionBy($"vec_id", $"j").orderBy($"d", $"cid")
+    sv.join(broadcast(cb), Seq("j"))
+      .select($"vec_id", $"j", $"cid",
+        vectors.l2SqFixed($"sub", $"cv").as("d"))
+      .withColumn("rn", row_number().over(byVecJ))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"j", $"cid")
+  }
+
+  /** PQ ADC top-k: the memory-bounded ANN serving path — each vector is
+    * stored as m codebook ids (here 8 bytes vs 512, a 64× compression),
+    * and search computes one m·ncodes lookup table from the query's EXACT
+    * sub-vectors (asymmetric distance, Jégou et al.'s ADC), then scores
+    * every vector by m table lookups — no vector arithmetic per
+    * candidate at all. At scale the codes table is the only thing
+    * scanned; the LUT broadcasts. Distances are fixed-point longs end to
+    * end, so ranking is integer-exact; `adc_l2` is the human-readable
+    * root only.
+    */
+  def pqTopK(s: SparkSession, dir: String, queryId: Long = 0L,
+             k: Int = 10, m: Int = 8, ncodes: Int = 16): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir)
+    val subDim = 64 / m
+    val assigned = pqAssigned(s, e, m, subDim, ncodes)
+    val cb = pqSubvecs(e.filter($"vec_id" < ncodes), m, subDim)
+      .select($"vec_id".as("cid"), $"j", $"sub".as("cv"))
+    val lut = pqSubvecs(e.filter($"vec_id" === queryId), m, subDim)
+      .select($"j", $"sub".as("qsub"))
+      .join(cb, Seq("j"))
+      .select($"j", $"cid", vectors.l2SqFixed($"qsub", $"cv").as("qd"))
+    assigned.join(broadcast(lut), Seq("j", "cid"))
+      .groupBy($"vec_id")
+      .agg(sum($"qd").as("adc"))
+      .filter($"vec_id" =!= queryId)
+      .select($"vec_id", $"adc",
+        round(sqrt($"adc".cast("double") / 1000000000000.0), 4).as("adc_l2"))
+      .orderBy($"adc", $"vec_id")
+      .limit(k)
+  }
+
+  /** PQ recall audit: per probe query, the share of the EXACT fixed-point
+    * L2 top-k that ADC search recovers — the acceptance gate before the
+    * 64×-compressed codes replace full vectors in serving. The exact side
+    * runs only for the probe set (broadcast against one corpus scan),
+    * the ADC side only joins the codes table with each probe's LUT —
+    * both linear in corpus size.
+    */
+  def pqRecall(s: SparkSession, dir: String, nQueries: Int = 20,
+               k: Int = 5, m: Int = 8, ncodes: Int = 16): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir).localCheckpoint()
+    val subDim = 64 / m
+    val assigned = pqAssigned(s, e, m, subDim, ncodes).localCheckpoint()
+    val cb = pqSubvecs(e.filter($"vec_id" < ncodes), m, subDim)
+      .select($"vec_id".as("cid"), $"j", $"sub".as("cv"))
+    val queries = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val lut = pqSubvecs(e.filter($"vec_id" < nQueries), m, subDim)
+      .select($"vec_id".as("qid"), $"j", $"sub".as("qsub"))
+      .join(cb, Seq("j"))
+      .select($"qid", $"j", $"cid", vectors.l2SqFixed($"qsub", $"cv").as("qd"))
+    val byQuery = Window.partitionBy($"qid").orderBy($"d", $"vec_id")
+    val exact = e.join(broadcast(queries))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id", vectors.l2SqFixed($"v", $"qv").as("d"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter($"rn" <= k)
+    val byQueryAdc = Window.partitionBy($"qid").orderBy($"adc", $"vec_id")
+    val adc = assigned.join(broadcast(lut), Seq("j", "cid"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"qd").as("adc"))
+      .withColumn("rn", row_number().over(byQueryAdc))
+      .filter($"rn" <= k)
+    exact
+      .join(adc.select($"qid", $"vec_id", lit(1).as("hit")),
+        Seq("qid", "vec_id"), "left")
+      .groupBy($"qid".as("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce($"hit", lit(0))).cast("long").as("n_overlap"))
+      .select($"query_id", $"n_exact", $"n_overlap",
+        round($"n_overlap".cast("double") / $"n_exact", 4).as("recall"))
+      .orderBy($"query_id")
+  }
 }

@@ -821,6 +821,115 @@ object TextOps {
       .orderBy($"score".desc, $"doc_id").limit(k)
   }
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones, the +1 idf variant
+    * Lucene ships): disjunctive query, per-(doc, term) contribution
+    * idf·tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) summed per doc, top-k.
+    *
+    * Scale shape is the same as [[keywordSearch]]: the term filter cuts
+    * the token stream at the scan, so only query-term occurrences ever
+    * shuffle — cost is bounded by the query terms' document frequency,
+    * never the corpus. The corpus-level constants (N, Σdl) are one
+    * metadata-cheap aggregate broadcast into the scoring expression; the
+    * per-term df table is query-terms-sized and broadcast likewise.
+    *
+    * The cross-term sum is fixed-point (contributions rounded to 1e-6
+    * then summed as longs) so the result is independent of Spark's
+    * partial-aggregation order — the same determinism discipline as the
+    * kmeans/centroid oracles.
+    */
+  def bm25TopK(s: SparkSession, dir: String,
+               terms: Seq[String] = Seq("vector", "hash", "spark"),
+               k: Int = 25, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import s.implicits._
+    val docs = docsFanned(s, dir)
+      .select($"doc_id", text.tokensLower($"text").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val tf = docs
+      .select($"doc_id", $"dl", explode($"toks").as("tok"))
+      .filter($"tok".isInCollection(terms))
+      .groupBy($"doc_id", $"dl", $"tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("tok")).crossJoin(broadcast(stats))
+      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
+      .withColumn("idf",
+        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("c",
+        $"idf" * ($"tf" * lit(k1 + 1.0)) /
+          ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / $"avgdl")))
+      .withColumn("cf", round($"c" * lit(1000000.0)).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum($"cf").as("sf"))
+      .select($"doc_id", $"n_terms",
+        round($"sf".cast("double") / 1000000.0, 4).as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id").limit(k)
+  }
+
+  /** Distributed training of a linear document classifier by batch
+    * gradient descent — the "learned quality filter" step of a training-
+    * data pipeline (a fastText-style model distilled from cheap surface
+    * features), and the canonical distributed-ML loop: per step ONE
+    * corpus scan computes the gradient with map-side partial
+    * aggregation, the driver holds only the (tiny) weight vector, and
+    * the updated weights broadcast back into the next step's expression
+    * tree as literals. Cost per step is O(corpus) scan + a 4-long
+    * aggregate — no shuffle of features, no driver data path; at 100 TB
+    * this is exactly mini-batch-free full-batch GD as Spark MLlib runs
+    * it, minus any vector library.
+    *
+    * Logistic regression with the HARD-sigmoid link p = clamp(0.5 +
+    * 0.25·z, 0, 1) (Courbariaux et al.'s hard σ): unlike exp(), every
+    * operation is plain IEEE mul/add/clamp, so p is bit-identical in any
+    * engine evaluating the same order — which is what lets an external
+    * SQL oracle replay TRAINING hash-exactly. The same discipline as the
+    * kmeans loop: gradients are per-row fixed-pointed (1e-6) then summed
+    * as longs (partial-agg-order-proof), and weights live in integer
+    * micro-units end to end.
+    *
+    * Label: doc contains 'spark' AND has ≥ 54 tokens — one component
+    * the features can learn (length), one they cannot see (the token) —
+    * so the loss drops but stays bounded away from zero, the realistic
+    * regime for a surface-feature quality model. Features: bias,
+    * tokens/100, distinct-token ratio, chars-per-token/10.
+    */
+  def qualityLrTrain(s: SparkSession, dir: String, steps: Int = 5,
+                     lr: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val feats = docsFanned(s, dir)
+      .select($"n_chars", text.tokensLower($"text").as("toks"))
+      .select(
+        when(array_contains($"toks", "spark") && size($"toks") >= 54, 1.0)
+          .otherwise(0.0).as("y"),
+        lit(1.0).as("x0"),
+        (size($"toks").cast("double") / 100.0).as("x1"),
+        (size(array_distinct($"toks")).cast("double") / size($"toks")).as("x2"),
+        ($"n_chars".cast("double") / size($"toks") / 10.0).as("x3"))
+      .localCheckpoint()
+    val n = feats.count()
+    var w = Vector(0L, 0L, 0L, 0L) // micro-units: exact integers
+    val hist = scala.collection.mutable.ListBuffer
+      .empty[(Int, Long, Long, Long, Long)]
+    for (step <- 1 to steps) {
+      val wd = w.map(_.toDouble / 1000000.0)
+      val z = lit(wd(0)) * $"x0" + lit(wd(1)) * $"x1" +
+        lit(wd(2)) * $"x2" + lit(wd(3)) * $"x3"
+      val p = greatest(lit(0.0), least(lit(1.0), lit(0.5) + lit(0.25) * z))
+      val row = feats.withColumn("p", p)
+        .select((0 to 3).map(j =>
+          sum(round(($"p" - $"y") * col(s"x$j") * lit(1000000.0))
+            .cast("long")).as(s"g$j")): _*)
+        .head()
+      w = w.indices.map { j =>
+        // HALF_UP (away from zero), matching SQL round() for negatives
+        // where Scala's math.round (floor(x+0.5)) would differ
+        w(j) - BigDecimal(lr * row.getLong(j).toDouble / n)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.toVector
+      hist += ((step, w(0), w(1), w(2), w(3)))
+    }
+    hist.toSeq.toDF("step", "w0_u", "w1_u", "w2_u", "w3_u").orderBy($"step")
+  }
+
   /** Bigram language-model cross-entropy of held-out documents: train
     * add-one-smoothed bigram probabilities P(b|a) = (c_ab+1)/(c_a+V) on
     * the train split of [[hashSplit]], score each test-split document by

@@ -271,6 +271,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("kCore matches a sequential peel and has converged by its fixed rounds") {
+    val k = 2
+    val pairs = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // sequential peel to FIXPOINT (not fixed rounds): the operator's
+    // fixed unroll must have converged at this scale or the two diverge
+    var edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSeq
+    var changed = true
+    while (changed) {
+      val deg = edges.groupBy(_._1).map { case (v, es) => (v, es.length) }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next.length != edges.length
+      edges = next
+    }
+    val expected = edges.groupBy(_._1)
+      .map { case (v, es) => (v, es.length.toLong) }.toSeq.sortBy(_._1)
+    val got = Dedup.kCore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(expected.nonEmpty, "corpus should retain a non-trivial 2-core")
+    assert(got === expected)
+    // every survivor keeps >= k neighbors inside the core, by definition
+    assert(got.forall(_._2 >= k))
+  }
+
   test("nearDupTriangles matches a brute-force triple scan") {
     val pairs = Dedup.minhashLshPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

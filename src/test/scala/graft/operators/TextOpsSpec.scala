@@ -180,6 +180,71 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("bm25TopK matches a sequential driver-side BM25 recomputation") {
+    val terms = Seq("vector", "hash", "spark")
+    val (k1, b) = (1.2, 0.75)
+    val got = TextOps.bm25TopK(spark, sf, terms, k = 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val nDocs = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / nDocs
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      val dl = toks.length.toLong
+      val contribs = terms.flatMap { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (nDocs - df(t) + 0.5) / (df(t) + 0.5))
+          val c = idf * (tf * (k1 + 1.0)) /
+            (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+          Some(math.round(c * 1000000.0))
+        }
+      }
+      if (contribs.isEmpty) None
+      else Some((id, contribs.size.toLong,
+        BigDecimal(contribs.sum.toDouble / 1000000.0)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.sortBy { case (id, _, s) => (-s, id) }.take(25)
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("qualityLrTrain matches a sequential fixed-point gradient descent") {
+    def r6(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val rows = Tables(spark, sf, "documents")
+      .select("text", "n_chars").collect()
+      .map { r =>
+        val toks = r.getString(0).trim.toLowerCase
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        val y = if (toks.contains("spark") && toks.length >= 54) 1.0 else 0.0
+        (y, Array(1.0, toks.length / 100.0,
+          toks.distinct.length.toDouble / toks.length,
+          r.getLong(1).toDouble / toks.length / 10.0))
+      }
+    val n = rows.length
+    var w = Vector(0L, 0L, 0L, 0L)
+    val expected = (1 to 5).map { step =>
+      val wd = w.map(_.toDouble / 1000000.0)
+      val g = Array.fill(4)(0L)
+      rows.foreach { case (y, x) =>
+        val z = ((wd(0) * x(0) + wd(1) * x(1)) + wd(2) * x(2)) + wd(3) * x(3)
+        val p = math.max(0.0, math.min(1.0, 0.5 + 0.25 * z))
+        (0 to 3).foreach(j => g(j) += r6((p - y) * x(j) * 1000000.0))
+      }
+      w = w.indices.map(j => w(j) - r6(0.5 * g(j).toDouble / n)).toVector
+      (step, w(0), w(1), w(2), w(3))
+    }
+    val got = TextOps.qualityLrTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === expected)
+    // training moved off the zero init
+    assert(expected.last.productIterator.drop(1).exists(_ != 0L))
+  }
+
   test("bigramSurprisal: scores exactly the test split, positive cross-entropy") {
     val split = TextOps.hashSplit(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
