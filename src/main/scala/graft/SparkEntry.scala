@@ -111,6 +111,7 @@ object SparkEntry {
     "q_keyword_search" -> ((s, dir) => TextOps.keywordSearch(s, dir)),
     "q_bm25_topk" -> ((s, dir) => TextOps.bm25TopK(s, dir)),
     "q_quality_lr" -> ((s, dir) => TextOps.qualityLrTrain(s, dir)),
+    "q_quality_lr_scores" -> ((s, dir) => TextOps.qualityLrScores(s, dir)),
     "q_bigram_surprisal" -> TextOps.bigramSurprisal,
     "q_zipf_slope" -> ((s, dir) => TextOps.zipfSlope(s, dir)),
     "q_quality_weighted_sample" -> ((s, dir) => TextOps.qualityWeightedSample(s, dir)),
@@ -485,10 +486,17 @@ object SparkEntry {
     * update in integer micro-units. Generated so all steps are the same
     * text and cannot drift from the Scala loop.
     */
-  private def lrStepCtes(i: Int): String = {
+  /** The hard-sigmoid forward pass with CTE-held weights — shared by
+    * every GD step and the final scoring oracle.
+    */
+  private val lrP = {
     val z = (0 to 3)
       .map(j => s"CAST(w${j}u AS DOUBLE) / 1000000.0 * x$j")
       .mkString(" + ")
+    s"greatest(0.0, least(1.0, 0.5 + 0.25 * ($z)))"
+  }
+
+  private def lrStepCtes(i: Int): String = {
     val gs = (0 to 3)
       .map(j => s"CAST(sum(CAST(round((p - y) * x$j * 1000000.0) AS BIGINT)) AS BIGINT) AS g$j")
       .mkString(", ")
@@ -496,11 +504,31 @@ object SparkEntry {
       .map(j => s"w${j}u - CAST(round(0.5 * CAST(g$j AS DOUBLE) / n) AS BIGINT) AS w${j}u")
       .mkString(", ")
     s"""g$i AS (SELECT $gs FROM (
-         SELECT y, x0, x1, x2, x3,
-           greatest(0.0, least(1.0, 0.5 + 0.25 * ($z))) AS p
+         SELECT y, x0, x1, x2, x3, $lrP AS p
          FROM feats CROSS JOIN w${i - 1})),
        w$i AS (SELECT $ws FROM w${i - 1} CROSS JOIN g$i CROSS JOIN nn)"""
   }
+
+  /** Feature table + zero init + the 5 unrolled GD steps — the training
+    * prefix shared by the weight-history and scoring oracles.
+    */
+  private lazy val lrBaseCtes =
+    s"""feats AS (SELECT doc_id,
+         CASE WHEN list_contains(toks, 'spark') AND len(toks) >= 54
+           THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         len(toks) / 100.0 AS x1,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS x2,
+         CAST(n_chars AS DOUBLE) / len(toks) / 10.0 AS x3
+       FROM (SELECT doc_id, n_chars, $toks AS toks FROM documents)),
+       nn AS (SELECT count(*) AS n FROM feats),
+       w0 AS (SELECT CAST(0 AS BIGINT) AS w0u, CAST(0 AS BIGINT) AS w1u,
+         CAST(0 AS BIGINT) AS w2u, CAST(0 AS BIGINT) AS w3u),
+       ${lrStepCtes(1)},
+       ${lrStepCtes(2)},
+       ${lrStepCtes(3)},
+       ${lrStepCtes(4)},
+       ${lrStepCtes(5)}"""
 
   /** One k-core peel round for the q_neardup_kcore oracle — an edge
     * survives iff BOTH endpoints currently keep ≥ k incident edges.
@@ -1682,22 +1710,7 @@ object SparkEntry {
          HAVING count(DISTINCT tok) = 3
          ORDER BY score DESC, doc_id LIMIT 25""",
     "q_quality_lr" ->
-      s"""WITH feats AS (SELECT
-           CASE WHEN list_contains(toks, 'spark') AND len(toks) >= 54
-             THEN 1.0 ELSE 0.0 END AS y,
-           1.0 AS x0,
-           len(toks) / 100.0 AS x1,
-           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS x2,
-           CAST(n_chars AS DOUBLE) / len(toks) / 10.0 AS x3
-         FROM (SELECT n_chars, $toks AS toks FROM documents)),
-         nn AS (SELECT count(*) AS n FROM feats),
-         w0 AS (SELECT CAST(0 AS BIGINT) AS w0u, CAST(0 AS BIGINT) AS w1u,
-           CAST(0 AS BIGINT) AS w2u, CAST(0 AS BIGINT) AS w3u),
-         ${lrStepCtes(1)},
-         ${lrStepCtes(2)},
-         ${lrStepCtes(3)},
-         ${lrStepCtes(4)},
-         ${lrStepCtes(5)}
+      s"""WITH $lrBaseCtes
          SELECT * FROM (
            SELECT CAST(1 AS INT) AS step, w0u AS w0_u, w1u AS w1_u,
              w2u AS w2_u, w3u AS w3_u FROM w1
@@ -1706,6 +1719,12 @@ object SparkEntry {
            UNION ALL SELECT CAST(4 AS INT), w0u, w1u, w2u, w3u FROM w4
            UNION ALL SELECT CAST(5 AS INT), w0u, w1u, w2u, w3u FROM w5)
          ORDER BY step""",
+    "q_quality_lr_scores" ->
+      s"""WITH $lrBaseCtes
+         SELECT doc_id, CAST(round(p * 1000000.0) AS BIGINT) AS p_u,
+           p >= 0.5 AS pred, CAST(y AS INT) AS y
+         FROM (SELECT doc_id, y, $lrP AS p FROM feats CROSS JOIN w5)
+         ORDER BY doc_id""",
     "q_bm25_topk" ->
       s"""WITH dd AS (SELECT doc_id, len($toks) AS dl FROM documents),
          st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),

@@ -892,28 +892,56 @@ object TextOps {
     * regime for a surface-feature quality model. Features: bias,
     * tokens/100, distinct-token ratio, chars-per-token/10.
     */
-  def qualityLrTrain(s: SparkSession, dir: String, steps: Int = 5,
-                     lr: Double = 0.5): DataFrame = {
+  /** Label/feature/score expressions shared by training, batch scoring,
+    * and the streaming ingest gate (`Streams.classifierGate`) — one
+    * definition, so serving cannot drift from what was trained. All take
+    * a MATERIALIZED token column (tokenize once per row).
+    */
+  private[graft] def lrLabel(toks: Column): Column =
+    when(array_contains(toks, "spark") && size(toks) >= 54, 1.0)
+      .otherwise(0.0)
+
+  private[graft] def lrFeats(toks: Column, nChars: Column): Seq[Column] = Seq(
+    lit(1.0),
+    size(toks).cast("double") / 100.0,
+    size(array_distinct(toks)).cast("double") / size(toks),
+    nChars.cast("double") / size(toks) / 10.0)
+
+  /** Hard-sigmoid forward pass with the micro-unit weights folded in as
+    * literals — left-assoc dot order, the one the oracle replays.
+    */
+  private[graft] def lrScore(feats: Seq[Column], wMicro: Seq[Long]): Column = {
+    val z = feats.zip(wMicro)
+      .map { case (x, wu) => lit(wu.toDouble / 1000000.0) * x }
+      .reduceLeft(_ + _)
+    greatest(lit(0.0), least(lit(1.0), lit(0.5) + lit(0.25) * z))
+  }
+
+  private def lrFeatFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val feats = docsFanned(s, dir)
-      .select($"n_chars", text.tokensLower($"text").as("toks"))
-      .select(
-        when(array_contains($"toks", "spark") && size($"toks") >= 54, 1.0)
-          .otherwise(0.0).as("y"),
-        lit(1.0).as("x0"),
-        (size($"toks").cast("double") / 100.0).as("x1"),
-        (size(array_distinct($"toks")).cast("double") / size($"toks")).as("x2"),
-        ($"n_chars".cast("double") / size($"toks") / 10.0).as("x3"))
+    docsFanned(s, dir)
+      .select($"doc_id", $"n_chars", text.tokensLower($"text").as("toks"))
+      .select(Seq($"doc_id", lrLabel($"toks").as("y")) ++
+        lrFeats($"toks", $"n_chars").zipWithIndex
+          .map { case (c, j) => c.as(s"x$j") }: _*)
       .localCheckpoint()
+  }
+
+  /** The GD loop shared by the history query and the scoring/serving
+    * paths: returns (per-step weight history, final weights), both in
+    * exact micro-units.
+    */
+  private[graft] def lrTrainCore(s: SparkSession, dir: String, steps: Int,
+                                 lr: Double)
+      : (Seq[(Int, Long, Long, Long, Long)], Vector[Long]) = {
+    import s.implicits._
+    val feats = lrFeatFrame(s, dir)
     val n = feats.count()
     var w = Vector(0L, 0L, 0L, 0L) // micro-units: exact integers
     val hist = scala.collection.mutable.ListBuffer
       .empty[(Int, Long, Long, Long, Long)]
     for (step <- 1 to steps) {
-      val wd = w.map(_.toDouble / 1000000.0)
-      val z = lit(wd(0)) * $"x0" + lit(wd(1)) * $"x1" +
-        lit(wd(2)) * $"x2" + lit(wd(3)) * $"x3"
-      val p = greatest(lit(0.0), least(lit(1.0), lit(0.5) + lit(0.25) * z))
+      val p = lrScore((0 to 3).map(j => col(s"x$j")), w)
       val row = feats.withColumn("p", p)
         .select((0 to 3).map(j =>
           sum(round(($"p" - $"y") * col(s"x$j") * lit(1000000.0))
@@ -927,7 +955,36 @@ object TextOps {
       }.toVector
       hist += ((step, w(0), w(1), w(2), w(3)))
     }
-    hist.toSeq.toDF("step", "w0_u", "w1_u", "w2_u", "w3_u").orderBy($"step")
+    (hist.toSeq, w)
+  }
+
+  def qualityLrTrain(s: SparkSession, dir: String, steps: Int = 5,
+                     lr: Double = 0.5): DataFrame = {
+    import s.implicits._
+    lrTrainCore(s, dir, steps, lr)._1
+      .toDF("step", "w0_u", "w1_u", "w2_u", "w3_u").orderBy($"step")
+  }
+
+  /** Batch inference with the trained weights: per document the
+    * hard-sigmoid probability (fixed-pointed to 1e-6 — exact), the
+    * accept verdict, and the true label — the frame a threshold sweep /
+    * calibration reads, and the batch twin of the streaming
+    * `Streams.classifierGate`. Training runs first (steps corpus scans),
+    * scoring is then ONE more scan with the weights folded into the
+    * projection — at 100 TB the scan dominates and nothing shuffles.
+    */
+  def qualityLrScores(s: SparkSession, dir: String, steps: Int = 5,
+                      lr: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val w = lrTrainCore(s, dir, steps, lr)._2
+    val p = lrScore((0 to 3).map(j => col(s"x$j")), w)
+    lrFeatFrame(s, dir)
+      .select($"doc_id", $"y", p.as("p"))
+      .select($"doc_id",
+        round($"p" * lit(1000000.0)).cast("long").as("p_u"),
+        ($"p" >= 0.5).as("pred"),
+        $"y".cast("int").as("y"))
+      .orderBy($"doc_id")
   }
 
   /** Bigram language-model cross-entropy of held-out documents: train

@@ -74,6 +74,28 @@ object Streams {
         col("text"), toks, col("n_chars")) >= minQuality)
   }
 
+  /** Learned-classifier ingest gate: the serving half of the
+    * train-distributed / deploy-to-the-edge loop —
+    * `TextOps.qualityLrTrain` learns the micro-unit weight vector
+    * batch-side; this gate folds those weights into the SAME
+    * feature/score expressions (`TextOps.lrFeats`/`lrScore` — one
+    * definition, serving cannot drift from training) and scores each
+    * arriving document at wire speed: stateless, no watermark, no join,
+    * pure hard-sigmoid arithmetic inside codegen. Emits the probability
+    * (`lr_p`) alongside the kept rows so downstream routing can
+    * threshold differently without rescoring.
+    */
+  def classifierGate(docs: DataFrame, wMicro: Seq[Long],
+                     minP: Double = 0.5): DataFrame = {
+    import graft.operators.TextOps
+    docs
+      .withColumn("toks", graft.functions.text.tokensLower(col("text")))
+      .withColumn("lr_p",
+        TextOps.lrScore(TextOps.lrFeats(col("toks"), col("n_chars")), wMicro))
+      .filter(col("lr_p") >= minP)
+      .drop("toks")
+  }
+
   /** Streaming decontamination gate: the stateless streaming twin of
     * `TextOps.bloomDecontamination`'s scan-side prune. The eval-split
     * shingle bloom is built ONCE batch-side

@@ -245,6 +245,30 @@ class TextOpsSpec extends SparkSpec {
     assert(expected.last.productIterator.drop(1).exists(_ != 0L))
   }
 
+  test("qualityLrScores: verdicts consistent with p_u, labels recount, " +
+       "trained model beats the all-positive baseline's miss pattern") {
+    val got = TextOps.qualityLrScores(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getInt(3)))
+    val labels = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(0 + 1).trim.toLowerCase
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        r.getLong(0) -> (if (toks.contains("spark") && toks.length >= 54) 1 else 0)
+      }.toMap
+    assert(got.length === labels.size)
+    got.foreach { case (id, pu, pred, y) =>
+      assert(y === labels(id))
+      // pred is computed on the UNROUNDED p, so at the rounding boundary
+      // only the weak direction is implied
+      assert(if (pred) pu >= 500000L else pu <= 500000L,
+        s"doc $id: pred/p_u inconsistent")
+      assert(pu >= 0L && pu <= 1000000L)
+    }
+    // the model discriminates: both verdicts occur
+    assert(got.exists(_._3) && got.exists(!_._3))
+  }
+
   test("bigramSurprisal: scores exactly the test split, positive cross-entropy") {
     val split = TextOps.hashSplit(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

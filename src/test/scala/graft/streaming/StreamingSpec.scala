@@ -62,6 +62,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size.toLong === stage2)
   }
 
+  test("classifierGate: streamed accepts equal batch scoring's accept set") {
+    val w = graft.operators.TextOps.lrTrainCore(spark, sf, 5, 0.5)._2
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text", $"n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val q = Streams.classifierGate(
+        input.toDF().toDF("doc_id", "text", "n_chars"), w)
+      .select($"doc_id", $"lr_p")
+      .writeStream.format("memory").queryName("classifier_gate_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(docs.take(docs.length / 2))
+    q.processAllAvailable()
+    input.addData(docs.drop(docs.length / 2))
+    q.processAllAvailable()
+    val streamed = spark.table("classifier_gate_out").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    q.stop()
+    // the gate's accept set is exactly batch inference's pred=true set,
+    // with the identical probability per doc
+    val scores = graft.operators.TextOps.qualityLrScores(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val accepted = scores.filter(_._3)
+    assert(streamed.keySet === accepted.map(_._1).toSet)
+    accepted.foreach { case (id, pu, _) =>
+      val exp = BigDecimal(streamed(id) * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(exp === pu, s"doc $id stream/batch probability drift")
+    }
+    // the gate separates: some docs pass, some do not
+    assert(streamed.nonEmpty && streamed.size < docs.length)
+  }
+
   test("decontaminationGate: streaming flags equal batch; exact pairs never missed") {
     val bloomBytes = graft.operators.TextOps.evalShingleBloom(spark, sf)
     val docs = graft.Tables(spark, sf, "documents")
