@@ -158,6 +158,7 @@ object SparkEntry {
     "q_quantized_recall" -> ((s, dir) => Similarity.quantizedRecall(s, dir)),
     "q_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
     "q_pq_recall" -> ((s, dir) => Similarity.pqRecall(s, dir)),
+    "q_ivfpq_topk" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
     "q_semantic_decontamination" ->
       ((s, dir) => Similarity.semanticDecontamination(s, dir)),
@@ -2065,6 +2066,25 @@ object SparkEntry {
          lut AS (SELECT j, cid, d AS qd FROM ad WHERE vec_id = 0),
          adc AS (SELECT asg.vec_id, CAST(sum(lut.qd) AS BIGINT) AS adc
            FROM asg JOIN lut USING (j, cid) GROUP BY asg.vec_id)
+         SELECT vec_id, adc,
+           round(sqrt(CAST(adc AS DOUBLE) / 1000000000000.0), 4) AS adc_l2
+         FROM adc WHERE vec_id <> 0 ORDER BY adc, vec_id LIMIT 10""",
+    "q_ivfpq_topk" ->
+      s"""$pqCtes,
+         cc AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id < 8),
+         ca AS (SELECT e.vec_id, c.ccid,
+             list_cosine_similarity(e.v, c.cv) AS sim FROM e CROSS JOIN cc c),
+         cr AS (SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id
+             ORDER BY sim DESC, ccid) AS rn FROM ca),
+         casg AS (SELECT vec_id, ccid FROM cr WHERE rn = 1),
+         qc AS (SELECT ccid AS qcid FROM casg WHERE vec_id = 0),
+         cell AS (SELECT casg.vec_id FROM casg CROSS JOIN qc
+           WHERE casg.ccid = qc.qcid),
+         lut AS (SELECT j, cid, d AS qd FROM ad WHERE vec_id = 0),
+         adc AS (SELECT asg.vec_id, CAST(sum(lut.qd) AS BIGINT) AS adc
+           FROM asg JOIN lut USING (j, cid)
+             JOIN cell ON cell.vec_id = asg.vec_id
+           GROUP BY asg.vec_id)
          SELECT vec_id, adc,
            round(sqrt(CAST(adc AS DOUBLE) / 1000000000000.0), 4) AS adc_l2
          FROM adc WHERE vec_id <> 0 ORDER BY adc, vec_id LIMIT 10""",

@@ -912,6 +912,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ top-k: the composed production index (Jégou et al.'s
+    * IVFADC) — the coarse quantizer routes the query to its centroid
+    * cell, and ONLY that cell's PQ codes are scored by ADC lookups. At
+    * scale this is the shape every billion-vector serving system runs:
+    * the codes table is 64× compressed AND the scan touches ~1/nlist of
+    * it; both probe-side artifacts (cell id, LUT) broadcast. Cell
+    * routing reuses [[ivfTopK]]'s deterministic sampled-centroid argmax;
+    * in-cell scoring is [[pqTopK]]'s integer-exact ADC — so the
+    * composition inherits both oracles' determinism.
+    */
+  def ivfPqTopK(s: SparkSession, dir: String, queryId: Long = 0L,
+                k: Int = 10, nlist: Int = 8, m: Int = 8,
+                ncodes: Int = 16): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir).localCheckpoint()
+    val subDim = 64 / m
+    val cents = e.filter($"vec_id" < nlist)
+      .select($"vec_id".as("ccid"), $"v".as("cv"))
+    val byVec = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"ccid")
+    val casg = e.join(broadcast(cents))
+      .select($"vec_id", $"ccid",
+        vectors.cosineSimilarity($"v", $"cv").as("sim"))
+      .withColumn("rn", row_number().over(byVec)).filter($"rn" === 1)
+      .select($"vec_id", $"ccid")
+      .localCheckpoint()
+    val codes = pqAssigned(s, e, m, subDim, ncodes)
+    val cb = pqSubvecs(e.filter($"vec_id" < ncodes), m, subDim)
+      .select($"vec_id".as("cid"), $"j", $"sub".as("cv"))
+    val lut = pqSubvecs(e.filter($"vec_id" === queryId), m, subDim)
+      .select($"j", $"sub".as("qsub"))
+      .join(cb, Seq("j"))
+      .select($"j", $"cid", vectors.l2SqFixed($"qsub", $"cv").as("qd"))
+    val qcell = casg.filter($"vec_id" === queryId).select($"ccid".as("qcid"))
+    val cell = casg.join(broadcast(qcell), $"ccid" === $"qcid")
+      .select($"vec_id")
+    codes.join(cell, Seq("vec_id"), "left_semi")
+      .join(broadcast(lut), Seq("j", "cid"))
+      .groupBy($"vec_id").agg(sum($"qd").as("adc"))
+      .filter($"vec_id" =!= queryId)
+      .select($"vec_id", $"adc",
+        round(sqrt($"adc".cast("double") / 1000000000000.0), 4).as("adc_l2"))
+      .orderBy($"adc", $"vec_id")
+      .limit(k)
+  }
+
   /** PQ recall audit: per probe query, the share of the EXACT fixed-point
     * L2 top-k that ADC search recovers — the acceptance gate before the
     * 64×-compressed codes replace full vectors in serving. The exact side

@@ -341,6 +341,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("ivfPqTopK: results live in the query's IVF cell with pqTopK's ADC values") {
+    val got = Similarity.ivfPqTopK(spark, sf, queryId = 0L, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // full-corpus ADC reference (large k so truncation can't hide rows)
+    val pqAll = Similarity.pqTopK(spark, sf, queryId = 0L, k = 100000).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the query's cell, derived independently via ivfTopK's assignment
+    // (nlist=8 default there matches ivfPqTopK's)
+    val cellOfQuery = Similarity.ivfTopK(spark, sf, queryId = 0L, k = 100000)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty)
+    got.foreach { case (id, adc, l2) =>
+      assert(cellOfQuery(id), s"vec $id outside the query's IVF cell")
+      assert(pqAll(id) === ((adc, l2)), s"vec $id ADC drifts from pqTopK")
+    }
+    // exactly the cell-restricted prefix of the full ADC ranking
+    val expected = pqAll.toSeq
+      .filter { case (id, _) => cellOfQuery(id) }
+      .sortBy { case (id, (adc, _)) => (adc, id) }
+      .take(10).map { case (id, (adc, l2)) => (id, adc, l2) }
+    assert(got.toSeq === expected)
+  }
+
   test("pqRecall: n_exact is k per probe, recall in [0,1], codebook " +
        "vectors recover themselves as their own nearest code") {
     val rows = Similarity.pqRecall(spark, sf).collect()
