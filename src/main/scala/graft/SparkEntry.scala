@@ -159,6 +159,7 @@ object SparkEntry {
     "q_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
     "q_pq_recall" -> ((s, dir) => Similarity.pqRecall(s, dir)),
     "q_ivfpq_topk" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
+    "q_pq_topk_indexed" -> ((s, dir) => Similarity.pqTopKIndexed(s, dir)),
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
     "q_semantic_decontamination" ->
       ((s, dir) => Similarity.semanticDecontamination(s, dir)),
@@ -2061,6 +2062,17 @@ object SparkEntry {
              AS DOUBLE) / count(*), 4) AS recall
          FROM ex LEFT JOIN qz ON qz.qid = ex.qid AND qz.vec_id = ex.vec_id
          GROUP BY ex.qid ORDER BY query_id""",
+    // Identical oracle to q_pq_topk by design: the stored codes table
+    // changes where assignment work happens (index build vs query time),
+    // never the ADC result
+    "q_pq_topk_indexed" ->
+      s"""$pqCtes,
+         lut AS (SELECT j, cid, d AS qd FROM ad WHERE vec_id = 0),
+         adc AS (SELECT asg.vec_id, CAST(sum(lut.qd) AS BIGINT) AS adc
+           FROM asg JOIN lut USING (j, cid) GROUP BY asg.vec_id)
+         SELECT vec_id, adc,
+           round(sqrt(CAST(adc AS DOUBLE) / 1000000000000.0), 4) AS adc_l2
+         FROM adc WHERE vec_id <> 0 ORDER BY adc, vec_id LIMIT 10""",
     "q_pq_topk" ->
       s"""$pqCtes,
          lut AS (SELECT j, cid, d AS qd FROM ad WHERE vec_id = 0),

@@ -912,6 +912,69 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the PQ codes table `(vec_id, j, cid)` — the build-once
+    * artifact ADC serving scans instead of re-assigning the corpus per
+    * query. Bucketed AND sorted by vec_id: the serving aggregation
+    * (Σ over a vector's m codes) groups on vec_id, so a bucketed scan
+    * feeds it with NO exchange — the codes never shuffle at query time.
+    */
+  def writePqIndex(s: SparkSession, dir: String, table: String,
+                   m: Int = 8, ncodes: Int = 16, nBuckets: Int = 8): Unit = {
+    pqAssigned(s, embDouble(s, dir), m, 64 / m, ncodes)
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "vec_id").sortBy("vec_id", "j")
+      .saveAsTable(table)
+  }
+
+  /** Build-once memo for the stored PQ codes (same contract as
+    * [[embeddingBandIndexByPred]]: first use per (dir, corpus stamp,
+    * scheme) writes the table, later probes read it).
+    */
+  private[graft] def pqIndexFor(s: SparkSession, dir: String,
+                                m: Int, ncodes: Int): DataFrame = {
+    val key = Seq(dir, Dedup.corpusStamp(s, dir, "embeddings"),
+      "pq", m, ncodes).mkString("|")
+    val table = "graft_pq_index_" + java.security.MessageDigest
+      .getInstance("MD5").digest(key.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    Dedup.indexBuildLock.synchronized {
+      if (!s.catalog.tableExists(table)) {
+        Dedup.dropStaleLocation(s, table)
+        writePqIndex(s, dir, table, m, ncodes)
+      }
+    }
+    s.table(table)
+  }
+
+  /** [[pqTopK]] served from the STORED codes table ([[writePqIndex]]) —
+    * identical output (one oracle pins both), different cost shape: per
+    * query only the m·ncodes LUT is computed fresh; the corpus-sized
+    * work (sub-vector explode, codebook assignment) happened once at
+    * index build. The bucketed layout means the per-vector code
+    * aggregation runs exchange-free on the stored bucketing.
+    */
+  def pqTopKIndexed(s: SparkSession, dir: String, queryId: Long = 0L,
+                    k: Int = 10, m: Int = 8, ncodes: Int = 16): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir)
+    val subDim = 64 / m
+    val codes = pqIndexFor(s, dir, m, ncodes)
+    val cb = pqSubvecs(e.filter($"vec_id" < ncodes), m, subDim)
+      .select($"vec_id".as("cid"), $"j", $"sub".as("cv"))
+    val lut = pqSubvecs(e.filter($"vec_id" === queryId), m, subDim)
+      .select($"j", $"sub".as("qsub"))
+      .join(cb, Seq("j"))
+      .select($"j", $"cid", vectors.l2SqFixed($"qsub", $"cv").as("qd"))
+    codes.join(broadcast(lut), Seq("j", "cid"))
+      .groupBy($"vec_id")
+      .agg(sum($"qd").as("adc"))
+      .filter($"vec_id" =!= queryId)
+      .select($"vec_id", $"adc",
+        round(sqrt($"adc".cast("double") / 1000000000000.0), 4).as("adc_l2"))
+      .orderBy($"adc", $"vec_id")
+      .limit(k)
+  }
+
   /** IVF-PQ top-k: the composed production index (Jégou et al.'s
     * IVFADC) — the coarse quantizer routes the query to its centroid
     * cell, and ONLY that cell's PQ codes are scored by ADC lookups. At

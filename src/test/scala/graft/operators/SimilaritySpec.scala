@@ -364,6 +364,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("pqTopKIndexed: identical to pqTopK via the stored codes, and the " +
+       "per-vector code aggregation runs exchange-free on the bucketing") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val direct = Similarity.pqTopK(spark, sf, queryId = 0L, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val served = Similarity.pqTopKIndexed(spark, sf, queryId = 0L, k = 10)
+    assert(served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq === direct)
+    // the codes scan feeds the vec_id aggregation with no shuffle in
+    // between: below the FIRST aggregate there is no exchange (the
+    // top-k sort above it legitimately exchanges)
+    val nodes = planNodes(served)
+    val firstAgg = nodes.reverse.find(_.isInstanceOf[BaseAggregateExec])
+    assert(firstAgg.isDefined)
+    def below(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.children.flatMap(below)
+    assert(below(firstAgg.get).count(_.isInstanceOf[ShuffleExchangeExec]) === 0,
+      "stored-codes aggregation should ride the bucketed layout")
+  }
+
   test("pqRecall: n_exact is k per probe, recall in [0,1], codebook " +
        "vectors recover themselves as their own nearest code") {
     val rows = Similarity.pqRecall(spark, sf).collect()
