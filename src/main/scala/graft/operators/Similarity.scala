@@ -851,7 +851,7 @@ object Similarity {
     * carries only its slice — at 100 TB the PQ pipeline never moves the
     * full vectors after this projection.
     */
-  private def pqSubvecs(e: DataFrame, m: Int, subDim: Int): DataFrame =
+  private[graft] def pqSubvecs(e: DataFrame, m: Int, subDim: Int): DataFrame =
     e.select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"),
         col("v"))
       .select(col("vec_id"), col("j"),

@@ -426,6 +426,61 @@ object Streams {
     }
   }
 
+  /** PQ ADC serving sink — the compressed-index query path as a stream:
+    * arriving query vectors are sliced into sub-vectors in-row, each
+    * batch builds its (query × m × ncodes) lookup tables against the
+    * broadcast codebook, and the STORED codes table
+    * (`Similarity.writePqIndex`) is scanned once per micro-batch to
+    * score every indexed vector by m integer lookups — the corpus-sized
+    * assignment work happened at index build; per-batch cost is
+    * O(batch × codes scan), the ADC serving contract. Top-k per query
+    * (integer-exact ADC order, vec_id ties) lands in the result store;
+    * replayed batches are anti-joined out by query id, so at-least-once
+    * delivery yields exactly-one result set per query.
+    */
+  def pqServeSink(queries: DataFrame, dir: String, targetDir: String,
+                  k: Int = 10, m: Int = 8, ncodes: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.vectors
+    import graft.operators.Similarity
+    queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val subDim = 64 / m
+      val corpus = graft.Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), vectors.toDoubleArray(col("embedding")).as("v"))
+      val cb = Similarity.pqSubvecs(
+          corpus.filter(col("vec_id") < ncodes), m, subDim)
+        .select(col("vec_id").as("cid"), col("j"), col("sub").as("cv"))
+      val lut = Similarity.pqSubvecs(
+          batch.select(col("vec_id"),
+            vectors.toDoubleArray(col("embedding")).as("v")), m, subDim)
+        .select(col("vec_id").as("qid"), col("j"), col("sub").as("qsub"))
+        .join(cb, Seq("j"))
+        .select(col("qid"), col("j"), col("cid"),
+          vectors.l2SqFixed(col("qsub"), col("cv")).as("qd"))
+      val codes = Similarity.pqIndexFor(spark, dir, m, ncodes)
+      val byQuery = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+      val topk = codes.join(broadcast(lut), Seq("j", "cid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("qd")).as("adc"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("rk", row_number().over(byQuery))
+        .filter(col("rk") <= k)
+        .select(col("qid"), col("rk"), col("vec_id"), col("adc"))
+      val hPath = new org.apache.hadoop.fs.Path(targetDir)
+      val exists = hPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(hPath)
+      val out =
+        if (!exists) topk
+        else topk.join(
+          spark.read.parquet(targetDir).select(col("qid")).distinct(),
+          Seq("qid"), "left_anti")
+      out.write.mode("append").parquet(targetDir)
+      ()
+    }
+  }
+
   /** Stream-stream interval join — the streaming twin of
     * Relational.attributionRangeJoin: each purchase joined to the same
     * user's clicks in the preceding `window`. Both sides carry watermarks

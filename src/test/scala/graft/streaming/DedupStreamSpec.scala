@@ -205,6 +205,36 @@ class DedupStreamSpec extends SparkSpec {
       s"stream store (${got.size}) must equal batch pairs (${expected.size})")
   }
 
+  test("pqServeSink: streamed ADC top-k equals batch pqTopKIndexed per query, " +
+       "replays never duplicate a query's result set") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val corpus = graft.Tables(spark, sf, "embeddings")
+    val probes = corpus.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding").collect()
+      .map(r => DedupStreamSpec.Vec(r.getLong(0),
+        r.getSeq[Float](1).toArray, ts("2024-01-01 09:00:00")))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("pq_serve_store").toString + "/topk"
+    val input = MemoryStream[DedupStreamSpec.Vec](spark)
+    val q = Streams.pqServeSink(input.toDF(), sf, outDir).start()
+    val (b1, b2) = probes.splitAt(2)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    input.addData(b1: _*); q.processAllAvailable() // replay
+    q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    probes.map(_.vec_id).foreach { qid =>
+      val rows = got.filter(_._1 == qid).sortBy(_._2).toSeq
+      val exp = Similarity.pqTopKIndexed(spark, sf, queryId = qid, k = 10)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0), r.getLong(1)) }.toSeq
+      assert(rows === exp, s"query $qid stream/batch ADC drift")
+    }
+    assert(got.length === probes.length * 10) // replay added nothing
+  }
+
   test("streaming semantic-decon gate: train vectors flag against the eval-split index") {
     import org.apache.spark.sql.functions.{broadcast, col, round}
     import graft.operators.{Similarity, TextOps}
