@@ -138,6 +138,7 @@ object SparkEntry {
     "q_dedup_best" -> Dedup.dedupBest,
     "q_neardup_pagerank" -> ((s, dir) => Dedup.nearDupPageRank(s, dir)),
     "q_neardup_kcore" -> ((s, dir) => Dedup.kCore(s, dir)),
+    "q_neardup_coreness" -> ((s, dir) => Dedup.coreness(s, dir)),
     "q_neardup_lpa" -> ((s, dir) => Dedup.labelPropagation(s, dir)),
     "q_neardup_triangles" -> ((s, dir) => Dedup.nearDupTriangles(s, dir)),
     "q_triangles_oriented" -> ((s, dir) => Dedup.nearDupTrianglesOriented(s, dir)),
@@ -547,6 +548,20 @@ object SparkEntry {
            count(*) OVER (PARTITION BY b) AS db
          FROM e${i - 1})
        WHERE da >= $k AND db >= $k)"""
+
+  /** A whole named peel chain (`rounds` k-core rounds from `prev`,
+    * CTEs `name_1..name_rounds`) — the coreness oracle runs one chain
+    * per k over the previous k's converged core (cores nest).
+    */
+  private def kcorePeelChain(prev: String, name: String, k: Int,
+                             rounds: Int): String =
+    (1 to rounds).map { i =>
+      val p = if (i == 1) prev else s"${name}_${i - 1}"
+      s"""${name}_$i AS (SELECT a, b FROM (
+           SELECT a, b, count(*) OVER (PARTITION BY a) AS da,
+             count(*) OVER (PARTITION BY b) AS db FROM $p)
+         WHERE da >= $k AND db >= $k)"""
+    }.mkString(",\n       ")
 
   /** Explicit Morton-interleave bit arithmetic for the q_zorder_key
     * oracle: bit `b` of lane `lane` (of `n` lanes) lands at result bit
@@ -1626,6 +1641,25 @@ object SparkEntry {
          ${kcoreRoundCtes(6, 2)}
          SELECT a AS doc_id, count(*) AS core_degree FROM e6
          GROUP BY 1 ORDER BY doc_id""",
+    "q_neardup_coreness" ->
+      s"""WITH lsh AS ($minhashPairsCore),
+         e0 AS (SELECT doc_a AS a, doc_b AS b FROM lsh
+                UNION ALL SELECT doc_b AS a, doc_a AS b FROM lsh),
+         ${kcorePeelChain("e0", "c2", 2, 6)},
+         ${kcorePeelChain("c2_6", "c3", 3, 6)},
+         ${kcorePeelChain("c3_6", "c4", 4, 6)},
+         n1 AS (SELECT DISTINCT a AS doc_id FROM e0),
+         m2 AS (SELECT DISTINCT a AS doc_id FROM c2_6),
+         m3 AS (SELECT DISTINCT a AS doc_id FROM c3_6),
+         m4 AS (SELECT DISTINCT a AS doc_id FROM c4_6)
+         SELECT n1.doc_id, CAST(CASE
+             WHEN m4.doc_id IS NOT NULL THEN 4
+             WHEN m3.doc_id IS NOT NULL THEN 3
+             WHEN m2.doc_id IS NOT NULL THEN 2
+             ELSE 1 END AS INT) AS coreness
+         FROM n1 LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+           LEFT JOIN m4 USING (doc_id)
+         ORDER BY doc_id""",
     // Identical oracle to q_neardup_triangles by design: orientation
     // changes the join schedule, never the triangle set
     "q_triangles_oriented" ->

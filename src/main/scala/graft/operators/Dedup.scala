@@ -615,6 +615,51 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  def coreness(s: SparkSession, dir: String): DataFrame =
+    coreness(s, minhashLshPairs(s, dir))
+
+  /** Coreness decomposition over a precomputed candidate pair frame —
+    * the k-core number of every node (highest k with the node still in
+    * the k-core), computed by NESTED peels: cores nest, so the k-core
+    * peel starts from the (k−1)-core's surviving edges instead of the
+    * full graph — each successive level works on a (typically much)
+    * smaller edge set, the standard Batagelj-Zaveršnik decomposition
+    * order adapted to synchronous rounds. `maxK` caps the ladder (a
+    * dedup graph's deep cores are what survivor selection reads; beyond
+    * that the exact number stops mattering) and the oracle unrolls the
+    * identical (k, round) grid. Cost: Σ_k O(E_k)·rounds with E_k
+    * shrinking per level; same per-round shape as [[kCore]].
+    */
+  def coreness(s: SparkSession, pairFrame: DataFrame, maxK: Int = 4,
+               rounds: Int = 6): DataFrame = {
+    import s.implicits._
+    val und = pairFrame.select($"doc_a".as("a"), $"doc_b".as("b"))
+    var edges = und
+      .union(und.select($"b".as("a"), $"a".as("b")))
+      .localCheckpoint()
+    var result = edges.select($"a".as("doc_id")).distinct()
+      .select($"doc_id", lit(1).as("coreness"))
+      .localCheckpoint()
+    for (k <- 2 to maxK) {
+      for (_ <- 1 to rounds) {
+        val keep = edges.groupBy($"a").agg(count(lit(1)).as("d"))
+          .filter($"d" >= k).select($"a".as("v"))
+          .localCheckpoint()
+        edges = edges
+          .join(keep.toDF("a"), Seq("a"), "left_semi")
+          .join(keep.toDF("b"), Seq("b"), "left_semi")
+          .localCheckpoint()
+      }
+      val members = edges.select($"a".as("doc_id")).distinct()
+        .select($"doc_id", lit(true).as("in_k"))
+      result = result.join(members, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"in_k", lit(k)).otherwise($"coreness").as("coreness"))
+        .localCheckpoint()
+    }
+    result.orderBy($"doc_id")
+  }
+
   def sourceOverlap(s: SparkSession, dir: String): DataFrame =
     sourceOverlap(s, dir, minhashLshPairs(s, dir))
 

@@ -296,6 +296,31 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._2 >= k))
   }
 
+  test("coreness matches a sequential nested peel; level-2 set equals kCore") {
+    val pairs = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSeq
+    val nodes = edges.map(_._1).distinct
+    val expected = scala.collection.mutable.Map(nodes.map(_ -> 1): _*)
+    for (k <- 2 to 4) {
+      var changed = true
+      while (changed) { // peel THIS level to fixpoint, from the previous core
+        val deg = edges.groupBy(_._1).map { case (v, es) => (v, es.length) }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = edges.filter(e => keep(e._1) && keep(e._2))
+        changed = next.length != edges.length
+        edges = next
+      }
+      edges.map(_._1).distinct.foreach(v => expected(v) = k)
+    }
+    val got = Dedup.coreness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === nodes.sorted.map(n => (n, expected(n))))
+    // internal consistency: the >=2 slice IS the kCore member set
+    val kcoreMembers = Dedup.kCore(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2 >= 2).map(_._1).toSet === kcoreMembers)
+  }
+
   test("nearDupTriangles matches a brute-force triple scan") {
     val pairs = Dedup.minhashLshPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
