@@ -115,6 +115,7 @@ object SparkEntry {
     "q_bigram_surprisal" -> TextOps.bigramSurprisal,
     "q_zipf_slope" -> ((s, dir) => TextOps.zipfSlope(s, dir)),
     "q_quality_weighted_sample" -> ((s, dir) => TextOps.qualityWeightedSample(s, dir)),
+    "q_weighted_sample_es" -> ((s, dir) => TextOps.weightedSampleES(s, dir)),
     "q_filter_cascade" -> ((s, dir) => TextOps.filterCascade(s, dir)),
     "q_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(s, dir)),
     "q_repeated_spans" -> ((s, dir) => TextOps.repeatedSpans(s, dir)),
@@ -1745,6 +1746,16 @@ object SparkEntry {
          GROUP BY doc_id
          HAVING count(DISTINCT tok) = 3
          ORDER BY score DESC, doc_id LIMIT 25""",
+    "q_weighted_sample_es" ->
+      s"""WITH sc AS (SELECT doc_id, $qualityExpr AS w,
+           (CAST(concat('0x', substring(md5(concat('aes:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 + 1) / 1000001.0 AS u
+         FROM documents),
+         k AS (SELECT doc_id, w,
+             CAST(round(pow(u, 1.0 / w) * 1000000.0) AS BIGINT) AS key_u
+           FROM sc WHERE w > 0)
+         SELECT CAST(row_number() OVER (ORDER BY key_u DESC, doc_id) AS INT)
+             AS rk, doc_id, w, key_u
+         FROM k ORDER BY key_u DESC, doc_id LIMIT 100""",
     "q_quality_lr" ->
       s"""WITH $lrBaseCtes
          SELECT * FROM (

@@ -865,6 +865,38 @@ object TextOps {
       .orderBy($"bm25".desc, $"doc_id").limit(k)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * the A-ES one-pass scheme): each doc draws a deterministic uniform
+    * u ∈ (0,1] from its md5 hash and competes with key u^(1/w) — the
+    * top-n keys are EXACTLY a weighted sample without replacement, the
+    * result [[qualityWeightedSample]]'s per-doc Bernoulli thresholding
+    * cannot give (that draws a rate, not a fixed-size sample). One scan
+    * computes keys; the top-n is Spark's distributed TakeOrdered (per-
+    * partition heads, never a global sort) — the canonical "give me
+    * exactly n docs, quality-weighted" at any corpus size. Keys are
+    * ranked at fixed 1e-6 granularity (doc_id ties) so a last-ulp pow()
+    * difference cannot reorder engines.
+    */
+  def weightedSampleES(s: SparkSession, dir: String, n: Int = 100): DataFrame = {
+    import s.implicits._
+    val keyed = docsFanned(s, dir)
+      .select($"doc_id", $"text", $"n_chars",
+        text.tokensLower($"text").as("toks"))
+      .select($"doc_id",
+        text.qualityScoreTokens($"text", $"toks", $"n_chars").as("w"),
+        ((hashBucketMod($"doc_id", "aes:", 1000000L) + 1).cast("double")
+          / 1000001.0).as("u"))
+      .filter($"w" > 0.0) // zero weight = never sampled (and no 1/0)
+      .select($"doc_id", $"w",
+        round(pow($"u", lit(1.0) / $"w") * 1000000.0).cast("long").as("key_u"))
+    val byKey = Window.orderBy($"key_u".desc, $"doc_id")
+    keyed
+      .orderBy($"key_u".desc, $"doc_id").limit(n)
+      .withColumn("rk", row_number().over(byKey).cast("int"))
+      .select($"rk", $"doc_id", $"w", $"key_u")
+      .orderBy($"rk")
+  }
+
   /** Distributed training of a linear document classifier by batch
     * gradient descent — the "learned quality filter" step of a training-
     * data pipeline (a fastText-style model distilled from cheap surface

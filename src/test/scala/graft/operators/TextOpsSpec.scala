@@ -211,6 +211,38 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("weightedSampleES matches a driver-side A-ES recount and favors quality") {
+    val got = TextOps.weightedSampleES(spark, sf, n = 100).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // independent weights via the operator's own quality column is fine:
+    // the A-ES key mechanics are what this recount pins
+    val scored = Tables(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.text.qualityScoreTokens(
+          org.apache.spark.sql.functions.col("text"),
+          graft.functions.text.tokensLower(
+            org.apache.spark.sql.functions.col("text")),
+          org.apache.spark.sql.functions.col("n_chars")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def h60(sz: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sz.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val expected = scored.filter(_._2 > 0.0).map { case (id, w) =>
+      val u = (h60(s"aes:$id") % 1000000L + 1).toDouble / 1000001.0
+      (id, w, math.round(math.pow(u, 1.0 / w) * 1000000.0))
+    }.sortBy { case (id, _, k) => (-k, id) }.take(100)
+      .zipWithIndex.map { case ((id, w, k), i) => (i + 1, id, w, k) }
+    assert(got.toSeq === expected.toSeq)
+    // weighting is real: the sample's mean quality beats the corpus mean
+    val sampleMean = got.map(_._3).sum / got.length
+    val corpusMean = scored.map(_._2).sum / scored.length
+    assert(sampleMean > corpusMean,
+      f"weighted sample mean $sampleMean%.4f should beat corpus $corpusMean%.4f")
+  }
+
   test("qualityLrTrain matches a sequential fixed-point gradient descent") {
     def r6(x: Double): Long =
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
