@@ -112,6 +112,9 @@ object SparkEntry {
     "q_bm25_topk" -> ((s, dir) => TextOps.bm25TopK(s, dir)),
     "q_quality_lr" -> ((s, dir) => TextOps.qualityLrTrain(s, dir)),
     "q_quality_lr_scores" -> ((s, dir) => TextOps.qualityLrScores(s, dir)),
+    "q_lr_calibration" -> ((s, dir) => TextOps.qualityLrCalibration(s, dir)),
+    "q_dsir_select" -> ((s, dir) => TextOps.dsirSelect(s, dir)),
+    "q_span_scrub" -> ((s, dir) => TextOps.spanScrub(s, dir)),
     "q_bigram_surprisal" -> TextOps.bigramSurprisal,
     "q_zipf_slope" -> ((s, dir) => TextOps.zipfSlope(s, dir)),
     "q_quality_weighted_sample" -> ((s, dir) => TextOps.qualityWeightedSample(s, dir)),
@@ -135,6 +138,7 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "q_chunk_pairs" -> ((s, dir) => Chunker.sharedChunkPairs(s, dir)),
     "q_dedup_assignments" -> Dedup.dedupAssignments,
+    "q_cluster_split" -> Dedup.clusterSplit,
     "q_dedup_corpus" -> Dedup.dedupCorpus,
     "q_dedup_best" -> Dedup.dedupBest,
     "q_neardup_pagerank" -> ((s, dir) => Dedup.nearDupPageRank(s, dir)),
@@ -1116,6 +1120,19 @@ object SparkEntry {
       s"""WITH RECURSIVE $ccReachCtes
          SELECT a AS doc_id, min(r) AS canon_id
          FROM reach GROUP BY a ORDER BY doc_id""",
+    "q_cluster_split" ->
+      s"""WITH RECURSIVE $ccReachCtes,
+         canon AS (SELECT a AS doc_id, min(r) AS canon_id
+           FROM reach GROUP BY a),
+         g AS (SELECT d.doc_id, coalesce(c.canon_id, d.doc_id) AS group_id
+           FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id)
+         SELECT doc_id, group_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id, group_id,
+             CAST(concat('0x', substring(md5(concat('split:', CAST(group_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS b
+           FROM g)
+         ORDER BY doc_id""",
     "q_dedup_corpus" ->
       s"""WITH RECURSIVE $ccReachCtes,
          canon AS (SELECT a AS doc_id, min(r) AS canon_id
@@ -1772,6 +1789,64 @@ object SparkEntry {
            p >= 0.5 AS pred, CAST(y AS INT) AS y
          FROM (SELECT doc_id, y, $lrP AS p FROM feats CROSS JOIN w5)
          ORDER BY doc_id""",
+    "q_lr_calibration" ->
+      s"""WITH $lrBaseCtes,
+         scored AS (SELECT y, p, CAST(round(p * 1000000.0) AS BIGINT) AS p_u
+           FROM (SELECT y, $lrP AS p FROM feats CROSS JOIN w5)),
+         b AS (SELECT CAST(least(p_u * 10 // 1000000, 9) AS INT) AS bin,
+             y, p, p_u FROM scored)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p_u) // count(*) AS BIGINT) AS mean_p_u,
+           CAST(CAST(round(sum(y)) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+             AS pos_rate_u,
+           CAST(sum(CAST(round((p - y) * (p - y) * 1000000.0) AS BIGINT))
+             AS BIGINT) AS brier_su
+         FROM b GROUP BY bin ORDER BY bin""",
+    "q_dsir_select" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+           CAST(concat('0x', substring(md5(concat('dsir:', tok)), 1, 15)) AS BIGINT) % 1024 AS f
+         FROM (SELECT doc_id, lang, unnest($toks) AS tok FROM documents)),
+         raw AS (SELECT f, count(*) AS cr FROM tk GROUP BY f),
+         nr AS (SELECT count(*) AS nr FROM tk),
+         tgt AS (SELECT f, count(*) AS ct FROM tk WHERE lang = 'en' GROUP BY f),
+         nt AS (SELECT count(*) AS nt FROM tk WHERE lang = 'en'),
+         llr AS (SELECT raw.f,
+             CAST(round((ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (nt + 1024.0))
+               - ln(CAST(cr + 1 AS DOUBLE) / (nr + 1024.0))) * 1000000.0)
+               AS BIGINT) AS llr_u
+           FROM raw LEFT JOIN tgt USING (f) CROSS JOIN nr CROSS JOIN nt),
+         w AS (SELECT doc_id, CAST(sum(llr_u) AS BIGINT) AS weight_u
+           FROM tk JOIN llr USING (f) GROUP BY doc_id)
+         SELECT CAST(row_number() OVER (ORDER BY weight_u DESC, doc_id) AS INT)
+             AS rk, doc_id, weight_u
+         FROM w ORDER BY weight_u DESC, doc_id LIMIT 100""",
+    "q_span_scrub" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+         occ AS (SELECT doc_id, i AS st, i + 7 AS en,
+             md5(array_to_string(toks[i:i+7], ' ')) AS h
+           FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 7)) AS i
+             FROM docs WHERE len(toks) >= 8)),
+         dup AS (SELECT h FROM occ GROUP BY h
+           HAVING count(DISTINCT doc_id) >= 2),
+         iv AS (SELECT doc_id, st, en FROM occ JOIN dup USING (h)),
+         m AS (SELECT doc_id, st, en,
+             CASE WHEN st > coalesce(max(en) OVER (PARTITION BY doc_id
+                 ORDER BY st ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 -1) THEN 1 ELSE 0 END AS newi
+           FROM iv),
+         isl AS (SELECT doc_id, st, en,
+             sum(newi) OVER (PARTITION BY doc_id ORDER BY st
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM m),
+         sp AS (SELECT doc_id, isl, min(st) AS s, max(en) AS e
+           FROM isl GROUP BY doc_id, isl),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+           FROM sp GROUP BY doc_id)
+         SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_toks, n_spans,
+           n_removed, CAST(len(toks) - n_removed AS BIGINT) AS n_kept
+         FROM docs d JOIN agg USING (doc_id) ORDER BY doc_id""",
     "q_bm25_topk" ->
       s"""WITH dd AS (SELECT doc_id, len($toks) AS dl FROM documents),
          st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),

@@ -1020,6 +1020,35 @@ object Dedup {
       .orderBy($"cluster_size")
   }
 
+  /** Leakage-free train/val/test split: the split is decided by the
+    * near-dup CLUSTER, not the document — every member of an exact- or
+    * near-dup family lands in the same split, so a paraphrased copy of a
+    * test document can never sit in train (the leak [[TextOps.hashSplit]]
+    * cannot rule out, and the reason eval decontamination finds hits in
+    * hash-split corpora at all). Group key = the cluster's canonical id
+    * for clustered docs, the doc's own id otherwise, hashed with the
+    * SAME salt and buckets as `hashSplit` — so unclustered docs (the
+    * overwhelming majority) get the identical assignment, and adopting
+    * the cluster-aware split re-shuffles only dup-family members.
+    *
+    * Scale: the assignment frame is the already-bounded CC output; the
+    * join is a broadcast at any realistic dup fraction, and the split
+    * itself stays a scan-speed projection.
+    */
+  def clusterSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val canon = dedupAssignments(s, dir).select($"doc_id", $"canon_id")
+    val grouped = Tables(s, dir, "documents").select($"doc_id")
+      .join(canon, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"canon_id", $"doc_id").as("group_id"))
+    val bucket = TextOps.hashBucket($"group_id", "split:")
+    grouped
+      .select($"doc_id", $"group_id",
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
   /** SimHash near-dup pairs: 15-bit band bucketing generates candidates
     * (linear in corpus), then the exact Hamming distance — bit_count of
     * the fingerprint XOR, one codegen'd expression — refines them to

@@ -897,6 +897,107 @@ object TextOps {
       .orderBy($"rk")
   }
 
+  /** Cross-document duplicated-span scrub (the span-level exact dedup of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better"): token positions covered by any `n`-gram that ALSO occurs
+    * in another document are cut; per affected document the operator
+    * reports token count, merged removed-span count, removed and kept
+    * token totals — whole-doc dedup misses boilerplate headers/footers
+    * and quoted passages embedded in otherwise-unique pages, which is
+    * exactly what this catches. (The suffix-array of the paper is a
+    * single-machine structure; the distributed equivalent is this
+    * hash-blocked n-gram occurrence join — same duplicated-substring
+    * semantics at n-gram granularity.)
+    *
+    * Shape: one token-explode builds the occurrence list; duplicated
+    * shingles come from a shingle-keyed count (vocab-bounded, like the
+    * decontamination block join); interval merging is gaps-and-islands
+    * over (doc_id, start) windows — one shuffle key end to end, no
+    * self-join, no per-pair work: cost scales with occurrences of
+    * duplicated shingles, never the corpus².
+    */
+  def spanScrub(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import s.implicits._
+    val docs = docsFanned(s, dir)
+      .select($"doc_id", text.tokensLower($"text").as("toks"))
+      .localCheckpoint() // occurrence explode + final n_toks join read it
+    val occ = docs
+      .select($"doc_id", posexplode(text.shinglesFromTokens($"toks", n)))
+      .select($"doc_id", ($"pos" + 1).as("st"), ($"pos" + n).as("en"),
+        md5($"col").as("h"))
+    val dup = occ.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2)
+      .select($"h")
+    val iv = occ.join(dup, "h").select($"doc_id", $"st", $"en")
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"st")
+    val prevMax = max($"en")
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = iv
+      .withColumn("newi",
+        when($"st" > coalesce(prevMax, lit(-1)), 1L).otherwise(0L))
+      .withColumn("isl",
+        sum($"newi").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"st").as("s"), max($"en").as("e"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum($"e" - $"s" + 1).as("n_removed"))
+    docs.select($"doc_id", size($"toks").cast("long").as("n_toks"))
+      .join(spans, "doc_id")
+      .select($"doc_id", $"n_toks", $"n_spans",
+        $"n_removed".cast("long").as("n_removed"),
+        ($"n_toks" - $"n_removed").cast("long").as("n_kept"))
+      .orderBy($"doc_id")
+  }
+
+  /** Data selection via importance resampling (DSIR, Xie et al. 2023):
+    * score every raw document by how much more likely its hashed-unigram
+    * bag is under a TARGET distribution than under the raw-corpus
+    * distribution, and keep the top-n — the principled way to skew a web
+    * crawl toward a reference corpus (here: target = the corpus'
+    * `targetLang` slice, the "give me more English-like data" ask)
+    * without training a model. Both unigram LMs are add-one-smoothed
+    * over `dim` hashed feature buckets, so model size is O(dim) no
+    * matter the vocabulary.
+    *
+    * Determinism: the two ln() calls happen once per FEATURE (≤ dim
+    * rows), their difference fixed-pointed to 1e-6 there; per-document
+    * weights are then pure integer sums of llr_u over token occurrences
+    * — partial-agg-order-proof, and the only float seam is ln over
+    * identical doubles at dim rows, not per token.
+    *
+    * Scale: model tables are dim-bounded (broadcast); the corpus pays
+    * one token-explode + hash-keyed count, the scoring join is
+    * broadcast-by-llr-table, and top-n is TakeOrdered — no global sort
+    * materializes.
+    */
+  def dsirSelect(s: SparkSession, dir: String, dim: Int = 1024,
+                 n: Int = 100, targetLang: String = "en"): DataFrame = {
+    import s.implicits._
+    val tk = docsFanned(s, dir)
+      .select($"doc_id", $"lang", explode(text.tokensLower($"text")).as("tok"))
+      .select($"doc_id", $"lang",
+        hashBucketMod($"tok", "dsir:", dim.toLong).as("f"))
+      .localCheckpoint() // raw counts, target counts and scoring all read it
+    val raw = tk.groupBy($"f").agg(count(lit(1)).as("cr"))
+    val tgt = tk.filter($"lang" === targetLang)
+      .groupBy($"f").agg(count(lit(1)).as("ct"))
+    val nr = tk.count().toDouble
+    val nt = tk.filter($"lang" === targetLang).count().toDouble
+    val llr = raw.join(tgt, Seq("f"), "left")
+      .select($"f",
+        round((log((coalesce($"ct", lit(0L)) + lit(1L)).cast("double")
+            / lit(nt + dim)) -
+          log(($"cr" + lit(1L)).cast("double") / lit(nr + dim)))
+          * lit(1000000.0)).cast("long").as("llr_u"))
+    val w = tk.join(broadcast(llr), Seq("f"))
+      .groupBy($"doc_id").agg(sum($"llr_u").as("weight_u"))
+    val byW = Window.orderBy($"weight_u".desc, $"doc_id")
+    w.orderBy($"weight_u".desc, $"doc_id").limit(n)
+      .withColumn("rk", row_number().over(byW).cast("int"))
+      .select($"rk", $"doc_id", $"weight_u")
+      .orderBy($"rk")
+  }
+
   /** Distributed training of a linear document classifier by batch
     * gradient descent — the "learned quality filter" step of a training-
     * data pipeline (a fastText-style model distilled from cheap surface
@@ -1017,6 +1118,43 @@ object TextOps {
         ($"p" >= 0.5).as("pred"),
         $"y".cast("int").as("y"))
       .orderBy($"doc_id")
+  }
+
+  /** Reliability audit of the trained quality classifier: documents
+    * bucketed by predicted probability decile; per bin the mean
+    * predicted probability, the empirical positive rate, and the summed
+    * Brier contribution — the table a calibration curve plots, and the
+    * acceptance artifact for shipping [[qualityLrScores]]' threshold (a
+    * model can rank well and still be badly calibrated; the gap between
+    * mean_p_u and pos_rate_u per bin IS the miscalibration).
+    *
+    * Determinism discipline matches training: probabilities fixed-
+    * pointed to micro-units, bin = integer decile of p_u, per-bin means
+    * as integer floor divisions, Brier terms per-row rounded to 1e-6
+    * then summed as longs — partial-aggregation-order-proof, so the
+    * distributed result is hash-identical to any sequential replay.
+    * Cost: training's scans + ONE more scan; the groupBy carries 10 keys.
+    */
+  def qualityLrCalibration(s: SparkSession, dir: String, steps: Int = 5,
+                           lr: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val w = lrTrainCore(s, dir, steps, lr)._2
+    val p = lrScore((0 to 3).map(j => col(s"x$j")), w)
+    lrFeatFrame(s, dir)
+      .select($"y", p.as("p"))
+      .withColumn("p_u", round($"p" * lit(1000000.0)).cast("long"))
+      .withColumn("bin", expr("CAST(least(p_u * 10 div 1000000, 9) AS INT)"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"p_u").as("sp"),
+        sum($"y".cast("long")).as("sy"),
+        sum(round(($"p" - $"y") * ($"p" - $"y") * lit(1000000.0))
+          .cast("long")).as("brier_su"))
+      .select($"bin", $"n_docs",
+        expr("sp div n_docs").as("mean_p_u"),
+        expr("sy * 1000000 div n_docs").as("pos_rate_u"),
+        $"brier_su")
+      .orderBy($"bin")
   }
 
   /** Bigram language-model cross-entropy of held-out documents: train

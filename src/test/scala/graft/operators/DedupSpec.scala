@@ -378,4 +378,35 @@ class DedupSpec extends SparkSpec {
       assert(ca === 10000L && cb === 10000L, s"exact dup $p not fully contained")
     }
   }
+
+  test("cluster split: whole clusters share a split; singletons match hashSplit") {
+    val split = Dedup.clusterSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val assign = Dedup.dedupAssignments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every corpus doc gets exactly one assignment
+    assert(split.size === graft.Tables(spark, sf, "documents").count())
+    // cluster members all inherit the canon's group and therefore split
+    assign.foreach { case (doc, canon) =>
+      assert(split(doc)._1 === canon, s"doc $doc group != canon")
+      assert(split(doc)._2 === split(canon)._2, s"doc $doc split leaks from $canon")
+    }
+    // docs in no cluster keep the plain hash split assignment (adopting
+    // the cluster-aware split must not reshuffle the unclustered corpus)
+    val clustered = assign.map(_._1).toSet
+    val plain = TextOps.hashSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    split.foreach { case (doc, (grp, sp)) =>
+      if (!clustered.contains(doc)) {
+        assert(grp === doc)
+        assert(sp === plain(doc), s"singleton $doc diverges from hashSplit")
+      }
+    }
+    // the corpus genuinely exercises the leak case: at least one cluster
+    // spans members whose PLAIN hash splits disagree
+    val rescued = assign.exists { case (doc, canon) =>
+      doc != canon && plain(doc) != plain(canon)
+    }
+    assert(rescued, "fixture has no cross-split dup family; test is vacuous")
+  }
 }

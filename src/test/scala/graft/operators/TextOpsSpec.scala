@@ -301,6 +301,135 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists(_._3) && got.exists(!_._3))
   }
 
+  test("spanScrub matches a sequential interval-merge recount") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val n = 8
+    val occ = docs.flatMap { case (id, toks) =>
+      toks.sliding(n).zipWithIndex
+        .filter(_._1.length == n)
+        .map { case (w, i) => (id, i + 1, i + n, w.mkString(" ")) }
+    }
+    val dup = occ.groupBy(_._4)
+      .filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val expected = occ.filter(o => dup(o._4))
+      .groupBy(_._1).map { case (id, os) =>
+        // merge overlapping [st,en] intervals, count + size the islands
+        val sorted = os.map(o => (o._2, o._3)).sortBy(_._1)
+        var spans = 0L; var removed = 0L
+        var cs = -1; var ce = -2
+        (sorted :+ ((Int.MaxValue, Int.MaxValue))).foreach { case (st, en) =>
+          if (st > ce) {
+            if (cs >= 0) { spans += 1; removed += ce - cs + 1 }
+            cs = st; ce = en
+          } else ce = math.max(ce, en)
+        }
+        val nToks = docs.find(_._1 == id).get._2.length.toLong
+        id -> (nToks, spans, removed, nToks - removed)
+      }
+    val got = TextOps.spanScrub(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toMap === expected)
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+    // the fixture exercises the operator: some doc loses a real span but
+    // keeps content (scrub, not whole-doc drop)
+    assert(got.exists { case (_, (_, sp, rm, kept)) =>
+      sp >= 1 && rm >= 8 && kept > 0 })
+  }
+
+  test("dsirSelect matches a sequential hashed-LM importance recount") {
+    def h60(sz: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sz.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def r6(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .map(t => h60(s"dsir:$t") % 1024L)))
+    val rawC = docs.flatMap(_._3).groupBy(identity).map { case (f, v) => f -> v.length.toLong }
+    val tgtC = docs.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).map { case (f, v) => f -> v.length.toLong }
+    val nr = docs.map(_._3.length.toLong).sum.toDouble
+    val nt = docs.filter(_._2 == "en").map(_._3.length.toLong).sum.toDouble
+    val llr = rawC.map { case (f, cr) =>
+      f -> r6((math.log((tgtC.getOrElse(f, 0L) + 1).toDouble / (nt + 1024)) -
+        math.log((cr + 1).toDouble / (nr + 1024))) * 1000000.0)
+    }
+    val weights = docs.filter(_._3.nonEmpty).map { case (id, _, fs) =>
+      (id, fs.map(llr).sum)
+    }
+    val expected = weights.sortBy { case (id, w) => (-w, id) }.take(100)
+      .zipWithIndex.map { case ((id, w), i) => (i + 1, id, w) }
+    val got = TextOps.dsirSelect(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected.toSeq)
+    // selection is real: the sample is more English than the corpus
+    val langOf = docs.map(d => d._1 -> d._2).toMap
+    val sampleEn = got.count(g => langOf(g._2) == "en").toDouble / got.length
+    val corpusEn = docs.count(_._2 == "en").toDouble / docs.length
+    assert(sampleEn > corpusEn,
+      f"sample en-share $sampleEn%.3f should beat corpus $corpusEn%.3f")
+  }
+
+  test("qualityLrCalibration matches a sequential train+bin+floor-div recount") {
+    def r6(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val rows = Tables(spark, sf, "documents")
+      .select("text", "n_chars").collect()
+      .map { r =>
+        val toks = r.getString(0).trim.toLowerCase
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        val y = if (toks.contains("spark") && toks.length >= 54) 1.0 else 0.0
+        (y, Array(1.0, toks.length / 100.0,
+          toks.distinct.length.toDouble / toks.length,
+          r.getLong(1).toDouble / toks.length / 10.0))
+      }
+    val n = rows.length
+    var w = Vector(0L, 0L, 0L, 0L)
+    (1 to 5).foreach { _ =>
+      val wd = w.map(_.toDouble / 1000000.0)
+      val g = Array.fill(4)(0L)
+      rows.foreach { case (y, x) =>
+        val z = ((wd(0) * x(0) + wd(1) * x(1)) + wd(2) * x(2)) + wd(3) * x(3)
+        val p = math.max(0.0, math.min(1.0, 0.5 + 0.25 * z))
+        (0 to 3).foreach(j => g(j) += r6((p - y) * x(j) * 1000000.0))
+      }
+      w = w.indices.map(j => w(j) - r6(0.5 * g(j).toDouble / n)).toVector
+    }
+    val wd = w.map(_.toDouble / 1000000.0)
+    val binned = rows.map { case (y, x) =>
+      val z = ((wd(0) * x(0) + wd(1) * x(1)) + wd(2) * x(2)) + wd(3) * x(3)
+      val p = math.max(0.0, math.min(1.0, 0.5 + 0.25 * z))
+      val pu = r6(p * 1000000.0)
+      (math.min(pu * 10 / 1000000, 9).toInt, y, p, pu)
+    }
+    val expected = binned.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, g) =>
+      (b, g.length.toLong,
+        g.map(_._4).sum / g.length,
+        g.map(_._2).sum.toLong * 1000000L / g.length,
+        g.map { case (_, y, p, _) => r6((p - y) * (p - y) * 1000000.0) }.sum)
+    }
+    val got = TextOps.qualityLrCalibration(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === expected)
+    // the audit is non-degenerate: more than one bin is occupied, counts
+    // cover the corpus, and every mean/rate sits in [0, 1e6]
+    assert(got.length > 1)
+    assert(got.map(_._2).sum === n.toLong)
+    got.foreach { case (_, _, mp, pr, _) =>
+      assert(mp >= 0L && mp <= 1000000L && pr >= 0L && pr <= 1000000L)
+    }
+  }
+
   test("bigramSurprisal: scores exactly the test split, positive cross-entropy") {
     val split = TextOps.hashSplit(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
