@@ -115,6 +115,7 @@ object SparkEntry {
     "q_lr_calibration" -> ((s, dir) => TextOps.qualityLrCalibration(s, dir)),
     "q_dsir_select" -> ((s, dir) => TextOps.dsirSelect(s, dir)),
     "q_span_scrub" -> ((s, dir) => TextOps.spanScrub(s, dir)),
+    "q_hybrid_rrf" -> ((s, dir) => TextOps.hybridRrfTopK(s, dir)),
     "q_bigram_surprisal" -> TextOps.bigramSurprisal,
     "q_zipf_slope" -> ((s, dir) => TextOps.zipfSlope(s, dir)),
     "q_quality_weighted_sample" -> ((s, dir) => TextOps.qualityWeightedSample(s, dir)),
@@ -197,6 +198,59 @@ object SparkEntry {
   // match Spark's long, len() casts to INT where Spark size() yields int.
   private val toks =
     """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')"""
+
+  /** BM25 per-(doc, term) contribution chain (ends at c(doc_id, cf)) —
+    * shared by q_bm25_topk and the lexical run of q_hybrid_rrf.
+    */
+  private lazy val bm25Ctes =
+    s"""dd AS (SELECT doc_id, len($toks) AS dl FROM documents),
+       st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
+       tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM
+           (SELECT doc_id, len($toks) AS dl, unnest($toks) AS tok
+            FROM documents)
+         WHERE tok IN ('vector', 'hash', 'spark') GROUP BY doc_id, dl, tok),
+       dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       c AS (SELECT doc_id,
+           CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+             (tf * ${1.2 + 1.0}) /
+             (tf + 1.2 * (${1.0 - 0.75} + 0.75 * dl /
+               (CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000.0) AS BIGINT)
+             AS cf
+         FROM tf JOIN dfreq USING (tok) CROSS JOIN st)"""
+
+  /** Hashed-TF dense document vectors (ends at e(vec_id, v), zero
+    * vectors dropped) — shared by q_hashed_tf_neardup and the vector
+    * run of q_hybrid_rrf. Internal tf stage named htf so the chain can
+    * coexist with [[bm25Ctes]] in one WITH.
+    */
+  private lazy val hashedTfVecCtes =
+    s"""tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+       nn AS (SELECT count(DISTINCT doc_id) AS nd FROM tk),
+       dfc AS (SELECT tok, count(DISTINCT doc_id) AS d FROM tk GROUP BY tok),
+       kept AS (SELECT tk.doc_id, tk.tok FROM tk JOIN dfc USING (tok), nn
+         WHERE dfc.d * 10 <= nn.nd),
+       htf AS (SELECT doc_id, h % 64 AS j,
+           sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS x
+         FROM (SELECT doc_id,
+             CAST(concat('0x', substring(md5(concat('fh:', tok)), 1, 15)) AS BIGINT) AS h
+           FROM kept)
+         GROUP BY doc_id, h % 64),
+       pr AS (SELECT doc_id, list(struct_pack(j := j, x := x)) AS pairs
+         FROM htf GROUP BY doc_id),
+       e0 AS (SELECT doc_id AS vec_id, list_transform(generate_series(0, 63),
+           jj -> CAST(coalesce(list_sum(list_transform(
+             list_filter(pairs, w -> w.j = jj), w -> w.x)), 0) AS DOUBLE)) AS v
+         FROM pr),
+       e AS (SELECT vec_id, v FROM e0 WHERE list_dot_product(v, v) > 0)"""
+
+  /** The hashed query-term vector as a SQL double-list literal —
+    * generated from the same driver-side hash as the engine's query
+    * vector (TextOps.fhQueryVector), so both runs score the identical
+    * embedding.
+    */
+  private lazy val fhQueryLit =
+    operators.TextOps.fhQueryVector(Seq("vector", "hash", "spark"))
+      .map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
 
   /** a–z letter-count fragments for the char-entropy oracle — generated
     * from one letter seq (the same 'a' to 'z' range TextOps.charEntropy
@@ -1192,24 +1246,7 @@ object SparkEntry {
          FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.vec_id = b.vec_id
          GROUP BY b.qid ORDER BY query_id""",
     "q_hashed_tf_neardup" ->
-      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
-         nn AS (SELECT count(DISTINCT doc_id) AS nd FROM tk),
-         dfc AS (SELECT tok, count(DISTINCT doc_id) AS d FROM tk GROUP BY tok),
-         kept AS (SELECT tk.doc_id, tk.tok FROM tk JOIN dfc USING (tok), nn
-           WHERE dfc.d * 10 <= nn.nd),
-         tf AS (SELECT doc_id, h % 64 AS j,
-             sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS x
-           FROM (SELECT doc_id,
-               CAST(concat('0x', substring(md5(concat('fh:', tok)), 1, 15)) AS BIGINT) AS h
-             FROM kept)
-           GROUP BY doc_id, h % 64),
-         pr AS (SELECT doc_id, list(struct_pack(j := j, x := x)) AS pairs
-           FROM tf GROUP BY doc_id),
-         e0 AS (SELECT doc_id AS vec_id, list_transform(generate_series(0, 63),
-             jj -> CAST(coalesce(list_sum(list_transform(
-               list_filter(pairs, w -> w.j = jj), w -> w.x)), 0) AS DOUBLE)) AS v
-           FROM pr),
-         e AS (SELECT vec_id, v FROM e0 WHERE list_dot_product(v, v) > 0),
+      s"""WITH $hashedTfVecCtes,
          $EmbLshSigCte
          SELECT c.vec_a AS doc_a, c.vec_b AS doc_b,
            round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
@@ -1848,23 +1885,35 @@ object SparkEntry {
            n_removed, CAST(len(toks) - n_removed AS BIGINT) AS n_kept
          FROM docs d JOIN agg USING (doc_id) ORDER BY doc_id""",
     "q_bm25_topk" ->
-      s"""WITH dd AS (SELECT doc_id, len($toks) AS dl FROM documents),
-         st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
-         tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM
-             (SELECT doc_id, len($toks) AS dl, unnest($toks) AS tok
-              FROM documents)
-           WHERE tok IN ('vector', 'hash', 'spark') GROUP BY doc_id, dl, tok),
-         dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-         c AS (SELECT doc_id,
-             CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-               (tf * ${1.2 + 1.0}) /
-               (tf + 1.2 * (${1.0 - 0.75} + 0.75 * dl /
-                 (CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000.0) AS BIGINT)
-               AS cf
-           FROM tf JOIN dfreq USING (tok) CROSS JOIN st)
+      s"""WITH $bm25Ctes
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
            round(CAST(sum(cf) AS DOUBLE) / 1000000.0, 4) AS bm25
          FROM c GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 25""",
+    "q_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         bm AS (SELECT doc_id,
+             round(CAST(sum(cf) AS DOUBLE) / 1000000.0, 4) AS bm25
+           FROM c GROUP BY doc_id),
+         pa AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS rank_a
+           FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)),
+         $hashedTfVecCtes,
+         qv AS (SELECT $fhQueryLit AS q),
+         pb AS (SELECT vec_id AS doc_id,
+             CAST(row_number() OVER (ORDER BY cos_q DESC, vec_id) AS BIGINT)
+               AS rank_b
+           FROM (SELECT vec_id,
+               round(list_cosine_similarity(v, q), 4) AS cos_q
+             FROM e, qv ORDER BY cos_q DESC, vec_id LIMIT 50)),
+         f AS (SELECT coalesce(pa.doc_id, pb.doc_id) AS doc_id, rank_a, rank_b,
+             coalesce(1000000 // (60 + rank_a), 0)
+               + coalesce(1000000 // (60 + rank_b), 0) AS rrf_u
+           FROM pa FULL OUTER JOIN pb ON pa.doc_id = pb.doc_id)
+         SELECT CAST(row_number() OVER (ORDER BY rrf_u DESC, doc_id) AS INT)
+             AS rk, doc_id, rank_a, rank_b, CAST(rrf_u AS BIGINT) AS rrf_u
+         FROM (SELECT * FROM f ORDER BY rrf_u DESC, doc_id LIMIT 25)
+         ORDER BY rk""",
     "q_bigram_surprisal" ->
       s"""WITH docs AS (SELECT doc_id,
            CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket,

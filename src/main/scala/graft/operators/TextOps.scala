@@ -897,6 +897,77 @@ object TextOps {
       .orderBy($"rk")
   }
 
+  /** The feature-hashing token hash (md5-prefix, "fh:" salt) replicated
+    * driver-side — the ONE definition the query-vector literal in
+    * [[hybridRrfTopK]] and the oracle generator both read, so the query
+    * embedding can never drift from [[hashedTfVectors]]' doc-side hash.
+    */
+  private[graft] def fhHash60(tok: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(("fh:" + tok).getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** The query-term hashed vector + its norm for [[hybridRrfTopK]] —
+    * shared with the oracle generator.
+    */
+  private[graft] def fhQueryVector(terms: Seq[String], dim: Int = 64)
+      : Array[Double] = {
+    val q = new Array[Double](dim)
+    terms.foreach { t =>
+      val h = fhHash60(t)
+      q((h % dim).toInt) += (if ((h / dim) % 2 == 0) 1.0 else -1.0)
+    }
+    q
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    * a lexical run (BM25 over the query terms) and a vector run (cosine
+    * of each doc's hashed-TF vector against the hashed query vector) are
+    * fused by RRF score Σ 1/(60 + rank) — the standard two-tower search
+    * front-end, robust to either run's score scale. Ranks come from each
+    * run's top-`pool` candidates only (fusion over retrieved lists, as
+    * deployed systems do): both pools are TakeOrdered results, so no
+    * global rank of the corpus ever materializes, and the fusion join
+    * holds ≤ 2·pool rows. RRF contributions are integer floor divisions
+    * (1e6 // (60+rank)) — exact in any engine.
+    *
+    * Scale: BM25's cost is df-bounded by the term filter at the scan;
+    * the vector run is one broadcast-query scan over the (already
+    * df-capped) hashed vectors; fusion is driver-trivial.
+    */
+  def hybridRrfTopK(s: SparkSession, dir: String,
+                    terms: Seq[String] = Seq("vector", "hash", "spark"),
+                    k: Int = 25, pool: Int = 50, kRrf: Int = 60): DataFrame = {
+    import s.implicits._
+    val byA = Window.orderBy($"bm25".desc, $"doc_id")
+    val a = bm25TopK(s, dir, terms, pool)
+      .withColumn("rank_a", row_number().over(byA).cast("long"))
+      .select($"doc_id", $"rank_a")
+    val q = fhQueryVector(terms)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val qArr = array(q.toSeq.map(lit): _*)
+    val vecs = hashedTfVectors(s, dir)
+      .filter(graft.functions.vectors.dot($"v", $"v") > 0)
+      .select($"vec_id".as("doc_id"),
+        round(graft.functions.vectors.dot($"v", qArr)
+          / (graft.functions.vectors.l2Norm($"v") * lit(qNorm)), 4)
+          .as("cos_q"))
+    val byB = Window.orderBy($"cos_q".desc, $"doc_id")
+    val b = vecs.orderBy($"cos_q".desc, $"doc_id").limit(pool)
+      .withColumn("rank_b", row_number().over(byB).cast("long"))
+      .select($"doc_id", $"rank_b")
+    val byRrf = Window.orderBy($"rrf_u".desc, $"doc_id")
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_u",
+        coalesce(expr(s"1000000 div ($kRrf + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($kRrf + rank_b)"), lit(0L)))
+      .orderBy($"rrf_u".desc, $"doc_id").limit(k)
+      .withColumn("rk", row_number().over(byRrf).cast("int"))
+      .select($"rk", $"doc_id", $"rank_a", $"rank_b", $"rrf_u")
+      .orderBy($"rk")
+  }
+
   /** Cross-document duplicated-span scrub (the span-level exact dedup of
     * Lee et al. 2021, "Deduplicating Training Data Makes Language Models
     * Better"): token positions covered by any `n`-gram that ALSO occurs

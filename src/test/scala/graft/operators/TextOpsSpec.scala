@@ -301,6 +301,46 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists(_._3) && got.exists(!_._3))
   }
 
+  test("hybridRrfTopK fuses the lexical and vector pools exactly") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val terms = Seq("vector", "hash", "spark")
+    // run A ranks from the independently-spec'd BM25 operator
+    val rankA = TextOps.bm25TopK(spark, sf, terms, 50).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    // run B ranks: driver cosine of each hashed-TF vector vs the query
+    val q = TextOps.fhQueryVector(terms)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val rankB = TextOps.hashedTfVectors(spark, sf).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (r.getLong(0), v.zip(q).map { case (a, b) => a * b }.sum,
+          math.sqrt(v.map(x => x * x).sum))
+      }
+      .filter { case (_, _, n) => n > 0 }
+      .map { case (id, dp, n) => (id, r4(dp / (n * qNorm))) }
+      .sortBy { case (id, c) => (-c, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val expected = (rankA.keySet ++ rankB.keySet).toSeq.map { id =>
+      val rrf = rankA.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        rankB.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L)
+      (id, rankA.get(id), rankB.get(id), rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(25)
+      .zipWithIndex.map { case ((id, ra, rb, rrf), i) => (i + 1, id, ra, rb, rrf) }
+    val got = TextOps.hybridRrfTopK(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4)))
+    assert(got.toSeq === expected)
+    // fusion is a union, not an intersection: some result doc came from
+    // only one of the two runs
+    assert(got.exists(g => g._3.isEmpty || g._4.isEmpty),
+      "both pools identical — union semantics unexercised")
+  }
+
   test("spanScrub matches a sequential interval-merge recount") {
     val docs = Tables(spark, sf, "documents")
       .select("doc_id", "text").collect()
