@@ -1041,8 +1041,12 @@ object TextOps {
     * broadcast-by-llr-table, and top-n is TakeOrdered — no global sort
     * materializes.
     */
-  def dsirSelect(s: SparkSession, dir: String, dim: Int = 1024,
-                 n: Int = 100, targetLang: String = "en"): DataFrame = {
+  /** The (token stream, per-feature llr) pair behind [[dsirSelect]] —
+    * also the artifact source for the streaming gate
+    * ([[dsirLlrTable]] collects the dim-bounded llr rows).
+    */
+  private def dsirParts(s: SparkSession, dir: String, dim: Int,
+                        targetLang: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val tk = docsFanned(s, dir)
       .select($"doc_id", $"lang", explode(text.tokensLower($"text")).as("tok"))
@@ -1060,6 +1064,23 @@ object TextOps {
             / lit(nt + dim)) -
           log(($"cr" + lit(1L)).cast("double") / lit(nr + dim)))
           * lit(1000000.0)).cast("long").as("llr_u"))
+    (tk, llr)
+  }
+
+  /** The trained DSIR model as a driver-side map (≤ dim entries — the
+    * same bounded-artifact contract as the BPE merge-table memo):
+    * feature id → fixed-point log-likelihood ratio. What the streaming
+    * ingest gate (`Streams.dsirGate`) folds into its scan expression.
+    */
+  def dsirLlrTable(s: SparkSession, dir: String, dim: Int = 1024,
+                   targetLang: String = "en"): Map[Long, Long] =
+    dsirParts(s, dir, dim, targetLang)._2.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  def dsirSelect(s: SparkSession, dir: String, dim: Int = 1024,
+                 n: Int = 100, targetLang: String = "en"): DataFrame = {
+    import s.implicits._
+    val (tk, llr) = dsirParts(s, dir, dim, targetLang)
     val w = tk.join(broadcast(llr), Seq("f"))
       .groupBy($"doc_id").agg(sum($"llr_u").as("weight_u"))
     val byW = Window.orderBy($"weight_u".desc, $"doc_id")

@@ -96,6 +96,35 @@ object Streams {
       .drop("toks")
   }
 
+  /** Streaming DSIR admission gate: the deploy half of
+    * `TextOps.dsirSelect` — each arriving document's hashed-unigram
+    * importance weight is computed statelessly at the scan from the
+    * FROZEN per-feature llr table (trained batch-side, ≤ dim entries,
+    * folded in as a map literal via `TextOps.dsirLlrTable`), and docs
+    * below `minWeightU` drop. Same contract as the classifier gate:
+    * scoring expressions are shared with batch training, so admission
+    * cannot drift from the model; integer llr sums make the per-doc
+    * weight EXACTLY the batch weight, not an approximation. No state
+    * store, no watermark, no shuffle — wire-speed in any trigger.
+    * A feature unseen in training scores 0 (absent from the map), the
+    * same contribution the batch side gives it.
+    */
+  def dsirGate(docs: DataFrame, llrU: Map[Long, Long], minWeightU: Long,
+               dim: Int = 1024): DataFrame = {
+    val toks = graft.functions.text.tokensLower(col("text"))
+    val llrMap = typedLit(llrU)
+    val perTok = transform(toks, t =>
+      coalesce(
+        element_at(llrMap,
+          pmod(conv(substring(md5(concat(lit("dsir:"), t)), 1, 15), 16, 10)
+            .cast("long"), lit(dim.toLong))),
+        lit(0L)))
+    docs
+      .withColumn("weight_u",
+        coalesce(aggregate(perTok, lit(0L), (acc, x) => acc + x), lit(0L)))
+      .filter(col("weight_u") >= minWeightU)
+  }
+
   /** Streaming decontamination gate: the stateless streaming twin of
     * `TextOps.bloomDecontamination`'s scan-side prune. The eval-split
     * shingle bloom is built ONCE batch-side

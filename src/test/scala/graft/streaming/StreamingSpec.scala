@@ -95,6 +95,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.size < docs.length)
   }
 
+  test("dsirGate: streamed weights equal batch DSIR weights; threshold separates") {
+    val llr = graft.operators.TextOps.dsirLlrTable(spark, sf)
+    // batch truth: every scored doc's integer weight from the top-n op's
+    // parent frame — recomputed here via the public top-n with n = corpus
+    val nDocs = graft.Tables(spark, sf, "documents").count().toInt
+    val batch = graft.operators.TextOps.dsirSelect(spark, sf, n = nDocs)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val minW = batch.values.toSeq.sorted.apply(batch.size / 2) // median cut
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.dsirGate(
+        input.toDF().toDF("doc_id", "text"), llr, minW)
+      .select($"doc_id", $"weight_u")
+      .writeStream.format("memory").queryName("dsir_gate_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(docs.take(docs.length / 2))
+    q.processAllAvailable()
+    input.addData(docs.drop(docs.length / 2))
+    q.processAllAvailable()
+    val streamed = spark.table("dsir_gate_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    // admitted set = batch docs at/above the cut, with identical weights
+    val expected = batch.filter { case (_, w) => w >= minW }
+    assert(streamed === expected)
+    // the gate separates: some docs pass, some do not
+    assert(streamed.nonEmpty && streamed.size < docs.length)
+  }
+
   test("decontaminationGate: streaming flags equal batch; exact pairs never missed") {
     val bloomBytes = graft.operators.TextOps.evalShingleBloom(spark, sf)
     val docs = graft.Tables(spark, sf, "documents")
