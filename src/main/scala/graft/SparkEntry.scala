@@ -143,6 +143,7 @@ object SparkEntry {
     "q_dedup_corpus" -> Dedup.dedupCorpus,
     "q_dedup_best" -> Dedup.dedupBest,
     "q_neardup_pagerank" -> ((s, dir) => Dedup.nearDupPageRank(s, dir)),
+    "q_eval_ppr" -> ((s, dir) => Dedup.evalProximityPpr(s, dir)),
     "q_neardup_kcore" -> ((s, dir) => Dedup.kCore(s, dir)),
     "q_neardup_coreness" -> ((s, dir) => Dedup.coreness(s, dir)),
     "q_neardup_lpa" -> ((s, dir) => Dedup.labelPropagation(s, dir)),
@@ -524,6 +525,21 @@ object SparkEntry {
     s"""$next AS (SELECT d0.doc_id,
          15000 + (85 * coalesce(s.c, 0)) // 100 AS r
        FROM docs0 d0 LEFT JOIN (
+         SELECT e.dst AS doc_id, sum($prev.r // deg.d) AS c
+         FROM e JOIN $prev ON $prev.doc_id = e.src
+           JOIN deg ON deg.src = e.src
+         GROUP BY 1) s ON s.doc_id = d0.doc_id)"""
+
+  /** One unrolled PERSONALIZED PageRank round for the q_eval_ppr oracle
+    * — identical damping/degree arithmetic to [[prIterCte]], with the
+    * uniform 15000 baseline replaced by the seed-concentrated teleport
+    * from the base CTE.
+    */
+  private def pprIterCte(prev: String, next: String): String =
+    s"""$next AS (SELECT d0.doc_id, d0.is_seed,
+         CAST(CASE WHEN d0.is_seed THEN b ELSE 0 END AS BIGINT)
+           + (85 * coalesce(s.c, 0)) // 100 AS r
+       FROM docs0 d0 CROSS JOIN base LEFT JOIN (
          SELECT e.dst AS doc_id, sum($prev.r // deg.d) AS c
          FROM e JOIN $prev ON $prev.doc_id = e.src
            JOIN deg ON deg.src = e.src
@@ -1667,6 +1683,25 @@ object SparkEntry {
          ${prIterCte("r1", "r2")},
          ${prIterCte("r2", "r3")}
          SELECT doc_id, CAST(r AS BIGINT) AS pr FROM r3 ORDER BY doc_id""",
+    "q_eval_ppr" ->
+      s"""WITH lsh AS ($minhashPairsCore),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM lsh
+               UNION ALL SELECT doc_b AS src, doc_a AS dst FROM lsh),
+         deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+         docs0 AS (SELECT doc_id,
+             (CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100) >= 90 AS is_seed
+           FROM documents),
+         ns AS (SELECT count(*) AS n,
+             sum(CASE WHEN is_seed THEN 1 ELSE 0 END) AS k FROM docs0),
+         base AS (SELECT (15000 * n) // k AS b FROM ns),
+         r0 AS (SELECT doc_id, is_seed,
+             CAST(CASE WHEN is_seed THEN b ELSE 0 END AS BIGINT) AS r
+           FROM docs0 CROSS JOIN base),
+         ${pprIterCte("r0", "r1")},
+         ${pprIterCte("r1", "r2")},
+         ${pprIterCte("r2", "r3")}
+         SELECT doc_id, is_seed, CAST(r AS BIGINT) AS ppr
+         FROM r3 ORDER BY doc_id""",
     "q_neardup_lpa" ->
       s"""WITH lsh AS ($minhashPairsCore),
          edges AS (SELECT doc_a AS a, doc_b AS b FROM lsh

@@ -457,6 +457,55 @@ object Dedup {
     rank.select($"doc_id", $"r".as("pr")).orderBy($"doc_id")
   }
 
+  /** Personalized PageRank from the TEST-split seed set — graph-diffused
+    * contamination risk: teleport mass concentrates on held-out docs, so
+    * a training doc's score measures its multi-hop proximity to eval
+    * data through the near-dup graph (A≈B≈C chains where A is eval and
+    * C shares no direct n-grams with it — the leak the pairwise
+    * decontamination screens cannot see). Same scaled-integer loop as
+    * [[nearDupPageRank]] (1e-5 rank units, floor-division damping and
+    * degree split, checkpoint per round); the only change is the
+    * teleport vector: (15000·N)/|seeds| on seeds, 0 elsewhere, computed
+    * once driver-side as exact integers. Seeds ride [[TextOps.hashSplit]]'s
+    * bucket convention, so the seed set is the same test split every
+    * screen in the suite uses.
+    */
+  def evalProximityPpr(s: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    evalProximityPpr(s, dir, minhashLshPairs(s, dir), iters)
+
+  /** PPR over a precomputed candidate pair frame — normally
+    * [[sharedLshPairs]].
+    */
+  def evalProximityPpr(s: SparkSession, dir: String, pairFrame: DataFrame,
+                       iters: Int): DataFrame = {
+    import s.implicits._
+    val pairs = pairFrame.select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst")
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    val adj = edges.join(deg, "src").localCheckpoint()
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id",
+        (TextOps.hashBucket($"doc_id", "split:") >= 90).as("is_seed"))
+      .localCheckpoint()
+    val nDocs = docs.count()
+    val nSeeds = docs.filter($"is_seed").count()
+    val base = 15000L * nDocs / nSeeds
+    val teleport = when($"is_seed", lit(base)).otherwise(lit(0L))
+    var rank = docs.select($"doc_id", $"is_seed", teleport.as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = adj.join(rank, adj("src") === rank("doc_id"))
+        .select($"dst", expr("r div d").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("c"))
+      rank = docs.join(contrib, docs("doc_id") === contrib("dst"), "left")
+        .select(docs("doc_id"), $"is_seed",
+          (teleport + expr("(85 * coalesce(c, 0L)) div 100L")).as("r"))
+        .localCheckpoint()
+    }
+    rank.select($"doc_id", $"is_seed", $"r".as("ppr")).orderBy($"doc_id")
+  }
+
   def labelPropagation(s: SparkSession, dir: String): DataFrame =
     labelPropagation(s, minhashLshPairs(s, dir))
 

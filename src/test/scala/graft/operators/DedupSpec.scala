@@ -379,6 +379,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("evalProximityPpr matches a sequential seeded integer PPR recount") {
+    def h60(sz: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sz.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val pairs = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val docIds = graft.Tables(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val seeds = docIds.filter(id => h60(s"split:$id") % 100 >= 90).toSet
+    val base = 15000L * docIds.length / seeds.size
+    def teleport(id: Long): Long = if (seeds(id)) base else 0L
+    var rank = docIds.map(id => id -> teleport(id)).toMap
+    (1 to 3).foreach { _ =>
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          java.lang.Math.floorDiv(rank(src), deg(src)) }.sum
+      }
+      rank = docIds.map(id => id ->
+        (teleport(id) +
+          java.lang.Math.floorDiv(85L * contrib.getOrElse(id, 0L), 100L))).toMap
+    }
+    val got = Dedup.evalProximityPpr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    assert(got.map(g => g._1 -> g._3).toMap === rank)
+    got.foreach { case (id, isSeed, ppr) =>
+      assert(isSeed === seeds(id))
+      if (isSeed) assert(ppr >= base, s"seed $id below teleport floor")
+    }
+    // diffusion is real: some NON-seed doc near a seed scores > 0, and
+    // some isolated non-seed sits exactly at 0
+    assert(got.exists { case (id, s2, p) => !s2 && p > 0L })
+    assert(got.exists { case (id, s2, p) => !s2 && p === 0L })
+  }
+
   test("cluster split: whole clusters share a split; singletons match hashSplit") {
     val split = Dedup.clusterSplit(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
