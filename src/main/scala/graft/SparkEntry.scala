@@ -154,6 +154,7 @@ object SparkEntry {
     // -- similarity search (§7.4) ------------------------------------------
     "q_brute_force_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "q_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "q_ivf_topk_indexed" -> ((s, dir) => Similarity.ivfTopKIndexed(s, dir)),
     "q_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
@@ -529,6 +530,25 @@ object SparkEntry {
          FROM e JOIN $prev ON $prev.doc_id = e.src
            JOIN deg ON deg.src = e.src
          GROUP BY 1) s ON s.doc_id = d0.doc_id)"""
+
+  /** IVF cell search oracle — shared verbatim by q_ivf_topk and
+    * q_ivf_topk_indexed: the stored-index path must produce the
+    * IDENTICAL result to the recompute-per-query path.
+    */
+  private val ivfTopKSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       a AS (SELECT e.vec_id, e.v, c.cid,
+           list_cosine_similarity(e.v, c.cv) AS sim FROM e, c),
+       r AS (SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+         FROM a),
+       asg AS (SELECT vec_id, v, cid FROM r WHERE rn = 1),
+       qc AS (SELECT cid AS qcid, v AS qv FROM asg WHERE vec_id = 0)
+       SELECT asg.vec_id, asg.cid,
+         round(list_cosine_similarity(asg.v, qv), 4) AS cos_sim
+       FROM asg, qc WHERE asg.cid = qcid AND asg.vec_id <> 0
+       ORDER BY cos_sim DESC, asg.vec_id LIMIT 5"""
 
   /** One unrolled PERSONALIZED PageRank round for the q_eval_ppr oracle
     * — identical damping/degree arithmetic to [[prIterCte]], with the
@@ -1217,20 +1237,8 @@ object SparkEntry {
          SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
          FROM e, q WHERE vec_id <> 0
          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
-    "q_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-         a AS (SELECT e.vec_id, e.v, c.cid,
-             list_cosine_similarity(e.v, c.cv) AS sim FROM e, c),
-         r AS (SELECT vec_id, v, cid,
-             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-           FROM a),
-         asg AS (SELECT vec_id, v, cid FROM r WHERE rn = 1),
-         qc AS (SELECT cid AS qcid, v AS qv FROM asg WHERE vec_id = 0)
-         SELECT asg.vec_id, asg.cid,
-           round(list_cosine_similarity(asg.v, qv), 4) AS cos_sim
-         FROM asg, qc WHERE asg.cid = qcid AND asg.vec_id <> 0
-         ORDER BY cos_sim DESC, asg.vec_id LIMIT 5""",
+    "q_ivf_topk" -> ivfTopKSql,
+    "q_ivf_topk_indexed" -> ivfTopKSql,
     "q_ann_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

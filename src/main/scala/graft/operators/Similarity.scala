@@ -975,6 +975,72 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the IVF cell assignment `(vec_id, v, cid)` PARTITIONED by
+    * cell — the build-once coarse index. Cell routing at query time then
+    * prunes the scan to ONE partition directory (nlist-way layout), so
+    * serving cost is ~corpus/nlist rows read and zero shuffle: the
+    * physical realization of what [[ivfTopK]] recomputes per query.
+    */
+  def writeIvfIndex(s: SparkSession, dir: String, table: String,
+                    nlist: Int = 8): Unit = {
+    import s.implicits._
+    val e = embDouble(s, dir)
+    val cents = e.filter($"vec_id" < nlist)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val byVec = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")
+    e.join(broadcast(cents))
+      .select($"vec_id", $"v", $"cid",
+        vectors.cosineSimilarity($"v", $"cv").as("sim"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"cid")
+      .write.mode("overwrite")
+      .partitionBy("cid")
+      .saveAsTable(table)
+  }
+
+  /** Build-once memo for the stored IVF cells (same contract as
+    * [[pqIndexFor]]).
+    */
+  private[graft] def ivfIndexFor(s: SparkSession, dir: String,
+                                 nlist: Int): DataFrame = {
+    val key = Seq(dir, Dedup.corpusStamp(s, dir, "embeddings"),
+      "ivf", nlist).mkString("|")
+    val table = "graft_ivf_index_" + java.security.MessageDigest
+      .getInstance("MD5").digest(key.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    Dedup.indexBuildLock.synchronized {
+      if (!s.catalog.tableExists(table)) {
+        Dedup.dropStaleLocation(s, table)
+        writeIvfIndex(s, dir, table, nlist)
+      }
+    }
+    s.table(table)
+  }
+
+  /** [[ivfTopK]] served from the STORED cell table ([[writeIvfIndex]]) —
+    * identical output (one oracle pins both), serving-shaped cost: the
+    * query's cell id comes from a 1-row index lookup (the probe-side
+    * artifact, like the PQ LUT), and the candidate scan is then a
+    * LITERAL-cid filter — static partition pruning reads one of nlist
+    * directories, no join, no exchange anywhere in the plan (the spec
+    * asserts both).
+    */
+  def ivfTopKIndexed(s: SparkSession, dir: String, queryId: Long = 0L,
+                     k: Int = 5, nlist: Int = 8): DataFrame = {
+    import s.implicits._
+    val idx = ivfIndexFor(s, dir, nlist)
+    val q = idx.filter($"vec_id" === queryId).select($"cid", $"v").head()
+    // partition-column type inference may read cid back as int
+    val qcid = q.get(0).asInstanceOf[Number].longValue
+    val qArr = array(q.getSeq[Double](1).map(lit): _*)
+    idx.filter($"cid" === qcid && $"vec_id" =!= queryId)
+      .select($"vec_id", $"cid".cast("long").as("cid"),
+        round(vectors.cosineSimilarity($"v", qArr), 4).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(k)
+  }
+
   /** IVF-PQ top-k: the composed production index (Jégou et al.'s
     * IVFADC) — the coarse quantizer routes the query to its centroid
     * cell, and ONLY that cell's PQ codes are scored by ADC lookups. At

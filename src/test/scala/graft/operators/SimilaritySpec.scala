@@ -386,6 +386,26 @@ class SimilaritySpec extends SparkSpec {
       "stored-codes aggregation should ride the bucketed layout")
   }
 
+  test("ivfTopKIndexed: identical to ivfTopK via the stored cells; the " +
+       "serving scan is partition-pruned and exchange-free") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val direct = Similarity.ivfTopK(spark, sf, queryId = 0L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val served = Similarity.ivfTopKIndexed(spark, sf, queryId = 0L, k = 5)
+    assert(served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq === direct)
+    val nodes = planNodes(served)
+    // literal-cid routing = static partition pruning at the stored scan
+    val scan = nodes.collectFirst { case f: FileSourceScanExec => f }
+    assert(scan.isDefined)
+    assert(scan.get.partitionFilters.nonEmpty,
+      "cell filter should prune the partitioned index, not scan all cells")
+    // TakeOrdered top-k over a pruned scan: no exchange anywhere
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) === 0,
+      "serving plan should be scan -> project -> take-ordered, no shuffle")
+  }
+
   test("pqRecall: n_exact is k per probe, recall in [0,1], codebook " +
        "vectors recover themselves as their own nearest code") {
     val rows = Similarity.pqRecall(spark, sf).collect()
