@@ -116,6 +116,7 @@ object SparkEntry {
     "q_dsir_select" -> ((s, dir) => TextOps.dsirSelect(s, dir)),
     "q_span_scrub" -> ((s, dir) => TextOps.spanScrub(s, dir)),
     "q_hybrid_rrf" -> ((s, dir) => TextOps.hybridRrfTopK(s, dir)),
+    "q_curriculum_order" -> ((s, dir) => TextOps.curriculumOrder(s, dir)),
     "q_bigram_surprisal" -> TextOps.bigramSurprisal,
     "q_zipf_slope" -> ((s, dir) => TextOps.zipfSlope(s, dir)),
     "q_quality_weighted_sample" -> ((s, dir) => TextOps.qualityWeightedSample(s, dir)),
@@ -1927,6 +1928,18 @@ object SparkEntry {
          SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_toks, n_spans,
            n_removed, CAST(len(toks) - n_removed AS BIGINT) AS n_kept
          FROM docs d JOIN agg USING (doc_id) ORDER BY doc_id""",
+    "q_curriculum_order" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_toks
+           FROM documents),
+         s AS (SELECT doc_id, n_toks,
+             CAST(length(bin(n_toks)) AS INT) AS stage,
+             CAST(concat('0x', substring(md5(concat('curr:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS sk
+           FROM d)
+         SELECT stage,
+           CAST(row_number() OVER (PARTITION BY stage ORDER BY sk, doc_id)
+             AS BIGINT) AS pos,
+           doc_id, n_toks
+         FROM s ORDER BY stage, pos""",
     "q_bm25_topk" ->
       s"""WITH $bm25Ctes
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,

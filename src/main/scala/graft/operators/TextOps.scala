@@ -1020,6 +1020,33 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Length-staged curriculum order: documents grouped into length-
+    * doubling stages (stage = bit-length of the token count — 1-1, 2-3,
+    * 4-7, 8-15… tokens), short-first, with the reproducible md5 shuffle
+    * inside each stage — the "train on short sequences first" schedule,
+    * stated so a restart or a second site replays it identically
+    * ([[trainingOrder]]'s determinism discipline applied to a curriculum
+    * instead of a uniform shuffle).
+    *
+    * The stage function is INTEGER-exact (length of the binary string,
+    * no log() float boundary) and needs no corpus statistics — unlike
+    * quantile bucketing there is no global rank, so the position window
+    * partitions by stage and parallelizes across stages at any corpus
+    * size; within a stage the shuffle key spreads the sort.
+    */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byStage = Window.partitionBy($"stage").orderBy($"sk", $"doc_id")
+    docsFanned(s, dir)
+      .select($"doc_id", size(text.tokensLower($"text")).cast("long").as("n_toks"))
+      .select($"doc_id", $"n_toks",
+        length(bin($"n_toks")).cast("int").as("stage"),
+        hashBucketMod($"doc_id", "curr:", 1000000L).as("sk"))
+      .withColumn("pos", row_number().over(byStage).cast("long"))
+      .select($"stage", $"pos", $"doc_id", $"n_toks")
+      .orderBy($"stage", $"pos")
+  }
+
   /** Data selection via importance resampling (DSIR, Xie et al. 2023):
     * score every raw document by how much more likely its hashed-unigram
     * bag is under a TARGET distribution than under the raw-corpus

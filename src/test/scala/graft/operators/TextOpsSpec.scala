@@ -301,6 +301,37 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists(_._3) && got.exists(!_._3))
   }
 
+  test("curriculumOrder: length-doubling stages, md5 order, full coverage") {
+    def h60(sz: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sz.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.split("\\s+").count(_.nonEmpty).toLong))
+    val expected = docs
+      .map { case (id, nt) =>
+        (nt.toBinaryString.length, h60(s"curr:$id") % 1000000L, id, nt)
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (stage, g) =>
+        g.sortBy { case (_, sk, id, _) => (sk, id) }.zipWithIndex
+          .map { case ((_, _, id, nt), i) => (stage, (i + 1).toLong, id, nt) }
+      }
+    val got = TextOps.curriculumOrder(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+    // every doc appears exactly once, and stages genuinely ascend in length
+    assert(got.map(_._3).toSet === docs.map(_._1).toSet)
+    got.foreach { case (stage, _, _, nt) =>
+      assert(nt.toBinaryString.length === stage)
+    }
+    assert(got.map(_._1).distinct.length > 1, "single-stage corpus is vacuous")
+  }
+
   test("hybridRrfTopK fuses the lexical and vector pools exactly") {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
