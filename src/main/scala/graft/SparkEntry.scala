@@ -156,6 +156,7 @@ object SparkEntry {
     "q_brute_force_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "q_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "q_ivf_topk_indexed" -> ((s, dir) => Similarity.ivfTopKIndexed(s, dir)),
+    "q_label_silhouette" -> Similarity.labelSilhouette,
     "q_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
@@ -1240,6 +1241,38 @@ object SparkEntry {
          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_ivf_topk" -> ivfTopKSql,
     "q_ivf_topk_indexed" -> ivfTopKSql,
+    "q_label_silhouette" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         dx0 AS (SELECT label, unnest(generate_series(1, len(v))) AS d,
+             unnest(v) AS x FROM e),
+         dx AS (SELECT label, d, CAST(round(x * 1000000.0) AS BIGINT) AS xf
+           FROM dx0),
+         g AS (SELECT label, d, CAST(sum(xf) AS BIGINT) AS sx, count(*) AS n
+           FROM dx GROUP BY label, d),
+         cm AS (SELECT label, d, CAST(sx AS DOUBLE) / n / 1000000.0 AS m
+           FROM g),
+         cent AS (SELECT label AS clabel, list(m ORDER BY d) AS cv
+           FROM cm GROUP BY label),
+         sc AS (SELECT e.vec_id, e.label, c.clabel,
+             round(list_cosine_similarity(e.v, c.cv), 4) AS cs
+           FROM e, cent c),
+         intra AS (SELECT vec_id, label,
+             CAST(round(cs * 10000.0) AS BIGINT) AS it
+           FROM sc WHERE label = clabel),
+         inter AS (SELECT vec_id,
+             CAST(round(max(cs) * 10000.0) AS BIGINT) AS xt
+           FROM sc WHERE label <> clabel GROUP BY vec_id),
+         j AS (SELECT label, it, xt FROM intra JOIN inter USING (vec_id))
+         SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST((sum(it) + 10000 * count(*)) // count(*) - 10000 AS BIGINT)
+             AS mean_intra_t,
+           CAST((sum(xt) + 10000 * count(*)) // count(*) - 10000 AS BIGINT)
+             AS mean_inter_t,
+           CAST(((sum(it) + 10000 * count(*)) // count(*))
+             - ((sum(xt) + 10000 * count(*)) // count(*)) AS BIGINT)
+             AS separation_t
+         FROM j GROUP BY label ORDER BY label""",
     "q_ann_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

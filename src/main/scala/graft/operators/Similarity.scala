@@ -975,6 +975,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-space label cohesion audit (a silhouette-lite): per
+    * label, the mean cosine of members to their OWN label centroid vs
+    * the mean of each member's best cosine to any OTHER label centroid
+    * — the one-screen answer to "are these labels real clusters in this
+    * embedding space", read before trusting label-conditioned sampling
+    * or hard-negative mining on a new embedding model. separation_t > 0
+    * means members sit closer to home than to any rival centroid.
+    *
+    * Determinism: centroids from fixed-point 1e-6 integer sums (the
+    * kmeans discipline) divided exactly once; per-vector cosines rounded
+    * to 4dp then scaled to integer ten-thousandths; per-label means as
+    * NON-NEGATIVE floor divisions ((sum + 10000·n) div n − 10000 — a
+    * plain div would trunc toward zero in Spark and floor in SQL on
+    * negative sums). Cost: one posexplode aggregation (labels×dims
+    * keys) + one broadcast-centroid scan; nothing pairwise.
+    */
+  def labelSilhouette(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label", vectors.toDoubleArray($"embedding").as("v"))
+      .localCheckpoint() // centroid agg + scoring scan both read it
+    val cents = e
+      .select($"label", posexplode($"v").as(Seq("d", "x")))
+      .select($"label", $"d", round($"x" * 1e6).cast("long").as("xf"))
+      .groupBy($"label", $"d")
+      .agg(sum($"xf").as("sx"), count(lit(1)).as("n"))
+      .select($"label", $"d", ($"sx".cast("double") / $"n" / 1e6).as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"d", $"m"))).as("dm"))
+      .select($"label".as("clabel"), transform($"dm", x => x("m")).as("cv"))
+    val scored = e.join(broadcast(cents))
+      .select($"vec_id", $"label", $"clabel",
+        round(vectors.cosineSimilarity($"v", $"cv"), 4).as("cs"))
+    val intra = scored.filter($"label" === $"clabel")
+      .select($"vec_id", $"label",
+        round($"cs" * 10000).cast("long").as("it"))
+    val inter = scored.filter($"label" =!= $"clabel")
+      .groupBy($"vec_id").agg(max($"cs").as("mx"))
+      .select($"vec_id", round($"mx" * 10000).cast("long").as("xt"))
+    intra.join(inter, "vec_id")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"), sum($"it").as("si"), sum($"xt").as("sx"))
+      .select($"label", $"n_vecs",
+        expr("(si + 10000 * n_vecs) div n_vecs - 10000").as("mean_intra_t"),
+        expr("(sx + 10000 * n_vecs) div n_vecs - 10000").as("mean_inter_t"),
+        expr("((si + 10000 * n_vecs) div n_vecs) - ((sx + 10000 * n_vecs) div n_vecs)")
+          .as("separation_t"))
+      .orderBy($"label")
+  }
+
   /** Persist the IVF cell assignment `(vec_id, v, cid)` PARTITIONED by
     * cell — the build-once coarse index. Cell routing at query time then
     * prunes the scan to ONE partition directory (nlist-way layout), so

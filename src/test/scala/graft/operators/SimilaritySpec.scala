@@ -386,6 +386,45 @@ class SimilaritySpec extends SparkSpec {
       "stored-codes aggregation should ride the bucketed layout")
   }
 
+  test("labelSilhouette matches a driver fixed-point centroid recount") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val rows = graft.Tables(spark, sf, "embeddings").collect().map { r =>
+      (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+    }
+    val byLabel = rows.groupBy(_._2)
+    val cents = byLabel.map { case (lbl, vs) =>
+      val dim = vs.head._3.length
+      lbl -> Array.tabulate(dim) { d =>
+        vs.map(v => r0(v._3(d) * 1e6)).sum.toDouble / vs.length / 1e6
+      }
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      dp / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val perVec = rows.map { case (id, lbl, v) =>
+      val it = r0(r4(cos(v, cents(lbl))) * 10000.0)
+      val xt = r0(cents.filter(_._1 != lbl).values
+        .map(c => r4(cos(v, c))).max * 10000.0)
+      (id, lbl, it, xt)
+    }
+    val expected = perVec.groupBy(_._2).toSeq.sortBy(_._1).map { case (lbl, g) =>
+      val n = g.length.toLong
+      val mi = (g.map(_._3).sum + 10000 * n) / n - 10000
+      val mx = (g.map(_._4).sum + 10000 * n) / n - 10000
+      (lbl, n, mi, mx, mi - mx)
+    }
+    val got = Similarity.labelSilhouette(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === expected)
+    assert(got.map(_._2).sum === rows.length.toLong)
+  }
+
   test("ivfTopKIndexed: identical to ivfTopK via the stored cells; the " +
        "serving scan is partition-pruned and exchange-free") {
     import org.apache.spark.sql.execution.FileSourceScanExec
