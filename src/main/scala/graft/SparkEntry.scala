@@ -141,6 +141,7 @@ object SparkEntry {
     "q_chunk_pairs" -> ((s, dir) => Chunker.sharedChunkPairs(s, dir)),
     "q_dedup_assignments" -> Dedup.dedupAssignments,
     "q_cluster_split" -> Dedup.clusterSplit,
+    "q_source_dup_burden" -> Dedup.sourceDupBurden,
     "q_dedup_corpus" -> Dedup.dedupCorpus,
     "q_dedup_best" -> Dedup.dedupBest,
     "q_neardup_pagerank" -> ((s, dir) => Dedup.nearDupPageRank(s, dir)),
@@ -1225,6 +1226,20 @@ object SparkEntry {
              CAST(concat('0x', substring(md5(concat('split:', CAST(group_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS b
            FROM g)
          ORDER BY doc_id""",
+    "q_source_dup_burden" ->
+      s"""WITH RECURSIVE $ccReachCtes,
+         canon AS (SELECT a AS doc_id, min(r) AS canon_id
+           FROM reach GROUP BY a),
+         j AS (SELECT d.source,
+             CASE WHEN c.canon_id IS NOT NULL THEN 1 ELSE 0 END AS clustered,
+             CASE WHEN c.canon_id IS NOT NULL AND c.canon_id <> d.doc_id
+               THEN 1 ELSE 0 END AS loser
+           FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(clustered) AS BIGINT) AS n_clustered,
+           CAST(sum(loser) AS BIGINT) AS n_dropped,
+           CAST(sum(loser) * 10000 // count(*) AS BIGINT) AS burden_bp
+         FROM j GROUP BY source ORDER BY source""",
     "q_dedup_corpus" ->
       s"""WITH RECURSIVE $ccReachCtes,
          canon AS (SELECT a AS doc_id, min(r) AS canon_id

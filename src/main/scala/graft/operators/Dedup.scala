@@ -1069,6 +1069,35 @@ object Dedup {
       .orderBy($"cluster_size")
   }
 
+  /** Per-source dup burden: for each source, how much of its volume is
+    * duplicated content — docs in any near-dup cluster, and docs that
+    * would DROP under canonical dedup (non-canonical members). The
+    * report a corpus owner reads to decide which feeds to throttle or
+    * renegotiate, and the provenance-grain rollup of [[dedupProfile]]
+    * (complementing [[sourceOverlap]]'s pairwise view with an absolute
+    * per-source cost). Burden in integer basis points (floor division)
+    * so the ranking is engine-exact. One broadcast join of the bounded
+    * assignment frame against the doc→source map, one source-keyed
+    * aggregation.
+    */
+  def sourceDupBurden(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assign = dedupAssignments(s, dir)
+    Tables(s, dir, "documents").select($"doc_id", $"source")
+      .join(assign, Seq("doc_id"), "left")
+      .select($"source",
+        $"canon_id".isNotNull.cast("long").as("clustered"),
+        ($"canon_id".isNotNull && $"canon_id" =!= $"doc_id")
+          .cast("long").as("loser"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"clustered").as("n_clustered"),
+        sum($"loser").as("n_dropped"))
+      .select($"source", $"n_docs", $"n_clustered", $"n_dropped",
+        expr("n_dropped * 10000 div n_docs").as("burden_bp"))
+      .orderBy($"source")
+  }
+
   /** Leakage-free train/val/test split: the split is decided by the
     * near-dup CLUSTER, not the document — every member of an exact- or
     * near-dup family lands in the same split, so a paraphrased copy of a

@@ -418,6 +418,27 @@ class DedupSpec extends SparkSpec {
     assert(got.exists { case (id, s2, p) => !s2 && p === 0L })
   }
 
+  test("sourceDupBurden matches a per-source recount over the assignments") {
+    val assign = Dedup.dedupAssignments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, g) =>
+      val n = g.length.toLong
+      val clustered = g.count(d => assign.contains(d._1)).toLong
+      val dropped = g.count(d => assign.get(d._1).exists(_ != d._1)).toLong
+      (src, n, clustered, dropped, dropped * 10000 / n)
+    }
+    val got = Dedup.sourceDupBurden(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === expected)
+    // conservation + the fixture exercises both sides of the report
+    assert(got.map(_._2).sum === docs.length.toLong)
+    assert(got.exists(_._4 > 0L) && got.exists(g => g._4 < g._2))
+  }
+
   test("cluster split: whole clusters share a split; singletons match hashSplit") {
     val split = Dedup.clusterSplit(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
