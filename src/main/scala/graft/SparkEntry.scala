@@ -139,6 +139,7 @@ object SparkEntry {
     "q_simhash_fingerprints" -> Dedup.simhashFingerprints,
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "q_chunk_pairs" -> ((s, dir) => Chunker.sharedChunkPairs(s, dir)),
+    "q_chunk_search" -> ((s, dir) => Chunker.chunkSearch(s, dir)),
     "q_dedup_assignments" -> Dedup.dedupAssignments,
     "q_cluster_split" -> Dedup.clusterSplit,
     "q_source_dup_burden" -> Dedup.sourceDupBurden,
@@ -1032,6 +1033,31 @@ object SparkEntry {
          FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY doc_a, doc_b HAVING count(*) >= 2
          ORDER BY doc_a, doc_b""",
+    "q_chunk_search" ->
+      s"""WITH ch AS (SELECT doc_id, i, unicode(text[i:i]) AS c
+           FROM (SELECT doc_id, text,
+               unnest(generate_series(1, len(text))) AS i
+             FROM documents)),
+         h AS (SELECT doc_id, i, $chunkHashTerms AS hv
+           FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         cuts AS (SELECT doc_id, i AS cut FROM h
+             WHERE i >= ${operators.Chunker.W}
+               AND hv % ${operators.Chunker.M} % 64 = 0
+           UNION SELECT doc_id, len(text) AS cut FROM documents),
+         segs AS (SELECT doc_id, cut,
+             coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) AS prev
+           FROM cuts),
+         chunks AS (SELECT s.doc_id,
+             CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY s.cut)
+               AS INT) AS chunk_idx,
+             substring(d.text, s.prev + 1, s.cut - s.prev) AS chunk
+           FROM segs s JOIN documents d USING (doc_id) WHERE s.cut > s.prev)
+         SELECT doc_id, chunk_idx, md5(chunk) AS chunk_fp
+         FROM chunks
+         WHERE list_contains(list_filter(
+             regexp_split_to_array(lower(trim(chunk)), '\\s+'), x -> x <> ''),
+           'spark')
+         ORDER BY doc_id, chunk_idx""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS n_copies

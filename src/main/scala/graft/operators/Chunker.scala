@@ -188,4 +188,33 @@ object Chunker {
       .filter($"n_shared" >= minShared)
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** Chunk-grain keyword retrieval — the RAG serving granularity: a
+    * retrieval hit is the PASSAGE (CDC chunk) containing every query
+    * term, not the whole document, so the consumer gets exactly the
+    * spans to stuff into a context window. Same conjunctive-term
+    * semantics as `TextOps.keywordSearch` one level down the
+    * containment hierarchy; chunk identity is the md5 fingerprint the
+    * dedup join already uses, so hits link 1:1 into the chunk-level
+    * dedup graph. One chunk pass (scan-speed, per-partition hasher) +
+    * a per-row token filter; no shuffle before the output sort.
+    */
+  def chunkSearch(s: SparkSession, dir: String,
+                  terms: Seq[String] = Seq("spark")): DataFrame = {
+    import s.implicits._
+    val chunks = Tables(s, dir, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"doc_id")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        portableChunks(text).zipWithIndex
+          .map { case (ch, i) => (id, i + 1, ch) }
+      })
+      .toDF("doc_id", "chunk_idx", "chunk")
+    val toks = graft.functions.text.tokensLower($"chunk")
+    val cond = terms.map(t => array_contains(toks, t)).reduce(_ && _)
+    chunks.filter(cond)
+      .select($"doc_id", $"chunk_idx".cast("int").as("chunk_idx"),
+        md5($"chunk").as("chunk_fp"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
 }

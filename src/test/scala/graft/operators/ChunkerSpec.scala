@@ -66,6 +66,34 @@ class ChunkerSpec extends SparkSpec {
     assert(shared >= f1.toSet.size / 2, s"shared=$shared of ${f1.toSet.size}")
   }
 
+  test("chunkSearch returns exactly the term-bearing chunks with stable ids") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s2: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s2.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.flatMap { case (id, text) =>
+      Chunker.portableChunks(text).zipWithIndex.collect {
+        case (ch, i) if ch.trim.toLowerCase.split("\\s+")
+          .filter(_.nonEmpty).contains("spark") =>
+          (id, i + 1, md5hex(ch))
+      }
+    }.sortBy(e => (e._1, e._2))
+    val got = Chunker.chunkSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq === expected.toSeq)
+    // retrieval is passage-grain: hits exist, and some matching DOC has
+    // non-matching chunks too (the chunk filter is finer than the doc one)
+    assert(got.nonEmpty)
+    val hitDocs = got.map(_._1).toSet
+    val finer = docs.exists { case (id, text) =>
+      hitDocs.contains(id) &&
+        Chunker.portableChunks(text).length > got.count(_._1 == id)
+    }
+    assert(finer, "every chunk of every hit doc matched — filter not passage-grain")
+  }
+
   test("sharedChunkPairs finds no false pairs on the (distinct) corpus") {
     // sf0.001 documents are short and distinct; duplicate texts share all
     // chunks, distinct texts nearly none -> exact dups must dominate
