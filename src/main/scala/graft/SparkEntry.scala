@@ -117,6 +117,7 @@ object SparkEntry {
     "q_span_scrub" -> ((s, dir) => TextOps.spanScrub(s, dir)),
     "q_hybrid_rrf" -> ((s, dir) => TextOps.hybridRrfTopK(s, dir)),
     "q_curriculum_order" -> ((s, dir) => TextOps.curriculumOrder(s, dir)),
+    "q_surprisal_filter" -> TextOps.surprisalFilter,
     "q_bigram_surprisal" -> TextOps.bigramSurprisal,
     "q_zipf_slope" -> ((s, dir) => TextOps.zipfSlope(s, dir)),
     "q_quality_weighted_sample" -> ((s, dir) => TextOps.qualityWeightedSample(s, dir)),
@@ -2063,6 +2064,33 @@ object SparkEntry {
            CROSS JOIN voc)
          SELECT doc_id, count(*) AS n_bigrams, round(-avg(logp), 4) AS xent
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "q_surprisal_filter" ->
+      s"""WITH docs AS (SELECT doc_id,
+           CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket,
+           $toks AS toks FROM documents),
+         tg AS (${bigramUnnest("bucket < 80")}),
+         cab AS (SELECT g, count(*) AS c_ab FROM tg GROUP BY g),
+         tu AS (SELECT unnest(toks) AS a FROM docs WHERE bucket < 80),
+         ca AS (SELECT a, count(*) AS c_a FROM tu GROUP BY a),
+         voc AS (SELECT count(*) AS v FROM ca),
+         ev AS (${bigramUnnest("TRUE")}),
+         sc AS (SELECT ev.doc_id,
+             CAST(round(-ln(CAST(coalesce(c_ab, 0) + 1 AS DOUBLE) /
+               CAST(coalesce(c_a, 0) + v AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS lp_u
+           FROM ev
+           LEFT JOIN cab USING (g)
+           LEFT JOIN ca ON split_part(ev.g, ' ', 1) = ca.a
+           CROSS JOIN voc),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(lp_u) AS BIGINT) AS slp
+           FROM sc GROUP BY doc_id),
+         pd2 AS (SELECT doc_id, n_bigrams,
+             CAST(slp // n_bigrams AS BIGINT) AS xent_u FROM pd),
+         cut AS (SELECT CAST(sum(xent_u) // count(*) AS BIGINT) AS cut_u
+           FROM pd2)
+         SELECT doc_id, n_bigrams, xent_u, cut_u, xent_u <= cut_u AS keep
+         FROM pd2 CROSS JOIN cut ORDER BY doc_id""",
     "q_daily_anomalies" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
            count(*) AS n

@@ -1020,6 +1020,56 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Model-based quality FILTER over the whole corpus — the deployed
+    * form of [[bigramSurprisal]] (which scores only the held-out split):
+    * the add-one bigram LM trains on the train split, every document is
+    * scored, and docs whose cross-entropy exceeds the corpus mean are
+    * flagged to drop — the CCNet/Gopher "perplexity filter" stage with a
+    * 2-gram LM standing in for the 5-gram KenLM (same join shape, no
+    * external model artifact).
+    *
+    * Unlike the audit query's float `avg`, the filter is FIXED-POINT end
+    * to end: per-bigram surprisal rounded to 1e-6 once (where the model
+    * probability is a ratio of exact integers), per-doc and corpus means
+    * as integer floor divisions of non-negative sums — so the keep/drop
+    * verdict can never straddle an ulp between engines. Model tables
+    * are vocab-bounded broadcasts; scoring is one token-stream pass.
+    */
+  def surprisalFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toksF = docsFanned(s, dir)
+      .withColumn("bucket", hashBucket($"doc_id", "split:"))
+      .select($"doc_id", $"bucket", text.tokensLower($"text").as("toks"))
+      .localCheckpoint() // model counts + corpus scoring all read it
+    val train = toksF.filter($"bucket" < 80)
+    val cAb = train
+      .select(explode(text.shinglesFromTokens($"toks", 2)).as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("c_ab"))
+    val cA = train
+      .select(explode($"toks").as("a"))
+      .groupBy($"a").agg(count(lit(1)).as("c_a"))
+    val vocab = cA.agg(count(lit(1)).as("v"))
+    val perDoc = toksF
+      .select($"doc_id", explode(text.shinglesFromTokens($"toks", 2)).as("g"))
+      .withColumn("a", split($"g", " ").getItem(0))
+      .join(broadcast(cAb), Seq("g"), "left")
+      .join(broadcast(cA), Seq("a"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_u",
+        round(-log((coalesce($"c_ab", lit(0L)) + 1).cast("double") /
+          (coalesce($"c_a", lit(0L)) + $"v").cast("double")) * 1000000.0)
+          .cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"lp_u").as("slp"))
+      .select($"doc_id", $"n_bigrams", expr("slp div n_bigrams").as("xent_u"))
+    val cut = perDoc.agg(sum($"xent_u").as("sx"), count(lit(1)).as("nd"))
+      .select(expr("sx div nd").as("cut_u"))
+    perDoc.crossJoin(broadcast(cut))
+      .select($"doc_id", $"n_bigrams", $"xent_u", $"cut_u",
+        ($"xent_u" <= $"cut_u").as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** Length-staged curriculum order: documents grouped into length-
     * doubling stages (stage = bit-length of the token count — 1-1, 2-3,
     * 4-7, 8-15… tokens), short-first, with the reproducible md5 shuffle

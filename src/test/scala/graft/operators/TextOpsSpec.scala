@@ -301,6 +301,46 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists(_._3) && got.exists(!_._3))
   }
 
+  test("surprisalFilter matches a sequential fixed-point LM recount") {
+    def h60(sz: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sz.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def r0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)))
+    val train = docs.filter { case (id, _) => h60(s"split:$id") % 100 < 80 }
+    val cAb = train.flatMap(_._2.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")))
+      .groupBy(identity).map { case (g, v) => g -> v.length.toLong }
+    val cA = train.flatMap(_._2)
+      .groupBy(identity).map { case (a, v) => a -> v.length.toLong }
+    val v = cA.size.toLong
+    val perDoc = docs.filter(_._2.length >= 2).map { case (id, toks) =>
+      val lps = toks.sliding(2).filter(_.length == 2).map { bg =>
+        val g = bg.mkString(" ")
+        r0(-math.log((cAb.getOrElse(g, 0L) + 1).toDouble /
+          (cA.getOrElse(bg(0), 0L) + v).toDouble) * 1000000.0)
+      }.toSeq
+      (id, lps.length.toLong, lps.sum / lps.length)
+    }
+    val cut = perDoc.map(_._3).sum / perDoc.length
+    val expected = perDoc.sortBy(_._1).map { case (id, n, x) =>
+      (id, n, x, cut, x <= cut)
+    }
+    val got = TextOps.surprisalFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq === expected)
+    // the filter separates: both verdicts occur
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
+
   test("curriculumOrder: length-doubling stages, md5 order, full coverage") {
     def h60(sz: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
