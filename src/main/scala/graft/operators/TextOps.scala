@@ -1084,14 +1084,22 @@ object TextOps {
     * partitions by stage and parallelizes across stages at any corpus
     * size; within a stage the shuffle key spreads the sort.
     */
+  /** The (stage, shuffle-key) derivation behind [[curriculumOrder]] —
+    * shared with `warehouse.Export.curriculumShards`, whose file layout's
+    * contract is to replay this schedule.
+    */
+  private[graft] def curriculumKey(textCol: Column, docId: Column)
+      : (Column, Column) = (
+    length(bin(size(text.tokensLower(textCol)).cast("long"))).cast("int"),
+    hashBucketMod(docId, "curr:", 1000000L))
+
   def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val byStage = Window.partitionBy($"stage").orderBy($"sk", $"doc_id")
+    val (stageCol, skCol) = curriculumKey($"text", $"doc_id")
     docsFanned(s, dir)
-      .select($"doc_id", size(text.tokensLower($"text")).cast("long").as("n_toks"))
-      .select($"doc_id", $"n_toks",
-        length(bin($"n_toks")).cast("int").as("stage"),
-        hashBucketMod($"doc_id", "curr:", 1000000L).as("sk"))
+      .select($"doc_id", size(text.tokensLower($"text")).cast("long").as("n_toks"),
+        stageCol.as("stage"), skCol.as("sk"))
       .withColumn("pos", row_number().over(byStage).cast("long"))
       .select($"stage", $"pos", $"doc_id", $"n_toks")
       .orderBy($"stage", $"pos")

@@ -154,6 +154,44 @@ object Export {
       .orderBy(col("shard"))
   }
 
+  /** Curriculum-ordered JSONL shards: the physical layout of
+    * `TextOps.curriculumOrder` — files partitioned by length-doubling
+    * STAGE, lines inside each stage in the schedule's (md5 shuffle,
+    * doc_id) order, so a trainer consuming stage directories in
+    * ascending order and files in name order replays the curriculum
+    * verbatim with zero load-time shuffle (the [[orderedTrainingShards]]
+    * contract applied to a curriculum instead of a uniform permutation).
+    * One repartition+sortWithinPartitions carries both stage membership
+    * and intra-stage order into the committer.
+    */
+  def curriculumShards(docs: DataFrame, dstDir: String,
+                       maxRecordsPerFile: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    val payloadCols = docs.columns
+    val (stageCol, skCol) =
+      graft.operators.TextOps.curriculumKey(col("text"), col("doc_id"))
+    val keyed = docs
+      .withColumn("stage", stageCol)
+      .withColumn("sk", skCol)
+    keyed
+      .repartition(col("stage"))
+      .sortWithinPartitions(col("stage"), col("sk"), col("doc_id"))
+      .select(col("stage"),
+        to_json(struct(payloadCols.map(col): _*),
+          Map("ignoreNullFields" -> "false")).as("value"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("stage")
+      .text(dstDir)
+    val counts = keyed.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_records"))
+    val shards = shardCounts(spark, dstDir, Seq("stage"))
+    counts.join(broadcast(shards),
+        counts("stage").cast("string") === shards("__stage"))
+      .select(col("stage"), col("n_shards"), col("n_records"))
+      .orderBy(col("stage"))
+  }
+
   /** Per-partition shard (file) counts from a driver filesystem walk of
     * the Hive-style partition tree — a listing, never a data read. Dir
     * names are unescaped with the same codec the committer escaped them

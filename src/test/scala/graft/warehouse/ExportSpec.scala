@@ -55,6 +55,42 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("curriculumShards: stage dirs + file order replay curriculumOrder") {
+    val dst = java.nio.file.Files.createTempDirectory("export-curr").toString
+    val docsTmp = java.nio.file.Files.createTempDirectory("export-curr-src").toString
+    // varied lengths so several length-doubling stages exist
+    val cdocs = (1L to 30L).map { i =>
+      (i, ("tok " * i.toInt).trim + s" d$i", "en")
+    }.toDF("doc_id", "text", "lang")
+    cdocs.withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$docsTmp/documents.parquet")
+    // record bound of 3 forces split files inside a stage
+    val manifest = Export.curriculumShards(cdocs, dst, maxRecordsPerFile = 3)
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(manifest.values.map(_._2).sum === cdocs.count())
+    assert(manifest.exists(_._2._2 > 3), "fixture too small to force file splits")
+    manifest.foreach { case (st, (shards, records)) =>
+      assert(records <= shards * 3, s"stage $st record bound broken")
+    }
+    // the schedule the layout claims to implement
+    val expected = graft.operators.TextOps.curriculumOrder(spark, docsTmp)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(manifest.keySet === expected.keySet)
+    assert(expected.size > 1, "single-stage fixture is vacuous")
+    expected.foreach { case (st, ids) =>
+      val dir = new java.io.File(s"$dst/stage=$st")
+      val files = dir.listFiles().filter(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith(".")).sortBy(_.getName)
+      val got = files.flatMap { f =>
+        scala.io.Source.fromFile(f).getLines().map { line =>
+          "\"doc_id\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toLong
+        }
+      }.toSeq
+      assert(got === ids, s"stage $st order mismatch")
+    }
+  }
+
   test("orderedTrainingShards: files replay the trainingOrder permutation verbatim") {
     val dst = java.nio.file.Files.createTempDirectory("export-ord").toString
     val docsTmp = java.nio.file.Files.createTempDirectory("export-ord-src").toString
