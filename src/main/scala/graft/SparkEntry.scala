@@ -49,6 +49,7 @@ object SparkEntry {
     "q_running_revenue" -> Relational.runningRevenue,
     "q_part_brand_stats" -> Relational.partBrandStats,
     "q_asof_join" -> AsOf.eventOrderAsof,
+    "q_asof_forward" -> AsOf.orderNextEventAsof,
     "q_range_join_attrib" -> Relational.attributionRangeJoin,
     "q_above_avg_orders" -> Relational.aboveAvgOrders,
     "q_grouping_sets" -> Relational.groupingSetsRevenue,
@@ -849,6 +850,16 @@ object SparkEntry {
          FROM events e ASOF JOIN r
            ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
          ORDER BY e.event_id""",
+    "q_asof_forward" ->
+      """WITH e AS (SELECT user_id, ts, max(event_id) AS event_id
+           FROM events GROUP BY user_id, ts),
+         j AS (SELECT o.o_orderkey, o.o_custkey, e.event_id,
+             row_number() OVER (PARTITION BY o.o_orderkey
+               ORDER BY e.ts, e.event_id DESC) AS rn
+           FROM orders o JOIN e
+             ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate)
+         SELECT o_orderkey, o_custkey, event_id
+         FROM j WHERE rn = 1 ORDER BY o_orderkey""",
     "q_purchasers_without_errors" ->
       """SELECT user_id, day FROM (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
