@@ -110,6 +110,7 @@ object SparkEntry {
     "q_char_entropy" -> TextOps.charEntropy,
     "q_inverted_index" -> ((s, dir) => TextOps.invertedIndex(s, dir)),
     "q_keyword_search" -> ((s, dir) => TextOps.keywordSearch(s, dir)),
+    "q_keyword_search_indexed" -> ((s, dir) => TextOps.keywordSearchIndexed(s, dir)),
     "q_bm25_topk" -> ((s, dir) => TextOps.bm25TopK(s, dir)),
     "q_quality_lr" -> ((s, dir) => TextOps.qualityLrTrain(s, dir)),
     "q_quality_lr_scores" -> ((s, dir) => TextOps.qualityLrScores(s, dir)),
@@ -536,6 +537,19 @@ object SparkEntry {
          FROM e JOIN $prev ON $prev.doc_id = e.src
            JOIN deg ON deg.src = e.src
          GROUP BY 1) s ON s.doc_id = d0.doc_id)"""
+
+  /** Conjunctive keyword search oracle — shared verbatim by
+    * q_keyword_search and q_keyword_search_indexed: the stored-index
+    * path must produce the identical result to the tokenize-per-query
+    * path.
+    */
+  private lazy val keywordSearchSql =
+    s"""SELECT doc_id, count(*) AS score
+       FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+       WHERE tok IN ('vector', 'hash', 'spark')
+       GROUP BY doc_id
+       HAVING count(DISTINCT tok) = 3
+       ORDER BY score DESC, doc_id LIMIT 25"""
 
   /** IVF cell search oracle — shared verbatim by q_ivf_topk and
     * q_ivf_topk_indexed: the stored-index path must produce the
@@ -1923,13 +1937,8 @@ object SparkEntry {
          SELECT d.tok, d.df, p.postings
          FROM d JOIN p USING (tok)
          ORDER BY d.df DESC, d.tok LIMIT 50""",
-    "q_keyword_search" ->
-      s"""SELECT doc_id, count(*) AS score
-         FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
-         WHERE tok IN ('vector', 'hash', 'spark')
-         GROUP BY doc_id
-         HAVING count(DISTINCT tok) = 3
-         ORDER BY score DESC, doc_id LIMIT 25""",
+    "q_keyword_search" -> keywordSearchSql,
+    "q_keyword_search_indexed" -> keywordSearchSql,
     "q_weighted_sample_es" ->
       s"""WITH sc AS (SELECT doc_id, $qualityExpr AS w,
            (CAST(concat('0x', substring(md5(concat('aes:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 + 1) / 1000001.0 AS u

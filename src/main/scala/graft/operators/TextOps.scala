@@ -897,6 +897,63 @@ object TextOps {
       .orderBy($"rk")
   }
 
+  /** Persist the term index `(tok, doc_id, tf)` BUCKETED by token — the
+    * text twin of the stored band/PQ/IVF artifacts: the corpus-sized
+    * tokenize+count happens once at build, and a query-time term filter
+    * prunes the scan to the terms' buckets (Spark bucket pruning fires
+    * on In/EqualTo over the bucket column), so per-query cost scales
+    * with the query terms' document frequency, never the corpus.
+    */
+  def writeTermIndex(s: SparkSession, dir: String, table: String,
+                     nBuckets: Int = 16): Unit = {
+    import s.implicits._
+    docsFanned(s, dir)
+      .select($"doc_id", explode(text.tokensLower($"text")).as("tok"))
+      .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "tok").sortBy("tok")
+      .saveAsTable(table)
+  }
+
+  /** Build-once memo for the stored term index (the band/PQ/IVF memo
+    * contract: first use per (dir, corpus stamp) writes, later queries
+    * read).
+    */
+  private[graft] def termIndexFor(s: SparkSession, dir: String): DataFrame = {
+    val key = Seq(dir, Dedup.corpusStamp(s, dir, "documents"), "terms")
+      .mkString("|")
+    val table = "graft_term_index_" + java.security.MessageDigest
+      .getInstance("MD5").digest(key.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    Dedup.indexBuildLock.synchronized {
+      if (!s.catalog.tableExists(table)) {
+        Dedup.dropStaleLocation(s, table)
+        writeTermIndex(s, dir, table)
+      }
+    }
+    s.table(table)
+  }
+
+  /** [[keywordSearch]] served from the STORED term index — identical
+    * output (one oracle pins both): the conjunctive filter reads only
+    * the query terms' buckets (bucket pruning, spec-asserted), the
+    * per-doc aggregation sees df-bounded rows, and no tokenizer runs at
+    * query time. `sum(tf)` reproduces the recompute path's
+    * per-occurrence score exactly.
+    */
+  def keywordSearchIndexed(s: SparkSession, dir: String,
+                           terms: Seq[String] = Seq("vector", "hash", "spark"),
+                           k: Int = 25): DataFrame = {
+    import s.implicits._
+    termIndexFor(s, dir)
+      .filter($"tok".isInCollection(terms))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"tok").as("n_terms"), sum($"tf").as("score"))
+      .filter($"n_terms" === terms.size)
+      .select($"doc_id", $"score")
+      .orderBy($"score".desc, $"doc_id").limit(k)
+  }
+
   /** The feature-hashing token hash (md5-prefix, "fh:" salt) replicated
     * driver-side — the ONE definition the query-vector literal in
     * [[hybridRrfTopK]] and the oracle generator both read, so the query

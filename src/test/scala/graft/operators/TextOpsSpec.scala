@@ -301,6 +301,25 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists(_._3) && got.exists(!_._3))
   }
 
+  test("keywordSearchIndexed: identical to keywordSearch; the stored scan " +
+       "prunes to the query terms' buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val direct = TextOps.keywordSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val served = TextOps.keywordSearchIndexed(spark, sf)
+    assert(served.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === direct)
+    assert(direct.nonEmpty)
+    val scan = planNodes(served)
+      .collectFirst { case f: FileSourceScanExec => f }
+    assert(scan.isDefined)
+    val sel = scan.get.metadata.get("SelectedBucketsCount")
+    assert(sel.isDefined, "term filter did not reach bucket pruning")
+    val m = "(\\d+) out of (\\d+)".r.findFirstMatchIn(sel.get).get
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"no bucket pruned: ${sel.get}")
+  }
+
   test("surprisalFilter matches a sequential fixed-point LM recount") {
     def h60(sz: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
