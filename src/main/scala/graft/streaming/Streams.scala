@@ -467,6 +467,55 @@ object Streams {
     * replayed batches are anti-joined out by query id, so at-least-once
     * delivery yields exactly-one result set per query.
     */
+  /** Keyword-search serving stream riding the STORED term index — the
+    * text twin of [[pqServeSink]]: each arriving query row carries
+    * (query_id, terms array); per micro-batch the bucketed term index is
+    * scanned once with the batch's term union pushed into bucket
+    * pruning, conjunctive doc matches are ranked per query by occurrence
+    * score, and each query's top-k is appended with query-id anti-join
+    * idempotency — at-least-once in, exactly-one result set per query
+    * out. No tokenizer runs at serving time; per-batch cost scales with
+    * the batch's terms' document frequency, never the corpus.
+    */
+  def keywordServeSink(queries: DataFrame, dir: String, targetDir: String,
+                       k: Int = 25)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val q = batch.select(col("query_id"), col("terms"))
+        .localCheckpoint() // term union + probe join both read the batch
+      val allTerms = q.select(explode(col("terms")).as("tok"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      if (allTerms.nonEmpty) {
+        val idx = graft.operators.TextOps.termIndexFor(spark, dir)
+          .filter(col("tok").isInCollection(allTerms))
+        val hits = q.select(col("query_id"), size(col("terms")).as("nt"),
+            explode(col("terms")).as("tok"))
+          .join(idx, Seq("tok"))
+          .groupBy(col("query_id"), col("nt"), col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("score"))
+          .filter(col("n_terms") === col("nt"))
+        val byQuery = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))
+        val topk = hits
+          .withColumn("rk", row_number().over(byQuery))
+          .filter(col("rk") <= k)
+          .select(col("query_id"), col("rk"), col("doc_id"), col("score"))
+        val hPath = new org.apache.hadoop.fs.Path(targetDir)
+        val exists = hPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(hPath)
+        val out =
+          if (!exists) topk
+          else topk.join(
+            spark.read.parquet(targetDir).select(col("query_id")).distinct(),
+            Seq("query_id"), "left_anti")
+        out.write.mode("append").parquet(targetDir)
+      }
+      ()
+    }
+  }
+
   def pqServeSink(queries: DataFrame, dir: String, targetDir: String,
                   k: Int = 10, m: Int = 8, ncodes: Int = 16)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {

@@ -205,6 +205,39 @@ class DedupStreamSpec extends SparkSpec {
       s"stream store (${got.size}) must equal batch pairs (${expected.size})")
   }
 
+  test("keywordServeSink: streamed top-k equals batch keywordSearchIndexed " +
+       "per query, replays never duplicate a result set") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextOps
+    val queries = Seq(
+      (1L, Seq("vector", "hash", "spark")),
+      (2L, Seq("vector")),
+      (3L, Seq("hash", "spark")))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("kw_serve_store").toString + "/topk"
+    val input = MemoryStream[(Long, Seq[String])](spark)
+    val q = Streams.keywordServeSink(
+      input.toDF().toDF("query_id", "terms"), sf, outDir).start()
+    val (b1, b2) = queries.splitAt(2)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    input.addData(b1: _*); q.processAllAvailable() // replay
+    q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    var total = 0
+    queries.foreach { case (qid, terms) =>
+      val rows = got.filter(_._1 == qid).sortBy(_._2).toSeq
+      val exp = TextOps.keywordSearchIndexed(spark, sf, terms, k = 25)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0), r.getLong(1)) }.toSeq
+      assert(rows === exp, s"query $qid stream/batch drift")
+      assert(exp.nonEmpty, s"query $qid matched nothing — vacuous")
+      total += exp.length
+    }
+    assert(got.length === total) // replay added nothing
+  }
+
   test("pqServeSink: streamed ADC top-k equals batch pqTopKIndexed per query, " +
        "replays never duplicate a query's result set") {
     import org.apache.spark.sql.functions.col
