@@ -120,6 +120,7 @@ object SparkEntry {
     "q_hybrid_rrf" -> ((s, dir) => TextOps.hybridRrfTopK(s, dir)),
     "q_curriculum_order" -> ((s, dir) => TextOps.curriculumOrder(s, dir)),
     "q_surprisal_filter" -> TextOps.surprisalFilter,
+    "q_mixture_reweight" -> TextOps.mixtureReweight,
     "q_bigram_surprisal" -> TextOps.bigramSurprisal,
     "q_zipf_slope" -> ((s, dir) => TextOps.zipfSlope(s, dir)),
     "q_quality_weighted_sample" -> ((s, dir) => TextOps.qualityWeightedSample(s, dir)),
@@ -537,6 +538,35 @@ object SparkEntry {
          FROM e JOIN $prev ON $prev.doc_id = e.src
            JOIN deg ON deg.src = e.src
          GROUP BY 1) s ON s.doc_id = d0.doc_id)"""
+
+  /** Per-document fixed-point LM cross-entropy CTE chain (train-split
+    * bigram model scoring every doc, ends at pd2(doc_id, n_bigrams,
+    * xent_u)) — shared by the q_surprisal_filter and q_mixture_reweight
+    * oracles, mirroring `TextOps.surprisalPerDoc`.
+    */
+  private lazy val surprisalPerDocCtes =
+    s"""docs AS (SELECT doc_id,
+         CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket,
+         $toks AS toks FROM documents),
+       tg AS (${bigramUnnest("bucket < 80")}),
+       cab AS (SELECT g, count(*) AS c_ab FROM tg GROUP BY g),
+       tu AS (SELECT unnest(toks) AS a FROM docs WHERE bucket < 80),
+       ca AS (SELECT a, count(*) AS c_a FROM tu GROUP BY a),
+       voc AS (SELECT count(*) AS v FROM ca),
+       ev AS (${bigramUnnest("TRUE")}),
+       sc AS (SELECT ev.doc_id,
+           CAST(round(-ln(CAST(coalesce(c_ab, 0) + 1 AS DOUBLE) /
+             CAST(coalesce(c_a, 0) + v AS DOUBLE)) * 1000000.0) AS BIGINT)
+             AS lp_u
+         FROM ev
+         LEFT JOIN cab USING (g)
+         LEFT JOIN ca ON split_part(ev.g, ' ', 1) = ca.a
+         CROSS JOIN voc),
+       pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(lp_u) AS BIGINT) AS slp
+         FROM sc GROUP BY doc_id),
+       pd2 AS (SELECT doc_id, n_bigrams,
+           CAST(slp // n_bigrams AS BIGINT) AS xent_u FROM pd)"""
 
   /** Conjunctive keyword search oracle — shared verbatim by
     * q_keyword_search and q_keyword_search_indexed: the stored-index
@@ -2085,32 +2115,30 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_bigrams, round(-avg(logp), 4) AS xent
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q_surprisal_filter" ->
-      s"""WITH docs AS (SELECT doc_id,
-           CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket,
-           $toks AS toks FROM documents),
-         tg AS (${bigramUnnest("bucket < 80")}),
-         cab AS (SELECT g, count(*) AS c_ab FROM tg GROUP BY g),
-         tu AS (SELECT unnest(toks) AS a FROM docs WHERE bucket < 80),
-         ca AS (SELECT a, count(*) AS c_a FROM tu GROUP BY a),
-         voc AS (SELECT count(*) AS v FROM ca),
-         ev AS (${bigramUnnest("TRUE")}),
-         sc AS (SELECT ev.doc_id,
-             CAST(round(-ln(CAST(coalesce(c_ab, 0) + 1 AS DOUBLE) /
-               CAST(coalesce(c_a, 0) + v AS DOUBLE)) * 1000000.0) AS BIGINT)
-               AS lp_u
-           FROM ev
-           LEFT JOIN cab USING (g)
-           LEFT JOIN ca ON split_part(ev.g, ' ', 1) = ca.a
-           CROSS JOIN voc),
-         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-             CAST(sum(lp_u) AS BIGINT) AS slp
-           FROM sc GROUP BY doc_id),
-         pd2 AS (SELECT doc_id, n_bigrams,
-             CAST(slp // n_bigrams AS BIGINT) AS xent_u FROM pd),
+      s"""WITH $surprisalPerDocCtes,
          cut AS (SELECT CAST(sum(xent_u) // count(*) AS BIGINT) AS cut_u
            FROM pd2)
          SELECT doc_id, n_bigrams, xent_u, cut_u, xent_u <= cut_u AS keep
          FROM pd2 CROSS JOIN cut ORDER BY doc_id""",
+    "q_mixture_reweight" ->
+      s"""WITH $surprisalPerDocCtes,
+         srcj AS (SELECT d.source, p.xent_u
+           FROM pd2 p JOIN documents d USING (doc_id)),
+         bysrc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(xent_u) // count(*) AS BIGINT) AS mean_xent_u
+           FROM srcj GROUP BY source),
+         tot AS (SELECT CAST(sum(mean_xent_u) AS BIGINT) AS tot FROM bysrc),
+         w AS (SELECT source, n_docs, mean_xent_u,
+             CAST(mean_xent_u * 10000 // tot AS BIGINT) AS base_bp,
+             CAST((mean_xent_u * 10000) % tot AS BIGINT) AS rem
+           FROM bysrc CROSS JOIN tot),
+         w2 AS (SELECT *, CAST(10000 - sum(base_bp) OVER () AS BIGINT)
+               AS deficit,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk FROM w)
+         SELECT source, n_docs, mean_xent_u,
+           CAST(base_bp + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+             AS weight_bp
+         FROM w2 ORDER BY source""",
     "q_daily_anomalies" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
            count(*) AS n

@@ -1092,7 +1092,11 @@ object TextOps {
     * verdict can never straddle an ulp between engines. Model tables
     * are vocab-bounded broadcasts; scoring is one token-stream pass.
     */
-  def surprisalFilter(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document fixed-point LM cross-entropy (train-split model, all
+    * docs scored) — shared by [[surprisalFilter]] and
+    * [[mixtureReweight]].
+    */
+  private def surprisalPerDoc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toksF = docsFanned(s, dir)
       .withColumn("bucket", hashBucket($"doc_id", "split:"))
@@ -1106,7 +1110,7 @@ object TextOps {
       .select(explode($"toks").as("a"))
       .groupBy($"a").agg(count(lit(1)).as("c_a"))
     val vocab = cA.agg(count(lit(1)).as("v"))
-    val perDoc = toksF
+    toksF
       .select($"doc_id", explode(text.shinglesFromTokens($"toks", 2)).as("g"))
       .withColumn("a", split($"g", " ").getItem(0))
       .join(broadcast(cAb), Seq("g"), "left")
@@ -1119,12 +1123,50 @@ object TextOps {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"lp_u").as("slp"))
       .select($"doc_id", $"n_bigrams", expr("slp div n_bigrams").as("xent_u"))
+  }
+
+  def surprisalFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perDoc = surprisalPerDoc(s, dir)
     val cut = perDoc.agg(sum($"xent_u").as("sx"), count(lit(1)).as("nd"))
       .select(expr("sx div nd").as("cut_u"))
     perDoc.crossJoin(broadcast(cut))
       .select($"doc_id", $"n_bigrams", $"xent_u", $"cut_u",
         ($"xent_u" <= $"cut_u").as("keep"))
       .orderBy($"doc_id")
+  }
+
+  /** Static domain reweighting from per-source LM loss (the DoReMi idea
+    * — Xie et al. 2023, "Doremi: Optimizing Data Mixtures" — reduced to
+    * its loss-proportional proxy: domains the reference LM finds HARD
+    * get more sampling weight, instead of weights ∝ raw size): per
+    * source, the mean document cross-entropy under the train-split
+    * bigram LM, normalized to basis points that sum to EXACTLY 10000 by
+    * largest-remainder (Hamilton) apportionment — floor division gives
+    * each source its base weight and the deficit goes to the largest
+    * remainders, so the published mixture is integer-exact and
+    * total-preserving in any engine. The apportionment windows run over
+    * the source table (tens of rows), never the corpus.
+    */
+  def mixtureReweight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bySrc = surprisalPerDoc(s, dir)
+      .join(Tables(s, dir, "documents").select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"xent_u").as("sx"))
+      .select($"source", $"n_docs", expr("sx div n_docs").as("mean_xent_u"))
+    val tot = bySrc.agg(sum($"mean_xent_u").as("tot"))
+    val wAll = Window.partitionBy(lit(1))
+    val wRem = Window.partitionBy(lit(1)).orderBy($"rem".desc, $"source")
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("base_bp", expr("mean_xent_u * 10000 div tot"))
+      .withColumn("rem", expr("(mean_xent_u * 10000) % tot"))
+      .withColumn("deficit", lit(10000L) - sum($"base_bp").over(wAll))
+      .withColumn("rk", row_number().over(wRem))
+      .select($"source", $"n_docs", $"mean_xent_u",
+        ($"base_bp" + when($"rk" <= $"deficit", 1L).otherwise(0L))
+          .as("weight_bp"))
+      .orderBy($"source")
   }
 
   /** Length-staged curriculum order: documents grouped into length-

@@ -360,6 +360,36 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists(_._5) && got.exists(!_._5))
   }
 
+  test("mixtureReweight: largest-remainder weights sum to exactly 10000") {
+    // source means recomputed from the independently-spec'd filter frame
+    val xent = TextOps.surprisalFilter(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val srcOf = Tables(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = xent.toSeq.groupBy(kv => srcOf(kv._1)).map { case (src, g) =>
+      (src, g.length.toLong, g.map(_._2).sum / g.length)
+    }.toSeq
+    val tot = bySrc.map(_._3).sum
+    val base = bySrc.map { case (src, n, m) =>
+      (src, n, m, m * 10000 / tot, m * 10000 % tot)
+    }
+    val deficit = 10000L - base.map(_._4).sum
+    val bonus = base.sortBy { case (src, _, _, _, rem) => (-rem, src) }
+      .take(deficit.toInt).map(_._1).toSet
+    val expected = base.sortBy(_._1).map { case (src, n, m, b, _) =>
+      (src, n, m, b + (if (bonus(src)) 1L else 0L))
+    }
+    val got = TextOps.mixtureReweight(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+    assert(got.map(_._4).sum === 10000L)
+    assert(deficit > 0, "no remainder apportioned — fixture is vacuous")
+    // loss-proportionality: the hardest source gets the largest weight
+    val hardest = got.maxBy(_._3)
+    assert(hardest._4 === got.map(_._4).max)
+  }
+
   test("curriculumOrder: length-doubling stages, md5 order, full coverage") {
     def h60(sz: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
