@@ -163,6 +163,7 @@ object SparkEntry {
     "q_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "q_ivf_topk_indexed" -> ((s, dir) => Similarity.ivfTopKIndexed(s, dir)),
     "q_label_silhouette" -> Similarity.labelSilhouette,
+    "q_matryoshka_recall" -> ((s, dir) => Similarity.matryoshkaRecall(s, dir)),
     "q_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
@@ -1400,6 +1401,30 @@ object SparkEntry {
              AS DOUBLE) / count(*), 4) AS recall
          FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.vec_id = b.vec_id
          GROUP BY b.qid ORDER BY query_id""",
+    "q_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           CAST(embedding[1:16] AS DOUBLE[]) AS p FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv, p AS qp FROM e
+           WHERE vec_id < 20),
+         fl AS (SELECT qid, vec_id FROM (
+             SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(e.v, q.qv), 4) DESC,
+                   e.vec_id) AS rn
+             FROM e, q WHERE e.vec_id <> q.qid)
+           WHERE rn <= 5),
+         pr AS (SELECT qid, vec_id FROM (
+             SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(e.p, q.qp), 4) DESC,
+                   e.vec_id) AS rn
+             FROM e, q WHERE e.vec_id <> q.qid)
+           WHERE rn <= 5)
+         SELECT f.qid AS query_id, CAST(count(*) AS BIGINT) AS n_full,
+           CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_overlap,
+           round(CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 4) AS recall
+         FROM fl f LEFT JOIN pr p ON p.qid = f.qid AND p.vec_id = f.vec_id
+         GROUP BY f.qid ORDER BY query_id""",
     "q_hashed_tf_neardup" ->
       s"""WITH $hashedTfVecCtes,
          $EmbLshSigCte

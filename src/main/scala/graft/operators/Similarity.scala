@@ -975,6 +975,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka-truncation recall audit (Kusupati et al. 2022, MRL):
+    * per probe, how much of the FULL-dimension cosine top-k the first
+    * `prefixDim` coordinates alone recover — the acceptance gate for
+    * serving truncated embeddings (4× less memory and bandwidth per
+    * vector) from an index that stores only prefixes. Same probe-bounded
+    * shape and rounded-rank determinism as [[annRecall]]; the prefix is
+    * a zero-cost `slice`, no re-embedding.
+    *
+    * (Synthetic-embedding caveat: these vectors are not MRL-trained, so
+    * recall here measures how much signal the leading coordinates happen
+    * to carry — the AUDIT is the operator; on real Matryoshka embeddings
+    * the same query reads high and justifies the truncation.)
+    */
+  def matryoshkaRecall(s: SparkSession, dir: String, prefixDim: Int = 16,
+                       nQueries: Int = 20, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir)
+      .select($"vec_id", $"v", slice($"v", 1, prefixDim).as("p"))
+      .localCheckpoint() // probe set + both scored scans read it
+    val queries = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"p".as("qp"))
+    val byQuery = Window.partitionBy($"qid").orderBy($"cs".desc, $"vec_id")
+    val full = e.join(broadcast(queries.select($"qid", $"qv")))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        round(vectors.cosineSimilarity($"v", $"qv"), 4).as("cs"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter($"rn" <= k)
+    val pref = e.join(broadcast(queries.select($"qid", $"qp")))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        round(vectors.cosineSimilarity($"p", $"qp"), 4).as("cs"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter($"rn" <= k)
+    full
+      .join(pref.select($"qid", $"vec_id", lit(1).as("hit")),
+        Seq("qid", "vec_id"), "left")
+      .groupBy($"qid".as("query_id"))
+      .agg(count(lit(1)).as("n_full"),
+        sum(coalesce($"hit", lit(0))).cast("long").as("n_overlap"))
+      .select($"query_id", $"n_full", $"n_overlap",
+        round($"n_overlap".cast("double") / $"n_full", 4).as("recall"))
+      .orderBy($"query_id")
+  }
+
   /** Embedding-space label cohesion audit (a silhouette-lite): per
     * label, the mean cosine of members to their OWN label centroid vs
     * the mean of each member's best cosine to any OTHER label centroid

@@ -386,6 +386,35 @@ class SimilaritySpec extends SparkSpec {
       "stored-codes aggregation should ride the bucketed layout")
   }
 
+  test("matryoshkaRecall matches a driver truncated-vs-full recount") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.Tables(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      dp / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def topk(qid: Long, proj: Array[Double] => Array[Double]): Set[Long] = {
+      val qv = proj(rows.find(_._1 == qid).get._2)
+      rows.filter(_._1 != qid)
+        .map { case (id, v) => (id, r4(cos(proj(v), qv))) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }
+    val expected = (0L until 20L).map { qid =>
+      val full = topk(qid, identity)
+      val pref = topk(qid, _.take(16))
+      val overlap = (full & pref).size.toLong
+      (qid, 5L, overlap, r4(overlap.toDouble / 5.0))
+    }
+    val got = Similarity.matryoshkaRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === expected)
+    // the audit discriminates: truncation loses SOMETHING somewhere, and
+    // keeps something too
+    assert(got.exists(_._3 < 5L) && got.exists(_._3 > 0L))
+  }
+
   test("labelSilhouette matches a driver fixed-point centroid recount") {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
