@@ -516,6 +516,66 @@ object Streams {
     }
   }
 
+  /** IVF serving stream riding the STORED cell-partitioned index — the
+    * coarse-routed member of the index-serving family (band probe, PQ
+    * ADC, keyword): per micro-batch the arriving query vectors are
+    * routed to their cells by broadcast-centroid argmax, the stored
+    * index is scanned ONCE filtered to the batch's cell set (partition
+    * pruning on the cid directories), and each query scores only its
+    * own cell's vectors — per-batch cost ~ batch_cells/nlist of the
+    * corpus, never all of it. Query-id anti-join idempotency as in the
+    * sibling sinks.
+    */
+  def ivfServeSink(queries: DataFrame, dir: String, targetDir: String,
+                   k: Int = 5, nlist: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.vectors
+    queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val idx = graft.operators.Similarity.ivfIndexFor(spark, dir, nlist)
+      val cents = graft.Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("cid"),
+          vectors.toDoubleArray(col("embedding")).as("cv"))
+      val byQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+      val routed = batch
+        .select(col("vec_id").as("qid"),
+          vectors.toDoubleArray(col("embedding")).as("qv"))
+        .join(broadcast(cents))
+        .select(col("qid"), col("qv"), col("cid"),
+          vectors.cosineSimilarity(col("qv"), col("cv")).as("sim"))
+        .withColumn("rn", row_number().over(byQ)).filter(col("rn") === 1)
+        .select(col("qid"), col("qv"), col("cid"))
+        .localCheckpoint() // cell-set collect + probe join both read it
+      val cells = routed.select(col("cid")).distinct()
+        .collect().map(_.get(0).asInstanceOf[Number].longValue).toSeq
+      if (cells.nonEmpty) {
+        val byQuery = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+        val topk = idx.filter(col("cid").isInCollection(cells))
+          .join(broadcast(routed), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("cid").cast("long").as("cid"),
+            round(vectors.cosineSimilarity(col("v"), col("qv")), 4)
+              .as("cos_sim"))
+          .withColumn("rk", row_number().over(byQuery))
+          .filter(col("rk") <= k)
+          .select(col("qid"), col("rk"), col("vec_id"), col("cos_sim"))
+        val hPath = new org.apache.hadoop.fs.Path(targetDir)
+        val exists = hPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(hPath)
+        val out =
+          if (!exists) topk
+          else topk.join(
+            spark.read.parquet(targetDir).select(col("qid")).distinct(),
+            Seq("qid"), "left_anti")
+        out.write.mode("append").parquet(targetDir)
+      }
+      ()
+    }
+  }
+
   def pqServeSink(queries: DataFrame, dir: String, targetDir: String,
                   k: Int = 10, m: Int = 8, ncodes: Int = 16)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {

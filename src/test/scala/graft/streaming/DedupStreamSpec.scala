@@ -238,6 +238,39 @@ class DedupStreamSpec extends SparkSpec {
     assert(got.length === total) // replay added nothing
   }
 
+  test("ivfServeSink: streamed cell-routed top-k equals batch ivfTopKIndexed " +
+       "per query, replays never duplicate a result set") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val corpus = graft.Tables(spark, sf, "embeddings")
+    val probes = corpus.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding").collect()
+      .map(r => DedupStreamSpec.Vec(r.getLong(0),
+        r.getSeq[Float](1).toArray, ts("2024-01-01 09:00:00")))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("ivf_serve_store").toString + "/topk"
+    val input = MemoryStream[DedupStreamSpec.Vec](spark)
+    val q = Streams.ivfServeSink(input.toDF(), sf, outDir).start()
+    val (b1, b2) = probes.splitAt(2)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    input.addData(b1: _*); q.processAllAvailable() // replay
+    q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    var total = 0
+    probes.map(_.vec_id).foreach { qid =>
+      val rows = got.filter(_._1 == qid).sortBy(_._2).toSeq
+      val exp = Similarity.ivfTopKIndexed(spark, sf, queryId = qid, k = 5)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0), r.getDouble(2)) }.toSeq
+      assert(rows === exp, s"query $qid stream/batch IVF drift")
+      assert(exp.nonEmpty, s"query $qid empty cell — vacuous")
+      total += exp.length
+    }
+    assert(got.length === total) // replay added nothing
+  }
+
   test("pqServeSink: streamed ADC top-k equals batch pqTopKIndexed per query, " +
        "replays never duplicate a query's result set") {
     import org.apache.spark.sql.functions.col
