@@ -117,6 +117,7 @@ object SparkEntry {
     "q_lr_calibration" -> ((s, dir) => TextOps.qualityLrCalibration(s, dir)),
     "q_dsir_select" -> ((s, dir) => TextOps.dsirSelect(s, dir)),
     "q_span_scrub" -> ((s, dir) => TextOps.spanScrub(s, dir)),
+    "q_span_scrub_clean" -> ((s, dir) => TextOps.spanScrubClean(s, dir)),
     "q_hybrid_rrf" -> ((s, dir) => TextOps.hybridRrfTopK(s, dir)),
     "q_curriculum_order" -> ((s, dir) => TextOps.curriculumOrder(s, dir)),
     "q_surprisal_filter" -> TextOps.surprisalFilter,
@@ -539,6 +540,33 @@ object SparkEntry {
          FROM e JOIN $prev ON $prev.doc_id = e.src
            JOIN deg ON deg.src = e.src
          GROUP BY 1) s ON s.doc_id = d0.doc_id)"""
+
+  /** Cross-doc duplicated-span CTE chain (docs → 8-gram occurrences →
+    * duplicated shingles → merged islands, ends at sp(doc_id, isl, s, e))
+    * — shared by the q_span_scrub stats and q_span_scrub_clean rebuild
+    * oracles.
+    */
+  private lazy val spanScrubCtes =
+    s"""docs AS (SELECT doc_id, $toks AS toks FROM documents),
+       occ AS (SELECT doc_id, i AS st, i + 7 AS en,
+           md5(array_to_string(toks[i:i+7], ' ')) AS h
+         FROM (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 7)) AS i
+           FROM docs WHERE len(toks) >= 8)),
+       dup AS (SELECT h FROM occ GROUP BY h
+         HAVING count(DISTINCT doc_id) >= 2),
+       iv AS (SELECT doc_id, st, en FROM occ JOIN dup USING (h)),
+       m AS (SELECT doc_id, st, en,
+           CASE WHEN st > coalesce(max(en) OVER (PARTITION BY doc_id
+               ORDER BY st ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1) THEN 1 ELSE 0 END AS newi
+         FROM iv),
+       isl AS (SELECT doc_id, st, en,
+           sum(newi) OVER (PARTITION BY doc_id ORDER BY st
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         FROM m),
+       sp AS (SELECT doc_id, isl, min(st) AS s, max(en) AS e
+         FROM isl GROUP BY doc_id, isl)"""
 
   /** Per-document fixed-point LM cross-entropy CTE chain (train-split
     * bigram model scoring every doc, ends at pd2(doc_id, n_bigrams,
@@ -2052,32 +2080,29 @@ object SparkEntry {
              AS rk, doc_id, weight_u
          FROM w ORDER BY weight_u DESC, doc_id LIMIT 100""",
     "q_span_scrub" ->
-      s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
-         occ AS (SELECT doc_id, i AS st, i + 7 AS en,
-             md5(array_to_string(toks[i:i+7], ' ')) AS h
-           FROM (SELECT doc_id, toks,
-               unnest(generate_series(1, len(toks) - 7)) AS i
-             FROM docs WHERE len(toks) >= 8)),
-         dup AS (SELECT h FROM occ GROUP BY h
-           HAVING count(DISTINCT doc_id) >= 2),
-         iv AS (SELECT doc_id, st, en FROM occ JOIN dup USING (h)),
-         m AS (SELECT doc_id, st, en,
-             CASE WHEN st > coalesce(max(en) OVER (PARTITION BY doc_id
-                 ORDER BY st ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                 -1) THEN 1 ELSE 0 END AS newi
-           FROM iv),
-         isl AS (SELECT doc_id, st, en,
-             sum(newi) OVER (PARTITION BY doc_id ORDER BY st
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-           FROM m),
-         sp AS (SELECT doc_id, isl, min(st) AS s, max(en) AS e
-           FROM isl GROUP BY doc_id, isl),
+      s"""WITH $spanScrubCtes,
          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
              CAST(sum(e - s + 1) AS BIGINT) AS n_removed
            FROM sp GROUP BY doc_id)
          SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_toks, n_spans,
            n_removed, CAST(len(toks) - n_removed AS BIGINT) AS n_kept
          FROM docs d JOIN agg USING (doc_id) ORDER BY doc_id""",
+    "q_span_scrub_clean" ->
+      s"""WITH $spanScrubCtes,
+         cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS p FROM sp),
+         tk AS (SELECT doc_id, i AS p, toks[i] AS tok
+           FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks))) AS i FROM docs)),
+         kept AS (SELECT t.doc_id, t.p, t.tok, c.p IS NOT NULL AS cut
+           FROM tk t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN NOT cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN NOT cut THEN tok END, ' '
+             ORDER BY p), '') AS clean_text
+         FROM kept GROUP BY doc_id
+         HAVING sum(CASE WHEN cut THEN 1 ELSE 0 END) > 0
+         ORDER BY doc_id""",
     "q_curriculum_order" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_toks
            FROM documents),

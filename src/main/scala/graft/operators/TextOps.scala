@@ -1204,6 +1204,60 @@ object TextOps {
       .orderBy($"stage", $"pos")
   }
 
+  /** The scrub [[spanScrub]] only reports: materialized CLEANED text for
+    * every affected document — tokens covered by a cross-doc-duplicated
+    * n-gram are cut, the remainder re-joins in position order. This is
+    * the frame a pipeline actually writes back to the corpus after
+    * span-level dedup (stats alone don't train a model).
+    *
+    * Shape: the merged spans explode to covered positions (rows =
+    * removed-token count, bounded by the corpus token count), the kept
+    * tokens survive a position anti-join, and the rebuild is one
+    * (doc, pos)-sorted aggregation — the same single shuffle key as the
+    * stats query, no range join, no per-pair work.
+    */
+  def spanScrubClean(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import s.implicits._
+    val docs = docsFanned(s, dir)
+      .select($"doc_id", text.tokensLower($"text").as("toks"))
+      .localCheckpoint() // occurrences + token rebuild both read it
+    val occ = docs
+      .select($"doc_id", posexplode(text.shinglesFromTokens($"toks", n)))
+      .select($"doc_id", ($"pos" + 1).as("st"), ($"pos" + n).as("en"),
+        md5($"col").as("h"))
+    val dup = occ.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2)
+      .select($"h")
+    val iv = occ.join(dup, "h").select($"doc_id", $"st", $"en")
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"st")
+    val prevMax = max($"en")
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val covered = iv
+      .withColumn("newi",
+        when($"st" > coalesce(prevMax, lit(-1)), 1L).otherwise(0L))
+      .withColumn("isl",
+        sum($"newi").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"st").as("s"), max($"en").as("e"))
+      .select($"doc_id", explode(sequence($"s", $"e")).as("p"))
+    val toks = docs
+      .select($"doc_id", posexplode($"toks").as(Seq("p0", "tok")))
+      .select($"doc_id", ($"p0" + 1).as("p"), $"tok")
+    toks
+      .join(covered.select($"doc_id", $"p", lit(1).as("cut")),
+        Seq("doc_id", "p"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(when($"cut".isNotNull, 1)).as("n_removed"),
+        sort_array(collect_list(when($"cut".isNull, struct($"p", $"tok"))))
+          .as("kept"))
+      .filter($"n_removed" > 0)
+      .select($"doc_id", $"n_removed".cast("long").as("n_removed"),
+        size($"kept").cast("long").as("n_kept"),
+        array_join(transform($"kept", x => x("tok")), " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
   /** Data selection via importance resampling (DSIR, Xie et al. 2023):
     * score every raw document by how much more likely its hashed-unigram
     * bag is under a TARGET distribution than under the raw-corpus

@@ -500,6 +500,46 @@ class TextOpsSpec extends SparkSpec {
       sp >= 1 && rm >= 8 && kept > 0 })
   }
 
+  test("spanScrubClean rebuilds exactly the uncovered token stream") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val n = 8
+    val occ = docs.flatMap { case (id, toks) =>
+      toks.sliding(n).zipWithIndex.filter(_._1.length == n)
+        .map { case (w, i) => (id, i + 1, w.mkString(" ")) }
+    }
+    val dup = occ.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val expected = docs.flatMap { case (id, toks) =>
+      val covered = Array.fill(toks.length + 1)(false)
+      occ.filter(o => o._1 == id && dup(o._3)).foreach { case (_, st, _) =>
+        (st until st + n).foreach(p => covered(p - 1) = true)
+      }
+      val removed = covered.count(identity).toLong
+      if (removed == 0) None
+      else {
+        val kept = toks.zipWithIndex.collect {
+          case (t, i) if !covered(i) => t
+        }
+        Some((id, removed, kept.length.toLong, kept.mkString(" ")))
+      }
+    }.sortBy(_._1)
+    val got = TextOps.spanScrubClean(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === expected.toSeq)
+    // consistency with the stats query: same docs, same removed counts
+    val stats = TextOps.spanScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got.map(_._1).toSet === stats.keySet)
+    got.foreach { case (id, rm, kp, _) =>
+      assert(stats(id) === ((rm, kp)), s"doc $id stats/clean drift")
+    }
+    // a scrubbed doc retains real content somewhere
+    assert(got.exists(_._4.nonEmpty))
+  }
+
   test("dsirSelect matches a sequential hashed-LM importance recount") {
     def h60(sz: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
