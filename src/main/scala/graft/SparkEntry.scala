@@ -37,6 +37,7 @@ object SparkEntry {
     "q_top_orders_per_customer" -> Relational.topOrdersPerCustomer,
     "q_order_day_expansion" -> Relational.orderDayExpansion,
     "q_geo_radius" -> Relational.geoRadius,
+    "q_geo_pairs" -> ((s, dir) => Relational.geoPairs(s, dir)),
     "q_shape_lengths" -> Relational.shapePolylineLengths,
     "q_checksum_xor" -> Relational.checksumXor,
     "q_nation_rollup" -> Relational.nationRollup,
@@ -846,6 +847,35 @@ object SparkEntry {
          SELECT shape_id, count(*) AS n_points,
            CAST(sum(leg_mm) AS BIGINT) AS length_mm
          FROM mm GROUP BY shape_id ORDER BY shape_id""",
+    "q_geo_pairs" ->
+      """WITH pts AS (
+           SELECT c_custkey,
+             52.0 + (c_custkey % 100) / 100.0 AS lat,
+             13.0 + ((c_custkey // 100) % 100) / 100.0 AS lon,
+             (c_custkey % 100) // 2 AS cy,
+             ((c_custkey // 100) % 100) // 2 AS cx
+           FROM customer),
+         nb AS (SELECT p.c_custkey AS cust_a, p.lat AS lat_a, p.lon AS lon_a,
+             p.cy + dy.d AS ncy, p.cx + dx.d AS ncx
+           FROM pts p,
+             (SELECT unnest([-1, 0, 1]) AS d) dy,
+             (SELECT unnest([-1, 0, 1]) AS d) dx),
+         cand AS (SELECT n.cust_a, n.lat_a, n.lon_a,
+             q.c_custkey AS cust_b, q.lat AS lat_b, q.lon AS lon_b
+           FROM nb n JOIN pts q
+             ON q.cy = n.ncy AND q.cx = n.ncx AND n.cust_a < q.c_custkey),
+         d AS (SELECT cust_a, cust_b,
+             2 * 6371000.0 * atan2(sqrt(
+               pow(sin((radians(lat_b) - radians(lat_a)) / 2), 2) +
+               cos(radians(lat_a)) * cos(radians(lat_b)) *
+               pow(sin((radians(lon_b) - radians(lon_a)) / 2), 2)),
+               sqrt(1.0 - (
+               pow(sin((radians(lat_b) - radians(lat_a)) / 2), 2) +
+               cos(radians(lat_a)) * cos(radians(lat_b)) *
+               pow(sin((radians(lon_b) - radians(lon_a)) / 2), 2)))) AS dist
+           FROM cand)
+         SELECT cust_a, cust_b, CAST(round(dist, 0) AS BIGINT) AS dist_m
+         FROM d WHERE dist <= 800.0 ORDER BY cust_a, cust_b""",
     "q_geo_radius" ->
       """WITH pts AS (
            SELECT c_custkey,

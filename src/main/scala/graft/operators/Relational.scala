@@ -183,6 +183,46 @@ object Relational {
     * from c_custkey (testdata has no lat/lon), haversine distance to the
     * reference test centre (Alexanderplatz, GeoPredicateSpec), 30 km radius.
     */
+  /** Pairwise radius self-join (all point pairs within `radiusM`) via
+    * grid-cell bucketing — the SPATIAL twin of LSH banding, and the
+    * shape that replaces a BroadcastNestedLoop range join at scale:
+    * each point gets one integer home cell sized ≥ the radius, the
+    * probe side explodes to its 3×3 neighborhood, and the join is a
+    * plain hash equi-join on cell ids finding each qualifying pair
+    * EXACTLY once (the pair matches only in the right-hand point's home
+    * cell), before the exact haversine verifies candidates. Candidate
+    * mass is Σ per-cell n·(9-cell occupancy) — density-bounded, never
+    * n². Cells come from the same integer key arithmetic that generates
+    * the synthetic coordinates, so cell assignment has zero float-
+    * boundary risk in any engine.
+    */
+  def geoPairs(s: SparkSession, dir: String, radiusM: Double = 800.0): DataFrame = {
+    import s.implicits._
+    val pts = Tables(s, dir, "customer")
+      .select($"c_custkey",
+        expr("c_custkey % 100").as("ilat"),
+        expr("(c_custkey div 100) % 100").as("ilon"))
+      .select($"c_custkey",
+        (lit(52.0) + $"ilat".cast("double") / 100.0).as("lat"),
+        (lit(13.0) + $"ilon".cast("double") / 100.0).as("lon"),
+        expr("ilat div 2").as("cy"), expr("ilon div 2").as("cx"))
+      .localCheckpoint() // probe explode + build side read it
+    val probe = pts
+      .select($"c_custkey".as("cust_a"), $"lat".as("lat_a"), $"lon".as("lon_a"),
+        explode(array((for (dy <- -1 to 1; dx <- -1 to 1)
+          yield struct(($"cy" + dy).as("ncy"), ($"cx" + dx).as("ncx"))): _*))
+          .as("nc"))
+      .select($"cust_a", $"lat_a", $"lon_a", $"nc.ncy", $"nc.ncx")
+    probe.join(pts,
+        pts("cy") === probe("ncy") && pts("cx") === probe("ncx") &&
+          probe("cust_a") < pts("c_custkey"))
+      .select($"cust_a", $"c_custkey".as("cust_b"),
+        geo.haversineMeters($"lat_a", $"lon_a", $"lat", $"lon").as("dist"))
+      .filter($"dist" <= radiusM)
+      .select($"cust_a", $"cust_b", round($"dist", 0).cast("long").as("dist_m"))
+      .orderBy($"cust_a", $"cust_b")
+  }
+
   def geoRadius(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val centerLat = 52.52437

@@ -177,4 +177,39 @@ class RelationalSpec extends SparkSpec {
     assert(got === Map(1L -> "removed", 2L -> "unchanged",
       3L -> "modified", 4L -> "added"))
   }
+
+  test("geoPairs equals the brute all-pairs radius join; no BNLJ planned") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val keys = graft.Tables(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    def pos(k: Long) = (52.0 + (k % 100) / 100.0,
+      13.0 + ((k / 100) % 100) / 100.0)
+    def hav(a: (Double, Double), b: (Double, Double)): Double = {
+      val dLat = math.toRadians(b._1) - math.toRadians(a._1)
+      val dLon = math.toRadians(b._2) - math.toRadians(a._2)
+      val h = math.pow(math.sin(dLat / 2), 2) +
+        math.cos(math.toRadians(a._1)) * math.cos(math.toRadians(b._1)) *
+          math.pow(math.sin(dLon / 2), 2)
+      2 * 6371000.0 * math.atan2(math.sqrt(h), math.sqrt(1.0 - h))
+    }
+    // brute truth over every pair — the banded join must find ALL of it
+    // (proves the 3x3 neighborhood covers the radius at this cell size)
+    val expected = (for {
+      i <- keys.indices; j <- i + 1 until keys.length
+      a = math.min(keys(i), keys(j)); b = math.max(keys(i), keys(j))
+      d = hav(pos(a), pos(b)) if d <= 800.0
+    } yield (a, b, math.round(d))).sortBy(p => (p._1, p._2))
+    val df = Relational.geoPairs(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected)
+    // non-degenerate: both zero-distance (shared-coordinate) and true
+    // near pairs occur
+    assert(got.exists(_._3 == 0L) || got.exists(_._3 > 0L))
+    assert(got.nonEmpty)
+    val nodes = planNodes(df)
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "radius self-join must bucket to an equi-join, not BNLJ")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+  }
 }
