@@ -76,6 +76,7 @@ object SparkEntry {
     "q_type_transitions" -> Events.typeTransitions,
     "q_source_reconciliation" -> Relational.sourceReconciliation,
     "q_snapshot_diff" -> Relational.corpusSnapshotDiff,
+    "q_cdc_apply" -> Relational.cdcApply,
     // -- text analysis (§7.4) ----------------------------------------------
     "q_lang_id_confusion" -> TextOps.langIdConfusion,
     "q_quality_scores" -> TextOps.qualityScores,
@@ -1318,6 +1319,14 @@ object SparkEntry {
            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
          SELECT doc_id, status FROM j WHERE status <> 'unchanged'
          ORDER BY doc_id""",
+    "q_cdc_apply" ->
+      """SELECT doc_id,
+         md5(CASE WHEN bk >= 40 AND bk < 60 THEN upper(text) ELSE text END)
+           AS fp
+         FROM (SELECT doc_id, text,
+             CAST(concat('0x', substring(md5(concat('snap:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bk
+           FROM documents)
+         WHERE bk >= 10 ORDER BY doc_id""",
     "q_repeated_spans" ->
       s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
          sh AS (SELECT doc_id, unnest(list_transform(

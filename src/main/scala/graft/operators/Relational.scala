@@ -682,6 +682,46 @@ object Relational {
     * genuine unchanged rows inside the modified band). Reports only the
     * changed keys, the between-crawl delta a pipeline acts on.
     */
+  /** CDC APPLY — the write half of [[snapshotDiff]]: fold a change feed
+    * (doc_id, status ∈ added|modified|removed, fp payload for upserts)
+    * into a base snapshot and return the next snapshot. One anti-join
+    * drops deleted and superseded rows, one union appends the upserts —
+    * the MERGE-over-parquet idiom with no per-row mutation, both legs
+    * broadcast-sized whenever the change feed is small relative to the
+    * base (the normal CDC regime at 100 TB).
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame): DataFrame =
+    base
+      .join(changes.filter(col("status").isin("removed", "modified"))
+        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(changes.filter(col("status").isin("added", "modified"))
+        .select(col("doc_id"), col("fp")))
+
+  /** Round-trip proof instance: the diff between two derived corpus
+    * snapshots, applied back onto snapshot A, must REPRODUCE snapshot B
+    * row-for-row — the oracle states B directly, so the equality IS the
+    * correctness of the whole diff→apply cycle (detect and apply are
+    * inverse by construction, not by convention).
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .select($"doc_id", $"text",
+        TextOps.hashBucket($"doc_id", "snap:").as("bk"))
+      .localCheckpoint() // both snapshots derive from it
+    val snapA = d.filter($"bk" < 90)
+      .select($"doc_id", md5($"text").as("fp"))
+    val snapB = d.filter($"bk" >= 10)
+      .select($"doc_id",
+        md5(when($"bk" >= 40 && $"bk" < 60, upper($"text"))
+          .otherwise($"text")).as("fp"))
+    val changes = snapshotDiff(snapA, snapB)
+      .filter($"status" =!= "unchanged")
+      .join(snapB.select($"doc_id", $"fp"), Seq("doc_id"), "left")
+      .select($"doc_id", $"status", $"fp")
+    applyCdc(snapA, changes).orderBy($"doc_id")
+  }
+
   def corpusSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables(s, dir, "documents")

@@ -178,6 +178,48 @@ class RelationalSpec extends SparkSpec {
       3L -> "modified", 4L -> "added"))
   }
 
+  test("applyCdc is the exact inverse of snapshotDiff on a synthetic merge") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "fp")
+    val changes = Seq(
+      (2L, "modified", "b2"), // update
+      (3L, "removed", null),  // delete
+      (4L, "added", "d"))     // insert
+      .toDF("doc_id", "status", "fp")
+    val got = Relational.applyCdc(base, changes)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a"), (2L, "b2"), (4L, "d")))
+    // round trip: the diff of (base, applied) regenerates the changes
+    val rediff = Relational.snapshotDiff(base,
+        Relational.applyCdc(base, changes))
+      .filter($"status" =!= "unchanged")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rediff === Set((2L, "modified"), (3L, "removed"), (4L, "added")))
+    // corpus instance: applying the derived feed reproduces snapshot B
+    val applied = Relational.cdcApply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def h60(sz: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sz.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def md5hex(sz: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sz.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val id = r.getLong(0); val bk = h60(s"snap:$id") % 100
+        if (bk < 10) None
+        else Some((id, md5hex(
+          if (bk >= 40 && bk < 60) r.getString(1).toUpperCase
+          else r.getString(1))))
+      }.toSet
+    assert(applied === expected)
+  }
+
   test("geoPairs equals the brute all-pairs radius join; no BNLJ planned") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.execution.joins.CartesianProductExec
