@@ -167,6 +167,7 @@ object SparkEntry {
     "q_ivf_topk_indexed" -> ((s, dir) => Similarity.ivfTopKIndexed(s, dir)),
     "q_label_silhouette" -> Similarity.labelSilhouette,
     "q_matryoshka_recall" -> ((s, dir) => Similarity.matryoshkaRecall(s, dir)),
+    "q_power_iteration" -> ((s, dir) => Similarity.powerIteration(s, dir)),
     "q_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
@@ -611,6 +612,27 @@ object SparkEntry {
        GROUP BY doc_id
        HAVING count(DISTINCT tok) = 3
        ORDER BY score DESC, doc_id LIMIT 25"""
+
+  /** One unrolled power-iteration round for the q_power_iteration
+    * oracle — fixed-point matvec terms, exact-integer norm², HALF_UP
+    * renormalization, mirroring `Similarity.powerIteration`'s driver
+    * loop expression for expression.
+    */
+  private def powerRoundCtes(i: Int): String =
+    s"""s$i AS (SELECT list_dot_product(v, (SELECT vl FROM vv${i - 1})) AS sc, v
+         FROM e),
+       t$i AS (SELECT d,
+           CAST(sum(CAST(round(x * sc * 1000000.0) AS BIGINT)) AS BIGINT) AS t
+         FROM (SELECT sc, unnest(generate_series(1, len(v))) AS d,
+             unnest(v) AS x FROM s$i)
+         GROUP BY d),
+       n$i AS (SELECT CAST(sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT))
+           AS HUGEINT) AS n2 FROM t$i),
+       u$i AS (SELECT d,
+           CAST(round(t / sqrt(CAST(n2 AS DOUBLE)) * 1000000.0) AS BIGINT)
+             AS vu
+         FROM t$i, n$i),
+       vv$i AS (SELECT list(vu / 1000000.0 ORDER BY d) AS vl FROM u$i)"""
 
   /** IVF cell search oracle — shared verbatim by q_ivf_topk and
     * q_ivf_topk_indexed: the stored-index path must produce the
@@ -1468,6 +1490,17 @@ object SparkEntry {
              AS DOUBLE) / count(*), 4) AS recall
          FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.vec_id = b.vec_id
          GROUP BY b.qid ORDER BY query_id""",
+    "q_power_iteration" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         vv0 AS (SELECT list_transform(generate_series(1, 64), x -> 0.125)
+           AS vl),
+         ${powerRoundCtes(1)},
+         ${powerRoundCtes(2)},
+         ${powerRoundCtes(3)}
+         SELECT CAST(u3.d AS INT) AS d, u3.vu AS v_u,
+           CAST(n3.n2 AS BIGINT) AS norm2_p
+         FROM u3, n3 ORDER BY d""",
     "q_matryoshka_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
            CAST(embedding[1:16] AS DOUBLE[]) AS p FROM embeddings),

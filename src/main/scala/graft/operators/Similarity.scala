@@ -975,6 +975,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** Dominant principal direction of the embedding corpus by POWER
+    * ITERATION — distributed numerical linear algebra with the engine's
+    * bit-exactness discipline: per round ONE scan computes t = Σᵢ xᵢ(xᵢ·v)
+    * (the covariance-free matrix-vector product) with per-term 1e-6
+    * fixed-pointing and order-free long sums; the driver holds only the
+    * 64-component vector (the LR/kmeans loop contract), renormalizes it
+    * against the EXACT integer Σt² and broadcasts it back as literals.
+    * Every round is therefore hash-identical to a sequential replay —
+    * which is what lets the oracle unroll the iterations in SQL. The
+    * direction is the whitening/diagnostic axis (how much of the corpus
+    * variance is one direction — anisotropy screening for embedding
+    * spaces, Mu & Viswanath 2018).
+    *
+    * Init = the exact-binary constant vector 1/8 (‖v₀‖=1 at dim 64);
+    * sign follows the init deterministically.
+    */
+  def powerIteration(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir).localCheckpoint()
+    var vu = Array.fill(64)(125000L) // v0 = 1/8 per dim: exact binary, unit norm
+    var norm2: BigInt = null
+    for (_ <- 1 to iters) {
+      val vArr = array(vu.toSeq.map(u => lit(u.toDouble / 1e6)): _*)
+      val t = e.select($"v", vectors.dot($"v", vArr).as("sc"))
+        .select(posexplode($"v").as(Seq("d", "x")), $"sc")
+        .groupBy($"d")
+        .agg(sum(round($"x" * $"sc" * 1e6).cast("long")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val td = (0 until 64).map(d => t.getOrElse(d, 0L)).toArray
+      norm2 = td.map(x => BigInt(x) * BigInt(x)).sum
+      val nrm = math.sqrt(norm2.toDouble)
+      // HALF_UP to match SQL round() (math.rint would half-even)
+      vu = td.map(x => BigDecimal(x / nrm * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val rows = (0 until 64).map { d =>
+      (d + 1, vu(d), norm2.toLong)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1))
+      .toDF("d", "v_u", "norm2_p")
+      .select($"d".cast("int").as("d"), $"v_u", $"norm2_p")
+      .orderBy($"d")
+  }
+
   /** Matryoshka-truncation recall audit (Kusupati et al. 2022, MRL):
     * per probe, how much of the FULL-dimension cosine top-k the first
     * `prefixDim` coordinates alone recover — the acceptance gate for

@@ -386,6 +386,42 @@ class SimilaritySpec extends SparkSpec {
       "stored-codes aggregation should ride the bucketed layout")
   }
 
+  test("powerIteration matches a sequential fixed-point replay and converges") {
+    def r0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vecs = graft.Tables(spark, sf, "embeddings").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var vu = Array.fill(64)(125000L)
+    var norm2 = BigInt(0)
+    (1 to 3).foreach { _ =>
+      val v = vu.map(_.toDouble / 1e6)
+      val t = Array.fill(64)(0L)
+      vecs.foreach { x =>
+        val sc = x.zip(v).map { case (a, b) => a * b }.sum
+        (0 until 64).foreach(d => t(d) += r0(x(d) * sc * 1e6))
+      }
+      norm2 = t.map(x => BigInt(x) * BigInt(x)).sum
+      val nrm = math.sqrt(norm2.toDouble)
+      vu = t.map(x => r0(x / nrm * 1e6))
+    }
+    val got = Similarity.powerIteration(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val expected = (0 until 64).map(d => (d + 1, vu(d), norm2.toLong))
+    assert(got.toSeq === expected)
+    // the direction is a genuine unit vector at the fixed-point grid
+    val n = got.map(g => g._2.toDouble / 1e6).map(x => x * x).sum
+    assert(math.abs(n - 1.0) < 1e-4, s"|v| drifted: $n")
+    // and it captures real variance: Rayleigh quotient under the found
+    // direction beats the init direction's
+    def rayleigh(dir0: Array[Double]): Double =
+      vecs.map { x =>
+        val s2 = x.zip(dir0).map { case (a, b) => a * b }.sum; s2 * s2
+      }.sum
+    val vFound = got.map(_._2.toDouble / 1e6)
+    assert(rayleigh(vFound) > rayleigh(Array.fill(64)(0.125)),
+      "power iteration failed to increase the Rayleigh quotient")
+  }
+
   test("matryoshkaRecall matches a driver truncated-vs-full recount") {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
