@@ -32,6 +32,8 @@ object SparkEntry {
     "q_filter_project" -> Relational.filterProject,
     "q_join_revenue" -> Relational.joinRevenue,
     "q_region_revenue" -> Relational.regionRevenue,
+    "q_nation_volume" -> Relational.nationVolume,
+    "q_returned_items" -> ((s, dir) => Relational.returnedItemReport(s, dir)),
     "q_cust_without_recent_orders" -> Relational.custWithoutRecentOrders,
     "q_segments_with_orders" -> Relational.segmentsWithOrders,
     "q_top_orders_per_customer" -> Relational.topOrdersPerCustomer,
@@ -815,6 +817,31 @@ object SparkEntry {
                        JOIN nation ON s_nationkey = n_nationkey
                        JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS ship_year,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS volume,
+         count(*) AS n_items
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name <> n2.n_name
+         GROUP BY supp_nation, cust_nation, ship_year
+         ORDER BY supp_nation, cust_nation, ship_year""",
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS lost_revenue,
+         count(*) AS n_returned
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY lost_revenue DESC, c_custkey LIMIT 20""",
     "q_cust_without_recent_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders

@@ -682,6 +682,54 @@ object Relational {
     * genuine unchanged rows inside the modified band). Reports only the
     * changed keys, the between-crawl delta a pipeline acts on.
     */
+  /** TPC-H Q7-shaped shipping volume between nation PAIRS: lineitem
+    * revenue attributed to (supplier nation, customer nation, ship
+    * year). Five-way join where both dimension chains (supplier→nation,
+    * orders→customer→nation) broadcast and only the fact table streams
+    * — at 100 TB the one big-side shuffle is the orders equi-join, and
+    * AQE's broadcast thresholds keep every dimension hop map-side.
+    */
+  def nationVolume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n1 = Tables(s, dir, "nation").select(
+      $"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    val n2 = Tables(s, dir, "nation").select(
+      $"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sn_key")
+      .join(broadcast(n2), $"c_nationkey" === $"cn_key")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").as("ship_year"))
+      .agg(round(sum(dec($"l_extendedprice") * (lit(1) - rate($"l_discount"))), 2)
+          .cast("double").as("volume"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"supp_nation", $"cust_nation", $"ship_year")
+  }
+
+  /** TPC-H Q10-shaped returned-item reporting: revenue lost to returns
+    * per customer, top 20 — the anti-join-free "who returns the most"
+    * ranking; the fact-side filter (returnflag) lands at the scan before
+    * any join.
+    */
+  def returnedItemReport(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(round(sum(dec($"l_extendedprice") * (lit(1) - rate($"l_discount"))), 2)
+          .cast("double").as("lost_revenue"),
+        count(lit(1)).as("n_returned"))
+      .orderBy($"lost_revenue".desc, $"c_custkey")
+      .limit(k)
+  }
+
   /** CDC APPLY — the write half of [[snapshotDiff]]: fold a change feed
     * (doc_id, status ∈ added|modified|removed, fp payload for upserts)
     * into a base snapshot and return the next snapshot. One anti-join

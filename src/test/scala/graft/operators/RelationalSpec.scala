@@ -178,6 +178,33 @@ class RelationalSpec extends SparkSpec {
       3L -> "modified", 4L -> "added"))
   }
 
+  test("nationVolume conserves cross-nation items; returnedItems ranks by loss") {
+    import spark.implicits._
+    val nv = Relational.nationVolume(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(nv.nonEmpty)
+    nv.foreach { case (sn, cn, _, vol, n) =>
+      assert(sn != cn); assert(n > 0); assert(vol > 0.0)
+    }
+    // independent conservation count: lineitems whose supplier and
+    // customer nations differ, counted without the group-by pipeline
+    val expected = graft.Tables(spark, sf, "lineitem")
+      .join(graft.Tables(spark, sf, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(graft.Tables(spark, sf, "customer"), $"o_custkey" === $"c_custkey")
+      .join(graft.Tables(spark, sf, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .filter($"s_nationkey" =!= $"c_nationkey")
+      .count()
+    assert(nv.map(_._5).sum === expected)
+    val ri = Relational.returnedItemReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getLong(4)))
+    assert(ri.nonEmpty && ri.length <= 20)
+    val lost = ri.map(_._2)
+    assert(lost.zip(lost.tail).forall { case (a, b) => a >= b },
+      "top-20 not ordered by lost revenue")
+    ri.foreach { case (_, v, n) => assert(v > 0.0 && n > 0) }
+  }
+
   test("applyCdc is the exact inverse of snapshotDiff on a synthetic merge") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c"))
