@@ -57,6 +57,7 @@ object SparkEntry {
     "q_above_avg_orders" -> Relational.aboveAvgOrders,
     "q_grouping_sets" -> Relational.groupingSetsRevenue,
     "q_scd2_customers" -> Relational.scd2Customers,
+    "q_pit_enrichment" -> Relational.pitEnrichment,
     "q_profile_orders" -> Relational.profileOrders,
     "q_cohort_retention" -> Events.cohortRetention,
     "q_order_gaps" -> Relational.orderGaps,
@@ -2439,6 +2440,30 @@ object SparkEntry {
            u.eff_date, CAST(NULL AS DATE), TRUE
          FROM customer c JOIN upd u USING (c_custkey)
          ORDER BY c_custkey, version""",
+    "q_pit_enrichment" ->
+      """WITH upd AS (SELECT o_custkey AS c_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend,
+             max(CAST(o_orderdate AS DATE)) AS eff_date
+           FROM orders GROUP BY o_custkey),
+         dim AS (
+           SELECT c.c_custkey, CAST(1 AS INT) AS version,
+             CAST(round(CAST(c_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE)
+               AS acctbal,
+             DATE '1992-01-01' AS valid_from, u.eff_date AS valid_to
+           FROM customer c LEFT JOIN upd u USING (c_custkey)
+           UNION ALL
+           SELECT c.c_custkey, CAST(2 AS INT),
+             CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) + u.spend, 2)
+               AS DOUBLE),
+             u.eff_date, CAST(NULL AS DATE)
+           FROM customer c JOIN upd u USING (c_custkey))
+         SELECT o.o_orderkey, o.o_custkey, d.version, d.acctbal
+         FROM (SELECT o_orderkey, o_custkey,
+             CAST(o_orderdate AS DATE) AS o_date FROM orders) o
+           JOIN dim d ON o.o_custkey = d.c_custkey
+             AND o.o_date >= d.valid_from
+             AND (d.valid_to IS NULL OR o.o_date < d.valid_to)
+         ORDER BY o_orderkey""",
     "q_profile_orders" ->
       """SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
            CAST(n_nulls AS BIGINT) AS n_nulls, CAST(n_distinct AS BIGINT) AS n_distinct

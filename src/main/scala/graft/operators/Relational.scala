@@ -730,6 +730,29 @@ object Relational {
       .limit(k)
   }
 
+  /** Point-in-time-correct enrichment against the SCD2 dimension — the
+    * feature-store join done right: each order picks the customer
+    * VERSION whose validity interval contains the order date, not the
+    * current row (training-serving skew in one join condition: enriching
+    * with is_current leaks future attribute values into past facts).
+    * Since SCD2 validity intervals partition time per key, every fact
+    * matches exactly one version; the join is a plain equi-join on the
+    * key with the interval residual — versions per key are bounded, so
+    * the residual never degenerates toward a range cross-product.
+    */
+  def pitEnrichment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = scd2Customers(s, dir)
+    Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        $"o_orderdate".cast("date").as("o_date"))
+      .join(dim, $"o_custkey" === dim("c_custkey") &&
+        $"o_date" >= dim("valid_from") &&
+        (dim("valid_to").isNull || $"o_date" < dim("valid_to")))
+      .select($"o_orderkey", $"o_custkey", $"version", $"acctbal")
+      .orderBy($"o_orderkey")
+  }
+
   /** CDC APPLY — the write half of [[snapshotDiff]]: fold a change feed
     * (doc_id, status ∈ added|modified|removed, fp payload for upserts)
     * into a base snapshot and return the next snapshot. One anti-join

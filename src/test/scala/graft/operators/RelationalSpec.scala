@@ -178,6 +178,33 @@ class RelationalSpec extends SparkSpec {
       3L -> "modified", 4L -> "added"))
   }
 
+  test("pitEnrichment: every order matches exactly one version, the right one") {
+    import spark.implicits._
+    val got = Relational.pitEnrichment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val nOrders = graft.Tables(spark, sf, "orders").count()
+    // exactly-one-version totality: validity intervals partition time
+    assert(got.length === nOrders)
+    assert(got.map(_._1).distinct.length === got.length)
+    // the version choice is point-in-time correct: the customer's
+    // LAST-dated order(s) get version 2, strictly earlier orders get 1
+    val lastDate = graft.Tables(spark, sf, "orders")
+      .groupBy($"o_custkey").agg(max($"o_orderdate".cast("date")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toLocalDate).toMap
+    val orderDates = graft.Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getTimestamp(2).toLocalDateTime.toLocalDate)).toMap
+    got.foreach { case (ok, cust, version, _) =>
+      val (c2, d) = orderDates(ok)
+      assert(c2 === cust)
+      val expVer = if (d.isBefore(lastDate(cust))) 1 else 2
+      assert(version === expVer, s"order $ok on $d: version $version")
+    }
+    // both versions genuinely occur (past facts see the PAST attribute)
+    assert(got.exists(_._3 == 1) && got.exists(_._3 == 2))
+  }
+
   test("nationVolume conserves cross-nation items; returnedItems ranks by loss") {
     import spark.implicits._
     val nv = Relational.nationVolume(spark, sf).collect()
