@@ -132,6 +132,7 @@ object SparkEntry {
     "q_quality_weighted_sample" -> ((s, dir) => TextOps.qualityWeightedSample(s, dir)),
     "q_weighted_sample_es" -> ((s, dir) => TextOps.weightedSampleES(s, dir)),
     "q_filter_cascade" -> ((s, dir) => TextOps.filterCascade(s, dir)),
+    "q_release_manifest" -> TextOps.releaseManifest,
     "q_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(s, dir)),
     "q_repeated_spans" -> ((s, dir) => TextOps.repeatedSpans(s, dir)),
     // -- dedup suite (§7.4) ------------------------------------------------
@@ -1336,6 +1337,63 @@ object SparkEntry {
                          (3,'lang_match'),(4,'distinct_ratio')) AS v(stage, stage_name)
          GROUP BY v.stage, v.stage_name
          ORDER BY stage""",
+    "q_release_manifest" ->
+      s"""WITH RECURSIVE $ccReachCtes,
+         canon AS (SELECT a AS doc_id, min(r) AS canon_id
+           FROM reach GROUP BY a),
+         cs AS (SELECT doc_id, lang, n_chars, len($toks) AS n_toks,
+           $qualityExpr AS q,
+           len(list_distinct($toks)) * 2 >= len($toks) AS dok,
+           len(list_filter($toks, t -> list_contains(['the','of','and','to','in','is','that','it','was','for'], t))) AS en,
+           len(list_filter($toks, t -> list_contains(['der','die','das','und','ist','ich','nicht','mit','ein','zu'], t))) AS de,
+           len(list_filter($toks, t -> list_contains(['le','la','les','et','est','un','une','des','du','je'], t))) AS fr,
+           len(list_filter($toks, t -> list_contains(['el','los','de','que','y','en','se','no','por','con'], t))) AS es,
+           len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]', 0)) AS cjk
+         FROM documents),
+         lv AS (SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           CASE WHEN n_chars < ${operators.TextOps.DefaultMinChars} THEN 0
+                WHEN q < ${operators.TextOps.DefaultMinQuality} THEN 1
+                WHEN (CASE WHEN cjk > 0 THEN 'zh'
+                           WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                           WHEN de >= fr AND de >= es THEN 'de'
+                           WHEN fr >= es THEN 'fr' ELSE 'es' END) <> lang THEN 2
+                WHEN NOT dok THEN 3 ELSE 4 END AS lvl
+         FROM cs),
+         db AS (SELECT doc_id, $toks AS toks,
+           CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket
+           FROM documents),
+         dsh AS (SELECT doc_id, bucket, md5(unnest(list_transform(
+             generate_series(1, len(toks) - 7),
+             i -> array_to_string(toks[i:i+7], ' ')))) AS h
+           FROM db WHERE len(toks) >= 8),
+         dt AS (SELECT DISTINCT doc_id, h FROM dsh WHERE bucket < 80),
+         dev AS (SELECT DISTINCT h FROM dsh WHERE bucket >= 90),
+         flagged AS (SELECT DISTINCT dt.doc_id FROM dt JOIN dev USING (h)),
+         g AS (SELECT lv.doc_id, lv.n_toks,
+             (db.bucket < 80) AS g1,
+             (db.bucket < 80 AND lv.lvl = 4) AS g2,
+             (db.bucket < 80 AND lv.lvl = 4
+               AND (c.canon_id IS NULL OR c.canon_id = lv.doc_id)) AS g3,
+             (db.bucket < 80 AND lv.lvl = 4
+               AND (c.canon_id IS NULL OR c.canon_id = lv.doc_id)
+               AND f.doc_id IS NULL) AS g4
+           FROM lv
+             JOIN db ON db.doc_id = lv.doc_id
+             LEFT JOIN canon c ON c.doc_id = lv.doc_id
+             LEFT JOIN flagged f ON f.doc_id = lv.doc_id)
+         SELECT CAST(v.stage AS INT) AS stage, v.stage_name,
+           CAST(count(*) FILTER (WHERE v.stage = 0
+             OR (v.stage = 1 AND g1) OR (v.stage = 2 AND g2)
+             OR (v.stage = 3 AND g3) OR (v.stage = 4 AND g4)) AS BIGINT)
+             AS n_docs,
+           CAST(coalesce(sum(n_toks) FILTER (WHERE v.stage = 0
+             OR (v.stage = 1 AND g1) OR (v.stage = 2 AND g2)
+             OR (v.stage = 3 AND g3) OR (v.stage = 4 AND g4)), 0) AS BIGINT)
+             AS n_tokens
+         FROM g, (VALUES (0,'raw'),(1,'train_split'),(2,'quality_cascade'),
+                         (3,'near_dup_dedup'),(4,'decontamination'))
+           AS v(stage, stage_name)
+         GROUP BY v.stage, v.stage_name ORDER BY stage""",
     "q_mixture_sample" ->
       s"""WITH t AS (SELECT source, CAST(sum(len($toks)) AS BIGINT) AS total
            FROM documents GROUP BY source),

@@ -1204,6 +1204,56 @@ object TextOps {
       .orderBy($"stage", $"pos")
   }
 
+  /** The corpus-release funnel in ONE frame — every curation gate this
+    * engine ships, applied cumulatively in deployment order, with
+    * doc/token survivor counts per stage: raw → train split (held-out
+    * data never enters a training release) → quality cascade → near-dup
+    * canonical dedup → eval decontamination. The artifact a release
+    * review reads, and the composition proof that the individual gates
+    * (each separately oracle-checked) agree when chained: the oracle
+    * recombines the SAME split, cascade, CC and decontamination
+    * fragments and must land on identical counts.
+    *
+    * Dedup semantics: assignments come from the GLOBAL near-dup graph
+    * (computed once corpus-wide), survivors = canonical members — gate
+    * order-independent, so the funnel is a pure intersection of
+    * per-gate verdicts and each gate's count is exact.
+    */
+  def releaseManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lvls = cascadeLevels(s, dir)
+    val losers = Dedup.dedupAssignments(s, dir)
+      .filter($"doc_id" =!= $"canon_id")
+      .select($"doc_id", lit(1).as("dup"))
+    val flagged = decontamination(s, dir)
+      .select($"train_doc".as("doc_id")).distinct()
+      .withColumn("cont", lit(1))
+    val g = lvls
+      .withColumn("in_train", hashBucket($"doc_id", "split:") < 80)
+      .join(losers, Seq("doc_id"), "left")
+      .join(flagged, Seq("doc_id"), "left")
+      .select($"n_toks",
+        $"in_train".as("g1"),
+        ($"in_train" && $"lvl" === 4).as("g2"),
+        ($"in_train" && $"lvl" === 4 && $"dup".isNull).as("g3"),
+        ($"in_train" && $"lvl" === 4 && $"dup".isNull && $"cont".isNull)
+          .as("g4"))
+    val cols = Seq(
+      count(lit(1)).as("n0"), sum($"n_toks").as("t0")) ++
+      (1 to 4).flatMap(i => Seq(
+        sum(when(col(s"g$i"), 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(col(s"g$i"), $"n_toks").otherwise(0L)).as(s"t$i")))
+    g.agg(cols.head, cols.tail: _*)
+      .selectExpr(
+        """stack(5,
+           0, 'raw',              n0, t0,
+           1, 'train_split',      n1, t1,
+           2, 'quality_cascade',  n2, t2,
+           3, 'near_dup_dedup',   n3, t3,
+           4, 'decontamination',  n4, t4) AS (stage, stage_name, n_docs, n_tokens)""")
+      .orderBy($"stage")
+  }
+
   /** The scrub [[spanScrub]] only reports: materialized CLEANED text for
     * every affected document — tokens covered by a cross-doc-duplicated
     * n-gram are cut, the remainder re-joins in position order. This is
@@ -1734,16 +1784,22 @@ object TextOps {
   val DefaultMinChars: Long = 150L
   val DefaultMinQuality: Double = 0.65
 
-  def filterCascade(s: SparkSession, dir: String,
-                    minChars: Long = DefaultMinChars,
-                    minQuality: Double = DefaultMinQuality): DataFrame = {
+  /** Per-document cascade level (doc_id, n_toks, lvl) — the first
+    * failing stage, 4 = passes all; shared by [[filterCascade]]'s
+    * aggregate view and [[releaseManifest]]'s quality gate.
+    */
+  private[graft] def cascadeLevels(s: SparkSession, dir: String,
+                                   minChars: Long = DefaultMinChars,
+                                   minQuality: Double = DefaultMinQuality)
+      : DataFrame = {
     import s.implicits._
     // staged like langIdConfusion: tokenize once, stopword-hit counts as
     // named columns, CASE over plain columns (inlining langId would
     // re-tokenize per language per branch)
     val scored = docsFanned(s, dir)
-      .select($"lang", $"n_chars", $"text", text.tokensLower($"text").as("toks"))
-      .select($"lang", $"n_chars",
+      .select($"doc_id", $"lang", $"n_chars", $"text",
+        text.tokensLower($"text").as("toks"))
+      .select($"doc_id", $"lang", $"n_chars",
         size($"toks").cast("long").as("n_toks"),
         text.qualityScoreTokens($"text", $"toks", $"n_chars").as("q"),
         (size(array_distinct($"toks")) * 2 >= size($"toks")).as("dok"),
@@ -1761,10 +1817,18 @@ object TextOps {
       .when($"pred" =!= $"lang", 2)
       .when(!$"dok", 3)
       .otherwise(4)
+    scored.withColumn("lvl", lvl)
+      .select($"doc_id", $"n_toks", $"lvl")
+  }
+
+  def filterCascade(s: SparkSession, dir: String,
+                    minChars: Long = DefaultMinChars,
+                    minQuality: Double = DefaultMinQuality): DataFrame = {
+    import s.implicits._
     val cols = (0 to 4).flatMap(i => Seq(
       sum(when($"lvl" >= i, 1L).otherwise(0L)).as(s"n$i"),
       sum(when($"lvl" >= i, $"n_toks").otherwise(0L)).as(s"t$i")))
-    scored.withColumn("lvl", lvl)
+    cascadeLevels(s, dir, minChars, minQuality)
       .agg(cols.head, cols.tail: _*)
       .selectExpr(
         """stack(5,

@@ -500,6 +500,37 @@ class TextOpsSpec extends SparkSpec {
       sp >= 1 && rm >= 8 && kept > 0 })
   }
 
+  test("releaseManifest recombines the independently-tested gates exactly") {
+    val lvl = TextOps.cascadeLevels(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val split = TextOps.hashSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val losers = Dedup.dedupAssignments(spark, sf).collect()
+      .collect { case r if r.getLong(0) != r.getLong(1) => r.getLong(0) }.toSet
+    val flagged = TextOps.decontamination(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    def gates(id: Long): Seq[Boolean] = {
+      val g1 = split(id) == "train"
+      val g2 = g1 && lvl(id)._2 == 4
+      val g3 = g2 && !losers(id)
+      Seq(true, g1, g2, g3, g3 && !flagged(id))
+    }
+    val ids = lvl.keys.toSeq
+    val expected = (0 to 4).map { st =>
+      val keep = ids.filter(id => gates(id)(st))
+      (st, keep.length.toLong, keep.map(id => lvl(id)._1).sum)
+    }
+    val got = TextOps.releaseManifest(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+    // the funnel is a funnel: counts never increase, and the release is
+    // non-empty with every gate cutting something somewhere
+    val ns = got.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    assert(ns.last > 0)
+    assert(ns.toSet.size > 1, "no gate cut anything — fixture is vacuous")
+  }
+
   test("spanScrubClean rebuilds exactly the uncovered token stream") {
     val docs = Tables(spark, sf, "documents")
       .select("doc_id", "text").collect()
