@@ -133,6 +133,7 @@ object SparkEntry {
     "q_weighted_sample_es" -> ((s, dir) => TextOps.weightedSampleES(s, dir)),
     "q_filter_cascade" -> ((s, dir) => TextOps.filterCascade(s, dir)),
     "q_release_manifest" -> TextOps.releaseManifest,
+    "q_cms_audit" -> ((s, dir) => TextOps.cmsAudit(s, dir)),
     "q_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(s, dir)),
     "q_repeated_spans" -> ((s, dir) => TextOps.repeatedSpans(s, dir)),
     // -- dedup suite (§7.4) ------------------------------------------------
@@ -1337,6 +1338,26 @@ object SparkEntry {
                          (3,'lang_match'),(4,'distinct_ratio')) AS v(stage, stage_name)
          GROUP BY v.stage, v.stage_name
          ORDER BY stage""",
+    "q_cms_audit" ->
+      s"""WITH tk AS (SELECT unnest($toks) AS tok FROM documents),
+         rr AS (SELECT unnest(generate_series(0, 3)) AS r),
+         counters AS (SELECT r,
+             CAST(concat('0x', substring(md5(concat(CAST(r AS VARCHAR), ':cms:', tok)), 1, 15)) AS BIGINT) % 16 AS b,
+             count(*) AS c
+           FROM tk, rr GROUP BY 1, 2),
+         top AS (SELECT tok, count(*) AS true_cnt FROM tk GROUP BY tok
+           ORDER BY true_cnt DESC, tok LIMIT 10),
+         probes AS (SELECT tok, true_cnt, r,
+             CAST(concat('0x', substring(md5(concat(CAST(r AS VARCHAR), ':cms:', tok)), 1, 15)) AS BIGINT) % 16 AS b
+           FROM top, rr),
+         est AS (SELECT p.tok, p.true_cnt, min(c.c) AS est_cnt
+           FROM probes p JOIN counters c ON c.r = p.r AND c.b = p.b
+           GROUP BY p.tok, p.true_cnt)
+         SELECT tok, CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(est_cnt AS BIGINT) AS est_cnt,
+           CAST(est_cnt - true_cnt AS BIGINT) AS overestimate,
+           est_cnt >= true_cnt AS sound
+         FROM est ORDER BY true_cnt DESC, tok""",
     "q_release_manifest" ->
       s"""WITH RECURSIVE $ccReachCtes,
          canon AS (SELECT a AS doc_id, min(r) AS canon_id

@@ -1204,6 +1204,46 @@ object TextOps {
       .orderBy($"stage", $"pos")
   }
 
+  /** Count-Min sketch frequency estimates with a point-query audit —
+    * the frequency member of the sketch family (HLL distinct, GK
+    * quantiles, SpaceSaving top-k, Bloom membership, MinHash Jaccard,
+    * SimHash Hamming): `depth`×`width` integer counters built in ONE
+    * token pass (bounded state at ANY vocabulary — the whole point at
+    * 100 TB), then the exact top-k tokens probed against the sketch.
+    * CMS's deterministic guarantee — est ≥ true, ALWAYS (collisions only
+    * ever add) — is emitted as an oracle-assertable boolean per probe,
+    * exact witnesses alongside; the measured overestimate shows the ε·N
+    * slack actually paid. Hashes are the engine-portable md5 prefix with
+    * a per-row salt, so the oracle rebuilds the identical counters.
+    */
+  def cmsAudit(s: SparkSession, dir: String, depth: Int = 4,
+               width: Int = 16, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val tk = docsFanned(s, dir)
+      .select(explode(text.tokensLower($"text")).as("tok"))
+      .localCheckpoint() // counters + exact counts + probes all read it
+    def bucket(r: Column, tok: Column): Column =
+      pmod(conv(substring(md5(
+        concat(r.cast("string"), lit(":cms:"), tok)), 1, 15), 16, 10)
+        .cast("long"), lit(width.toLong))
+    val counters = tk
+      .select($"tok", explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select($"r", bucket($"r", $"tok").as("b"))
+      .groupBy($"r", $"b").agg(count(lit(1)).as("c"))
+    val top = tk.groupBy($"tok").agg(count(lit(1)).as("true_cnt"))
+      .orderBy($"true_cnt".desc, $"tok").limit(k)
+    val est = top
+      .select($"tok", $"true_cnt",
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("b", bucket($"r", $"tok"))
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy($"tok", $"true_cnt").agg(min($"c").as("est_cnt"))
+    est.select($"tok", $"true_cnt", $"est_cnt",
+        ($"est_cnt" - $"true_cnt").as("overestimate"),
+        ($"est_cnt" >= $"true_cnt").as("sound"))
+      .orderBy($"true_cnt".desc, $"tok")
+  }
+
   /** The corpus-release funnel in ONE frame — every curation gate this
     * engine ships, applied cumulatively in deployment order, with
     * doc/token survivor counts per stage: raw → train split (held-out

@@ -500,6 +500,35 @@ class TextOpsSpec extends SparkSpec {
       sp >= 1 && rm >= 8 && kept > 0 })
   }
 
+  test("cmsAudit matches a sequential sketch build; soundness is absolute") {
+    def h60(sz: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sz.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val toks = Tables(spark, sf, "documents").select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val counters = Array.fill(4, 16)(0L)
+    toks.foreach { t =>
+      (0 until 4).foreach(r => counters(r)((h60(s"$r:cms:$t") % 16).toInt) += 1)
+    }
+    val trueCnt = toks.groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    val top = trueCnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+    val expected = top.map { case (t, c) =>
+      val est = (0 until 4).map(r => counters(r)((h60(s"$r:cms:$t") % 16).toInt)).min
+      (t, c, est, est - c, est >= c)
+    }
+    val got = TextOps.cmsAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq === expected)
+    // the deterministic CMS guarantee holds on every probe, and the
+    // sketch is genuinely lossy somewhere (collisions occurred)
+    assert(got.forall(_._5))
+    assert(got.exists(_._4 > 0L), "no collision at 4x16 — audit vacuous")
+  }
+
   test("releaseManifest recombines the independently-tested gates exactly") {
     val lvl = TextOps.cascadeLevels(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
