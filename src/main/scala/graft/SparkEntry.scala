@@ -54,6 +54,7 @@ object SparkEntry {
     "q_asof_join" -> AsOf.eventOrderAsof,
     "q_asof_forward" -> AsOf.orderNextEventAsof,
     "q_range_join_attrib" -> Relational.attributionRangeJoin,
+    "q_linear_attribution" -> Relational.linearAttribution,
     "q_above_avg_orders" -> Relational.aboveAvgOrders,
     "q_grouping_sets" -> Relational.groupingSetsRevenue,
     "q_scd2_customers" -> Relational.scd2Customers,
@@ -1802,6 +1803,23 @@ object SparkEntry {
            ON c.user_id = p.user_id
            AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
          GROUP BY p.event_id ORDER BY p.event_id""",
+    "q_linear_attribution" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts,
+           CAST(round(value * 100) AS BIGINT) AS value_c
+           FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT event_id AS t_id, user_id, ts FROM events
+           WHERE event_type IN ('view', 'click')),
+         c AS (SELECT p.p_id, p.value_c, t.t_id,
+             row_number() OVER (PARTITION BY p.p_id
+               ORDER BY t.ts, t.t_id) AS rk,
+             count(*) OVER (PARTITION BY p.p_id) AS n
+           FROM p JOIN t ON t.user_id = p.user_id
+             AND t.ts > p.p_ts - INTERVAL 60 MINUTE AND t.ts <= p.p_ts)
+         SELECT p_id, t_id, CAST(rk AS INT) AS rk,
+           CAST(value_c // n
+             + CASE WHEN rk <= value_c % n THEN 1 ELSE 0 END AS BIGINT)
+             AS share_c
+         FROM c ORDER BY p_id, rk""",
     "q_top_tokens" ->
       s"""WITH t AS (SELECT lang, unnest($toks) AS tok FROM documents),
          c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY lang, tok),

@@ -508,6 +508,39 @@ object Relational {
     * bucketing ts into window-width bands and joining on (user, band ± 1)
     * — is the shape for range joins with NO equi-key.)
     */
+  /** Multi-touch LINEAR attribution with exact cent conservation: each
+    * purchase's value splits equally across the user's view/click
+    * touches in the preceding hour, in integer cents — floor share per
+    * touch, the remainder cents going to the EARLIEST touches (largest-
+    * remainder in time order), so Σ shares ≡ the purchase value to the
+    * cent in any engine, with no float split ever summing to 99.99.
+    * Complements [[attributionRangeJoin]]'s last-window aggregate with
+    * the per-touch credit frame a marketing-mix model consumes. Same
+    * scale shape: equi-join on user + bounded temporal residual; the
+    * per-purchase windows hold only that purchase's touches.
+    */
+  def linearAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+        $"ts".as("p_ts"), round($"value" * 100).cast("long").as("value_c"))
+    val touches = ev.filter($"event_type".isin("view", "click"))
+      .select($"event_id".as("t_id"), $"user_id", $"ts")
+    val byP = Window.partitionBy($"p_id")
+    val byPOrd = byP.orderBy($"ts", $"t_id")
+    purchases.join(touches,
+        $"user_id" === $"p_user" &&
+          $"ts" > $"p_ts" - expr("INTERVAL 60 MINUTES") &&
+          $"ts" <= $"p_ts")
+      .withColumn("rk", row_number().over(byPOrd))
+      .withColumn("n", count(lit(1)).over(byP))
+      .select($"p_id", $"t_id", $"rk".cast("int").as("rk"),
+        (expr("value_c div n") +
+          when($"rk" <= expr("value_c % n"), 1L).otherwise(0L)).as("share_c"))
+      .orderBy($"p_id", $"rk")
+  }
+
   def attributionRangeJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events")

@@ -178,6 +178,32 @@ class RelationalSpec extends SparkSpec {
       3L -> "modified", 4L -> "added"))
   }
 
+  test("linearAttribution conserves every purchase's cents exactly") {
+    import spark.implicits._
+    val got = Relational.linearAttribution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val valueC = graft.Tables(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .select($"event_id", round($"value" * 100).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.groupBy(_._1).foreach { case (pid, shares) =>
+      // exact conservation: shares sum to the purchase value in cents
+      assert(shares.map(_._4).sum === valueC(pid), s"purchase $pid leaks cents")
+      // equal split up to one cent, extra cents to the earliest ranks
+      val byRk = shares.sortBy(_._3)
+      assert(byRk.map(_._3) === (1 to shares.length).toArray)
+      val mn = byRk.map(_._4).min; val mx = byRk.map(_._4).max
+      assert(mx - mn <= 1L)
+      val bonus = byRk.takeWhile(_._4 == mx)
+      assert(byRk.drop(bonus.length).forall(_._4 == mn))
+    }
+    // remainder handling is genuinely exercised somewhere
+    assert(got.groupBy(_._1).exists { case (pid, shares) =>
+      valueC(pid) % shares.length != 0
+    })
+  }
+
   test("pitEnrichment: every order matches exactly one version, the right one") {
     import spark.implicits._
     val got = Relational.pitEnrichment(spark, sf).collect()
