@@ -174,6 +174,7 @@ object SparkEntry {
     "q_label_silhouette" -> Similarity.labelSilhouette,
     "q_matryoshka_recall" -> ((s, dir) => Similarity.matryoshkaRecall(s, dir)),
     "q_power_iteration" -> ((s, dir) => Similarity.powerIteration(s, dir)),
+    "q_anisotropy" -> ((s, dir) => Similarity.anisotropyReport(s, dir)),
     "q_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
@@ -1609,6 +1610,40 @@ object SparkEntry {
          SELECT CAST(u3.d AS INT) AS d, u3.vu AS v_u,
            CAST(n3.n2 AS BIGINT) AS norm2_p
          FROM u3, n3 ORDER BY d""",
+    "q_anisotropy" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         vv0 AS (SELECT list_transform(generate_series(1, 64), x -> 0.125)
+           AS vl),
+         ${powerRoundCtes(1)},
+         ${powerRoundCtes(2)},
+         ${powerRoundCtes(3)},
+         ms AS (SELECT d,
+             CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS BIGINT) AS sx
+           FROM (SELECT unnest(generate_series(1, len(v))) AS d,
+               unnest(v) AS x FROM e)
+           GROUP BY d),
+         nn AS (SELECT count(*) AS n FROM e),
+         mu AS (SELECT d, CAST(sx AS DOUBLE) / n / 1000000.0 AS m
+           FROM ms, nn),
+         vdir AS (SELECT d, vu / 1000000.0 AS vd FROM u3),
+         j AS (SELECT mu.d, mu.m, vdir.vd FROM mu JOIN vdir USING (d)),
+         mun AS (SELECT CAST(sum(CAST(round(m * m * 1000000000000.0)
+             AS BIGINT)) AS BIGINT) AS q FROM j),
+         pj AS (SELECT CAST(sum(CAST(round(m * vd * 1000000000000.0)
+             AS BIGINT)) AS BIGINT) AS p FROM j),
+         res AS (SELECT d, m - (CAST(p AS DOUBLE) / 1000000000000.0) * vd AS r
+           FROM j, pj),
+         resn AS (SELECT CAST(sum(CAST(round(r * r * 1000000000000.0)
+             AS BIGINT)) AS BIGINT) AS q FROM res)
+         SELECT CAST(nn.n AS BIGINT) AS n_vecs,
+           CAST(round(sqrt(CAST(mun.q AS DOUBLE) / 1000000000000.0)
+             * 1000000.0) AS BIGINT) AS mu_norm_u,
+           CAST(round(abs(CAST(pj.p AS DOUBLE) / 1000000000000.0)
+             * 1000000.0) AS BIGINT) AS proj_u,
+           CAST(round(sqrt(CAST(resn.q AS DOUBLE) / 1000000000000.0)
+             * 1000000.0) AS BIGINT) AS res_norm_u
+         FROM nn, mun, pj, resn""",
     "q_matryoshka_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
            CAST(embedding[1:16] AS DOUBLE[]) AS p FROM embeddings),

@@ -1019,6 +1019,65 @@ object Similarity {
       .orderBy($"d")
   }
 
+  /** The power-iteration direction as driver-side micro-units — shared
+    * by [[powerIteration]]'s output and [[anisotropyReport]].
+    */
+  private def powerDirection(s: SparkSession, e: DataFrame,
+                             iters: Int): Array[Long] = {
+    import s.implicits._
+    var vu = Array.fill(64)(125000L)
+    for (_ <- 1 to iters) {
+      val vArr = array(vu.toSeq.map(u => lit(u.toDouble / 1e6)): _*)
+      val t = e.select($"v", vectors.dot($"v", vArr).as("sc"))
+        .select(posexplode($"v").as(Seq("d", "x")), $"sc")
+        .groupBy($"d")
+        .agg(sum(round($"x" * $"sc" * 1e6).cast("long")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val td = (0 until 64).map(d => t.getOrElse(d, 0L)).toArray
+      val norm2 = td.map(x => BigInt(x) * BigInt(x)).sum
+      val nrm = math.sqrt(norm2.toDouble)
+      vu = td.map(x => BigDecimal(x / nrm * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    vu
+  }
+
+  /** Embedding-space anisotropy report (Mu & Viswanath 2018, "All but
+    * the Top"): how much of the corpus MEAN vector — the non-zero
+    * common direction that inflates every cosine — lies along the
+    * dominant principal direction, and what remains after projecting it
+    * out. One row: mean-vector norm, its projection onto the
+    * [[powerIteration]] direction, and the residual norm — a large
+    * norm collapsing to a small residual says one common direction
+    * explains the offset, and subtracting it (the paper's postprocess)
+    * would de-bias cosines corpus-wide. Mean components come from exact
+    * integer sums; every norm/projection is fixed-pointed through
+    * integer squared terms, so the single output row is hash-exact.
+    */
+  def anisotropyReport(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir).localCheckpoint()
+    val n = e.count()
+    val sums = e.select(posexplode($"v").as(Seq("d", "x")))
+      .groupBy($"d").agg(sum(round($"x" * 1e6).cast("long")).as("sx"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mu = (0 until 64).map(d => sums.getOrElse(d, 0L).toDouble / n / 1e6).toArray
+    val vu = powerDirection(s, e, iters)
+    val v = vu.map(_.toDouble / 1e6)
+    def r0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def normU(a: Array[Double]): Long = {
+      val sq = a.map(x => r0(x * x * 1e12)).sum
+      r0(math.sqrt(sq.toDouble / 1e12) * 1e6)
+    }
+    val projTerms = (0 until 64).map(d => r0(mu(d) * v(d) * 1e12)).sum
+    val proj = projTerms.toDouble / 1e12
+    val res = (0 until 64).map(d => mu(d) - proj * v(d)).toArray
+    val row = Seq((n, normU(mu), r0(math.abs(proj) * 1e6), normU(res)))
+    s.createDataFrame(s.sparkContext.parallelize(row, 1))
+      .toDF("n_vecs", "mu_norm_u", "proj_u", "res_norm_u")
+  }
+
   /** Matryoshka-truncation recall audit (Kusupati et al. 2022, MRL):
     * per probe, how much of the FULL-dimension cosine top-k the first
     * `prefixDim` coordinates alone recover — the acceptance gate for

@@ -422,6 +422,33 @@ class SimilaritySpec extends SparkSpec {
       "power iteration failed to increase the Rayleigh quotient")
   }
 
+  test("anisotropyReport: driver recount, direction tied to powerIteration") {
+    def r0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vecs = graft.Tables(spark, sf, "embeddings").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val n = vecs.length
+    val mu = (0 until 64).map(d =>
+      vecs.map(x => r0(x(d) * 1e6)).sum.toDouble / n / 1e6).toArray
+    // the direction must be EXACTLY the one powerIteration publishes
+    val vu = Similarity.powerIteration(spark, sf).collect().map(_.getLong(1))
+    val v = vu.map(_.toDouble / 1e6)
+    def normU(a: Array[Double]): Long = {
+      val sq = a.map(x => r0(x * x * 1e12)).sum
+      r0(math.sqrt(sq.toDouble / 1e12) * 1e6)
+    }
+    val proj = (0 until 64).map(d => r0(mu(d) * v(d) * 1e12)).sum.toDouble / 1e12
+    val res = (0 until 64).map(d => mu(d) - proj * v(d)).toArray
+    val expected = (n.toLong, normU(mu), r0(math.abs(proj) * 1e6), normU(res))
+    val got = Similarity.anisotropyReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(got === expected)
+    // projecting out the top direction genuinely shrinks the common
+    // offset (the all-but-the-top effect is present in this corpus)
+    assert(got._4 < got._2, "residual norm did not shrink")
+    assert(got._2 > 0L)
+  }
+
   test("matryoshkaRecall matches a driver truncated-vs-full recount") {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
