@@ -166,6 +166,7 @@ object SparkEntry {
     "q_neardup_triangles" -> ((s, dir) => Dedup.nearDupTriangles(s, dir)),
     "q_triangles_oriented" -> ((s, dir) => Dedup.nearDupTrianglesOriented(s, dir)),
     "q_containment_pairs" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
+    "q_sim_histogram" -> ((s, dir) => Dedup.pairSimilarityHistogram(s, dir)),
     "q_dedup_profile" -> Dedup.dedupProfile,
     // -- similarity search (§7.4) ------------------------------------------
     "q_brute_force_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
@@ -1270,6 +1271,20 @@ object SparkEntry {
          FROM est e JOIN shs a ON a.doc_id = e.doc_a
                     JOIN shs b ON b.doc_id = e.doc_b
          ORDER BY doc_a, doc_b""",
+    "q_sim_histogram" ->
+      s"""WITH $minhashCtes,
+         pairs AS ($minhashPairsSelect),
+         shs AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i:i+2], ' '))) AS shs
+           FROM docs WHERE len(toks) >= 3),
+         jt AS (SELECT least(((len(list_intersect(a.shs, b.shs)) * 10000)
+             // (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))))
+             // 1000, 9) AS bin
+           FROM pairs p JOIN shs a ON a.doc_id = p.doc_a
+             JOIN shs b ON b.doc_id = p.doc_b)
+         SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM jt GROUP BY bin ORDER BY bin""",
     "q_containment_pairs" ->
       s"""WITH $minhashCtes,
          pairs AS ($minhashPairsSelect),

@@ -506,6 +506,36 @@ object Dedup {
     rank.select($"doc_id", $"is_seed", $"r".as("ppr")).orderBy($"doc_id")
   }
 
+  /** Candidate-pair similarity HISTOGRAM: exact Jaccard (integer
+    * ten-thousandths, |∩|·10⁴ div |∪|) of every LSH candidate pair,
+    * bucketed by decile — the one-screen distribution a corpus owner
+    * reads to PICK the dedup threshold (a bimodal histogram separates
+    * true near-dups from band-collision noise; mass piling against the
+    * chosen cutoff says the threshold is load-bearing). Pair set and
+    * shingle arithmetic are the [[containmentPairs]] machinery, so the
+    * histogram describes exactly the pairs the dedup graph would use.
+    */
+  def pairSimilarityHistogram(s: SparkSession, dir: String,
+                              shingleSize: Int = 3): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val pairs = minhashLshPairs(s, dir)
+    val sd = shingleStream(docs, shingleSize).distinct().localCheckpoint()
+    val sizes = sd.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sd.toDF("doc_a", "sh"), Seq("doc_a"))
+      .join(sd.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.toDF("doc_a", "n_a"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "n_b"), Seq("doc_b"))
+      .select(expr(
+        "least((n_shared * 10000 div (n_a + n_b - n_shared)) div 1000, 9)")
+        .cast("int").as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"bin")
+  }
+
   def labelPropagation(s: SparkSession, dir: String): DataFrame =
     labelPropagation(s, minhashLshPairs(s, dir))
 

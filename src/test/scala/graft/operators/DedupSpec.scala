@@ -418,6 +418,28 @@ class DedupSpec extends SparkSpec {
     assert(got.exists { case (id, s2, p) => !s2 && p === 0L })
   }
 
+  test("pairSimilarityHistogram matches a driver Jaccard-bucket recount") {
+    val pairs = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val shingles = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", explode(graft.functions.text.shinglesFromTokens(
+        graft.functions.text.tokensLower($"text"), 3)).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = pairs.map { case (a, b) =>
+      val ia = shingles(a); val ib = shingles(b)
+      val inter = (ia & ib).size.toLong
+      math.min(inter * 10000 / (ia.size + ib.size - inter) / 1000, 9L).toInt
+    }.groupBy(identity).map { case (b, v) => (b, v.length.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = Dedup.pairSimilarityHistogram(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq === expected)
+    // conservation + the histogram genuinely spreads (more than one bin)
+    assert(got.map(_._2).sum === pairs.length.toLong)
+    assert(got.length > 1, "single-bin histogram — threshold diagnostic vacuous")
+  }
+
   test("sourceDupBurden matches a per-source recount over the assignments") {
     val assign = Dedup.dedupAssignments(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
