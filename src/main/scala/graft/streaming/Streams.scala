@@ -363,6 +363,74 @@ object Streams {
       ()
     }
 
+  /** Continuously-maintained snapshot from a CDC change stream — the
+    * streaming half of `Relational.applyCdc`: each micro-batch of
+    * (doc_id, status, fp) changes folds into a versioned snapshot under
+    * `snapshotDir`, readers resolving the current version through a tiny
+    * `_cdc_meta` pointer that is swapped atomically AFTER the new
+    * snapshot commits (write-new-then-rename, the `_pack_state`
+    * discipline — a crash leaves the previous version visible, never
+    * half a batch). Replayed micro-batches (id ≤ committed) are skipped
+    * whole, and the per-batch apply drops EVERY changed key from the
+    * base before re-adding upserts, so even a crash between data and
+    * meta commits replays to the identical snapshot (idempotent apply,
+    * not just idempotent skip).
+    */
+  def cdcApplySink(changes: DataFrame, snapshotDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(snapshotDir)
+      val metaP = new org.apache.hadoop.fs.Path(root, "_cdc_meta")
+      val fs = metaP.getFileSystem(hconf)
+      val (cur, committedId) =
+        if (!fs.exists(metaP)) (None: Option[String], -1L)
+        else {
+          val r = spark.read.parquet(metaP.toString).collect().head
+          (Some(r.getString(0)), r.getLong(1))
+        }
+      if (batchId > committedId) {
+        val b = batch.select(col("doc_id"), col("status"), col("fp"))
+          .localCheckpoint() // key anti-join + upsert leg both read it
+        val base = cur
+          .map(d => spark.read.parquet(
+            new org.apache.hadoop.fs.Path(root, d).toString))
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("fp",
+                org.apache.spark.sql.types.StringType)))))
+        val next = base
+          .join(b.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+          .unionByName(b.filter(col("status").isin("added", "modified"))
+            .select(col("doc_id"), col("fp")))
+        val vdir = s"snap_$batchId"
+        next.write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(root, vdir).toString)
+        val tmp = new org.apache.hadoop.fs.Path(root, "_cdc_meta_tmp")
+        spark.createDataFrame(Seq((vdir, batchId))).toDF("dir", "batch_id")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(metaP)) fs.delete(metaP, true)
+        fs.rename(tmp, metaP)
+        cur.filter(_ != vdir).foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
+      }
+      ()
+    }
+
+  /** Read the cdcApplySink-maintained snapshot through its meta pointer. */
+  def readCdcSnapshot(s: org.apache.spark.sql.SparkSession,
+                      snapshotDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(snapshotDir)
+    val meta = s.read.parquet(
+      new org.apache.hadoop.fs.Path(root, "_cdc_meta").toString).collect().head
+    s.read.parquet(
+      new org.apache.hadoop.fs.Path(root, meta.getString(0)).toString)
+  }
+
   /** Stream-vs-stored-index dedup probe: arriving documents are banded
     * in-row (`StatefulDedup.bandArray` — bit-identical to the batch
     * scheme) and stream-static-joined against the PERSISTED bucketed

@@ -436,6 +436,33 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L))
   }
 
+  test("cdcApplySink folds change batches into a snapshot; stale ids skip") {
+    val dst = java.nio.file.Files.createTempDirectory("cdc-snap").toString
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = Streams.cdcApplySink(
+      input.toDF().toDF("doc_id", "status", "fp"), dst).start()
+    input.addData((1L, "added", "a"), (2L, "added", "b"), (3L, "added", "c"))
+    q.processAllAvailable()
+    input.addData((2L, "modified", "b2"), (3L, "removed", null),
+      (4L, "added", "d"))
+    q.processAllAvailable()
+    q.stop()
+    val snap = Streams.readCdcSnapshot(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(snap === Set((1L, "a"), (2L, "b2"), (4L, "d")))
+    // a redelivered/stale micro-batch (fresh query, batch id 0 <= the
+    // committed id 1) must be skipped whole — the snapshot is unchanged
+    val replay = MemoryStream[(Long, String, String)](spark)
+    val q2 = Streams.cdcApplySink(
+      replay.toDF().toDF("doc_id", "status", "fp"), dst).start()
+    replay.addData((1L, "removed", null), (9L, "added", "x"))
+    q2.processAllAvailable()
+    q2.stop()
+    val after = Streams.readCdcSnapshot(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === snap, "stale batch mutated the committed snapshot")
+  }
+
   test("idempotent merge sink survives batch replay without duplicates") {
     val target = java.nio.file.Files.createTempDirectory("merge_out").toString + "/t"
     val input = MemoryStream[(Long, Timestamp, Double)](spark)
