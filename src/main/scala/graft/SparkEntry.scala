@@ -60,6 +60,7 @@ object SparkEntry {
     "q_scd2_customers" -> Relational.scd2Customers,
     "q_pit_enrichment" -> Relational.pitEnrichment,
     "q_profile_orders" -> Relational.profileOrders,
+    "q_profile_events" -> Relational.profileEvents,
     "q_cohort_retention" -> Events.cohortRetention,
     "q_order_gaps" -> Relational.orderGaps,
     // -- event/stream batch twins (SURVEY §2.14, §7.4) ---------------------
@@ -2633,6 +2634,29 @@ object SparkEntry {
            UNION ALL
            SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
              count(DISTINCT o_orderpriority) FROM orders)
+         ORDER BY col_name""",
+    "q_profile_events" ->
+      """SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls, CAST(n_distinct AS BIGINT) AS n_distinct
+         FROM (
+           SELECT 'event_id' AS col_name, count(*) AS n_rows,
+             count(*) - count(event_id) AS n_nulls,
+             count(DISTINCT event_id) AS n_distinct FROM events
+           UNION ALL
+           SELECT 'ts', count(*), count(*) - count(ts),
+             count(DISTINCT CAST(ts AS TIMESTAMP)) FROM events
+           UNION ALL
+           SELECT 'user_id', count(*), count(*) - count(user_id),
+             count(DISTINCT user_id) FROM events
+           UNION ALL
+           SELECT 'event_type', count(*), count(*) - count(event_type),
+             count(DISTINCT event_type) FROM events
+           UNION ALL
+           SELECT 'value', count(*), count(*) - count(value),
+             count(DISTINCT value) FROM events
+           UNION ALL
+           SELECT 'props', count(*), count(*) - count(props),
+             count(DISTINCT props) FROM events)
          ORDER BY col_name""",
     "q_funnel_stages" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

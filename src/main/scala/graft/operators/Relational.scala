@@ -606,6 +606,25 @@ object Relational {
     * COUNT(DISTINCT), so the string cast's formatting is irrelevant
     * (any injective rendering yields the same counts).
     */
+  /** [[profileOrders]]' sibling over the event stream table — the
+    * same unpivot + one keyed distinct aggregation, proving the profile
+    * shape generalizes to any table (and covering the JSON/timestamp/
+    * double column kinds orders lacks).
+    */
+  def profileEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables(s, dir, "events")
+    val stackExpr = events.columns.map(c => s"'$c', CAST($c AS STRING)")
+      .mkString(s"stack(${events.columns.length}, ", ", ", ")")
+    events
+      .select(expr(stackExpr).as(Seq("col_name", "value")))
+      .groupBy($"col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count($"value")).as("n_nulls"),
+        countDistinct($"value").as("n_distinct"))
+      .orderBy($"col_name")
+  }
+
   def profileOrders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val orders = Tables(s, dir, "orders")

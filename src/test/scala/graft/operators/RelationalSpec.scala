@@ -178,6 +178,29 @@ class RelationalSpec extends SparkSpec {
       3L -> "modified", 4L -> "added"))
   }
 
+  test("profileEvents: rows constant per column, distincts match recounts") {
+    import spark.implicits._
+    val total = graft.Tables(spark, sf, "events").count()
+    val got = Relational.profileEvents(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.map(_._1).toSet === Set("event_id", "ts", "user_id",
+      "event_type", "value", "props"))
+    got.foreach { case (c, n, nulls, dist) =>
+      assert(n === total, s"$c row count")
+      assert(nulls >= 0 && dist <= n - nulls)
+    }
+    // spot recounts against direct aggregations
+    val byName = got.map(g => g._1 -> g).toMap
+    val ev = graft.Tables(spark, sf, "events")
+    assert(byName("event_id")._4 ===
+      ev.select($"event_id").distinct().count())
+    assert(byName("event_type")._4 ===
+      ev.select($"event_type").distinct().count())
+    assert(byName("user_id")._4 ===
+      ev.select($"user_id").distinct().count())
+  }
+
   test("linearAttribution conserves every purchase's cents exactly") {
     import spark.implicits._
     val got = Relational.linearAttribution(spark, sf).collect()
