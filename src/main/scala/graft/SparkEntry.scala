@@ -177,6 +177,7 @@ object SparkEntry {
     "q_matryoshka_recall" -> ((s, dir) => Similarity.matryoshkaRecall(s, dir)),
     "q_power_iteration" -> ((s, dir) => Similarity.powerIteration(s, dir)),
     "q_anisotropy" -> ((s, dir) => Similarity.anisotropyReport(s, dir)),
+    "q_label_suspects" -> Similarity.labelSuspects,
     "q_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
@@ -1553,6 +1554,36 @@ object SparkEntry {
          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_ivf_topk" -> ivfTopKSql,
     "q_ivf_topk_indexed" -> ivfTopKSql,
+    "q_label_suspects" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         dx0 AS (SELECT label, unnest(generate_series(1, len(v))) AS d,
+             unnest(v) AS x FROM e),
+         dx AS (SELECT label, d, CAST(round(x * 1000000.0) AS BIGINT) AS xf
+           FROM dx0),
+         g AS (SELECT label, d, CAST(sum(xf) AS BIGINT) AS sx, count(*) AS n
+           FROM dx GROUP BY label, d),
+         cm AS (SELECT label, d, CAST(sx AS DOUBLE) / n / 1000000.0 AS m
+           FROM g),
+         cent AS (SELECT label AS clabel, list(m ORDER BY d) AS cv
+           FROM cm GROUP BY label),
+         sc AS (SELECT e.vec_id, e.label, c.clabel,
+             round(list_cosine_similarity(e.v, c.cv), 4) AS cs
+           FROM e, cent c),
+         intra AS (SELECT vec_id, label,
+             CAST(round(cs * 10000.0) AS BIGINT) AS intra_t
+           FROM sc WHERE label = clabel),
+         rival AS (SELECT vec_id, clabel AS rival_label,
+             CAST(round(cs * 10000.0) AS BIGINT) AS rival_t
+           FROM (SELECT vec_id, clabel, cs, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, clabel) AS rn
+             FROM sc WHERE label <> clabel)
+           WHERE rn = 1)
+         SELECT i.vec_id, i.label, r.rival_label, i.intra_t, r.rival_t,
+           CAST(r.rival_t - i.intra_t AS BIGINT) AS margin_t
+         FROM intra i JOIN rival r USING (vec_id)
+         WHERE r.rival_t > i.intra_t
+         ORDER BY vec_id""",
     "q_label_silhouette" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),

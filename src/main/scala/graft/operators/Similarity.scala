@@ -1139,7 +1139,10 @@ object Similarity {
     * negative sums). Cost: one posexplode aggregation (labels×dims
     * keys) + one broadcast-centroid scan; nothing pairwise.
     */
-  def labelSilhouette(s: SparkSession, dir: String): DataFrame = {
+  /** Per-(vector, label-centroid) rounded cosine frame shared by
+    * [[labelSilhouette]] and [[labelSuspects]].
+    */
+  private def labelCentroidScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir, "embeddings")
       .select($"vec_id", $"label", vectors.toDoubleArray($"embedding").as("v"))
@@ -1153,9 +1156,14 @@ object Similarity {
       .groupBy($"label")
       .agg(array_sort(collect_list(struct($"d", $"m"))).as("dm"))
       .select($"label".as("clabel"), transform($"dm", x => x("m")).as("cv"))
-    val scored = e.join(broadcast(cents))
+    e.join(broadcast(cents))
       .select($"vec_id", $"label", $"clabel",
         round(vectors.cosineSimilarity($"v", $"cv"), 4).as("cs"))
+  }
+
+  def labelSilhouette(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = labelCentroidScores(s, dir)
     val intra = scored.filter($"label" === $"clabel")
       .select($"vec_id", $"label",
         round($"cs" * 10000).cast("long").as("it"))
@@ -1171,6 +1179,33 @@ object Similarity {
         expr("((si + 10000 * n_vecs) div n_vecs) - ((sx + 10000 * n_vecs) div n_vecs)")
           .as("separation_t"))
       .orderBy($"label")
+  }
+
+  /** Label-noise screening (the confident-learning signal reduced to
+    * centroids): vectors whose cosine to their OWN label centroid is
+    * beaten by some RIVAL centroid — the embeddings most likely to be
+    * mislabeled, ranked by the margin. Reuses [[labelSilhouette]]'s
+    * scored frame; the rival is the argmax over other-label centroids
+    * with (cs desc, label) determinism. Output is the review queue a
+    * labeling pipeline consumes — at 100 TB still one broadcast-centroid
+    * scan plus a per-vector window over ≤ n_labels rows.
+    */
+  def labelSuspects(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = labelCentroidScores(s, dir).localCheckpoint()
+    val intra = scored.filter($"label" === $"clabel")
+      .select($"vec_id", $"label",
+        round($"cs" * 10000).cast("long").as("intra_t"))
+    val byVec = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"clabel")
+    val rival = scored.filter($"label" =!= $"clabel")
+      .withColumn("rn", row_number().over(byVec)).filter($"rn" === 1)
+      .select($"vec_id", $"clabel".as("rival_label"),
+        round($"cs" * 10000).cast("long").as("rival_t"))
+    intra.join(rival, "vec_id")
+      .filter($"rival_t" > $"intra_t")
+      .select($"vec_id", $"label", $"rival_label",
+        $"intra_t", $"rival_t", ($"rival_t" - $"intra_t").as("margin_t"))
+      .orderBy($"vec_id")
   }
 
   /** Persist the IVF cell assignment `(vec_id, v, cid)` PARTITIONED by

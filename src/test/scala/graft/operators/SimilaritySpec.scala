@@ -478,6 +478,41 @@ class SimilaritySpec extends SparkSpec {
     assert(got.exists(_._3 < 5L) && got.exists(_._3 > 0L))
   }
 
+  test("labelSuspects: exactly the margin-positive vectors, driver recount") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val rows = graft.Tables(spark, sf, "embeddings").collect().map { r =>
+      (r.getLong(0), r.getInt(2), r.getSeq[Float](1).map(_.toDouble).toArray)
+    }
+    val cents = rows.groupBy(_._2).map { case (lbl, vs) =>
+      lbl -> Array.tabulate(vs.head._3.length) { d =>
+        vs.map(v => r0(v._3(d) * 1e6)).sum.toDouble / vs.length / 1e6
+      }
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      dp / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = rows.flatMap { case (id, lbl, v) =>
+      val it = r0(r4(cos(v, cents(lbl))) * 10000.0)
+      val (rl, rt) = cents.filter(_._1 != lbl)
+        .map { case (l, c) => (l, r0(r4(cos(v, c)) * 10000.0)) }
+        .toSeq.sortBy { case (l, t) => (-t, l) }.head
+      if (rt > it) Some((id, lbl, rl, it, rt, rt - it)) else None
+    }.sortBy(_._1)
+    val got = Similarity.labelSuspects(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === expected.toSeq)
+    // the screen separates: some vectors are suspects, most are not
+    assert(got.nonEmpty && got.length < rows.length)
+    got.foreach { case (_, lbl, rl, _, _, m) =>
+      assert(lbl != rl && m > 0L)
+    }
+  }
+
   test("labelSilhouette matches a driver fixed-point centroid recount") {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
