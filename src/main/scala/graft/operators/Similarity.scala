@@ -1181,6 +1181,28 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** The trained per-label centroids as a driver-side artifact
+    * (n_labels × dim doubles — the bounded-artifact contract): what the
+    * streaming ingest gate (`Streams.labelSuspectGate`) folds into its
+    * scan expressions.
+    */
+  def labelCentroids(s: SparkSession, dir: String): Map[Int, Array[Double]] = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"label", posexplode(vectors.toDoubleArray($"embedding"))
+        .as(Seq("d", "x")))
+      .select($"label", $"d", round($"x" * 1e6).cast("long").as("xf"))
+      .groupBy($"label", $"d")
+      .agg(sum($"xf").as("sx"), count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (lbl, rows) =>
+        val byD = rows.map(r => r.getInt(1) ->
+          (r.getLong(2).toDouble / r.getLong(3) / 1e6)).toMap
+        lbl -> Array.tabulate(byD.size)(d => byD(d))
+      }
+  }
+
   /** Label-noise screening (the confident-learning signal reduced to
     * centroids): vectors whose cosine to their OWN label centroid is
     * beaten by some RIVAL centroid — the embeddings most likely to be

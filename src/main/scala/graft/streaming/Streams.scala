@@ -363,6 +363,44 @@ object Streams {
       ()
     }
 
+  /** Streaming label-noise gate: each arriving (vec_id, embedding,
+    * label) row is scored statelessly against the FROZEN per-label
+    * centroids (trained batch-side via `Similarity.labelCentroids`,
+    * folded in as literal arrays) — rows whose own-label cosine is
+    * beaten by a rival centroid flag with the rival and the margin, the
+    * ingest-time form of `Similarity.labelSuspects`. Same fixed-point
+    * rounding as the batch screen, so streamed verdicts are integer-
+    * exact equal to batch verdicts; no state, no shuffle, wire speed.
+    */
+  def labelSuspectGate(vecs: DataFrame,
+                       centroids: Map[Int, Array[Double]]): DataFrame = {
+    import graft.functions.vectors
+    val v = vectors.toDoubleArray(col("embedding"))
+    def csT(c: Array[Double]): org.apache.spark.sql.Column =
+      round(round(vectors.cosineSimilarity(v,
+        array(c.toSeq.map(lit): _*)), 4) * 10000).cast("long")
+    val intra = centroids.foldLeft(lit(-20000L)) { case (els, (lbl, c)) =>
+      when(col("label") === lbl, csT(c)).otherwise(els)
+    }
+    // rival argmax over OTHER labels with (score desc, label asc) ties —
+    // fold in ascending label order keeping strict-greater replacements
+    val (rl0, rt0) = (lit(-1), lit(-20000L))
+    val (rivalLbl, rivalT) = centroids.toSeq.sortBy(_._1)
+      .foldLeft((rl0, rt0)) { case ((bl, bt), (lbl, c)) =>
+        val t = csT(c)
+        val better = col("label") =!= lbl && t > bt
+        (when(better, lit(lbl)).otherwise(bl), when(better, t).otherwise(bt))
+      }
+    vecs
+      .withColumn("intra_t", intra)
+      .withColumn("rival_label", rivalLbl)
+      .withColumn("rival_t", rivalT)
+      .filter(col("rival_t") > col("intra_t"))
+      .select(col("vec_id"), col("label"), col("rival_label"),
+        col("intra_t"), col("rival_t"),
+        (col("rival_t") - col("intra_t")).as("margin_t"))
+  }
+
   /** Continuously-maintained snapshot from a CDC change stream — the
     * streaming half of `Relational.applyCdc`: each micro-batch of
     * (doc_id, status, fp) changes folds into a versioned snapshot under

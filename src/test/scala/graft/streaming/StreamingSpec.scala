@@ -436,6 +436,31 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L))
   }
 
+  test("labelSuspectGate: streamed flags equal batch labelSuspects exactly") {
+    val cents = graft.operators.Similarity.labelCentroids(spark, sf)
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val input = MemoryStream[(Long, Seq[Float], Int)](spark)
+    val q = Streams.labelSuspectGate(
+        input.toDF().toDF("vec_id", "embedding", "label"), cents)
+      .writeStream.format("memory").queryName("suspect_gate_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(vecs.take(vecs.length / 2))
+    q.processAllAvailable()
+    input.addData(vecs.drop(vecs.length / 2))
+    q.processAllAvailable()
+    val streamed = spark.table("suspect_gate_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    q.stop()
+    val batch = graft.operators.Similarity.labelSuspects(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(streamed.toSeq === batch)
+    assert(batch.nonEmpty && batch.length < vecs.length)
+  }
+
   test("cdcApplySink folds change batches into a snapshot; stale ids skip") {
     val dst = java.nio.file.Files.createTempDirectory("cdc-snap").toString
     val input = MemoryStream[(Long, String, String)](spark)
