@@ -78,6 +78,7 @@ object SparkEntry {
     "q_value_deciles" -> Events.valueDeciles,
     "q_approx_quantile_audit" -> ((s, dir) => Events.approxQuantileAudit(s, dir)),
     "q_daily_anomalies" -> Events.dailyAnomalies,
+    "q_weekday_profile" -> Events.weekdayProfile,
     "q_type_transitions" -> Events.typeTransitions,
     "q_source_reconciliation" -> Relational.sourceReconciliation,
     "q_snapshot_diff" -> Relational.corpusSnapshotDiff,
@@ -2468,6 +2469,18 @@ object SparkEntry {
            CAST(base_bp + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
              AS weight_bp
          FROM w2 ORDER BY source""",
+    "q_weekday_profile" ->
+      """WITH d AS (SELECT event_type,
+           CAST(isodow(CAST(ts AS DATE)) - 1 AS INT) AS weekday
+           FROM events),
+         c AS (SELECT event_type, weekday, count(*) AS n
+           FROM d GROUP BY event_type, weekday),
+         t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+           FROM c GROUP BY event_type)
+         SELECT c.event_type, c.weekday, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n * 10000 // t.tot AS BIGINT) AS share_bp
+         FROM c JOIN t USING (event_type)
+         ORDER BY event_type, weekday""",
     "q_daily_anomalies" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
            count(*) AS n

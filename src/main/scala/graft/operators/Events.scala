@@ -227,6 +227,27 @@ object Events {
       .orderBy($"event_type", $"day")
   }
 
+  /** Weekday seasonality profile: per (event_type, ISO weekday) the
+    * event count and its share of the type's volume in exact basis
+    * points — the baseline [[dailyAnomalies]]' z-scores implicitly
+    * assume away (a Monday spike is only an anomaly against MONDAYS if
+    * traffic is weekly-seasonal; this is the one-screen check). Uses
+    * the engine's Monday=0 weekday convention (`functions.dates`); the
+    * share is an integer floor division, so the profile is hash-exact.
+    */
+  def weekdayProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byDow = Tables(s, dir, "events")
+      .groupBy($"event_type",
+        graft.functions.dates.weekdayIndex(to_date($"ts")).as("weekday"))
+      .agg(count(lit(1)).as("n"))
+    val totals = byDow.groupBy($"event_type").agg(sum($"n").as("tot"))
+    byDow.join(broadcast(totals), Seq("event_type"))
+      .select($"event_type", $"weekday".cast("int").as("weekday"), $"n",
+        expr("n * 10000 div tot").as("share_bp"))
+      .orderBy($"event_type", $"weekday")
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * counts and conditional probabilities of event_type → next
     * event_type. One lag window per user (total order on (ts, event_id)

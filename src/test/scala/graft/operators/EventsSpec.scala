@@ -190,6 +190,31 @@ class EventsSpec extends SparkSpec {
     assert(out.toSeq === expected)
   }
 
+  test("weekdayProfile: Monday=0 recount, shares floor to basis points") {
+    val got = Events.weekdayProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val events = graft.Tables(spark, sf, "events")
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0),
+        r.getTimestamp(1).toLocalDateTime.getDayOfWeek.getValue - 1))
+    val expected = events.groupBy(identity).map { case ((t, w), v) =>
+      (t, w, v.length.toLong)
+    }.toSeq
+    val totals = events.groupBy(_._1).map { case (t, v) => t -> v.length.toLong }
+    val exp = expected.map { case (t, w, n) =>
+      (t, w, n, n * 10000 / totals(t))
+    }.sortBy(e => (e._1, e._2))
+    assert(got.toSeq === exp)
+    got.foreach { case (_, w, n, bp) =>
+      assert(w >= 0 && w <= 6 && n > 0 && bp >= 0 && bp <= 10000)
+    }
+    // per-type shares sum to ~10000 (floor losses < 7 bp)
+    got.groupBy(_._1).foreach { case (t, g) =>
+      val s2 = g.map(_._4).sum
+      assert(s2 > 10000 - 7 && s2 <= 10000, s"$t share sum $s2")
+    }
+  }
+
   test("sessionOutageOverlap never plans a nested-loop or cartesian join") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.execution.joins.CartesianProductExec
