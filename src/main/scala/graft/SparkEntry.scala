@@ -139,6 +139,12 @@ object SparkEntry {
     "q_cms_audit" -> ((s, dir) => TextOps.cmsAudit(s, dir)),
     "q_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(s, dir)),
     "q_repeated_spans" -> ((s, dir) => TextOps.repeatedSpans(s, dir)),
+    "q_winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(s, dir)),
+    "q_winnow_pairs" -> ((s, dir) => TextOps.winnowPairs(s, dir)),
+    "q_temperature_mix" -> ((s, dir) => TextOps.temperatureMix(s, dir)),
+    "q_source_lang_mi" -> TextOps.sourceLangMi,
+    "q_edit_neardup" -> ((s, dir) => Dedup.editNearDupPairs(s, dir)),
+    "q_jl_recall" -> ((s, dir) => Similarity.jlRecall(s, dir)),
     // -- dedup suite (§7.4) ------------------------------------------------
     "q_dedup_exact" -> Dedup.exact,
     "q_jaccard_pairs" -> Dedup.ngramJaccardPairs,
@@ -560,6 +566,30 @@ object SparkEntry {
     * — shared by the q_span_scrub stats and q_span_scrub_clean rebuild
     * oracles.
     */
+  /** Winnowing selection CTE chain (docs → 4-gram hashes → sortable
+    * (hash ‖ 10⁹−pos) keys → window-of-4 min → decoded selections, ends
+    * at wsel(doc_id, h, pos)) — shared by the q_winnow_fingerprints and
+    * q_winnow_pairs oracles, mirroring `TextOps.winnowSelected` (k=4,
+    * w=4, rightmost-min tie rule via the reversed-position key).
+    */
+  private lazy val winnowCtes =
+    s"""docs AS (SELECT doc_id, $toks AS toks FROM documents),
+       wg AS (SELECT doc_id, i AS pos,
+           md5(array_to_string(toks[i:i+3], ' ')) AS h
+         FROM (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 3)) AS i
+           FROM docs WHERE len(toks) >= 4)),
+       wk AS (SELECT doc_id, pos,
+           h || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS kk
+         FROM wg),
+       wmin AS (SELECT doc_id, pos,
+           min(kk) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sk
+         FROM wk),
+       wsel AS (SELECT DISTINCT doc_id, substring(sk, 1, 32) AS h,
+           1000000000 - CAST(substring(sk, 33, 10) AS BIGINT) AS pos
+         FROM wmin WHERE pos >= 4)"""
+
   private lazy val spanScrubCtes =
     s"""docs AS (SELECT doc_id, $toks AS toks FROM documents),
        occ AS (SELECT doc_id, i AS st, i + 7 AS en,
@@ -2367,6 +2397,119 @@ object SparkEntry {
          SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_toks, n_spans,
            n_removed, CAST(len(toks) - n_removed AS BIGINT) AS n_kept
          FROM docs d JOIN agg USING (doc_id) ORDER BY doc_id""",
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+         w AS (SELECT lang, n_docs,
+             CAST(round(sqrt(n_docs) * 1000000.0) AS BIGINT) AS w_u FROM c),
+         t AS (SELECT CAST(sum(w_u) AS BIGINT) AS tot FROM w),
+         b AS (SELECT lang, n_docs, w_u,
+             CAST(w_u * 100000 // tot AS BIGINT) AS base,
+             CAST((w_u * 100000) % tot AS BIGINT) AS rem
+           FROM w CROSS JOIN t),
+         b2 AS (SELECT *, CAST(100000 - sum(base) OVER () AS BIGINT)
+               AS deficit,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM b)
+         SELECT lang, n_docs, w_u,
+           CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+             AS quota_docs
+         FROM b2 ORDER BY lang""",
+    "q_source_lang_mi" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY source, lang),
+         ms AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns
+           FROM cells GROUP BY source),
+         ml AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl
+           FROM cells GROUP BY lang),
+         mt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+         p AS (SELECT n, CAST(round(ln(CAST(n * nt AS DOUBLE) /
+               CAST(ns * nl AS DOUBLE)) * 1000000.0) AS BIGINT) AS pmi_u
+           FROM cells JOIN ms USING (source) JOIN ml USING (lang)
+             CROSS JOIN mt)
+         SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((sum(n * pmi_u) + 1000000 * sum(n)) // sum(n) - 1000000
+             AS BIGINT) AS mi_u
+         FROM p""",
+    "q_edit_neardup" ->
+      s"""WITH lsh AS ($minhashPairsCore),
+         t AS (SELECT doc_id, substring(text, 1, 400) AS p FROM documents),
+         sc AS (SELECT doc_a, doc_b,
+             CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
+             CAST(greatest(length(a.p), length(b.p)) AS BIGINT) AS mx
+           FROM lsh JOIN t a ON a.doc_id = lsh.doc_a
+             JOIN t b ON b.doc_id = lsh.doc_b),
+         sb AS (SELECT doc_a, doc_b, lev,
+             CAST(CASE WHEN mx = 0 THEN 10000
+               ELSE 10000 - (lev * 10000) // mx END AS BIGINT) AS sim_bp
+           FROM sc)
+         SELECT doc_a, doc_b, lev, sim_bp FROM sb
+         WHERE sim_bp >= 7000 ORDER BY doc_a, doc_b""",
+    "q_jl_recall" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         pl AS (SELECT j, list(comp ORDER BY d) AS p FROM (
+             SELECT j, d,
+               (CAST(concat('0x', substring(md5(concat(CAST(j AS VARCHAR), ':', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0 AS comp
+             FROM (SELECT unnest(generate_series(0, 15)) AS j),
+                  (SELECT unnest(generate_series(0, 63)) AS d))
+           GROUP BY j),
+         py AS (SELECT vec_id, j, CAST(list_sum(list_transform(
+               generate_series(1, 64),
+               i -> CAST(round(p[i] * v[i] * 10000.0) AS BIGINT)))
+             AS DOUBLE) AS y
+           FROM e0, pl),
+         e AS (SELECT e0.vec_id, e0.v, pp.p FROM e0 JOIN
+             (SELECT vec_id, list(y ORDER BY j) AS p FROM py
+              GROUP BY vec_id) pp ON pp.vec_id = e0.vec_id),
+         q AS (SELECT vec_id AS qid, v AS qv, p AS qp FROM e
+           WHERE vec_id < 20),
+         fl AS (SELECT qid, vec_id FROM (
+             SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(e.v, q.qv), 4) DESC,
+                   e.vec_id) AS rn
+             FROM e, q WHERE e.vec_id <> q.qid)
+           WHERE rn <= 5),
+         pr AS (SELECT qid, vec_id FROM (
+             SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(e.p, q.qp), 4) DESC,
+                   e.vec_id) AS rn
+             FROM e, q WHERE e.vec_id <> q.qid)
+           WHERE rn <= 5)
+         SELECT f.qid AS query_id, CAST(count(*) AS BIGINT) AS n_full,
+           CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_overlap,
+           round(CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 4) AS recall
+         FROM fl f LEFT JOIN pr p ON p.qid = f.qid AND p.vec_id = f.vec_id
+         GROUP BY f.qid ORDER BY query_id""",
+    "q_winnow_fingerprints" ->
+      s"""WITH $winnowCtes,
+         ng AS (SELECT doc_id, CAST(len(toks) - 3 AS BIGINT) AS n_grams
+           FROM docs WHERE len(toks) - 3 >= 4),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected
+           FROM wsel GROUP BY doc_id)
+         SELECT doc_id, n_grams, n_selected,
+           CAST(n_selected * 10000 // n_grams AS BIGINT) AS density_bp
+         FROM ng JOIN sc USING (doc_id) ORDER BY doc_id""",
+    "q_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+         sel2 AS (SELECT DISTINCT doc_id, h FROM wsel),
+         matchable AS (SELECT h FROM sel2 GROUP BY h
+           HAVING count(*) BETWEEN 2 AND 50),
+         sh AS (SELECT doc_id, h FROM sel2 JOIN matchable USING (h)),
+         cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sel
+           FROM sel2 GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared * 10000 // least(ca.n_sel, cb.n_sel) AS BIGINT)
+             AS containment_bp
+         FROM p JOIN cnt ca ON ca.doc_id = p.doc_a
+           JOIN cnt cb ON cb.doc_id = p.doc_b
+         ORDER BY doc_a, doc_b""",
     "q_span_scrub_clean" ->
       s"""WITH $spanScrubCtes,
          cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS p FROM sp),

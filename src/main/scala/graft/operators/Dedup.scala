@@ -168,6 +168,39 @@ object Dedup {
     lshPairsFromMins(mins, numHashes, rowsPerBand).orderBy($"doc_a", $"doc_b")
   }
 
+  /** Edit-distance-verified near-dup: the MinHash-LSH candidate set
+    * re-scored by LEVENSHTEIN similarity — the character-level verify a
+    * clone/plagiarism screen wants where token-set measures (Jaccard,
+    * cosine) are blind to ordering and small in-word edits. Similarity
+    * is integer basis points, 10000 − ⌊10000·lev/max(|a|,|b|)⌋, over a
+    * fixed `cap`-character prefix.
+    *
+    * The cap is the scale guard, not a shortcut: Levenshtein is
+    * O(|a|·|b|) PER PAIR, so an uncapped verify hands worst-case
+    * quadratic-in-document-length work to whichever task holds the
+    * longest candidate docs — a straggler generator at 100 TB. Capping
+    * bounds every pair at O(cap²) regardless of document length; the
+    * candidate set itself stays LSH-bounded, never corpus².
+    */
+  def editNearDupPairs(s: SparkSession, dir: String, cap: Int = 400,
+                       minSimBp: Long = 7000L): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir, "documents")
+      .select($"doc_id", substring($"text", 1, cap).as("p"))
+    minhashLshPairs(s, dir)
+      .join(t.select($"doc_id".as("doc_a"), $"p".as("pa")), "doc_a")
+      .join(t.select($"doc_id".as("doc_b"), $"p".as("pb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        levenshtein($"pa", $"pb").cast("long").as("lev"),
+        greatest(length($"pa"), length($"pb")).cast("long").as("mx"))
+      .withColumn("sim_bp",
+        when($"mx" === 0, lit(10000L))
+          .otherwise(lit(10000L) - expr("(lev * 10000) div mx")))
+      .filter($"sim_bp" >= minSimBp)
+      .select($"doc_a", $"doc_b", $"lev", $"sim_bp")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Incremental dedup probe: LSH candidates between a NEW ingest batch
     * and the already-indexed corpus — the query a daily pipeline actually
     * runs, as re-pairing the whole corpus per ingest is off the table at
@@ -491,6 +524,9 @@ object Dedup {
       .localCheckpoint()
     val nDocs = docs.count()
     val nSeeds = docs.filter($"is_seed").count()
+    require(nSeeds > 0,
+      s"evalProximityPpr: no test-split seed docs (hashSplit bucket >= 90) " +
+        s"among $nDocs documents — the teleport vector would be undefined")
     val base = 15000L * nDocs / nSeeds
     val teleport = when($"is_seed", lit(base)).otherwise(lit(0L))
     var rank = docs.select($"doc_id", $"is_seed", teleport.as("r"))
@@ -1036,7 +1072,11 @@ object Dedup {
       .agg(min($"doc_id").as("doc_a"), collect_list($"doc_id").as("members"))
       .select($"doc_a", explode($"members").as("doc_b"))
       .filter($"doc_a" < $"doc_b")
+    // localCheckpoint: dedupClusters unions the pair frame with its own
+    // flip before materializing edges — un-checkpointed, the MinHash +
+    // distinct pipeline would execute twice
     val pairs = minhashLshPairs(s, dir).unionByName(exactPairs).distinct()
+      .localCheckpoint()
     dedupClusters(pairs).orderBy($"doc_id")
   }
 

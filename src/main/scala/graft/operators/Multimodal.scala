@@ -185,9 +185,13 @@ object Multimodal {
                     planesPerBand: Int = Similarity.AutoPlanes,
                     nBands: Int = 8): DataFrame = {
     import s.implicits._
+    // localCheckpoint: dedupClusters unions the pair frame with its own
+    // flip before materializing edges — un-checkpointed, the decode +
+    // banding + exact-cosine verify pipeline would execute twice
     Similarity.embeddingClusters(s,
         mediaNearDupPairs(s, dir, threshold, planesPerBand, nBands)
-          .select($"asset_a".as("vec_a"), $"asset_b".as("vec_b")))
+          .select($"asset_a".as("vec_a"), $"asset_b".as("vec_b"))
+          .localCheckpoint())
       .select($"vec_id".as("asset_id"), $"canon_id")
   }
 

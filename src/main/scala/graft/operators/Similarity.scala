@@ -520,7 +520,10 @@ object Similarity {
     */
   def embeddingClusters(s: SparkSession, dir: String,
                         threshold: Double = 0.3): DataFrame =
-    embeddingClusters(s, embeddingNearDupPairs(s, dir, threshold))
+    // shared (checkpointed) pairs: dedupClusters unions the pair frame
+    // with its own flip before materializing edges, so an un-checkpointed
+    // pair plan would run the banding + exact-cosine verify TWICE
+    embeddingClusters(s, sharedEmbeddingPairs(s, dir, threshold))
 
   /** One banding+verify pass, materialized for fan-out — the embedding
     * twin of `Dedup.sharedLshPairs`: feed this to [[embeddingClusters]]
@@ -994,6 +997,30 @@ object Similarity {
   def powerIteration(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     import s.implicits._
     val e = embDouble(s, dir).localCheckpoint()
+    val (vu, norm2) = powerDirection(s, e, iters)
+    // the oracle carries norm2 through a HUGEINT→BIGINT cast that ERRORS
+    // on overflow; match that contract instead of silently wrapping
+    require(norm2.isValidLong,
+      s"powerIteration: exact norm² $norm2 exceeds Long range — " +
+        "rescale the fixed-point unit before emitting norm2_p")
+    val rows = (0 until 64).map { d =>
+      (d + 1, vu(d), norm2.toLong)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1))
+      .toDF("d", "v_u", "norm2_p")
+      .select($"d".cast("int").as("d"), $"v_u", $"norm2_p")
+      .orderBy($"d")
+  }
+
+  /** The power-iteration loop — ONE implementation of the numerically
+    * delicate body (fixed-point matvec, HALF_UP renormalization to match
+    * SQL round(); math.rint would half-even), shared by
+    * [[powerIteration]] and [[anisotropyReport]]. Returns the direction
+    * in micro-units plus the FINAL round's exact integer Σt².
+    */
+  private def powerDirection(s: SparkSession, e: DataFrame,
+                             iters: Int): (Array[Long], BigInt) = {
+    import s.implicits._
     var vu = Array.fill(64)(125000L) // v0 = 1/8 per dim: exact binary, unit norm
     var norm2: BigInt = null
     for (_ <- 1 to iters) {
@@ -1006,40 +1033,10 @@ object Similarity {
       val td = (0 until 64).map(d => t.getOrElse(d, 0L)).toArray
       norm2 = td.map(x => BigInt(x) * BigInt(x)).sum
       val nrm = math.sqrt(norm2.toDouble)
-      // HALF_UP to match SQL round() (math.rint would half-even)
       vu = td.map(x => BigDecimal(x / nrm * 1e6)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
     }
-    val rows = (0 until 64).map { d =>
-      (d + 1, vu(d), norm2.toLong)
-    }
-    s.createDataFrame(s.sparkContext.parallelize(rows, 1))
-      .toDF("d", "v_u", "norm2_p")
-      .select($"d".cast("int").as("d"), $"v_u", $"norm2_p")
-      .orderBy($"d")
-  }
-
-  /** The power-iteration direction as driver-side micro-units — shared
-    * by [[powerIteration]]'s output and [[anisotropyReport]].
-    */
-  private def powerDirection(s: SparkSession, e: DataFrame,
-                             iters: Int): Array[Long] = {
-    import s.implicits._
-    var vu = Array.fill(64)(125000L)
-    for (_ <- 1 to iters) {
-      val vArr = array(vu.toSeq.map(u => lit(u.toDouble / 1e6)): _*)
-      val t = e.select($"v", vectors.dot($"v", vArr).as("sc"))
-        .select(posexplode($"v").as(Seq("d", "x")), $"sc")
-        .groupBy($"d")
-        .agg(sum(round($"x" * $"sc" * 1e6).cast("long")).as("t"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val td = (0 until 64).map(d => t.getOrElse(d, 0L)).toArray
-      val norm2 = td.map(x => BigInt(x) * BigInt(x)).sum
-      val nrm = math.sqrt(norm2.toDouble)
-      vu = td.map(x => BigDecimal(x / nrm * 1e6)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
-    }
-    vu
+    (vu, norm2)
   }
 
   /** Embedding-space anisotropy report (Mu & Viswanath 2018, "All but
@@ -1062,7 +1059,7 @@ object Similarity {
       .groupBy($"d").agg(sum(round($"x" * 1e6).cast("long")).as("sx"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val mu = (0 until 64).map(d => sums.getOrElse(d, 0L).toDouble / n / 1e6).toArray
-    val vu = powerDirection(s, e, iters)
+    val (vu, _) = powerDirection(s, e, iters)
     val v = vu.map(_.toDouble / 1e6)
     def r0(x: Double): Long =
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
@@ -1094,9 +1091,21 @@ object Similarity {
   def matryoshkaRecall(s: SparkSession, dir: String, prefixDim: Int = 16,
                        nQueries: Int = 20, k: Int = 5): DataFrame = {
     import s.implicits._
-    val e = embDouble(s, dir)
-      .select($"vec_id", $"v", slice($"v", 1, prefixDim).as("p"))
-      .localCheckpoint() // probe set + both scored scans read it
+    reducedRecallCore(embDouble(s, dir)
+      .select($"vec_id", $"v", slice($"v", 1, prefixDim).as("p")),
+      nQueries, k)
+  }
+
+  /** Top-k recall of a REDUCED representation `p` against the full
+    * vector `v` — the audit core shared by [[matryoshkaRecall]] (prefix
+    * slice) and [[jlRecall]] (random projection): per probe, how much of
+    * the full-dim cosine top-k the reduced-space cosine top-k recovers.
+    */
+  private def reducedRecallCore(e0: DataFrame, nQueries: Int,
+                                k: Int): DataFrame = {
+    val s = e0.sparkSession
+    import s.implicits._
+    val e = e0.localCheckpoint() // probe set + both scored scans read it
     val queries = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"p".as("qp"))
     val byQuery = Window.partitionBy($"qid").orderBy($"cs".desc, $"vec_id")
@@ -1122,6 +1131,40 @@ object Similarity {
         round($"n_overlap".cast("double") / $"n_full", 4).as("recall"))
       .orderBy($"query_id")
   }
+
+  /** Johnson-Lindenstrauss projection recall audit: how much of the
+    * full-dimension cosine top-k survives a dense random projection to
+    * `projDim` dimensions — the acceptance gate for serving projected
+    * embeddings (JL: pairwise geometry is preserved to 1±ε with
+    * projDim = O(ln n / ε²); this measures the actual ε the corpus
+    * pays). Planes reuse the [[planeComponent]] md5 scheme, so the
+    * projection matrix is reproducible anywhere with no stored artifact.
+    *
+    * Cross-engine exactness: each projected coordinate is a per-term
+    * fixed-point integer sum — round(plane·v·10⁴) summed over dims — so
+    * the projected vectors are integer-valued doubles whose cosine
+    * dot/norm terms stay exactly representable (|coord| ≤ 6.4·10⁵ at
+    * unit-norm inputs → squared sums < 2⁵³), making the rounded cosine
+    * bit-identical in Spark and the SQL oracle.
+    */
+  /** The JL-projected corpus (vec_id, v, p) — the reduced frame
+    * [[jlRecall]] audits; exposed for the spec's sequential replay.
+    */
+  private[graft] def jlProjection(s: SparkSession, dir: String,
+                                  projDim: Int = 16): DataFrame = {
+    import s.implicits._
+    val proj = array((0 until projDim).map { j =>
+      (0 until 64).map { d =>
+        round(lit(planeComponent(j, d)) * element_at($"v", d + 1) * 1e4)
+          .cast("long")
+      }.reduce(_ + _).cast("double")
+    }: _*)
+    embDouble(s, dir).select($"vec_id", $"v", proj.as("p"))
+  }
+
+  def jlRecall(s: SparkSession, dir: String, projDim: Int = 16,
+               nQueries: Int = 20, k: Int = 5): DataFrame =
+    reducedRecallCore(jlProjection(s, dir, projDim), nQueries, k)
 
   /** Embedding-space label cohesion audit (a silhouette-lite): per
     * label, the mean cosine of members to their OWN label centroid vs

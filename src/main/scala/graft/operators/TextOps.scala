@@ -1025,6 +1025,144 @@ object TextOps {
       .orderBy($"rk")
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS document-fingerprinting algorithm): hash
+    * every k-token shingle, slide a window of `w` consecutive hashes,
+    * and SELECT each window's minimum, rightmost on ties. The paper's
+    * guarantee carries over verbatim: any token run of length ≥ w+k−1
+    * shared by two documents contributes at least one selected
+    * fingerprint to BOTH — so matching on the selected set (expected
+    * density 2/(w+1)) never misses a long shared passage, at a fraction
+    * of the full shingle index's size.
+    *
+    * Cross-engine determinism: the (hash, rightmost-position) argmin is
+    * encoded as ONE sortable string key — md5-hex ‖ zero-padded
+    * (10⁹ − pos) — so a plain min() window aggregate performs the
+    * selection identically in Spark and the SQL oracle; no
+    * min_by/tie-break seam between engines.
+    *
+    * Scale: selection is a single window function over (doc_id, pos) —
+    * one shuffle key, O(w) frame per row; everything downstream sees
+    * only the ~2/(w+1)-density selected set.
+    */
+  private[graft] def winnowSelectedFrom(docs: DataFrame, k: Int,
+                                        w: Int): DataFrame = {
+    val g = docs
+      .select(col("doc_id"),
+        posexplode(text.shinglesFromTokens(text.tokensLower(col("text")), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), md5(col("col")).as("h"))
+    val key = concat(col("h"),
+      lpad((lit(1000000000) - col("pos")).cast("string"), 10, "0"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    g.withColumn("sk", min(key).over(frame))
+      .filter(col("pos") >= w)
+      .select(col("doc_id"), substring(col("sk"), 1, 32).as("h"),
+        (lit(1000000000) - substring(col("sk"), 33, 10).cast("long")).as("pos"))
+      .distinct()
+  }
+
+  private[graft] def winnowSelected(s: SparkSession, dir: String, k: Int,
+                                    w: Int): DataFrame =
+    winnowSelectedFrom(docsFanned(s, dir), k, w)
+
+  /** Per-document winnowing profile: shingle count, selected-fingerprint
+    * count, and selection density in basis points — the sizing read
+    * (expected density 2/(w+1) ≈ 4000 bp at w=4) taken before building
+    * the fingerprint index. Docs with fewer than `w` shingles select
+    * nothing and drop, mirroring the windowed selection's domain.
+    */
+  def winnowFingerprints(s: SparkSession, dir: String, k: Int = 4,
+                         w: Int = 4): DataFrame = {
+    import s.implicits._
+    val sel = winnowSelected(s, dir, k, w)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_selected"))
+    docsFanned(s, dir)
+      .select($"doc_id",
+        (size(text.tokensLower($"text")) - k + 1).cast("long").as("n_grams"))
+      .filter($"n_grams" >= w)
+      .join(sel, "doc_id")
+      .select($"doc_id", $"n_grams", $"n_selected",
+        expr("n_selected * 10000 div n_grams").as("density_bp"))
+      .orderBy($"doc_id")
+  }
+
+  /** MOSS-style match pairs over the winnowed fingerprint sets: documents
+    * sharing ≥ `minShared` distinct selected fingerprints, scored by
+    * containment against the smaller set. Fingerprints selected by more
+    * than `maxDf` documents are dropped before pairing (the paper's
+    * over-common-fingerprint screen — boilerplate k-grams would
+    * otherwise pair everything with everything); the remaining bucket
+    * join is df-bounded, never corpus².
+    */
+  def winnowPairs(s: SparkSession, dir: String, k: Int = 4, w: Int = 4,
+                  maxDf: Long = 50L, minShared: Long = 2L): DataFrame = {
+    import s.implicits._
+    // (doc, fingerprint) support set — df screen + both join sides + the
+    // per-doc counts all read it, so materialize the windowed selection once
+    val sel = winnowSelected(s, dir, k, w)
+      .select($"doc_id", $"h").distinct().localCheckpoint()
+    val matchable = sel.groupBy($"h")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= maxDf)
+      .select($"h")
+    val sh = sel.join(matchable, "h")
+    val counts = sel.groupBy($"doc_id").agg(count(lit(1)).as("n_sel"))
+    sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+      .join(counts.select($"doc_id".as("doc_a"), $"n_sel".as("na")), "doc_a")
+      .join(counts.select($"doc_id".as("doc_b"), $"n_sel".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"n_shared",
+        expr("n_shared * 10000 div least(na, nb)").as("containment_bp"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Persist the winnowed fingerprint set as a bucketed table keyed by
+    * fingerprint hash — the stored index the streaming probe
+    * (`Streams.winnowProbeSink`) joins arriving documents against. Only
+    * the ~2/(w+1)-density selected set is stored (the winnowing win over
+    * a full shingle index), and the (h)-bucketed layout means probe
+    * joins never shuffle the index side.
+    */
+  def writeWinnowIndex(s: SparkSession, dir: String, table: String,
+                       k: Int = 4, w: Int = 4, nBuckets: Int = 8): Unit =
+    writeWinnowIndexFrom(docsFanned(s, dir), table, k, w, nBuckets)
+
+  /** [[writeWinnowIndex]] over an arbitrary (doc_id, text) frame —
+    * e.g. a corpus slice standing in for "everything indexed so far".
+    */
+  def writeWinnowIndexFrom(docs: DataFrame, table: String, k: Int = 4,
+                           w: Int = 4, nBuckets: Int = 8): Unit =
+    winnowSelectedFrom(docs, k, w)
+      .select(col("doc_id"), col("h")).distinct()
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "h").sortBy("h")
+      .saveAsTable(table)
+
+  /** Build-once memo for the stored winnow index (the
+    * `Dedup.bandIndexFor` convention: name keyed on dir + corpus stamp +
+    * scheme, so distinct corpora and schemes never collide).
+    */
+  private[graft] def winnowIndexFor(s: SparkSession, dir: String,
+                                    k: Int = 4, w: Int = 4): DataFrame = {
+    val key = Seq(dir, Dedup.corpusStamp(s, dir, "documents"),
+      "winnow", k, w).mkString("|")
+    val table = "graft_winnow_index_" + java.security.MessageDigest
+      .getInstance("MD5").digest(key.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    Dedup.indexBuildLock.synchronized {
+      if (!s.catalog.tableExists(table)) {
+        Dedup.dropStaleLocation(s, table)
+        writeWinnowIndex(s, dir, table, k, w)
+      }
+    }
+    s.table(table)
+  }
+
   /** Cross-document duplicated-span scrub (the span-level exact dedup of
     * Lee et al. 2021, "Deduplicating Training Data Makes Language Models
     * Better"): token positions covered by any `n`-gram that ALSO occurs
@@ -1046,27 +1184,8 @@ object TextOps {
     */
   def spanScrub(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
     import s.implicits._
-    val docs = docsFanned(s, dir)
-      .select($"doc_id", text.tokensLower($"text").as("toks"))
-      .localCheckpoint() // occurrence explode + final n_toks join read it
-    val occ = docs
-      .select($"doc_id", posexplode(text.shinglesFromTokens($"toks", n)))
-      .select($"doc_id", ($"pos" + 1).as("st"), ($"pos" + n).as("en"),
-        md5($"col").as("h"))
-    val dup = occ.groupBy($"h")
-      .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2)
-      .select($"h")
-    val iv = occ.join(dup, "h").select($"doc_id", $"st", $"en")
-    val byDoc = Window.partitionBy($"doc_id").orderBy($"st")
-    val prevMax = max($"en")
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = iv
-      .withColumn("newi",
-        when($"st" > coalesce(prevMax, lit(-1)), 1L).otherwise(0L))
-      .withColumn("isl",
-        sum($"newi").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy($"doc_id", $"isl")
-      .agg(min($"st").as("s"), max($"en").as("e"))
+    val docs = spanScrubDocs(s, dir)
+    val spans = mergedDupSpans(docs, n)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_spans"), sum($"e" - $"s" + 1).as("n_removed"))
     docs.select($"doc_id", size($"toks").cast("long").as("n_toks"))
@@ -1075,6 +1194,44 @@ object TextOps {
         $"n_removed".cast("long").as("n_removed"),
         ($"n_toks" - $"n_removed").cast("long").as("n_kept"))
       .orderBy($"doc_id")
+  }
+
+  /** Tokenized corpus for the span-scrub family, checkpointed once —
+    * occurrence explode + the final n_toks/rebuild legs all read it.
+    */
+  private def spanScrubDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsFanned(s, dir)
+      .select($"doc_id", text.tokensLower($"text").as("toks"))
+      .localCheckpoint()
+  }
+
+  /** The merged removed-span frame (doc_id, s, e) shared by [[spanScrub]]
+    * and [[spanScrubClean]] — occurrence list, duplicated-shingle screen,
+    * gaps-and-islands interval merge. ONE implementation mirroring the
+    * single `spanScrubCtes` factoring on the oracle side, so a semantics
+    * tweak (span bounds, island condition) lands in exactly one place
+    * per engine.
+    */
+  private def mergedDupSpans(docs: DataFrame, n: Int): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), posexplode(text.shinglesFromTokens(col("toks"), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("st"), (col("pos") + n).as("en"),
+        md5(col("col")).as("h"))
+    val dup = occ.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") >= 2)
+      .select(col("h"))
+    val iv = occ.join(dup, "h").select(col("doc_id"), col("st"), col("en"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+    val prevMax = max(col("en"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    iv
+      .withColumn("newi",
+        when(col("st") > coalesce(prevMax, lit(-1)), 1L).otherwise(0L))
+      .withColumn("isl",
+        sum(col("newi")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("st")).as("s"), max(col("en")).as("e"))
   }
 
   /** Model-based quality FILTER over the whole corpus — the deployed
@@ -1308,27 +1465,8 @@ object TextOps {
     */
   def spanScrubClean(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
     import s.implicits._
-    val docs = docsFanned(s, dir)
-      .select($"doc_id", text.tokensLower($"text").as("toks"))
-      .localCheckpoint() // occurrences + token rebuild both read it
-    val occ = docs
-      .select($"doc_id", posexplode(text.shinglesFromTokens($"toks", n)))
-      .select($"doc_id", ($"pos" + 1).as("st"), ($"pos" + n).as("en"),
-        md5($"col").as("h"))
-    val dup = occ.groupBy($"h")
-      .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2)
-      .select($"h")
-    val iv = occ.join(dup, "h").select($"doc_id", $"st", $"en")
-    val byDoc = Window.partitionBy($"doc_id").orderBy($"st")
-    val prevMax = max($"en")
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val covered = iv
-      .withColumn("newi",
-        when($"st" > coalesce(prevMax, lit(-1)), 1L).otherwise(0L))
-      .withColumn("isl",
-        sum($"newi").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy($"doc_id", $"isl")
-      .agg(min($"st").as("s"), max($"en").as("e"))
+    val docs = spanScrubDocs(s, dir)
+    val covered = mergedDupSpans(docs, n)
       .select($"doc_id", explode(sequence($"s", $"e")).as("p"))
     val toks = docs
       .select($"doc_id", posexplode($"toks").as(Seq("p0", "tok")))
@@ -1346,6 +1484,82 @@ object TextOps {
         size($"kept").cast("long").as("n_kept"),
         array_join(transform($"kept", x => x("tok")), " ").as("clean_text"))
       .orderBy($"doc_id")
+  }
+
+  /** Temperature-scaled language rebalancing — the multilingual sampling
+    * rule of mBERT/XLM-R (Conneau et al. 2020: p_l ∝ n_l^α, α = 1/T):
+    * upweight low-resource languages, downweight the head, and emit an
+    * integer per-language sampling quota for a fixed document budget.
+    *
+    * α is FIXED at 1/2 (T = 2) deliberately: n^0.5 = sqrt(n), and IEEE
+    * 754 requires sqrt to be correctly rounded — so the weights agree
+    * bit-for-bit in every engine, where a general pow(n, α) carries no
+    * such guarantee and could flip a rounded micro-unit. Weights are
+    * micro-units (round(sqrt(n)·10⁶)); quotas are Hamilton-apportioned
+    * (floor share + largest remainder, the [[mixtureReweight]]
+    * discipline) so they sum to the budget EXACTLY.
+    *
+    * Scale: one groupBy over the corpus; everything after runs on
+    * |languages| rows.
+    */
+  def temperatureMix(s: SparkSession, dir: String,
+                     budget: Long = 100000L): DataFrame = {
+    import s.implicits._
+    val byLang = Tables(s, dir, "documents")
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_u", round(sqrt($"n_docs") * 1e6).cast("long"))
+    val tot = byLang.agg(sum($"w_u").as("tot"))
+    val wAll = Window.partitionBy(lit(1))
+    val wRem = Window.partitionBy(lit(1)).orderBy($"rem".desc, $"lang")
+    byLang.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"w_u * $budget div tot"))
+      .withColumn("rem", expr(s"(w_u * $budget) % tot"))
+      .withColumn("deficit", lit(budget) - sum($"base").over(wAll))
+      .withColumn("rk", row_number().over(wRem))
+      .select($"lang", $"n_docs", $"w_u",
+        ($"base" + when($"rk" <= $"deficit", 1L).otherwise(0L))
+          .as("quota_docs"))
+      .orderBy($"lang")
+  }
+
+  /** Source ↔ language mutual information — how much knowing a
+    * document's source tells you about its language (and vice versa), in
+    * micro-nats. The one-number answer to "are my sources linguistically
+    * redundant": MI ≈ 0 says language mix is uniform across sources (a
+    * source-stratified sample is also language-balanced); MI near H(lang)
+    * says sources ARE languages and sampling one collapses the other.
+    *
+    * Determinism: every probability is a ratio of exact counts; each
+    * cell's ln term is fixed-pointed to 1e-6 AT THE CELL (the
+    * [[surprisalPerDoc]] discipline — |sources|·|langs| ln calls over
+    * identical doubles, never per doc), then the MI is an exact integer
+    * sum of per-cell contributions weighted by cell counts, floor-divided
+    * by the doc total once.
+    */
+  def sourceLangMi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables(s, dir, "documents")
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // marginals + cell scan all read it
+    val bySrc = cells.groupBy($"source").agg(sum($"n").as("ns"))
+    val byLang = cells.groupBy($"lang").agg(sum($"n").as("nl"))
+    val tot = cells.agg(sum($"n").as("nt"))
+    // pmi_u = round(ln(n·nt / (ns·nl)) · 1e6) — one ln per CELL; the
+    // argument is a ratio of exact integer products (n ≤ ~1e9 · nt fits
+    // a double exactly well past any real source×lang cardinality)
+    cells.join(broadcast(bySrc), "source").join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_u",
+        round(log(($"n" * $"nt").cast("double") /
+          ($"ns" * $"nl").cast("double")) * 1e6).cast("long"))
+      .agg(sum($"n").cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_cells"),
+        // non-negative-shifted floor division: true MI ≥ 0, but per-cell
+        // rounding could nudge the integer sum below zero, where Spark's
+        // div truncs toward zero and SQL's // floors — shift by 1e6·N so
+        // the dividend is provably non-negative in both engines
+        expr("(sum(n * pmi_u) + 1000000 * sum(n)) div sum(n) - 1000000")
+          .as("mi_u"))
   }
 
   /** Data selection via importance resampling (DSIR, Xie et al. 2023):

@@ -405,29 +405,49 @@ object Streams {
     * streaming half of `Relational.applyCdc`: each micro-batch of
     * (doc_id, status, fp) changes folds into a versioned snapshot under
     * `snapshotDir`, readers resolving the current version through a tiny
-    * `_cdc_meta` pointer that is swapped atomically AFTER the new
-    * snapshot commits (write-new-then-rename, the `_pack_state`
-    * discipline — a crash leaves the previous version visible, never
-    * half a batch). Replayed micro-batches (id ≤ committed) are skipped
-    * whole, and the per-batch apply drops EVERY changed key from the
-    * base before re-adding upserts, so even a crash between data and
-    * meta commits replays to the identical snapshot (idempotent apply,
-    * not just idempotent skip).
+    * VERSIONED meta pointer `_cdc_meta_<batchId>` written AFTER the new
+    * snapshot commits. Meta versions are resolved by max batch id (only
+    * dirs carrying Spark's `_SUCCESS` commit marker count) and older
+    * versions are deleted only after the new one is fully visible — so
+    * there is no delete-then-rename window: a crash at ANY point leaves
+    * at least one committed meta resolving to a complete snapshot.
+    * Replayed micro-batches (id ≤ committed) are skipped whole, and the
+    * per-batch apply drops EVERY changed key from the base before
+    * re-adding upserts, so even a crash between data and meta commits
+    * replays to the identical snapshot (idempotent apply, not just
+    * idempotent skip).
     */
+  private val CdcMetaPrefix = "_cdc_meta_"
+
+  /** Resolve the committed (snapshot dir, batch id) under `root`: the
+    * max-id `_cdc_meta_<id>` dir that Spark fully committed (`_SUCCESS`
+    * present). None when no committed meta exists yet.
+    */
+  private def resolveCdcMeta(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path)
+      : Option[(String, Long)] = {
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith(CdcMetaPrefix))
+      .filter(p => p.getName.drop(CdcMetaPrefix.length).forall(_.isDigit) &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(p => (p, p.getName.drop(CdcMetaPrefix.length).toLong))
+      .toSeq.sortBy(-_._2).headOption
+      .map { case (p, id) => (s"snap_$id", id) }
+  }
+
   def cdcApplySink(changes: DataFrame, snapshotDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val hconf = spark.sparkContext.hadoopConfiguration
       val root = new org.apache.hadoop.fs.Path(snapshotDir)
-      val metaP = new org.apache.hadoop.fs.Path(root, "_cdc_meta")
-      val fs = metaP.getFileSystem(hconf)
-      val (cur, committedId) =
-        if (!fs.exists(metaP)) (None: Option[String], -1L)
-        else {
-          val r = spark.read.parquet(metaP.toString).collect().head
-          (Some(r.getString(0)), r.getLong(1))
-        }
+      val fs = root.getFileSystem(hconf)
+      val resolved = resolveCdcMeta(fs, root)
+      val cur = resolved.map(_._1)
+      val committedId = resolved.map(_._2).getOrElse(-1L)
       if (batchId > committedId) {
         val b = batch.select(col("doc_id"), col("status"), col("fp"))
           .localCheckpoint() // key anti-join + upsert leg both read it
@@ -448,13 +468,24 @@ object Streams {
         val vdir = s"snap_$batchId"
         next.write.mode("overwrite")
           .parquet(new org.apache.hadoop.fs.Path(root, vdir).toString)
-        val tmp = new org.apache.hadoop.fs.Path(root, "_cdc_meta_tmp")
+        // versioned meta: write the NEW pointer first (its own dir — no
+        // rename over the old one), then retire older pointers and their
+        // snapshots. Crash before the new meta commits → old meta still
+        // resolves; crash mid-cleanup → max-id resolution still picks the
+        // new one and the next batch re-retires the stragglers.
+        val metaP = new org.apache.hadoop.fs.Path(root, s"$CdcMetaPrefix$batchId")
         spark.createDataFrame(Seq((vdir, batchId))).toDF("dir", "batch_id")
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(metaP)) fs.delete(metaP, true)
-        fs.rename(tmp, metaP)
-        cur.filter(_ != vdir).foreach(d =>
-          fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
+          .coalesce(1).write.mode("overwrite").parquet(metaP.toString)
+        fs.listStatus(root).iterator.map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            (n.startsWith(CdcMetaPrefix) &&
+              n.drop(CdcMetaPrefix.length).forall(_.isDigit) &&
+              n.drop(CdcMetaPrefix.length).toLong < batchId) ||
+            (n.startsWith("snap_") &&
+              n.drop(5).forall(_.isDigit) && n.drop(5).toLong < batchId)
+          }
+          .foreach(p => fs.delete(p, true))
       }
       ()
     }
@@ -463,10 +494,11 @@ object Streams {
   def readCdcSnapshot(s: org.apache.spark.sql.SparkSession,
                       snapshotDir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(snapshotDir)
-    val meta = s.read.parquet(
-      new org.apache.hadoop.fs.Path(root, "_cdc_meta").toString).collect().head
-    s.read.parquet(
-      new org.apache.hadoop.fs.Path(root, meta.getString(0)).toString)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (vdir, _) = resolveCdcMeta(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed _cdc_meta_<id> under $snapshotDir"))
+    s.read.parquet(new org.apache.hadoop.fs.Path(root, vdir).toString)
   }
 
   /** Stream-vs-stored-index dedup probe: arriving documents are banded
@@ -507,6 +539,43 @@ object Streams {
       ()
     }
   }
+
+  /** Stream-vs-stored-winnow-index match probe — the MOSS serving path:
+    * arriving documents are winnowed in-batch (the same selection the
+    * batch `TextOps.winnowSelected` computes — windowed min inside
+    * foreachBatch, per-doc state only) and their SELECTED fingerprints
+    * join the PERSISTED h-bucketed winnow index
+    * (`TextOps.writeWinnowIndex`); pairs sharing ≥ `minShared`
+    * fingerprints emit as (new_doc, index_doc, n_shared) candidates.
+    * Because winnowing guarantees any w+k−1-token shared run selects a
+    * common fingerprint, the stream probe inherits the batch guarantee:
+    * a long passage copied from an indexed doc cannot arrive unnoticed.
+    * The idempotent anti-join append means replayed micro-batches never
+    * duplicate candidates.
+    */
+  def winnowProbeSink(docs: DataFrame, index: DataFrame, targetDir: String,
+                      k: Int = 4, w: Int = 4, minShared: Long = 2L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val cand = graft.operators.TextOps
+        .winnowSelectedFrom(batch.select(col("doc_id"), col("text")), k, w)
+        .select(col("doc_id").as("new_doc"), col("h")).distinct()
+        .join(index.select(col("doc_id").as("index_doc"), col("h")), Seq("h"))
+        .groupBy(col("new_doc"), col("index_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+      val hPath = new org.apache.hadoop.fs.Path(targetDir)
+      val exists = hPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(hPath)
+      val out =
+        if (!exists) cand
+        else cand.join(spark.read.parquet(targetDir)
+            .select(col("new_doc"), col("index_doc")),
+          Seq("new_doc", "index_doc"), "left_anti")
+      out.write.mode("append").parquet(targetDir)
+      ()
+    }
 
   /** Embedding index serving path — the vector twin of
     * [[indexProbeSink]]: arriving vectors band in-row with the SAME
@@ -588,7 +657,12 @@ object Streams {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
-      val q = batch.select(col("query_id"), col("terms"))
+      // array_distinct first: the batch path (TextOps.keywordSearchIndexed)
+      // counts DISTINCT matched terms, so a query carrying duplicate terms
+      // must neither inflate the conjunctive size(terms) bar nor
+      // double-count tf into the score
+      val q = batch.select(col("query_id"),
+          array_distinct(col("terms")).as("terms"))
         .localCheckpoint() // term union + probe join both read the batch
       val allTerms = q.select(explode(col("terms")).as("tok"))
         .distinct().collect().map(_.getString(0)).toSeq

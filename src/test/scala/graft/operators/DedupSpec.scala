@@ -491,4 +491,47 @@ class DedupSpec extends SparkSpec {
     }
     assert(rescued, "fixture has no cross-split dup family; test is vacuous")
   }
+
+  /** Sequential Wagner-Fischer edit distance — the reference the
+    * distributed Levenshtein verify must reproduce pair-for-pair.
+    */
+  private def editDist(a: String, b: String): Int = {
+    val prev = Array.range(0, b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      var diag = prev(0); prev(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val t = prev(j)
+        prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+          diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        diag = t
+        j += 1
+      }
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  test("editNearDupPairs: scores match a sequential Wagner-Fischer replay " +
+       "over the LSH candidate set") {
+    import spark.implicits._
+    val texts = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val cands = Dedup.minhashLshPairs(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(cands.nonEmpty)
+    val expected = cands.flatMap { case (a, b) =>
+      val pa = texts(a).take(400); val pb = texts(b).take(400)
+      val lev = editDist(pa, pb).toLong
+      val mx = math.max(pa.length, pb.length).toLong
+      val sim = if (mx == 0) 10000L else 10000L - lev * 10000L / mx
+      if (sim >= 7000L) Some((a, b) -> (lev, sim)) else None
+    }.toMap
+    val got = Dedup.editNearDupPairs(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture has no edit-near-dup pair; test is vacuous")
+  }
 }

@@ -587,4 +587,37 @@ class SimilaritySpec extends SparkSpec {
     // every other codebook vector scores a strictly positive ADC distance
     assert(self.filter(_.getLong(0) < 16L).forall(_.getLong(1) > 0L))
   }
+
+  test("jlRecall: one row per probe, n_full = k, recall consistent and " +
+       "deterministic; projection matches a sequential fixed-point replay") {
+    val rows = Similarity.jlRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length === 20)
+    rows.foreach { case (_, nFull, nOv, rec) =>
+      assert(nFull === 5L)
+      assert(nOv >= 0L && nOv <= nFull)
+      assert(rec === nOv.toDouble / nFull)
+    }
+    val again = Similarity.jlRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === again.toSeq)
+    // the projection itself: replay one vector's 16 coordinates
+    // sequentially with the same per-term fixed-pointing
+    import spark.implicits._
+    val (vid, v) = graft.Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().minBy(_._1)
+    val expected = (0 until 16).map { j =>
+      (0 until 64).map { d =>
+        // Spark round() = BigDecimal.valueOf (shortest repr) HALF_UP
+        java.math.BigDecimal.valueOf(
+            Similarity.planeComponent(j, d) * v(d).toDouble * 1e4)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      }.sum.toDouble
+    }
+    val got = Similarity.jlProjection(spark, sf)
+      .filter($"vec_id" === vid)
+      .select($"p").as[Array[Double]].head().toSeq
+    assert(got === expected)
+  }
 }

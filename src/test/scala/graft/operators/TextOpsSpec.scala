@@ -1117,4 +1117,52 @@ class TextOpsSpec extends SparkSpec {
       assert(nChars === letters(id))
     }
   }
+
+  test("temperatureMix: quotas sum to the budget exactly, follow sqrt " +
+       "weights, and flatten the head/tail ratio") {
+    import spark.implicits._
+    val budget = 100000L
+    val rows = TextOps.temperatureMix(spark, sf, budget)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length >= 2)
+    assert(rows.map(_._4).sum === budget)
+    rows.foreach { case (_, n, wU, quota) =>
+      assert(wU === java.math.BigDecimal.valueOf(math.sqrt(n.toDouble) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+      // quota within 1 of the exact real share (Hamilton property)
+      val tot = rows.map(_._3).sum
+      val exact = wU.toDouble * budget / tot
+      assert(math.abs(quota - exact) < 1.0 + 1e-9, s"quota $quota vs $exact")
+    }
+    // temperature flattening: head/tail doc ratio strictly exceeds the
+    // head/tail quota ratio whenever the corpus is imbalanced
+    val byN = rows.sortBy(_._2)
+    val (tail, head) = (byN.head, byN.last)
+    if (head._2 > tail._2)
+      assert(head._2.toDouble / tail._2 >
+        head._4.toDouble / tail._4 - 1e-9)
+  }
+
+  test("sourceLangMi matches an exact sequential replay and is " +
+       "non-negative on real data") {
+    import spark.implicits._
+    val cells = graft.Tables(spark, sf, "documents")
+      .groupBy($"source", $"lang").count()
+      .as[(String, String, Long)].collect()
+    val ns = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nl = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val nt = cells.map(_._3).sum
+    val num = cells.map { case (src, lang, n) =>
+      val pmiU = java.math.BigDecimal.valueOf(
+          math.log((n * nt).toDouble / (ns(src) * nl(lang)).toDouble) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      n * pmiU
+    }.sum
+    val expectedMi = (num + 1000000L * nt) / nt - 1000000L
+    val row = TextOps.sourceLangMi(spark, sf).as[(Long, Long, Long)].head()
+    assert(row._1 === nt)
+    assert(row._2 === cells.length.toLong)
+    assert(row._3 === expectedMi)
+    assert(row._3 >= -1L) // true MI >= 0; rounding can shave at most ~1e-6
+  }
 }

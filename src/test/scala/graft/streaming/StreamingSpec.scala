@@ -270,6 +270,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "degenerate test: no candidate pairs at this SF")
   }
 
+  test("winnow probe stream equals the batch fingerprint join on identical docs") {
+    val dst = java.nio.file.Files.createTempDirectory("winnow-out").toString + "/pairs"
+    val ckpt = java.nio.file.Files.createTempDirectory("winnow-ckpt").toString
+    // index = 3-of-4 of the corpus; stream = the held-out quarter
+    val indexPred = col("doc_id") % 4 =!= 3
+    val table = "winnow_probe_spec_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    graft.operators.TextOps.writeWinnowIndexFrom(
+      graft.Tables(spark, sf, "documents").filter(indexPred), table)
+    val index = spark.table(table)
+    val streamDocs = graft.Tables(spark, sf, "documents")
+      .filter(!indexPred).select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.winnowProbeSink(
+        input.toDF().toDF("doc_id", "text"), index, dst)
+      .option("checkpointLocation", ckpt).start()
+    streamDocs.grouped(math.max(streamDocs.length / 2, 1)).foreach { g =>
+      input.addData(g); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.read.parquet(dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    // batch reference: the same winnowed fingerprints joined batch-side
+    val sel = graft.operators.TextOps
+      .winnowSelectedFrom(graft.Tables(spark, sf, "documents"), 4, 4)
+      .select($"doc_id", $"h").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val isIdx = (id: Long) => id % 4 != 3
+    // one row per (stream doc, index doc, shared fingerprint) → count ≥ 2
+    val pairsAll: Seq[(Long, Long)] =
+      sel.toSeq.groupBy(_._2).valuesIterator.flatMap { docs =>
+        val ids = docs.map(_._1).distinct
+        for (a <- ids if !isIdx(a); b <- ids if isIdx(b)) yield (a, b)
+      }.toSeq
+    val batchPairs = pairsAll.groupBy(identity).toSeq
+      .map { case (p, g) => (p._1, p._2, g.size.toLong) }
+      .filter(_._3 >= 2L).sorted
+    assert(streamed === batchPairs)
+    assert(streamed.nonEmpty, "degenerate test: no winnow matches at this SF")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("round-trip: parse -> filter -> serialize preserves the wire shape") {
     val input = MemoryStream[String](spark)
     val q = Streams.toArrivalValue(Streams.parseArrivals(input.toDF()))
