@@ -145,6 +145,8 @@ object SparkEntry {
     "q_source_lang_mi" -> TextOps.sourceLangMi,
     "q_edit_neardup" -> ((s, dir) => Dedup.editNearDupPairs(s, dir)),
     "q_jl_recall" -> ((s, dir) => Similarity.jlRecall(s, dir)),
+    "q_winnow_incremental" -> ((s, dir) => TextOps.winnowIncrementalPairs(s, dir)),
+    "q_bpe_fertility" -> ((s, dir) => TextOps.bpeFertility(s, dir)),
     // -- dedup suite (§7.4) ------------------------------------------------
     "q_dedup_exact" -> Dedup.exact,
     "q_jaccard_pairs" -> Dedup.ngramJaccardPairs,
@@ -2397,6 +2399,30 @@ object SparkEntry {
          SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_toks, n_spans,
            n_removed, CAST(len(toks) - n_removed AS BIGINT) AS n_kept
          FROM docs d JOIN agg USING (doc_id) ORDER BY doc_id""",
+    "q_winnow_incremental" ->
+      s"""WITH $winnowCtes,
+         sel2 AS (SELECT DISTINCT doc_id, h FROM wsel),
+         np AS (SELECT doc_id AS new_doc, h FROM sel2 WHERE doc_id % 4 = 3),
+         ix AS (SELECT doc_id AS index_doc, h FROM sel2 WHERE doc_id % 4 <> 3)
+         SELECT new_doc, index_doc, CAST(count(*) AS BIGINT) AS n_shared
+         FROM np JOIN ix USING (h)
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY new_doc, index_doc""",
+    "q_bpe_fertility" ->
+      s"""WITH $bpeSeedCtes,
+         ${(1 to 5).map(bpeRoundCtes).mkString(",\n")},
+         $bpeSymsCte,
+         d AS (SELECT e.doc_id, e.lang, CAST(len(e.ws) AS BIGINT) AS nw,
+             CAST(len(s.syms) AS BIGINT) AS nt
+           FROM encw e JOIN syms s USING (doc_id)),
+         g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nw) AS BIGINT) AS n_words,
+             CAST(sum(nt) AS BIGINT) AS n_tokens
+           FROM d GROUP BY lang HAVING sum(nw) > 0)
+         SELECT lang, n_docs, n_words, n_tokens,
+           CAST((n_tokens * 10000) // n_words AS DOUBLE) / 10000.0
+             AS tokens_per_word
+         FROM g ORDER BY lang""",
     "q_temperature_mix" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
            FROM documents GROUP BY lang),

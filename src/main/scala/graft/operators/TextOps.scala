@@ -1145,22 +1145,78 @@ object TextOps {
 
   /** Build-once memo for the stored winnow index (the
     * `Dedup.bandIndexFor` convention: name keyed on dir + corpus stamp +
-    * scheme, so distinct corpora and schemes never collide).
+    * scheme + index predicate, so distinct corpora, schemes and slices
+    * never collide).
     */
   private[graft] def winnowIndexFor(s: SparkSession, dir: String,
+                                    indexPred: Column = lit(true),
                                     k: Int = 4, w: Int = 4): DataFrame = {
     val key = Seq(dir, Dedup.corpusStamp(s, dir, "documents"),
-      "winnow", k, w).mkString("|")
+      "winnow", indexPred.toString, k, w).mkString("|")
     val table = "graft_winnow_index_" + java.security.MessageDigest
       .getInstance("MD5").digest(key.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     Dedup.indexBuildLock.synchronized {
       if (!s.catalog.tableExists(table)) {
         Dedup.dropStaleLocation(s, table)
-        writeWinnowIndex(s, dir, table, k, w)
+        writeWinnowIndexFrom(docsFanned(s, dir).filter(indexPred), table, k, w)
       }
     }
     s.table(table)
+  }
+
+  /** Incremental winnow match probe: a NEW ingest batch winnowed fresh
+    * (cost scales with the batch — per-doc selection is independent of
+    * the rest of the corpus, which is exactly what makes the index
+    * precomputable) and joined against the STORED h-bucketed fingerprint
+    * index of everything already ingested. The batch member of the
+    * winnow family — the streaming twin is `Streams.winnowProbeSink`,
+    * and both inherit the w+k−1 shared-run guarantee from the batch
+    * selection they reuse. The index side reads shuffle-free on its
+    * bucketing (spec-asserted); only the batch moves.
+    */
+  def winnowIncrementalPairs(s: SparkSession, dir: String,
+                             batchPred: Column = col("doc_id") % 4 === 3,
+                             k: Int = 4, w: Int = 4,
+                             minShared: Long = 2L): DataFrame = {
+    import s.implicits._
+    val index = winnowIndexFor(s, dir, !batchPred, k, w)
+    winnowSelectedFrom(docsFanned(s, dir).filter(batchPred), k, w)
+      .select($"doc_id".as("new_doc"), $"h").distinct()
+      .join(index.select($"doc_id".as("index_doc"), $"h"), Seq("h"))
+      .groupBy($"new_doc", $"index_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+      .orderBy($"new_doc", $"index_doc")
+  }
+
+  /** Tokenizer fertility per language (Rust et al. 2021; the BLOOM
+    * tokenizer-audit metric): subword tokens emitted per word, and
+    * characters per subword token, for the corpus' trained BPE — the
+    * screen that says which languages the tokenizer serves poorly (high
+    * fertility = more sequence length spent per word = less effective
+    * context and more compute for the same text). Runs over exactly the
+    * word population the trainer saw ([[bpeEncode]]'s `^[a-z]+$`
+    * filter), in integer basis points off exact token/char counts.
+    */
+  def bpeFertility(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val merges = bpeMergeTable(s, dir, k)
+    docsFanned(s, dir)
+      .select($"lang",
+        size(filter(text.tokensLower($"text"), w => w.rlike("^[a-z]+$")))
+          .cast("long").as("nw"),
+        size(bpeSymsCol($"text", merges)).cast("long").as("nt"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"nw").as("n_words"),
+        sum($"nt").as("n_tokens"))
+      .filter($"n_words" > 0)
+      // integer-floor-scaled ratio, one exact double divide at the end —
+      // the datasetCard discipline (no float division boundary risk)
+      .select($"lang", $"n_docs", $"n_words", $"n_tokens",
+        (expr("(n_tokens * 10000) div n_words").cast("double") / 10000.0)
+          .as("tokens_per_word"))
+      .orderBy($"lang")
   }
 
   /** Cross-document duplicated-span scrub (the span-level exact dedup of

@@ -114,4 +114,12 @@ class BucketingSpec extends SparkSpec {
       assertIndexSideUnshuffled(pairs, "graft_emb_index_")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("incremental winnow probe reads the stored fingerprint index without shuffling it") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = TextOps.winnowIncrementalPairs(spark, sf)
+      assertIndexSideUnshuffled(pairs, "graft_winnow_index_")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
 }

@@ -1118,6 +1118,31 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeFertility reconciles with the encode frame and the trained " +
+       "word population") {
+    import spark.implicits._
+    val enc = TextOps.bpeEncode(spark, sf)
+      .select($"lang", $"n_tokens").as[(String, Long)].collect()
+    val words = graft.Tables(spark, sf, "documents")
+      .select($"lang", $"text").as[(String, String)].collect()
+      .map { case (lang, t) =>
+        (lang, t.trim.toLowerCase.split("\\s+")
+          .count(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z')).toLong)
+      }
+    val byLangTok = enc.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val byLangW = words.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val rows = TextOps.bpeFertility(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nDocs, nW, nT, tpw) =>
+      assert(nW === byLangW(lang))
+      assert(nT === byLangTok(lang))
+      assert(nDocs === words.count(_._1 == lang).toLong)
+      assert(tpw === (nT * 10000 / nW).toDouble / 10000.0)
+      assert(tpw >= 1.0, s"$lang fertility $tpw < 1 — merges cannot split words")
+    }
+  }
+
   test("temperatureMix: quotas sum to the budget exactly, follow sqrt " +
        "weights, and flatten the head/tail ratio") {
     import spark.implicits._

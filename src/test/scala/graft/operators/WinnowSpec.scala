@@ -72,6 +72,24 @@ class WinnowSpec extends SparkSpec {
     assert(mean > 2000 && mean < 7000, s"mean density $mean bp implausible")
   }
 
+  test("winnowIncrementalPairs equals a batch-vs-rest split of the full " +
+       "selection (per-doc selection is corpus-independent)") {
+    val sel = TextOps.winnowSelected(spark, sf, K, W)
+      .select($"doc_id", $"h").distinct()
+      .as[(Long, String)].collect().toSeq
+    val isBatch = (id: Long) => id % 4 == 3
+    val expected = sel.groupBy(_._2).valuesIterator.flatMap { docs =>
+      val ids = docs.map(_._1).distinct
+      for (a <- ids if isBatch(a); b <- ids if !isBatch(b)) yield (a, b)
+    }.toSeq.groupBy(identity).toSeq
+      .map { case (p, g) => (p._1, p._2, g.size.toLong) }
+      .filter(_._3 >= 2L).sorted
+    val got = TextOps.winnowIncrementalPairs(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got === expected)
+    assert(got.nonEmpty, "degenerate test: no incremental matches at this SF")
+  }
+
   test("winnowPairs agrees with brute-force shared-fingerprint counts") {
     val sel = TextOps.winnowSelected(spark, sf, K, W)
       .select($"doc_id", $"h").distinct()
