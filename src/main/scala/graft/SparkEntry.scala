@@ -147,6 +147,11 @@ object SparkEntry {
     "q_jl_recall" -> ((s, dir) => Similarity.jlRecall(s, dir)),
     "q_winnow_incremental" -> ((s, dir) => TextOps.winnowIncrementalPairs(s, dir)),
     "q_bpe_fertility" -> ((s, dir) => TextOps.bpeFertility(s, dir)),
+    // required-word list = this corpus' two function words (see
+    // TextOps.GopherRequiredWords on why the list is corpus-tuned)
+    "q_gopher_rules" -> ((s, dir) => TextOps.gopherRules(s, dir, Seq("the", "a"))),
+    "q_distinct_ngrams" -> TextOps.distinctNgrams,
+    "q_ccnet_buckets" -> TextOps.ccnetBuckets,
     // -- dedup suite (§7.4) ------------------------------------------------
     "q_dedup_exact" -> Dedup.exact,
     "q_jaccard_pairs" -> Dedup.ngramJaccardPairs,
@@ -2399,6 +2404,82 @@ object SparkEntry {
          SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_toks, n_spans,
            n_removed, CAST(len(toks) - n_removed AS BIGINT) AS n_kept
          FROM docs d JOIN agg USING (doc_id) ORDER BY doc_id""",
+    "q_gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id, text, $toks AS toks,
+           string_split(text, chr(10)) AS lines FROM documents),
+         sc AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+               AS BIGINT) AS sum_len,
+             CAST(length(text) - length(replace(text, '#', ''))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+               + length(text) - length(replace(text, '…', ''))
+               AS BIGINT) AS n_sym,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST(${Seq("the", "a")
+               .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+               .mkString(" + ")} AS BIGINT) AS n_stop,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+               l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines,
+               l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT)
+               AS n_ell_end
+           FROM d)
+         SELECT doc_id, n_words,
+           n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+           sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+             AS rule_mean_word_len,
+           10 * n_sym <= n_words AS rule_symbol_ratio,
+           5 * n_alpha >= 4 * n_words AS rule_alpha_words,
+           n_stop >= 2 AS rule_stopwords,
+           10 * n_bullet <= 9 * n_lines AS rule_bullet_lines,
+           10 * n_ell_end <= 3 * n_lines AS rule_ellipsis_lines,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+             AND 10 * n_sym <= n_words AND 5 * n_alpha >= 4 * n_words
+             AND n_stop >= 2 AND 10 * n_bullet <= 9 * n_lines
+             AND 10 * n_ell_end <= 3 * n_lines AS keep
+         FROM sc ORDER BY doc_id""",
+    "q_distinct_ngrams" ->
+      s"""WITH docs AS (SELECT lang, $toks AS toks FROM documents),
+         g1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS total_1,
+             CAST(count(DISTINCT g) AS BIGINT) AS uniq_1
+           FROM (SELECT lang, unnest(toks) AS g FROM docs) GROUP BY lang),
+         g2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS total_2,
+             CAST(count(DISTINCT g) AS BIGINT) AS uniq_2
+           FROM (SELECT lang, unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> array_to_string(toks[i:i+1], ' '))) AS g
+             FROM docs WHERE len(toks) >= 2) GROUP BY lang),
+         g3 AS (SELECT lang, CAST(count(*) AS BIGINT) AS total_3,
+             CAST(count(DISTINCT g) AS BIGINT) AS uniq_3
+           FROM (SELECT lang, unnest(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> array_to_string(toks[i:i+2], ' '))) AS g
+             FROM docs WHERE len(toks) >= 3) GROUP BY lang)
+         SELECT lang,
+           total_1, uniq_1, CAST(uniq_1 * 10000 // total_1 AS BIGINT) AS d1_bp,
+           total_2, uniq_2, CAST(uniq_2 * 10000 // total_2 AS BIGINT) AS d2_bp,
+           total_3, uniq_3, CAST(uniq_3 * 10000 // total_3 AS BIGINT) AS d3_bp
+         FROM g1 JOIN g2 USING (lang) JOIN g3 USING (lang)
+         ORDER BY lang""",
+    "q_ccnet_buckets" ->
+      s"""WITH $surprisalPerDocCtes,
+         r AS (SELECT doc_id, xent_u,
+             row_number() OVER (ORDER BY xent_u, doc_id) AS rk FROM pd2),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM pd2),
+         b AS (SELECT xent_u,
+             CASE WHEN (rk - 1) * 3 < nn THEN 'head'
+               WHEN (rk - 1) * 3 < 2 * nn THEN 'middle'
+               ELSE 'tail' END AS bucket
+           FROM r CROSS JOIN t)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(xent_u) AS BIGINT) AS min_xent_u,
+           CAST(sum(xent_u) // count(*) AS BIGINT) AS mean_xent_u,
+           CAST(max(xent_u) AS BIGINT) AS max_xent_u
+         FROM b GROUP BY bucket ORDER BY bucket""",
     "q_winnow_incremental" ->
       s"""WITH $winnowCtes,
          sel2 AS (SELECT DISTINCT doc_id, h FROM wsel),

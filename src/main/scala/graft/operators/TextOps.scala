@@ -1618,6 +1618,123 @@ object TextOps {
           .as("mi_u"))
   }
 
+  /** Gopher quality-rule suite (Rae et al. 2021, Appendix A): the
+    * per-rule verdict table behind the classic web-text filter — word
+    * count in [50, 100k], mean word length in [3, 10] characters,
+    * symbol-to-word ratio (# and …) ≤ 0.1, ≥ 80% of words containing an
+    * alphabetic character, ≥ 2 of the 8 required English stopwords, ≤ 90%
+    * of lines bullet-led and ≤ 30% ellipsis-ended. Unlike the composite
+    * [[qualityScores]] (one weighted float) this emits each rule as its
+    * own boolean so a corpus owner sees WHICH screen kills a document —
+    * and every comparison is integer cross-multiplication (3n ≤ Σlen,
+    * 10·sym ≤ n, 5·alpha ≥ 4n…), so the verdicts carry zero float risk
+    * in any engine. One tokenize + a handful of per-row expressions:
+    * scan-speed at any corpus size.
+    */
+  /** Gopher's default required-stopword set. The rule is "≥ 2 of a
+    * REQUIRED word list" — the list is a parameter because it must match
+    * the corpus' language register (the paper's 8 English function words
+    * are near-absent from this synthetic corpus, whose function words
+    * are "the"/"a" — a corpus owner tunes the list, not the rule).
+    */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(s: SparkSession, dir: String,
+                  requiredWords: Seq[String] = GopherRequiredWords): DataFrame = {
+    import s.implicits._
+    val required = requiredWords
+    val scored = docsFanned(s, dir)
+      .select($"doc_id", $"text", text.tokensLower($"text").as("toks"),
+        split($"text", "\n").as("lines"))
+      .select($"doc_id", $"toks", $"lines",
+        size($"toks").cast("long").as("n_words"),
+        aggregate($"toks", lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        (length($"text") - length(replace($"text", lit("#"), lit("")))
+          + (length($"text") - length(replace($"text", lit("..."), lit("")))) / 3
+          + length($"text") - length(replace($"text", lit("…"), lit(""))))
+          .cast("long").as("n_sym"),
+        size(filter($"toks", t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        required.map(w => when(array_contains($"toks", w), 1).otherwise(0))
+          .reduce(_ + _).cast("long").as("n_stop"),
+        size($"lines").cast("long").as("n_lines"),
+        size(filter($"lines", l => ltrim(l).rlike("^[-*•]")))
+          .cast("long").as("n_bullet"),
+        size(filter($"lines", l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+          .cast("long").as("n_ell_end"))
+    scored.select($"doc_id", $"n_words",
+        ($"n_words" >= 50 && $"n_words" <= 100000).as("rule_word_count"),
+        ($"sum_len" >= $"n_words" * 3 && $"sum_len" <= $"n_words" * 10)
+          .as("rule_mean_word_len"),
+        ($"n_sym" * 10 <= $"n_words").as("rule_symbol_ratio"),
+        ($"n_alpha" * 5 >= $"n_words" * 4).as("rule_alpha_words"),
+        ($"n_stop" >= 2).as("rule_stopwords"),
+        ($"n_bullet" * 10 <= $"n_lines" * 9).as("rule_bullet_lines"),
+        ($"n_ell_end" * 10 <= $"n_lines" * 3).as("rule_ellipsis_lines"))
+      .withColumn("keep",
+        $"rule_word_count" && $"rule_mean_word_len" && $"rule_symbol_ratio" &&
+          $"rule_alpha_words" && $"rule_stopwords" && $"rule_bullet_lines" &&
+          $"rule_ellipsis_lines")
+      .orderBy($"doc_id")
+  }
+
+  /** N-gram diversity per language — distinct-1/2/3 (Li et al. 2016):
+    * unique n-grams over total n-grams in basis points, plus the
+    * type-token ratio's raw counts. Low distinct-n = repetitive,
+    * template-heavy text (the corpus-level complement of the per-doc
+    * [[repetitionScores]]); the number degrades gracefully as a corpus
+    * accumulates boilerplate, which makes it a good per-ingest trend
+    * metric. One shingle pass per n; counts are exact.
+    */
+  def distinctNgrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docsFanned(s, dir)
+      .select($"lang", text.tokensLower($"text").as("toks"))
+      .localCheckpoint() // three shingle passes read it
+    def level(n: Int) = toks
+      .select($"lang", explode(text.shinglesFromTokens($"toks", n)).as("g"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as(s"total_$n"),
+        countDistinct($"g").as(s"uniq_$n"))
+    level(1).join(level(2), "lang").join(level(3), "lang")
+      .select($"lang",
+        $"total_1", $"uniq_1", expr("uniq_1 * 10000 div total_1").as("d1_bp"),
+        $"total_2", $"uniq_2", expr("uniq_2 * 10000 div total_2").as("d2_bp"),
+        $"total_3", $"uniq_3", expr("uniq_3 * 10000 div total_3").as("d3_bp"))
+      .orderBy($"lang")
+  }
+
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): rank every
+    * document by its LM cross-entropy ([[surprisalPerDoc]]'s fixed-point
+    * score — ties broken by doc_id, so the rank is total and engine-
+    * exact) and cut the corpus into head/middle/tail thirds — the
+    * established coarse quality binning a crawl pipeline publishes
+    * alongside the raw data. Bucket assignment is pure integer
+    * arithmetic on the rank; the per-bucket rollup reports exact count
+    * and min/mean/max cross-entropy.
+    */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = surprisalPerDoc(s, dir).localCheckpoint() // rank + count
+    // the global row_number is a single-partition window HERE; at real
+    // scale replace with rangepartitioned sort + per-partition offsets
+    // (rank semantics identical) — the binning arithmetic is unchanged
+    val byXent = Window.partitionBy(lit(1)).orderBy($"xent_u", $"doc_id")
+    scored
+      .withColumn("rk", row_number().over(byXent).cast("long"))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("nn"))))
+      .withColumn("bucket",
+        when(($"rk" - 1) * 3 < $"nn", "head")
+          .when(($"rk" - 1) * 3 < $"nn" * 2, "middle")
+          .otherwise("tail"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"xent_u").as("min_xent_u"),
+        expr("sum(xent_u) div count(1)").as("mean_xent_u"),
+        max($"xent_u").as("max_xent_u"))
+      .orderBy($"bucket")
+  }
+
   /** Data selection via importance resampling (DSIR, Xie et al. 2023):
     * score every raw document by how much more likely its hashed-unigram
     * bag is under a TARGET distribution than under the raw-corpus

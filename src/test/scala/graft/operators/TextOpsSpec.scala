@@ -1143,6 +1143,88 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("gopherRules matches a sequential replay of every rule") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val required = Set("the", "a") // the corpus-tuned list the query uses
+    val expected = docs.map { case (id, t) =>
+      val toks = t.trim.toLowerCase.split("\\s+").filterNot(_.isEmpty)
+      val n = toks.length.toLong
+      val sumLen = toks.map(_.length.toLong).sum
+      def occ(s: String, sub: String): Long = {
+        var c = 0L; var i = s.indexOf(sub)
+        while (i >= 0) { c += 1; i = s.indexOf(sub, i + sub.length) }
+        c
+      }
+      val nSym = occ(t, "#") + occ(t, "...") + occ(t, "…")
+      val nAlpha = toks.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val nStop = required.count(toks.contains).toLong
+      val lines = t.split("\n", -1)
+      val nLines = lines.length.toLong
+      val nBullet = lines.count(l => // ltrim = spaces only, like the engine
+        l.dropWhile(_ == ' ').headOption.exists("-*•".contains(_))).toLong
+      val nEll = lines.count(l =>
+        l.stripTrailing.endsWith("...") || l.stripTrailing.endsWith("…")).toLong
+      val rules = Seq(n >= 50 && n <= 100000,
+        sumLen >= 3 * n && sumLen <= 10 * n,
+        10 * nSym <= n, 5 * nAlpha >= 4 * n, nStop >= 2,
+        10 * nBullet <= 9 * nLines, 10 * nEll <= 3 * nLines)
+      id -> (n, rules, rules.forall(identity))
+    }.toMap
+    val got = TextOps.gopherRules(spark, sf, Seq("the", "a")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, rules, keep) = expected(r.getLong(0))
+      assert(r.getLong(1) === n)
+      (0 until 7).foreach(i => assert(r.getBoolean(2 + i) === rules(i),
+        s"doc ${r.getLong(0)} rule $i"))
+      assert(r.getBoolean(9) === keep)
+    }
+    // both verdicts genuinely occur
+    assert(got.exists(_.getBoolean(9)) && got.exists(!_.getBoolean(9)))
+  }
+
+  test("distinctNgrams matches a sequential n-gram census") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"lang", $"text").as[(String, String)].collect()
+    def grams(t: String, n: Int): Seq[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+").filterNot(_.isEmpty).toSeq
+      if (toks.length < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    val rows = TextOps.distinctNgrams(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val mine = docs.filter(_._1 == lang)
+      Seq(1, 2, 3).zipWithIndex.foreach { case (n, i) =>
+        val all = mine.flatMap(d => grams(d._2, n))
+        assert(r.getLong(1 + i * 3) === all.length.toLong, s"$lang total_$n")
+        assert(r.getLong(2 + i * 3) === all.distinct.length.toLong, s"$lang uniq_$n")
+        assert(r.getLong(3 + i * 3) ===
+          all.distinct.length.toLong * 10000 / all.length)
+      }
+    }
+  }
+
+  test("ccnetBuckets: thirds are balanced, contiguous in score, and " +
+       "cover every scored doc") {
+    import spark.implicits._
+    val rows = TextOps.ccnetBuckets(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(rows.keySet === Set("head", "middle", "tail"))
+    val sizes = Seq(rows("head")._1, rows("middle")._1, rows("tail")._1)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced thirds: $sizes")
+    // rank-contiguous buckets: head's max score <= middle's min, etc.
+    assert(rows("head")._4 <= rows("middle")._2)
+    assert(rows("middle")._4 <= rows("tail")._2)
+    rows.values.foreach { case (_, mn, mean, mx) =>
+      assert(mn <= mean && mean <= mx)
+    }
+  }
+
   test("temperatureMix: quotas sum to the budget exactly, follow sqrt " +
        "weights, and flatten the head/tail ratio") {
     import spark.implicits._
