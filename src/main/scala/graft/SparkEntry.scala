@@ -150,6 +150,8 @@ object SparkEntry {
     // required-word list = this corpus' two function words (see
     // TextOps.GopherRequiredWords on why the list is corpus-tuned)
     "q_gopher_rules" -> ((s, dir) => TextOps.gopherRules(s, dir, Seq("the", "a"))),
+    "q_temperature_sample" -> ((s, dir) => TextOps.temperatureSample(s, dir)),
+    "q_winnow_spans" -> ((s, dir) => TextOps.winnowMatchSpans(s, dir)),
     "q_distinct_ngrams" -> TextOps.distinctNgrams,
     "q_ccnet_buckets" -> TextOps.ccnetBuckets,
     // -- dedup suite (§7.4) ------------------------------------------------
@@ -2504,6 +2506,43 @@ object SparkEntry {
            CAST((n_tokens * 10000) // n_words AS DOUBLE) / 10000.0
              AS tokens_per_word
          FROM g ORDER BY lang""",
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+         w AS (SELECT lang, n_docs,
+             CAST(round(sqrt(n_docs) * 1000000.0) AS BIGINT) AS w_u FROM c),
+         t AS (SELECT CAST(sum(w_u) AS BIGINT) AS tot FROM w),
+         b AS (SELECT lang, n_docs, w_u,
+             CAST(w_u * 200 // tot AS BIGINT) AS base,
+             CAST((w_u * 200) % tot AS BIGINT) AS rem
+           FROM w CROSS JOIN t),
+         b2 AS (SELECT *, CAST(200 - sum(base) OVER () AS BIGINT) AS deficit,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM b),
+         q AS (SELECT lang,
+             CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+               AS quota_docs FROM b2),
+         r AS (SELECT doc_id, lang, CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(concat('tsamp:', CAST(doc_id AS VARCHAR))), doc_id)
+             AS BIGINT) AS rk
+           FROM documents)
+         SELECT doc_id, r.lang, rk FROM r JOIN q ON q.lang = r.lang
+         WHERE rk <= quota_docs ORDER BY doc_id""",
+    "q_winnow_spans" ->
+      s"""WITH $winnowCtes,
+         doch AS (SELECT DISTINCT doc_id, h FROM wsel),
+         matchable AS (SELECT h FROM doch GROUP BY h
+           HAVING count(*) BETWEEN 2 AND 50),
+         occ AS (SELECT doc_id, h, pos FROM wsel JOIN matchable USING (h))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(DISTINCT a.h) AS BIGINT) AS n_shared,
+           CAST(min(a.pos) AS BIGINT) AS a_min_pos,
+           CAST(max(a.pos) AS BIGINT) AS a_max_pos,
+           CAST(min(b.pos) AS BIGINT) AS b_min_pos,
+           CAST(max(b.pos) AS BIGINT) AS b_max_pos
+         FROM occ a JOIN occ b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(DISTINCT a.h) >= 2
+         ORDER BY doc_a, doc_b""",
     "q_temperature_mix" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
            FROM documents GROUP BY lang),

@@ -1578,6 +1578,61 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** The documents [[temperatureMix]]'s quotas actually select: per
+    * language, the first `quota_docs` documents in deterministic
+    * md5-shuffle order — so the sample hits each language's apportioned
+    * quota EXACTLY (not in expectation, unlike the rate-based
+    * [[mixtureSample]]), is reproducible across runs and engines, and a
+    * language with fewer documents than its quota contributes everything
+    * it has (the flattening exponent deliberately over-asks the tail).
+    * One window per language partition — parallel across languages, no
+    * global sort.
+    */
+  def temperatureSample(s: SparkSession, dir: String,
+                        budget: Long = 200L): DataFrame = {
+    import s.implicits._
+    val quotas = temperatureMix(s, dir, budget)
+      .select($"lang", $"quota_docs")
+    val byLang = Window.partitionBy($"lang").orderBy($"rk_key", $"doc_id")
+    docsFanned(s, dir)
+      .select($"doc_id", $"lang",
+        md5(concat(lit("tsamp:"), $"doc_id".cast("string"))).as("rk_key"))
+      .withColumn("rk", row_number().over(byLang).cast("long"))
+      .join(broadcast(quotas), Seq("lang"))
+      .filter($"rk" <= $"quota_docs")
+      .select($"doc_id", $"lang", $"rk")
+      .orderBy($"doc_id")
+  }
+
+  /** MOSS match REGIONS for the winnowed pairs: per matching document
+    * pair, where the shared fingerprints sit — shared-fingerprint count
+    * plus the min/max matched shingle position on each side, the span a
+    * reviewer (or a span-scrub stage) jumps to. Same df-capped bucket
+    * join as [[winnowPairs]]; positions ride along from the selection,
+    * so localization costs nothing extra.
+    */
+  def winnowMatchSpans(s: SparkSession, dir: String, k: Int = 4,
+                       w: Int = 4, maxDf: Long = 50L,
+                       minShared: Long = 2L): DataFrame = {
+    import s.implicits._
+    val sel = winnowSelected(s, dir, k, w).localCheckpoint()
+    val docH = sel.select($"doc_id", $"h").distinct()
+    val matchable = docH.groupBy($"h")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= maxDf)
+      .select($"h")
+    val occ = sel.join(matchable, "h")
+    occ.select($"doc_id".as("doc_a"), $"h", $"pos".as("pa"))
+      .join(occ.select($"doc_id".as("doc_b"), $"h", $"pos".as("pb")), Seq("h"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(countDistinct($"h").as("n_shared"),
+        min($"pa").as("a_min_pos"), max($"pa").as("a_max_pos"),
+        min($"pb").as("b_min_pos"), max($"pb").as("b_max_pos"))
+      .filter($"n_shared" >= minShared)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Source ↔ language mutual information — how much knowing a
     * document's source tells you about its language (and vice versa), in
     * micro-nats. The one-number answer to "are my sources linguistically
@@ -1643,8 +1698,20 @@ object TextOps {
   def gopherRules(s: SparkSession, dir: String,
                   requiredWords: Seq[String] = GopherRequiredWords): DataFrame = {
     import s.implicits._
+    gopherVerdictsFrom(docsFanned(s, dir), requiredWords).orderBy($"doc_id")
+  }
+
+  /** The per-row Gopher verdicts over ANY (doc_id, text) frame. Every
+    * rule is a stateless per-row expression — no shuffle, no state — so
+    * the same code runs over a batch corpus and a streaming micro-batch
+    * (`Streams.gopherGate`) with bit-identical verdicts.
+    */
+  private[graft] def gopherVerdictsFrom(docs: DataFrame,
+      requiredWords: Seq[String] = GopherRequiredWords): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     val required = requiredWords
-    val scored = docsFanned(s, dir)
+    val scored = docs
       .select($"doc_id", $"text", text.tokensLower($"text").as("toks"),
         split($"text", "\n").as("lines"))
       .select($"doc_id", $"toks", $"lines",
@@ -1675,7 +1742,6 @@ object TextOps {
         $"rule_word_count" && $"rule_mean_word_len" && $"rule_symbol_ratio" &&
           $"rule_alpha_words" && $"rule_stopwords" && $"rule_bullet_lines" &&
           $"rule_ellipsis_lines")
-      .orderBy($"doc_id")
   }
 
   /** N-gram diversity per language — distinct-1/2/3 (Li et al. 2016):

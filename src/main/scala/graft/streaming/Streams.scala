@@ -74,6 +74,19 @@ object Streams {
         col("text"), toks, col("n_chars")) >= minQuality)
   }
 
+  /** Gopher-rule ingest gate: the streaming twin of
+    * `TextOps.gopherRules` — all seven Rae et al. 2021 screens evaluated
+    * as stateless per-row expressions on the arriving frame (the SAME
+    * expression tree as the batch operator, via `gopherVerdictsFrom`),
+    * so verdicts are bit-identical to the batch screen and the stream
+    * is gated at wire speed with no state store or watermark.
+    */
+  def gopherGate(docs: DataFrame,
+                 requiredWords: Seq[String] =
+                   graft.operators.TextOps.GopherRequiredWords): DataFrame =
+    graft.operators.TextOps.gopherVerdictsFrom(
+      docs.select(col("doc_id"), col("text")), requiredWords)
+
   /** Learned-classifier ingest gate: the serving half of the
     * train-distributed / deploy-to-the-edge loop —
     * `TextOps.qualityLrTrain` learns the micro-unit weight vector

@@ -1143,6 +1143,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample hits each language's quota exactly, capped by " +
+       "availability, deterministically") {
+    import spark.implicits._
+    val budget = 200L
+    val quotas = TextOps.temperatureMix(spark, sf, budget)
+      .select($"lang", $"quota_docs").as[(String, Long)].collect().toMap
+    val avail = graft.Tables(spark, sf, "documents")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val sample = TextOps.temperatureSample(spark, sf, budget)
+      .as[(Long, String, Long)].collect()
+    val byLang = sample.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    quotas.foreach { case (lang, q) =>
+      assert(byLang.getOrElse(lang, 0L) === math.min(q, avail(lang)),
+        s"$lang quota $q avail ${avail(lang)}")
+    }
+    val again = TextOps.temperatureSample(spark, sf, budget)
+      .as[(Long, String, Long)].collect()
+    assert(sample.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("gopherRules matches a sequential replay of every rule") {
     import spark.implicits._
     val docs = graft.Tables(spark, sf, "documents")

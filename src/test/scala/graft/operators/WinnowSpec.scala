@@ -90,6 +90,30 @@ class WinnowSpec extends SparkSpec {
     assert(got.nonEmpty, "degenerate test: no incremental matches at this SF")
   }
 
+  test("winnowMatchSpans: same pairs as winnowPairs, bounds enclose the " +
+       "matched positions exactly") {
+    val sel = TextOps.winnowSelected(spark, sf, K, W)
+      .as[(Long, String, Long)].collect()
+    val docH = sel.map(t => (t._1, t._2)).distinct
+    val df = docH.groupBy(_._2).view.mapValues(_.size).toMap
+    val matchable = df.filter { case (_, n) => n >= 2 && n <= 50 }.keySet
+    val got = TextOps.winnowMatchSpans(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val pairKeys = TextOps.winnowPairs(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().map(r => (r._1, r._2, r._3)).toSet
+    assert(got.map(r => (r._1, r._2, r._3)).toSet === pairKeys)
+    assert(got.nonEmpty)
+    val byDoc = sel.filter(t => matchable(t._2))
+      .groupBy(_._1).view.mapValues(_.toSeq).toMap
+    got.foreach { case (a, b, _, aMin, aMax, bMin, bMax) =>
+      val shared = byDoc(a).map(_._2).toSet & byDoc(b).map(_._2).toSet
+      val pa = byDoc(a).filter(t => shared(t._2)).map(_._3)
+      val pb = byDoc(b).filter(t => shared(t._2)).map(_._3)
+      assert(aMin === pa.min && aMax === pa.max)
+      assert(bMin === pb.min && bMax === pb.max)
+    }
+  }
+
   test("winnowPairs agrees with brute-force shared-fingerprint counts") {
     val sel = TextOps.winnowSelected(spark, sf, K, W)
       .select($"doc_id", $"h").distinct()

@@ -270,6 +270,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "degenerate test: no candidate pairs at this SF")
   }
 
+  test("gopherGate streams bit-identical verdicts to the batch rule suite") {
+    val words = Seq("the", "a")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.gopherGate(input.toDF().toDF("doc_id", "text"), words)
+      .select($"doc_id", $"keep")
+      .writeStream.format("memory").queryName("gopher_out")
+      .outputMode(OutputMode.Append).start()
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    docs.grouped(math.max(docs.length / 3, 1)).foreach { g =>
+      input.addData(g); q.processAllAvailable()
+    }
+    val streamed = spark.table("gopher_out")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    q.stop()
+    val batch = graft.operators.TextOps.gopherRules(spark, sf, words)
+      .select($"doc_id", $"keep")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(streamed === batch)
+    assert(batch.values.exists(identity) && batch.values.exists(!_))
+  }
+
   test("winnow probe stream equals the batch fingerprint join on identical docs") {
     val dst = java.nio.file.Files.createTempDirectory("winnow-out").toString + "/pairs"
     val ckpt = java.nio.file.Files.createTempDirectory("winnow-ckpt").toString
