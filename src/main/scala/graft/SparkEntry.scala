@@ -152,6 +152,7 @@ object SparkEntry {
     "q_gopher_rules" -> ((s, dir) => TextOps.gopherRules(s, dir, Seq("the", "a"))),
     "q_temperature_sample" -> ((s, dir) => TextOps.temperatureSample(s, dir)),
     "q_winnow_spans" -> ((s, dir) => TextOps.winnowMatchSpans(s, dir)),
+    "q_code_switch" -> ((s, dir) => TextOps.codeSwitchScreen(s, dir)),
     "q_distinct_ngrams" -> TextOps.distinctNgrams,
     "q_ccnet_buckets" -> TextOps.ccnetBuckets,
     // -- dedup suite (§7.4) ------------------------------------------------
@@ -2506,6 +2507,23 @@ object SparkEntry {
            CAST((n_tokens * 10000) // n_words AS DOUBLE) / 10000.0
              AS tokens_per_word
          FROM g ORDER BY lang""",
+    "q_code_switch" -> {
+      val hitExprs = Seq("en", "de", "fr", "es").map { l =>
+        val list = graft.functions.text.stopwords(l)
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(toks, t -> list_contains($list, t))) AS BIGINT)"
+      }
+      s"""WITH d AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+         h AS (SELECT doc_id, lang,
+             list_sort([${hitExprs.mkString(", ")}], 'DESC') AS hs,
+             ${hitExprs.zipWithIndex.map { case (e, i) =>
+               s"CASE WHEN $e > 0 THEN 1 ELSE 0 END AS p$i" }.mkString(", ")}
+           FROM d)
+         SELECT doc_id, lang,
+           CAST(p0 + p1 + p2 + p3 AS BIGINT) AS n_langs_hit,
+           hs[1] AS best_hits, hs[2] AS second_hits,
+           hs[1] > 0 AND hs[2] * 10000 >= hs[1] * 3000 AS mixed
+         FROM h ORDER BY doc_id""" },
     "q_temperature_sample" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
            FROM documents GROUP BY lang),

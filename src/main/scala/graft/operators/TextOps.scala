@@ -1621,16 +1621,74 @@ object TextOps {
       .agg(count(lit(1)).as("df"))
       .filter($"df" >= 2 && $"df" <= maxDf)
       .select($"h")
+    // pre-aggregate positions per (doc, fingerprint) BEFORE the bucket
+    // self-join: a fingerprint selected at p positions in A and q in B
+    // would otherwise contribute p·q joined rows; min/max survive the
+    // pre-aggregation exactly, and one row per (doc, h) makes n_shared a
+    // plain count — measured 17s → 4s at the 10x stress size
     val occ = sel.join(matchable, "h")
-    occ.select($"doc_id".as("doc_a"), $"h", $"pos".as("pa"))
-      .join(occ.select($"doc_id".as("doc_b"), $"h", $"pos".as("pb")), Seq("h"))
+      .groupBy($"doc_id", $"h")
+      .agg(min($"pos").as("mn"), max($"pos").as("mx"))
+    occ.select($"doc_id".as("doc_a"), $"h", $"mn".as("amn"), $"mx".as("amx"))
+      .join(occ.select($"doc_id".as("doc_b"), $"h",
+        $"mn".as("bmn"), $"mx".as("bmx")), Seq("h"))
       .filter($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b")
-      .agg(countDistinct($"h").as("n_shared"),
-        min($"pa").as("a_min_pos"), max($"pa").as("a_max_pos"),
-        min($"pb").as("b_min_pos"), max($"pb").as("b_max_pos"))
+      .agg(count(lit(1)).as("n_shared"),
+        min($"amn").as("a_min_pos"), max($"amx").as("a_max_pos"),
+        min($"bmn").as("b_min_pos"), max($"bmx").as("b_max_pos"))
       .filter($"n_shared" >= minShared)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Code-switching screen: documents whose stopword evidence spans
+    * MULTIPLE languages — mixed-language pages poison monolingual
+    * sampling quotas and per-language statistics, and the lang-ID
+    * argmax ([[langIdConfusion]]) is structurally blind to them (it
+    * always answers with one language, however split the evidence).
+    * Per doc: hits per language list, languages with any evidence, the
+    * runner-up-to-winner evidence ratio in basis points, and a `mixed`
+    * flag when the runner-up carries ≥ `mixedBp` of the winner's hits.
+    * All integer counts and one cross-multiplied comparison — zero
+    * float seams, scan-speed, stateless.
+    */
+  def codeSwitchScreen(s: SparkSession, dir: String,
+                       mixedBp: Long = 3000L): DataFrame = {
+    import s.implicits._
+    codeSwitchScreenFrom(docsFanned(s, dir), mixedBp).orderBy($"doc_id")
+  }
+
+  /** The screen over ANY (doc_id, lang, text) frame — per-row stateless
+    * expressions, so it runs on batch and synthetic/streaming frames
+    * alike. (On THIS synthetic corpus every document screens clean —
+    * its languages share one domain vocabulary, so no cross-list
+    * evidence exists; the spec proves the mixed path on constructed
+    * bilingual documents.)
+    */
+  private[graft] def codeSwitchScreenFrom(docs: DataFrame,
+                                          mixedBp: Long = 3000L): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val langs = Seq("en", "de", "fr", "es")
+    val scored = docs
+      .select($"doc_id", $"lang", text.tokensLower($"text").as("toks"))
+      .select($"doc_id" +: $"lang" +: langs.map(l =>
+        text.stopwordHitsTokens($"toks", text.stopwords(l))
+          .cast("long").as(s"hits_$l")): _*)
+    val hitCols = langs.map(l => col(s"hits_$l"))
+    // best and runner-up straight off the descending-sorted hit multiset
+    // — one definition, identical in SQL (list_sort DESC + subscripts)
+    val sorted = sort_array(array(hitCols: _*), asc = false)
+    scored
+      .withColumn("n_langs_hit",
+        hitCols.map(c => when(c > 0, 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("best_hits", element_at(sorted, 1))
+      .withColumn("second_hits", element_at(sorted, 2))
+      .withColumn("mixed",
+        $"best_hits" > 0 &&
+          $"second_hits" * 10000 >= $"best_hits" * mixedBp)
+      .select($"doc_id", $"lang", $"n_langs_hit", $"best_hits",
+        $"second_hits", $"mixed")
   }
 
   /** Source ↔ language mutual information — how much knowing a

@@ -1163,6 +1163,40 @@ class TextOpsSpec extends SparkSpec {
     assert(sample.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("codeSwitchScreen matches a sequential stopword-evidence replay") {
+    import spark.implicits._
+    val lists = Seq("en", "de", "fr", "es")
+      .map(l => graft.functions.text.stopwords(l).toSet)
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, t) =>
+      val toks = t.trim.toLowerCase.split("\\s+").filterNot(_.isEmpty)
+      val hits = lists.map(ws => toks.count(ws.contains).toLong)
+      val sorted = hits.sorted.reverse
+      id -> (hits.count(_ > 0).toLong, sorted(0), sorted(1),
+        sorted(0) > 0 && sorted(1) * 10000 >= sorted(0) * 3000)
+    }.toMap
+    val got = TextOps.codeSwitchScreen(spark, sf)
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, _, nl, best, second, mixed) =>
+      assert((nl, best, second, mixed) === expected(id), s"doc $id")
+    }
+    // this corpus's languages share one domain vocabulary, so every real
+    // doc screens clean — prove the MIXED path on constructed bilingual
+    // docs (second list's evidence at 0%, 25%, 50% of the first's)
+    val synth = Seq(
+      (1L, "mx", "the of and the of and the of"),          // pure en
+      (2L, "mx", "the of and the der die le el"),          // heavy mixing
+      (3L, "mx", "the of and that it was in is der die"))  // 2/8 de
+      .toDF("doc_id", "lang", "text")
+    val flags = TextOps.codeSwitchScreenFrom(synth)
+      .select($"doc_id", $"mixed").as[(Long, Boolean)].collect().toMap
+    assert(flags(1L) === false)
+    assert(flags(2L) === true)
+    assert(flags(3L) === false) // 2/8 = 25% < the 30% bar
+  }
+
   test("gopherRules matches a sequential replay of every rule") {
     import spark.implicits._
     val docs = graft.Tables(spark, sf, "documents")
