@@ -153,6 +153,7 @@ object SparkEntry {
     "q_temperature_sample" -> ((s, dir) => TextOps.temperatureSample(s, dir)),
     "q_winnow_spans" -> ((s, dir) => TextOps.winnowMatchSpans(s, dir)),
     "q_code_switch" -> ((s, dir) => TextOps.codeSwitchScreen(s, dir)),
+    "q_pii_scrub" -> TextOps.piiScrub,
     "q_distinct_ngrams" -> TextOps.distinctNgrams,
     "q_ccnet_buckets" -> TextOps.ccnetBuckets,
     // -- dedup suite (§7.4) ------------------------------------------------
@@ -2507,6 +2508,25 @@ object SparkEntry {
            CAST((n_tokens * 10000) // n_words AS DOUBLE) / 10000.0
              AS tokens_per_word
          FROM g ORDER BY lang""",
+    "q_pii_scrub" ->
+      """WITH sc AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+'))
+             AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '[0-9]{8,}')) AS BIGINT)
+             AS n_digit_runs,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               'https?://[^ \t\n]+', '<URL>', 'g'),
+             '[0-9]{8,}', '<NUMBER>', 'g') AS clean_text
+         FROM documents)
+         SELECT doc_id, n_emails, n_urls, n_digit_runs, clean_text
+         FROM sc ORDER BY doc_id""",
     "q_code_switch" -> {
       val hitExprs = Seq("en", "de", "fr", "es").map { l =>
         val list = graft.functions.text.stopwords(l)

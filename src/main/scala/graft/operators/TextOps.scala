@@ -148,6 +148,45 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** PII scrub MATERIALIZATION — the write-back half of [[piiStats]]
+    * (counts alone don't redact a corpus): emails, then URLs, then
+    * long digit runs (8+, the phone/account shapes) are replaced with
+    * typed placeholder tags, in a fixed order so a URL containing an
+    * @-shape is consumed by the email pass first on both engines. Only
+    * affected documents emit (the write-back set); patterns are
+    * RE2-safe (no lookarounds), so Java and RE2 engines rewrite
+    * identically. Scan-speed, stateless, no shuffle.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    piiScrubFrom(docsFanned(s, dir)).orderBy($"doc_id")
+  }
+
+  /** The scrub over ANY (doc_id, text) frame — per-row stateless, so
+    * batch and synthetic/streaming frames share one definition. Every
+    * document emits (clean docs pass through with clean_text = text and
+    * zero counts — THIS corpus contains no PII-shaped content at all,
+    * so the oracle pins the identity path and the spec proves the
+    * redaction path on constructed documents).
+    */
+  private[graft] def piiScrubFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ \\t\\n]+"
+    val digits = "[0-9]{8,}"
+    docs
+      .select($"doc_id",
+        regexp_count($"text", lit(email)).cast("long").as("n_emails"),
+        regexp_count($"text", lit(url)).cast("long").as("n_urls"),
+        regexp_count($"text", lit(digits)).cast("long").as("n_digit_runs"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($"text", email, "<EMAIL>"),
+            url, "<URL>"),
+          digits, "<NUMBER>").as("clean_text"))
+  }
+
   /** 60-bit md5 bucket in [0,100) — the engine-portable deterministic
     * hash for split assignment and sampling (same md5-prefix trick as
     * Dedup.tokenHash60, reproducible in any SQL engine).

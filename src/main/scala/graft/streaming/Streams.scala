@@ -74,6 +74,35 @@ object Streams {
         col("text"), toks, col("n_chars")) >= minQuality)
   }
 
+  /** Streaming winnow-index MAINTENANCE — the missing third of the
+    * stored-index lifecycle (batch build → `winnowProbeSink` serve →
+    * THIS keeps the store current as documents arrive): each
+    * micro-batch winnows itself and appends its fingerprints to the
+    * h-bucketed table with the batch builder's exact layout, so the
+    * store stays probe-servable (bucketed, shuffle-free on the index
+    * side) without ever re-winnowing the corpus. Replayed batches
+    * anti-join away on doc_id — a doc's fingerprints enter the store
+    * exactly once no matter how often its batch replays.
+    */
+  def winnowIndexSink(docs: DataFrame, table: String, k: Int = 4,
+                      w: Int = 4, nBuckets: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val sel = graft.operators.TextOps
+        .winnowSelectedFrom(batch.select(col("doc_id"), col("text")), k, w)
+        .select(col("doc_id"), col("h")).distinct()
+      val exists = spark.catalog.tableExists(table)
+      val out =
+        if (!exists) sel
+        else sel.join(spark.table(table).select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      out.write.mode(if (exists) "append" else "overwrite")
+        .bucketBy(nBuckets, "h").sortBy("h")
+        .saveAsTable(table)
+      ()
+    }
+
   /** Gopher-rule ingest gate: the streaming twin of
     * `TextOps.gopherRules` — all seven Rae et al. 2021 screens evaluated
     * as stateless per-row expressions on the arriving frame (the SAME

@@ -1163,6 +1163,33 @@ class TextOpsSpec extends SparkSpec {
     assert(sample.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("piiScrub: corpus passes through untouched (no PII shapes here); " +
+       "redaction path proven on constructed documents") {
+    import spark.implicits._
+    val rows = TextOps.piiScrub(spark, sf)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val texts = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(rows.length === texts.size)
+    rows.foreach { case (id, e, u, d, clean) =>
+      assert((e, u, d) === ((0L, 0L, 0L)))
+      assert(clean === texts(id))
+    }
+    val synth = Seq(
+      (1L, "mail me at jo.doe+x@ex-a.co.uk now"),
+      (2L, "see https://ex.com/a?b=1 and http://b.io end"),
+      (3L, "card 12345678901 and short 1234567 stay"),
+      (4L, "a@b.cd via https://z.dev 99999999"))
+      .toDF("doc_id", "text")
+    val got = TextOps.piiScrubFrom(synth)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 1L, 0L, 0L, "mail me at <EMAIL> now")))
+    assert(got(2L) === ((2L, 0L, 2L, 0L, "see <URL> and <URL> end")))
+    assert(got(3L) === ((3L, 0L, 0L, 1L, "card <NUMBER> and short 1234567 stay")))
+    assert(got(4L) === ((4L, 1L, 1L, 1L, "<EMAIL> via <URL> <NUMBER>")))
+  }
+
   test("codeSwitchScreen matches a sequential stopword-evidence replay") {
     import spark.implicits._
     val lists = Seq("en", "de", "fr", "es")

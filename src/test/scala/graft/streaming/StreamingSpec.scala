@@ -270,6 +270,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "degenerate test: no candidate pairs at this SF")
   }
 
+  test("winnowIndexSink maintains the store incrementally: streamed index " +
+       "== batch-built index, replays add nothing, probe stays servable") {
+    val table = "winnow_maint_spec_idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("winnow-maint").toString
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.winnowIndexSink(
+        input.toDF().toDF("doc_id", "text"), table)
+      .option("checkpointLocation", ckpt).start()
+    val half = docs.length / 2
+    input.addData(docs.take(half)); q.processAllAvailable()
+    input.addData(docs.drop(half)); q.processAllAvailable()
+    input.addData(docs.take(half)); q.processAllAvailable() // replay: no-op
+    q.stop()
+    val streamed = spark.table(table)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val batchTable = "winnow_maint_spec_batch"
+    spark.sql(s"DROP TABLE IF EXISTS $batchTable")
+    graft.operators.TextOps.writeWinnowIndexFrom(
+      graft.Tables(spark, sf, "documents"), batchTable)
+    val batch = spark.table(batchTable)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $batchTable")
+  }
+
   test("gopherGate streams bit-identical verdicts to the batch rule suite") {
     val words = Seq("the", "a")
     val input = MemoryStream[(Long, String)](spark)
