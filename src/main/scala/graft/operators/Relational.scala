@@ -860,4 +860,47 @@ object Relational {
       .filter($"status" =!= "unchanged")
       .orderBy($"doc_id")
   }
+
+  /** Distributed EXACT global row_number — the scale-safe replacement
+    * for `row_number().over(Window.partitionBy(lit(1)).orderBy(...))`,
+    * which funnels the whole input through ONE task (Spark warns
+    * "No Partition Defined for Window operation" for a reason).
+    *
+    * Technique: range-repartition on the sort key (a distributed sort —
+    * each partition holds a contiguous, disjoint key range in partition-
+    * id order), rank WITHIN each partition (parallel window, partitioned
+    * by `spark_partition_id`), then add each partition's start offset —
+    * the running sum of earlier partitions' row counts, a tiny driver-
+    * side frame joined back by id. Ranks are identical to the single-
+    * partition form whenever the ordering is TOTAL (tie-break to
+    * uniqueness first — with ties, rows equal on the key may straddle a
+    * range boundary and tie order would be partition-dependent).
+    *
+    * `numParts` defaults to the session shuffle parallelism; the result
+    * carries the input columns plus `rk` (1-based).
+    */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
+                      numParts: Int = 0): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val n = if (numParts > 0) numParts
+            else s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(n, orderCols: _*)
+      .withColumn("_gp", spark_partition_id())
+      .localCheckpoint() // offsets + ranked output both read it
+    val offsets = ranged.groupBy($"_gp").agg(count(lit(1)).as("_n"))
+      .withColumn("_off",
+        coalesce(sum($"_n").over(
+          Window.orderBy($"_gp").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select($"_gp", $"_off")
+    // the offsets window IS single-partition — over numParts rows, not
+    // the data; the data-sized window below partitions by _gp (parallel)
+    val byPart = Window.partitionBy($"_gp").orderBy(orderCols: _*)
+    ranged
+      .withColumn("_prk", row_number().over(byPart).cast("long"))
+      .join(broadcast(offsets), Seq("_gp"))
+      .withColumn("rk", $"_off" + $"_prk")
+      .drop("_gp", "_prk", "_off")
+  }
 }

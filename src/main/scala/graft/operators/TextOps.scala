@@ -1879,12 +1879,10 @@ object TextOps {
   def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val scored = surprisalPerDoc(s, dir).localCheckpoint() // rank + count
-    // the global row_number is a single-partition window HERE; at real
-    // scale replace with rangepartitioned sort + per-partition offsets
-    // (rank semantics identical) — the binning arithmetic is unchanged
-    val byXent = Window.partitionBy(lit(1)).orderBy($"xent_u", $"doc_id")
-    scored
-      .withColumn("rk", row_number().over(byXent).cast("long"))
+    // distributed exact global rank (range partitions + offsets) — the
+    // ordering is total ((xent_u, doc_id) is unique), which is what
+    // makes the distributed rank identical to a single-partition window
+    Relational.globalRowNumber(scored, Seq($"xent_u", $"doc_id"))
       .crossJoin(broadcast(scored.agg(count(lit(1)).as("nn"))))
       .withColumn("bucket",
         when(($"rk" - 1) * 3 < $"nn", "head")

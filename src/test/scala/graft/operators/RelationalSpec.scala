@@ -357,4 +357,28 @@ class RelationalSpec extends SparkSpec {
       "radius self-join must bucket to an equi-join, not BNLJ")
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
   }
+
+  test("globalRowNumber: identical to the single-partition window, and " +
+       "the data-sized window runs partitioned") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // documents: doc_id is unique, so (n_chars, doc_id) is a TOTAL order
+    // — the precondition the operator documents (with ties, tied rows
+    // may straddle a range boundary and tie order becomes partition-
+    // dependent)
+    val df = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"n_chars")
+    val order = Seq($"n_chars", $"doc_id")
+    val got = Relational.globalRowNumber(df, order, numParts = 7)
+      .select($"doc_id", $"rk")
+      .as[(Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val single = df.withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(order: _*)).cast("long"))
+      .select($"doc_id", $"rk")
+      .as[(Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got === single)
+    assert(got.nonEmpty)
+    // ranks are a permutation of 1..n with no gaps
+    assert(got.values.toSeq.sorted === (1L to got.size.toLong))
+  }
 }
