@@ -154,6 +154,8 @@ object SparkEntry {
     "q_winnow_spans" -> ((s, dir) => TextOps.winnowMatchSpans(s, dir)),
     "q_code_switch" -> ((s, dir) => TextOps.codeSwitchScreen(s, dir)),
     "q_pii_scrub" -> TextOps.piiScrub,
+    "q_constraint_audit" -> Relational.constraintAudit,
+    "q_psi_drift" -> ((s, dir) => Events.psiDrift(s, dir)),
     "q_distinct_ngrams" -> TextOps.distinctNgrams,
     "q_ccnet_buckets" -> TextOps.ccnetBuckets,
     // -- dedup suite (§7.4) ------------------------------------------------
@@ -2508,6 +2510,61 @@ object SparkEntry {
            CAST((n_tokens * 10000) // n_words AS DOUBLE) / 10000.0
              AS tokens_per_word
          FROM g ORDER BY lang""",
+    "q_constraint_audit" ->
+      """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS c_ret,
+           CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_qty,
+           CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_disc,
+           CAST(sum(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c_price,
+           CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS c_pk
+           FROM lineitem),
+         r AS (SELECT CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_ri
+           FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         m AS (SELECT * FROM b CROSS JOIN r),
+         rows AS (
+           SELECT 'completeness_returnflag' AS check_name,
+             CAST(c_ret * 10000 // n AS BIGINT) AS metric_bp FROM m
+           UNION ALL SELECT 'pk_uniqueness',
+             CAST(c_pk * 10000 // n AS BIGINT) FROM m
+           UNION ALL SELECT 'range_quantity_1_50',
+             CAST(c_qty * 10000 // n AS BIGINT) FROM m
+           UNION ALL SELECT 'range_discount_0_01',
+             CAST(c_disc * 10000 // n AS BIGINT) FROM m
+           UNION ALL SELECT 'positive_price',
+             CAST(c_price * 10000 // n AS BIGINT) FROM m
+           UNION ALL SELECT 'ri_orderkey_in_orders',
+             CAST(c_ri * 10000 // n AS BIGINT) FROM m)
+         SELECT check_name, metric_bp,
+           CAST(10000 AS BIGINT) AS threshold_bp,
+           metric_bp >= 10000 AS pass
+         FROM rows ORDER BY check_name""",
+    "q_psi_drift" ->
+      """WITH e AS (SELECT
+           CASE WHEN day(CAST(ts AS DATE)) <= 15 THEN 1 ELSE 0 END AS is_ref,
+           CAST(least(9, floor(value / 50.0)) AS BIGINT) AS bin FROM events),
+         c0 AS (SELECT bin, CAST(sum(is_ref) AS BIGINT) AS ref_n,
+             CAST(sum(1 - is_ref) AS BIGINT) AS cur_n FROM e GROUP BY bin),
+         spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+         cells AS (SELECT CAST(s.bin AS BIGINT) AS bin,
+             coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+           FROM spine s LEFT JOIN c0 ON c0.bin = s.bin),
+         t AS (SELECT CAST(sum(ref_n) AS BIGINT) AS rt,
+             CAST(sum(cur_n) AS BIGINT) AS ct FROM cells),
+         sc AS (SELECT bin, ref_n, cur_n,
+             CAST((ref_n + 1) * 10000 // (rt + 10) AS BIGINT) AS p_ref_bp,
+             CAST((cur_n + 1) * 10000 // (ct + 10) AS BIGINT) AS p_cur_bp,
+             CAST(round(ln(CAST((ref_n + 1) * (ct + 10) AS DOUBLE) /
+               CAST((cur_n + 1) * (rt + 10) AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS lnr_u
+           FROM cells CROSS JOIN t)
+         SELECT bin, ref_n, cur_n, p_ref_bp, p_cur_bp, lnr_u,
+           CAST((p_ref_bp - p_cur_bp) * lnr_u AS BIGINT) AS contrib
+         FROM sc ORDER BY bin""",
     "q_pii_scrub" ->
       """WITH sc AS (SELECT doc_id,
            CAST(len(regexp_extract_all(text,

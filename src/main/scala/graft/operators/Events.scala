@@ -517,4 +517,51 @@ object Events {
           pow($"m2" - $"m1" * $"m1", 1.5), 4).as("skewness"))
       .orderBy($"event_type")
   }
+
+  /** Population Stability Index between the stream's first and second
+    * half-month — THE production drift metric (credit-scoring lineage,
+    * now standard for feature/label drift monitors): bucket `value`
+    * into fixed-width bins, compare reference (day ≤ 15) vs current
+    * (day > 15) bin shares, PSI = Σ (p_ref − p_cur)·ln(p_ref/p_cur).
+    * PSI < 0.1 is conventionally "no drift", > 0.25 "investigate".
+    *
+    * Determinism: add-one smoothed shares as integer basis points; the
+    * per-BIN ln is fixed-pointed at 1e-6 over a ratio of exact integer
+    * products (the [[graft.operators.TextOps.sourceLangMi]] discipline);
+    * each bin's contribution is an exact integer product of the two, so
+    * the total is order-free. One scan + a 10-row rollup.
+    */
+  def psiDrift(s: SparkSession, dir: String, binWidth: Double = 50.0,
+               nBins: Int = 10): DataFrame = {
+    import s.implicits._
+    val binned = Tables(s, dir, "events")
+      .select(
+        (dayofmonth($"ts") <= 15).as("is_ref"),
+        least(lit(nBins - 1), floor($"value" / binWidth)).cast("long")
+          .as("bin"))
+      .groupBy($"bin")
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("ref_n"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("cur_n"))
+    // all bins present even when empty on both sides (smoothing still
+    // assigns them mass): union the bin spine, fill zeros
+    val spine = s.range(nBins).select($"id".as("bin"))
+    val cells = spine.join(binned, Seq("bin"), "left")
+      .select($"bin", coalesce($"ref_n", lit(0L)).as("ref_n"),
+        coalesce($"cur_n", lit(0L)).as("cur_n"))
+      .localCheckpoint() // totals + per-bin scan both read it
+    val tot = cells.agg(sum($"ref_n").as("rt"), sum($"cur_n").as("ct"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("p_ref_bp",
+        expr(s"(ref_n + 1) * 10000 div (rt + $nBins)"))
+      .withColumn("p_cur_bp",
+        expr(s"(cur_n + 1) * 10000 div (ct + $nBins)"))
+      .withColumn("lnr_u",
+        round(log((($"ref_n" + 1) * ($"ct" + nBins)).cast("double") /
+          (($"cur_n" + 1) * ($"rt" + nBins)).cast("double")) * 1e6)
+          .cast("long"))
+      .withColumn("contrib", ($"p_ref_bp" - $"p_cur_bp") * $"lnr_u")
+      .select($"bin", $"ref_n", $"cur_n", $"p_ref_bp", $"p_cur_bp",
+        $"lnr_u", $"contrib")
+      .orderBy($"bin")
+  }
 }

@@ -861,6 +861,54 @@ object Relational {
       .orderBy($"doc_id")
   }
 
+  /** Declarative data-quality constraint audit (the Deequ /
+    * Great-Expectations pattern): a fixed constraint set over the fact
+    * table evaluated in ONE aggregation pass (plus one join for the
+    * referential check), each emitting (constraint, metric in basis
+    * points, threshold, pass). Metrics are integer cross-ratios — share
+    * of rows satisfying the predicate — so verdicts are float-free.
+    * This synthetic lineitem genuinely FAILS the primary-key uniqueness
+    * constraint (the generator reuses (orderkey, linenumber)), so both
+    * verdicts are exercised on real data.
+    *
+    * Scale: completeness/range/sign metrics are one scan with
+    * conditional sums (map-side combined); uniqueness pays the one
+    * distinct; the referential check is an equi-join on the key.
+    */
+  def constraintAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders").select($"o_orderkey")
+    val base = l.agg(
+      count(lit(1)).as("n"),
+      sum(when($"l_returnflag".isNotNull, 1L).otherwise(0L)).as("c_ret"),
+      sum(when($"l_quantity" >= 1 && $"l_quantity" <= 50, 1L).otherwise(0L))
+        .as("c_qty"),
+      sum(when($"l_discount" >= 0 && $"l_discount" <= 0.1, 1L).otherwise(0L))
+        .as("c_disc"),
+      sum(when($"l_extendedprice" > 0, 1L).otherwise(0L)).as("c_price"),
+      countDistinct($"l_orderkey", $"l_linenumber").as("c_pk"))
+    val ri = l.join(o, $"l_orderkey" === $"o_orderkey", "left")
+      .agg(sum(when($"o_orderkey".isNotNull, 1L).otherwise(0L)).as("c_ri"))
+    // one row; checkpointed so the six constraint projections below read
+    // materialized metrics instead of re-running the scan per constraint
+    val m = base.crossJoin(ri).localCheckpoint()
+    def row(name: String, metricCol: String, thresholdBp: Long) =
+      m.select(lit(name).as("check_name"),
+        expr(s"$metricCol * 10000 div n").as("metric_bp"),
+        lit(thresholdBp).as("threshold_bp"))
+    Seq(
+      row("completeness_returnflag", "c_ret", 10000L),
+      row("pk_uniqueness", "c_pk", 10000L),
+      row("range_quantity_1_50", "c_qty", 10000L),
+      row("range_discount_0_01", "c_disc", 10000L),
+      row("positive_price", "c_price", 10000L),
+      row("ri_orderkey_in_orders", "c_ri", 10000L))
+      .reduce(_ unionByName _)
+      .withColumn("pass", $"metric_bp" >= $"threshold_bp")
+      .orderBy($"check_name")
+  }
+
   /** Distributed EXACT global row_number — the scale-safe replacement
     * for `row_number().over(Window.partitionBy(lit(1)).orderBy(...))`,
     * which funnels the whole input through ONE task (Spark warns

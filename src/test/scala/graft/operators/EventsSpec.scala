@@ -223,4 +223,36 @@ class EventsSpec extends SparkSpec {
       "interval overlap must band to an equi-join, not BNLJ")
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
   }
+
+  test("psiDrift matches a sequential fixed-point replay and conserves mass") {
+    import spark.implicits._
+    val ev = graft.Tables(spark, sf, "events")
+      .select(dayofmonth($"ts").as("d"), $"value")
+      .as[(Int, Double)].collect()
+    val bins = ev.map { case (d, v) =>
+      (math.min(9L, math.floor(v / 50.0).toLong), d <= 15)
+    }
+    val refN = (0L to 9L).map(b => bins.count(x => x._1 == b && x._2).toLong)
+    val curN = (0L to 9L).map(b => bins.count(x => x._1 == b && !x._2).toLong)
+    val (rt, ct) = (refN.sum, curN.sum)
+    val rows = Events.psiDrift(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 10)
+    rows.foreach { case (b, rn, cn, prefBp, pcurBp, lnrU, contrib) =>
+      val i = b.toInt
+      assert(rn === refN(i) && cn === curN(i), s"bin $b counts")
+      assert(prefBp === (rn + 1) * 10000 / (rt + 10))
+      assert(pcurBp === (cn + 1) * 10000 / (ct + 10))
+      val expLn = java.math.BigDecimal.valueOf(
+          math.log(((rn + 1) * (ct + 10)).toDouble /
+            ((cn + 1) * (rt + 10)).toDouble) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      assert(lnrU === expLn, s"bin $b ln term")
+      assert(contrib === (prefBp - pcurBp) * lnrU)
+    }
+    assert(rows.map(_._2).sum === rt && rows.map(_._3).sum === ct)
+    // PSI of two halves of one stationary stream should read "no drift"
+    val psi = rows.map(_._7).sum.toDouble / 1e10
+    assert(psi >= 0.0 && psi < 0.1, s"stationary stream PSI $psi")
+  }
 }

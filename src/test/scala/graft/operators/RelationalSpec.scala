@@ -358,6 +358,40 @@ class RelationalSpec extends SparkSpec {
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
   }
 
+  test("constraintAudit matches direct recounts; both verdicts occur " +
+       "(this lineitem genuinely fails pk uniqueness)") {
+    import spark.implicits._
+    val l = graft.Tables(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount",
+        $"l_extendedprice", $"l_returnflag")
+      .collect()
+    val n = l.length.toLong
+    val orders = graft.Tables(spark, sf, "orders")
+      .select($"o_orderkey").as[Long].collect()
+    val oset = orders.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = Map(
+      "completeness_returnflag" -> l.count(!_.isNullAt(5)).toLong,
+      "pk_uniqueness" -> l.map(r => (r.getLong(0), r.getInt(1))).distinct.length.toLong,
+      "range_quantity_1_50" ->
+        l.count(r => r.getDouble(2) >= 1 && r.getDouble(2) <= 50).toLong,
+      "range_discount_0_01" ->
+        l.count(r => r.getDouble(3) >= 0 && r.getDouble(3) <= 0.1).toLong,
+      "positive_price" -> l.count(_.getDouble(4) > 0).toLong,
+      // left-join semantics: a lineitem row contributes one matched row
+      // PER matching order row (0 when unmatched)
+      "ri_orderkey_in_orders" ->
+        l.map(r => oset.getOrElse(r.getLong(0), 0L)).sum)
+    val got = Relational.constraintAudit(spark, sf)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(got.length === 6)
+    got.foreach { case (name, bp, thr, pass) =>
+      assert(bp === expected(name) * 10000 / n, name)
+      assert(pass === (bp >= thr), name)
+    }
+    assert(got.exists(_._4) && got.exists(!_._4),
+      "fixture must exercise both verdicts")
+  }
+
   test("globalRowNumber: identical to the single-partition window, and " +
        "the data-sized window runs partitioned") {
     import spark.implicits._
