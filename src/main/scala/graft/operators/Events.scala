@@ -531,6 +531,22 @@ object Events {
     * each bin's contribution is an exact integer product of the two, so
     * the total is order-free. One scan + a 10-row rollup.
     */
+  /** The frozen reference histogram `Streams.psiDriftSink` probes: bin
+    * counts of the reference window (day ≤ 15), collected driver-side —
+    * nBins pairs, the bounded artifact a monitor ships to the edge.
+    */
+  def psiReferenceCounts(s: SparkSession, dir: String,
+                         binWidth: Double = 50.0,
+                         nBins: Int = 10): Seq[(Long, Long)] = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .filter(dayofmonth($"ts") <= 15)
+      .select(least(lit(nBins - 1), floor($"value" / binWidth)).cast("long")
+        .as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+  }
+
   def psiDrift(s: SparkSession, dir: String, binWidth: Double = 50.0,
                nBins: Int = 10): DataFrame = {
     import s.implicits._

@@ -103,6 +103,48 @@ object Streams {
       ()
     }
 
+  /** Streaming PSI drift monitor: each micro-batch's value distribution
+    * is compared against a FROZEN reference histogram (driver-side
+    * (bin → count) pairs from the batch-side reference window — the
+    * bounded artifact, broadcast as literals like the label-noise
+    * gate's centroids), emitting one PSI row per micro-batch with the
+    * same add-one-smoothed fixed-point arithmetic as the batch
+    * `Events.psiDrift`. foreachBatch + a tiny per-batch rollup — no
+    * state store; the alarm a feature pipeline actually pages on.
+    */
+  def psiDriftSink(events: DataFrame, refCounts: Seq[(Long, Long)],
+                   targetDir: String, binWidth: Double = 50.0,
+                   nBins: Int = 10)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val rt = refCounts.map(_._2).sum
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val cur = batch
+        .select(least(lit(nBins - 1), floor(col("value") / binWidth))
+          .cast("long").as("bin"))
+        .groupBy($"bin").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ct = cur.values.sum
+      val refMap = refCounts.toMap
+      val contribs = (0L until nBins.toLong).map { b =>
+        val rn = refMap.getOrElse(b, 0L); val cn = cur.getOrElse(b, 0L)
+        val pRefBp = (rn + 1) * 10000 / (rt + nBins)
+        val pCurBp = (cn + 1) * 10000 / (ct + nBins)
+        val lnrU = java.math.BigDecimal.valueOf(
+            math.log(((rn + 1) * (ct + nBins)).toDouble /
+              ((cn + 1) * (rt + nBins)).toDouble) * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        (pRefBp - pCurBp) * lnrU
+      }
+      val psiU = contribs.sum
+      Seq((batchId, ct, psiU, psiU >= 1000000000L)) // 0.1 in 1e-10 units
+        .toDF("batch_id", "n_events", "psi_e10", "drift_alarm")
+        .write.mode("append").parquet(targetDir)
+      ()
+    }
+  }
+
   /** Gopher-rule ingest gate: the streaming twin of
     * `TextOps.gopherRules` — all seven Rae et al. 2021 screens evaluated
     * as stateless per-row expressions on the arriving frame (the SAME

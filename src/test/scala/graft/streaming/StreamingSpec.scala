@@ -301,6 +301,31 @@ class StreamingSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $batchTable")
   }
 
+  test("psiDriftSink: full current half reproduces the batch PSI exactly; " +
+       "a shifted batch trips the alarm") {
+    val dst = java.nio.file.Files.createTempDirectory("psi-out").toString + "/psi"
+    val ckpt = java.nio.file.Files.createTempDirectory("psi-ckpt").toString
+    val ref = graft.operators.Events.psiReferenceCounts(spark, sf)
+    val cur = graft.Tables(spark, sf, "events")
+      .filter(dayofmonth($"ts") > 15)
+      .select($"value").as[Double].collect().toSeq
+    val input = MemoryStream[Double](spark)
+    val q = Streams.psiDriftSink(input.toDF().toDF("value"), ref, dst)
+      .option("checkpointLocation", ckpt).start()
+    input.addData(cur); q.processAllAvailable()           // batch 0: stationary
+    input.addData(Seq.fill(500)(490.0)); q.processAllAvailable() // batch 1: shifted
+    q.stop()
+    val rows = spark.read.parquet(dst)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val batchPsi = graft.operators.Events.psiDrift(spark, sf)
+      .select($"contrib").as[Long].collect().sum
+    assert(rows(0L)._1 === cur.length.toLong)
+    assert(rows(0L)._2 === batchPsi, "stream PSI != batch PSI on same data")
+    assert(!rows(0L)._3, "stationary half must not alarm")
+    assert(rows(1L)._3, "a mass-shifted batch must alarm")
+  }
+
   test("gopherGate streams bit-identical verdicts to the batch rule suite") {
     val words = Seq("the", "a")
     val input = MemoryStream[(Long, String)](spark)
