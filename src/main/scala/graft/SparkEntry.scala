@@ -71,6 +71,8 @@ object SparkEntry {
     "q_json_prop_stats" -> Events.jsonPropStats,
     "q_daily_type_pivot" -> Events.dailyTypePivot,
     "q_value_percentiles" -> Events.valuePercentiles,
+    "q_robust_stats" -> Events.robustStats,
+    "q_cuped_adjust" -> Events.cupedAdjust,
     "q_distinct_users" -> Events.distinctUsers,
     "q_user_type_sets" -> Events.userTypeSets,
     "q_approx_distinct_users" -> Events.approxDistinctUsers,
@@ -155,6 +157,7 @@ object SparkEntry {
     "q_code_switch" -> ((s, dir) => TextOps.codeSwitchScreen(s, dir)),
     "q_pii_scrub" -> TextOps.piiScrub,
     "q_constraint_audit" -> Relational.constraintAudit,
+    "q_benford_audit" -> Relational.benfordAudit,
     "q_psi_drift" -> ((s, dir) => Events.psiDrift(s, dir)),
     "q_distinct_ngrams" -> TextOps.distinctNgrams,
     "q_ccnet_buckets" -> TextOps.ccnetBuckets,
@@ -199,6 +202,7 @@ object SparkEntry {
     "q_anisotropy" -> ((s, dir) => Similarity.anisotropyReport(s, dir)),
     "q_label_suspects" -> Similarity.labelSuspects,
     "q_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
+    "q_mmr_rerank" -> ((s, dir) => Similarity.mmrRerank(s, dir)),
     "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
     "q_embedding_lsh_recall" -> ((s, dir) => Similarity.embeddingLshRecall(s, dir)),
@@ -692,6 +696,55 @@ object SparkEntry {
     * q_ivf_topk_indexed: the stored-index path must produce the
     * IDENTICAL result to the recompute-per-query path.
     */
+  /** One unrolled greedy MMR round for the q_mmr_rerank oracle: the
+    * not-yet-selected pool rows get max-similarity-to-selected from the
+    * pairwise frame, and the integer score 7*cs_u - 3*ms_u picks the
+    * round's winner (vec_id tie-break).
+    */
+  private def mmrRoundCte(r: Int): String = {
+    val prev = s"sel${r - 1}"
+    s"""c$r AS (SELECT p.qid, p.vec_id, p.cs_u, max(pr.sim_u) AS ms_u
+         FROM pool p
+         JOIN pr ON pr.qid = p.qid AND pr.a = p.vec_id
+         JOIN $prev s ON s.qid = pr.qid AND s.vec_id = pr.b
+         WHERE NOT EXISTS (SELECT 1 FROM $prev x
+           WHERE x.qid = p.qid AND x.vec_id = p.vec_id)
+         GROUP BY 1, 2, 3),
+       s$r AS (SELECT qid, vec_id, $r AS rank, cs_u,
+           7 * cs_u - 3 * ms_u AS score_u
+         FROM (SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY 7 * cs_u - 3 * ms_u DESC, vec_id) AS rn FROM c$r)
+         WHERE rn = 1),
+       sel$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$r)"""
+  }
+
+  private val mmrRerankSql = {
+    val rounds = (2 to 5).map(mmrRoundCte).mkString(",\n       ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+       p0 AS (SELECT qid, vec_id,
+           CAST(round(list_cosine_similarity(v, qv) * 10000) AS BIGINT)
+             AS cs_u
+         FROM e, q WHERE vec_id <> qid),
+       p1 AS (SELECT qid, vec_id, cs_u, row_number() OVER (
+           PARTITION BY qid ORDER BY cs_u DESC, vec_id) AS rn FROM p0),
+       pool AS (SELECT qid, vec_id, cs_u FROM p1 WHERE rn <= 20),
+       pr AS (SELECT a.qid, a.vec_id AS a, b.vec_id AS b,
+           CAST(round(list_cosine_similarity(av.v, bv.v) * 10000)
+             AS BIGINT) AS sim_u
+         FROM pool a JOIN pool b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+         JOIN e av ON av.vec_id = a.vec_id
+         JOIN e bv ON bv.vec_id = b.vec_id),
+       sel1 AS (SELECT qid, vec_id, 1 AS rank, cs_u, 7 * cs_u AS score_u
+         FROM (SELECT qid, vec_id, cs_u, row_number() OVER (
+             PARTITION BY qid ORDER BY cs_u DESC, vec_id) AS rn FROM pool)
+         WHERE rn = 1),
+       $rounds
+       SELECT qid AS query_id, rank, vec_id, cs_u, score_u
+       FROM sel5 ORDER BY query_id, rank"""
+  }
+
   private val ivfTopKSql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
@@ -1166,6 +1219,102 @@ object SparkEntry {
          quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.5) AS p50,
          quantile_cont(value, 0.75) AS p75, quantile_cont(value, 0.9) AS p90
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_robust_stats" ->
+      """WITH b AS (SELECT event_type,
+           CAST(round(value * 10000) AS BIGINT) AS vq FROM events),
+         c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM b GROUP BY event_type),
+         rk AS (SELECT event_type, vq, CAST(row_number() OVER
+             (PARTITION BY event_type ORDER BY vq) AS BIGINT) AS rk
+           FROM b),
+         s AS (SELECT event_type, n, p,
+             (p * (n - 1)) // 100 AS lo, (p * (n - 1)) % 100 AS rem,
+             CASE WHEN (p * (n - 1)) % 100 > 0
+               THEN (p * (n - 1)) // 100 + 2
+               ELSE (p * (n - 1)) // 100 + 1 END AS rk2
+           FROM c CROSS JOIN (SELECT unnest([CAST(5 AS BIGINT),
+             CAST(50 AS BIGINT), CAST(95 AS BIGINT)]) AS p)),
+         q AS (SELECT s.event_type, s.p,
+             sum(CASE WHEN rem = 0 THEN vq * 100
+               WHEN rk = lo + 1 THEN vq * (100 - rem)
+               ELSE vq * rem END) AS qx100
+           FROM s JOIN rk ON rk.event_type = s.event_type
+             AND rk.rk >= lo + 1 AND rk.rk <= rk2
+           GROUP BY 1, 2),
+         qq AS (SELECT event_type,
+             (max(CASE WHEN p = 5 THEN qx100 END) + 99) // 100 AS loq,
+             max(CASE WHEN p = 50 THEN qx100 END) AS medx100,
+             max(CASE WHEN p = 95 THEN qx100 END) // 100 AS hiq
+           FROM q GROUP BY 1),
+         j AS (SELECT b.event_type, loq, hiq, medx100,
+             least(greatest(vq, loq), hiq) AS wq,
+             abs(vq * 100 - medx100) AS adev
+           FROM b JOIN qq USING (event_type)),
+         ws AS (SELECT event_type, CAST(sum(wq) AS BIGINT) AS wsum
+           FROM j GROUP BY 1),
+         ar AS (SELECT event_type, adev, CAST(row_number() OVER
+             (PARTITION BY event_type ORDER BY adev) AS BIGINT) AS rk
+           FROM j),
+         mq AS (SELECT s.event_type,
+             sum(CASE WHEN rem = 0 THEN adev * 100
+               WHEN rk = lo + 1 THEN adev * (100 - rem)
+               ELSE adev * rem END) AS madx10000
+           FROM s JOIN ar ON ar.event_type = s.event_type
+             AND ar.rk >= lo + 1 AND ar.rk <= rk2
+           WHERE s.p = 50 GROUP BY 1)
+         SELECT c.event_type, n, round(loq / 10000.0, 4) AS p05,
+           round(hiq / 10000.0, 4) AS p95,
+           round(CAST(wsum AS DOUBLE) / n / 10000.0, 4) AS winsor_mean,
+           round(medx100 / 1e6, 4) AS median,
+           round(madx10000 / 1e8, 4) AS mad
+         FROM c JOIN qq USING (event_type) JOIN ws USING (event_type)
+           JOIN mq USING (event_type)
+         ORDER BY event_type""",
+    "q_cuped_adjust" ->
+      """WITH e AS (SELECT user_id, day(CAST(ts AS DATE)) <= 15 AS pre,
+           CAST(round(value * 10000) AS BIGINT) AS vq FROM events),
+         u AS (SELECT CAST(user_id % 2 AS INT) AS arm,
+             CAST(sum(CASE WHEN pre THEN vq ELSE 0 END) AS BIGINT) AS xq,
+             CAST(sum(CASE WHEN pre THEN 0 ELSE vq END) AS BIGINT) AS yq
+           FROM e GROUP BY user_id),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+             sum(CAST(xq AS HUGEINT) * yq) AS sxy,
+             sum(CAST(xq AS HUGEINT) * xq) AS sxx
+           FROM u),
+         gg AS (SELECT
+             CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+               AS theta,
+             CAST(sx AS DOUBLE) / n AS mean_x
+           FROM g),
+         a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_a,
+             CAST(sum(xq) AS BIGINT) AS sxa,
+             CAST(sum(yq) AS BIGINT) AS sya,
+             sum(CAST(xq AS HUGEINT) * yq) AS sxya,
+             sum(CAST(xq AS HUGEINT) * xq) AS sxxa,
+             sum(CAST(yq AS HUGEINT) * yq) AS syya
+           FROM u GROUP BY arm),
+         m AS (SELECT arm, n_a, sxa, sya, theta, mean_x,
+             CAST(n_a * (n_a - 1) AS DOUBLE) AS den,
+             CAST(n_a * syya - CAST(sya AS HUGEINT) * sya AS DOUBLE)
+               / CAST(n_a * (n_a - 1) AS DOUBLE) AS vy,
+             CAST(n_a * sxxa - CAST(sxa AS HUGEINT) * sxa AS DOUBLE)
+               / CAST(n_a * (n_a - 1) AS DOUBLE) AS vx,
+             CAST(n_a * sxya - CAST(sxa AS HUGEINT) * sya AS DOUBLE)
+               / CAST(n_a * (n_a - 1) AS DOUBLE) AS cxy
+           FROM a CROSS JOIN gg),
+         v AS (SELECT *,
+             vy - 2.0 * theta * cxy + theta * theta * vx AS vc FROM m)
+         SELECT arm, n_a AS n_users, round(theta, 6) AS theta,
+           round(((sya * 100) // n_a) / 1e6, 4) AS mean_post,
+           round((CAST(sya AS DOUBLE) / n_a - theta *
+             (CAST(sxa AS DOUBLE) / n_a - mean_x)) / 1e4, 4)
+             AS mean_cuped,
+           round(vy / 1e8, 4) AS var_post,
+           round(vc / 1e8, 4) AS var_cuped,
+           round((1.0 - vc / vy) * 100, 4) AS vr_pct
+         FROM v ORDER BY arm""",
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          count(*) AS n_events
@@ -1598,6 +1747,7 @@ object SparkEntry {
          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_ivf_topk" -> ivfTopKSql,
     "q_ivf_topk_indexed" -> ivfTopKSql,
+    "q_mmr_rerank" -> mmrRerankSql,
     "q_label_suspects" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
@@ -2543,6 +2693,27 @@ object SparkEntry {
            CAST(10000 AS BIGINT) AS threshold_bp,
            metric_bp >= 10000 AS pass
          FROM rows ORDER BY check_name""",
+    "q_benford_audit" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice)
+             AS DECIMAL(18,0)) AS VARCHAR), 1, 1) AS INT) AS digit
+           FROM orders WHERE o_totalprice >= 1.0),
+         c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+           FROM d GROUP BY digit),
+         t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_tot FROM c),
+         spine AS (SELECT unnest(generate_series(1, 9)) AS digit),
+         j AS (SELECT CAST(s.digit AS INT) AS digit,
+             coalesce(n_obs, CAST(0 AS BIGINT)) AS n_obs, n_tot,
+             ln(1.0 + 1.0 / s.digit) / ln(10.0) AS exp_share
+           FROM spine s LEFT JOIN c ON s.digit = c.digit CROSS JOIN t),
+         k AS (SELECT digit, n_obs, exp_share, n_tot * exp_share AS exp_n,
+             CAST(round((n_obs - n_tot * exp_share)
+               * (n_obs - n_tot * exp_share)
+               / (n_tot * exp_share) * 1e6) AS BIGINT) AS contrib_u
+           FROM j)
+         SELECT digit, n_obs, round(exp_share, 4) AS exp_share,
+           round(exp_n, 4) AS exp_n, round(contrib_u / 1e6, 4) AS contrib,
+           round(CAST(sum(contrib_u) OVER () AS DOUBLE) / 1e6, 4) AS chi2
+         FROM k ORDER BY digit""",
     "q_psi_drift" ->
       """WITH e AS (SELECT
            CASE WHEN day(CAST(ts AS DATE)) <= 15 THEN 1 ELSE 0 END AS is_ref,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -579,5 +579,161 @@ object Events {
       .select($"bin", $"ref_n", $"cur_n", $"p_ref_bp", $"p_cur_bp",
         $"lnr_u", $"contrib")
       .orderBy($"bin")
+  }
+
+  /** Robust location/scale per event type: 5%/95% winsorized mean plus
+    * median and MAD (median absolute deviation) — the outlier-immune
+    * stats every metrics pipeline wants next to the raw mean, since one
+    * corrupt 1e9 `value` drags a mean arbitrarily but moves the median
+    * not at all.
+    *
+    * Determinism discipline: values quantize to 1e-4 longs up front, so
+    * the winsorized SUM is an exact integer (order-free at any
+    * parallelism — the skewness/PSI convention), and quantiles come
+    * from integer-weighted order statistics (see inline comment) — the
+    * whole computation is integer until the final display divisions.
+    * The clamp bounds are the integerized quantiles
+    * (ceil(p05)/floor(p95)) — integer-in, integer-out.
+    *
+    * Shape: a per-group rank (sort-based window — the sf-scale oracle
+    * twin; at 100 TB swap in the GK sketch audited by
+    * [[approxQuantileAudit]]), a rank-probe join against the tiny
+    * broadcast spec frame, then one clamped scan + one deviation rank
+    * for the MAD. No wide shuffle beyond the per-group sort.
+    */
+  def robustStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, dir, "events")
+      .select($"event_type", round($"value" * 10000).cast("long").as("vq"))
+    val n = base.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    // Integer-exact interpolated percentile: position p*(n-1) kept in
+    // hundredths, so the two straddling order statistics combine with
+    // INTEGER weights (100-rem, rem). Built-in exact percentiles
+    // (Spark `percentile`, DuckDB `quantile_cont`) interpolate with
+    // different double formulas — (hi-pos)*a+(pos-lo)*b vs
+    // a+frac*(b-a) — whose ulp disagreement flips ceil/floor when the
+    // true quantile lands on an integer; this scheme has no doubles at
+    // all until the final display division. Requires vq >= 0 (events
+    // values are positive), so ceil = (x+99) div 100 is exact.
+    val specs = n.select($"event_type", $"n",
+        explode(array(lit(5L), lit(50L), lit(95L))).as("p"))
+      .withColumn("lo", expr("p * (n - 1) div 100"))
+      .withColumn("rem", expr("p * (n - 1) % 100"))
+      .withColumn("rk2", when($"rem" > 0, $"lo" + 2).otherwise($"lo" + 1))
+    def interp(v: Column): Column =
+      sum(when($"rem" === 0, v * 100)
+        .when($"rk" === $"lo" + 1, v * (lit(100) - $"rem"))
+        .otherwise(v * $"rem"))
+    val rankW = Window.partitionBy($"event_type").orderBy($"vq")
+    val ranked = base
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+    val qq = ranked.join(broadcast(specs), Seq("event_type"))
+      .filter($"rk" >= $"lo" + 1 && $"rk" <= $"rk2")
+      .groupBy($"event_type", $"p").agg(interp($"vq").as("qx100"))
+      .groupBy($"event_type")
+      .agg(max(when($"p" === 5, $"qx100")).as("q05x"),
+        max(when($"p" === 50, $"qx100")).as("medx100"),
+        max(when($"p" === 95, $"qx100")).as("q95x"))
+      .select($"event_type", expr("(q05x + 99) div 100").as("loq"),
+        $"medx100", expr("q95x div 100").as("hiq"))
+    // second scan: clamp against the tiny broadcast bound frame; the
+    // winsorized SUM is an exact integer (order-free at any parallelism)
+    val joined = base.join(broadcast(qq), Seq("event_type"))
+      .select($"event_type",
+        least(greatest($"vq", $"loq"), $"hiq").as("wq"),
+        abs($"vq" * 100 - $"medx100").as("adev"))
+    val wsum = joined.groupBy($"event_type").agg(sum($"wq").as("wsum"))
+    val adevRanked = joined.select($"event_type", $"adev")
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy($"event_type").orderBy($"adev"))
+        .cast("long"))
+    val mad = adevRanked
+      .join(broadcast(specs.filter($"p" === 50)), Seq("event_type"))
+      .filter($"rk" >= $"lo" + 1 && $"rk" <= $"rk2")
+      .groupBy($"event_type").agg(interp($"adev").as("madx10000"))
+    n.join(qq, Seq("event_type")).join(wsum, Seq("event_type"))
+      .join(mad, Seq("event_type"))
+      .select($"event_type", $"n",
+        round($"loq" / 10000.0, 4).as("p05"),
+        round($"hiq" / 10000.0, 4).as("p95"),
+        round($"wsum".cast("double") / $"n" / 10000.0, 4)
+          .as("winsor_mean"),
+        round($"medx100" / 1e6, 4).as("median"),
+        round($"madx10000" / 1e8, 4).as("mad"))
+      .orderBy($"event_type")
+  }
+
+  /** CUPED variance reduction for an A/B readout — the standard
+    * experimentation-platform adjustment: each user's post-period metric
+    * Y is shifted by theta*(X - mean(X)) where X is the pre-period
+    * value of the SAME metric and theta = cov(X,Y)/var(X), removing the
+    * between-user variance X explains without biasing the arm
+    * difference. Arms come from `user_id % 2` (a deterministic stand-in
+    * for the assignment hash), the pre/post split is day-of-month <= 15
+    * (the PSI convention). Emits per-arm raw vs adjusted mean, raw vs
+    * adjusted variance, and the realized variance-reduction percent.
+    *
+    * Determinism: values quantize to 1e-4 longs; every moment (sum,
+    * sum-of-products) aggregates exactly — products through
+    * DECIMAL(38,0) (HUGEINT on the oracle side), so the only floating
+    * point is the FINAL scalar theta/variance arithmetic, computed with
+    * the identical expression shape on both engines. The raw mean uses
+    * the integer floor-division-to-fixed-scale trick (datasetCard
+    * convention) — no float-rounding boundary exposure.
+    *
+    * Shape at scale: one shuffle to per-user moments (map-side partial
+    * aggregation does the heavy lifting), then a 2-row arm rollup
+    * joined with a broadcast 1-row global frame. Nothing wide.
+    */
+  def cupedAdjust(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(19,0)"
+    val usr = Tables(s, dir, "events")
+      .select($"user_id", (dayofmonth($"ts") <= 15).as("pre"),
+        round($"value" * 10000).cast("long").as("vq"))
+      .groupBy($"user_id")
+      .agg(sum(when($"pre", $"vq").otherwise(0L)).as("xq"),
+        sum(when(!$"pre", $"vq").otherwise(0L)).as("yq"))
+      .select(($"user_id" % 2).cast("int").as("arm"), $"xq", $"yq")
+    val g = usr.agg(count(lit(1)).as("n"),
+        sum($"xq").as("sx"), sum($"yq").as("sy"),
+        sum($"xq".cast(dec) * $"yq").as("sxy"),
+        sum($"xq".cast(dec) * $"xq").as("sxx"))
+      .select(
+        (($"n" * $"sxy" - $"sx".cast(dec) * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx".cast(dec) * $"sx").cast("double"))
+          .as("theta"),
+        ($"sx".cast("double") / $"n").as("mean_x"))
+    usr.groupBy($"arm")
+      .agg(count(lit(1)).as("n_a"),
+        sum($"xq").as("sxa"), sum($"yq").as("sya"),
+        sum($"xq".cast(dec) * $"yq").as("sxya"),
+        sum($"xq".cast(dec) * $"xq").as("sxxa"),
+        sum($"yq".cast(dec) * $"yq").as("syya"))
+      .crossJoin(broadcast(g))
+      // per-arm sample moments in quantized units, exact numerators
+      .withColumn("den", ($"n_a" * ($"n_a" - 1)).cast("double"))
+      .withColumn("vy",
+        ($"n_a" * $"syya" - $"sya".cast(dec) * $"sya").cast("double")
+          / $"den")
+      .withColumn("vx",
+        ($"n_a" * $"sxxa" - $"sxa".cast(dec) * $"sxa").cast("double")
+          / $"den")
+      .withColumn("cxy",
+        ($"n_a" * $"sxya" - $"sxa".cast(dec) * $"sya").cast("double")
+          / $"den")
+      .withColumn("vc",
+        $"vy" - lit(2.0) * $"theta" * $"cxy"
+          + $"theta" * $"theta" * $"vx")
+      .select($"arm", $"n_a".as("n_users"),
+        round($"theta", 6).as("theta"),
+        round(expr("sya * 100 div n_a") / 1e6, 4).as("mean_post"),
+        round(($"sya".cast("double") / $"n_a" - $"theta" *
+          ($"sxa".cast("double") / $"n_a" - $"mean_x")) / 1e4, 4)
+          .as("mean_cuped"),
+        round($"vy" / 1e8, 4).as("var_post"),
+        round($"vc" / 1e8, 4).as("var_cuped"),
+        round((lit(1.0) - $"vc" / $"vy") * 100, 4).as("vr_pct"))
+      .orderBy($"arm")
   }
 }

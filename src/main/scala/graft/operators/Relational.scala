@@ -951,4 +951,48 @@ object Relational {
       .withColumn("rk", $"_off" + $"_prk")
       .drop("_gp", "_prk", "_off")
   }
+
+  /** Benford first-digit audit of order totals — the classic forensic
+    * screen for fabricated or truncated numeric columns: natural
+    * multi-magnitude amounts put digit d first with probability
+    * log10(1+1/d); a synthetic generator that draws uniformly does not.
+    * Emits per-digit observed counts vs Benford expectation plus the
+    * chi-square contribution, and the total statistic repeated per row
+    * (window over 9 rows — a constant-size frame at any data scale).
+    *
+    * Determinism: the first digit comes from the DECIMAL string of the
+    * truncated amount (no log10 near-power-of-ten ulp cliffs), and the
+    * chi-square total sums per-digit contributions pre-rounded to 1e-6
+    * micro-units — exact integers, order-free (the PSI discipline).
+    * One scan, one 9-row rollup.
+    */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val digits = Tables(s, dir, "orders")
+      .filter($"o_totalprice" >= 1.0)
+      .select(substring(floor($"o_totalprice").cast("decimal(18,0)")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum($"n_obs").as("n_tot"))
+    val spine = s.range(1, 10).select($"id".cast("int").as("digit"))
+    spine.join(digits, Seq("digit"), "left")
+      .select($"digit", coalesce($"n_obs", lit(0L)).as("n_obs"))
+      .crossJoin(broadcast(tot))
+      // ln-ratio on BOTH engine sides (not a native log10): log10 and
+      // ln(x)/ln(10) differ in the last ulp, and exp_n multiplies the
+      // share by the row count before rounding
+      .withColumn("exp_share",
+        log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)))
+      .withColumn("exp_n", $"n_tot" * $"exp_share")
+      .withColumn("contrib_u",
+        round(($"n_obs" - $"exp_n") * ($"n_obs" - $"exp_n") / $"exp_n" * 1e6)
+          .cast("long"))
+      .withColumn("chi2",
+        round(sum($"contrib_u").over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)) / 1e6, 4))
+      .select($"digit", $"n_obs", round($"exp_share", 4).as("exp_share"),
+        round($"exp_n", 4).as("exp_n"),
+        round($"contrib_u" / 1e6, 4).as("contrib"), $"chi2")
+      .orderBy($"digit")
+  }
 }

@@ -1442,4 +1442,76 @@ object Similarity {
         round($"n_overlap".cast("double") / $"n_exact", 4).as("recall"))
       .orderBy($"query_id")
   }
+
+  /** Maximal Marginal Relevance re-ranking — the diversity-aware final
+    * stage of a retrieval pipeline: from each query's cosine top-`poolN`
+    * pool, greedily pick `k` results maximizing
+    * lambda*sim(q,d) - (1-lambda)*max_{d' selected} sim(d,d'), so the
+    * second-best near-duplicate of the first pick loses to a fresh
+    * region of the pool. lambda is fixed at 0.7 and enters as the
+    * integer pair (7, 3): scores are exact longs in 1e-5 cosine units
+    * (cs_u*10), so the greedy argmax and its vec_id tie-break are
+    * deterministic on both engines — no float comparison anywhere in
+    * the selection.
+    *
+    * Shape at scale: pool selection is the indexable part (swap the
+    * brute scan for the IVF/LSH path — [[annRecall]] audits that
+    * substitution); everything after operates on nQueries*poolN rows.
+    * The greedy rounds are genuinely sequential (each pick changes the
+    * penalty), so the loop runs k-1 tiny barrier stages over
+    * per-query-parallel frames — checkpointed per round (lineage rule).
+    */
+  def mmrRerank(s: SparkSession, dir: String, nQueries: Int = 8,
+                poolN: Int = 20, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir)
+    val queries = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val byQ = Window.partitionBy($"qid").orderBy($"cs_u".desc, $"vec_id")
+    val pool = e.join(broadcast(queries))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id", $"v",
+        round(vectors.cosineSimilarity($"v", $"qv") * 10000)
+          .cast("long").as("cs_u"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter($"rn" <= poolN)
+      .select($"qid", $"vec_id", $"v", $"cs_u")
+      .repartition(8, $"qid")
+      .localCheckpoint()
+    val pairs = pool.select($"qid", $"vec_id".as("a"), $"v".as("av"))
+      .join(pool.select($"qid", $"vec_id".as("b"), $"v".as("bv")),
+        Seq("qid"))
+      .filter($"a" =!= $"b")
+      .select($"qid", $"a", $"b",
+        round(vectors.cosineSimilarity($"av", $"bv") * 10000)
+          .cast("long").as("sim_u"))
+      .localCheckpoint()
+    val poolSlim = pool.select($"qid", $"vec_id", $"cs_u")
+    var selected = poolSlim
+      .withColumn("rn", row_number().over(byQ)).filter($"rn" === 1)
+      .select($"qid", $"vec_id", lit(1).as("rank"), $"cs_u",
+        (lit(7L) * $"cs_u").as("score_u"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val byScore = Window.partitionBy($"qid")
+        .orderBy($"score_u".desc, $"vec_id")
+      val pick = poolSlim
+        .join(selected.select($"qid", $"vec_id"), Seq("qid", "vec_id"),
+          "left_anti")
+        .join(pairs.withColumnRenamed("a", "vec_id"),
+          Seq("qid", "vec_id"))
+        .join(selected.select($"qid", $"vec_id".as("b")), Seq("qid", "b"))
+        .groupBy($"qid", $"vec_id")
+        .agg(first($"cs_u").as("cs_u"), max($"sim_u").as("ms_u"))
+        .select($"qid", $"vec_id", lit(r).as("rank"), $"cs_u",
+          (lit(7L) * $"cs_u" - lit(3L) * $"ms_u").as("score_u"))
+        .withColumn("rn", row_number().over(byScore))
+        .filter($"rn" === 1).drop("rn")
+      selected = selected.union(pick).localCheckpoint()
+    }
+    selected
+      .select($"qid".as("query_id"), $"rank", $"vec_id", $"cs_u",
+        $"score_u")
+      .orderBy($"query_id", $"rank")
+  }
 }

@@ -255,4 +255,105 @@ class EventsSpec extends SparkSpec {
     val psi = rows.map(_._7).sum.toDouble / 1e10
     assert(psi >= 0.0 && psi < 0.1, s"stationary stream PSI $psi")
   }
+
+  test("robustStats matches a sequential quantize-sort-clamp replay") {
+    import spark.implicits._
+    def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    // integer-exact interpolated percentile over a sorted array, in
+    // hundredth-position units — the operator's definition
+    def qx100(a: Array[Long], p: Long): Long = {
+      val pos = p * (a.length - 1)
+      val lo = (pos / 100).toInt
+      val rem = pos % 100
+      if (rem == 0) a(lo) * 100
+      else a(lo) * (100 - rem) + a(lo + 1) * rem
+    }
+    val ev = graft.Tables(spark, sf, "events")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val vq = rows.map(r => java.math.BigDecimal.valueOf(r._2 * 10000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue).sorted
+      val n = vq.length.toLong
+      val loq = (qx100(vq, 5) + 99) / 100
+      val medx100 = qx100(vq, 50)
+      val hiq = qx100(vq, 95) / 100
+      val wsum = vq.map(v => math.min(math.max(v, loq), hiq)).sum
+      val adev = vq.map(v => (v * 100 - medx100).abs).sorted
+      t -> ((n, r4(loq / 10000.0), r4(hiq / 10000.0),
+        r4(wsum.toDouble / n / 10000.0), r4(medx100 / 1e6),
+        r4(qx100(adev, 50) / 1e8)))
+    }
+    val got0 = Events.robustStats(spark, sf)
+      .as[(String, Long, Double, Double, Double, Double, Double)].collect()
+    assert(got0.length === expected.size)
+    got0.foreach { case (t, n, p05, p95, wm, med, mad) =>
+      val (en, e05, e95, ewm, emed, emad) = expected(t)
+      assert(n === en, s"$t n")
+      assert(p05 === e05, s"$t p05"); assert(p95 === e95, s"$t p95")
+      assert(wm === ewm, s"$t winsor_mean")
+      assert(med === emed, s"$t median"); assert(mad === emad, s"$t mad")
+      // winsorizing can only pull the mean toward the median's side:
+      // it must land inside the clamp bounds
+      assert(wm >= p05 && wm <= p95, s"$t winsor mean inside clamp")
+      assert(mad >= 0.0, t)
+    }
+  }
+
+  test("cupedAdjust matches a sequential BigInt-moment replay") {
+    import spark.implicits._
+    def r(x: Double, k: Int): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(k, java.math.RoundingMode.HALF_UP).doubleValue
+    val ev = graft.Tables(spark, sf, "events")
+      .select($"user_id", dayofmonth($"ts") <= 15, $"value")
+      .as[(Long, Boolean, Double)].collect()
+    val users = ev.groupBy(_._1).map { case (u, rows) =>
+      def q(d: Double) = java.math.BigDecimal.valueOf(d * 10000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      (u % 2, rows.filter(_._2).map(r => q(r._3)).sum,
+        rows.filter(!_._2).map(r => q(r._3)).sum)
+    }.toArray
+    val n = users.length.toLong
+    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+    val sxy = users.map(u => BigInt(u._2) * u._3).sum
+    val sxx = users.map(u => BigInt(u._2) * u._2).sum
+    val theta = (BigInt(n) * sxy - BigInt(sx) * sy).toDouble /
+      (BigInt(n) * sxx - BigInt(sx) * sx).toDouble
+    val meanX = sx.toDouble / n
+    val expected = users.groupBy(_._1).map { case (arm, us) =>
+      val na = us.length.toLong
+      val sxa = us.map(_._2).sum; val sya = us.map(_._3).sum
+      val den = (na * (na - 1)).toDouble
+      val vy = (BigInt(na) * us.map(u => BigInt(u._3) * u._3).sum -
+        BigInt(sya) * sya).toDouble / den
+      val vx = (BigInt(na) * us.map(u => BigInt(u._2) * u._2).sum -
+        BigInt(sxa) * sxa).toDouble / den
+      val cxy = (BigInt(na) * us.map(u => BigInt(u._2) * u._3).sum -
+        BigInt(sxa) * sya).toDouble / den
+      val vc = vy - 2.0 * theta * cxy + theta * theta * vx
+      arm -> ((na, r(sya * 100 / na / 1e6, 4),
+        r((sya.toDouble / na - theta * (sxa.toDouble / na - meanX)) / 1e4,
+          4),
+        r(vy / 1e8, 4), r(vc / 1e8, 4), r((1.0 - vc / vy) * 100, 4)))
+    }
+    val got = Events.cupedAdjust(spark, sf)
+      .as[(Int, Long, Double, Double, Double, Double, Double, Double)]
+      .collect()
+    assert(got.length === 2)
+    got.foreach { case (arm, na, th, mp, mc, vp, vc, vr) =>
+      val (ena, emp, emc, evp, evc, evr) = expected(arm)
+      assert(na === ena, s"arm $arm n")
+      assert(th === r(theta, 6), s"arm $arm theta")
+      assert(mp === emp, s"arm $arm mean_post")
+      assert(mc === emc, s"arm $arm mean_cuped")
+      assert(vp === evp, s"arm $arm var_post")
+      assert(vc === evc, s"arm $arm var_cuped")
+      assert(vr === evr, s"arm $arm vr_pct")
+      // the var(Y') <= var(Y) guarantee is POOLED-only (theta is the
+      // pooled OLS slope); per-arm it can inflate when X barely
+      // predicts Y, so only pin positivity and the right magnitude
+      assert(vc > 0 && vc <= vp * 1.5, s"arm $arm adjusted variance sane")
+    }
+    assert(got.map(_._2).sum === n)
+  }
 }

@@ -392,6 +392,43 @@ class RelationalSpec extends SparkSpec {
       "fixture must exercise both verdicts")
   }
 
+  test("benfordAudit matches a sequential first-digit replay; chi-square " +
+       "total is the sum of the per-digit contributions") {
+    import spark.implicits._
+    def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    val prices = graft.Tables(spark, sf, "orders")
+      .select($"o_totalprice").as[Double].collect().filter(_ >= 1.0)
+    val counts = prices
+      .map(p => BigDecimal(math.floor(p)).toBigInt.toString.head - '0')
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTot = counts.values.sum
+    val expected = (1 to 9).map { dgt =>
+      val nObs = counts.getOrElse(dgt, 0L)
+      val expShare = math.log(1.0 + 1.0 / dgt) / math.log(10.0)
+      val expN = nTot * expShare
+      val contribU = java.math.BigDecimal
+        .valueOf((nObs - expN) * (nObs - expN) / expN * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      (dgt, nObs, r4(expShare), r4(expN), contribU)
+    }
+    val chi2 = r4(expected.map(_._5).sum / 1e6)
+    val got = Relational.benfordAudit(spark, sf)
+      .as[(Int, Long, Double, Double, Double, Double)].collect()
+    assert(got.length === 9)
+    got.zip(expected).foreach {
+      case ((d, n, es, en, c, x2), (ed, eN, eEs, eEn, eCu)) =>
+        assert(d === ed)
+        assert(n === eN, s"digit $d n_obs")
+        assert(es === eEs, s"digit $d exp_share")
+        assert(en === eEn, s"digit $d exp_n")
+        assert(c === r4(eCu / 1e6), s"digit $d contrib")
+        assert(x2 === chi2, s"digit $d chi2 total")
+    }
+    // every order lands somewhere: observed digits conserve the row count
+    assert(got.map(_._2).sum === nTot)
+  }
+
   test("globalRowNumber: identical to the single-partition window, and " +
        "the data-sized window runs partitioned") {
     import spark.implicits._

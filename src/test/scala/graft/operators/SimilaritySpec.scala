@@ -620,4 +620,49 @@ class SimilaritySpec extends SparkSpec {
       .select($"p").as[Array[Double]].head().toSeq
     assert(got === expected)
   }
+
+  test("mmrRerank matches a sequential greedy replay; no duplicate picks " +
+       "and rank-1 is pure relevance") {
+    val emb = Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def csU(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      java.math.BigDecimal.valueOf(dot / (na * nb) * 10000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    }
+    val (nQ, poolN, k) = (8, 20, 5)
+    val expected = (0L until nQ.toLong).flatMap { qid =>
+      val pool = emb.keys.filter(_ != qid).toSeq
+        .map(v => v -> csU(emb(v), emb(qid)))
+        .sortBy { case (v, cs) => (-cs, v) }.take(poolN)
+      var sel = Vector(pool.head._1)
+      var rows = Vector((qid, 1, pool.head._1, pool.head._2,
+        7L * pool.head._2))
+      for (r <- 2 to k) {
+        val cand = pool.filter(p => !sel.contains(p._1))
+          .map { case (v, cs) =>
+            val ms = sel.map(b => csU(emb(v), emb(b))).max
+            (v, cs, 7L * cs - 3L * ms)
+          }
+        val best = cand.minBy { case (v, _, sc) => (-sc, v) }
+        sel :+= best._1
+        rows :+= ((qid, r, best._1, best._2, best._3))
+      }
+      rows
+    }
+    val got = Similarity.mmrRerank(spark, sf)
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(got.length === nQ * k)
+    assert(got === expected,
+      "greedy selection must match the sequential replay exactly")
+    // structural sanity: per query, no duplicate vec_ids; ranks 1..k
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).distinct.length === k, s"query $q dup pick")
+      assert(rs.map(_._2).sorted === (1 to k), s"query $q ranks")
+    }
+  }
 }
