@@ -133,6 +133,7 @@ object SparkEntry {
     "q_surprisal_filter" -> TextOps.surprisalFilter,
     "q_mixture_reweight" -> TextOps.mixtureReweight,
     "q_bigram_surprisal" -> TextOps.bigramSurprisal,
+    "q_trigram_backoff" -> TextOps.trigramBackoff,
     "q_zipf_slope" -> ((s, dir) => TextOps.zipfSlope(s, dir)),
     "q_quality_weighted_sample" -> ((s, dir) => TextOps.qualityWeightedSample(s, dir)),
     "q_weighted_sample_es" -> ((s, dir) => TextOps.weightedSampleES(s, dir)),
@@ -2998,6 +2999,49 @@ object SparkEntry {
            LEFT JOIN ca ON split_part(ev.g, ' ', 1) = ca.a
            CROSS JOIN voc)
          SELECT doc_id, count(*) AS n_bigrams, round(-avg(logp), 4) AS xent
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "q_trigram_backoff" ->
+      s"""WITH docs AS (SELECT doc_id,
+           CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket,
+           $toks AS toks FROM documents),
+         t3 AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i:i+2], ' '))) AS g
+           FROM docs WHERE bucket < 80 AND len(toks) >= 3),
+         c3 AS (SELECT g, CAST(count(*) AS BIGINT) AS c3 FROM t3
+           GROUP BY g),
+         t2 AS (${bigramUnnest("bucket < 80")}),
+         c2 AS (SELECT g AS b2, CAST(count(*) AS BIGINT) AS c2 FROM t2
+           GROUP BY 1),
+         t1 AS (SELECT unnest(toks) AS t FROM docs WHERE bucket < 80),
+         c1 AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM t1
+           GROUP BY t),
+         tot AS (SELECT CAST(sum(c1) AS BIGINT) AS nn,
+             CAST(count(*) AS BIGINT) AS v FROM c1),
+         ev AS (SELECT doc_id, g,
+             split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+             split_part(g, ' ', 3) AS w3
+           FROM (SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> array_to_string(toks[i:i+2], ' '))) AS g
+             FROM docs WHERE bucket >= 90 AND len(toks) >= 3)),
+         sc AS (SELECT ev.doc_id, CAST(round(CASE
+               WHEN c3.c3 IS NOT NULL
+                 THEN ln(CAST(c3.c3 AS DOUBLE) / cab.c2)
+               WHEN cbc.c2 IS NOT NULL THEN ln(0.4 * cbc.c2 / cb.c1)
+               ELSE ln(0.16 * (coalesce(cc.c1, 0) + 1) / (nn + v))
+             END * 1e6) AS BIGINT) AS logp_u
+           FROM ev
+           LEFT JOIN c3 USING (g)
+           LEFT JOIN c2 cab ON concat(w1, ' ', w2) = cab.b2
+           LEFT JOIN c2 cbc ON concat(w2, ' ', w3) = cbc.b2
+           LEFT JOIN c1 cb ON w2 = cb.t
+           LEFT JOIN c1 cc ON w3 = cc.t
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(logp_u) AS BIGINT) AS sum_logp_u,
+           round(-(CAST(sum(logp_u) AS BIGINT) / 1e6) / count(*), 4)
+             AS xent
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q_surprisal_filter" ->
       s"""WITH $surprisalPerDocCtes,

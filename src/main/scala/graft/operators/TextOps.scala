@@ -2522,4 +2522,67 @@ object TextOps {
         bool_and($"c" <= $"f" + floor($"n_tokens" / capacity)).as("ok"))
       .orderBy($"lang")
   }
+
+  /** Trigram stupid-backoff LM scoring of the held-out split — the
+    * cheap-and-cheerful n-gram perplexity filter training pipelines run
+    * before anything neural: score S(w3|w1 w2) = c3/c2 when the trigram
+    * was seen in training, else 0.4*c(w2 w3)/c(w2), else
+    * 0.4^2*(c(w3)+1)/(N+V) (add-one floor so OOV tokens stay finite).
+    * "Stupid" because the backoff weight is a constant, not a proper
+    * discount — no normalization pass over the count tables, which is
+    * exactly why it scales to web corpora.
+    *
+    * Determinism: each trigram's ln(score) is a single fixed-shape IEEE
+    * expression over exact integer counts, rounded to 1e-6 micro-units
+    * (the PSI discipline), so per-doc sums are order-free longs.
+    *
+    * Shape: three count tables from one training scan each (map-side
+    * combined), probe-joined into the eval trigrams. Broadcast fits the
+    * synthetic corpus; at web scale the trigram table outgrows it and
+    * the hints drop away — the probes become plain shuffle joins on the
+    * n-gram key, still one pass over eval.
+    */
+  def trigramBackoff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docsFanned(s, dir)
+      .withColumn("bucket", hashBucket($"doc_id", "split:"))
+      .select($"doc_id", $"bucket", text.tokensLower($"text").as("toks"))
+    val train = toks.filter($"bucket" < 80)
+    val c3 = train
+      .select(explode(text.shinglesFromTokens($"toks", 3)).as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("c3"))
+    val c2 = train
+      .select(explode(text.shinglesFromTokens($"toks", 2)).as("b2"))
+      .groupBy($"b2").agg(count(lit(1)).as("c2"))
+    val c1 = train.select(explode($"toks").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c1"))
+    val tot = c1.agg(sum($"c1").as("nn"), count(lit(1)).as("v"))
+    toks.filter($"bucket" >= 90)
+      .select($"doc_id",
+        explode(text.shinglesFromTokens($"toks", 3)).as("g"))
+      .withColumn("w", split($"g", " "))
+      .join(broadcast(c3), Seq("g"), "left")
+      .join(broadcast(c2.select($"b2".as("ab"), $"c2".as("cab"))),
+        concat_ws(" ", $"w".getItem(0), $"w".getItem(1)) === $"ab", "left")
+      .join(broadcast(c2.select($"b2".as("bc"), $"c2".as("cbc"))),
+        concat_ws(" ", $"w".getItem(1), $"w".getItem(2)) === $"bc", "left")
+      .join(broadcast(c1.select($"t".as("tb"), $"c1".as("cb"))),
+        $"w".getItem(1) === $"tb", "left")
+      .join(broadcast(c1.select($"t".as("tc"), $"c1".as("cc"))),
+        $"w".getItem(2) === $"tc", "left")
+      .crossJoin(broadcast(tot))
+      // seen trigram implies seen context bigram, seen backoff bigram
+      // implies seen middle unigram — the guarded branches never div/0
+      .withColumn("logp_u", round(
+        when($"c3".isNotNull, log($"c3".cast("double") / $"cab"))
+          .when($"cbc".isNotNull, log(lit(0.4) * $"cbc" / $"cb"))
+          .otherwise(log(lit(0.16) * (coalesce($"cc", lit(0L)) + 1)
+            / ($"nn" + $"v")))
+          * 1e6).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum($"logp_u").as("sum_logp_u"))
+      .select($"doc_id", $"n_trigrams", $"sum_logp_u",
+        round(-($"sum_logp_u" / 1e6) / $"n_trigrams", 4).as("xent"))
+      .orderBy($"doc_id")
+  }
 }

@@ -712,6 +712,57 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_._1).toSet === expectedIds)
   }
 
+  test("trigramBackoff matches a sequential stupid-backoff replay") {
+    def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    val docs = Tables(spark, sf, "documents")
+      .select($"doc_id",
+        TextOps.hashBucket(org.apache.spark.sql.functions.col("doc_id"),
+          "split:").as("b"), $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2).trim.toLowerCase.split("\\s+")
+          .filter(_.nonEmpty).toSeq))
+    def ngrams(t: Seq[String], n: Int): Seq[String] =
+      if (t.length >= n) t.sliding(n).map(_.mkString(" ")).toSeq
+      else Seq.empty
+    val train = docs.filter(_._2 < 80)
+    def counts(gs: Seq[String]) =
+      gs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c3 = counts(train.flatMap(d => ngrams(d._3, 3)))
+    val c2 = counts(train.flatMap(d => ngrams(d._3, 2)))
+    val c1 = counts(train.flatMap(_._3))
+    val nn = c1.values.sum; val v = c1.size.toLong
+    val expected = docs.filter(d => d._2 >= 90 && d._3.length >= 3)
+      .map { case (id, _, toks) =>
+        val lus = ngrams(toks, 3).map { g =>
+          val w = g.split(" ")
+          val lp =
+            if (c3.contains(g))
+              math.log(c3(g).toDouble / c2(w(0) + " " + w(1)))
+            else if (c2.contains(w(1) + " " + w(2)))
+              math.log(0.4 * c2(w(1) + " " + w(2)) / c1(w(1)))
+            else
+              math.log(0.16 * (c1.getOrElse(w(2), 0L) + 1) / (nn + v))
+          java.math.BigDecimal.valueOf(lp * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        }
+        id -> ((lus.length.toLong, lus.sum,
+          r4(-(lus.sum / 1e6) / lus.length)))
+      }.toMap
+    val got = TextOps.trigramBackoff(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length === expected.size && expected.nonEmpty)
+    got.foreach { case (id, n, slu, xent) =>
+      val (en, eslu, exent) = expected(id)
+      assert(n === en, s"doc $id n_trigrams")
+      assert(slu === eslu, s"doc $id sum_logp_u")
+      assert(xent === exent, s"doc $id xent")
+      // every branch's score is a probability (<= 1 even after the 0.4
+      // backoff multipliers), so cross-entropy stays positive
+      assert(xent > 0.0, s"doc $id xent sign")
+    }
+  }
+
   test("qualityWeightedSample keeps exactly bucket < round(quality*50)") {
     val quality = TextOps.qualityScores(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
