@@ -184,6 +184,7 @@ object SparkEntry {
     "q_dedup_corpus" -> Dedup.dedupCorpus,
     "q_dedup_best" -> Dedup.dedupBest,
     "q_neardup_pagerank" -> ((s, dir) => Dedup.nearDupPageRank(s, dir)),
+    "q_neardup_hops" -> ((s, dir) => Dedup.bfsHops(s, dir)),
     "q_eval_ppr" -> ((s, dir) => Dedup.evalProximityPpr(s, dir)),
     "q_neardup_kcore" -> ((s, dir) => Dedup.kCore(s, dir)),
     "q_neardup_coreness" -> ((s, dir) => Dedup.coreness(s, dir)),
@@ -564,6 +565,16 @@ object SparkEntry {
        syms AS (SELECT doc_id, lang,
            flatten(list_transform(ws, w -> string_split(trim(w), ' '))) AS syms
          FROM encw)"""
+
+  /** One unrolled BFS min-relaxation round for the q_neardup_hops
+    * oracle: current distances unioned with every neighbor's
+    * distance + 1, min per node.
+    */
+  private def bfsRoundCte(prev: String, next: String): String =
+    s"""$next AS (SELECT v, min(hops) AS hops FROM (
+         SELECT v, hops FROM $prev
+         UNION ALL SELECT e.a AS v, $prev.hops + 1 AS hops
+         FROM e JOIN $prev ON e.b = $prev.v) GROUP BY v)"""
 
   /** One unrolled PageRank round for the q_neardup_pagerank oracle —
     * generated so every round's integer arithmetic (rank div degree,
@@ -2338,6 +2349,17 @@ object SparkEntry {
          FROM lsh JOIN d a ON a.doc_id = lsh.doc_a
            JOIN d b ON b.doc_id = lsh.doc_b
          GROUP BY 1, 2 ORDER BY source_x, source_y""",
+    "q_neardup_hops" ->
+      s"""WITH lsh AS ($minhashPairsCore),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM lsh
+               UNION ALL SELECT doc_b AS a, doc_a AS b FROM lsh),
+         d0 AS (SELECT a AS v, 0 AS hops FROM e
+           GROUP BY a HAVING min(b) > a),
+         ${bfsRoundCte("d0", "d1")},
+         ${bfsRoundCte("d1", "d2")},
+         ${bfsRoundCte("d2", "d3")},
+         ${bfsRoundCte("d3", "d4")}
+         SELECT v AS doc_id, hops FROM d4 ORDER BY doc_id""",
     "q_neardup_pagerank" ->
       s"""WITH lsh AS ($minhashPairsCore),
          e AS (SELECT doc_a AS src, doc_b AS dst FROM lsh

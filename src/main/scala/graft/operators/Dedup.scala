@@ -1252,4 +1252,46 @@ object Dedup {
       .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
+
+  def bfsHops(s: SparkSession, dir: String): DataFrame =
+    bfsHops(s, minhashLshPairs(s, dir))
+
+  /** Multi-source BFS hop distance from the dedup survivors — how many
+    * near-dup hops separate each discarded doc from the kept doc it
+    * transitively collapsed into. Distance-0 nodes are the keep-rule
+    * winners (no neighbor with a smaller id — the min-id survivor
+    * convention of [[dedupClusters]]); a doc at hops >= 2 was dropped
+    * WITHOUT ever being directly similar to a survivor, the transitive
+    * over-merge a dedup audit wants counted. Frontier expansion is
+    * min-relaxation (dist = min(dist, neighbor+1)), synchronous rounds
+    * so the oracle unrolls the identical iterations; a node the wave
+    * hasn't reached within `rounds` is absent (graph diameter beyond
+    * the audit horizon).
+    *
+    * Per round: one shuffle-join of the (pinned-partitioning) edge list
+    * against the shrinking-ish distance frame plus a map-side-combined
+    * min — O(E) a round at any scale, checkpoint per round (lineage
+    * rule at [[dedupClusters]]).
+    */
+  def bfsHops(s: SparkSession, pairFrame: DataFrame,
+              rounds: Int = 4): DataFrame = {
+    import s.implicits._
+    val pairs = pairFrame.select($"doc_a", $"doc_b")
+    val edges = pairs.select($"doc_a".as("a"), $"doc_b".as("b"))
+      .union(pairs.select($"doc_b".as("a"), $"doc_a".as("b")))
+      .repartition(col("b"))
+      .localCheckpoint()
+    var dist = edges.groupBy($"a".as("v")).agg(min($"b").as("mn"))
+      .filter($"mn" > $"v")
+      .select($"v", lit(0).as("hops"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      dist = dist
+        .union(edges.join(dist.select($"v".as("b"), $"hops"), "b")
+          .select($"a".as("v"), ($"hops" + 1).as("hops")))
+        .groupBy($"v").agg(min($"hops").as("hops"))
+        .localCheckpoint()
+    }
+    dist.select($"v".as("doc_id"), $"hops").orderBy($"doc_id")
+  }
 }

@@ -534,4 +534,31 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty, "fixture has no edit-near-dup pair; test is vacuous")
   }
+
+  test("bfsHops matches a sequential multi-source BFS; survivors are " +
+       "exactly the hop-0 set") {
+    val pairs = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.collect { case (v, ns) if ns.min > v => v }.toSet
+    var dist = seeds.map(_ -> 0).toMap
+    for (_ <- 1 to 4) {
+      val relaxed = adj.keys.flatMap { v =>
+        val best = (dist.get(v).toSeq ++
+          adj(v).flatMap(n => dist.get(n).map(_ + 1)))
+        if (best.isEmpty) None else Some(v -> best.min)
+      }.toMap
+      dist = relaxed
+    }
+    val got = Dedup.bfsHops(spark, sf).as[(Long, Int)].collect().toMap
+    assert(got === dist)
+    assert(got.values.exists(_ == 0) && got.values.exists(_ > 0),
+      "fixture must have both survivors and dropped docs")
+    // a hop-h node must have a neighbor at hop h-1 (BFS layering)
+    got.foreach { case (v, h) =>
+      if (h > 0) assert(adj(v).exists(n => got.get(n).contains(h - 1)),
+        s"node $v layer gap")
+    }
+  }
 }
