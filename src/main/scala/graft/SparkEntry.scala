@@ -205,6 +205,7 @@ object SparkEntry {
     "q_label_suspects" -> Similarity.labelSuspects,
     "q_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "q_mmr_rerank" -> ((s, dir) => Similarity.mmrRerank(s, dir)),
+    "q_bitext_mine" -> ((s, dir) => Similarity.bitextMine(s, dir)),
     "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
     "q_embedding_lsh_recall" -> ((s, dir) => Similarity.embeddingLshRecall(s, dir)),
@@ -1760,6 +1761,30 @@ object SparkEntry {
     "q_ivf_topk" -> ivfTopKSql,
     "q_ivf_topk_indexed" -> ivfTopKSql,
     "q_mmr_rerank" -> mmrRerankSql,
+    "q_bitext_mine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         a AS (SELECT vec_id AS x, v AS xv FROM e WHERE vec_id % 2 = 0),
+         b AS (SELECT vec_id AS y, v AS yv FROM e WHERE vec_id % 2 = 1),
+         sims AS (SELECT x, y,
+             CAST(round(list_cosine_similarity(xv, yv) * 10000)
+               AS BIGINT) AS cs_u
+           FROM a, b),
+         fwd AS (SELECT x, y, cs_u, row_number() OVER (
+             PARTITION BY x ORDER BY cs_u DESC, y) AS rn FROM sims),
+         fk AS (SELECT * FROM fwd WHERE rn <= 4),
+         sax AS (SELECT x, CAST(sum(cs_u) AS BIGINT) AS sax_u FROM fk
+           GROUP BY x),
+         bwd AS (SELECT x, y, cs_u, row_number() OVER (
+             PARTITION BY y ORDER BY cs_u DESC, x) AS rn FROM sims),
+         say AS (SELECT y, CAST(sum(cs_u) AS BIGINT) AS say_u FROM bwd
+           WHERE rn <= 4 GROUP BY y)
+         SELECT fk.x AS x_id, fk.y AS y_id, CAST(fk.rn AS INT) AS fwd_rank,
+           fk.cs_u, (2 * 4 * cs_u * 10000) // (sax_u + say_u) AS margin_bp
+         FROM fk JOIN sax USING (x) JOIN say USING (y)
+         WHERE fk.cs_u > 0 AND sax_u + say_u > 0
+           AND (2 * 4 * cs_u * 10000) // (sax_u + say_u) >= 10200
+         ORDER BY x_id, y_id""",
     "q_label_suspects" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),

@@ -1514,4 +1514,59 @@ object Similarity {
         $"score_u")
       .orderBy($"query_id", $"rank")
   }
+
+  /** Margin-criterion bitext mining — the ratio test parallel-corpus
+    * miners use instead of a raw cosine threshold: a candidate pair
+    * (x, y) scores cos(x,y) divided by the mean of each side's top-k
+    * neighborhood similarity, so a "hubby" vector that is close to
+    * everything (high absolute cosine to half the corpus) stops winning
+    * and only pairs that stand OUT of both local neighborhoods survive.
+    * The two "languages" are the even/odd vec_id halves; candidates are
+    * the forward top-k of each x.
+    *
+    * Determinism: similarities quantize to 1e-4 longs; the margin is
+    * the pure-integer basis-point ratio 2k*cs_u*10^4 div (sumk_x +
+    * sumk_y), and both engines filter cs_u > 0 and a positive
+    * denominator first, so integer division never sees a negative
+    * operand (where div/floor-div semantics would diverge).
+    *
+    * Shape at scale: the all-pairs candidate scan is the sf-scale
+    * stand-in for an ANN-bucketed candidate set ([[annRecall]] audits
+    * that swap); the neighborhood sums are two windowed top-k passes
+    * over the SAME materialized similarity frame — checkpointed once,
+    * three consumers.
+    */
+  def bitextMine(s: SparkSession, dir: String, k: Int = 4,
+                 marginBp: Long = 10200L): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir)
+    val a = e.filter($"vec_id" % 2 === 0)
+      .select($"vec_id".as("x"), $"v".as("xv"))
+    val b = e.filter($"vec_id" % 2 === 1)
+      .select($"vec_id".as("y"), $"v".as("yv"))
+    val sims = a.join(broadcast(b))
+      .select($"x", $"y",
+        round(vectors.cosineSimilarity($"xv", $"yv") * 10000)
+          .cast("long").as("cs_u"))
+      .localCheckpoint()
+    val byX = Window.partitionBy($"x").orderBy($"cs_u".desc, $"y")
+    val byY = Window.partitionBy($"y").orderBy($"cs_u".desc, $"x")
+    val fwd = sims.withColumn("rn", row_number().over(byX))
+      .filter($"rn" <= k)
+    val sax = fwd.groupBy($"x").agg(sum($"cs_u").as("sax_u"))
+    val say = sims.withColumn("rn", row_number().over(byY))
+      .filter($"rn" <= k)
+      .groupBy($"y").agg(sum($"cs_u").as("say_u"))
+    fwd.select($"x", $"y", $"rn".as("fwd_rank"), $"cs_u")
+      .filter($"cs_u" > 0)
+      .join(broadcast(sax), Seq("x"))
+      .join(broadcast(say), Seq("y"))
+      .filter($"sax_u" + $"say_u" > 0)
+      .withColumn("margin_bp",
+        expr(s"(2 * $k * cs_u * 10000) div (sax_u + say_u)"))
+      .filter($"margin_bp" >= marginBp)
+      .select($"x".as("x_id"), $"y".as("y_id"), $"fwd_rank", $"cs_u",
+        $"margin_bp")
+      .orderBy($"x_id", $"y_id")
+  }
 }

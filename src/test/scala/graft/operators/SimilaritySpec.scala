@@ -665,4 +665,47 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.map(_._2).sorted === (1 to k), s"query $q ranks")
     }
   }
+
+  test("bitextMine matches a sequential margin replay; margins genuinely " +
+       "re-rank raw cosine") {
+    val emb = Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def csU(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      java.math.BigDecimal.valueOf(dot / (na * nb) * 10000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    }
+    val k = 4
+    val xs = emb.keys.filter(_ % 2 == 0).toSeq.sorted
+    val ys = emb.keys.filter(_ % 2 == 1).toSeq.sorted
+    val sims = (for (x <- xs; y <- ys) yield (x, y, csU(emb(x), emb(y))))
+    val fwd = sims.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, y, cs) => (-cs, y) }.take(k)).toMap
+    val sax = fwd.view.mapValues(_.map(_._3).sum).toMap
+    val say = sims.groupBy(_._2).view.mapValues(
+      _.sortBy { case (x, _, cs) => (-cs, x) }.take(k).map(_._3).sum).toMap
+    val expected = fwd.toSeq.flatMap { case (x, rows) =>
+      rows.zipWithIndex.collect {
+        case ((_, y, cs), i)
+            if cs > 0 && sax(x) + say(y) > 0 &&
+              (2 * k * cs * 10000) / (sax(x) + say(y)) >= 10200L =>
+          (x, y) -> ((i + 1, cs, (2 * k * cs * 10000) / (sax(x) + say(y))))
+      }
+    }.toMap
+    val got = Similarity.bitextMine(spark, sf)
+      .as[(Long, Long, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture mines no pairs; test is vacuous")
+    // the margin must actually demote some high-cosine candidate: a
+    // forward-rank-1 pair somewhere fails the margin bar
+    val demoted = fwd.exists { case (x, rows) =>
+      rows.headOption.exists { case (_, y, _) => !got.contains((x, y)) }
+    }
+    assert(demoted, "margin criterion never disagreed with raw cosine")
+  }
 }
