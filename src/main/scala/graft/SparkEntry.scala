@@ -129,6 +129,7 @@ object SparkEntry {
     "q_span_scrub" -> ((s, dir) => TextOps.spanScrub(s, dir)),
     "q_span_scrub_clean" -> ((s, dir) => TextOps.spanScrubClean(s, dir)),
     "q_hybrid_rrf" -> ((s, dir) => TextOps.hybridRrfTopK(s, dir)),
+    "q_rbo_overlap" -> ((s, dir) => TextOps.rboOverlap(s, dir)),
     "q_curriculum_order" -> ((s, dir) => TextOps.curriculumOrder(s, dir)),
     "q_surprisal_filter" -> TextOps.surprisalFilter,
     "q_mixture_reweight" -> TextOps.mixtureReweight,
@@ -300,6 +301,15 @@ object SparkEntry {
     * vector (TextOps.fhQueryVector), so both runs score the identical
     * embedding.
     */
+  /** RBO depth weights as literal (depth, BIGINT) VALUES rows — the
+    * identical driver-computed longs the Spark plan consumes
+    * (TextOps.rboWeightsU), so neither engine evaluates pow().
+    */
+  private lazy val rboWeightValues =
+    operators.TextOps.rboWeightsU(25, 900).zipWithIndex
+      .map { case (wu, i) => s"(${i + 1}, CAST($wu AS BIGINT))" }
+      .mkString(", ")
+
   private lazy val fhQueryLit =
     operators.TextOps.fhQueryVector(Seq("vector", "hash", "spark"))
       .map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
@@ -3028,6 +3038,37 @@ object SparkEntry {
              AS rk, doc_id, rank_a, rank_b, CAST(rrf_u AS BIGINT) AS rrf_u
          FROM (SELECT * FROM f ORDER BY rrf_u DESC, doc_id LIMIT 25)
          ORDER BY rk""",
+    "q_rbo_overlap" ->
+      s"""WITH $bm25Ctes,
+         bm AS (SELECT doc_id,
+             round(CAST(sum(cf) AS DOUBLE) / 1000000.0, 4) AS bm25
+           FROM c GROUP BY doc_id),
+         dens AS (SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) * 1000000 // dl AS dens_u
+           FROM tf GROUP BY doc_id, dl),
+         pool AS (SELECT bm.doc_id, bm25, dens_u
+           FROM bm JOIN dens USING (doc_id)
+           ORDER BY bm25 DESC, doc_id LIMIT 25),
+         pa AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS rank_a FROM pool),
+         pb AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY dens_u DESC, doc_id)
+               AS BIGINT) AS rank_b FROM pool),
+         m AS (SELECT greatest(rank_a, rank_b) AS m
+           FROM pa JOIN pb USING (doc_id)),
+         w(depth, w_u) AS (VALUES $rboWeightValues),
+         cnt AS (SELECT depth, CAST(count(m.m) AS BIGINT) AS n_overlap
+           FROM w LEFT JOIN m ON m.m <= w.depth GROUP BY depth),
+         t AS (SELECT w.depth, n_overlap, w_u,
+             n_overlap * 10000 // w.depth AS agree_bp,
+             w_u * n_overlap // w.depth AS term_u
+           FROM cnt JOIN w USING (depth))
+         SELECT CAST(depth AS INT) AS depth, n_overlap, agree_bp, w_u,
+           term_u, CAST(sum(term_u) OVER (ORDER BY depth
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rbo_u
+         FROM t ORDER BY depth""",
     "q_bigram_surprisal" ->
       s"""WITH docs AS (SELECT doc_id,
            CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket,

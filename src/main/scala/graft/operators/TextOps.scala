@@ -1064,6 +1064,98 @@ object TextOps {
       .orderBy($"rk")
   }
 
+  /** Rank-biased-overlap depth weights (1-p)·p^(d-1), pre-scaled to
+    * 1e-8 integers ON THE DRIVER. Both the Spark plan and the oracle
+    * SQL consume these longs as literals, so neither engine ever
+    * evaluates pow() — the classic libm-divergence hole in cross-engine
+    * geometric weights is closed by construction.
+    */
+  private[graft] def rboWeightsU(depth: Int, pMilli: Int): Seq[Long] = {
+    val p = pMilli / 1000.0
+    (1 to depth).map(d => math.round((1 - p) * math.pow(p, d - 1) * 1e8))
+  }
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    * two scorers' ORDERINGS of one candidate pool — the top-weighted
+    * rank-agreement measure a retrieval stack monitors when it changes
+    * scoring functions: here BM25 (idf-weighted, tf-saturated,
+    * length-normalized) against the naive term-frequency density it
+    * refines, over BM25's own top-`depth` pool. Ranking the SAME pool
+    * under both scorers (instead of two independent top-k cuts) keeps
+    * the measure about rank agreement — disjoint candidate sets would
+    * score 0 identically at every depth and say nothing. Emits the full
+    * depth profile: overlap@d, agreement A_d in basis points, the
+    * geometric weight, the term contribution, and the running truncated
+    * RBO in 1e-8 units.
+    *
+    * Determinism: BM25 ranks on its 4dp-rounded fixed-point sum (the
+    * [[bm25TopK]] discipline); density is the pure-integer
+    * tf·10^6 div dl; overlap counts are integers, weights are
+    * driver-side literal longs ([[rboWeightsU]]), and every derived
+    * column is integer floor-division — no float comparison anywhere.
+    *
+    * Shape at scale: the scan is [[bm25TopK]]'s (term filter at the
+    * scan, cost bounded by query-term df); everything after the top-
+    * `depth` cut operates on ≤ depth² rows — constant-size regardless
+    * of corpus.
+    */
+  def rboOverlap(s: SparkSession, dir: String,
+                 terms: Seq[String] = Seq("vector", "hash", "spark"),
+                 depth: Int = 25, pMilli: Int = 900,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import s.implicits._
+    val docs = docsFanned(s, dir)
+      .select($"doc_id", text.tokensLower($"text").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val tf = docs
+      .select($"doc_id", $"dl", explode($"toks").as("tok"))
+      .filter($"tok".isInCollection(terms))
+      .groupBy($"doc_id", $"dl", $"tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
+      .withColumn("idf",
+        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("c",
+        $"idf" * ($"tf" * lit(k1 + 1.0)) /
+          ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / $"avgdl")))
+      .withColumn("cf", round($"c" * lit(1000000.0)).cast("long"))
+      .groupBy($"doc_id", $"dl")
+      .agg(sum($"cf").as("sf"), sum($"tf").as("tf_sum"))
+      .select($"doc_id",
+        round($"sf".cast("double") / 1000000.0, 4).as("bm25"),
+        expr("tf_sum * 1000000 div dl").as("dens_u"))
+    val pool = scored.orderBy($"bm25".desc, $"doc_id").limit(depth)
+      .localCheckpoint()
+    val a = pool
+      .withColumn("rank_a", row_number()
+        .over(Window.orderBy($"bm25".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"rank_a")
+    val bRun = pool
+      .withColumn("rank_b", row_number()
+        .over(Window.orderBy($"dens_u".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"rank_b")
+    val m = a.join(bRun, Seq("doc_id"))
+      .select(greatest($"rank_a", $"rank_b").as("m"))
+    val wDf = s.createDataFrame(
+        rboWeightsU(depth, pMilli).zipWithIndex
+          .map { case (wu, i) => (i + 1, wu) })
+      .toDF("depth", "w_u")
+    val spine = s.range(1, depth + 1).select($"id".cast("int").as("depth"))
+    spine.join(m, $"m" <= $"depth", "left")
+      .groupBy($"depth").agg(count($"m").as("n_overlap"))
+      .join(broadcast(wDf), Seq("depth"))
+      .withColumn("agree_bp", expr("n_overlap * 10000 div depth"))
+      .withColumn("term_u", expr("w_u * n_overlap div depth"))
+      .withColumn("rbo_u", sum($"term_u").over(Window.orderBy($"depth")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"depth", $"n_overlap", $"agree_bp", $"w_u", $"term_u",
+        $"rbo_u")
+      .orderBy($"depth")
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS document-fingerprinting algorithm): hash
     * every k-token shingle, slide a window of `w` consecutive hashes,

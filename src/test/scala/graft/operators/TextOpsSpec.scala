@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.Tables
-import org.apache.spark.sql.functions.{floor, lit, sqrt, sum}
+import org.apache.spark.sql.functions.{floor, lit, row_number, sqrt, sum}
 
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -710,6 +710,53 @@ class TextOpsSpec extends SparkSpec {
       case (id, n) if split(id) == "test" && n >= 2 => id
     }.toSet
     assert(rows.map(_._1).toSet === expectedIds)
+  }
+
+  test("rboOverlap matches a sequential depth replay and is monotone") {
+    val depth = 25
+    // rebuild the pool and the raw TF-density scorer from raw text,
+    // keep BM25 from the already-replay-tested operator, then replay
+    // the depth profile sequentially
+    val terms = Set("vector", "hash", "spark")
+    val bm25 = TextOps.bm25TopK(spark, sf,
+        Seq("vector", "hash", "spark"), k = Int.MaxValue)
+      .select($"doc_id", $"bm25").as[(Long, Double)].collect().toMap
+    val dens = Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        id -> (toks.count(terms), toks.length.toLong)
+      }
+      .collect { case (id, (tfSum, dl)) if tfSum > 0 =>
+        id -> tfSum.toLong * 1000000 / dl
+      }.toMap
+    val pool = bm25.toSeq.sortBy { case (id, s) => (-s, id) }.take(depth)
+    val rankA = pool.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val rankB = pool.map(_._1)
+      .sortBy(id => (-dens(id), id)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1).toLong }.toMap
+    val ms = rankA.keys.toSeq
+      .map(id => math.max(rankA(id), rankB(id)))
+    val w = TextOps.rboWeightsU(depth, 900)
+    var run = 0L
+    val expected = (1 to depth).map { d =>
+      val ov = ms.count(_ <= d).toLong
+      val term = w(d - 1) * ov / d
+      run += term
+      (d, ov, ov * 10000 / d, w(d - 1), term, run)
+    }
+    val got = TextOps.rboOverlap(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // overlap@d and the running RBO are monotone non-decreasing
+    assert(got.map(_._2) === got.map(_._2).sorted)
+    assert(got.map(_._6) === got.map(_._6).sorted)
+    // same pool under both scorers: full agreement at the bottom...
+    assert(got.last._2 === depth.toLong)
+    // ...but NOT at every depth, or the comparison is vacuous
+    assert(got.exists(r => r._2 < r._1),
+      "BM25 and TF-density ordered the pool identically")
   }
 
   test("trigramBackoff matches a sequential stupid-backoff replay") {
