@@ -145,6 +145,48 @@ object Streams {
     }
   }
 
+  /** Benford first-digit monitor: the streaming twin of
+    * `Relational.benfordAudit` — a genuinely STATEFUL streaming
+    * aggregation (the running per-digit histogram lives in the state
+    * store and survives across triggers), snapshotted per batch into a
+    * (batch_id, n_orders, chi2_u, skew_alarm) audit row. The chi-square
+    * arithmetic is the batch operator's exactly: per-digit contributions
+    * in 1e-6 micro-units, HALF_UP, summed as longs — so a stream that
+    * has seen the same rows reports the same statistic to the last
+    * micro-unit, and the alarm is a pure threshold on that shared
+    * number. 9 rows of state per stream: the histogram compaction makes
+    * the monitor free at any throughput.
+    */
+  def benfordMonitorSink(amounts: DataFrame, targetDir: String,
+                         alarmChi2U: Long)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val digits = amounts
+      .filter(col("amount") >= 1.0)
+      .select(substring(floor(col("amount")).cast("decimal(18,0)")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    digits.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        // the COMPLETE running histogram at this trigger (<= 9 rows)
+        val counts = batch.collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val nTot = counts.values.sum
+        val chi2U = (1 to 9).map { d =>
+          val nObs = counts.getOrElse(d, 0L)
+          val expN = nTot * (math.log(1.0 + 1.0 / d) / math.log(10.0))
+          java.math.BigDecimal
+            .valueOf((nObs - expN) * (nObs - expN) / expN * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        }.sum
+        Seq((batchId, nTot, chi2U, chi2U >= alarmChi2U))
+          .toDF("batch_id", "n_orders", "chi2_u", "skew_alarm")
+          .write.mode("append").parquet(targetDir)
+        ()
+      }
+  }
+
   /** Gopher-rule ingest gate: the streaming twin of
     * `TextOps.gopherRules` — all seven Rae et al. 2021 screens evaluated
     * as stateless per-row expressions on the arriving frame (the SAME

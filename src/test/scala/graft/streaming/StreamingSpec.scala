@@ -326,6 +326,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L)._3, "a mass-shifted batch must alarm")
   }
 
+  test("benfordMonitorSink: running chi2 equals the batch audit after " +
+       "one batch, state accumulates, and a skewed batch trips the alarm") {
+    val dst = java.nio.file.Files.createTempDirectory("bf-out")
+      .toString + "/bf"
+    val ckpt = java.nio.file.Files.createTempDirectory("bf-ckpt").toString
+    val prices = graft.Tables(spark, sf, "orders")
+      .select($"o_totalprice").as[Double].collect().toSeq
+    val batchChi2 = graft.operators.Relational.benfordAudit(spark, sf)
+      .select($"chi2").as[Double].head()
+    // threshold between the corpus's own chi2 and the skew we inject
+    val thresholdU = java.math.BigDecimal.valueOf(batchChi2 * 1e6)
+      .longValue * 2
+    val input = MemoryStream[Double](spark)
+    val q = Streams.benfordMonitorSink(input.toDF().toDF("amount"), dst,
+        thresholdU)
+      .option("checkpointLocation", ckpt).start()
+    input.addData(prices); q.processAllAvailable()   // batch 0: the corpus
+    input.addData(Seq.fill(2000)(90000.0)); q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(dst)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val n0 = prices.count(_ >= 1.0).toLong
+    assert(rows(0L)._1 === n0)
+    assert(java.math.BigDecimal.valueOf(rows(0L)._2 / 1e6)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+      === batchChi2, "stream chi2 != batch chi2 on the same rows")
+    assert(!rows(0L)._3, "the corpus itself must not alarm at 2x")
+    // batch 1 proves STATE: counts accumulate across triggers
+    assert(rows(1L)._1 === n0 + 2000)
+    assert(rows(1L)._3, "an injected leading-9 flood must alarm")
+  }
+
   test("gopherGate streams bit-identical verdicts to the batch rule suite") {
     val words = Seq("the", "a")
     val input = MemoryStream[(Long, String)](spark)
