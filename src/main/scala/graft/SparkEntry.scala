@@ -160,6 +160,7 @@ object SparkEntry {
     "q_pii_scrub" -> TextOps.piiScrub,
     "q_constraint_audit" -> Relational.constraintAudit,
     "q_benford_audit" -> Relational.benfordAudit,
+    "q_ewma_anomalies" -> ((s, dir) => Relational.ewmaAnomalies(s, dir)),
     "q_psi_drift" -> ((s, dir) => Events.psiDrift(s, dir)),
     "q_distinct_ngrams" -> TextOps.distinctNgrams,
     "q_ccnet_buckets" -> TextOps.ccnetBuckets,
@@ -305,6 +306,15 @@ object SparkEntry {
     * identical driver-computed longs the Spark plan consumes
     * (TextOps.rboWeightsU), so neither engine evaluates pow().
     */
+  /** EWMA lag weights as literal (lag, BIGINT) VALUES rows — the
+    * identical driver-computed longs the Spark plan consumes
+    * (Relational.ewmaWeightsU), so neither engine evaluates pow().
+    */
+  private lazy val ewmaWeightValues =
+    operators.Relational.ewmaWeightsU(7, 30).zipWithIndex
+      .map { case (wu, i) => s"(${i + 1}, CAST($wu AS BIGINT))" }
+      .mkString(", ")
+
   private lazy val rboWeightValues =
     operators.TextOps.rboWeightsU(25, 900).zipWithIndex
       .map { case (wu, i) => s"(${i + 1}, CAST($wu AS BIGINT))" }
@@ -2751,6 +2761,22 @@ object SparkEntry {
            CAST(10000 AS BIGINT) AS threshold_bp,
            metric_bp >= 10000 AS pass
          FROM rows ORDER BY check_name""",
+    "q_ewma_anomalies" ->
+      s"""WITH rev AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+           FROM orders GROUP BY 1),
+         w(lag, w_u) AS (VALUES $ewmaWeightValues),
+         j AS (SELECT r.day, r.cents, w.w_u, r2.cents AS x
+           FROM rev r CROSS JOIN w
+           JOIN rev r2 ON r2.day = r.day - w.lag),
+         g AS (SELECT day, cents, CAST(sum(w_u * x) AS BIGINT) AS swx,
+             CAST(sum(w_u) AS BIGINT) AS sw
+           FROM j GROUP BY day, cents)
+         SELECT day, cents, swx // sw AS ewma_cents,
+           cents * 10000 // (swx // sw) - 10000 AS dev_bp,
+           abs(cents * 10000 // (swx // sw) - 10000) >= 3000 AS alarm
+         FROM g ORDER BY day""",
     "q_benford_audit" ->
       """WITH d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice)
              AS DECIMAL(18,0)) AS VARCHAR), 1, 1) AS INT) AS digit

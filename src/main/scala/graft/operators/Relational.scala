@@ -995,4 +995,58 @@ object Relational {
         round($"contrib_u" / 1e6, 4).as("contrib"), $"chi2")
       .orderBy($"digit")
   }
+
+  /** EWMA lag weights alpha*(1-alpha)^(k-1) for lags 1..maxLag,
+    * pre-scaled to 1e-8 integers ON THE DRIVER (alpha = 2/(span+1), the
+    * standard span parameterization). Both the Spark plan and the
+    * oracle SQL consume these longs as literals — the rboWeightsU
+    * discipline: no engine ever evaluates pow().
+    */
+  private[graft] def ewmaWeightsU(span: Int, maxLag: Int): Seq[Long] = {
+    val alpha = 2.0 / (span + 1)
+    (1 to maxLag)
+      .map(k => math.round(alpha * math.pow(1 - alpha, k - 1) * 1e8))
+  }
+
+  /** EWMA revenue anomaly screen — each day's revenue against the
+    * exponentially-weighted average of its PRIOR `maxLag` days (span-7
+    * weights, truncated and renormalized over the lags that actually
+    * exist, so early days and calendar gaps stay unbiased instead of
+    * decaying toward zero). Deviation is in basis points off the EWMA,
+    * alarm at +/-30% — the classic ops-dashboard "is today's number
+    * believable" screen, as one declarative plan.
+    *
+    * Determinism: daily revenue sums exact cents-longs; weights are
+    * driver-computed 1e-8 literals ([[ewmaWeightsU]]); the EWMA and the
+    * deviation are integer floor-divisions of positive operands
+    * (dev_bp = cents*10^4 div ewma - 10^4, shaped so no negative value
+    * ever reaches a div — truncating and floor division agree).
+    *
+    * Shape at scale: one shuffle to daily grain (map-side combined),
+    * then days x maxLag lag-join against the SAME tiny daily frame —
+    * calendar-sized, not data-sized.
+    */
+  def ewmaAnomalies(s: SparkSession, dir: String, span: Int = 7,
+                    maxLag: Int = 30, alarmBp: Long = 3000L): DataFrame = {
+    import s.implicits._
+    val rev = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .localCheckpoint()
+    val wDf = s.createDataFrame(
+        ewmaWeightsU(span, maxLag).zipWithIndex
+          .map { case (w, i) => (i + 1, w) })
+      .toDF("lag", "w_u")
+    rev.crossJoin(broadcast(wDf))
+      .withColumn("lag_day", expr("date_sub(day, lag)"))
+      .join(rev.select($"day".as("lag_day"), $"cents".as("x")),
+        Seq("lag_day"))
+      .groupBy($"day", $"cents")
+      .agg(sum($"w_u" * $"x").as("swx"), sum($"w_u").as("sw"))
+      .select($"day", $"cents",
+        expr("swx div sw").as("ewma_cents"),
+        (expr("cents * 10000 div (swx div sw)") - 10000).as("dev_bp"))
+      .withColumn("alarm", abs($"dev_bp") >= alarmBp)
+      .orderBy($"day")
+  }
 }

@@ -392,6 +392,43 @@ class RelationalSpec extends SparkSpec {
       "fixture must exercise both verdicts")
   }
 
+  test("ewmaAnomalies matches a sequential lag-weighted replay") {
+    import spark.implicits._
+    val daily = graft.Tables(spark, sf, "orders")
+      .select($"o_orderdate".cast("date").cast("string"), $"o_totalprice")
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r =>
+        java.math.BigDecimal.valueOf(r._2 * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue).sum)
+      .toMap
+    val w = Relational.ewmaWeightsU(7, 30)
+    val days = daily.keys.toSeq.sorted
+    val expected = days.flatMap { d =>
+      val ld = java.time.LocalDate.parse(d)
+      val lags = (1 to 30).flatMap(k =>
+        daily.get(ld.minusDays(k).toString).map(x => (w(k - 1), x)))
+      if (lags.isEmpty) None
+      else {
+        val ewma = lags.map(l => l._1 * l._2).sum / lags.map(_._1).sum
+        val dev = daily(d) * 10000 / ewma - 10000
+        Some(d -> ((daily(d), ewma, dev, math.abs(dev) >= 3000)))
+      }
+    }.toMap
+    val got = Relational.ewmaAnomalies(spark, sf)
+      .select($"day".cast("string"), $"cents", $"ewma_cents", $"dev_bp",
+        $"alarm")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (d, c, e, dev, al) =>
+      val (ec, ee, edev, eal) = expected(d)
+      assert(c === ec, s"$d cents"); assert(e === ee, s"$d ewma")
+      assert(dev === edev, s"$d dev"); assert(al === eal, s"$d alarm")
+    }
+    // the screen must be discriminative at fixture scale: some alarms,
+    // not all alarms (daily volume at sf0.001 is genuinely spiky)
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
+
   test("benfordAudit matches a sequential first-digit replay; chi-square " +
        "total is the sum of the per-digit contributions") {
     import spark.implicits._
