@@ -88,6 +88,7 @@ object SparkEntry {
     // -- text analysis (§7.4) ----------------------------------------------
     "q_lang_id_confusion" -> TextOps.langIdConfusion,
     "q_quality_scores" -> TextOps.qualityScores,
+    "q_source_influence" -> TextOps.sourceInfluence,
     "q_token_stats" -> TextOps.tokenStats,
     "q_fingerprint_stats" -> TextOps.fingerprintStats,
     "q_top_tokens" -> ((s, dir) => TextOps.topTokensPerLang(s, dir)),
@@ -1386,6 +1387,25 @@ object SparkEntry {
     "q_quality_scores" ->
       s"""SELECT doc_id, $qualityExpr AS quality
          FROM documents ORDER BY doc_id""",
+    "q_source_influence" ->
+      s"""WITH q AS (SELECT source,
+           CAST(round($qualityExpr * 10000) AS BIGINT) AS qu
+           FROM documents),
+         per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(qu) AS BIGINT) AS sum_u
+           FROM q GROUP BY source),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+             CAST(sum(sum_u) AS BIGINT) AS su FROM per),
+         m AS (SELECT source, n_docs,
+             sum_u * 10000 // n_docs AS mean_src_u,
+             su * 10000 // n AS mean_all_u,
+             (su - sum_u) * 10000 // (n - n_docs) AS mean_without_u
+           FROM per CROSS JOIN tot)
+         SELECT source, n_docs, mean_src_u, mean_all_u, mean_without_u,
+           mean_without_u - mean_all_u AS delta_u,
+           CAST(row_number() OVER (ORDER BY mean_without_u - mean_all_u
+             DESC, source) AS INT) AS rank
+         FROM m ORDER BY rank""",
     "q_quality_weighted_sample" ->
       s"""SELECT doc_id, quality FROM (
            SELECT doc_id, quality,

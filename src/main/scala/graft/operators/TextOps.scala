@@ -57,6 +57,44 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Leave-one-source-out influence on corpus quality — the jackknife
+    * a data-curation pass runs before negotiating source mixes: for
+    * each source, the corpus mean quality recomputed WITHOUT that
+    * source, and the delta against the full-corpus mean. A positive
+    * delta means dropping the source raises average quality (it drags);
+    * ranked worst-drag-first, this is the curation kill list. O(1)
+    * arithmetic over per-source aggregates — no per-source rescans, so
+    * "what if we dropped source X" costs nothing extra at any corpus
+    * size.
+    *
+    * Determinism: quality (already 4dp by construction) quantizes to
+    * 1e-4 longs; every mean is an integer floor-division to 1e-8 units
+    * (the datasetCard discipline); deltas subtract already-divided
+    * integers, so no negative value reaches a div.
+    */
+  def sourceInfluence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = docsFanned(s, dir)
+      .select($"source", $"text", $"n_chars",
+        text.tokensLower($"text").as("toks"))
+      .select($"source",
+        round(text.qualityScoreTokens($"text", $"toks", $"n_chars")
+          * 10000).cast("long").as("qu"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"qu").as("sum_u"))
+    val tot = per.agg(sum($"n_docs").as("n"), sum($"sum_u").as("su"))
+    per.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs",
+        expr("sum_u * 10000 div n_docs").as("mean_src_u"),
+        expr("su * 10000 div n").as("mean_all_u"),
+        expr("(su - sum_u) * 10000 div (n - n_docs)")
+          .as("mean_without_u"))
+      .withColumn("delta_u", $"mean_without_u" - $"mean_all_u")
+      .withColumn("rank", row_number()
+        .over(Window.orderBy($"delta_u".desc, $"source")).cast("int"))
+      .orderBy($"rank")
+  }
+
   /** Token statistics per language: whitespace + BPE-ish counts. */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

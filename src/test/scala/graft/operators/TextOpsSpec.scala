@@ -712,6 +712,39 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_._1).toSet === expectedIds)
   }
 
+  test("sourceInfluence matches a sequential jackknife replay; deltas " +
+       "are zero-sum-ish and the rank order is by delta") {
+    val q = TextOps.qualityScores(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        math.round(r.getDouble(1) * 10000)).toMap
+    val src = Tables(spark, sf, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val per = src.groupBy(_._2).view.mapValues { ds =>
+      (ds.length.toLong, ds.map(d => q(d._1)).sum)
+    }.toMap
+    val n = per.values.map(_._1).sum; val su = per.values.map(_._2).sum
+    val expected = per.map { case (s0, (nd, sd)) =>
+      s0 -> ((nd, sd * 10000 / nd, su * 10000 / n,
+        (su - sd) * 10000 / (n - nd)))
+    }
+    val got = TextOps.sourceInfluence(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Int)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (s0, nd, ms, ma, mw, d, _) =>
+      val (end, ems, ema, emw) = expected(s0)
+      assert(nd === end, s"$s0 n"); assert(ms === ems, s"$s0 mean_src")
+      assert(ma === ema, s"$s0 mean_all")
+      assert(mw === emw, s"$s0 mean_without")
+      assert(d === mw - ma, s"$s0 delta")
+    }
+    // ranked by delta desc then source; deltas must straddle zero
+    // (some source drags, some source carries)
+    val byRank = got.sortBy(_._7)
+    assert(byRank.map(r => (-r._6, r._1)) ===
+      byRank.map(r => (-r._6, r._1)).sorted)
+    assert(got.exists(_._6 > 0) && got.exists(_._6 < 0))
+  }
+
   test("rboOverlap matches a sequential depth replay and is monotone") {
     val depth = 25
     // rebuild the pool and the raw TF-density scorer from raw text,
