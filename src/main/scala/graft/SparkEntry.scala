@@ -89,6 +89,7 @@ object SparkEntry {
     "q_lang_id_confusion" -> TextOps.langIdConfusion,
     "q_quality_scores" -> TextOps.qualityScores,
     "q_source_influence" -> TextOps.sourceInfluence,
+    "q_split_balance" -> TextOps.splitBalance,
     "q_token_stats" -> TextOps.tokenStats,
     "q_fingerprint_stats" -> TextOps.fingerprintStats,
     "q_top_tokens" -> ((s, dir) => TextOps.topTokensPerLang(s, dir)),
@@ -1406,6 +1407,44 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY mean_without_u - mean_all_u
              DESC, source) AS INT) AS rank
          FROM m ORDER BY rank""",
+    "q_split_balance" ->
+      """WITH d AS (SELECT source,
+           CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+             ELSE 'test' END AS split
+           FROM (SELECT source,
+             CAST(concat('0x', substring(md5(concat('split:',
+               CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100
+               AS bucket
+             FROM documents)),
+         cells AS (SELECT split, source, CAST(count(*) AS BIGINT) AS obs
+           FROM d GROUP BY 1, 2),
+         full0 AS (SELECT sp.split, so.source,
+             coalesce(obs, CAST(0 AS BIGINT)) AS obs
+           FROM (SELECT DISTINCT split FROM cells) sp
+           CROSS JOIN (SELECT DISTINCT source FROM cells) so
+           LEFT JOIN cells USING (split, source)),
+         rt AS (SELECT split, CAST(sum(obs) AS BIGINT) AS rt FROM full0
+           GROUP BY 1),
+         ct AS (SELECT source, CAST(sum(obs) AS BIGINT) AS ct FROM full0
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+             CAST(count(DISTINCT split) AS BIGINT) AS r,
+             CAST(count(DISTINCT source) AS BIGINT) AS c FROM full0),
+         m AS (SELECT split, source, obs,
+             CAST(rt * ct AS DOUBLE) / n AS e, n, r, c
+           FROM full0 JOIN rt USING (split) JOIN ct USING (source)
+           CROSS JOIN tot),
+         k AS (SELECT split, source, obs, e, n, r, c,
+             CAST(round((obs - e) * (obs - e) / e * 1e6) AS BIGINT)
+               AS contrib_u
+           FROM m),
+         f AS (SELECT *, round(CAST(sum(contrib_u) OVER () AS DOUBLE)
+             / 1e6, 4) AS chi2 FROM k)
+         SELECT split, source, obs, round(e, 4) AS expected,
+           round(contrib_u / 1e6, 4) AS contrib, chi2,
+           round(sqrt(chi2 / CAST(n * least(r - 1, c - 1) AS DOUBLE)), 4)
+             AS cramers_v
+         FROM f ORDER BY split, source""",
     "q_quality_weighted_sample" ->
       s"""SELECT doc_id, quality FROM (
            SELECT doc_id, quality,

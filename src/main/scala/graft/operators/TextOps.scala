@@ -254,6 +254,59 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Split-balance chi-square audit: the source × split contingency
+    * table with the independence test every eval pipeline should run on
+    * its split assignment — a content-independent hash split
+    * ([[hashSplit]]) must NOT correlate with source, or per-source eval
+    * numbers silently measure split luck instead of model quality.
+    * Emits every cell (observed, expected, chi-square contribution)
+    * plus the total statistic and Cramér's V repeated per row (the
+    * [[Relational.benfordAudit]] shape — a constant-size frame at any
+    * corpus size).
+    *
+    * Determinism: observed/row/column totals are exact longs; each
+    * cell's expected count and contribution is one fixed-shape IEEE
+    * expression over those longs, pre-rounded to 1e-6 micro-units and
+    * summed order-free (the PSI discipline); V derives from the
+    * already-rounded chi-square.
+    */
+  def splitBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = docsFanned(s, dir)
+      .withColumn("bucket", hashBucket($"doc_id", "split:"))
+      .select($"source",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val")
+          .otherwise("test").as("split"))
+      .groupBy($"split", $"source").agg(count(lit(1)).as("obs"))
+    // spine of all (split, source) pairs so empty cells still count
+    val splits = cells.select($"split").distinct()
+    val sources = cells.select($"source").distinct()
+    val full = splits.crossJoin(sources)
+      .join(cells, Seq("split", "source"), "left")
+      .select($"split", $"source", coalesce($"obs", lit(0L)).as("obs"))
+    val rt = full.groupBy($"split").agg(sum($"obs").as("rt"))
+    val ct = full.groupBy($"source").agg(sum($"obs").as("ct"))
+    val tot = full.agg(sum($"obs").as("n"),
+      countDistinct($"split").as("r"),
+      countDistinct($"source").as("c"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    full.join(broadcast(rt), Seq("split"))
+      .join(broadcast(ct), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", ($"rt" * $"ct").cast("double") / $"n")
+      .withColumn("contrib_u",
+        round(($"obs" - $"e") * ($"obs" - $"e") / $"e" * 1e6)
+          .cast("long"))
+      .withColumn("chi2", round(sum($"contrib_u").over(all) / 1e6, 4))
+      .withColumn("cramers_v",
+        round(sqrt($"chi2" / ($"n" * least($"r" - 1, $"c" - 1))
+          .cast("double")), 4))
+      .select($"split", $"source", $"obs", round($"e", 4).as("expected"),
+        round($"contrib_u" / 1e6, 4).as("contrib"), $"chi2", $"cramers_v")
+      .orderBy($"split", $"source")
+  }
+
   /** Train/eval decontamination: find training documents sharing word
     * n-grams with the held-out test split (the [[hashSplit]] buckets), so
     * leaked near-copies of eval data can be dropped before training.

@@ -745,6 +745,53 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists(_._6 > 0) && got.exists(_._6 < 0))
   }
 
+  test("splitBalance matches a sequential contingency replay; the hash " +
+       "split does not correlate with source") {
+    def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    val split = TextOps.hashSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val src = Tables(spark, sf, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val obs = src.groupBy(d => (split(d._1), d._2)).view
+      .mapValues(_.length.toLong).toMap
+    val splits = obs.keys.map(_._1).toSeq.distinct
+    val sources = obs.keys.map(_._2).toSeq.distinct
+    val rt = splits.map(sp =>
+      sp -> sources.map(so => obs.getOrElse((sp, so), 0L)).sum).toMap
+    val ct = sources.map(so =>
+      so -> splits.map(sp => obs.getOrElse((sp, so), 0L)).sum).toMap
+    val n = rt.values.sum
+    val cells = for (sp <- splits; so <- sources) yield {
+      val o = obs.getOrElse((sp, so), 0L)
+      val e = (rt(sp) * ct(so)).toDouble / n
+      val cu = java.math.BigDecimal.valueOf((o - e) * (o - e) / e * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      (sp, so, o, e, cu)
+    }
+    val chi2 = r4(cells.map(_._5).sum / 1e6)
+    val v = r4(math.sqrt(chi2 /
+      (n * math.min(splits.length - 1, sources.length - 1)).toDouble))
+    val got = TextOps.splitBalance(spark, sf)
+      .as[(String, String, Long, Double, Double, Double, Double)]
+      .collect()
+    assert(got.length === splits.length * sources.length)
+    val exp = cells.map(c => (c._1, c._2) ->
+      ((c._3, r4(c._4), r4(c._5 / 1e6)))).toMap
+    got.foreach { case (sp, so, o, e, c, x2, cv) =>
+      val (eo, ee, ec) = exp((sp, so))
+      assert(o === eo, s"($sp,$so) obs"); assert(e === ee, s"($sp,$so) e")
+      assert(c === ec, s"($sp,$so) contrib")
+      assert(x2 === chi2); assert(cv === v)
+    }
+    // an md5 hash split must be independent of source. At 500 docs
+    // over 60 cells, sampling noise alone puts V around sqrt(dof/n)
+    // ~ 0.28, so bound by that, not the large-sample 0.1 line
+    assert(v < 0.28, s"hash split correlates with source (V=$v)")
+    assert(chi2 < 70.7, // chi2 crit at dof=38, alpha=0.001
+      s"independence rejected (chi2=$chi2)")
+  }
+
   test("rboOverlap matches a sequential depth replay and is monotone") {
     val depth = 25
     // rebuild the pool and the raw TF-density scorer from raw text,
