@@ -210,6 +210,8 @@ object SparkEntry {
     "q_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "q_mmr_rerank" -> ((s, dir) => Similarity.mmrRerank(s, dir)),
     "q_bitext_mine" -> ((s, dir) => Similarity.bitextMine(s, dir)),
+    "q_knn_label_agreement" ->
+      ((s, dir) => Similarity.knnLabelAgreement(s, dir)),
     "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
     "q_embedding_lsh_recall" -> ((s, dir) => Similarity.embeddingLshRecall(s, dir)),
@@ -1864,6 +1866,24 @@ object SparkEntry {
          WHERE fk.cs_u > 0 AND sax_u + say_u > 0
            AND (2 * 4 * cs_u * 10000) // (sax_u + say_u) >= 10200
          ORDER BY x_id, y_id""",
+    "q_knn_label_agreement" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         s AS (SELECT a.vec_id AS a, a.label AS la, b.label AS lb,
+             CAST(round(list_cosine_similarity(a.v, b.v) * 10000)
+               AS BIGINT) AS cs_u, b.vec_id AS b
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         r AS (SELECT a, la, lb, row_number() OVER (
+             PARTITION BY a ORDER BY cs_u DESC, b) AS rn FROM s),
+         pv AS (SELECT a, la, CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0
+             END) AS BIGINT) AS agree
+           FROM r WHERE rn <= 5 GROUP BY a, la)
+         SELECT la AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(agree) AS BIGINT) * 10000
+             // (CAST(count(*) AS BIGINT) * 5) AS agree_bp,
+           CAST(sum(CASE WHEN agree * 2 < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suspect
+         FROM pv GROUP BY la ORDER BY label""",
     "q_label_suspects" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),

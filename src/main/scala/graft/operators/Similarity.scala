@@ -1515,6 +1515,51 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** kNN label-agreement audit — the embedding-space label-noise screen
+    * that needs no centroids: each vector's k exact nearest neighbors
+    * vote, and a label whose members' neighborhoods disagree with them
+    * is either noisy or not linearly separated (both worth knowing
+    * before training on the labels). Complements [[labelSuspects]]
+    * (centroid rivalry): kNN agreement sees multi-modal labels a single
+    * centroid misrepresents. Emits per label: member count, mean
+    * agreement in basis points, and how many members lose their own
+    * neighborhood vote (agree < k/2) — the per-label noise shortlist
+    * size.
+    *
+    * Determinism: neighbor ranks on 1e-4-quantized cosine with vec_id
+    * tie-break; agreement counts are integers; the mean is an integer
+    * floor-division.
+    *
+    * Shape at scale: the all-pairs scan is the sf-scale stand-in for
+    * the ANN index ([[annRecall]] audits the swap); per-vector state
+    * after the top-k cut is one row.
+    */
+  def knnLabelAgreement(s: SparkSession, dir: String,
+                        k: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label", vectors.toDoubleArray($"embedding").as("v"))
+    val byA = Window.partitionBy($"a").orderBy($"cs_u".desc, $"b")
+    val perVec = e.select($"vec_id".as("a"), $"label".as("la"), $"v".as("av"))
+      .join(broadcast(
+        e.select($"vec_id".as("b"), $"label".as("lb"), $"v".as("bv"))))
+      .filter($"a" =!= $"b")
+      .select($"a", $"la", $"b", $"lb",
+        round(vectors.cosineSimilarity($"av", $"bv") * 10000)
+          .cast("long").as("cs_u"))
+      .withColumn("rn", row_number().over(byA))
+      .filter($"rn" <= k)
+      .groupBy($"a", $"la")
+      .agg(sum(when($"la" === $"lb", 1L).otherwise(0L)).as("agree"))
+    perVec.groupBy($"la".as("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum($"agree").as("sum_agree"),
+        sum(when($"agree" * 2 < k, 1L).otherwise(0L)).as("n_suspect"))
+      .select($"label", $"n_vecs",
+        expr(s"sum_agree * 10000 div (n_vecs * $k)").as("agree_bp"),
+        $"n_suspect")
+      .orderBy($"label")
+  }
+
   /** Margin-criterion bitext mining — the ratio test parallel-corpus
     * miners use instead of a raw cosine threshold: a candidate pair
     * (x, y) scores cos(x,y) divided by the mean of each side's top-k

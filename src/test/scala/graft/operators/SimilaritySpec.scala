@@ -666,6 +666,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnLabelAgreement matches a sequential kNN replay and reads " +
+       "this fixture's labels as neighborhood-noise") {
+    val rows = Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def csU(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      java.math.BigDecimal.valueOf(dot / (na * nb) * 10000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    }
+    val k = 5
+    val perVec = rows.map { case (id, lbl, v) =>
+      val nn = rows.filter(_._1 != id)
+        .map(o => (o._1, o._2, csU(v, o._3)))
+        .sortBy { case (oid, _, cs) => (-cs, oid) }.take(k)
+      (lbl, nn.count(_._2 == lbl).toLong)
+    }
+    val expected = perVec.groupBy(_._1).map { case (lbl, vs) =>
+      val n = vs.length.toLong
+      val sa = vs.map(_._2).sum
+      lbl -> ((n, sa * 10000 / (n * k),
+        vs.count(_._2 * 2 < k).toLong))
+    }
+    val got = Similarity.knnLabelAgreement(spark, sf)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (lbl, n, bp, sus) =>
+      val (en, ebp, esus) = expected(lbl)
+      assert(n === en, s"label $lbl n")
+      assert(bp === ebp, s"label $lbl agree_bp")
+      assert(sus === esus, s"label $lbl n_suspect")
+    }
+    // this fixture's labels are near-random w.r.t. kNN neighborhoods
+    // (pooled agreement ~= the 1/n_labels chance line) — which is
+    // exactly the condition the audit exists to report: pin that the
+    // screen reads "noisy labels" (most members lose their own vote)
+    // rather than asserting cluster structure the data doesn't have
+    val pooled = got.map(r => r._2 * r._3).sum.toDouble /
+      (got.map(_._2).sum * 10000)
+    assert(pooled > 0.0 && pooled < 0.5, s"pooled agreement $pooled")
+    assert(got.map(_._2).sum === rows.length.toLong)
+    assert(got.map(_._4).sum > got.map(_._2).sum / 2,
+      "suspect count should dominate when labels are neighborhood-noise")
+  }
+
   test("bitextMine matches a sequential margin replay; margins genuinely " +
        "re-rank raw cosine") {
     val emb = Tables(spark, sf, "embeddings")
