@@ -164,6 +164,15 @@ object SparkEntry {
     "q_benford_audit" -> Relational.benfordAudit,
     "q_ewma_anomalies" -> ((s, dir) => Relational.ewmaAnomalies(s, dir)),
     "q_psi_drift" -> ((s, dir) => Events.psiDrift(s, dir)),
+    "q_ks_drift" -> Events.ksDrift,
+    "q_mann_whitney" -> Events.mannWhitney,
+    "q_gini_sources" -> TextOps.giniSources,
+    "q_good_turing" -> TextOps.goodTuringMass,
+    "q_token_dispersion" -> ((s, dir) => TextOps.tokenDispersion(s, dir)),
+    "q_quality_surprisal_rho" -> TextOps.qualitySurprisalRho,
+    "q_screen_kappa" -> ((s, dir) => TextOps.screenKappa(s, dir)),
+    "q_unimax_budget" -> ((s, dir) => TextOps.unimaxBudget(s, dir)),
+    "q_k_anonymity" -> ((s, dir) => Relational.kAnonymity(s, dir)),
     "q_distinct_ngrams" -> TextOps.distinctNgrams,
     "q_ccnet_buckets" -> TextOps.ccnetBuckets,
     // -- dedup suite (§7.4) ------------------------------------------------
@@ -2899,6 +2908,242 @@ object SparkEntry {
          SELECT bin, ref_n, cur_n, p_ref_bp, p_cur_bp, lnr_u,
            CAST((p_ref_bp - p_cur_bp) * lnr_u AS BIGINT) AS contrib
          FROM sc ORDER BY bin""",
+    "q_ks_drift" ->
+      """WITH b AS (SELECT epoch_us(ts) AS us,
+           CAST(round(value * 10000) AS BIGINT) AS vq FROM events),
+         m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM b),
+         h AS (SELECT vq, us <= mid AS early FROM b CROSS JOIN m),
+         c AS (SELECT vq,
+             CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           FROM h GROUP BY vq),
+         f AS (SELECT vq,
+             CAST(sum(c1) OVER (ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS f1,
+             CAST(sum(c2) OVER (ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS f2
+           FROM c),
+         t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+         g AS (SELECT vq, abs(f1 * n2 - f2 * n1) AS gap, n1, n2
+           FROM f CROSS JOIN t),
+         g2 AS (SELECT *, max(gap) OVER () AS dmax FROM g),
+         a AS (SELECT max(n1) AS n_early, max(n2) AS n_late,
+             max(gap) AS d_num,
+             min(CASE WHEN gap = dmax THEN vq END) AS at_vq FROM g2),
+         z AS (SELECT n_early, n_late, d_num, at_vq,
+             CAST(d_num * 10000 // (n_early * n_late) AS BIGINT) AS d_bp,
+             CAST(round(13581.0 * sqrt(CAST(n_early + n_late AS DOUBLE)
+               / CAST(n_early * n_late AS DOUBLE))) AS BIGINT) AS crit_bp
+           FROM a)
+         SELECT n_early, n_late, d_num, at_vq, d_bp, crit_bp,
+           d_bp >= crit_bp AS drifted FROM z""",
+    "q_mann_whitney" ->
+      """WITH b AS (SELECT epoch_us(ts) AS us,
+           CAST(round(value * 10000) AS BIGINT) AS vq FROM events),
+         m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM b),
+         h AS (SELECT vq, us <= mid AS early FROM b CROSS JOIN m),
+         c AS (SELECT vq, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS t1
+           FROM h GROUP BY vq),
+         w AS (SELECT vq, t, t1,
+             CAST(coalesce(sum(t) OVER (ORDER BY vq ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM c),
+         a AS (SELECT CAST(sum(t1) AS BIGINT) AS n1,
+             CAST(sum(t - t1) AS BIGINT) AS n2,
+             CAST(sum(t1 * (2 * cb + t + 1)) AS BIGINT) AS r1_x2,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie_term FROM w),
+         d AS (SELECT n1, n2, n1 + n2 AS n, r1_x2, tie_term,
+             r1_x2 - n1 * (n1 + 1) AS u1_x2 FROM a)
+         SELECT n1 AS n_early, n2 AS n_late, r1_x2, u1_x2,
+           2 * n1 * n2 - u1_x2 AS u2_x2, tie_term,
+           CAST(u1_x2 * 10000 // (2 * n1 * n2) AS BIGINT) AS auc_bp,
+           round((CAST(u1_x2 - n1 * n2 AS DOUBLE) / 2.0) /
+             sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               * (CAST(n + 1 AS DOUBLE) - CAST(tie_term AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 12.0), 4)
+             AS z
+         FROM d""",
+    "q_good_turing" ->
+      s"""WITH d AS (SELECT lang, unnest($toks) AS tok FROM documents),
+         c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+           FROM d GROUP BY 1, 2),
+         a AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+           FROM c GROUP BY lang)
+         SELECT lang, n_tokens, vocab, n1, n2,
+           CAST(n1 * 10000 // n_tokens AS BIGINT) AS missing_mass_bp,
+           CASE WHEN n1 > 0 THEN CAST(2000000 * n2 // n1 AS BIGINT) END
+             AS r1_star_u
+         FROM a ORDER BY lang""",
+    "q_token_dispersion" ->
+      s"""WITH dt AS (SELECT doc_id, $toks AS toks FROM documents),
+         e AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS l_d,
+             unnest(toks) AS tok FROM dt),
+         lt AS (SELECT CAST(count(*) AS BIGINT) AS l_tot FROM e),
+         top AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_t FROM e
+           GROUP BY tok ORDER BY c_t DESC, tok LIMIT 25),
+         pd AS (SELECT doc_id, l_d, tok, CAST(count(*) AS BIGINT) AS c_dt
+           FROM e GROUP BY 1, 2, 3),
+         agg AS (SELECT tok, c_t, l_tot,
+             CAST(count(*) AS BIGINT) AS n_docs_present,
+             CAST(sum(abs(c_dt * l_tot - l_d * c_t)) AS BIGINT) AS pres_abs,
+             CAST(sum(l_d) AS BIGINT) AS pres_len
+           FROM pd JOIN top USING (tok) CROSS JOIN lt GROUP BY 1, 2, 3)
+         SELECT tok, c_t, n_docs_present,
+           CAST((pres_abs + (l_tot - pres_len) * c_t) * 10000
+             // (2 * c_t * l_tot) AS BIGINT) AS dp_bp
+         FROM agg ORDER BY c_t DESC, tok""",
+    "q_quality_surprisal_rho" ->
+      s"""WITH $surprisalPerDocCtes,
+         q AS (SELECT doc_id, CAST(round($qualityExpr * 10000) AS BIGINT)
+             AS qu FROM documents),
+         j AS (SELECT q.doc_id, qu, xent_u FROM q JOIN pd2 USING (doc_id)),
+         cx AS (SELECT qu AS v, CAST(count(*) AS BIGINT) AS t
+           FROM j GROUP BY 1),
+         wx AS (SELECT v,
+             2 * CAST(coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + t + 1
+               AS rx FROM cx),
+         cy AS (SELECT xent_u AS v, CAST(count(*) AS BIGINT) AS t
+           FROM j GROUP BY 1),
+         wy AS (SELECT v,
+             2 * CAST(coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + t + 1
+               AS ry FROM cy),
+         r AS (SELECT j.doc_id, rx, ry FROM j
+           JOIN wx ON j.qu = wx.v JOIN wy ON j.xent_u = wy.v),
+         m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(rx) AS HUGEINT) AS sx,
+             CAST(sum(ry) AS HUGEINT) AS sy,
+             CAST(sum(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy FROM r)
+         SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS rho
+         FROM m""",
+    "q_gini_sources" ->
+      s"""WITH d AS (SELECT source, CAST(len($toks) AS BIGINT) AS tk
+           FROM documents),
+         per AS (SELECT source, CAST(sum(tk) AS BIGINT) AS n_tokens
+           FROM d GROUP BY source),
+         r AS (SELECT source, n_tokens,
+             CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT)
+               AS i FROM per),
+         w AS (SELECT *,
+             CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS tot,
+             CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(sum(i * n_tokens) OVER () AS BIGINT) AS wsum FROM r)
+         SELECT source, n_tokens, CAST(i AS INT) AS rank,
+           CAST(cum * 10000 // tot AS BIGINT) AS lorenz_bp,
+           CAST((2 * wsum - (m + 1) * tot) * 10000 // (m * tot) AS BIGINT)
+             AS gini_bp
+         FROM w ORDER BY rank""",
+    "q_screen_kappa" ->
+      s"""WITH d AS (SELECT doc_id, text, $toks AS toks,
+           string_split(text, chr(10)) AS lines FROM documents),
+         sc AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+               AS BIGINT) AS sum_len,
+             CAST(length(text) - length(replace(text, '#', ''))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+               + length(text) - length(replace(text, '…', ''))
+               AS BIGINT) AS n_sym,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_stop,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+               l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines,
+               l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT)
+               AS n_ell_end
+           FROM d),
+         k AS (SELECT doc_id,
+             (n_words >= 50 AND n_words <= 100000)
+               AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+               AND 10 * n_sym <= n_words AND 5 * n_alpha >= 4 * n_words
+               AND n_stop >= 2 AND 10 * n_bullet <= 9 * n_lines
+               AND 10 * n_ell_end <= 3 * n_lines AS keep
+           FROM sc),
+         q AS (SELECT doc_id,
+             CAST(round($qualityExpr * 10000) AS BIGINT) >= 5000 AS hi_q
+           FROM documents),
+         ct AS (SELECT
+             CAST(sum(CASE WHEN keep AND hi_q THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(sum(CASE WHEN keep AND NOT hi_q THEN 1 ELSE 0 END)
+               AS BIGINT) AS b,
+             CAST(sum(CASE WHEN NOT keep AND hi_q THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(sum(CASE WHEN NOT keep AND NOT hi_q THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+           FROM k JOIN q USING (doc_id))
+         SELECT a, b, c, d, a + b + c + d AS n,
+           CAST((a + d) * 10000 // (a + b + c + d) AS BIGINT) AS po_bp,
+           CAST(((a + b) * (a + c) + (c + d) * (b + d)) * 10000
+             // ((a + b + c + d) * (a + b + c + d)) AS BIGINT) AS pe_bp,
+           CAST((2000000 * (a * d - b * c)
+             + 1000000 * ((a + b) * (b + d) + (a + c) * (c + d)))
+             // ((a + b) * (b + d) + (a + c) * (c + d)) - 1000000 AS BIGINT)
+             AS kappa_u
+         FROM ct""",
+    "q_unimax_budget" ->
+      s"""WITH d AS (SELECT lang, CAST(len($toks) AS BIGINT) AS tk
+           FROM documents),
+         per AS (SELECT lang, CAST(sum(tk) AS BIGINT) AS n_tokens
+           FROM d GROUP BY lang),
+         c AS (SELECT lang, n_tokens, n_tokens * 2 AS cap FROM per),
+         r AS (SELECT *,
+             CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS budget,
+             CAST(coalesce(sum(cap) OVER (ORDER BY cap, lang ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before FROM c),
+         cp AS (SELECT *, cap * (m - i + 1) <= budget - cum_before AS capped
+           FROM r),
+         t AS (SELECT *,
+             CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT)
+               AS j,
+             budget - CAST(sum(CASE WHEN capped THEN cap ELSE 0 END)
+               OVER () AS BIGINT) AS rem FROM cp),
+         al AS (SELECT *, CAST(CASE WHEN capped THEN cap
+             ELSE rem // (m - j)
+               + (CASE WHEN i - j <= rem % (m - j) THEN 1 ELSE 0 END) END
+             AS BIGINT) AS alloc FROM t)
+         SELECT lang, n_tokens, cap, capped, alloc,
+           CAST(alloc * 10000 // n_tokens AS BIGINT) AS epochs_bp, budget
+         FROM al ORDER BY lang""",
+    "q_k_anonymity" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+             WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band
+           FROM customer),
+         g AS (SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS class_size,
+             CAST(count(DISTINCT band) AS BIGINT) AS l_diversity
+           FROM b GROUP BY 1, 2),
+         f AS (SELECT *, class_size < 5 AS k_risky,
+             l_diversity <= 1 AS l_risky FROM g),
+         w AS (SELECT *, min(class_size) OVER () AS k_min,
+             CAST(sum(CASE WHEN k_risky OR l_risky THEN class_size ELSE 0
+               END) OVER () AS BIGINT) AS risky_rows,
+             CAST(sum(class_size) OVER () AS BIGINT) AS n_rows FROM f)
+         SELECT c_nationkey, c_mktsegment, class_size, l_diversity,
+           k_risky, l_risky, k_min,
+           CAST(risky_rows * 10000 // n_rows AS BIGINT) AS risky_share_bp
+         FROM w ORDER BY c_nationkey, c_mktsegment""",
     "q_pii_scrub" ->
       """WITH sc AS (SELECT doc_id,
            CAST(len(regexp_extract_all(text,

@@ -736,4 +736,103 @@ object Events {
         round((lit(1.0) - $"vc" / $"vy") * 100, 4).as("vr_pct"))
       .orderBy($"arm")
   }
+
+  /** Early-vs-late halves of the event stream by timestamp midpoint —
+    * the deterministic two-sample split the distribution-drift tests
+    * ([[ksDrift]], [[mannWhitney]]) compare. Values are quantized to
+    * 1e-4 units (the [[robustStats]] convention) so ties are exact and
+    * engine-portable; the midpoint is integer microseconds.
+    */
+  private def valueHalves(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select(unix_micros($"ts").as("us"),
+        round($"value" * 10000).cast("long").as("vq"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    ev.crossJoin(broadcast(mid))
+      .select($"vq", ($"us" <= $"mid").as("early"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift test: sup |F_early −
+    * F_late| between the first and second half of the event stream (the
+    * exact-arithmetic complement of the binned PSI monitor — KS needs no
+    * bin choice and catches shape drift PSI's 10 bins smear away). The
+    * supremum over pooled ECDFs is attained at a sample point, so one
+    * sort of the DISTINCT quantized values with cumulative counts is the
+    * whole computation; the statistic is the integer cross-product
+    * max |c1·n2 − c2·n1| — no float until the display columns. The
+    * α=0.05 threshold c(α)·√((n1+n2)/(n1·n2)) is one fixed-shape sqrt
+    * over exact longs, pre-rounded to basis points before the verdict
+    * compare (the splitBalance discipline).
+    *
+    * Scale: distinct-value cardinality is bounded by the 1e-4 grid, and
+    * the single global cumulative window runs over the tiny (value,
+    * counts) rollup, not the raw events.
+    */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = valueHalves(s, dir)
+      .groupBy($"vq")
+      .agg(sum(when($"early", 1L).otherwise(0L)).as("c1"),
+        sum(when(!$"early", 1L).otherwise(0L)).as("c2"))
+    val cum = Window.orderBy($"vq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    cells
+      .select($"vq", sum($"c1").over(cum).as("f1"), sum($"c2").over(cum).as("f2"))
+      .crossJoin(broadcast(cells.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))))
+      .withColumn("gap", abs($"f1" * $"n2" - $"f2" * $"n1"))
+      .withColumn("dmax", max($"gap").over(all))
+      .agg(max($"n1").as("n_early"), max($"n2").as("n_late"),
+        max($"gap").as("d_num"),
+        min(when($"gap" === $"dmax", $"vq")).as("at_vq"))
+      .withColumn("d_bp", expr("d_num * 10000 div (n_early * n_late)"))
+      .withColumn("crit_bp",
+        round(lit(13581.0) * sqrt(($"n_early" + $"n_late").cast("double")
+          / ($"n_early" * $"n_late").cast("double"))).cast("long"))
+      .select($"n_early", $"n_late", $"d_num", $"at_vq", $"d_bp",
+        $"crit_bp", ($"d_bp" >= $"crit_bp").as("drifted"))
+  }
+
+  /** Exact Mann–Whitney U rank-sum test between the early and late
+    * halves: the nonparametric location-shift screen (did values get
+    * bigger, not just differently shaped — the directional complement
+    * of [[ksDrift]]). Tied ranks use the midrank convention kept
+    * integer by doubling: a tie group occupying ranks [a, a+t−1] has
+    * 2·avgrank = 2a + t − 1, so R1, U1, U2 are exact in ×2 units, the
+    * common-language effect size U1/(n1·n2) is an integer basis-point
+    * floor, and the tie-corrected normal z is one fixed-shape double
+    * expression over exact longs, pre-rounded to 4 places. The rank
+    * window runs over the distinct-value rollup (1e-4 grid), never the
+    * raw rows.
+    */
+  def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = valueHalves(s, dir)
+      .groupBy($"vq")
+      .agg(count(lit(1)).as("t"),
+        sum(when($"early", 1L).otherwise(0L)).as("t1"))
+    val before = Window.orderBy($"vq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("cb", coalesce(sum($"t").over(before), lit(0L)))
+      // per-value contribution to 2·R1 and the tie term t³ − t
+      .agg(sum($"t1").as("n1"), sum($"t" - $"t1").as("n2"),
+        sum($"t1" * (lit(2L) * $"cb" + $"t" + 1L)).as("r1_x2"),
+        sum($"t" * $"t" * $"t" - $"t").as("tie_term"))
+      .withColumn("n", $"n1" + $"n2")
+      .withColumn("u1_x2", $"r1_x2" - $"n1" * ($"n1" + 1L))
+      .withColumn("u2_x2", lit(2L) * $"n1" * $"n2" - $"u1_x2")
+      .withColumn("auc_bp", expr("u1_x2 * 10000 div (2 * n1 * n2)"))
+      .withColumn("z",
+        round((($"u1_x2" - $"n1" * $"n2").cast("double") / 2.0) /
+          sqrt($"n1".cast("double") * $"n2".cast("double")
+            * (($"n" + 1L).cast("double")
+              - $"tie_term".cast("double")
+                / ($"n".cast("double") * ($"n" - 1L).cast("double")))
+            / 12.0), 4))
+      .select($"n1".as("n_early"), $"n2".as("n_late"), $"r1_x2",
+        $"u1_x2", $"u2_x2", $"tie_term", $"auc_bp", $"z")
+  }
 }

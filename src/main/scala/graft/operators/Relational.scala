@@ -1049,4 +1049,41 @@ object Relational {
       .withColumn("alarm", abs($"dev_bp") >= alarmBp)
       .orderBy($"day")
   }
+
+  /** k-anonymity / l-diversity audit of the customer table before it is
+    * shared as training data: group by the quasi-identifier pair
+    * (nation, market segment) — the columns an adversary can link from
+    * public context — and report each equivalence class's size k and its
+    * count l of distinct sensitive values (the account-balance band).
+    * A class with k below the threshold re-identifies its members; a
+    * class with l = 1 leaks the sensitive value even at safe k
+    * (homogeneity attack). Global k_min and the basis-point share of
+    * rows in risky classes are repeated per row (the splitBalance
+    * shape). Everything is exact counts over one shuffle; at 100 TB the
+    * class rollup is tiny (|nations|×|segments|) and the window runs
+    * over it, not the rows.
+    */
+  def kAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables(s, dir, "customer")
+      .select($"c_nationkey", $"c_mktsegment",
+        when($"c_acctbal" < 0, "debt")
+          .when($"c_acctbal" < 5000, "low").otherwise("high").as("band"))
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct($"band").as("l_diversity"))
+      .withColumn("k_risky", $"class_size" < k)
+      .withColumn("l_risky", $"l_diversity" <= 1)
+      .withColumn("k_min", min($"class_size").over(all))
+      .withColumn("risky_rows",
+        sum(when($"k_risky" || $"l_risky", $"class_size").otherwise(0L))
+          .over(all))
+      .withColumn("n_rows", sum($"class_size").over(all))
+      .select($"c_nationkey", $"c_mktsegment", $"class_size",
+        $"l_diversity", $"k_risky", $"l_risky", $"k_min",
+        expr("risky_rows * 10000 div n_rows").as("risky_share_bp"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
 }

@@ -2768,4 +2768,241 @@ object TextOps {
         round(-($"sum_logp_u" / 1e6) / $"n_trigrams", 4).as("xent"))
       .orderBy($"doc_id")
   }
+
+  /** Lorenz curve + Gini coefficient of token mass across sources: the
+    * standard concentration audit a mixture owner runs before trusting
+    * per-source weights — a Gini near 0 means the corpus is evenly
+    * sourced, near 1 means one provider dominates and every "diverse
+    * mixture" claim is cosmetic. Sources sorted ascending by mass (ties
+    * by name, so rank is total); per-source rows carry the cumulative
+    * Lorenz share and the global Gini via the mean-difference identity
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) — every term an exact long,
+    * one floor division to basis points. The window runs over the
+    * per-source rollup (|sources| rows), never the corpus.
+    */
+  def giniSources(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = docsFanned(s, dir)
+      .select($"source", size(text.tokensLower($"text")).cast("long").as("tk"))
+      .groupBy($"source").agg(sum($"tk").as("n_tokens"))
+    val ord = Window.orderBy($"n_tokens", $"source")
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    per
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum($"n_tokens").over(ord.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum($"n_tokens").over(all))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("wsum", sum($"i" * $"n_tokens").over(all))
+      .select($"source", $"n_tokens", $"i".cast("int").as("rank"),
+        expr("cum * 10000 div tot").as("lorenz_bp"),
+        expr("(2 * wsum - (m + 1) * tot) * 10000 div (m * tot)")
+          .as("gini_bp"))
+      .orderBy($"rank")
+  }
+
+  /** Cohen's kappa between two independent quality screens — the Gopher
+    * rule suite ([[gopherRules]]) and the composite quality-score
+    * threshold — measuring whether the screens agree beyond chance. Two
+    * screens with high raw overlap but kappa ≈ 0 are redundant with the
+    * base rate, not with each other; that is the number that decides
+    * whether running both filters buys anything. The 2×2 confusion is
+    * four exact longs; po, pe and kappa are integer cross-products, with
+    * kappa's possibly-negative micro value floor-divided through the
+    * non-negative shift (the [[sourceLangMi]] trick) so Spark's `div`
+    * and SQL's `//` agree on sign.
+    */
+  def screenKappa(s: SparkSession, dir: String,
+                  requiredWords: Seq[String] = Seq("the", "a")): DataFrame = {
+    import s.implicits._
+    val docs = docsFanned(s, dir)
+    // corpus-tuned required-word list (the q_gopher_rules setting) so
+    // the Gopher verdict actually varies over this register
+    val verdicts = gopherVerdictsFrom(docs, requiredWords)
+      .select($"doc_id", $"keep")
+    val quality = docs
+      .select($"doc_id", $"text", $"n_chars", text.tokensLower($"text").as("toks"))
+      .select($"doc_id",
+        (round(text.qualityScoreTokens($"text", $"toks", $"n_chars") * 10000)
+          .cast("long") >= 5000L).as("hi_q"))
+    verdicts.join(quality, "doc_id")
+      .agg(sum(when($"keep" && $"hi_q", 1L).otherwise(0L)).as("a"),
+        sum(when($"keep" && !$"hi_q", 1L).otherwise(0L)).as("b"),
+        sum(when(!$"keep" && $"hi_q", 1L).otherwise(0L)).as("c"),
+        sum(when(!$"keep" && !$"hi_q", 1L).otherwise(0L)).as("d"))
+      .withColumn("n", $"a" + $"b" + $"c" + $"d")
+      .withColumn("po_bp", expr("(a + d) * 10000 div n"))
+      .withColumn("pe_bp",
+        expr("((a + b) * (a + c) + (c + d) * (b + d)) * 10000 div (n * n)"))
+      // kappa = 2(ad − bc) / ((a+b)(b+d) + (a+c)(c+d)) ∈ [−1, 1]
+      .withColumn("kappa_u",
+        expr("(2000000 * (a * d - b * c) " +
+          "+ 1000000 * ((a + b) * (b + d) + (a + c) * (c + d))) " +
+          "div ((a + b) * (b + d) + (a + c) * (c + d)) - 1000000"))
+      .select($"a", $"b", $"c", $"d", $"n", $"po_bp", $"pe_bp", $"kappa_u")
+  }
+
+  /** UniMax language-budget allocation (Chung et al. 2023,
+    * arXiv:2304.09151): split a token budget across languages as evenly
+    * as possible subject to a per-language epoch cap — the principled
+    * alternative to temperature sampling ([[temperatureMix]]) that never
+    * over-repeats a low-resource language. Exact integer water-filling
+    * in one window pass over the per-language rollup: languages sorted
+    * ascending by capacity cᵢ = nᵢ·E; language i is capped iff its
+    * capacity fits the equal split of what remains at its turn
+    * (cᵢ·(m−i+1) ≤ B − Σ_{j<i} cⱼ, an integer cross-product — capacity
+    * sorting makes the capped set a prefix), and the uncapped suffix
+    * splits the leftover with Hamilton remainders so allocations sum to
+    * the budget EXACTLY (the [[temperatureSample]] discipline).
+    */
+  def unimaxBudget(s: SparkSession, dir: String, epochCap: Int = 2): DataFrame = {
+    import s.implicits._
+    unimaxFrom(docsFanned(s, dir)
+      .select($"lang", size(text.tokensLower($"text")).cast("long").as("tk"))
+      .groupBy($"lang").agg(sum($"tk").as("n_tokens")), epochCap)
+      .orderBy($"lang")
+  }
+
+  /** The water-filling core over ANY (lang, n_tokens) frame — factored
+    * out so the spec can drive the capped prefix with skewed counts the
+    * near-balanced synthetic corpus never produces.
+    */
+  private[graft] def unimaxFrom(per0: DataFrame, epochCap: Int): DataFrame = {
+    val s = per0.sparkSession
+    import s.implicits._
+    val per = per0.withColumn("cap", $"n_tokens" * epochCap)
+    val ord = Window.orderBy($"cap", $"lang")
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    per
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("budget", sum($"n_tokens").over(all))
+      .withColumn("cum_before", coalesce(sum($"cap").over(before), lit(0L)))
+      .withColumn("capped",
+        $"cap" * ($"m" - $"i" + 1L) <= $"budget" - $"cum_before")
+      // the capped set is a prefix of the capacity order; what the
+      // uncapped suffix shares is the budget minus all capped capacity
+      .withColumn("j", sum(when($"capped", 1L).otherwise(0L)).over(all))
+      .withColumn("rem",
+        $"budget" - sum(when($"capped", $"cap").otherwise(0L)).over(all))
+      .withColumn("alloc",
+        when($"capped", $"cap").otherwise(
+          expr("rem div (m - j)") +
+            when($"i" - $"j" <= expr("rem % (m - j)"), 1L).otherwise(0L)))
+      .select($"lang", $"n_tokens", $"cap", $"capped", $"alloc",
+        expr("alloc * 10000 div n_tokens").as("epochs_bp"),
+        $"budget")
+  }
+
+  /** Good–Turing unseen-mass estimate per language: the share of the
+    * NEXT sample expected to be vocabulary never seen in this corpus —
+    * N1/N, the classic coverage answer to "have we crawled enough of
+    * this language yet" — plus the hapax/dis legomena counts behind it
+    * and the Good–Turing adjusted count r* = 2·N2/N1 for once-seen
+    * types (how much a raw count of 1 overstates true frequency).
+    * Everything is exact integer counts off ONE token rollup; the
+    * adjusted count is a single micro-unit floor division guarded
+    * against an N1 = 0 corpus.
+    */
+  def goodTuringMass(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsFanned(s, dir)
+      .select($"lang", explode(text.tokensLower($"text")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"lang")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"c" === 2, 1L).otherwise(0L)).as("n2"))
+      .select($"lang", $"n_tokens", $"vocab", $"n1", $"n2",
+        expr("n1 * 10000 div n_tokens").as("missing_mass_bp"),
+        when($"n1" > 0, expr("2000000 * n2 div n1")).as("r1_star_u"))
+      .orderBy($"lang")
+  }
+
+  /** Token dispersion (Gries 2008 "DP" — deviation of proportions) for
+    * the top-k corpus tokens: how far a token's occurrence mass deviates
+    * from the corpus' document-size distribution. DP ≈ 0 means the token
+    * spreads like ordinary vocabulary; DP → 1 means it bursts in a few
+    * documents — the burstiness screen separating topical terms from
+    * boilerplate that raw frequency (and even document frequency)
+    * cannot. Exact rational arithmetic by cross-multiplying the two
+    * proportion denominators: DP = (Σ_present |c_dt·L − l_d·c_t| +
+    * (L − Σ_present l_d)·c_t) / (2·c_t·L) — absent documents contribute
+    * their size share in one closed-form term, so the per-token join
+    * only ever touches documents the token OCCURS in; the top-k cap
+    * bounds the join's probe side at any corpus size.
+    */
+  def tokenDispersion(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    import s.implicits._
+    val docToks = docsFanned(s, dir)
+      .select($"doc_id", text.tokensLower($"text").as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("l_d"),
+        explode($"toks").as("tok"))
+      .localCheckpoint() // totals, top-k, and the per-doc scan read it
+    val lTot = docToks.agg(count(lit(1)).as("l_tot"))
+    val top = docToks.groupBy($"tok").agg(count(lit(1)).as("c_t"))
+      .orderBy($"c_t".desc, $"tok").limit(k)
+    docToks
+      .groupBy($"doc_id", $"l_d", $"tok").agg(count(lit(1)).as("c_dt"))
+      .join(broadcast(top), Seq("tok"))
+      .crossJoin(broadcast(lTot))
+      .groupBy($"tok", $"c_t", $"l_tot")
+      .agg(count(lit(1)).as("n_docs_present"),
+        sum(abs($"c_dt" * $"l_tot" - $"l_d" * $"c_t")).as("pres_abs"),
+        sum($"l_d").as("pres_len"))
+      .select($"tok", $"c_t", $"n_docs_present",
+        expr("(pres_abs + (l_tot - pres_len) * c_t) * 10000" +
+          " div (2 * c_t * l_tot)").as("dp_bp"))
+      .orderBy($"c_t".desc, $"tok")
+  }
+
+  /** Spearman rank correlation between the two per-document quality
+    * signals the pipeline computes independently — the composite
+    * heuristic score and the bigram-LM cross-entropy ([[surprisalPerDoc]]).
+    * A strong negative rho (fluent text scores high, high-perplexity
+    * text scores low) is the calibration check that either signal can
+    * stand in for the other; rho ≈ 0 means the filters disagree and a
+    * cascade using both is load-bearing. Tied ranks use the doubled
+    * midrank trick ([[Events.mannWhitney]]): both rank columns are exact
+    * longs, the five moment sums accumulate in DECIMAL(38,0) (order-free
+    * exact at any corpus size), and only the final single-row
+    * Pearson-on-ranks quotient is floating point, pre-rounded to 4
+    * places in one fixed shape both engines share.
+    */
+  def qualitySurprisalRho(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = docsFanned(s, dir)
+      .select($"doc_id", $"text", $"n_chars", text.tokensLower($"text").as("toks"))
+      .select($"doc_id",
+        round(text.qualityScoreTokens($"text", $"toks", $"n_chars") * 10000)
+          .cast("long").as("qu"))
+    val joined = q.join(surprisalPerDoc(s, dir).select($"doc_id", $"xent_u"),
+      "doc_id")
+    def midrank(c: Column, name: String)(df: DataFrame): DataFrame = {
+      val cells = df.groupBy(c.as("v")).agg(count(lit(1)).as("t"))
+        .withColumn("cb", coalesce(sum($"t").over(Window.orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"v", (lit(2L) * $"cb" + $"t" + 1L).as(name))
+      df.join(broadcast(cells), df(c.toString) === cells("v")).drop("v")
+    }
+    val dec = "decimal(38,0)"
+    val ranked = joined
+      .transform(midrank($"qu", "rx"))
+      .transform(midrank($"xent_u", "ry"))
+    ranked
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum($"rx").cast(dec).as("sx"), sum($"ry").cast(dec).as("sy"),
+        sum($"rx".cast(dec) * $"ry").as("sxy"),
+        sum($"rx".cast(dec) * $"rx").as("sxx"),
+        sum($"ry".cast(dec) * $"ry").as("syy"))
+      .select($"n".cast("long").as("n_docs"),
+        ($"n" * $"sxy" - $"sx" * $"sy").cast(dec).as("cov_num"),
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+            sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))), 4)
+          .as("rho"))
+  }
 }

@@ -356,4 +356,63 @@ class EventsSpec extends SparkSpec {
     }
     assert(got.map(_._2).sum === n)
   }
+
+  /** The early/late halves exactly as Events.valueHalves builds them. */
+  private def halves(): (Array[Long], Array[Long]) = {
+    val ev = Tables(spark, sf, "events")
+      .select(unix_micros($"ts"), round($"value" * 10000).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mid = Math.floorDiv(ev.map(_._1).min + ev.map(_._1).max, 2L)
+    (ev.filter(_._1 <= mid).map(_._2), ev.filter(_._1 > mid).map(_._2))
+  }
+
+  test("ksDrift: statistic equals a sequential two-sample KS recount") {
+    val (early, late) = halves()
+    val n1 = early.length.toLong
+    val n2 = late.length.toLong
+    val points = (early ++ late).distinct.sorted
+    def gap(v: Long): Long =
+      math.abs(early.count(_ <= v) * n2 - late.count(_ <= v) * n1)
+    val dNum = points.map(gap).max
+    val row = Events.ksDrift(spark, sf).collect().head
+    assert(row.getAs[Long]("n_early") === n1)
+    assert(row.getAs[Long]("n_late") === n2)
+    assert(row.getAs[Long]("d_num") === dNum)
+    assert(row.getAs[Long]("d_bp") === dNum * 10000 / (n1 * n2))
+    assert(row.getAs[Long]("at_vq") === points.filter(gap(_) == dNum).min)
+    // verdict consistency: drifted iff d_bp clears the alpha=0.05 bar
+    val crit = math.round(13581.0 * math.sqrt((n1 + n2).toDouble / (n1 * n2).toDouble))
+    assert(row.getAs[Long]("crit_bp") === crit)
+    assert(row.getAs[Boolean]("drifted") === (dNum * 10000 / (n1 * n2) >= crit))
+  }
+
+  test("mannWhitney: U, midranks and tie term equal a sequential recount") {
+    val (early, late) = halves()
+    val n1 = early.length.toLong
+    val n2 = late.length.toLong
+    val counts = (early.map((_, 1L, 1L)) ++ late.map((_, 1L, 0L)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (v, g) => (v, g.map(_._2).sum, g.map(_._3).sum) }
+    var cb = 0L; var r1x2 = 0L; var tie = 0L
+    counts.foreach { case (_, t, t1) =>
+      r1x2 += t1 * (2 * cb + t + 1); tie += t * t * t - t; cb += t
+    }
+    val u1x2 = r1x2 - n1 * (n1 + 1)
+    val row = Events.mannWhitney(spark, sf).collect().head
+    assert(row.getAs[Long]("n_early") === n1)
+    assert(row.getAs[Long]("n_late") === n2)
+    assert(row.getAs[Long]("r1_x2") === r1x2)
+    assert(row.getAs[Long]("u1_x2") === u1x2)
+    assert(row.getAs[Long]("u2_x2") === 2 * n1 * n2 - u1x2)
+    assert(row.getAs[Long]("tie_term") === tie)
+    assert(row.getAs[Long]("auc_bp") === u1x2 * 10000 / (2 * n1 * n2))
+    // U1 + U2 = n1*n2 (the rank-sum identity, in x2 units)
+    assert(row.getAs[Long]("u1_x2") + row.getAs[Long]("u2_x2") === 2 * n1 * n2)
+    val n = n1 + n2
+    val z = BigDecimal(((u1x2 - n1 * n2).toDouble / 2.0) /
+        math.sqrt(n1.toDouble * n2.toDouble * ((n + 1).toDouble -
+          tie.toDouble / (n.toDouble * (n - 1).toDouble)) / 12.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("z") === z)
+  }
 }

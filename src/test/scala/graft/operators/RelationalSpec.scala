@@ -489,4 +489,32 @@ class RelationalSpec extends SparkSpec {
     // ranks are a permutation of 1..n with no gaps
     assert(got.values.toSeq.sorted === (1L to got.size.toLong))
   }
+
+  test("kAnonymity: class sizes, diversity and risk shares recount exactly") {
+    val cust = Tables(spark, sf, "customer")
+      .select($"c_nationkey", $"c_mktsegment", $"c_acctbal")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    def band(x: Double) = if (x < 0) "debt" else if (x < 5000) "low" else "high"
+    val classes = cust.groupBy(c => (c._1, c._2)).view.mapValues { g =>
+      (g.length.toLong, g.map(c => band(c._3)).distinct.length.toLong)
+    }.toMap
+    val kMin = classes.values.map(_._1).min
+    val riskyRows = classes.values
+      .collect { case (sz, l) if sz < 5 || l <= 1 => sz }.sum
+    val nRows = cust.length.toLong
+    val rows = Relational.kAnonymity(spark, sf).collect()
+    assert(rows.length === classes.size)
+    rows.foreach { r =>
+      val key = (r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment"))
+      val (sz, l) = classes(key)
+      assert(r.getAs[Long]("class_size") === sz)
+      assert(r.getAs[Long]("l_diversity") === l)
+      assert(r.getAs[Boolean]("k_risky") === (sz < 5))
+      assert(r.getAs[Boolean]("l_risky") === (l <= 1))
+      assert(r.getAs[Long]("k_min") === kMin)
+      assert(r.getAs[Long]("risky_share_bp") === riskyRows * 10000 / nRows)
+    }
+    // every customer is in exactly one class
+    assert(rows.map(_.getAs[Long]("class_size")).sum === nRows)
+  }
 }

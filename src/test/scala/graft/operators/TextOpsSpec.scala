@@ -1531,4 +1531,178 @@ class TextOpsSpec extends SparkSpec {
     assert(row._3 === expectedMi)
     assert(row._3 >= -1L) // true MI >= 0; rounding can shave at most ~1e-6
   }
+
+  test("giniSources: Lorenz shares and Gini match a sequential recount") {
+    val per = Tables(spark, sf, "documents")
+      .as[(Long, String, String, String, Long)].collect()
+      .groupBy(_._4)
+      .view.mapValues(_.map(d =>
+        d._2.trim.toLowerCase.split("\\s+").count(_.nonEmpty).toLong).sum)
+      .toSeq.sortBy(p => (p._2, p._1))
+    val tot = per.map(_._2).sum
+    val m = per.length.toLong
+    val wsum = per.zipWithIndex.map { case ((_, x), i) => (i + 1) * x }.sum
+    val gini = (2 * wsum - (m + 1) * tot) * 10000 / (m * tot)
+    val rows = TextOps.giniSources(spark, sf).collect()
+    assert(rows.length === per.length)
+    var cum = 0L
+    rows.zip(per).zipWithIndex.foreach { case ((r, (src, x)), i) =>
+      cum += x
+      assert(r.getAs[String]("source") === src)
+      assert(r.getAs[Long]("n_tokens") === x)
+      assert(r.getAs[Int]("rank") === i + 1)
+      assert(r.getAs[Long]("lorenz_bp") === cum * 10000 / tot)
+      assert(r.getAs[Long]("gini_bp") === gini)
+    }
+    // Lorenz curve is convex-monotone: shares never decrease, end at 100%
+    assert(rows.last.getAs[Long]("lorenz_bp") === 10000L)
+    assert(gini >= 0 && gini < 10000)
+  }
+
+  test("screenKappa: confusion cells and kappa identities hold exactly") {
+    val keep = TextOps.gopherRules(spark, sf, Seq("the", "a"))
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val hiQ = TextOps.qualityScores(spark, sf)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect()
+      .map { case (id, q) =>
+        id -> (BigDecimal(q * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong >= 5000L)
+      }.toMap
+    assert(keep.keySet === hiQ.keySet)
+    val a = keep.count { case (id, k) => k && hiQ(id) }.toLong
+    val b = keep.count { case (id, k) => k && !hiQ(id) }.toLong
+    val c = keep.count { case (id, k) => !k && hiQ(id) }.toLong
+    val d = keep.count { case (id, k) => !k && !hiQ(id) }.toLong
+    val n = a + b + c + d
+    val row = TextOps.screenKappa(spark, sf).collect().head
+    assert(row.getAs[Long]("a") === a)
+    assert(row.getAs[Long]("b") === b)
+    assert(row.getAs[Long]("c") === c)
+    assert(row.getAs[Long]("d") === d)
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Long]("po_bp") === (a + d) * 10000 / n)
+    assert(row.getAs[Long]("pe_bp") ===
+      ((a + b) * (a + c) + (c + d) * (b + d)) * 10000 / (n * n))
+    val den = (a + b) * (b + d) + (a + c) * (c + d)
+    val kappaU = Math.floorDiv(2000000L * (a * d - b * c), den)
+    assert(row.getAs[Long]("kappa_u") === kappaU)
+    assert(kappaU >= -1000000L && kappaU <= 1000000L)
+  }
+
+  test("goodTuringMass: hapax counts and missing mass recount exactly") {
+    val byLang = Tables(spark, sf, "documents")
+      .select($"lang", $"text").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues { docs =>
+        val counts = docs.flatMap(d =>
+            d._2.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+          .groupBy(identity).map(_._2.length.toLong)
+        (counts.sum, counts.size.toLong,
+          counts.count(_ == 1L).toLong, counts.count(_ == 2L).toLong)
+      }.toMap
+    val rows = TextOps.goodTuringMass(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet === byLang.keySet)
+    rows.foreach { r =>
+      val (n, v, n1, n2) = byLang(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_tokens") === n)
+      assert(r.getAs[Long]("vocab") === v)
+      assert(r.getAs[Long]("n1") === n1)
+      assert(r.getAs[Long]("n2") === n2)
+      assert(r.getAs[Long]("missing_mass_bp") === n1 * 10000 / n)
+      if (n1 > 0) assert(r.getAs[Long]("r1_star_u") === 2000000L * n2 / n1)
+    }
+  }
+
+  test("tokenDispersion: DP recounts exactly and sits in [0, 1)") {
+    val docs = Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty) }
+    val lTot = docs.map(_._2.length.toLong).sum
+    val totals = docs.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val top = totals.toSeq.sortBy { case (t, c) => (-c, t) }.take(25)
+    val rows = TextOps.tokenDispersion(spark, sf).collect()
+    assert(rows.map(r => (r.getAs[String]("tok"), r.getAs[Long]("c_t"))).toSeq
+      === top)
+    rows.foreach { r =>
+      val tok = r.getAs[String]("tok")
+      val ct = totals(tok)
+      val present = docs.map { case (_, ts) =>
+        (ts.length.toLong, ts.count(_ == tok).toLong) }.filter(_._2 > 0)
+      val presAbs = present.map { case (ld, cdt) =>
+        math.abs(cdt * lTot - ld * ct) }.sum
+      val presLen = present.map(_._1).sum
+      val dp = (presAbs + (lTot - presLen) * ct) * 10000 / (2 * ct * lTot)
+      assert(r.getAs[Long]("n_docs_present") === present.length.toLong)
+      assert(r.getAs[Long]("dp_bp") === dp)
+      assert(dp >= 0 && dp < 10000)
+    }
+  }
+
+  test("qualitySurprisalRho: midranks and moments recount sequentially") {
+    val qu = TextOps.qualityScores(spark, sf)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect()
+      .map { case (id, q) => id -> BigDecimal(q * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }.toMap
+    val xent = TextOps.surprisalFilter(spark, sf)
+      .select($"doc_id", $"xent_u").as[(Long, Long)].collect().toMap
+    val joined = qu.keySet.intersect(xent.keySet).toSeq.sorted
+      .map(id => (qu(id), xent(id)))
+    def midranks(vs: Seq[Long]): Map[Long, Long] = {
+      val counts = vs.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      var cb = 0L
+      counts.map { case (v, t) =>
+        val r = 2 * cb + t + 1; cb += t; v -> r }.toMap
+    }
+    val rx = midranks(joined.map(_._1))
+    val ry = midranks(joined.map(_._2))
+    val n = BigInt(joined.length)
+    val sx = joined.map(p => BigInt(rx(p._1))).sum
+    val sy = joined.map(p => BigInt(ry(p._2))).sum
+    val sxy = joined.map(p => BigInt(rx(p._1)) * BigInt(ry(p._2))).sum
+    val sxx = joined.map(p => BigInt(rx(p._1)).pow(2)).sum
+    val syy = joined.map(p => BigInt(ry(p._2)).pow(2)).sum
+    val covNum = n * sxy - sx * sy
+    val rho = BigDecimal((n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble)
+          * math.sqrt((n * syy - sy * sy).toDouble)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = TextOps.qualitySurprisalRho(spark, sf).collect().head
+    assert(row.getAs[Long]("n_docs") === joined.length.toLong)
+    assert(BigInt(row.getAs[java.math.BigDecimal]("cov_num")
+      .toBigInteger) === covNum)
+    assert(row.getAs[Double]("rho") === rho)
+    assert(math.abs(row.getAs[Double]("rho")) <= 1.0)
+  }
+
+  test("unimaxFrom: water-filling caps a prefix, Hamilton-exact budget") {
+    // skewed counts the near-balanced corpus never produces: three tiny
+    // languages all capped at 2 epochs, one giant absorbing the rest
+    val skew = Seq(("aa", 1L), ("bb", 1L), ("cc", 1L), ("zz", 100L))
+      .toDF("lang", "n_tokens")
+    val got = TextOps.unimaxFrom(skew, 2).orderBy($"lang").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Boolean]("capped"),
+        r.getAs[Long]("alloc")))
+    assert(got.toSeq === Seq(("aa", true, 2L), ("bb", true, 2L),
+      ("cc", true, 2L), ("zz", false, 97L)))
+    // two uncapped languages split the leftover within one token
+    val two = Seq(("aa", 1L), ("mm", 50L), ("nn", 60L))
+      .toDF("lang", "n_tokens")
+    val got2 = TextOps.unimaxFrom(two, 2).orderBy($"lang").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Boolean]("capped"),
+        r.getAs[Long]("alloc")))
+    assert(got2.toSeq === Seq(("aa", true, 2L), ("mm", false, 55L),
+      ("nn", false, 54L)))
+    // and on the real corpus: allocations sum to the budget exactly,
+    // never exceed the epoch cap, and uncapped allocs differ by <= 1
+    val real = TextOps.unimaxBudget(spark, sf).collect()
+    val budget = real.head.getAs[Long]("budget")
+    assert(real.map(_.getAs[Long]("alloc")).sum === budget)
+    real.foreach { r =>
+      assert(r.getAs[Long]("alloc") <= r.getAs[Long]("cap"))
+    }
+    val un = real.filter(!_.getAs[Boolean]("capped")).map(_.getAs[Long]("alloc"))
+    if (un.length > 1) assert(un.max - un.min <= 1)
+  }
 }
