@@ -168,6 +168,8 @@ object SparkEntry {
     "q_mann_whitney" -> Events.mannWhitney,
     "q_gini_sources" -> TextOps.giniSources,
     "q_good_turing" -> TextOps.goodTuringMass,
+    "q_heaps_law" -> TextOps.heapsLaw,
+    "q_cusum_shift" -> Relational.cusumShift,
     "q_token_dispersion" -> ((s, dir) => TextOps.tokenDispersion(s, dir)),
     "q_quality_surprisal_rho" -> TextOps.qualitySurprisalRho,
     "q_screen_kappa" -> ((s, dir) => TextOps.screenKappa(s, dir)),
@@ -2964,6 +2966,62 @@ object SparkEntry {
                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 12.0), 4)
              AS z
          FROM d""",
+    "q_heaps_law" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+         lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len
+           FROM docs),
+         offs AS (SELECT doc_id, CAST(coalesce(sum(len) OVER (ORDER BY
+             doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS o FROM lens),
+         pos AS (SELECT doc_id, toks[i] AS tok, CAST(i AS BIGINT) AS p
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks))) AS i
+             FROM docs WHERE len(toks) >= 1)),
+         fp AS (SELECT tok, CAST(min(o + p) AS BIGINT) AS fp
+           FROM pos JOIN offs USING (doc_id) GROUP BY tok),
+         nt AS (SELECT CAST(sum(len) AS BIGINT) AS n_tot FROM lens),
+         ck AS (SELECT CAST(k AS BIGINT) AS k,
+             CAST(k * n_tot // 10 AS BIGINT) AS n_k
+           FROM (SELECT unnest(generate_series(1, 10)) AS k) CROSS JOIN nt),
+         v AS (SELECT k, n_k, CAST(count(*) AS BIGINT) AS v_k
+           FROM fp JOIN ck ON fp.fp <= ck.n_k GROUP BY 1, 2),
+         lg AS (SELECT *,
+             CAST(round(ln(CAST(n_k AS DOUBLE)) * 1e6) AS BIGINT) AS x_u,
+             CAST(round(ln(CAST(v_k AS DOUBLE)) * 1e6) AS BIGINT) AS y_u
+           FROM v),
+         w AS (SELECT *, CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(sum(x_u) OVER () AS BIGINT) AS sx,
+             CAST(sum(y_u) OVER () AS BIGINT) AS sy,
+             CAST(sum(x_u * y_u) OVER () AS BIGINT) AS sxy,
+             CAST(sum(x_u * x_u) OVER () AS BIGINT) AS sxx FROM lg)
+         SELECT k, n_k, v_k, CAST(v_k * 10000 // n_k AS BIGINT) AS ttr_bp,
+           round(CAST(m * sxy - sx * sy AS DOUBLE)
+             / CAST(m * sxx - sx * sx AS DOUBLE), 4) AS beta
+         FROM w ORDER BY k""",
+    "q_cusum_shift" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+           FROM orders GROUP BY 1),
+         m AS (SELECT *, CAST(sum(cents) OVER () AS BIGINT) AS scents,
+             CAST(count(*) OVER () AS BIGINT) AS nd FROM daily),
+         b AS (SELECT *, scents // nd AS mu FROM m),
+         c AS (SELECT *, mu // 4 AS h,
+             cents - mu - mu // 20 AS d_hi,
+             cents - mu + mu // 20 AS d_lo FROM b),
+         p AS (SELECT *,
+             CAST(sum(d_hi) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS p_hi,
+             CAST(sum(d_lo) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS p_lo FROM c),
+         sdf AS (SELECT *,
+             p_hi - least(min(p_hi) OVER (ORDER BY day ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s_hi,
+             greatest(max(p_lo) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW), 0) - p_lo AS s_lo FROM p)
+         SELECT day, cents, mu, h, s_hi, s_lo,
+           s_hi >= h AS alarm_hi, s_lo >= h AS alarm_lo
+         FROM sdf ORDER BY day""",
     "q_good_turing" ->
       s"""WITH d AS (SELECT lang, unnest($toks) AS tok FROM documents),
          c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c

@@ -753,6 +753,19 @@ object Events {
       .select($"vq", ($"us" <= $"mid").as("early"))
   }
 
+  /** The frozen reference distribution `Streams.ksDriftSink` probes:
+    * per-value counts of the early half on the 1e-4 grid, collected
+    * driver-side — bounded by the value grid's distinct cardinality,
+    * the artifact a drift monitor ships to the edge (the
+    * [[psiReferenceCounts]] convention, without the bin choice).
+    */
+  def ksReferenceCounts(s: SparkSession, dir: String): Seq[(Long, Long)] = {
+    import s.implicits._
+    valueHalves(s, dir).filter($"early")
+      .groupBy($"vq").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov drift test: sup |F_early −
     * F_late| between the first and second half of the event stream (the
     * exact-arithmetic complement of the binned PSI monitor — KS needs no

@@ -1050,6 +1050,47 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Two-sided CUSUM level-shift detector over daily revenue — the
+    * change-point complement of the [[ewmaAnomalies]] spike screen: a
+    * run of small same-direction deviations that EWMA's per-day bands
+    * never flag accumulates here until the cumulative sum crosses the
+    * decision interval. The textbook recursion S_t = max(0,
+    * S_{t−1} + d_t) is NOT computed recursively: it equals
+    * P_t − min_{j≤t} P_j over the deviation prefix sum P (and the low
+    * side is max_{j≤t} P_j − P_t), so both sides are two window
+    * functions over the tiny daily frame — exact integer cents
+    * end-to-end, no sequential state, trivially parallel at any
+    * history length. Slack k = μ/20 (5% of mean daily revenue),
+    * decision interval h = μ/4, both integer floor divisions.
+    */
+  def cusumShift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val upTo = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("scents", sum($"cents").over(all))
+      .withColumn("nd", count(lit(1)).over(all))
+      .withColumn("mu", expr("scents div nd"))
+      .withColumn("slack", expr("mu div 20"))
+      .withColumn("h", expr("mu div 4"))
+      .withColumn("d_hi", $"cents" - $"mu" - $"slack")
+      .withColumn("d_lo", $"cents" - $"mu" + $"slack")
+      .withColumn("p_hi", sum($"d_hi").over(upTo))
+      .withColumn("p_lo", sum($"d_lo").over(upTo))
+      .withColumn("s_hi",
+        $"p_hi" - least(min($"p_hi").over(upTo), lit(0L)))
+      .withColumn("s_lo",
+        greatest(max($"p_lo").over(upTo), lit(0L)) - $"p_lo")
+      .select($"day", $"cents", $"mu", $"h", $"s_hi", $"s_lo",
+        ($"s_hi" >= $"h").as("alarm_hi"), ($"s_lo" >= $"h").as("alarm_lo"))
+      .orderBy($"day")
+  }
+
   /** k-anonymity / l-diversity audit of the customer table before it is
     * shared as training data: group by the quasi-identifier pair
     * (nation, market segment) — the columns an adversary can link from

@@ -145,6 +145,50 @@ object Streams {
     }
   }
 
+  /** Exact-KS drift monitor: the streaming twin of `Events.ksDrift` —
+    * a STATEFUL running per-value histogram on the 1e-4 quantization
+    * grid (complete-mode aggregation, so the state store carries one
+    * row per distinct value ever seen), compared per trigger against
+    * the frozen early-half reference (`Events.ksReferenceCounts`) with
+    * the batch operator's exact integer arithmetic: one driver-side
+    * merge walk over the bounded value grid computes sup |c1·n2 − c2·n1|
+    * and the same α=0.05 threshold, so a stream that has seen the same
+    * rows reports the identical d_num/d_bp to the batch test. No bin
+    * choice anywhere — the monitor catches shape drift PSI's histogram
+    * smears away, at the cost of value-grid-sized (bounded) state.
+    */
+  def ksDriftSink(values: DataFrame, refCounts: Seq[(Long, Long)],
+                  targetDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val n1 = refCounts.map(_._2).sum
+    val hist = values
+      .select(round(col("value") * 10000).cast("long").as("vq"))
+      .groupBy(col("vq")).agg(count(lit(1)).as("n"))
+    hist.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val cur = batch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val n2 = cur.values.sum
+        val refMap = refCounts.toMap
+        var c1 = 0L; var c2 = 0L; var dNum = 0L
+        (refMap.keySet ++ cur.keySet).toSeq.sorted.foreach { v =>
+          c1 += refMap.getOrElse(v, 0L)
+          c2 += cur.getOrElse(v, 0L)
+          dNum = math.max(dNum, math.abs(c1 * n2 - c2 * n1))
+        }
+        val dBp = if (n2 > 0) dNum * 10000 / (n1 * n2) else 0L
+        val crit = if (n2 > 0)
+          math.round(13581.0 *
+            math.sqrt((n1 + n2).toDouble / (n1 * n2).toDouble))
+        else Long.MaxValue
+        Seq((batchId, n2, dNum, dBp, crit, n2 > 0 && dBp >= crit))
+          .toDF("batch_id", "n_cur", "d_num", "d_bp", "crit_bp", "drifted")
+          .write.mode("append").parquet(targetDir)
+        ()
+      }
+  }
+
   /** Benford first-digit monitor: the streaming twin of
     * `Relational.benfordAudit` — a genuinely STATEFUL streaming
     * aggregation (the running per-digit histogram lives in the state

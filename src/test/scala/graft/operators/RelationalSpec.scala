@@ -490,6 +490,32 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.toSeq.sorted === (1L to got.size.toLong))
   }
 
+  test("cusumShift: window identity equals the textbook CUSUM recursion") {
+    val daily = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toString)
+    val mu = daily.map(_._2).sum / daily.length
+    val slack = mu / 20
+    var sHi = 0L; var sLo = 0L
+    val expected = daily.map { case (day, cents) =>
+      sHi = math.max(0L, sHi + (cents - mu - slack))
+      sLo = math.max(0L, sLo - (cents - mu + slack))
+      (day.toString, cents, sHi, sLo)
+    }
+    val rows = Relational.cusumShift(spark, sf).collect()
+    assert(rows.length === daily.length)
+    rows.zip(expected).foreach { case (r, (day, cents, hi, lo)) =>
+      assert(r.getAs[java.sql.Date]("day").toString === day)
+      assert(r.getAs[Long]("cents") === cents)
+      assert(r.getAs[Long]("mu") === mu)
+      assert(r.getAs[Long]("s_hi") === hi, s"s_hi at $day")
+      assert(r.getAs[Long]("s_lo") === lo, s"s_lo at $day")
+      assert(r.getAs[Boolean]("alarm_hi") === (hi >= mu / 4))
+      assert(r.getAs[Boolean]("alarm_lo") === (lo >= mu / 4))
+    }
+  }
+
   test("kAnonymity: class sizes, diversity and risk shares recount exactly") {
     val cust = Tables(spark, sf, "customer")
       .select($"c_nationkey", $"c_mktsegment", $"c_acctbal")

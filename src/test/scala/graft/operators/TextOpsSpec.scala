@@ -1639,6 +1639,43 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("heapsLaw: checkpoint vocabulary recounts against a token stream") {
+    val docs = Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .sortBy(_._1)
+      .map(_._2.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val stream = docs.flatten
+    val nTot = stream.length.toLong
+    val firstPos = scala.collection.mutable.Map[String, Long]()
+    stream.zipWithIndex.foreach { case (t, i) =>
+      if (!firstPos.contains(t)) firstPos(t) = i + 1L
+    }
+    val cks = (1L to 10L).map(k => (k, k * nTot / 10))
+    val vs = cks.map { case (k, nk) =>
+      (k, nk, firstPos.values.count(_ <= nk).toLong) }
+    val xu = vs.map(v => math.round(math.log(v._2.toDouble) * 1e6))
+    val yu = vs.map(v => math.round(math.log(v._3.toDouble) * 1e6))
+    val m = 10L
+    val (sx, sy) = (xu.sum, yu.sum)
+    val sxy = xu.zip(yu).map { case (a, b) => a * b }.sum
+    val sxx = xu.map(a => a * a).sum
+    val beta = BigDecimal((m * sxy - sx * sy).toDouble /
+        (m * sxx - sx * sx).toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = TextOps.heapsLaw(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.zip(vs).foreach { case (r, (k, nk, vk)) =>
+      assert(r.getAs[Long]("k") === k)
+      assert(r.getAs[Long]("n_k") === nk)
+      assert(r.getAs[Long]("v_k") === vk)
+      assert(r.getAs[Long]("ttr_bp") === vk * 10000 / nk)
+      assert(r.getAs[Double]("beta") === beta)
+    }
+    // V is nondecreasing and ends at the full vocabulary
+    assert(rows.map(_.getAs[Long]("v_k")).sliding(2).forall(p => p(0) <= p(1)))
+    assert(rows.last.getAs[Long]("v_k") === firstPos.size.toLong)
+  }
+
   test("qualitySurprisalRho: midranks and moments recount sequentially") {
     val qu = TextOps.qualityScores(spark, sf)
       .select($"doc_id", $"quality").as[(Long, Double)].collect()

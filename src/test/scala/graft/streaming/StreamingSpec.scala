@@ -326,6 +326,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L)._3, "a mass-shifted batch must alarm")
   }
 
+  test("ksDriftSink: full late half reproduces the batch KS exactly; " +
+       "a shifted batch trips the alarm") {
+    val dst = java.nio.file.Files.createTempDirectory("ks-out").toString + "/ks"
+    val ckpt = java.nio.file.Files.createTempDirectory("ks-ckpt").toString
+    val ref = graft.operators.Events.ksReferenceCounts(spark, sf)
+    val ev = graft.Tables(spark, sf, "events")
+      .select(unix_micros($"ts"), $"value").as[(Long, Double)].collect()
+    val mid = Math.floorDiv(ev.map(_._1).min + ev.map(_._1).max, 2L)
+    val late = ev.filter(_._1 > mid).map(_._2).toSeq
+    val input = MemoryStream[Double](spark)
+    val q = Streams.ksDriftSink(input.toDF().toDF("value"), ref, dst)
+      .option("checkpointLocation", ckpt).start()
+    input.addData(late); q.processAllAvailable()      // batch 0: the real half
+    input.addData(Seq.fill(2000)(499.99)); q.processAllAvailable() // batch 1
+    q.stop()
+    val rows = spark.read.parquet(dst).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(5)))).toMap
+    val batchRow = graft.operators.Events.ksDrift(spark, sf).collect().head
+    assert(rows(0L)._1 === late.length.toLong)
+    assert(rows(0L)._2 === batchRow.getAs[Long]("d_num"),
+      "stream KS != batch KS on the same halves")
+    assert(rows(0L)._3 === batchRow.getAs[Boolean]("drifted"))
+    // batch 1 proves state: the flood accumulates ON TOP of the real
+    // half and drags the running ECDF far from the reference
+    assert(rows(1L)._1 === late.length.toLong + 2000)
+    assert(rows(1L)._3, "a mass-shifted batch must alarm")
+  }
+
   test("benfordMonitorSink: running chi2 equals the batch audit after " +
        "one batch, state accumulates, and a skewed batch trips the alarm") {
     val dst = java.nio.file.Files.createTempDirectory("bf-out")
