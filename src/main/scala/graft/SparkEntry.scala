@@ -169,6 +169,8 @@ object SparkEntry {
     "q_gini_sources" -> TextOps.giniSources,
     "q_good_turing" -> TextOps.goodTuringMass,
     "q_heaps_law" -> TextOps.heapsLaw,
+    "q_neyman_alloc" -> ((s, dir) => Events.neymanAllocation(s, dir)),
+    "q_burrows_delta" -> ((s, dir) => TextOps.burrowsDelta(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
     "q_token_dispersion" -> ((s, dir) => TextOps.tokenDispersion(s, dir)),
     "q_quality_surprisal_rho" -> TextOps.qualitySurprisalRho,
@@ -2966,6 +2968,57 @@ object SparkEntry {
                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 12.0), 4)
              AS z
          FROM d""",
+    "q_neyman_alloc" ->
+      """WITH b AS (SELECT event_type,
+           CAST(round(value * 10000) AS BIGINT) AS vq FROM events),
+         per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(vq) AS HUGEINT) AS sx,
+             CAST(sum(CAST(vq AS HUGEINT) * vq) AS HUGEINT) AS sxx
+           FROM b GROUP BY 1),
+         sg AS (SELECT event_type, n_h,
+             CAST(round(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)
+               / CAST(n_h * (n_h - 1) AS DOUBLE))) AS BIGINT) AS sigma_q
+           FROM per),
+         w AS (SELECT *, n_h * sigma_q AS w FROM sg),
+         t AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS wt,
+             CAST(10000 * w // CAST(sum(w) OVER () AS BIGINT) AS BIGINT)
+               AS base FROM w),
+         d AS (SELECT *,
+             10000 - CAST(sum(base) OVER () AS BIGINT) AS deficit,
+             CAST(row_number() OVER (ORDER BY (10000 * w) % wt DESC,
+               event_type) AS BIGINT) AS rr FROM t)
+         SELECT event_type, n_h, sigma_q, w,
+           base + (CASE WHEN rr <= deficit THEN 1 ELSE 0 END) AS alloc
+         FROM d ORDER BY event_type""",
+    "q_burrows_delta" ->
+      s"""WITH dt AS (SELECT source, unnest($toks) AS tok FROM documents),
+         sl AS (SELECT source, CAST(count(*) AS BIGINT) AS len_s
+           FROM dt GROUP BY 1),
+         top AS (SELECT tok FROM (SELECT tok,
+             CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY tok
+             ORDER BY c DESC, tok LIMIT 30)),
+         cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st
+           FROM dt JOIN top USING (tok) GROUP BY 1, 2),
+         f AS (SELECT sl.source, top.tok,
+             CAST(coalesce(c_st, 0) * 1000000 // len_s AS BIGINT) AS f_ppm
+           FROM sl CROSS JOIN top
+           LEFT JOIN cnt ON cnt.source = sl.source AND cnt.tok = top.tok),
+         st AS (SELECT tok,
+             CAST(round(sqrt(CAST(m_s * sff - sf * sf AS DOUBLE)
+               / CAST(m_s * (m_s - 1) AS DOUBLE))) AS BIGINT) AS sigma_ppm
+           FROM (SELECT tok, CAST(count(*) AS BIGINT) AS m_s,
+               CAST(sum(f_ppm) AS BIGINT) AS sf,
+               CAST(sum(f_ppm * f_ppm) AS BIGINT) AS sff FROM f
+             GROUP BY tok)),
+         st2 AS (SELECT * FROM st WHERE sigma_ppm > 0),
+         p AS (SELECT a.source AS s1, b.source AS s2, a.tok,
+             CAST(round(abs(a.f_ppm - b.f_ppm)
+               / CAST(sigma_ppm AS DOUBLE) * 1e6) AS BIGINT) AS d_u
+           FROM f a JOIN f b ON a.tok = b.tok AND a.source < b.source
+           JOIN st2 ON st2.tok = a.tok)
+         SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(d_u) // count(*) AS BIGINT) AS delta_u
+         FROM p GROUP BY 1, 2 ORDER BY s1, s2""",
     "q_heaps_law" ->
       s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
          lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len

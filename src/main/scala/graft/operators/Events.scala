@@ -808,6 +808,49 @@ object Events {
         $"crit_bp", ($"d_bp" >= $"crit_bp").as("drifted"))
   }
 
+  /** Neyman optimal sample allocation: split a sampling budget across
+    * event-type strata ∝ N_h·σ_h — the design that minimizes the
+    * variance of the estimated mean under a fixed budget, and the
+    * principled answer to "how many rows of each type should the QA
+    * sample contain" (proportional allocation oversamples big uniform
+    * strata; equal allocation oversamples tiny ones). Per-stratum
+    * variance comes from exact integer moments (n·Σx² − (Σx)² on the
+    * 1e-4 value grid, DECIMAL(38,0) so the subtraction never overflows);
+    * the weight takes ONE fixed-shape sqrt per stratum pre-rounded to
+    * the integer value grid, and the final quotas are Hamilton-
+    * apportioned longs
+    * summing to the budget EXACTLY (the temperature-mix discipline).
+    */
+  def neymanAllocation(s: SparkSession, dir: String,
+                       budget: Long = 10000L): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val per = Tables(s, dir, "events")
+      .select($"event_type", round($"value" * 10000).cast("long").as("vq"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_h"), sum($"vq").cast(dec).as("sx"),
+        sum($"vq".cast(dec) * $"vq").as("sxx"))
+      // sample std of the stratum in 1e-4 value units (already ~1e6 in
+      // grid units, so integer rounding costs < 1e-6 relative error);
+      // the divide runs in DOUBLE on exact integer operands — decimal
+      // division would round at engine-specific scales
+      .withColumn("sigma_q",
+        round(sqrt(($"n_h" * $"sxx" - $"sx" * $"sx").cast("double") /
+          ($"n_h" * ($"n_h" - 1L)).cast("double"))).cast("long"))
+      .withColumn("w", $"n_h" * $"sigma_q")
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val rem = Window.orderBy(expr(s"($budget * w) % wt").desc, $"event_type")
+    per
+      .withColumn("wt", sum($"w").over(all))
+      .withColumn("base", expr(s"$budget * w div wt"))
+      .withColumn("deficit", lit(budget) - sum($"base").over(all))
+      .withColumn("rr", row_number().over(rem).cast("long"))
+      .select($"event_type", $"n_h", $"sigma_q", $"w",
+        ($"base" + when($"rr" <= $"deficit", 1L).otherwise(0L)).as("alloc"))
+      .orderBy($"event_type")
+  }
+
   /** Exact Mann–Whitney U rank-sum test between the early and late
     * halves: the nonparametric location-shift screen (did values get
     * bigger, not just differently shaped — the directional complement

@@ -2959,6 +2959,59 @@ object TextOps {
       .orderBy($"c_t".desc, $"tok")
   }
 
+  /** Burrows' Delta stylometric distance between sources: the standard
+    * authorship-attribution measure applied as a provenance audit — two
+    * "independent" providers with near-zero Delta over the most frequent
+    * tokens are stylistically the same feed (scraped mirrors, shared
+    * generator), which per-source counts and even n-gram overlap miss.
+    * Per source, relative frequencies of the top-m corpus tokens in
+    * parts-per-million (integer floor division); per token, mean and
+    * sample std across sources from exact integer moments (one
+    * fixed-shape sqrt); Delta(s1,s2) = mean over tokens of
+    * |f1 − f2| / σ_t, each term pre-rounded to 1e-6 before the integer
+    * sum so the total is order-free in both engines. The frame is
+    * |sources|²·m — an audit-sized matrix at any corpus size; emitted
+    * as the s1 < s2 upper triangle.
+    */
+  def burrowsDelta(s: SparkSession, dir: String, m: Int = 30): DataFrame = {
+    import s.implicits._
+    val docToks = docsFanned(s, dir)
+      .select($"source", explode(text.tokensLower($"text")).as("tok"))
+      .localCheckpoint() // source lengths + counts + top-m all read it
+    val srcLen = docToks.groupBy($"source").agg(count(lit(1)).as("len_s"))
+    val top = docToks.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok").limit(m).select($"tok")
+    // dense (source × top token) relative-frequency grid in ppm —
+    // missing cells are true zeros, so spine-join before the moments
+    val cnt = docToks.join(broadcast(top), Seq("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c_st"))
+    val f = srcLen.crossJoin(broadcast(top))
+      .join(cnt, Seq("source", "tok"), "left")
+      .select($"source", $"tok",
+        expr("coalesce(c_st, 0) * 1000000 div len_s").as("f_ppm"))
+      .localCheckpoint() // moments + both pair sides read it
+    val stats = f.groupBy($"tok")
+      .agg(count(lit(1)).as("m_s"), sum($"f_ppm").as("sf"),
+        sum($"f_ppm" * $"f_ppm").as("sff"))
+      .select($"tok",
+        round(sqrt(($"m_s" * $"sff" - $"sf" * $"sf").cast("double") /
+          ($"m_s" * ($"m_s" - 1L)).cast("double"))).cast("long")
+          .as("sigma_ppm"))
+      .filter($"sigma_ppm" > 0) // a token used identically everywhere
+                                // carries no stylometric signal
+    val a = f.select($"source".as("s1"), $"tok", $"f_ppm".as("f1"))
+    val b = f.select($"source".as("s2"), $"tok", $"f_ppm".as("f2"))
+    a.join(b, Seq("tok")).filter($"s1" < $"s2")
+      .join(broadcast(stats), Seq("tok"))
+      .withColumn("d_u",
+        round(abs($"f1" - $"f2").cast("double") / $"sigma_ppm" * 1e6)
+          .cast("long"))
+      .groupBy($"s1", $"s2")
+      .agg(count(lit(1)).as("n_terms"),
+        expr("sum(d_u) div count(1)").as("delta_u"))
+      .orderBy($"s1", $"s2")
+  }
+
   /** Heaps'-law vocabulary growth audit: V(N) sampled at ten evenly
     * spaced points of the doc_id-ordered token stream, each point's
     * type-token ratio, and the fitted Heaps exponent β from

@@ -386,6 +386,40 @@ class EventsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("drifted") === (dNum * 10000 / (n1 * n2) >= crit))
   }
 
+  test("neymanAllocation: sigma, weights and Hamilton quotas recount; " +
+       "allocations sum to the budget exactly") {
+    val byType = Tables(spark, sf, "events")
+      .select($"event_type", round($"value" * 10000).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val budget = 10000L
+    val stats = byType.toSeq.sortBy(_._1).map { case (t, vs) =>
+      val n = BigInt(vs.length)
+      val sx = vs.map(BigInt(_)).sum
+      val sxx = vs.map(v => BigInt(v) * BigInt(v)).sum
+      val sigma = math.round(math.sqrt(
+        (n * sxx - sx * sx).toDouble / (n * (n - 1)).toDouble))
+      (t, n.toLong, sigma, n.toLong * sigma)
+    }
+    val wt = stats.map(_._4).sum
+    val bases = stats.map { case (t, _, _, w) => (t, budget * w / wt, (budget * w) % wt) }
+    val deficit = budget - bases.map(_._2).sum
+    val bonus = bases.sortBy { case (t, _, r) => (-r, t) }
+      .take(deficit.toInt).map(_._1).toSet
+    val expected = bases.map { case (t, b, _) =>
+      t -> (b + (if (bonus(t)) 1L else 0L)) }.toMap
+    val rows = Events.neymanAllocation(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum === budget)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val st = stats.find(_._1 == t).get
+      assert(r.getAs[Long]("n_h") === st._2)
+      assert(r.getAs[Long]("sigma_q") === st._3)
+      assert(r.getAs[Long]("w") === st._4)
+      assert(r.getAs[Long]("alloc") === expected(t), s"alloc for $t")
+    }
+  }
+
   test("mannWhitney: U, midranks and tie term equal a sequential recount") {
     val (early, late) = halves()
     val n1 = early.length.toLong

@@ -1639,6 +1639,48 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("burrowsDelta: ppm grid, sigma filter and pair deltas recount") {
+    val docs = Tables(spark, sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+      .map { case (s0, t) =>
+        (s0, t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)) }
+    val lens = docs.groupBy(_._1).view
+      .mapValues(_.map(_._2.length.toLong).sum).toMap
+    val totals = docs.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val top = totals.toSeq.sortBy { case (t, c) => (-c, t) }.take(30).map(_._1)
+    val cnt = docs.flatMap { case (s0, ts) => ts.map(t => (s0, t)) }
+      .filter(p => top.contains(p._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sources = lens.keySet.toSeq.sorted
+    val fppm = (for (s0 <- sources; t <- top) yield
+      (s0, t) -> cnt.getOrElse((s0, t), 0L) * 1000000L / lens(s0)).toMap
+    val sigma = top.flatMap { t =>
+      val fs = sources.map(s0 => fppm((s0, t)))
+      val m = BigInt(fs.length)
+      val sfv = fs.map(BigInt(_)).sum
+      val sff = fs.map(v => BigInt(v) * BigInt(v)).sum
+      val sg = math.round(math.sqrt(
+        (m * sff - sfv * sfv).toDouble / (m * (m - 1)).toDouble))
+      if (sg > 0) Some(t -> sg) else None
+    }.toMap
+    val rows = TextOps.burrowsDelta(spark, sf).collect()
+    val expectedPairs = for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+    } yield (sources(i), sources(j))
+    assert(rows.map(r => (r.getAs[String]("s1"), r.getAs[String]("s2")))
+      .toSet === expectedPairs.toSet)
+    rows.foreach { r =>
+      val (s1, s2) = (r.getAs[String]("s1"), r.getAs[String]("s2"))
+      val ds = sigma.keys.toSeq.map { t =>
+        math.round(math.abs(fppm((s1, t)) - fppm((s2, t))).toDouble
+          / sigma(t) * 1e6)
+      }
+      assert(r.getAs[Long]("n_terms") === sigma.size.toLong)
+      assert(r.getAs[Long]("delta_u") === ds.sum / ds.length)
+    }
+  }
+
   test("heapsLaw: checkpoint vocabulary recounts against a token stream") {
     val docs = Tables(spark, sf, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect()
