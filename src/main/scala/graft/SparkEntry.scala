@@ -171,6 +171,7 @@ object SparkEntry {
     "q_heaps_law" -> TextOps.heapsLaw,
     "q_neyman_alloc" -> ((s, dir) => Events.neymanAllocation(s, dir)),
     "q_burrows_delta" -> ((s, dir) => TextOps.burrowsDelta(s, dir)),
+    "q_coverage_select" -> ((s, dir) => TextOps.coverageSelect(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
     "q_token_dispersion" -> ((s, dir) => TextOps.tokenDispersion(s, dir)),
     "q_quality_surprisal_rho" -> TextOps.qualitySurprisalRho,
@@ -766,6 +767,42 @@ object SparkEntry {
              ORDER BY 7 * cs_u - 3 * ms_u DESC, vec_id) AS rn FROM c$r)
          WHERE rn = 1),
        sel$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$r)"""
+  }
+
+  /** Unrolled greedy max-coverage oracle (6 rounds): each w$r argmaxes
+    * the uncovered-shingle gain, each c$r accumulates the covered set —
+    * the q_mmr_rerank unrolling style applied to submodular selection.
+    */
+  private lazy val coverageSelectSql = {
+    val rounds = (2 to 6).map { r =>
+      val pc = s"c${r - 1}"
+      s"""w$r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM sh
+         WHERE h NOT IN (SELECT h FROM $pc)
+         GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+       c$r AS (SELECT h FROM $pc UNION
+         SELECT h FROM sh JOIN w$r USING (doc_id))"""
+    }.mkString(",\n       ")
+    val unions = (1 to 6).map(r =>
+      s"SELECT CAST($r AS INT) AS round, doc_id, gain FROM w$r")
+      .mkString(" UNION ALL ")
+    s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+           md5(array_to_string(toks[i:i+2], ' ')) AS h
+         FROM (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 2)) AS i
+           FROM docs WHERE len(toks) >= 3)),
+       tot AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS tot FROM sh),
+       w1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM sh
+         GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+       c1 AS (SELECT DISTINCT h FROM sh JOIN w1 USING (doc_id)),
+       $rounds,
+       u AS ($unions),
+       f AS (SELECT round, doc_id, gain,
+           CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS covered_total
+         FROM u)
+       SELECT round, doc_id, gain, covered_total,
+         CAST(covered_total * 10000 // tot AS BIGINT) AS coverage_bp
+       FROM f CROSS JOIN tot ORDER BY round"""
   }
 
   private val mmrRerankSql = {
@@ -2968,6 +3005,7 @@ object SparkEntry {
                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 12.0), 4)
              AS z
          FROM d""",
+    "q_coverage_select" -> coverageSelectSql,
     "q_neyman_alloc" ->
       """WITH b AS (SELECT event_type,
            CAST(round(value * 10000) AS BIGINT) AS vq FROM events),

@@ -2959,6 +2959,50 @@ object TextOps {
       .orderBy($"c_t".desc, $"tok")
   }
 
+  /** Greedy max-coverage corpus selection (the facility-location data
+    * selection baseline): pick k documents that together cover the most
+    * distinct word n-grams — the classic submodular subset-selection
+    * rule whose greedy answer is within (1−1/e) of optimal, used to
+    * seed eval panels and dedup exemplars with maximally diverse text.
+    * Each round is one distributed anti-join + argmax over the
+    * checkpointed doc–shingle frame (covered mass only ever shrinks the
+    * probe side); the driver holds exactly one winner row per round
+    * (the [[bpeMerges]] discipline — k rows total, never the corpus).
+    * Gains are exact distinct-shingle counts, ties break on doc_id, so
+    * the selection is total-ordered and engine-exact.
+    */
+  def coverageSelect(s: SparkSession, dir: String, k: Int = 6,
+                     n: Int = 3): DataFrame = {
+    import s.implicits._
+    val sh = docsFanned(s, dir)
+      .select($"doc_id", text.tokensLower($"text").as("toks"))
+      .select($"doc_id", explode(text.shinglesFromTokens($"toks", n)).as("g"))
+      .select($"doc_id", md5($"g").as("h")).distinct()
+      .localCheckpoint()
+    val tot = sh.select($"h").distinct().count()
+    var covered = Seq.empty[String].toDF("h")
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)]()
+    var coveredCount = 0L
+    var r = 1
+    while (r <= k) {
+      val win = sh.join(covered, Seq("h"), "left_anti")
+        .groupBy($"doc_id").agg(count(lit(1)).as("gain"))
+        .orderBy($"gain".desc, $"doc_id").limit(1).collect()
+      if (win.nonEmpty) {
+        val (wid, gain) = (win(0).getLong(0), win(0).getLong(1))
+        coveredCount += gain
+        picks += ((r, wid, gain, coveredCount, coveredCount * 10000 / tot))
+        covered = covered
+          .union(sh.filter($"doc_id" === wid).select($"h"))
+          .distinct().localCheckpoint()
+      } else r = k // every shingle covered: stop early
+      r += 1
+    }
+    picks.toSeq
+      .toDF("round", "doc_id", "gain", "covered_total", "coverage_bp")
+      .orderBy($"round")
+  }
+
   /** Burrows' Delta stylometric distance between sources: the standard
     * authorship-attribution measure applied as a provenance audit — two
     * "independent" providers with near-zero Delta over the most frequent

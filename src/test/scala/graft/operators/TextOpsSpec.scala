@@ -1639,6 +1639,35 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("coverageSelect: greedy replay matches; gains are nonincreasing") {
+    val docs = Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val ts = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        id -> ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap
+    val covered = scala.collection.mutable.Set[String]()
+    val expected = (1 to 6).map { r =>
+      val (wid, gain) = docs.toSeq
+        .map { case (id, sh) => (id, (sh -- covered).size.toLong) }
+        .maxBy { case (id, g) => (g, -id) }
+      covered ++= docs(wid)
+      (r, wid, gain, covered.size.toLong)
+    }
+    val tot = docs.values.flatten.toSet.size.toLong
+    val rows = TextOps.coverageSelect(spark, sf).collect()
+    rows.zip(expected).foreach { case (row, (r, wid, gain, cum)) =>
+      assert(row.getAs[Int]("round") === r)
+      assert(row.getAs[Long]("doc_id") === wid, s"winner at round $r")
+      assert(row.getAs[Long]("gain") === gain)
+      assert(row.getAs[Long]("covered_total") === cum)
+      assert(row.getAs[Long]("coverage_bp") === cum * 10000 / tot)
+    }
+    // greedy on a submodular objective: marginal gains never increase
+    assert(rows.map(_.getAs[Long]("gain")).sliding(2)
+      .forall(p => p(0) >= p(1)))
+  }
+
   test("burrowsDelta: ppm grid, sigma filter and pair deltas recount") {
     val docs = Tables(spark, sf, "documents")
       .select($"source", $"text").as[(String, String)].collect()
