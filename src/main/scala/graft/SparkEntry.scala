@@ -172,6 +172,7 @@ object SparkEntry {
     "q_neyman_alloc" -> ((s, dir) => Events.neymanAllocation(s, dir)),
     "q_burrows_delta" -> ((s, dir) => TextOps.burrowsDelta(s, dir)),
     "q_coverage_select" -> ((s, dir) => TextOps.coverageSelect(s, dir)),
+    "q_dp_counts" -> ((s, dir) => Relational.dpCounts(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
     "q_token_dispersion" -> ((s, dir) => TextOps.tokenDispersion(s, dir)),
     "q_quality_surprisal_rho" -> TextOps.qualitySurprisalRho,
@@ -3006,6 +3007,23 @@ object SparkEntry {
              AS z
          FROM d""",
     "q_coverage_select" -> coverageSelectSql,
+    "q_dp_counts" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         u AS (SELECT source, n_docs,
+             3 * CAST(concat('0x', substring(md5(concat('dp:', source)),
+               1, 15)) AS BIGINT) AS u3 FROM g),
+         th AS (SELECT CAST(k AS BIGINT) AS k,
+             CASE WHEN k = 30 THEN 9223372036854775807
+               WHEN k < 0 THEN (CAST(1 AS BIGINT) << (61 + k))
+               ELSE 3 * (CAST(1 AS BIGINT) << 60)
+                 - (CAST(1 AS BIGINT) << (60 - k)) END AS t3
+           FROM (SELECT unnest(generate_series(-30, 30)) AS k)),
+         j AS (SELECT source, n_docs, CAST(min(k) AS BIGINT) AS noise
+           FROM u JOIN th ON u3 < t3 GROUP BY 1, 2)
+         SELECT source, n_docs, noise,
+           greatest(n_docs + noise, 0) AS released
+         FROM j ORDER BY source""",
     "q_neyman_alloc" ->
       """WITH b AS (SELECT event_type,
            CAST(round(value * 10000) AS BIGINT) AS vq FROM events),

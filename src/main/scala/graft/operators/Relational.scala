@@ -1091,6 +1091,40 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Differentially-private count release (ε = ln 2 discrete Laplace):
+    * per-source document counts with two-sided geometric noise — the
+    * mechanism a data owner applies before publishing per-provider
+    * statistics whose exact values would leak membership. At α = e^−ε =
+    * 1/2 every probability in the noise distribution is a dyadic
+    * rational, so the inverse-CDF is EXACT integer arithmetic: the
+    * 60-bit md5 uniform u is compared against thresholds
+    * 3·F(k)·2⁶⁰ ∈ {2⁶¹⁺ᵏ (k<0), 3·2⁶⁰ − 2⁶⁰⁻ᵏ (k≥0)} — shift-left
+    * literals both engines compute identically, no float anywhere. The
+    * noise is SEEDED (md5 of the source name): reproducible releases
+    * for pipeline testing; a production release would draw fresh
+    * randomness, which this corpus-audit surface deliberately does not.
+    */
+  def dpCounts(s: SparkSession, dir: String, maxK: Int = 30): DataFrame = {
+    import s.implicits._
+    val thresholds = ((-maxK) to maxK).map { k =>
+      // top bucket absorbs the 2^-maxK tail so every u matches a row
+      val t3 = if (k == maxK) Long.MaxValue
+        else if (k < 0) 1L << (61 + k)
+        else 3L * (1L << 60) - (1L << (60 - k))
+      (k.toLong, t3)
+    }.toDF("k", "t3")
+    Tables(s, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("u3",
+        lit(3L) * conv(substring(md5(concat(lit("dp:"), $"source")), 1, 15),
+          16, 10).cast("long"))
+      .join(broadcast(thresholds), $"u3" < $"t3")
+      .groupBy($"source", $"n_docs").agg(min($"k").as("noise"))
+      .select($"source", $"n_docs", $"noise",
+        greatest($"n_docs" + $"noise", lit(0L)).as("released"))
+      .orderBy($"source")
+  }
+
   /** k-anonymity / l-diversity audit of the customer table before it is
     * shared as training data: group by the quasi-identifier pair
     * (nation, market segment) — the columns an adversary can link from

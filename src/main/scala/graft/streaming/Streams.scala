@@ -145,6 +145,48 @@ object Streams {
     }
   }
 
+  /** CUSUM level-shift monitor: the streaming twin of
+    * `Relational.cusumShift` — a stateful running per-day revenue
+    * histogram (complete-mode aggregation), walked per trigger with the
+    * batch operator's exact prefix-min identity against a FROZEN mean μ
+    * (from the reference window, the psiDriftSink convention — a live μ
+    * would let the drift poison its own baseline). Emits the latest
+    * day's two CUSUM statistics plus how many days have ever alarmed;
+    * a stream that has seen the same days reports the batch numbers
+    * exactly. State is one row per day — calendar-sized, not
+    * throughput-sized.
+    */
+  def cusumMonitorSink(orders: DataFrame, mu: Long, targetDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val slack = mu / 20
+    val h = mu / 4
+    val daily = orders
+      .select(col("day").cast("date").as("day"),
+        round(col("amount") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+    daily.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val days = batch.collect()
+          .map(r => (r.getDate(0).toString, r.getLong(1))).sortBy(_._1)
+        var pHi = 0L; var minPHi = 0L; var pLo = 0L; var maxPLo = 0L
+        var sHi = 0L; var sLo = 0L; var alarmDays = 0L
+        days.foreach { case (_, cents) =>
+          pHi += cents - mu - slack; minPHi = math.min(minPHi, pHi)
+          pLo += cents - mu + slack; maxPLo = math.max(maxPLo, pLo)
+          sHi = pHi - minPHi; sLo = maxPLo - pLo
+          if (sHi >= h || sLo >= h) alarmDays += 1
+        }
+        Seq((batchId, days.length.toLong, sHi, sLo, alarmDays,
+            sHi >= h || sLo >= h))
+          .toDF("batch_id", "n_days", "s_hi", "s_lo", "alarm_days",
+            "alarm_now")
+          .write.mode("append").parquet(targetDir)
+        ()
+      }
+  }
+
   /** Exact-KS drift monitor: the streaming twin of `Events.ksDrift` —
     * a STATEFUL running per-value histogram on the 1e-4 quantization
     * grid (complete-mode aggregation, so the state store carries one

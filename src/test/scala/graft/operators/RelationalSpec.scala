@@ -516,6 +516,37 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("dpCounts: seeded discrete-Laplace noise recounts from the exact " +
+       "inverse CDF; release is clamped nonnegative") {
+    def md5hex60(s0: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    def noiseOf(src: String): Long = {
+      val u3 = 3L * md5hex60("dp:" + src)
+      (-30 to 30).find { k =>
+        val t3 = if (k == 30) Long.MaxValue
+          else if (k < 0) 1L << (61 + k)
+          else 3L * (1L << 60) - (1L << (60 - k))
+        u3 < t3
+      }.get.toLong
+    }
+    val trueCounts = Tables(spark, sf, "documents")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val rows = Relational.dpCounts(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("source")).toSet === trueCounts.keySet)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_docs") === trueCounts(src))
+      assert(r.getAs[Long]("noise") === noiseOf(src), s"noise for $src")
+      assert(r.getAs[Long]("released") ===
+        math.max(trueCounts(src) + noiseOf(src), 0L))
+      assert(math.abs(r.getAs[Long]("noise")) <= 30)
+    }
+  }
+
   test("kAnonymity: class sizes, diversity and risk shares recount exactly") {
     val cust = Tables(spark, sf, "customer")
       .select($"c_nationkey", $"c_mktsegment", $"c_acctbal")

@@ -326,6 +326,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L)._3, "a mass-shifted batch must alarm")
   }
 
+  test("cusumMonitorSink: full history reproduces the batch CUSUM; " +
+       "a revenue flood trips the alarm") {
+    val dst = java.nio.file.Files.createTempDirectory("cu-out").toString + "/cu"
+    val ckpt = java.nio.file.Files.createTempDirectory("cu-ckpt").toString
+    val batchRows = graft.operators.Relational.cusumShift(spark, sf).collect()
+    val mu = batchRows.head.getAs[Long]("mu")
+    val orders = graft.Tables(spark, sf, "orders")
+      .select($"o_orderdate".cast("date").cast("string"), $"o_totalprice")
+      .as[(String, Double)].collect().toSeq
+    val input = MemoryStream[(String, Double)](spark)
+    val q = Streams.cusumMonitorSink(
+        input.toDF().toDF("day", "amount"), mu, dst)
+      .option("checkpointLocation", ckpt).start()
+    input.addData(orders); q.processAllAvailable()  // batch 0: real history
+    val lastDay = java.time.LocalDate.parse(orders.map(_._1).max)
+    val flood = (1 to 3).map(i =>
+      (lastDay.plusDays(i).toString, mu * 3 / 100.0))
+    input.addData(flood); q.processAllAvailable()   // batch 1: level shift
+    q.stop()
+    val rows = spark.read.parquet(dst).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    val lastBatch = batchRows.last
+    assert(rows(0L)._1 === batchRows.length.toLong)
+    assert(rows(0L)._2 === lastBatch.getAs[Long]("s_hi"),
+      "stream s_hi != batch s_hi on the same days")
+    assert(rows(0L)._3 === lastBatch.getAs[Long]("s_lo"))
+    assert(rows(0L)._4 === batchRows.count(r =>
+      r.getAs[Boolean]("alarm_hi") || r.getAs[Boolean]("alarm_lo")).toLong)
+    assert(rows(1L)._1 === batchRows.length.toLong + 3)
+    assert(rows(1L)._5, "a sustained revenue shift must alarm")
+  }
+
   test("ksDriftSink: full late half reproduces the batch KS exactly; " +
        "a shifted batch trips the alarm") {
     val dst = java.nio.file.Files.createTempDirectory("ks-out").toString + "/ks"
