@@ -173,6 +173,7 @@ object SparkEntry {
     "q_burrows_delta" -> ((s, dir) => TextOps.burrowsDelta(s, dir)),
     "q_coverage_select" -> ((s, dir) => TextOps.coverageSelect(s, dir)),
     "q_dp_counts" -> ((s, dir) => Relational.dpCounts(s, dir)),
+    "q_kcenter_seeds" -> ((s, dir) => Similarity.kCenterSeeds(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
     "q_token_dispersion" -> ((s, dir) => TextOps.tokenDispersion(s, dir)),
     "q_quality_surprisal_rho" -> TextOps.qualitySurprisalRho,
@@ -768,6 +769,45 @@ object SparkEntry {
              ORDER BY 7 * cs_u - 3 * ms_u DESC, vec_id) AS rn FROM c$r)
          WHERE rn = 1),
        sel$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$r)"""
+  }
+
+  /** Unrolled Gonzalez k-center oracle (6 rounds): d$r is the per-point
+    * min fixed-point distance to the first r centers, w$r the farthest
+    * point — the coverage-select unrolling style in embedding space.
+    * Distances mirror vectors.l2SqFixed (1e-12 grid per element, BIGINT
+    * sums, order-free).
+    */
+  private lazy val kCenterSql = {
+    def distCte(name: String, centerCte: String): String =
+      s"""$name AS (SELECT e.vec_id,
+         CAST(sum(CAST(round((e.v[i] - cv[i]) * (e.v[i] - cv[i])
+           * 1000000000000.0) AS BIGINT)) AS BIGINT) AS nd
+         FROM e CROSS JOIN $centerCte
+         CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+         GROUP BY e.vec_id)"""
+    val rounds = (2 to 6).map { r =>
+      s"""w$r AS (SELECT vec_id, md FROM d${r - 1}
+         ORDER BY md DESC, vec_id LIMIT 1),
+       c$r AS (SELECT v AS cv FROM e JOIN w$r USING (vec_id)),
+       ${distCte(s"n$r", s"c$r")},
+       d$r AS (SELECT d${r - 1}.vec_id, least(md, nd) AS md
+         FROM d${r - 1} JOIN n$r USING (vec_id))"""
+    }.mkString(",\n       ")
+    val rows = Seq(
+      s"""SELECT CAST(1 AS INT) AS round, CAST(0 AS BIGINT) AS vec_id,
+         CAST(0 AS BIGINT) AS picked_d,
+         (SELECT max(md) FROM d1) AS radius_after""") ++
+      (2 to 6).map(r =>
+        s"""SELECT CAST($r AS INT), w$r.vec_id, w$r.md,
+           (SELECT max(md) FROM d$r) FROM w$r""")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       c1 AS (SELECT v AS cv FROM e WHERE vec_id = 0),
+       ${distCte("n1", "c1")},
+       d1 AS (SELECT vec_id, nd AS md FROM n1),
+       $rounds
+       ${rows.mkString(" UNION ALL ")}
+       ORDER BY round"""
   }
 
   /** Unrolled greedy max-coverage oracle (6 rounds): each w$r argmaxes
@@ -3007,6 +3047,7 @@ object SparkEntry {
              AS z
          FROM d""",
     "q_coverage_select" -> coverageSelectSql,
+    "q_kcenter_seeds" -> kCenterSql,
     "q_dp_counts" ->
       """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
            FROM documents GROUP BY 1),

@@ -1614,4 +1614,48 @@ object Similarity {
         $"margin_bp")
       .orderBy($"x_id", $"y_id")
   }
+
+  /** Greedy k-center seeding (Gonzalez 1985 farthest-point traversal):
+    * k maximally spread vectors, each round picking the point farthest
+    * from the current set — the 2-approximation for the k-center
+    * objective and the standard diversity seeding for kmeans++-style
+    * init, eval panels, and coreset starts (the embedding-space
+    * complement of [[graft.operators.TextOps.coverageSelect]]'s n-gram
+    * coverage greedy). Distances are [[graft.functions.vectors.l2SqFixed]]
+    * integers, so the argmax and the `least` relaxation have no
+    * ulp-tiebreak risk in any engine; each round relaxes the
+    * checkpointed per-point min-distance frame with ONE broadcast
+    * center and sends exactly one winner row to the driver. `picked_d`
+    * is the chosen point's distance at selection time (= the coverage
+    * radius of the previous set); `radius_after` is the k-center
+    * objective after adding it — the spec pins both against the
+    * textbook sequential traversal.
+    */
+  def kCenterSeeds(s: SparkSession, dir: String, k: Int = 6): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir).localCheckpoint()
+    def relaxWith(minD: DataFrame, centerId: Long): DataFrame = {
+      val cv = e.filter($"vec_id" === centerId).select($"v".as("cv"))
+      minD.crossJoin(broadcast(cv))
+        .select($"vec_id", $"v",
+          least($"md", vectors.l2SqFixed($"v", $"cv")).as("md"))
+        .localCheckpoint()
+    }
+    val seed = e.crossJoin(broadcast(
+        e.filter($"vec_id" === 0L).select($"v".as("cv"))))
+      .select($"vec_id", $"v", vectors.l2SqFixed($"v", $"cv").as("md"))
+      .localCheckpoint()
+    var minD = seed
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+    picks += ((1, 0L, 0L, minD.agg(max($"md")).head().getLong(0)))
+    for (r <- 2 to k) {
+      val win = minD.select($"vec_id", $"md")
+        .orderBy($"md".desc, $"vec_id").limit(1).collect()(0)
+      val (wid, wd) = (win.getLong(0), win.getLong(1))
+      minD = relaxWith(minD, wid)
+      picks += ((r, wid, wd, minD.agg(max($"md")).head().getLong(0)))
+    }
+    picks.toSeq.toDF("round", "vec_id", "picked_d", "radius_after")
+      .orderBy($"round")
+  }
 }

@@ -756,4 +756,35 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(demoted, "margin criterion never disagreed with raw cosine")
   }
+
+  test("kCenterSeeds: sequential Gonzalez replay matches; the coverage " +
+       "radius never increases") {
+    val vecs = Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def d(a: Array[Double], b: Array[Double]): Long =
+      a.indices.map(i =>
+        math.round((a(i) - b(i)) * (a(i) - b(i)) * 1e12)).sum
+    val ids = vecs.keys.toSeq.sorted
+    val md = scala.collection.mutable.Map(
+      ids.map(id => id -> d(vecs(id), vecs(0L))): _*)
+    val expected = scala.collection.mutable.ArrayBuffer(
+      (1, 0L, 0L, md.values.max))
+    for (r <- 2 to 6) {
+      val wid = ids.maxBy(id => (md(id), -id))
+      val wd = md(wid)
+      ids.foreach(id => md(id) = math.min(md(id), d(vecs(id), vecs(wid))))
+      expected += ((r, wid, wd, md.values.max))
+    }
+    val rows = Similarity.kCenterSeeds(spark, sf).collect()
+    rows.zip(expected).foreach { case (row, (r, wid, wd, rad)) =>
+      assert(row.getAs[Int]("round") === r)
+      assert(row.getAs[Long]("vec_id") === wid, s"winner at round $r")
+      assert(row.getAs[Long]("picked_d") === wd)
+      assert(row.getAs[Long]("radius_after") === rad)
+    }
+    // the k-center objective is monotone under added centers
+    assert(rows.map(_.getAs[Long]("radius_after")).sliding(2)
+      .forall(p => p(0) >= p(1)))
+  }
 }
