@@ -174,6 +174,7 @@ object SparkEntry {
     "q_coverage_select" -> ((s, dir) => TextOps.coverageSelect(s, dir)),
     "q_dp_counts" -> ((s, dir) => Relational.dpCounts(s, dir)),
     "q_kcenter_seeds" -> ((s, dir) => Similarity.kCenterSeeds(s, dir)),
+    "q_poisson_bootstrap" -> ((s, dir) => Events.poissonBootstrap(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
     "q_token_dispersion" -> ((s, dir) => TextOps.tokenDispersion(s, dir)),
     "q_quality_surprisal_rho" -> TextOps.qualitySurprisalRho,
@@ -3048,6 +3049,40 @@ object SparkEntry {
          FROM d""",
     "q_coverage_select" -> coverageSelectSql,
     "q_kcenter_seeds" -> kCenterSql,
+    "q_poisson_bootstrap" -> {
+      // thresholds computed ONCE driver-side (Events.poissonThresholds)
+      // and injected as identical literals into both engines
+      val caseChain = operators.Events.poissonThresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+      s"""WITH base AS (SELECT event_type, event_id,
+           CAST(round(value * 10000) AS BIGINT) AS vq FROM events),
+         reps AS (SELECT event_type, event_id, vq, rep
+           FROM base CROSS JOIN
+             (SELECT unnest(generate_series(1, 20)) AS rep)),
+         uu AS (SELECT event_type, rep, vq,
+             CAST(concat('0x', substring(md5(concat('boot:',
+               CAST(event_id AS VARCHAR), ':', CAST(rep AS VARCHAR))),
+               1, 15)) AS BIGINT) AS u FROM reps),
+         w AS (SELECT event_type, rep, vq,
+             CAST(CASE $caseChain ELSE 8 END AS BIGINT) AS w FROM uu),
+         rm AS (SELECT event_type, rep,
+             CAST(sum(w * vq) // sum(w) AS BIGINT) AS mean_q
+           FROM w GROUP BY 1, 2),
+         rk AS (SELECT event_type, mean_q, row_number() OVER (
+             PARTITION BY event_type ORDER BY mean_q, rep) AS rk FROM rm),
+         ci AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_reps,
+             CAST(max(CASE WHEN rk = 2 THEN mean_q END) AS BIGINT)
+               AS ci_lo_q,
+             CAST(max(CASE WHEN rk = 19 THEN mean_q END) AS BIGINT)
+               AS ci_hi_q
+           FROM rk GROUP BY 1),
+         pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vq) // count(*) AS BIGINT) AS mean_q
+           FROM base GROUP BY 1)
+         SELECT event_type, n, mean_q, n_reps, ci_lo_q, ci_hi_q,
+           ci_hi_q - ci_lo_q AS ci_width_q
+         FROM ci JOIN pt USING (event_type) ORDER BY event_type"""
+    },
     "q_dp_counts" ->
       """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
            FROM documents GROUP BY 1),

@@ -808,6 +808,69 @@ object Events {
         $"crit_bp", ($"d_bp" >= $"crit_bp").as("drifted"))
   }
 
+  /** Cumulative Poisson(1) inverse-CDF thresholds on the 2⁶⁰ grid:
+    * t_k = round(F(k)·2⁶⁰) for k = 0..7 — driver-computed ONCE and
+    * injected as identical literals into both the Spark expression and
+    * the oracle SQL (the ewmaAnomalies driver-literal discipline), so
+    * the two engines never each evaluate e⁻¹ themselves.
+    */
+  private[graft] lazy val poissonThresholds: Seq[Long] = {
+    var fact = 1.0
+    var cum = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      cum += math.exp(-1.0) / fact
+      math.round(cum * (1L << 60).toDouble)
+    }
+  }
+
+  /** Poisson-bootstrap confidence interval for the mean event value per
+    * type — the resampling scheme that works on a stream/shard without
+    * knowing n up front (Chamandy et al., Google 2012): replicate r
+    * gives each row weight w ~ Poisson(1), seeded by md5(event, r) so
+    * the resample is reproducible and engine-portable. The weight is a
+    * scan-speed CASE chain over [[poissonThresholds]] (no join, no
+    * shuffle beyond the per-(type, replicate) rollup, map-side
+    * combined); replicate means are integer floor divisions on the
+    * 1e-4 value grid, and the 90% interval is the nearest-rank 2nd/19th
+    * order statistic of the 20 replicate means — all exact longs.
+    */
+  def poissonBootstrap(s: SparkSession, dir: String, b: Int = 20): DataFrame = {
+    import s.implicits._
+    val th = poissonThresholds
+    val base = Tables(s, dir, "events")
+      .select($"event_type", $"event_id",
+        round($"value" * 10000).cast("long").as("vq"))
+    def weight(u: Column): Column =
+      th.zipWithIndex.foldRight(lit(8L)) { case ((t, k), acc) =>
+        when(u < t, k.toLong).otherwise(acc)
+      }
+    val reps = base
+      .select($"event_type", $"event_id", $"vq",
+        explode(sequence(lit(1), lit(b))).as("rep"))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("boot:"), $"event_id", lit(":"),
+          $"rep")), 1, 15), 16, 10).cast("long"))
+      .withColumn("w", weight($"u"))
+      .groupBy($"event_type", $"rep")
+      .agg(sum($"w" * $"vq").as("swx"), sum($"w").as("sw"))
+      .select($"event_type", $"rep", expr("swx div sw").as("mean_q"))
+    val byType = Window.partitionBy($"event_type")
+      .orderBy($"mean_q", $"rep")
+    val point = base.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), expr("sum(vq) div count(1)").as("mean_q"))
+    reps
+      .withColumn("rk", row_number().over(byType))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_reps"),
+        max(when($"rk" === 2, $"mean_q")).as("ci_lo_q"),
+        max(when($"rk" === b - 1, $"mean_q")).as("ci_hi_q"))
+      .join(point, Seq("event_type"))
+      .select($"event_type", $"n", $"mean_q", $"n_reps",
+        $"ci_lo_q", $"ci_hi_q", ($"ci_hi_q" - $"ci_lo_q").as("ci_width_q"))
+      .orderBy($"event_type")
+  }
+
   /** Neyman optimal sample allocation: split a sampling budget across
     * event-type strata ∝ N_h·σ_h — the design that minimizes the
     * variance of the estimated mean under a fixed budget, and the

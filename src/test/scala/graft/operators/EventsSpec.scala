@@ -386,6 +386,47 @@ class EventsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("drifted") === (dNum * 10000 / (n1 * n2) >= crit))
   }
 
+  test("poissonBootstrap: seeded weights and replicate means replay " +
+       "exactly; the interval brackets the point estimate") {
+    def md5hex60(s0: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val th = Events.poissonThresholds
+    def weight(u: Long): Long =
+      th.zipWithIndex.find { case (t, _) => u < t }
+        .map(_._2.toLong).getOrElse(8L)
+    val rows0 = Tables(spark, sf, "events")
+      .select($"event_type", $"event_id", round($"value" * 10000).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows0.groupBy(_._1).map { case (t, evs) =>
+      val means = (1 to 20).map { rep =>
+        var swx = 0L; var sw = 0L
+        evs.foreach { case (_, id, vq) =>
+          val w = weight(md5hex60(s"boot:$id:$rep"))
+          swx += w * vq; sw += w
+        }
+        (swx / sw, rep)
+      }.sortBy(identity)
+      val point = evs.map(_._3).sum / evs.length
+      t -> (evs.length.toLong, point, means(1)._1, means(18)._1)
+    }
+    val got = Events.poissonBootstrap(spark, sf).collect()
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (n, point, lo, hi) = expected(t)
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("mean_q") === point)
+      assert(r.getAs[Long]("n_reps") === 20L)
+      assert(r.getAs[Long]("ci_lo_q") === lo, s"ci_lo for $t")
+      assert(r.getAs[Long]("ci_hi_q") === hi, s"ci_hi for $t")
+      assert(lo <= point && point <= hi,
+        s"interval must bracket the point estimate for $t")
+    }
+  }
+
   test("neymanAllocation: sigma, weights and Hamilton quotas recount; " +
        "allocations sum to the budget exactly") {
     val byType = Tables(spark, sf, "events")
