@@ -175,6 +175,8 @@ object SparkEntry {
     "q_dp_counts" -> ((s, dir) => Relational.dpCounts(s, dir)),
     "q_kcenter_seeds" -> ((s, dir) => Similarity.kCenterSeeds(s, dir)),
     "q_poisson_bootstrap" -> ((s, dir) => Events.poissonBootstrap(s, dir)),
+    "q_emd_drift" -> Events.emdDrift,
+    "q_shard_balance" -> ((s, dir) => TextOps.shardBalance(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
     "q_token_dispersion" -> ((s, dir) => TextOps.tokenDispersion(s, dir)),
     "q_quality_surprisal_rho" -> TextOps.qualitySurprisalRho,
@@ -2991,6 +2993,49 @@ object SparkEntry {
          SELECT bin, ref_n, cur_n, p_ref_bp, p_cur_bp, lnr_u,
            CAST((p_ref_bp - p_cur_bp) * lnr_u AS BIGINT) AS contrib
          FROM sc ORDER BY bin""",
+    "q_emd_drift" ->
+      """WITH b AS (SELECT epoch_us(ts) AS us,
+           CAST(round(value * 10000) AS BIGINT) AS vq FROM events),
+         m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM b),
+         h AS (SELECT vq, us <= mid AS early FROM b CROSS JOIN m),
+         c AS (SELECT vq,
+             CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           FROM h GROUP BY vq),
+         f AS (SELECT vq,
+             CAST(sum(c1) OVER (ORDER BY vq ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+             CAST(sum(c2) OVER (ORDER BY vq ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS f2,
+             lead(vq) OVER (ORDER BY vq) - vq AS dv
+           FROM c),
+         t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+         g AS (SELECT CAST(max(n1) AS BIGINT) AS n_early,
+             CAST(max(n2) AS BIGINT) AS n_late,
+             CAST(sum(CAST(abs(f1 * n2 - f2 * n1) AS HUGEINT) * dv)
+               AS HUGEINT) AS w1h
+           FROM f CROSS JOIN t WHERE dv IS NOT NULL)
+         SELECT n_early, n_late,
+           CAST(w1h AS DECIMAL(38,0)) AS w1_num,
+           CAST(w1h * 100 // (n_early * n_late) AS BIGINT) AS w1_micro
+         FROM g""",
+    "q_shard_balance" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS tk
+           FROM documents),
+         r AS (SELECT doc_id, tk,
+             row_number() OVER (ORDER BY tk DESC, doc_id) AS rk FROM d),
+         a AS (SELECT CAST((rk - 1) % 8 AS INT) AS shard, tk FROM r),
+         g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tk) AS BIGINT) AS tokens FROM a GROUP BY 1),
+         w AS (SELECT *, CAST(sum(tokens) OVER () AS BIGINT) AS tot FROM g),
+         i AS (SELECT *, tot // 8 AS ideal FROM w),
+         dv AS (SELECT *, abs(tokens - ideal) * 10000 // ideal AS dev_bp
+           FROM i)
+         SELECT shard, n_docs, tokens, ideal,
+           CAST(dev_bp AS BIGINT) AS dev_bp,
+           CAST(max(dev_bp) OVER () AS BIGINT) AS max_dev_bp
+         FROM dv ORDER BY shard""",
     "q_ks_drift" ->
       """WITH b AS (SELECT epoch_us(ts) AS us,
            CAST(round(value * 10000) AS BIGINT) AS vq FROM events),

@@ -914,6 +914,43 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Exact 1-D Wasserstein-1 (earth-mover) drift between the early and
+    * late halves: W₁ = ∫|F₁ − F₂| dv — the magnitude-sensitive
+    * complement of [[ksDrift]]'s sup statistic (KS says the
+    * distributions differ; W₁ says by how much value has to MOVE, in
+    * the value's own units, which is the number a cost model can
+    * consume). In one dimension the integral is exact: between
+    * consecutive distinct grid values the ECDF gap is constant, so
+    * W₁·n₁·n₂ = Σ_t |c₁ᵗn₂ − c₂ᵗn₁|·(v_{t+1} − v_t) is a pure integer
+    * sum over the same distinct-value rollup the KS test walks; one
+    * display division at the end (micro value units, floor). No bins,
+    * no floats, no approximation.
+    */
+  def emdDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = valueHalves(s, dir)
+      .groupBy($"vq")
+      .agg(sum(when($"early", 1L).otherwise(0L)).as("c1"),
+        sum(when(!$"early", 1L).otherwise(0L)).as("c2"))
+    val ord = Window.orderBy($"vq")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .select($"vq", sum($"c1").over(cum).as("f1"),
+        sum($"c2").over(cum).as("f2"),
+        (lead($"vq", 1).over(ord) - $"vq").as("dv"))
+      .filter($"dv".isNotNull) // the last grid point closes the integral
+      .crossJoin(broadcast(cells.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))))
+      // the per-gap product can reach n1*n2*range ~ 1e19+: accumulate in
+      // DECIMAL(38,0) (HUGEINT on the oracle side) past long range
+      .agg(max($"n1").as("n_early"), max($"n2").as("n_late"),
+        sum(abs($"f1" * $"n2" - $"f2" * $"n1").cast("decimal(38,0)")
+          * $"dv").cast("decimal(38,0)").as("w1_num"))
+      // W1 in micro value units: vq is 1e-4 value units, so scale by
+      // 1e6/1e4 = 100 before the exact n1*n2 normalization
+      .select($"n_early", $"n_late", $"w1_num",
+        expr("w1_num * 100 div (n_early * n_late)").as("w1_micro"))
+  }
+
   /** Exact Mann–Whitney U rank-sum test between the early and late
     * halves: the nonparametric location-shift screen (did values get
     * bigger, not just differently shaped — the directional complement

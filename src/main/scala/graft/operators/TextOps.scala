@@ -2959,6 +2959,41 @@ object TextOps {
       .orderBy($"c_t".desc, $"tok")
   }
 
+  /** Striped shard-balance audit: assign documents to training shards
+    * by token-count rank modulo the shard count (sort-descending
+    * striping — the stateless approximation of LPT bin packing that a
+    * distributed writer can actually execute, since true LPT is
+    * sequential in the number of documents), then report how balanced
+    * the shards came out: per-shard doc and token totals, deviation
+    * from the ideal equal split in basis points, and the max deviation
+    * repeated (the export-planning number — a shard 10% over ideal is
+    * the straggler of every epoch). Ranks ride
+    * [[Relational.globalRowNumber]]'s range-partitioned two-pass, so
+    * the audit holds at any corpus size; striping guarantees shard
+    * token totals within max-doc-tokens of each other ONLY under sorted
+    * order, which is exactly what the spec pins.
+    */
+  def shardBalance(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    import s.implicits._
+    val docs = docsFanned(s, dir)
+      .select($"doc_id", size(text.tokensLower($"text")).cast("long").as("tk"))
+    val ranked = Relational.globalRowNumber(docs, Seq($"tk".desc, $"doc_id"))
+      .withColumn("shard", (($"rk" - 1L) % nShards).cast("int"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    ranked
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"tk").as("tokens"))
+      .withColumn("tot", sum($"tokens").over(all))
+      .withColumn("ideal", expr(s"tot div $nShards"))
+      .withColumn("dev_bp",
+        expr("abs(tokens - ideal) * 10000 div ideal"))
+      .withColumn("max_dev_bp", max($"dev_bp").over(all))
+      .select($"shard", $"n_docs", $"tokens", $"ideal", $"dev_bp",
+        $"max_dev_bp")
+      .orderBy($"shard")
+  }
+
   /** Greedy max-coverage corpus selection (the facility-location data
     * selection baseline): pick k documents that together cover the most
     * distinct word n-grams — the classic submodular subset-selection

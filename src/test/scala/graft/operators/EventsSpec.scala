@@ -461,6 +461,26 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("emdDrift: exact 1-D Wasserstein recounts from the ECDF integral") {
+    val (early, late) = halves()
+    val n1 = early.length.toLong
+    val n2 = late.length.toLong
+    val points = (early ++ late).distinct.sorted
+    var w1 = BigInt(0)
+    points.sliding(2).foreach {
+      case Array(v, next) =>
+        val gap = math.abs(early.count(_ <= v) * n2 - late.count(_ <= v) * n1)
+        w1 += BigInt(gap) * BigInt(next - v)
+      case _ =>
+    }
+    val row = Events.emdDrift(spark, sf).collect().head
+    assert(row.getAs[Long]("n_early") === n1)
+    assert(row.getAs[Long]("n_late") === n2)
+    assert(BigInt(row.getAs[java.math.BigDecimal]("w1_num")
+      .toBigInteger) === w1)
+    assert(row.getAs[Long]("w1_micro") === (w1 * 100 / (n1 * n2)).toLong)
+  }
+
   test("mannWhitney: U, midranks and tie term equal a sequential recount") {
     val (early, late) = halves()
     val n1 = early.length.toLong

@@ -1639,6 +1639,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("shardBalance: striped assignment recounts; spread bounded by " +
+       "the largest document") {
+    val docs = Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        (id, t.trim.toLowerCase.split("\\s+").count(_.nonEmpty).toLong) }
+      .sortBy { case (id, tk) => (-tk, id) }
+    val byShard = docs.zipWithIndex.groupBy(_._2 % 8).view
+      .mapValues { g => (g.length.toLong, g.map(_._1._2).sum) }.toMap
+    val tot = docs.map(_._2).sum
+    val ideal = tot / 8
+    val rows = TextOps.shardBalance(spark, sf).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val (nd, tk) = byShard(r.getAs[Int]("shard"))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("tokens") === tk)
+      assert(r.getAs[Long]("ideal") === ideal)
+      assert(r.getAs[Long]("dev_bp") === math.abs(tk - ideal) * 10000 / ideal)
+    }
+    // descending striping keeps shard totals within one max-doc of
+    // each other — the property that makes it a usable LPT stand-in
+    val toks = rows.map(_.getAs[Long]("tokens"))
+    assert(toks.max - toks.min <= docs.map(_._2).max)
+  }
+
   test("coverageSelect: greedy replay matches; gains are nonincreasing") {
     val docs = Tables(spark, sf, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect()
