@@ -177,6 +177,9 @@ object SparkEntry {
     "q_poisson_bootstrap" -> ((s, dir) => Events.poissonBootstrap(s, dir)),
     "q_emd_drift" -> Events.emdDrift,
     "q_shard_balance" -> ((s, dir) => TextOps.shardBalance(s, dir)),
+    "q_entropy_rate" -> TextOps.entropyRate,
+    "q_key_terms" -> ((s, dir) => TextOps.keyTerms(s, dir)),
+    "q_assortativity" -> ((s, dir) => Dedup.degreeAssortativity(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
     "q_token_dispersion" -> ((s, dir) => TextOps.tokenDispersion(s, dir)),
     "q_quality_surprisal_rho" -> TextOps.qualitySurprisalRho,
@@ -2993,6 +2996,88 @@ object SparkEntry {
          SELECT bin, ref_n, cur_n, p_ref_bp, p_cur_bp, lnr_u,
            CAST((p_ref_bp - p_cur_bp) * lnr_u AS BIGINT) AS contrib
          FROM sc ORDER BY bin""",
+    "q_entropy_rate" ->
+      s"""WITH docs AS (SELECT lang, $toks AS toks FROM documents),
+         uni AS (SELECT lang, unnest(toks) AS w FROM docs),
+         uc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+           FROM uni GROUP BY 1, 2),
+         n1 AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM uc
+           GROUP BY 1),
+         h1 AS (SELECT lang, CAST(max(n) AS BIGINT) AS n_tokens,
+             CAST((-sum(c * CAST(round(ln(CAST(c AS DOUBLE)
+               / CAST(n AS DOUBLE)) * 1e6) AS BIGINT))) // max(n)
+               AS BIGINT) AS h1_u
+           FROM uc JOIN n1 USING (lang) GROUP BY lang),
+         bg AS (SELECT lang, unnest(list_transform(
+             generate_series(1, len(toks) - 1),
+             i -> array_to_string(toks[i:i+1], ' '))) AS g
+           FROM docs WHERE len(toks) >= 2),
+         bc AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS c
+           FROM bg GROUP BY 1, 2),
+         bca AS (SELECT *, split_part(g, ' ', 1) AS a FROM bc),
+         ctx AS (SELECT lang, a, CAST(sum(c) AS BIGINT) AS ca
+           FROM bca GROUP BY 1, 2),
+         hc AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST((-sum(c * CAST(round(ln(CAST(c AS DOUBLE)
+               / CAST(ca AS DOUBLE)) * 1e6) AS BIGINT))) // sum(c)
+               AS BIGINT) AS hcond_u
+           FROM bca JOIN ctx USING (lang, a) GROUP BY lang)
+         SELECT lang, n_tokens, h1_u, n_bigrams, hcond_u,
+           CAST(greatest(h1_u - hcond_u, 0) * 10000 // h1_u AS BIGINT)
+             AS gain_bp
+         FROM h1 JOIN hc USING (lang) ORDER BY lang""",
+    "q_key_terms" ->
+      s"""WITH dt AS (SELECT source, unnest($toks) AS tok FROM documents),
+         cells AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS y
+           FROM dt GROUP BY 1, 2),
+         tw AS (SELECT tok, CAST(sum(y) AS BIGINT) AS yt FROM cells
+           GROUP BY 1 HAVING sum(y) >= 5),
+         nsrc AS (SELECT source, CAST(sum(y) AS BIGINT) AS ns FROM cells
+           GROUP BY 1),
+         nall AS (SELECT CAST(sum(y) AS BIGINT) AS nt FROM cells),
+         sc AS (SELECT source, tok, y, yt - y AS yr, ns, nt - ns AS nr
+           FROM cells JOIN tw USING (tok) JOIN nsrc USING (source)
+           CROSS JOIN nall),
+         z AS (SELECT source, tok, y,
+             CAST(round((ln(CAST(2 * y + 1 AS DOUBLE)
+                 / CAST(2 * (ns - y) + 1 AS DOUBLE))
+               - ln(CAST(2 * yr + 1 AS DOUBLE)
+                 / CAST(2 * (nr - yr) + 1 AS DOUBLE))) * 1e6) AS BIGINT)
+               AS delta_u,
+             CAST(2000000000000 // (2 * y + 1)
+               + 2000000000000 // (2 * (ns - y) + 1)
+               + 2000000000000 // (2 * yr + 1)
+               + 2000000000000 // (2 * (nr - yr) + 1) AS BIGINT) AS s2_u
+           FROM sc),
+         zz AS (SELECT *, CAST(round(delta_u / sqrt(CAST(s2_u AS DOUBLE))
+             * 1e4) AS BIGINT) AS z_u4 FROM z),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY z_u4 DESC, tok) AS rank FROM zz)
+         SELECT source, CAST(rank AS INT) AS rank, tok, y, delta_u, z_u4
+         FROM rk WHERE rank <= 5 ORDER BY source, rank""",
+    "q_assortativity" ->
+      s"""WITH lsh AS ($minhashPairsCore),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh
+           UNION ALL SELECT doc_b, doc_a FROM lsh),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges
+           GROUP BY 1),
+         j AS (SELECT da.d AS dx, db.d AS dy FROM edges e
+           JOIN deg da ON da.src = e.src JOIN deg db ON db.src = e.dst),
+         m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(dx) AS HUGEINT) AS sx,
+             CAST(sum(dy) AS HUGEINT) AS sy,
+             CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy
+           FROM j),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+         SELECT CAST(n AS BIGINT) AS n_edges, n_nodes,
+           CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+             AS assortativity
+         FROM m CROSS JOIN nn""",
     "q_emd_drift" ->
       """WITH b AS (SELECT epoch_us(ts) AS us,
            CAST(round(value * 10000) AS BIGINT) AS vq FROM events),

@@ -475,6 +475,46 @@ object Dedup {
   def nearDupPageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame =
     nearDupPageRank(s, dir, minhashLshPairs(s, dir), iters)
 
+  /** Degree assortativity of the near-dup candidate graph: the Pearson
+    * correlation of endpoint degrees over directed edges — positive
+    * means heavy near-dup documents cluster with each other (one
+    * boilerplate family begetting a dense core, the structure that makes
+    * CC contraction and pair verification expensive), negative means
+    * hubs link to leaves (template + many one-off copies). A single
+    * scalar that predicts which dedup strategy the corpus needs before
+    * any clustering runs. Exact integer moment sums in DECIMAL(38,0)
+    * (the cupedAdjust discipline), one fixed-shape final quotient.
+    */
+  def degreeAssortativity(s: SparkSession, dir: String): DataFrame =
+    degreeAssortativity(minhashLshPairs(s, dir))
+
+  def degreeAssortativity(pairFrame: DataFrame): DataFrame = {
+    val s = pairFrame.sparkSession
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val pairs = pairFrame.select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst").localCheckpoint()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    val nNodes = deg.count()
+    edges
+      .join(deg.select($"src", $"d".as("dx")), "src")
+      .join(deg.select($"src".as("dst"), $"d".as("dy")), "dst")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum($"dx").cast(dec).as("sx"), sum($"dy").cast(dec).as("sy"),
+        sum($"dx".cast(dec) * $"dy").as("sxy"),
+        sum($"dx".cast(dec) * $"dx").as("sxx"),
+        sum($"dy".cast(dec) * $"dy").as("syy"))
+      .select($"n".cast("long").as("n_edges"),
+        lit(nNodes).as("n_nodes"),
+        ($"n" * $"sxy" - $"sx" * $"sy").cast(dec).as("cov_num"),
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+            sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))), 4)
+          .as("assortativity"))
+  }
+
   /** PageRank over a precomputed candidate pair frame (doc_a, doc_b) —
     * normally [[sharedLshPairs]].
     */

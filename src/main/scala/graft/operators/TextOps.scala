@@ -2959,6 +2959,100 @@ object TextOps {
       .orderBy($"c_t".desc, $"tok")
   }
 
+  /** Entropy rate of the token stream per language: unigram entropy H₁
+    * and the conditional (bigram) entropy H(w|prev) — the predictability
+    * gap between them is how much one token of context buys, the
+    * corpus-level compressibility signal that separates natural
+    * language (large gap) from shuffled or templated token soup (tiny
+    * gap). The [[sourceLangMi]] fixed-point discipline: one 1e-6 ln per
+    * DISTINCT cell (vocab-sized, never per token), exact integer
+    * contribution sums weighted by cell count, floor division on the
+    * negated (provably nonnegative) total.
+    */
+  def entropyRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docsFanned(s, dir)
+      .select($"lang", text.tokensLower($"text").as("toks"))
+      .localCheckpoint() // unigram + bigram passes read it
+    val uni = toks.select($"lang", explode($"toks").as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+    val n1 = uni.groupBy($"lang").agg(sum($"c").as("n"))
+    val h1 = uni.join(broadcast(n1), "lang")
+      .withColumn("lnu",
+        round(log($"c".cast("double") / $"n".cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy($"lang")
+      .agg(max($"n").as("n_tokens"),
+        expr("(-sum(c * lnu)) div max(n)").as("h1_u"))
+    val bi = toks
+      .select($"lang", explode(text.shinglesFromTokens($"toks", 2)).as("g"))
+      .groupBy($"lang", $"g").agg(count(lit(1)).as("c"))
+      .withColumn("a", split($"g", " ").getItem(0))
+    val ctx = bi.groupBy($"lang", $"a").agg(sum($"c").as("ca"))
+    val hc = bi.join(ctx, Seq("lang", "a"))
+      .withColumn("lnu",
+        round(log($"c".cast("double") / $"ca".cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy($"lang")
+      .agg(sum($"c").as("n_bigrams"),
+        expr("(-sum(c * lnu)) div sum(c)").as("hcond_u"))
+    // gain clamped at 0: H(w|prev) <= H1 mathematically, but 1e-6
+    // rounding could nudge a degenerate language below zero, where
+    // Spark div (trunc) and SQL // (floor) disagree
+    h1.join(hc, "lang")
+      .select($"lang", $"n_tokens", $"h1_u", $"n_bigrams", $"hcond_u",
+        expr("greatest(h1_u - hcond_u, 0) * 10000 div h1_u").as("gain_bp"))
+      .orderBy($"lang")
+  }
+
+  /** Characteristic terms per source by smoothed log-odds z-score
+    * (Monroe, Colaresi & Quinn 2008's "fightin' words" with the
+    * uninformative +1/2 prior): for each source, the tokens whose usage
+    * odds most exceed the rest of the corpus, normalized by the
+    * log-odds variance so rare-but-striking and common-but-mild terms
+    * compete fairly — the provenance fingerprint TF-IDF approximates
+    * and raw frequency misses entirely. Haldane's +1/2 becomes
+    * integer-exact by doubling every count (ln((2y+1)/(2(n−y)+1))), the
+    * variance terms are floor divisions 2·10¹²/(2y+1), and the z-score
+    * is ONE fixed-shape quotient pre-rounded to 1e-4 before the ranked
+    * top-5 per source. Only present (source, token) cells can rank, so
+    * no spine join is needed.
+    */
+  def keyTerms(s: SparkSession, dir: String, minFreq: Long = 5,
+               topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val cells = docsFanned(s, dir)
+      .select($"source", explode(text.tokensLower($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("y"))
+      .localCheckpoint() // totals + marginals + cells all read it
+    val totW = cells.groupBy($"tok").agg(sum($"y").as("yt"))
+      .filter($"yt" >= minFreq)
+    val nS = cells.groupBy($"source").agg(sum($"y").as("ns"))
+    val nAll = cells.agg(sum($"y").as("nt"))
+    val bysrc = Window.partitionBy($"source").orderBy($"z_u4".desc, $"tok")
+    cells.join(broadcast(totW), "tok").join(broadcast(nS), "source")
+      .crossJoin(broadcast(nAll))
+      .withColumn("yr", $"yt" - $"y")
+      .withColumn("nr", $"nt" - $"ns")
+      .withColumn("delta_u",
+        round((log((lit(2L) * $"y" + 1L).cast("double") /
+            (lit(2L) * ($"ns" - $"y") + 1L).cast("double")) -
+          log((lit(2L) * $"yr" + 1L).cast("double") /
+            (lit(2L) * ($"nr" - $"yr") + 1L).cast("double"))) * 1e6)
+          .cast("long"))
+      .withColumn("s2_u",
+        expr("2000000000000 div (2 * y + 1)" +
+          " + 2000000000000 div (2 * (ns - y) + 1)" +
+          " + 2000000000000 div (2 * yr + 1)" +
+          " + 2000000000000 div (2 * (nr - yr) + 1)"))
+      .withColumn("z_u4",
+        round($"delta_u" / sqrt($"s2_u".cast("double")) * 1e4).cast("long"))
+      .withColumn("rank", row_number().over(bysrc))
+      .filter($"rank" <= topK)
+      .select($"source", $"rank", $"tok", $"y", $"delta_u", $"z_u4")
+      .orderBy($"source", $"rank")
+  }
+
   /** Striped shard-balance audit: assign documents to training shards
     * by token-count rank modulo the shard count (sort-descending
     * striping — the stateless approximation of LPT bin packing that a

@@ -561,4 +561,31 @@ class DedupSpec extends SparkSpec {
         s"node $v layer gap")
     }
   }
+
+  test("degreeAssortativity: moments recount from the candidate edges; " +
+       "r stays in [-1, 1]") {
+    val pairs = Dedup.minhashLshPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs ++ pairs.map(p => (p._2, p._1))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = BigInt(edges.length)
+    val dx = edges.map(e => BigInt(deg(e._1)))
+    val dy = edges.map(e => BigInt(deg(e._2)))
+    val (sx, sy) = (dx.sum, dy.sum)
+    val sxy = dx.zip(dy).map { case (a, b) => a * b }.sum
+    val sxx = dx.map(a => a * a).sum
+    val syy = dy.map(a => a * a).sum
+    val covNum = n * sxy - sx * sy
+    val r0 = BigDecimal(covNum.toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble)
+          * math.sqrt((n * syy - sy * sy).toDouble)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Dedup.degreeAssortativity(spark, sf).collect().head
+    assert(row.getAs[Long]("n_edges") === edges.length.toLong)
+    assert(row.getAs[Long]("n_nodes") === deg.size.toLong)
+    assert(BigInt(row.getAs[java.math.BigDecimal]("cov_num")
+      .toBigInteger) === covNum)
+    assert(row.getAs[Double]("assortativity") === r0)
+    assert(math.abs(r0) <= 1.0)
+  }
 }

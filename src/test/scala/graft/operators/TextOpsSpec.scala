@@ -1639,6 +1639,76 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("entropyRate: fixed-point unigram and conditional entropy recount; " +
+       "context never hurts") {
+    def lnU(num: Long, den: Long): Long =
+      BigDecimal(math.log(num.toDouble / den.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val byLang = Tables(spark, sf, "documents")
+      .select($"lang", $"text").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(
+        _._2.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))).toMap
+    val rows = TextOps.entropyRate(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet === byLang.keySet)
+    rows.foreach { r =>
+      val docs = byLang(r.getAs[String]("lang"))
+      val uni = docs.flatten.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = uni.values.sum
+      val h1 = -uni.values.map(c => c * lnU(c, n)).sum / n
+      val bi = docs.flatMap(_.sliding(2).filter(_.length == 2).map(p =>
+        (p(0), p(1)))).groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val ctx = bi.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+      val n2 = bi.values.sum
+      val hc = -bi.map { case ((a, _), c) => c * lnU(c, ctx(a)) }.sum / n2
+      assert(r.getAs[Long]("n_tokens") === n)
+      assert(r.getAs[Long]("h1_u") === h1)
+      assert(r.getAs[Long]("n_bigrams") === n2)
+      assert(r.getAs[Long]("hcond_u") === hc)
+      assert(r.getAs[Long]("gain_bp") === math.max(h1 - hc, 0L) * 10000 / h1)
+      assert(hc <= h1, "conditioning on context must not raise entropy")
+    }
+  }
+
+  test("keyTerms: log-odds z-scores recount; top terms are per-source " +
+       "distinctive") {
+    val cells = Tables(spark, sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+      .flatMap { case (s0, t) =>
+        t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).map((s0, _)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val yt = cells.toSeq.groupBy(_._1._2).view
+      .mapValues(_.map(_._2).sum).filter(_._2 >= 5).toMap
+    val ns = cells.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val nt = cells.values.sum
+    def z(s0: String, tok: String): (Long, Long) = {
+      val y = cells((s0, tok)); val yr = yt(tok) - y
+      val nsv = ns(s0); val nr = nt - nsv
+      val delta = BigDecimal((math.log((2 * y + 1).toDouble /
+          (2 * (nsv - y) + 1).toDouble)
+        - math.log((2 * yr + 1).toDouble / (2 * (nr - yr) + 1).toDouble))
+        * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val s2 = 2000000000000L / (2 * y + 1) +
+        2000000000000L / (2 * (nsv - y) + 1) +
+        2000000000000L / (2 * yr + 1) + 2000000000000L / (2 * (nr - yr) + 1)
+      (delta, BigDecimal(delta / math.sqrt(s2.toDouble) * 1e4)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val rows = TextOps.keyTerms(spark, sf).collect()
+    rows.foreach { r =>
+      val (delta, zu) = z(r.getAs[String]("source"), r.getAs[String]("tok"))
+      assert(r.getAs[Long]("delta_u") === delta)
+      assert(r.getAs[Long]("z_u4") === zu)
+    }
+    // per source: the engine's top-5 are the sequential top-5
+    rows.groupBy(_.getAs[String]("source")).foreach { case (s0, got) =>
+      val expected = yt.keys.filter(t => cells.contains((s0, t))).toSeq
+        .map(t => (t, z(s0, t)._2))
+        .sortBy { case (t, zu) => (-zu, t) }.take(5).map(_._1)
+      assert(got.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[String]("tok")).toSeq === expected, s"top-5 for $s0")
+    }
+  }
+
   test("shardBalance: striped assignment recounts; spread bounded by " +
        "the largest document") {
     val docs = Tables(spark, sf, "documents")
