@@ -180,6 +180,8 @@ object SparkEntry {
     "q_entropy_rate" -> TextOps.entropyRate,
     "q_key_terms" -> ((s, dir) => TextOps.keyTerms(s, dir)),
     "q_assortativity" -> ((s, dir) => Dedup.degreeAssortativity(s, dir)),
+    "q_ndcg_audit" -> ((s, dir) => TextOps.ndcgAudit(s, dir)),
+    "q_kmv_overlap" -> ((s, dir) => Dedup.kmvOverlap(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
     "q_token_dispersion" -> ((s, dir) => TextOps.tokenDispersion(s, dir)),
     "q_quality_surprisal_rho" -> TextOps.qualitySurprisalRho,
@@ -2996,6 +2998,84 @@ object SparkEntry {
          SELECT bin, ref_n, cur_n, p_ref_bp, p_cur_bp, lnr_u,
            CAST((p_ref_bp - p_cur_bp) * lnr_u AS BIGINT) AS contrib
          FROM sc ORDER BY bin""",
+    "q_ndcg_audit" -> {
+      val wVals = operators.TextOps.ndcgWeightsU(10)
+        .map { case (i, w) => s"($i, CAST($w AS BIGINT))" }.mkString(", ")
+      s"""WITH $bm25Ctes,
+         bm AS (SELECT doc_id,
+             round(CAST(sum(cf) AS DOUBLE) / 1000000.0, 4) AS bm25
+           FROM c GROUP BY doc_id),
+         dens AS (SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) * 1000000 // dl AS dens_u
+           FROM tf GROUP BY doc_id, dl),
+         pool AS (SELECT bm.doc_id, bm25, dens_u
+           FROM bm JOIN dens USING (doc_id)
+           ORDER BY bm25 DESC, doc_id LIMIT 10),
+         a2 AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+               AS rank_gold FROM pool),
+         a3 AS (SELECT doc_id, rank_gold,
+             CAST(10 - rank_gold + 1 AS BIGINT) AS rel FROM a2),
+         b2 AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY dens_u DESC, doc_id) AS INT)
+               AS rank_eval FROM pool),
+         w(pos, w_u) AS (VALUES $wVals),
+         j AS (SELECT a3.doc_id, rank_gold, rank_eval, rel, we.w_u,
+             rel * we.w_u AS contrib, rel * wg.w_u AS gcontrib
+           FROM a3 JOIN b2 USING (doc_id)
+           JOIN w we ON we.pos = rank_eval
+           JOIN w wg ON wg.pos = rank_gold),
+         t AS (SELECT *, CAST(sum(contrib) OVER () AS BIGINT) AS dcg_num,
+             CAST(sum(gcontrib) OVER () AS BIGINT) AS idcg_num FROM j)
+         SELECT doc_id, rank_gold, rank_eval, rel, w_u, contrib,
+           dcg_num, idcg_num,
+           CAST(dcg_num * 10000 // idcg_num AS BIGINT) AS ndcg_bp
+         FROM t ORDER BY rank_gold"""
+    },
+    "q_kmv_overlap" ->
+      s"""WITH d AS (SELECT doc_id,
+           CAST(concat('0x', substring(md5(concat('split:',
+             CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100
+             AS bucket, $toks AS toks FROM documents),
+         sh0 AS (SELECT bucket < 80 AS is_train,
+             md5(array_to_string(toks[i:i+2], ' ')) AS g
+           FROM (SELECT bucket, toks,
+               unnest(generate_series(1, len(toks) - 2)) AS i
+             FROM d WHERE (bucket < 80 OR bucket >= 90)
+               AND len(toks) >= 3)),
+         sh AS (SELECT DISTINCT is_train,
+             CAST(concat('0x', substring(g, 1, 15)) AS BIGINT) AS h
+           FROM sh0),
+         tr AS (SELECT h FROM sh WHERE is_train),
+         ev AS (SELECT h FROM sh WHERE NOT is_train),
+         tmin AS (SELECT h FROM tr ORDER BY h LIMIT 256),
+         emin AS (SELECT h FROM ev ORDER BY h LIMIT 256),
+         umin AS (SELECT h FROM (SELECT DISTINCT h FROM
+             (SELECT h FROM tmin UNION ALL SELECT h FROM emin))
+           ORDER BY h LIMIT 256),
+         kth AS (SELECT (SELECT max(h) FROM tmin) AS t_k,
+             (SELECT max(h) FROM emin) AS e_k),
+         cnts AS (SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_train,
+             (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_eval,
+             (SELECT CAST(count(*) AS BIGINT) FROM tr JOIN ev USING (h))
+               AS n_inter,
+             (SELECT CAST(count(*) AS BIGINT) FROM umin
+               JOIN tmin USING (h) JOIN emin USING (h)) AS matches)
+         SELECT CAST(256 AS INT) AS k, n_train,
+           CAST(CAST(255 AS HUGEINT) * (CAST(1 AS BIGINT) << 60) // t_k
+             AS BIGINT) AS n_train_est,
+           n_eval,
+           CAST(CAST(255 AS HUGEINT) * (CAST(1 AS BIGINT) << 60) // e_k
+             AS BIGINT) AS n_eval_est,
+           n_inter,
+           CAST(n_inter * 10000 // (n_train + n_eval - n_inter) AS BIGINT)
+             AS jacc_exact_bp,
+           matches, CAST(matches * 10000 // 256 AS BIGINT) AS jacc_est_bp,
+           abs(CAST(matches * 10000 // 256 AS BIGINT)
+             - CAST(n_inter * 10000 // (n_train + n_eval - n_inter)
+               AS BIGINT)) AS err_bp
+         FROM kth CROSS JOIN cnts""",
     "q_entropy_rate" ->
       s"""WITH docs AS (SELECT lang, $toks AS toks FROM documents),
          uni AS (SELECT lang, unnest(toks) AS w FROM docs),

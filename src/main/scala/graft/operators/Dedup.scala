@@ -475,6 +475,59 @@ object Dedup {
   def nearDupPageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame =
     nearDupPageRank(s, dir, minhashLshPairs(s, dir), iters)
 
+  /** KMV (k-minimum-values / theta) sketch overlap audit between the
+    * train and eval splits: keep only the k smallest 60-bit shingle
+    * hashes per side — a constant-size sketch any two shards can merge
+    * by union — and estimate each side's distinct-shingle cardinality
+    * ((k−1)·2⁶⁰/h₍ₖ₎) and the cross-split Jaccard (membership of the
+    * union's k smallest in both sketches). Alongside each estimate the
+    * audit computes the EXACT number the sketch approximates, so the
+    * error is part of the release — the same proven-bounds discipline
+    * as the HLL/CMS/SpaceSaving audits, completing the sketch family
+    * with the one that supports set INTERSECTION. All integer: md5
+    * hashes, exact counts, DECIMAL(38,0) for the (k−1)·2⁶⁰ product.
+    * The k-min cut is a distributed TakeOrdered — no full sort.
+    */
+  def kmvOverlap(s: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    import s.implicits._
+    val sh = Tables(s, dir, "documents")
+      .withColumn("bucket", TextOps.hashBucket($"doc_id", "split:"))
+      .filter($"bucket" < 80 || $"bucket" >= 90)
+      .select(($"bucket" < 80).as("is_train"),
+        graft.functions.text.tokensLower($"text").as("toks"))
+      .select($"is_train",
+        explode(graft.functions.text.shinglesFromTokens($"toks", 3)).as("g"))
+      .select($"is_train",
+        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+      .localCheckpoint()
+    val train = sh.filter($"is_train").select($"h")
+    val eval_ = sh.filter(!$"is_train").select($"h")
+    val tMin = train.orderBy($"h").limit(k).localCheckpoint()
+    val eMin = eval_.orderBy($"h").limit(k).localCheckpoint()
+    val uMin = tMin.union(eMin).distinct().orderBy($"h").limit(k)
+    val two60 = "CAST(1152921504606846976 AS DECIMAL(38,0))"
+    def est(kth: String) =
+      s"CAST(${k - 1} AS DECIMAL(38,0)) * $two60 div $kth"
+    tMin.agg(max($"h").as("t_k")).crossJoin(eMin.agg(max($"h").as("e_k")))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train"))))
+      .crossJoin(broadcast(eval_.agg(count(lit(1)).as("n_eval"))))
+      .crossJoin(broadcast(
+        train.join(eval_, "h").agg(count(lit(1)).as("n_inter"))))
+      .crossJoin(broadcast(uMin.join(tMin, "h").join(eMin, "h")
+        .agg(count(lit(1)).as("matches"))))
+      .select(lit(k).as("k"), $"n_train",
+        expr(est("t_k")).as("n_train_est"),
+        $"n_eval", expr(est("e_k")).as("n_eval_est"),
+        $"n_inter",
+        expr("n_inter * 10000 div (n_train + n_eval - n_inter)")
+          .as("jacc_exact_bp"),
+        $"matches", expr(s"matches * 10000 div $k").as("jacc_est_bp"),
+        abs(expr(s"matches * 10000 div $k") -
+          expr("n_inter * 10000 div (n_train + n_eval - n_inter)"))
+          .as("err_bp"))
+  }
+
   /** Degree assortativity of the near-dup candidate graph: the Pearson
     * correlation of endpoint degrees over directed edges — positive
     * means heavy near-dup documents cluster with each other (one

@@ -1190,10 +1190,13 @@ object TextOps {
     * `depth` cut operates on ≤ depth² rows — constant-size regardless
     * of corpus.
     */
-  def rboOverlap(s: SparkSession, dir: String,
-                 terms: Seq[String] = Seq("vector", "hash", "spark"),
-                 depth: Int = 25, pMilli: Int = 900,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** The (doc_id, bm25, dens_u) score frame shared by [[rboOverlap]]
+    * and [[ndcgAudit]] — factored so the two rank-comparison metrics
+    * can never drift on what they rank.
+    */
+  private def bm25DensScored(s: SparkSession, dir: String,
+                             terms: Seq[String], k1: Double,
+                             b: Double): DataFrame = {
     import s.implicits._
     val docs = docsFanned(s, dir)
       .select($"doc_id", text.tokensLower($"text").as("toks"))
@@ -1204,7 +1207,7 @@ object TextOps {
       .filter($"tok".isInCollection(terms))
       .groupBy($"doc_id", $"dl", $"tok").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), Seq("tok"))
+    tf.join(broadcast(dfreq), Seq("tok"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
       .withColumn("idf",
@@ -1218,6 +1221,14 @@ object TextOps {
       .select($"doc_id",
         round($"sf".cast("double") / 1000000.0, 4).as("bm25"),
         expr("tf_sum * 1000000 div dl").as("dens_u"))
+  }
+
+  def rboOverlap(s: SparkSession, dir: String,
+                 terms: Seq[String] = Seq("vector", "hash", "spark"),
+                 depth: Int = 25, pMilli: Int = 900,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import s.implicits._
+    val scored = bm25DensScored(s, dir, terms, k1, b)
     val pool = scored.orderBy($"bm25".desc, $"doc_id").limit(depth)
       .localCheckpoint()
     val a = pool
@@ -1245,6 +1256,59 @@ object TextOps {
       .select($"depth", $"n_overlap", $"agree_bp", $"w_u", $"term_u",
         $"rbo_u")
       .orderBy($"depth")
+  }
+
+  /** nDCG@k discount weights round(10⁹/log₂(i+1)) — driver-computed
+    * once and injected as identical literals into both engines (the
+    * [[rboWeightsU]] discipline), so neither engine evaluates log₂ at
+    * query time.
+    */
+  private[graft] def ndcgWeightsU(k: Int): Seq[(Int, Long)] =
+    (1 to k).map(i =>
+      i -> math.round(1e9 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** nDCG@k of the TF-density ranking against BM25 as graded relevance
+    * gold: the position-discounted complement of [[rboOverlap]]'s
+    * set-overlap profile — RBO says how much the prefixes agree, nDCG
+    * says how much a ranking mistake at position i actually costs
+    * (log-discounted), which is the number a retrieval dashboard
+    * publishes. The BM25 top-k pool gets graded relevance k−rank+1;
+    * discounts are the [[ndcgWeightsU]] driver literals; DCG and the
+    * ideal DCG are exact integer dot products, nDCG one basis-point
+    * floor division. Per-doc rows expose each position's contribution;
+    * the scalars repeat per row (the splitBalance shape).
+    */
+  def ndcgAudit(s: SparkSession, dir: String,
+                terms: Seq[String] = Seq("vector", "hash", "spark"),
+                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import s.implicits._
+    val pool = bm25DensScored(s, dir, terms, k1, b)
+      .orderBy($"bm25".desc, $"doc_id").limit(k)
+      .localCheckpoint()
+    val wDf = s.createDataFrame(ndcgWeightsU(k)).toDF("pos", "w_u")
+    val a = pool
+      .withColumn("rank_gold", row_number()
+        .over(Window.orderBy($"bm25".desc, $"doc_id")))
+      .select($"doc_id", $"rank_gold", (lit(k) - $"rank_gold" + 1)
+        .cast("long").as("rel"))
+    val bRun = pool
+      .withColumn("rank_eval", row_number()
+        .over(Window.orderBy($"dens_u".desc, $"doc_id")))
+      .select($"doc_id", $"rank_eval")
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    a.join(bRun, Seq("doc_id"))
+      .join(broadcast(wDf.select($"pos".as("rank_eval"), $"w_u")),
+        Seq("rank_eval"))
+      .join(broadcast(wDf.select($"pos".as("rank_gold"),
+        $"w_u".as("w_gold_u"))), Seq("rank_gold"))
+      .withColumn("contrib", $"rel" * $"w_u")
+      .withColumn("dcg_num", sum($"contrib").over(all))
+      .withColumn("idcg_num", sum($"rel" * $"w_gold_u").over(all))
+      .select($"doc_id", $"rank_gold", $"rank_eval", $"rel", $"w_u",
+        $"contrib", $"dcg_num", $"idcg_num",
+        expr("dcg_num * 10000 div idcg_num").as("ndcg_bp"))
+      .orderBy($"rank_gold")
   }
 
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,

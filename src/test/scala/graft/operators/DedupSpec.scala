@@ -562,6 +562,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("kmvOverlap: sketch and exact numbers recount; estimates land " +
+       "near truth") {
+    def md5hex(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s0: String): Long =
+      java.lang.Long.parseLong(md5hex(s0).substring(0, 15), 16)
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"split:$id").substring(0, 15), 16) % 100
+    def shingles(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+    val train = docs.filter(d => bucket(d._1) < 80)
+      .flatMap(d => shingles(d._2)).map(h60).toSet
+    val ev = docs.filter(d => bucket(d._1) >= 90)
+      .flatMap(d => shingles(d._2)).map(h60).toSet
+    val k = 256
+    val tMin = train.toSeq.sorted.take(k)
+    val eMin = ev.toSeq.sorted.take(k)
+    val uMin = (tMin ++ eMin).distinct.sorted.take(k)
+    val matches = uMin.count(h => tMin.contains(h) && eMin.contains(h))
+    val inter = train.intersect(ev).size.toLong
+    val jaccExact = inter * 10000 / (train.size + ev.size - inter)
+    val row = Dedup.kmvOverlap(spark, sf).collect().head
+    assert(row.getAs[Long]("n_train") === train.size.toLong)
+    assert(row.getAs[Long]("n_eval") === ev.size.toLong)
+    assert(row.getAs[Long]("n_inter") === inter)
+    assert(row.getAs[Long]("matches") === matches.toLong)
+    assert(row.getAs[Long]("jacc_exact_bp") === jaccExact)
+    assert(row.getAs[Long]("jacc_est_bp") === matches.toLong * 10000 / k)
+    assert(row.getAs[Long]("n_train_est") ===
+      (BigInt(k - 1) * BigInt(1L << 60) / BigInt(tMin.last)).toLong)
+    // KMV at k=256 has ~6% stderr; a 25% deterministic band is generous
+    val est = row.getAs[Long]("n_train_est").toDouble
+    assert(math.abs(est / train.size - 1.0) < 0.25,
+      s"cardinality estimate off: $est vs ${train.size}")
+  }
+
   test("degreeAssortativity: moments recount from the candidate edges; " +
        "r stays in [-1, 1]") {
     val pairs = Dedup.minhashLshPairs(spark, sf)

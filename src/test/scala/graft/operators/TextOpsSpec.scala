@@ -1709,6 +1709,42 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("ndcgAudit: discounted gains recount against the BM25 gold order") {
+    val gold = TextOps.bm25TopK(spark, sf, k = 10).collect()
+      .map(_.getAs[Long]("doc_id"))
+    val docs = Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty) }.toMap
+    val terms = Set("vector", "hash", "spark")
+    def densU(id: Long): Long = {
+      val ts = docs(id)
+      ts.count(terms.contains(_)).toLong * 1000000L / ts.length
+    }
+    val rows = TextOps.ndcgAudit(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === gold.toSeq,
+      "pool must be the BM25 top-10 in gold order")
+    val evalOrder = gold.sortBy(id => (-densU(id), id)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    val w = TextOps.ndcgWeightsU(10).toMap
+    val rel = gold.zipWithIndex.map { case (id, i) => id -> (10L - i) }.toMap
+    val dcg = gold.map(id => rel(id) * w(evalOrder(id))).sum
+    val idcg = gold.zipWithIndex.map { case (id, i) => rel(id) * w(i + 1) }.sum
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("rank_eval") === evalOrder(id))
+      assert(r.getAs[Long]("rel") === rel(id))
+      assert(r.getAs[Long]("contrib") === rel(id) * w(evalOrder(id)))
+      assert(r.getAs[Long]("dcg_num") === dcg)
+      assert(r.getAs[Long]("idcg_num") === idcg)
+      assert(r.getAs[Long]("ndcg_bp") === dcg * 10000 / idcg)
+    }
+    // a perfect score is only possible when the rankings agree
+    val agree = gold.zipWithIndex.forall { case (id, i) =>
+      evalOrder(id) == i + 1 }
+    assert((dcg * 10000 / idcg == 10000L) === agree)
+  }
+
   test("shardBalance: striped assignment recounts; spread bounded by " +
        "the largest document") {
     val docs = Tables(spark, sf, "documents")
