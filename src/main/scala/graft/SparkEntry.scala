@@ -181,6 +181,10 @@ object SparkEntry {
     "q_key_terms" -> ((s, dir) => TextOps.keyTerms(s, dir)),
     "q_assortativity" -> ((s, dir) => Dedup.degreeAssortativity(s, dir)),
     "q_ndcg_audit" -> ((s, dir) => TextOps.ndcgAudit(s, dir)),
+    "q_quantile_transform" -> Events.quantileTransform,
+    "q_chao1_richness" -> TextOps.chao1Richness,
+    "q_source_diversity" -> TextOps.sourceDiversity,
+    "q_screen_auc" -> ((s, dir) => TextOps.screenAuc(s, dir)),
     "q_kmv_overlap" -> ((s, dir) => Dedup.kmvOverlap(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
     "q_token_dispersion" -> ((s, dir) => TextOps.tokenDispersion(s, dir)),
@@ -778,6 +782,42 @@ object SparkEntry {
          WHERE rn = 1),
        sel$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$r)"""
   }
+
+  /** Gopher keep-verdict CTE chain ending at k(doc_id, keep) with the
+    * corpus-tuned required words ('the', 'a') — shared by the
+    * screen-kappa and screen-AUC oracles so the label side of both
+    * cross-screen metrics cannot drift.
+    */
+  private lazy val gopherKeepCtes =
+    s"""d AS (SELECT doc_id, text, $toks AS toks,
+         string_split(text, chr(10)) AS lines FROM documents),
+       sc AS (SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+             AS BIGINT) AS sum_len,
+           CAST(length(text) - length(replace(text, '#', ''))
+             + (length(text) - length(replace(text, '...', ''))) / 3
+             + length(text) - length(replace(text, '…', ''))
+             AS BIGINT) AS n_sym,
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+             AS BIGINT) AS n_alpha,
+           CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+             + (CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_stop,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lines,
+             l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+           CAST(len(list_filter(lines,
+             l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT)
+             AS n_ell_end
+         FROM d),
+       k AS (SELECT doc_id,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+             AND 10 * n_sym <= n_words AND 5 * n_alpha >= 4 * n_words
+             AND n_stop >= 2 AND 10 * n_bullet <= 9 * n_lines
+             AND 10 * n_ell_end <= 3 * n_lines AS keep
+         FROM sc)"""
 
   /** Unrolled Gonzalez k-center oracle (6 rounds): d$r is the per-point
     * min fixed-point distance to the first r centers, w$r the farthest
@@ -2998,6 +3038,72 @@ object SparkEntry {
          SELECT bin, ref_n, cur_n, p_ref_bp, p_cur_bp, lnr_u,
            CAST((p_ref_bp - p_cur_bp) * lnr_u AS BIGINT) AS contrib
          FROM sc ORDER BY bin""",
+    "q_quantile_transform" ->
+      """WITH b AS (SELECT event_type,
+           CAST(round(value * 10000) AS BIGINT) AS vq FROM events),
+         c AS (SELECT event_type, vq, CAST(count(*) AS BIGINT) AS t
+           FROM b GROUP BY 1, 2),
+         w AS (SELECT event_type, vq, t,
+             CAST(coalesce(sum(t) OVER (PARTITION BY event_type
+               ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING AND
+               1 PRECEDING), 0) AS BIGINT) AS cb,
+             CAST(sum(t) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM c)
+         SELECT event_type, vq, t,
+           CAST((2 * cb + t) * 10000 // (2 * n) AS BIGINT) AS pct_bp
+         FROM w ORDER BY event_type, vq""",
+    "q_chao1_richness" ->
+      s"""WITH d AS (SELECT lang, unnest($toks) AS tok FROM documents),
+         c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+           FROM d GROUP BY 1, 2),
+         a AS (SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+           FROM c GROUP BY 1)
+         SELECT lang, vocab, n1, n2,
+           vocab + CAST(n1 * (n1 - 1) // (2 * (n2 + 1)) AS BIGINT)
+             AS chao1,
+           CAST(n1 * (n1 - 1) // (2 * (n2 + 1)) AS BIGINT) AS unseen_est
+         FROM a ORDER BY lang""",
+    "q_source_diversity" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1),
+         w AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS nt FROM per),
+         l AS (SELECT *, CAST(round(ln(CAST(n AS DOUBLE)
+             / CAST(nt AS DOUBLE)) * 1e6) AS BIGINT) AS lnu FROM w),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(max(nt) AS BIGINT) AS n_docs,
+             CAST(sum(n * n) AS BIGINT) AS sum_sq,
+             CAST((-sum(n * lnu)) // max(nt) AS BIGINT) AS shannon_u
+           FROM l),
+         f AS (SELECT n_sources, n_docs,
+             CAST(n_docs * n_docs * 1000 // sum_sq AS BIGINT)
+               AS inv_simpson_milli,
+             shannon_u,
+             CAST(round(ln(CAST(n_sources AS DOUBLE)) * 1e6) AS BIGINT)
+               AS ln_m_u
+           FROM a)
+         SELECT *, CAST(shannon_u * 10000 // ln_m_u AS BIGINT)
+           AS evenness_bp FROM f""",
+    "q_screen_auc" ->
+      s"""WITH $gopherKeepCtes,
+         q AS (SELECT doc_id, CAST(round($qualityExpr * 10000) AS BIGINT)
+             AS qu FROM documents),
+         j AS (SELECT keep, qu FROM k JOIN q USING (doc_id)),
+         c AS (SELECT qu, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS t1
+           FROM j GROUP BY 1),
+         w AS (SELECT *, CAST(coalesce(sum(t) OVER (ORDER BY qu ROWS
+             BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cb FROM c),
+         a AS (SELECT CAST(sum(t1) AS BIGINT) AS n_pos,
+             CAST(sum(t - t1) AS BIGINT) AS n_neg,
+             CAST(sum(t1 * (2 * cb + t + 1)) AS BIGINT) AS r1x2 FROM w),
+         f AS (SELECT n_pos, n_neg,
+             CAST((r1x2 - n_pos * (n_pos + 1)) * 10000
+               // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp FROM a)
+         SELECT n_pos, n_neg, auc_bp, 2 * auc_bp - 10000 AS gini_bp
+         FROM f""",
     "q_ndcg_audit" -> {
       val wVals = operators.TextOps.ndcgWeightsU(10)
         .map { case (i, w) => s"($i, CAST($w AS BIGINT))" }.mkString(", ")
@@ -3500,35 +3606,7 @@ object SparkEntry {
              AS gini_bp
          FROM w ORDER BY rank""",
     "q_screen_kappa" ->
-      s"""WITH d AS (SELECT doc_id, text, $toks AS toks,
-           string_split(text, chr(10)) AS lines FROM documents),
-         sc AS (SELECT doc_id,
-             CAST(len(toks) AS BIGINT) AS n_words,
-             CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
-               AS BIGINT) AS sum_len,
-             CAST(length(text) - length(replace(text, '#', ''))
-               + (length(text) - length(replace(text, '...', ''))) / 3
-               + length(text) - length(replace(text, '…', ''))
-               AS BIGINT) AS n_sym,
-             CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
-               AS BIGINT) AS n_alpha,
-             CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
-               + (CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_stop,
-             CAST(len(lines) AS BIGINT) AS n_lines,
-             CAST(len(list_filter(lines,
-               l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
-             CAST(len(list_filter(lines,
-               l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT)
-               AS n_ell_end
-           FROM d),
-         k AS (SELECT doc_id,
-             (n_words >= 50 AND n_words <= 100000)
-               AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
-               AND 10 * n_sym <= n_words AND 5 * n_alpha >= 4 * n_words
-               AND n_stop >= 2 AND 10 * n_bullet <= 9 * n_lines
-               AND 10 * n_ell_end <= 3 * n_lines AS keep
-           FROM sc),
+      s"""WITH $gopherKeepCtes,
          q AS (SELECT doc_id,
              CAST(round($qualityExpr * 10000) AS BIGINT) >= 5000 AS hi_q
            FROM documents),

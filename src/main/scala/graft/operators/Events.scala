@@ -808,6 +808,32 @@ object Events {
         $"crit_bp", ($"d_bp" >= $"crit_bp").as("drifted"))
   }
 
+  /** Quantile (rank) transform of event values per type: each distinct
+    * value mapped to its midrank CDF position in basis points — the
+    * monotone feature normalization that makes downstream thresholds
+    * distribution-free (and the lookup table a serving layer ships to
+    * transform live traffic the same way training did). Midranks keep
+    * ties exact via doubling (F_mid(v) = (2·cb + t)/(2N)); output is
+    * one row per DISTINCT (type, value) on the 1e-4 grid — a bounded
+    * dictionary, never the raw events.
+    */
+  def quantileTransform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables(s, dir, "events")
+      .select($"event_type", round($"value" * 10000).cast("long").as("vq"))
+      .groupBy($"event_type", $"vq").agg(count(lit(1)).as("t"))
+    val before = Window.partitionBy($"event_type").orderBy($"vq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy($"event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("cb", coalesce(sum($"t").over(before), lit(0L)))
+      .withColumn("n", sum($"t").over(all))
+      .select($"event_type", $"vq", $"t",
+        expr("(2 * cb + t) * 10000 div (2 * n)").as("pct_bp"))
+      .orderBy($"event_type", $"vq")
+  }
+
   /** Cumulative Poisson(1) inverse-CDF thresholds on the 2⁶⁰ grid:
     * t_k = round(F(k)·2⁶⁰) for k = 0..7 — driver-computed ONCE and
     * injected as identical literals into both the Spark expression and

@@ -2986,6 +2986,95 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** Chao1 species-richness estimate per language: how many vocabulary
+    * types the language HAS, not just how many this corpus saw — the
+    * forward-looking complement of [[goodTuringMass]]'s next-sample
+    * coverage. Bias-corrected Chao1 = V + n₁(n₁−1)/(2(n₂+1)) is exact
+    * integer arithmetic on the same hapax/dis counts; the unseen-type
+    * estimate ships separately so a crawl planner can read "≈K types
+    * still out there" directly.
+    */
+  def chao1Richness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsFanned(s, dir)
+      .select($"lang", explode(text.tokensLower($"text")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"c" === 2, 1L).otherwise(0L)).as("n2"))
+      .select($"lang", $"vocab", $"n1", $"n2",
+        ($"vocab" + expr("n1 * (n1 - 1) div (2 * (n2 + 1))")).as("chao1"),
+        expr("n1 * (n1 - 1) div (2 * (n2 + 1))").as("unseen_est"))
+      .orderBy($"lang")
+  }
+
+  /** Source-mix diversity: Shannon entropy, inverse-Simpson effective
+    * source count, and Pielou evenness of the document-count mix — the
+    * one-row answer to "is this a 20-source corpus or a 2-source corpus
+    * wearing 20 names". Inverse Simpson N²/Σnₛ² is exact rational to
+    * milli-units; Shannon rides the per-cell fixed-point ln
+    * ([[sourceLangMi]] discipline); evenness divides by ln(m) in the
+    * same 1e-6 units, floor.
+    */
+  def sourceDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables(s, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    per
+      .withColumn("nt", sum($"n").over(all))
+      .withColumn("lnu",
+        round(log($"n".cast("double") / $"nt".cast("double")) * 1e6)
+          .cast("long"))
+      .agg(count(lit(1)).as("n_sources"), max($"nt").as("n_docs"),
+        sum($"n" * $"n").as("sum_sq"),
+        expr("(-sum(n * lnu)) div max(nt)").as("shannon_u"))
+      .select($"n_sources", $"n_docs",
+        expr("n_docs * n_docs * 1000 div sum_sq").as("inv_simpson_milli"),
+        $"shannon_u",
+        (round(log($"n_sources".cast("double")) * 1e6).cast("long"))
+          .as("ln_m_u"))
+      .withColumn("evenness_bp", expr("shannon_u * 10000 div ln_m_u"))
+  }
+
+  /** ROC AUC between the two quality screens: the composite quality
+    * score ranked against the Gopher verdict as the binary label — "if
+    * I replaced the rule suite with a threshold on the score, how often
+    * would the score rank a Gopher-pass above a Gopher-fail". AUC is
+    * the Mann–Whitney statistic, so the doubled-midrank machinery makes
+    * it exact: auc_bp = U₁·10⁴/(n₊·n₋) in integer basis points, with
+    * the Gini coefficient 2·AUC−1 alongside. The rank window runs over
+    * the distinct-score rollup.
+    */
+  def screenAuc(s: SparkSession, dir: String,
+                requiredWords: Seq[String] = Seq("the", "a")): DataFrame = {
+    import s.implicits._
+    val docs = docsFanned(s, dir)
+    val labels = gopherVerdictsFrom(docs, requiredWords)
+      .select($"doc_id", $"keep")
+    val scores = docs
+      .select($"doc_id", $"text", $"n_chars", text.tokensLower($"text").as("toks"))
+      .select($"doc_id",
+        round(text.qualityScoreTokens($"text", $"toks", $"n_chars") * 10000)
+          .cast("long").as("qu"))
+    val cells = labels.join(scores, "doc_id")
+      .groupBy($"qu")
+      .agg(count(lit(1)).as("t"),
+        sum(when($"keep", 1L).otherwise(0L)).as("t1"))
+    val before = Window.orderBy($"qu")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("cb", coalesce(sum($"t").over(before), lit(0L)))
+      .agg(sum($"t1").as("n_pos"), sum($"t" - $"t1").as("n_neg"),
+        sum($"t1" * (lit(2L) * $"cb" + $"t" + 1L)).as("r1_x2"))
+      .withColumn("u1_x2", $"r1_x2" - $"n_pos" * ($"n_pos" + 1L))
+      .select($"n_pos", $"n_neg",
+        expr("u1_x2 * 10000 div (2 * n_pos * n_neg)").as("auc_bp"))
+      .withColumn("gini_bp", lit(2L) * $"auc_bp" - 10000L)
+  }
+
   /** Token dispersion (Gries 2008 "DP" — deviation of proportions) for
     * the top-k corpus tokens: how far a token's occurrence mass deviates
     * from the corpus' document-size distribution. DP ≈ 0 means the token

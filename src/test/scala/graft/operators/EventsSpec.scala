@@ -461,6 +461,31 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("quantileTransform: midrank CDF recounts; transform is monotone") {
+    val byType = Tables(spark, sf, "events")
+      .select($"event_type", round($"value" * 10000).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = Events.quantileTransform(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val vs = byType(t)
+      val n = vs.length.toLong
+      val sorted = rs.sortBy(_.getAs[Long]("vq"))
+      var cb = 0L
+      sorted.foreach { r =>
+        val vq = r.getAs[Long]("vq")
+        val tt = vs.count(_ == vq).toLong
+        assert(r.getAs[Long]("t") === tt)
+        assert(r.getAs[Long]("pct_bp") === (2 * cb + tt) * 10000 / (2 * n))
+        cb += tt
+      }
+      assert(cb === n)
+      // monotone nondecreasing in value
+      assert(sorted.map(_.getAs[Long]("pct_bp")).sliding(2)
+        .forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
   test("emdDrift: exact 1-D Wasserstein recounts from the ECDF integral") {
     val (early, late) = halves()
     val n1 = early.length.toLong

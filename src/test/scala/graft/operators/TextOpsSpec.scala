@@ -1612,6 +1612,72 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("chao1Richness: hapax-based richness recounts; estimate >= vocab") {
+    val byLang = Tables(spark, sf, "documents")
+      .select($"lang", $"text").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues { docs =>
+        val counts = docs.flatMap(d =>
+            d._2.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+          .groupBy(identity).map(_._2.length.toLong)
+        (counts.size.toLong, counts.count(_ == 1L).toLong,
+          counts.count(_ == 2L).toLong)
+      }.toMap
+    TextOps.chao1Richness(spark, sf).collect().foreach { r =>
+      val (v, n1, n2) = byLang(r.getAs[String]("lang"))
+      val unseen = n1 * (n1 - 1) / (2 * (n2 + 1))
+      assert(r.getAs[Long]("vocab") === v)
+      assert(r.getAs[Long]("n1") === n1)
+      assert(r.getAs[Long]("n2") === n2)
+      assert(r.getAs[Long]("unseen_est") === unseen)
+      assert(r.getAs[Long]("chao1") === v + unseen)
+      assert(r.getAs[Long]("chao1") >= v)
+    }
+  }
+
+  test("sourceDiversity: Shannon/Simpson recount; bounds hold") {
+    val per = Tables(spark, sf, "documents")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val nt = per.values.sum
+    val m = per.size.toLong
+    val sumSq = per.values.map(n => n * n).sum
+    val shannon = -per.values.map { n =>
+      n * BigDecimal(math.log(n.toDouble / nt.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum / nt
+    val lnM = BigDecimal(math.log(m.toDouble) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val row = TextOps.sourceDiversity(spark, sf).collect().head
+    assert(row.getAs[Long]("n_sources") === m)
+    assert(row.getAs[Long]("n_docs") === nt)
+    assert(row.getAs[Long]("inv_simpson_milli") === nt * nt * 1000 / sumSq)
+    assert(row.getAs[Long]("shannon_u") === shannon)
+    assert(row.getAs[Long]("evenness_bp") === shannon * 10000 / lnM)
+    // 1 <= effective sources <= m; evenness <= 100% (+rounding slack)
+    assert(row.getAs[Long]("inv_simpson_milli") >= 1000L)
+    assert(row.getAs[Long]("inv_simpson_milli") <= m * 1000L)
+    assert(row.getAs[Long]("evenness_bp") <= 10001L)
+  }
+
+  test("screenAuc: midrank AUC equals direct pair counting") {
+    val keep = TextOps.gopherRules(spark, sf, Seq("the", "a"))
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val qu = TextOps.qualityScores(spark, sf)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect()
+      .map { case (id, q) => id -> BigDecimal(q * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }.toMap
+    val pos = keep.collect { case (id, true) => qu(id) }.toSeq
+    val neg = keep.collect { case (id, false) => qu(id) }.toSeq
+    // direct O(n+ * n-) count: wins + half-ties, in x2 units
+    val u1x2 = pos.map(p =>
+      2L * neg.count(_ < p) + neg.count(_ == p).toLong).sum
+    val row = TextOps.screenAuc(spark, sf).collect().head
+    assert(row.getAs[Long]("n_pos") === pos.length.toLong)
+    assert(row.getAs[Long]("n_neg") === neg.length.toLong)
+    assert(row.getAs[Long]("auc_bp") ===
+      u1x2 * 10000 / (2L * pos.length * neg.length))
+    assert(row.getAs[Long]("gini_bp") === 2 * row.getAs[Long]("auc_bp") - 10000)
+  }
+
   test("tokenDispersion: DP recounts exactly and sits in [0, 1)") {
     val docs = Tables(spark, sf, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect()
