@@ -185,6 +185,7 @@ object SparkEntry {
     "q_chao1_richness" -> TextOps.chao1Richness,
     "q_source_diversity" -> TextOps.sourceDiversity,
     "q_screen_auc" -> ((s, dir) => TextOps.screenAuc(s, dir)),
+    "q_rendezvous_shards" -> ((s, dir) => TextOps.rendezvousShards(s, dir)),
     "q_kmv_overlap" -> ((s, dir) => Dedup.kmvOverlap(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
     "q_token_dispersion" -> ((s, dir) => TextOps.tokenDispersion(s, dir)),
@@ -3038,6 +3039,32 @@ object SparkEntry {
          SELECT bin, ref_n, cur_n, p_ref_bp, p_cur_bp, lnr_u,
            CAST((p_ref_bp - p_cur_bp) * lnr_u AS BIGINT) AS contrib
          FROM sc ORDER BY bin""",
+    "q_rendezvous_shards" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+         sp AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS shard),
+         wt AS (SELECT doc_id, shard,
+             CAST(concat('0x', substring(md5(concat('hrw:',
+               CAST(shard AS VARCHAR), ':', CAST(doc_id AS VARCHAR))),
+               1, 15)) AS BIGINT) AS hw
+           FROM docs CROSS JOIN sp),
+         mx AS (SELECT doc_id, CAST(max(hw) AS BIGINT) AS full_max,
+             CAST(max(CASE WHEN shard <> 7 THEN hw END) AS BIGINT)
+               AS red_max
+           FROM wt GROUP BY doc_id),
+         asg AS (SELECT wt.doc_id,
+             max(CASE WHEN hw = full_max THEN shard END) AS shard_full,
+             max(CASE WHEN hw = red_max THEN shard END) AS shard_reduced
+           FROM wt JOIN mx USING (doc_id) GROUP BY wt.doc_id)
+         SELECT shard_full AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN shard_full <> shard_reduced THEN 1 ELSE 0
+             END) AS BIGINT) AS n_moved,
+           shard_full = 7 AS is_removed,
+           ((shard_full = 7 AND sum(CASE WHEN shard_full <> shard_reduced
+               THEN 1 ELSE 0 END) = count(*))
+             OR (shard_full <> 7 AND sum(CASE WHEN shard_full <>
+               shard_reduced THEN 1 ELSE 0 END) = 0))
+             AS disruption_minimal
+         FROM asg GROUP BY shard_full ORDER BY shard""",
     "q_quantile_transform" ->
       """WITH b AS (SELECT event_type,
            CAST(round(value * 10000) AS BIGINT) AS vq FROM events),

@@ -3206,6 +3206,50 @@ object TextOps {
       .orderBy($"source", $"rank")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment audit: each
+    * document goes to the shard maximizing md5(shard ‖ doc) — the
+    * stateless assignment scheme whose defining guarantee is MINIMAL
+    * DISRUPTION: removing a shard remaps exactly that shard's documents
+    * and nothing else (mod-N striping reshuffles nearly everything).
+    * The audit computes the assignment under n and under n−1 shards in
+    * one pass (the per-doc argmax over a broadcast shard spine, with
+    * and without the victim) and emits per-shard counts plus the moved
+    * set — the invariant the spec and oracle both pin. Balance falls
+    * out of md5 uniformity; disruption is the property you buy HRW
+    * for, and here it is measured, not assumed.
+    */
+  def rendezvousShards(s: SparkSession, dir: String, nShards: Int = 8,
+                       removed: Int = 7): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id")
+    val spine = s.range(0, nShards).select($"id".cast("int").as("shard"))
+    val w = Window.partitionBy($"doc_id")
+    val weighted = docs.crossJoin(broadcast(spine))
+      .withColumn("hw",
+        conv(substring(md5(concat(lit("hrw:"), $"shard", lit(":"),
+          $"doc_id")), 1, 15), 16, 10).cast("long"))
+    val assigned = weighted
+      .withColumn("full_max", max($"hw").over(w))
+      .withColumn("red_max",
+        max(when($"shard" =!= removed, $"hw")).over(w))
+      .filter($"hw" === $"full_max" || $"hw" === $"red_max")
+      .groupBy($"doc_id")
+      .agg(max(when($"hw" === $"full_max", $"shard")).as("shard_full"),
+        max(when($"hw" === $"red_max", $"shard")).as("shard_reduced"))
+    assigned
+      .groupBy($"shard_full")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"shard_full" =!= $"shard_reduced", 1L).otherwise(0L))
+          .as("n_moved"))
+      .select($"shard_full".as("shard"), $"n_docs", $"n_moved",
+        // the HRW guarantee, as data: only the removed shard moves
+        ($"shard_full" === removed).as("is_removed"),
+        (($"shard_full" === removed && $"n_moved" === $"n_docs") ||
+          ($"shard_full" =!= removed && $"n_moved" === 0L))
+          .as("disruption_minimal"))
+      .orderBy($"shard")
+  }
+
   /** Striped shard-balance audit: assign documents to training shards
     * by token-count rank modulo the shard count (sort-descending
     * striping — the stateless approximation of LPT bin packing that a

@@ -1811,6 +1811,34 @@ class TextOpsSpec extends SparkSpec {
     assert((dcg * 10000 / idcg == 10000L) === agree)
   }
 
+  test("rendezvousShards: HRW argmax recounts; only the removed shard's " +
+       "documents move") {
+    def md5hex60(s0: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .substring(0, 15), 16)
+    val ids = Tables(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect()
+    def assign(id: Long, shards: Seq[Int]): Int =
+      shards.maxBy(sh => (md5hex60(s"hrw:$sh:$id"), sh))
+    val full = ids.map(id => id -> assign(id, 0 to 7)).toMap
+    val reduced = ids.map(id => id -> assign(id, (0 to 7).filter(_ != 7))).toMap
+    val moved = ids.filter(id => full(id) != reduced(id))
+    // HRW minimal disruption: the movers are exactly shard 7's docs
+    assert(moved.toSet === ids.filter(id => full(id) == 7).toSet)
+    val rows = TextOps.rendezvousShards(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === ids.length.toLong)
+    rows.foreach { r =>
+      val sh = r.getAs[Int]("shard")
+      assert(r.getAs[Long]("n_docs") === full.values.count(_ == sh).toLong)
+      assert(r.getAs[Long]("n_moved") ===
+        ids.count(id => full(id) == sh && reduced(id) != sh).toLong)
+      assert(r.getAs[Boolean]("disruption_minimal"),
+        s"HRW disruption guarantee violated at shard $sh")
+    }
+  }
+
   test("shardBalance: striped assignment recounts; spread bounded by " +
        "the largest document") {
     val docs = Tables(spark, sf, "documents")
