@@ -186,6 +186,7 @@ object SparkEntry {
     "q_source_diversity" -> TextOps.sourceDiversity,
     "q_screen_auc" -> ((s, dir) => TextOps.screenAuc(s, dir)),
     "q_rendezvous_shards" -> ((s, dir) => TextOps.rendezvousShards(s, dir)),
+    "q_changepoint" -> Relational.changepoint,
     "q_kmv_overlap" -> ((s, dir) => Dedup.kmvOverlap(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
     "q_token_dispersion" -> ((s, dir) => TextOps.tokenDispersion(s, dir)),
@@ -3039,6 +3040,27 @@ object SparkEntry {
          SELECT bin, ref_n, cur_n, p_ref_bp, p_cur_bp, lnr_u,
            CAST((p_ref_bp - p_cur_bp) * lnr_u AS BIGINT) AS contrib
          FROM sc ORDER BY bin""",
+    "q_changepoint" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         r AS (SELECT day, cents,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS p FROM daily),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS pn FROM daily),
+         g AS (SELECT day, t, p, n, pn, abs(n * p - t * pn) AS g
+           FROM r CROSS JOIN tt WHERE t < n),
+         mx AS (SELECT *, max(g) OVER () AS gmax FROM g),
+         w AS (SELECT * FROM mx WHERE g = gmax ORDER BY day LIMIT 1)
+         SELECT day AS split_day, t AS n_before, n - t AS n_after,
+           CAST(p // t AS BIGINT) AS mean_before_cents,
+           CAST((pn - p) // (n - t) AS BIGINT) AS mean_after_cents,
+           g AS g_stat,
+           CAST((pn - p) // (n - t) AS BIGINT) - CAST(p // t AS BIGINT)
+             AS shift_cents
+         FROM w""",
     "q_rendezvous_shards" ->
       """WITH docs AS (SELECT doc_id FROM documents),
          sp AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS shard),

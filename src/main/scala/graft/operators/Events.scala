@@ -834,6 +834,22 @@ object Events {
       .orderBy($"event_type", $"vq")
   }
 
+  /** The frozen-design stratified keep decision shared by batch replay
+    * and the streaming gate (`Streams.neymanSampleGate`): event kept
+    * iff its 1e-6 md5 bucket clears the stratum's alloc/n_h rate —
+    * integer cross-multiplication, no float rate anywhere, so the
+    * decision for a given event is identical forever, across engines,
+    * and across the batch/stream boundary.
+    */
+  private[graft] def neymanKeepExpr(rates: Seq[(String, Long, Long)]): Column = {
+    val u = graft.operators.TextOps.hashBucketMod(
+      col("event_id"), "neyman:", 1000000L)
+    rates.foldLeft(lit(false)) { case (acc, (t, alloc, nh)) =>
+      when(col("event_type") === t, u * nh < alloc * 1000000L)
+        .otherwise(acc)
+    }
+  }
+
   /** Cumulative Poisson(1) inverse-CDF thresholds on the 2⁶⁰ grid:
     * t_k = round(F(k)·2⁶⁰) for k = 0..7 — driver-computed ONCE and
     * injected as identical literals into both the Spark expression and

@@ -1091,6 +1091,45 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Single-changepoint locator over daily revenue (binary segmentation,
+    * level 1): the day t* maximizing the scaled mean-shift statistic
+    * |n·P_t − t·P_n| — where the CUSUM detector ([[cusumShift]]) says
+    * WHETHER a level shift happened, this says WHEN, which is the first
+    * question an incident review asks. The statistic is a pure integer
+    * cross-product over the daily prefix sums (exact cents, no mean,
+    * no division until display); the argmax tie-breaks on the earliest
+    * day, so the location is total-ordered and engine-exact. One window
+    * pass over the calendar-sized daily frame.
+    */
+  def changepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val ord = Window.orderBy($"day")
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    daily
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("p", sum($"cents").over(ord.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("pn", sum($"cents").over(all))
+      .filter($"t" < $"n") // a split needs both sides nonempty
+      .withColumn("g", abs($"n" * $"p" - $"t" * $"pn"))
+      .withColumn("gmax", max($"g").over(all))
+      .filter($"g" === $"gmax")
+      .withColumn("pick", row_number().over(Window.orderBy($"day")))
+      .filter($"pick" === 1)
+      .select($"day".as("split_day"), $"t".as("n_before"),
+        ($"n" - $"t").as("n_after"),
+        expr("p div t").as("mean_before_cents"),
+        expr("(pn - p) div (n - t)").as("mean_after_cents"),
+        $"g".as("g_stat"),
+        (expr("(pn - p) div (n - t)") - expr("p div t"))
+          .as("shift_cents"))
+  }
+
   /** Differentially-private count release (ε = ln 2 discrete Laplace):
     * per-source document counts with two-sided geometric noise — the
     * mechanism a data owner applies before publishing per-provider

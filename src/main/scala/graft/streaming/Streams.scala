@@ -145,6 +145,19 @@ object Streams {
     }
   }
 
+  /** Frozen-rate stratified sampling gate: the serving twin of
+    * `Events.neymanAllocation` — the batch design fixes per-stratum keep
+    * rates alloc/n_h once, and this stateless gate applies them to
+    * arriving events via the shared integer md5 decision
+    * (`Events.neymanKeepExpr`), so the stream keeps EXACTLY the rows a
+    * batch replay of the same design would keep (no reservoir, no
+    * state, no rate drift between train-time and serve-time sampling).
+    */
+  def neymanSampleGate(events: DataFrame,
+                       rates: Seq[(String, Long, Long)]): DataFrame =
+    events.withColumn("keep",
+      graft.operators.Events.neymanKeepExpr(rates))
+
   /** CUSUM level-shift monitor: the streaming twin of
     * `Relational.cusumShift` — a stateful running per-day revenue
     * histogram (complete-mode aggregation), walked per trigger with the

@@ -516,6 +516,31 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("changepoint: argmax location and segment means recount exactly") {
+    val daily = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toString)
+    val n = daily.length.toLong
+    val pn = daily.map(_._2).sum
+    var p = 0L
+    val stats = daily.dropRight(1).zipWithIndex.map { case ((day, c), i) =>
+      p += c
+      (day.toString, i + 1L, p, math.abs(n * p - (i + 1L) * pn))
+    }
+    val gmax = stats.map(_._4).max
+    val (day, t, pt, _) = stats.filter(_._4 == gmax).minBy(_._1)
+    val row = Relational.changepoint(spark, sf).collect().head
+    assert(row.getAs[java.sql.Date]("split_day").toString === day)
+    assert(row.getAs[Long]("n_before") === t)
+    assert(row.getAs[Long]("n_after") === n - t)
+    assert(row.getAs[Long]("mean_before_cents") === pt / t)
+    assert(row.getAs[Long]("mean_after_cents") === (pn - pt) / (n - t))
+    assert(row.getAs[Long]("g_stat") === gmax)
+    assert(row.getAs[Long]("shift_cents") ===
+      (pn - pt) / (n - t) - pt / t)
+  }
+
   test("dpCounts: seeded discrete-Laplace noise recounts from the exact " +
        "inverse CDF; release is clamped nonnegative") {
     def md5hex60(s0: String): Long = {

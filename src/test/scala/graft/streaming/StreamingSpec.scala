@@ -326,6 +326,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L)._3, "a mass-shifted batch must alarm")
   }
 
+  test("neymanSampleGate: stream keeps exactly the batch-design rows; " +
+       "realized rates track the allocation") {
+    val design = graft.operators.Events.neymanAllocation(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("alloc"),
+        r.getAs[Long]("n_h"))).toSeq
+    val events = graft.Tables(spark, sf, "events")
+      .select($"event_id", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.neymanSampleGate(
+        input.toDF().toDF("event_id", "event_type"), design)
+      .writeStream.format("memory").queryName("neyman_out")
+      .outputMode(OutputMode.Append).start()
+    events.grouped(math.max(events.length / 3, 1)).foreach { g =>
+      input.addData(g); q.processAllAvailable()
+    }
+    val streamed = spark.table("neyman_out")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    q.stop()
+    // batch replay of the same frozen design over the same rows
+    val batch = Streams.neymanSampleGate(
+        events.toDF("event_id", "event_type"), design)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(streamed === batch)
+    // realized per-type keep counts track the design (md5-uniform,
+    // +-25%); a rate >= 1 keeps the whole stratum exactly
+    val byType = events.groupBy(_._2)
+    design.foreach { case (t, alloc, nh) =>
+      val kept = byType(t).count(e => streamed(e._1)).toLong
+      val target = math.min(alloc, nh)
+      assert(math.abs(kept - target) <= target / 4 + 20,
+        s"type $t kept $kept vs target $target")
+      if (alloc >= nh) assert(kept === nh,
+        s"rate >= 1 must keep all of $t")
+    }
+  }
+
   test("cusumMonitorSink: full history reproduces the batch CUSUM; " +
        "a revenue flood trips the alarm") {
     val dst = java.nio.file.Files.createTempDirectory("cu-out").toString + "/cu"
