@@ -187,6 +187,7 @@ object SparkEntry {
     "q_screen_auc" -> ((s, dir) => TextOps.screenAuc(s, dir)),
     "q_rendezvous_shards" -> ((s, dir) => TextOps.rendezvousShards(s, dir)),
     "q_changepoint" -> Relational.changepoint,
+    "q_join_size_est" -> ((s, dir) => Relational.joinSizeEst(s, dir)),
     "q_kmv_overlap" -> ((s, dir) => Dedup.kmvOverlap(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
     "q_token_dispersion" -> ((s, dir) => TextOps.tokenDispersion(s, dir)),
@@ -3040,6 +3041,40 @@ object SparkEntry {
          SELECT bin, ref_n, cur_n, p_ref_bp, p_cur_bp, lnr_u,
            CAST((p_ref_bp - p_cur_bp) * lnr_u AS BIGINT) AS contrib
          FROM sc ORDER BY bin""",
+    "q_join_size_est" ->
+      """WITH ka AS (SELECT o_custkey AS k FROM orders),
+         kb AS (SELECT user_id AS k FROM events),
+         sa AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT r, CAST(concat('0x', substring(md5(concat(
+               CAST(r AS VARCHAR), ':js:', CAST(k AS VARCHAR))), 1, 15))
+               AS BIGINT) % 32 AS b
+             FROM ka CROSS JOIN
+               (SELECT unnest(generate_series(0, 3)) AS r))
+           GROUP BY r, b),
+         sb AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c2 FROM (
+             SELECT r, CAST(concat('0x', substring(md5(concat(
+               CAST(r AS VARCHAR), ':js:', CAST(k AS VARCHAR))), 1, 15))
+               AS BIGINT) % 32 AS b
+             FROM kb CROSS JOIN
+               (SELECT unnest(generate_series(0, 3)) AS r))
+           GROUP BY r, b),
+         pr AS (SELECT sa.r, CAST(sum(c * c2) AS BIGINT) AS est
+           FROM sa JOIN sb ON sa.r = sb.r AND sa.b = sb.b GROUP BY sa.r),
+         fa AS (SELECT k, CAST(count(*) AS BIGINT) AS fa FROM ka
+           GROUP BY 1),
+         fb AS (SELECT k, CAST(count(*) AS BIGINT) AS fb FROM kb
+           GROUP BY 1),
+         ex AS (SELECT CAST(coalesce(sum(fa * fb), 0) AS BIGINT)
+             AS exact_size FROM fa JOIN fb USING (k)),
+         sz AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ka) AS n_a,
+             (SELECT CAST(count(*) AS BIGINT) FROM kb) AS n_b),
+         f AS (SELECT r, est, exact_size, n_a, n_b,
+             CAST(min(est) OVER () AS BIGINT) AS cms_est
+           FROM pr CROSS JOIN ex CROSS JOIN sz)
+         SELECT CAST(r AS BIGINT) AS r, est, exact_size, n_a, n_b,
+           est - exact_size AS overestimate, est >= exact_size AS sound,
+           cms_est
+         FROM f ORDER BY r""",
     "q_changepoint" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -1091,6 +1091,50 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** AMS/CMS join-size estimation: predict |orders ⋈ events| on the
+    * customer key from two count-min sketches' inner product — the
+    * planner-style cardinality estimate a pipeline computes in one
+    * cheap pass per side BEFORE committing to a shuffle join, with the
+    * exact join size alongside so the sketch's one-sided error is
+    * measured, not assumed (the cmsAudit discipline). Each depth row d
+    * gives Σ_j cntA_d[j]·cntB_d[j] ≥ true size (every true key pair
+    * lands in a shared bucket; collisions only ADD), so the min over
+    * rows is the estimate and `sound` is a theorem the data must obey.
+    * All counts and products are exact longs; the sketches are
+    * depth×width integer tables — mergeable, broadcastable, constant
+    * size at any scale.
+    */
+  def joinSizeEst(s: SparkSession, dir: String, depth: Int = 4,
+                  width: Int = 32): DataFrame = {
+    import s.implicits._
+    def sketch(keys: DataFrame, salt: String): DataFrame =
+      keys.toDF("k")
+        .select($"k", explode(sequence(lit(0), lit(depth - 1))).as("r"))
+        .select($"r", pmod(conv(substring(md5(
+          concat($"r".cast("string"), lit(salt), $"k".cast("string"))),
+          1, 15), 16, 10).cast("long"), lit(width.toLong)).as("b"))
+        .groupBy($"r", $"b").agg(count(lit(1)).as("c"))
+    val a = Tables(s, dir, "orders").select($"o_custkey")
+    val b = Tables(s, dir, "events").select($"user_id")
+    val perRow = sketch(a, ":js:").join(
+        sketch(b, ":js:").select($"r", $"b", $"c".as("c2")), Seq("r", "b"))
+      .groupBy($"r").agg(sum($"c" * $"c2").as("est"))
+    val fa = a.groupBy($"o_custkey").agg(count(lit(1)).as("fa"))
+    val fb = b.groupBy($"user_id").agg(count(lit(1)).as("fb"))
+    val exact = fa.join(fb, fa("o_custkey") === fb("user_id"))
+      .agg(coalesce(sum($"fa" * $"fb"), lit(0L)).as("exact_size"))
+    val sizes = a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perRow.crossJoin(broadcast(exact)).crossJoin(broadcast(sizes))
+      .withColumn("cms_est", min($"est").over(all))
+      .select($"r".cast("long").as("r"), $"est", $"exact_size", $"n_a",
+        $"n_b", ($"est" - $"exact_size").as("overestimate"),
+        ($"est" >= $"exact_size").as("sound"), $"cms_est")
+      .orderBy($"r")
+  }
+
   /** Single-changepoint locator over daily revenue (binary segmentation,
     * level 1): the day t* maximizing the scaled mean-shift statistic
     * |n·P_t − t·P_n| — where the CUSUM detector ([[cusumShift]]) says

@@ -516,6 +516,39 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("joinSizeEst: sketch inner products recount; soundness is a theorem") {
+    def md5hex60(s0: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .substring(0, 15), 16)
+    val ka = Tables(spark, sf, "orders").select($"o_custkey")
+      .as[Long].collect()
+    val kb = Tables(spark, sf, "events").select($"user_id")
+      .as[Long].collect()
+    def sketch(keys: Array[Long]): Map[(Int, Long), Long] =
+      (for (k <- keys; r <- 0 until 4)
+        yield (r, md5hex60(s"$r:js:$k") % 32)).groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+    val (sa, sb) = (sketch(ka), sketch(kb))
+    val fa = ka.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val fb = kb.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val exact = fa.keySet.intersect(fb.keySet).toSeq
+      .map(k => fa(k) * fb(k)).sum
+    val rows = Relational.joinSizeEst(spark, sf).collect()
+    assert(rows.length === 4)
+    rows.foreach { row =>
+      val r = row.getAs[Long]("r").toInt
+      val est = (0L until 32L).map(b =>
+        sa.getOrElse((r, b), 0L) * sb.getOrElse((r, b), 0L)).sum
+      assert(row.getAs[Long]("est") === est)
+      assert(row.getAs[Long]("exact_size") === exact)
+      assert(row.getAs[Boolean]("sound"), "CMS inner product must be >= truth")
+      assert(row.getAs[Long]("cms_est") ===
+        rows.map(_.getAs[Long]("est")).min)
+    }
+  }
+
   test("changepoint: argmax location and segment means recount exactly") {
     val daily = Tables(spark, sf, "orders")
       .groupBy($"o_orderdate".cast("date").as("day"))
