@@ -188,6 +188,8 @@ object SparkEntry {
     "q_rendezvous_shards" -> ((s, dir) => TextOps.rendezvousShards(s, dir)),
     "q_changepoint" -> Relational.changepoint,
     "q_join_size_est" -> ((s, dir) => Relational.joinSizeEst(s, dir)),
+    "q_hill_tail" -> ((s, dir) => Relational.hillTail(s, dir)),
+    "q_runs_test" -> Relational.runsTest,
     "q_kmv_overlap" -> ((s, dir) => Dedup.kmvOverlap(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
     "q_token_dispersion" -> ((s, dir) => TextOps.tokenDispersion(s, dir)),
@@ -3041,6 +3043,55 @@ object SparkEntry {
          SELECT bin, ref_n, cur_n, p_ref_bp, p_cur_bp, lnr_u,
            CAST((p_ref_bp - p_cur_bp) * lnr_u AS BIGINT) AS contrib
          FROM sc ORDER BY bin""",
+    "q_hill_tail" ->
+      """WITH o AS (SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         top1 AS (SELECT * FROM o ORDER BY cents DESC, o_orderkey
+           LIMIT 201),
+         thr AS (SELECT cents AS thr FROM top1 ORDER BY cents, o_orderkey
+           LIMIT 1),
+         rk AS (SELECT cents, thr, row_number() OVER (ORDER BY cents DESC,
+             o_orderkey) AS rk FROM top1 CROSS JOIN thr),
+         lsumt AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(max(thr) AS BIGINT) AS threshold_cents,
+             CAST(sum(CAST(round(ln(CAST(cents AS DOUBLE)
+               / CAST(thr AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT)
+               AS lsum_u
+           FROM rk WHERE rk <= 200)
+         SELECT k, threshold_cents, lsum_u,
+           CAST(k * 1000000000 // lsum_u AS BIGINT) AS alpha_milli
+         FROM lsumt""",
+    "q_runs_test" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+         rkd AS (SELECT cents, row_number() OVER (ORDER BY cents, day)
+             AS rk FROM daily),
+         med AS (SELECT CAST(sum(cents) *
+             (CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT)
+             AS med_x2
+           FROM rkd CROSS JOIN n0
+           WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1),
+         sg AS (SELECT day, cents * 2 > med_x2 AS above
+           FROM daily CROSS JOIN med WHERE cents * 2 <> med_x2),
+         fl AS (SELECT above, CASE WHEN lag(above) OVER (ORDER BY day)
+             IS NULL OR lag(above) OVER (ORDER BY day) <> above
+             THEN 1 ELSE 0 END AS flip FROM sg),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above,
+             CAST(sum(CASE WHEN NOT above THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below,
+             CAST(sum(flip) AS BIGINT) AS runs FROM fl)
+         SELECT n_days, n_above, n_below, runs,
+           n_days + 2 * n_above * n_below AS e_runs_x_n,
+           round((CAST(runs AS DOUBLE)
+             - (1.0 + 2.0 * n_above * n_below / n_days)) /
+             sqrt((2.0 * n_above * n_below
+               * (2.0 * n_above * n_below - n_days)) /
+               (CAST(n_days AS DOUBLE) * n_days * (n_days - 1))), 4) AS z
+         FROM a""",
     "q_join_size_est" ->
       """WITH ka AS (SELECT o_custkey AS k FROM orders),
          kb AS (SELECT user_id AS k FROM events),

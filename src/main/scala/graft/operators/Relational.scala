@@ -1091,6 +1091,88 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Hill tail-index estimator over order values: α̂ = k / Σᵢ ln(xᵢ/x₍k₊₁₎)
+    * on the top-k order statistics — the standard heavy-tail exponent
+    * behind "do a few giant orders carry the revenue", the
+    * continuous-distribution complement of the Zipf slope (ranks) and
+    * Benford (digits) audits. A small α̂ (< 2) means variance is
+    * effectively infinite and every mean-based dashboard is one outlier
+    * from meaningless. The top-(k+1) cut is a distributed TakeOrdered;
+    * each log is one fixed-point ln of a ratio of exact cent values
+    * (1e-6 pre-round, order-free integer sum), and α̂ lands as one
+    * integer milli-unit floor division.
+    */
+  def hillTail(s: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    import s.implicits._
+    val top = Tables(s, dir, "orders")
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .orderBy($"cents".desc, $"o_orderkey").limit(k + 1)
+      .localCheckpoint()
+    val thr = top.orderBy($"cents", $"o_orderkey").limit(1)
+      .select($"cents".as("thr"))
+    top.crossJoin(broadcast(thr))
+      // the total (cents desc, orderkey) order defines the top-k; ties
+      // at the threshold contribute ln(1) = 0, the textbook convention
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"cents".desc, $"o_orderkey")))
+      .filter($"rk" <= k)
+      .withColumn("lnu",
+        round(log($"cents".cast("double") / $"thr".cast("double")) * 1e6)
+          .cast("long"))
+      .agg(count(lit(1)).as("k"), max($"thr").as("threshold_cents"),
+        sum($"lnu").as("lsum_u"))
+      .select($"k", $"threshold_cents", $"lsum_u",
+        expr("k * 1000000000 div lsum_u").as("alpha_milli"))
+  }
+
+  /** Wald–Wolfowitz runs test on daily revenue around its median: does
+    * the sign sequence above/below flip like noise, or do long
+    * same-sign runs betray trend/regime structure the mean-based
+    * monitors assume away? The randomness precondition check for every
+    * i.i.d.-flavored alarm in this suite. Median as the exact doubled
+    * middle order statistic (no interpolation floats), tie days
+    * dropped per the textbook, runs counted with one lag window, and
+    * the normal z one fixed-shape double over the exact integers
+    * (E[R]·n = n + 2n₁n₂ is integer and ships alongside).
+    */
+  def runsTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .localCheckpoint()
+    val ord = Window.orderBy($"cents", $"day")
+    val n0 = daily.count()
+    val medX2 = daily
+      .withColumn("rk", row_number().over(ord).cast("long"))
+      .filter($"rk" === (n0 + 1) / 2 || $"rk" === n0 / 2 + 1)
+      .agg((sum($"cents") * when(lit(n0 % 2 == 1), 2L).otherwise(1L))
+        .as("med_x2"))
+    val signs = daily.crossJoin(broadcast(medX2))
+      .filter($"cents" * 2 =!= $"med_x2")
+      .withColumn("above", $"cents" * 2 > $"med_x2")
+    val byDay = Window.orderBy($"day")
+    signs
+      .withColumn("flip",
+        when(lag($"above", 1).over(byDay).isNull ||
+          lag($"above", 1).over(byDay) =!= $"above", 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when($"above", 1L).otherwise(0L)).as("n_above"),
+        sum(when(!$"above", 1L).otherwise(0L)).as("n_below"),
+        sum($"flip").as("runs"))
+      .withColumn("e_runs_x_n",
+        $"n_days" + lit(2L) * $"n_above" * $"n_below")
+      .withColumn("z", round(
+        ($"runs".cast("double") -
+          (lit(1.0) + lit(2.0) * $"n_above" * $"n_below" / $"n_days")) /
+        sqrt((lit(2.0) * $"n_above" * $"n_below" *
+          (lit(2.0) * $"n_above" * $"n_below" - $"n_days")) /
+          ($"n_days".cast("double") * $"n_days" * ($"n_days" - 1L))), 4))
+      .select($"n_days", $"n_above", $"n_below", $"runs",
+        $"e_runs_x_n", $"z")
+  }
+
   /** AMS/CMS join-size estimation: predict |orders ⋈ events| on the
     * customer key from two count-min sketches' inner product — the
     * planner-style cardinality estimate a pipeline computes in one

@@ -516,6 +516,55 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("hillTail: top-k log sum and alpha recount exactly") {
+    val cents = Tables(spark, sf, "orders")
+      .select($"o_orderkey", round($"o_totalprice" * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, c) => (-c, id) }
+    val top = cents.take(201)
+    val thr = top.last._2
+    val lsum = top.take(200).map { case (_, c) =>
+      BigDecimal(math.log(c.toDouble / thr.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum
+    val row = Relational.hillTail(spark, sf).collect().head
+    assert(row.getAs[Long]("k") === 200L)
+    assert(row.getAs[Long]("threshold_cents") === thr)
+    assert(row.getAs[Long]("lsum_u") === lsum)
+    assert(row.getAs[Long]("alpha_milli") === 200L * 1000000000L / lsum)
+    assert(row.getAs[Long]("alpha_milli") > 0)
+  }
+
+  test("runsTest: median split, run count and z recount exactly") {
+    val daily = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toString)
+    val n0 = daily.length
+    val sorted = daily.map(_._2).sorted
+    val medX2 = if (n0 % 2 == 1) 2 * sorted(n0 / 2)
+      else sorted(n0 / 2 - 1) + sorted(n0 / 2)
+    val signs = daily.filter(_._2 * 2 != medX2).map(_._2 * 2 > medX2)
+    val runs = 1L + signs.sliding(2).count {
+      case Array(a, b) => a != b
+      case _ => false
+    }
+    val n1 = signs.count(identity).toLong
+    val n2 = signs.count(!_).toLong
+    val n = n1 + n2
+    val row = Relational.runsTest(spark, sf).collect().head
+    assert(row.getAs[Long]("n_days") === n)
+    assert(row.getAs[Long]("n_above") === n1)
+    assert(row.getAs[Long]("n_below") === n2)
+    assert(row.getAs[Long]("runs") === runs)
+    assert(row.getAs[Long]("e_runs_x_n") === n + 2 * n1 * n2)
+    val z = BigDecimal((runs.toDouble - (1.0 + 2.0 * n1 * n2 / n)) /
+        math.sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n)) /
+          (n.toDouble * n * (n - 1))))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("z") === z)
+  }
+
   test("joinSizeEst: sketch inner products recount; soundness is a theorem") {
     def md5hex60(s0: String): Long =
       java.lang.Long.parseLong(
