@@ -189,6 +189,7 @@ object SparkEntry {
     "q_changepoint" -> Relational.changepoint,
     "q_join_size_est" -> ((s, dir) => Relational.joinSizeEst(s, dir)),
     "q_hill_tail" -> ((s, dir) => Relational.hillTail(s, dir)),
+    "q_theil_decomposition" -> Relational.theilDecomposition,
     "q_runs_test" -> Relational.runsTest,
     "q_kmv_overlap" -> ((s, dir) => Dedup.kmvOverlap(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
@@ -3043,6 +3044,50 @@ object SparkEntry {
          SELECT bin, ref_n, cur_n, p_ref_bp, p_cur_bp, lnr_u,
            CAST((p_ref_bp - p_cur_bp) * lnr_u AS BIGINT) AS contrib
          FROM sc ORDER BY bin""",
+    "q_theil_decomposition" ->
+      """WITH cust AS (SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x FROM orders GROUP BY 1),
+         cn AS (SELECT cust.o_custkey, x, c_nationkey
+           FROM cust JOIN customer ON c_custkey = o_custkey),
+         tot AS (SELECT CAST(sum(x) AS BIGINT) AS xt,
+             CAST(count(*) AS BIGINT) AS n FROM cn),
+         grp AS (SELECT c_nationkey, CAST(sum(x) AS BIGINT) AS xg,
+             CAST(count(*) AS BIGINT) AS ng FROM cn GROUP BY 1),
+         terms AS (SELECT cn.c_nationkey, x, xg, ng, xt, n,
+             CAST(round(ln(CAST(x * n AS DOUBLE) / CAST(xt AS DOUBLE))
+               * 1e6) AS BIGINT) AS ln_tot_u,
+             CAST(round(ln(CAST(x * ng AS DOUBLE) / CAST(xg AS DOUBLE))
+               * 1e6) AS BIGINT) AS ln_win_u
+           FROM cn JOIN grp USING (c_nationkey) CROSS JOIN tot),
+         pn AS (SELECT c_nationkey, CAST(max(ng) AS BIGINT) AS n_cust,
+             CAST(max(xg) AS BIGINT) AS revenue_cents,
+             CAST(sum(CAST(x AS HUGEINT) * ln_win_u) AS HUGEINT)
+               AS win_num,
+             CAST(max(CAST(xg AS HUGEINT) * CAST(round(ln(
+               CAST(xg * n AS DOUBLE) / CAST(xt * ng AS DOUBLE)) * 1e6)
+               AS BIGINT)) AS HUGEINT) AS btw_num
+           FROM terms GROUP BY 1),
+         tt AS (SELECT CAST(sum(CAST(x AS HUGEINT) * ln_tot_u) AS HUGEINT)
+             AS tot_num, CAST(max(xt) AS BIGINT) AS xt FROM terms),
+         f AS (SELECT pn.*, tot_num, xt,
+             CAST((CAST(sum(win_num) OVER () AS HUGEINT)
+               + 100000000 * CAST(xt AS HUGEINT)) // xt - 100000000
+               AS BIGINT) AS within_u,
+             CAST((CAST(sum(btw_num) OVER () AS HUGEINT)
+               + 100000000 * CAST(xt AS HUGEINT)) // xt - 100000000
+               AS BIGINT) AS between_u,
+             CAST((tot_num + 100000000 * CAST(xt AS HUGEINT)) // xt
+               - 100000000 AS BIGINT) AS theil_u
+           FROM pn CROSS JOIN tt)
+         SELECT c_nationkey, n_cust, revenue_cents,
+           CAST((win_num + 100000000 * CAST(xt AS HUGEINT)) // xt
+             - 100000000 AS BIGINT) AS within_contrib_u,
+           CAST((btw_num + 100000000 * CAST(xt AS HUGEINT)) // xt
+             - 100000000 AS BIGINT) AS between_contrib_u,
+           theil_u, between_u, within_u,
+           theil_u - between_u - within_u AS residual_u
+         FROM f ORDER BY c_nationkey""",
     "q_hill_tail" ->
       """WITH o AS (SELECT o_orderkey,
            CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

@@ -1091,6 +1091,74 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Theil inequality index of customer revenue, decomposed between and
+    * within nations: T = Σ(xᵢ/X)ln(xᵢ·n/X), the entropy-based
+    * concentration measure whose selling point over Gini is EXACT
+    * additive decomposability — how much revenue inequality is
+    * "nations differ" vs "customers within a nation differ", which is
+    * the question a market-mix review actually asks. Every term is one
+    * fixed-point ln of a ratio of exact integers weighted by exact
+    * cents, each component lands in ONE floor division by X, and the
+    * per-customer identity ln(x·n/X) = ln(x·n_g/X_g) + ln(X_g·n/(X·n_g))
+    * makes total = between + within up to ±1-micro-per-term rounding —
+    * emitted as `residual_u`, so the decomposition law is audited data.
+    * Weighted sums accumulate in DECIMAL(38,0).
+    */
+  def theilDecomposition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val cust = Tables(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("x"))
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey".as("o_custkey"), $"c_nationkey"), "o_custkey")
+      .localCheckpoint() // totals + group totals + terms all read it
+    val tot = cust.agg(sum($"x").as("xt"), count(lit(1)).as("n"))
+    val grp = cust.groupBy($"c_nationkey")
+      .agg(sum($"x").as("xg"), count(lit(1)).as("ng"))
+    val terms = cust.join(broadcast(grp), "c_nationkey")
+      .crossJoin(broadcast(tot))
+      .withColumn("ln_tot_u",
+        round(log(($"x" * $"n").cast("double") / $"xt".cast("double"))
+          * 1e6).cast("long"))
+      .withColumn("ln_win_u",
+        round(log(($"x" * $"ng").cast("double") / $"xg".cast("double"))
+          * 1e6).cast("long"))
+    val perNation = terms.groupBy($"c_nationkey")
+      .agg(max($"ng").as("n_cust"), max($"xg").as("revenue_cents"),
+        sum($"x".cast(dec) * $"ln_win_u").as("win_num"),
+        max($"xg".cast(dec) *
+          round(log(($"xg" * $"n").cast("double") /
+            ($"xt" * $"ng").cast("double")) * 1e6).cast("long"))
+          .as("btw_num"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val totals = terms
+      .agg(sum($"x".cast(dec) * $"ln_tot_u").as("tot_num"),
+        max($"xt").as("xt"))
+    // every division goes through the non-negative shift (sourceLangMi
+    // discipline): per-nation between contributions are GENUINELY
+    // negative for under-share nations, and tiny components can dip
+    // below zero by term rounding — Spark div truncs, SQL // floors,
+    // so the dividend must be provably nonnegative in both engines
+    def shiftDiv(num: String): String =
+      s"($num + 100000000 * CAST(xt AS $dec)) div xt - 100000000"
+    perNation.crossJoin(broadcast(totals))
+      .withColumn("within_u",
+        expr(shiftDiv(s"CAST(sum(win_num) OVER (ROWS BETWEEN UNBOUNDED" +
+          s" PRECEDING AND UNBOUNDED FOLLOWING) AS $dec)")))
+      .withColumn("between_u",
+        expr(shiftDiv(s"CAST(sum(btw_num) OVER (ROWS BETWEEN UNBOUNDED" +
+          s" PRECEDING AND UNBOUNDED FOLLOWING) AS $dec)")))
+      .withColumn("theil_u", expr(shiftDiv("tot_num")))
+      .select($"c_nationkey", $"n_cust", $"revenue_cents",
+        expr(shiftDiv("win_num")).as("within_contrib_u"),
+        expr(shiftDiv("btw_num")).as("between_contrib_u"),
+        $"theil_u", $"between_u", $"within_u",
+        ($"theil_u" - $"between_u" - $"within_u").as("residual_u"))
+      .orderBy($"c_nationkey")
+  }
+
   /** Hill tail-index estimator over order values: α̂ = k / Σᵢ ln(xᵢ/x₍k₊₁₎)
     * on the top-k order statistics — the standard heavy-tail exponent
     * behind "do a few giant orders carry the revenue", the

@@ -681,4 +681,56 @@ class RelationalSpec extends SparkSpec {
     // every customer is in exactly one class
     assert(rows.map(_.getAs[Long]("class_size")).sum === nRows)
   }
+
+  test("theilDecomposition: per-nation terms recount exactly and the " +
+       "additivity law total = between + within holds to term rounding") {
+    def lnU(num: BigInt, den: BigInt): Long =
+      BigDecimal(math.log(num.toDouble / den.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val cust = Tables(spark, sf, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("x"))
+      .join(Tables(spark, sf, "customer")
+        .select($"c_custkey".as("o_custkey"), $"c_nationkey"), "o_custkey")
+      .select($"c_nationkey", $"x").as[(Int, Long)].collect()
+    val xt = BigInt(cust.map(_._2).sum)
+    val n = BigInt(cust.length)
+    val byNat = cust.groupBy(_._1)
+    def shiftDiv(num: BigInt): Long = {
+      val d = (num + BigInt(100000000) * xt) / xt // nonneg → floor = trunc
+      (d - 100000000).toLong
+    }
+    val totNum = cust.map { case (_, x) =>
+      BigInt(x) * lnU(BigInt(x) * n, xt)
+    }.sum
+    val winNum = byNat.map { case (_, xs) =>
+      val xg = BigInt(xs.map(_._2).sum); val ng = BigInt(xs.length)
+      xs.map { case (_, x) => BigInt(x) * lnU(BigInt(x) * ng, xg) }.sum
+    }.sum
+    val btwNum = byNat.map { case (_, xs) =>
+      val xg = BigInt(xs.map(_._2).sum); val ng = BigInt(xs.length)
+      xg * lnU(xg * n, xt * ng)
+    }.sum
+    val rows = Relational.theilDecomposition(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("c_nationkey")).toSet === byNat.keySet)
+    rows.foreach { r =>
+      val xs = byNat(r.getAs[Int]("c_nationkey"))
+      val xg = BigInt(xs.map(_._2).sum); val ng = BigInt(xs.length)
+      assert(r.getAs[Long]("n_cust") === xs.length.toLong)
+      assert(r.getAs[Long]("revenue_cents") === xg.toLong)
+      assert(r.getAs[Long]("within_contrib_u") === shiftDiv(
+        xs.map { case (_, x) => BigInt(x) * lnU(BigInt(x) * ng, xg) }.sum))
+      assert(r.getAs[Long]("between_contrib_u") ===
+        shiftDiv(xg * lnU(xg * n, xt * ng)))
+      assert(r.getAs[Long]("theil_u") === shiftDiv(totNum))
+      assert(r.getAs[Long]("between_u") === shiftDiv(btwNum))
+      assert(r.getAs[Long]("within_u") === shiftDiv(winNum))
+      assert(r.getAs[Long]("residual_u") ===
+        shiftDiv(totNum) - shiftDiv(btwNum) - shiftDiv(winNum))
+      // decomposition law: exact up to ±1 micro per fixed-point ln term
+      assert(math.abs(r.getAs[Long]("residual_u")) <= cust.length.toLong)
+    }
+    // inequality is nonnegative and between-component is a lower part
+    assert(rows.head.getAs[Long]("theil_u") >= 0L)
+  }
 }
