@@ -190,6 +190,10 @@ object SparkEntry {
     "q_join_size_est" -> ((s, dir) => Relational.joinSizeEst(s, dir)),
     "q_hill_tail" -> ((s, dir) => Relational.hillTail(s, dir)),
     "q_theil_decomposition" -> Relational.theilDecomposition,
+    "q_acf_ljung_box" -> ((s, dir) => Relational.acfLjungBox(s, dir)),
+    "q_kruskal_weekday" -> Relational.kruskalWallis,
+    "q_linkage_weights" -> Dedup.linkageWeights,
+    "q_isotonic_calibration" -> Dedup.isotonicCalibration,
     "q_runs_test" -> Relational.runsTest,
     "q_kmv_overlap" -> ((s, dir) => Dedup.kmvOverlap(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
@@ -3044,6 +3048,190 @@ object SparkEntry {
          SELECT bin, ref_n, cur_n, p_ref_bp, p_cur_bp, lnr_u,
            CAST((p_ref_bp - p_cur_bp) * lnr_u AS BIGINT) AS contrib
          FROM sc ORDER BY bin""",
+    "q_isotonic_calibration" ->
+      s"""WITH $minhashCtes,
+         p AS ($minhashPairsSelect),
+         mem AS (SELECT DISTINCT doc_id FROM
+           (SELECT doc_a AS doc_id FROM p
+            UNION ALL SELECT doc_b FROM p)),
+         d AS (SELECT
+             CAST(round($qualityExpr * 10000) AS BIGINT) // 500 AS bin,
+             CASE WHEN mem.doc_id IS NULL THEN CAST(0 AS BIGINT)
+               ELSE CAST(1 AS BIGINT) END AS dup
+           FROM documents LEFT JOIN mem ON mem.doc_id = documents.doc_id),
+         bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dup) AS BIGINT) AS n_dup FROM d GROUP BY bin),
+         pre AS (SELECT bin, n_docs, n_dup,
+             CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS idx,
+             CAST(sum(n_docs) OVER (ORDER BY bin) AS BIGINT) AS cn,
+             CAST(sum(n_dup) OVER (ORDER BY bin) AS BIGINT) AS cd
+           FROM bins),
+         rg AS (SELECT a.idx AS i, b.idx AS j,
+             1000000 * (b.cd - (a.cd - a.n_dup))
+               // (b.cn - (a.cn - a.n_docs)) AS rate_u
+           FROM pre a JOIN pre b ON a.idx <= b.idx),
+         fi AS (SELECT p2.idx AS b, r.i, min(r.rate_u) AS mn,
+             max(r.rate_u) AS mx
+           FROM pre p2 JOIN rg r ON r.i <= p2.idx AND p2.idx <= r.j
+           GROUP BY 1, 2),
+         ft AS (SELECT b, CAST(max(mn) AS BIGINT) AS fit_inc_u,
+             CAST(min(mx) AS BIGINT) AS fit_dec_u FROM fi GROUP BY b),
+         f AS (SELECT bin, n_docs, n_dup,
+             1000000 * n_dup // n_docs AS rate_u, fit_inc_u, fit_dec_u
+           FROM pre JOIN ft ON ft.b = pre.idx),
+         g AS (SELECT f.*,
+             CAST(sum(CAST(n_docs AS HUGEINT) * (rate_u - fit_inc_u)
+               * (rate_u - fit_inc_u)) OVER () AS HUGEINT) AS sse_inc,
+             CAST(sum(CAST(n_docs AS HUGEINT) * (rate_u - fit_dec_u)
+               * (rate_u - fit_dec_u)) OVER () AS HUGEINT) AS sse_dec
+           FROM f)
+         SELECT bin, n_docs, n_dup, CAST(rate_u AS BIGINT) AS rate_u,
+           fit_inc_u, fit_dec_u, sse_inc, sse_dec,
+           sse_inc <= sse_dec AS monotone_up
+         FROM g ORDER BY bin""",
+    "q_linkage_weights" ->
+      s"""WITH $minhashCtes,
+         p AS ($minhashPairsSelect),
+         f AS (SELECT doc_id, lang, source,
+             CAST(strlen(text) AS BIGINT) // 128 AS len_band,
+             split_part(text, ' ', 1) AS tok1 FROM documents),
+         nn AS (SELECT CAST(count(*) AS BIGINT) // 2 AS h FROM documents),
+         rk AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY
+             md5(concat('link:', CAST(doc_id AS VARCHAR))), doc_id)
+             AS BIGINT) AS r FROM documents),
+         ps AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM rk a CROSS JOIN nn JOIN rk b ON b.r = a.r + h
+           WHERE a.r <= h),
+         mt AS (SELECT CAST(count(*) AS BIGINT) AS n_match,
+             CAST(sum(CASE WHEN fa.lang = fb.lang THEN 1 ELSE 0 END)
+               AS BIGINT) AS a_lang,
+             CAST(sum(CASE WHEN fa.source = fb.source THEN 1 ELSE 0 END)
+               AS BIGINT) AS a_source,
+             CAST(sum(CASE WHEN fa.len_band = fb.len_band THEN 1 ELSE 0
+               END) AS BIGINT) AS a_len_band,
+             CAST(sum(CASE WHEN fa.tok1 = fb.tok1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS a_first_token
+           FROM p JOIN f fa ON fa.doc_id = p.doc_a
+             JOIN f fb ON fb.doc_id = p.doc_b),
+         ut AS (SELECT CAST(count(*) AS BIGINT) AS n_unmatch,
+             CAST(sum(CASE WHEN fa.lang = fb.lang THEN 1 ELSE 0 END)
+               AS BIGINT) AS a_lang,
+             CAST(sum(CASE WHEN fa.source = fb.source THEN 1 ELSE 0 END)
+               AS BIGINT) AS a_source,
+             CAST(sum(CASE WHEN fa.len_band = fb.len_band THEN 1 ELSE 0
+               END) AS BIGINT) AS a_len_band,
+             CAST(sum(CASE WHEN fa.tok1 = fb.tok1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS a_first_token
+           FROM ps JOIN f fa ON fa.doc_id = ps.doc_a
+             JOIN f fb ON fb.doc_id = ps.doc_b),
+         sm AS (SELECT 'lang' AS comparator, n_match, a_lang AS m_agree
+             FROM mt UNION ALL
+           SELECT 'source', n_match, a_source FROM mt UNION ALL
+           SELECT 'len_band', n_match, a_len_band FROM mt UNION ALL
+           SELECT 'first_token', n_match, a_first_token FROM mt),
+         su AS (SELECT 'lang' AS comparator, n_unmatch, a_lang AS u_agree
+             FROM ut UNION ALL
+           SELECT 'source', n_unmatch, a_source FROM ut UNION ALL
+           SELECT 'len_band', n_unmatch, a_len_band FROM ut UNION ALL
+           SELECT 'first_token', n_unmatch, a_first_token FROM ut),
+         j AS (SELECT * FROM sm JOIN su USING (comparator))
+         SELECT comparator, n_match, n_unmatch, m_agree, u_agree,
+           (m_agree + 1) * 1000000 // (n_match + 2) AS m_ppm,
+           (u_agree + 1) * 1000000 // (n_unmatch + 2) AS u_ppm,
+           CAST(round(log2(CAST((m_agree + 1) * (n_unmatch + 2) AS DOUBLE)
+             / ((n_match + 2) * (u_agree + 1))) * 1e6) AS BIGINT)
+             AS w_agree_u,
+           CAST(round(log2(CAST((n_match + 1 - m_agree) * (n_unmatch + 2)
+             AS DOUBLE) / ((n_match + 2) * (n_unmatch + 1 - u_agree)))
+             * 1e6) AS BIGINT) AS w_disagree_u
+         FROM j ORDER BY comparator""",
+    "q_acf_ljung_box" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s FROM daily),
+         y AS (SELECT day, n * cents - s AS y, n FROM daily CROSS JOIN st),
+         l AS (SELECT y AS y0, n,
+             lead(y, 1) OVER w AS y1, lead(y, 2) OVER w AS y2,
+             lead(y, 3) OVER w AS y3, lead(y, 4) OVER w AS y4,
+             lead(y, 5) OVER w AS y5, lead(y, 6) OVER w AS y6,
+             lead(y, 7) OVER w AS y7, lead(y, 8) OVER w AS y8,
+             lead(y, 9) OVER w AS y9, lead(y, 10) OVER w AS y10
+           FROM y WINDOW w AS (ORDER BY day)),
+         a AS (SELECT max(n) AS n,
+             CAST(sum(CAST(y0 AS HUGEINT) * y0) AS HUGEINT) AS g0,
+             CAST(sum(CAST(y0 AS HUGEINT) * y1) AS HUGEINT) AS g1,
+             CAST(sum(CAST(y0 AS HUGEINT) * y2) AS HUGEINT) AS g2,
+             CAST(sum(CAST(y0 AS HUGEINT) * y3) AS HUGEINT) AS g3,
+             CAST(sum(CAST(y0 AS HUGEINT) * y4) AS HUGEINT) AS g4,
+             CAST(sum(CAST(y0 AS HUGEINT) * y5) AS HUGEINT) AS g5,
+             CAST(sum(CAST(y0 AS HUGEINT) * y6) AS HUGEINT) AS g6,
+             CAST(sum(CAST(y0 AS HUGEINT) * y7) AS HUGEINT) AS g7,
+             CAST(sum(CAST(y0 AS HUGEINT) * y8) AS HUGEINT) AS g8,
+             CAST(sum(CAST(y0 AS HUGEINT) * y9) AS HUGEINT) AS g9,
+             CAST(sum(CAST(y0 AS HUGEINT) * y10) AS HUGEINT) AS g10
+           FROM l),
+         stk AS (
+           SELECT n, g0, 1 AS lag_k, g1 AS gamma_num FROM a UNION ALL
+           SELECT n, g0, 2, g2 FROM a UNION ALL
+           SELECT n, g0, 3, g3 FROM a UNION ALL
+           SELECT n, g0, 4, g4 FROM a UNION ALL
+           SELECT n, g0, 5, g5 FROM a UNION ALL
+           SELECT n, g0, 6, g6 FROM a UNION ALL
+           SELECT n, g0, 7, g7 FROM a UNION ALL
+           SELECT n, g0, 8, g8 FROM a UNION ALL
+           SELECT n, g0, 9, g9 FROM a UNION ALL
+           SELECT n, g0, 10, g10 FROM a),
+         c(lag_c, crit_milli) AS (VALUES (1, 3841), (2, 5991), (3, 7815),
+           (4, 9488), (5, 11070), (6, 12592), (7, 14067), (8, 15507),
+           (9, 16919), (10, 18307)),
+         r AS (SELECT lag_k, n, g0, gamma_num, crit_milli,
+             CAST((gamma_num * 1000000 + 1000000 * g0) // g0
+               - 1000000 AS BIGINT) AS rho_u
+           FROM stk JOIN c ON lag_c = lag_k),
+         t AS (SELECT r.*, n * (n + 2) * rho_u * rho_u
+             // ((n - lag_k) * 1000000000) AS term_milli FROM r)
+         SELECT CAST(lag_k AS BIGINT) AS lag_k, g0 AS g0_num, gamma_num,
+           rho_u,
+           CAST(sum(term_milli) OVER (ORDER BY lag_k) AS BIGINT)
+             AS q_milli,
+           CAST(crit_milli AS BIGINT) AS crit_milli,
+           CAST(sum(term_milli) OVER (ORDER BY lag_k) AS BIGINT)
+             > crit_milli AS reject
+         FROM t ORDER BY lag_k""",
+    "q_kruskal_weekday" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         st AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+           FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily
+                 GROUP BY cents)),
+         rk AS (SELECT CAST(date_part('isodow', day) - 1 AS BIGINT) AS wd,
+             2 * rank() OVER (ORDER BY cents)
+               + count(*) OVER (PARTITION BY cents) - 1 AS dr
+           FROM daily),
+         g AS (SELECT wd, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(dr) AS BIGINT) AS r2_sum FROM rk GROUP BY wd),
+         f AS (SELECT wd, n_days, r2_sum, n, tie_sum,
+             3000 * r2_sum * r2_sum // (n_days * n * (n + 1))
+               AS h_contrib_milli
+           FROM g CROSS JOIN st),
+         h AS (SELECT f.*,
+             CAST(sum(h_contrib_milli) OVER () AS BIGINT)
+               - 3000 * (n + 1) AS h_milli,
+             1000000 - 1000000 * tie_sum // (n * n * n - n)
+               AS tie_denom_ppm FROM f)
+         SELECT wd, n_days, r2_sum,
+           1000 * r2_sum // (2 * n_days) AS mean_rank_milli,
+           CAST(h_contrib_milli AS BIGINT) AS h_contrib_milli, h_milli,
+           tie_sum, tie_denom_ppm,
+           CAST((h_milli * 1000000 + 1000000000 * tie_denom_ppm)
+             // tie_denom_ppm - 1000000000 AS BIGINT) AS h_adj_milli,
+           ((h_milli * 1000000 + 1000000000 * tie_denom_ppm)
+             // tie_denom_ppm - 1000000000) > 12592 AS reject
+         FROM h ORDER BY wd""",
     "q_theil_decomposition" ->
       """WITH cust AS (SELECT o_custkey,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

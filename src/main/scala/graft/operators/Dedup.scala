@@ -1387,4 +1387,139 @@ object Dedup {
     }
     dist.select($"v".as("doc_id"), $"hops").orderBy($"doc_id")
   }
+
+  /** Fellegi–Sunter linkage weights LEARNED from the dedup graph: for
+    * each cheap field comparator (lang equality, source equality,
+    * 128-byte length band, first whitespace token), the
+    * agreement probability among KNOWN near-dup pairs (m, from the
+    * MinHash-LSH candidate set this engine already verifies) versus
+    * among deterministic pseudo-random non-pairs (u, hash-order rank r
+    * paired with rank r+⌊n/2⌋ — reproducible on any engine, no RNG),
+    * and the resulting log₂(m/u) agreement / log₂((1−m)/(1−u))
+    * disagreement weights in micro units. This is how a pipeline
+    * BOOTSTRAPS cheap blocking/scoring rules from one expensive LSH
+    * pass: fields whose agreement weight is high are the keys worth
+    * blocking on next time; Laplace (+1/+2) smoothing keeps every
+    * ratio finite with zero-agreement comparators. Scale: the feature
+    * frame is one narrow projection of documents (checkpointed — four
+    * join sides read it), both pair sets are |pairs|-bounded, and the
+    * whole output is |comparators| rows.
+    */
+  def linkageWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", $"source",
+        expr("octet_length(text) div 128").as("len_band"),
+        element_at(split($"text", " ", 2), 1).as("tok1"))
+      .localCheckpoint()
+    val pairs = minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
+    val h = f.count() / 2
+    val rk = f.select($"doc_id")
+      .withColumn("r", row_number().over(Window.orderBy(
+        md5(concat(lit("link:"), $"doc_id".cast("string"))), $"doc_id"))
+        .cast("long"))
+    val pseudo = rk.filter($"r" <= h).select($"doc_id".as("doc_a"), $"r")
+      .join(rk.filter($"r" > h && $"r" <= 2 * h)
+        .select($"doc_id".as("doc_b"), ($"r" - h).as("r")), "r")
+      .select($"doc_a", $"doc_b")
+    val comparators = Seq("lang", "source", "len_band", "first_token")
+    def agreeCounts(p: DataFrame, nName: String, aName: String) = {
+      val agg0 = p
+        .join(f.select($"doc_id".as("doc_a"), $"lang".as("la"),
+          $"source".as("sa"), $"len_band".as("ba"), $"tok1".as("ta")), "doc_a")
+        .join(f.select($"doc_id".as("doc_b"), $"lang".as("lb"),
+          $"source".as("sb"), $"len_band".as("bb"), $"tok1".as("tb")), "doc_b")
+        .select(
+          when($"la" === $"lb", 1L).otherwise(0L).as("lang"),
+          when($"sa" === $"sb", 1L).otherwise(0L).as("source"),
+          when($"ba" === $"bb", 1L).otherwise(0L).as("len_band"),
+          when($"ta" === $"tb", 1L).otherwise(0L).as("first_token"))
+        .agg(count(lit(1)).as(nName),
+          comparators.map(c => sum(col(c)).as(s"a_$c")): _*)
+      agg0.select(col(nName), expr(comparators
+        .map(c => s"'$c', a_$c")
+        .mkString("stack(4, ", ", ", s") as (comparator, $aName)")))
+    }
+    agreeCounts(pairs, "n_match", "m_agree")
+      .join(agreeCounts(pseudo, "n_unmatch", "u_agree"), "comparator")
+      .withColumn("m_ppm",
+        expr("(m_agree + 1) * 1000000 div (n_match + 2)"))
+      .withColumn("u_ppm",
+        expr("(u_agree + 1) * 1000000 div (n_unmatch + 2)"))
+      .withColumn("w_agree_u", round(log2(
+        (($"m_agree" + 1L) * ($"n_unmatch" + 2L)).cast("double") /
+          (($"n_match" + 2L) * ($"u_agree" + 1L)).cast("double")) * 1e6)
+        .cast("long"))
+      .withColumn("w_disagree_u", round(log2(
+        (($"n_match" + 1L - $"m_agree") * ($"n_unmatch" + 2L))
+          .cast("double") /
+          (($"n_match" + 2L) * ($"n_unmatch" + 1L - $"u_agree"))
+            .cast("double")) * 1e6).cast("long"))
+      .select($"comparator", $"n_match", $"n_unmatch", $"m_agree",
+        $"u_agree", $"m_ppm", $"u_ppm", $"w_agree_u", $"w_disagree_u")
+      .orderBy($"comparator")
+  }
+
+  /** Isotonic (PAV) calibration of the composite quality score against
+    * observed near-dup membership: per 0.05-wide quality bin, the raw
+    * dup rate and its best MONOTONE fits in both directions, via the
+    * exact minimax identity fit(b) = max_{i≤b} min_{j≥b} rate(i..j)
+    * (non-decreasing) and its mirror — the closed form of
+    * pool-adjacent-violators, evaluated in O(B³) integer arithmetic
+    * over an audit-sized bin rollup (B ≤ 21) instead of a sequential
+    * pooling loop, so both engines compute the identical fit with no
+    * iteration-order ambiguity. Weighted squared-residual totals for
+    * BOTH directions ship in DECIMAL(38,0), so "which monotone story
+    * does the data support" (`monotone_up`) is decided data, not a
+    * reading. This is the calibration audit a pipeline runs before
+    * using a quality score as a dedup-priority or sampling weight:
+    * an uncalibratable (non-monotone) score is noise there. Scale:
+    * the corpus scan reduces to B rows before any pairwise work; the
+    * B² range frame and B³ fit join ride broadcast nested loops.
+    */
+  def isotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val pairs = minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
+    val members = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+    val d = TextOps.qualityScores(s, dir)
+      .select($"doc_id",
+        expr("CAST(round(quality * 10000) AS BIGINT) div 500").as("bin"))
+      .join(members.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+      .select($"bin", coalesce($"dup", lit(0L)).as("dup"))
+    val wOrd = Window.orderBy($"bin")
+    val pre = d.groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"dup").as("n_dup"))
+      .withColumn("idx", row_number().over(wOrd).cast("long"))
+      .withColumn("cn", sum($"n_docs").over(wOrd))
+      .withColumn("cd", sum($"n_dup").over(wOrd))
+      .localCheckpoint() // range lo side, hi side, and final all read it
+    val lo = pre.select($"idx".as("i"), ($"cn" - $"n_docs").as("cn0"),
+      ($"cd" - $"n_dup").as("cd0"))
+    val hi = pre.select($"idx".as("j"), $"cn".as("cn1"), $"cd".as("cd1"))
+    val ranges = lo.join(broadcast(hi), $"i" <= $"j")
+      .select($"i", $"j",
+        expr("1000000 * (cd1 - cd0) div (cn1 - cn0)").as("rate_u"))
+    val fits = pre.select($"idx".as("b"))
+      .join(broadcast(ranges), $"i" <= $"b" && $"b" <= $"j")
+      .groupBy($"b", $"i")
+      .agg(min($"rate_u").as("mn"), max($"rate_u").as("mx"))
+      .groupBy($"b")
+      .agg(max($"mn").as("fit_inc_u"), min($"mx").as("fit_dec_u"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    pre.join(broadcast(fits), $"idx" === $"b")
+      .withColumn("rate_u", expr("1000000 * n_dup div n_docs"))
+      .withColumn("sse_inc", sum(expr(s"CAST(n_docs AS $dec)" +
+        " * (rate_u - fit_inc_u) * (rate_u - fit_inc_u)")).over(all))
+      .withColumn("sse_dec", sum(expr(s"CAST(n_docs AS $dec)" +
+        " * (rate_u - fit_dec_u) * (rate_u - fit_dec_u)")).over(all))
+      .select($"bin", $"n_docs", $"n_dup", $"rate_u", $"fit_inc_u",
+        $"fit_dec_u", $"sse_inc", $"sse_dec",
+        ($"sse_inc" <= $"sse_dec").as("monotone_up"))
+      .orderBy($"bin")
+  }
 }

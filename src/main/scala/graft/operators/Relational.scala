@@ -1241,6 +1241,114 @@ object Relational {
         $"e_runs_x_n", $"z")
   }
 
+  /** Ljung–Box serial-correlation audit of daily revenue at lags
+    * 1..maxLag: the portmanteau "is this series white noise" test that
+    * complements runsTest's sign-flip view with MAGNITUDE memory —
+    * a calendar-driven pipeline whose daily volume autocorrelates is
+    * one where yesterday predicts today and every i.i.d.-flavored
+    * alarm threshold is miscalibrated. Exactness discipline: center
+    * via y_t = n·x_t − S (pure integers, no float mean), lag-k
+    * autocovariance numerators Σ y_t·y_{t+k} in DECIMAL(38,0), ρ_k in
+    * fixed micro units through the nonnegative-shift floor division
+    * (ρ can be genuinely negative), and the Ljung–Box terms
+    * n(n+2)ρ_u²/((n−k)·1e9) in pure longs — safe because n is the
+    * DAY count, bounded by the date span (~2.4k) at any data scale,
+    * so the daily rollup and the n-row lag window stay audit-sized
+    * while the orders scan underneath distributes. χ²(k) 95% critical
+    * values ship as driver literals so `reject` is decided data.
+    */
+  def acfLjungBox(s: SparkSession, dir: String, maxLag: Int = 10): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .localCheckpoint()
+    val st = daily.agg(count(lit(1)).as("n"), sum($"cents").as("s"))
+    val w = Window.orderBy($"day")
+    val y = daily.crossJoin(broadcast(st))
+      .select($"day", ($"n" * $"cents" - $"s").as("y"), $"n")
+    val leads = y.select(
+      Seq($"y".cast(dec).as("y0"), $"n") ++
+        (1 to maxLag).map(k => lead($"y", k).over(w).cast(dec).as(s"y$k")): _*)
+    val aggs = Seq(max($"n").as("n"), sum($"y0" * $"y0").as("g0")) ++
+      (1 to maxLag).map(k => sum($"y0" * col(s"y$k")).as(s"g$k"))
+    val one = leads.agg(aggs.head, aggs.tail: _*)
+    val stacked = one.select($"n", $"g0".as("g0_num"),
+      expr((1 to maxLag).map(k => s"$k, g$k")
+        .mkString(s"stack($maxLag, ", ", ", ") as (lag_k, gamma_num)")))
+    // χ² 95% quantiles, dof 1..10 (Abramowitz–Stegun table, milli units)
+    val crit = Seq(3841L, 5991L, 7815L, 9488L, 11070L, 12592L, 14067L,
+      15507L, 16919L, 18307L).take(maxLag).zipWithIndex
+      .map { case (c, i) => (i + 1, c) }.toDF("lag_k", "crit_milli")
+    val cum = Window.orderBy($"lag_k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stacked.join(broadcast(crit), "lag_k")
+      .withColumn("rho_u", expr(
+        "CAST((gamma_num * 1000000 + 1000000 * g0_num) div g0_num" +
+        " - 1000000 AS BIGINT)"))
+      .withColumn("term_milli",
+        expr("n * (n + 2) * rho_u * rho_u" +
+          " div ((n - lag_k) * 1000000000)"))
+      .withColumn("q_milli", sum($"term_milli").over(cum))
+      .select($"lag_k".cast("long").as("lag_k"), $"g0_num", $"gamma_num",
+        $"rho_u", $"q_milli", $"crit_milli",
+        ($"q_milli" > $"crit_milli").as("reject"))
+      .orderBy($"lag_k")
+  }
+
+  /** Kruskal–Wallis weekday-seasonality test on daily revenue: are the
+    * seven weekday revenue distributions exchangeable, or does the
+    * calendar carry a level effect? The rank-based (outlier-immune)
+    * ANOVA a skewed money series actually supports — the diagnostic
+    * that decides whether capacity plans and anomaly baselines may
+    * pool weekdays. Exactness discipline: ties get the textbook
+    * average rank kept integral by DOUBLING (dr = 2·rank + tiecount
+    * − 1), per-weekday H contributions 3000·R₂ⱼ²/(nⱼ·N·(N+1)) in one
+    * floor division each (the fixed-point definition both engines
+    * compute bit-identically), the tie-correction denominator
+    * 1 − ΣT/(N³−N) in exact ppm, and the corrected H through the
+    * nonnegative-shift division. N is the day count — bounded by the
+    * calendar at any data scale — so the global rank window rides an
+    * audit-sized rollup while the orders scan distributes. Reject at
+    * the χ²(6) 95% literal.
+    */
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .localCheckpoint()
+    val st = daily.groupBy($"cents").agg(count(lit(1)).as("t"))
+      .agg(sum($"t").as("n"),
+        sum($"t" * $"t" * $"t" - $"t").as("tie_sum"))
+    val ranked = daily
+      .withColumn("wd", weekday($"day").cast("long"))
+      .withColumn("rk", rank().over(Window.orderBy($"cents")).cast("long"))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy($"cents")).cast("long"))
+      .withColumn("dr", lit(2L) * $"rk" + $"cnt" - 1L)
+    val grp = ranked.groupBy($"wd")
+      .agg(count(lit(1)).as("n_days"), sum($"dr").as("r2_sum"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    grp.crossJoin(broadcast(st))
+      .withColumn("h_contrib_milli",
+        expr("3000 * r2_sum * r2_sum div (n_days * n * (n + 1))"))
+      .withColumn("h_milli",
+        sum($"h_contrib_milli").over(all) - lit(3000L) * ($"n" + 1L))
+      .withColumn("tie_denom_ppm",
+        expr("1000000 - 1000000 * tie_sum div (n * n * n - n)"))
+      .withColumn("h_adj_milli",
+        expr("(h_milli * 1000000 + 1000000000 * tie_denom_ppm)" +
+          " div tie_denom_ppm - 1000000000"))
+      .select($"wd", $"n_days", $"r2_sum",
+        expr("1000 * r2_sum div (2 * n_days)").as("mean_rank_milli"),
+        $"h_contrib_milli", $"h_milli", $"tie_sum", $"tie_denom_ppm",
+        $"h_adj_milli", ($"h_adj_milli" > 12592L).as("reject"))
+      .orderBy($"wd")
+  }
+
   /** AMS/CMS join-size estimation: predict |orders ⋈ events| on the
     * customer key from two count-min sketches' inner product — the
     * planner-style cardinality estimate a pipeline computes in one

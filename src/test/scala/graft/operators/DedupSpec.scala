@@ -628,4 +628,92 @@ class DedupSpec extends SparkSpec {
     assert(row.getAs[Double]("assortativity") === r0)
     assert(math.abs(r0) <= 1.0)
   }
+
+  test("linkageWeights: m/u agreement counts, smoothing and log2 weights " +
+       "recount exactly from the pair sets") {
+    import graft.Tables
+    val docs = Tables(spark, sf, "documents")
+      .select($"doc_id", $"lang", $"source",
+        expr("octet_length(text) div 128").as("len_band"),
+        element_at(split($"text", " ", 2), 1).as("tok1"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+      .toMap
+    val mPairs = Dedup.minhashLshPairs(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ranked = docs.keys.toSeq
+      .sortBy(id => (md5hex("link:" + id), id))
+    val h = docs.size / 2
+    val uPairs = (0 until h).map(i => (ranked(i), ranked(i + h)))
+    def agrees(p: Seq[(Long, Long)], pick: ((String, String, Long, String)) => Any) =
+      p.count { case (a, b) => pick(docs(a)) == pick(docs(b)) }.toLong
+    val picks: Seq[(String, ((String, String, Long, String)) => Any)] = Seq(
+      "lang" -> (_._1), "source" -> (_._2),
+      "len_band" -> (_._3), "first_token" -> (_._4))
+    val nM = mPairs.length.toLong
+    val nU = uPairs.length.toLong
+    val rows = Dedup.linkageWeights(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("comparator")).sorted ===
+      picks.map(_._1).sorted.toArray)
+    def w(num: Long, den: Long): Long =
+      BigDecimal(math.log(num.toDouble / den.toDouble) / math.log(2.0) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    rows.foreach { r =>
+      val pick = picks.toMap.apply(r.getAs[String]("comparator"))
+      val aM = agrees(mPairs.toSeq, pick)
+      val aU = agrees(uPairs, pick)
+      assert(r.getAs[Long]("n_match") === nM)
+      assert(r.getAs[Long]("n_unmatch") === nU)
+      assert(r.getAs[Long]("m_agree") === aM)
+      assert(r.getAs[Long]("u_agree") === aU)
+      assert(r.getAs[Long]("m_ppm") === (aM + 1) * 1000000 / (nM + 2))
+      assert(r.getAs[Long]("u_ppm") === (aU + 1) * 1000000 / (nU + 2))
+      assert(r.getAs[Long]("w_agree_u") ===
+        w((aM + 1) * (nU + 2), (nM + 2) * (aU + 1)))
+      assert(r.getAs[Long]("w_disagree_u") ===
+        w((nM + 1 - aM) * (nU + 2), (nM + 2) * (nU + 1 - aU)))
+    }
+  }
+
+  test("isotonicCalibration: minimax fits recount exactly, are monotone " +
+       "in the right directions, and never beat the raw rates' SSE of 0 " +
+       "claim falsely") {
+    val rows = Dedup.isotonicCalibration(spark, sf).collect()
+    val b = rows.length
+    val nD = rows.map(_.getAs[Long]("n_docs"))
+    val nDup = rows.map(_.getAs[Long]("n_dup"))
+    val cn = nD.scanLeft(0L)(_ + _)
+    val cd = nDup.scanLeft(0L)(_ + _)
+    def rate(i: Int, j: Int): Long = // 1-indexed inclusive range
+      1000000L * (cd(j) - cd(i - 1)) / (cn(j) - cn(i - 1))
+    (1 to b).zip(rows).foreach { case (k, r) =>
+      val fitInc = (1 to k).map(i =>
+        (k to b).map(j => rate(i, j)).min).max
+      val fitDec = (1 to k).map(i =>
+        (k to b).map(j => rate(i, j)).max).min
+      assert(r.getAs[Long]("rate_u") === rate(k, k))
+      assert(r.getAs[Long]("fit_inc_u") === fitInc, s"fit_inc at idx $k")
+      assert(r.getAs[Long]("fit_dec_u") === fitDec, s"fit_dec at idx $k")
+    }
+    // monotonicity laws of the minimax formula
+    val inc = rows.map(_.getAs[Long]("fit_inc_u"))
+    val dec = rows.map(_.getAs[Long]("fit_dec_u"))
+    assert(inc.zip(inc.tail).forall { case (a, c) => a <= c })
+    assert(dec.zip(dec.tail).forall { case (a, c) => a >= c })
+    // SSE totals recount; the reported direction is the smaller SSE
+    def sse(fit: Array[Long]) = rows.zip(fit).map { case (r, f) =>
+      val d0 = BigInt(r.getAs[Long]("rate_u") - f)
+      BigInt(r.getAs[Long]("n_docs")) * d0 * d0
+    }.sum
+    rows.foreach { r =>
+      assert(BigInt(r.getAs[java.math.BigDecimal]("sse_inc")
+        .toBigInteger) === sse(inc))
+      assert(BigInt(r.getAs[java.math.BigDecimal]("sse_dec")
+        .toBigInteger) === sse(dec))
+      assert(r.getAs[Boolean]("monotone_up") === (sse(inc) <= sse(dec)))
+    }
+  }
 }

@@ -682,6 +682,87 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("class_size")).sum === nRows)
   }
 
+  test("acfLjungBox: lag autocovariances, rho and cumulative Q recount " +
+       "exactly; Cauchy-Schwarz bounds rho") {
+    val daily = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toString)
+    val n = daily.length.toLong
+    val s0 = daily.map(_._2).sum
+    val y = daily.map { case (_, c) => BigInt(n * c - s0) }
+    val g0 = y.map(v => v * v).sum
+    val crit = Seq(3841L, 5991L, 7815L, 9488L, 11070L, 12592L, 14067L,
+      15507L, 16919L, 18307L)
+    var q = 0L
+    val rows = Relational.acfLjungBox(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val k = i + 1
+      val gk = y.dropRight(k).zip(y.drop(k)).map { case (a, b) => a * b }.sum
+      val rho = ((gk * 1000000 + 1000000 * g0) / g0 - 1000000).toLong
+      q += n * (n + 2) * rho * rho / ((n - k) * 1000000000L)
+      assert(r.getAs[Long]("lag_k") === k.toLong)
+      assert(BigInt(r.getAs[java.math.BigDecimal]("g0_num")
+        .toBigInteger) === g0)
+      assert(BigInt(r.getAs[java.math.BigDecimal]("gamma_num")
+        .toBigInteger) === gk, s"gamma at lag $k")
+      assert(r.getAs[Long]("rho_u") === rho, s"rho at lag $k")
+      assert(math.abs(rho) <= 1000000L) // |gamma_k| <= gamma_0
+      assert(r.getAs[Long]("q_milli") === q, s"Q at lag $k")
+      assert(r.getAs[Long]("crit_milli") === crit(i))
+      assert(r.getAs[Boolean]("reject") === (q > crit(i)))
+    }
+  }
+
+  test("kruskalWallis: doubled tie-average ranks, H and tie correction " +
+       "recount exactly; rank sums cover 2*(1+..+N)") {
+    val daily = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .as[(java.sql.Date, Long)].collect()
+    val n = daily.length.toLong
+    val byCents = daily.groupBy(_._2)
+    val tieSum = byCents.values.map { g =>
+      val t = g.length.toLong; t * t * t - t
+    }.sum
+    val sorted = daily.map(_._2).sorted
+    // doubled average rank per value: 2*minRank + count - 1
+    val dr = byCents.map { case (c, g) =>
+      val minRank = sorted.indexOf(c) + 1L
+      c -> (2L * minRank + g.length - 1L)
+    }
+    val wdOf = daily.map { case (d, c) =>
+      (d.toLocalDate.getDayOfWeek.getValue - 1L, c)
+    }
+    val groups = wdOf.groupBy(_._1)
+    val contribs = groups.map { case (wd, xs) =>
+      val r2 = xs.map { case (_, c) => dr(c) }.sum
+      wd -> (xs.length.toLong, r2,
+        3000L * r2 * r2 / (xs.length.toLong * n * (n + 1)))
+    }
+    val hMilli = contribs.values.map(_._3).sum - 3000L * (n + 1)
+    val tieDenomPpm = 1000000L - 1000000L * tieSum / (n * n * n - n)
+    val hAdj = (hMilli * 1000000L + 1000000000L * tieDenomPpm) /
+      tieDenomPpm - 1000000000L
+    val rows = Relational.kruskalWallis(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("wd")).toSet === groups.keySet)
+    rows.foreach { r =>
+      val (nd, r2, hc) = contribs(r.getAs[Long]("wd"))
+      assert(r.getAs[Long]("n_days") === nd)
+      assert(r.getAs[Long]("r2_sum") === r2)
+      assert(r.getAs[Long]("mean_rank_milli") === 1000L * r2 / (2L * nd))
+      assert(r.getAs[Long]("h_contrib_milli") === hc)
+      assert(r.getAs[Long]("h_milli") === hMilli)
+      assert(r.getAs[Long]("tie_sum") === tieSum)
+      assert(r.getAs[Long]("tie_denom_ppm") === tieDenomPpm)
+      assert(r.getAs[Long]("h_adj_milli") === hAdj)
+      assert(r.getAs[Boolean]("reject") === (hAdj > 12592L))
+    }
+    // doubled ranks over all days must sum to 2*(1+...+N) = N(N+1)
+    assert(rows.map(_.getAs[Long]("r2_sum")).sum === n * (n + 1))
+  }
+
   test("theilDecomposition: per-nation terms recount exactly and the " +
        "additivity law total = between + within holds to term rounding") {
     def lnU(num: BigInt, den: BigInt): Long =
