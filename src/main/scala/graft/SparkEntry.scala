@@ -194,6 +194,9 @@ object SparkEntry {
     "q_kruskal_weekday" -> Relational.kruskalWallis,
     "q_linkage_weights" -> Dedup.linkageWeights,
     "q_isotonic_calibration" -> Dedup.isotonicCalibration,
+    "q_dirichlet_ql" -> ((s, dir) => TextOps.dirichletQlTopK(s, dir)),
+    "q_capture_recapture" -> Dedup.captureRecapture,
+    "q_theil_sen" -> Relational.theilSenTrend,
     "q_runs_test" -> Relational.runsTest,
     "q_kmv_overlap" -> ((s, dir) => Dedup.kmvOverlap(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
@@ -3048,6 +3051,94 @@ object SparkEntry {
          SELECT bin, ref_n, cur_n, p_ref_bp, p_cur_bp, lnr_u,
            CAST((p_ref_bp - p_cur_bp) * lnr_u AS BIGINT) AS contrib
          FROM sc ORDER BY bin""",
+    "q_dirichlet_ql" ->
+      s"""WITH dd AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl
+           FROM documents),
+         tot AS (SELECT CAST(sum(dl) AS BIGINT) AS c_total FROM dd),
+         qt AS (SELECT doc_id, tok FROM
+             (SELECT doc_id, unnest($toks) AS tok FROM documents)
+           WHERE tok IN ('vector', 'hash', 'spark')),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM qt GROUP BY 1, 2),
+         ctf AS (SELECT tok, CAST(count(*) AS BIGINT) AS ctf
+           FROM qt GROUP BY 1),
+         cr AS (SELECT dd.doc_id, dd.dl, ctf.tok, ctf.ctf, c_total
+           FROM dd CROSS JOIN ctf CROSS JOIN tot),
+         sc AS (SELECT cr.doc_id, cr.dl,
+             CAST(round(ln(
+               CAST(coalesce(tf.tf, 0) * c_total + 2000 * ctf AS DOUBLE)
+               / CAST((cr.dl + 2000) * c_total AS DOUBLE)) * 1e6)
+               AS BIGINT) AS term_u
+           FROM cr LEFT JOIN tf
+             ON tf.doc_id = cr.doc_id AND tf.tok = cr.tok),
+         ag AS (SELECT doc_id, CAST(max(dl) AS BIGINT) AS dl,
+             CAST(sum(term_u) AS BIGINT) AS score_u FROM sc GROUP BY 1),
+         top AS (SELECT *, CAST(row_number() OVER (ORDER BY score_u DESC,
+             doc_id) AS INT) AS rank FROM ag)
+         SELECT rank, doc_id, dl, score_u FROM top
+         WHERE rank <= 25 ORDER BY rank""",
+    "q_capture_recapture" ->
+      s"""WITH $minhashCtes,
+         mp AS ($minhashPairsSelect),
+         f AS ($simhashCore),
+         sbk AS (SELECT doc_id, simhash,
+             concat(CAST(bi AS VARCHAR), ':',
+               CAST((simhash >> (bi * 15)) & 32767 AS VARCHAR)) AS bucket
+           FROM f, (SELECT unnest(generate_series(0, 3)) AS bi)),
+         sp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sbk a JOIN sbk b
+             ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash))
+             <= ${operators.Dedup.DefaultMaxHamming}),
+         c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_minhash FROM mp),
+         c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_simhash FROM sp),
+         cb AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+           FROM mp JOIN sp USING (doc_a, doc_b)),
+         j AS (SELECT n_minhash, n_simhash, n_both,
+             n_minhash + n_simhash - n_both AS n_union,
+             (n_minhash + 1) * (n_simhash + 1) // (n_both + 1) - 1
+               AS chapman_est
+           FROM c1 CROSS JOIN c2 CROSS JOIN cb)
+         SELECT n_minhash, n_simhash, n_both, n_union, chapman_est,
+           chapman_est - n_union AS est_missed,
+           n_minhash * 1000000 // greatest(chapman_est, 1)
+             AS minhash_recall_ppm,
+           n_simhash * 1000000 // greatest(chapman_est, 1)
+             AS simhash_recall_ppm
+         FROM j""",
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         t0 AS (SELECT min(day) AS d0 FROM daily),
+         d AS (SELECT CAST(datediff('day', d0, day) AS BIGINT) AS t,
+             cents FROM daily CROSS JOIN t0),
+         sl AS (SELECT a.t AS ti, b.t AS tj,
+             ((b.cents - a.cents) * 1000000) // (b.t - a.t) AS slope_u
+           FROM d a JOIN d b ON a.t < b.t),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM sl),
+         rk AS (SELECT slope_u, row_number() OVER (ORDER BY slope_u, ti,
+             tj) AS rk FROM sl),
+         med AS (SELECT CAST(sum(slope_u) * (CASE WHEN max(n_pairs) % 2
+               = 1 THEN 2 ELSE 1 END) AS BIGINT) AS slope_med_x2_u
+           FROM rk CROSS JOIN np
+           WHERE rk = (n_pairs + 1) // 2 OR rk = n_pairs // 2 + 1),
+         ols AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(cents) AS BIGINT) AS sc,
+             CAST(sum(CAST(t AS HUGEINT) * cents) AS HUGEINT) AS stc,
+             CAST(sum(t * t) AS BIGINT) AS stt FROM d),
+         o2 AS (SELECT n,
+             CAST(n AS HUGEINT) * stc - CAST(st AS HUGEINT) * sc
+               AS ols_num,
+             CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st
+               AS ols_den FROM ols),
+         o3 AS (SELECT n, CAST((ols_num * 1000000
+             + 2000000000000000 * ols_den) // ols_den
+             - 2000000000000000 AS BIGINT) AS ols_slope_u FROM o2)
+         SELECT n AS n_days, n_pairs, slope_med_x2_u, ols_slope_u,
+           slope_med_x2_u - 2 * ols_slope_u AS robust_minus_ols_x2_u
+         FROM med CROSS JOIN o3 CROSS JOIN np""",
     "q_isotonic_calibration" ->
       s"""WITH $minhashCtes,
          p AS ($minhashPairsSelect),

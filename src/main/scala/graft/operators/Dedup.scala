@@ -1522,4 +1522,46 @@ object Dedup {
         ($"sse_inc" <= $"sse_dec").as("monotone_up"))
       .orderBy($"bin")
   }
+
+  /** Capture–recapture estimate of the near-dup pairs BOTH detectors
+    * missed — the Lincoln–Petersen/Chapman mark-recapture idea applied
+    * to dedup QA: MinHash-LSH (capture 1) and SimHash (capture 2) are
+    * two independent-ish "surveys" of the same unknown population of
+    * true near-dup pairs, so the overlap between their catches
+    * estimates total population N̂ = (n₁+1)(n₂+1)/(m+1) − 1 (Chapman's
+    * bias-corrected form, exact integer floor) — and N̂ − |union| is
+    * the ESTIMATED NUMBER OF DUPS STILL IN THE CORPUS, the number a
+    * recall audit wants but ground truth can't give at 100 TB
+    * (est_missed ≥ 0 always: (n₁+1)(n₂+1) − (u+1)(m+1) = (n₁−m)(n₂−m),
+    * so the estimate never falls below what both nets saw). The
+    * independence caveat is real (both detectors key on token
+    * overlap, so the estimate is a lower bound on misses — positive
+    * dependence inflates m, deflating N̂) and ships in the contract:
+    * per-detector recall_ppm against N̂ alongside the raw counts.
+    * Scale: both pair sets are LSH-bounded; the overlap is one join
+    * on (doc_a, doc_b); output is one row.
+    */
+  def captureRecapture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mh = minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
+      .localCheckpoint() // count side and overlap side both read it
+    val sh = simhashPairs(s, dir).select($"doc_a", $"doc_b")
+      .localCheckpoint()
+    val n1 = mh.agg(count(lit(1)).as("n_minhash"))
+    val n2 = sh.agg(count(lit(1)).as("n_simhash"))
+    val nb = mh.join(sh, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_both"))
+    n1.crossJoin(broadcast(n2)).crossJoin(broadcast(nb))
+      .withColumn("n_union", $"n_minhash" + $"n_simhash" - $"n_both")
+      .withColumn("chapman_est", expr(
+        "(n_minhash + 1) * (n_simhash + 1) div (n_both + 1) - 1"))
+      .withColumn("est_missed", $"chapman_est" - $"n_union")
+      .withColumn("minhash_recall_ppm",
+        expr("n_minhash * 1000000 div greatest(chapman_est, 1)"))
+      .withColumn("simhash_recall_ppm",
+        expr("n_simhash * 1000000 div greatest(chapman_est, 1)"))
+      .select($"n_minhash", $"n_simhash", $"n_both", $"n_union",
+        $"chapman_est", $"est_missed", $"minhash_recall_ppm",
+        $"simhash_recall_ppm")
+  }
 }

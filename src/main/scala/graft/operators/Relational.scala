@@ -1349,6 +1349,69 @@ object Relational {
       .orderBy($"wd")
   }
 
+  /** Theil–Sen robust trend of daily revenue — the median of all
+    * pairwise slopes (cents/day), the estimator that shrugs off the
+    * outlier days that drag OLS (up to 29% contamination tolerance),
+    * reported side by side with the exact OLS slope so "how much do
+    * outliers bend the fitted trend" is one subtraction in the
+    * output. Exactness: slopes are TRUNCATED fixed-point
+    * micro-cents/day — Spark's `div` and DuckDB's BIGINT `//` both
+    * round toward zero, so the raw division is already engine-exact
+    * for negative numerators; the median is the doubled
+    * middle order statistic (runsTest convention, no interpolation
+    * floats); OLS numerators run in DECIMAL(38,0) with the
+    * nonnegative-shift division. Scale: the pair space is n_days² with
+    * n_days CALENDAR-bounded (~2.4k at any corpus size → ~3M pairs),
+    * generated by a broadcast nested loop, never a corpus-sized
+    * cartesian; the orders scan underneath distributes.
+    */
+  def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val t0 = daily.agg(min($"day").as("d0"))
+    val d = daily.crossJoin(broadcast(t0))
+      .select(datediff($"day", $"d0").cast("long").as("t"), $"cents")
+      .localCheckpoint() // pair self-join both sides + OLS read it
+    val slopes = d.select($"t".as("ti"), $"cents".as("ci"))
+      .join(broadcast(d.select($"t".as("tj"), $"cents".as("cj"))),
+        $"ti" < $"tj")
+      .withColumn("dy", ($"cj" - $"ci") * 1000000L)
+      .withColumn("dt", $"tj" - $"ti")
+      // TRUNCATING fixed-point division on both engines: Spark's `div`
+      // and DuckDB's BIGINT `//` both round toward zero (DuckDB floors
+      // only the nonneg-shifted forms used elsewhere; measured -7//2
+      // = -3), so no mod adjustment — identical is what matters
+      .withColumn("slope_u", expr("dy div dt"))
+      .select($"ti", $"tj", $"slope_u")
+      .localCheckpoint() // count and median rank both read it
+    val np = slopes.count()
+    val med = slopes
+      .withColumn("rk", row_number()
+        .over(Window.orderBy($"slope_u", $"ti", $"tj")).cast("long"))
+      .filter($"rk" === (np + 1) / 2 || $"rk" === np / 2 + 1)
+      .agg((sum($"slope_u") * when(lit(np % 2 == 1), 2L).otherwise(1L))
+        .as("slope_med_x2_u"))
+    val ols = d.agg(count(lit(1)).as("n"), sum($"t").as("st"),
+        sum($"cents").as("sc"),
+        sum(($"t" * $"cents").cast(dec)).as("stc"),
+        sum($"t" * $"t").as("stt"))
+      .withColumn("ols_num",
+        expr(s"CAST(n AS $dec) * stc - CAST(st AS $dec) * sc"))
+      .withColumn("ols_den",
+        expr(s"CAST(n AS $dec) * stt - CAST(st AS $dec) * st"))
+      .withColumn("ols_slope_u", expr(
+        "CAST((ols_num * 1000000 + 2000000000000000 * ols_den)" +
+        " div ols_den - 2000000000000000 AS BIGINT)"))
+    med.crossJoin(broadcast(ols))
+      .select($"n".as("n_days"), lit(np).as("n_pairs"),
+        $"slope_med_x2_u", $"ols_slope_u",
+        ($"slope_med_x2_u" - lit(2L) * $"ols_slope_u")
+          .as("robust_minus_ols_x2_u"))
+  }
+
   /** AMS/CMS join-size estimation: predict |orders ⋈ events| on the
     * customer key from two count-min sketches' inner product — the
     * planner-style cardinality estimate a pipeline computes in one

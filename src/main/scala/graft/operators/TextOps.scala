@@ -995,6 +995,51 @@ object TextOps {
       .orderBy($"bm25".desc, $"doc_id").limit(k)
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty's
+    * classic LM scorer) over the same fixed query terms as [[bm25TopK]]
+    * — the second member of the lexical-ranking family, and the one
+    * whose smoothing answers "how much does a MISSING term hurt",
+    * which BM25 simply zeroes: score(q,d) = Σ_t ln((tf + μ·ctf/C) /
+    * (dl + μ)). Every document scores every query term (absent terms
+    * included — that is the point of the model), so the plan is a
+    * broadcast of the 3-row (ctf, C) frame against the corpus-sized
+    * (doc, dl) frame with a left join onto observed tfs — no per-term
+    * rescans, one shuffle for the tf rollup. Exactness: each term is
+    * ONE fixed-point ln of a ratio of exact integers,
+    * (tf·C + μ·ctf)/((dl+μ)·C), all < 2⁵³ so the double quotient is
+    * computed from exactly-represented operands on both engines; the
+    * top-k is a distributed TakeOrdered on (score_u desc, doc_id),
+    * never a global sort.
+    */
+  def dirichletQlTopK(s: SparkSession, dir: String,
+                      terms: Seq[String] = Seq("vector", "hash", "spark"),
+                      mu: Long = 2000L, k: Int = 25): DataFrame = {
+    import s.implicits._
+    val toksDf = docsFanned(s, dir)
+      .select($"doc_id", text.tokensLower($"text").as("toks"))
+      .localCheckpoint() // dl frame and tf/ctf explode both read it
+    val dd = toksDf.select($"doc_id", size($"toks").cast("long").as("dl"))
+    val tok = toksDf.select($"doc_id", explode($"toks").as("tok"))
+      .filter($"tok".isInCollection(terms))
+    val tf = tok.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val ctf = tok.groupBy($"tok").agg(count(lit(1)).as("ctf"))
+    val tot = dd.agg(sum($"dl").as("c_total"))
+    val ord = Window.orderBy($"score_u".desc, $"doc_id")
+    dd.crossJoin(broadcast(ctf.crossJoin(tot)))
+      .join(tf, Seq("doc_id", "tok"), "left")
+      .withColumn("tf0", coalesce($"tf", lit(0L)))
+      .withColumn("term_u", round(log(
+        ($"tf0" * $"c_total" + lit(mu) * $"ctf").cast("double") /
+          (($"dl" + lit(mu)) * $"c_total").cast("double")) * 1e6)
+        .cast("long"))
+      .groupBy($"doc_id")
+      .agg(max($"dl").as("dl"), sum($"term_u").as("score_u"))
+      .orderBy($"score_u".desc, $"doc_id").limit(k)
+      .withColumn("rank", row_number().over(ord).cast("int"))
+      .select($"rank", $"doc_id", $"dl", $"score_u")
+      .orderBy($"rank")
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
     * the A-ES one-pass scheme): each doc draws a deterministic uniform
     * u ∈ (0,1] from its md5 hash and competes with key u^(1/w) — the

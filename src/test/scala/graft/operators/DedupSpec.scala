@@ -716,4 +716,32 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Boolean]("monotone_up") === (sse(inc) <= sse(dec)))
     }
   }
+
+  test("captureRecapture: Chapman estimate recounts from the two pair " +
+       "sets and can never claim fewer dups than the observed union") {
+    import spark.implicits._
+    val mh = Dedup.minhashLshPairs(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val sh = Dedup.simhashPairs(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val (n1, n2, m) = (mh.size.toLong, sh.size.toLong, (mh & sh).size.toLong)
+    val chapman = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    val union = n1 + n2 - m
+    val r = Dedup.captureRecapture(spark, sf).collect().head
+    assert(r.getAs[Long]("n_minhash") === n1)
+    assert(r.getAs[Long]("n_simhash") === n2)
+    assert(r.getAs[Long]("n_both") === m)
+    assert(r.getAs[Long]("n_union") === union)
+    assert(r.getAs[Long]("chapman_est") === chapman)
+    assert(r.getAs[Long]("est_missed") === chapman - union)
+    // algebraic law: (n1+1)(n2+1) - (union+1)(m+1) = (n1-m)(n2-m) >= 0,
+    // so the estimate can never fall below what both nets already saw
+    assert(r.getAs[Long]("est_missed") >= 0L)
+    assert(r.getAs[Long]("minhash_recall_ppm") ===
+      n1 * 1000000 / math.max(chapman, 1L))
+    assert(r.getAs[Long]("simhash_recall_ppm") ===
+      n2 * 1000000 / math.max(chapman, 1L))
+    // the fixture corpus must actually exercise the overlap
+    assert(m > 0 && m < n1 && m < n2)
+  }
 }

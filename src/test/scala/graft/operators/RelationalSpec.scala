@@ -763,6 +763,42 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("r2_sum")).sum === n * (n + 1))
   }
 
+  test("theilSenTrend: pairwise-slope median and exact OLS slope " +
+       "recount; the pair count is n(n-1)/2") {
+    val daily = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toString)
+    val d0 = daily.map(_._1.toLocalDate).min(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val pts = daily.map { case (d, c) =>
+      (java.time.temporal.ChronoUnit.DAYS.between(d0, d.toLocalDate), c)
+    }
+    val n = pts.length.toLong
+    val slopes = (for {
+      i <- pts.indices; j <- (i + 1) until pts.length
+    } yield ((pts(j)._2 - pts(i)._2) * 1000000L) / (pts(j)._1 - pts(i)._1))
+      .sorted
+    val np = slopes.length.toLong
+    assert(np === n * (n - 1) / 2)
+    val medX2 =
+      if (np % 2 == 1) 2L * slopes((np / 2).toInt)
+      else slopes((np / 2 - 1).toInt) + slopes((np / 2).toInt)
+    val st = pts.map(p => BigInt(p._1)).sum
+    val sc = pts.map(p => BigInt(p._2)).sum
+    val stc = pts.map(p => BigInt(p._1) * p._2).sum
+    val stt = pts.map(p => BigInt(p._1) * p._1).sum
+    val num = n * stc - st * sc
+    val den = n * stt - st * st
+    val ols = ((num * 1000000 + BigInt(2000000000000000L) * den) / den
+      - BigInt(2000000000000000L)).toLong
+    val r = Relational.theilSenTrend(spark, sf).collect().head
+    assert(r.getAs[Long]("n_days") === n)
+    assert(r.getAs[Long]("n_pairs") === np)
+    assert(r.getAs[Long]("slope_med_x2_u") === medX2)
+    assert(r.getAs[Long]("ols_slope_u") === ols)
+    assert(r.getAs[Long]("robust_minus_ols_x2_u") === medX2 - 2L * ols)
+  }
+
   test("theilDecomposition: per-nation terms recount exactly and the " +
        "additivity law total = between + within holds to term rounding") {
     def lnU(num: BigInt, den: BigInt): Long =

@@ -211,6 +211,33 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("dirichletQlTopK matches a sequential query-likelihood recount; " +
+       "every document scores every term") {
+    val terms = Seq("vector", "hash", "spark")
+    val mu = 2000L
+    val got = TextOps.dirichletQlTopK(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val cTotal = docs.map(_._2.length.toLong).sum
+    val ctf = terms.map(t => t -> docs.map(_._2.count(_ == t).toLong).sum).toMap
+    val present = terms.filter(ctf(_) > 0)
+    assert(present.nonEmpty) // fixture must exercise the scorer
+    val expected = docs.map { case (id, toks) =>
+      val dl = toks.length.toLong
+      val score = present.map { t =>
+        val tf = toks.count(_ == t).toLong
+        BigDecimal(math.log((tf * cTotal + mu * ctf(t)).toDouble /
+          ((dl + mu) * cTotal).toDouble) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      (id, dl, score)
+    }.sortBy { case (id, _, sc) => (-sc, id) }.take(25)
+      .zipWithIndex.map { case ((id, dl, sc), i) => (i + 1, id, dl, sc) }
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("weightedSampleES matches a driver-side A-ES recount and favors quality") {
     val got = TextOps.weightedSampleES(spark, sf, n = 100).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
