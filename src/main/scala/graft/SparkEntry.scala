@@ -197,6 +197,7 @@ object SparkEntry {
     "q_dirichlet_ql" -> ((s, dir) => TextOps.dirichletQlTopK(s, dir)),
     "q_capture_recapture" -> Dedup.captureRecapture,
     "q_theil_sen" -> Relational.theilSenTrend,
+    "q_page_hinkley" -> Relational.pageHinkley,
     "q_runs_test" -> Relational.runsTest,
     "q_kmv_overlap" -> ((s, dir) => Dedup.kmvOverlap(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
@@ -3106,6 +3107,33 @@ object SparkEntry {
            n_simhash * 1000000 // greatest(chapman_est, 1)
              AS simhash_recall_ppm
          FROM j""",
+    "q_page_hinkley" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         a AS (SELECT day, cents,
+             CAST(row_number() OVER w AS BIGINT) AS t,
+             CAST(sum(cents) OVER w AS BIGINT) AS s_cum
+           FROM daily WINDOW w AS (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         b AS (SELECT day, cents, t,
+             CAST(CAST(s_cum AS HUGEINT) * 1000000 // t AS BIGINT)
+               AS mbar_u FROM a),
+         c AS (SELECT day, cents, t, mbar_u,
+             CAST(sum(CAST(cents AS HUGEINT) * 1000000 - mbar_u)
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) AS HUGEINT) AS m_cum FROM b),
+         d AS (SELECT c.*,
+             m_cum - min(m_cum) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS ph_hi,
+             max(m_cum) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) - m_cum AS ph_lo FROM c)
+         SELECT day, cents, t, mbar_u, m_cum,
+           CAST(ph_hi AS HUGEINT) AS ph_hi, CAST(ph_lo AS HUGEINT)
+             AS ph_lo,
+           ph_hi >= mbar_u // 4 AS alarm_hi,
+           ph_lo >= mbar_u // 4 AS alarm_lo
+         FROM d ORDER BY day""",
     "q_theil_sen" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

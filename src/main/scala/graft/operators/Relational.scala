@@ -1349,6 +1349,46 @@ object Relational {
       .orderBy($"wd")
   }
 
+  /** Page–Hinkley drift monitor on daily revenue: the ADAPTIVE-mean
+    * complement to cusumShift's frozen-μ gate — m_t accumulates
+    * deviations from the RUNNING mean, and PH = m − min(prefix m)
+    * (resp. max-prefix − m) detects a sustained level shift relative
+    * to everything seen so far, no reference window to choose. The
+    * canonical online drift test (Page 1954; the form stream-mining
+    * uses for concept drift), here as one window pass: prefix sums →
+    * running mean in exact floored micro-units → cumulative deviation
+    * in DECIMAL(38,0) (first-day deviation is identically zero, so the
+    * prefix extrema start well-defined) → prefix-extrema PH pair.
+    * Alarm at a quarter of the current running mean, all integers.
+    * The day rollup is calendar-bounded at any corpus size; the
+    * orders scan underneath distributes.
+    */
+  def pageHinkley(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val ord = Window.orderBy($"day")
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("s_cum", sum($"cents").over(w))
+      .withColumn("mbar_u",
+        expr(s"CAST(s_cum AS $dec) * 1000000 div t").cast("long"))
+      .withColumn("dev",
+        ($"cents".cast(dec) * lit(1000000L)) - $"mbar_u")
+      .withColumn("m_cum", sum($"dev").over(w))
+      .withColumn("ph_hi", $"m_cum" - min($"m_cum").over(w))
+      .withColumn("ph_lo", max($"m_cum").over(w) - $"m_cum")
+      .select($"day", $"cents", $"t", $"mbar_u",
+        $"m_cum".cast(dec).as("m_cum"), $"ph_hi".cast(dec).as("ph_hi"),
+        $"ph_lo".cast(dec).as("ph_lo"),
+        ($"ph_hi" >= expr("mbar_u div 4")).as("alarm_hi"),
+        ($"ph_lo" >= expr("mbar_u div 4")).as("alarm_lo"))
+      .orderBy($"day")
+  }
+
   /** Theil–Sen robust trend of daily revenue — the median of all
     * pairwise slopes (cents/day), the estimator that shrugs off the
     * outlier days that drag OLS (up to 29% contamination tolerance),

@@ -200,6 +200,52 @@ object Streams {
       }
   }
 
+  /** Page–Hinkley drift monitor: the streaming twin of
+    * `Relational.pageHinkley` — same complete-mode daily-histogram
+    * state as the CUSUM sink (one row per calendar day, never
+    * throughput-sized), walked per trigger with the batch operator's
+    * exact integer recursion against the RUNNING mean (the adaptive
+    * complement to cusumMonitorSink's frozen μ: no reference window
+    * to pick, the monitor self-baselines). First-day deviation is
+    * identically zero (S₁·10⁶/1 is exact), so the prefix extrema
+    * start well-defined at 0. Emits the latest day's PH pair, the
+    * current running mean, and how many days have ever alarmed; a
+    * stream that has seen the same days reports the batch numbers
+    * exactly.
+    */
+  def pageHinkleySink(orders: DataFrame, targetDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val daily = orders
+      .select(col("day").cast("date").as("day"),
+        round(col("amount") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+    daily.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val days = batch.collect()
+          .map(r => (r.getDate(0).toString, r.getLong(1))).sortBy(_._1)
+        var sCum = BigInt(0); var m = BigInt(0)
+        var mMin = BigInt(0); var mMax = BigInt(0)
+        var phHi = BigInt(0); var phLo = BigInt(0)
+        var mbar = BigInt(0); var t = 0L; var alarmDays = 0L
+        days.foreach { case (_, cents) =>
+          t += 1; sCum += cents
+          mbar = sCum * 1000000 / t
+          m += BigInt(cents) * 1000000 - mbar
+          mMin = mMin.min(m); mMax = mMax.max(m)
+          phHi = m - mMin; phLo = mMax - m
+          if (phHi >= mbar / 4 || phLo >= mbar / 4) alarmDays += 1
+        }
+        Seq((batchId, t, phHi.toLong, phLo.toLong, mbar.toLong,
+            alarmDays, phHi >= mbar / 4 || phLo >= mbar / 4))
+          .toDF("batch_id", "n_days", "ph_hi", "ph_lo", "mbar_u",
+            "alarm_days", "alarm_now")
+          .write.mode("append").parquet(targetDir)
+        ()
+      }
+  }
+
   /** Exact-KS drift monitor: the streaming twin of `Events.ksDrift` —
     * a STATEFUL running per-value histogram on the 1e-4 quantization
     * grid (complete-mode aggregation, so the state store carries one

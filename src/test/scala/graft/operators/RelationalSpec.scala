@@ -763,6 +763,46 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("r2_sum")).sum === n * (n + 1))
   }
 
+  test("pageHinkley: running-mean deviations, prefix extrema and alarms " +
+       "recount exactly; first-day PH is zero") {
+    val daily = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toString)
+    var sCum = BigInt(0); var m = BigInt(0)
+    var mMin = BigInt(0); var mMax = BigInt(0)
+    val expected = daily.zipWithIndex.map { case ((day, cents), i) =>
+      val t = i + 1L
+      sCum += cents
+      val mbar = sCum * 1000000 / t
+      m += BigInt(cents) * 1000000 - mbar
+      mMin = mMin.min(m); mMax = mMax.max(m)
+      (day.toString, cents, t, mbar, m, m - mMin, mMax - m)
+    }
+    val rows = Relational.pageHinkley(spark, sf).collect()
+    assert(rows.length === daily.length)
+    rows.zip(expected).foreach {
+      case (r, (day, cents, t, mbar, mc, hi, lo)) =>
+        assert(r.getAs[java.sql.Date]("day").toString === day)
+        assert(r.getAs[Long]("cents") === cents)
+        assert(r.getAs[Long]("t") === t)
+        assert(r.getAs[Long]("mbar_u") === mbar.toLong, s"mbar at $day")
+        assert(BigInt(r.getAs[java.math.BigDecimal]("m_cum")
+          .toBigInteger) === mc, s"m_cum at $day")
+        assert(BigInt(r.getAs[java.math.BigDecimal]("ph_hi")
+          .toBigInteger) === hi, s"ph_hi at $day")
+        assert(BigInt(r.getAs[java.math.BigDecimal]("ph_lo")
+          .toBigInteger) === lo, s"ph_lo at $day")
+        assert(r.getAs[Boolean]("alarm_hi") === (hi >= mbar / 4))
+        assert(r.getAs[Boolean]("alarm_lo") === (lo >= mbar / 4))
+    }
+    // day 1: mean == value exactly, so the deviation and both PH are 0
+    assert(BigInt(rows.head.getAs[java.math.BigDecimal]("m_cum")
+      .toBigInteger) === BigInt(0))
+    assert(BigInt(rows.head.getAs[java.math.BigDecimal]("ph_hi")
+      .toBigInteger) === BigInt(0))
+  }
+
   test("theilSenTrend: pairwise-slope median and exact OLS slope " +
        "recount; the pair count is n(n-1)/2") {
     val daily = Tables(spark, sf, "orders")

@@ -396,6 +396,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L)._5, "a sustained revenue shift must alarm")
   }
 
+  test("pageHinkleySink: full history reproduces the batch Page-Hinkley; " +
+       "a revenue flood trips the self-baselined alarm") {
+    val dst = java.nio.file.Files.createTempDirectory("ph-out").toString + "/ph"
+    val ckpt = java.nio.file.Files.createTempDirectory("ph-ckpt").toString
+    val batchRows = graft.operators.Relational.pageHinkley(spark, sf).collect()
+    val orders = graft.Tables(spark, sf, "orders")
+      .select($"o_orderdate".cast("date").cast("string"), $"o_totalprice")
+      .as[(String, Double)].collect().toSeq
+    val input = MemoryStream[(String, Double)](spark)
+    val q = Streams.pageHinkleySink(input.toDF().toDF("day", "amount"), dst)
+      .option("checkpointLocation", ckpt).start()
+    input.addData(orders); q.processAllAvailable() // batch 0: real history
+    val lastDay = java.time.LocalDate.parse(orders.map(_._1).max)
+    val mbarCents = batchRows.last.getAs[Long]("mbar_u") / 1000000.0 / 100.0
+    val flood = (1 to 5).map(i =>
+      (lastDay.plusDays(i).toString, mbarCents * 4)) // 4x the mean level
+    input.addData(flood); q.processAllAvailable()  // batch 1: level shift
+    q.stop()
+    val rows = spark.read.parquet(dst).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val lastBatch = batchRows.last
+    assert(rows(0L)._1 === batchRows.length.toLong)
+    assert(BigInt(rows(0L)._2) === BigInt(lastBatch
+      .getAs[java.math.BigDecimal]("ph_hi").toBigInteger),
+      "stream ph_hi != batch ph_hi on the same days")
+    assert(BigInt(rows(0L)._3) === BigInt(lastBatch
+      .getAs[java.math.BigDecimal]("ph_lo").toBigInteger))
+    assert(rows(0L)._4 === lastBatch.getAs[Long]("mbar_u"))
+    assert(rows(0L)._5 === batchRows.count(r =>
+      r.getAs[Boolean]("alarm_hi") || r.getAs[Boolean]("alarm_lo")).toLong)
+    assert(rows(1L)._1 === batchRows.length.toLong + 5)
+    assert(rows(1L)._6, "a sustained 4x level shift must alarm")
+  }
+
   test("ksDriftSink: full late half reproduces the batch KS exactly; " +
        "a shifted batch trips the alarm") {
     val dst = java.nio.file.Files.createTempDirectory("ks-out").toString + "/ks"
