@@ -3141,12 +3141,12 @@ object SparkEntry {
          t0 AS (SELECT min(day) AS d0 FROM daily),
          d AS (SELECT CAST(datediff('day', d0, day) AS BIGINT) AS t,
              cents FROM daily CROSS JOIN t0),
-         sl AS (SELECT a.t AS ti, b.t AS tj,
-             ((b.cents - a.cents) * 1000000) // (b.t - a.t) AS slope_u
+         sl AS (SELECT ((b.cents - a.cents) * 1000000) // (b.t - a.t)
+             AS slope_u
            FROM d a JOIN d b ON a.t < b.t),
          np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM sl),
-         rk AS (SELECT slope_u, row_number() OVER (ORDER BY slope_u, ti,
-             tj) AS rk FROM sl),
+         rk AS (SELECT slope_u,
+             row_number() OVER (ORDER BY slope_u) AS rk FROM sl),
          med AS (SELECT CAST(sum(slope_u) * (CASE WHEN max(n_pairs) % 2
                = 1 THEN 2 ELSE 1 END) AS BIGINT) AS slope_med_x2_u
            FROM rk CROSS JOIN np

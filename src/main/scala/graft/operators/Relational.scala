@@ -1424,13 +1424,14 @@ object Relational {
       // and DuckDB's BIGINT `//` both round toward zero (DuckDB floors
       // only the nonneg-shifted forms used elsewhere; measured -7//2
       // = -3), so no mod adjustment — identical is what matters
-      .withColumn("slope_u", expr("dy div dt"))
-      .select($"ti", $"tj", $"slope_u")
+      .select(expr("dy div dt").as("slope_u"))
       .localCheckpoint() // count and median rank both read it
     val np = slopes.count()
+    // rank on the bare value: ties order arbitrarily but the VALUES at
+    // the two middle ranks are the order statistics either way
     val med = slopes
-      .withColumn("rk", row_number()
-        .over(Window.orderBy($"slope_u", $"ti", $"tj")).cast("long"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"slope_u")).cast("long"))
       .filter($"rk" === (np + 1) / 2 || $"rk" === np / 2 + 1)
       .agg((sum($"slope_u") * when(lit(np % 2 == 1), 2L).otherwise(1L))
         .as("slope_med_x2_u"))
