@@ -198,6 +198,8 @@ object SparkEntry {
     "q_capture_recapture" -> Dedup.captureRecapture,
     "q_theil_sen" -> Relational.theilSenTrend,
     "q_page_hinkley" -> Relational.pageHinkley,
+    "q_kaplan_meier" -> ((s, dir) => Events.kaplanMeier(s, dir)),
+    "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
     "q_runs_test" -> Relational.runsTest,
     "q_kmv_overlap" -> ((s, dir) => Dedup.kmvOverlap(s, dir)),
     "q_cusum_shift" -> Relational.cusumShift,
@@ -3107,6 +3109,74 @@ object SparkEntry {
            n_simhash * 1000000 // greatest(chapman_est, 1)
              AS simhash_recall_ppm
          FROM j""",
+    "q_kaplan_meier" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr FROM events),
+         birth AS (SELECT user_id, min(hr) AS birth FROM ev GROUP BY 1),
+         fe AS (SELECT user_id, min(hr) AS err_hr FROM ev
+           WHERE event_type = 'error' AND event_id % 11 = 0 GROUP BY 1),
+         wend AS (SELECT max(hr) AS wend FROM ev),
+         lives AS (SELECT birth.user_id, birth,
+             err_hr IS NOT NULL AS death,
+             CASE WHEN err_hr IS NOT NULL THEN err_hr - birth
+               ELSE wend - birth END AS t
+           FROM birth LEFT JOIN fe USING (user_id) CROSS JOIN wend),
+         lt AS (SELECT t, death FROM lives),
+         byt AS (SELECT t,
+             CAST(sum(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN death THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM lt GROUP BY t),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lt),
+         rs AS (SELECT t, d, c, n_total
+             - CAST(coalesce(sum(d + c) OVER (ORDER BY t ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_risk
+           FROM byt CROSS JOIN tot),
+         km AS (SELECT t, n_risk, d, c,
+             1000000 * d // n_risk AS hazard_ppm,
+             CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+               WHEN d = n_risk THEN CAST(-30000000 AS BIGINT)
+               ELSE CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                 / CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT) END
+               AS ln_term_u
+           FROM rs)
+         SELECT t AS t_hours, n_risk, d AS n_deaths, c AS n_censored,
+           CAST(hazard_ppm AS BIGINT) AS hazard_ppm, ln_term_u,
+           CAST(sum(ln_term_u) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS BIGINT) AS ln_s_u
+         FROM km ORDER BY t_hours""",
+    "q_touch_attribution" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id,
+           epoch_us(ts) AS p_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us,
+           CAST(hour(ts) AS BIGINT) AS click_hour
+           FROM events WHERE event_type = 'click'),
+         path AS (SELECT p.p_id, p.cents, c.c_id, c.c_us, c.click_hour
+           FROM p JOIN c USING (user_id)
+           WHERE c.c_us < p.p_us
+             AND c.c_us >= p.p_us - 604800000000),
+         rk AS (SELECT *,
+             CAST(row_number() OVER (PARTITION BY p_id ORDER BY c_us,
+               c_id) AS BIGINT) AS pos,
+             CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS n
+           FROM path),
+         cr AS (SELECT click_hour, cents,
+             CASE WHEN n = 1 THEN 10000
+               WHEN n = 2 THEN 5000
+               WHEN pos = 1 OR pos = n THEN 4000
+               ELSE 2000 // (n - 2) + (CASE WHEN pos - 1 <= 2000 % (n - 2)
+                 THEN 1 ELSE 0 END) END AS credit_bp
+           FROM rk)
+         SELECT click_hour,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_bp) AS BIGINT) AS credit_bp_sum,
+           CAST(sum(CAST(cents AS HUGEINT) * credit_bp) AS HUGEINT)
+             AS attr_cents_bp,
+           CAST(sum(CAST(cents AS HUGEINT) * credit_bp) // 10000
+             AS BIGINT) AS attr_cents
+         FROM cr GROUP BY click_hour ORDER BY click_hour""",
     "q_page_hinkley" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -1033,4 +1033,109 @@ object Events {
       .select($"n1".as("n_early"), $"n2".as("n_late"), $"r1_x2",
         $"u1_x2", $"u2_x2", $"tie_term", $"auc_bp", $"z")
   }
+
+  /** Kaplan–Meier product-limit estimate of time-to-first-FATAL-error
+    * per user (hours from first activity to the first 'error' event in
+    * the deterministic 1-in-11 id-sampled severity class — the stand-in
+    * for a real severity column, reproducible on any engine) with
+    * RIGHT CENSORING — the survival-analysis reliability readout where
+    * the naive mean time-to-failure is biased low because error-free
+    * users haven't failed, they've just run out of observation window:
+    * they are censored at the window end, still at risk, and the KM
+    * risk-set recursion prices exactly that. Exactness: durations are
+    * integer hours; n_risk comes from one cumulative window over the
+    * duration-grouped rollup (bounded by the observation span, not the
+    * user count); each survival factor ln(1 − d/n) is one fixed-point
+    * ln of an exact integer ratio, so the log-survival curve ln_s_u is
+    * a plain integer prefix sum (S itself is e^(ln_s_u/1e6) — left to
+    * the reader, keeping the contract float-free). A full-cohort
+    * death at the last step would be ln(0); it ships as the
+    * documented −30e6 sentinel (S < e⁻³⁰ ≈ 0) on both engines.
+    */
+  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"user_id", $"event_type", $"event_id",
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .localCheckpoint() // birth, first-error and window-end all read it
+    val birth = ev.groupBy($"user_id").agg(min($"hr").as("birth"))
+    val firstErr = ev.filter($"event_type" === "error" &&
+        $"event_id" % 11 === 0)
+      .groupBy($"user_id").agg(min($"hr").as("err_hr"))
+    val wend = ev.agg(max($"hr").as("wend"))
+    val lives = birth.join(firstErr, Seq("user_id"), "left")
+      .crossJoin(broadcast(wend))
+      .withColumn("death", $"err_hr".isNotNull)
+      .withColumn("t", when($"death", $"err_hr" - $"birth")
+        .otherwise($"wend" - $"birth").cast("long"))
+    val byT = lives.groupBy($"t")
+      .agg(sum(when($"death", 1L).otherwise(0L)).as("d"),
+        sum(when(!$"death", 1L).otherwise(0L)).as("c"))
+    val tot = lives.agg(count(lit(1)).as("n_total"))
+    val cum = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        $"n_total" - coalesce(sum($"d" + $"c").over(prev), lit(0L)))
+      .withColumn("hazard_ppm", expr("1000000 * d div n_risk"))
+      .withColumn("ln_term_u",
+        when($"d" === 0L, 0L)
+          .when($"d" === $"n_risk", -30000000L)
+          .otherwise(round(log(($"n_risk" - $"d").cast("double") /
+            $"n_risk".cast("double")) * 1e6).cast("long")))
+      .withColumn("ln_s_u", sum($"ln_term_u").over(cum))
+      .select($"t".as("t_hours"), $"n_risk", $"d".as("n_deaths"),
+        $"c".as("n_censored"), $"hazard_ppm", $"ln_term_u", $"ln_s_u")
+      .orderBy($"t_hours")
+  }
+
+  /** U-shaped multi-touch attribution of purchase revenue to the
+    * clicks that preceded it (7-day lookback): first and last touch
+    * get 40% each, the middles split the remaining 20% by Hamilton
+    * largest-remainder (earlier clicks take the +1s), single-touch
+    * takes 100%, two-touch splits 50/50 — so each purchase's credits
+    * sum to EXACTLY 10000 bp, a conservation law the spec pins, not a
+    * float that leaks basis points. Credited revenue rolls up by
+    * click hour-of-day: "which hours' engagement actually drives
+    * conversion", the budget-shifting question last-touch attribution
+    * answers wrong by design. Scale: the purchase×click join is
+    * per-user (shuffle on user_id, never a global cross), the
+    * position window partitions by purchase, and the output is 24
+    * rows; credit arithmetic is exact integer bp × cents.
+    */
+  def touchAttribution(s: SparkSession, dir: String,
+                       lookbackDays: Long = 7L): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"),
+        unix_micros($"ts").as("p_us"),
+        round($"value" * 100).cast("long").as("cents"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("c_id"),
+        unix_micros($"ts").as("c_us"), hour($"ts").cast("long").as("click_hour"))
+    val winUs = lookbackDays * 86400L * 1000000L
+    val wp = Window.partitionBy($"p_id").orderBy($"c_us", $"c_id")
+    purchases.join(clicks, Seq("user_id"))
+      .filter($"c_us" < $"p_us" && $"c_us" >= $"p_us" - winUs)
+      .withColumn("pos", row_number().over(wp).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy($"p_id")).cast("long"))
+      .withColumn("credit_bp",
+        when($"n" === 1L, 10000L)
+          .when($"n" === 2L, 5000L)
+          .when($"pos" === 1L || $"pos" === $"n", 4000L)
+          .otherwise(expr("2000 div (n - 2) + CASE WHEN pos - 1 <=" +
+            " 2000 % (n - 2) THEN 1 ELSE 0 END")))
+      .withColumn("attr_cents_bp", $"cents" * $"credit_bp")
+      .groupBy($"click_hour")
+      .agg(count(lit(1)).as("n_touches"),
+        sum($"credit_bp").as("credit_bp_sum"),
+        sum($"attr_cents_bp".cast("decimal(38,0)")).as("attr_cents_bp"))
+      .withColumn("attr_cents",
+        expr("CAST(attr_cents_bp div 10000 AS BIGINT)"))
+      .orderBy($"click_hour")
+  }
 }

@@ -535,4 +535,115 @@ class EventsSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(row.getAs[Double]("z") === z)
   }
+
+  test("kaplanMeier: risk sets, hazards and log-survival recount " +
+       "exactly; the risk set telescopes to zero") {
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Tables(spark, sf, "events")
+      .select($"user_id", $"event_type", $"event_id",
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .as[(Long, String, Long, Long)].collect()
+    val birth = ev.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._4).min
+    }
+    val errHr = ev.filter(e => e._2 == "error" && e._3 % 11 == 0)
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._4).min }
+    val wend = ev.map(_._4).max
+    val lives = birth.toSeq.map { case (u, b) =>
+      errHr.get(u) match {
+        case Some(e) => (e - b, true)
+        case None    => (wend - b, false)
+      }
+    }
+    val byT = lives.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.count(_._2).toLong, xs.count(!_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    var left = 0L
+    var lnS = 0L
+    val nTotal = lives.size.toLong
+    val rows = Events.kaplanMeier(spark, sf).collect()
+    assert(rows.length === byT.length)
+    rows.zip(byT).foreach { case (r, (t, d, c)) =>
+      val nRisk = nTotal - left
+      left += d + c
+      val lnTerm =
+        if (d == 0) 0L
+        else if (d == nRisk) -30000000L
+        else BigDecimal(math.log((nRisk - d).toDouble / nRisk) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      lnS += lnTerm
+      assert(r.getAs[Long]("t_hours") === t)
+      assert(r.getAs[Long]("n_risk") === nRisk, s"n_risk at t=$t")
+      assert(r.getAs[Long]("n_deaths") === d)
+      assert(r.getAs[Long]("n_censored") === c)
+      assert(r.getAs[Long]("hazard_ppm") === 1000000L * d / nRisk)
+      assert(r.getAs[Long]("ln_term_u") === lnTerm, s"ln term at t=$t")
+      assert(r.getAs[Long]("ln_s_u") === lnS, s"ln_s at t=$t")
+    }
+    // every subject leaves exactly once: the risk set telescopes out
+    assert(left === nTotal)
+    // the fixture must exercise both deaths and censoring
+    assert(byT.map(_._2).sum > 0 && byT.map(_._3).sum > 0)
+  }
+
+  test("touchAttribution: U-shaped Hamilton credits conserve exactly " +
+       "10000 bp per purchase and the hour rollup recounts") {
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Tables(spark, sf, "events")
+      .select($"event_type", $"user_id", $"event_id",
+        unix_micros($"ts").as("us"), hour($"ts").cast("long").as("h"),
+        round($"value" * 100).cast("long").as("cents"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val purchases = ev.filter(_._1 == "purchase")
+    val clicks = ev.filter(_._1 == "click")
+    val byUser = clicks.groupBy(_._2)
+    val win = 7L * 86400L * 1000000L
+    case class Touch(hour: Long, creditBp: Long, cents: Long)
+    val touches = purchases.flatMap { p =>
+      val path = byUser.getOrElse(p._2, Array.empty)
+        .filter(c => c._4 < p._4 && c._4 >= p._4 - win)
+        .sortBy(c => (c._4, c._3))
+      val n = path.length.toLong
+      path.zipWithIndex.map { case (c, i) =>
+        val pos = i + 1L
+        val credit =
+          if (n == 1) 10000L
+          else if (n == 2) 5000L
+          else if (pos == 1 || pos == n) 4000L
+          else 2000L / (n - 2) + (if (pos - 1 <= 2000L % (n - 2)) 1L else 0L)
+        Touch(c._5, credit, p._6)
+      }
+    }
+    // conservation: per purchase the credits sum to exactly 10000 bp
+    purchases.foreach { p =>
+      val path = byUser.getOrElse(p._2, Array.empty)
+        .filter(c => c._4 < p._4 && c._4 >= p._4 - win)
+      val n = path.length.toLong
+      if (n > 0) {
+        val total =
+          if (n == 1) 10000L
+          else if (n == 2) 10000L
+          else 8000L + (n - 2) * (2000L / (n - 2)) + (2000L % (n - 2))
+        assert(total === 10000L)
+      }
+    }
+    val expected = touches.groupBy(_.hour).map { case (h, xs) =>
+      h -> (xs.length.toLong, xs.map(_.creditBp).sum,
+        xs.map(x => BigInt(x.cents) * x.creditBp).sum)
+    }
+    val rows = Events.touchAttribution(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("click_hour")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (n, bp, cbp) = expected(r.getAs[Long]("click_hour"))
+      assert(r.getAs[Long]("n_touches") === n)
+      assert(r.getAs[Long]("credit_bp_sum") === bp)
+      assert(BigInt(r.getAs[java.math.BigDecimal]("attr_cents_bp")
+        .toBigInteger) === cbp)
+      assert(r.getAs[Long]("attr_cents") === (cbp / 10000).toLong)
+    }
+  }
 }
