@@ -199,6 +199,8 @@ object SparkEntry {
     "q_theil_sen" -> Relational.theilSenTrend,
     "q_page_hinkley" -> Relational.pageHinkley,
     "q_kaplan_meier" -> ((s, dir) => Events.kaplanMeier(s, dir)),
+    "q_log_rank" -> Events.logRankTest,
+    "q_ccf_lead_lag" -> ((s, dir) => Events.ccfLeadLag(s, dir)),
     "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
     "q_runs_test" -> Relational.runsTest,
     "q_kmv_overlap" -> ((s, dir) => Dedup.kmvOverlap(s, dir)),
@@ -434,6 +436,69 @@ object SparkEntry {
     * the single source for every MinHash-derived oracle (candidate
     * pairs, dedup edges, Jaccard estimates), so they cannot drift.
     */
+  /** Per-user survival triple (lives(user_id, t, death)) for the
+    * time-to-first-fatal-error family — shared by the q_kaplan_meier
+    * and q_log_rank oracles, mirroring Events.survivalLives so the
+    * censoring definition cannot drift between curve and test.
+    */
+  private val survivalLivesCtes =
+    """ev AS (SELECT user_id, event_type, event_id,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr FROM events),
+       birth AS (SELECT user_id, min(hr) AS birth FROM ev GROUP BY 1),
+       fe AS (SELECT user_id, min(hr) AS err_hr FROM ev
+         WHERE event_type = 'error' AND event_id % 11 = 0 GROUP BY 1),
+       wend AS (SELECT max(hr) AS wend FROM ev),
+       lives AS (SELECT birth.user_id, birth,
+           err_hr IS NOT NULL AS death,
+           CASE WHEN err_hr IS NOT NULL THEN err_hr - birth
+             ELSE wend - birth END AS t
+         FROM birth LEFT JOIN fe USING (user_id) CROSS JOIN wend)"""
+
+  /** Click→purchase hourly CCF oracle, lead columns generated from the
+    * same lag list as Events.ccfLeadLag so the two cannot drift.
+    */
+  private def ccfOracle(maxLag: Int): String = {
+    def nm(k: Int) = if (k < 0) s"ym${-k}" else s"yp$k"
+    val leadCols = (-maxLag to maxLag).map { k =>
+      if (k == 0) s"yc AS ${nm(0)}"
+      else if (k > 0) s"lead(yc, $k) OVER w AS ${nm(k)}"
+      else s"lag(yc, ${-k}) OVER w AS ${nm(k)}"
+    }.mkString(", ")
+    val gCols = (-maxLag to maxLag).map(k =>
+      s"CAST(sum(CAST(x0 AS HUGEINT) * ${nm(k)}) AS HUGEINT) AS g_${nm(k)}")
+      .mkString(", ")
+    val unions = (-maxLag to maxLag).map(k =>
+      s"SELECT n, gxx, gyy, $k AS lag_k, g_${nm(k)} AS gxy_num FROM a")
+      .mkString(" UNION ALL ")
+    s"""WITH ev AS (SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr FROM events),
+       gr AS (SELECT unnest(generate_series((SELECT min(hr) FROM ev),
+         (SELECT max(hr) FROM ev))) AS hr),
+       xs AS (SELECT hr, CAST(count(*) AS BIGINT) AS x FROM ev
+         WHERE event_type = 'click' GROUP BY 1),
+       ys AS (SELECT hr, CAST(count(*) AS BIGINT) AS y FROM ev
+         WHERE event_type = 'purchase' GROUP BY 1),
+       xy AS (SELECT gr.hr, coalesce(x, 0) AS x, coalesce(y, 0) AS y
+         FROM gr LEFT JOIN xs USING (hr) LEFT JOIN ys USING (hr)),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+         FROM xy),
+       c AS (SELECT hr, n * x - sx AS xc, n * y - sy AS yc, n
+         FROM xy CROSS JOIN st),
+       l AS (SELECT xc AS x0, yc AS y0, n, $leadCols FROM c
+         WINDOW w AS (ORDER BY hr)),
+       a AS (SELECT max(n) AS n,
+           CAST(sum(CAST(x0 AS HUGEINT) * x0) AS HUGEINT) AS gxx,
+           CAST(sum(CAST(y0 AS HUGEINT) * y0) AS HUGEINT) AS gyy,
+           $gCols FROM l),
+       stk AS ($unions)
+       SELECT CAST(lag_k AS BIGINT) AS lag_k,
+         n - abs(lag_k) AS n_pairs, gxy_num, gxx, gyy,
+         round(CAST(gxy_num AS DOUBLE) / (sqrt(CAST(gxx AS DOUBLE))
+           * sqrt(CAST(gyy AS DOUBLE))), 4) AS rho
+       FROM stk ORDER BY lag_k"""
+  }
+
   private val minhashCtes =
     s"""docs AS (SELECT doc_id, $toks AS toks FROM documents),
        sh AS (SELECT doc_id, unnest(list_transform(
@@ -3109,18 +3174,58 @@ object SparkEntry {
            n_simhash * 1000000 // greatest(chapman_est, 1)
              AS simhash_recall_ppm
          FROM j""",
+    "q_log_rank" ->
+      s"""WITH $survivalLivesCtes,
+         lv AS (SELECT t, death,
+             CAST(concat('0x', substring(md5(concat('arm:',
+               CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < 50
+               AS in_a
+           FROM lives),
+         byt AS (SELECT t,
+             CAST(sum(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN death AND in_a THEN 1 ELSE 0 END)
+               AS BIGINT) AS d1,
+             CAST(count(*) AS BIGINT) AS leave0,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS leave1
+           FROM lv GROUP BY t),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN death AND in_a THEN 1 ELSE 0 END)
+               AS BIGINT) AS deaths_a,
+             CAST(sum(CASE WHEN death AND NOT in_a THEN 1 ELSE 0 END)
+               AS BIGINT) AS deaths_b
+           FROM lv),
+         rs AS (SELECT t, d, d1, n_tot, n_a, deaths_a, deaths_b,
+             n_tot - CAST(coalesce(sum(leave0) OVER (ORDER BY t ROWS
+               BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk,
+             n_a - CAST(coalesce(sum(leave1) OVER (ORDER BY t ROWS
+               BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n1_risk
+           FROM byt CROSS JOIN tot),
+         tm AS (SELECT *,
+             d1 * 1000000 - d * n1_risk * 1000000 // n_risk AS oe_u,
+             CASE WHEN n_risk <= 1 THEN CAST(0 AS HUGEINT)
+               ELSE CAST(d AS HUGEINT) * n1_risk * (n_risk - n1_risk)
+                 * (n_risk - d) * 1000000
+                 // (CAST(n_risk AS HUGEINT) * n_risk * (n_risk - 1))
+               END AS v_u
+           FROM rs WHERE d > 0),
+         ag AS (SELECT max(n_tot) AS n_total, max(n_a) AS n_a,
+             max(deaths_a) AS deaths_a, max(deaths_b) AS deaths_b,
+             CAST(sum(oe_u) AS BIGINT) AS oe_u,
+             CAST(sum(v_u) AS HUGEINT) AS v_u FROM tm)
+         SELECT n_total, n_a, n_total - n_a AS n_b, deaths_a, deaths_b,
+           oe_u, v_u,
+           CAST(CAST(oe_u AS HUGEINT) * oe_u // v_u AS BIGINT) AS chi2_u,
+           round(CAST(oe_u AS DOUBLE) / (1000.0 * sqrt(CAST(v_u AS
+             DOUBLE))), 4) AS z
+         FROM ag""",
+    "q_ccf_lead_lag" -> ccfOracle(12),
     "q_kaplan_meier" ->
-      """WITH ev AS (SELECT user_id, event_type, event_id,
-           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr FROM events),
-         birth AS (SELECT user_id, min(hr) AS birth FROM ev GROUP BY 1),
-         fe AS (SELECT user_id, min(hr) AS err_hr FROM ev
-           WHERE event_type = 'error' AND event_id % 11 = 0 GROUP BY 1),
-         wend AS (SELECT max(hr) AS wend FROM ev),
-         lives AS (SELECT birth.user_id, birth,
-             err_hr IS NOT NULL AS death,
-             CASE WHEN err_hr IS NOT NULL THEN err_hr - birth
-               ELSE wend - birth END AS t
-           FROM birth LEFT JOIN fe USING (user_id) CROSS JOIN wend),
+      s"""WITH $survivalLivesCtes,
          lt AS (SELECT t, death FROM lives),
          byt AS (SELECT t,
              CAST(sum(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS d,

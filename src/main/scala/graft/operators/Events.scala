@@ -1052,7 +1052,11 @@ object Events {
     * death at the last step would be ln(0); it ships as the
     * documented −30e6 sentinel (S < e⁻³⁰ ≈ 0) on both engines.
     */
-  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+  /** Per-user survival triple (user_id, t, death) for the
+    * time-to-first-fatal-error analyses — shared by [[kaplanMeier]]
+    * and [[logRankTest]] so the censoring definition cannot drift.
+    */
+  private def survivalLives(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events")
       .select($"user_id", $"event_type", $"event_id",
@@ -1063,11 +1067,17 @@ object Events {
         $"event_id" % 11 === 0)
       .groupBy($"user_id").agg(min($"hr").as("err_hr"))
     val wend = ev.agg(max($"hr").as("wend"))
-    val lives = birth.join(firstErr, Seq("user_id"), "left")
+    birth.join(firstErr, Seq("user_id"), "left")
       .crossJoin(broadcast(wend))
       .withColumn("death", $"err_hr".isNotNull)
       .withColumn("t", when($"death", $"err_hr" - $"birth")
         .otherwise($"wend" - $"birth").cast("long"))
+      .select($"user_id", $"t", $"death")
+  }
+
+  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lives = survivalLives(s, dir)
     val byT = lives.groupBy($"t")
       .agg(sum(when($"death", 1L).otherwise(0L)).as("d"),
         sum(when(!$"death", 1L).otherwise(0L)).as("c"))
@@ -1137,5 +1147,118 @@ object Events {
       .withColumn("attr_cents",
         expr("CAST(attr_cents_bp div 10000 AS BIGINT)"))
       .orderBy($"click_hour")
+  }
+
+  /** Log-rank (Mantel–Cox) test comparing the [[kaplanMeier]] survival
+    * curves of two hash-split arms — the A/B readout for "did the
+    * treatment arm fail sooner", here run as an A/A validity check on
+    * the content-independent md5 split (the split-balance discipline:
+    * a significant log-rank on hash arms means the test harness, not
+    * the treatment, is broken). At each death time the observed arm-A
+    * deaths are compared with the hypergeometric expectation
+    * d·n₁/n, variance d·n₁·(n−n₁)·(n−d)/(n²(n−1)); both accumulate in
+    * exact fixed-point micro units (DECIMAL(38,0) for the variance
+    * numerators), χ² in micro units is one decimal division, and only
+    * the final z pays one fixed-shape sqrt. Reuses the SAME
+    * [[survivalLives]] frame as the KM curve, so the censoring
+    * definition cannot drift between the curve and its test.
+    */
+  def logRankTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val lives = survivalLives(s, dir)
+      .withColumn("in_a",
+        TextOps.hashBucketMod($"user_id", "arm:", 100L) < 50)
+      .localCheckpoint() // arm totals and the death-time table read it
+    val byT = lives.groupBy($"t")
+      .agg(sum(when($"death", 1L).otherwise(0L)).as("d"),
+        sum(when($"death" && $"in_a", 1L).otherwise(0L)).as("d1"),
+        count(lit(1)).as("leave"),
+        sum(when($"in_a", 1L).otherwise(0L)).as("leave1"))
+    val tot = lives.agg(count(lit(1)).as("n_tot"),
+      sum(when($"in_a", 1L).otherwise(0L)).as("n_a"),
+      sum(when($"death" && $"in_a", 1L).otherwise(0L)).as("deaths_a"),
+      sum(when($"death" && !$"in_a", 1L).otherwise(0L)).as("deaths_b"))
+    val prev = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        $"n_tot" - coalesce(sum($"leave").over(prev), lit(0L)))
+      .withColumn("n1_risk",
+        $"n_a" - coalesce(sum($"leave1").over(prev), lit(0L)))
+      .filter($"d" > 0)
+      .withColumn("oe_u",
+        $"d1" * 1000000L - expr("d * n1_risk * 1000000 div n_risk"))
+      .withColumn("v_u", expr(
+        s"CASE WHEN n_risk <= 1 THEN CAST(0 AS $dec)" +
+        s" ELSE CAST(d AS $dec) * n1_risk * (n_risk - n1_risk)" +
+        s" * (n_risk - d) * 1000000" +
+        s" div (CAST(n_risk AS $dec) * n_risk * (n_risk - 1)) END"))
+    terms
+      .agg(max($"n_tot").as("n_total"), max($"n_a").as("n_a"),
+        max($"deaths_a").as("deaths_a"), max($"deaths_b").as("deaths_b"),
+        sum($"oe_u").as("oe_u"), sum($"v_u".cast(dec)).as("v_u"))
+      .withColumn("chi2_u", expr(
+        s"CAST(CAST(oe_u AS $dec) * oe_u div v_u AS BIGINT)"))
+      .withColumn("z", round($"oe_u".cast("double") /
+        (lit(1000.0) * sqrt($"v_u".cast("double"))), 4))
+      .select($"n_total", $"n_a", ($"n_total" - $"n_a").as("n_b"),
+        $"deaths_a", $"deaths_b", $"oe_u", $"v_u", $"chi2_u", $"z")
+  }
+
+  /** Hourly click→purchase cross-correlation at lags −12..+12 — the
+    * lead-lag diagnostic behind "does engagement volume LEAD conversion
+    * volume, and by how many hours", which decides how far ahead a
+    * capacity or spend decision can see. Both series ride ONE complete
+    * hourly grid (zero-filled, so lags shift real hours, not row
+    * offsets over gaps); centering is the integer y = n·x − S trick
+    * (no float means), lagged cross-products accumulate exactly in
+    * DECIMAL(38,0) — the truncated-overlap convention, n−|k| pairs at
+    * lag k — and only the final normalization by √(Σx²·Σy²) pays
+    * doubles, rounded at 4dp. Positive lag = clicks lead purchases.
+    * The grid is observation-span-bounded at any event volume; the
+    * event scan distributes.
+    */
+  def ccfLeadLag(s: SparkSession, dir: String, maxLag: Int = 12): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val ev = Tables(s, dir, "events")
+      .select($"event_type", expr("unix_micros(ts) div 3600000000").as("hr"))
+    val grid = ev.agg(min($"hr").as("h0"), max($"hr").as("h1"))
+      .select(explode(sequence($"h0", $"h1")).as("hr"))
+    def series(t: String, name: String) = grid
+      .join(ev.filter($"event_type" === t).groupBy($"hr")
+        .agg(count(lit(1)).as(name)), Seq("hr"), "left")
+      .na.fill(0L, Seq(name))
+    val xy = series("click", "x").join(series("purchase", "y"), "hr")
+    val st = xy.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+      sum($"y").as("sy"))
+    val c = xy.crossJoin(broadcast(st))
+      .select($"hr", ($"n" * $"x" - $"sx").as("xc"),
+        ($"n" * $"y" - $"sy").as("yc"), $"n")
+    val w = Window.orderBy($"hr")
+    def lagName(k: Int): String = if (k < 0) s"ym${-k}" else s"yp$k"
+    val lags = (-maxLag to maxLag).toSeq
+    val shifted = c.select(
+      Seq($"xc".cast(dec).as("x0"), $"yc".cast(dec).as("y0"), $"n") ++
+        lags.map { k =>
+          val col0 = if (k == 0) $"yc"
+            else if (k > 0) lead($"yc", k).over(w)
+            else lag($"yc", -k).over(w)
+          col0.cast(dec).as(lagName(k))
+        }: _*)
+    val aggs = Seq(max($"n").as("n"), sum($"x0" * $"x0").as("gxx"),
+      sum($"y0" * $"y0").as("gyy")) ++
+      lags.map(k => sum($"x0" * col(lagName(k))).as(s"g_${lagName(k)}"))
+    val one = shifted.agg(aggs.head, aggs.tail: _*)
+    one.select($"n", $"gxx", $"gyy",
+      expr(lags.map(k => s"$k, g_${lagName(k)}")
+        .mkString(s"stack(${lags.length}, ", ", ", ") as (lag_k, gxy_num)")))
+      .select($"lag_k".cast("long").as("lag_k"),
+        ($"n" - abs($"lag_k")).as("n_pairs"), $"gxy_num", $"gxx", $"gyy",
+        round($"gxy_num".cast("double") /
+          (sqrt($"gxx".cast("double")) * sqrt($"gyy".cast("double"))), 4)
+          .as("rho"))
+      .orderBy($"lag_k")
   }
 }

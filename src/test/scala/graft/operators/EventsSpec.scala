@@ -588,6 +588,111 @@ class EventsSpec extends SparkSpec {
     assert(byT.map(_._2).sum > 0 && byT.map(_._3).sum > 0)
   }
 
+  test("logRankTest: hypergeometric O-E and variance recount exactly; " +
+       "the A/A hash split is insignificant") {
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Tables(spark, sf, "events")
+      .select($"user_id", $"event_type", $"event_id",
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .as[(Long, String, Long, Long)].collect()
+    val birth = ev.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._4).min }
+    val errHr = ev.filter(e => e._2 == "error" && e._3 % 11 == 0)
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._4).min }
+    val wend = ev.map(_._4).max
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def inA(u: Long): Boolean =
+      java.lang.Long.parseLong(md5hex("arm:" + u).substring(0, 15), 16) % 100 < 50
+    val lives = birth.toSeq.map { case (u, b) =>
+      errHr.get(u) match {
+        case Some(e) => (e - b, true, inA(u))
+        case None    => (wend - b, false, inA(u))
+      }
+    }
+    val nTot = lives.size.toLong
+    val nA = lives.count(_._3).toLong
+    var leftAll = 0L; var leftA = 0L
+    var oe = 0L; var v = BigInt(0)
+    lives.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, xs) =>
+      val nRisk = nTot - leftAll
+      val n1 = nA - leftA
+      val d = xs.count(_._2).toLong
+      val d1 = xs.count(x => x._2 && x._3).toLong
+      leftAll += xs.size; leftA += xs.count(_._3)
+      if (d > 0) {
+        oe += d1 * 1000000L - d * n1 * 1000000L / nRisk
+        if (nRisk > 1)
+          v += BigInt(d) * n1 * (nRisk - n1) * (nRisk - d) * 1000000 /
+            (BigInt(nRisk) * nRisk * (nRisk - 1))
+      }
+    }
+    val r = Events.logRankTest(spark, sf).collect().head
+    assert(r.getAs[Long]("n_total") === nTot)
+    assert(r.getAs[Long]("n_a") === nA)
+    assert(r.getAs[Long]("n_b") === nTot - nA)
+    assert(r.getAs[Long]("deaths_a") ===
+      lives.count(x => x._2 && x._3).toLong)
+    assert(r.getAs[Long]("deaths_b") ===
+      lives.count(x => x._2 && !x._3).toLong)
+    assert(r.getAs[Long]("oe_u") === oe)
+    assert(BigInt(r.getAs[java.math.BigDecimal]("v_u").toBigInteger) === v)
+    assert(r.getAs[Long]("chi2_u") === (BigInt(oe) * oe / v).toLong)
+    val z = BigDecimal(oe.toDouble / (1000.0 * math.sqrt(v.toDouble)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") === z)
+    // A/A on a content-independent hash must not "discover" an effect
+    assert(math.abs(r.getAs[Double]("z")) < 3.0)
+  }
+
+  test("ccfLeadLag: centered cross-products and normalization recount " +
+       "exactly over the zero-filled hourly grid") {
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Tables(spark, sf, "events")
+      .select($"event_type", expr("unix_micros(ts) div 3600000000").as("hr"))
+      .as[(String, Long)].collect()
+    val h0 = ev.map(_._2).min
+    val h1 = ev.map(_._2).max
+    val n = (h1 - h0 + 1)
+    def cnt(t: String) = {
+      val m = ev.filter(_._1 == t).groupBy(_._2)
+        .map { case (h, xs) => h -> xs.length.toLong }
+      (h0 to h1).map(h => m.getOrElse(h, 0L))
+    }
+    val x = cnt("click"); val y = cnt("purchase")
+    val sx = x.sum; val sy = y.sum
+    val xc = x.map(v0 => BigInt(n * v0 - sx))
+    val yc = y.map(v0 => BigInt(n * v0 - sy))
+    val gxx = xc.map(v0 => v0 * v0).sum
+    val gyy = yc.map(v0 => v0 * v0).sum
+    val rows = Events.ccfLeadLag(spark, sf).collect()
+    assert(rows.length === 25)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("lag_k").toInt
+      val gxy =
+        if (k >= 0) xc.dropRight(k).zip(yc.drop(k))
+          .map { case (a, b) => a * b }.sum
+        else xc.drop(-k).zip(yc.dropRight(-k))
+          .map { case (a, b) => a * b }.sum
+      assert(r.getAs[Long]("n_pairs") === n - math.abs(k))
+      assert(BigInt(r.getAs[java.math.BigDecimal]("gxy_num")
+        .toBigInteger) === gxy, s"gxy at lag $k")
+      assert(BigInt(r.getAs[java.math.BigDecimal]("gxx")
+        .toBigInteger) === gxx)
+      assert(BigInt(r.getAs[java.math.BigDecimal]("gyy")
+        .toBigInteger) === gyy)
+      val rho = BigDecimal(gxy.toDouble /
+        (math.sqrt(gxx.toDouble) * math.sqrt(gyy.toDouble)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rho") === rho, s"rho at lag $k")
+      assert(math.abs(rho) <= 1.0)
+    }
+  }
+
   test("touchAttribution: U-shaped Hamilton credits conserve exactly " +
        "10000 bp per purchase and the hour rollup recounts") {
     import graft.Tables
