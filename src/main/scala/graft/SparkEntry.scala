@@ -200,6 +200,8 @@ object SparkEntry {
     "q_page_hinkley" -> Relational.pageHinkley,
     "q_kaplan_meier" -> ((s, dir) => Events.kaplanMeier(s, dir)),
     "q_log_rank" -> Events.logRankTest,
+    "q_durbin_watson" -> Relational.durbinWatson,
+    "q_rfm_segments" -> Relational.rfmSegments,
     "q_ccf_lead_lag" -> ((s, dir) => Events.ccfLeadLag(s, dir)),
     "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
     "q_runs_test" -> Relational.runsTest,
@@ -3174,6 +3176,76 @@ object SparkEntry {
            n_simhash * 1000000 // greatest(chapman_est, 1)
              AS simhash_recall_ppm
          FROM j""",
+    "q_durbin_watson" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         t0 AS (SELECT min(day) AS d0 FROM daily),
+         d AS (SELECT CAST(datediff('day', d0, day) AS BIGINT) AS t,
+             cents FROM daily CROSS JOIN t0),
+         ols AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(cents) AS BIGINT) AS sc,
+             CAST(sum(CAST(t AS HUGEINT) * cents) AS HUGEINT) AS stc,
+             CAST(sum(t * t) AS BIGINT) AS stt FROM d),
+         o2 AS (SELECT n, st, sc,
+             CAST(n AS HUGEINT) * stc - CAST(st AS HUGEINT) * sc AS num,
+             CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st AS den
+           FROM ols),
+         o3 AS (SELECT n, st, sc,
+             CAST((num * 1000000 + 2000000000000000 * den) // den
+               - 2000000000000000 AS BIGINT) AS b_u FROM o2),
+         o4 AS (SELECT n, b_u,
+             CAST((CAST(sc AS HUGEINT) * 1000000 - CAST(b_u AS HUGEINT)
+               * st + 2000000000000000 * CAST(n AS HUGEINT)) // n
+               - 2000000000000000 AS BIGINT) AS a_u FROM o3),
+         res AS (SELECT t,
+             CAST(cents AS HUGEINT) * 1000000 - a_u
+               - CAST(b_u AS HUGEINT) * t AS e_u, n, b_u, a_u
+           FROM d CROSS JOIN o4),
+         res2 AS (SELECT *, e_u - lag(e_u) OVER (ORDER BY t) AS de
+           FROM res),
+         ag AS (SELECT max(n) AS n_days, max(b_u) AS b_u,
+             max(a_u) AS a_u,
+             CAST(sum(e_u * e_u) AS HUGEINT) AS sse,
+             CAST(sum(de * de) AS HUGEINT) AS ssd FROM res2)
+         SELECT n_days, b_u, a_u, sse, ssd,
+           CAST(1000 * ssd // sse AS BIGINT) AS dw_milli,
+           1000 - CAST(1000 * ssd // sse AS BIGINT) // 2 AS rho_milli
+         FROM ag""",
+    "q_rfm_segments" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         mx AS (SELECT max(day) AS dmax FROM o),
+         per AS (SELECT o_custkey, max(day) AS last_day,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(cents) AS BIGINT) AS monetary_cents
+           FROM o GROUP BY 1),
+         rec AS (SELECT per.*, CAST(datediff('day', last_day, dmax)
+             AS BIGINT) AS recency_days FROM per CROSS JOIN mx),
+         sc AS (SELECT *,
+             CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey)
+               AS BIGINT) AS r_q,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+               AS BIGINT) AS f_q,
+             CAST(ntile(5) OVER (ORDER BY monetary_cents DESC,
+               o_custkey) AS BIGINT) AS m_q
+           FROM rec),
+         lab AS (SELECT *,
+             CASE WHEN r_q = 1 AND f_q <= 2 AND m_q <= 2 THEN 'champion'
+               WHEN r_q <= 2 AND f_q <= 2 THEN 'loyal'
+               WHEN r_q >= 4 AND m_q <= 2 THEN 'at_risk_high_value'
+               WHEN r_q >= 4 THEN 'hibernating'
+               ELSE 'regular' END AS segment
+           FROM sc)
+         SELECT segment, r_q, f_q, m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(frequency) AS BIGINT) AS n_orders,
+           CAST(sum(monetary_cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(recency_days) AS BIGINT) // count(*)
+             AS mean_recency_days
+         FROM lab GROUP BY 1, 2, 3, 4 ORDER BY r_q, f_q, m_q""",
     "q_log_rank" ->
       s"""WITH $survivalLivesCtes,
          lv AS (SELECT t, death,

@@ -1389,6 +1389,114 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Durbin–Watson test on the residuals of the daily-revenue OLS
+    * trend — the regression-resident complement to acfLjungBox: after
+    * the linear trend is removed, do adjacent days still co-move
+    * (DW → 0/4) or flip like noise (DW ≈ 2)? Every trend-line
+    * confidence interval assumes the latter; this is the check.
+    * Exactness discipline: the OLS slope and intercept are FLOOR
+    * fixed-point micro-cents (the theilSenTrend shift-division), the
+    * residuals e_u = y·10⁶ − a_u − b_u·t are therefore exact integers
+    * both engines compute identically, and the two quadratic sums
+    * accumulate in DECIMAL(38,0) (e_u can reach ~2e15, its square
+    * ~4e30 — far past longs, comfortably inside 38 digits at any
+    * calendar length). DW in milli is one decimal division; ρ̂ ≈
+    * 1 − DW/2 ships in milli alongside. Day count is
+    * calendar-bounded; the orders scan distributes.
+    */
+  def durbinWatson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val t0 = daily.agg(min($"day").as("d0"))
+    val d = daily.crossJoin(broadcast(t0))
+      .select(datediff($"day", $"d0").cast("long").as("t"), $"cents")
+      .localCheckpoint() // OLS aggregate and residual pass both read it
+    val ols = d.agg(count(lit(1)).as("n"), sum($"t").as("st"),
+        sum($"cents").as("sc"), sum(($"t" * $"cents").cast(dec)).as("stc"),
+        sum($"t" * $"t").as("stt"))
+      .withColumn("num",
+        expr(s"CAST(n AS $dec) * stc - CAST(st AS $dec) * sc"))
+      .withColumn("den",
+        expr(s"CAST(n AS $dec) * stt - CAST(st AS $dec) * st"))
+      .withColumn("b_u", expr(
+        "CAST((num * 1000000 + 2000000000000000 * den) div den" +
+        " - 2000000000000000 AS BIGINT)"))
+      .withColumn("a_u", expr(
+        "CAST((CAST(sc AS decimal(38,0)) * 1000000 - CAST(b_u AS" +
+        " decimal(38,0)) * st + 2000000000000000 * CAST(n AS" +
+        " decimal(38,0))) div n - 2000000000000000 AS BIGINT)"))
+      .select($"n", $"b_u", $"a_u")
+    val w = Window.orderBy($"t")
+    val res = d.crossJoin(broadcast(ols))
+      .withColumn("e_u",
+        ($"cents".cast(dec) * 1000000L) - $"a_u" - $"b_u".cast(dec) * $"t")
+      .withColumn("de", $"e_u" - lag($"e_u", 1).over(w))
+    res.agg(max($"n").as("n_days"), max($"b_u").as("b_u"),
+        max($"a_u").as("a_u"),
+        sum($"e_u" * $"e_u").as("sse"),
+        sum($"de" * $"de").as("ssd"))
+      .withColumn("dw_milli",
+        expr("CAST(1000 * ssd div sse AS BIGINT)"))
+      .withColumn("rho_milli", lit(1000L) - expr("dw_milli div 2"))
+      .select($"n_days", $"b_u", $"a_u", $"sse", $"ssd", $"dw_milli",
+        $"rho_milli")
+  }
+
+  /** RFM quintile segmentation of the customer base — recency /
+    * frequency / monetary scored 1..5 by exact rank-based ntile
+    * (1 = best on every axis, deterministic custkey tie-breaks so the
+    * buckets are engine-identical), rolled up to the ≤125 (r,f,m)
+    * cells with the classic marketing labels decided by CASE over the
+    * scores — champions, loyal, at-risk-high-value, hibernating. This
+    * is the segmentation a retention budget is actually allocated
+    * against; shipping it as decided data keeps the label logic out
+    * of N dashboards. Scale: ntile rides the CUSTOMER rollup (one
+    * row per customer — dimension-sized, not fact-sized; at true
+    * fact scale swap the rank ntile for percentile-threshold
+    * assignment, same output contract), revenue sums are exact
+    * cents, mean recency is one floor division per cell.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .select($"o_custkey", $"o_orderdate".cast("date").as("day"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val mx = o.agg(max($"day").as("dmax"))
+    val per = o.groupBy($"o_custkey")
+      .agg(max($"day").as("last_day"), count(lit(1)).as("frequency"),
+        sum($"cents").as("monetary_cents"))
+      .crossJoin(broadcast(mx))
+      .withColumn("recency_days",
+        datediff($"dmax", $"last_day").cast("long"))
+    val scored = per
+      .withColumn("r_q", ntile(5)
+        .over(Window.orderBy($"recency_days", $"o_custkey")).cast("long"))
+      .withColumn("f_q", ntile(5)
+        .over(Window.orderBy($"frequency".desc, $"o_custkey")).cast("long"))
+      .withColumn("m_q", ntile(5)
+        .over(Window.orderBy($"monetary_cents".desc, $"o_custkey"))
+        .cast("long"))
+      .withColumn("segment",
+        when($"r_q" === 1L && $"f_q" <= 2L && $"m_q" <= 2L, "champion")
+          .when($"r_q" <= 2L && $"f_q" <= 2L, "loyal")
+          .when($"r_q" >= 4L && $"m_q" <= 2L, "at_risk_high_value")
+          .when($"r_q" >= 4L, "hibernating")
+          .otherwise("regular"))
+    scored.groupBy($"segment", $"r_q", $"f_q", $"m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"monetary_cents").as("revenue_cents"),
+        sum($"frequency").as("n_orders"),
+        sum($"recency_days").as("rec_sum"))
+      .withColumn("mean_recency_days",
+        expr("rec_sum div n_customers"))
+      .select($"segment", $"r_q", $"f_q", $"m_q", $"n_customers",
+        $"n_orders", $"revenue_cents", $"mean_recency_days")
+      .orderBy($"r_q", $"f_q", $"m_q")
+  }
+
   /** Theil–Sen robust trend of daily revenue — the median of all
     * pairwise slopes (cents/day), the estimator that shrugs off the
     * outlier days that drag OLS (up to 29% contamination tolerance),

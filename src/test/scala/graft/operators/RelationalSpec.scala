@@ -803,6 +803,97 @@ class RelationalSpec extends SparkSpec {
       .toBigInteger) === BigInt(0))
   }
 
+  test("durbinWatson: fixed-point OLS residuals and both quadratic " +
+       "sums recount exactly; DW stays in [0, 4000] milli") {
+    val daily = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toString)
+    val d0 = daily.head._1.toLocalDate
+    val pts = daily.map { case (d, c) =>
+      (java.time.temporal.ChronoUnit.DAYS.between(d0, d.toLocalDate), c)
+    }
+    val n = pts.length.toLong
+    val st = pts.map(p => BigInt(p._1)).sum
+    val sc = pts.map(p => BigInt(p._2)).sum
+    val num = n * pts.map(p => BigInt(p._1) * p._2).sum - st * sc
+    val den = n * pts.map(p => BigInt(p._1) * p._1).sum - st * st
+    val shift = BigInt(2000000000000000L)
+    val bU = ((num * 1000000 + shift * den) / den - shift).toLong
+    val aU = ((sc * 1000000 - BigInt(bU) * st + shift * n) / n - shift)
+      .toLong
+    val e = pts.map { case (t, c) =>
+      BigInt(c) * 1000000 - aU - BigInt(bU) * t
+    }
+    val sse = e.map(v => v * v).sum
+    val ssd = e.zip(e.tail).map { case (a, b) => (b - a) * (b - a) }.sum
+    val r = Relational.durbinWatson(spark, sf).collect().head
+    assert(r.getAs[Long]("n_days") === n)
+    assert(r.getAs[Long]("b_u") === bU)
+    assert(r.getAs[Long]("a_u") === aU)
+    assert(BigInt(r.getAs[java.math.BigDecimal]("sse").toBigInteger)
+      === sse)
+    assert(BigInt(r.getAs[java.math.BigDecimal]("ssd").toBigInteger)
+      === ssd)
+    val dw = (BigInt(1000) * ssd / sse).toLong
+    assert(r.getAs[Long]("dw_milli") === dw)
+    assert(r.getAs[Long]("rho_milli") === 1000L - dw / 2)
+    assert(dw >= 0L && dw <= 4000L)
+  }
+
+  test("rfmSegments: quintiles, labels and cell rollups recount " +
+       "exactly; customers partition across cells") {
+    val orders = Tables(spark, sf, "orders")
+      .select($"o_custkey", $"o_orderdate".cast("date"),
+        round($"o_totalprice" * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    val dmax = orders.map(_._2).max
+    val per = orders.groupBy(_._1).map { case (ck, xs) =>
+      val lastDay = xs.map(_._2).max
+      val rec = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(lastDay), java.time.LocalDate.parse(dmax))
+      (ck, rec, xs.length.toLong, xs.map(_._3).sum)
+    }.toSeq
+    def ntile5(keyed: Seq[(Long, Long)]): Map[Long, Long] = {
+      // keyed: (custkey, sort-dependent rank position already applied)
+      val n = keyed.length
+      keyed.zipWithIndex.map { case ((ck, _), i) =>
+        // ntile: first (n mod 5) buckets get ceil(n/5)
+        val big = n % 5; val base = n / 5
+        val bucket =
+          if (i < big * (base + 1)) i / (base + 1)
+          else big + (i - big * (base + 1)) / base
+        ck -> (bucket + 1L)
+      }.toMap
+    }
+    val rq = ntile5(per.sortBy(p => (p._2, p._1)).map(p => (p._1, p._2)))
+    val fq = ntile5(per.sortBy(p => (-p._3, p._1)).map(p => (p._1, p._3)))
+    val mq = ntile5(per.sortBy(p => (-p._4, p._1)).map(p => (p._1, p._4)))
+    case class Cell(seg: String, r: Long, f: Long, m: Long)
+    val cells = per.groupBy { p =>
+      val (r0, f0, m0) = (rq(p._1), fq(p._1), mq(p._1))
+      val seg =
+        if (r0 == 1 && f0 <= 2 && m0 <= 2) "champion"
+        else if (r0 <= 2 && f0 <= 2) "loyal"
+        else if (r0 >= 4 && m0 <= 2) "at_risk_high_value"
+        else if (r0 >= 4) "hibernating"
+        else "regular"
+      Cell(seg, r0, f0, m0)
+    }
+    val rows = Relational.rfmSegments(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === per.length.toLong)
+    assert(rows.length === cells.size)
+    rows.foreach { r =>
+      val xs = cells(Cell(r.getAs[String]("segment"), r.getAs[Long]("r_q"),
+        r.getAs[Long]("f_q"), r.getAs[Long]("m_q")))
+      assert(r.getAs[Long]("n_customers") === xs.length.toLong)
+      assert(r.getAs[Long]("n_orders") === xs.map(_._3).sum)
+      assert(r.getAs[Long]("revenue_cents") === xs.map(_._4).sum)
+      assert(r.getAs[Long]("mean_recency_days") ===
+        xs.map(_._2).sum / xs.length)
+    }
+  }
+
   test("theilSenTrend: pairwise-slope median and exact OLS slope " +
        "recount; the pair count is n(n-1)/2") {
     val daily = Tables(spark, sf, "orders")
