@@ -201,6 +201,7 @@ object SparkEntry {
     "q_kaplan_meier" -> ((s, dir) => Events.kaplanMeier(s, dir)),
     "q_log_rank" -> Events.logRankTest,
     "q_durbin_watson" -> Relational.durbinWatson,
+    "q_knn_shapley" -> ((s, dir) => Similarity.knnShapley(s, dir)),
     "q_rfm_segments" -> Relational.rfmSegments,
     "q_ccf_lead_lag" -> ((s, dir) => Events.ccfLeadLag(s, dir)),
     "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
@@ -3176,6 +3177,46 @@ object SparkEntry {
            n_simhash * 1000000 // greatest(chapman_est, 1)
              AS simhash_recall_ppm
          FROM j""",
+    "q_knn_shapley" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+           CAST(concat('0x', substring(md5(concat('split:',
+             CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100
+             AS bucket
+           FROM embeddings),
+         pr AS (SELECT vec_id AS a, label AS la, v AS av FROM e
+           WHERE bucket >= 90 ORDER BY vec_id LIMIT 40),
+         tr AS (SELECT vec_id AS b, label AS lb, v AS bv FROM e
+           WHERE bucket < 90),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+         pairs AS (SELECT a, la, b, lb,
+             CAST(round(list_cosine_similarity(av, bv) * 10000)
+               AS BIGINT) AS cs_u
+           FROM pr CROSS JOIN tr),
+         rk AS (SELECT a, b, lb,
+             CAST(row_number() OVER (PARTITION BY a ORDER BY cs_u DESC,
+               b) AS BIGINT) AS rk,
+             CASE WHEN la = lb THEN CAST(1 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS ind
+           FROM pairs),
+         nx AS (SELECT rk.*, lead(ind, 1) OVER (PARTITION BY a
+             ORDER BY rk) AS ind_next, n
+           FROM rk CROSS JOIN nt),
+         tm AS (SELECT a, b, lb, rk,
+             CASE WHEN rk = n THEN 1000000 * ind // n
+               ELSE (ind - ind_next) * 1000000 * least(5, rk)
+                 // (5 * rk) END AS term_u
+           FROM nx),
+         su AS (SELECT a, b, lb,
+             CAST(sum(term_u) OVER (PARTITION BY a ORDER BY rk DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS s_u
+           FROM tm),
+         ag AS (SELECT b, lb, CAST(count(*) AS BIGINT) AS n_probes,
+             CAST(sum(s_u) AS BIGINT) AS sum_s_u FROM su GROUP BY 1, 2),
+         top AS (SELECT *, CAST(row_number() OVER (ORDER BY sum_s_u
+             DESC, b) AS INT) AS rank FROM ag)
+         SELECT rank, b AS vec_id, lb AS label, n_probes, sum_s_u
+         FROM top WHERE rank <= 25 ORDER BY rank""",
     "q_durbin_watson" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

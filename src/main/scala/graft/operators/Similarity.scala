@@ -1658,4 +1658,58 @@ object Similarity {
     picks.toSeq.toDF("round", "vec_id", "picked_d", "radius_after")
       .orderBy($"round")
   }
+
+  /** KNN-Shapley data valuation (Jia et al. 2019's exact closed form):
+    * for each test-split probe, EVERY training vector's Shapley value
+    * for the K-NN label-agreement utility, via the suffix recursion
+    * s₍N₎ = 1[y₍N₎=y]/N, s₍i₎ = s₍i₎₊₁ + (1[yᵢ=y] − 1[yᵢ₊₁=y])·
+    * min(K,i)/(K·i) — the data-pricing operator ("which training docs
+    * actually help predictions") that Monte-Carlo Shapley pays
+    * thousands of utility evaluations for, here exact in ONE ranked
+    * pass per probe. Fixed-point micro terms with TRUNCATING division
+    * (numerators are genuinely negative when a wrong-label vector
+    * displaces a right-label one; Spark `div` and DuckDB `//` both
+    * truncate, so the drift-free convention is trunc, not floor);
+    * the suffix sum is one descending-rank window. Output: top-25
+    * training vectors by summed value across probes. Scale: the pair
+    * frame is probes×train (probe-bounded, never corpus²), ranked by
+    * a per-probe window — the annRecall shape.
+    */
+  def knnShapley(s: SparkSession, dir: String, k: Int = 5,
+                 nProbes: Int = 40, topN: Int = 25): DataFrame = {
+    import s.implicits._
+    val eb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label", vectors.toDoubleArray($"embedding").as("v"))
+      .withColumn("bucket", TextOps.hashBucketMod($"vec_id", "split:", 100L))
+      .localCheckpoint() // probe and train sides both read it
+    val probes = eb.filter($"bucket" >= 90).orderBy($"vec_id").limit(nProbes)
+      .select($"vec_id".as("a"), $"label".as("la"), $"v".as("av"))
+    val train = eb.filter($"bucket" < 90)
+      .select($"vec_id".as("b"), $"label".as("lb"), $"v".as("bv"))
+    val nTrain = train.count()
+    val byA = Window.partitionBy($"a").orderBy($"cs_u".desc, $"b")
+    val asc = Window.partitionBy($"a").orderBy($"rk")
+    val suffix = Window.partitionBy($"a").orderBy($"rk".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = train.join(broadcast(probes))
+      .select($"a", $"la", $"b", $"lb",
+        round(vectors.cosineSimilarity($"av", $"bv") * 10000)
+          .cast("long").as("cs_u"))
+      .withColumn("rk", row_number().over(byA).cast("long"))
+      .withColumn("ind", when($"la" === $"lb", 1L).otherwise(0L))
+      .withColumn("ind_next", lead($"ind", 1).over(asc))
+      .withColumn("term_u",
+        when($"rk" === lit(nTrain), expr(s"1000000 * ind div $nTrain"))
+          .otherwise(expr(
+            s"(ind - ind_next) * 1000000 * least($k, rk) div ($k * rk)")))
+      .withColumn("s_u", sum($"term_u").over(suffix))
+    ranked.groupBy($"b", $"lb")
+      .agg(count(lit(1)).as("n_probes"), sum($"s_u").as("sum_s_u"))
+      .orderBy($"sum_s_u".desc, $"b").limit(topN)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy($"sum_s_u".desc, $"b")).cast("int"))
+      .select($"rank", $"b".as("vec_id"), $"lb".as("label"),
+        $"n_probes", $"sum_s_u")
+      .orderBy($"rank")
+  }
 }

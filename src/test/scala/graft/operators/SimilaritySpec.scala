@@ -787,4 +787,70 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("radius_after")).sliding(2)
       .forall(p => p(0) >= p(1)))
   }
+
+  test("knnShapley: the exact suffix recursion recounts per probe and " +
+       "the top-25 aggregation matches; efficiency law holds to " +
+       "truncation drift") {
+    import graft.Tables
+    import graft.functions.vectors
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = 5
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex("split:" + id).substring(0, 15), 16) % 100
+    val all = Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"label",
+        vectors.toDoubleArray($"embedding").as("v"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val probes = all.filter(e => bucket(e._1) >= 90).sortBy(_._1).take(40)
+    val train = all.filter(e => bucket(e._1) < 90)
+    val n = train.length.toLong
+    def csU(a: Seq[Double], b: Seq[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb) * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    // trunc division matching Spark div / DuckDB //
+    def tdiv(a: Long, b: Long): Long = a / b
+    val sums = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    probes.foreach { case (_, la, av) =>
+      val ranked = train.map { case (b, lb, bv) => (b, lb, csU(av, bv)) }
+        .sortBy(t => (-t._3, t._1))
+      val ind = ranked.map(t => if (t._2 == la) 1L else 0L)
+      val sArr = new Array[Long](ranked.length)
+      sArr(ranked.length - 1) = tdiv(1000000L * ind.last, n)
+      for (i <- ranked.length - 2 to 0 by -1) {
+        val rk = i + 1L
+        sArr(i) = sArr(i + 1) +
+          tdiv((ind(i) - ind(i + 1)) * 1000000L * math.min(k, rk), k * rk)
+      }
+      ranked.zip(sArr).foreach { case ((b, _, _), s0) => sums(b) += s0 }
+      // efficiency law on the exact (double) recursion: sum of all
+      // Shapley values equals the full-set utility agree@K / K
+      val sD = new Array[Double](ranked.length)
+      sD(ranked.length - 1) = ind.last.toDouble / n
+      for (i <- ranked.length - 2 to 0 by -1) {
+        val rk = i + 1L
+        sD(i) = sD(i + 1) +
+          (ind(i) - ind(i + 1)).toDouble * math.min(k, rk) / (k * rk)
+      }
+      assert(math.abs(sD.sum - ind.take(k).sum.toDouble / k) < 1e-9,
+        "efficiency law violated on the exact recursion")
+    }
+    val expected = sums.toSeq.map { case (b, s0) =>
+      (b, train.find(_._1 == b).get._2.toLong, s0)
+    }.sortBy(t => (-t._3, t._1)).take(25)
+      .zipWithIndex.map { case ((b, lb, s0), i) =>
+        (i + 1, b, lb, 40L, s0)
+      }
+    val got = Similarity.knnShapley(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getAs[Number]("label").longValue(), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === expected)
+  }
 }
