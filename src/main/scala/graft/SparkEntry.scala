@@ -202,6 +202,9 @@ object SparkEntry {
     "q_log_rank" -> Events.logRankTest,
     "q_durbin_watson" -> Relational.durbinWatson,
     "q_knn_shapley" -> ((s, dir) => Similarity.knnShapley(s, dir)),
+    "q_matrix_profile" -> ((s, dir) => Relational.matrixProfile(s, dir)),
+    "q_conformal_calibration" ->
+      ((s, dir) => TextOps.conformalCalibration(s, dir)),
     "q_rfm_segments" -> Relational.rfmSegments,
     "q_ccf_lead_lag" -> ((s, dir) => Events.ccfLeadLag(s, dir)),
     "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
@@ -500,6 +503,35 @@ object SparkEntry {
          round(CAST(gxy_num AS DOUBLE) / (sqrt(CAST(gxx AS DOUBLE))
            * sqrt(CAST(gyy AS DOUBLE))), 4) AS rho
        FROM stk ORDER BY lag_k"""
+  }
+
+  /** Matrix-profile oracle: lead columns and the squared-distance sum
+    * generated from the same window length as Relational.matrixProfile.
+    */
+  private def matrixProfileOracle(m: Int): String = {
+    val leads = (1 until m).map(k => s"lead(cents, $k) OVER w AS y$k")
+      .mkString(", ")
+    val dist = (0 until m).map(k =>
+      s"CAST(a.y$k - b.y$k AS HUGEINT) * (a.y$k - b.y$k)").mkString(" + ")
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents FROM orders GROUP BY 1),
+       t0 AS (SELECT min(day) AS d0 FROM daily),
+       d AS (SELECT CAST(datediff('day', d0, day) AS BIGINT) AS t,
+         cents FROM daily CROSS JOIN t0),
+       wins AS (SELECT t, cents AS y0, $leads FROM d
+         WINDOW w AS (ORDER BY t)),
+       cw AS (SELECT * FROM wins WHERE y${m - 1} IS NOT NULL),
+       pairs AS (SELECT a.t AS ti, b.t AS tj, $dist AS d2
+         FROM cw a JOIN cw b ON abs(a.t - b.t) >= $m),
+       mins AS (SELECT ti, min(d2) AS dist2 FROM pairs GROUP BY ti),
+       prof AS (SELECT p.ti, mn.dist2, min(p.tj) AS nn_t
+         FROM pairs p JOIN mins mn ON mn.ti = p.ti AND p.d2 = mn.dist2
+         GROUP BY p.ti, mn.dist2)
+       SELECT ti AS t, nn_t, CAST(dist2 AS HUGEINT) AS dist2,
+         CAST(row_number() OVER (ORDER BY dist2 DESC, ti) AS BIGINT)
+           AS discord_rank
+       FROM prof ORDER BY t"""
   }
 
   private val minhashCtes =
@@ -3177,6 +3209,56 @@ object SparkEntry {
            n_simhash * 1000000 // greatest(chapman_est, 1)
              AS simhash_recall_ppm
          FROM j""",
+    "q_matrix_profile" -> matrixProfileOracle(7),
+    "q_conformal_calibration" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+           CAST(len($toks) AS BIGINT) AS toks,
+           CAST(concat('0x', substring(md5(concat('split:',
+             CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100
+             AS bucket
+           FROM documents),
+         ols0 AS (SELECT CAST(count(*) AS BIGINT) AS n_train,
+             CAST(sum(n_chars) AS BIGINT) AS sx,
+             CAST(sum(toks) AS BIGINT) AS sy,
+             CAST(sum(CAST(n_chars AS HUGEINT) * toks) AS HUGEINT)
+               AS sxy,
+             CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT)
+               AS sxx
+           FROM d WHERE bucket < 80),
+         ols1 AS (SELECT n_train, sx, sy,
+             CAST(n_train AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+               AS num,
+             CAST(n_train AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+               AS den FROM ols0),
+         ols2 AS (SELECT n_train, sx, sy,
+             CAST((num * 1000000 + 2000000000000000 * den) // den
+               - 2000000000000000 AS BIGINT) AS b_u FROM ols1),
+         ols AS (SELECT n_train, b_u,
+             CAST((CAST(sy AS HUGEINT) * 1000000 - CAST(b_u AS HUGEINT)
+               * sx + 2000000000000000 * CAST(n_train AS HUGEINT))
+               // n_train - 2000000000000000 AS BIGINT) AS a_u
+           FROM ols2),
+         cal AS (SELECT doc_id,
+             abs(toks * 1000000 - a_u - b_u * n_chars) AS s_u
+           FROM d CROSS JOIN ols WHERE bucket >= 80 AND bucket < 90),
+         nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+         kr AS (SELECT n_cal, least(((n_cal + 1) * 9000 + 9999) // 10000,
+             n_cal) AS k_rank FROM nc),
+         rkd AS (SELECT s_u, row_number() OVER (ORDER BY s_u, doc_id)
+             AS rk FROM cal),
+         qh AS (SELECT s_u AS q_hat FROM rkd CROSS JOIN kr
+           WHERE rk = k_rank),
+         ts AS (SELECT abs(toks * 1000000 - a_u - b_u * n_chars) AS s_u
+           FROM d CROSS JOIN ols WHERE bucket >= 90)
+         SELECT n_train, n_cal, CAST(count(*) AS BIGINT) AS n_test,
+           b_u, a_u, k_rank, max(q_hat) AS q_hat,
+           CAST(sum(CASE WHEN s_u <= q_hat THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           CAST(sum(CASE WHEN s_u <= q_hat THEN 1 ELSE 0 END) AS BIGINT)
+             * 10000 // CAST(count(*) AS BIGINT) AS coverage_bp,
+           CAST(9000 AS BIGINT) AS target_bp
+         FROM ts CROSS JOIN qh CROSS JOIN ols CROSS JOIN kr
+         GROUP BY n_train, n_cal, b_u, a_u, k_rank""",
     "q_knn_shapley" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
            CAST(concat('0x', substring(md5(concat('split:',

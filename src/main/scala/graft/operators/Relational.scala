@@ -1389,6 +1389,58 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Matrix profile of the daily-revenue series (window m = 7): for
+    * every week-shaped window, the exact squared Euclidean distance to
+    * its nearest non-overlapping neighbor — the time-series primitive
+    * behind MOTIF discovery (the smallest profile entries are the two
+    * most-repeated weeks) and DISCORD detection (the largest entry is
+    * the week least like any other, the strongest anomaly claim that
+    * needs no model, threshold, or distribution assumption). Exact
+    * throughout: windows are lead-column tuples of integer cents,
+    * pair distances are Σ(Δcents)² in DECIMAL(38,0) (a single daily
+    * delta can reach ~2e9, its square 4e18, times m overflows longs),
+    * the argmin tie-breaks to the earliest neighbor via a two-step
+    * min-then-min(j) (no reliance on either engine's arg_min tie
+    * behavior), and discord_rank orders the profile descending. The
+    * trivial-match exclusion zone |i−j| ≥ m is the standard one.
+    * Scale: the pair frame is n_days² — calendar-bounded at any
+    * corpus size — via broadcast nested loop; the orders scan
+    * underneath distributes.
+    */
+  def matrixProfile(s: SparkSession, dir: String, m: Int = 7): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val t0 = daily.agg(min($"day").as("d0"))
+    val w = Window.orderBy($"t")
+    val wins = daily.crossJoin(broadcast(t0))
+      .select(datediff($"day", $"d0").cast("long").as("t"), $"cents")
+      .select(Seq($"t", $"cents".as("y0")) ++
+        (1 until m).map(k => lead($"cents", k).over(w).as(s"y$k")): _*)
+      .filter(col(s"y${m - 1}").isNotNull) // complete windows only
+      .localCheckpoint() // both sides of the pair join read it
+    val a = wins.select(Seq($"t".as("ti")) ++
+      (0 until m).map(k => col(s"y$k").as(s"a$k")): _*)
+    val b = wins.select(Seq($"t".as("tj")) ++
+      (0 until m).map(k => col(s"y$k").as(s"b$k")): _*)
+    val dist2 = (0 until m).map(k =>
+        (col(s"a$k") - col(s"b$k")).cast(dec) *
+          (col(s"a$k") - col(s"b$k"))).reduce(_ + _)
+    val pairs = a.join(broadcast(b), abs($"ti" - $"tj") >= m)
+      .select($"ti", $"tj", dist2.as("d2"))
+    val mins = pairs.groupBy($"ti").agg(min($"d2").as("dist2"))
+    val prof = pairs.join(mins, Seq("ti"))
+      .filter($"d2" === $"dist2")
+      .groupBy($"ti", $"dist2").agg(min($"tj").as("nn_t"))
+    prof
+      .withColumn("discord_rank", row_number()
+        .over(Window.orderBy($"dist2".desc, $"ti")).cast("long"))
+      .select($"ti".as("t"), $"nn_t", $"dist2", $"discord_rank")
+      .orderBy($"t")
+  }
+
   /** Durbin–Watson test on the residuals of the daily-revenue OLS
     * trend — the regression-resident complement to acfLjungBox: after
     * the linear trend is removed, do adjacent days still co-move

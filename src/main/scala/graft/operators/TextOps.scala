@@ -1040,6 +1040,72 @@ object TextOps {
       .orderBy($"rank")
   }
 
+  /** Split-conformal calibration of a token-count predictor — the
+    * distribution-free uncertainty recipe (Vovk; Lei et al.) a
+    * pipeline runs before trusting ANY per-doc estimate: fit a cheap
+    * model on the train split (here OLS tokens ~ chars in exact
+    * fixed point), take the ⌈(n+1)(1−α)⌉-th order statistic of the
+    * calibration split's absolute residuals as q̂, and the interval
+    * ŷ ± q̂ covers ≥ 1−α of exchangeable test docs — a theorem, not a
+    * hope, and the test-split coverage ships alongside so the
+    * guarantee is AUDITED data. Everything is integer: the fixed-point
+    * OLS (theilSenTrend shift-division discipline), residuals in
+    * micro-tokens, the quantile an exact rank pick with doc_id
+    * tie-break, coverage in exact basis points. The calibration rank
+    * window rides the cal split only; scores are a scan-speed
+    * projection at any corpus size.
+    */
+  def conformalCalibration(s: SparkSession, dir: String,
+                           alphaBp: Long = 1000L): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val d = docsFanned(s, dir)
+      .select($"doc_id", $"n_chars",
+        size(text.tokensLower($"text")).cast("long").as("toks"))
+      .withColumn("bucket", hashBucketMod($"doc_id", "split:", 100L))
+      .localCheckpoint() // train OLS, cal scores, test coverage read it
+    val ols = d.filter($"bucket" < 80)
+      .agg(count(lit(1)).as("n_train"), sum($"n_chars").as("sx"),
+        sum($"toks").as("sy"),
+        sum(($"n_chars" * $"toks").cast(dec)).as("sxy"),
+        sum(($"n_chars" * $"n_chars").cast(dec)).as("sxx"))
+      .withColumn("num",
+        expr(s"CAST(n_train AS $dec) * sxy - CAST(sx AS $dec) * sy"))
+      .withColumn("den",
+        expr(s"CAST(n_train AS $dec) * sxx - CAST(sx AS $dec) * sx"))
+      .withColumn("b_u", expr(
+        "CAST((num * 1000000 + 2000000000000000 * den) div den" +
+        " - 2000000000000000 AS BIGINT)"))
+      .withColumn("a_u", expr(
+        s"CAST((CAST(sy AS $dec) * 1000000 - CAST(b_u AS $dec) * sx" +
+        s" + 2000000000000000 * CAST(n_train AS $dec)) div n_train" +
+        " - 2000000000000000 AS BIGINT)"))
+      .select($"n_train", $"b_u", $"a_u")
+    def score(df: DataFrame) = df.crossJoin(broadcast(ols))
+      .withColumn("s_u",
+        abs($"toks" * lit(1000000L) - $"a_u" - $"b_u" * $"n_chars"))
+    val cal = score(d.filter($"bucket" >= 80 && $"bucket" < 90))
+    val nCal = cal.count()
+    val kRank = math.min(
+      ((nCal + 1) * (10000 - alphaBp) + 9999) / 10000, nCal)
+    val qHat = cal
+      .withColumn("rk", row_number()
+        .over(Window.orderBy($"s_u", $"doc_id")).cast("long"))
+      .filter($"rk" === kRank)
+      .select($"s_u".as("q_hat"))
+    score(d.filter($"bucket" >= 90)).crossJoin(broadcast(qHat))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when($"s_u" <= $"q_hat", 1L).otherwise(0L)).as("n_covered"),
+        max($"q_hat").as("q_hat"))
+      .crossJoin(broadcast(ols))
+      .withColumn("n_cal", lit(nCal))
+      .withColumn("k_rank", lit(kRank))
+      .withColumn("coverage_bp", expr("n_covered * 10000 div n_test"))
+      .withColumn("target_bp", lit(10000L - alphaBp))
+      .select($"n_train", $"n_cal", $"n_test", $"b_u", $"a_u",
+        $"k_rank", $"q_hat", $"n_covered", $"coverage_bp", $"target_bp")
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
     * the A-ES one-pass scheme): each doc draws a deterministic uniform
     * u ∈ (0,1] from its md5 hash and competes with key u^(1/w) — the

@@ -803,6 +803,42 @@ class RelationalSpec extends SparkSpec {
       .toBigInteger) === BigInt(0))
   }
 
+  test("matrixProfile: nearest-neighbor distances recount exactly; " +
+       "the profile is symmetric-bounded and excludes trivial matches") {
+    val m = 7
+    val daily = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toString)
+    val d0 = daily.head._1.toLocalDate
+    val byT = daily.map { case (d, c) =>
+      java.time.temporal.ChronoUnit.DAYS.between(d0, d.toLocalDate) -> c
+    }.toMap
+    val ts = byT.keys.toSeq.sorted
+    // windows are ROW-consecutive (lead over observed days, as in the
+    // operator), anchored at the window's first day offset
+    val wins = ts.indices.dropRight(m - 1)
+      .map(i => ts(i) -> (0 until m).map(k => byT(ts(i + k))))
+    def d2(a: Seq[Long], b: Seq[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x - y) * (x - y) }.sum
+    val expected = wins.map { case (ti, wa) =>
+      val cands = wins.filter { case (tj, _) => math.abs(ti - tj) >= m }
+      val best = cands.map { case (tj, wb) => (d2(wa, wb), tj) }
+        .minBy(identity)
+      (ti, best._2, best._1)
+    }
+    val rows = Relational.matrixProfile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigInt(r.getAs[java.math.BigDecimal]("dist2").toBigInteger),
+        r.getAs[Long]("discord_rank")))
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq === expected)
+    rows.foreach { case (t0, nn, _, _) => assert(math.abs(t0 - nn) >= m) }
+    // discord ranks are a permutation ordered by descending distance
+    val byRank = rows.sortBy(_._4)
+    assert(byRank.map(_._4).toSeq === (1L to rows.length))
+    assert(byRank.map(_._3).toSeq === byRank.map(_._3).sortBy(v => -v))
+  }
+
   test("durbinWatson: fixed-point OLS residuals and both quadratic " +
        "sums recount exactly; DW stays in [0, 4000] milli") {
     val daily = Tables(spark, sf, "orders")

@@ -211,6 +211,54 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("conformalCalibration: fixed-point OLS, calibration quantile " +
+       "and test coverage recount exactly; coverage honors the bound") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex("split:" + id).substring(0, 15), 16) % 100
+    val docs = Tables(spark, sf, "documents")
+      .select($"doc_id", $"n_chars", $"text").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2).trim.toLowerCase.split("\\s+")
+          .count(_.nonEmpty).toLong))
+    val train = docs.filter(d => bucket(d._1) < 80)
+    val n = train.length.toLong
+    val sx = train.map(d => BigInt(d._2)).sum
+    val sy = train.map(d => BigInt(d._3)).sum
+    val num = n * train.map(d => BigInt(d._2) * d._3).sum - sx * sy
+    val den = n * train.map(d => BigInt(d._2) * d._2).sum - sx * sx
+    val shift = BigInt(2000000000000000L)
+    val bU = ((num * 1000000 + shift * den) / den - shift).toLong
+    val aU = ((sy * 1000000 - BigInt(bU) * sx + shift * n) / n - shift)
+      .toLong
+    def sU(d: (Long, Long, Long)): Long =
+      math.abs(d._3 * 1000000L - aU - bU * d._2)
+    val cal = docs.filter(d => bucket(d._1) >= 80 && bucket(d._1) < 90)
+    val nCal = cal.length.toLong
+    val kRank = math.min(((nCal + 1) * 9000 + 9999) / 10000, nCal)
+    val qHat = cal.map(d => (sU(d), d._1)).sorted.apply(kRank.toInt - 1)._1
+    val test0 = docs.filter(d => bucket(d._1) >= 90)
+    val covered = test0.count(d => sU(d) <= qHat).toLong
+    val r = TextOps.conformalCalibration(spark, sf).collect().head
+    assert(r.getAs[Long]("n_train") === n)
+    assert(r.getAs[Long]("n_cal") === nCal)
+    assert(r.getAs[Long]("n_test") === test0.length.toLong)
+    assert(r.getAs[Long]("b_u") === bU)
+    assert(r.getAs[Long]("a_u") === aU)
+    assert(r.getAs[Long]("k_rank") === kRank)
+    assert(r.getAs[Long]("q_hat") === qHat)
+    assert(r.getAs[Long]("n_covered") === covered)
+    assert(r.getAs[Long]("coverage_bp") ===
+      covered * 10000 / test0.length)
+    assert(r.getAs[Long]("target_bp") === 9000L)
+    // exchangeable split: realized coverage should sit near the 90%
+    // guarantee (binomial noise allowance, not a strict bound per draw)
+    assert(r.getAs[Long]("coverage_bp") >= 8300L,
+      s"coverage ${r.getAs[Long]("coverage_bp")} implausibly low")
+  }
+
   test("dirichletQlTopK matches a sequential query-likelihood recount; " +
        "every document scores every term") {
     val terms = Seq("vector", "hash", "spark")
