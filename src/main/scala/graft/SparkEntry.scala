@@ -205,6 +205,9 @@ object SparkEntry {
     "q_matrix_profile" -> ((s, dir) => Relational.matrixProfile(s, dir)),
     "q_conformal_calibration" ->
       ((s, dir) => TextOps.conformalCalibration(s, dir)),
+    "q_voptimal_histogram" ->
+      ((s, dir) => Relational.vOptimalHistogram(s, dir)),
+    "q_ivm_agg" -> Relational.ivmAggApply,
     "q_rfm_segments" -> Relational.rfmSegments,
     "q_ccf_lead_lag" -> ((s, dir) => Events.ccfLeadLag(s, dir)),
     "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
@@ -532,6 +535,55 @@ object SparkEntry {
          CAST(row_number() OVER (ORDER BY dist2 DESC, ti) AS BIGINT)
            AS discord_rank
        FROM prof ORDER BY t"""
+  }
+
+  /** V-optimal histogram oracle: DP levels and the backtrack chain
+    * unrolled from the same bucket count as Relational.vOptimalHistogram.
+    */
+  private def vOptOracle(b: Int): String = {
+    val sse = "(p.cs2 - q.cs2) - CAST(p.cs - q.cs AS HUGEINT)" +
+      " * (p.cs - q.cs) // (p.i - q.i)"
+    val levels = (2 to b).map { l =>
+      s"""c$l AS (SELECT p.i AS i, d.i AS j, d.v + $sse AS cost
+           FROM dp${l - 1} d JOIN p0 q ON q.i = d.i
+           JOIN p ON p.i > d.i),
+         dp$l AS (SELECT i, min(cost) AS v FROM c$l GROUP BY i),
+         arg$l AS (SELECT c.i, min(c.j) AS am FROM c$l c
+           JOIN dp$l m ON m.i = c.i AND c.cost = m.v GROUP BY c.i)"""
+    }.mkString(",\n         ")
+    val backs = (b - 1 to 1 by -1).map { l =>
+      s"""e$l AS (SELECT am AS e FROM arg${l + 1} a
+           JOIN e${l + 1} ON a.i = e${l + 1}.e)"""
+    }.mkString(",\n         ")
+    val cuts = (1 to b).map(l =>
+      s"SELECT $l AS bucket, e${l - 1}.e AS j, e$l.e AS i" +
+        s" FROM e${l - 1}, e$l").mkString(" UNION ALL ")
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents FROM orders GROUP BY 1),
+       pre AS (SELECT day,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+         CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+           PRECEDING AND CURRENT ROW) AS BIGINT) AS cs,
+         CAST(sum(CAST(cents AS HUGEINT) * cents) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+           AS cs2 FROM daily),
+       p AS (SELECT i, cs, cs2 FROM pre),
+       p0 AS (SELECT i, cs, cs2 FROM pre UNION ALL
+         SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS HUGEINT)),
+       dp1 AS (SELECT p.i, $sse AS v FROM p JOIN p0 q ON q.i = 0),
+       $levels,
+       e$b AS (SELECT max(i) AS e FROM p),
+       $backs,
+       e0 AS (SELECT CAST(0 AS BIGINT) AS e),
+       cuts AS ($cuts)
+       SELECT bucket, ds.day AS day_start, de.day AS day_end,
+         cuts.i - cuts.j AS n_days, p.cs - q.cs AS sum_cents,
+         $sse AS sse_u
+       FROM cuts JOIN p0 q ON q.i = cuts.j JOIN p ON p.i = cuts.i
+         JOIN pre ds ON ds.i = cuts.j + 1 JOIN pre de ON de.i = cuts.i
+       ORDER BY bucket"""
   }
 
   private val minhashCtes =
@@ -3210,6 +3262,33 @@ object SparkEntry {
              AS simhash_recall_ppm
          FROM j""",
     "q_matrix_profile" -> matrixProfileOracle(7),
+    "q_voptimal_histogram" -> vOptOracle(6),
+    "q_ivm_agg" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(concat('0x', substring(md5(concat('ivm:',
+             CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bk
+           FROM orders),
+         base AS (SELECT * FROM b WHERE bk < 90),
+         v0 AS (SELECT o_custkey, min(cents) AS m FROM base GROUP BY 1),
+         dmin AS (SELECT o_custkey, min(cents) AS dm FROM base
+           WHERE bk >= 80 GROUP BY 1),
+         post AS (
+           SELECT o_custkey, cents FROM base WHERE bk < 80
+           UNION ALL
+           SELECT o_custkey, cents + 1000 FROM base
+             WHERE bk >= 80 AND bk < 85
+           UNION ALL
+           SELECT o_custkey, cents FROM b WHERE bk >= 90),
+         agg AS (SELECT o_custkey, count(*) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             min(cents) AS min_cents
+           FROM post GROUP BY 1)
+         SELECT a.o_custkey, a.n_orders, a.sum_cents, a.min_cents,
+           coalesce(d.dm <= v.m, FALSE) AS min_repaired
+         FROM agg a LEFT JOIN v0 v ON v.o_custkey = a.o_custkey
+           LEFT JOIN dmin d ON d.o_custkey = a.o_custkey
+         ORDER BY a.o_custkey""",
     "q_conformal_calibration" ->
       s"""WITH d AS (SELECT doc_id, n_chars,
            CAST(len($toks) AS BIGINT) AS toks,

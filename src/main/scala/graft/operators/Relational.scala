@@ -845,6 +845,84 @@ object Relational {
     applyCdc(snapA, changes).orderBy($"doc_id")
   }
 
+  /** Incremental view maintenance of a grouped aggregate — the engine
+    * feature that makes a 100 TB materialized rollup affordable: the
+    * stored view V(custkey → count, sum, min) absorbs a delta batch
+    * (deletes + inserts, updates as delete+insert pairs) WITHOUT
+    * rescanning the base table. count/sum are self-maintainable
+    * (signed delta aggregates merged by one dimension-sized full-outer
+    * join — the DBSP/ring-of-deltas kernel); MIN is not, so the merge
+    * flags exactly the groups whose deleted batch could have carried
+    * the stored minimum (min_del ≤ min_view) and re-probes ONLY those
+    * groups against the post-delta base — the classic bounded repair,
+    * cost ∝ affected groups, never ∝ base. The emitted view must equal
+    * a full recompute row-for-row; the oracle states the recompute
+    * directly, so the equality IS the maintenance proof.
+    *
+    * Delta is carved deterministically from orders by md5 bucket on
+    * o_orderkey: [90,100) never loaded (arriving inserts), [85,90)
+    * deleted, [80,85) re-priced +1000¢ (update = delete + insert).
+    */
+  def ivmAggApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        TextOps.hashBucket($"o_orderkey", "ivm:").as("bk"))
+      .localCheckpoint() // base, view, and both delta legs derive from it
+    val base = b.filter($"bk" < 90)
+    // the materialized view (at scale: a stored table, not a recompute)
+    val view = base.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_v"), sum($"cents").as("s_v"),
+        min($"cents").as("m_v"))
+      .localCheckpoint()
+    val deletes = base.filter($"bk" >= 80)
+    val inserts = b.filter($"bk" >= 90)
+      .select($"o_orderkey", $"o_custkey", $"cents")
+      .unionByName(base.filter($"bk" >= 80 && $"bk" < 85)
+        .select($"o_orderkey", $"o_custkey",
+          ($"cents" + 1000L).as("cents")))
+    val dAgg = deletes.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_d"), sum($"cents").as("s_d"),
+        min($"cents").as("m_d"))
+    val iAgg = inserts.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_i"), sum($"cents").as("s_i"),
+        min($"cents").as("m_i"))
+    val merged = view
+      .join(dAgg, Seq("o_custkey"), "full_outer")
+      .join(iAgg, Seq("o_custkey"), "full_outer")
+      .withColumn("n_orders",
+        coalesce($"n_v", lit(0L)) - coalesce($"n_d", lit(0L))
+          + coalesce($"n_i", lit(0L)))
+      .filter($"n_orders" > 0L)
+      .withColumn("sum_cents",
+        coalesce($"s_v", lit(0L)) - coalesce($"s_d", lit(0L))
+          + coalesce($"s_i", lit(0L)))
+      .withColumn("min_repaired",
+        $"m_v".isNotNull && $"m_d".isNotNull && $"m_d" <= $"m_v")
+      // fast-path min: view min survives (no deleted row reached it),
+      // only a smaller insert can improve it; least() skips nulls
+      .withColumn("min_fast", least($"m_v", $"m_i"))
+      .localCheckpoint() // repair keys and the final merge both read it
+    // bounded repair: re-probe ONLY flagged groups against post-base
+    val repairKeys = merged.filter($"min_repaired")
+      .select($"o_custkey")
+    val post = base
+      .join(deletes.select($"o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .select($"o_orderkey", $"o_custkey", $"cents")
+      .unionByName(inserts)
+    val repaired = post
+      .join(broadcast(repairKeys), Seq("o_custkey"))
+      .groupBy($"o_custkey").agg(min($"cents").as("m_r"))
+    merged
+      .join(repaired, Seq("o_custkey"), "left")
+      .withColumn("min_cents",
+        when($"min_repaired", $"m_r").otherwise($"min_fast"))
+      .select($"o_custkey", $"n_orders", $"sum_cents", $"min_cents",
+        $"min_repaired")
+      .orderBy($"o_custkey")
+  }
+
   def corpusSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables(s, dir, "documents")
@@ -1389,6 +1467,115 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** V-optimal histogram of the daily-revenue series (B buckets):
+    * the PLANNER-GRADE summary — bucket boundaries chosen to minimize
+    * total within-bucket squared error (Jagadish et al., VLDB'98), not
+    * equi-width convenience — computed by the exact O(B·n²) dynamic
+    * program as B−1 relational levels: dp_b(i) = min_j dp_{b−1}(j) +
+    * sse(j+1..i), each level one (j<i) broadcast join + groupBy-min
+    * over the calendar-bounded day rollup. Exactness: sse from integer
+    * prefix sums with ONE floored decimal division per range (the
+    * fixed objective both engines minimize identically), argmins
+    * tie-break to the earliest j via min-then-min (no engine arg_min
+    * semantics load-bearing), and the backtrack walks the collected
+    * audit-sized argmin tables. Output: the B chosen buckets with
+    * exact day spans, revenue and SSE — what a cost model would
+    * actually store.
+    */
+  def vOptimalHistogram(s: SparkSession, dir: String,
+                        b: Int = 6): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val w = Window.orderBy($"day")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = daily
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cs", sum($"cents").over(cum))
+      .withColumn("cs2", sum(($"cents".cast(dec) * $"cents")).over(cum))
+      .select($"i", $"day", $"cs", $"cs2")
+      .localCheckpoint() // every DP level joins it twice
+    val n = pre.count()
+    // zero row so sse(1..i) is the same expression as sse(j+1..i)
+    val p0 = pre.select($"i", $"cs", $"cs2")
+      .union(Seq((0L, 0L, BigDecimal(0))).toDF("i", "cs", "cs2")
+        .select($"i", $"cs", $"cs2".cast(dec)))
+      .localCheckpoint()
+    // floor(D²/m) via D² = (q·m + r)·D: Spark's `div` returns LONG and
+    // silently wraps past 2⁶³ (the raw quotient reaches ~9e18 already at
+    // sf0.01) — so split into q·D (exact DECIMAL product) + floor(r·D/m)
+    // with r < m ≤ n_days keeping r·D long-safe at any revenue scale
+    def sseExpr = expr(
+      s"(cs2 - cs2j) - (CAST((cs - csj) div (i - j) AS $dec) * (cs - csj)" +
+      s" + ((cs - csj) % (i - j)) * (cs - csj) div (i - j))")
+    val lo = p0.select($"i".as("j"), $"cs".as("csj"), $"cs2".as("cs2j"))
+    // min(struct(cost, j)) = min cost with earliest-j tie-break in ONE
+    // partial-aggregatable pass — a second consumer of the candidate
+    // frame (the min-then-filter form) trips Spark's self-join attribute
+    // dedup into mis-binding the i<j condition (observed DIVIDE_BY_ZERO)
+    // pin fan-out: dp frames AQE-coalesce to one partition (a few KB),
+    // but each level's (j < i) nested-loop join fans out to n²/2 rows
+    // of DECIMAL(38) sse — repartition or ONE task does the whole level
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // each level = exactly ONE distributed job: the n²/2 fan-out runs
+    // in parallel, the n-row (v, argmin) result collects to the driver
+    // (audit-sized: the DP state IS calendar-bounded), and the next
+    // level rebuilds the tiny dp frame from the collected rows — no
+    // per-level checkpoint job, no lineage growth
+    def level(dpPrev: DataFrame): Array[org.apache.spark.sql.Row] =
+      dpPrev
+        .join(broadcast(lo), Seq("j"))
+        .repartition(nPart, $"j")
+        .join(broadcast(pre.select($"i", $"cs", $"cs2")), $"j" < $"i")
+        .withColumn("cost", $"vj" + sseExpr)
+        .groupBy($"i")
+        .agg(min(struct($"cost", $"j")).as("m"))
+        .select($"i", $"m.cost".as("v"), $"m.j".as("am"))
+        .collect()
+    // explicit Row/schema round-trip: the tuple encoder would force
+    // DECIMAL(38,18), overflowing these ~1e22 SSE sums
+    val dpSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("vj",
+        org.apache.spark.sql.types.DecimalType(38, 0))))
+    var dpRows: Array[org.apache.spark.sql.Row] =
+      lo.filter($"j" === 0L)
+        .join(broadcast(pre.select($"i", $"cs", $"cs2")), $"j" < $"i")
+        .select($"i", sseExpr.as("v"))
+        .collect()
+    val argTables = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    for (_ <- 2 to b) {
+      val dpDf = s.createDataFrame(
+        java.util.Arrays.asList(dpRows.map(r => org.apache.spark.sql.Row(
+          r.getLong(0), r.getDecimal(1))): _*), dpSchema)
+      val nxt = level(dpDf)
+      argTables += nxt.map(r => r.getLong(0) -> r.getLong(2)).toMap
+      dpRows = nxt
+    }
+    // backtrack from (b, n) through the collected argmin tables
+    val bounds = new Array[Long](b + 1)
+    bounds(b) = n
+    for (l <- b - 1 to 1 by -1)
+      bounds(l) = argTables(l - 1)(bounds(l + 1))
+    bounds(0) = 0L
+    val cuts = (1 to b).map(l => (l, bounds(l - 1), bounds(l))).toDF(
+      "bucket", "j", "i")
+    cuts
+      .join(lo, Seq("j"))
+      .join(pre.select($"i", $"cs", $"cs2", $"day".as("day_end")), Seq("i"))
+      .join(pre.select($"i".as("start_i"), $"day".as("day_start")),
+        $"start_i" === $"j" + 1L)
+      .withColumn("n_days", $"i" - $"j")
+      .withColumn("sum_cents", $"cs" - $"csj")
+      .withColumn("sse_u", sseExpr)
+      .select($"bucket", $"day_start", $"day_end", $"n_days",
+        $"sum_cents", $"sse_u")
+      .orderBy($"bucket")
+  }
+
   /** Matrix profile of the daily-revenue series (window m = 7): for
     * every week-shaped window, the exact squared Euclidean distance to
     * its nearest non-overlapping neighbor — the time-series primitive
@@ -1421,19 +1608,26 @@ object Relational {
         (1 until m).map(k => lead($"cents", k).over(w).as(s"y$k")): _*)
       .filter(col(s"y${m - 1}").isNotNull) // complete windows only
       .localCheckpoint() // both sides of the pair join read it
+    // pin fan-out: wins inherits the global window's single partition,
+    // and the n² pair join below is the compute (7 DECIMAL(38) mult-adds
+    // per pair) — without the repartition ONE task does all of it
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val a = wins.select(Seq($"t".as("ti")) ++
       (0 until m).map(k => col(s"y$k").as(s"a$k")): _*)
+      .repartition(nPart, $"ti")
     val b = wins.select(Seq($"t".as("tj")) ++
       (0 until m).map(k => col(s"y$k").as(s"b$k")): _*)
     val dist2 = (0 until m).map(k =>
         (col(s"a$k") - col(s"b$k")).cast(dec) *
           (col(s"a$k") - col(s"b$k"))).reduce(_ + _)
-    val pairs = a.join(broadcast(b), abs($"ti" - $"tj") >= m)
+    // min(struct(d2, tj)) = nearest distance with earliest-tj tie-break
+    // in ONE partial-aggregatable pass — the min-then-filter form would
+    // evaluate the n² pair frame twice
+    val prof = a.join(broadcast(b), abs($"ti" - $"tj") >= m)
       .select($"ti", $"tj", dist2.as("d2"))
-    val mins = pairs.groupBy($"ti").agg(min($"d2").as("dist2"))
-    val prof = pairs.join(mins, Seq("ti"))
-      .filter($"d2" === $"dist2")
-      .groupBy($"ti", $"dist2").agg(min($"tj").as("nn_t"))
+      .groupBy($"ti")
+      .agg(min(struct($"d2", $"tj")).as("mn"))
+      .select($"ti", $"mn.d2".as("dist2"), $"mn.tj".as("nn_t"))
     prof
       .withColumn("discord_rank", row_number()
         .over(Window.orderBy($"dist2".desc, $"ti")).cast("long"))

@@ -200,6 +200,29 @@ object Streams {
       }
   }
 
+  /** Conformal coverage gate: the streaming application of
+    * `TextOps.conformalCalibration` — the batch pass fixes the
+    * fixed-point predictor (a_u, b_u) and the calibration quantile
+    * q_hat once, and this STATELESS per-row gate flags arriving docs
+    * whose token count falls outside ŷ ± q̂ (the neymanSampleGate
+    * discipline: frozen batch design, scan-speed stream application,
+    * zero state, zero rate drift). Out-of-interval docs are exactly
+    * the ones the 1−α exchangeability guarantee says should be rare —
+    * a burst of them means the stream's docs no longer look like the
+    * calibration corpus, which is a drift alarm with a THEOREM under
+    * it rather than a tuned threshold.
+    */
+  def conformalGate(docs: DataFrame, aU: Long, bU: Long,
+                    qHat: Long): DataFrame =
+    docs
+      .withColumn("toks",
+        size(graft.functions.text.tokensLower(col("text"))).cast("long"))
+      .withColumn("s_u",
+        abs(col("toks") * lit(1000000L) - lit(aU)
+          - lit(bU) * col("n_chars")))
+      .withColumn("covered", col("s_u") <= lit(qHat))
+      .drop("toks")
+
   /** Page–Hinkley drift monitor: the streaming twin of
     * `Relational.pageHinkley` — same complete-mode daily-histogram
     * state as the CUSUM sink (one row per calendar day, never

@@ -839,6 +839,88 @@ class RelationalSpec extends SparkSpec {
     assert(byRank.map(_._3).toSeq === byRank.map(_._3).sortBy(v => -v))
   }
 
+  test("ivmAggApply: the maintained view equals a full recompute; the " +
+       "min repair fires exactly when a deleted row could carry the min") {
+    val b = Tables(spark, sf, "orders").select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        graft.operators.TextOps.hashBucket($"o_orderkey", "ivm:").as("bk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val base = b.filter(_._4 < 90)
+    val post = base.filter(_._4 < 80).map(t => (t._2, t._3)) ++
+      base.filter(t => t._4 >= 80 && t._4 < 85)
+        .map(t => (t._2, t._3 + 1000L)) ++
+      b.filter(_._4 >= 90).map(t => (t._2, t._3))
+    val expected = post.groupBy(_._1).map { case (k, v) =>
+      k -> ((v.length.toLong, v.map(_._2).sum, v.map(_._2).min)) }
+    val vMin = base.groupBy(_._2).map { case (k, v) =>
+      k -> v.map(_._3).min }
+    val dMin = base.filter(_._4 >= 80).groupBy(_._2).map { case (k, v) =>
+      k -> v.map(_._3).min }
+    val rows = Relational.ivmAggApply(spark, sf).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))))
+    assert(rows.map(t => t._1 -> ((t._2._1, t._2._2, t._2._3))).toMap
+      === expected)
+    rows.foreach { case (k, (_, _, _, repaired)) =>
+      val want = vMin.contains(k) && dMin.get(k).exists(_ <= vMin(k))
+      assert(repaired === want, s"repair flag for group $k")
+    }
+    // the delta genuinely exercises both paths
+    assert(rows.count(_._2._4) > 0, "no group took the repair path")
+    assert(rows.count(!_._2._4) > 0, "no group took the fast path")
+  }
+
+  test("vOptimalHistogram: the exact DP recounts — chosen buckets are " +
+       "the min-SSE partition with earliest-j tie-breaks") {
+    val b = 6
+    val daily = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toString)
+    val n = daily.length
+    val cs = daily.map(_._2).scanLeft(BigInt(0))(_ + _)
+    val cs2 = daily.map(_._2).scanLeft(BigInt(0))((a, c) => a + BigInt(c) * c)
+    def sse(j: Int, i: Int): BigInt = {
+      val d = cs(i) - cs(j)
+      (cs2(i) - cs2(j)) - d * d / (i - j)
+    }
+    val none = BigInt(-1)
+    var dp = Array.tabulate(n + 1)(i => if (i >= 1) sse(0, i) else none)
+    val args = Array.ofDim[Int](b + 1, n + 1)
+    for (l <- 2 to b) {
+      val nxt = Array.fill(n + 1)(none)
+      for (i <- l to n; j <- 1 until i if dp(j) != none) {
+        val c = dp(j) + sse(j, i)
+        // ascending j + strict < = earliest-j argmin, the operator's
+        // min(struct(cost, j)) tie-break
+        if (nxt(i) == none || c < nxt(i)) { nxt(i) = c; args(l)(i) = j }
+      }
+      dp = nxt
+    }
+    val bounds = new Array[Int](b + 1)
+    bounds(b) = n
+    for (l <- b - 1 to 1 by -1) bounds(l) = args(l + 1)(bounds(l + 1))
+    val expected = (1 to b).map { l =>
+      val (j, i) = (bounds(l - 1), bounds(l))
+      (l.toLong, daily(j)._1.toString, daily(i - 1)._1.toString,
+        (i - j).toLong, (cs(i) - cs(j)).toLong, sse(j, i))
+    }
+    val rows = Relational.vOptimalHistogram(spark, sf, b).collect().map(r =>
+      (r.getAs[Int]("bucket").toLong, r.getAs[java.sql.Date]("day_start")
+        .toString, r.getAs[java.sql.Date]("day_end").toString,
+        r.getAs[Long]("n_days"), r.getAs[Long]("sum_cents"),
+        BigInt(r.getAs[java.math.BigDecimal]("sse_u").toBigInteger)))
+    assert(rows.toSeq === expected)
+    // partition laws: spans tile the calendar rollup; revenue conserves
+    assert(rows.map(_._4).sum === n.toLong)
+    assert(rows.map(_._5).sum === (cs(n) - cs(0)).toLong)
+    // optimality: total SSE is <= any equi-width B-split's total
+    val eq = (0 to b).map(k => k * n / b)
+    val eqSse = (1 to b).map(l => sse(eq(l - 1), eq(l))).sum
+    assert(rows.map(_._6).sum <= eqSse)
+  }
+
   test("durbinWatson: fixed-point OLS residuals and both quadratic " +
        "sums recount exactly; DW stays in [0, 4000] milli") {
     val daily = Tables(spark, sf, "orders")

@@ -912,6 +912,44 @@ class StreamingSpec extends SparkSpec {
       Transition(5L, "a", "b", 1L), Transition(5L, "b", "c", 1L)))
   }
 
+  test("conformalGate: streamed coverage on the test split reproduces the " +
+       "batch calibration's n_covered exactly") {
+    val calib = graft.operators.TextOps.conformalCalibration(spark, sf)
+      .collect()(0)
+    val aU = calib.getAs[Long]("a_u")
+    val bU = calib.getAs[Long]("b_u")
+    val qHat = calib.getAs[Long]("q_hat")
+    val testDocs = graft.Tables(spark, sf, "documents")
+      .withColumn("bucket", graft.operators.TextOps.hashBucketMod(
+        $"doc_id", "split:", 100L))
+      .filter($"bucket" >= 90)
+      .select($"doc_id", $"text", $"n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val q = Streams.conformalGate(
+        input.toDF().toDF("doc_id", "text", "n_chars"), aU, bU, qHat)
+      .writeStream.format("memory").queryName("conf_out")
+      .outputMode(OutputMode.Append).start()
+    testDocs.grouped(math.max(testDocs.length / 3, 1)).foreach { g =>
+      input.addData(g); q.processAllAvailable()
+    }
+    val streamed = spark.table("conf_out")
+      .collect().map(r => r.getAs[Long]("doc_id")
+        -> r.getAs[Boolean]("covered")).toMap
+    q.stop()
+    // per-doc decisions are the batch decisions: covered count matches
+    // the calibration row, and a batch replay of the same stateless gate
+    // agrees doc by doc
+    assert(streamed.size === calib.getAs[Long]("n_test").toInt)
+    assert(streamed.values.count(identity).toLong ===
+      calib.getAs[Long]("n_covered"))
+    val batch = Streams.conformalGate(
+        testDocs.toDF("doc_id", "text", "n_chars"), aU, bU, qHat)
+      .collect().map(r => r.getAs[Long]("doc_id")
+        -> r.getAs[Boolean]("covered")).toMap
+    assert(streamed === batch)
+  }
+
   test("Kafka endpoint config validates at construction, not mid-job") {
     // valid shapes pass
     Streams.KafkaEndpoint("broker1:9092", "gtfs-arrivals")
