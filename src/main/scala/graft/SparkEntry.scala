@@ -208,6 +208,9 @@ object SparkEntry {
     "q_voptimal_histogram" ->
       ((s, dir) => Relational.vOptimalHistogram(s, dir)),
     "q_ivm_agg" -> Relational.ivmAggApply,
+    "q_basket_rules" -> ((s, dir) => Relational.basketRules(s, dir)),
+    "q_seasonal_decomp" -> Relational.seasonalDecompose,
+    "q_mase_backtest" -> Relational.maseBacktest,
     "q_rfm_segments" -> Relational.rfmSegments,
     "q_ccf_lead_lag" -> ((s, dir) => Events.ccfLeadLag(s, dir)),
     "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
@@ -3263,6 +3266,66 @@ object SparkEntry {
          FROM j""",
     "q_matrix_profile" -> matrixProfileOracle(7),
     "q_voptimal_histogram" -> vOptOracle(6),
+    "q_basket_rules" ->
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         n AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+         singles AS (SELECT brand, count(*) AS n_b FROM ob GROUP BY 1),
+         pairs AS (SELECT a.brand AS antecedent, b.brand AS consequent,
+             count(*) AS n_both
+           FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand <> b.brand
+           GROUP BY 1, 2 HAVING count(*) >= 20)
+         SELECT antecedent, consequent, CAST(n_both AS BIGINT) AS n_both,
+           CAST(sa.n_b AS BIGINT) AS n_ante, CAST(sc.n_b AS BIGINT) AS n_cons,
+           CAST(n_both * 10000 // sa.n_b AS BIGINT) AS confidence_bp,
+           CAST(n_both * n.n_orders * 1000000 // (sa.n_b * sc.n_b)
+             AS BIGINT) AS lift_ppm
+         FROM pairs JOIN singles sa ON sa.brand = antecedent
+           JOIN singles sc ON sc.brand = consequent CROSS JOIN n
+         ORDER BY lift_ppm DESC, antecedent, consequent LIMIT 30""",
+    "q_seasonal_decomp" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         det AS (SELECT day, cents,
+             CAST(date_part('isodow', day) - 1 AS BIGINT) AS weekday,
+             count(*) OVER w7 AS n_win,
+             sum(cents) OVER w7 * 1000000 // 7 AS trend_u
+           FROM daily
+           WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND
+             3 FOLLOWING)),
+         f AS (SELECT day, cents, weekday, CAST(trend_u AS BIGINT)
+             AS trend_u, cents * 1000000 - trend_u AS d_u
+           FROM det WHERE n_win = 7),
+         seas AS (SELECT weekday,
+             CAST(sum(d_u) // count(*) AS BIGINT) AS seasonal_u
+           FROM f GROUP BY 1)
+         SELECT day, f.weekday, cents, trend_u, seasonal_u,
+           CAST(d_u - seasonal_u AS BIGINT) AS remainder_u
+         FROM f JOIN seas ON seas.weekday = f.weekday
+         ORDER BY day""",
+    "q_mase_backtest" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         fc AS (SELECT day, cents,
+             count(*) OVER wp AS n_prev,
+             sum(cents) OVER wp * 1000000 // 7 AS fc_u,
+             lag(cents, 7) OVER (ORDER BY day) AS naive
+           FROM daily
+           WINDOW wp AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND
+             1 PRECEDING)),
+         e AS (SELECT abs(cents * 1000000 - fc_u) AS e_model_u,
+             abs(cents - naive) * 1000000 AS e_naive_u
+           FROM fc WHERE n_prev = 7)
+         SELECT count(*) AS n_eval,
+           CAST(sum(e_model_u) // count(*) AS BIGINT) AS mae_model_u,
+           CAST(sum(e_naive_u) // count(*) AS BIGINT) AS mae_naive_u,
+           CAST(sum(e_model_u) * 1000 // sum(e_naive_u) AS BIGINT)
+             AS mase_milli,
+           CAST(sum(CASE WHEN e_model_u < e_naive_u THEN 1 ELSE 0 END)
+             * 10000 // count(*) AS BIGINT) AS win_bp
+         FROM e""",
     "q_ivm_agg" ->
       """WITH b AS (SELECT o_orderkey, o_custkey,
            CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

@@ -845,6 +845,129 @@ object Relational {
     applyCdc(snapA, changes).orderBy($"doc_id")
   }
 
+  /** Market-basket association rules over co-ordered part brands
+    * (Agrawal–Srikant support/confidence plus lift): which brand in an
+    * order predicts which other brand — the classic co-purchase signal
+    * behind recommenders and assortment planning. The pair generator
+    * is per-order and bounded by basket size squared (TPC-H baskets
+    * are ≤ 7 lines, so the self-join on l_orderkey is LINEAR in the
+    * fact table — never an all-pairs blowup), brands broadcast from
+    * the part dimension, and the rule rollup is capped at |brands|²
+    * rows. Confidence and lift are integer cross-ratios (bp / ppm
+    * floor divisions both engines compute identically); ranking
+    * tie-breaks through the rule key so top-k is deterministic.
+    */
+  def basketRules(s: SparkSession, dir: String, minSupport: Long = 20L,
+                  k: Int = 30): DataFrame = {
+    import s.implicits._
+    val ob = Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "part")
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("okey"), $"p_brand".as("brand"))
+      .distinct() // one (order, brand) membership row
+      .localCheckpoint() // singles, pairs, and N all read it
+    val nOrders = ob.select($"okey").distinct().count()
+    val singles = ob.groupBy($"brand").agg(count(lit(1)).as("n_b"))
+      .localCheckpoint() // both rule sides join it
+    val pairs = ob.select($"okey", $"brand".as("antecedent"))
+      .join(ob.select($"okey", $"brand".as("consequent")), Seq("okey"))
+      .filter($"antecedent" =!= $"consequent")
+      .groupBy($"antecedent", $"consequent")
+      .agg(count(lit(1)).as("n_both"))
+      .filter($"n_both" >= minSupport)
+    pairs
+      .join(broadcast(singles.select($"brand".as("antecedent"),
+        $"n_b".as("n_ante"))), Seq("antecedent"))
+      .join(broadcast(singles.select($"brand".as("consequent"),
+        $"n_b".as("n_cons"))), Seq("consequent"))
+      .withColumn("confidence_bp",
+        expr("n_both * 10000 div n_ante"))
+      .withColumn("lift_ppm",
+        expr(s"n_both * ${nOrders}L * 1000000 div (n_ante * n_cons)"))
+      .select($"antecedent", $"consequent", $"n_both", $"n_ante",
+        $"n_cons", $"confidence_bp", $"lift_ppm")
+      .orderBy($"lift_ppm".desc, $"antecedent", $"consequent")
+      .limit(k)
+  }
+
+  /** Classical additive seasonal decomposition of the daily-revenue
+    * series (trend + weekly seasonal + remainder, the moving-average
+    * STL ancestor): trend is the centered 7-day moving average in
+    * floored micro-cents (full windows only — edge days are excluded,
+    * not padded), the seasonal component is the per-weekday mean of
+    * the detrended series, and the remainder is what neither explains
+    * — the input every "is Monday really our worst day" decision
+    * should see instead of raw dailies. All arithmetic is integer:
+    * micro-cent fixed point with truncating division, which Spark
+    * `div`, DuckDB `//`, and BigInt all perform identically, so the
+    * decomposition is engine-exact; day + weekday(Mon=0) ride the
+    * calendar-bounded rollup (one global-window pass, audit-sized).
+    */
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val w = Window.orderBy($"day").rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum7", sum($"cents").over(w))
+      .filter($"n_win" === 7L) // centered MA defined on full weeks only
+      .withColumn("trend_u", expr("sum7 * 1000000 div 7"))
+      .withColumn("weekday",
+        graft.functions.dates.weekdayIndex($"day").cast("long"))
+      .withColumn("detrended_u", $"cents" * lit(1000000L) - $"trend_u")
+      .localCheckpoint() // seasonal means and the final join read it
+    val seasonal = det.groupBy($"weekday")
+      .agg(sum($"detrended_u").as("sd"), count(lit(1)).as("nd"))
+      .select($"weekday", expr("sd div nd").as("seasonal_u"))
+    det.join(broadcast(seasonal), Seq("weekday"))
+      .withColumn("remainder_u", $"detrended_u" - $"seasonal_u")
+      .select($"day", $"weekday", $"cents", $"trend_u", $"seasonal_u",
+        $"remainder_u")
+      .orderBy($"day")
+  }
+
+  /** MASE forecast backtest (Hyndman–Koehler 2006): scores a trailing
+    * 7-day-mean forecaster against the scaled error of the seasonal-
+    * naive benchmark (y_{t−7}) over the daily-revenue series — the
+    * unit-free "is this model worth shipping" number (MASE < 1 beats
+    * the naive). Honest backtest discipline: the model sees ONLY rows
+    * t−7..t−1 (trailing window, never centered), both error sums
+    * accumulate as exact micro-cent integers, and MASE lands as one
+    * truncating milli division identical in both engines. Per-day
+    * win share rides the same single window pass.
+    */
+  def maseBacktest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val w = Window.orderBy($"day")
+    daily
+      .withColumn("n_prev", count(lit(1)).over(w.rowsBetween(-7, -1)))
+      .withColumn("fc_u",
+        expr("sum(cents) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING" +
+          " AND 1 PRECEDING) * 1000000 div 7"))
+      .withColumn("naive", lag($"cents", 7).over(w))
+      .filter($"n_prev" === 7L)
+      .withColumn("e_model_u", abs($"cents" * lit(1000000L) - $"fc_u"))
+      .withColumn("e_naive_u",
+        abs($"cents" - $"naive") * lit(1000000L))
+      .agg(count(lit(1)).as("n_eval"),
+        // micro-cent error sums overflow long past ~sf1 → DECIMAL(38,0)
+        sum($"e_model_u".cast("decimal(38,0)")).as("se_model_u"),
+        sum($"e_naive_u".cast("decimal(38,0)")).as("se_naive_u"),
+        sum(when($"e_model_u" < $"e_naive_u", 1L).otherwise(0L))
+          .as("n_wins"))
+      .select($"n_eval",
+        expr("CAST(se_model_u div n_eval AS BIGINT)").as("mae_model_u"),
+        expr("CAST(se_naive_u div n_eval AS BIGINT)").as("mae_naive_u"),
+        expr("CAST(se_model_u * 1000 div se_naive_u AS BIGINT)")
+          .as("mase_milli"),
+        expr("n_wins * 10000 div n_eval").as("win_bp"))
+  }
+
   /** Incremental view maintenance of a grouped aggregate — the engine
     * feature that makes a 100 TB materialized rollup affordable: the
     * stored view V(custkey → count, sum, min) absorbs a delta batch

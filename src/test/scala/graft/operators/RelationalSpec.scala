@@ -839,6 +839,90 @@ class RelationalSpec extends SparkSpec {
     assert(byRank.map(_._3).toSeq === byRank.map(_._3).sortBy(v => -v))
   }
 
+  test("basketRules: support/confidence/lift recount exactly from raw " +
+       "baskets; rules respect min support and the ranking is total") {
+    val ob = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "part"), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nOrders = ob.map(_._1).distinct.length.toLong
+    val byBrand = ob.groupBy(_._2).map { case (b, v) => b -> v.length.toLong }
+    val byOrder = ob.groupBy(_._1).values.map(_.map(_._2).toSet)
+    val both = byOrder.toSeq.flatMap(bs =>
+        for (a <- bs; b <- bs if a != b) yield (a, b))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      .filter(_._2 >= 20L)
+    val expected = both.map { case ((a, c), nb) =>
+      (a, c) -> ((nb, byBrand(a), byBrand(c), nb * 10000 / byBrand(a),
+        nb * nOrders * 1000000 / (byBrand(a) * byBrand(c)))) }
+    val rows = Relational.basketRules(spark, sf).collect().map(r =>
+      ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))))
+    rows.foreach { case (k, v) => assert(expected(k) === v, s"rule $k") }
+    // top-30 by (lift desc, antecedent, consequent) — exactly
+    val want = expected.toSeq
+      .sortBy { case ((a, c), v) => (-v._5, a, c) }.take(30)
+      .map { case (k, v) => (k, v) }
+    assert(rows.toSeq === want)
+  }
+
+  test("seasonalDecompose: trend + seasonal + remainder reassemble the " +
+       "series exactly; seasonal means recount per weekday") {
+    val rows = Relational.seasonalDecompose(spark, sf).collect().map(r =>
+      (r.getAs[java.sql.Date]("day"), r.getAs[Long]("weekday"),
+        r.getAs[Long]("cents"), r.getAs[Long]("trend_u"),
+        r.getAs[Long]("seasonal_u"), r.getAs[Long]("remainder_u")))
+    // identity: detrended == seasonal + remainder at every day
+    rows.foreach { case (d, _, c, t, sea, rem) =>
+      assert(c * 1000000L - t === sea + rem, s"identity at $d") }
+    // weekday index matches the calendar (Monday = 0)
+    rows.foreach { case (d, wd, _, _, _, _) =>
+      assert(wd === d.toLocalDate.getDayOfWeek.getValue.toLong - 1L) }
+    // seasonal is one value per weekday and recounts as the truncated
+    // mean of the detrended series
+    val byWd = rows.groupBy(_._2)
+    byWd.foreach { case (wd, g) =>
+      assert(g.map(_._5).distinct.length === 1)
+      val det = g.map(t => BigInt(t._3) * 1000000 - t._4)
+      assert(BigInt(g.head._5) === det.sum / det.length, s"weekday $wd")
+    }
+    // trend recounts as the centered 7-day MA over the full rollup
+    val daily = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toString)
+    val idx = daily.map(_._1.toString).zipWithIndex.toMap
+    rows.foreach { case (d, _, _, t, _, _) =>
+      val i = idx(d.toString)
+      val s7 = (i - 3 to i + 3).map(k => daily(k)._2).sum
+      assert(t === s7 * 1000000L / 7L, s"trend at $d")
+    }
+    assert(rows.length === daily.length - 6)
+  }
+
+  test("maseBacktest: error sums recount sequentially; the trailing-mean " +
+       "model is honestly scored against seasonal-naive") {
+    val daily = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toString).map(_._2)
+    val evalRows = (7 until daily.length).map { i =>
+      val fc = (i - 7 until i).map(daily).sum * 1000000L / 7L
+      val eModel = math.abs(daily(i) * 1000000L - fc)
+      val eNaive = math.abs(daily(i) - daily(i - 7)) * 1000000L
+      (eModel, eNaive)
+    }
+    val seM = evalRows.map(t => BigInt(t._1)).sum
+    val seN = evalRows.map(t => BigInt(t._2)).sum
+    val r = Relational.maseBacktest(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_eval") === evalRows.length.toLong)
+    assert(BigInt(r.getAs[Long]("mae_model_u")) === seM / evalRows.length)
+    assert(BigInt(r.getAs[Long]("mae_naive_u")) === seN / evalRows.length)
+    assert(BigInt(r.getAs[Long]("mase_milli")) === seM * 1000 / seN)
+    assert(r.getAs[Long]("win_bp") ===
+      evalRows.count(t => t._1 < t._2).toLong * 10000L / evalRows.length)
+  }
+
   test("ivmAggApply: the maintained view equals a full recompute; the " +
        "min repair fires exactly when a deleted row could carry the min") {
     val b = Tables(spark, sf, "orders").select($"o_orderkey", $"o_custkey",
