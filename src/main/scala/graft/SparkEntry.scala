@@ -209,6 +209,9 @@ object SparkEntry {
       ((s, dir) => Relational.vOptimalHistogram(s, dir)),
     "q_ivm_agg" -> Relational.ivmAggApply,
     "q_basket_rules" -> ((s, dir) => Relational.basketRules(s, dir)),
+    "q_permutation_test" ->
+      ((s, dir) => Relational.permutationTest(s, dir)),
+    "q_gini_stump" -> TextOps.giniStump,
     "q_seasonal_decomp" -> Relational.seasonalDecompose,
     "q_mase_backtest" -> Relational.maseBacktest,
     "q_rfm_segments" -> Relational.rfmSegments,
@@ -3283,6 +3286,61 @@ object SparkEntry {
          FROM pairs JOIN singles sa ON sa.brand = antecedent
            JOIN singles sc ON sc.brand = consequent CROSS JOIN n
          ORDER BY lift_ppm DESC, antecedent, consequent LIMIT 30""",
+    "q_permutation_test" ->
+      """WITH o AS (SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         ps AS (SELECT unnest(generate_series(0, 199)) AS p),
+         perms AS (SELECT p,
+             CAST(concat('0x', substring(md5(concat('perm:',
+               CAST(p AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR))),
+               1, 15)) AS BIGINT) % 2 AS arm, cents
+           FROM o CROSS JOIN ps),
+         agg AS (SELECT p,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS s_a,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS s_b
+           FROM perms GROUP BY 1),
+         t AS (SELECT p, n_a, n_b, abs(n_b * s_a - n_a * s_b) AS t_stat
+           FROM agg),
+         obs AS (SELECT t_stat AS t_obs, CAST(n_a AS BIGINT) AS n_arm_a,
+             CAST(n_b AS BIGINT) AS n_arm_b FROM t WHERE p = 0)
+         SELECT n_arm_a, n_arm_b, t_obs, count(*) AS n_perms,
+           CAST(sum(CASE WHEN t.t_stat >= obs.t_obs THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_ge,
+           CAST((1 + sum(CASE WHEN t.t_stat >= obs.t_obs THEN 1 ELSE
+             0 END)) * 1000 // (count(*) + 1) AS BIGINT) AS p_milli
+         FROM t CROSS JOIN obs WHERE t.p >= 1 GROUP BY 1, 2, 3""",
+    "q_gini_stump" ->
+      """WITH bv AS (SELECT n_chars, count(*) AS cnt,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+           FROM documents GROUP BY 1),
+         cum AS (SELECT n_chars,
+             sum(cnt) OVER (ORDER BY n_chars) AS nl,
+             sum(pos) OVER (ORDER BY n_chars) AS posl
+           FROM bv),
+         tot AS (SELECT max(nl) AS n, max(posl) AS p FROM cum),
+         cand AS (SELECT n_chars, nl, posl, nl - posl AS negl,
+             n - nl AS nr, p - posl AS posr,
+             (n - nl) - (p - posl) AS negr, n, p
+           FROM cum CROSS JOIN tot WHERE nl < n),
+         cost AS (SELECT *, CAST(n AS HUGEINT) * 1000000000
+             - (CAST(posl AS HUGEINT) * posl
+                + CAST(negl AS HUGEINT) * negl) * 1000000000 // nl
+             - (CAST(posr AS HUGEINT) * posr
+                + CAST(negr AS HUGEINT) * negr) * 1000000000 // nr
+             AS cost_u9 FROM cand),
+         best AS (SELECT *, CAST(n AS HUGEINT) * 1000000000
+             - (CAST(p AS HUGEINT) * p
+                + CAST(n - p AS HUGEINT) * (n - p)) * 1000000000 // n
+             AS root_u9
+           FROM cost ORDER BY cost_u9, n_chars LIMIT 1)
+         SELECT n_chars AS threshold, CAST(nl AS BIGINT) AS n_left,
+           CAST(posl AS BIGINT) AS pos_left, CAST(nr AS BIGINT) AS n_right,
+           CAST(posr AS BIGINT) AS pos_right, cost_u9,
+           CAST(n AS BIGINT) AS n_docs, CAST(p AS BIGINT) AS n_en,
+           root_u9, root_u9 - cost_u9 AS gain_u9
+         FROM best""",
     "q_seasonal_decomp" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

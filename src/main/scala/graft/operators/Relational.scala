@@ -968,6 +968,52 @@ object Relational {
         expr("n_wins * 10000 div n_eval").as("win_bp"))
   }
 
+  /** Exact A/A permutation test on order values — the
+    * distribution-function-free significance machine: the observed
+    * md5 arm split (perm 0) is compared against B=199 re-randomized
+    * assignments (perm 1..B), each a deterministic md5 draw, so both
+    * engines enumerate the SAME null distribution and the p-value is
+    * exact integer arithmetic end-to-end (no normal approximation, no
+    * transcendental anywhere). The statistic is the cross-scaled mean
+    * gap |n_B·S_A − n_A·S_B| in DECIMAL(38,0) (long wraps past ~sf1).
+    * Since arms are content-independent hashes, a small p indicts the
+    * harness, not a treatment — the logRankTest discipline, now for
+    * means. Scale: one generator fan-out of B+1 rows per order (the
+    * permutation axis is embarrassingly parallel), one groupBy(perm)
+    * — shuffle rows = B+1, independent of the fact table.
+    */
+  def permutationTest(s: SparkSession, dir: String,
+                      b: Int = 199): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val perms = Tables(s, dir, "orders")
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .withColumn("p", explode(sequence(lit(0), lit(b))))
+      .withColumn("arm", pmod(conv(substring(md5(concat(
+        lit("perm:"), $"p", lit(":"), $"o_orderkey".cast("string"))),
+        1, 15), 16, 10).cast("long"), lit(2L)))
+      .groupBy($"p")
+      .agg(sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === 0L, $"cents").otherwise(0L))
+          .cast(dec).as("s_a"),
+        sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"arm" === 1L, $"cents").otherwise(0L))
+          .cast(dec).as("s_b"))
+      .withColumn("t_stat", abs($"n_b" * $"s_a" - $"n_a" * $"s_b"))
+      .localCheckpoint() // observed row and null distribution read it
+    val obs = perms.filter($"p" === 0)
+      .select($"t_stat".as("t_obs"), $"n_a".as("n_arm_a"),
+        $"n_b".as("n_arm_b"))
+    perms.filter($"p" >= 1).crossJoin(broadcast(obs))
+      .agg(max($"t_obs").as("t_obs"), max($"n_arm_a").as("n_arm_a"),
+        max($"n_arm_b").as("n_arm_b"), count(lit(1)).as("n_perms"),
+        sum(when($"t_stat" >= $"t_obs", 1L).otherwise(0L)).as("n_ge"))
+      .withColumn("p_milli", expr("(1 + n_ge) * 1000 div (n_perms + 1)"))
+      .select($"n_arm_a", $"n_arm_b", $"t_obs", $"n_perms", $"n_ge",
+        $"p_milli")
+  }
+
   /** Incremental view maintenance of a grouped aggregate — the engine
     * feature that makes a 100 TB materialized rollup affordable: the
     * stored view V(custkey → count, sum, min) absorbs a delta batch

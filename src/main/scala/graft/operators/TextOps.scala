@@ -1040,6 +1040,62 @@ object TextOps {
       .orderBy($"rank")
   }
 
+  /** CART decision stump on n_chars predicting lang = 'en': the
+    * exact best single split by weighted Gini impurity — the root
+    * node every tree ensemble grows first, and the one-line "is doc
+    * length alone a language signal" audit. The candidate set is the
+    * distinct n_chars values (one groupBy + one cumulative window
+    * over the value-bounded rollup, never a per-doc scan per
+    * candidate); the objective is the fixed-point weighted impurity
+    * cost_u9 = N·10⁹ − ⌊(posL²+negL²)·10⁹/nL⌋ − ⌊(posR²+negR²)·10⁹/nR⌋
+    * in DECIMAL(38,0) (the squared counts overflow long past ~sf0.1),
+    * with truncating division both engines share — so the argmin is
+    * engine-exact by construction; ties break to the smallest
+    * threshold via min(struct). Output: the chosen split, its side
+    * tallies, the root impurity and the Gini gain.
+    */
+  def giniStump(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val byVal = Tables(s, dir, "documents")
+      .groupBy($"n_chars")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("pos"))
+    val w = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byVal
+      .withColumn("nl", sum($"cnt").over(w))
+      .withColumn("posl", sum($"pos").over(w))
+      .localCheckpoint() // totals and the candidate scan read it
+    val tot = cum.agg(max($"nl").as("n"), max($"posl").as("p"))
+    val cand = cum.crossJoin(broadcast(tot))
+      .filter($"nl" < $"n") // right side must be non-empty
+      .withColumn("negl", $"nl" - $"posl")
+      .withColumn("nr", $"n" - $"nl")
+      .withColumn("posr", $"p" - $"posl")
+      .withColumn("negr", $"nr" - $"posr")
+      .withColumn("cost_u9", expr(
+        s"""CAST(n AS $dec) * 1000000000
+           - (CAST(posl AS $dec) * posl + CAST(negl AS $dec) * negl)
+             * 1000000000 div nl
+           - (CAST(posr AS $dec) * posr + CAST(negr AS $dec) * negr)
+             * 1000000000 div nr"""))
+    cand
+      .groupBy()
+      .agg(min(struct($"cost_u9", $"n_chars", $"nl", $"posl", $"nr",
+        $"posr")).as("m"), max($"n").as("n_docs"), max($"p").as("n_en"))
+      .select($"m.n_chars".as("threshold"), $"m.nl".as("n_left"),
+        $"m.posl".as("pos_left"), $"m.nr".as("n_right"),
+        $"m.posr".as("pos_right"), $"m.cost_u9".as("cost_u9"),
+        $"n_docs", $"n_en")
+      .withColumn("root_u9", expr(
+        s"""CAST(n_docs AS $dec) * 1000000000
+           - (CAST(n_en AS $dec) * n_en
+              + CAST(n_docs - n_en AS $dec) * (n_docs - n_en))
+             * 1000000000 div n_docs"""))
+      .withColumn("gain_u9", $"root_u9" - $"cost_u9")
+  }
+
   /** Split-conformal calibration of a token-count predictor — the
     * distribution-free uncertainty recipe (Vovk; Lei et al.) a
     * pipeline runs before trusting ANY per-doc estimate: fit a cheap

@@ -839,6 +839,38 @@ class RelationalSpec extends SparkSpec {
     assert(byRank.map(_._3).toSeq === byRank.map(_._3).sortBy(v => -v))
   }
 
+  test("permutationTest: the null distribution recounts exactly from " +
+       "seeded md5 draws; the A/A p-value respects its resolution floor") {
+    def arm(p: Int, okey: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"perm:$p:$okey".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 2).toInt
+    }
+    val orders = Tables(spark, sf, "orders")
+      .select($"o_orderkey", round($"o_totalprice" * 100).cast("long"))
+      .as[(Long, Long)].collect()
+    def tStat(p: Int): (BigInt, Long, Long) = {
+      val (a, b) = orders.partition(o => arm(p, o._1) == 0)
+      val t = (BigInt(b.length) * a.map(o => BigInt(o._2)).sum
+        - BigInt(a.length) * b.map(o => BigInt(o._2)).sum).abs
+      (t, a.length.toLong, b.length.toLong)
+    }
+    val (tObs, nA, nB) = tStat(0)
+    val nulls = (1 to 199).map(p => tStat(p)._1)
+    val nGe = nulls.count(_ >= tObs).toLong
+    val r = Relational.permutationTest(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_arm_a") === nA)
+    assert(r.getAs[Long]("n_arm_b") === nB)
+    assert(BigInt(r.getAs[java.math.BigDecimal]("t_obs").toBigInteger)
+      === tObs)
+    assert(r.getAs[Long]("n_perms") === 199L)
+    assert(r.getAs[Long]("n_ge") === nGe)
+    assert(r.getAs[Long]("p_milli") === (1L + nGe) * 1000L / 200L)
+    // the exact test can never report below its resolution floor
+    assert(r.getAs[Long]("p_milli") >= 5L)
+  }
+
   test("basketRules: support/confidence/lift recount exactly from raw " +
        "baskets; rules respect min support and the ranking is total") {
     val ob = Tables(spark, sf, "lineitem")

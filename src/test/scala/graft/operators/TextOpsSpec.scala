@@ -7,6 +7,43 @@ import org.apache.spark.sql.functions.{floor, lit, row_number, sqrt, sum}
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("giniStump: the weighted-impurity argmin recounts exactly over " +
+       "every candidate threshold with smallest-threshold tie-break") {
+    val docs = Tables(spark, sf, "documents")
+      .select($"n_chars", ($"lang" === "en").cast("long"))
+      .as[(Long, Long)].collect()
+    val n = BigInt(docs.length)
+    val p = BigInt(docs.map(_._2).sum)
+    val byVal = docs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (v, g) => (v, BigInt(g.length), BigInt(g.map(_._2).sum)) }
+    def halfCost(pos: BigInt, neg: BigInt): BigInt =
+      (pos * pos + neg * neg) * BigInt(1000000000) / (pos + neg)
+    var (nl, posl) = (BigInt(0), BigInt(0))
+    val cands = byVal.dropRight(1).map { case (v, cnt, pos) =>
+      nl += cnt; posl += pos
+      val (nr, posr) = (n - nl, p - posl)
+      (n * 1000000000 - halfCost(posl, nl - posl)
+        - halfCost(posr, nr - posr), v, nl, posl, nr, posr)
+    }
+    val best = cands.min // (cost, threshold) lexicographic = the operator's tie-break
+    val r = TextOps.giniStump(spark, sf).collect()(0)
+    assert(BigInt(r.getAs[java.math.BigDecimal]("cost_u9").toBigInteger)
+      === best._1)
+    assert(r.getAs[Long]("threshold") === best._2.toLong)
+    assert(BigInt(r.getAs[Long]("n_left")) === best._3)
+    assert(BigInt(r.getAs[Long]("pos_left")) === best._4)
+    assert(BigInt(r.getAs[Long]("n_right")) === best._5)
+    assert(BigInt(r.getAs[Long]("pos_right")) === best._6)
+    val root = n * 1000000000 - (p * p + (n - p) * (n - p)) *
+      BigInt(1000000000) / n
+    assert(BigInt(r.getAs[java.math.BigDecimal]("root_u9").toBigInteger)
+      === root)
+    assert(BigInt(r.getAs[java.math.BigDecimal]("gain_u9").toBigInteger)
+      === root - best._1)
+    // a split can only ever help a concave impurity
+    assert(root - best._1 >= 0)
+  }
+
   test("topTokensPerLang: ranks 1..k, counts non-increasing within a lang") {
     val rows = TextOps.topTokensPerLang(spark, sf, k = 5)
       .select($"lang", $"rk", $"n").collect()
