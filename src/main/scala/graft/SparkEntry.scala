@@ -212,6 +212,8 @@ object SparkEntry {
     "q_permutation_test" ->
       ((s, dir) => Relational.permutationTest(s, dir)),
     "q_gini_stump" -> TextOps.giniStump,
+    "q_mcnemar_truncation" ->
+      ((s, dir) => Similarity.mcnemarTruncation(s, dir)),
     "q_seasonal_decomp" -> Relational.seasonalDecompose,
     "q_mase_backtest" -> Relational.maseBacktest,
     "q_rfm_segments" -> Relational.rfmSegments,
@@ -3311,6 +3313,60 @@ object SparkEntry {
            CAST((1 + sum(CASE WHEN t.t_stat >= obs.t_obs THEN 1 ELSE
              0 END)) * 1000 // (count(*) + 1) AS BIGINT) AS p_milli
          FROM t CROSS JOIN obs WHERE t.p >= 1 GROUP BY 1, 2, 3""",
+    "q_mcnemar_truncation" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(round(x * 1000000) AS BIGINT)) AS vu
+           FROM embeddings),
+         dx AS (SELECT label AS clabel,
+             unnest(generate_series(1, len(vu))) AS d, unnest(vu) AS xf
+           FROM e),
+         g AS (SELECT clabel, d,
+             CAST(CAST(sum(xf) AS BIGINT) // count(*) AS BIGINT) AS cu
+           FROM dx GROUP BY 1, 2),
+         c AS (SELECT clabel, list(cu ORDER BY d) AS cu_arr
+           FROM g GROUP BY 1),
+         a AS (SELECT e.vec_id, e.label, c.clabel,
+             list_sum(list_transform(generate_series(1, len(vu)),
+               i -> (vu[i] - cu_arr[i]) * (vu[i] - cu_arr[i]))) AS d_full,
+             list_sum(list_transform(generate_series(1, 32),
+               i -> (vu[i] - cu_arr[i]) * (vu[i] - cu_arr[i]))) AS d_half
+           FROM e, c),
+         r AS (SELECT vec_id, label, clabel,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY d_full, clabel) AS rf,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY d_half, clabel) AS rh
+           FROM a),
+         p AS (SELECT vec_id, label,
+             max(CASE WHEN rf = 1 THEN clabel END) AS pa,
+             max(CASE WHEN rh = 1 THEN clabel END) AS pb
+           FROM r GROUP BY 1, 2),
+         o AS (SELECT pa = label AS ok_a, pb = label AS ok_b FROM p),
+         t AS (SELECT
+           CAST(sum(CASE WHEN ok_a AND ok_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both_right,
+           CAST(sum(CASE WHEN ok_a AND NOT ok_b THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_only_a,
+           CAST(sum(CASE WHEN NOT ok_a AND ok_b THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_only_b,
+           CAST(sum(CASE WHEN NOT ok_a AND NOT ok_b THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_both_wrong
+         FROM o)
+         SELECT *,
+           n_both_right + n_only_a + n_only_b + n_both_wrong AS n_vecs,
+           (n_both_right + n_only_a) * 10000
+             // (n_both_right + n_only_a + n_only_b + n_both_wrong)
+             AS acc_full_bp,
+           (n_both_right + n_only_b) * 10000
+             // (n_both_right + n_only_a + n_only_b + n_both_wrong)
+             AS acc_half_bp,
+           (n_only_a - n_only_b) * (n_only_a - n_only_b) * 1000
+             // nullif(n_only_a + n_only_b, 0) AS chi2_milli,
+           coalesce((n_only_a - n_only_b) * (n_only_a - n_only_b) * 1000
+             // nullif(n_only_a + n_only_b, 0) > 3841, FALSE)
+             AS significant_5pct
+         FROM t""",
     "q_gini_stump" ->
       """WITH bv AS (SELECT n_chars, count(*) AS cnt,
            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos

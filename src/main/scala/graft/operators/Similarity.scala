@@ -1199,6 +1199,70 @@ object Similarity {
   /** Per-(vector, label-centroid) rounded cosine frame shared by
     * [[labelSilhouette]] and [[labelSuspects]].
     */
+  /** McNemar's paired test for embedding truncation: does keeping only
+    * the first `keepDims` of 64 dimensions change nearest-centroid
+    * label accuracy SIGNIFICANTLY, judged on the same vectors (the
+    * matryoshka question asked with the statistically correct pairing
+    * — two independent accuracy numbers waste it; McNemar tests only
+    * the discordant cells b and c). Everything is integer: micro-fixed
+    * vectors, truncating-division centroids both engines share, squared
+    * L2 in exact longs (|x| ≤ 1 ⇒ per-dim diff² ≤ 4e12, ×64 dims far
+    * below 2⁶³), argmin by min(struct) with smallest-label tie-break,
+    * and χ² = (b−c)²/(b+c) as one truncating milli division (null when
+    * no discordance — the honest undefined). One broadcast of ≤
+    * |labels| centroid rows against one scan; the d_half distance
+    * reuses the d_full row, so truncation costs no second pass.
+    */
+  def mcnemarTruncation(s: SparkSession, dir: String,
+                        keepDims: Int = 32): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)" +
+          " * 1000000) AS BIGINT))").as("vu"))
+      .localCheckpoint() // centroid agg + the scoring scan both read it
+    val cents = e
+      .select($"label", posexplode($"vu").as(Seq("d", "xf")))
+      .groupBy($"label", $"d")
+      .agg(sum($"xf").as("sx"), count(lit(1)).as("n"))
+      .withColumn("cu", expr("sx div n"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"d", $"cu"))).as("dm"))
+      .select($"label".as("clabel"),
+        transform($"dm", x => x("cu")).as("cu_arr"))
+    def sqDist(vuE: String, cuE: String) =
+      s"aggregate(zip_with($vuE, $cuE, (a, b) -> (a - b) * (a - b))," +
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    val cells = e.join(broadcast(cents))
+      .withColumn("d_full", expr(sqDist("vu", "cu_arr")))
+      .withColumn("d_half", expr(sqDist(s"slice(vu, 1, $keepDims)",
+        s"slice(cu_arr, 1, $keepDims)")))
+      .groupBy($"vec_id", $"label")
+      .agg(min(struct($"d_full", $"clabel")).as("mf"),
+        min(struct($"d_half", $"clabel")).as("mh"))
+      .withColumn("ok_a", $"mf.clabel" === $"label")
+      .withColumn("ok_b", $"mh.clabel" === $"label")
+      .agg(
+        sum(when($"ok_a" && $"ok_b", 1L).otherwise(0L))
+          .as("n_both_right"),
+        sum(when($"ok_a" && !$"ok_b", 1L).otherwise(0L)).as("n_only_a"),
+        sum(when(!$"ok_a" && $"ok_b", 1L).otherwise(0L)).as("n_only_b"),
+        sum(when(!$"ok_a" && !$"ok_b", 1L).otherwise(0L))
+          .as("n_both_wrong"))
+    cells
+      .withColumn("n_vecs", $"n_both_right" + $"n_only_a" + $"n_only_b"
+        + $"n_both_wrong")
+      .withColumn("acc_full_bp",
+        expr("(n_both_right + n_only_a) * 10000 div n_vecs"))
+      .withColumn("acc_half_bp",
+        expr("(n_both_right + n_only_b) * 10000 div n_vecs"))
+      .withColumn("chi2_milli", expr(
+        "(n_only_a - n_only_b) * (n_only_a - n_only_b) * 1000" +
+        " div nullif(n_only_a + n_only_b, 0)"))
+      .withColumn("significant_5pct",
+        coalesce($"chi2_milli" > 3841L, lit(false)))
+  }
+
   private def labelCentroidScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir, "embeddings")

@@ -6,6 +6,42 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("mcnemarTruncation: cells recount exactly from a sequential " +
+       "nearest-centroid pass at full and truncated width") {
+    val vecs = Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"label".cast("long"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)" +
+          " * 1000000) AS BIGINT))"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    val dims = vecs.head._3.length
+    val cents = vecs.groupBy(_._2).map { case (l, g) =>
+      l -> Array.tabulate(dims)(d => g.map(_._3(d)).sum / g.length)
+    }
+    def pred(v: Array[Long], k: Int): Long =
+      cents.toSeq.map { case (l, c) =>
+        ((0 until k).map(d => BigInt(v(d) - c(d)) * (v(d) - c(d))).sum, l)
+      }.min._2
+    val outcomes = vecs.map { case (_, l, v) =>
+      (pred(v, dims) == l, pred(v, 32) == l) }
+    val (nbr, na, nb, nbw) = (
+      outcomes.count(o => o._1 && o._2).toLong,
+      outcomes.count(o => o._1 && !o._2).toLong,
+      outcomes.count(o => !o._1 && o._2).toLong,
+      outcomes.count(o => !o._1 && !o._2).toLong)
+    val r = Similarity.mcnemarTruncation(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_both_right") === nbr)
+    assert(r.getAs[Long]("n_only_a") === na)
+    assert(r.getAs[Long]("n_only_b") === nb)
+    assert(r.getAs[Long]("n_both_wrong") === nbw)
+    assert(r.getAs[Long]("n_vecs") === vecs.length.toLong)
+    assert(na + nb > 0, "truncation flipped nothing — ablation inert")
+    assert(r.getAs[Long]("chi2_milli") ===
+      (na - nb) * (na - nb) * 1000L / (na + nb))
+    assert(r.getAs[Long]("acc_full_bp") ===
+      (nbr + na) * 10000L / vecs.length)
+  }
+
   test("brute-force top-k returns k rows, sorted by similarity") {
     val df = Similarity.bruteForceTopK(spark, sf, queryId = 0L, k = 10)
     val sims = df.select($"cos_sim").collect().map(_.getDouble(0)).toSeq
