@@ -732,6 +732,36 @@ object Streams {
       .map { case (p, id) => (s"snap_$id", id) }
   }
 
+  /** Shared commit half of every versioned-snapshot sink: write the new
+    * `snap_<batchId>`, then the NEW meta pointer (its own dir — no
+    * rename over the old one), then retire older pointers and their
+    * snapshots. Crash before the new meta commits → old meta still
+    * resolves; crash mid-cleanup → max-id resolution still picks the
+    * new one and the next batch re-retires the stragglers.
+    */
+  private def commitVersionedSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, batchId: Long,
+      next: DataFrame): Unit = {
+    val vdir = s"snap_$batchId"
+    next.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(root, vdir).toString)
+    val metaP = new org.apache.hadoop.fs.Path(root, s"$CdcMetaPrefix$batchId")
+    spark.createDataFrame(Seq((vdir, batchId))).toDF("dir", "batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(metaP.toString)
+    fs.listStatus(root).iterator.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n.startsWith(CdcMetaPrefix) &&
+          n.drop(CdcMetaPrefix.length).forall(_.isDigit) &&
+          n.drop(CdcMetaPrefix.length).toLong < batchId) ||
+        (n.startsWith("snap_") &&
+          n.drop(5).forall(_.isDigit) && n.drop(5).toLong < batchId)
+      }
+      .foreach(p => fs.delete(p, true))
+  }
+
   def cdcApplySink(changes: DataFrame, snapshotDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -759,27 +789,67 @@ object Streams {
           .join(b.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
           .unionByName(b.filter(col("status").isin("added", "modified"))
             .select(col("doc_id"), col("fp")))
-        val vdir = s"snap_$batchId"
-        next.write.mode("overwrite")
-          .parquet(new org.apache.hadoop.fs.Path(root, vdir).toString)
-        // versioned meta: write the NEW pointer first (its own dir — no
-        // rename over the old one), then retire older pointers and their
-        // snapshots. Crash before the new meta commits → old meta still
-        // resolves; crash mid-cleanup → max-id resolution still picks the
-        // new one and the next batch re-retires the stragglers.
-        val metaP = new org.apache.hadoop.fs.Path(root, s"$CdcMetaPrefix$batchId")
-        spark.createDataFrame(Seq((vdir, batchId))).toDF("dir", "batch_id")
-          .coalesce(1).write.mode("overwrite").parquet(metaP.toString)
-        fs.listStatus(root).iterator.map(_.getPath)
-          .filter { p =>
-            val n = p.getName
-            (n.startsWith(CdcMetaPrefix) &&
-              n.drop(CdcMetaPrefix.length).forall(_.isDigit) &&
-              n.drop(CdcMetaPrefix.length).toLong < batchId) ||
-            (n.startsWith("snap_") &&
-              n.drop(5).forall(_.isDigit) && n.drop(5).toLong < batchId)
-          }
-          .foreach(p => fs.delete(p, true))
+        commitVersionedSnapshot(spark, fs, root, batchId, next)
+      }
+      ()
+    }
+
+  /** Streaming incremental view maintenance — the foreachBatch twin of
+    * `Relational.ivmAggApply` for the SELF-MAINTAINABLE moment
+    * aggregates: a delta stream of (key, cents, sign ∈ +1 insert /
+    * −1 delete) folds into a continuously-maintained grouped view
+    * (key → n, sum, sum2) with NO base table anywhere — count, sum and
+    * sum of squares absorb deletes exactly (the ring-of-deltas point:
+    * every polynomial moment is self-maintainable, so mean and
+    * variance ride along for free), and groups whose count reaches
+    * zero vanish from the view. MIN/MAX are deliberately absent: under
+    * deletes they are NOT self-maintainable without re-probing a
+    * stored base, which is exactly what the batch operator's bounded
+    * repair does — the sink maintains what streaming honestly can.
+    * Durability rides [[commitVersionedSnapshot]]: versioned snapshots
+    * + max-id meta, replayed batch ids ≤ committed skipped whole.
+    */
+  def ivmAggSink(deltas: DataFrame, viewDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltas.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val root = new org.apache.hadoop.fs.Path(viewDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val resolved = resolveCdcMeta(fs, root)
+      val committedId = resolved.map(_._2).getOrElse(-1L)
+      if (batchId > committedId) {
+        val dec = "decimal(38,0)"
+        val dAgg = batch
+          .groupBy(col("key"))
+          .agg(sum(col("sign").cast("long")).as("n_d"),
+            sum((col("sign") * col("cents")).cast("long")).as("s_d"),
+            sum((col("sign").cast(dec) * col("cents") * col("cents")))
+              .as("s2_d"))
+        val view = resolved
+          .map { case (d, _) => spark.read.parquet(
+            new org.apache.hadoop.fs.Path(root, d).toString) }
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("key",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("n",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("s",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("s2",
+                org.apache.spark.sql.types.DecimalType(38, 0))))))
+        val next = view.join(dAgg, Seq("key"), "full_outer")
+          .select(col("key"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+              .as("n"),
+            (coalesce(col("s"), lit(0L)) + coalesce(col("s_d"), lit(0L)))
+              .as("s"),
+            (coalesce(col("s2"), lit(0L).cast(dec))
+              + coalesce(col("s2_d"), lit(0L).cast(dec)))
+              .cast(dec).as("s2"))
+          .filter(col("n") > 0L)
+        commitVersionedSnapshot(spark, fs, root, batchId, next)
       }
       ()
     }

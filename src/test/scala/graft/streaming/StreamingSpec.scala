@@ -751,6 +751,60 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && batch.length < vecs.length)
   }
 
+  test("ivmAggSink: the maintained moment view equals a full recompute " +
+       "after delete-bearing deltas; zeroed groups vanish; stale ids skip") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm-view").toString
+    val rows = graft.Tables(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast("long"),
+        graft.operators.TextOps.hashBucket($"o_orderkey", "ivm:"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val base = rows.filter(_._4 < 90)
+    val input = MemoryStream[(Long, Long, Int)](spark)
+    val q = Streams.ivmAggSink(
+      input.toDF().toDF("key", "cents", "sign"), dir).start()
+    // batch 0: the initial load is itself just inserts (plus one
+    // synthetic group the next delta will fully drain)
+    input.addData(base.map(t => (t._2, t._3, 1)).toSeq :+ (-1L, 42L, 1))
+    q.processAllAvailable()
+    assert(Streams.readCdcSnapshot(spark, dir)
+      .filter($"key" === -1L).count() === 1L)
+    // batch 1: deletes + re-priced re-inserts + arriving rows — the
+    // ivmAggApply delta, expressed as signed rows
+    input.addData(
+      base.filter(_._4 >= 80).map(t => (t._2, t._3, -1)).toSeq ++
+      base.filter(t => t._4 >= 80 && t._4 < 85)
+        .map(t => (t._2, t._3 + 1000L, 1)) ++
+      rows.filter(_._4 >= 90).map(t => (t._2, t._3, 1)) :+ (-1L, 42L, -1))
+    q.processAllAvailable()
+    q.stop()
+    val view = Streams.readCdcSnapshot(spark, dir).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(3).toBigInteger)))).toMap
+    val post = base.filter(_._4 < 80).map(t => (t._2, t._3)) ++
+      base.filter(t => t._4 >= 80 && t._4 < 85)
+        .map(t => (t._2, t._3 + 1000L)) ++
+      rows.filter(_._4 >= 90).map(t => (t._2, t._3))
+    val expected = post.groupBy(_._1).map { case (k, v) =>
+      k -> ((v.length.toLong, v.map(_._2).sum,
+        v.map(x => BigInt(x._2) * x._2).sum)) }
+    assert(view === expected)
+    // the drained group is GONE, not lingering at n = 0
+    assert(!view.contains(-1L), "zeroed group still present in the view")
+    // a redelivered batch id <= committed must be skipped whole
+    val replay = MemoryStream[(Long, Long, Int)](spark)
+    val q2 = Streams.ivmAggSink(
+      replay.toDF().toDF("key", "cents", "sign"), dir).start()
+    replay.addData((1L, 999L, 1))
+    q2.processAllAvailable()
+    q2.stop()
+    val after = Streams.readCdcSnapshot(spark, dir).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(3).toBigInteger)))).toMap
+    assert(after === view, "stale batch mutated the committed view")
+  }
+
   test("cdcApplySink folds change batches into a snapshot; stale ids skip") {
     val dst = java.nio.file.Files.createTempDirectory("cdc-snap").toString
     val input = MemoryStream[(Long, String, String)](spark)
