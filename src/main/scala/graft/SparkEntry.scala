@@ -216,6 +216,8 @@ object SparkEntry {
       ((s, dir) => Similarity.mcnemarTruncation(s, dir)),
     "q_seasonal_decomp" -> Relational.seasonalDecompose,
     "q_mase_backtest" -> Relational.maseBacktest,
+    "q_rolling_median_mad" ->
+      ((s, dir) => Relational.rollingMedianMad(s, dir)),
     "q_rfm_segments" -> Relational.rfmSegments,
     "q_ccf_lead_lag" -> ((s, dir) => Events.ccfLeadLag(s, dir)),
     "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
@@ -3418,6 +3420,28 @@ object SparkEntry {
            CAST(d_u - seasonal_u AS BIGINT) AS remainder_u
          FROM f JOIN seas ON seas.weekday = f.weekday
          ORDER BY day""",
+    "q_rolling_median_mad" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         win AS (SELECT day, cents,
+             list_sort(list(cents) OVER (ORDER BY day ROWS BETWEEN 27
+               PRECEDING AND CURRENT ROW)) AS arr
+           FROM daily),
+         m AS (SELECT day, cents, arr,
+             arr[(len(arr) + 1) // 2] + arr[(len(arr) + 2) // 2] AS med2
+           FROM win WHERE len(arr) = 28),
+         d AS (SELECT day, cents, med2,
+             list_sort(list_transform(arr, v -> abs(2 * v - med2)))
+               AS devs
+           FROM m)
+         SELECT day, cents, med2,
+           devs[(len(devs) + 1) // 2] + devs[(len(devs) + 2) // 2]
+             AS mad4,
+           abs(cents * 2 - med2) * 2 >
+             (devs[(len(devs) + 1) // 2] + devs[(len(devs) + 2) // 2]) * 3
+             AS anomaly
+         FROM d ORDER BY day""",
     "q_mase_backtest" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -928,6 +928,41 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Rolling 28-day median/MAD robust baseline over daily revenue —
+    * the anomaly floor that survives what breaks every mean/stddev
+    * monitor: one fat-finger day shifts a trailing mean for a month,
+    * while the median shrugs and MAD replaces σ with a 50%-breakdown
+    * spread. Exactness without a single division: the DOUBLED median
+    * (lo+hi order statistics, the runsTest convention) and doubled MAD
+    * are pure integer order statistics, and the alarm compares
+    * |x−med|·2 > 3·mad2 cross-multiplied. Execution is one window
+    * collect per day (the trailing array is CONSTANT-bounded — 28
+    * longs — so the sort is O(1) per row and nothing shuffles beyond
+    * the calendar rollup); full windows only, the honest warm-up.
+    */
+  def rollingMedianMad(s: SparkSession, dir: String,
+                       win: Int = 28): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val w = Window.orderBy($"day").rowsBetween(-(win - 1), 0)
+    def med2(arr: String) = // lo + hi middle order statistics, 1-indexed
+      s"element_at($arr, CAST((size($arr) + 1) div 2 AS INT))" +
+        s" + element_at($arr, CAST((size($arr) + 2) div 2 AS INT))"
+    daily
+      .withColumn("arr", array_sort(collect_list($"cents").over(w)))
+      .filter(size($"arr") === win)
+      .withColumn("med2", expr(med2("arr")))
+      .withColumn("devs", expr(
+        "array_sort(transform(arr, v -> abs(2 * v - med2)))"))
+      .withColumn("mad4", expr(med2("devs"))) // devs are pre-doubled
+      .withColumn("anomaly",
+        abs($"cents" * 2 - $"med2") * 2 > $"mad4" * 3)
+      .select($"day", $"cents", $"med2", $"mad4", $"anomaly")
+      .orderBy($"day")
+  }
+
   /** MASE forecast backtest (Hyndman–Koehler 2006): scores a trailing
     * 7-day-mean forecaster against the scaled error of the seasonal-
     * naive benchmark (y_{t−7}) over the daily-revenue series — the

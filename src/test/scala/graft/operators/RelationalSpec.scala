@@ -955,6 +955,34 @@ class RelationalSpec extends SparkSpec {
       evalRows.count(t => t._1 < t._2).toLong * 10000L / evalRows.length)
   }
 
+  test("rollingMedianMad: doubled median and quadrupled MAD recount " +
+       "exactly per trailing window; the alarm is the 3-MAD rule") {
+    val daily = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toString)
+    def m2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.length + 1) / 2 - 1) + s((s.length + 2) / 2 - 1)
+    }
+    val expected = (27 until daily.length).map { i =>
+      val w = (i - 27 to i).map(k => daily(k)._2)
+      val med2 = m2(w)
+      val mad4 = m2(w.map(v => math.abs(2 * v - med2)))
+      (daily(i)._1.toString, daily(i)._2, med2, mad4,
+        math.abs(daily(i)._2 * 2 - med2) * 2 > mad4 * 3)
+    }
+    val rows = Relational.rollingMedianMad(spark, sf).collect().map(r =>
+      (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("cents"),
+        r.getAs[Long]("med2"), r.getAs[Long]("mad4"),
+        r.getAs[Boolean]("anomaly")))
+    assert(rows.toSeq === expected)
+    // robustness sanity: every alarm day genuinely sits 1.5 raw MADs
+    // past the window median of its own trailing window
+    rows.filter(_._5).foreach { case (d, c, med2, mad4, _) =>
+      assert(math.abs(2 * c - med2).toDouble > 1.5 * mad4 / 2.0, d) }
+  }
+
   test("ivmAggApply: the maintained view equals a full recompute; the " +
        "min repair fires exactly when a deleted row could carry the min") {
     val b = Tables(spark, sf, "orders").select($"o_orderkey", $"o_custkey",
