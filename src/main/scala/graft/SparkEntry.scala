@@ -212,6 +212,7 @@ object SparkEntry {
     "q_permutation_test" ->
       ((s, dir) => Relational.permutationTest(s, dir)),
     "q_gini_stump" -> TextOps.giniStump,
+    "q_jsd_sources" -> ((s, dir) => TextOps.jsdSources(s, dir)),
     "q_mcnemar_truncation" ->
       ((s, dir) => Similarity.mcnemarTruncation(s, dir)),
     "q_seasonal_decomp" -> Relational.seasonalDecompose,
@@ -3369,6 +3370,34 @@ object SparkEntry {
              // nullif(n_only_a + n_only_b, 0) > 3841, FALSE)
              AS significant_5pct
          FROM t""",
+    "q_jsd_sources" ->
+      s"""WITH dt AS (SELECT source, unnest($toks) AS tok FROM documents),
+         top AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM dt
+           GROUP BY 1) ORDER BY c DESC, tok LIMIT 100),
+         cnt AS (SELECT source, dt.tok, count(*) AS c_st
+           FROM dt JOIN top ON top.tok = dt.tok GROUP BY 1, 2),
+         den AS (SELECT source, CAST(sum(c_st) + 100 AS BIGINT) AS d
+           FROM cnt GROUP BY 1),
+         grid AS (SELECT den.source, top.tok,
+             CAST(coalesce(c_st, 0) + 1 AS BIGINT) AS cn, d
+           FROM den CROSS JOIN top
+           LEFT JOIN cnt ON cnt.source = den.source AND cnt.tok = top.tok),
+         pr AS (SELECT a.s1, a.s2, a.x1, a.x2,
+             CAST(round(ln(CAST(x1 AS DOUBLE) * 2.0
+               / CAST(x1 + x2 AS DOUBLE)) * 1000000) AS BIGINT) AS l1,
+             CAST(round(ln(CAST(x2 AS DOUBLE) * 2.0
+               / CAST(x1 + x2 AS DOUBLE)) * 1000000) AS BIGINT) AS l2,
+             a.d1, a.d2
+           FROM (SELECT g1.source AS s1, g2.source AS s2,
+               g1.cn * g2.d AS x1, g2.cn * g1.d AS x2,
+               g1.d AS d1, g2.d AS d2
+             FROM grid g1 JOIN grid g2 ON g1.tok = g2.tok
+               AND g1.source < g2.source) a)
+         SELECT s1, s2, count(*) AS n_vocab,
+           CAST(sum(CAST(x1 AS HUGEINT) * l1 + CAST(x2 AS HUGEINT) * l2)
+             // (2 * CAST(max(d1) AS HUGEINT) * max(d2)) AS BIGINT)
+             AS jsd_micro
+         FROM pr GROUP BY 1, 2 ORDER BY s1, s2""",
     "q_gini_stump" ->
       """WITH bv AS (SELECT n_chars, count(*) AS cnt,
            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos

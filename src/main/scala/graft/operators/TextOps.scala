@@ -3549,6 +3549,60 @@ object TextOps {
       .orderBy($"s1", $"s2")
   }
 
+  /** Pairwise Jensen–Shannon divergence between source token
+    * distributions over the global top-m vocabulary — the
+    * information-theoretic "are these two providers the same feed"
+    * complement to [[burrowsDelta]]'s stylometric L1: symmetric,
+    * bounded by ln 2, and zero iff the smoothed distributions match.
+    * Add-one smoothing over the shared vocab kills the zero cells;
+    * each term's two log-ratios come from EXACT integer cross-products
+    * (2·c₁'·d₂ / (c₁'·d₂ + c₂'·d₁), products < 2⁵³ so the double is
+    * exact) pre-rounded at 1e-6 (the hillTail discipline), then the
+    * pair sum assembles in DECIMAL(38,0) scaled by the constant
+    * 2·d₁·d₂ so the only division is one truncating micro floor per
+    * pair. |sources|²·m audit-sized pair frame; one corpus scan.
+    */
+  def jsdSources(s: SparkSession, dir: String, m: Int = 100): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val docToks = docsFanned(s, dir)
+      .select($"source", explode(text.tokensLower($"text")).as("tok"))
+      .localCheckpoint() // vocab + counts both read it
+    val top = docToks.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok").limit(m).select($"tok")
+    val cnt = docToks.join(broadcast(top), Seq("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint() // the grid and the per-source totals read it
+    val den = cnt.groupBy($"source")
+      .agg((sum($"c_st") + lit(m.toLong)).as("d"))
+    val grid = den.crossJoin(broadcast(top))
+      .join(cnt, Seq("source", "tok"), "left")
+      .select($"source", $"tok",
+        (coalesce($"c_st", lit(0L)) + 1L).as("cn"), $"d")
+    val a = grid.select($"source".as("s1"), $"tok",
+      $"cn".as("cn1"), $"d".as("d1"))
+    val b = grid.select($"source".as("s2"), $"tok",
+      $"cn".as("cn2"), $"d".as("d2"))
+    a.join(b, Seq("tok")).filter($"s1" < $"s2")
+      .withColumn("x1", $"cn1" * $"d2") // exact longs, < 2^53
+      .withColumn("x2", $"cn2" * $"d1")
+      .withColumn("l1", round(log(
+        $"x1".cast("double") * 2.0 / ($"x1" + $"x2").cast("double"))
+        * 1e6).cast("long"))
+      .withColumn("l2", round(log(
+        $"x2".cast("double") * 2.0 / ($"x1" + $"x2").cast("double"))
+        * 1e6).cast("long"))
+      .groupBy($"s1", $"s2")
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(($"x1".cast(dec) * $"l1" + $"x2".cast(dec) * $"l2"))
+          .as("num"),
+        max($"d1").as("d1"), max($"d2").as("d2"))
+      .select($"s1", $"s2", $"n_vocab",
+        expr(s"CAST(num div (2 * CAST(d1 AS $dec) * d2) AS BIGINT)")
+          .as("jsd_micro"))
+      .orderBy($"s1", $"s2")
+  }
+
   /** Heaps'-law vocabulary growth audit: V(N) sampled at ten evenly
     * spaced points of the doc_id-ordered token stream, each point's
     * type-token ratio, and the fitted Heaps exponent β from

@@ -7,6 +7,43 @@ import org.apache.spark.sql.functions.{floor, lit, row_number, sqrt, sum}
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("jsdSources: every pair's divergence recounts exactly; JSD is " +
+       "bounded by ln 2 and zero only for identical smoothed counts") {
+    val docs = Tables(spark, sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+    val toks = docs.flatMap { case (src, t) =>
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).map(src -> _) }
+    val top = toks.groupBy(_._2).map { case (t, g) => (t, g.length) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(100).map(_._1)
+    val topSet = top.toSet
+    val cnt = toks.filter(t => topSet(t._2))
+      .groupBy(identity).map { case ((s0, t), g) => (s0, t) -> g.length.toLong }
+    val srcs = cnt.keys.map(_._1).toSeq.distinct.sorted
+    val den = srcs.map(s0 =>
+      s0 -> (cnt.collect { case ((`s0`, _), c) => c }.sum + 100L)).toMap
+    def jsd(sa: String, sb: String): (Long, Long) = {
+      val (da, db) = (den(sa), den(sb))
+      val num = top.map { t =>
+        val (ca, cb) = (cnt.getOrElse((sa, t), 0L) + 1L,
+          cnt.getOrElse((sb, t), 0L) + 1L)
+        val (x1, x2) = (ca * db, cb * da)
+        def l(u: Long) = math.round(
+          math.log(u.toDouble * 2.0 / (x1 + x2).toDouble) * 1e6)
+        BigInt(x1) * l(x1) + BigInt(x2) * l(x2)
+      }.sum
+      (top.length.toLong, (num / (2 * BigInt(da) * db)).toLong)
+    }
+    val rows = TextOps.jsdSources(spark, sf).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s1, s2, nv, j) =>
+      val (env, ej) = jsd(s1, s2)
+      assert(nv === env && j === ej, s"pair ($s1, $s2)")
+      assert(j >= 0L && j <= 693148L, s"JSD out of [0, ln 2] at ($s1, $s2)")
+    }
+    assert(rows.length === srcs.length * (srcs.length - 1) / 2)
+  }
+
   test("giniStump: the weighted-impurity argmin recounts exactly over " +
        "every candidate threshold with smallest-threshold tie-break") {
     val docs = Tables(spark, sf, "documents")
