@@ -219,6 +219,7 @@ object SparkEntry {
     "q_mase_backtest" -> Relational.maseBacktest,
     "q_rolling_median_mad" ->
       ((s, dir) => Relational.rollingMedianMad(s, dir)),
+    "q_column_stats" -> Relational.columnStats,
     "q_rfm_segments" -> Relational.rfmSegments,
     "q_ccf_lead_lag" -> ((s, dir) => Events.ccfLeadLag(s, dir)),
     "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
@@ -3449,6 +3450,27 @@ object SparkEntry {
            CAST(d_u - seasonal_u AS BIGINT) AS remainder_u
          FROM f JOIN seas ON seas.weekday = f.weekday
          ORDER BY day""",
+    "q_column_stats" -> {
+      val vExprs = Seq(
+        "l_orderkey" -> "lpad(CAST(l_orderkey AS VARCHAR), 12, '0')",
+        "l_partkey" -> "lpad(CAST(l_partkey AS VARCHAR), 12, '0')",
+        "l_suppkey" -> "lpad(CAST(l_suppkey AS VARCHAR), 12, '0')",
+        "l_quantity" ->
+          "lpad(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), 12, '0')",
+        "l_cents" -> ("lpad(CAST(CAST(round(l_extendedprice * 100)" +
+          " AS BIGINT) AS VARCHAR), 12, '0')"),
+        "l_returnflag" -> "l_returnflag",
+        "l_shipdate" -> "CAST(CAST(l_shipdate AS DATE) AS VARCHAR)")
+      vExprs.map { case (n, e) =>
+        s"""SELECT '$n' AS "column", count(*) AS n_rows,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           count(DISTINCT v) AS ndv, min(v) AS min_v, max(v) AS max_v,
+           CAST(sum(length(v)) * 1000 // count(*) AS BIGINT)
+             AS avg_len_milli
+         FROM (SELECT $e AS v FROM lineitem)"""
+      }.mkString(" UNION ALL ") + " ORDER BY \"column\""
+    },
     "q_rolling_median_mad" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

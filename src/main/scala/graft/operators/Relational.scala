@@ -928,6 +928,50 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** ANALYZE-style column statistics over the fact table — the inputs
+    * every cost-based decision in this engine quietly depends on
+    * (NDV → join cardinality, min/max → zone pruning, null share →
+    * anti-join sizing), shipped as checked data instead of trusted
+    * folklore. One STACKED pass: each row explodes into (column,
+    * value-string) pairs so the whole stats table is ONE shuffle
+    * regardless of column count (per-column countDistinct would
+    * expand into as many aggregates as columns); NDV is exact, not a
+    * sketch — the sketch variants live in q_approx_distinct_users,
+    * and this is their ground truth. min/max compare lexicographically
+    * on canonical strings (numerics zero-padded to fixed width so the
+    * string order IS the numeric order — both engines share it).
+    */
+  def columnStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    def pad(c: org.apache.spark.sql.Column) =
+      lpad(c.cast("string"), 12, "0")
+    // array-of-structs, not a map: struct fields may be null (a null
+    // map value would throw), and null share is exactly what we audit
+    val cols = Seq(
+      "l_orderkey" -> pad($"l_orderkey"),
+      "l_partkey" -> pad($"l_partkey"),
+      "l_suppkey" -> pad($"l_suppkey"),
+      "l_quantity" -> pad($"l_quantity".cast("long")),
+      "l_cents" -> pad(round($"l_extendedprice" * 100).cast("long")),
+      "l_returnflag" -> $"l_returnflag",
+      "l_shipdate" -> $"l_shipdate".cast("date").cast("string"))
+    val stacked = li
+      .select(explode(array(cols.map { case (n, c) =>
+        struct(lit(n).as("column"), c.as("v")) }: _*)).as("kv"))
+      .select($"kv.column".as("column"), $"kv.v".as("v"))
+    stacked
+      .groupBy($"column")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"v".isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct($"v").as("ndv"),
+        min($"v").as("min_v"), max($"v").as("max_v"),
+        sum(length($"v")).as("sum_len"))
+      .withColumn("avg_len_milli", expr("sum_len * 1000 div n_rows"))
+      .drop("sum_len")
+      .orderBy($"column")
+  }
+
   /** Rolling 28-day median/MAD robust baseline over daily revenue —
     * the anomaly floor that survives what breaks every mean/stddev
     * monitor: one fat-finger day shifts a trailing mean for a month,

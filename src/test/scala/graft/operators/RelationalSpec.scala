@@ -955,6 +955,32 @@ class RelationalSpec extends SparkSpec {
       evalRows.count(t => t._1 < t._2).toLong * 10000L / evalRows.length)
   }
 
+  test("columnStats: per-column NDV/min/max/nulls recount exactly " +
+       "against direct single-column aggregates") {
+    val li = Tables(spark, sf, "lineitem")
+    val rows = Relational.columnStats(spark, sf).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(rows.keySet === Set("l_orderkey", "l_partkey", "l_suppkey",
+      "l_quantity", "l_cents", "l_returnflag", "l_shipdate"))
+    val n = li.count()
+    rows.values.foreach { case (nr, nn, _, _, _) =>
+      assert(nr === n); assert(nn === 0L) }
+    // spot-exact: independent per-column aggregates must agree
+    assert(rows("l_orderkey")._3 ===
+      li.select($"l_orderkey").distinct().count())
+    assert(rows("l_returnflag")._3 ===
+      li.select($"l_returnflag").distinct().count())
+    val rf = li.agg(min($"l_returnflag"), max($"l_returnflag"))
+      .collect()(0)
+    assert(rows("l_returnflag")._4 === rf.getString(0))
+    assert(rows("l_returnflag")._5 === rf.getString(1))
+    // zero-padding makes string order the numeric order
+    val ok = li.agg(min($"l_orderkey"), max($"l_orderkey")).collect()(0)
+    assert(rows("l_orderkey")._4.toLong === ok.getLong(0))
+    assert(rows("l_orderkey")._5.toLong === ok.getLong(1))
+  }
+
   test("rollingMedianMad: doubled median and quadrupled MAD recount " +
        "exactly per trailing window; the alarm is the 3-MAD rule") {
     val daily = Tables(spark, sf, "orders")
