@@ -220,6 +220,7 @@ object SparkEntry {
     "q_rolling_median_mad" ->
       ((s, dir) => Relational.rollingMedianMad(s, dir)),
     "q_column_stats" -> Relational.columnStats,
+    "q_power_analysis" -> ((s, dir) => Relational.powerAnalysis(s, dir)),
     "q_rfm_segments" -> Relational.rfmSegments,
     "q_ccf_lead_lag" -> ((s, dir) => Events.ccfLeadLag(s, dir)),
     "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
@@ -3450,6 +3451,25 @@ object SparkEntry {
            CAST(d_u - seasonal_u AS BIGINT) AS remainder_u
          FROM f JOIN seas ON seas.weekday = f.weekday
          ORDER BY day""",
+    "q_power_analysis" ->
+      """WITH m AS (SELECT count(*) AS n_obs,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT)
+             AS s,
+           sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS BIGINT)) AS q
+           FROM orders),
+         v AS (SELECT n_obs, CAST(s // n_obs AS BIGINT) AS mean_c,
+             CAST((n_obs * q - s * s) // (CAST(n_obs AS HUGEINT)
+               * (n_obs - 1)) AS BIGINT) AS var_c2
+           FROM m),
+         d AS (SELECT *, CAST(200 AS BIGINT) AS mde_bp,
+             CAST(mean_c * 200 // 10000 AS BIGINT) AS delta_c FROM v)
+         SELECT n_obs, mean_c, var_c2, mde_bp, delta_c,
+           CAST((2 * CAST(2801585 AS HUGEINT) * 2801585 * var_c2
+             + CAST(delta_c AS HUGEINT) * delta_c * 1000000000000 - 1)
+             // (CAST(delta_c AS HUGEINT) * delta_c * 1000000000000)
+             AS BIGINT) AS n_required
+         FROM d""",
     "q_column_stats" -> {
       val vExprs = Seq(
         "l_orderkey" -> "lpad(CAST(l_orderkey AS VARCHAR), 12, '0')",

@@ -928,6 +928,43 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Power analysis for the order-value A/B harness: the sample size
+    * per arm needed to detect a `mdeBp` relative lift of mean order
+    * value at α=5% two-sided, power 80% — the number every experiment
+    * plan needs BEFORE launch, computed from the data's own exact
+    * moments instead of a guessed σ. n = 2σ²(z_{α/2}+z_β)²/δ² with the
+    * z-sum as the fixed micro literal 2.801585; the whole chain is a
+    * STAGED integer composition (floored variance in cent², floored
+    * mean and δ in cents, one ceiling division at the end) that both
+    * engines replicate step by step — the objective is the staged
+    * formula itself, so agreement is by construction, not by float
+    * luck. One aggregation pass; DECIMAL(38,0) keeps nQ−S² exact at
+    * any SF.
+    */
+  def powerAnalysis(s: SparkSession, dir: String,
+                    mdeBp: Long = 200L): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val zSumMicro = 2801585L // 1.959964 + 0.841621, fixed design literal
+    Tables(s, dir, "orders")
+      .select(round($"o_totalprice" * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("n_obs"), sum($"cents").as("s"),
+        sum(($"cents".cast(dec) * $"cents")).as("q"))
+      .withColumn("var_c2", expr(
+        s"CAST((CAST(n_obs AS $dec) * q - CAST(s AS $dec) * s)" +
+        s" div (CAST(n_obs AS $dec) * (n_obs - 1)) AS BIGINT)"))
+      .withColumn("mean_c", expr("s div n_obs"))
+      .withColumn("mde_bp", lit(mdeBp))
+      .withColumn("delta_c", expr("mean_c * mde_bp div 10000"))
+      .withColumn("n_required", expr(
+        s"CAST((2 * CAST($zSumMicro AS $dec) * $zSumMicro * var_c2" +
+        s" + CAST(delta_c AS $dec) * delta_c * 1000000000000 - 1)" +
+        s" div (CAST(delta_c AS $dec) * delta_c * 1000000000000)" +
+        " AS BIGINT)"))
+      .select($"n_obs", $"mean_c", $"var_c2", $"mde_bp", $"delta_c",
+        $"n_required")
+  }
+
   /** ANALYZE-style column statistics over the fact table — the inputs
     * every cost-based decision in this engine quietly depends on
     * (NDV → join cardinality, min/max → zone pruning, null share →

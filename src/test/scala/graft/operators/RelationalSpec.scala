@@ -955,6 +955,34 @@ class RelationalSpec extends SparkSpec {
       evalRows.count(t => t._1 < t._2).toLong * 10000L / evalRows.length)
   }
 
+  test("powerAnalysis: the staged integer formula recounts exactly; " +
+       "quadrupling the MDE cuts the requirement ~4x") {
+    val cents = Tables(spark, sf, "orders")
+      .select(round($"o_totalprice" * 100).cast("long"))
+      .as[Long].collect()
+    val n = BigInt(cents.length)
+    val sS = cents.map(BigInt(_)).sum
+    val q = cents.map(c => BigInt(c) * c).sum
+    val varC2 = (n * q - sS * sS) / (n * (n - 1))
+    val meanC = sS / n
+    def nReq(mdeBp: Long): BigInt = {
+      val deltaC = meanC * mdeBp / 10000
+      val z2 = BigInt(2801585) * 2801585
+      val den = deltaC * deltaC * BigInt("1000000000000")
+      (2 * z2 * varC2 + den - 1) / den
+    }
+    val r = Relational.powerAnalysis(spark, sf).collect()(0)
+    assert(BigInt(r.getAs[Long]("var_c2")) === varC2)
+    assert(BigInt(r.getAs[Long]("mean_c")) === meanC)
+    assert(BigInt(r.getAs[Long]("delta_c")) === meanC * 200 / 10000)
+    assert(BigInt(r.getAs[Long]("n_required")) === nReq(200))
+    val r2 = Relational.powerAnalysis(spark, sf, mdeBp = 800L)
+      .collect()(0)
+    assert(BigInt(r2.getAs[Long]("n_required")) === nReq(800))
+    // inverse-square law of detectability (integer-rounding slack)
+    assert(nReq(800) <= nReq(200) / 16 + 1)
+  }
+
   test("columnStats: per-column NDV/min/max/nulls recount exactly " +
        "against direct single-column aggregates") {
     val li = Tables(spark, sf, "lineitem")
