@@ -216,6 +216,7 @@ object SparkEntry {
     "q_mcnemar_truncation" ->
       ((s, dir) => Similarity.mcnemarTruncation(s, dir)),
     "q_seasonal_decomp" -> Relational.seasonalDecompose,
+    "q_seasonal_anomalies" -> Relational.seasonalAnomalies,
     "q_mase_backtest" -> Relational.maseBacktest,
     "q_rolling_median_mad" ->
       ((s, dir) => Relational.rollingMedianMad(s, dir)),
@@ -322,6 +323,28 @@ object SparkEntry {
   // DuckDB dialect notes: `//` = integer division (Spark `/ .cast("int")`),
   // `strlen` = bytes (Spark octet_length), sums of INT are cast BIGINT to
   // match Spark's long, len() casts to INT where Spark size() yields int.
+  /** Weekly additive decomposition chain (daily → centered-MA trend →
+    * detrended → per-weekday seasonal), shared by q_seasonal_decomp
+    * and q_seasonal_anomalies so a convention tweak cannot drift.
+    */
+  private val seasonalCtes =
+    """daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         det AS (SELECT day, cents,
+             CAST(date_part('isodow', day) - 1 AS BIGINT) AS weekday,
+             count(*) OVER w7 AS n_win,
+             sum(cents) OVER w7 * 1000000 // 7 AS trend_u
+           FROM daily
+           WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND
+             3 FOLLOWING)),
+         f AS (SELECT day, cents, weekday, CAST(trend_u AS BIGINT)
+             AS trend_u, cents * 1000000 - trend_u AS d_u
+           FROM det WHERE n_win = 7),
+         seas AS (SELECT weekday,
+             CAST(sum(d_u) // count(*) AS BIGINT) AS seasonal_u
+           FROM f GROUP BY 1)"""
+
   private val toks =
     """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')"""
 
@@ -3431,26 +3454,26 @@ object SparkEntry {
            root_u9, root_u9 - cost_u9 AS gain_u9
          FROM best""",
     "q_seasonal_decomp" ->
-      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-             AS cents FROM orders GROUP BY 1),
-         det AS (SELECT day, cents,
-             CAST(date_part('isodow', day) - 1 AS BIGINT) AS weekday,
-             count(*) OVER w7 AS n_win,
-             sum(cents) OVER w7 * 1000000 // 7 AS trend_u
-           FROM daily
-           WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND
-             3 FOLLOWING)),
-         f AS (SELECT day, cents, weekday, CAST(trend_u AS BIGINT)
-             AS trend_u, cents * 1000000 - trend_u AS d_u
-           FROM det WHERE n_win = 7),
-         seas AS (SELECT weekday,
-             CAST(sum(d_u) // count(*) AS BIGINT) AS seasonal_u
-           FROM f GROUP BY 1)
+      s"""WITH $seasonalCtes
          SELECT day, f.weekday, cents, trend_u, seasonal_u,
            CAST(d_u - seasonal_u AS BIGINT) AS remainder_u
          FROM f JOIN seas ON seas.weekday = f.weekday
          ORDER BY day""",
+    "q_seasonal_anomalies" ->
+      s"""WITH $seasonalCtes,
+         r AS (SELECT day, cents, CAST(d_u - seasonal_u AS BIGINT)
+             AS remainder_u
+           FROM f JOIN seas ON seas.weekday = f.weekday),
+         ar AS (SELECT list_sort(list(remainder_u)) AS a FROM r),
+         m AS (SELECT a[(len(a) + 1) // 2] + a[(len(a) + 2) // 2]
+             AS med2_u FROM ar),
+         dv AS (SELECT list_sort(list(abs(2 * remainder_u - med2_u)))
+             AS d FROM r CROSS JOIN m),
+         m2 AS (SELECT d[(len(d) + 1) // 2] + d[(len(d) + 2) // 2]
+             AS mad4_u FROM dv)
+         SELECT day, cents, remainder_u, med2_u, mad4_u,
+           abs(remainder_u * 2 - med2_u) * 2 > mad4_u * 3 AS anomaly
+         FROM r CROSS JOIN m CROSS JOIN m2 ORDER BY day""",
     "q_power_analysis" ->
       """WITH m AS (SELECT count(*) AS n_obs,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT)

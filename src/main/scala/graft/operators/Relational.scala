@@ -1044,6 +1044,37 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Seasonality-adjusted robust anomalies: the composition the two
+    * pieces exist FOR — [[seasonalDecompose]] strips the weekly
+    * pattern, then the doubled-median/quadrupled-MAD 3σ-equivalent
+    * rule runs on the REMAINDER, so a strong-but-normal Monday no
+    * longer trips the alarm and a modest-but-unseasonal Tuesday does.
+    * The remainder spread is GLOBAL (one calendar-bounded array, the
+    * runsTest doubled-median discipline, zero divisions); flag
+    * comparison cross-multiplied. This is the monitor rollingMedianMad
+    * approximates when seasonality is weak — and the right one when
+    * it is not.
+    */
+  def seasonalAnomalies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = seasonalDecompose(s, dir).localCheckpoint() // spread + flag
+    def m2(arr: String) =
+      s"element_at($arr, CAST((size($arr) + 1) div 2 AS INT))" +
+        s" + element_at($arr, CAST((size($arr) + 2) div 2 AS INT))"
+    val spread = dec
+      .agg(array_sort(collect_list($"remainder_u")).as("arr"))
+      .withColumn("med2_u", expr(m2("arr")))
+      .withColumn("devs", expr(
+        "array_sort(transform(arr, v -> abs(2 * v - med2_u)))"))
+      .select($"med2_u", expr(m2("devs")).as("mad4_u"))
+    dec.crossJoin(broadcast(spread))
+      .withColumn("anomaly",
+        abs($"remainder_u" * 2 - $"med2_u") * 2 > $"mad4_u" * 3)
+      .select($"day", $"cents", $"remainder_u", $"med2_u", $"mad4_u",
+        $"anomaly")
+      .orderBy($"day")
+  }
+
   /** MASE forecast backtest (Hyndman–Koehler 2006): scores a trailing
     * 7-day-mean forecaster against the scaled error of the seasonal-
     * naive benchmark (y_{t−7}) over the daily-revenue series — the

@@ -932,6 +932,29 @@ class RelationalSpec extends SparkSpec {
     assert(rows.length === daily.length - 6)
   }
 
+  test("seasonalAnomalies: the remainder spread recounts exactly and " +
+       "the flag is the 3-MAD rule on the DESEASONALIZED series") {
+    val dec = Relational.seasonalDecompose(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("cents"), r.getAs[Long]("remainder_u")))
+    def m2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.length + 1) / 2 - 1) + s((s.length + 2) / 2 - 1)
+    }
+    val med2 = m2(dec.map(_._3))
+    val mad4 = m2(dec.map(t => math.abs(2 * t._3 - med2)))
+    val rows = Relational.seasonalAnomalies(spark, sf).collect().map(r =>
+      (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("cents"),
+        r.getAs[Long]("remainder_u"), r.getAs[Long]("med2_u"),
+        r.getAs[Long]("mad4_u"), r.getAs[Boolean]("anomaly")))
+    assert(rows.length === dec.length)
+    rows.foreach { case (d, c, rem, m, md, a) =>
+      assert(m === med2 && md === mad4, d)
+      assert(a === (math.abs(rem * 2 - med2) * 2 > mad4 * 3), d)
+    }
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq === dec.toSeq)
+  }
+
   test("maseBacktest: error sums recount sequentially; the trailing-mean " +
        "model is honestly scored against seasonal-naive") {
     val daily = Tables(spark, sf, "orders")
