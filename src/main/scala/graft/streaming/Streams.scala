@@ -269,6 +269,54 @@ object Streams {
       }
   }
 
+  /** Robust-baseline drift monitor: the streaming twin of
+    * `Relational.rollingMedianMad` — the same complete-mode daily
+    * rollup as the Page–Hinkley sink (one row per calendar day, never
+    * per event), re-walked per trigger with the batch operator's exact
+    * doubled-median/quadrupled-MAD order statistics, so the stream's
+    * alarm history is BIT-IDENTICAL to a batch replay of the days seen
+    * so far (the stream==batch contract the spec pins). Driver cost per
+    * trigger is calendar-bounded (≤ n_days windows of `win` longs) —
+    * the same budget the batch operator's window pass spends.
+    */
+  def robustBaselineSink(orders: DataFrame, targetDir: String,
+                         win: Int = 28)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val daily = orders
+      .select(col("day").cast("date").as("day"),
+        round(col("amount") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+    daily.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val days = batch.collect()
+          .map(r => (r.getDate(0).toString, r.getLong(1))).sortBy(_._1)
+        def m2(xs: Seq[Long]): Long = {
+          val s = xs.sorted
+          s((s.length + 1) / 2 - 1) + s((s.length + 2) / 2 - 1)
+        }
+        var alarmDays = 0L; var lastAlarm = false
+        var lastMed2 = 0L; var lastMad4 = 0L
+        for (i <- (win - 1) until days.length) {
+          val w = (i - win + 1 to i).map(k => days(k)._2)
+          val med2 = m2(w)
+          val mad4 = m2(w.map(v => math.abs(2 * v - med2)))
+          val a = math.abs(days(i)._2 * 2 - med2) * 2 > mad4 * 3
+          if (a) alarmDays += 1
+          if (i == days.length - 1) {
+            lastAlarm = a; lastMed2 = med2; lastMad4 = mad4
+          }
+        }
+        Seq((batchId, days.length.toLong, lastMed2, lastMad4,
+            alarmDays, lastAlarm))
+          .toDF("batch_id", "n_days", "med2", "mad4", "alarm_days",
+            "alarm_now")
+          .write.mode("append").parquet(targetDir)
+        ()
+      }
+  }
+
   /** Exact-KS drift monitor: the streaming twin of `Events.ksDrift` —
     * a STATEFUL running per-value histogram on the 1e-4 quantization
     * grid (complete-mode aggregation, so the state store carries one

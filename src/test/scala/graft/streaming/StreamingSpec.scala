@@ -396,6 +396,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L)._5, "a sustained revenue shift must alarm")
   }
 
+  test("robustBaselineSink: full history reproduces the batch rolling " +
+       "median/MAD alarms; a flood day trips the robust alarm") {
+    val dst = java.nio.file.Files.createTempDirectory("rb-out")
+      .toString + "/rb"
+    val ckpt = java.nio.file.Files.createTempDirectory("rb-ckpt").toString
+    val batchRows = graft.operators.Relational.rollingMedianMad(spark, sf)
+      .collect()
+    val orders = graft.Tables(spark, sf, "orders")
+      .select($"o_orderdate".cast("date").cast("string"), $"o_totalprice")
+      .as[(String, Double)].collect().toSeq
+    val input = MemoryStream[(String, Double)](spark)
+    val q = Streams.robustBaselineSink(
+        input.toDF().toDF("day", "amount"), dst)
+      .option("checkpointLocation", ckpt).start()
+    input.addData(orders); q.processAllAvailable() // batch 0: history
+    val lastDay = java.time.LocalDate.parse(orders.map(_._1).max)
+    val med = batchRows.last.getAs[Long]("med2") / 2.0 / 100.0
+    input.addData(Seq((lastDay.plusDays(1).toString, med * 10)))
+    q.processAllAvailable() // batch 1: one flood day
+    q.stop()
+    val rows = spark.read.parquet(dst).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // batch 0 == the batch operator on the same days, stat for stat
+    val lb = batchRows.last
+    assert(rows(0L)._1 === batchRows.length.toLong + 27) // warm-up days
+    assert(rows(0L)._2 === lb.getAs[Long]("med2"))
+    assert(rows(0L)._3 === lb.getAs[Long]("mad4"))
+    assert(rows(0L)._4 ===
+      batchRows.count(_.getAs[Boolean]("anomaly")).toLong)
+    assert(rows(0L)._5 === lb.getAs[Boolean]("anomaly"))
+    // the 10x-median flood day must alarm; the median barely moves
+    assert(rows(1L)._5, "flood day did not trip the robust alarm")
+    assert(math.abs(rows(1L)._2 - rows(0L)._2).toDouble
+      <= rows(0L)._2 / 10.0, "one flood day shifted the median > 10%")
+  }
+
   test("pageHinkleySink: full history reproduces the batch Page-Hinkley; " +
        "a revenue flood trips the self-baselined alarm") {
     val dst = java.nio.file.Files.createTempDirectory("ph-out").toString + "/ph"
