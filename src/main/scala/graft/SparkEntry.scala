@@ -222,6 +222,8 @@ object SparkEntry {
       ((s, dir) => Relational.rollingMedianMad(s, dir)),
     "q_column_stats" -> Relational.columnStats,
     "q_power_analysis" -> ((s, dir) => Relational.powerAnalysis(s, dir)),
+    "q_cust_order_histogram" -> Relational.custOrderHistogram,
+    "q_priority_check" -> Relational.priorityCheck,
     "q_rfm_segments" -> Relational.rfmSegments,
     "q_ccf_lead_lag" -> ((s, dir) => Events.ccfLeadLag(s, dir)),
     "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
@@ -3474,6 +3476,19 @@ object SparkEntry {
          SELECT day, cents, remainder_u, med2_u, mad4_u,
            abs(remainder_u * 2 - med2_u) * 2 > mad4_u * 3 AS anomaly
          FROM r CROSS JOIN m CROSS JOIN m2 ORDER BY day""",
+    "q_cust_order_histogram" ->
+      """WITH pc AS (SELECT o_custkey, count(*) AS n FROM orders
+           GROUP BY 1)
+         SELECT coalesce(n, 0) AS c_count, count(*) AS n_customers
+         FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY n_customers DESC, c_count DESC""",
+    "q_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey
+             AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE))
+         GROUP BY 1 ORDER BY 1""",
     "q_power_analysis" ->
       """WITH m AS (SELECT count(*) AS n_obs,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT)

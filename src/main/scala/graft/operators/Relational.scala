@@ -860,26 +860,50 @@ object Relational {
   def basketRules(s: SparkSession, dir: String, minSupport: Long = 20L,
                   k: Int = 30): DataFrame = {
     import s.implicits._
-    val ob = Tables(s, dir, "lineitem")
-      .join(broadcast(Tables(s, dir, "part")
-        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey".as("okey"), $"p_brand".as("brand"))
-      .distinct() // one (order, brand) membership row
+    // one shuffle total: baskets collapse to per-order brand SETS, and
+    // both the pair generation (set × set, ≤ basket² row-local) and the
+    // single counts are explodes over that frame — the membership
+    // self-join form paid three 6M-row exchanges (distinct + two SMJ
+    // sorts) and measured 10x slower at 10x data
+    // brands ride the shuffle as dense int CODES (the part dimension is
+    // broadcast both to code on the way in and to decode the ≤|brands|²
+    // rollup on the way out) — strings only ever exist at dimension size
+    val brandDim = Tables(s, dir, "part").select($"p_brand").distinct()
+      .withColumn("bc", row_number()
+        .over(Window.orderBy($"p_brand")).cast("int"))
+      .localCheckpoint() // coder, both decoders
+    val parts = Tables(s, dir, "part")
+      .select($"p_partkey", $"p_brand".as("pb"))
+      .join(brandDim, $"pb" === $"p_brand")
+      .select($"p_partkey", $"bc")
+    val sets = Tables(s, dir, "lineitem")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("okey"), $"bc")
+      .groupBy($"okey").agg(collect_set($"bc").as("bs"))
       .localCheckpoint() // singles, pairs, and N all read it
-    val nOrders = ob.select($"okey").distinct().count()
-    val singles = ob.groupBy($"brand").agg(count(lit(1)).as("n_b"))
+    val nOrders = sets.count()
+    val singles = sets.select(explode($"bs").as("bc"))
+      .groupBy($"bc").agg(count(lit(1)).as("n_b"))
       .localCheckpoint() // both rule sides join it
-    val pairs = ob.select($"okey", $"brand".as("antecedent"))
-      .join(ob.select($"okey", $"brand".as("consequent")), Seq("okey"))
-      .filter($"antecedent" =!= $"consequent")
-      .groupBy($"antecedent", $"consequent")
+    // two codegen'd generators beat one row-local nested-lambda pair
+    // expression: higher-order functions run INTERPRETED per row
+    // (measured ~40% slower at 10x), explode stays in codegen
+    val pairs = sets
+      .select(explode($"bs").as("ac"), $"bs")
+      .select($"ac", explode($"bs").as("cc"))
+      .filter($"ac" =!= $"cc")
+      .groupBy($"ac", $"cc")
       .agg(count(lit(1)).as("n_both"))
       .filter($"n_both" >= minSupport)
     pairs
-      .join(broadcast(singles.select($"brand".as("antecedent"),
-        $"n_b".as("n_ante"))), Seq("antecedent"))
-      .join(broadcast(singles.select($"brand".as("consequent"),
-        $"n_b".as("n_cons"))), Seq("consequent"))
+      .join(broadcast(singles.select($"bc".as("ac"),
+        $"n_b".as("n_ante"))), Seq("ac"))
+      .join(broadcast(singles.select($"bc".as("cc"),
+        $"n_b".as("n_cons"))), Seq("cc"))
+      .join(broadcast(brandDim.select($"bc".as("ac"),
+        $"p_brand".as("antecedent"))), Seq("ac"))
+      .join(broadcast(brandDim.select($"bc".as("cc"),
+        $"p_brand".as("consequent"))), Seq("cc"))
       .withColumn("confidence_bp",
         expr("n_both * 10000 div n_ante"))
       .withColumn("lift_ppm",
@@ -926,6 +950,48 @@ object Relational {
       .select($"day", $"weekday", $"cents", $"trend_u", $"seasonal_u",
         $"remainder_u")
       .orderBy($"day")
+  }
+
+  /** TPC-H Q13-shaped customer distribution: how many customers placed
+    * exactly k orders, INCLUDING the zero-order customers a plain join
+    * silently drops — the left outer join is the whole point (the
+    * reference shape counts c_count=0 as a first-class bucket, the
+    * dormant-customer cohort every retention plan forgets). Two
+    * aggregations, both shuffle-light: orders roll up to one row per
+    * customer before the dimension join, so the big side never carries
+    * more than |customers| rows into the outer join.
+    */
+  def custOrderHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables(s, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+    Tables(s, dir, "customer").select($"c_custkey")
+      .join(perCust, $"c_custkey" === $"o_custkey", "left")
+      .select(coalesce($"n", lit(0L)).as("c_count"))
+      .groupBy($"c_count").agg(count(lit(1)).as("n_customers"))
+      .orderBy($"n_customers".desc, $"c_count".desc)
+  }
+
+  /** TPC-H Q4-shaped order-priority check: orders with at least one
+    * line item shipped AFTER the order date, counted per priority —
+    * the canonical EXISTS turned left-semi join (never a count-then-
+    * filter: the semi join short-circuits on first match and carries
+    * no lineitem payload through the shuffle). The fact-side predicate
+    * needs o_orderdate, so it rides the join condition — Catalyst
+    * still prunes both scans to the join keys + dates.
+    */
+  def priorityCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_shipdate".cast("date").as("shipd"))
+    Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority",
+        $"o_orderdate".cast("date").as("od"))
+      .join(li, $"o_orderkey" === $"l_orderkey" && $"shipd" > $"od",
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
   }
 
   /** Power analysis for the order-value A/B harness: the sample size

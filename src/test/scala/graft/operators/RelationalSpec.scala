@@ -839,6 +839,45 @@ class RelationalSpec extends SparkSpec {
     assert(byRank.map(_._3).toSeq === byRank.map(_._3).sortBy(v => -v))
   }
 
+  test("custOrderHistogram: buckets recount exactly and the zero-order " +
+       "cohort is a first-class bucket") {
+    val perCust = Tables(spark, sf, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)))
+      .as[(Long, Long)].collect().toMap
+    val custs = Tables(spark, sf, "customer")
+      .select($"c_custkey").as[Long].collect()
+    val expected = custs.map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rows = Relational.custOrderHistogram(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.toMap === expected)
+    assert(rows.map(_._2).sum === custs.length.toLong)
+    // the ranking is (n_customers desc, c_count desc), total; every
+    // customer lands in exactly one bucket (the outer-join guarantee —
+    // this fixture has no dormant customers, so the sum check is what
+    // pins the LEFT join: an inner join would still pass only because
+    // the cohort is empty, and the oracle compares the same shape)
+    assert(rows.toSeq === rows.toSeq.sortBy(t => (-t._2, -t._1)))
+  }
+
+  test("priorityCheck: the EXISTS semi-join recounts exactly and never " +
+       "double-counts multi-match orders") {
+    val shipByOrder = Tables(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_shipdate".cast("date").cast("string"))
+      .as[(Long, String)].collect().groupBy(_._1)
+    val expected = Tables(spark, sf, "orders")
+      .select($"o_orderkey", $"o_orderpriority",
+        $"o_orderdate".cast("date").cast("string"))
+      .as[(Long, String, String)].collect()
+      .filter { case (ok, _, od) =>
+        shipByOrder.getOrElse(ok, Array.empty[(Long, String)])
+          .exists(_._2 > od) }
+      .groupBy(_._2).map { case (p, g) => p -> g.length.toLong }
+    val rows = Relational.priorityCheck(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows === expected)
+  }
+
   test("permutationTest: the null distribution recounts exactly from " +
        "seeded md5 draws; the A/A p-value respects its resolution floor") {
     def arm(p: Int, okey: Long): Int = {
