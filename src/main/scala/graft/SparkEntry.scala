@@ -254,6 +254,8 @@ object SparkEntry {
     "q_chunk_pairs" -> ((s, dir) => Chunker.sharedChunkPairs(s, dir)),
     "q_chunk_search" -> ((s, dir) => Chunker.chunkSearch(s, dir)),
     "q_dedup_assignments" -> Dedup.dedupAssignments,
+    "q_incremental_clusters" ->
+      ((s, dir) => Dedup.incrementalClusters(s, dir)),
     "q_cluster_split" -> Dedup.clusterSplit,
     "q_source_dup_burden" -> Dedup.sourceDupBurden,
     "q_dedup_corpus" -> Dedup.dedupCorpus,
@@ -2140,6 +2142,12 @@ object SparkEntry {
            CAST(nm AS BIGINT) AS n_members, quality
          FROM j WHERE rk = 1 ORDER BY canon_id""",
     "q_dedup_assignments" ->
+      s"""WITH RECURSIVE $ccReachCtes
+         SELECT a AS doc_id, min(r) AS canon_id
+         FROM reach GROUP BY a ORDER BY doc_id""",
+    // the incremental maintenance must EQUAL the full recompute — the
+    // oracle is deliberately the same full-corpus CC
+    "q_incremental_clusters" ->
       s"""WITH RECURSIVE $ccReachCtes
          SELECT a AS doc_id, min(r) AS canon_id
          FROM reach GROUP BY a ORDER BY doc_id""",

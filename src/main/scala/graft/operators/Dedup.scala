@@ -1167,6 +1167,61 @@ object Dedup {
     * md5) unioned with MinHash-LSH candidates -> components -> canonical
     * assignment, ordered for the oracle/rows check.
     */
+  /** Incremental cluster maintenance: absorb a document batch into
+    * STORED dedup assignments without re-running connected components
+    * over the corpus — the missing piece between the stored band index
+    * (cheap incremental PAIRS) and the assignments table (which a naive
+    * pipeline rebuilds per ingest). The base assignment is treated as a
+    * materialized table; delta pairs (any pair touching a batch doc)
+    * have their endpoints mapped through it onto cluster
+    * representatives, and CC runs on THAT quotient graph only — nodes =
+    * batch docs + touched reps, cost ∝ batch and its blast radius,
+    * never ∝ corpus. Because every rep is its cluster's minimum member,
+    * the quotient's min-label IS the merged cluster's true global
+    * minimum, so the rewritten table equals a full recompute
+    * row-for-row — the oracle states the full recompute directly, so
+    * the equality is the maintenance proof (the ivmAggApply discipline,
+    * now for graph state).
+    */
+  def incrementalClusters(s: SparkSession, dir: String,
+                          batchPred: Column => Column = _ % 4 === 3)
+      : DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val exactPairs = docs
+      .groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_a"), collect_list($"doc_id").as("members"))
+      .select($"doc_a", explode($"members").as("doc_b"))
+      .filter($"doc_a" < $"doc_b")
+    val pairs = minhashLshPairs(s, dir).unionByName(exactPairs).distinct()
+      .localCheckpoint() // base and delta partitions both read it
+    val basePairs = pairs
+      .filter(!batchPred($"doc_a") && !batchPred($"doc_b"))
+    val deltaPairs = pairs
+      .filter(batchPred($"doc_a") || batchPred($"doc_b"))
+    // the stored table (at scale: written once, read per ingest)
+    val stored = dedupClusters(basePairs).localCheckpoint()
+    val dm = deltaPairs
+      .join(stored.select($"doc_id".as("doc_a"), $"canon_id".as("ca")),
+        Seq("doc_a"), "left")
+      .join(stored.select($"doc_id".as("doc_b"), $"canon_id".as("cb")),
+        Seq("doc_b"), "left")
+      .select(coalesce($"ca", $"doc_a").as("doc_a"),
+        coalesce($"cb", $"doc_b").as("doc_b"))
+      .filter($"doc_a" =!= $"doc_b").distinct()
+      .localCheckpoint() // the quotient CC's whole input
+    val quotient = dedupClusters(dm).localCheckpoint() // batch-sized CC
+    // rewrite ONLY rows whose rep merged; batch nodes append
+    val updated = stored
+      .join(quotient.select($"doc_id".as("r"), $"canon_id".as("qc")),
+        $"canon_id" === $"r", "left")
+      .select($"doc_id", coalesce($"qc", $"canon_id").as("canon_id"))
+    val newNodes = quotient
+      .join(stored.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"canon_id")
+    updated.unionByName(newNodes).orderBy($"doc_id")
+  }
+
   def dedupAssignments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // star edges min->each member (not min->max: a 3+-copy group's middle

@@ -123,6 +123,23 @@ class DedupSpec extends SparkSpec {
     assert(got.getOrElse(4L, 4L) === 4L) // unrelated doc never absorbed
   }
 
+  test("incrementalClusters: quotient maintenance equals the full " +
+       "recompute for every batch carve, including cluster-merging ones") {
+    val full = Dedup.dedupAssignments(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // several carves: different batch sizes and positions, including
+    // batches that bridge two previously separate base clusters
+    val carves = Seq[(String, org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column)](
+      ("quarter", _ % 4 === 3), ("half", _ % 2 === 0),
+      ("band", _ % 10 < 3))
+    carves.foreach { case (name, pred) =>
+      val inc = Dedup.incrementalClusters(spark, sf, pred)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc === full, s"carve $name diverged from the full recompute")
+    }
+  }
+
   test("dedupCorpus keeps exactly the canonical member of each cluster") {
     val tmp = java.nio.file.Files.createTempDirectory("dedupcorpus").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
