@@ -224,6 +224,7 @@ object SparkEntry {
     "q_power_analysis" -> ((s, dir) => Relational.powerAnalysis(s, dir)),
     "q_cust_order_histogram" -> Relational.custOrderHistogram,
     "q_priority_check" -> Relational.priorityCheck,
+    "q_sql_revenue_share" -> Relational.sqlRevenueShare,
     "q_rfm_segments" -> Relational.rfmSegments,
     "q_ccf_lead_lag" -> ((s, dir) => Events.ccfLeadLag(s, dir)),
     "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
@@ -3487,6 +3488,18 @@ object SparkEntry {
          SELECT day, cents, remainder_u, med2_u, mad4_u,
            abs(remainder_u * 2 - med2_u) * 2 > mad4_u * 3 AS anomaly
          FROM r CROSS JOIN m CROSS JOIN m2 ORDER BY day""",
+    "q_sql_revenue_share" ->
+      """WITH r AS (
+        SELECT n.n_name, CAST(round(o.o_totalprice * 100) AS BIGINT)
+          AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey)
+      SELECT n_name, CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        CAST(sum(cents) * 10000 // sum(sum(cents)) OVER () AS BIGINT)
+          AS share_bp
+      FROM r GROUP BY n_name
+      ORDER BY revenue_cents DESC, n_name""",
     "q_cust_order_histogram" ->
       """WITH pc AS (SELECT o_custkey, count(*) AS n FROM orders
            GROUP BY 1)

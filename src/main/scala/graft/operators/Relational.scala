@@ -952,6 +952,30 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** SQL-text surface proof: the same engine through `spark.sql(...)`
+    * over registered temp views — a user who writes ANSI SQL instead of
+    * the DataFrame API gets the identical Catalyst plan, pushdowns and
+    * all. The query is a windowed-over-aggregate revenue share (the
+    * shape that exercises both agg and window resolution in the SQL
+    * analyzer); integer cents and a bp floor division keep it
+    * engine-exact. Views register idempotently per session.
+    */
+  def sqlRevenueShare(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "customer", "nation").foreach(t =>
+      Tables(s, dir, t).createOrReplaceTempView(t))
+    s.sql("""
+      WITH r AS (
+        SELECT n.n_name, CAST(round(o.o_totalprice * 100) AS BIGINT)
+          AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey)
+      SELECT n_name, sum(cents) AS revenue_cents,
+        sum(cents) * 10000 div sum(sum(cents)) OVER () AS share_bp
+      FROM r GROUP BY n_name
+      ORDER BY revenue_cents DESC, n_name""")
+  }
+
   /** TPC-H Q13-shaped customer distribution: how many customers placed
     * exactly k orders, INCLUDING the zero-order customers a plain join
     * silently drops — the left outer join is the whole point (the

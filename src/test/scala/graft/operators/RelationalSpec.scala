@@ -839,6 +839,26 @@ class RelationalSpec extends SparkSpec {
     assert(byRank.map(_._3).toSeq === byRank.map(_._3).sortBy(v => -v))
   }
 
+  test("sqlRevenueShare: the SQL-text path equals the DataFrame path " +
+       "and shares sum to ~10000 bp") {
+    val viaSql = Relational.sqlRevenueShare(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // independent DataFrame-API recompute of the same logic
+    val cents = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer"), $"o_custkey" === $"c_custkey")
+      .join(Tables(spark, sf, "nation"), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = cents.values.sum
+    val expected = cents.map { case (n, c) =>
+      (n, c, c * 10000L / total) }.toSeq.sortBy(t => (-t._2, t._1))
+    assert(viaSql.toSeq === expected)
+    // floor shares can undershoot by at most |nations| bp
+    val shareSum = viaSql.map(_._3).sum
+    assert(shareSum <= 10000L && shareSum > 10000L - viaSql.length)
+  }
+
   test("custOrderHistogram: buckets recount exactly and the zero-order " +
        "cohort is a first-class bucket") {
     val perCust = Tables(spark, sf, "orders")
