@@ -1201,25 +1201,38 @@ object Dedup {
       .filter(batchPred($"doc_a") || batchPred($"doc_b"))
     // the stored table (at scale: written once, read per ingest)
     val stored = dedupClusters(basePairs).localCheckpoint()
+    mergeIntoAssignments(stored, deltaPairs).orderBy($"doc_id")
+  }
+
+  /** The quotient-merge kernel shared by [[incrementalClusters]] and
+    * `Streams.clusterMaintenanceSink`: map delta-pair endpoints through
+    * the stored assignments onto cluster reps, run CC on that quotient
+    * graph only, rewrite exactly the rows whose rep merged and append
+    * the new nodes. Exact because every rep is its cluster's minimum
+    * member (see incrementalClusters).
+    */
+  private[graft] def mergeIntoAssignments(stored: DataFrame,
+                                          deltaPairs: DataFrame): DataFrame = {
     val dm = deltaPairs
-      .join(stored.select($"doc_id".as("doc_a"), $"canon_id".as("ca")),
-        Seq("doc_a"), "left")
-      .join(stored.select($"doc_id".as("doc_b"), $"canon_id".as("cb")),
-        Seq("doc_b"), "left")
-      .select(coalesce($"ca", $"doc_a").as("doc_a"),
-        coalesce($"cb", $"doc_b").as("doc_b"))
-      .filter($"doc_a" =!= $"doc_b").distinct()
+      .join(stored.select(col("doc_id").as("doc_a"),
+        col("canon_id").as("ca")), Seq("doc_a"), "left")
+      .join(stored.select(col("doc_id").as("doc_b"),
+        col("canon_id").as("cb")), Seq("doc_b"), "left")
+      .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("cb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")).distinct()
       .localCheckpoint() // the quotient CC's whole input
     val quotient = dedupClusters(dm).localCheckpoint() // batch-sized CC
     // rewrite ONLY rows whose rep merged; batch nodes append
     val updated = stored
-      .join(quotient.select($"doc_id".as("r"), $"canon_id".as("qc")),
-        $"canon_id" === $"r", "left")
-      .select($"doc_id", coalesce($"qc", $"canon_id").as("canon_id"))
+      .join(quotient.select(col("doc_id").as("r"),
+        col("canon_id").as("qc")), col("canon_id") === col("r"), "left")
+      .select(col("doc_id"), coalesce(col("qc"), col("canon_id"))
+        .as("canon_id"))
     val newNodes = quotient
-      .join(stored.select($"doc_id"), Seq("doc_id"), "left_anti")
-      .select($"doc_id", $"canon_id")
-    updated.unionByName(newNodes).orderBy($"doc_id")
+      .join(stored.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("canon_id"))
+    updated.unionByName(newNodes)
   }
 
   def dedupAssignments(s: SparkSession, dir: String): DataFrame = {

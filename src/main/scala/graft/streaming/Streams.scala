@@ -269,6 +269,44 @@ object Streams {
       }
   }
 
+  /** Streaming cluster maintenance: a similarity-pair stream folds into
+    * a continuously-maintained ASSIGNMENTS view (doc_id → canon_id) via
+    * the same quotient-graph merge the batch `Dedup.incrementalClusters`
+    * uses — CC runs per micro-batch on the batch-sized quotient only,
+    * never the corpus, and the view after any prefix of batches equals
+    * a batch CC over the union of pairs seen so far (the spec's pinned
+    * contract). Pair production upstream is whatever the pipeline
+    * already streams — `StatefulDedup`'s stream pairs or the stored-
+    * index probe; this sink is the missing write half. Durability and
+    * replay-skip ride [[commitVersionedSnapshot]].
+    */
+  def clusterMaintenanceSink(pairs: DataFrame, viewDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    pairs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val root = new org.apache.hadoop.fs.Path(viewDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val resolved = resolveCdcMeta(fs, root)
+      val committedId = resolved.map(_._2).getOrElse(-1L)
+      if (batchId > committedId) {
+        val stored = resolved
+          .map { case (d, _) => spark.read.parquet(
+            new org.apache.hadoop.fs.Path(root, d).toString) }
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("canon_id",
+                org.apache.spark.sql.types.LongType)))))
+          .localCheckpoint() // merge joins it three times
+        val next = graft.operators.Dedup.mergeIntoAssignments(
+          stored, batch.select(col("doc_a"), col("doc_b")))
+        commitVersionedSnapshot(spark, fs, root, batchId, next)
+      }
+      ()
+    }
+
   /** Robust-baseline drift monitor: the streaming twin of
     * `Relational.rollingMedianMad` — the same complete-mode daily
     * rollup as the Page–Hinkley sink (one row per calendar day, never

@@ -842,6 +842,39 @@ class StreamingSpec extends SparkSpec {
     assert(after === view, "stale batch mutated the committed view")
   }
 
+  test("clusterMaintenanceSink: the view after every prefix of pair " +
+       "batches equals batch CC over the pairs seen so far") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-view").toString
+    val allPairs = graft.operators.Dedup.minhashLshPairs(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(allPairs.nonEmpty)
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = Streams.clusterMaintenanceSink(
+      input.toDF().toDF("doc_a", "doc_b"), dir).start()
+    val chunks = allPairs.grouped(math.max(allPairs.length / 3, 1)).toSeq
+    var seen = Seq.empty[(Long, Long)]
+    chunks.foreach { g =>
+      input.addData(g); q.processAllAvailable()
+      seen = seen ++ g
+      val view = Streams.readCdcSnapshot(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batchCc = graft.operators.Dedup.dedupClusters(
+          seen.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(view === batchCc,
+        s"view diverged from batch CC after ${seen.length} pairs")
+    }
+    // a delta whose pairs are all intra-cluster must be a no-op
+    input.addData(Seq(allPairs.head)); q.processAllAvailable()
+    q.stop()
+    val after = Streams.readCdcSnapshot(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.operators.Dedup.dedupClusters(
+        allPairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === full)
+  }
+
   test("cdcApplySink folds change batches into a snapshot; stale ids skip") {
     val dst = java.nio.file.Files.createTempDirectory("cdc-snap").toString
     val input = MemoryStream[(Long, String, String)](spark)
