@@ -225,6 +225,7 @@ object SparkEntry {
     "q_cust_order_histogram" -> Relational.custOrderHistogram,
     "q_priority_check" -> Relational.priorityCheck,
     "q_sql_revenue_share" -> Relational.sqlRevenueShare,
+    "q_schema_drift" -> Relational.schemaDrift,
     "q_rfm_segments" -> Relational.rfmSegments,
     "q_ccf_lead_lag" -> ((s, dir) => Events.ccfLeadLag(s, dir)),
     "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
@@ -3488,6 +3489,39 @@ object SparkEntry {
          SELECT day, cents, remainder_u, med2_u, mad4_u,
            abs(remainder_u * 2 - med2_u) * 2 > mad4_u * 3 AS anomaly
          FROM r CROSS JOIN m CROSS JOIN m2 ORDER BY day""",
+    "q_schema_drift" -> {
+      val vExprs = Seq(
+        "doc_id" -> "lpad(CAST(doc_id AS VARCHAR), 12, '0')",
+        "lang" -> "lang", "source" -> "source",
+        "n_chars" -> "lpad(CAST(n_chars AS VARCHAR), 12, '0')",
+        "fp" -> "md5(text)")
+      def legs(src: String, sfx: String) = vExprs.map { case (n, e) =>
+        s"""SELECT '$n' AS col, count(*) AS n_$sfx,
+           count(DISTINCT v) AS ndv_$sfx, min(v) AS min_$sfx,
+           max(v) AS max_$sfx,
+           CAST(sum(length(v)) * 1000 // count(*) AS BIGINT)
+             AS len_milli_$sfx
+         FROM (SELECT $e AS v FROM $src)"""
+      }.mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars, text,
+           CAST(concat('0x', substring(md5(concat('snap:',
+             CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bk
+           FROM documents),
+         a AS (SELECT * FROM d WHERE bk < 90),
+         b0 AS (SELECT doc_id, lang, source, n_chars,
+             CASE WHEN bk >= 40 AND bk < 60 THEN upper(text)
+               ELSE text END AS text
+           FROM d WHERE bk >= 10),
+         sa AS (${legs("a", "a")}),
+         sb AS (${legs("b0", "b")})
+         SELECT sa.col AS "column", n_a, n_b, n_b - n_a AS row_delta,
+           ndv_a, ndv_b, ndv_b - ndv_a AS ndv_delta,
+           min_a <> min_b AS min_changed, max_a <> max_b AS max_changed,
+           len_milli_b - len_milli_a AS len_delta_milli,
+           (ndv_b - ndv_a <> 0 OR min_a <> min_b OR max_a <> max_b
+             OR len_milli_b - len_milli_a <> 0) AS drifted
+         FROM sa JOIN sb ON sa.col = sb.col ORDER BY sa.col"""
+    },
     "q_sql_revenue_share" ->
       """WITH r AS (
         SELECT n.n_name, CAST(round(o.o_totalprice * 100) AS BIGINT)

@@ -952,6 +952,61 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Column-stat drift between two corpus snapshots — the data-contract
+    * check that runs BEFORE a new crawl replaces the old one: per
+    * column, both snapshots' row count, exact NDV, min/max and average
+    * length, joined into deltas and a drifted verdict. Snapshots are
+    * the [[corpusSnapshotDiff]] carve (removed band, added band, an
+    * upper-cased edit band whose fingerprint column makes text edits
+    * VISIBLE as NDV/min-max drift while lang/source stay stable — the
+    * discriminating fixture). Same one-stacked-shuffle-per-side shape
+    * as [[columnStats]]; the per-column join is |columns|-sized.
+    */
+  def schemaDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", $"source", $"n_chars", $"text",
+        TextOps.hashBucket($"doc_id", "snap:").as("bk"))
+      .localCheckpoint() // both snapshot scans read it
+    def pad(c: org.apache.spark.sql.Column) =
+      lpad(c.cast("string"), 12, "0")
+    def stats(df: DataFrame, side: String): DataFrame = {
+      val cols = Seq(
+        "doc_id" -> pad($"doc_id"),
+        "lang" -> $"lang",
+        "source" -> $"source",
+        "n_chars" -> pad($"n_chars"),
+        "fp" -> md5($"text"))
+      df.select(explode(array(cols.map { case (n, c) =>
+          struct(lit(n).as("column"), c.as("v")) }: _*)).as("kv"))
+        .select($"kv.column".as("column"), $"kv.v".as("v"))
+        .groupBy($"column")
+        .agg(count(lit(1)).as(s"n_$side"),
+          countDistinct($"v").as(s"ndv_$side"),
+          min($"v").as(s"min_$side"), max($"v").as(s"max_$side"),
+          sum(length($"v")).as("sl"))
+        .withColumn(s"len_milli_$side", expr(s"sl * 1000 div n_$side"))
+        .drop("sl")
+    }
+    val snapA = d.filter($"bk" < 90)
+    val snapB = d.filter($"bk" >= 10)
+      .withColumn("text", when($"bk" >= 40 && $"bk" < 60,
+        upper($"text")).otherwise($"text"))
+    stats(snapA, "a").join(stats(snapB, "b"), Seq("column"))
+      .withColumn("row_delta", $"n_b" - $"n_a")
+      .withColumn("ndv_delta", $"ndv_b" - $"ndv_a")
+      .withColumn("min_changed", $"min_a" =!= $"min_b")
+      .withColumn("max_changed", $"max_a" =!= $"max_b")
+      .withColumn("len_delta_milli", $"len_milli_b" - $"len_milli_a")
+      .withColumn("drifted",
+        $"ndv_delta" =!= 0L || $"min_changed" || $"max_changed" ||
+          $"len_delta_milli" =!= 0L)
+      .select($"column", $"n_a", $"n_b", $"row_delta", $"ndv_a",
+        $"ndv_b", $"ndv_delta", $"min_changed", $"max_changed",
+        $"len_delta_milli", $"drifted")
+      .orderBy($"column")
+  }
+
   /** SQL-text surface proof: the same engine through `spark.sql(...)`
     * over registered temp views — a user who writes ANSI SQL instead of
     * the DataFrame API gets the identical Catalyst plan, pushdowns and

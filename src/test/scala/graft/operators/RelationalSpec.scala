@@ -839,6 +839,37 @@ class RelationalSpec extends SparkSpec {
     assert(byRank.map(_._3).toSeq === byRank.map(_._3).sortBy(v => -v))
   }
 
+  test("schemaDrift: per-side stats recount exactly for a spot column; " +
+       "the edit band drifts fp but never lang") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val d = Tables(spark, sf, "documents")
+      .select($"doc_id", $"lang", $"text",
+        graft.operators.TextOps.hashBucket($"doc_id", "snap:"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    val a = d.filter(_._4 < 90)
+    val b = d.filter(_._4 >= 10).map { case (id, l, t, bk) =>
+      (id, l, if (bk >= 40 && bk < 60) t.toUpperCase else t, bk) }
+    val rows = Relational.schemaDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // spot recount: the fingerprint column end to end
+    val fp = rows("fp")
+    assert(fp.getAs[Long]("n_a") === a.length.toLong)
+    assert(fp.getAs[Long]("n_b") === b.length.toLong)
+    assert(fp.getAs[Long]("ndv_a") === a.map(t => md5hex(t._3)).distinct.length.toLong)
+    assert(fp.getAs[Long]("ndv_b") === b.map(t => md5hex(t._3)).distinct.length.toLong)
+    assert(fp.getAs[Boolean]("min_changed") ===
+      (a.map(t => md5hex(t._3)).min != b.map(t => md5hex(t._3)).min))
+    // the carve's contract: text edits drift fp; lang never drifts
+    // beyond row deltas
+    assert(fp.getAs[Boolean]("drifted"))
+    val lang = rows("lang")
+    assert(lang.getAs[Long]("ndv_delta") === 0L)
+    assert(!lang.getAs[Boolean]("drifted"))
+  }
+
   test("sqlRevenueShare: the SQL-text path equals the DataFrame path " +
        "and shares sum to ~10000 bp") {
     val viaSql = Relational.sqlRevenueShare(spark, sf).collect()
