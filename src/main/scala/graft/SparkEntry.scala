@@ -226,6 +226,7 @@ object SparkEntry {
     "q_priority_check" -> Relational.priorityCheck,
     "q_sql_revenue_share" -> Relational.sqlRevenueShare,
     "q_schema_drift" -> Relational.schemaDrift,
+    "q_funnel_dropoff" -> Events.funnelDropoffTest,
     "q_rfm_segments" -> Relational.rfmSegments,
     "q_ccf_lead_lag" -> ((s, dir) => Events.ccfLeadLag(s, dir)),
     "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
@@ -329,6 +330,32 @@ object SparkEntry {
   // DuckDB dialect notes: `//` = integer division (Spark `/ .cast("int")`),
   // `strlen` = bytes (Spark octet_length), sums of INT are cast BIGINT to
   // match Spark's long, len() casts to INT where Spark size() yields int.
+  /** Funnel-stage chain (distinct users → first view → first later
+    * click → first later purchase → per-user stage), shared by
+    * q_funnel_stages and q_funnel_dropoff so the stage convention
+    * cannot drift.
+    */
+  private val funnelCtes =
+    """u AS (SELECT DISTINCT user_id FROM events),
+         v AS (SELECT user_id, min(ts) AS view_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+               JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.view_ts
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+               JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+               GROUP BY e.user_id),
+         st AS (SELECT u.user_id,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage
+         FROM u LEFT JOIN v ON u.user_id = v.user_id
+                LEFT JOIN c ON u.user_id = c.user_id
+                LEFT JOIN p ON u.user_id = p.user_id)"""
+
   /** Weekly additive decomposition chain (daily → centered-MA trend →
     * detrended → per-weekday seasonal), shared by q_seasonal_decomp
     * and q_seasonal_anomalies so a convention tweak cannot drift.
@@ -5575,26 +5602,50 @@ object SparkEntry {
              count(DISTINCT props) FROM events)
          ORDER BY col_name""",
     "q_funnel_stages" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
-         v AS (SELECT user_id, min(ts) AS view_ts FROM events
-               WHERE event_type = 'view' GROUP BY user_id),
-         c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
-               JOIN v ON e.user_id = v.user_id
-               WHERE e.event_type = 'click' AND e.ts > v.view_ts
-               GROUP BY e.user_id),
-         p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
-               JOIN c ON e.user_id = c.user_id
-               WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
-               GROUP BY e.user_id)
-         SELECT u.user_id,
-           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
-                     WHEN c.user_id IS NOT NULL THEN 2
-                     WHEN v.user_id IS NOT NULL THEN 1
-                     ELSE 0 END AS INT) AS stage
-         FROM u LEFT JOIN v ON u.user_id = v.user_id
-                LEFT JOIN c ON u.user_id = c.user_id
-                LEFT JOIN p ON u.user_id = p.user_id
-         ORDER BY u.user_id""",
+      s"""WITH $funnelCtes
+         SELECT user_id, stage FROM st ORDER BY user_id""",
+    "q_funnel_dropoff" ->
+      s"""WITH $funnelCtes,
+         ft AS (SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+             CAST(concat('0x', substring(md5(concat('fz:',
+               CAST(u.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 2 AS arm
+           FROM u LEFT JOIN v ON u.user_id = v.user_id
+                  LEFT JOIN c ON u.user_id = c.user_id
+                  LEFT JOIN p ON u.user_id = p.user_id),
+         e AS (
+           SELECT 1 AS t, arm,
+             click_ts <= view_ts + INTERVAL 24 HOUR AS fast
+           FROM ft WHERE click_ts IS NOT NULL
+           UNION ALL
+           SELECT 2 AS t, arm,
+             purchase_ts <= click_ts + INTERVAL 24 HOUR AS fast
+           FROM ft WHERE purchase_ts IS NOT NULL),
+         g AS (SELECT t,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 0 AND fast THEN 1 ELSE 0 END)
+               AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN arm = 1 AND fast THEN 1 ELSE 0 END)
+               AS BIGINT) AS conv_b
+           FROM e GROUP BY t)
+         SELECT CAST(t AS INT) AS t, n_a, conv_a, n_b, conv_b,
+           conv_a * 10000 // n_a AS rate_a_bp,
+           conv_b * 10000 // n_b AS rate_b_bp,
+           CAST(round((CAST(conv_a AS DOUBLE) / n_a
+               - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b))
+             * 1000) AS BIGINT) AS z_milli,
+           abs(CAST(round((CAST(conv_a AS DOUBLE) / n_a
+               - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b))
+             * 1000) AS BIGINT)) > 1960 AS significant_5pct
+         FROM g ORDER BY t""",
     "q_repetition_scores" ->
       s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
          tc AS (SELECT doc_id, tok, count(*) AS n

@@ -344,7 +344,11 @@ object Events {
     * partitioning reused end-to-end), the temporal ordering rides as a
     * residual filter, and nothing ever pairs events across users.
     */
-  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+  /** Per-user first-touch timestamps of each funnel stage (nulls where
+    * never reached) — shared by [[funnelStages]] and
+    * [[funnelDropoffTest]] so the stage convention cannot drift.
+    */
+  private def funnelTimestamps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events").select($"user_id", $"event_type", $"ts")
     def firstAfter(typ: String, prev: DataFrame, prevTs: String, outTs: String) =
@@ -361,12 +365,64 @@ object Events {
       .join(views, Seq("user_id"), "left")
       .join(clicks.select($"user_id", $"click_ts"), Seq("user_id"), "left")
       .join(purchases, Seq("user_id"), "left")
+  }
+
+  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    funnelTimestamps(s, dir)
       .select($"user_id",
         (when($"purchase_ts".isNotNull, 3)
           .when($"click_ts".isNotNull, 2)
           .when($"view_ts".isNotNull, 1)
           .otherwise(0)).cast("int").as("stage"))
       .orderBy($"user_id")
+  }
+
+  /** Two-proportion z-test on funnel SPEED between content-blind md5
+    * user arms — the A/A validity check for conversion dashboards
+    * (the logRankTest discipline applied to proportions): a significant
+    * z on hash arms indicts the funnel harness, not a treatment. The
+    * tested proportion is FAST conversion (next stage reached within
+    * 24 h of the previous first touch) among users who completed the
+    * transition at all — the metric with real variance on a funnel
+    * where everyone eventually converts, and the correct conditional
+    * denominator either way. Counts are exact integers off one funnel
+    * scan; rates land in exact bp; only the final z is one fixed-shape
+    * double expression (identical parse tree in both engines,
+    * pre-rounded to milli).
+    */
+  def funnelDropoffTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ft = funnelTimestamps(s, dir)
+      .withColumn("arm",
+        TextOps.hashBucketMod($"user_id", "fz:", 2L))
+    val day = expr("INTERVAL '24' HOUR")
+    val trans = ft.filter($"click_ts".isNotNull)
+      .select(lit(1).as("t"), $"arm",
+        ($"click_ts" <= $"view_ts" + day).as("fast"))
+      .unionByName(ft.filter($"purchase_ts".isNotNull)
+        .select(lit(2).as("t"), $"arm",
+          ($"purchase_ts" <= $"click_ts" + day).as("fast")))
+    trans
+      .groupBy($"t")
+      .agg(
+        sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === 0L && $"fast", 1L).otherwise(0L))
+          .as("conv_a"),
+        sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"arm" === 1L && $"fast", 1L).otherwise(0L))
+          .as("conv_b"))
+      .withColumn("rate_a_bp", expr("conv_a * 10000 div n_a"))
+      .withColumn("rate_b_bp", expr("conv_b * 10000 div n_b"))
+      .withColumn("z_milli", expr(
+        """CAST(round((CAST(conv_a AS DOUBLE) / n_a
+             - CAST(conv_b AS DOUBLE) / n_b)
+           / sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
+               * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 / n_a + 1.0 / n_b))
+           * 1000) AS BIGINT)"""))
+      .withColumn("significant_5pct", abs($"z_milli") > 1960L)
+      .orderBy($"t")
   }
 
   /** Equi-depth decile buckets per event type (`ntile` window): count,

@@ -6,6 +6,56 @@ import org.apache.spark.sql.functions._
 class EventsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("funnelDropoffTest: fast-conversion cells recount exactly from " +
+       "raw events; the A/A z stays insignificant") {
+    val ev = Tables(spark, sf, "events")
+      .select($"user_id", $"event_type", $"ts")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).toInstant))
+    val byUser = ev.groupBy(_._1)
+    def arm(u: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"fz:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val trans = byUser.toSeq.flatMap { case (u, es) =>
+      def firstOf(t: String) =
+        es.filter(_._2 == t).map(_._3).sorted.headOption
+      def firstAfter(t: String, after: java.time.Instant) =
+        es.filter(e => e._2 == t && e._3.isAfter(after))
+          .map(_._3).sorted.headOption
+      for {
+        v <- firstOf("view").toSeq
+        c <- firstAfter("click", v).toSeq
+        row <- Seq((1, u, !c.isAfter(v.plusSeconds(86400)))) ++
+          firstAfter("purchase", c).map(p =>
+            (2, u, !p.isAfter(c.plusSeconds(86400))))
+      } yield row
+    }
+    val rows = Events.funnelDropoffTest(spark, sf).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    Seq(1, 2).foreach { t =>
+      val g = trans.filter(_._1 == t)
+      val (a, b) = g.partition(x => arm(x._2) == 0L)
+      val r = rows(t)
+      assert(r.getAs[Long]("n_a") === a.length.toLong, s"n_a t=$t")
+      assert(r.getAs[Long]("conv_a") === a.count(_._3).toLong)
+      assert(r.getAs[Long]("n_b") === b.length.toLong)
+      assert(r.getAs[Long]("conv_b") === b.count(_._3).toLong)
+      assert(r.getAs[Long]("rate_a_bp") ===
+        a.count(_._3).toLong * 10000L / a.length)
+      val (na, ca, nb, cb) = (a.length.toDouble, a.count(_._3).toDouble,
+        b.length.toDouble, b.count(_._3).toDouble)
+      val p = (ca + cb) / (na + nb)
+      val z = math.round((ca / na - cb / nb) /
+        math.sqrt(p * (1 - p) * (1 / na + 1 / nb)) * 1000)
+      assert(math.abs(r.getAs[Long]("z_milli") - z) <= 1L, s"z t=$t")
+      // content-blind arms: a significant A/A z indicts the harness
+      assert(!r.getAs[Boolean]("significant_5pct"), s"A/A alarm at t=$t")
+    }
+  }
+
   test("funnelStages: one row per user, stages monotone vs. raw event presence") {
     val stages = Events.funnelStages(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
