@@ -3363,10 +3363,15 @@ object SparkEntry {
              md5(concat('perm:', CAST(o_orderkey AS VARCHAR))),
              md5(concat('perm2:', CAST(o_orderkey AS VARCHAR)))) AS h
            FROM o),
+         ob AS (SELECT cents, [
+             CAST(concat('0x', substring(h, 1, 15)) AS BIGINT),
+             CAST(concat('0x', substring(h, 16, 15)) AS BIGINT),
+             CAST(concat('0x', substring(h, 31, 15)) AS BIGINT),
+             CAST(concat('0x', substring(h, 46, 15)) AS BIGINT)] AS hb
+           FROM oh),
          perms AS (SELECT p,
-             (CAST(concat('0x', substring(h, p // 4 + 1, 1)) AS BIGINT)
-               >> (p % 4)) & 1 AS arm, cents
-           FROM oh CROSS JOIN ps),
+             (hb[p // 60 + 1] >> (p % 60)) & 1 AS arm, cents
+           FROM ob CROSS JOIN ps),
          agg AS (SELECT p,
              sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
              sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS s_a,

@@ -1278,30 +1278,37 @@ object Relational {
                       b: Int = 199): DataFrame = {
     import s.implicits._
     val dec = "decimal(38,0)"
-    require(b < 255, "two md5 digests carry 256 assignment bits")
+    require(b < 239, "two md5 digests carry 240 usable assignment bits")
     // 200 independent arm draws from TWO md5 digests per order, not
     // one md5 per (perm, order): digest bits are iid uniform, so bit p
-    // IS the p-th re-randomization — 100x less hashing (measured 25s →
-    // ~4s at 10x), identical statistical contract, same in both engines
+    // IS the p-th re-randomization. The digests decode to FOUR longs
+    // (60 hex chars = 4 x 15-char chunks) once per ORDER; the per-
+    // fan-out-row arm is pure long shift/mask — a per-row
+    // conv(substring(...)) here measured 6x the whole query
     val perms = Tables(s, dir, "orders")
       .select($"o_orderkey",
         round($"o_totalprice" * 100).cast("long").as("cents"))
       .withColumn("h", concat(
         md5(concat(lit("perm:"), $"o_orderkey".cast("string"))),
         md5(concat(lit("perm2:"), $"o_orderkey".cast("string")))))
+      .withColumn("hb", array((0 until 4).map(i => expr(
+        s"CAST(conv(substring(h, ${i * 15 + 1}, 15), 16, 10) AS LONG)"))
+        : _*))
       .withColumn("p", explode(sequence(lit(0), lit(b))))
       .withColumn("arm", expr(
-        "shiftright(CAST(conv(substring(h," +
-        " CAST(p div 4 + 1 AS INT), 1), 16, 10) AS LONG)," +
-        " CAST(p % 4 AS INT)) & 1"))
+        "shiftright(element_at(hb, CAST(p div 60 AS INT) + 1)," +
+        " CAST(p % 60 AS INT)) & 1"))
       .groupBy($"p")
+      // hot-path sums stay LONG (arm cent totals are < 2⁶³ through
+      // sf100); the decimal cast waits for the B+1-row stat stage —
+      // a DECIMAL(38) aggregation buffer on the fan-out rows measured
+      // ~2x the whole query
       .agg(sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n_a"),
-        sum(when($"arm" === 0L, $"cents").otherwise(0L))
-          .cast(dec).as("s_a"),
+        sum(when($"arm" === 0L, $"cents").otherwise(0L)).as("s_a"),
         sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n_b"),
-        sum(when($"arm" === 1L, $"cents").otherwise(0L))
-          .cast(dec).as("s_b"))
-      .withColumn("t_stat", abs($"n_b" * $"s_a" - $"n_a" * $"s_b"))
+        sum(when($"arm" === 1L, $"cents").otherwise(0L)).as("s_b"))
+      .withColumn("t_stat",
+        abs($"n_b" * $"s_a".cast(dec) - $"n_a" * $"s_b".cast(dec)))
       .localCheckpoint() // observed row and null distribution read it
     val obs = perms.filter($"p" === 0)
       .select($"t_stat".as("t_obs"), $"n_a".as("n_arm_a"),

@@ -936,8 +936,10 @@ class RelationalSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     def arm(p: Int, okey: Long): Int = {
       val h = md5hex(s"perm:$okey") + md5hex(s"perm2:$okey")
-      val nib = java.lang.Long.parseLong(h.substring(p / 4, p / 4 + 1), 16)
-      ((nib >> (p % 4)) & 1L).toInt
+      val c = p / 60
+      val chunk = java.lang.Long.parseLong(
+        h.substring(c * 15, c * 15 + 15), 16)
+      ((chunk >> (p % 60)) & 1L).toInt
     }
     val orders = Tables(spark, sf, "orders")
       .select($"o_orderkey", round($"o_totalprice" * 100).cast("long"))
