@@ -227,6 +227,7 @@ object SparkEntry {
     "q_sql_revenue_share" -> Relational.sqlRevenueShare,
     "q_schema_drift" -> Relational.schemaDrift,
     "q_funnel_dropoff" -> Events.funnelDropoffTest,
+    "q_lorenz_curve" -> Relational.lorenzCurve,
     "q_rfm_segments" -> Relational.rfmSegments,
     "q_ccf_lead_lag" -> ((s, dir) => Events.ccfLeadLag(s, dir)),
     "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
@@ -5609,6 +5610,31 @@ object SparkEntry {
     "q_funnel_stages" ->
       s"""WITH $funnelCtes
          SELECT user_id, stage FROM st ORDER BY user_id""",
+    "q_lorenz_curve" ->
+      """WITH pc AS (SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         rked AS (SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, o_custkey)
+               AS BIGINT) AS rk FROM pc),
+         tot AS (SELECT count(*) AS n, CAST(sum(cents) AS HUGEINT) AS s,
+             sum(CAST(rk AS HUGEINT) * cents) AS ix FROM rked),
+         g AS (SELECT n, s, CAST(2 * ix * 1000000 // (n * s)
+             - (n + 1) * 1000000 // n AS BIGINT) AS gini_u FROM tot),
+         dd AS (SELECT CAST((rk - 1) * 10 // n AS INT) + 1 AS decile,
+             cents, gini_u, s
+           FROM rked CROSS JOIN g),
+         agg AS (SELECT decile, count(*) AS n_cust,
+             CAST(sum(cents) AS BIGINT) AS rev_cents,
+             max(gini_u) AS gini_u, max(s) AS s
+           FROM dd GROUP BY 1)
+         SELECT decile, n_cust, rev_cents,
+           CAST(sum(rev_cents) OVER (ORDER BY decile) AS BIGINT)
+             AS cum_rev_cents,
+           CAST(CAST(sum(rev_cents) OVER (ORDER BY decile) AS HUGEINT)
+             * 10000 // s AS BIGINT) AS cum_share_bp,
+           gini_u
+         FROM agg ORDER BY decile""",
     "q_funnel_dropoff" ->
       s"""WITH $funnelCtes,
          ft AS (SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,

@@ -839,6 +839,40 @@ class RelationalSpec extends SparkSpec {
     assert(byRank.map(_._3).toSeq === byRank.map(_._3).sortBy(v => -v))
   }
 
+  test("lorenzCurve: deciles, cumulative shares and the rank-identity " +
+       "Gini recount exactly; the curve is convex-increasing") {
+    val rev = Tables(spark, sf, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")))
+      .as[(Long, Long)].collect().sortBy(t => (t._2, t._1)).map(_._2)
+    val n = rev.length
+    val s = rev.map(BigInt(_)).sum
+    val ix = rev.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val gini = 2 * ix * 1000000 / (BigInt(n) * s) -
+      BigInt(n + 1) * 1000000 / n
+    val expected = rev.zipWithIndex
+      .groupBy { case (_, i) => (i * 10 / n) + 1 }
+      .map { case (d, g) => d -> ((g.length.toLong,
+        g.map(t => BigInt(t._1)).sum)) }
+    val rows = Relational.lorenzCurve(spark, sf).collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === (1 to 10))
+    var cum = BigInt(0)
+    rows.foreach { case (d, nc, rc, crc, csbp, g) =>
+      assert(nc === expected(d)._1, s"n_cust decile $d")
+      assert(BigInt(rc) === expected(d)._2, s"rev decile $d")
+      cum += expected(d)._2
+      assert(BigInt(crc) === cum)
+      assert(BigInt(csbp) === cum * 10000 / s)
+      assert(BigInt(g) === gini)
+    }
+    // Lorenz convexity: ascending-rank decile revenues never decrease
+    val decRevs = rows.map(_._3)
+    assert(decRevs.toSeq === decRevs.sorted.toSeq)
+    assert(rows.last._5 === 10000L)
+  }
+
   test("schemaDrift: per-side stats recount exactly for a spot column; " +
        "the edit band drifts fp but never lang") {
     def md5hex(x: String): String = java.security.MessageDigest
