@@ -228,6 +228,7 @@ object SparkEntry {
     "q_schema_drift" -> Relational.schemaDrift,
     "q_funnel_dropoff" -> Events.funnelDropoffTest,
     "q_lorenz_curve" -> Relational.lorenzCurve,
+    "q_brand_hhi" -> Relational.brandHhi,
     "q_rfm_segments" -> Relational.rfmSegments,
     "q_ccf_lead_lag" -> ((s, dir) => Events.ccfLeadLag(s, dir)),
     "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
@@ -5610,6 +5611,25 @@ object SparkEntry {
     "q_funnel_stages" ->
       s"""WITH $funnelCtes
          SELECT user_id, stage FROM st ORDER BY user_id""",
+    "q_brand_hhi" ->
+      """WITH nb AS (SELECT c.c_nationkey, p.p_brand,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) AS cents
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN part p ON l.l_partkey = p.p_partkey
+           GROUP BY 1, 2),
+         t AS (SELECT c_nationkey, CAST(sum(cents) AS BIGINT)
+             AS tot_cents FROM nb GROUP BY 1),
+         sh AS (SELECT nb.c_nationkey, t.tot_cents,
+             cents * 10000 // t.tot_cents AS share_bp
+           FROM nb JOIN t ON nb.c_nationkey = t.c_nationkey)
+         SELECT c_nationkey, count(*) AS n_brands,
+           max(tot_cents) AS tot_cents,
+           CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi,
+           CAST(max(share_bp) AS BIGINT) AS top_share_bp
+         FROM sh GROUP BY 1 ORDER BY 1""",
     "q_lorenz_curve" ->
       """WITH pc AS (SELECT o_custkey,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -1548,6 +1548,40 @@ object Relational {
       .orderBy($"decile")
   }
 
+  /** Herfindahl–Hirschman brand-concentration index per customer
+    * nation — the antitrust-grade "is this market a monopoly" number,
+    * here auditing supply concentration of lineitem revenue across
+    * part brands within each nation's purchases: HHI = Σ share² over
+    * brands, on the 0..10⁸ integer grid (shares in exact floored bp,
+    * squared and summed — both engines share the floor, so the index
+    * is engine-exact; 10⁸ = single-brand monopoly, 10⁸/|brands| =
+    * perfect competition). One fact-side aggregation to the
+    * (nation × brand) rollup, dimension joins broadcast, the HHI
+    * rollup is ≤ |nations| rows.
+    */
+  def brandHhi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nb = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "part")
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .groupBy($"c_nationkey", $"p_brand")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
+      .localCheckpoint() // totals and shares both read it
+    val tot = nb.groupBy($"c_nationkey")
+      .agg(sum($"cents").as("tot_cents"))
+    nb.join(broadcast(tot), Seq("c_nationkey"))
+      .withColumn("share_bp", expr("cents * 10000 div tot_cents"))
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_brands"),
+        max($"tot_cents").as("tot_cents"),
+        sum($"share_bp" * $"share_bp").as("hhi"),
+        max($"share_bp").as("top_share_bp"))
+      .orderBy($"c_nationkey")
+  }
+
   /** Benford first-digit audit of order totals — the classic forensic
     * screen for fabricated or truncated numeric columns: natural
     * multi-magnitude amounts put digit d first with probability

@@ -839,6 +839,35 @@ class RelationalSpec extends SparkSpec {
     assert(byRank.map(_._3).toSeq === byRank.map(_._3).sortBy(v => -v))
   }
 
+  test("brandHhi: shares and the index recount exactly per nation; " +
+       "HHI sits between perfect competition and monopoly bounds") {
+    val nb = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables(spark, sf, "customer"), $"o_custkey" === $"c_custkey")
+      .join(Tables(spark, sf, "part"), $"l_partkey" === $"p_partkey")
+      .groupBy($"c_nationkey", $"p_brand")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")))
+      .as[(Int, String, Long)].collect()
+    val byNation = nb.groupBy(_._1)
+    val rows = Relational.brandHhi(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet === byNation.keySet)
+    byNation.foreach { case (nk, g) =>
+      val tot = g.map(_._3).sum
+      val shares = g.map(t => t._3 * 10000L / tot)
+      val (nBr, totC, hhi, top) = rows(nk)
+      assert(nBr === g.length.toLong)
+      assert(totC === tot)
+      assert(hhi === shares.map(x => x * x).sum)
+      assert(top === shares.max)
+      // bounds: floored-share HHI never exceeds monopoly and sits at
+      // least near the perfect-competition floor (floor slack < n·2·10⁴)
+      assert(hhi <= 100000000L)
+      assert(hhi >= 100000000L / g.length - g.length * 20000L)
+    }
+  }
+
   test("lorenzCurve: deciles, cumulative shares and the rank-identity " +
        "Gini recount exactly; the curve is convex-increasing") {
     val rev = Tables(spark, sf, "orders")
