@@ -229,6 +229,7 @@ object SparkEntry {
     "q_funnel_dropoff" -> Events.funnelDropoffTest,
     "q_lorenz_curve" -> Relational.lorenzCurve,
     "q_brand_hhi" -> Relational.brandHhi,
+    "q_newsvendor" -> ((s, dir) => Relational.newsvendor(s, dir)),
     "q_rfm_segments" -> Relational.rfmSegments,
     "q_ccf_lead_lag" -> ((s, dir) => Events.ccfLeadLag(s, dir)),
     "q_touch_attribution" -> ((s, dir) => Events.touchAttribution(s, dir)),
@@ -5611,6 +5612,28 @@ object SparkEntry {
     "q_funnel_stages" ->
       s"""WITH $funnelCtes
          SELECT user_id, stage FROM st ORDER BY user_id""",
+    "q_newsvendor" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         t AS (SELECT count(*) AS n,
+             CAST(sum(cents) // count(*) AS BIGINT) AS s_mean FROM daily),
+         r AS (SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, day) AS BIGINT)
+               AS rk FROM daily),
+         st AS (SELECT cents AS s_star FROM r CROSS JOIN t
+           WHERE rk = (n * 3 + 3) // 4)
+         SELECT count(*) AS n_days, max(s_star) AS s_star,
+           max(s_mean) AS s_mean,
+           CAST(sum(greatest(cents - s_star, 0) * 3
+             + greatest(s_star - cents, 0)) AS BIGINT) AS cost_star,
+           CAST(sum(greatest(cents - s_mean, 0) * 3
+             + greatest(s_mean - cents, 0)) AS BIGINT) AS cost_mean,
+           CAST(sum(greatest(cents - s_mean, 0) * 3
+             + greatest(s_mean - cents, 0))
+             - sum(greatest(cents - s_star, 0) * 3
+             + greatest(s_star - cents, 0)) AS BIGINT) AS saving_cents
+         FROM daily CROSS JOIN st CROSS JOIN t""",
     "q_brand_hhi" ->
       """WITH nb AS (SELECT c.c_nationkey, p.p_brand,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))

@@ -1582,6 +1582,43 @@ object Relational {
       .orderBy($"c_nationkey")
   }
 
+  /** Newsvendor stocking decision on daily demand — the OR-classic
+    * "how much to provision" made from the data's own empirical
+    * distribution: with underage:overage cost 3:1 the optimal stock is
+    * the ⌈n·3/4⌉-th order statistic of daily revenue (the critical
+    * fractile, which provably minimizes empirical newsvendor cost over
+    * ALL stock levels — so beating the stock-the-mean baseline is a
+    * THEOREM the output must obey, not a hope). Everything is exact:
+    * the quantile is a rank pick over the calendar-bounded rollup, both
+    * cost evaluations are integer sums of cents shortfalls/overhangs,
+    * and the saving ships in exact cents.
+    */
+  def newsvendor(s: SparkSession, dir: String, cu: Long = 3L,
+                 co: Long = 1L): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .localCheckpoint() // rank pick, mean and both cost scans read it
+    val n = daily.count()
+    val kRank = (n * cu + (cu + co) - 1) / (cu + co) // ceil(n*cu/(cu+co))
+    val sStar = daily
+      .withColumn("rk", row_number()
+        .over(Window.orderBy($"cents", $"day")).cast("long"))
+      .filter($"rk" === kRank).select($"cents".as("s_star"))
+    val sMean = daily.agg(expr("sum(cents) div count(1)").as("s_mean"))
+    daily.crossJoin(broadcast(sStar)).crossJoin(broadcast(sMean))
+      .agg(count(lit(1)).as("n_days"),
+        max($"s_star").as("s_star"), max($"s_mean").as("s_mean"),
+        sum(greatest($"cents" - $"s_star", lit(0L)) * cu
+          + greatest($"s_star" - $"cents", lit(0L)) * co)
+          .as("cost_star"),
+        sum(greatest($"cents" - $"s_mean", lit(0L)) * cu
+          + greatest($"s_mean" - $"cents", lit(0L)) * co)
+          .as("cost_mean"))
+      .withColumn("saving_cents", $"cost_mean" - $"cost_star")
+  }
+
   /** Benford first-digit audit of order totals — the classic forensic
     * screen for fabricated or truncated numeric columns: natural
     * multi-magnitude amounts put digit d first with probability

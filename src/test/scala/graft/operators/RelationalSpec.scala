@@ -839,6 +839,32 @@ class RelationalSpec extends SparkSpec {
     assert(byRank.map(_._3).toSeq === byRank.map(_._3).sortBy(v => -v))
   }
 
+  test("newsvendor: the critical fractile and both costs recount " +
+       "exactly; the fractile beats EVERY other stock level") {
+    val cents = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")))
+      .as[(java.sql.Date, Long)].collect()
+      .sortBy(t => (t._2, t._1.toString)).map(_._2)
+    val n = cents.length
+    def cost(stock: Long): BigInt = cents.map(d =>
+      BigInt(math.max(d - stock, 0L)) * 3 + math.max(stock - d, 0L)).sum
+    val sStar = cents(((n * 3 + 3) / 4 - 1).toInt)
+    val sMean = (cents.map(BigInt(_)).sum / n).toLong
+    val r = Relational.newsvendor(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_days") === n.toLong)
+    assert(r.getAs[Long]("s_star") === sStar)
+    assert(r.getAs[Long]("s_mean") === sMean)
+    assert(BigInt(r.getAs[Long]("cost_star")) === cost(sStar))
+    assert(BigInt(r.getAs[Long]("cost_mean")) === cost(sMean))
+    assert(r.getAs[Long]("saving_cents") ===
+      (cost(sMean) - cost(sStar)).toLong)
+    // the critical fractile minimizes the EMPIRICAL newsvendor cost —
+    // check against every observed demand level as candidate stock
+    cents.distinct.foreach(sC =>
+      assert(cost(sStar) <= cost(sC), s"beaten by stock $sC"))
+  }
+
   test("brandHhi: shares and the index recount exactly per nation; " +
        "HHI sits between perfect competition and monopoly bounds") {
     val nb = Tables(spark, sf, "lineitem")
