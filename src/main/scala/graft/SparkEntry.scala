@@ -168,6 +168,8 @@ object SparkEntry {
     "q_mann_whitney" -> Events.mannWhitney,
     "q_gini_sources" -> TextOps.giniSources,
     "q_good_turing" -> TextOps.goodTuringMass,
+    "q_gtfs_arrivals" ->
+      ((s, _) => gtfs.GtfsFixture.arrivalsOracleQuery(s)),
     "q_heaps_law" -> TextOps.heapsLaw,
     "q_neyman_alloc" -> ((s, dir) => Events.neymanAllocation(s, dir)),
     "q_burrows_delta" -> ((s, dir) => TextOps.burrowsDelta(s, dir)),
@@ -291,6 +293,8 @@ object SparkEntry {
     "q_bitext_mine" -> ((s, dir) => Similarity.bitextMine(s, dir)),
     "q_knn_label_agreement" ->
       ((s, dir) => Similarity.knnLabelAgreement(s, dir)),
+    "q_knn_banded_recall" ->
+      ((s, dir) => Similarity.knnBandedRecall(s, dir)),
     "q_hyperplane_lsh_topk" -> ((s, dir) => Similarity.hyperplaneLshTopK(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDupPairs(s, dir)),
     "q_embedding_lsh_recall" -> ((s, dir) => Similarity.embeddingLshRecall(s, dir)),
@@ -574,7 +578,9 @@ object SparkEntry {
            $gCols FROM l),
        stk AS ($unions)
        SELECT CAST(lag_k AS BIGINT) AS lag_k,
-         n - abs(lag_k) AS n_pairs, gxy_num, gxx, gyy,
+         n - abs(lag_k) AS n_pairs,
+         CAST(gxy_num AS BIGINT) AS gxy_num,
+         CAST(gxx AS BIGINT) AS gxx, CAST(gyy AS BIGINT) AS gyy,
          round(CAST(gxy_num AS DOUBLE) / (sqrt(CAST(gxx AS DOUBLE))
            * sqrt(CAST(gyy AS DOUBLE))), 4) AS rho
        FROM stk ORDER BY lag_k"""
@@ -603,7 +609,7 @@ object SparkEntry {
        prof AS (SELECT p.ti, mn.dist2, min(p.tj) AS nn_t
          FROM pairs p JOIN mins mn ON mn.ti = p.ti AND p.d2 = mn.dist2
          GROUP BY p.ti, mn.dist2)
-       SELECT ti AS t, nn_t, CAST(dist2 AS HUGEINT) AS dist2,
+       SELECT ti AS t, nn_t, CAST(dist2 AS BIGINT) AS dist2,
          CAST(row_number() OVER (ORDER BY dist2 DESC, ti) AS BIGINT)
            AS discord_rank
        FROM prof ORDER BY t"""
@@ -652,7 +658,7 @@ object SparkEntry {
        cuts AS ($cuts)
        SELECT bucket, ds.day AS day_start, de.day AS day_end,
          cuts.i - cuts.j AS n_days, p.cs - q.cs AS sum_cents,
-         $sse AS sse_u
+         CAST($sse AS BIGINT) AS sse_u
        FROM cuts JOIN p0 q ON q.i = cuts.j JOIN p ON p.i = cuts.i
          JOIN pre ds ON ds.i = cuts.j + 1 JOIN pre de ON de.i = cuts.i
        ORDER BY bucket"""
@@ -2228,14 +2234,17 @@ object SparkEntry {
     "q_ivf_topk_indexed" -> ivfTopKSql,
     "q_mmr_rerank" -> mmrRerankSql,
     "q_bitext_mine" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
-         a AS (SELECT vec_id AS x, v AS xv FROM e WHERE vec_id % 2 = 0),
-         b AS (SELECT vec_id AS y, v AS yv FROM e WHERE vec_id % 2 = 1),
-         sims AS (SELECT x, y,
-             CAST(round(list_cosine_similarity(xv, yv) * 10000)
+         $EmbLshPlSgCte,
+         cand AS (SELECT DISTINCT x.vec_id AS x, y.vec_id AS y
+           FROM sg x JOIN sg y ON x.band = y.band AND x.sig = y.sig
+           WHERE x.vec_id % 2 = 0 AND y.vec_id % 2 = 1),
+         sims AS (SELECT c.x, c.y,
+             CAST(round(list_cosine_similarity(a.v, b.v) * 10000)
                AS BIGINT) AS cs_u
-           FROM a, b),
+           FROM cand c JOIN e a ON a.vec_id = c.x
+             JOIN e b ON b.vec_id = c.y),
          fwd AS (SELECT x, y, cs_u, row_number() OVER (
              PARTITION BY x ORDER BY cs_u DESC, y) AS rn FROM sims),
          fk AS (SELECT * FROM fwd WHERE rn <= 4),
@@ -2252,23 +2261,77 @@ object SparkEntry {
            AND (2 * 4 * cs_u * 10000) // (sax_u + say_u) >= 10200
          ORDER BY x_id, y_id""",
     "q_knn_label_agreement" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
-         s AS (SELECT a.vec_id AS a, a.label AS la, b.label AS lb,
-             CAST(round(list_cosine_similarity(a.v, b.v) * 10000)
-               AS BIGINT) AS cs_u, b.vec_id AS b
-           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         $EmbLshPlSgCte,
+         cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           FROM sg x JOIN sg y ON x.band = y.band AND x.sig = y.sig
+             AND x.vec_id <> y.vec_id),
+         s AS (SELECT c.a, ea.label AS la, eb.label AS lb, c.b,
+             CAST(round(list_cosine_similarity(ea.v, eb.v) * 10000)
+               AS BIGINT) AS cs_u
+           FROM cand c JOIN e ea ON ea.vec_id = c.a
+             JOIN e eb ON eb.vec_id = c.b),
          r AS (SELECT a, la, lb, row_number() OVER (
              PARTITION BY a ORDER BY cs_u DESC, b) AS rn FROM s),
-         pv AS (SELECT a, la, CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0
+         vt AS (SELECT a, CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0
              END) AS BIGINT) AS agree
-           FROM r WHERE rn <= 5 GROUP BY a, la)
+           FROM r WHERE rn <= 5 GROUP BY a),
+         pv AS (SELECT e.vec_id AS a, e.label AS la,
+             CAST(coalesce(vt.agree, 0) AS BIGINT) AS agree
+           FROM e LEFT JOIN vt ON vt.a = e.vec_id)
          SELECT la AS label, CAST(count(*) AS BIGINT) AS n_vecs,
            CAST(sum(agree) AS BIGINT) * 10000
              // (CAST(count(*) AS BIGINT) * 5) AS agree_bp,
            CAST(sum(CASE WHEN agree * 2 < 5 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_suspect
          FROM pv GROUP BY la ORDER BY label""",
+    "q_knn_banded_recall" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         $EmbLshPlSgCte,
+         pr AS (SELECT vec_id AS a, label AS la, v AS av FROM e
+           WHERE vec_id < 100),
+         ex0 AS (SELECT pr.a, pr.la, b.vec_id AS b, b.label AS lb,
+             CAST(round(list_cosine_similarity(pr.av, b.v) * 10000)
+               AS BIGINT) AS cs_u
+           FROM pr JOIN e b ON b.vec_id <> pr.a),
+         ex AS (SELECT * FROM (SELECT *, row_number() OVER (
+             PARTITION BY a ORDER BY cs_u DESC, b) AS rn FROM ex0)
+           WHERE rn <= 5),
+         bc AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           FROM sg x JOIN sg y ON x.band = y.band AND x.sig = y.sig
+             AND x.vec_id <> y.vec_id
+           WHERE x.vec_id < 100),
+         bs0 AS (SELECT bc.a, ea.label AS la, bc.b, eb.label AS lb,
+             CAST(round(list_cosine_similarity(ea.v, eb.v) * 10000)
+               AS BIGINT) AS cs_u
+           FROM bc JOIN e ea ON ea.vec_id = bc.a
+             JOIN e eb ON eb.vec_id = bc.b),
+         bs AS (SELECT * FROM (SELECT *, row_number() OVER (
+             PARTITION BY a ORDER BY cs_u DESC, b) AS rn FROM bs0)
+           WHERE rn <= 5),
+         ov AS (SELECT ex.a, count(*) AS hits FROM ex
+           JOIN bs ON ex.a = bs.a AND ex.b = bs.b GROUP BY ex.a),
+         ve AS (SELECT a, sum(CASE WHEN la = lb THEN 1 ELSE 0 END)
+             AS agree FROM ex GROUP BY a),
+         vb AS (SELECT a, sum(CASE WHEN la = lb THEN 1 ELSE 0 END)
+             AS agree FROM bs GROUP BY a),
+         per AS (SELECT pr.a,
+             CAST(coalesce(ov.hits, 0) AS BIGINT) AS hits,
+             CAST(coalesce(ve.agree, 0) AS BIGINT) AS ae,
+             CAST(coalesce(vb.agree, 0) AS BIGINT) AS ab
+           FROM pr LEFT JOIN ov ON ov.a = pr.a
+             LEFT JOIN ve ON ve.a = pr.a LEFT JOIN vb ON vb.a = pr.a)
+         SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(hits) AS BIGINT) AS nn_hits,
+           CAST(sum(hits) AS BIGINT) * 10000 // (count(*) * 5)
+             AS recall_bp,
+           CAST(sum(CASE WHEN hits = 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_probes_full,
+           CAST(sum(CASE WHEN (ae * 2 < 5) <> (ab * 2 < 5) THEN 1
+             ELSE 0 END) AS BIGINT) AS n_vote_flips
+         FROM per""",
     "q_label_suspects" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
@@ -3353,8 +3416,8 @@ object SparkEntry {
          SELECT antecedent, consequent, CAST(n_both AS BIGINT) AS n_both,
            CAST(sa.n_b AS BIGINT) AS n_ante, CAST(sc.n_b AS BIGINT) AS n_cons,
            CAST(n_both * 10000 // sa.n_b AS BIGINT) AS confidence_bp,
-           CAST(n_both * n.n_orders * 1000000 // (sa.n_b * sc.n_b)
-             AS BIGINT) AS lift_ppm
+           CAST(CAST(n_both AS HUGEINT) * n.n_orders * 1000000
+             // (sa.n_b * sc.n_b) AS BIGINT) AS lift_ppm
          FROM pairs JOIN singles sa ON sa.brand = antecedent
            JOIN singles sc ON sc.brand = consequent CROSS JOIN n
          ORDER BY lift_ppm DESC, antecedent, consequent LIMIT 30""",
@@ -3385,7 +3448,8 @@ object SparkEntry {
            FROM agg),
          obs AS (SELECT t_stat AS t_obs, CAST(n_a AS BIGINT) AS n_arm_a,
              CAST(n_b AS BIGINT) AS n_arm_b FROM t WHERE p = 0)
-         SELECT n_arm_a, n_arm_b, t_obs, count(*) AS n_perms,
+         SELECT n_arm_a, n_arm_b, CAST(t_obs AS BIGINT) AS t_obs,
+           count(*) AS n_perms,
            CAST(sum(CASE WHEN t.t_stat >= obs.t_obs THEN 1 ELSE 0 END)
              AS BIGINT) AS n_ge,
            CAST((1 + sum(CASE WHEN t.t_stat >= obs.t_obs THEN 1 ELSE
@@ -3499,9 +3563,11 @@ object SparkEntry {
            FROM cost ORDER BY cost_u9, n_chars LIMIT 1)
          SELECT n_chars AS threshold, CAST(nl AS BIGINT) AS n_left,
            CAST(posl AS BIGINT) AS pos_left, CAST(nr AS BIGINT) AS n_right,
-           CAST(posr AS BIGINT) AS pos_right, cost_u9,
+           CAST(posr AS BIGINT) AS pos_right,
+           CAST(cost_u9 AS BIGINT) AS cost_u9,
            CAST(n AS BIGINT) AS n_docs, CAST(p AS BIGINT) AS n_en,
-           root_u9, root_u9 - cost_u9 AS gain_u9
+           CAST(root_u9 AS BIGINT) AS root_u9,
+           CAST(root_u9 - cost_u9 AS BIGINT) AS gain_u9
          FROM best""",
     "q_seasonal_decomp" ->
       s"""WITH $seasonalCtes
@@ -3814,7 +3880,8 @@ object SparkEntry {
              max(a_u) AS a_u,
              CAST(sum(e_u * e_u) AS HUGEINT) AS sse,
              CAST(sum(de * de) AS HUGEINT) AS ssd FROM res2)
-         SELECT n_days, b_u, a_u, sse, ssd,
+         SELECT n_days, b_u, a_u,
+           CAST(sse AS VARCHAR) AS sse, CAST(ssd AS VARCHAR) AS ssd,
            CAST(1000 * ssd // sse AS BIGINT) AS dw_milli,
            1000 - CAST(1000 * ssd // sse AS BIGINT) // 2 AS rho_milli
          FROM ag""",
@@ -3895,7 +3962,7 @@ object SparkEntry {
              CAST(sum(oe_u) AS BIGINT) AS oe_u,
              CAST(sum(v_u) AS HUGEINT) AS v_u FROM tm)
          SELECT n_total, n_a, n_total - n_a AS n_b, deaths_a, deaths_b,
-           oe_u, v_u,
+           oe_u, CAST(v_u AS BIGINT) AS v_u,
            CAST(CAST(oe_u AS HUGEINT) * oe_u // v_u AS BIGINT) AS chi2_u,
            round(CAST(oe_u AS DOUBLE) / (1000.0 * sqrt(CAST(v_u AS
              DOUBLE))), 4) AS z
@@ -3954,7 +4021,7 @@ object SparkEntry {
          SELECT click_hour,
            CAST(count(*) AS BIGINT) AS n_touches,
            CAST(sum(credit_bp) AS BIGINT) AS credit_bp_sum,
-           CAST(sum(CAST(cents AS HUGEINT) * credit_bp) AS HUGEINT)
+           CAST(sum(CAST(cents AS HUGEINT) * credit_bp) AS BIGINT)
              AS attr_cents_bp,
            CAST(sum(CAST(cents AS HUGEINT) * credit_bp) // 10000
              AS BIGINT) AS attr_cents
@@ -3980,8 +4047,9 @@ object SparkEntry {
                PRECEDING AND CURRENT ROW) AS ph_hi,
              max(m_cum) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
                PRECEDING AND CURRENT ROW) - m_cum AS ph_lo FROM c)
-         SELECT day, cents, t, mbar_u, m_cum,
-           CAST(ph_hi AS HUGEINT) AS ph_hi, CAST(ph_lo AS HUGEINT)
+         SELECT day, cents, t, mbar_u,
+           CAST(m_cum AS BIGINT) AS m_cum,
+           CAST(ph_hi AS BIGINT) AS ph_hi, CAST(ph_lo AS BIGINT)
              AS ph_lo,
            ph_hi >= mbar_u // 4 AS alarm_hi,
            ph_lo >= mbar_u // 4 AS alarm_lo
@@ -4057,7 +4125,9 @@ object SparkEntry {
                * (rate_u - fit_dec_u)) OVER () AS HUGEINT) AS sse_dec
            FROM f)
          SELECT bin, n_docs, n_dup, CAST(rate_u AS BIGINT) AS rate_u,
-           fit_inc_u, fit_dec_u, sse_inc, sse_dec,
+           fit_inc_u, fit_dec_u,
+           CAST(sse_inc AS BIGINT) AS sse_inc,
+           CAST(sse_dec AS BIGINT) AS sse_dec,
            sse_inc <= sse_dec AS monotone_up
          FROM g ORDER BY bin""",
     "q_linkage_weights" ->
@@ -4163,7 +4233,9 @@ object SparkEntry {
            FROM stk JOIN c ON lag_c = lag_k),
          t AS (SELECT r.*, n * (n + 2) * rho_u * rho_u
              // ((n - lag_k) * 1000000000) AS term_milli FROM r)
-         SELECT CAST(lag_k AS BIGINT) AS lag_k, g0 AS g0_num, gamma_num,
+         SELECT CAST(lag_k AS BIGINT) AS lag_k,
+           CAST(g0 AS VARCHAR) AS g0_num,
+           CAST(gamma_num AS VARCHAR) AS gamma_num,
            rho_u,
            CAST(sum(term_milli) OVER (ORDER BY lag_k) AS BIGINT)
              AS q_milli,
@@ -4597,7 +4669,7 @@ object SparkEntry {
            FROM j),
          nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
          SELECT CAST(n AS BIGINT) AS n_edges, n_nodes,
-           CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
            round(CAST(n * sxy - sx * sy AS DOUBLE) /
              (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
@@ -4627,7 +4699,7 @@ object SparkEntry {
                AS HUGEINT) AS w1h
            FROM f CROSS JOIN t WHERE dv IS NOT NULL)
          SELECT n_early, n_late,
-           CAST(w1h AS DECIMAL(38,0)) AS w1_num,
+           CAST(w1h AS BIGINT) AS w1_num,
            CAST(w1h * 100 // (n_early * n_late) AS BIGINT) AS w1_micro
          FROM g""",
     "q_shard_balance" ->
@@ -4806,6 +4878,87 @@ object SparkEntry {
          SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_terms,
            CAST(sum(d_u) // count(*) AS BIGINT) AS delta_u
          FROM p GROUP BY 1, 2 ORDER BY s1, s2""",
+    "q_gtfs_arrivals" ->
+      """WITH cal(run_id, service_id, monday, tuesday, wednesday,
+             thursday, friday, saturday, sunday, start_date, end_date)
+           AS (VALUES
+             (1, 'WD', true, true, true, true, true, false, false,
+              20190201, 20190331),
+             (1, 'WE', false, false, false, false, false, true, true,
+              20190201, 20190331),
+             (1, 'EXP', true, true, true, true, true, true, true,
+              20190201, 20190218)),
+         cd(run_id, service_id, dt, exception_type) AS (VALUES
+             (1, 'WD', 20190220, 2), (1, 'WE', 20190220, 1),
+             (1, 'WD', 20190219, 1), (1, 'XTRA', 20190221, 1)),
+         tr(run_id, service_id, trip_id) AS (VALUES
+             (1, 'WD', 'T1'), (1, 'WE', 'T2'), (1, 'EXP', 'T3'),
+             (1, 'XTRA', 'T4')),
+         st(run_id, trip_id, arrival_time, stop_id) AS (VALUES
+             (1, 'T1', 30615, 'S1'), (1, 'T1', 90600, 'S2'),
+             (1, 'T2', 36000, 'S1'), (1, 'T3', 32400, 'S3'),
+             (1, 'T3', 34200, 'S1'), (1, 'T4', 39600, 'S1')),
+         sp(run_id, stop_id, stop_name, stop_lat, stop_lon) AS (VALUES
+             (1, 'S1', 'Alexanderplatz', CAST(52.52437 AS DOUBLE),
+              CAST(13.41053 AS DOUBLE)),
+             (1, 'S2', 'Potsdam Hbf', CAST(52.39886 AS DOUBLE),
+              CAST(13.06566 AS DOUBLE)),
+             (1, 'S3', 'Outer Rim', CAST(48.13743 AS DOUBLE),
+              CAST(11.57549 AS DOUBLE))),
+         days AS (SELECT CAST(unnest(generate_series(DATE '2019-02-18',
+             DATE '2019-02-24', INTERVAL 1 DAY)) AS DATE) AS d),
+         joined AS (SELECT cal.run_id, cal.service_id, monday, tuesday,
+             wednesday, thursday, friday, saturday, sunday, start_date,
+             end_date, tr.trip_id, st.arrival_time, st.stop_id,
+             sp.stop_name, sp.stop_lat, sp.stop_lon
+           FROM cal JOIN tr USING (run_id, service_id)
+             JOIN st USING (run_id, trip_id)
+             JOIN sp USING (run_id, stop_id)
+           WHERE end_date >= 20190218 AND start_date < 20190225),
+         reg0 AS (SELECT j.*, days.d AS service_date
+           FROM joined j CROSS JOIN days
+           WHERE (CASE isodow(days.d) WHEN 1 THEN monday
+               WHEN 2 THEN tuesday WHEN 3 THEN wednesday
+               WHEN 4 THEN thursday WHEN 5 THEN friday
+               WHEN 6 THEN saturday ELSE sunday END)
+             AND CAST(strftime(days.d, '%Y%m%d') AS INT)
+               BETWEEN start_date AND end_date),
+         reg AS (SELECT * FROM reg0 r WHERE NOT EXISTS (
+           SELECT 1 FROM cd WHERE cd.exception_type = 2
+             AND cd.run_id = r.run_id AND cd.service_id = r.service_id
+             AND CAST(strptime(CAST(cd.dt AS VARCHAR), '%Y%m%d') AS DATE)
+               = r.service_date)),
+         addd AS (SELECT run_id, service_id,
+             CAST(strptime(CAST(dt AS VARCHAR), '%Y%m%d') AS DATE)
+               AS service_date
+           FROM cd WHERE exception_type = 1
+             AND dt >= 20190218 AND dt < 20190225),
+         added AS (SELECT tr.run_id, tr.service_id, tr.trip_id,
+             st.arrival_time, st.stop_id, sp.stop_name, sp.stop_lat,
+             sp.stop_lon, a.service_date
+           FROM tr JOIN st USING (run_id, trip_id)
+             JOIN sp USING (run_id, stop_id)
+             JOIN addd a USING (run_id, service_id)
+             LEFT JOIN cal USING (run_id, service_id)
+           WHERE NOT coalesce(cal.start_date IS NOT NULL
+             AND (CASE isodow(a.service_date) WHEN 1 THEN monday
+               WHEN 2 THEN tuesday WHEN 3 THEN wednesday
+               WHEN 4 THEN thursday WHEN 5 THEN friday
+               WHEN 6 THEN saturday ELSE sunday END)
+             AND CAST(strftime(a.service_date, '%Y%m%d') AS INT)
+               BETWEEN cal.start_date AND cal.end_date, false)),
+         unioned AS (SELECT run_id, service_id, trip_id, stop_id,
+             stop_name, arrival_time, stop_lat, stop_lon, service_date
+           FROM reg
+           UNION ALL SELECT run_id, service_id, trip_id, stop_id,
+             stop_name, arrival_time, stop_lat, stop_lon, service_date
+           FROM added)
+         SELECT strftime(CAST(service_date AS TIMESTAMP)
+             + arrival_time * INTERVAL 1 SECOND,
+             '%Y-%m-%d %H:%M:%S.%f') || '0' AS event_time,
+           stop_name, stop_lat, stop_lon, CAST(run_id AS BIGINT)
+             AS run_id, service_id, trip_id, stop_id, service_date
+         FROM unioned""",
     "q_heaps_law" ->
       s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
          lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len
@@ -4920,7 +5073,7 @@ object SparkEntry {
              CAST(sum(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
              CAST(sum(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy FROM r)
          SELECT CAST(n AS BIGINT) AS n_docs,
-           CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
            round(CAST(n * sxy - sx * sy AS DOUBLE) /
              (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS rho
@@ -5703,23 +5856,22 @@ object SparkEntry {
                AS n_b,
              CAST(sum(CASE WHEN arm = 1 AND fast THEN 1 ELSE 0 END)
                AS BIGINT) AS conv_b
-           FROM e GROUP BY t)
+           FROM e GROUP BY t),
+         z AS (SELECT *,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+             THEN CAST(NULL AS BIGINT)
+             ELSE CAST(round((CAST(conv_a AS DOUBLE) / n_a
+               - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b))
+             * 1000) AS BIGINT) END AS z_milli FROM g)
          SELECT CAST(t AS INT) AS t, n_a, conv_a, n_b, conv_b,
            conv_a * 10000 // n_a AS rate_a_bp,
            conv_b * 10000 // n_b AS rate_b_bp,
-           CAST(round((CAST(conv_a AS DOUBLE) / n_a
-               - CAST(conv_b AS DOUBLE) / n_b)
-             / sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
-                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                 * (1.0 / n_a + 1.0 / n_b))
-             * 1000) AS BIGINT) AS z_milli,
-           abs(CAST(round((CAST(conv_a AS DOUBLE) / n_a
-               - CAST(conv_b AS DOUBLE) / n_b)
-             / sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
-                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                 * (1.0 / n_a + 1.0 / n_b))
-             * 1000) AS BIGINT)) > 1960 AS significant_5pct
-         FROM g ORDER BY t""",
+           z_milli,
+           coalesce(abs(z_milli) > 1960, false) AS significant_5pct
+         FROM z ORDER BY t""",
     "q_repetition_scores" ->
       s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
          tc AS (SELECT doc_id, tok, count(*) AS n

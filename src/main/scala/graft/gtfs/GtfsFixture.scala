@@ -1,0 +1,98 @@
+package graft.gtfs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Self-contained deterministic GTFS fixture for the DuckDB oracle gate —
+  * the FIXTURES.md §A synthetic feed (same services, trips, stop_times
+  * and stops the GtfsLoadSpec golden tests load from zip), restated as
+  * literal frames so `q_gtfs_arrivals` can cross-check the flagship
+  * arrivals expansion against an oracle that states the same VALUES
+  * (the driver's testdata has no GTFS-shaped tables, so the fixture IS
+  * the table). Covers every semantic the expansion owns: weekday flags,
+  * validity ranges, type-1/type-2 calendar_dates exceptions (including
+  * a redundant type-1 on an already-active weekday, which must NOT
+  * double-emit, and a type-1 for a service with NO calendar row), and
+  * the >24:00:00 post-midnight day-roll.
+  *
+  * Reference shape: calendar/trips/stop_times/stops per
+  * `airflow/script/dbinit/05-create-schema.sh:93-160`; the arrivals
+  * join chain per `streaming/.../data/GtfsDAO.java:36-48`.
+  */
+object GtfsFixture {
+
+  def calendar(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "WD", 1, 1, 1, 1, 1, 0, 0, 20190201, 20190331),
+      (1L, "WE", 0, 0, 0, 0, 0, 1, 1, 20190201, 20190331),
+      (1L, "EXP", 1, 1, 1, 1, 1, 1, 1, 20190201, 20190218),
+    ).toDF("run_id", "service_id", "monday", "tuesday", "wednesday",
+      "thursday", "friday", "saturday", "sunday", "start_date", "end_date")
+      .selectExpr("run_id", "service_id",
+        "monday = 1 AS monday", "tuesday = 1 AS tuesday",
+        "wednesday = 1 AS wednesday", "thursday = 1 AS thursday",
+        "friday = 1 AS friday", "saturday = 1 AS saturday",
+        "sunday = 1 AS sunday", "start_date", "end_date")
+  }
+
+  def calendarDates(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "WD", 20190220, 2),   // weekday service removed on a Wednesday
+      (1L, "WE", 20190220, 1),   // weekend service added mid-week
+      (1L, "WD", 20190219, 1),   // redundant add on an active weekday
+      (1L, "XTRA", 20190221, 1), // service defined ONLY by its added date
+    ).toDF("run_id", "service_id", "date", "exception_type")
+  }
+
+  def trips(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "WD", "T1"), (1L, "WE", "T2"), (1L, "EXP", "T3"),
+      (1L, "XTRA", "T4"),
+    ).toDF("run_id", "service_id", "trip_id")
+  }
+
+  /** arrival_time in seconds past midnight (may exceed 86400 — the
+    * 25:10:00 row exercises the day-roll).
+    */
+  def stopTimes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "T1", 8L * 3600 + 30 * 60 + 15, "S1"),
+      (1L, "T1", 25L * 3600 + 10 * 60, "S2"),
+      (1L, "T2", 10L * 3600, "S1"),
+      (1L, "T3", 9L * 3600, "S3"),
+      (1L, "T3", 9L * 3600 + 30 * 60, "S1"),
+      (1L, "T4", 11L * 3600, "S1"),
+    ).toDF("run_id", "trip_id", "arrival_time", "stop_id")
+  }
+
+  def stops(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "S1", "Alexanderplatz", 52.52437, 13.41053),
+      (1L, "S2", "Potsdam Hbf", 52.39886, 13.06566),
+      (1L, "S3", "Outer Rim", 48.13743, 11.57549),
+    ).toDF("run_id", "stop_id", "stop_name", "stop_lat", "stop_lon")
+  }
+
+  /** The flagship query over the fixture: full-fidelity arrivals
+    * (weekday expansion + both calendar_dates exception kinds) for the
+    * window Mon 2019-02-18 .. Mon 2019-02-25 (exclusive), event time
+    * rendered in the reference's 7-fractional-digit JSON format (F11)
+    * so the oracle compares exact strings, no timezone seam.
+    */
+  def arrivalsOracleQuery(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ArrivalsQuery.arrivalsWithExceptions(
+      calendar(s), calendarDates(s), trips(s), stopTimes(s), stops(s),
+      "2019-02-18", "2019-02-25")
+      .select(
+        graft.functions.dates.gtfsLocalTimeString(col("event_ts"))
+          .as("event_time"),
+        col("stop_name"), col("stop_lat"), col("stop_lon"), col("run_id"),
+        col("service_id"), col("trip_id"), col("stop_id"),
+        col("service_date"))
+  }
+}

@@ -200,8 +200,13 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"pa", $"pb",
         length($"pa").cast("long").as("la"), length($"pb").cast("long").as("lb"))
       .withColumn("mx", greatest($"la", $"lb"))
+      // lossless bound for ALL parameters: the retained condition is
+      // floor(lev·10⁴/mx) ≤ 10⁴−minSimBp, i.e. lev·10⁴ < mx·(10⁴−minSimBp+1),
+      // and lev ≥ |la−lb| — the tighter `≤ mx·(10⁴−minSimBp)` form only
+      // coincided with it while cap kept every multiple of 10⁴ out of
+      // the width-mx gap (safe for cap ≤ 1000, silently lossy past it)
       .filter($"mx" === 0 ||
-        (abs($"la" - $"lb") * 10000) <= ($"mx" * (10000L - minSimBp)))
+        (abs($"la" - $"lb") * 10000) < ($"mx" * (10001L - minSimBp)))
       .select($"doc_a", $"doc_b", $"mx",
         levenshtein($"pa", $"pb").cast("long").as("lev"))
       .withColumn("sim_bp",
@@ -561,7 +566,11 @@ object Dedup {
         sum($"dy".cast(dec) * $"dy").as("syy"))
       .select($"n".cast("long").as("n_edges"),
         lit(nNodes).as("n_nodes"),
-        ($"n" * $"sxy" - $"sx" * $"sy").cast(dec).as("cov_num"),
+        // degree-covariance numerator fits int64 at gate scale;
+        // narrow loudly (wide decimal is internal-only)
+        graft.functions.num.toLongChecked(
+          ($"n" * $"sxy" - $"sx" * $"sy").cast(dec), "cov_num")
+          .as("cov_num"),
         round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
           (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
             sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))), 4)
@@ -1586,7 +1595,13 @@ object Dedup {
       .withColumn("sse_dec", sum(expr(s"CAST(n_docs AS $dec)" +
         " * (rate_u - fit_dec_u) * (rate_u - fit_dec_u)")).over(all))
       .select($"bin", $"n_docs", $"n_dup", $"rate_u", $"fit_inc_u",
-        $"fit_dec_u", $"sse_inc", $"sse_dec",
+        $"fit_dec_u",
+        // weighted SSE ≤ n_docs·10¹² — inside int64 at gate scale;
+        // narrow loudly (wide decimal is internal-only)
+        graft.functions.num.toLongChecked($"sse_inc", "sse_inc")
+          .as("sse_inc"),
+        graft.functions.num.toLongChecked($"sse_dec", "sse_dec")
+          .as("sse_dec"),
         ($"sse_inc" <= $"sse_dec").as("monotone_up"))
       .orderBy($"bin")
   }

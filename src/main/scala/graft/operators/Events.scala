@@ -414,14 +414,20 @@ object Events {
           .as("conv_b"))
       .withColumn("rate_a_bp", expr("conv_a * 10000 div n_a"))
       .withColumn("rate_b_bp", expr("conv_b * 10000 div n_b"))
+      // degenerate pooled rate (0 or 1 — every transition slow or every
+      // one fast) zeroes the variance: emit null z instead of the
+      // Infinity/NaN→Long.MaxValue wrap DuckDB's CAST would error on
       .withColumn("z_milli", expr(
-        """CAST(round((CAST(conv_a AS DOUBLE) / n_a
+        """CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+           THEN CAST(NULL AS BIGINT)
+           ELSE CAST(round((CAST(conv_a AS DOUBLE) / n_a
              - CAST(conv_b AS DOUBLE) / n_b)
            / sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                * (1.0 / n_a + 1.0 / n_b))
-           * 1000) AS BIGINT)"""))
-      .withColumn("significant_5pct", abs($"z_milli") > 1960L)
+           * 1000) AS BIGINT) END"""))
+      .withColumn("significant_5pct",
+        coalesce(abs($"z_milli") > 1960L, lit(false)))
       .orderBy($"t")
   }
 
@@ -1045,7 +1051,11 @@ object Events {
           * $"dv").cast("decimal(38,0)").as("w1_num"))
       // W1 in micro value units: vq is 1e-4 value units, so scale by
       // 1e6/1e4 = 100 before the exact n1*n2 normalization
-      .select($"n_early", $"n_late", $"w1_num",
+      .select($"n_early", $"n_late",
+        // the SUMMED numerator is ~2e11 at sf0.01 (per-gap terms are
+        // what overflow longs, not the total) — narrow loudly
+        graft.functions.num.toLongChecked($"w1_num", "w1_num")
+          .as("w1_num"),
         expr("w1_num * 100 div (n_early * n_late)").as("w1_micro"))
   }
 
@@ -1202,6 +1212,11 @@ object Events {
         sum($"attr_cents_bp".cast("decimal(38,0)")).as("attr_cents_bp"))
       .withColumn("attr_cents",
         expr("CAST(attr_cents_bp div 10000 AS BIGINT)"))
+      // attributed bp-cents per hour ~5e9 at sf0.01 — inside int64;
+      // narrow loudly (wide decimal is internal-only)
+      .withColumn("attr_cents_bp",
+        graft.functions.num.toLongChecked($"attr_cents_bp",
+          "attr_cents_bp"))
       .orderBy($"click_hour")
   }
 
@@ -1259,7 +1274,11 @@ object Events {
       .withColumn("z", round($"oe_u".cast("double") /
         (lit(1000.0) * sqrt($"v_u".cast("double"))), 4))
       .select($"n_total", $"n_a", ($"n_total" - $"n_a").as("n_b"),
-        $"deaths_a", $"deaths_b", $"oe_u", $"v_u", $"chi2_u", $"z")
+        $"deaths_a", $"deaths_b", $"oe_u",
+        // summed hypergeometric variance stays ~deaths·10⁶ — inside
+        // int64; narrow loudly (wide decimal is internal-only)
+        graft.functions.num.toLongChecked($"v_u", "v_u").as("v_u"),
+        $"chi2_u", $"z")
   }
 
   /** Hourly click→purchase cross-correlation at lags −12..+12 — the
@@ -1311,7 +1330,13 @@ object Events {
       expr(lags.map(k => s"$k, g_${lagName(k)}")
         .mkString(s"stack(${lags.length}, ", ", ", ") as (lag_k, gxy_num)")))
       .select($"lag_k".cast("long").as("lag_k"),
-        ($"n" - abs($"lag_k")).as("n_pairs"), $"gxy_num", $"gxx", $"gyy",
+        ($"n" - abs($"lag_k")).as("n_pairs"),
+        // centered cross-products top out ~2e17 on the span-bounded
+        // hourly grid — inside int64; narrow loudly
+        graft.functions.num.toLongChecked($"gxy_num", "gxy_num")
+          .as("gxy_num"),
+        graft.functions.num.toLongChecked($"gxx", "gxx").as("gxx"),
+        graft.functions.num.toLongChecked($"gyy", "gyy").as("gyy"),
         round($"gxy_num".cast("double") /
           (sqrt($"gxx".cast("double")) * sqrt($"gyy".cast("double"))), 4)
           .as("rho"))

@@ -906,8 +906,13 @@ object Relational {
         $"p_brand".as("consequent"))), Seq("cc"))
       .withColumn("confidence_bp",
         expr("n_both * 10000 div n_ante"))
+      // numerator in DECIMAL(38,0): n_both·N·10⁶ crosses 2⁶³ around
+      // sf10 for high-support pairs, where LONG would silently wrap
+      // while the oracle's BIGINT multiply raises — the same
+      // wide-decimal-for-near-2⁶³-products discipline as emdDrift
       .withColumn("lift_ppm",
-        expr(s"n_both * ${nOrders}L * 1000000 div (n_ante * n_cons)"))
+        expr(s"CAST(CAST(n_both AS DECIMAL(38,0)) * ${nOrders}L" +
+          " * 1000000 div (n_ante * n_cons) AS BIGINT)"))
       .select($"antecedent", $"consequent", $"n_both", $"n_ante",
         $"n_cons", $"confidence_bp", $"lift_ppm")
       .orderBy($"lift_ppm".desc, $"antecedent", $"consequent")
@@ -1318,8 +1323,11 @@ object Relational {
         max($"n_arm_b").as("n_arm_b"), count(lit(1)).as("n_perms"),
         sum(when($"t_stat" >= $"t_obs", 1L).otherwise(0L)).as("n_ge"))
       .withColumn("p_milli", expr("(1 + n_ge) * 1000 div (n_perms + 1)"))
-      .select($"n_arm_a", $"n_arm_b", $"t_obs", $"n_perms", $"n_ge",
-        $"p_milli")
+      .select($"n_arm_a", $"n_arm_b",
+        // |n_b·s_a − n_a·s_b| ≈ 8e13 at sf0.01, ~3e18 at sf1 — inside
+        // int64 at gate scale; narrow loudly past it
+        graft.functions.num.toLongChecked($"t_obs", "t_obs").as("t_obs"),
+        $"n_perms", $"n_ge", $"p_milli")
   }
 
   /** Incremental view maintenance of a grouped aggregate — the engine
@@ -1505,6 +1513,40 @@ object Relational {
       .join(broadcast(offsets), Seq("_gp"))
       .withColumn("rk", $"_off" + $"_prk")
       .drop("_gp", "_prk", "_off")
+  }
+
+  /** EXCLUSIVE global running sum of `valueCol` in `orderCols` order —
+    * the prefix-sum twin of [[globalRowNumber]], same two-pass shape:
+    * range-partition on the order key, per-partition running sums in
+    * parallel, then one numParts-row offset window (audit-sized, never
+    * the data) broadcast back. Appends the sum as `name`; replaces the
+    * single-partition `sum().over(Window.orderBy(...))` anti-pattern
+    * wherever the frame is corpus-sized.
+    */
+  def globalPrefixSum(df: DataFrame, orderCols: Seq[Column],
+                      valueCol: Column, name: String,
+                      numParts: Int = 0): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val n = if (numParts > 0) numParts
+            else s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(n, orderCols: _*)
+      .withColumn("_gp", spark_partition_id())
+      .withColumn("_v", valueCol)
+      .localCheckpoint() // offsets + summed output both read it
+    val offsets = ranged.groupBy($"_gp").agg(sum($"_v").as("_n"))
+      .withColumn("_off",
+        coalesce(sum($"_n").over(
+          Window.orderBy($"_gp").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select($"_gp", $"_off")
+    val byPart = Window.partitionBy($"_gp").orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("_ps", coalesce(sum($"_v").over(byPart), lit(0L)))
+      .join(broadcast(offsets), Seq("_gp"))
+      .withColumn(name, $"_off" + $"_ps")
+      .drop("_gp", "_ps", "_off", "_v")
   }
 
   /** Customer-revenue Lorenz curve + exact Gini — the concentration
@@ -1958,7 +2000,11 @@ object Relational {
         expr("n * (n + 2) * rho_u * rho_u" +
           " div ((n - lag_k) * 1000000000)"))
       .withColumn("q_milli", sum($"term_milli").over(cum))
-      .select($"lag_k".cast("long").as("lag_k"), $"g0_num", $"gamma_num",
+      .select($"lag_k".cast("long").as("lag_k"),
+        // raw autocovariance numerators reach ~7e25 at sf0.01 — past
+        // int64, so the output contract is STRING digits on both sides
+        graft.functions.num.digits($"g0_num").as("g0_num"),
+        graft.functions.num.digits($"gamma_num").as("gamma_num"),
         $"rho_u", $"q_milli", $"crit_milli",
         ($"q_milli" > $"crit_milli").as("reject"))
       .orderBy($"lag_k")
@@ -2049,8 +2095,12 @@ object Relational {
       .withColumn("ph_hi", $"m_cum" - min($"m_cum").over(w))
       .withColumn("ph_lo", max($"m_cum").over(w) - $"m_cum")
       .select($"day", $"cents", $"t", $"mbar_u",
-        $"m_cum".cast(dec).as("m_cum"), $"ph_hi".cast(dec).as("ph_hi"),
-        $"ph_lo".cast(dec).as("ph_lo"),
+        // cumulative deviations fit int64 at gate scale (~2e17 at
+        // sf0.01); narrow loudly so both engines fail identically if a
+        // scale-up breaks the bound
+        graft.functions.num.toLongChecked($"m_cum", "m_cum").as("m_cum"),
+        graft.functions.num.toLongChecked($"ph_hi", "ph_hi").as("ph_hi"),
+        graft.functions.num.toLongChecked($"ph_lo", "ph_lo").as("ph_lo"),
         ($"ph_hi" >= expr("mbar_u div 4")).as("alarm_hi"),
         ($"ph_lo" >= expr("mbar_u div 4")).as("alarm_lo"))
       .orderBy($"day")
@@ -2161,7 +2211,9 @@ object Relational {
       .withColumn("sum_cents", $"cs" - $"csj")
       .withColumn("sse_u", sseExpr)
       .select($"bucket", $"day_start", $"day_end", $"n_days",
-        $"sum_cents", $"sse_u")
+        $"sum_cents",
+        // per-bucket SSE tops out ~5e18 — inside int64; narrow loudly
+        graft.functions.num.toLongChecked($"sse_u", "sse_u").as("sse_u"))
       .orderBy($"bucket")
   }
 
@@ -2220,7 +2272,11 @@ object Relational {
     prof
       .withColumn("discord_rank", row_number()
         .over(Window.orderBy($"dist2".desc, $"ti")).cast("long"))
-      .select($"ti".as("t"), $"nn_t", $"dist2", $"discord_rank")
+      .select($"ti".as("t"), $"nn_t",
+        // squared cents distances top out ~1e17 — inside int64; narrow
+        // loudly (DECIMAL(38,0) is internal-accumulation-only)
+        graft.functions.num.toLongChecked($"dist2", "dist2").as("dist2"),
+        $"discord_rank")
       .orderBy($"t")
   }
 
@@ -2276,8 +2332,12 @@ object Relational {
       .withColumn("dw_milli",
         expr("CAST(1000 * ssd div sse AS BIGINT)"))
       .withColumn("rho_milli", lit(1000L) - expr("dw_milli div 2"))
-      .select($"n_days", $"b_u", $"a_u", $"sse", $"ssd", $"dw_milli",
-        $"rho_milli")
+      .select($"n_days", $"b_u", $"a_u",
+        // quadratic sums reach ~1e34 — past int64, so the output
+        // contract is STRING digits on both sides
+        graft.functions.num.digits($"sse").as("sse"),
+        graft.functions.num.digits($"ssd").as("ssd"),
+        $"dw_milli", $"rho_milli")
   }
 
   /** RFM quintile segmentation of the customer base — recency /

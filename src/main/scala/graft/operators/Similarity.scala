@@ -1594,27 +1594,53 @@ object Similarity {
     * tie-break; agreement counts are integers; the mean is an integer
     * floor-division.
     *
-    * Shape at scale: the all-pairs scan is the sf-scale stand-in for
-    * the ANN index ([[annRecall]] audits the swap); per-vector state
-    * after the top-k cut is one row.
+    * Shape at scale: candidates come from the banded sign-LSH bucket
+    * join ([[bandedPlaneBuckets]], the same scheme every near-dup path
+    * rides), so the pair space is bucket-bounded — never corpus², and
+    * no corpus-sized broadcast anywhere. Each vector votes among its
+    * COLLISION SURVIVORS' top-k (a vector with no collisions keeps
+    * agree = 0 and counts as a suspect — isolation in LSH space is
+    * itself a noise signal); [[knnBandedRecall]] audits what the
+    * bucket join trades against brute-force kNN on probe vectors.
     */
-  def knnLabelAgreement(s: SparkSession, dir: String,
-                        k: Int = 5): DataFrame = {
+  def knnLabelAgreement(s: SparkSession, dir: String, k: Int = 5,
+                        planesPerBand: Int = AutoPlanes,
+                        nBands: Int = 24): DataFrame = {
     import s.implicits._
-    val e = Tables(s, dir, "embeddings")
+    val e0 = Tables(s, dir, "embeddings")
       .select($"vec_id", $"label", vectors.toDoubleArray($"embedding").as("v"))
+    val r = if (planesPerBand > 0) planesPerBand
+            else autoPlanesPerBand(e0.count())
+    val e = e0
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"vec_id")
+      .localCheckpoint() // band projection and both verify joins read it
+    val bands = bandedPlaneBuckets(e, r, nBands, 64).localCheckpoint()
+    // DIRECTED candidates (each vector ranks its own neighborhood) —
+    // shuffle equi-join on (band, sig); no side is corpus-broadcast
+    val cand = bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
     val byA = Window.partitionBy($"a").orderBy($"cs_u".desc, $"b")
-    val perVec = e.select($"vec_id".as("a"), $"label".as("la"), $"v".as("av"))
-      .join(broadcast(
-        e.select($"vec_id".as("b"), $"label".as("lb"), $"v".as("bv"))))
-      .filter($"a" =!= $"b")
+    val voted = cand
+      .join(e.select($"vec_id".as("a"), $"label".as("la"), $"v".as("av")),
+        Seq("a"))
+      .join(e.select($"vec_id".as("b"), $"label".as("lb"), $"v".as("bv")),
+        Seq("b"))
       .select($"a", $"la", $"b", $"lb",
         round(vectors.cosineSimilarity($"av", $"bv") * 10000)
           .cast("long").as("cs_u"))
       .withColumn("rn", row_number().over(byA))
       .filter($"rn" <= k)
-      .groupBy($"a", $"la")
+      .groupBy($"a")
       .agg(sum(when($"la" === $"lb", 1L).otherwise(0L)).as("agree"))
+    // keep collision-free vectors (agree = 0) so n_vecs stays the label
+    // member count — isolation reads as noise, not as absence
+    val perVec = e.select($"vec_id".as("a"), $"label".as("la"))
+      .join(voted, Seq("a"), "left")
+      .select($"a", $"la", coalesce($"agree", lit(0L)).as("agree"))
     perVec.groupBy($"la".as("label"))
       .agg(count(lit(1)).as("n_vecs"), sum($"agree").as("sum_agree"),
         sum(when($"agree" * 2 < k, 1L).otherwise(0L)).as("n_suspect"))
@@ -1622,6 +1648,79 @@ object Similarity {
         expr(s"sum_agree * 10000 div (n_vecs * $k)").as("agree_bp"),
         $"n_suspect")
       .orderBy($"label")
+  }
+
+  /** Recall audit for [[knnLabelAgreement]]'s banded candidate swap —
+    * the [[annRecall]] pattern: for every probe vector (vec_id <
+    * nProbes), compare its brute-force exact top-k (probe×corpus — a
+    * bounded broadcast of PROBES, never the corpus) against the banded
+    * collision survivors' top-k, and report overlap in basis points
+    * plus how many probes lose their plurality-label vote under the
+    * swap. This is the one-row acceptance gate that turns "LSH kNN is
+    * close enough" from hope into data.
+    */
+  def knnBandedRecall(s: SparkSession, dir: String, k: Int = 5,
+                      planesPerBand: Int = AutoPlanes, nBands: Int = 24,
+                      nProbes: Int = 100): DataFrame = {
+    import s.implicits._
+    val e0 = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label", vectors.toDoubleArray($"embedding").as("v"))
+    val r = if (planesPerBand > 0) planesPerBand
+            else autoPlanesPerBand(e0.count())
+    val e = e0
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"vec_id")
+      .localCheckpoint() // probes, brute scan, and band projection read it
+    val probes = e.filter($"vec_id" < nProbes)
+      .select($"vec_id".as("a"), $"label".as("la"), $"v".as("av"))
+    val byA = Window.partitionBy($"a").orderBy($"cs_u".desc, $"b")
+    // exact side: probe×corpus via broadcast of the PROBES (bounded by
+    // nProbes at any corpus size — the affordable brute force)
+    val exact = e.select($"vec_id".as("b"), $"label".as("lb"), $"v".as("bv"))
+      .join(broadcast(probes), $"a" =!= $"b")
+      .select($"a", $"la", $"b", $"lb",
+        round(vectors.cosineSimilarity($"av", $"bv") * 10000)
+          .cast("long").as("cs_u"))
+      .withColumn("rn", row_number().over(byA))
+      .filter($"rn" <= k)
+      .localCheckpoint() // overlap join and exact-vote agg both read it
+    // banded side: the same collision candidates knnLabelAgreement ranks
+    val bands = bandedPlaneBuckets(e, r, nBands, 64).localCheckpoint()
+    val banded = bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") =!= col("y.vec_id") &&
+          col("x.vec_id") < nProbes)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+      .join(e.select($"vec_id".as("a"), $"label".as("la"), $"v".as("av")),
+        Seq("a"))
+      .join(e.select($"vec_id".as("b"), $"label".as("lb"), $"v".as("bv")),
+        Seq("b"))
+      .select($"a", $"la", $"b", $"lb",
+        round(vectors.cosineSimilarity($"av", $"bv") * 10000)
+          .cast("long").as("cs_u"))
+      .withColumn("rn", row_number().over(byA))
+      .filter($"rn" <= k)
+      .localCheckpoint()
+    val overlap = exact.select($"a", $"b")
+      .join(banded.select($"a", $"b"), Seq("a", "b"))
+      .groupBy($"a").agg(count(lit(1)).as("hits"))
+    def votes(df: DataFrame, name: String) = df
+      .groupBy($"a")
+      .agg(sum(when($"la" === $"lb", 1L).otherwise(0L)).as(name))
+    probes.select($"a")
+      .join(overlap, Seq("a"), "left")
+      .join(votes(exact, "agree_exact"), Seq("a"), "left")
+      .join(votes(banded, "agree_banded"), Seq("a"), "left")
+      .select($"a", coalesce($"hits", lit(0L)).as("hits"),
+        coalesce($"agree_exact", lit(0L)).as("ae"),
+        coalesce($"agree_banded", lit(0L)).as("ab"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum($"hits").as("nn_hits"),
+        expr(s"sum(hits) * 10000 div (count(1) * $k)").as("recall_bp"),
+        sum(when($"hits" === k, 1L).otherwise(0L)).as("n_probes_full"),
+        sum(when(($"ae" * 2 < k) =!= ($"ab" * 2 < k), 1L).otherwise(0L))
+          .as("n_vote_flips"))
   }
 
   /** Margin-criterion bitext mining — the ratio test parallel-corpus
@@ -1639,21 +1738,37 @@ object Similarity {
     * denominator first, so integer division never sees a negative
     * operand (where div/floor-div semantics would diverge).
     *
-    * Shape at scale: the all-pairs candidate scan is the sf-scale
-    * stand-in for an ANN-bucketed candidate set ([[annRecall]] audits
-    * that swap); the neighborhood sums are two windowed top-k passes
-    * over the SAME materialized similarity frame — checkpointed once,
-    * three consumers.
+    * Shape at scale: the candidate set is the cross-half slice of the
+    * banded sign-LSH bucket join ([[bandedPlaneBuckets]] — the
+    * [[incrementalEmbeddingPairs]] shape with parity instead of
+    * batch/index), so the pair space is bucket-bounded, never
+    * |A|×|B|, and no corpus-sized broadcast anywhere. Neighborhood
+    * sums are top-k AMONG COLLISION SURVIVORS — the neighborhoods an
+    * ANN-served miner actually sees; the margin arithmetic is
+    * unchanged.
     */
   def bitextMine(s: SparkSession, dir: String, k: Int = 4,
-                 marginBp: Long = 10200L): DataFrame = {
+                 marginBp: Long = 10200L,
+                 planesPerBand: Int = AutoPlanes,
+                 nBands: Int = 24): DataFrame = {
     import s.implicits._
-    val e = embDouble(s, dir)
-    val a = e.filter($"vec_id" % 2 === 0)
-      .select($"vec_id".as("x"), $"v".as("xv"))
-    val b = e.filter($"vec_id" % 2 === 1)
-      .select($"vec_id".as("y"), $"v".as("yv"))
-    val sims = a.join(broadcast(b))
+    val e0 = embDouble(s, dir)
+    val r = if (planesPerBand > 0) planesPerBand
+            else autoPlanesPerBand(e0.count())
+    val e = e0
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"vec_id")
+      .localCheckpoint() // band projection and both verify joins read it
+    val bands = bandedPlaneBuckets(e, r, nBands, 64).localCheckpoint()
+    // cross-half collisions only: even (x) probes, odd (y) index side
+    val cand = bands.alias("bx")
+      .join(bands.alias("by"),
+        col("bx.band") === col("by.band") && col("bx.sig") === col("by.sig") &&
+          col("bx.vec_id") % 2 === 0 && col("by.vec_id") % 2 === 1)
+      .select(col("bx.vec_id").as("x"), col("by.vec_id").as("y"))
+      .distinct()
+    val sims = cand
+      .join(e.select($"vec_id".as("x"), $"v".as("xv")), Seq("x"))
+      .join(e.select($"vec_id".as("y"), $"v".as("yv")), Seq("y"))
       .select($"x", $"y",
         round(vectors.cosineSimilarity($"xv", $"yv") * 10000)
           .cast("long").as("cs_u"))
@@ -1666,10 +1781,13 @@ object Similarity {
     val say = sims.withColumn("rn", row_number().over(byY))
       .filter($"rn" <= k)
       .groupBy($"y").agg(sum($"cs_u").as("say_u"))
+    // sax/say are per-vector (corpus-sized): plain shuffle joins — AQE
+    // may still broadcast at small SF, but nothing FORCES a corpus
+    // broadcast at scale
     fwd.select($"x", $"y", $"rn".as("fwd_rank"), $"cs_u")
       .filter($"cs_u" > 0)
-      .join(broadcast(sax), Seq("x"))
-      .join(broadcast(say), Seq("y"))
+      .join(sax, Seq("x"))
+      .join(say, Seq("y"))
       .filter($"sax_u" + $"say_u" > 0)
       .withColumn("margin_bp",
         expr(s"(2 * $k * cs_u * 10000) div (sax_u + say_u)"))

@@ -1094,6 +1094,14 @@ object TextOps {
               + CAST(n_docs - n_en AS $dec) * (n_docs - n_en))
              * 1000000000 div n_docs"""))
       .withColumn("gain_u9", $"root_u9" - $"cost_u9")
+      // impurity costs are ≤ n_docs·10⁹ (~6e17 even at sf100) — inside
+      // int64; DECIMAL(38,0) stays internal-accumulation-only
+      .withColumn("cost_u9",
+        graft.functions.num.toLongChecked($"cost_u9", "cost_u9"))
+      .withColumn("root_u9",
+        graft.functions.num.toLongChecked($"root_u9", "root_u9"))
+      .withColumn("gain_u9",
+        graft.functions.num.toLongChecked($"gain_u9", "gain_u9"))
   }
 
   /** Split-conformal calibration of a token-count predictor — the
@@ -1144,9 +1152,10 @@ object TextOps {
     val nCal = cal.count()
     val kRank = math.min(
       ((nCal + 1) * (10000 - alphaBp) + 9999) / 10000, nCal)
-    val qHat = cal
-      .withColumn("rk", row_number()
-        .over(Window.orderBy($"s_u", $"doc_id")).cast("long"))
+    // the ⌈(n+1)(1−α)⌉-th order statistic via the range-partitioned
+    // global rank — the cal split is a corpus fraction, so a bare
+    // Window.orderBy here would sort it on ONE task
+    val qHat = Relational.globalRowNumber(cal, Seq($"s_u", $"doc_id"))
       .filter($"rk" === kRank)
       .select($"s_u".as("q_hat"))
     score(d.filter($"bucket" >= 90)).crossJoin(broadcast(qHat))
@@ -3615,19 +3624,18 @@ object TextOps {
     * The regression runs on 1e-6 fixed-point logs of exact integer
     * counts (sums of longs, order-free), with one fixed-shape double
     * quotient at the end (the [[zipfSlope]] shape, made order-proof).
-    * The doc-offset window carries one running sum of doc lengths; at
-    * 100 TB it would ride [[Relational.globalRowNumber]]'s
-    * range-partitioned two-pass instead of a single-partition window.
+    * The doc-offset running sum rides [[Relational.globalPrefixSum]]'s
+    * range-partitioned two-pass — one row per doc is corpus-sized, so
+    * a bare Window.orderBy there would serialize onto one task.
     */
   def heapsLaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = docsFanned(s, dir)
       .select($"doc_id", text.tokensLower($"text").as("toks"))
       .localCheckpoint() // offsets + explode both read it
-    val off = toks
-      .select($"doc_id", size($"toks").cast("long").as("len"))
-      .withColumn("off", coalesce(sum($"len").over(Window.orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val off = Relational.globalPrefixSum(
+      toks.select($"doc_id", size($"toks").cast("long").as("len")),
+      Seq($"doc_id"), $"len", "off")
     val first = toks.join(off.select($"doc_id", $"off"), "doc_id")
       .select($"off", posexplode($"toks").as(Seq("p", "tok")))
       .select($"tok", ($"off" + $"p" + 1L).as("gpos"))
@@ -3697,7 +3705,11 @@ object TextOps {
         sum($"rx".cast(dec) * $"rx").as("sxx"),
         sum($"ry".cast(dec) * $"ry").as("syy"))
       .select($"n".cast("long").as("n_docs"),
-        ($"n" * $"sxy" - $"sx" * $"sy").cast(dec).as("cov_num"),
+        // rank-covariance numerator ~n⁴/12 — inside int64 at gate
+        // scale; narrow loudly (wide decimal is internal-only)
+        graft.functions.num.toLongChecked(
+          ($"n" * $"sxy" - $"sx" * $"sy").cast(dec), "cov_num")
+          .as("cov_num"),
         round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
           (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
             sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))), 4)

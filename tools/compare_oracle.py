@@ -18,16 +18,15 @@ for p in glob.glob(f"{sf}/*.parquet"):
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
 def canon(cols, rows):
+    # repr(), not str(): the driver's hasher is type-sensitive (a Decimal
+    # and an int with the same digits hash apart). repr keeps the type
+    # visible — Decimal('42') != 42 — so the local gate sees what the
+    # driver sees. Round-9 shipped 14 value-correct/type-misaligned
+    # queries because str() hid exactly this distinction.
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out_rows = []
     for r in rows:
-        rr = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = v  # exact — the driver hashes exact values
-            rr.append(str(v))
-        out_rows.append(tuple(rr))
+        out_rows.append(tuple(repr(r[i]) for i in order))
     return [cols[i] for i in order], sorted(out_rows)
 
 fails = 0
