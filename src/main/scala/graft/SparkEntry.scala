@@ -168,8 +168,18 @@ object SparkEntry {
     "q_mann_whitney" -> Events.mannWhitney,
     "q_gini_sources" -> TextOps.giniSources,
     "q_good_turing" -> TextOps.goodTuringMass,
+    "q_dominant_period" -> ((s, dir) => Relational.dominantPeriod(s, dir)),
+    "q_holt_linear" -> Relational.holtLinear,
+    "q_t_closeness" -> ((s, dir) => Relational.tCloseness(s, dir)),
+    "q_dedup_survivorship" -> Dedup.dedupSurvivorship,
+    "q_doremi_step" -> TextOps.doremiStep,
+    "q_ngram_novelty" -> TextOps.ngramNovelty,
     "q_gtfs_arrivals" ->
       ((s, _) => gtfs.GtfsFixture.arrivalsOracleQuery(s)),
+    "q_gtfs_frequencies" ->
+      ((s, _) => gtfs.GtfsFixture.frequenciesOracleQuery(s)),
+    "q_gtfs_connections" ->
+      ((s, _) => gtfs.GtfsFixture.connectionsOracleQuery(s)),
     "q_heaps_law" -> TextOps.heapsLaw,
     "q_neyman_alloc" -> ((s, dir) => Events.neymanAllocation(s, dir)),
     "q_burrows_delta" -> ((s, dir) => TextOps.burrowsDelta(s, dir)),
@@ -759,6 +769,130 @@ object SparkEntry {
        sg AS (SELECT vec_id, j // 4 AS band,
            sum(CASE WHEN list_dot_product(v, p) > 0 THEN (1 << (j % 4)) ELSE 0 END) AS sig
          FROM e, pl GROUP BY vec_id, j // 4)"""
+
+  /** Integer-autocorrelation dominant-period oracle: lead columns and
+    * exact ppm rho generated from the same maxLag as
+    * Relational.dominantPeriod.
+    */
+  private def dominantPeriodOracle(maxLag: Int): String = {
+    val leads = (1 to maxLag).map(k => s"lead(y, $k) OVER w AS y$k")
+      .mkString(", ")
+    val gs = (1 to maxLag).map(k =>
+      s"CAST(sum(CAST(y0 AS HUGEINT) * y$k) AS HUGEINT) AS g$k")
+      .mkString(", ")
+    val unions = (1 to maxLag).map(k =>
+      s"SELECT g0, $k AS lag_k, g$k AS gamma FROM a")
+      .mkString(" UNION ALL ")
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents FROM orders GROUP BY 1),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s FROM daily),
+       y AS (SELECT day, n * cents - s AS y FROM daily CROSS JOIN st),
+       l AS (SELECT y AS y0, $leads FROM y WINDOW w AS (ORDER BY day)),
+       a AS (SELECT CAST(sum(CAST(y0 AS HUGEINT) * y0) AS HUGEINT) AS g0,
+           $gs
+         FROM l),
+       stk AS ($unions),
+       r AS (SELECT lag_k,
+           CAST((gamma * 1000000 + 1000000 * g0) // g0
+             - 1000000 AS BIGINT) AS rho_u FROM stk),
+       b AS (SELECT lag_k AS best_lag FROM r
+         ORDER BY rho_u DESC, lag_k LIMIT 1)
+       SELECT CAST(lag_k AS BIGINT) AS lag_k, rho_u,
+         lag_k = best_lag AS dominant
+       FROM r CROSS JOIN b ORDER BY lag_k"""
+  }
+
+  /** The GtfsFixture feed as literal VALUES CTEs (cal/cd/tr/st/sp) —
+    * MUST mirror graft.gtfs.GtfsFixture row for row; the fixture IS the
+    * table, since the driver's testdata has no GTFS-shaped parquet.
+    */
+  private val gtfsValuesCtes =
+    """cal(run_id, service_id, monday, tuesday, wednesday,
+             thursday, friday, saturday, sunday, start_date, end_date)
+           AS (VALUES
+             (1, 'WD', true, true, true, true, true, false, false,
+              20190201, 20190331),
+             (1, 'WE', false, false, false, false, false, true, true,
+              20190201, 20190331),
+             (1, 'EXP', true, true, true, true, true, true, true,
+              20190201, 20190218)),
+         cd(run_id, service_id, dt, exception_type) AS (VALUES
+             (1, 'WD', 20190220, 2), (1, 'WE', 20190220, 1),
+             (1, 'WD', 20190219, 1), (1, 'XTRA', 20190221, 1)),
+         tr(run_id, service_id, trip_id) AS (VALUES
+             (1, 'WD', 'T1'), (1, 'WE', 'T2'), (1, 'EXP', 'T3'),
+             (1, 'XTRA', 'T4')),
+         st0(run_id, trip_id, arrival_time, stop_id) AS (VALUES
+             (1, 'T1', 30615, 'S1'), (1, 'T1', 90600, 'S2'),
+             (1, 'T2', 36000, 'S1'), (1, 'T2', 36600, 'S2'),
+             (1, 'T3', 32400, 'S3'), (1, 'T3', 34200, 'S1'),
+             (1, 'T4', 32400, 'S2'), (1, 'T4', 39600, 'S1')),
+         st AS (SELECT *, arrival_time + 60 AS departure_time FROM st0),
+         sp(run_id, stop_id, stop_name, stop_lat, stop_lon) AS (VALUES
+             (1, 'S1', 'Alexanderplatz', CAST(52.52437 AS DOUBLE),
+              CAST(13.41053 AS DOUBLE)),
+             (1, 'S2', 'Potsdam Hbf', CAST(52.39886 AS DOUBLE),
+              CAST(13.06566 AS DOUBLE)),
+             (1, 'S3', 'Outer Rim', CAST(48.13743 AS DOUBLE),
+              CAST(11.57549 AS DOUBLE)))"""
+
+  /** The full arrivals expansion over [[gtfsValuesCtes]] (window
+    * 2019-02-18 .. 2019-02-25 exclusive, weekday flags, validity,
+    * type-1/2 exceptions) ending in `unioned` — shared by the arrivals
+    * and transfer-connection oracles.
+    */
+  private val gtfsArrivalCtes =
+    s"""$gtfsValuesCtes,
+         days AS (SELECT CAST(unnest(generate_series(DATE '2019-02-18',
+             DATE '2019-02-24', INTERVAL 1 DAY)) AS DATE) AS d),
+         joined AS (SELECT cal.run_id, cal.service_id, monday, tuesday,
+             wednesday, thursday, friday, saturday, sunday, start_date,
+             end_date, tr.trip_id, st.arrival_time, st.stop_id,
+             sp.stop_name, sp.stop_lat, sp.stop_lon
+           FROM cal JOIN tr USING (run_id, service_id)
+             JOIN st USING (run_id, trip_id)
+             JOIN sp USING (run_id, stop_id)
+           WHERE end_date >= 20190218 AND start_date < 20190225),
+         reg0 AS (SELECT j.*, days.d AS service_date
+           FROM joined j CROSS JOIN days
+           WHERE (CASE isodow(days.d) WHEN 1 THEN monday
+               WHEN 2 THEN tuesday WHEN 3 THEN wednesday
+               WHEN 4 THEN thursday WHEN 5 THEN friday
+               WHEN 6 THEN saturday ELSE sunday END)
+             AND CAST(strftime(days.d, '%Y%m%d') AS INT)
+               BETWEEN start_date AND end_date),
+         reg AS (SELECT * FROM reg0 r WHERE NOT EXISTS (
+           SELECT 1 FROM cd WHERE cd.exception_type = 2
+             AND cd.run_id = r.run_id AND cd.service_id = r.service_id
+             AND CAST(strptime(CAST(cd.dt AS VARCHAR), '%Y%m%d') AS DATE)
+               = r.service_date)),
+         addd AS (SELECT run_id, service_id,
+             CAST(strptime(CAST(dt AS VARCHAR), '%Y%m%d') AS DATE)
+               AS service_date
+           FROM cd WHERE exception_type = 1
+             AND dt >= 20190218 AND dt < 20190225),
+         added AS (SELECT tr.run_id, tr.service_id, tr.trip_id,
+             st.arrival_time, st.stop_id, sp.stop_name, sp.stop_lat,
+             sp.stop_lon, a.service_date
+           FROM tr JOIN st USING (run_id, trip_id)
+             JOIN sp USING (run_id, stop_id)
+             JOIN addd a USING (run_id, service_id)
+             LEFT JOIN cal USING (run_id, service_id)
+           WHERE NOT coalesce(cal.start_date IS NOT NULL
+             AND (CASE isodow(a.service_date) WHEN 1 THEN monday
+               WHEN 2 THEN tuesday WHEN 3 THEN wednesday
+               WHEN 4 THEN thursday WHEN 5 THEN friday
+               WHEN 6 THEN saturday ELSE sunday END)
+             AND CAST(strftime(a.service_date, '%Y%m%d') AS INT)
+               BETWEEN cal.start_date AND cal.end_date, false)),
+         unioned AS (SELECT run_id, service_id, trip_id, stop_id,
+             stop_name, arrival_time, stop_lat, stop_lon, service_date
+           FROM reg
+           UNION ALL SELECT run_id, service_id, trip_id, stop_id,
+             stop_name, arrival_time, stop_lat, stop_lon, service_date
+           FROM added)"""
 
   private val EmbLshSigCte =
     s"""$EmbLshPlSgCte,
@@ -4878,87 +5012,206 @@ object SparkEntry {
          SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_terms,
            CAST(sum(d_u) // count(*) AS BIGINT) AS delta_u
          FROM p GROUP BY 1, 2 ORDER BY s1, s2""",
+    "q_dominant_period" -> dominantPeriodOracle(30),
+    "q_holt_linear" ->
+      """WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         idx AS (SELECT day, cents,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+           FROM daily),
+         hw(i, day, cents, l, b, forecast, err) AS (
+           SELECT i, day, cents, cents * 1000000, CAST(0 AS BIGINT),
+             cents * 1000000, CAST(0 AS BIGINT)
+           FROM idx WHERE i = 1
+           UNION ALL
+           SELECT x.i, x.day, x.cents,
+             (x.cents * 1000000 + 3 * (h.l + h.b)) // 4,
+             ((x.cents * 1000000 + 3 * (h.l + h.b)) // 4 - h.l
+               + 7 * h.b) // 8,
+             h.l + h.b,
+             x.cents * 1000000 - (h.l + h.b)
+           FROM hw h JOIN idx x ON x.i = h.i + 1)
+         SELECT day, cents, CAST(l AS BIGINT) AS level_u,
+           CAST(b AS BIGINT) AS trend_u,
+           CAST(forecast AS BIGINT) AS forecast_u,
+           CAST(err AS BIGINT) AS err_u
+         FROM hw ORDER BY day""",
+    "q_t_closeness" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 0 WHEN c_acctbal < 5000 THEN 1
+             ELSE 2 END AS band
+           FROM customer),
+         g AS (SELECT band, CAST(count(*) AS BIGINT) AS g FROM b
+           GROUP BY band),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM b),
+         cl AS (SELECT c_nationkey, c_mktsegment, band,
+             CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2, 3),
+         keys AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM cl),
+         grid AS (SELECT k.c_nationkey, k.c_mktsegment, g.band, g.g,
+             CAST(coalesce(cl.c, 0) AS BIGINT) AS c, t.n_tot
+           FROM keys k CROSS JOIN g CROSS JOIN t
+             LEFT JOIN cl ON cl.c_nationkey = k.c_nationkey
+               AND cl.c_mktsegment = k.c_mktsegment AND cl.band = g.band),
+         w AS (SELECT *,
+             CAST(sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment)
+               AS BIGINT) AS n_class,
+             CAST(sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+               ORDER BY band) AS BIGINT) AS cum_c,
+             CAST(sum(g) OVER (PARTITION BY c_nationkey, c_mktsegment
+               ORDER BY band) AS BIGINT) AS cum_g
+           FROM grid),
+         a AS (SELECT c_nationkey, c_mktsegment,
+             max(n_class) AS class_size, max(n_tot) AS n_tot,
+             CAST(sum(abs(cum_c * n_tot - cum_g * n_class)) AS BIGINT)
+               AS gap_sum
+           FROM w GROUP BY 1, 2)
+         SELECT c_nationkey, c_mktsegment, class_size,
+           CAST(CAST(gap_sum AS HUGEINT) * 10000
+             // (class_size * n_tot) AS BIGINT) AS t_bp,
+           CAST(CAST(gap_sum AS HUGEINT) * 10000
+             // (class_size * n_tot) AS BIGINT) > 2000 AS t_risky
+         FROM a ORDER BY c_nationkey, c_mktsegment""",
+    "q_dedup_survivorship" ->
+      s"""WITH RECURSIVE $ccReachCtes,
+         canon AS (SELECT a AS doc_id, min(r) AS canon_id
+           FROM reach GROUP BY a),
+         q AS (SELECT doc_id,
+             CAST(round($qualityExpr * 10000) AS BIGINT) AS qu
+           FROM documents),
+         m AS (SELECT c.doc_id, qu,
+             CASE WHEN c.doc_id = c.canon_id THEN CAST(1 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS surv
+           FROM canon c JOIN q USING (doc_id)),
+         cells AS (SELECT qu, CAST(sum(surv) AS BIGINT) AS s1,
+             CAST(sum(1 - surv) AS BIGINT) AS s2
+           FROM m GROUP BY qu),
+         f AS (SELECT qu,
+             CAST(sum(s1) OVER (ORDER BY qu) AS BIGINT) AS f1,
+             CAST(sum(s2) OVER (ORDER BY qu) AS BIGINT) AS f2
+           FROM cells),
+         tt AS (SELECT CAST(sum(s1) AS BIGINT) AS n1,
+             CAST(sum(s2) AS BIGINT) AS n2,
+             CAST(sum(s1 * qu) AS BIGINT) AS sq1,
+             CAST(sum(s2 * qu) AS BIGINT) AS sq2
+           FROM cells)
+         SELECT n1 AS n_survivors, n2 AS n_victims,
+           CAST(CAST(max(abs(f1 * n2 - f2 * n1)) AS HUGEINT) * 10000
+             // (n1 * n2) AS BIGINT) AS ks_bp,
+           sq1 // n1 AS mean_qu_surv, sq2 // n2 AS mean_qu_vict
+         FROM f CROSS JOIN tt GROUP BY n1, n2, sq1, sq2""",
+    "q_doremi_step" ->
+      s"""WITH $surprisalPerDocCtes,
+         d AS (SELECT pd2.doc_id, xent_u, source
+           FROM pd2 JOIN documents USING (doc_id)),
+         per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(xent_u) AS BIGINT) AS sx
+           FROM d GROUP BY source),
+         t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot,
+             CAST(sum(sx) AS BIGINT) AS sx_tot FROM per),
+         e AS (SELECT source, n_docs, n_tot,
+             sx // n_docs AS mean_xent_u,
+             greatest(sx // n_docs - sx_tot // n_tot, 0) AS excess_u
+           FROM per CROSS JOIN t),
+         x AS (SELECT *, CAST(round(exp(CAST(excess_u AS DOUBLE) / 1e6)
+             * 1e6) AS BIGINT) AS exp_u FROM e),
+         u AS (SELECT *, n_docs * exp_u AS u_i FROM x)
+         SELECT source, n_docs,
+           CAST(n_docs * 10000 // n_tot AS BIGINT) AS base_share_bp,
+           CAST(mean_xent_u AS BIGINT) AS mean_xent_u,
+           CAST(excess_u AS BIGINT) AS excess_u, exp_u,
+           CAST(CAST(u_i AS HUGEINT) * 1000000
+             // (SELECT sum(u_i) FROM u) AS BIGINT) AS weight_ppm
+         FROM u ORDER BY source""",
+    "q_ngram_novelty" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+         sh AS (SELECT DISTINCT doc_id, sh FROM (
+           SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM docs WHERE len(toks) >= 3)),
+         f AS (SELECT sh, min(doc_id) AS fd FROM sh GROUP BY sh),
+         p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel
+           FROM sh JOIN f USING (sh) GROUP BY doc_id)
+         SELECT doc_id, n_shingles, n_novel,
+           CAST(n_novel * 10000 // n_shingles AS BIGINT) AS novelty_bp
+         FROM p ORDER BY doc_id""",
     "q_gtfs_arrivals" ->
-      """WITH cal(run_id, service_id, monday, tuesday, wednesday,
-             thursday, friday, saturday, sunday, start_date, end_date)
-           AS (VALUES
-             (1, 'WD', true, true, true, true, true, false, false,
-              20190201, 20190331),
-             (1, 'WE', false, false, false, false, false, true, true,
-              20190201, 20190331),
-             (1, 'EXP', true, true, true, true, true, true, true,
-              20190201, 20190218)),
-         cd(run_id, service_id, dt, exception_type) AS (VALUES
-             (1, 'WD', 20190220, 2), (1, 'WE', 20190220, 1),
-             (1, 'WD', 20190219, 1), (1, 'XTRA', 20190221, 1)),
-         tr(run_id, service_id, trip_id) AS (VALUES
-             (1, 'WD', 'T1'), (1, 'WE', 'T2'), (1, 'EXP', 'T3'),
-             (1, 'XTRA', 'T4')),
-         st(run_id, trip_id, arrival_time, stop_id) AS (VALUES
-             (1, 'T1', 30615, 'S1'), (1, 'T1', 90600, 'S2'),
-             (1, 'T2', 36000, 'S1'), (1, 'T3', 32400, 'S3'),
-             (1, 'T3', 34200, 'S1'), (1, 'T4', 39600, 'S1')),
-         sp(run_id, stop_id, stop_name, stop_lat, stop_lon) AS (VALUES
-             (1, 'S1', 'Alexanderplatz', CAST(52.52437 AS DOUBLE),
-              CAST(13.41053 AS DOUBLE)),
-             (1, 'S2', 'Potsdam Hbf', CAST(52.39886 AS DOUBLE),
-              CAST(13.06566 AS DOUBLE)),
-             (1, 'S3', 'Outer Rim', CAST(48.13743 AS DOUBLE),
-              CAST(11.57549 AS DOUBLE))),
-         days AS (SELECT CAST(unnest(generate_series(DATE '2019-02-18',
-             DATE '2019-02-24', INTERVAL 1 DAY)) AS DATE) AS d),
-         joined AS (SELECT cal.run_id, cal.service_id, monday, tuesday,
-             wednesday, thursday, friday, saturday, sunday, start_date,
-             end_date, tr.trip_id, st.arrival_time, st.stop_id,
-             sp.stop_name, sp.stop_lat, sp.stop_lon
-           FROM cal JOIN tr USING (run_id, service_id)
-             JOIN st USING (run_id, trip_id)
-             JOIN sp USING (run_id, stop_id)
-           WHERE end_date >= 20190218 AND start_date < 20190225),
-         reg0 AS (SELECT j.*, days.d AS service_date
-           FROM joined j CROSS JOIN days
-           WHERE (CASE isodow(days.d) WHEN 1 THEN monday
-               WHEN 2 THEN tuesday WHEN 3 THEN wednesday
-               WHEN 4 THEN thursday WHEN 5 THEN friday
-               WHEN 6 THEN saturday ELSE sunday END)
-             AND CAST(strftime(days.d, '%Y%m%d') AS INT)
-               BETWEEN start_date AND end_date),
-         reg AS (SELECT * FROM reg0 r WHERE NOT EXISTS (
-           SELECT 1 FROM cd WHERE cd.exception_type = 2
-             AND cd.run_id = r.run_id AND cd.service_id = r.service_id
-             AND CAST(strptime(CAST(cd.dt AS VARCHAR), '%Y%m%d') AS DATE)
-               = r.service_date)),
-         addd AS (SELECT run_id, service_id,
-             CAST(strptime(CAST(dt AS VARCHAR), '%Y%m%d') AS DATE)
-               AS service_date
-           FROM cd WHERE exception_type = 1
-             AND dt >= 20190218 AND dt < 20190225),
-         added AS (SELECT tr.run_id, tr.service_id, tr.trip_id,
-             st.arrival_time, st.stop_id, sp.stop_name, sp.stop_lat,
-             sp.stop_lon, a.service_date
-           FROM tr JOIN st USING (run_id, trip_id)
-             JOIN sp USING (run_id, stop_id)
-             JOIN addd a USING (run_id, service_id)
-             LEFT JOIN cal USING (run_id, service_id)
-           WHERE NOT coalesce(cal.start_date IS NOT NULL
-             AND (CASE isodow(a.service_date) WHEN 1 THEN monday
-               WHEN 2 THEN tuesday WHEN 3 THEN wednesday
-               WHEN 4 THEN thursday WHEN 5 THEN friday
-               WHEN 6 THEN saturday ELSE sunday END)
-             AND CAST(strftime(a.service_date, '%Y%m%d') AS INT)
-               BETWEEN cal.start_date AND cal.end_date, false)),
-         unioned AS (SELECT run_id, service_id, trip_id, stop_id,
-             stop_name, arrival_time, stop_lat, stop_lon, service_date
-           FROM reg
-           UNION ALL SELECT run_id, service_id, trip_id, stop_id,
-             stop_name, arrival_time, stop_lat, stop_lon, service_date
-           FROM added)
+      s"""WITH $gtfsArrivalCtes
          SELECT strftime(CAST(service_date AS TIMESTAMP)
              + arrival_time * INTERVAL 1 SECOND,
              '%Y-%m-%d %H:%M:%S.%f') || '0' AS event_time,
            stop_name, stop_lat, stop_lon, CAST(run_id AS BIGINT)
              AS run_id, service_id, trip_id, stop_id, service_date
          FROM unioned""",
+    "q_gtfs_frequencies" ->
+      s"""WITH $gtfsValuesCtes,
+         fr(run_id, trip_id, fs, fe, hw) AS (VALUES
+             (1, 'T2', 36000, 39600, 1200)),
+         fq AS (SELECT * FROM fr WHERE hw > 0 AND fe > fs),
+         fk AS (SELECT DISTINCT run_id, trip_id FROM fq),
+         base AS (SELECT run_id, trip_id,
+             min(departure_time) AS trip_base
+           FROM st JOIN fk USING (run_id, trip_id)
+           GROUP BY run_id, trip_id),
+         starts AS (SELECT run_id, trip_id,
+             unnest(generate_series(fs, fe - 1, hw)) AS tss FROM fq),
+         inst AS (SELECT st.run_id, st.trip_id, st.stop_id,
+             CAST(tss AS BIGINT) AS trip_start_secs,
+             CAST(tss + (st.arrival_time - trip_base) AS BIGINT)
+               AS arrival_time,
+             CAST(tss + (st.departure_time - trip_base) AS BIGINT)
+               AS departure_time
+           FROM st JOIN starts USING (run_id, trip_id)
+             JOIN base USING (run_id, trip_id)),
+         pass AS (SELECT st.run_id, st.trip_id, st.stop_id,
+             CAST(NULL AS BIGINT) AS trip_start_secs,
+             CAST(arrival_time AS BIGINT) AS arrival_time,
+             CAST(departure_time AS BIGINT) AS departure_time
+           FROM st WHERE NOT EXISTS (SELECT 1 FROM fk
+             WHERE fk.run_id = st.run_id AND fk.trip_id = st.trip_id))
+         SELECT CAST(run_id AS BIGINT) AS run_id, trip_id, stop_id,
+           trip_start_secs, arrival_time, departure_time
+         FROM (SELECT * FROM pass UNION ALL SELECT * FROM inst)""",
+    "q_gtfs_connections" ->
+      s"""WITH $gtfsArrivalCtes,
+         ev AS (SELECT run_id, trip_id, stop_id,
+             CAST(service_date AS TIMESTAMP)
+               + arrival_time * INTERVAL 1 SECOND AS ts
+           FROM unioned),
+         tx(run_id, from_stop_id, to_stop_id, transfer_type,
+             min_transfer_time) AS (VALUES
+             (1, 'S1', 'S2', 2, 300), (1, 'S2', 'S1', 0, NULL),
+             (1, 'S1', 'S3', 3, 0)),
+         edges AS (SELECT run_id, from_stop_id, to_stop_id,
+             CAST(CASE WHEN transfer_type = 2
+               THEN coalesce(min_transfer_time, 0) ELSE 0 END AS BIGINT)
+               AS min_xfer
+           FROM tx WHERE coalesce(transfer_type, 0) <> 3),
+         cand AS (SELECT a.run_id, a.trip_id AS from_trip,
+             a.stop_id AS from_stop_id, a.ts AS arr_ts,
+             b.trip_id AS to_trip, b.stop_id AS to_stop_id,
+             b.ts AS dep_ts, e.min_xfer
+           FROM ev a JOIN edges e ON e.run_id = a.run_id
+               AND e.from_stop_id = a.stop_id
+             JOIN ev b ON b.run_id = a.run_id
+               AND b.stop_id = e.to_stop_id
+           WHERE b.trip_id <> a.trip_id
+             AND epoch(b.ts) >= epoch(a.ts) + e.min_xfer
+             AND epoch(b.ts) <= epoch(a.ts) + 3600),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY run_id,
+             from_trip, from_stop_id, arr_ts, to_stop_id
+             ORDER BY dep_ts, to_trip) AS rn FROM cand)
+         SELECT CAST(run_id AS BIGINT) AS run_id, from_trip,
+           from_stop_id,
+           strftime(arr_ts, '%Y-%m-%d %H:%M:%S.%f') || '0' AS arr_time,
+           to_trip, to_stop_id,
+           strftime(dep_ts, '%Y-%m-%d %H:%M:%S.%f') || '0' AS dep_time,
+           CAST(epoch(dep_ts) - epoch(arr_ts) AS BIGINT) AS wait_secs
+         FROM rk WHERE rn = 1""",
     "q_heaps_law" ->
       s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
          lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len

@@ -54,7 +54,7 @@ object GtfsFixture {
   }
 
   /** arrival_time in seconds past midnight (may exceed 86400 — the
-    * 25:10:00 row exercises the day-roll).
+    * 25:10:00 row exercises the day-roll); departure = arrival + 60s.
     */
   def stopTimes(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -62,10 +62,39 @@ object GtfsFixture {
       (1L, "T1", 8L * 3600 + 30 * 60 + 15, "S1"),
       (1L, "T1", 25L * 3600 + 10 * 60, "S2"),
       (1L, "T2", 10L * 3600, "S1"),
+      (1L, "T2", 10L * 3600 + 10 * 60, "S2"),
       (1L, "T3", 9L * 3600, "S3"),
       (1L, "T3", 9L * 3600 + 30 * 60, "S1"),
+      // T4's S2 call makes the S1→S2 timed transfer FEASIBLE on the
+      // XTRA added date (T1 arr 08:30:15 + 300 s ≤ 09:00 ≤ + 1 h)
+      (1L, "T4", 9L * 3600, "S2"),
       (1L, "T4", 11L * 3600, "S1"),
     ).toDF("run_id", "trip_id", "arrival_time", "stop_id")
+      .selectExpr("run_id", "trip_id", "arrival_time", "stop_id",
+        "arrival_time + 60 AS departure_time")
+  }
+
+  /** Headway expansion fixture: T2 repeats 10:00–11:00 every 20 min
+    * (instances at 36000/37200/38400); every other trip passes through
+    * [[ArrivalsQuery.expandFrequencies]] untouched.
+    */
+  def frequencies(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((1L, "T2", "10:00:00", "11:00:00", 1200L))
+      .toDF("run_id", "trip_id", "start_time", "end_time", "headway_secs")
+  }
+
+  /** Transfer edges: S1→S2 timed (type 2, 300 s minimum), S2→S1 open
+    * (type 0 — no minimum), S1→S3 impossible (type 3 — excluded).
+    */
+  def transfers(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "S1", "S2", 2, Some(300)),
+      (1L, "S2", "S1", 0, None),
+      (1L, "S1", "S3", 3, Some(0)),
+    ).toDF("run_id", "from_stop_id", "to_stop_id", "transfer_type",
+      "min_transfer_time")
   }
 
   def stops(s: SparkSession): DataFrame = {
@@ -94,5 +123,38 @@ object GtfsFixture {
         col("stop_name"), col("stop_lat"), col("stop_lon"), col("run_id"),
         col("service_id"), col("trip_id"), col("stop_id"),
         col("service_date"))
+  }
+
+  /** Headway materialisation over the fixture — oracle twin of
+    * [[ArrivalsQuery.expandFrequencies]]: T2's three 20-minute
+    * instances with template-offset arithmetic, everything else
+    * passing through with a null trip_start_secs.
+    */
+  def frequenciesOracleQuery(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ArrivalsQuery.expandFrequencies(stopTimes(s), frequencies(s))
+      .select(col("run_id"), col("trip_id"), col("stop_id"),
+        col("trip_start_secs"), col("arrival_time"),
+        col("departure_time"))
+  }
+
+  /** Feasible transfer connections over the expanded fixture arrivals —
+    * oracle twin of [[ArrivalsQuery.feasibleConnections]]: per arrival
+    * at a transfer edge's from-stop, the FIRST other-trip event at its
+    * to-stop departing ≥ min_transfer_time and ≤ 1 h later.
+    */
+  def connectionsOracleQuery(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val arr = ArrivalsQuery.arrivalsWithExceptions(
+      calendar(s), calendarDates(s), trips(s), stopTimes(s), stops(s),
+      "2019-02-18", "2019-02-25")
+    ArrivalsQuery.feasibleConnections(arr, transfers(s))
+      .select(col("run_id"), col("from_trip"), col("from_stop_id"),
+        graft.functions.dates.gtfsLocalTimeString(col("arr_ts"))
+          .as("arr_time"),
+        col("to_trip"), col("to_stop_id"),
+        graft.functions.dates.gtfsLocalTimeString(col("dep_ts"))
+          .as("dep_time"),
+        col("wait_secs"))
   }
 }

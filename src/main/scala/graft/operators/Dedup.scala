@@ -1647,4 +1647,46 @@ object Dedup {
         $"chapman_est", $"est_missed", $"minhash_recall_ppm",
         $"simhash_recall_ppm")
   }
+
+  /** Survivorship-bias audit of min-id dedup: does keeping the
+    * EARLIEST copy of each near-dup cluster systematically shift the
+    * quality distribution of what survives vs what drops? The exact
+    * two-sample KS statistic between survivor and victim quality
+    * (integer ECDF cross-multiplication — the [[graft.operators.Events.ksDrift]]
+    * discipline, no per-point float division) plus both floor-mean
+    * qualities. A large KS here means the dedup POLICY, not the dedup
+    * itself, is reshaping the corpus — the signal that decides between
+    * min-id and [[dedupBest]]'s quality-argmax survivor rule. One
+    * groupBy over the clustered docs; the quality-cell rollup is
+    * 1e4-bounded, so the ECDF window is audit-sized at any corpus.
+    */
+  def dedupSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val m = dedupAssignments(s, dir)
+      .join(TextOps.qualityScores(s, dir)
+        .select($"doc_id", round($"quality" * 10000).cast("long").as("qu")),
+        Seq("doc_id"))
+      .select($"qu",
+        when($"doc_id" === $"canon_id", 1L).otherwise(0L).as("surv"))
+    val cells = m.groupBy($"qu")
+      .agg(sum($"surv").as("s1"), sum(lit(1L) - $"surv").as("s2"))
+      .localCheckpoint() // totals and the ECDF walk both read it
+    val cum = Window.orderBy($"qu")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.agg(sum($"s1").as("n1"), sum($"s2").as("n2"),
+      sum($"s1" * $"qu").as("sq1"), sum($"s2" * $"qu").as("sq2"))
+    cells
+      .select($"qu", sum($"s1").over(cum).as("f1"),
+        sum($"s2").over(cum).as("f2"))
+      .crossJoin(broadcast(tot))
+      .agg(max($"n1").as("n_survivors"), max($"n2").as("n_victims"),
+        max(abs($"f1" * $"n2" - $"f2" * $"n1")).as("ks_x"),
+        max(expr("sq1 div n1")).as("mean_qu_surv"),
+        max(expr("sq2 div n2")).as("mean_qu_vict"))
+      .select($"n_survivors", $"n_victims",
+        expr("CAST(CAST(ks_x AS DECIMAL(38,0)) * 10000" +
+          " div (n_survivors * n_victims) AS BIGINT)").as("ks_bp"),
+        $"mean_qu_surv", $"mean_qu_vict")
+  }
 }

@@ -2586,6 +2586,151 @@ object Relational {
     * class rollup is tiny (|nations|×|segments|) and the window runs
     * over it, not the rows.
     */
+  /** Dominant-period detector on daily revenue: exact integer
+    * autocorrelation over lags 1..maxLag of the n-scaled centered
+    * series (the [[acfLjungBox]] numerators, normalized to exact ppm
+    * rho BEFORE any comparison so every compared value fits int64),
+    * with the winning lag = argmax rho (smallest-lag tie-break via
+    * min(struct)). The seasonality PROBE that precedes any seasonal
+    * model choice: [[seasonalDecompose]] ASSUMES a 7-day period — this
+    * measures whether 7 actually dominates, as one distributed scan +
+    * a calendar-bounded lead-column rollup.
+    */
+  def dominantPeriod(s: SparkSession, dir: String,
+                     maxLag: Int = 30): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .localCheckpoint()
+    val st = daily.agg(count(lit(1)).as("n"), sum($"cents").as("s"))
+    val w = Window.orderBy($"day")
+    val y = daily.crossJoin(broadcast(st))
+      .select($"day", ($"n" * $"cents" - $"s").as("y"))
+    val leads = y.select(
+      Seq($"y".cast(dec).as("y0")) ++
+        (1 to maxLag).map(k => lead($"y", k).over(w).cast(dec).as(s"y$k")): _*)
+    val aggs = Seq(sum($"y0" * $"y0").as("g0")) ++
+      (1 to maxLag).map(k => sum($"y0" * col(s"y$k")).as(s"g$k"))
+    val one = leads.agg(aggs.head, aggs.tail: _*)
+    val stacked = one.select($"g0",
+      expr((1 to maxLag).map(k => s"$k, g$k")
+        .mkString(s"stack($maxLag, ", ", ", ") as (lag_k, gamma)")))
+      // exact ppm rho through the nonnegative-shift floor division —
+      // the only numbers that leave the wide-decimal stage
+      .withColumn("rho_u", expr(
+        "CAST((gamma * 1000000 + 1000000 * g0) div g0" +
+        " - 1000000 AS BIGINT)"))
+      .select($"lag_k".cast("long").as("lag_k"), $"rho_u")
+      .localCheckpoint() // rho table and the argmax both read it
+    val best = stacked
+      .agg(min(struct((-$"rho_u").as("neg"), $"lag_k".as("lg"))).as("m"))
+      .select($"m.lg".as("best_lag"))
+    stacked.crossJoin(broadcast(best))
+      .select($"lag_k", $"rho_u",
+        ($"lag_k" === $"best_lag").as("dominant"))
+      .orderBy($"lag_k")
+  }
+
+  /** Holt linear-trend smoothing of daily revenue (double exponential —
+    * the trend-aware upgrade of the EWMA monitor) with DYADIC-rational
+    * gains α=1/4, β=1/8 so the whole recursion is exact integer
+    * micro-cents under truncating division: l_t = (y_t·10⁶ + 3(l+b)) / 4,
+    * b_t = ((l_t − l) + 7b) div 8, plus the one-step-ahead forecast
+    * l+b and its signed error — the backtest column a capacity
+    * forecast is judged on. The recursion is inherently sequential;
+    * the day rollup is CALENDAR-BOUNDED at any corpus size, so the
+    * fold runs driver-side over the collected rollup (the
+    * [[vOptimalHistogram]] audit-bounded-state precedent) while the
+    * orders scan underneath distributes. The oracle states the same
+    * recursion as a recursive CTE — engine-exact by integer identity.
+    */
+  def holtLinear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // day rides as ISO string through the driver fold (date-object
+    // decode trips the java8-API seam; the string is unambiguous)
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .select($"day".cast("string").as("day"), $"cents")
+      .orderBy($"day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // plain / (truncation toward zero): the repo-wide integer-division
+    // convention — Spark div, DuckDB //, Java / and BigInt / all
+    // truncate identically, including on the negative trend swings
+    var l = daily.head._2 * 1000000L // l_0 = y_0 exactly
+    var b = 0L
+    val rows = daily.zipWithIndex.map { case ((day, cents), i) =>
+      val y = cents * 1000000L
+      val forecast = l + b
+      val err = if (i == 0) 0L else y - forecast
+      if (i > 0) {
+        val lPrev = l
+        l = (y + 3L * (l + b)) / 4L
+        b = ((l - lPrev) + 7L * b) / 8L
+      }
+      (day, cents, l, b, forecast, err)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1))
+      .toDF("day", "cents", "level_u", "trend_u", "forecast_u", "err_u")
+      .select(to_date($"day").as("day"), $"cents", $"level_u",
+        $"trend_u", $"forecast_u", $"err_u")
+      .orderBy($"day")
+  }
+
+  /** t-closeness audit (Li et al., ICDE'07) — the distributional
+    * sequel to [[kAnonymity]]'s k/l checks: a quasi-identifier class
+    * can be k-anonymous AND l-diverse yet still leak if its sensitive-
+    * attribute DISTRIBUTION differs sharply from the corpus's. t is
+    * the EMD between the class's account-band distribution and the
+    * global one over the ordered bands (debt < low < high): with
+    * ordered categories EMD = Σ|cumulative difference|, here in exact
+    * basis points via cross-multiplied integer cumulatives (no
+    * per-class float division). One row per class plus the flag
+    * against the conventional t = 0.2 bar; scale is one groupBy over
+    * the customer dim and a 3-band broadcast.
+    */
+  def tCloseness(s: SparkSession, dir: String,
+                 tBarBp: Long = 2000L): DataFrame = {
+    import s.implicits._
+    val banded = Tables(s, dir, "customer")
+      .select($"c_nationkey", $"c_mktsegment",
+        when($"c_acctbal" < 0, 0L).when($"c_acctbal" < 5000, 1L)
+          .otherwise(2L).as("band"))
+      .localCheckpoint() // class rollup and global rollup read it
+    val global = banded.groupBy($"band").agg(count(lit(1)).as("g"))
+      .crossJoin(broadcast(banded.agg(count(lit(1)).as("n_tot"))))
+    val classes = banded.groupBy($"c_nationkey", $"c_mktsegment", $"band")
+      .agg(count(lit(1)).as("c"))
+    // dense band grid per class (absent band = 0) so cumulatives align
+    val grid = classes.select($"c_nationkey", $"c_mktsegment").distinct()
+      .crossJoin(broadcast(global))
+      .join(classes, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .na.fill(0L, Seq("c"))
+    val byClass = Window.partitionBy($"c_nationkey", $"c_mktsegment")
+      .orderBy($"band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("n_class", sum($"c").over(
+        Window.partitionBy($"c_nationkey", $"c_mktsegment")))
+      .withColumn("cum_c", sum($"c").over(byClass))
+      .withColumn("cum_g", sum($"g").over(byClass))
+      // |F_class − F_global| cross-multiplied: exact, denominator-free;
+      // sum the gaps first, ONE floor division per class (wide decimal
+      // for the ×10⁴ product — it brushes 2⁶³ around sf1000)
+      .withColumn("gap", abs($"cum_c" * $"n_tot" - $"cum_g" * $"n_class"))
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(max($"n_class").as("class_size"), max($"n_tot").as("n_tot"),
+        sum($"gap").as("gap_sum"))
+      .withColumn("t_bp", expr(
+        "CAST(CAST(gap_sum AS DECIMAL(38,0)) * 10000" +
+        " div (class_size * n_tot) AS BIGINT)"))
+      .select($"c_nationkey", $"c_mktsegment", $"class_size", $"t_bp",
+        ($"t_bp" > tBarBp).as("t_risky"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
   def kAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import s.implicits._
     val all = Window.rowsBetween(Window.unboundedPreceding,

@@ -3715,4 +3715,76 @@ object TextOps {
             sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))), 4)
           .as("rho"))
   }
+
+  /** One DoReMi/Group-DRO mixture-reweighting step (Xie et al. 2023):
+    * per-source excess loss over the corpus reference — here the
+    * bigram-LM surprisal [[surprisalPerDoc]] already computes, the
+    * proxy-model loss of this pipeline — drives a multiplicative
+    * weight update w_i ∝ share_i · exp(excess_i), clipped at zero
+    * excess like the paper (sources BELOW the reference keep their
+    * base share rather than shrinking). Output is the decided sampling
+    * mixture in exact ppm: base doc-share, mean and excess loss in
+    * integer micro-nats, the exp factor pre-rounded to 1e6 fixed point
+    * in ONE shape both engines share (the [[linkageWeights]] rounded-
+    * transcendental discipline), and the normalized weight through a
+    * wide-decimal floor division. One groupBy over the corpus scan;
+    * the source table is dimension-sized at any scale.
+    */
+  def doremiStep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = surprisalPerDoc(s, dir)
+      .join(Tables(s, dir, "documents").select($"doc_id", $"source"),
+        Seq("doc_id"))
+    val per = d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"xent_u").as("sx"))
+      .localCheckpoint() // totals and the weight pass both read it
+    val tot = per.agg(sum($"n_docs").as("n_tot"), sum($"sx").as("sx_tot"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    per.crossJoin(broadcast(tot))
+      .withColumn("mean_xent_u", expr("sx div n_docs"))
+      .withColumn("corp_u", expr("sx_tot div n_tot"))
+      .withColumn("excess_u", greatest($"mean_xent_u" - $"corp_u", lit(0L)))
+      .withColumn("exp_u",
+        round(exp($"excess_u".cast("double") / 1e6) * 1e6).cast("long"))
+      .withColumn("u_i", $"n_docs" * $"exp_u")
+      .withColumn("weight_ppm", expr(
+        "CAST(CAST(u_i AS DECIMAL(38,0)) * 1000000" +
+        " div (sum(u_i) OVER ()) AS BIGINT)"))
+      .select($"source", $"n_docs",
+        expr("n_docs * 10000 div n_tot").as("base_share_bp"),
+        $"mean_xent_u", $"excess_u", $"exp_u", $"weight_ppm")
+      .orderBy($"source")
+  }
+
+  /** Per-document n-gram novelty — the MEMORIZATION-RISK screen: the
+    * fraction of a doc's distinct 3-token shingles whose global FIRST
+    * occurrence (min doc_id over the whole corpus) is this doc. A
+    * low-novelty doc is mostly restating earlier data (duplication the
+    * pairwise dedup may have missed — templates, quotes, spin); a
+    * curriculum or sampling pass can downweight it without any pair
+    * computation. Exact integers: distinct shingles per doc, one
+    * min-aggregate per shingle (shuffle on the shingle key — the same
+    * shape as the inverted index), one join back, one floor-division
+    * basis-point share. Docs with fewer than 3 tokens have no
+    * shingles and drop (stated in the oracle identically).
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docsFanned(s, dir)
+      .select($"doc_id",
+        explode(text.shinglesFromTokens(text.tokensLower($"text"), 3))
+          .as("sh"))
+      .distinct()
+      .localCheckpoint() // first-occurrence agg and per-doc join read it
+    val first = sh.groupBy($"sh").agg(min($"doc_id").as("fd"))
+    sh.join(first, Seq("sh"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"fd" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        expr("n_novel * 10000 div n_shingles").as("novelty_bp"))
+      .orderBy($"doc_id")
+  }
 }

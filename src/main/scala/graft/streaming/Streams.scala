@@ -83,6 +83,12 @@ object Streams {
     * side) without ever re-winnowing the corpus. Replayed batches
     * anti-join away on doc_id — a doc's fingerprints enter the store
     * exactly once no matter how often its batch replays.
+    *
+    * Each append adds a file-set per bucket, so a long-lived store
+    * fragments; run [[graft.warehouse.Layout.compactBucketedTable]] in
+    * a maintenance window to rewrite it to one file per bucket — the
+    * probe plan (bucketed, shuffle-free) and results are unchanged,
+    * LayoutSpec pins both.
     */
   def winnowIndexSink(docs: DataFrame, table: String, k: Int = 4,
                       w: Int = 4, nBuckets: Int = 8)

@@ -59,6 +59,39 @@ object Layout {
     spark.read.parquet(dstDir).inputFiles.length
   }
 
+  /** OPTIMIZE for a BUCKETED catalog table (the stored band / winnow /
+    * term indexes): streaming sinks append one file-set per micro-batch,
+    * so a long-lived index accumulates files per bucket while its probe
+    * plans stay correct but its scans slow down. This rewrite reads the
+    * table, repartitions on the bucket column with exactly `nBuckets`
+    * tasks (Spark's bucket id and `repartition` both use Murmur3 pmod,
+    * so each task holds exactly one bucket → ONE file per bucket), and
+    * writes with the SAME bucketBy spec — probe plans keep the
+    * shuffle-free bucketed join, only the file count changes.
+    *
+    * The swap is drop-and-rename through a staging table (`_compacting`
+    * suffix): not concurrent-reader-safe — run it in the maintenance
+    * window between streaming batches, like every OPTIMIZE. Returns
+    * (files before, files after).
+    */
+  def compactBucketedTable(spark: SparkSession, table: String,
+                           nBuckets: Int, bucketCol: String): (Int, Int) = {
+    val before = spark.table(table).inputFiles.length
+    val tmp = table + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.table(table)
+      .localCheckpoint() // strip the scan's partitioning claim so the
+                         // repartition below survives write planning
+      .repartition(nBuckets,
+        org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    (before, spark.table(table).inputFiles.length)
+  }
+
   /** Column expression for the Morton interleave of already-normalized
     * dimensions (each in [0, 2^16) — see
     * [[graft.functions.expressions.ZOrderKey]]).

@@ -758,4 +758,30 @@ class DedupSpec extends SparkSpec {
     // the fixture corpus must actually exercise the overlap
     assert(m > 0 && m < n1 && m < n2)
   }
+
+  test("dedupSurvivorship: the exact KS between survivor and victim " +
+       "quality recounts from assignments + scores") {
+    val assign = Dedup.dedupAssignments(spark, sf)
+      .as[(Long, Long)].collect()
+    val qu = TextOps.qualityScores(spark, sf)
+      .select($"doc_id", round($"quality" * 10000).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val surv = assign.filter { case (d, c) => d == c }.map(t => qu(t._1))
+    val vict = assign.filter { case (d, c) => d != c }.map(t => qu(t._1))
+    val n1 = BigInt(surv.length); val n2 = BigInt(vict.length)
+    val cuts = (surv ++ vict).distinct.sorted
+    val ksX = cuts.map { q =>
+      (BigInt(surv.count(_ <= q)) * n2 - BigInt(vict.count(_ <= q)) * n1).abs
+    }.max
+    val r = Dedup.dedupSurvivorship(spark, sf).collect().head
+    assert(r.getAs[Long]("n_survivors") === surv.length.toLong)
+    assert(r.getAs[Long]("n_victims") === vict.length.toLong)
+    assert(r.getAs[Long]("ks_bp") === (ksX * 10000 / (n1 * n2)).toLong)
+    assert(r.getAs[Long]("mean_qu_surv") ===
+      (surv.map(BigInt(_)).sum / n1).toLong)
+    assert(r.getAs[Long]("mean_qu_vict") ===
+      (vict.map(BigInt(_)).sum / n2).toLong)
+    // both populations must be non-trivial or the audit is vacuous
+    assert(surv.length > 1 && vict.length > 1)
+  }
 }

@@ -1495,4 +1495,85 @@ class RelationalSpec extends SparkSpec {
     // inequality is nonnegative and between-component is a lower part
     assert(rows.head.getAs[Long]("theil_u") >= 0L)
   }
+
+  test("dominantPeriod: integer rho recounts from the centered dailies; " +
+       "the argmax flag marks exactly one lag") {
+    val daily = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .select($"day".cast("string"), $"cents")
+      .as[(String, Long)].collect().sortBy(_._1)
+    val n = BigInt(daily.length)
+    val s0 = daily.map(d => BigInt(d._2)).sum
+    val y = daily.map(d => n * d._2 - s0)
+    val g0 = y.map(v => v * v).sum
+    val expected = (1 to 30).map { k =>
+      val gk = (0 until y.length - k).map(i => y(i) * y(i + k)).sum
+      k.toLong -> ((gk * 1000000 + 1000000 * g0) / g0 - 1000000).toLong
+    }
+    val best = expected.minBy { case (k, r) => (-r, k) }._1
+    val rows = Relational.dominantPeriod(spark, sf).collect()
+    assert(rows.length === 30)
+    rows.zip(expected).foreach { case (r, (k, rho)) =>
+      assert(r.getAs[Long]("lag_k") === k)
+      assert(r.getAs[Long]("rho_u") === rho, s"rho at lag $k")
+      assert(r.getAs[Boolean]("dominant") === (k == best))
+    }
+    assert(rows.count(_.getAs[Boolean]("dominant")) === 1)
+  }
+
+  test("holtLinear: the dyadic-gain recursion recounts sequentially; " +
+       "day-1 error is zero and forecasts lag the series") {
+    val daily = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .select($"day".cast("string"), $"cents")
+      .as[(String, Long)].collect().sortBy(_._1)
+    var l = daily.head._2 * 1000000L; var b = 0L
+    val expected = daily.zipWithIndex.map { case ((day, cents), i) =>
+      val yv = cents * 1000000L
+      val f = l + b
+      val e = if (i == 0) 0L else yv - f
+      if (i > 0) { val lp = l; l = (yv + 3L * (l + b)) / 4L
+        b = ((l - lp) + 7L * b) / 8L }
+      (day, cents, l, b, f, e)
+    }
+    val rows = Relational.holtLinear(spark, sf).collect()
+    assert(rows.length === daily.length)
+    rows.zip(expected).foreach { case (r, (day, cents, lv, tv, f, e)) =>
+      assert(r.getAs[java.sql.Date]("day").toString === day)
+      assert(r.getAs[Long]("cents") === cents)
+      assert(r.getAs[Long]("level_u") === lv, s"level at $day")
+      assert(r.getAs[Long]("trend_u") === tv, s"trend at $day")
+      assert(r.getAs[Long]("forecast_u") === f)
+      assert(r.getAs[Long]("err_u") === e)
+    }
+    assert(rows.head.getAs[Long]("err_u") === 0L)
+  }
+
+  test("tCloseness: per-class EMD recounts from the band histograms; " +
+       "a class distributed like the corpus scores ~0") {
+    val cust = Tables(spark, sf, "customer")
+      .select($"c_nationkey", $"c_mktsegment", $"c_acctbal")
+      .collect().map { r =>
+        val band = if (r.getDouble(2) < 0) 0 else if (r.getDouble(2) < 5000) 1 else 2
+        ((r.getInt(0), r.getString(1)), band)
+      }
+    val nTot = BigInt(cust.length)
+    val globalCum = (0 to 2).map(b => BigInt(cust.count(_._2 <= b)))
+    val rows = Relational.tCloseness(spark, sf).collect()
+    rows.foreach { r =>
+      val key = (r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment"))
+      val mine = cust.filter(_._1 == key).map(_._2)
+      val nc = BigInt(mine.length)
+      val gaps = (0 to 2).map(b =>
+        (BigInt(mine.count(_ <= b)) * nTot - globalCum(b) * nc).abs).sum
+      assert(r.getAs[Long]("class_size") === mine.length.toLong)
+      assert(r.getAs[Long]("t_bp") === (gaps * 10000 / (nc * nTot)).toLong,
+        s"t at $key")
+      assert(r.getAs[Boolean]("t_risky") ===
+        (r.getAs[Long]("t_bp") > 2000L))
+    }
+    assert(rows.map(_.getAs[Long]("class_size")).sum === cust.length.toLong)
+  }
 }

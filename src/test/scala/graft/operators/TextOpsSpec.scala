@@ -2184,4 +2184,66 @@ class TextOpsSpec extends SparkSpec {
     val un = real.filter(!_.getAs[Boolean]("capped")).map(_.getAs[Long]("alloc"))
     if (un.length > 1) assert(un.max - un.min <= 1)
   }
+
+  test("doremiStep: the mixture is a proper ppm distribution, the exp " +
+       "factor recounts from the excess, and excess is clipped at a " +
+       "single consistent corpus reference") {
+    val rows = TextOps.doremiStep(spark, sf).collect()
+    assert(rows.length > 1)
+    rows.foreach { r =>
+      val excess = r.getAs[Long]("excess_u")
+      assert(excess >= 0L)
+      assert(r.getAs[Long]("exp_u") ===
+        math.round(math.exp(excess.toDouble / 1e6) * 1e6))
+    }
+    // sources with positive excess reveal the (floored) corpus mean:
+    // mean - excess must agree across all of them
+    val refs = rows.filter(_.getAs[Long]("excess_u") > 0L)
+      .map(r => r.getAs[Long]("mean_xent_u") - r.getAs[Long]("excess_u"))
+    assert(refs.distinct.length <= 1, refs.mkString(","))
+    // weight normalization recounts from (n_docs, exp_u)
+    val us = rows.map(r =>
+      BigInt(r.getAs[Long]("n_docs")) * r.getAs[Long]("exp_u"))
+    val tot = us.sum
+    rows.zip(us).foreach { case (r, u) =>
+      assert(r.getAs[Long]("weight_ppm") === (u * 1000000 / tot).toLong)
+    }
+    // the ppm mixture sums to 1e6 up to one floor unit per source
+    val wsum = rows.map(_.getAs[Long]("weight_ppm")).sum
+    assert(wsum <= 1000000L && wsum > 1000000L - rows.length)
+    // the update genuinely reweights: some source moves off its base
+    assert(rows.exists(r =>
+      r.getAs[Long]("weight_ppm") / 100 != r.getAs[Long]("base_share_bp")))
+  }
+
+  test("ngramNovelty: per-doc novelty recounts from a sequential " +
+       "first-occurrence sweep; the earliest doc is fully novel") {
+    val docs = Tables(spark, sf, "documents")
+      .select($"doc_id", graft.functions.text.tokensLower($"text"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    val firstSeen = scala.collection.mutable.Map[String, Long]()
+    val expected = docs.flatMap { case (id, toks) =>
+      if (toks.length < 3) None
+      else {
+        val sh = (0 to toks.length - 3)
+          .map(i => toks.slice(i, i + 3).mkString(" ")).distinct
+        sh.foreach(g => if (!firstSeen.contains(g)) firstSeen(g) = id)
+        Some(id -> sh)
+      }
+    }.toMap
+    val rows = TextOps.ngramNovelty(spark, sf).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val sh = expected(id)
+      val novel = sh.count(g => firstSeen(g) == id).toLong
+      assert(r.getAs[Long]("n_shingles") === sh.length.toLong)
+      assert(r.getAs[Long]("n_novel") === novel, s"doc $id")
+      assert(r.getAs[Long]("novelty_bp") === novel * 10000 / sh.length)
+    }
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("novelty_bp") === 10000L)
+    // repetition exists in the fixture, so novelty must not be constant
+    assert(rows.map(_.getAs[Long]("novelty_bp")).distinct.length > 1)
+  }
 }

@@ -456,11 +456,9 @@ class StreamingSpec extends SparkSpec {
         r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
     val lastBatch = batchRows.last
     assert(rows(0L)._1 === batchRows.length.toLong)
-    assert(BigInt(rows(0L)._2) === BigInt(lastBatch
-      .getAs[java.math.BigDecimal]("ph_hi").toBigInteger),
+    assert(rows(0L)._2 === lastBatch.getAs[Long]("ph_hi"),
       "stream ph_hi != batch ph_hi on the same days")
-    assert(BigInt(rows(0L)._3) === BigInt(lastBatch
-      .getAs[java.math.BigDecimal]("ph_lo").toBigInteger))
+    assert(rows(0L)._3 === lastBatch.getAs[Long]("ph_lo"))
     assert(rows(0L)._4 === lastBatch.getAs[Long]("mbar_u"))
     assert(rows(0L)._5 === batchRows.count(r =>
       r.getAs[Boolean]("alarm_hi") || r.getAs[Boolean]("alarm_lo")).toLong)

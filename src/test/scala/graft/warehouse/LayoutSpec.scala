@@ -1,6 +1,7 @@
 package graft.warehouse
 
 import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 class LayoutSpec extends SparkSpec {
@@ -20,6 +21,88 @@ class LayoutSpec extends SparkSpec {
     val a = spark.read.parquet(src).orderBy($"doc_id").collect()
     val b = spark.read.parquet(dst).orderBy($"doc_id").collect()
     assert(a.toSeq === b.toSeq)
+  }
+
+  test("compactBucketedTable merges streaming appends into one file per " +
+       "bucket; probe plan stays shuffle-free on the index side and " +
+       "results are unchanged") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val table = "winnow_idx_compact_test"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compacting")
+    val docs = Tables(spark, sf, "documents").select($"doc_id", $"text")
+    // initial build + three appends — exactly the file pattern
+    // Streams.winnowIndexSink leaves behind after three micro-batches
+    graft.operators.TextOps.writeWinnowIndexFrom(
+      docs.filter($"doc_id" % 4 === 0), table)
+    (1 to 3).foreach { i =>
+      graft.operators.TextOps
+        .winnowSelectedFrom(docs.filter($"doc_id" % 4 === i), 4, 4)
+        .select($"doc_id", $"h").distinct()
+        .write.mode("append").bucketBy(8, "h").sortBy("h")
+        .saveAsTable(table)
+    }
+    def probe(): DataFrame = {
+      val q = graft.operators.TextOps
+        .winnowSelectedFrom(docs.filter($"doc_id" < 20), 4, 4)
+        .select($"doc_id".as("new_doc"), $"h").distinct()
+      q.join(spark.table(table).select($"doc_id".as("index_doc"), $"h"),
+          Seq("h"))
+        .groupBy($"new_doc", $"index_doc")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_shared"))
+        .orderBy($"new_doc", $"index_doc")
+    }
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    // no shuffle may sit between the index scan and the probe join (the
+    // bucketed scan carries the join partitioning); batch-side and
+    // downstream shuffles are fine
+    def indexSideShuffles(df: DataFrame): Int = {
+      df.collect()
+      def scansIndex(p: SparkPlan): Boolean = walk(p).exists {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains(table))
+        case _ => false
+      }
+      def isJoin(p: SparkPlan): Boolean =
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]
+      val probeChild = walk(df.queryExecution.executedPlan)
+        .filter(isJoin)
+        .flatMap(_.children.find(c =>
+          scansIndex(c) && !walk(c).drop(1).exists(isJoin)))
+        .headOption
+      assert(probeChild.isDefined,
+        df.queryExecution.executedPlan.toString.take(3000))
+      walk(probeChild.get).count(_.isInstanceOf[ShuffleExchangeExec])
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val before = probe()
+      val beforeRows = before.collect().toSeq
+      assert(indexSideShuffles(before) === 0)
+      val fragFiles = spark.table(table).inputFiles.length
+      assert(fragFiles > 8, s"appends should fragment: $fragFiles files")
+      val (b, a) = Layout.compactBucketedTable(spark, table, 8, "h")
+      assert(b === fragFiles && a === 8,
+        s"expected 8 post-compaction files, got $a:\n" +
+          spark.table(table).inputFiles.mkString("\n"))
+      val after = probe()
+      assert(after.collect().toSeq === beforeRows,
+        "compaction changed probe results")
+      assert(indexSideShuffles(after) === 0,
+        "compaction broke the bucketed (shuffle-free) probe plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compacting")
+    }
   }
 
   test("clustered compaction yields disjoint per-file key ranges") {
