@@ -168,6 +168,9 @@ object SparkEntry {
     "q_mann_whitney" -> Events.mannWhitney,
     "q_gini_sources" -> TextOps.giniSources,
     "q_good_turing" -> TextOps.goodTuringMass,
+    "q_markov_stationary" ->
+      ((s, dir) => Events.markovStationary(s, dir)),
+    "q_cusum_arl" -> ((s, dir) => Relational.cusumArl(s, dir)),
     "q_dominant_period" -> ((s, dir) => Relational.dominantPeriod(s, dir)),
     "q_holt_linear" -> Relational.holtLinear,
     "q_t_closeness" -> ((s, dir) => Relational.tCloseness(s, dir)),
@@ -769,6 +772,42 @@ object SparkEntry {
        sg AS (SELECT vec_id, j // 4 AS band,
            sum(CASE WHEN list_dot_product(v, p) > 0 THEN (1 << (j % 4)) ELSE 0 END) AS sig
          FROM e, pl GROUP BY vec_id, j // 4)"""
+
+  /** Stationary-distribution oracle: the exact integer power rounds of
+    * Events.markovStationary unrolled as generated CTEs.
+    */
+  private def markovStationaryOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT m.to_type AS t,
+           CAST(sum(r.pi * m.p_ppm) // 1000000 AS BIGINT) AS pi
+         FROM r${i - 1} r JOIN m ON m.from_type = r.t GROUP BY m.to_type)"""
+    }.mkString(",\n         ")
+    s"""WITH pr AS (SELECT user_id, event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS to_type
+         FROM events),
+       c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       states AS (SELECT DISTINCT from_type AS t FROM c),
+       cl AS (SELECT c.* FROM c JOIN states s ON s.t = c.to_type),
+       ot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+         FROM cl GROUP BY 1),
+       m AS (SELECT cl.from_type, cl.to_type,
+           CAST(n * 1000000 // tot AS BIGINT) AS p_ppm
+         FROM cl JOIN ot USING (from_type)),
+       kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+       r0 AS (SELECT t, 1000000 // k AS pi FROM states CROSS JOIN kk),
+       $rounds,
+       emp AS (SELECT from_type AS t, CAST(sum(n) AS BIGINT) AS n_out
+         FROM c GROUP BY 1),
+       g AS (SELECT CAST(sum(n_out) AS BIGINT) AS grand FROM emp)
+       SELECT s.t AS event_type, e.n_out,
+         CAST(e.n_out * 1000000 // grand AS BIGINT) AS emp_share_ppm,
+         CAST(coalesce(r.pi, 0) AS BIGINT) AS pi_ppm
+       FROM states s JOIN emp e ON e.t = s.t CROSS JOIN g
+         LEFT JOIN r$iters r ON r.t = s.t
+       ORDER BY event_type"""
+  }
 
   /** Integer-autocorrelation dominant-period oracle: lead columns and
     * exact ppm rho generated from the same maxLag as
@@ -5012,6 +5051,37 @@ object SparkEntry {
          SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_terms,
            CAST(sum(d_u) // count(*) AS BIGINT) AS delta_u
          FROM p GROUP BY 1, 2 ORDER BY s1, s2""",
+    "q_markov_stationary" -> markovStationaryOracle(20),
+    "q_cusum_arl" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         dsg AS (SELECT mu, mu // 20 AS slack, mu // 4 AS h FROM
+           (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS mu
+            FROM daily)),
+         ps AS (SELECT unnest(generate_series(0, 64)) AS p),
+         px AS (SELECT p, day, cents, mu, slack, h,
+             CASE WHEN p = 0 THEN CAST(day AS VARCHAR)
+               ELSE md5(concat('arl:', CAST(p AS VARCHAR), ':',
+                 CAST(day AS VARCHAR))) END AS ok
+           FROM daily CROSS JOIN ps CROSS JOIN dsg),
+         wk AS (SELECT p, h,
+             CAST(row_number() OVER wp AS BIGINT) AS t,
+             CAST(sum(cents - mu - slack) OVER wc AS BIGINT) AS p_hi,
+             CAST(sum(cents - mu + slack) OVER wc AS BIGINT) AS p_lo
+           FROM px WINDOW wp AS (PARTITION BY p ORDER BY ok),
+             wc AS (PARTITION BY p ORDER BY ok ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW)),
+         s2 AS (SELECT p, t, h,
+             p_hi - least(min(p_hi) OVER w2, 0) AS s_hi,
+             greatest(max(p_lo) OVER w2, 0) - p_lo AS s_lo
+           FROM wk WINDOW w2 AS (PARTITION BY p ORDER BY t ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT CAST(p AS BIGINT) AS p,
+           CAST(count(*) AS BIGINT) AS n_days,
+           min(CASE WHEN s_hi >= h THEN t END) AS first_hi_t,
+           min(CASE WHEN s_lo >= h THEN t END) AS first_lo_t
+         FROM s2 GROUP BY p ORDER BY p""",
     "q_dominant_period" -> dominantPeriodOracle(30),
     "q_holt_linear" ->
       """WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) AS day,

@@ -272,6 +272,56 @@ object Events {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** Stationary distribution of the [[typeTransitions]] Markov chain —
+    * where the event process SPENDS ITS TIME in the long run, the
+    * capacity-planning number the raw transition matrix only implies.
+    * States are the types observed as a transition SOURCE; transitions
+    * into anything else are dropped so the chain is closed (both
+    * engines state the same restriction). Arithmetic is exact end to
+    * end: row probabilities are ppm floors of integer counts, π starts
+    * uniform (10⁶ div k), and each of the `iters` power rounds is
+    * π'_j = (Σᵢ πᵢ·p_ppm(i,j)) div 10⁶ — one floor AFTER the sum, so
+    * the whole trajectory is an integer sequence both engines replay
+    * bit-for-bit (the oracle unrolls the rounds as generated CTEs).
+    * The matrix is |types|²-bounded (audit-sized): the fold runs
+    * driver-side while the event scan underneath distributes. The
+    * empirical source share ships alongside — π far from it means the
+    * chain has not mixed or the process is far from stationary.
+    */
+  def markovStationary(s: SparkSession, dir: String,
+                       iters: Int = 20): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = Tables(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = counts.map(_._1).distinct.sorted
+    val closed = counts.filter(c => states.contains(c._2))
+    val outTot = closed.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val pPpm = closed.map { case (f, t, n) =>
+      (f, t) -> n * 1000000L / outTot(f)
+    }.toMap
+    val k = states.length.toLong
+    var pi = states.map(_ -> 1000000L / k).toMap
+    for (_ <- 1 to iters) {
+      pi = states.map { j =>
+        j -> states.map(i =>
+          pi(i) * pPpm.getOrElse((i, j), 0L)).sum / 1000000L
+      }.toMap
+    }
+    val fromTotAll = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val grand = fromTotAll.values.sum
+    val rows = states.map(t =>
+      (t, fromTotAll(t), fromTotAll(t) * 1000000L / grand, pi(t)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1))
+      .toDF("event_type", "n_out", "emp_share_ppm", "pi_ppm")
+      .orderBy($"event_type")
+  }
+
   /** Distinct cardinalities: exact countDistinct per type (the HLL
     * approx_count_distinct variant lives in the same plan shape; exact is
     * what an oracle can check).

@@ -1800,6 +1800,60 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** CUSUM average-run-length calibration — the alarm threshold
+    * audited as data instead of trusted: under the no-shift null
+    * (daily revenues in md5-seeded random order, the exact same
+    * multiset), how long does [[cusumShift]]'s frozen (μ, slack, h)
+    * design run before a FALSE alarm? One row per seeded permutation
+    * with the first hi/lo alarm day index (null = never fired across
+    * the whole series — the ideal), permutation 0 being the REAL
+    * chronological order for comparison. An operating threshold whose
+    * null ARL is short is a pager that cries wolf; this makes that a
+    * checked number. Fully integer (the permuted walk reuses the exact
+    * CUSUM recurrences; no distribution functions), B×calendar-bounded
+    * frame with per-permutation windows — parallel across
+    * permutations at any scale.
+    */
+  def cusumArl(s: SparkSession, dir: String, b: Int = 64): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val design = daily
+      .agg(sum($"cents").as("scents"), count(lit(1)).as("nd"))
+      .select(expr("scents div nd").as("mu"))
+      .select($"mu", expr("mu div 20").as("slack"),
+        expr("mu div 4").as("h"))
+    val perms = daily.crossJoin(broadcast(design))
+      .withColumn("p", explode(sequence(lit(0), lit(b))))
+      // p = 0 keeps chronology; p ≥ 1 orders by a seeded md5 of the day
+      .withColumn("ok", when($"p" === 0, $"day".cast("string"))
+        .otherwise(md5(concat(lit("arl:"), $"p".cast("string"), lit(":"),
+          $"day".cast("string")))))
+    val byP = Window.partitionBy($"p").orderBy($"ok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perms
+      .withColumn("t", row_number().over(
+        Window.partitionBy($"p").orderBy($"ok")).cast("long"))
+      .withColumn("d_hi", $"cents" - $"mu" - $"slack")
+      .withColumn("d_lo", $"cents" - $"mu" + $"slack")
+      .withColumn("p_hi", sum($"d_hi").over(byP))
+      .withColumn("p_lo", sum($"d_lo").over(byP))
+      .withColumn("s_hi",
+        $"p_hi" - least(min($"p_hi").over(byP), lit(0L)))
+      .withColumn("s_lo",
+        greatest(max($"p_lo").over(byP), lit(0L)) - $"p_lo")
+      .groupBy($"p")
+      .agg(min(when($"s_hi" >= $"h", $"t")).as("first_hi_t"),
+        min(when($"s_lo" >= $"h", $"t")).as("first_lo_t"),
+        count(lit(1)).as("n_days"))
+      .select($"p".cast("long").as("p"), $"n_days", $"first_hi_t",
+        $"first_lo_t")
+      .orderBy($"p")
+  }
+
   /** Theil inequality index of customer revenue, decomposed between and
     * within nations: T = Σ(xᵢ/X)ln(xᵢ·n/X), the entropy-based
     * concentration measure whose selling point over Gini is EXACT

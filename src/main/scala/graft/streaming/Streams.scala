@@ -90,6 +90,97 @@ object Streams {
     * probe plan (bucketed, shuffle-free) and results are unchanged,
     * LayoutSpec pins both.
     */
+  /** Streaming Holt linear-trend monitor — the stateful twin of
+    * [[graft.operators.Relational.holtLinear]]: the complete-mode daily
+    * rollup is re-walked per trigger with the batch operator's EXACT
+    * dyadic-gain integer recursion (α=1/4, β=1/8, truncating division),
+    * so the stream's level/trend/one-step forecast is bit-identical to
+    * a batch replay over the same days — the trend-aware upgrade of
+    * the EWMA sink, feeding the forecast a capacity decision acts on.
+    * Driver cost is calendar-bounded (one row per day ever seen).
+    */
+  def holtSink(orders: DataFrame, targetDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val daily = orders
+      .select(col("day").cast("date").as("day"),
+        round(col("amount") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+    daily.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val days = batch.collect()
+          .map(r => (r.getDate(0).toString, r.getLong(1))).sortBy(_._1)
+        var l = days.head._2 * 1000000L; var b = 0L
+        var lastErr = 0L
+        for (i <- days.indices.drop(1)) {
+          val y = days(i)._2 * 1000000L
+          lastErr = y - (l + b)
+          val lp = l
+          l = (y + 3L * (l + b)) / 4L
+          b = ((l - lp) + 7L * b) / 8L
+        }
+        Seq((batchId, days.length.toLong, l, b, l + b, lastErr))
+          .toDF("batch_id", "n_days", "level_u", "trend_u",
+            "forecast_next_u", "last_err_u")
+          .write.mode("append").parquet(targetDir)
+        ()
+      }
+  }
+
+  /** Streaming n-gram novelty gate + first-occurrence index — the
+    * ingest twin of [[graft.operators.TextOps.ngramNovelty]]: each
+    * micro-batch's docs are scored against the STORED shingle set
+    * (everything indexed so far) plus within-batch min-doc_id
+    * first-occurrence, so when batches arrive in doc_id order the
+    * emitted scores EQUAL the batch operator's over the union — pinned
+    * by spec. Novel shingles append to the h-bucketed store (probes
+    * never shuffle the index side, the winnow-store discipline) and a
+    * doc manifest makes replays no-ops. The screen a crawler runs at
+    * the door: low-novelty batches are restating data the corpus
+    * already has.
+    */
+  def noveltyIndexSink(docs: DataFrame, table: String, targetDir: String,
+                       nBuckets: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val manifest = table + "_docs"
+      val sel = batch
+        .select(col("doc_id"),
+          explode(graft.functions.text.shinglesFromTokens(
+            graft.functions.text.tokensLower(col("text")), 3)).as("sh"))
+        .distinct()
+      val fresh = (if (spark.catalog.tableExists(manifest))
+          sel.join(spark.table(manifest), Seq("doc_id"), "left_anti")
+        else sel).localCheckpoint() // scoring + index append both read it
+      if (!fresh.isEmpty) {
+        val firstInBatch = fresh.groupBy(col("sh"))
+          .agg(min(col("doc_id")).as("bd"))
+        val novelSh = (if (spark.catalog.tableExists(table))
+            firstInBatch.join(spark.table(table), Seq("sh"), "left_anti")
+          else firstInBatch).localCheckpoint()
+        fresh
+          .join(novelSh, Seq("sh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("bd") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            expr("n_novel * 10000 div n_shingles").as("novelty_bp"))
+          .write.mode("append").parquet(targetDir)
+        val storeExists = spark.catalog.tableExists(table)
+        novelSh.select(col("sh"))
+          .write.mode(if (storeExists) "append" else "overwrite")
+          .bucketBy(nBuckets, "sh").sortBy("sh").saveAsTable(table)
+        fresh.select(col("doc_id")).distinct()
+          .write.mode(if (spark.catalog.tableExists(manifest)) "append"
+            else "overwrite")
+          .saveAsTable(manifest)
+      }
+      ()
+    }
+
   def winnowIndexSink(docs: DataFrame, table: String, k: Int = 4,
                       w: Int = 4, nBuckets: Int = 8)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

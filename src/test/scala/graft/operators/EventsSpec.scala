@@ -797,4 +797,41 @@ class EventsSpec extends SparkSpec {
       assert(r.getAs[Long]("attr_cents") === (cbp / 10000).toLong)
     }
   }
+  test("markovStationary: the exact power rounds recount sequentially " +
+       "and pi stays a sub-distribution in ppm") {
+    val pairs = Tables(spark, sf, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts"), $"event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).values.flatMap { evs =>
+        val o = evs.sortBy(e => (e._3, e._4))
+        o.zip(o.drop(1)).map { case (a, b) => (a._2, b._2) }
+      }.toSeq
+    val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val states = counts.keys.map(_._1).toSeq.distinct.sorted
+    val closed = counts.filter { case ((_, t), _) => states.contains(t) }
+    val outTot = closed.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val p = closed.map { case ((f, t), n) => (f, t) -> n * 1000000L / outTot(f) }
+    var pi = states.map(_ -> 1000000L / states.length).toMap
+    for (_ <- 1 to 20)
+      pi = states.map(j => j -> states.map(i =>
+        pi(i) * p.getOrElse((i, j), 0L)).sum / 1000000L).toMap
+    val fromTot = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val grand = fromTot.values.sum
+    val rows = Events.markovStationary(spark, sf).collect()
+    assert(rows.length === states.length)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_out") === fromTot(t))
+      assert(r.getAs[Long]("emp_share_ppm") === fromTot(t) * 1000000L / grand)
+      assert(r.getAs[Long]("pi_ppm") === pi(t), s"pi at $t")
+    }
+    // truncating rounds only ever LOSE mass: pi sums to <= 1e6 and the
+    // chain must still place most mass somewhere
+    val tot = rows.map(_.getAs[Long]("pi_ppm")).sum
+    assert(tot <= 1000000L && tot > 900000L, s"pi mass $tot")
+  }
+
 }

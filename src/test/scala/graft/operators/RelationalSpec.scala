@@ -1576,4 +1576,54 @@ class RelationalSpec extends SparkSpec {
     }
     assert(rows.map(_.getAs[Long]("class_size")).sum === cust.length.toLong)
   }
+  test("cusumArl: each seeded permutation's first alarm recounts from a " +
+       "sequential CUSUM walk; p=0 is chronological") {
+    val daily = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .select($"day".cast("string"), $"cents")
+      .as[(String, Long)].collect()
+    val mu = daily.map(_._2).sum / daily.length
+    val slack = mu / 20; val h = mu / 4
+    def md5x(s0: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def walk(ordered: Seq[Long]): (Option[Long], Option[Long]) = {
+      var pHi = 0L; var pLo = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var fHi: Option[Long] = None; var fLo: Option[Long] = None
+      ordered.zipWithIndex.foreach { case (c, i) =>
+        pHi += c - mu - slack; pLo += c - mu + slack
+        mn = math.min(mn, pHi); mx = math.max(mx, pLo)
+        val sHi = pHi - math.min(mn, 0L)
+        val sLo = math.max(mx, 0L) - pLo
+        if (fHi.isEmpty && sHi >= h) fHi = Some(i + 1L)
+        if (fLo.isEmpty && sLo >= h) fLo = Some(i + 1L)
+      }
+      (fHi, fLo)
+    }
+    val rows = Relational.cusumArl(spark, sf).collect()
+      .map(r => r.getAs[Long]("p") ->
+        ((Option(r.get(r.fieldIndex("first_hi_t"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("first_lo_t"))).map(_.asInstanceOf[Long]),
+          r.getAs[Long]("n_days")))).toMap
+    assert(rows.size === 65)
+    rows.values.foreach(v => assert(v._3 === daily.length.toLong))
+    // spot-check a handful of permutations against the sequential walk
+    Seq(0L, 1L, 7L, 64L).foreach { p =>
+      val ordered =
+        if (p == 0L) daily.sortBy(_._1).map(_._2).toSeq
+        else daily.sortBy(d => md5x(s"arl:$p:${d._1}")).map(_._2).toSeq
+      val (eh, el) = walk(ordered)
+      assert(rows(p)._1 === eh, s"first_hi at p=$p")
+      assert(rows(p)._2 === el, s"first_lo at p=$p")
+    }
+    // the REAL series alarms (this fixture has a genuine shift) while
+    // most null permutations should survive longer or never alarm
+    val real = rows(0L)
+    assert(real._1.isDefined || real._2.isDefined)
+  }
+
 }

@@ -396,6 +396,80 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L)._5, "a sustained revenue shift must alarm")
   }
 
+  test("holtSink: full history reproduces the batch Holt recursion; a " +
+       "flood day raises the one-step forecast") {
+    val dst = java.nio.file.Files.createTempDirectory("holt-out")
+      .toString + "/holt"
+    val ckpt = java.nio.file.Files.createTempDirectory("holt-ckpt").toString
+    val batchRows = graft.operators.Relational.holtLinear(spark, sf).collect()
+    val orders = graft.Tables(spark, sf, "orders")
+      .select($"o_orderdate".cast("date").cast("string"), $"o_totalprice")
+      .as[(String, Double)].collect().toSeq
+    val input = MemoryStream[(String, Double)](spark)
+    val q = Streams.holtSink(input.toDF().toDF("day", "amount"), dst)
+      .option("checkpointLocation", ckpt).start()
+    input.addData(orders); q.processAllAvailable() // batch 0: history
+    val lastDay = java.time.LocalDate.parse(orders.map(_._1).max)
+    val lb = batchRows.last
+    val meanish = lb.getAs[Long]("level_u") / 1e6 / 100.0
+    input.addData(Seq((lastDay.plusDays(1).toString, meanish * 4)))
+    q.processAllAvailable() // batch 1: one 4x day
+    q.stop()
+    val rows = spark.read.parquet(dst).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows(0L)._1 === batchRows.length.toLong)
+    assert(rows(0L)._2 === lb.getAs[Long]("level_u"),
+      "stream level != batch level on the same days")
+    assert(rows(0L)._3 === lb.getAs[Long]("trend_u"))
+    assert(rows(0L)._4 === lb.getAs[Long]("level_u")
+      + lb.getAs[Long]("trend_u"))
+    assert(rows(0L)._5 === lb.getAs[Long]("err_u"))
+    // a 4x day pulls the forecast up and leaves a large positive error
+    assert(rows(1L)._1 === batchRows.length.toLong + 1)
+    assert(rows(1L)._4 > rows(0L)._4, "flood day did not raise forecast")
+    assert(rows(1L)._5 > 0L)
+  }
+
+  test("noveltyIndexSink: doc_id-ordered batches reproduce the batch " +
+       "ngramNovelty exactly; replays are no-ops") {
+    val table = "novelty_spec_idx"
+    val dst = java.nio.file.Files.createTempDirectory("nov-out")
+      .toString + "/nov"
+    val ckpt = java.nio.file.Files.createTempDirectory("nov-ckpt").toString
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_docs")
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.noveltyIndexSink(
+        input.toDF().toDF("doc_id", "text"), table, dst)
+      .option("checkpointLocation", ckpt).start()
+    val third = math.max(docs.length / 3, 1)
+    docs.grouped(third).foreach { g =>
+      input.addData(g); q.processAllAvailable()
+    }
+    val before = spark.read.parquet(dst).count()
+    val storeBefore = spark.table(table).count()
+    input.addData(docs.slice(third, 2 * third)) // replay batch 2
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(dst).count() === before, "replay re-scored")
+    assert(spark.table(table).count() === storeBefore, "replay re-indexed")
+    val streamed = spark.read.parquet(dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val batch = graft.operators.TextOps.ngramNovelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(streamed === batch,
+      "in-order streaming novelty must equal the batch operator")
+    assert(streamed.nonEmpty)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_docs")
+  }
+
   test("robustBaselineSink: full history reproduces the batch rolling " +
        "median/MAD alarms; a flood day trips the robust alarm") {
     val dst = java.nio.file.Files.createTempDirectory("rb-out")
