@@ -170,6 +170,10 @@ object SparkEntry {
     "q_good_turing" -> TextOps.goodTuringMass,
     "q_markov_stationary" ->
       ((s, dir) => Events.markovStationary(s, dir)),
+    "q_absorption_steps" ->
+      ((s, dir) => Events.absorptionSteps(s, dir)),
+    "q_price_elasticity" ->
+      ((s, dir) => Relational.priceElasticity(s, dir)),
     "q_cusum_arl" -> ((s, dir) => Relational.cusumArl(s, dir)),
     "q_dominant_period" -> ((s, dir) => Relational.dominantPeriod(s, dir)),
     "q_holt_linear" -> Relational.holtLinear,
@@ -778,7 +782,7 @@ object SparkEntry {
     */
   private def markovStationaryOracle(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
-      s"""r$i AS (SELECT m.to_type AS t,
+      s"""r$i AS MATERIALIZED (SELECT m.to_type AS t,
            CAST(sum(r.pi * m.p_ppm) // 1000000 AS BIGINT) AS pi
          FROM r${i - 1} r JOIN m ON m.from_type = r.t GROUP BY m.to_type)"""
     }.mkString(",\n         ")
@@ -788,15 +792,16 @@ object SparkEntry {
          FROM events),
        c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
          FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
-       states AS (SELECT DISTINCT from_type AS t FROM c),
+       states AS MATERIALIZED (SELECT DISTINCT from_type AS t FROM c),
        cl AS (SELECT c.* FROM c JOIN states s ON s.t = c.to_type),
        ot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
          FROM cl GROUP BY 1),
-       m AS (SELECT cl.from_type, cl.to_type,
+       m AS MATERIALIZED (SELECT cl.from_type, cl.to_type,
            CAST(n * 1000000 // tot AS BIGINT) AS p_ppm
          FROM cl JOIN ot USING (from_type)),
        kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
-       r0 AS (SELECT t, 1000000 // k AS pi FROM states CROSS JOIN kk),
+       r0 AS MATERIALIZED (SELECT t, 1000000 // k AS pi
+         FROM states CROSS JOIN kk),
        $rounds,
        emp AS (SELECT from_type AS t, CAST(sum(n) AS BIGINT) AS n_out
          FROM c GROUP BY 1),
@@ -806,6 +811,44 @@ object SparkEntry {
          CAST(coalesce(r.pi, 0) AS BIGINT) AS pi_ppm
        FROM states s JOIN emp e ON e.t = s.t CROSS JOIN g
          LEFT JOIN r$iters r ON r.t = s.t
+       ORDER BY event_type"""
+  }
+
+  /** Absorption-steps oracle: the exact milli-step value-iteration
+    * rounds of Events.absorptionSteps unrolled as generated CTEs.
+    */
+  private def absorptionStepsOracle(target: String, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""e$i AS MATERIALIZED (SELECT s.t,
+           CAST(CASE WHEN s.t = '$target' THEN 0
+             ELSE 1000 + coalesce(x.acc, 0) END AS BIGINT) AS ev
+         FROM states s LEFT JOIN (
+           SELECT m.from_type AS t,
+             CAST(sum(m.p_ppm * e.ev) // 1000000 AS BIGINT) AS acc
+           FROM m JOIN e${i - 1} e ON e.t = m.to_type GROUP BY 1) x
+           ON x.t = s.t)"""
+    }.mkString(",\n         ")
+    s"""WITH pr AS (SELECT user_id, event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS to_type
+         FROM events),
+       c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       states AS MATERIALIZED (SELECT DISTINCT from_type AS t FROM c),
+       cl AS (SELECT c.* FROM c JOIN states s ON s.t = c.to_type),
+       ot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+         FROM cl GROUP BY 1),
+       m AS MATERIALIZED (SELECT cl.from_type, cl.to_type,
+           CAST(n * 1000000 // tot AS BIGINT) AS p_ppm
+         FROM cl JOIN ot USING (from_type)),
+       e0 AS MATERIALIZED (SELECT t, CAST(0 AS BIGINT) AS ev
+         FROM states),
+       $rounds,
+       emp AS (SELECT from_type AS t, CAST(sum(n) AS BIGINT) AS n_out
+         FROM c GROUP BY 1)
+       SELECT s.t AS event_type, emp.n_out, e.ev AS e_steps_milli
+       FROM states s JOIN emp ON emp.t = s.t
+         JOIN e$iters e ON e.t = s.t
        ORDER BY event_type"""
   }
 
@@ -5052,6 +5095,29 @@ object SparkEntry {
            CAST(sum(d_u) // count(*) AS BIGINT) AS delta_u
          FROM p GROUP BY 1, 2 ORDER BY s1, s2""",
     "q_markov_stationary" -> markovStationaryOracle(20),
+    "q_absorption_steps" -> absorptionStepsOracle("purchase", 25),
+    "q_price_elasticity" ->
+      """WITH p AS (SELECT p_partkey, p_brand,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+           FROM part),
+         q AS (SELECT l_partkey AS p_partkey,
+             CAST(round(sum(l_quantity)) AS BIGINT) AS qty
+           FROM lineitem GROUP BY 1),
+         u AS (SELECT p_brand,
+             CAST(round(ln(CAST(price_cents AS DOUBLE)) * 1e6) AS BIGINT)
+               AS x_u,
+             CAST(round(ln(CAST(qty AS DOUBLE)) * 1e6) AS BIGINT) AS y_u
+           FROM q JOIN p USING (p_partkey)),
+         m AS (SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x_u) AS HUGEINT) AS sx,
+             CAST(sum(y_u) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x_u AS HUGEINT) * y_u) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x_u AS HUGEINT) * x_u) AS HUGEINT) AS sxx
+           FROM u GROUP BY 1)
+         SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             CAST(n * sxx - sx * sx AS DOUBLE), 4) AS elasticity
+         FROM m ORDER BY p_brand""",
     "q_cusum_arl" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

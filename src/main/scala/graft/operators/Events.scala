@@ -322,6 +322,53 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Expected transitions to absorption — per event type, how many
+    * steps the [[typeTransitions]] chain takes to FIRST reach the
+    * target ('purchase') in expectation: E_i = 1 + Σⱼ p(i,j)·E_j with
+    * E_target ≡ 0, solved by `iters` rounds of exact integer value
+    * iteration in milli-steps (1000 + (Σ p_ppm·E) div 10⁶ per round —
+    * one floor AFTER the sum, the [[markovStationary]] discipline, so
+    * both engines replay the trajectory bit-for-bit; the oracle
+    * unrolls the rounds). The funnel-distance readout "how far is each
+    * behavioural state from money": value iteration converges from
+    * below, and a state that cannot reach the target just accumulates
+    * ≈1000·iters — visibly saturated rather than silently wrong.
+    * Matrix is |types|²-bounded; the fold runs driver-side over a
+    * distributed scan.
+    */
+  def absorptionSteps(s: SparkSession, dir: String,
+                      target: String = "purchase",
+                      iters: Int = 25): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = Tables(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = counts.map(_._1).distinct.sorted
+    val closed = counts.filter(c => states.contains(c._2))
+    val outTot = closed.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val pPpm = closed.map { case (f, t, n) =>
+      (f, t) -> n * 1000000L / outTot(f)
+    }.toMap
+    var e = states.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      e = states.map { i =>
+        i -> (if (i == target) 0L
+              else 1000L + states.map(j =>
+                pPpm.getOrElse((i, j), 0L) * e(j)).sum / 1000000L)
+      }.toMap
+    }
+    val fromTot = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val rows = states.map(t => (t, fromTot(t), e(t)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1))
+      .toDF("event_type", "n_out", "e_steps_milli")
+      .orderBy($"event_type")
+  }
+
   /** Distinct cardinalities: exact countDistinct per type (the HLL
     * approx_count_distinct variant lives in the same plan shape; exact is
     * what an oracle can check).

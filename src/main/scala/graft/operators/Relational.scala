@@ -1800,6 +1800,44 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Per-brand price elasticity of demand — the ln-ln least-squares
+    * slope of ordered quantity against catalog unit price across a
+    * brand's parts, the classic log-log elasticity a pricing review
+    * reads (≈0 inelastic, ≤−1 elastic). Exactness discipline: the
+    * only transcendentals are per-part ln's of exact integer cents /
+    * quantities, pre-rounded to 1e-6 fixed point (the burrowsDelta
+    * convention — order-free integer sums afterward, unlike a raw
+    * double Σ whose last bits depend on merge order); moments
+    * accumulate in DECIMAL(38,0) and ONE double quotient per brand
+    * lands pre-rounded at 4dp. One fact aggregation to parts, one
+    * broadcast dim join, ≤|brands| output rows.
+    */
+  def priceElasticity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val parts = Tables(s, dir, "part")
+      .select($"p_partkey", $"p_brand",
+        round($"p_retailprice" * 100).cast("long").as("price_cents"))
+    val qty = Tables(s, dir, "lineitem")
+      .groupBy($"l_partkey".as("p_partkey"))
+      .agg(round(sum($"l_quantity")).cast("long").as("qty"))
+    qty.join(broadcast(parts), Seq("p_partkey"))
+      .select($"p_brand",
+        round(log($"price_cents".cast("double")) * 1e6)
+          .cast("long").as("x_u"),
+        round(log($"qty".cast("double")) * 1e6).cast("long").as("y_u"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum($"x_u").cast(dec).as("sx"), sum($"y_u").cast(dec).as("sy"),
+        sum($"x_u".cast(dec) * $"y_u").as("sxy"),
+        sum($"x_u".cast(dec) * $"x_u").as("sxx"))
+      .select($"p_brand", $"n".cast("long").as("n_parts"),
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double"), 4)
+          .as("elasticity"))
+      .orderBy($"p_brand")
+  }
+
   /** CUSUM average-run-length calibration — the alarm threshold
     * audited as data instead of trusted: under the no-shift null
     * (daily revenues in md5-seeded random order, the exact same

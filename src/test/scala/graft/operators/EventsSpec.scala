@@ -834,4 +834,40 @@ class EventsSpec extends SparkSpec {
     assert(tot <= 1000000L && tot > 900000L, s"pi mass $tot")
   }
 
+  test("absorptionSteps: the milli-step value iteration recounts " +
+       "sequentially; the target is pinned at zero") {
+    val pairs = Tables(spark, sf, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts"), $"event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).values.flatMap { evs =>
+        val o = evs.sortBy(e => (e._3, e._4))
+        o.zip(o.drop(1)).map { case (a, b) => (a._2, b._2) }
+      }.toSeq
+    val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val states = counts.keys.map(_._1).toSeq.distinct.sorted
+    val closed = counts.filter { case ((_, t), _) => states.contains(t) }
+    val outTot = closed.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val p = closed.map { case ((f, t), n) => (f, t) -> n * 1000000L / outTot(f) }
+    var e = states.map(_ -> 0L).toMap
+    for (_ <- 1 to 25)
+      e = states.map(i => i -> (if (i == "purchase") 0L
+        else 1000L + states.map(j =>
+          p.getOrElse((i, j), 0L) * e(j)).sum / 1000000L)).toMap
+    val fromTot = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val rows = Events.absorptionSteps(spark, sf).collect()
+    assert(rows.length === states.length)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_out") === fromTot(t))
+      assert(r.getAs[Long]("e_steps_milli") === e(t), s"E at $t")
+    }
+    val byType = rows.map(r =>
+      r.getAs[String]("event_type") -> r.getAs[Long]("e_steps_milli")).toMap
+    assert(byType("purchase") === 0L)
+    // every non-target state needs at least one step
+    byType.filter(_._1 != "purchase").values
+      .foreach(v => assert(v >= 1000L))
+  }
+
 }

@@ -1626,4 +1626,39 @@ class RelationalSpec extends SparkSpec {
     assert(real._1.isDefined || real._2.isDefined)
   }
 
+  test("priceElasticity: per-brand ln-ln slope recounts from exact " +
+       "fixed-point logs") {
+    val parts = Tables(spark, sf, "part")
+      .select($"p_partkey", $"p_brand",
+        round($"p_retailprice" * 100).cast("long"))
+      .as[(Long, String, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val qty = Tables(spark, sf, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(round(sum($"l_quantity")).cast("long").as("q"))
+      .as[(Long, Long)].collect()
+    val perBrand = qty.flatMap { case (pk, q) =>
+      parts.get(pk).map { case (brand, cents) =>
+        brand -> ((math.round(math.log(cents.toDouble) * 1e6),
+          math.round(math.log(q.toDouble) * 1e6)))
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = Relational.priceElasticity(spark, sf).collect()
+    assert(rows.length === perBrand.size)
+    rows.foreach { r =>
+      val b = r.getAs[String]("p_brand")
+      val xs = perBrand(b)
+      val n = BigInt(xs.length)
+      val sx = xs.map(v => BigInt(v._1)).sum
+      val sy = xs.map(v => BigInt(v._2)).sum
+      val sxy = xs.map(v => BigInt(v._1) * v._2).sum
+      val sxx = xs.map(v => BigInt(v._1) * v._1).sum
+      val slope = BigDecimal((n * sxy - sx * sy).toDouble /
+        (n * sxx - sx * sx).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Long]("n_parts") === xs.length.toLong)
+      assert(r.getAs[Double]("elasticity") === slope, s"slope at $b")
+    }
+  }
+
 }
