@@ -295,6 +295,10 @@ object SparkEntry {
     "q_triangles_oriented" -> ((s, dir) => Dedup.nearDupTrianglesOriented(s, dir)),
     "q_containment_pairs" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "q_sim_histogram" -> ((s, dir) => Dedup.pairSimilarityHistogram(s, dir)),
+    "q_dedup_threshold_sweep" ->
+      ((s, dir) => Dedup.dedupThresholdSweep(s, dir)),
+    "q_trend_sign_reversals" ->
+      ((s, dir) => Relational.trendSignReversals(s, dir)),
     "q_dedup_profile" -> Dedup.dedupProfile,
     // -- similarity search (§7.4) ------------------------------------------
     "q_brute_force_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
@@ -2175,6 +2179,69 @@ object SparkEntry {
              JOIN shs b ON b.doc_id = p.doc_b)
          SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_pairs
          FROM jt GROUP BY bin ORDER BY bin""",
+    "q_dedup_threshold_sweep" ->
+      s"""WITH $minhashCtes,
+         pairs AS ($minhashPairsSelect),
+         shs AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i:i+2], ' '))) AS shs
+           FROM docs WHERE len(toks) >= 3),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         sc AS (SELECT p.doc_a, p.doc_b,
+             (len(list_intersect(a.shs, b.shs)) * 10000)
+               // (len(a.shs) + len(b.shs)
+                  - len(list_intersect(a.shs, b.shs))) AS sim_bp
+           FROM pairs p JOIN shs a ON a.doc_id = p.doc_a
+             JOIN shs b ON b.doc_id = p.doc_b),
+         grid AS (SELECT unnest(generate_series(5000, 9500, 500))
+           AS thr_bp)
+         SELECT CAST(thr_bp AS BIGINT) AS thr_bp,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped,
+           CAST(count(DISTINCT doc_b) * 10000 // max(n_docs) AS BIGINT)
+             AS loss_bp
+         FROM sc JOIN grid ON sim_bp >= thr_bp CROSS JOIN nn
+         GROUP BY thr_bp ORDER BY thr_bp""",
+    "q_trend_sign_reversals" ->
+      """WITH daily AS (SELECT c.c_nationkey, CAST(o_orderdate AS DATE)
+             AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY 1, 2),
+         t0 AS (SELECT min(day) AS d0 FROM daily),
+         d AS (SELECT c_nationkey,
+             CAST(datediff('day', d0, day) AS BIGINT) AS t, cents
+           FROM daily CROSS JOIN t0),
+         pern AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(cents) AS BIGINT) AS sc,
+             CAST(sum(CAST(t AS HUGEINT) * cents) AS HUGEINT) AS stc,
+             CAST(sum(t * t) AS BIGINT) AS stt
+           FROM d GROUP BY 1),
+         ns AS (SELECT c_nationkey, n,
+             CAST(((CAST(n AS HUGEINT) * stc - CAST(st AS HUGEINT) * sc)
+               * 1000000 + 2000000000000000
+               * (CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st))
+               // (CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st)
+               - 2000000000000000 AS BIGINT) AS slope_u
+           FROM pern),
+         pd AS (SELECT t, CAST(sum(cents) AS BIGINT) AS cents FROM d
+           GROUP BY t),
+         pool AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(cents) AS BIGINT) AS sc,
+             CAST(sum(CAST(t AS HUGEINT) * cents) AS HUGEINT) AS stc,
+             CAST(sum(t * t) AS BIGINT) AS stt FROM pd),
+         ps AS (SELECT CAST(((CAST(n AS HUGEINT) * stc
+               - CAST(st AS HUGEINT) * sc) * 1000000 + 2000000000000000
+               * (CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st))
+               // (CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st)
+               - 2000000000000000 AS BIGINT) AS pooled_slope_u
+           FROM pool)
+         SELECT c_nationkey, n AS n_days, slope_u, pooled_slope_u,
+           (slope_u > 0) <> (pooled_slope_u > 0) AS reversed
+         FROM ns CROSS JOIN ps ORDER BY c_nationkey""",
     "q_containment_pairs" ->
       s"""WITH $minhashCtes,
          pairs AS ($minhashPairsSelect),

@@ -1648,6 +1648,50 @@ object Dedup {
         $"simhash_recall_ppm")
   }
 
+  /** Dedup threshold sweep — the DECISION table behind "where do we set
+    * the similarity bar": for each candidate Jaccard threshold
+    * (5000..9500 bp, step 500), the exact pair count at-or-above the
+    * bar, the documents the pairwise min-id drop rule would remove,
+    * and the corpus loss in basis points. Complements
+    * [[pairSimilarityHistogram]] (the distribution) with the
+    * CONSEQUENCE at each cut — what a data owner actually weighs.
+    * Exact integer Jaccard over the LSH candidate set (the
+    * [[containmentPairs]] shingle machinery); the 10-threshold fan-out
+    * is a bounded generator over the already-scored pair frame, so the
+    * sweep costs one scoring pass regardless of grid size.
+    */
+  def dedupThresholdSweep(s: SparkSession, dir: String,
+                          shingleSize: Int = 3): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val nDocs = docs.count()
+    val pairs = minhashLshPairs(s, dir)
+    val sd = shingleStream(docs, shingleSize).distinct().localCheckpoint()
+    val sizes = sd.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val scored = pairs
+      .join(sd.toDF("doc_a", "sh"), Seq("doc_a"))
+      .join(sd.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.toDF("doc_a", "n_a"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "n_b"), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        expr("n_shared * 10000 div (n_a + n_b - n_shared)").as("sim_bp"))
+      .localCheckpoint() // ten threshold slices read it
+    scored
+      .withColumn("thr_bp", explode(sequence(lit(5000L), lit(9500L),
+        lit(500L))))
+      .filter($"sim_bp" >= $"thr_bp")
+      .groupBy($"thr_bp")
+      // countDistinct, not collect_set: the dropped-doc set is
+      // corpus-sized at a loose bar — keep it a distinct AGGREGATION,
+      // never an in-memory array
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"doc_b").as("n_docs_dropped"))
+      .withColumn("loss_bp",
+        expr(s"n_docs_dropped * 10000 div ${nDocs}L"))
+      .orderBy($"thr_bp")
+  }
+
   /** Survivorship-bias audit of min-id dedup: does keeping the
     * EARLIEST copy of each near-dup cluster systematically shift the
     * quality distribution of what survives vs what drops? The exact

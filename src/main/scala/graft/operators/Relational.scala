@@ -1800,6 +1800,51 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Simpson's-paradox trend audit: per-nation daily-revenue OLS slope
+    * sign vs the pooled slope sign — a nation whose trend REVERSES the
+    * pooled one is the aggregation-bias case every "revenue is
+    * growing" headline hides. Slopes ship as exact micro-cents/day
+    * through the shift floor division ([[theilSenTrend]] discipline)
+    * from DECIMAL(38,0) moment numerators; the reversal flag is a pure
+    * integer sign comparison, no thresholds. One fact aggregation to
+    * (nation, day), calendar×25-bounded rollup, broadcast pooled row.
+    */
+  def trendSignReversals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey".as("o_custkey"), $"c_nationkey"), Seq("o_custkey"))
+      .groupBy($"c_nationkey", $"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .localCheckpoint() // per-nation and pooled slopes both read it
+    val t0 = daily.agg(min($"day").as("d0"))
+    val d = daily.crossJoin(broadcast(t0))
+      .select($"c_nationkey", datediff($"day", $"d0").cast("long").as("t"),
+        $"cents")
+    def slopeU(df: DataFrame, keys: Seq[Column]): DataFrame = df
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum($"t").as("st"),
+        sum($"cents").as("sc"), sum(($"t" * $"cents").cast(dec)).as("stc"),
+        sum($"t" * $"t").as("stt"))
+      .withColumn("num",
+        expr(s"CAST(n AS $dec) * stc - CAST(st AS $dec) * sc"))
+      .withColumn("den",
+        expr(s"CAST(n AS $dec) * stt - CAST(st AS $dec) * st"))
+      .withColumn("slope_u", expr(
+        "CAST((num * 1000000 + 2000000000000000 * den) div den" +
+        " - 2000000000000000 AS BIGINT)"))
+    val pooled = slopeU(
+      d.groupBy($"t").agg(sum($"cents").as("cents")), Seq())
+      .select($"slope_u".as("pooled_slope_u"))
+    slopeU(d, Seq($"c_nationkey"))
+      .crossJoin(broadcast(pooled))
+      .select($"c_nationkey", $"n".as("n_days"), $"slope_u",
+        $"pooled_slope_u",
+        (($"slope_u" > 0L) =!= ($"pooled_slope_u" > 0L)).as("reversed"))
+      .orderBy($"c_nationkey")
+  }
+
   /** Per-brand price elasticity of demand — the ln-ln least-squares
     * slope of ordered quantity against catalog unit price across a
     * brand's parts, the classic log-log elasticity a pricing review

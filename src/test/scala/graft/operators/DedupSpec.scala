@@ -784,4 +784,40 @@ class DedupSpec extends SparkSpec {
     // both populations must be non-trivial or the audit is vacuous
     assert(surv.length > 1 && vict.length > 1)
   }
+  test("dedupThresholdSweep: each bar recounts from the scored candidate " +
+       "pairs; the sweep is monotone decreasing") {
+    val corpus = graft.Tables(spark, sf, "documents")
+    val nDocs = corpus.count()
+    val pairs = Dedup.minhashLshPairs(spark, sf)
+      .as[(Long, Long)].collect()
+    val shs: Map[Long, Set[String]] = corpus.select($"doc_id",
+        graft.functions.text.tokensLower($"text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[String](1).sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet).toMap
+    val scored: Seq[(Long, Long, Long)] = pairs.toSeq.map { case (a, b) =>
+      val sa = shs(a); val sb = shs(b)
+      val inter = sa.intersect(sb).size.toLong
+      (a, b, inter * 10000 / (sa.size + sb.size - inter))
+    }
+    val rows = Dedup.dedupThresholdSweep(spark, sf).collect()
+      .map(r => r.getAs[Long]("thr_bp") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_dropped"),
+          r.getAs[Long]("loss_bp")))).toMap
+    assert(rows.keySet === (5000L to 9500L by 500L).toSet)
+    rows.foreach { case (thr, (np, nd, loss)) =>
+      val keep = scored.filter(_._3 >= thr)
+      assert(np === keep.length.toLong, s"pairs at $thr")
+      assert(nd === keep.map(_._2).distinct.length.toLong, s"drops at $thr")
+      assert(loss === nd * 10000 / nDocs)
+    }
+    // tightening the bar can only shrink the drop set
+    val byThr = rows.toSeq.sortBy(_._1).map(_._2)
+    byThr.sliding(2).foreach {
+      case Seq(lo, hi) =>
+        assert(hi._1 <= lo._1 && hi._2 <= lo._2)
+      case _ =>
+    }
+  }
+
 }

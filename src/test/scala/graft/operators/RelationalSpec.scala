@@ -1661,4 +1661,45 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("trendSignReversals: per-nation and pooled slopes recount from " +
+       "exact moments; pooled matches the nation-blind series") {
+    val daily = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer")
+        .select($"c_custkey".as("o_custkey"), $"c_nationkey"),
+        Seq("o_custkey"))
+      .groupBy($"c_nationkey", $"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .select($"c_nationkey", $"day".cast("string"), $"cents")
+      .as[(Int, String, Long)].collect()
+    val d0 = daily.map(_._2).min
+    def dd(s0: String) = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(d0), java.time.LocalDate.parse(s0))
+    def slope(xs: Seq[(Long, Long)]): Long = {
+      val n = BigInt(xs.length)
+      val st = xs.map(x => BigInt(x._1)).sum
+      val sc = xs.map(x => BigInt(x._2)).sum
+      val stc = xs.map(x => BigInt(x._1) * x._2).sum
+      val stt = xs.map(x => BigInt(x._1) * x._1).sum
+      val num = n * stc - st * sc
+      val den = n * stt - st * st
+      ((num * 1000000 + BigInt("2000000000000000") * den) / den
+        - BigInt("2000000000000000")).toLong
+    }
+    val byNat = daily.groupBy(_._1).view
+      .mapValues(_.map(x => (dd(x._2), x._3)).toSeq).toMap
+    val pooledSeries = daily.groupBy(x => dd(x._2)).view
+      .mapValues(_.map(_._3).sum).toSeq
+    val pooled = slope(pooledSeries)
+    val rows = Relational.trendSignReversals(spark, sf).collect()
+    assert(rows.length === byNat.size)
+    rows.foreach { r =>
+      val nat = r.getAs[Int]("c_nationkey")
+      assert(r.getAs[Long]("n_days") === byNat(nat).length.toLong)
+      assert(r.getAs[Long]("slope_u") === slope(byNat(nat)), s"nation $nat")
+      assert(r.getAs[Long]("pooled_slope_u") === pooled)
+      assert(r.getAs[Boolean]("reversed") ===
+        ((slope(byNat(nat)) > 0) != (pooled > 0)))
+    }
+  }
+
 }
