@@ -181,6 +181,8 @@ object SparkEntry {
     "q_dedup_survivorship" -> Dedup.dedupSurvivorship,
     "q_doremi_step" -> TextOps.doremiStep,
     "q_ngram_novelty" -> TextOps.ngramNovelty,
+    "q_skyline_docs" -> TextOps.skylineDocs,
+    "q_sprt_monitor" -> ((s, dir) => Events.sprtMonitor(s, dir)),
     "q_gtfs_arrivals" ->
       ((s, _) => gtfs.GtfsFixture.arrivalsOracleQuery(s)),
     "q_gtfs_frequencies" ->
@@ -5342,6 +5344,57 @@ object SparkEntry {
          SELECT doc_id, n_shingles, n_novel,
            CAST(n_novel * 10000 // n_shingles AS BIGINT) AS novelty_bp
          FROM p ORDER BY doc_id""",
+    "q_sprt_monitor" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS trials,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS successes
+           FROM events GROUP BY 1),
+         pl AS (SELECT CAST(sum(successes) * 10000 // sum(trials)
+             AS BIGINT) AS p0_bp FROM daily),
+         p2 AS (SELECT p0_bp, CAST(p0_bp * 11 // 10 AS BIGINT) AS p1_bp
+           FROM pl),
+         lt AS (SELECT *,
+             CAST(round(ln(CAST(p1_bp AS DOUBLE) / p0_bp) * 1e6)
+               AS BIGINT) AS lw_u,
+             CAST(round(ln(CAST(10000 - p1_bp AS DOUBLE)
+               / (10000 - p0_bp)) * 1e6) AS BIGINT) AS ll_u
+           FROM p2),
+         wk AS (SELECT day, trials, successes, p0_bp, p1_bp,
+             successes * lw_u + (trials - successes) * ll_u AS llr_day_u
+           FROM daily CROSS JOIN lt)
+         SELECT day, trials, successes, p0_bp, p1_bp,
+           CAST(llr_day_u AS BIGINT) AS llr_day_u,
+           CAST(sum(llr_day_u) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS BIGINT) AS llr_cum_u,
+           CASE WHEN sum(llr_day_u) OVER (ORDER BY day ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) >= 2944439 THEN 'h1'
+             WHEN sum(llr_day_u) OVER (ORDER BY day ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) <= -2944439 THEN 'h0'
+             ELSE 'continue' END AS state
+         FROM wk ORDER BY day""",
+    "q_skyline_docs" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+         sh AS (SELECT DISTINCT doc_id, sh FROM (
+           SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM docs WHERE len(toks) >= 3)),
+         f AS (SELECT sh, min(doc_id) AS fd FROM sh GROUP BY sh),
+         nv AS (SELECT doc_id,
+             CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) * 10000
+               // count(*) AS BIGINT) AS novelty_bp
+           FROM sh JOIN f USING (sh) GROUP BY doc_id),
+         pts AS (SELECT d.doc_id,
+             CAST(round($qualityExpr * 10000) AS BIGINT) AS qu,
+             nv.novelty_bp
+           FROM documents d JOIN nv ON nv.doc_id = d.doc_id)
+         SELECT p.doc_id, p.qu, p.novelty_bp
+         FROM pts p WHERE NOT EXISTS (
+           SELECT 1 FROM pts q
+           WHERE q.qu >= p.qu AND q.novelty_bp >= p.novelty_bp
+             AND (q.qu > p.qu OR q.novelty_bp > p.novelty_bp))
+         ORDER BY p.doc_id""",
     "q_gtfs_arrivals" ->
       s"""WITH $gtfsArrivalCtes
          SELECT strftime(CAST(service_date AS TIMESTAMP)

@@ -322,6 +322,50 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Wald SPRT monitor on the daily purchase share of events —
+    * the SEQUENTIAL test that is allowed to peek: each day adds its
+    * exact binomial log-likelihood-ratio increment for H1 "the rate
+    * lifted 10% over the series' own pooled rate" vs H0 "it didn't",
+    * and the cumulative LLR walks between the ±ln 19 bounds (α=β=0.05)
+    * until one is crossed — unlike the fixed-horizon z-tests in this
+    * suite, early stopping here costs no validity. Run self-calibrated
+    * (H0 = the pooled rate), it is an A/A-style drift monitor: a
+    * crossing means the rate MOVED within the window. Exactness: pooled
+    * and lifted rates are integer bp, the two per-event log terms are
+    * fixed-shape 1e-6-rounded lns of those bp ratios (the
+    * linkageWeights rounded-transcendental discipline), everything
+    * after is integer sums over the calendar-bounded day rollup.
+    */
+  def sprtMonitor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "events")
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("trials"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("successes"))
+      .localCheckpoint() // pooled rate and the walk both read it
+    val pooled = daily.agg(
+      expr("sum(successes) * 10000 div sum(trials)").as("p0_bp"))
+      .withColumn("p1_bp", expr("p0_bp * 11 div 10"))
+      .withColumn("lw_u", round(log($"p1_bp".cast("double") /
+        $"p0_bp".cast("double")) * 1e6).cast("long"))
+      .withColumn("ll_u", round(log((lit(10000L) - $"p1_bp").cast("double") /
+        (lit(10000L) - $"p0_bp").cast("double")) * 1e6).cast("long"))
+    val bound = 2944439L // round(ln 19 · 1e6): α = β = 0.05
+    val cum = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(pooled))
+      .withColumn("llr_day_u",
+        $"successes" * $"lw_u" + ($"trials" - $"successes") * $"ll_u")
+      .withColumn("llr_cum_u", sum($"llr_day_u").over(cum))
+      .select($"day", $"trials", $"successes", $"p0_bp", $"p1_bp",
+        $"llr_day_u", $"llr_cum_u",
+        when($"llr_cum_u" >= bound, "h1")
+          .when($"llr_cum_u" <= -bound, "h0")
+          .otherwise("continue").as("state"))
+      .orderBy($"day")
+  }
+
   /** Expected transitions to absorption — per event type, how many
     * steps the [[typeTransitions]] chain takes to FIRST reach the
     * target ('purchase') in expectation: E_i = 1 + Σⱼ p(i,j)·E_j with

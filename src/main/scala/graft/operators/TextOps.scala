@@ -3758,6 +3758,43 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** Skyline (Pareto-maximal) documents over (quality, n-gram novelty)
+    * — the classic maximal-vector operator applied to CURATION: a doc
+    * is on the frontier iff no other doc is at least as good on both
+    * axes and strictly better on one. The frontier is what a "pick the
+    * best docs" selection can choose from without trading one axis
+    * blindly against the other. Exact integers (1e-4 quality grid ×
+    * novelty bp), ties kept (equal points dominate nothing). Scale
+    * shape: within-group domination is one max per quality cell
+    * (map-side combined); the cross-group pass runs on the ≤1e4-row
+    * quality grid — audit-sized at any corpus — so no corpus-sized
+    * window or pairwise join anywhere. The oracle states the textbook
+    * NOT EXISTS dominance definition directly, so the staged form is
+    * proven equivalent, not assumed.
+    */
+  def skylineDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = qualityScores(s, dir)
+      .select($"doc_id", round($"quality" * 10000).cast("long").as("qu"))
+      .join(ngramNovelty(s, dir).select($"doc_id", $"novelty_bp"), "doc_id")
+      .localCheckpoint() // group maxima and the survivor join read it
+    val groups = pts.groupBy($"qu").agg(max($"novelty_bp").as("g_max"))
+    val above = Window.orderBy($"qu".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the qu grid is ≤ 1e4 rows — this window is audit-sized by
+    // construction, not corpus-sized
+    val frontier = groups
+      .withColumn("max_above", coalesce(max($"g_max").over(above),
+        lit(Long.MinValue)))
+      .filter($"g_max" > $"max_above")
+      .select($"qu", $"g_max")
+    pts.join(broadcast(frontier), Seq("qu"))
+      .filter($"novelty_bp" === $"g_max")
+      .select($"doc_id", $"qu", $"novelty_bp")
+      .orderBy($"doc_id")
+  }
+
   /** Per-document n-gram novelty — the MEMORIZATION-RISK screen: the
     * fraction of a doc's distinct 3-token shingles whose global FIRST
     * occurrence (min doc_id over the whole corpus) is this doc. A

@@ -870,4 +870,41 @@ class EventsSpec extends SparkSpec {
       .foreach(v => assert(v >= 1000L))
   }
 
+  test("sprtMonitor: the LLR walk recounts from daily cells; bounds " +
+       "and self-calibration laws hold") {
+    val daily = Tables(spark, sf, "events")
+      .groupBy(to_date($"ts").cast("string").as("day"))
+      .agg(count(lit(1)).as("t"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("s"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val p0 = daily.map(_._3).sum * 10000L / daily.map(_._2).sum
+    val p1 = p0 * 11L / 10L
+    val lw = math.round(math.log(p1.toDouble / p0) * 1e6)
+    val ll = math.round(
+      math.log((10000.0 - p1) / (10000.0 - p0)) * 1e6)
+    var cum = 0L
+    val expected = daily.map { case (day, t, su) =>
+      val inc = su * lw + (t - su) * ll
+      cum += inc
+      (day, t, su, inc, cum,
+        if (cum >= 2944439L) "h1"
+        else if (cum <= -2944439L) "h0" else "continue")
+    }
+    val rows = Events.sprtMonitor(spark, sf).collect()
+    assert(rows.length === daily.length)
+    rows.zip(expected).foreach { case (r, (day, t, su, inc, c, st)) =>
+      assert(r.getAs[java.sql.Date]("day").toString === day)
+      assert(r.getAs[Long]("trials") === t)
+      assert(r.getAs[Long]("successes") === su)
+      assert(r.getAs[Long]("p0_bp") === p0)
+      assert(r.getAs[Long]("llr_day_u") === inc, s"inc at $day")
+      assert(r.getAs[Long]("llr_cum_u") === c, s"cum at $day")
+      assert(r.getAs[String]("state") === st)
+    }
+    // self-calibrated null: the pooled-rate walk must not end at the
+    // H1 bound (the rate cannot have lifted 10% over ITS OWN average
+    // and the per-day drift in this fixture is mild)
+    assert(rows.last.getAs[String]("state") != "h1")
+  }
+
 }

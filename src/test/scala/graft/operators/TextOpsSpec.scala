@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.Tables
-import org.apache.spark.sql.functions.{floor, lit, row_number, sqrt, sum}
+import org.apache.spark.sql.functions.{floor, lit, round, row_number, sqrt, sum}
 
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -2246,4 +2246,31 @@ class TextOpsSpec extends SparkSpec {
     // repetition exists in the fixture, so novelty must not be constant
     assert(rows.map(_.getAs[Long]("novelty_bp")).distinct.length > 1)
   }
+  test("skylineDocs: survivors match the brute-force dominance " +
+       "definition; everything else is dominated by some survivor") {
+    val pts = TextOps.qualityScores(spark, sf)
+      .select($"doc_id", round($"quality" * 10000).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val nv = TextOps.ngramNovelty(spark, sf)
+      .select($"doc_id", $"novelty_bp").as[(Long, Long)].collect().toMap
+    val all = nv.keys.map(d => (d, pts(d), nv(d))).toSeq
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      a._2 >= b._2 && a._3 >= b._3 && (a._2 > b._2 || a._3 > b._3)
+    val expected = all.filter(p => !all.exists(q => dominates(q, p)))
+      .map(_._1).toSet
+    val got = TextOps.skylineDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet === expected)
+    got.foreach { case (d, q, n) =>
+      assert(pts(d) === q && nv(d) === n)
+    }
+    // completeness: every non-survivor is dominated by some survivor
+    val sky = got.toSet
+    all.filterNot(p => expected.contains(p._1)).foreach { p =>
+      assert(sky.exists(s0 => dominates((s0._1, s0._2, s0._3), p)),
+        s"doc ${p._1} excluded but undominated by the frontier")
+    }
+    assert(got.nonEmpty && got.length < all.length)
+  }
+
 }
