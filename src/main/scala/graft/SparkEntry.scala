@@ -183,6 +183,8 @@ object SparkEntry {
     "q_ngram_novelty" -> TextOps.ngramNovelty,
     "q_skyline_docs" -> TextOps.skylineDocs,
     "q_sprt_monitor" -> ((s, dir) => Events.sprtMonitor(s, dir)),
+    "q_energy_distance" -> ((s, dir) => Events.energyDistance(s, dir)),
+    "q_youden_cutoff" -> ((s, dir) => TextOps.youdenCutoff(s, dir)),
     "q_gtfs_arrivals" ->
       ((s, _) => gtfs.GtfsFixture.arrivalsOracleQuery(s)),
     "q_gtfs_frequencies" ->
@@ -4781,6 +4783,77 @@ object SparkEntry {
            FROM a)
          SELECT *, CAST(shannon_u * 10000 // ln_m_u AS BIGINT)
            AS evenness_bp FROM f""",
+    "q_energy_distance" ->
+      """WITH b AS (SELECT epoch_us(ts) AS us,
+           CAST(round(value * 10000) AS BIGINT) AS vq FROM events),
+         m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM b),
+         h AS (SELECT vq, us <= mid AS early FROM b CROSS JOIN m),
+         c AS (SELECT vq,
+             CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2
+           FROM h GROUP BY vq),
+         t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(CAST(c1 AS HUGEINT) * vq) AS HUGEINT) AS s1t,
+             CAST(sum(CAST(c2 AS HUGEINT) * vq) AS HUGEINT) AS s2t
+           FROM c),
+         w AS (SELECT vq, c1, c2,
+             CAST(sum(c1) OVER wc AS BIGINT) AS cc1,
+             CAST(sum(CAST(c1 AS HUGEINT) * vq) OVER wc AS HUGEINT)
+               AS ss1,
+             CAST(sum(c2) OVER wc AS BIGINT) AS cc2,
+             CAST(sum(CAST(c2 AS HUGEINT) * vq) OVER wc AS HUGEINT)
+               AS ss2
+           FROM c WINDOW wc AS (ORDER BY vq ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW)),
+         g AS (SELECT max(n1) AS n_early, max(n2) AS n_late,
+             CAST(sum(CAST(c2 AS HUGEINT) * (CAST(cc1 AS HUGEINT) * vq
+               - ss1 + (s1t - ss1) - CAST(n1 - cc1 AS HUGEINT) * vq))
+               AS HUGEINT) AS sxy,
+             CAST(sum(CAST(c1 AS HUGEINT) * (CAST(cc1 AS HUGEINT) * vq
+               - ss1 + (s1t - ss1) - CAST(n1 - cc1 AS HUGEINT) * vq))
+               AS HUGEINT) AS sxx,
+             CAST(sum(CAST(c2 AS HUGEINT) * (CAST(cc2 AS HUGEINT) * vq
+               - ss2 + (s2t - ss2) - CAST(n2 - cc2 AS HUGEINT) * vq))
+               AS HUGEINT) AS syy
+           FROM w CROSS JOIN t),
+         f AS (SELECT n_early, n_late,
+             CAST(sxy * 100 // (n_early * n_late) AS BIGINT) AS a_u,
+             CAST(sxx * 100 // (CAST(n_early AS HUGEINT) * n_early)
+               AS BIGINT) AS b_u,
+             CAST(syy * 100 // (CAST(n_late AS HUGEINT) * n_late)
+               AS BIGINT) AS c_u
+           FROM g)
+         SELECT n_early, n_late, a_u, b_u, c_u,
+           2 * a_u - b_u - c_u AS energy_u
+         FROM f""",
+    "q_youden_cutoff" ->
+      s"""WITH $gopherKeepCtes,
+         q AS (SELECT doc_id, CAST(round($qualityExpr * 10000) AS BIGINT)
+             AS qu FROM documents),
+         j AS (SELECT keep, qu FROM k JOIN q USING (doc_id)),
+         c AS (SELECT qu, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS t1
+           FROM j GROUP BY 1),
+         t2 AS (SELECT CAST(sum(t1) AS BIGINT) AS n_pos,
+             CAST(sum(t - t1) AS BIGINT) AS n_neg FROM c),
+         w AS (SELECT qu,
+             CAST(coalesce(sum(t1) OVER wb, 0) AS BIGINT) AS cp,
+             CAST(coalesce(sum(t - t1) OVER wb, 0) AS BIGINT) AS cn
+           FROM c WINDOW wb AS (ORDER BY qu ROWS BETWEEN UNBOUNDED
+             PRECEDING AND 1 PRECEDING)),
+         r AS (SELECT qu, n_pos, n_neg, n_pos - cp AS tp,
+             n_neg - cn AS fp,
+             (n_pos - cp) * 1000000 // n_pos AS tpr_u,
+             (n_neg - cn) * 1000000 // n_neg AS fpr_u
+           FROM w CROSS JOIN t2),
+         best AS (SELECT * FROM r
+           ORDER BY tpr_u - fpr_u DESC, qu LIMIT 1)
+         SELECT qu AS threshold_qu, n_pos, n_neg, tp, fp,
+           CAST(tpr_u AS BIGINT) AS tpr_u, CAST(fpr_u AS BIGINT) AS fpr_u,
+           CAST(tpr_u - fpr_u AS BIGINT) AS j_u
+         FROM best""",
     "q_screen_auc" ->
       s"""WITH $gopherKeepCtes,
          q AS (SELECT doc_id, CAST(round($qualityExpr * 10000) AS BIGINT)

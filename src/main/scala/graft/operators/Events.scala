@@ -956,6 +956,59 @@ object Events {
       .select($"vq", ($"us" <= $"mid").as("early"))
   }
 
+  /** Energy distance between the early and late value halves — the
+    * E-statistic 2·E|X−Y| − E|X−X'| − E|Y−Y'| (Székely–Rizzo), the
+    * drift test sensitive to ANY distributional change (location,
+    * scale, shape) where KS reads the sup gap and EMD the CDF area.
+    * Exact integers end to end: all three pairwise-|Δ| sums come from
+    * ONE prefix-sum pass over the 1e-4 value grid (per cell v the
+    * closed form c·[C(v)·v − S(v) + (S_T − S(v)) − (C_T − C(v))·v] —
+    * never a pairwise join), accumulate in DECIMAL(38,0), and each
+    * mean lands in one floor division to micro value units. energy_u =
+    * 2a − b − c of the floored means (±2 micro of the exact rational,
+    * a stated convention, not drift). The grid is value-bounded, so
+    * the window is audit-sized at any event volume.
+    */
+  def energyDistance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val cells = valueHalves(s, dir)
+      .groupBy($"vq")
+      .agg(sum(when($"early", 1L).otherwise(0L)).as("c1"),
+        sum(when(!$"early", 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint() // totals and the prefix walk both read it
+    val tot = cells.agg(sum($"c1").as("n1"), sum($"c2").as("n2"),
+      sum(($"c1" * $"vq").cast(dec)).as("s1t"),
+      sum(($"c2" * $"vq").cast(dec)).as("s2t"))
+    val cum = Window.orderBy($"vq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def absSumAround(cPre: Column, sPre: Column, cTot: Column,
+                     sTot: Column): Column =
+      cPre.cast("decimal(38,0)") * $"vq" - sPre +
+        (sTot - sPre) - (cTot - cPre).cast("decimal(38,0)") * $"vq"
+    cells
+      .withColumn("cc1", sum($"c1").over(cum))
+      .withColumn("ss1", sum(($"c1" * $"vq").cast(dec)).over(cum))
+      .withColumn("cc2", sum($"c2").over(cum))
+      .withColumn("ss2", sum(($"c2" * $"vq").cast(dec)).over(cum))
+      .crossJoin(broadcast(tot))
+      .withColumn("xy", $"c2".cast(dec) *
+        absSumAround($"cc1", $"ss1", $"n1", $"s1t"))
+      .withColumn("xx", $"c1".cast(dec) *
+        absSumAround($"cc1", $"ss1", $"n1", $"s1t"))
+      .withColumn("yy", $"c2".cast(dec) *
+        absSumAround($"cc2", $"ss2", $"n2", $"s2t"))
+      .agg(max($"n1").as("n_early"), max($"n2").as("n_late"),
+        sum($"xy").as("sxy"), sum($"xx").as("sxx"),
+        sum($"yy").as("syy"))
+      // vq is 1e-4 value units → ×100 lands the means in micro units
+      .withColumn("a_u", expr("sxy * 100 div (n_early * n_late)"))
+      .withColumn("b_u", expr("sxx * 100 div (n_early * n_early)"))
+      .withColumn("c_u", expr("syy * 100 div (n_late * n_late)"))
+      .select($"n_early", $"n_late", $"a_u", $"b_u", $"c_u",
+        (lit(2L) * $"a_u" - $"b_u" - $"c_u").as("energy_u"))
+  }
+
   /** The frozen reference distribution `Streams.ksDriftSink` probes:
     * per-value counts of the early half on the 1e-4 grid, collected
     * driver-side — bounded by the value grid's distinct cardinality,

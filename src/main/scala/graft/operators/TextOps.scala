@@ -3251,6 +3251,55 @@ object TextOps {
       .withColumn("gini_bp", lit(2L) * $"auc_bp" - 10000L)
   }
 
+  /** Youden-J optimal cutoff for the quality score against the Gopher
+    * keep verdicts — the DECIDED threshold [[screenAuc]]'s ranking
+    * quality only implies: classify keep at qu ≥ θ, pick θ maximizing
+    * J = TPR − FPR. Exact integers: per-score-cell confusion counts
+    * from one exclusive prefix window over the 1e-4 quality grid
+    * (audit-sized), rates floored to micro units, argmax via
+    * min(struct) with the SMALLEST threshold on ties (the permissive
+    * end of the plateau). One row: the operating point a pipeline
+    * would actually configure, with its full confusion row.
+    */
+  def youdenCutoff(s: SparkSession, dir: String,
+                   requiredWords: Seq[String] = Seq("the", "a")): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsFanned(s, dir)
+    val labels = gopherVerdictsFrom(docs, requiredWords)
+      .select($"doc_id", $"keep")
+    val scores = docs
+      .select($"doc_id", $"text", $"n_chars",
+        text.tokensLower($"text").as("toks"))
+      .select($"doc_id",
+        round(text.qualityScoreTokens($"text", $"toks", $"n_chars") * 10000)
+          .cast("long").as("qu"))
+    val cells = labels.join(scores, "doc_id")
+      .groupBy($"qu")
+      .agg(count(lit(1)).as("t"),
+        sum(when($"keep", 1L).otherwise(0L)).as("t1"))
+      .localCheckpoint() // totals and the threshold walk both read it
+    val tot = cells.agg(sum($"t1").as("n_pos"),
+      sum($"t" - $"t1").as("n_neg"))
+    val before = Window.orderBy($"qu")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("cp", coalesce(sum($"t1").over(before), lit(0L)))
+      .withColumn("cn", coalesce(sum($"t" - $"t1").over(before), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("tp", $"n_pos" - $"cp")
+      .withColumn("fp", $"n_neg" - $"cn")
+      .withColumn("tpr_u", expr("tp * 1000000 div n_pos"))
+      .withColumn("fpr_u", expr("fp * 1000000 div n_neg"))
+      .withColumn("j_u", $"tpr_u" - $"fpr_u")
+      .agg(min(struct((-$"j_u").as("nj"), $"qu".as("th"), $"tp".as("tp"),
+        $"fp".as("fp"), $"tpr_u".as("tpr"), $"fpr_u".as("fpr"))).as("m"),
+        max($"n_pos").as("n_pos"), max($"n_neg").as("n_neg"))
+      .select($"m.th".as("threshold_qu"), $"n_pos", $"n_neg",
+        $"m.tp".as("tp"), $"m.fp".as("fp"), $"m.tpr".as("tpr_u"),
+        $"m.fpr".as("fpr_u"), (-$"m.nj").as("j_u"))
+  }
+
   /** Token dispersion (Gries 2008 "DP" — deviation of proportions) for
     * the top-k corpus tokens: how far a token's occurrence mass deviates
     * from the corpus' document-size distribution. DP ≈ 0 means the token

@@ -907,4 +907,39 @@ class EventsSpec extends SparkSpec {
     assert(rows.last.getAs[String]("state") != "h1")
   }
 
+  test("energyDistance: all three pairwise-|delta| means recount by " +
+       "brute force; the E-statistic is nonnegative up to floor slack") {
+    val vals = Tables(spark, sf, "events")
+      .select(unix_micros($"ts"), round($"value" * 10000).cast("long"))
+      .as[(Long, Long)].collect()
+    val mid = (vals.map(_._1).min + vals.map(_._1).max) / 2
+    val x = vals.filter(_._1 <= mid).map(_._2)
+    val y = vals.filter(_._1 > mid).map(_._2)
+    def crossAbs(a: Seq[Long], b: Seq[Long]): BigInt = {
+      // sorted-merge closed form, not the O(n^2) loop (n ~ 5000)
+      val bs = b.sorted
+      val pre = bs.scanLeft(BigInt(0))(_ + _).tail
+      val tot = pre.lastOption.getOrElse(BigInt(0))
+      a.map { v =>
+        val k = bs.count(_ <= v)
+        val sBelow = if (k == 0) BigInt(0) else pre(k - 1)
+        BigInt(k) * v - sBelow + (tot - sBelow) - BigInt(bs.length - k) * v
+      }.sum
+    }
+    val sxy = crossAbs(x.toSeq, y.toSeq)
+    val sxx = crossAbs(x.toSeq, x.toSeq)
+    val syy = crossAbs(y.toSeq, y.toSeq)
+    val n1 = BigInt(x.length); val n2 = BigInt(y.length)
+    val r = Events.energyDistance(spark, sf).collect().head
+    assert(r.getAs[Long]("n_early") === x.length.toLong)
+    assert(r.getAs[Long]("n_late") === y.length.toLong)
+    assert(r.getAs[Long]("a_u") === (sxy * 100 / (n1 * n2)).toLong)
+    assert(r.getAs[Long]("b_u") === (sxx * 100 / (n1 * n1)).toLong)
+    assert(r.getAs[Long]("c_u") === (syy * 100 / (n2 * n2)).toLong)
+    assert(r.getAs[Long]("energy_u") ===
+      r.getAs[Long]("a_u") * 2 - r.getAs[Long]("b_u") - r.getAs[Long]("c_u"))
+    // the exact E-statistic is >= 0; floored means concede <= 2 micro
+    assert(r.getAs[Long]("energy_u") >= -2L)
+  }
+
 }

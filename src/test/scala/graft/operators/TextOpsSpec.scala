@@ -2273,4 +2273,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.length < all.length)
   }
 
+  test("youdenCutoff: the chosen threshold maximizes TPR-FPR over every " +
+       "candidate cut; confusion cells recount") {
+    // sf0.01: the shared sf0.001 fixture has a degenerate keep class
+    // (TPR/FPR undefined), which is below this operator's contract
+    val sf01 = "/root/testdata/sf0.01"
+    val labels = TextOps.gopherRules(spark, sf01, Seq("the", "a"))
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val scores = TextOps.qualityScores(spark, sf01)
+      .select($"doc_id", round($"quality" * 10000).cast("long"))
+      .as[(Long, Long)].collect()
+    val pts = scores.map { case (d, q) => (q, labels(d)) }
+    val nPos = pts.count(_._2).toLong
+    val nNeg = pts.length - nPos
+    val cand = pts.map(_._1).distinct.sorted
+    val js = cand.map { th =>
+      val tp = pts.count(p => p._1 >= th && p._2).toLong
+      val fp = pts.count(p => p._1 >= th && !p._2).toLong
+      (th, tp, fp, tp * 1000000L / nPos - fp * 1000000L / nNeg)
+    }
+    val best = js.minBy(t => (-t._4, t._1))
+    val r = TextOps.youdenCutoff(spark, sf01).collect().head
+    assert(r.getAs[Long]("threshold_qu") === best._1)
+    assert(r.getAs[Long]("n_pos") === nPos)
+    assert(r.getAs[Long]("n_neg") === nNeg)
+    assert(r.getAs[Long]("tp") === best._2)
+    assert(r.getAs[Long]("fp") === best._3)
+    assert(r.getAs[Long]("j_u") === best._4)
+    // the decided cut genuinely separates: J must beat both trivial cuts
+    assert(best._4 > 0L)
+  }
+
 }
