@@ -184,6 +184,7 @@ object SparkEntry {
     "q_skyline_docs" -> TextOps.skylineDocs,
     "q_sprt_monitor" -> ((s, dir) => Events.sprtMonitor(s, dir)),
     "q_energy_distance" -> ((s, dir) => Events.energyDistance(s, dir)),
+    "q_funnel_latency" -> ((s, dir) => Events.funnelLatency(s, dir)),
     "q_youden_cutoff" -> ((s, dir) => TextOps.youdenCutoff(s, dir)),
     "q_gtfs_arrivals" ->
       ((s, _) => gtfs.GtfsFixture.arrivalsOracleQuery(s)),
@@ -683,7 +684,7 @@ object SparkEntry {
        cuts AS ($cuts)
        SELECT bucket, ds.day AS day_start, de.day AS day_end,
          cuts.i - cuts.j AS n_days, p.cs - q.cs AS sum_cents,
-         CAST($sse AS BIGINT) AS sse_u
+         CAST($sse AS VARCHAR) AS sse_u
        FROM cuts JOIN p0 q ON q.i = cuts.j JOIN p ON p.i = cuts.i
          JOIN pre ds ON ds.i = cuts.j + 1 JOIN pre de ON de.i = cuts.i
        ORDER BY bucket"""
@@ -4783,6 +4784,39 @@ object SparkEntry {
            FROM a)
          SELECT *, CAST(shannon_u * 10000 // ln_m_u AS BIGINT)
            AS evenness_bp FROM f""",
+    "q_funnel_latency" ->
+      s"""WITH $funnelCtes,
+         ft AS (SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts
+           FROM u LEFT JOIN v ON u.user_id = v.user_id
+                  LEFT JOIN c ON u.user_id = c.user_id
+                  LEFT JOIN p ON u.user_id = p.user_id),
+         lats AS (
+           SELECT 1 AS stage,
+             CAST((epoch_us(click_ts) - epoch_us(view_ts)) // 1000000
+               AS BIGINT) AS lat_s
+           FROM ft WHERE click_ts IS NOT NULL
+           UNION ALL
+           SELECT 2,
+             CAST((epoch_us(purchase_ts) - epoch_us(click_ts)) // 1000000
+               AS BIGINT)
+           FROM ft WHERE purchase_ts IS NOT NULL),
+         c2 AS (SELECT stage, lat_s, CAST(count(*) AS BIGINT) AS c
+           FROM lats GROUP BY 1, 2),
+         t AS (SELECT stage, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * lat_s) AS BIGINT) AS s_lat
+           FROM c2 GROUP BY 1),
+         w AS (SELECT c2.*, CAST(sum(c) OVER (PARTITION BY stage
+             ORDER BY lat_s ROWS BETWEEN UNBOUNDED PRECEDING AND
+             CURRENT ROW) AS BIGINT) AS cc FROM c2),
+         j AS (SELECT w.*, t.n, t.s_lat FROM w JOIN t USING (stage))
+         SELECT CAST(stage AS INT) AS stage, max(n) AS n_transitions,
+           CAST(min(CASE WHEN cc >= (n + 1) // 2 THEN lat_s END)
+             + min(CASE WHEN cc >= n // 2 + 1 THEN lat_s END) AS BIGINT)
+             AS med2_s,
+           CAST(min(CASE WHEN cc >= (n * 9 + 9) // 10 THEN lat_s END)
+             AS BIGINT) AS p90_s,
+           CAST(max(s_lat // n) AS BIGINT) AS mean_s
+         FROM j GROUP BY stage ORDER BY stage""",
     "q_energy_distance" ->
       """WITH b AS (SELECT epoch_us(ts) AS us,
            CAST(round(value * 10000) AS BIGINT) AS vq FROM events),

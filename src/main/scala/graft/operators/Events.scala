@@ -508,6 +508,55 @@ object Events {
       .join(purchases, Seq("user_id"), "left")
   }
 
+  /** Exact funnel-transition latency order statistics — per stage
+    * (view→click, click→purchase), the doubled median, the exact
+    * ⌈0.9n⌉-th-rank p90, and the floored mean of seconds-to-next-stage
+    * — the numbers an SLA on conversion speed is written against,
+    * shipped exact instead of sketch-approximated. Latencies ride the
+    * shared [[funnelTimestamps]] frame (the stage convention cannot
+    * drift from funnelStages); order statistics come from cumulative
+    * counts over the per-stage (stage, latency-seconds) rollup — the
+    * latency grid is observation-window-bounded, so the rank window is
+    * audit-sized at any user count.
+    */
+  def funnelLatency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ft = funnelTimestamps(s, dir)
+    // floor of the MICROSECOND difference — floor(Δus/1e6), not the
+    // difference of per-timestamp second floors, which disagrees when
+    // sub-second parts straddle a second boundary
+    val lats = ft.filter($"click_ts".isNotNull)
+      .select(lit(1).as("stage"),
+        expr("(unix_micros(click_ts) - unix_micros(view_ts))" +
+          " div 1000000").as("lat_s"))
+      .unionByName(ft.filter($"purchase_ts".isNotNull)
+        .select(lit(2).as("stage"),
+          expr("(unix_micros(purchase_ts) - unix_micros(click_ts))" +
+            " div 1000000").as("lat_s")))
+    val cells = lats.groupBy($"stage", $"lat_s")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // totals and the rank walk both read it
+    val tot = cells.groupBy($"stage")
+      .agg(sum($"c").as("n"), sum($"c" * $"lat_s").as("s_lat"))
+    val cum = Window.partitionBy($"stage").orderBy($"lat_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells
+      .withColumn("cc", sum($"c").over(cum))
+      .join(tot, Seq("stage"))
+    // exact rank picks: med2 = x_⌈n/2⌉ + x_⌈(n+1)/2⌉ (doubled median),
+    // p90 = x_⌈0.9n⌉ = first value whose cumulative count reaches the rank
+    def pick(rank: Column) = min(when($"cc" >= rank, $"lat_s"))
+    ranked.groupBy($"stage")
+      .agg(max($"n").as("n_transitions"),
+        // integer div, not Column./ (true division): a fractional rank
+        // silently shifts every pick up one value
+        (pick(expr("(n + 1) div 2")) + pick(expr("n div 2 + 1")))
+          .as("med2_s"),
+        pick(expr("(n * 9 + 9) div 10")).as("p90_s"),
+        max(expr("s_lat div n")).as("mean_s"))
+      .orderBy($"stage")
+  }
+
   def funnelStages(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     funnelTimestamps(s, dir)

@@ -2349,8 +2349,10 @@ object Relational {
       .withColumn("sse_u", sseExpr)
       .select($"bucket", $"day_start", $"day_end", $"n_days",
         $"sum_cents",
-        // per-bucket SSE tops out ~5e18 — inside int64; narrow loudly
-        graft.functions.num.toLongChecked($"sse_u", "sse_u").as("sse_u"))
+        // per-bucket SSE is ~5e18 at sf0.01 but 4.6e19 at the BENCH
+        // sf0.1 — genuinely past int64 at operating scale, so the
+        // output contract is STRING digits on both sides
+        graft.functions.num.digits($"sse_u").as("sse_u"))
       .orderBy($"bucket")
   }
 

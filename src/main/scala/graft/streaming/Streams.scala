@@ -496,6 +496,65 @@ object Streams {
       }
   }
 
+  /** Energy-distance drift monitor — the streaming twin of
+    * `Events.energyDistance` against the same frozen early-half
+    * reference `ksDriftSink` probes: a stateful complete-mode value
+    * histogram per trigger, the three pairwise-|Δ| sums from one
+    * sorted merge over the bounded value grid (BigInt driver walk —
+    * the grid is 1e-4-quantized, audit-sized), floored micro means,
+    * alarm at a caller-frozen energy threshold. Where KS pages on the
+    * sup CDF gap, energy pages on ANY distributional change — scale
+    * and shape drifts a location-insensitive monitor misses.
+    */
+  def energyDriftSink(values: DataFrame, refCounts: Seq[(Long, Long)],
+                      targetDir: String, alarmU: Long)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val hist = values
+      .select(round(col("value") * 10000).cast("long").as("vq"))
+      .groupBy(col("vq")).agg(count(lit(1)).as("n"))
+    hist.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val cur = batch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val ref = refCounts.toMap
+        val n1 = BigInt(ref.values.sum); val n2 = BigInt(cur.values.sum)
+        if (n2 > 0) {
+          val grid = (ref.keySet ++ cur.keySet).toSeq.sorted
+          val s1t = grid.map(v => BigInt(ref.getOrElse(v, 0L)) * v).sum
+          val s2t = grid.map(v => BigInt(cur.getOrElse(v, 0L)) * v).sum
+          var cc1 = BigInt(0); var ss1 = BigInt(0)
+          var cc2 = BigInt(0); var ss2 = BigInt(0)
+          var sxy = BigInt(0); var sxx = BigInt(0); var syy = BigInt(0)
+          grid.foreach { v =>
+            val r: Long = ref.getOrElse(v, 0L)
+            val c: Long = cur.getOrElse(v, 0L)
+            cc1 += r; ss1 += BigInt(r) * v
+            cc2 += c; ss2 += BigInt(c) * v
+            def around(cp: BigInt, sp: BigInt, ct: BigInt, st: BigInt) =
+              cp * v - sp + (st - sp) - (ct - cp) * v
+            sxy += BigInt(c) * around(cc1, ss1, n1, s1t)
+            sxx += BigInt(r) * around(cc1, ss1, n1, s1t)
+            syy += BigInt(c) * around(cc2, ss2, n2, s2t)
+          }
+          val aU = (sxy * 100 / (n1 * n2)).toLong
+          val bU = (sxx * 100 / (n1 * n1)).toLong
+          val cU = (syy * 100 / (n2 * n2)).toLong
+          val e = 2 * aU - bU - cU
+          Seq((batchId, n2.toLong, aU, bU, cU, e, e >= alarmU))
+            .toDF("batch_id", "n_cur", "a_u", "b_u", "c_u", "energy_u",
+              "drifted")
+            .write.mode("append").parquet(targetDir)
+        } else {
+          Seq((batchId, 0L, 0L, 0L, 0L, 0L, false))
+            .toDF("batch_id", "n_cur", "a_u", "b_u", "c_u", "energy_u",
+              "drifted")
+            .write.mode("append").parquet(targetDir)
+        }
+        ()
+      }
+  }
+
   /** Benford first-digit monitor: the streaming twin of
     * `Relational.benfordAudit` — a genuinely STATEFUL streaming
     * aggregation (the running per-digit histogram lives in the state

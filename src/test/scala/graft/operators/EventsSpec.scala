@@ -942,4 +942,44 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("energy_u") >= -2L)
   }
 
+  test("funnelLatency: exact rank picks recount from raw transition " +
+       "latencies; p90 bounds the median") {
+    val ev = Tables(spark, sf, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val lats = ev.values.toSeq.flatMap { es =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) Nil
+      else {
+        val v = views.min
+        val clicks = es.filter(e => e._2 == "click" && e._3 > v).map(_._3)
+        if (clicks.isEmpty) Nil
+        else {
+          val c = clicks.min
+          val s1 = Seq((1, (c - v) / 1000000L))
+          val ps = es.filter(e => e._2 == "purchase" && e._3 > c).map(_._3)
+          if (ps.isEmpty) s1 else s1 :+ ((2, (ps.min - c) / 1000000L))
+        }
+      }
+    }
+    def stats(xs: Seq[Long]): (Long, Long, Long, Long) = {
+      val s0 = xs.sorted; val n = s0.length
+      (n.toLong, s0((n + 1) / 2 - 1) + s0(n / 2),
+        s0((n * 9 + 9) / 10 - 1), xs.sum / n)
+    }
+    val rows = Events.funnelLatency(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    Seq(1, 2).foreach { st =>
+      val xs = lats.filter(_._1 == st).map(_._2)
+      val (n, med2, p90, mean) = stats(xs)
+      assert(rows(st)._1 === n, s"n at stage $st")
+      assert(rows(st)._2 === med2, s"med2 at stage $st")
+      assert(rows(st)._3 === p90, s"p90 at stage $st")
+      assert(rows(st)._4 === mean, s"mean at stage $st")
+      assert(rows(st)._3 * 2 >= rows(st)._2, s"p90 below median at $st")
+    }
+  }
+
 }

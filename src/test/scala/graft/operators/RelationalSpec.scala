@@ -1308,7 +1308,7 @@ class RelationalSpec extends SparkSpec {
       (r.getAs[Int]("bucket").toLong, r.getAs[java.sql.Date]("day_start")
         .toString, r.getAs[java.sql.Date]("day_end").toString,
         r.getAs[Long]("n_days"), r.getAs[Long]("sum_cents"),
-        BigInt(r.getAs[Long]("sse_u"))))
+        BigInt(r.getAs[String]("sse_u"))))
     assert(rows.toSeq === expected)
     // partition laws: spans tile the calendar rollup; revenue conserves
     assert(rows.map(_._4).sum === n.toLong)

@@ -569,6 +569,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L)._3, "a mass-shifted batch must alarm")
   }
 
+  test("energyDriftSink: full late half reproduces the batch energy " +
+       "distance exactly; a shifted batch trips the alarm") {
+    val dst = java.nio.file.Files.createTempDirectory("en-out")
+      .toString + "/en"
+    val ckpt = java.nio.file.Files.createTempDirectory("en-ckpt").toString
+    val ref = graft.operators.Events.ksReferenceCounts(spark, sf)
+    val ev = graft.Tables(spark, sf, "events")
+      .select(unix_micros($"ts"), $"value").as[(Long, Double)].collect()
+    val mid = Math.floorDiv(ev.map(_._1).min + ev.map(_._1).max, 2L)
+    val late = ev.filter(_._1 > mid).map(_._2).toSeq
+    val batchRow = graft.operators.Events.energyDistance(spark, sf)
+      .collect().head
+    val batchEnergy = batchRow.getAs[Long]("energy_u")
+    val q = {
+      val input = MemoryStream[Double](spark)
+      val q0 = Streams.energyDriftSink(input.toDF().toDF("value"), ref,
+          dst, batchEnergy + 1L)
+        .option("checkpointLocation", ckpt).start()
+      input.addData(late); q0.processAllAvailable() // batch 0: real half
+      input.addData(Seq.fill(2000)(499.99)); q0.processAllAvailable()
+      q0.stop(); q0
+    }
+    val rows = spark.read.parquet(dst).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    assert(rows(0L)._1 === late.length.toLong)
+    assert(rows(0L)._2 === batchRow.getAs[Long]("a_u"),
+      "stream a_u != batch a_u on the same halves")
+    assert(rows(0L)._3 === batchRow.getAs[Long]("b_u"))
+    assert(rows(0L)._4 === batchRow.getAs[Long]("c_u"))
+    assert(rows(0L)._5 === batchEnergy)
+    assert(!rows(0L)._6, "the real half must not beat its own energy + 1")
+    // the flood shifts location AND collapses scale: energy explodes
+    assert(rows(1L)._1 === late.length.toLong + 2000)
+    assert(rows(1L)._6, "a mass-shifted batch must alarm")
+  }
+
   test("benfordMonitorSink: running chi2 equals the batch audit after " +
        "one batch, state accumulates, and a skewed batch trips the alarm") {
     val dst = java.nio.file.Files.createTempDirectory("bf-out")
