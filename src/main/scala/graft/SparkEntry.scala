@@ -5381,9 +5381,9 @@ object SparkEntry {
            FROM w GROUP BY 1, 2)
          SELECT c_nationkey, c_mktsegment, class_size,
            CAST(CAST(gap_sum AS HUGEINT) * 10000
-             // (class_size * n_tot) AS BIGINT) AS t_bp,
+             // (class_size * n_tot * 2) AS BIGINT) AS t_bp,
            CAST(CAST(gap_sum AS HUGEINT) * 10000
-             // (class_size * n_tot) AS BIGINT) > 2000 AS t_risky
+             // (class_size * n_tot * 2) AS BIGINT) > 2000 AS t_risky
          FROM a ORDER BY c_nationkey, c_mktsegment""",
     "q_dedup_survivorship" ->
       s"""WITH RECURSIVE $ccReachCtes,
@@ -5462,10 +5462,12 @@ object SparkEntry {
          p2 AS (SELECT p0_bp, CAST(p0_bp * 11 // 10 AS BIGINT) AS p1_bp
            FROM pl),
          lt AS (SELECT *,
-             CAST(round(ln(CAST(p1_bp AS DOUBLE) / p0_bp) * 1e6)
-               AS BIGINT) AS lw_u,
-             CAST(round(ln(CAST(10000 - p1_bp AS DOUBLE)
-               / (10000 - p0_bp)) * 1e6) AS BIGINT) AS ll_u
+             CASE WHEN p0_bp > 0 AND p1_bp < 10000 THEN
+               CAST(round(ln(CAST(p1_bp AS DOUBLE) / p0_bp) * 1e6)
+                 AS BIGINT) END AS lw_u,
+             CASE WHEN p0_bp > 0 AND p1_bp < 10000 THEN
+               CAST(round(ln(CAST(10000 - p1_bp AS DOUBLE)
+                 / (10000 - p0_bp)) * 1e6) AS BIGINT) END AS ll_u
            FROM p2),
          wk AS (SELECT day, trials, successes, p0_bp, p1_bp,
              successes * lw_u + (trials - successes) * ll_u AS llr_day_u
@@ -5475,6 +5477,9 @@ object SparkEntry {
            CAST(sum(llr_day_u) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
              PRECEDING AND CURRENT ROW) AS BIGINT) AS llr_cum_u,
            CASE WHEN sum(llr_day_u) OVER (ORDER BY day ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) IS NULL
+               THEN 'degenerate'
+             WHEN sum(llr_day_u) OVER (ORDER BY day ROWS BETWEEN
                UNBOUNDED PRECEDING AND CURRENT ROW) >= 2944439 THEN 'h1'
              WHEN sum(llr_day_u) OVER (ORDER BY day ROWS BETWEEN
                UNBOUNDED PRECEDING AND CURRENT ROW) <= -2944439 THEN 'h0'

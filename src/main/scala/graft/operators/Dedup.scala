@@ -1492,10 +1492,14 @@ object Dedup {
       .localCheckpoint()
     val pairs = minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
     val h = f.count() / 2
-    val rk = f.select($"doc_id")
-      .withColumn("r", row_number().over(Window.orderBy(
-        md5(concat(lit("link:"), $"doc_id".cast("string"))), $"doc_id"))
-        .cast("long"))
+    // corpus-sized rank: range-partitioned two-pass (globalRowNumber),
+    // never a single-partition Window.orderBy — the (md5, doc_id) key is
+    // total, so the distributed ranks equal the serial ones exactly
+    val rk = Relational.globalRowNumber(
+        f.select($"doc_id")
+          .withColumn("hk", md5(concat(lit("link:"), $"doc_id".cast("string")))),
+        Seq(col("hk"), col("doc_id")))
+      .select($"doc_id", $"rk".as("r"))
     val pseudo = rk.filter($"r" <= h).select($"doc_id".as("doc_a"), $"r")
       .join(rk.filter($"r" > h && $"r" <= 2 * h)
         .select($"doc_id".as("doc_b"), ($"r" - h).as("r")), "r")

@@ -347,10 +347,16 @@ object Events {
     val pooled = daily.agg(
       expr("sum(successes) * 10000 div sum(trials)").as("p0_bp"))
       .withColumn("p1_bp", expr("p0_bp * 11 div 10"))
-      .withColumn("lw_u", round(log($"p1_bp".cast("double") /
-        $"p0_bp".cast("double")) * 1e6).cast("long"))
-      .withColumn("ll_u", round(log((lit(10000L) - $"p1_bp").cast("double") /
-        (lit(10000L) - $"p0_bp").cast("double")) * 1e6).cast("long"))
+      // degenerate pooled rates (p0 = 0 → ln NaN; p1 ≥ 10000 → ln of a
+      // non-positive ratio) emit NULL explicitly on BOTH engines —
+      // Spark's non-ANSI cast would otherwise silently map NaN/-Inf
+      // where DuckDB's CAST raises
+      .withColumn("lw_u", when($"p0_bp" > 0L && $"p1_bp" < 10000L,
+        round(log($"p1_bp".cast("double") /
+          $"p0_bp".cast("double")) * 1e6).cast("long")))
+      .withColumn("ll_u", when($"p0_bp" > 0L && $"p1_bp" < 10000L,
+        round(log((lit(10000L) - $"p1_bp").cast("double") /
+          (lit(10000L) - $"p0_bp").cast("double")) * 1e6).cast("long")))
     val bound = 2944439L // round(ln 19 · 1e6): α = β = 0.05
     val cum = Window.orderBy($"day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -360,7 +366,8 @@ object Events {
       .withColumn("llr_cum_u", sum($"llr_day_u").over(cum))
       .select($"day", $"trials", $"successes", $"p0_bp", $"p1_bp",
         $"llr_day_u", $"llr_cum_u",
-        when($"llr_cum_u" >= bound, "h1")
+        when($"llr_cum_u".isNull, "degenerate")
+          .when($"llr_cum_u" >= bound, "h1")
           .when($"llr_cum_u" <= -bound, "h0")
           .otherwise("continue").as("state"))
       .orderBy($"day")

@@ -2487,11 +2487,15 @@ object Relational {
     * scores — champions, loyal, at-risk-high-value, hibernating. This
     * is the segmentation a retention budget is actually allocated
     * against; shipping it as decided data keeps the label logic out
-    * of N dashboards. Scale: ntile rides the CUSTOMER rollup (one
-    * row per customer — dimension-sized, not fact-sized; at true
-    * fact scale swap the rank ntile for percentile-threshold
-    * assignment, same output contract), revenue sums are exact
-    * cents, mean recency is one floor division per cell.
+    * of N dashboards. Scale: each axis ranks through
+    * [[globalRowNumber]]'s range-partitioned two-pass (billions of
+    * customers at fact scale — no single-partition ntile window
+    * anywhere), then the quintile falls out of pure rank arithmetic:
+    * ntile(5) over n rows is a CLOSED FORM of (rank, n) — the first
+    * n mod 5 buckets hold ⌈n/5⌉ rows, the rest ⌊n/5⌋ — so the
+    * distributed buckets are bit-identical to the window form (the
+    * custkey tie-break makes every ordering total). Revenue sums are
+    * exact cents, mean recency is one floor division per cell.
     */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2505,14 +2509,25 @@ object Relational {
       .crossJoin(broadcast(mx))
       .withColumn("recency_days",
         datediff($"dmax", $"last_day").cast("long"))
-    val scored = per
-      .withColumn("r_q", ntile(5)
-        .over(Window.orderBy($"recency_days", $"o_custkey")).cast("long"))
-      .withColumn("f_q", ntile(5)
-        .over(Window.orderBy($"frequency".desc, $"o_custkey")).cast("long"))
-      .withColumn("m_q", ntile(5)
-        .over(Window.orderBy($"monetary_cents".desc, $"o_custkey"))
-        .cast("long"))
+    val cnt = per.agg(count(lit(1)).as("n_cust"))
+    // ntile(5) closed form over a 1-based total-order rank
+    def quintile(rkCol: String): Column = expr(
+      s"CASE WHEN $rkCol <= (n_cust % 5) * ((n_cust div 5) + 1) " +
+      s"THEN ($rkCol - 1) div ((n_cust div 5) + 1) + 1 " +
+      s"ELSE (n_cust % 5) + ($rkCol - 1 - (n_cust % 5) * ((n_cust div 5) + 1))" +
+      s" div (n_cust div 5) + 1 END").cast("long")
+    val ranked = {
+      val g1 = globalRowNumber(per, Seq($"recency_days", $"o_custkey"))
+        .withColumnRenamed("rk", "r_rk")
+      val g2 = globalRowNumber(g1, Seq($"frequency".desc, $"o_custkey"))
+        .withColumnRenamed("rk", "f_rk")
+      globalRowNumber(g2, Seq($"monetary_cents".desc, $"o_custkey"))
+        .withColumnRenamed("rk", "m_rk")
+    }
+    val scored = ranked.crossJoin(broadcast(cnt))
+      .withColumn("r_q", quintile("r_rk"))
+      .withColumn("f_q", quintile("f_rk"))
+      .withColumn("m_q", quintile("m_rk"))
       .withColumn("segment",
         when($"r_q" === 1L && $"f_q" <= 2L && $"m_q" <= 2L, "champion")
           .when($"r_q" <= 2L && $"f_q" <= 2L, "loyal")
@@ -2824,11 +2839,13 @@ object Relational {
     * attribute DISTRIBUTION differs sharply from the corpus's. t is
     * the EMD between the class's account-band distribution and the
     * global one over the ordered bands (debt < low < high): with
-    * ordered categories EMD = Σ|cumulative difference|, here in exact
-    * basis points via cross-multiplied integer cumulatives (no
-    * per-class float division). One row per class plus the flag
-    * against the conventional t = 0.2 bar; scale is one groupBy over
-    * the customer dim and a 3-band broadcast.
+    * ordered categories EMD = Σ|cumulative difference| / (m−1) —
+    * Li et al.'s 1/(m−1) normalization keeps t in [0,1] for any band
+    * count — here in exact basis points via cross-multiplied integer
+    * cumulatives (no per-class float division; the ×(m−1) rides the
+    * denominator of the single floor division). One row per class
+    * plus the flag against the conventional t = 0.2 bar; scale is one
+    * groupBy over the customer dim and a 3-band broadcast.
     */
   def tCloseness(s: SparkSession, dir: String,
                  tBarBp: Long = 2000L): DataFrame = {
@@ -2862,9 +2879,10 @@ object Relational {
       .groupBy($"c_nationkey", $"c_mktsegment")
       .agg(max($"n_class").as("class_size"), max($"n_tot").as("n_tot"),
         sum($"gap").as("gap_sum"))
+      // (m−1) = 2 for the 3-band grid: the ordered-EMD normalizer
       .withColumn("t_bp", expr(
         "CAST(CAST(gap_sum AS DECIMAL(38,0)) * 10000" +
-        " div (class_size * n_tot) AS BIGINT)"))
+        " div (class_size * n_tot * 2) AS BIGINT)"))
       .select($"c_nationkey", $"c_mktsegment", $"class_size", $"t_bp",
         ($"t_bp" > tBarBp).as("t_risky"))
       .orderBy($"c_nationkey", $"c_mktsegment")

@@ -2592,8 +2592,10 @@ object TextOps {
     * (the same closed form on both oracle sides, over a deterministic
     * ranked set), not an engine's regr_slope whose merge path may
     * differ. Token counting is the usual map-side-combined groupBy; the
-    * ranked frequency table is vocabulary-sized, so the final window +
-    * regression is trivially small at any corpus size.
+    * rank rides [[Relational.globalRowNumber]]'s range-partitioned
+    * two-pass (a web-corpus vocabulary is 10⁸+ types — too big for a
+    * single-partition window), and the regression collapses to one
+    * 5-sum aggregate.
     */
   def zipfSlope(s: SparkSession, dir: String, minFreq: Long = 5): DataFrame = {
     import s.implicits._
@@ -2601,10 +2603,11 @@ object TextOps {
       .select(explode(text.tokensLower($"text")).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("freq"))
       .filter($"freq" >= minFreq)
-    val ranked = freqs
-      .withColumn("rank",
-        row_number().over(Window.orderBy($"freq".desc, $"tok")))
-      .select(log($"rank".cast("double")).as("x"),
+    // vocabulary-sized rank: range-partitioned two-pass — a bare
+    // Window.orderBy would sort a 10⁸+-type web vocabulary on ONE task;
+    // (freq desc, tok) is a total order so the ranks are identical
+    val ranked = Relational.globalRowNumber(freqs, Seq($"freq".desc, $"tok"))
+      .select(log($"rk".cast("double")).as("x"),
         log($"freq".cast("double")).as("y"))
     ranked
       .agg(count(lit(1)).as("n_tokens"),

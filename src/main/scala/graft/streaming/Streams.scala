@@ -111,19 +111,23 @@ object Streams {
         import spark.implicits._
         val days = batch.collect()
           .map(r => (r.getDate(0).toString, r.getLong(1))).sortBy(_._1)
-        var l = days.head._2 * 1000000L; var b = 0L
-        var lastErr = 0L
-        for (i <- days.indices.drop(1)) {
-          val y = days(i)._2 * 1000000L
-          lastErr = y - (l + b)
-          val lp = l
-          l = (y + 3L * (l + b)) / 4L
-          b = ((l - lp) + 7L * b) / 8L
+        // a trigger can fire with no data (start-before-input, recovery
+        // replay): skip the row rather than crash the stream on .head
+        if (days.nonEmpty) {
+          var l = days.head._2 * 1000000L; var b = 0L
+          var lastErr = 0L
+          for (i <- days.indices.drop(1)) {
+            val y = days(i)._2 * 1000000L
+            lastErr = y - (l + b)
+            val lp = l
+            l = (y + 3L * (l + b)) / 4L
+            b = ((l - lp) + 7L * b) / 8L
+          }
+          Seq((batchId, days.length.toLong, l, b, l + b, lastErr))
+            .toDF("batch_id", "n_days", "level_u", "trend_u",
+              "forecast_next_u", "last_err_u")
+            .write.mode("append").parquet(targetDir)
         }
-        Seq((batchId, days.length.toLong, l, b, l + b, lastErr))
-          .toDF("batch_id", "n_days", "level_u", "trend_u",
-            "forecast_next_u", "last_err_u")
-          .write.mode("append").parquet(targetDir)
         ()
       }
   }

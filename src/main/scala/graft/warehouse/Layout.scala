@@ -73,12 +73,32 @@ object Layout {
     * suffix): not concurrent-reader-safe — run it in the maintenance
     * window between streaming batches, like every OPTIMIZE. Returns
     * (files before, files after).
+    *
+    * Crash recovery: a failure between the DROP and the RENAME leaves
+    * the catalog with no `table` and the freshly-compacted data only
+    * under `table_compacting`. The entry check below detects that state
+    * (staging present, target absent) and FINISHES the rename instead
+    * of re-running; any other leftover staging table (both present —
+    * an earlier run died before its DROP) aborts with a recovery hint
+    * rather than silently dropping data.
     */
   def compactBucketedTable(spark: SparkSession, table: String,
                            nBuckets: Int, bucketCol: String): (Int, Int) = {
-    val before = spark.table(table).inputFiles.length
     val tmp = table + "_compacting"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    if (spark.catalog.tableExists(tmp)) {
+      if (!spark.catalog.tableExists(table)) {
+        // prior run crashed between DROP and RENAME: the staging table
+        // holds the complete compacted data — finish the promote
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+        val n = spark.table(table).inputFiles.length
+        return (n, n)
+      }
+      throw new IllegalStateException(
+        s"$tmp already exists alongside $table — an earlier compaction " +
+        s"died mid-write. Inspect both, then DROP TABLE $tmp (the " +
+        s"original $table is intact) and re-run.")
+    }
+    val before = spark.table(table).inputFiles.length
     spark.table(table)
       .localCheckpoint() // strip the scan's partitioning claim so the
                          // repartition below survives write planning

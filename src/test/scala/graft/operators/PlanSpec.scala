@@ -403,6 +403,30 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("corpus/vocab/customer ranks run partitioned: the only unpartitioned " +
+       "window is globalRowNumber's numParts-row offsets frame") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // each of these once ranked its full input through a bare
+    // Window.orderBy (one task sorting the corpus / vocabulary /
+    // customer dim); they now ride globalRowNumber's range-partitioned
+    // two-pass, whose only global window orders the _gp offsets frame
+    // (numParts rows, constant in data size)
+    val targets = Seq(
+      "linkageWeights" -> Dedup.linkageWeights(spark, sf),
+      "zipfSlope" -> TextOps.zipfSlope(spark, sf),
+      "rfmSegments" -> Relational.rfmSegments(spark, sf))
+    targets.foreach { case (name, df) =>
+      val unpart = allNodes(df)
+        .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      unpart.foreach { w =>
+        val orderRefs = w.orderSpec.flatMap(_.child.references.map(_.name))
+        assert(orderRefs == Seq("_gp"),
+          s"$name has a data-sized unpartitioned window (orders by " +
+          s"${orderRefs.mkString(",")}):\n${w.toString.take(1200)}")
+      }
+    }
+  }
+
   test("kmeansStep assignment broadcasts centroids; update is map-side combined") {
     val df = Similarity.kmeansStep(spark, sf)
     df.collect()

@@ -1569,7 +1569,8 @@ class RelationalSpec extends SparkSpec {
       val gaps = (0 to 2).map(b =>
         (BigInt(mine.count(_ <= b)) * nTot - globalCum(b) * nc).abs).sum
       assert(r.getAs[Long]("class_size") === mine.length.toLong)
-      assert(r.getAs[Long]("t_bp") === (gaps * 10000 / (nc * nTot)).toLong,
+      // ordered-EMD 1/(m−1) normalization: m = 3 bands → divide by 2
+      assert(r.getAs[Long]("t_bp") === (gaps * 10000 / (nc * nTot * 2)).toLong,
         s"t at $key")
       assert(r.getAs[Boolean]("t_risky") ===
         (r.getAs[Long]("t_bp") > 2000L))
