@@ -1746,11 +1746,41 @@ object Similarity {
     * sums are top-k AMONG COLLISION SURVIVORS — the neighborhoods an
     * ANN-served miner actually sees; the margin arithmetic is
     * unchanged.
+    *
+    * Margin saturation on dup-dense corpora is DESIGNED behavior, not
+    * a recall bug: in a corpus where most vectors have many near-twins
+    * (the 10× stress dir duplicates every embedding several times),
+    * every neighborhood's top-k sum inflates toward the pair's own
+    * similarity, the ratio 2k·cs/(Σx+Σy) approaches 1 for ALL pairs,
+    * and nothing clears the 1.02 margin — the criterion is correctly
+    * reporting that no pair stands OUT of its neighborhood. Mining
+    * yield returns the moment the corpus has distinguished pairs.
+    *
+    * Pipelines that already materialized the cross-half candidate
+    * similarities (e.g. to share one banding pass across several
+    * consumers — the [[sharedEmbeddingPairs]] discipline) should call
+    * the [[bitextMine(s:org\.apache\.spark\.sql\.SparkSession,sims:org\.apache\.spark\.sql\.DataFrame,k:Int,marginBp:Long)*]]
+    * overload with [[sharedCrossHalfSims]]' output; this entry builds
+    * that frame once (checkpointed — the margin windows and verify
+    * joins never re-band) and delegates.
     */
   def bitextMine(s: SparkSession, dir: String, k: Int = 4,
                  marginBp: Long = 10200L,
                  planesPerBand: Int = AutoPlanes,
-                 nBands: Int = 24): DataFrame = {
+                 nBands: Int = 24): DataFrame =
+    bitextMine(s, sharedCrossHalfSims(s, dir, planesPerBand, nBands),
+      k, marginBp)
+
+  /** One banding + cross-half collision + exact-cosine pass,
+    * materialized for fan-out: (x, y, cs_u) for every even/odd bucket
+    * collision, cosine quantized to 1e-4 longs. Checkpointed so every
+    * consumer (the mining margin windows, recall audits, diagnostics)
+    * reads the single materialized frame instead of re-running the
+    * band projection and verify joins.
+    */
+  def sharedCrossHalfSims(s: SparkSession, dir: String,
+                          planesPerBand: Int = AutoPlanes,
+                          nBands: Int = 24): DataFrame = {
     import s.implicits._
     val e0 = embDouble(s, dir)
     val r = if (planesPerBand > 0) planesPerBand
@@ -1766,13 +1796,21 @@ object Similarity {
           col("bx.vec_id") % 2 === 0 && col("by.vec_id") % 2 === 1)
       .select(col("bx.vec_id").as("x"), col("by.vec_id").as("y"))
       .distinct()
-    val sims = cand
+    cand
       .join(e.select($"vec_id".as("x"), $"v".as("xv")), Seq("x"))
       .join(e.select($"vec_id".as("y"), $"v".as("yv")), Seq("y"))
       .select($"x", $"y",
         round(vectors.cosineSimilarity($"xv", $"yv") * 10000)
           .cast("long").as("cs_u"))
       .localCheckpoint()
+  }
+
+  /** Margin mining over a precomputed candidate-similarity frame
+    * (x, y, cs_u) — normally [[sharedCrossHalfSims]]' output.
+    */
+  def bitextMine(s: SparkSession, sims: DataFrame, k: Int,
+                 marginBp: Long): DataFrame = {
+    import s.implicits._
     val byX = Window.partitionBy($"x").orderBy($"cs_u".desc, $"y")
     val byY = Window.partitionBy($"y").orderBy($"cs_u".desc, $"x")
     val fwd = sims.withColumn("rn", row_number().over(byX))

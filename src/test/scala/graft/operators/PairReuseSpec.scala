@@ -36,6 +36,21 @@ class PairReuseSpec extends SparkSpec {
     assert(ranks.collect().toSeq === Dedup.nearDupPageRank(spark, sf).collect().toSeq)
   }
 
+  test("bitext mining consumes a shared cross-half sims frame unchanged, " +
+       "and the margin windows never re-band") {
+    val sims = Similarity.sharedCrossHalfSims(spark, sf)
+    val viaShared = Similarity.bitextMine(spark, sims, 4, 10200L)
+    // the consumer plan reads the materialized collision frame: no band
+    // projection (plane dot products) may appear inside it
+    val nodes = planNodes(viaShared)
+    assert(nodes.exists(_.isInstanceOf[RDDScanExec]),
+      "margin windows do not read the checkpointed sims RDD")
+    assert(!nodes.exists(_.toString.contains("bs")),
+      "band projection re-evaluated inside the mining plan")
+    assert(viaShared.collect().toSeq ===
+      Similarity.bitextMine(spark, sf).collect().toSeq)
+  }
+
   test("embedding clusters consume a shared pair frame unchanged") {
     val pairs = Similarity.sharedEmbeddingPairs(spark, sf)
     val viaShared = Similarity.embeddingClusters(spark, pairs).collect().toSeq
