@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.{dates, geo}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -85,10 +85,12 @@ object Streams {
     * exactly once no matter how often its batch replays.
     *
     * Each append adds a file-set per bucket, so a long-lived store
-    * fragments; run [[graft.warehouse.Layout.compactBucketedTable]] in
-    * a maintenance window to rewrite it to one file per bucket — the
-    * probe plan (bucketed, shuffle-free) and results are unchanged,
-    * LayoutSpec pins both.
+    * fragments; the index-appending sinks rewrite it to one file per
+    * bucket every [[CompactEvery]] batches (the `maybeCompact` hook —
+    * [[graft.warehouse.Layout.compactBucketedTable]] between
+    * micro-batches), so the file count stays bounded without a manual
+    * maintenance job. The probe plan (bucketed, shuffle-free) and
+    * results are unchanged; LayoutSpec and StreamingSpec pin both.
     */
   /** Streaming Holt linear-trend monitor — the stateful twin of
     * [[graft.operators.Relational.holtLinear]]: the complete-mode daily
@@ -145,9 +147,9 @@ object Streams {
     * already has.
     */
   def noveltyIndexSink(docs: DataFrame, table: String, targetDir: String,
-                       nBuckets: Int = 8)
+                       nBuckets: Int = 8, compactEvery: Int = CompactEvery)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val manifest = table + "_docs"
       val sel = batch
@@ -181,14 +183,42 @@ object Streams {
           .write.mode(if (spark.catalog.tableExists(manifest)) "append"
             else "overwrite")
           .saveAsTable(manifest)
+        maybeCompact(spark, table, nBuckets, "sh", batchId, compactEvery)
       }
       ()
     }
 
+  /** Default compaction cadence for the index-appending sinks: every
+    * append adds a file-set per bucket, so an uncompacted long-lived
+    * store scans one file per batch ever appended. Rewriting to one
+    * file per bucket every N batches bounds the file count at
+    * nBuckets × N while keeping the probe plan (bucketed, shuffle-free)
+    * and results unchanged — LayoutSpec pins both. 0 disables.
+    */
+  val CompactEvery: Int = 16
+
+  /** OPTIMIZE hook shared by the index-appending sinks: after every
+    * `every` appended micro-batches, rewrite the bucketed store to one
+    * file per bucket via [[graft.warehouse.Layout.compactBucketedTable]].
+    * Runs inside foreachBatch — between micro-batches by construction,
+    * which is exactly the single-writer maintenance window the rewrite's
+    * drop-and-rename swap requires.
+    */
+  private def maybeCompact(spark: SparkSession, table: String,
+                           nBuckets: Int, bucketCol: String,
+                           batchId: Long, every: Int): Unit =
+    if (every > 0 && batchId > 0 && batchId % every == 0 &&
+        spark.catalog.tableExists(table)) {
+      graft.warehouse.Layout.compactBucketedTable(
+        spark, table, nBuckets, bucketCol)
+      ()
+    }
+
   def winnowIndexSink(docs: DataFrame, table: String, k: Int = 4,
-                      w: Int = 4, nBuckets: Int = 8)
+                      w: Int = 4, nBuckets: Int = 8,
+                      compactEvery: Int = CompactEvery)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val sel = graft.operators.TextOps
         .winnowSelectedFrom(batch.select(col("doc_id"), col("text")), k, w)
@@ -201,6 +231,7 @@ object Streams {
       out.write.mode(if (exists) "append" else "overwrite")
         .bucketBy(nBuckets, "h").sortBy("h")
         .saveAsTable(table)
+      maybeCompact(spark, table, nBuckets, "h", batchId, compactEvery)
       ()
     }
 

@@ -301,6 +301,42 @@ class StreamingSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $batchTable")
   }
 
+  test("winnowIndexSink auto-compaction: store contents identical to the " +
+       "uncompacted run, file count bounded") {
+    val tA = "winnow_autocompact_idx"
+    val tB = "winnow_nocompact_idx"
+    Seq(tA, s"${tA}_compacting", tB).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val slices = (0 until 4).map(i => docs.filter(_._1 % 4 == i))
+    def run(table: String, every: Int): Unit = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"winnow-compact-$every").toString
+      val input = MemoryStream[(Long, String)](spark)
+      val q = Streams.winnowIndexSink(
+          input.toDF().toDF("doc_id", "text"), table, compactEvery = every)
+        .option("checkpointLocation", ckpt).start()
+      // 4 micro-batches → ids 0..3; every=2 compacts after batch 2
+      slices.foreach { g => input.addData(g); q.processAllAvailable() }
+      q.stop()
+    }
+    run(tA, 2)
+    run(tB, 0)
+    def contents(t: String) = spark.table(t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(contents(tA) === contents(tB))
+    assert(contents(tA).nonEmpty)
+    val fA = spark.table(tA).inputFiles.length
+    val fB = spark.table(tB).inputFiles.length
+    assert(fA < fB,
+      s"compaction at batch 2 must shrink the file count ($fA vs $fB)")
+    // one compacted file-set (≤ 8) + at most one post-compaction append
+    assert(fA <= 16, s"file count unbounded after compaction: $fA")
+    Seq(tA, tB).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("psiDriftSink: full current half reproduces the batch PSI exactly; " +
        "a shifted batch trips the alarm") {
     val dst = java.nio.file.Files.createTempDirectory("psi-out").toString + "/psi"
