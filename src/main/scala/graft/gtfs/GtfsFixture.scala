@@ -106,6 +106,46 @@ object GtfsFixture {
     ).toDF("run_id", "stop_id", "stop_name", "stop_lat", "stop_lon")
   }
 
+  /** ScaleUp-style multiplied feed, trips side: every fixture trip
+    * cloned `mult` times with a suffixed id — the shape a real feed
+    * takes at metro scale (stop_times is the fact, calendar/stops stay
+    * dim-sized). Built as a literal local relation so plan audits see
+    * accurate size stats: big enough that the fact join must
+    * sort-merge under a realistic broadcast threshold while
+    * calendar/stops still broadcast.
+    */
+  def scaledTrips(s: SparkSession, mult: Int): DataFrame = {
+    import s.implicits._
+    val base = Seq((1L, "WD", "T1"), (1L, "WE", "T2"), (1L, "EXP", "T3"),
+      (1L, "XTRA", "T4"))
+    (0 until mult).flatMap { i =>
+      base.map { case (r, svc, t) => (r, svc, s"${t}_$i") }
+    }.toDF("run_id", "service_id", "trip_id")
+  }
+
+  /** Multiplied stop_times matching [[scaledTrips]]: each clone keeps
+    * its template's calls with a deterministic ≤59 s second offset
+    * (never enough to cross a service-day boundary), so the scaled
+    * arrivals row count is exactly `mult` × the base fixture's.
+    */
+  def scaledStopTimes(s: SparkSession, mult: Int): DataFrame = {
+    import s.implicits._
+    val base = Seq(
+      (1L, "T1", 8L * 3600 + 30 * 60 + 15, "S1"),
+      (1L, "T1", 25L * 3600 + 10 * 60, "S2"),
+      (1L, "T2", 10L * 3600, "S1"),
+      (1L, "T2", 10L * 3600 + 10 * 60, "S2"),
+      (1L, "T3", 9L * 3600, "S3"),
+      (1L, "T3", 9L * 3600 + 30 * 60, "S1"),
+      (1L, "T4", 9L * 3600, "S2"),
+      (1L, "T4", 11L * 3600, "S1"))
+    (0 until mult).flatMap { i =>
+      base.map { case (r, t, at, stop) =>
+        (r, s"${t}_$i", at + i % 60, stop, at + i % 60 + 60)
+      }
+    }.toDF("run_id", "trip_id", "arrival_time", "stop_id", "departure_time")
+  }
+
   /** The flagship query over the fixture: full-fidelity arrivals
     * (weekday expansion + both calendar_dates exception kinds) for the
     * window Mon 2019-02-18 .. Mon 2019-02-25 (exclusive), event time

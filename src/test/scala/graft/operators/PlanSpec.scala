@@ -127,6 +127,39 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters:") && plan.contains("end_date"), plan.take(1500))
   }
 
+  test("scaled GTFS feed: calendar/stops broadcast, the stop_times fact " +
+       "join sort-merges — AQE join selection beyond the toy fixture") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import graft.gtfs.{ArrivalsQuery, GtfsFixture}
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // realistic relative threshold: dims (3-row calendar/stops) fit,
+    // the mult×-cloned trips/stop_times fact sides do not
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (32 * 1024).toString)
+    try {
+      val mult = 2000
+      def scaled = ArrivalsQuery.arrivalsWithExceptions(
+        GtfsFixture.calendar(spark), GtfsFixture.calendarDates(spark),
+        GtfsFixture.scaledTrips(spark, mult),
+        GtfsFixture.scaledStopTimes(spark, mult),
+        GtfsFixture.stops(spark), "2019-02-18", "2019-02-25")
+      val nodes = allNodes(scaled)
+      assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+        "calendar and stops must broadcast against the scaled fact")
+      assert(nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+          n.isInstanceOf[ShuffledHashJoinExec]),
+        "the trips⋈stop_times fact join must shuffle, never broadcast a " +
+        "scaled side")
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+      // semantics survive the scale-up: exactly mult × the base arrivals
+      val baseCount = ArrivalsQuery.arrivalsWithExceptions(
+        GtfsFixture.calendar(spark), GtfsFixture.calendarDates(spark),
+        GtfsFixture.trips(spark), GtfsFixture.stopTimes(spark),
+        GtfsFixture.stops(spark), "2019-02-18", "2019-02-25").count()
+      assert(scaled.count() === mult * baseCount)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("shared-chunk self-join reuses one exchange for both sides") {
     // the df-cap window shuffles on ch — the same key the self-join
     // needs — so the expensive chunking pass must be computed once and
