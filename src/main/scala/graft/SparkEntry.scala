@@ -183,6 +183,11 @@ object SparkEntry {
     "q_ngram_novelty" -> TextOps.ngramNovelty,
     "q_skyline_docs" -> TextOps.skylineDocs,
     "q_sprt_monitor" -> ((s, dir) => Events.sprtMonitor(s, dir)),
+    "q_markov_attribution" -> ((s, dir) => Events.markovAttribution(s, dir)),
+    "q_label_centroid_shift" ->
+      ((s, dir) => Similarity.labelCentroidShift(s, dir)),
+    "q_negative_sampling" -> ((s, dir) => TextOps.negativeSampling(s, dir)),
+    "q_fdr_bh" -> ((s, dir) => Relational.fdrBhNations(s, dir)),
     "q_energy_distance" -> ((s, dir) => Events.energyDistance(s, dir)),
     "q_funnel_latency" -> ((s, dir) => Events.funnelLatency(s, dir)),
     "q_youden_cutoff" -> ((s, dir) => TextOps.youdenCutoff(s, dir)),
@@ -821,6 +826,78 @@ object SparkEntry {
        FROM states s JOIN emp e ON e.t = s.t CROSS JOIN g
          LEFT JOIN r$iters r ON r.t = s.t
        ORDER BY event_type"""
+  }
+
+  /** Removal-effect attribution oracle: the exact ppm value-iteration
+    * rounds of Events.markovAttribution unrolled as generated CTEs over
+    * a (removed-channel × state) grid — one CTE per round, the removal
+    * variants riding as grid rows rather than per-channel CTE chains.
+    */
+  private def markovAttributionOracle(target: String, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT g.rc, g.t,
+           CAST(coalesce(x.acc, 0) AS BIGINT) AS pv
+         FROM grid g LEFT JOIN (
+           SELECT mm.rc, mm.from_t,
+             CAST(sum(mm.p_ppm * (CASE WHEN mm.to_t = '__conv'
+               THEN 1000000 WHEN mm.to_t = '__null' THEN 0
+               ELSE coalesce(pp.pv, 0) END)) // 1000000 AS BIGINT) AS acc
+           FROM mrc mm LEFT JOIN p${i - 1} pp
+             ON pp.rc = mm.rc AND pp.t = mm.to_t
+           GROUP BY 1, 2) x ON x.rc = g.rc AND x.from_t = g.t)"""
+    }.mkString(",\n       ")
+    s"""WITH ev AS (SELECT user_id, event_type, ts, event_id,
+           coalesce(sum(CASE WHEN event_type = '$target' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+         FROM events),
+       tr AS (SELECT
+           coalesce(lag(event_type) OVER wj, '__start') AS from_t,
+           CASE WHEN event_type = '$target' THEN '__conv'
+             ELSE event_type END AS to_t,
+           lead(event_type) OVER wj AS nxt, event_type AS et
+         FROM ev WINDOW wj AS (PARTITION BY user_id, jid
+           ORDER BY ts, event_id)),
+       st AS (SELECT from_t, to_t FROM tr
+         UNION ALL SELECT et, '__null' FROM tr
+           WHERE nxt IS NULL AND et <> '$target'),
+       c AS MATERIALIZED (SELECT from_t, to_t, CAST(count(*) AS BIGINT) AS n
+         FROM st GROUP BY 1, 2),
+       ot AS (SELECT from_t, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+       m AS MATERIALIZED (SELECT c.from_t, c.to_t,
+           CAST(n * 1000000 // tot AS BIGINT) AS p_ppm
+         FROM c JOIN ot USING (from_t)),
+       ch AS MATERIALIZED (SELECT DISTINCT t FROM (
+           SELECT from_t AS t FROM c WHERE from_t <> '__start'
+           UNION SELECT to_t FROM c WHERE to_t NOT IN ('__conv', '__null'))),
+       rcs AS MATERIALIZED (SELECT '__none' AS rc UNION ALL SELECT t FROM ch),
+       mrc AS MATERIALIZED (SELECT r.rc, m.from_t,
+           CASE WHEN m.to_t = r.rc THEN '__null' ELSE m.to_t END AS to_t,
+           CAST(sum(p_ppm) AS BIGINT) AS p_ppm
+         FROM m CROSS JOIN rcs r WHERE m.from_t <> r.rc GROUP BY 1, 2, 3),
+       grid AS MATERIALIZED (SELECT r.rc, g.t
+         FROM rcs r CROSS JOIN (SELECT '__start' AS t
+           UNION ALL SELECT t FROM ch) g
+         WHERE g.t <> r.rc),
+       p0 AS MATERIALIZED (SELECT rc, t, CAST(0 AS BIGINT) AS pv FROM grid),
+       $rounds,
+       pf AS (SELECT pv AS p_full FROM p$iters
+         WHERE rc = '__none' AND t = '__start'),
+       re AS (SELECT rc AS channel, pv AS p_removed, p_full,
+           p_full - pv AS removal
+         FROM p$iters CROSS JOIN pf WHERE rc <> '__none' AND t = '__start'),
+       sp AS (SELECT CAST(sum(CASE WHEN removal > 0 THEN removal ELSE 0 END)
+           AS BIGINT) AS spos FROM re),
+       nout AS (SELECT from_t AS channel, CAST(sum(n) AS BIGINT) AS n_out
+         FROM c WHERE from_t <> '__start' GROUP BY 1)
+       SELECT r.channel, n.n_out,
+         CAST(p_full AS BIGINT) AS p_full_ppm,
+         CAST(p_removed AS BIGINT) AS p_removed_ppm,
+         CAST(removal AS BIGINT) AS removal_ppm,
+         CAST(CASE WHEN spos > 0 AND removal > 0
+           THEN removal * 1000000 // spos ELSE 0 END AS BIGINT) AS attr_ppm
+       FROM re r JOIN nout n USING (channel) CROSS JOIN sp
+       ORDER BY r.channel"""
   }
 
   /** Absorption-steps oracle: the exact milli-step value-iteration
@@ -5272,6 +5349,104 @@ object SparkEntry {
          FROM p GROUP BY 1, 2 ORDER BY s1, s2""",
     "q_markov_stationary" -> markovStationaryOracle(20),
     "q_absorption_steps" -> absorptionStepsOracle("purchase", 25),
+    "q_markov_attribution" -> markovAttributionOracle("purchase", 25),
+    "q_label_centroid_shift" ->
+      """WITH x AS (SELECT label, d, CAST(round(x * 1000000.0) AS BIGINT)
+             AS xu
+           FROM (SELECT label, unnest(generate_series(1, len(v))) AS d,
+               unnest(v) AS x
+             FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings))),
+         bl AS (SELECT label, d, CAST(sum(xu) AS BIGINT) AS sx,
+             CAST(count(*) AS BIGINT) AS n
+           FROM x GROUP BY 1, 2),
+         g AS (SELECT d, CAST(sum(sx) AS BIGINT) AS gx,
+             CAST(sum(n) AS BIGINT) AS gn FROM bl GROUP BY 1),
+         j AS (SELECT label, n, (sx // n) - (gx // gn) AS dd
+           FROM bl JOIN g USING (d))
+         SELECT label, max(n) AS n_vecs,
+           CAST(sum(dd * dd) AS BIGINT) AS dist_sq_u2,
+           CAST(floor(sqrt(CAST(sum(dd * dd) AS DOUBLE))) AS BIGINT)
+             AS shift_u
+         FROM j GROUP BY label ORDER BY label""",
+    "q_negative_sampling" ->
+      s"""WITH f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY tok
+           ORDER BY freq DESC, tok LIMIT 100),
+         wts AS (SELECT tok, freq,
+             CAST(floor(sqrt(sqrt(CAST(freq * freq * freq AS DOUBLE)))
+               * 1000) AS BIGINT) AS w
+           FROM f),
+         rng AS (SELECT tok, freq, w,
+             CAST(sum(w) OVER (ORDER BY freq DESC, tok ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi,
+             CAST(sum(w) OVER () AS BIGINT) AS w_tot
+           FROM wts),
+         rng2 AS (SELECT tok, freq, w, hi - w AS lo, hi, w_tot FROM rng),
+         draws AS (SELECT CAST(concat('0x',
+             substring(md5(concat('neg:', CAST(i AS VARCHAR))), 1, 15))
+             AS BIGINT) % w_tot AS u
+           FROM generate_series(0, 1999) t(i)
+             CROSS JOIN (SELECT DISTINCT w_tot FROM rng2)),
+         dr AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_drawn
+           FROM draws JOIN rng2 ON u >= lo AND u < hi GROUP BY tok)
+         SELECT r.tok, r.freq, r.w AS w_u,
+           CAST(r.w * 1000000 // r.w_tot AS BIGINT) AS exp_ppm,
+           CAST(coalesce(dr.n_drawn, 0) AS BIGINT) AS n_drawn,
+           CAST(coalesce(dr.n_drawn, 0) * 1000000 // 2000 AS BIGINT)
+             AS drawn_ppm
+         FROM rng2 r LEFT JOIN dr USING (tok)
+         ORDER BY r.freq DESC, r.tok""",
+    "q_fdr_bh" ->
+      """WITH c0 AS (SELECT c_nationkey, CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+           FROM orders JOIN customer ON c_custkey = o_custkey
+           GROUP BY 1, 2),
+         cells AS MATERIALIZED (SELECT c_nationkey, cents,
+             concat(lpad(CAST(c_nationkey AS VARCHAR), 4, '0'), ':',
+               CAST(day AS VARCHAR)) AS cell_key
+           FROM c0),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(cents) AS BIGINT) AS s_all FROM cells),
+         vals AS (SELECT CAST(row_number() OVER (ORDER BY cell_key)
+             AS BIGINT) AS rb, cents AS pcents FROM cells),
+         ps AS (SELECT unnest(generate_series(0, 64)) AS p),
+         px AS (SELECT p, c_nationkey,
+             CASE WHEN p = 0 THEN cell_key
+               ELSE md5(concat('fdr:', CAST(p AS VARCHAR), ':', cell_key))
+             END AS ok
+           FROM cells CROSS JOIN ps),
+         pr AS (SELECT p, c_nationkey,
+             CAST(row_number() OVER (PARTITION BY p ORDER BY ok) AS BIGINT)
+               AS rp
+           FROM px),
+         pj AS (SELECT p, c_nationkey, CAST(sum(pcents) AS BIGINT) AS s_n,
+             CAST(count(*) AS BIGINT) AS c_n
+           FROM pr JOIN vals ON rp = rb GROUP BY 1, 2),
+         ts AS (SELECT p, c_nationkey, c_n,
+             abs(CAST(s_n AS HUGEINT) * n_cells
+               - CAST(s_all AS HUGEINT) * c_n) AS t_stat
+           FROM pj CROSS JOIN tt),
+         ob AS (SELECT c_nationkey, c_n AS n_days, t_stat AS t_obs
+           FROM ts WHERE p = 0),
+         pv AS (SELECT t.c_nationkey, max(o.n_days) AS n_days,
+             max(o.t_obs) AS t_obs,
+             CAST(sum(CASE WHEN t.t_stat >= o.t_obs THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_ge
+           FROM ts t JOIN ob o USING (c_nationkey)
+           WHERE t.p >= 1 GROUP BY 1),
+         pm AS (SELECT c_nationkey, n_days, t_obs, n_ge,
+             CAST((1 + n_ge) * 1000 // 65 AS BIGINT) AS p_milli FROM pv),
+         bh AS (SELECT *, CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(row_number() OVER (ORDER BY p_milli, c_nationkey)
+               AS BIGINT) AS rk
+           FROM pm),
+         bh2 AS (SELECT *, CAST(max(CASE WHEN p_milli * m <= rk * 100
+             THEN rk ELSE 0 END) OVER () AS BIGINT) AS k_star FROM bh)
+         SELECT c_nationkey, n_days, CAST(t_obs AS BIGINT) AS t_obs, n_ge,
+           p_milli, rk, k_star, rk <= k_star AS rejected
+         FROM bh2 ORDER BY c_nationkey""",
     "q_price_elasticity" ->
       """WITH p AS (SELECT p_partkey, p_brand,
            CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents

@@ -420,6 +420,86 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2016's chain
+    * model, the data-driven successor to last-touch/linear rules): each
+    * user's event stream splits into journeys at purchases, a
+    * first-order chain is fit over ('__start', channels, '__conv',
+    * '__null'), and a channel's credit is its REMOVAL EFFECT — how much
+    * the start→conversion probability drops when every hop into that
+    * channel is redirected to the null sink. Probabilities come from
+    * `iters` rounds of exact ppm value iteration (one floor AFTER each
+    * per-state sum — the [[markovStationary]] discipline — so both
+    * engines replay the trajectory bit-for-bit; the oracle unrolls the
+    * rounds over a (removed-channel × state) grid). Attribution shares
+    * normalize over the positive removal effects only, keeping every
+    * division nonnegative where trunc/floor semantics could diverge.
+    * Matrix is |channels|²-bounded; journeys/transitions are one
+    * windowed scan; the fold runs driver-side over the collected
+    * |channels|² matrix.
+    */
+  def markovAttribution(s: SparkSession, dir: String,
+                        target: String = "purchase",
+                        iters: Int = 25): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val base = Tables(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("jid", coalesce(
+        sum(when($"event_type" === target, 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wj = Window.partitionBy($"user_id", $"jid").orderBy($"ts", $"event_id")
+    val tr = base
+      .withColumn("from_t", coalesce(lag($"event_type", 1).over(wj),
+        lit("__start")))
+      .withColumn("to_t", when($"event_type" === target, lit("__conv"))
+        .otherwise($"event_type"))
+      .withColumn("nxt", lead($"event_type", 1).over(wj))
+    val counts = tr.select($"from_t", $"to_t")
+      .unionAll(tr.filter($"nxt".isNull && $"event_type" =!= target)
+        .select($"event_type".as("from_t"), lit("__null").as("to_t")))
+      .groupBy($"from_t", $"to_t").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val channels = (counts.map(_._1).filter(_ != "__start") ++
+      counts.map(_._2).filterNot(Set("__conv", "__null"))).distinct.sorted
+    val outTot = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val pPpm = counts.map { case (f, t, n) =>
+      (f, t) -> n * 1000000L / outTot(f)
+    }.toMap
+    // start→conversion ppm with `removed` redirected into the null sink
+    def converge(removed: String): Long = {
+      val transient = "__start" +: channels.filterNot(_ == removed)
+      var p = transient.map(_ -> 0L).toMap
+      for (_ <- 1 to iters) {
+        p = transient.map { i =>
+          i -> channels.union(Seq("__conv", "__null")).map { j0 =>
+            val j = if (j0 == removed) "__null" else j0
+            val v = j match {
+              case "__conv" => 1000000L
+              case "__null" => 0L
+              case c        => p.getOrElse(c, 0L)
+            }
+            pPpm.getOrElse((i, j0), 0L) * v
+          }.sum / 1000000L
+        }.toMap
+      }
+      p("__start")
+    }
+    val pFull = converge("")
+    val res = channels.map { c =>
+      val pc = converge(c)
+      (c, outTot.getOrElse(c, 0L), pFull, pc, pFull - pc)
+    }
+    val sPos = res.map(r => math.max(r._5, 0L)).sum
+    val rows = res.map { case (c, nOut, pf, pc, re) =>
+      val attr = if (sPos > 0 && re > 0) re * 1000000L / sPos else 0L
+      (c, nOut, pf, pc, re, attr)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1))
+      .toDF("channel", "n_out", "p_full_ppm", "p_removed_ppm",
+        "removal_ppm", "attr_ppm")
+      .orderBy($"channel")
+  }
+
   /** Distinct cardinalities: exact countDistinct per type (the HLL
     * approx_count_distinct variant lives in the same plan shape; exact is
     * what an oracle can check).

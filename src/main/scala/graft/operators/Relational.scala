@@ -2911,4 +2911,78 @@ object Relational {
         expr("risky_rows * 10000 div n_rows").as("risky_share_bp"))
       .orderBy($"c_nationkey", $"c_mktsegment")
   }
+
+  /** Benjamini–Hochberg FDR over a 25-hypothesis family — the
+    * multiple-testing control every per-segment dashboard needs once it
+    * tests 25 nations at once (at α=0.10, 2-3 nominally-significant
+    * segments are EXPECTED under the null; BH is what separates a real
+    * effect from that). Per nation: a permutation test of its daily
+    * revenue mass against the others' — statistic |s_n·N − S·c_n| (the
+    * cross-multiplied mean gap, constant-denominator exact), observed
+    * (perm 0, identity) vs `perms` seeded md5 re-assignments of the
+    * day-cell values across nations (cell counts per nation fixed, so
+    * only s_n varies — the [[cusumArl]] determinism trick), p =
+    * (1+#{perm ≥ obs})/(perms+1) in milli. Then the BH step-up: sort p
+    * ascending, reject ranks ≤ k* = max{k : p_k·m ≤ k·α} via
+    * cross-multiplied integers. Scale: cells are nation×calendar
+    * bounded (constant in data size), so every window here runs on a
+    * bounded frame; the heavy part — the day rollup — is one
+    * map-side-combined groupBy over the fact join.
+    */
+  def fdrBhNations(s: SparkSession, dir: String, perms: Int = 64,
+                   alphaPct: Int = 10): DataFrame = {
+    import s.implicits._
+    val dec = "DECIMAL(38,0)"
+    val cells = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey".as("o_custkey"), $"c_nationkey"), Seq("o_custkey"))
+      .groupBy($"c_nationkey", $"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .withColumn("cell_key", concat(
+        lpad($"c_nationkey".cast("string"), 4, "0"), lit(":"),
+        $"day".cast("string")))
+      .localCheckpoint() // value ranks, perm grid, totals all read it
+    val totals = cells.agg(count(lit(1)).as("n_cells"),
+      sum($"cents").as("s_all"))
+    val vals = cells
+      .withColumn("rb", row_number().over(Window.orderBy($"cell_key"))
+        .cast("long"))
+      .select($"rb", $"cents".as("pcents"))
+    val ps = s.range(perms + 1).toDF("p")
+    val permed = cells.select($"c_nationkey", $"cell_key").crossJoin(ps)
+      .withColumn("ok", when($"p" === 0, $"cell_key")
+        .otherwise(md5(concat(lit("fdr:"), $"p".cast("string"), lit(":"),
+          $"cell_key"))))
+      .withColumn("rp", row_number().over(
+        Window.partitionBy($"p").orderBy($"ok")).cast("long"))
+      .join(vals, $"rp" === $"rb")
+      .groupBy($"p", $"c_nationkey")
+      .agg(sum($"pcents").as("s_n"), count(lit(1)).as("c_n"))
+      .crossJoin(broadcast(totals))
+      .withColumn("t_stat", abs($"s_n".cast(dec) * $"n_cells" -
+        $"s_all".cast(dec) * $"c_n"))
+    val obs = permed.filter($"p" === 0)
+      .select($"c_nationkey", $"c_n".as("n_days"), $"t_stat".as("t_obs"))
+    val pvals = permed.filter($"p" >= 1)
+      .join(obs, Seq("c_nationkey"))
+      .groupBy($"c_nationkey")
+      .agg(max($"n_days").as("n_days"), max($"t_obs").as("t_obs"),
+        sum(when($"t_stat" >= $"t_obs", 1L).otherwise(0L)).as("n_ge"))
+      .withColumn("p_milli",
+        expr(s"(1 + n_ge) * 1000 div ${perms + 1}"))
+    // BH step-up over the m=|nations| family: bounded 25-row windows
+    val asc = Window.orderBy($"p_milli", $"c_nationkey")
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    pvals
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("rk", row_number().over(asc).cast("long"))
+      .withColumn("pass", $"p_milli" * $"m" <= $"rk" * (alphaPct * 10L))
+      .withColumn("k_star", max(when($"pass", $"rk").otherwise(0L)).over(all))
+      .select($"c_nationkey", $"n_days",
+        graft.functions.num.toLongChecked($"t_obs", "t_obs").as("t_obs"),
+        $"n_ge", $"p_milli", $"rk", $"k_star",
+        ($"rk" <= $"k_star").as("rejected"))
+      .orderBy($"c_nationkey")
+  }
 }

@@ -1932,4 +1932,40 @@ object Similarity {
         $"n_probes", $"sum_s_u")
       .orderBy($"rank")
   }
+
+  /** Per-label embedding centroid shift — how far each label's mean
+    * vector sits from the corpus mean, the one-number-per-slice audit
+    * for "is this subpopulation embedded somewhere else" (a large
+    * shift on a source/label slice predicts that classifiers and ANN
+    * recall behave differently there; near-zero shifts mean the slice
+    * is interchangeable with the corpus). Exactness: components
+    * quantize to 1e-6 longs BEFORE any aggregation (integer sums are
+    * order-free where float means are not), centroids are floor
+    * divisions, the shift is the integer L2² of centroid deltas plus
+    * one IEEE sqrt+floor — every step engine-identical. Scale: one
+    * fan-out of (label, dim, x_u) into a map-side-combined groupBy on
+    * ≤ |labels|·dim keys; the GLOBAL centroid derives from the label
+    * rollup (one corpus scan total, no second pass); everything after
+    * is |labels|·dim-bounded.
+    */
+  def labelCentroidShift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byLabel = Tables(s, dir, "embeddings")
+      .select($"label",
+        posexplode(vectors.toDoubleArray($"embedding")).as(Seq("d", "x")))
+      .select($"label", $"d", round($"x" * 1e6).cast("long").as("xu"))
+      .groupBy($"label", $"d")
+      .agg(sum($"xu").as("sx"), count(lit(1)).as("n"))
+      .localCheckpoint() // global rollup + join side both read it
+    val global = byLabel.groupBy($"d")
+      .agg(sum($"sx").as("gx"), sum($"n").as("gn"))
+    byLabel.join(global, Seq("d"))
+      .withColumn("dd", expr("sx div n - gx div gn"))
+      .groupBy($"label")
+      .agg(max($"n").as("n_vecs"),
+        sum($"dd" * $"dd").as("dist_sq_u2")) // ≤ dim·(2e6)² ≪ 2⁶³
+      .select($"label", $"n_vecs", $"dist_sq_u2",
+        floor(sqrt($"dist_sq_u2".cast("double"))).cast("long").as("shift_u"))
+      .orderBy($"label")
+  }
 }

@@ -2618,6 +2618,58 @@ object TextOps {
           ($"n_tokens" * $"sx2" - $"sx" * $"sx"), 4).as("slope"))
   }
 
+  /** Word2vec-style negative-sampling table + draw audit: the top-`vocab`
+    * tokens weighted by freq^(3/4) (Mikolov et al. 2013's unigram
+    * smoothing — the 3/4 power lifts rare words enough that negatives
+    * aren't all stopwords), materialized as cumulative [lo, hi) ranges,
+    * then `nSamples` deterministic md5 draws assigned through the
+    * inverse-CDF range join so expected vs drawn share is auditable in
+    * ppm. Exactness: freq^0.75 = sqrt(sqrt(freq³)) — two IEEE
+    * correctly-rounded sqrts on an exactly-represented integer cube
+    * (freq < 2¹⁷ holds for any per-token count this audit would run on;
+    * beyond that, pre-bucket counts), so no libm pow whose last ulp
+    * differs across engines; draws are 60-bit md5 ints mod the weight
+    * total. Scale: the token count is the map-side-combined groupBy,
+    * the range table is vocab-bounded (broadcast), draws are one
+    * generator scan — the range join is draws × broadcast(vocab), never
+    * a shuffle.
+    */
+  def negativeSampling(s: SparkSession, dir: String, vocab: Int = 100,
+                       nSamples: Int = 2000): DataFrame = {
+    import s.implicits._
+    val bounded = Window.orderBy($"freq".desc, $"tok") // ≤ vocab rows
+    val ranges = docsFanned(s, dir)
+      .select(explode(text.tokensLower($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"tok").limit(vocab)
+      .withColumn("w",
+        floor(sqrt(sqrt(($"freq" * $"freq" * $"freq").cast("double"))) * 1000)
+          .cast("long"))
+      .withColumn("hi", sum($"w").over(
+        bounded.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lo", $"hi" - $"w")
+      .withColumn("w_tot", sum($"w").over(
+        bounded.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .localCheckpoint() // draw assignment + presentation both read it
+    val tot = ranges.agg(max($"w_tot").as("w_tot"))
+    val draws = s.range(nSamples).toDF("i")
+      .crossJoin(broadcast(tot)) // 1-row scalar frame
+      .select((conv(substring(md5(concat(lit("neg:"), $"i".cast("string"))),
+        1, 15), 16, 10).cast("long") % $"w_tot").as("u"))
+    val drawn = draws
+      .join(broadcast(ranges.select($"tok", $"lo", $"hi")),
+        $"u" >= $"lo" && $"u" < $"hi")
+      .groupBy($"tok").agg(count(lit(1)).as("n_drawn"))
+    ranges.join(drawn, Seq("tok"), "left")
+      .select($"tok", $"freq", $"w".as("w_u"),
+        expr("w * 1000000 div w_tot").as("exp_ppm"),
+        coalesce($"n_drawn", lit(0L)).as("n_drawn"),
+        expr(s"coalesce(n_drawn, 0) * 1000000 div $nSamples")
+          .as("drawn_ppm"))
+      .orderBy($"freq".desc, $"tok")
+  }
+
   /** Token co-occurrence lift over a bounded vocabulary: the top-`vocab`
     * tokens by document frequency, paired within documents, scored by
     * pointwise lift `n_ab·N / (df_a·df_b)` (PMI sans the log — the log
