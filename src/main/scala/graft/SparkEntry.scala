@@ -197,6 +197,8 @@ object SparkEntry {
       ((s, _) => gtfs.GtfsFixture.frequenciesOracleQuery(s)),
     "q_gtfs_connections" ->
       ((s, _) => gtfs.GtfsFixture.connectionsOracleQuery(s)),
+    "q_gtfs_earliest_arrival" ->
+      ((s, _) => gtfs.GtfsFixture.earliestArrivalOracleQuery(s)),
     "q_heaps_law" -> TextOps.heapsLaw,
     "q_neyman_alloc" -> ((s, dir) => Events.neymanAllocation(s, dir)),
     "q_burrows_delta" -> ((s, dir) => TextOps.burrowsDelta(s, dir)),
@@ -826,6 +828,59 @@ object SparkEntry {
        FROM states s JOIN emp e ON e.t = s.t CROSS JOIN g
          LEFT JOIN r$iters r ON r.t = s.t
        ORDER BY event_type"""
+  }
+
+  /** Earliest-arrival oracle: Bellman-Ford label-relaxation rounds of
+    * ArrivalsQuery.earliestArrivals unrolled as generated CTEs over the
+    * fixture feed (origin S1, 08:00, service day 2019-02-21).
+    */
+  private def gtfsEarliestArrivalOracle(rounds: Int): String = {
+    val rcte = (1 to rounds).map { i =>
+      s"""l$i AS (SELECT run_id, stop_id, CAST(min(cand) AS BIGINT) AS best
+         FROM (
+           SELECT run_id, stop_id, best AS cand FROM l${i - 1}
+           UNION ALL SELECT g.run_id, g.to_stop AS stop_id, g.arr AS cand
+             FROM l${i - 1} l JOIN legs g ON g.run_id = l.run_id
+               AND g.from_stop = l.stop_id AND l.best <= g.dep
+           UNION ALL SELECT f.run_id, f.to_stop_id AS stop_id,
+               l.best + f.mtt AS cand
+             FROM l${i - 1} l JOIN foot f ON f.run_id = l.run_id
+               AND f.from_stop_id = l.stop_id)
+         GROUP BY 1, 2)"""
+    }.mkString(",\n         ")
+    s"""WITH $gtfsArrivalCtes,
+         act AS (SELECT DISTINCT run_id, trip_id FROM unioned
+           WHERE service_date = DATE '2019-02-21'),
+         stt AS (SELECT st.run_id, st.trip_id, st.stop_id,
+             st.departure_time,
+             lead(st.stop_id) OVER w AS to_stop,
+             lead(st.arrival_time) OVER w AS arr
+           FROM st JOIN act USING (run_id, trip_id)
+           WINDOW w AS (PARTITION BY st.run_id, st.trip_id
+             ORDER BY st.arrival_time)),
+         legs AS (SELECT run_id, stop_id AS from_stop,
+             CAST(departure_time AS BIGINT) AS dep, to_stop,
+             CAST(arr AS BIGINT) AS arr
+           FROM stt WHERE to_stop IS NOT NULL),
+         tx(run_id, from_stop_id, to_stop_id, transfer_type,
+             min_transfer_time) AS (VALUES
+             (1, 'S1', 'S2', 2, 300), (1, 'S2', 'S1', 0, NULL),
+             (1, 'S1', 'S3', 3, 0)),
+         foot AS (SELECT run_id, from_stop_id, to_stop_id,
+             CAST(coalesce(min_transfer_time, 0) AS BIGINT) AS mtt
+           FROM tx WHERE coalesce(transfer_type, 0) <> 3),
+         l0 AS (SELECT run_id, stop_id, CAST(28800 AS BIGINT) AS best
+           FROM sp WHERE stop_id = 'S1'),
+         $rcte
+         SELECT CAST(sp.run_id AS BIGINT) AS run_id, sp.stop_id,
+           sp.stop_name, lr.best AS arr_secs,
+           CASE WHEN lr.best IS NULL THEN NULL
+             ELSE strftime(CAST(DATE '2019-02-21' AS TIMESTAMP)
+               + lr.best * INTERVAL 1 SECOND,
+               '%Y-%m-%d %H:%M:%S.%f') || '0' END AS arr_time
+         FROM sp LEFT JOIN l$rounds lr
+           ON lr.run_id = sp.run_id AND lr.stop_id = sp.stop_id
+         ORDER BY sp.run_id, sp.stop_id"""
   }
 
   /** Removal-effect attribution oracle: the exact ppm value-iteration
@@ -5350,6 +5405,7 @@ object SparkEntry {
     "q_markov_stationary" -> markovStationaryOracle(20),
     "q_absorption_steps" -> absorptionStepsOracle("purchase", 25),
     "q_markov_attribution" -> markovAttributionOracle("purchase", 25),
+    "q_gtfs_earliest_arrival" -> gtfsEarliestArrivalOracle(4),
     "q_label_centroid_shift" ->
       """WITH x AS (SELECT label, d, CAST(round(x * 1000000.0) AS BIGINT)
              AS xu

@@ -280,6 +280,85 @@ object ArrivalsQuery {
           .as("wait_secs"))
   }
 
+  /** Multi-leg earliest-arrival journey planning over one service day —
+    * the query the reference's loaded-but-never-queried transfers table
+    * exists to serve: from `originStop` at `departSecs`, the earliest
+    * reachable time at EVERY stop, allowing any number of ride legs
+    * (consecutive in-trip calls of trips active on `serviceDate`, board
+    * when the label at the from-stop ≤ departure) and transfer legs
+    * (transfers.txt edges, type 3 excluded, label + min_transfer_time).
+    * Solved by `maxRounds` Bellman-Ford label-relaxation rounds — each
+    * round is one join of the bounded label frame against the legs,
+    * plus a min-rollup; a round is a JOURNEY LEG bound, so 4 rounds
+    * covers 4-leg itineraries (extend for hub-and-spoke feeds). All
+    * arithmetic is integer seconds; unreachable stops report NULL.
+    *
+    * Scale: legs are stop_times-sized, built once (one window pass over
+    * the active subset) and checkpointed; the label frame is
+    * stop-bounded, so every round is a small-side join against the
+    * materialized legs — never a re-expansion, never a cartesian.
+    * Reference tables: transfers per 05-create-schema.sh:163-182;
+    * activity semantics shared with [[arrivalsWithExceptions]].
+    */
+  def earliestArrivals(calendar: DataFrame, calendarDates: DataFrame,
+                       trips: DataFrame, stopTimes: DataFrame,
+                       stops: DataFrame, transfers: DataFrame,
+                       originStop: String, serviceDate: String,
+                       departSecs: Long, maxRounds: Int = 4): DataFrame = {
+    val s = stopTimes.sparkSession
+    import s.implicits._
+    val nextDay = java.time.LocalDate.parse(serviceDate).plusDays(1).toString
+    val active = arrivalsWithExceptions(calendar, calendarDates, trips,
+        stopTimes, stops, serviceDate, nextDay)
+      .select(col("run_id"), col("trip_id")).distinct()
+    val wTrip = Window.partitionBy(col("run_id"), col("trip_id"))
+      .orderBy(col("arrival_time"))
+    val legs = stopTimes.join(active, Seq("run_id", "trip_id"))
+      .withColumn("to_stop", lead(col("stop_id"), 1).over(wTrip))
+      .withColumn("arr", lead(col("arrival_time"), 1).over(wTrip))
+      .filter(col("to_stop").isNotNull)
+      .select(col("run_id"), col("stop_id").as("from_stop"),
+        col("departure_time").cast("long").as("dep"),
+        col("to_stop"), col("arr").cast("long").as("arr"))
+      .localCheckpoint() // re-read every relaxation round
+    val foot = transfers
+      .filter(coalesce(col("transfer_type"), lit(0)) =!= 3)
+      .select(col("run_id"), col("from_stop_id").as("from_stop"),
+        col("to_stop_id").as("to_stop"),
+        coalesce(col("min_transfer_time"), lit(0)).cast("long").as("mtt"))
+      .localCheckpoint()
+    var labels = stops.filter(col("stop_id") === originStop)
+      .select(col("run_id"), col("stop_id")).distinct()
+      .withColumn("best", lit(departSecs))
+      .localCheckpoint()
+    for (_ <- 1 to maxRounds) {
+      val ride = labels
+        .join(legs, labels("run_id") === legs("run_id") &&
+          labels("stop_id") === legs("from_stop") && col("best") <= col("dep"))
+        .select(legs("run_id"), col("to_stop").as("stop_id"),
+          col("arr").as("cand"))
+      val walk = labels
+        .join(foot, labels("run_id") === foot("run_id") &&
+          labels("stop_id") === foot("from_stop"))
+        .select(foot("run_id"), col("to_stop").as("stop_id"),
+          (col("best") + col("mtt")).as("cand"))
+      labels = labels.select(col("run_id"), col("stop_id"),
+          col("best").as("cand"))
+        .unionAll(ride).unionAll(walk)
+        .groupBy(col("run_id"), col("stop_id"))
+        .agg(min(col("cand")).as("best"))
+        .localCheckpoint()
+    }
+    stops.select(col("run_id"), col("stop_id"), col("stop_name"))
+      .join(labels, Seq("run_id", "stop_id"), "left")
+      .select(col("run_id"), col("stop_id"), col("stop_name"),
+        col("best").as("arr_secs"),
+        when(col("best").isNotNull, dates.gtfsLocalTimeString(
+          dates.gtfsEventTimestamp(to_date(lit(serviceDate)), col("best"))))
+          .as("arr_time"))
+      .orderBy(col("run_id"), col("stop_id"))
+  }
+
   /** Kafka-ready JSON shaping with the reference's exact field names and
     * 7-fractional-digit local-time (domain/GtfsArrival.java:20-36).
     */

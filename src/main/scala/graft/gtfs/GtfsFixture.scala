@@ -165,6 +165,18 @@ object GtfsFixture {
         col("service_date"))
   }
 
+  /** Multi-leg earliest arrivals over the fixture — oracle twin of
+    * [[ArrivalsQuery.earliestArrivals]]: from S1 at 08:00 on Thursday
+    * 2019-02-21 (WD weekday service active, XTRA added by its type-1
+    * date), the S1→S2 timed transfer (300 s) beats T1's post-midnight
+    * ride, T4 rides S2→S1 without improving the origin, and S3 stays
+    * NULL (its only caller T3 expired 02-18; the S1→S3 edge is type 3).
+    */
+  def earliestArrivalOracleQuery(s: SparkSession): DataFrame =
+    ArrivalsQuery.earliestArrivals(
+      calendar(s), calendarDates(s), trips(s), stopTimes(s), stops(s),
+      transfers(s), "S1", "2019-02-21", 8L * 3600)
+
   /** Headway materialisation over the fixture — oracle twin of
     * [[ArrivalsQuery.expandFrequencies]]: T2's three 20-minute
     * instances with template-offset arithmetic, everything else

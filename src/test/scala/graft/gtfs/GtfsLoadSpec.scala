@@ -291,4 +291,44 @@ class GtfsLoadSpec extends SparkSpec {
       .select($"to_trip").collect().map(_.getString(0))
     assert(relaxed.toSeq === Seq("T2"))
   }
+
+  test("earliestArrivals: a two-ride itinerary needs two relaxation " +
+       "rounds; missed departures and type-3 edges never board") {
+    // minimal chained feed: trip A rides X->Y (dep 100, arr 200), trip B
+    // rides Y->Z (dep 300, arr 400) on an everyday service; no footpaths
+    val cal = Seq((1L, "ALL", true, true, true, true, true, true, true,
+        20240101, 20241231))
+      .toDF("run_id", "service_id", "monday", "tuesday", "wednesday",
+        "thursday", "friday", "saturday", "sunday", "start_date", "end_date")
+    val cd = Seq.empty[(Long, String, Int, Int)]
+      .toDF("run_id", "service_id", "date", "exception_type")
+    val tr = Seq((1L, "ALL", "A"), (1L, "ALL", "B"))
+      .toDF("run_id", "service_id", "trip_id")
+    val st = Seq(
+      (1L, "A", 50L, "X", 100L), (1L, "A", 200L, "Y", 260L),
+      (1L, "B", 250L, "Y", 300L), (1L, "B", 400L, "Z", 460L))
+      .toDF("run_id", "trip_id", "arrival_time", "stop_id", "departure_time")
+    val sp = Seq((1L, "X", "Xst", 0.0, 0.0), (1L, "Y", "Yst", 0.0, 0.0),
+        (1L, "Z", "Zst", 0.0, 0.0))
+      .toDF("run_id", "stop_id", "stop_name", "stop_lat", "stop_lon")
+    val tx = Seq((1L, "X", "Z", 3, 0)) // type 3: never usable
+      .toDF("run_id", "from_stop_id", "to_stop_id", "transfer_type",
+        "min_transfer_time")
+    def run(rounds: Int, depart: Long) = ArrivalsQuery.earliestArrivals(
+        cal, cd, tr, st, sp, tx, "X", "2024-06-03", depart, rounds)
+      .collect().map(r => r.getString(1) ->
+        Option(r.get(r.fieldIndex("arr_secs"))).map(_.asInstanceOf[Long]))
+      .toMap
+    // one round reaches Y (ride A) but not Z; two rounds chain onto B
+    val one = run(1, 0L)
+    assert(one("X") === Some(0L) && one("Y") === Some(200L)
+      && one("Z") === None)
+    val two = run(2, 0L)
+    assert(two === Map("X" -> Some(0L), "Y" -> Some(200L),
+      "Z" -> Some(400L)))
+    // departing after trip A left (t=150 > dep 100): nothing boards —
+    // the type-3 X->Z edge must not leak a transfer either
+    val late = run(4, 150L)
+    assert(late === Map("X" -> Some(150L), "Y" -> None, "Z" -> None))
+  }
 }
