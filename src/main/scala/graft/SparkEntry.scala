@@ -188,6 +188,13 @@ object SparkEntry {
       ((s, dir) => Similarity.labelCentroidShift(s, dir)),
     "q_negative_sampling" -> ((s, dir) => TextOps.negativeSampling(s, dir)),
     "q_fdr_bh" -> ((s, dir) => Relational.fdrBhNations(s, dir)),
+    "q_region_nation_share" ->
+      ((s, dir) => Relational.regionNationShare(s, dir)),
+    "q_largest_remainder" ->
+      ((s, dir) => TextOps.largestRemainderAllocation(s, dir)),
+    "q_readability" -> ((s, dir) => TextOps.readabilityScores(s, dir)),
+    "q_brier_decomposition" ->
+      ((s, dir) => TextOps.qualityBrierDecomposition(s, dir)),
     "q_energy_distance" -> ((s, dir) => Events.energyDistance(s, dir)),
     "q_funnel_latency" -> ((s, dir) => Events.funnelLatency(s, dir)),
     "q_youden_cutoff" -> ((s, dir) => TextOps.youdenCutoff(s, dir)),
@@ -5406,6 +5413,106 @@ object SparkEntry {
     "q_absorption_steps" -> absorptionStepsOracle("purchase", 25),
     "q_markov_attribution" -> markovAttributionOracle("purchase", 25),
     "q_gtfs_earliest_arrival" -> gtfsEarliestArrivalOracle(4),
+    "q_region_nation_share" ->
+      """WITH nat AS (SELECT r_name, n_name,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders
+             JOIN customer ON c_custkey = o_custkey
+             JOIN nation ON n_nationkey = c_nationkey
+             JOIN region ON r_regionkey = n_regionkey
+           GROUP BY 1, 2),
+         reg AS (SELECT r_name, CAST(sum(cents) AS BIGINT) AS r_cents
+           FROM nat GROUP BY 1),
+         tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t_cents FROM nat)
+         SELECT n.r_name, n.n_name, n.n_orders, n.cents,
+           CAST(n.cents * 10000 // r.r_cents AS BIGINT)
+             AS share_of_region_bp,
+           CAST(n.cents * 10000 // t.t_cents AS BIGINT)
+             AS share_of_total_bp
+         FROM nat n JOIN reg r USING (r_name) CROSS JOIN tot t
+         ORDER BY n.r_name, n.n_name""",
+    "q_largest_remainder" ->
+      """WITH srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         t AS (SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS n_total
+           FROM srcs),
+         q AS (SELECT *, CAST(1000 * n_docs // n_total AS BIGINT) AS base,
+             CAST((1000 * n_docs) % n_total AS BIGINT) AS rem
+           FROM t),
+         l AS (SELECT *, 1000 - CAST(sum(base) OVER () AS BIGINT)
+             AS leftover,
+             CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT)
+               AS rrank
+           FROM q)
+         SELECT source, n_docs, base, rem, rrank,
+           CAST(base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END
+             AS BIGINT) AS alloc,
+           CAST((base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END)
+             * 1000000 // 1000 AS BIGINT) AS alloc_ppm,
+           CAST(n_docs * 1000000 // n_total AS BIGINT) AS mass_ppm
+         FROM l ORDER BY source""",
+    "q_readability" ->
+      s"""WITH d AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         syl AS (SELECT doc_id, CAST(sum(greatest(1,
+             len(regexp_extract_all(tok, '[aeiouy]+')))) AS BIGINT)
+               AS n_syllables
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1),
+         base AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS BIGINT) AS n_sentences
+           FROM d WHERE len(toks) > 0),
+         f AS (SELECT b.doc_id, n_words, n_sentences, n_syllables,
+             CAST(round((206.835
+               - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+               * 1000) AS BIGINT) AS flesch_milli
+           FROM base b JOIN syl USING (doc_id))
+         SELECT doc_id, n_words, n_sentences, n_syllables, flesch_milli,
+           CASE WHEN flesch_milli >= 90000 THEN 'very_easy'
+             WHEN flesch_milli >= 70000 THEN 'easy'
+             WHEN flesch_milli >= 50000 THEN 'medium'
+             WHEN flesch_milli >= 30000 THEN 'hard'
+             ELSE 'very_hard' END AS band
+         FROM f ORDER BY doc_id""",
+    "q_brier_decomposition" ->
+      s"""WITH $lrBaseCtes,
+         scored AS (SELECT y, p, CAST(round(p * 1000000.0) AS BIGINT) AS p_u
+           FROM (SELECT y, $lrP AS p FROM feats CROSS JOIN w5)),
+         b AS (SELECT CAST(least(p_u * 10 // 1000000, 9) AS INT) AS bin,
+             y, p, p_u FROM scored),
+         bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(p_u) // count(*) AS BIGINT) AS mean_p_u,
+             CAST(CAST(round(sum(y)) AS BIGINT) * 1000000 // count(*)
+               AS BIGINT) AS pos_rate_u,
+             CAST(sum(CAST(round((p - y) * (p - y) * 1000000.0) AS BIGINT))
+               AS BIGINT) AS brier_su
+           FROM b GROUP BY bin),
+         t AS (SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS n_total,
+             CAST(sum(pos_rate_u * n_docs) OVER () AS BIGINT) AS ysum
+           FROM bins),
+         t2 AS (SELECT *, CAST(ysum // n_total AS BIGINT) AS ybar_u FROM t),
+         a AS (SELECT max(n_total) AS n_docs, max(ybar_u) AS ybar_u,
+             CAST(sum(brier_su) AS BIGINT) AS brier_s,
+             CAST(sum(CAST(mean_p_u - pos_rate_u AS HUGEINT)
+               * (mean_p_u - pos_rate_u) * n_docs) AS HUGEINT) AS rel_num,
+             CAST(sum(CAST(pos_rate_u - ybar_u AS HUGEINT)
+               * (pos_rate_u - ybar_u) * n_docs) AS HUGEINT) AS res_num
+           FROM t2),
+         r AS (SELECT n_docs, ybar_u,
+             CAST(brier_s // n_docs AS BIGINT) AS brier_u,
+             CAST(rel_num // (CAST(n_docs AS HUGEINT) * 1000000)
+               AS BIGINT) AS reliability_u,
+             CAST(res_num // (CAST(n_docs AS HUGEINT) * 1000000)
+               AS BIGINT) AS resolution_u,
+             CAST(ybar_u * (1000000 - ybar_u) // 1000000 AS BIGINT)
+               AS uncertainty_u
+           FROM a)
+         SELECT *, brier_u - (reliability_u - resolution_u + uncertainty_u)
+           AS decomp_gap_u
+         FROM r""",
     "q_label_centroid_shift" ->
       """WITH x AS (SELECT label, d, CAST(round(x * 1000000.0) AS BIGINT)
              AS xu

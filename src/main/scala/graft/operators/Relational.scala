@@ -2912,6 +2912,37 @@ object Relational {
       .orderBy($"c_nationkey", $"c_mktsegment")
   }
 
+  /** Percent-of-parent hierarchy rollup — the region→nation drill-down
+    * every OLAP cube renders: exact order-revenue cents per nation with
+    * its share of the parent region and of the grand total in basis
+    * points. Shares are cross-multiplied integer floors (one division
+    * per row, no per-level float drift); parent totals come from
+    * re-aggregating the nation rollup (dimension-bounded), never a
+    * second fact scan. Fact join shape: orders ⋈ broadcast(customer dim
+    * chain) — one shuffle for the nation groupBy at any scale.
+    */
+  def regionNationShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nat = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(s, dir, "region")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_orders"))
+      .localCheckpoint() // parent + grand totals re-aggregate it
+    val reg = nat.groupBy($"r_name").agg(sum($"cents").as("r_cents"))
+    val tot = nat.agg(sum($"cents").as("t_cents"))
+    nat.join(broadcast(reg), Seq("r_name")).crossJoin(broadcast(tot))
+      .select($"r_name", $"n_name", $"n_orders", $"cents",
+        expr("cents * 10000 div r_cents").as("share_of_region_bp"),
+        expr("cents * 10000 div t_cents").as("share_of_total_bp"))
+      .orderBy($"r_name", $"n_name")
+  }
+
   /** Benjamini–Hochberg FDR over a 25-hypothesis family — the
     * multiple-testing control every per-segment dashboard needs once it
     * tests 25 nations at once (at α=0.10, 2-3 nominally-significant

@@ -2618,6 +2618,124 @@ object TextOps {
           ($"n_tokens" * $"sx2" - $"sx" * $"sx"), 4).as("slope"))
   }
 
+  /** Flesch reading-ease per document — the classic readability screen
+    * (word/sentence and syllable/word ratios) that catches both
+    * run-on-sentence boilerplate (low score) and telegraphic fragment
+    * spam (implausibly high score) with zero model state. Syllables are
+    * the standard vowel-group proxy ([aeiouy]+ runs, floor 1/word);
+    * sentences count terminal-punctuation runs (floor 1). The score is
+    * the textbook double expression evaluated in ONE fixed shape on
+    * exact integer counts, rounded once to milli — engine-identical.
+    * Scale: one fan-out for syllables (map-side-combined re-agg), one
+    * doc-level projection, join on doc_id; nothing corpus-wide.
+    */
+  def readabilityScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = docsFanned(s, dir)
+      .select($"doc_id", $"text", text.tokensLower($"text").as("toks"))
+    val syl = base.select($"doc_id", explode($"toks").as("tok"))
+      .select($"doc_id", greatest(lit(1L),
+        size(regexp_extract_all($"tok", lit("[aeiouy]+"), lit(0)))
+          .cast("long")).as("sy"))
+      .groupBy($"doc_id").agg(sum($"sy").as("n_syllables"))
+    base.select($"doc_id",
+        size($"toks").cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all($"text", lit("[.!?]+"), lit(0)))
+            .cast("long")).as("n_sentences"))
+      .filter($"n_words" > 0)
+      .join(syl, Seq("doc_id"))
+      .withColumn("flesch_milli", round((lit(206.835)
+        - lit(1.015) * ($"n_words".cast("double") / $"n_sentences".cast("double"))
+        - lit(84.6) * ($"n_syllables".cast("double") / $"n_words".cast("double")))
+        * 1000).cast("long"))
+      .withColumn("band", when($"flesch_milli" >= 90000L, "very_easy")
+        .when($"flesch_milli" >= 70000L, "easy")
+        .when($"flesch_milli" >= 50000L, "medium")
+        .when($"flesch_milli" >= 30000L, "hard")
+        .otherwise("very_hard"))
+      .select($"doc_id", $"n_words", $"n_sentences", $"n_syllables",
+        $"flesch_milli", $"band")
+      .orderBy($"doc_id")
+  }
+
+  /** Murphy decomposition of the quality classifier's Brier score —
+    * reliability − resolution + uncertainty over the
+    * [[qualityLrCalibration]] deciles, the one-row verdict on WHERE the
+    * probability error lives: reliability (bin means off their observed
+    * rates — fixable by recalibration) vs resolution (how much the bins
+    * actually separate outcomes — not fixable post hoc) vs uncertainty
+    * (the base rate's intrinsic floor). Terms are micro-unit integer
+    * floors over the 10-bin rollup (Δ_u² sums ride DECIMAL, one
+    * division each); `decomp_gap_u` reports the binning+flooring
+    * residual against the row-level Brier sum as data rather than
+    * pretending the identity is exact in fixed point.
+    */
+  def qualityBrierDecomposition(s: SparkSession, dir: String,
+                                steps: Int = 5, lr: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val dec = "DECIMAL(38,0)"
+    val bins = qualityLrCalibration(s, dir, steps, lr)
+      .localCheckpoint() // three term rollups read it
+    bins
+      .withColumn("n_total", sum($"n_docs").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("ybar_u", expr(
+        "sum(pos_rate_u * n_docs) OVER () div n_total"))
+      .agg(max($"n_total").as("n_docs"), max($"ybar_u").as("ybar_u"),
+        sum($"brier_su").as("brier_s"),
+        sum(($"mean_p_u" - $"pos_rate_u").cast(dec)
+          * ($"mean_p_u" - $"pos_rate_u") * $"n_docs").as("rel_num"),
+        sum(($"pos_rate_u" - $"ybar_u").cast(dec)
+          * ($"pos_rate_u" - $"ybar_u") * $"n_docs").as("res_num"))
+      .select($"n_docs", $"ybar_u",
+        expr("brier_s div n_docs").as("brier_u"),
+        expr(s"CAST(rel_num div (CAST(n_docs AS $dec) * 1000000) AS BIGINT)")
+          .as("reliability_u"),
+        expr(s"CAST(res_num div (CAST(n_docs AS $dec) * 1000000) AS BIGINT)")
+          .as("resolution_u"),
+        expr("ybar_u * (1000000 - ybar_u) div 1000000").as("uncertainty_u"))
+      .withColumn("decomp_gap_u", $"brier_u" -
+        ($"reliability_u" - $"resolution_u" + $"uncertainty_u"))
+  }
+
+  /** Largest-remainder (Hamilton) apportionment of a sampling budget
+    * across sources — the exact integer answer to "give me a
+    * `budget`-doc sample proportional to source mass" that floating
+    * quotas can't deliver (floors alone under-fill the budget; naive
+    * rounding overfills). Per source: quota = budget·n_s/N as floor +
+    * remainder; the unfilled seats go to the largest remainders
+    * (source-name tie-break), so Σ alloc = budget EXACTLY and no
+    * source deviates from its real quota by ≥ 1. This is the
+    * allocation layer under every stratified corpus draw
+    * ([[mixtureSample]] picks WHICH docs; this decides HOW MANY).
+    * All integer; the only windows run on the |sources|-bounded
+    * rollup.
+    */
+  def largestRemainderAllocation(s: SparkSession, dir: String,
+                                 budget: Long = 1000L): DataFrame = {
+    import s.implicits._
+    val srcs = Tables(s, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    srcs
+      .withColumn("n_total", sum($"n_docs").over(all))
+      .withColumn("base", expr(s"$budget * n_docs div n_total"))
+      .withColumn("rem", expr(s"($budget * n_docs) % n_total"))
+      .withColumn("leftover", lit(budget) - sum($"base").over(all))
+      .withColumn("rrank", row_number()
+        .over(Window.orderBy($"rem".desc, $"source")).cast("long"))
+      .withColumn("alloc",
+        $"base" + when($"rrank" <= $"leftover", 1L).otherwise(0L))
+      .select($"source", $"n_docs", $"base", $"rem", $"rrank",
+        $"alloc",
+        expr(s"alloc * 1000000 div $budget").as("alloc_ppm"),
+        expr("n_docs * 1000000 div n_total").as("mass_ppm"))
+      .orderBy($"source")
+  }
+
   /** Word2vec-style negative-sampling table + draw audit: the top-`vocab`
     * tokens weighted by freq^(3/4) (Mikolov et al. 2013's unigram
     * smoothing — the 3/4 power lifts rare words enough that negatives
