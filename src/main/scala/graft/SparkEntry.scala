@@ -195,6 +195,8 @@ object SparkEntry {
     "q_readability" -> ((s, dir) => TextOps.readabilityScores(s, dir)),
     "q_brier_decomposition" ->
       ((s, dir) => TextOps.qualityBrierDecomposition(s, dir)),
+    "q_kneser_ney" -> ((s, dir) => TextOps.kneserNeySurprisal(s, dir)),
+    "q_lsh_planner" -> ((s, dir) => Dedup.lshPlanner(s, dir)),
     "q_energy_distance" -> ((s, dir) => Events.energyDistance(s, dir)),
     "q_funnel_latency" -> ((s, dir) => Events.funnelLatency(s, dir)),
     "q_youden_cutoff" -> ((s, dir) => TextOps.youdenCutoff(s, dir)),
@@ -835,6 +837,47 @@ object SparkEntry {
        FROM states s JOIN emp e ON e.t = s.t CROSS JOIN g
          LEFT JOIN r$iters r ON r.t = s.t
        ORDER BY event_type"""
+  }
+
+  /** LSH planner oracle: per (b, r) factorization, the same literal
+    * multiplication chains (no libm pow) over the blocked-Jaccard pair
+    * frame, unioned and ranked.
+    */
+  private def lshPlannerOracle(numHashes: Int, thresholdMilli: Long): String = {
+    val configs = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r))
+    val branches = configs.map { case (b, r) =>
+      val srChain = (1 to r).map(_ => "sd").mkString(" * ")
+      val ombChain = (1 to b).map(_ => "om").mkString(" * ")
+      s"""SELECT $b AS b, $r AS r, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN s_milli < $thresholdMilli
+             THEN CAST(round(pc * 1000000.0) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS fp_mass_u,
+           CAST(sum(CASE WHEN s_milli >= $thresholdMilli
+             THEN CAST(round((1.0 - pc) * 1000000.0) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS fn_mass_u
+         FROM (SELECT s_milli, 1.0 - ($ombChain) AS pc
+           FROM (SELECT s_milli, 1.0 - ($srChain) AS om
+             FROM (SELECT s_milli, CAST(s_milli AS DOUBLE) / 1000.0 AS sd
+               FROM sims)))"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, lang, n_chars, list_distinct($toks) AS toks
+           FROM documents),
+         sims AS MATERIALIZED (SELECT
+             CAST(round(jaccard * 1000) AS BIGINT) AS s_milli
+           FROM (SELECT
+               round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                 len(list_distinct(a.toks || b.toks)), 4) AS jaccard
+             FROM d a JOIN d b ON a.lang = b.lang
+               AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id)),
+         u AS ($branches)
+         SELECT b, r, n_pairs, fp_mass_u, fn_mass_u,
+           fp_mass_u + fn_mass_u AS cost_u,
+           CAST(row_number() OVER (ORDER BY fp_mass_u + fn_mass_u, b)
+             AS BIGINT) AS rank,
+           row_number() OVER (ORDER BY fp_mass_u + fn_mass_u, b) = 1
+             AS chosen
+         FROM u ORDER BY b"""
   }
 
   /** Earliest-arrival oracle: Bellman-Ford label-relaxation rounds of
@@ -5413,6 +5456,39 @@ object SparkEntry {
     "q_absorption_steps" -> absorptionStepsOracle("purchase", 25),
     "q_markov_attribution" -> markovAttributionOracle("purchase", 25),
     "q_gtfs_earliest_arrival" -> gtfsEarliestArrivalOracle(4),
+    "q_lsh_planner" -> lshPlannerOracle(12, 700L),
+    "q_kneser_ney" ->
+      s"""WITH docs AS (SELECT doc_id,
+           CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket,
+           $toks AS toks FROM documents),
+         tg AS (${bigramUnnest("bucket < 80")}),
+         cab AS (SELECT g, CAST(count(*) AS BIGINT) AS c_ab,
+             split_part(g, ' ', 1) AS a, split_part(g, ' ', 2) AS b
+           FROM tg GROUP BY g),
+         bya AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+             CAST(count(*) AS BIGINT) AS n1_fwd FROM cab GROUP BY a),
+         byb AS (SELECT b, CAST(count(*) AS BIGINT) AS n1_back
+           FROM cab GROUP BY b),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM cab),
+         ev AS (${bigramUnnest("bucket >= 90")}),
+         sc AS (SELECT ev.doc_id,
+             greatest(1, CASE WHEN c_a IS NULL
+               THEN coalesce(n1_back, 0) * 1000000 // t_types
+               ELSE greatest(coalesce(c_ab, 0) * 1000 - 750, 0) * 1000 // c_a
+                 + (750 * 1000 * n1_fwd // c_a)
+                   * (coalesce(n1_back, 0) * 1000000 // t_types) // 1000000
+               END) AS p_ppm
+           FROM ev LEFT JOIN cab USING (g)
+             LEFT JOIN bya ON split_part(ev.g, ' ', 1) = bya.a
+             LEFT JOIN byb ON split_part(ev.g, ' ', 2) = byb.b
+             CROSS JOIN tt),
+         lp AS (SELECT doc_id,
+             CAST(round(-ln(CAST(p_ppm AS DOUBLE) / 1000000.0) * 1000000.0)
+               AS BIGINT) AS lp_u
+           FROM sc)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(lp_u) // count(*) AS BIGINT) AS xent_kn_u
+         FROM lp GROUP BY doc_id ORDER BY doc_id""",
     "q_region_nation_share" ->
       """WITH nat AS (SELECT r_name, n_name,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

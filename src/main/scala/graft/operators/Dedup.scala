@@ -62,6 +62,52 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** LSH parameter planner — turns the banding S-curve into a decision:
+    * for every (bands b, rows r) factorization of the `numHashes` budget,
+    * the EXPECTED false-positive and false-negative candidate mass
+    * against the corpus's own observed pair-similarity distribution
+    * (the blocked [[ngramJaccardPairs]] frame), using the exact
+    * P(collide | s) = 1 − (1 − s^r)^b. Powers are literal
+    * multiplication chains (identical IEEE shape in the oracle — no
+    * libm pow), contributions round to 1e-6 per pair then sum as longs
+    * (order-free). The chosen row is the cost argmin — the number an
+    * engine should feed its own banding defaults from, per corpus,
+    * instead of hardcoding (b, r). Scale: one pair-frame scan per
+    * config over the checkpointed sims, all |configs|-bounded after.
+    */
+  def lshPlanner(s: SparkSession, dir: String, numHashes: Int = 12,
+                 thresholdMilli: Long = 700L): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sims = ngramJaccardPairs(s, dir)
+      .select(round($"jaccard" * 1000).cast("long").as("s_milli"))
+      .localCheckpoint() // one scan per (b, r) config
+    val configs = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r))
+    val perConfig = configs.map { case (b, r) =>
+      val sD = $"s_milli".cast("double") / 1000.0
+      val sr = (1 to r).map(_ => sD).reduce(_ * _)
+      val om = lit(1.0) - sr
+      val omb = (1 to b).map(_ => om).reduce(_ * _)
+      val pc = lit(1.0) - omb
+      sims.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when($"s_milli" < thresholdMilli,
+          round(pc * 1000000.0).cast("long")).otherwise(0L)).as("fp_mass_u"),
+        sum(when($"s_milli" >= thresholdMilli,
+          round((lit(1.0) - pc) * 1000000.0).cast("long")).otherwise(0L))
+          .as("fn_mass_u"))
+        .select(lit(b).as("b"), lit(r).as("r"), $"n_pairs",
+          $"fp_mass_u", $"fn_mass_u",
+          ($"fp_mass_u" + $"fn_mass_u").as("cost_u"))
+    }
+    val byCost = Window.orderBy($"cost_u", $"b")
+    perConfig.reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(byCost).cast("long"))
+      .withColumn("chosen", $"rank" === 1L)
+      .orderBy($"b")
+  }
+
   /** MinHash signature matrix: md5-keyed min-hash per (doc, seed).
     * md5 (not xxhash64) so an external SQL oracle can reproduce it bit
     * for bit. numHashes seeds, lexicographic min of md5(seed ":" shingle).

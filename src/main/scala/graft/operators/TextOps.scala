@@ -2618,6 +2618,61 @@ object TextOps {
           ($"n_tokens" * $"sx2" - $"sx" * $"sx"), 4).as("slope"))
   }
 
+  /** Kneser–Ney smoothed bigram cross-entropy of the eval split — the
+    * smoothing that actually wins LM benchmarks (Kneser & Ney 1995; Chen
+    * & Goodman 1999's fixed-discount form, D = `dMilli`/1000): unlike
+    * the add-one model ([[bigramSurprisal]]'s), mass freed by
+    * discounting flows to the CONTINUATION unigram P_cont(w) ∝ #distinct
+    * predecessors — "francisco" is frequent but follows only "san", so
+    * KN stops overpredicting it after novel contexts. All model terms
+    * are exact integer ppm with floor divisions in a fixed shape
+    * (discounted term, backoff weight λ(v) = D·N1+(v·)/c(v),
+    * continuation from distinct-bigram counts), one rounded ln per
+    * scored bigram, integer mean per doc — engine-replayable throughout.
+    * Scale: model tables are vocabulary-bounded broadcasts off ONE
+    * distinct-bigram rollup; scoring is a single eval-split scan.
+    */
+  def kneserNeySurprisal(s: SparkSession, dir: String,
+                         dMilli: Long = 750L): DataFrame = {
+    import s.implicits._
+    val toksF = docsFanned(s, dir)
+      .withColumn("bucket", hashBucket($"doc_id", "split:"))
+      .select($"doc_id", $"bucket", text.tokensLower($"text").as("toks"))
+      .localCheckpoint() // model counts + eval scoring read it
+    val cAbF = toksF.filter($"bucket" < 80)
+      .select(explode(text.shinglesFromTokens($"toks", 2)).as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("c_ab"))
+      .withColumn("a", split($"g", " ").getItem(0))
+      .withColumn("b", split($"g", " ").getItem(1))
+      .localCheckpoint() // three model rollups read it
+    val byA = cAbF.groupBy($"a")
+      .agg(sum($"c_ab").as("c_a"), count(lit(1)).as("n1_fwd"))
+    val byB = cAbF.groupBy($"b").agg(count(lit(1)).as("n1_back"))
+    val tT = cAbF.agg(count(lit(1)).as("t_types"))
+    toksF.filter($"bucket" >= 90)
+      .select($"doc_id", explode(text.shinglesFromTokens($"toks", 2)).as("g"))
+      .withColumn("a", split($"g", " ").getItem(0))
+      .withColumn("b", split($"g", " ").getItem(1))
+      .join(broadcast(cAbF.select($"g", $"c_ab")), Seq("g"), "left")
+      .join(broadcast(byA), Seq("a"), "left")
+      .join(broadcast(byB), Seq("b"), "left")
+      .crossJoin(broadcast(tT))
+      .withColumn("pcont_ppm",
+        expr("coalesce(n1_back, 0) * 1000000 div t_types"))
+      .withColumn("p_ppm", expr(
+        s"""greatest(1, CASE WHEN c_a IS NULL THEN pcont_ppm
+           ELSE greatest(coalesce(c_ab, 0) * 1000 - $dMilli, 0) * 1000 div c_a
+             + ($dMilli * 1000 * n1_fwd div c_a) * pcont_ppm div 1000000
+           END)"""))
+      .withColumn("lp_u", round(-log($"p_ppm".cast("double") / 1000000.0)
+        * 1000000.0).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"lp_u").as("slp"))
+      .select($"doc_id", $"n_bigrams",
+        expr("slp div n_bigrams").as("xent_kn_u"))
+      .orderBy($"doc_id")
+  }
+
   /** Flesch reading-ease per document — the classic readability screen
     * (word/sentence and syllable/word ratios) that catches both
     * run-on-sentence boilerplate (low score) and telegraphic fragment
