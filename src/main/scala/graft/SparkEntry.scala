@@ -197,6 +197,8 @@ object SparkEntry {
       ((s, dir) => TextOps.qualityBrierDecomposition(s, dir)),
     "q_kneser_ney" -> ((s, dir) => TextOps.kneserNeySurprisal(s, dir)),
     "q_lsh_planner" -> ((s, dir) => Dedup.lshPlanner(s, dir)),
+    "q_neardup_robustness" ->
+      ((s, dir) => Dedup.nearDupRobustness(s, dir)),
     "q_energy_distance" -> ((s, dir) => Events.energyDistance(s, dir)),
     "q_funnel_latency" -> ((s, dir) => Events.funnelLatency(s, dir)),
     "q_youden_cutoff" -> ((s, dir) => TextOps.youdenCutoff(s, dir)),
@@ -5457,6 +5459,43 @@ object SparkEntry {
     "q_markov_attribution" -> markovAttributionOracle("purchase", 25),
     "q_gtfs_earliest_arrival" -> gtfsEarliestArrivalOracle(4),
     "q_lsh_planner" -> lshPlannerOracle(12, 700L),
+    "q_neardup_robustness" ->
+      s"""WITH RECURSIVE lsh AS ($minhashPairsCore),
+         p AS (SELECT doc_a, doc_b FROM lsh),
+         e1 AS (SELECT doc_a AS a, doc_b AS b FROM p
+           UNION ALL SELECT doc_b, doc_a FROM p),
+         hubs AS (SELECT a AS doc_id FROM (
+           SELECT a, count(*) AS d FROM e1 GROUP BY a
+           ORDER BY d DESC, a LIMIT 5)),
+         p2 AS (SELECT doc_a, doc_b FROM p
+           WHERE doc_a NOT IN (SELECT doc_id FROM hubs)
+             AND doc_b NOT IN (SELECT doc_id FROM hubs)),
+         e2 AS (SELECT doc_a AS a, doc_b AS b FROM p2
+           UNION ALL SELECT doc_b, doc_a FROM p2),
+         r1(a, r) AS (SELECT a, b FROM e1 UNION SELECT a, a FROM e1
+           UNION SELECT e.a, r1.r FROM e1 e JOIN r1 ON e.b = r1.a),
+         s1 AS (SELECT canon, CAST(count(*) AS BIGINT) AS sz FROM (
+           SELECT a, min(r) AS canon FROM r1 GROUP BY a) GROUP BY canon),
+         r2(a, r) AS (SELECT a, b FROM e2 UNION SELECT a, a FROM e2
+           UNION SELECT e.a, r2.r FROM e2 e JOIN r2 ON e.b = r2.a),
+         s2 AS (SELECT canon, CAST(count(*) AS BIGINT) AS sz FROM (
+           SELECT a, min(r) AS canon FROM r2 GROUP BY a) GROUP BY canon),
+         a1 AS (SELECT CAST(count(*) AS BIGINT) AS n_cc_before,
+             CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cc_before,
+             CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_docs_before
+           FROM s1),
+         a2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cc_after,
+             CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cc_after,
+             CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_docs_after
+           FROM s2)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_edges_before,
+           n_docs_before, n_cc_before, max_cc_before,
+           (SELECT CAST(count(*) AS BIGINT) FROM p2) AS n_edges_after,
+           n_docs_after, n_cc_after, max_cc_after,
+           CASE WHEN max_cc_before > 0 THEN
+             CAST((max_cc_before - max_cc_after) * 10000 // max_cc_before
+               AS BIGINT) END AS largest_cc_drop_bp
+         FROM a1 CROSS JOIN a2""",
     "q_kneser_ney" ->
       s"""WITH docs AS (SELECT doc_id,
            CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket,

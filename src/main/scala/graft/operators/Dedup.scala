@@ -108,6 +108,54 @@ object Dedup {
       .orderBy($"b")
   }
 
+  /** Hub-removal robustness of the near-dup graph — targeted
+    * percolation: recount connected components after deleting the
+    * `topK` highest-degree documents (degree-desc, doc_id tie-break).
+    * If the giant component shatters, the corpus's apparent duplication
+    * structure hangs on a few template/boilerplate hubs — remove THOSE
+    * documents and the dedup clusters dissolve, which changes both the
+    * dedup rate a crawl report quotes and which canonical survivors a
+    * release keeps. A graph whose largest component barely shrinks has
+    * genuine pairwise duplication instead. Both CC passes ride
+    * [[dedupClusters]]' pointer-jump loop; the hub cut is a bounded
+    * TakeOrdered; everything after is component-rollup-sized.
+    */
+  def nearDupRobustness(s: SparkSession, dir: String,
+                        topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
+      .localCheckpoint() // degree cut, both CC passes, edge counts
+    val edges = pairs.unionAll(
+      pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+    val hubs = edges.groupBy($"doc_a".as("doc_id"))
+      .agg(count(lit(1)).as("d"))
+      .orderBy($"d".desc, $"doc_id").limit(topK)
+      .localCheckpoint() // both anti-join sides read it
+    val pruned = pairs
+      .join(hubs.select($"doc_id".as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(hubs.select($"doc_id".as("doc_b")), Seq("doc_b"), "left_anti")
+      .localCheckpoint() // CC pass + edge count read it
+    def ccStats(p: DataFrame, tag: String): DataFrame = {
+      val sizes =
+        if (p.isEmpty) Seq.empty[(Long, Long)].toDF("canon_id", "sz")
+        else dedupClusters(p).groupBy($"canon_id")
+          .agg(count(lit(1)).as("sz"))
+      sizes.agg(count(lit(1)).as(s"n_cc_$tag"),
+        coalesce(max($"sz"), lit(0L)).as(s"max_cc_$tag"),
+        coalesce(sum($"sz"), lit(0L)).as(s"n_docs_$tag"))
+    }
+    ccStats(pairs, "before")
+      .crossJoin(ccStats(pruned, "after"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_edges_before")))
+      .crossJoin(pruned.agg(count(lit(1)).as("n_edges_after")))
+      .select($"n_edges_before", $"n_docs_before", $"n_cc_before",
+        $"max_cc_before", $"n_edges_after", $"n_docs_after",
+        $"n_cc_after", $"max_cc_after",
+        expr("""CASE WHEN max_cc_before > 0
+          THEN (max_cc_before - max_cc_after) * 10000 div max_cc_before
+          END""").as("largest_cc_drop_bp"))
+  }
+
   /** MinHash signature matrix: md5-keyed min-hash per (doc, seed).
     * md5 (not xxhash64) so an external SQL oracle can reproduce it bit
     * for bit. numHashes seeds, lexicographic min of md5(seed ":" shingle).
