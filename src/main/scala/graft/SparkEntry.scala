@@ -190,6 +190,10 @@ object SparkEntry {
     "q_fdr_bh" -> ((s, dir) => Relational.fdrBhNations(s, dir)),
     "q_region_nation_share" ->
       ((s, dir) => Relational.regionNationShare(s, dir)),
+    "q_did_orders" -> ((s, dir) => Relational.didOrders(s, dir)),
+    "q_fisher_index" -> ((s, dir) => Relational.fisherPriceIndex(s, dir)),
+    "q_abc_classification" ->
+      ((s, dir) => Relational.abcClassification(s, dir)),
     "q_largest_remainder" ->
       ((s, dir) => TextOps.largestRemainderAllocation(s, dir)),
     "q_readability" -> ((s, dir) => TextOps.readabilityScores(s, dir)),
@@ -5528,6 +5532,98 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(lp_u) // count(*) AS BIGINT) AS xent_kn_u
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    "q_did_orders" ->
+      """WITH o AS (SELECT (c_mktsegment = 'BUILDING') AS treated,
+           CAST(o_orderdate AS DATE) AS day,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders JOIN customer ON c_custkey = o_custkey),
+         b AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+         b2 AS (SELECT d0, d1,
+             d0 + CAST(datediff('day', d0, d1) // 2 AS INT) AS mid
+           FROM b),
+         b3 AS (SELECT *,
+             d0 + CAST(datediff('day', d0, mid) // 2 AS INT) AS pre_mid
+           FROM b2),
+         cells_a AS (SELECT treated, day > mid AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+           FROM o, b3 WHERE day >= d0 AND day <= d1 GROUP BY 1, 2),
+         row_a AS (SELECT 'actual' AS design,
+             CAST(sum(n) AS BIGINT) AS n_orders,
+             CAST(sum(CASE WHEN treated AND NOT post THEN mean_cents END)
+               AS BIGINT) AS t_pre,
+             CAST(sum(CASE WHEN treated AND post THEN mean_cents END)
+               AS BIGINT) AS t_post,
+             CAST(sum(CASE WHEN NOT treated AND NOT post THEN mean_cents
+               END) AS BIGINT) AS c_pre,
+             CAST(sum(CASE WHEN NOT treated AND post THEN mean_cents END)
+               AS BIGINT) AS c_post
+           FROM cells_a),
+         cells_p AS (SELECT treated, day > pre_mid AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+           FROM o, b3 WHERE day >= d0 AND day <= mid GROUP BY 1, 2),
+         row_p AS (SELECT 'placebo_pre_only' AS design,
+             CAST(sum(n) AS BIGINT) AS n_orders,
+             CAST(sum(CASE WHEN treated AND NOT post THEN mean_cents END)
+               AS BIGINT) AS t_pre,
+             CAST(sum(CASE WHEN treated AND post THEN mean_cents END)
+               AS BIGINT) AS t_post,
+             CAST(sum(CASE WHEN NOT treated AND NOT post THEN mean_cents
+               END) AS BIGINT) AS c_pre,
+             CAST(sum(CASE WHEN NOT treated AND post THEN mean_cents END)
+               AS BIGINT) AS c_post
+           FROM cells_p)
+         SELECT design, n_orders, t_pre, t_post, c_pre, c_post,
+           (t_post - t_pre) - (c_post - c_pre) AS did_cents
+         FROM (SELECT * FROM row_a UNION ALL SELECT * FROM row_p)
+         ORDER BY design""",
+    "q_fisher_index" ->
+      """WITH li AS (SELECT l_partkey, year(o_orderdate) AS yr,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS rev_cents,
+           CAST(round(l_quantity) AS BIGINT) AS qty
+           FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+         y AS (SELECT min(yr) AS y0, max(yr) AS y1 FROM li),
+         base AS (SELECT l_partkey,
+             CAST(sum(rev_cents) * 10 // sum(qty) AS BIGINT) AS p0,
+             CAST(sum(qty) AS BIGINT) AS q0
+           FROM li, y WHERE yr = y0 GROUP BY l_partkey
+           HAVING sum(qty) > 0),
+         cur AS (SELECT l_partkey,
+             CAST(sum(rev_cents) * 10 // sum(qty) AS BIGINT) AS p1,
+             CAST(sum(qty) AS BIGINT) AS q1
+           FROM li, y WHERE yr = y1 GROUP BY l_partkey
+           HAVING sum(qty) > 0),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_parts_matched,
+             CAST(sum(CAST(p1 AS HUGEINT) * q0) AS HUGEINT) AS l_num,
+             CAST(sum(CAST(p0 AS HUGEINT) * q0) AS HUGEINT) AS l_den,
+             CAST(sum(CAST(p1 AS HUGEINT) * q1) AS HUGEINT) AS p_num,
+             CAST(sum(CAST(p0 AS HUGEINT) * q1) AS HUGEINT) AS p_den
+           FROM base JOIN cur USING (l_partkey)),
+         r AS (SELECT n_parts_matched,
+             CAST(l_num * 10000 // l_den AS BIGINT) AS laspeyres_bp,
+             CAST(p_num * 10000 // p_den AS BIGINT) AS paasche_bp
+           FROM a)
+         SELECT *, CAST(round(sqrt(CAST(laspeyres_bp * paasche_bp
+           AS DOUBLE))) AS BIGINT) AS fisher_bp
+         FROM r""",
+    "q_abc_classification" ->
+      """WITH pp AS (SELECT l_partkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) AS rev
+           FROM lineitem GROUP BY 1),
+         c AS (SELECT *,
+             CAST(coalesce(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + rev
+               AS BIGINT) AS cum,
+             CAST(sum(rev) OVER () AS BIGINT) AS total
+           FROM pp)
+         SELECT CASE WHEN cum * 10 <= total * 7 THEN 'A'
+             WHEN cum * 10 <= total * 9 THEN 'B' ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS revenue_cents,
+           CAST(sum(rev) * 10000 // max(total) AS BIGINT) AS share_bp
+         FROM c GROUP BY 1 ORDER BY 1""",
     "q_region_nation_share" ->
       """WITH nat AS (SELECT r_name, n_name,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -2912,6 +2912,133 @@ object Relational {
       .orderBy($"c_nationkey", $"c_mktsegment")
   }
 
+  /** Difference-in-differences over the order history — the causal
+    * workhorse for "did the thing we changed move the metric": treated
+    * segment vs the rest, before vs after the calendar midpoint, the
+    * 2×2 cell means in exact floor-divided cents and the DiD estimate
+    * (treated post−pre minus control post−pre) that nets out both the
+    * segment's level and the common time trend. A parallel-trends
+    * caveat belongs next to any use; the PLACEBO row re-runs the same
+    * contrast entirely inside the pre period (split at its own
+    * midpoint), where a nonzero "effect" exposes trend divergence the
+    * design would misattribute. All integer: cents sums, one floor per
+    * cell mean; scale is one fact scan into a 4-cell (8 with placebo)
+    * rollup.
+    */
+  def didOrders(s: SparkSession, dir: String,
+                segment: String = "BUILDING"): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey".as("o_custkey"), $"c_mktsegment"), Seq("o_custkey"))
+      .select(($"c_mktsegment" === segment).as("treated"),
+        $"o_orderdate".cast("date").as("day"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .localCheckpoint() // bounds + both contrasts read it
+    val bounds = o.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .withColumn("mid", expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
+      .withColumn("pre_mid",
+        expr("date_add(d0, CAST(datediff(mid, d0) div 2 AS INT))"))
+    def contrast(tag: String, winStart: Column, cutoff: Column,
+                 winEnd: Column): DataFrame =
+      o.crossJoin(broadcast(bounds))
+        .filter($"day" >= winStart && $"day" <= winEnd)
+        .groupBy($"treated", ($"day" > cutoff).as("post"))
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sc"))
+        .withColumn("mean_cents", expr("sc div n"))
+        .groupBy()
+        .agg(
+          sum(when($"treated" && $"post", $"mean_cents")).as("t_post"),
+          sum(when($"treated" && !$"post", $"mean_cents")).as("t_pre"),
+          sum(when(!$"treated" && $"post", $"mean_cents")).as("c_post"),
+          sum(when(!$"treated" && !$"post", $"mean_cents")).as("c_pre"),
+          sum($"n").as("n_orders"))
+        .select(lit(tag).as("design"), $"n_orders", $"t_pre", $"t_post",
+          $"c_pre", $"c_post",
+          (($"t_post" - $"t_pre") - ($"c_post" - $"c_pre")).as("did_cents"))
+    contrast("actual", $"d0", $"mid", $"d1")
+      .unionAll(contrast("placebo_pre_only", $"d0", $"pre_mid", $"mid"))
+      .orderBy($"design")
+  }
+
+  /** Fisher ideal price index between the first and last order years —
+    * the bilateral index a revenue dashboard needs before calling a
+    * revenue change "growth" vs "inflation": Laspeyres (base-quantity
+    * weights) overstates, Paasche (current weights) understates, Fisher
+    * is their geometric mean. Unit prices are floor-divided
+    * milli-cents from exact revenue/quantity sums per (part, period);
+    * index numerators/denominators are DECIMAL sums of price×quantity
+    * over parts traded in BOTH periods; the only float is Fisher's one
+    * sqrt of the L·P product. Scale: two filtered fact scans into
+    * part-grain rollups, one part-keyed join, then a scalar.
+    */
+  def fisherPriceIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "DECIMAL(38,0)"
+    val li = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_partkey", year($"o_orderdate").as("yr"),
+        round($"l_extendedprice" * 100).cast("long").as("rev_cents"),
+        round($"l_quantity").cast("long").as("qty"))
+      .localCheckpoint() // year bounds + both period rollups read it
+    val yrs = li.agg(min($"yr").as("y0"), max($"yr").as("y1"))
+    def period(sel: Column => Column) = li.crossJoin(broadcast(yrs))
+      .filter(sel($"yr"))
+      .groupBy($"l_partkey")
+      .agg(sum($"rev_cents").as("rev"), sum($"qty").as("q"))
+      .filter($"q" > 0)
+      .withColumn("p_milli", expr("rev * 10 div q"))
+    val base = period(y => y === $"y0")
+      .select($"l_partkey", $"p_milli".as("p0"), $"q".as("q0"))
+    val cur = period(y => y === $"y1")
+      .select($"l_partkey", $"p_milli".as("p1"), $"q".as("q1"))
+    base.join(cur, Seq("l_partkey"))
+      .agg(count(lit(1)).as("n_parts_matched"),
+        sum($"p1".cast(dec) * $"q0").as("l_num"),
+        sum($"p0".cast(dec) * $"q0").as("l_den"),
+        sum($"p1".cast(dec) * $"q1").as("p_num"),
+        sum($"p0".cast(dec) * $"q1").as("p_den"))
+      .select($"n_parts_matched",
+        expr("CAST(l_num * 10000 div l_den AS BIGINT)").as("laspeyres_bp"),
+        expr("CAST(p_num * 10000 div p_den AS BIGINT)").as("paasche_bp"))
+      .withColumn("fisher_bp", round(sqrt(
+        ($"laspeyres_bp" * $"paasche_bp").cast("double"))).cast("long"))
+  }
+
+  /** ABC inventory classification of parts by revenue — the 70/90
+    * cumulative-share cut every ops team runs (A: the head that earns
+    * 70% of revenue, B: to 90%, C: the tail): parts rank through
+    * [[globalRowNumber]] (revenue desc, partkey — total order) and the
+    * cumulative revenue rides [[globalPrefixSum]]'s range-partitioned
+    * two-pass, so the classification survives a parts dimension of any
+    * size with NO single-partition window. Class bounds compare
+    * cross-multiplied integers (cum·10 vs total·7/9). Output is the
+    * 3-row class rollup with exact revenue shares.
+    */
+  def abcClassification(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perPart = Tables(s, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("rev"))
+      .localCheckpoint() // prefix sum + grand total read it
+    val tot = perPart.agg(sum($"rev").as("total"))
+    globalPrefixSum(perPart, Seq($"rev".desc, $"l_partkey"),
+        $"rev", "cum_excl")
+      .withColumn("cum", $"cum_excl" + $"rev")
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when($"cum" * 10 <= $"total" * 7, "A")
+          .when($"cum" * 10 <= $"total" * 9, "B")
+          .otherwise("C"))
+      .groupBy($"abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum($"rev").as("revenue_cents"),
+        max($"total").as("total"))
+      .select($"abc_class", $"n_parts", $"revenue_cents",
+        expr("revenue_cents * 10000 div total").as("share_bp"))
+      .orderBy($"abc_class")
+  }
+
   /** Percent-of-parent hierarchy rollup — the region→nation drill-down
     * every OLAP cube renders: exact order-revenue cents per nation with
     * its share of the parent region and of the grand total in basis
