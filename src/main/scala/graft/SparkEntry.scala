@@ -191,6 +191,9 @@ object SparkEntry {
     "q_region_nation_share" ->
       ((s, dir) => Relational.regionNationShare(s, dir)),
     "q_did_orders" -> ((s, dir) => Relational.didOrders(s, dir)),
+    "q_holt_winters" -> Relational.holtWinters,
+    "q_mann_kendall" -> ((s, dir) => Relational.mannKendall(s, dir)),
+    "q_pettitt" -> ((s, dir) => Relational.pettittChangepoint(s, dir)),
     "q_fisher_index" -> ((s, dir) => Relational.fisherPriceIndex(s, dir)),
     "q_abc_classification" ->
       ((s, dir) => Relational.abcClassification(s, dir)),
@@ -5532,6 +5535,84 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(lp_u) // count(*) AS BIGINT) AS xent_kn_u
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    "q_holt_winters" ->
+      """WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         idx AS (SELECT day, cents,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+           FROM daily),
+         hw(i, day, cents, l, b, s0, s1, s2, s3, s4, s5, s6,
+            season, forecast, err) AS (
+           SELECT i, day, cents, cents * 1000000, CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             cents * 1000000, CAST(0 AS BIGINT)
+           FROM idx WHERE i = 1
+           UNION ALL
+           SELECT x.i, x.day, x.cents,
+             (x.cents * 1000000 - h.s0 + 3 * (h.l + h.b)) // 4,
+             ((x.cents * 1000000 - h.s0 + 3 * (h.l + h.b)) // 4
+               - h.l + 7 * h.b) // 8,
+             h.s1, h.s2, h.s3, h.s4, h.s5, h.s6,
+             (x.cents * 1000000
+               - ((x.cents * 1000000 - h.s0 + 3 * (h.l + h.b)) // 4)
+               + 7 * h.s0) // 8,
+             (x.cents * 1000000
+               - ((x.cents * 1000000 - h.s0 + 3 * (h.l + h.b)) // 4)
+               + 7 * h.s0) // 8,
+             h.l + h.b + h.s0,
+             x.cents * 1000000 - (h.l + h.b + h.s0)
+           FROM hw h JOIN idx x ON x.i = h.i + 1)
+         SELECT day, cents, CAST(l AS BIGINT) AS level_u,
+           CAST(b AS BIGINT) AS trend_u, CAST(season AS BIGINT)
+             AS season_u,
+           CAST(forecast AS BIGINT) AS forecast_u,
+           CAST(err AS BIGINT) AS err_u
+         FROM hw ORDER BY day""",
+    "q_mann_kendall" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         p AS (SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+               WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat,
+             CAST(count(*) AS BIGINT) AS n_pairs
+           FROM daily a JOIN daily b ON a.day < b.day),
+         t AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+               AS tie_term,
+             CAST(sum(t) AS BIGINT) AS n_days
+           FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily
+             GROUP BY cents))
+         SELECT n_days, n_pairs, s_stat, tie_term,
+           n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18,
+           CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+               > 0 THEN
+             CAST(round((CAST(s_stat AS DOUBLE)
+               - sign(CAST(s_stat AS DOUBLE)))
+               / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                 - tie_term AS DOUBLE) / 18.0) * 1000) AS BIGINT) END
+             AS z_milli
+         FROM p CROSS JOIN t""",
+    "q_pettitt" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         v AS (SELECT a.day, CAST(sum(CASE WHEN a.cents > b.cents THEN 1
+               WHEN a.cents < b.cents THEN -1 ELSE 0 END) AS BIGINT)
+               AS v_t
+           FROM daily a CROSS JOIN daily b GROUP BY a.day),
+         u AS (SELECT day, CAST(sum(v_t) OVER (ORDER BY day ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS u_t,
+             CAST(count(*) OVER () AS BIGINT) AS n_days FROM v),
+         top AS (SELECT * FROM u ORDER BY abs(u_t) DESC, day LIMIT 1)
+         SELECT day AS change_day, abs(u_t) AS k_stat,
+           u_t AS u_at_change, n_days,
+           CAST(round(2.0 * exp(-6.0 * CAST(u_t * u_t AS DOUBLE)
+             / CAST(n_days * n_days * n_days + n_days * n_days AS DOUBLE))
+             * 1000) AS BIGINT) AS p_approx_milli
+         FROM top""",
     "q_did_orders" ->
       """WITH o AS (SELECT (c_mktsegment = 'BUILDING') AS treated,
            CAST(o_orderdate AS DATE) AS day,

@@ -2833,6 +2833,125 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Holt–Winters additive triple smoothing (weekly season) of daily
+    * revenue — [[holtLinear]] plus a learned 7-slot seasonal state, the
+    * forecaster that stops calling every Saturday dip an anomaly.
+    * Dyadic gains (α=1/4, β=1/8, γ=1/8) with truncating integer
+    * division, zero-seasonal initialization (l₀=y₀, b₀=0, s≡0 — γ
+    * learns the profile within a few weeks), so the whole trajectory is
+    * an exact integer recursion both engines replay bit-for-bit (the
+    * oracle as a recursive CTE carrying the rotating 7-slot state).
+    * Forecast and error use the PRE-update state — the honest one-step-
+    * ahead residual. Driver cost is calendar-bounded (one row per day).
+    */
+  def holtWinters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .select($"day".cast("string").as("day"), $"cents")
+      .orderBy($"day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var l = daily.head._2 * 1000000L
+    var b = 0L
+    val sea = Array.fill(7)(0L) // rotating: sea(0) is due this step
+    val rows = daily.zipWithIndex.map { case ((day, cents), i) =>
+      val y = cents * 1000000L
+      val sOld = sea(0)
+      val forecast = l + b + sOld
+      val err = if (i == 0) 0L else y - forecast
+      if (i > 0) {
+        val lPrev = l
+        l = (y - sOld + 3L * (l + b)) / 4L
+        b = ((l - lPrev) + 7L * b) / 8L
+        val sNew = ((y - l) + 7L * sOld) / 8L
+        for (k <- 0 until 6) sea(k) = sea(k + 1)
+        sea(6) = sNew
+      } else {
+        // seed step consumes its slot unchanged (s stays all-zero)
+        for (k <- 0 until 6) sea(k) = sea(k + 1)
+        sea(6) = sOld
+      }
+      (day, cents, l, b, sea(6), forecast, err)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1))
+      .toDF("day", "cents", "level_u", "trend_u", "season_u",
+        "forecast_u", "err_u")
+      .select(to_date($"day").as("day"), $"cents", $"level_u",
+        $"trend_u", $"season_u", $"forecast_u", $"err_u")
+      .orderBy($"day")
+  }
+
+  /** Mann–Kendall trend test on daily revenue — the nonparametric
+    * companion to [[theilSenTrend]]'s slope: S = Σ_{i<j} sign(xⱼ−xᵢ)
+    * counts concordant minus discordant day pairs, with the exact
+    * tie-corrected variance (×18 to stay integer) and the
+    * continuity-corrected z in milli (the one fixed-shape sqrt).
+    * Monotone drift shows up here even when outliers wreck OLS and
+    * nonlinearity wrecks a single slope. The pair space is calendar² —
+    * bounded regardless of data size; the day rollup is the only
+    * fact-sized work.
+    */
+  def mannKendall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .localCheckpoint() // pair join (both sides) + tie rollup read it
+    val a = daily.select($"day".as("di"), $"cents".as("xi"))
+    val b = daily.select($"day".as("dj"), $"cents".as("xj"))
+    val sStat = a.join(broadcast(b), $"di" < $"dj")
+      .agg(sum(signum(($"xj" - $"xi").cast("double")).cast("long"))
+        .as("s_stat"), count(lit(1)).as("n_pairs"))
+    val ties = daily.groupBy($"cents").agg(count(lit(1)).as("t"))
+      .agg(sum($"t" * ($"t" - 1L) * ($"t" * 2L + 5L)).as("tie_term"),
+        sum($"t").as("n_days"))
+    sStat.crossJoin(broadcast(ties))
+      .withColumn("var18", expr(
+        "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"))
+      .withColumn("z_milli", when($"var18" > 0, round(
+        (($"s_stat".cast("double") - signum($"s_stat".cast("double"))) /
+          sqrt($"var18".cast("double") / 18.0)) * 1000).cast("long")))
+      .select($"n_days", $"n_pairs", $"s_stat", $"tie_term", $"var18",
+        $"z_milli")
+  }
+
+  /** Pettitt changepoint test on daily revenue — the rank-based single
+    * changepoint detector (Pettitt 1979): Uₜ = Σ_{i≤t,j>t} sign(xᵢ−xⱼ)
+    * via the exact recurrence Uₜ = Uₜ₋₁ + Σ_{j≠t} sign(xₜ−xⱼ), the
+    * change day is the |U| argmax (earliest-day tie-break), and the
+    * standard significance approximation 2·exp(−6K²/(n³+n²)) is
+    * reported in milli (one fixed-shape exp). Unlike the CUSUM family
+    * it needs no scale parameter — pure ranks. The day×day compare and
+    * the cumulative window are calendar²/calendar bounded.
+    */
+  def pettittChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .localCheckpoint() // both sides of the day-pair compare read it
+    val b = daily.select($"cents".as("xj"))
+    val v = daily.crossJoin(broadcast(b))
+      .groupBy($"day")
+      .agg((sum(signum(($"cents" - $"xj").cast("double"))).cast("long"))
+        .as("v_t"))
+    // calendar-bounded frames: the running U and the argmax scan
+    val byDay = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = v.withColumn("u_t", sum($"v_t").over(byDay))
+      .withColumn("n_days", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    u.orderBy(abs($"u_t").desc, $"day").limit(1)
+      .select($"day".as("change_day"), abs($"u_t").as("k_stat"),
+        $"u_t".as("u_at_change"), $"n_days",
+        round(lit(2.0) * exp(lit(-6.0) *
+          ($"u_t" * $"u_t").cast("double") /
+          ($"n_days" * $"n_days" * $"n_days" + $"n_days" * $"n_days")
+            .cast("double")) * 1000).cast("long").as("p_approx_milli"))
+  }
+
   /** t-closeness audit (Li et al., ICDE'07) — the distributional
     * sequel to [[kAnonymity]]'s k/l checks: a quasi-identifier class
     * can be k-anonymous AND l-diverse yet still leak if its sensitive-
