@@ -134,6 +134,52 @@ object Streams {
       }
   }
 
+  /** Streaming Holt–Winters monitor — the seasonal upgrade of
+    * [[holtSink]] and the stateful twin of
+    * [[graft.operators.Relational.holtWinters]]: per trigger the
+    * complete-mode daily rollup is re-walked with the batch operator's
+    * EXACT integer recursion (α=1/4, β=1/8, γ=1/8, rotating 7-slot
+    * weekly state, truncating division), so the stream's level / trend
+    * / next-step seasonal forecast is bit-identical to a batch replay
+    * over the same days. Driver cost is calendar-bounded.
+    */
+  def holtWintersSink(orders: DataFrame, targetDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val daily = orders
+      .select(col("day").cast("date").as("day"),
+        round(col("amount") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+    daily.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val days = batch.collect()
+          .map(r => (r.getDate(0).toString, r.getLong(1))).sortBy(_._1)
+        if (days.nonEmpty) {
+          var l = days.head._2 * 1000000L; var b = 0L
+          val sea = Array.fill(7)(0L)
+          var lastErr = 0L
+          for (i <- days.indices.drop(1)) {
+            val y = days(i)._2 * 1000000L
+            val sOld = sea(0)
+            lastErr = y - (l + b + sOld)
+            val lp = l
+            l = (y - sOld + 3L * (l + b)) / 4L
+            b = ((l - lp) + 7L * b) / 8L
+            val sNew = ((y - l) + 7L * sOld) / 8L
+            for (k <- 0 until 6) sea(k) = sea(k + 1)
+            sea(6) = sNew
+          }
+          Seq((batchId, days.length.toLong, l, b, sea(0),
+              l + b + sea(0), lastErr))
+            .toDF("batch_id", "n_days", "level_u", "trend_u",
+              "season_next_u", "forecast_next_u", "last_err_u")
+            .write.mode("append").parquet(targetDir)
+        }
+        ()
+      }
+  }
+
   /** Streaming n-gram novelty gate + first-occurrence index — the
     * ingest twin of [[graft.operators.TextOps.ngramNovelty]]: each
     * micro-batch's docs are scored against the STORED shingle set

@@ -467,6 +467,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L)._5 > 0L)
   }
 
+  test("holtWintersSink: full history reproduces the batch Holt-Winters " +
+       "recursion including the rotating seasonal state") {
+    val dst = java.nio.file.Files.createTempDirectory("hw-out")
+      .toString + "/hw"
+    val ckpt = java.nio.file.Files.createTempDirectory("hw-ckpt").toString
+    val batchRows = graft.operators.Relational.holtWinters(spark, sf).collect()
+    val orders = graft.Tables(spark, sf, "orders")
+      .select($"o_orderdate".cast("date").cast("string"), $"o_totalprice")
+      .as[(String, Double)].collect().toSeq
+    val input = MemoryStream[(String, Double)](spark)
+    val q = Streams.holtWintersSink(input.toDF().toDF("day", "amount"), dst)
+      .option("checkpointLocation", ckpt).start()
+    input.addData(orders); q.processAllAvailable()
+    q.stop()
+    val row = spark.read.parquet(dst).collect().head
+    val lb = batchRows.last
+    assert(row.getAs[Long]("n_days") === batchRows.length.toLong)
+    assert(row.getAs[Long]("level_u") === lb.getAs[Long]("level_u"),
+      "stream level != batch level on the same days")
+    assert(row.getAs[Long]("trend_u") === lb.getAs[Long]("trend_u"))
+    assert(row.getAs[Long]("last_err_u") === lb.getAs[Long]("err_u"))
+    // next-step seasonal slot: replay the batch fold's rotation to the
+    // same point — the forecast must carry the slot due NEXT, which the
+    // per-day batch output exposes as the season of the day 6 steps back
+    val season6Back = batchRows(batchRows.length - 7).getAs[Long]("season_u")
+    assert(row.getAs[Long]("season_next_u") === season6Back,
+      "seasonal slot due next diverges from the batch rotation")
+    assert(row.getAs[Long]("forecast_next_u") ===
+      lb.getAs[Long]("level_u") + lb.getAs[Long]("trend_u") + season6Back)
+  }
+
   test("noveltyIndexSink: doc_id-ordered batches reproduce the batch " +
        "ngramNovelty exactly; replays are no-ops") {
     val table = "novelty_spec_idx"
