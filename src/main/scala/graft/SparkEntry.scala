@@ -217,6 +217,8 @@ object SparkEntry {
       ((s, _) => gtfs.GtfsFixture.connectionsOracleQuery(s)),
     "q_gtfs_earliest_arrival" ->
       ((s, _) => gtfs.GtfsFixture.earliestArrivalOracleQuery(s)),
+    "q_gtfs_headway_cv" ->
+      ((s, _) => gtfs.GtfsFixture.headwayOracleQuery(s)),
     "q_heaps_law" -> TextOps.heapsLaw,
     "q_neyman_alloc" -> ((s, dir) => Events.neymanAllocation(s, dir)),
     "q_burrows_delta" -> ((s, dir) => TextOps.burrowsDelta(s, dir)),
@@ -5465,6 +5467,32 @@ object SparkEntry {
     "q_absorption_steps" -> absorptionStepsOracle("purchase", 25),
     "q_markov_attribution" -> markovAttributionOracle("purchase", 25),
     "q_gtfs_earliest_arrival" -> gtfsEarliestArrivalOracle(4),
+    "q_gtfs_headway_cv" ->
+      s"""WITH $gtfsArrivalCtes,
+         ev AS (SELECT run_id, trip_id, stop_id, service_date,
+             CAST(epoch(CAST(service_date AS TIMESTAMP)) AS BIGINT)
+               + arrival_time AS tsec
+           FROM unioned),
+         g AS (SELECT run_id, stop_id, service_date,
+             lead(tsec) OVER w - tsec AS gap
+           FROM ev WINDOW w AS (PARTITION BY run_id, stop_id, service_date
+             ORDER BY tsec, trip_id)),
+         a AS (SELECT run_id, stop_id, service_date,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS gap_sum,
+             CAST(sum(gap * gap) AS BIGINT) AS gap_sq_sum
+           FROM g WHERE gap IS NOT NULL GROUP BY 1, 2, 3),
+         r AS (SELECT *, CAST(gap_sum // n_gaps AS BIGINT)
+               AS mean_gap_secs,
+             CASE WHEN gap_sum > 0 THEN CAST(round(
+               sqrt(CAST(n_gaps * gap_sq_sum - gap_sum * gap_sum
+                 AS DOUBLE)) / CAST(gap_sum AS DOUBLE) * 1000) AS BIGINT)
+             END AS cv_milli
+           FROM a)
+         SELECT CAST(run_id AS BIGINT) AS run_id, stop_id, service_date,
+           n_gaps, gap_sum, gap_sq_sum, mean_gap_secs, cv_milli,
+           coalesce(cv_milli > 500, false) AS irregular
+         FROM r ORDER BY run_id, stop_id, service_date""",
     "q_lsh_planner" -> lshPlannerOracle(12, 700L),
     "q_neardup_robustness" ->
       s"""WITH RECURSIVE lsh AS ($minhashPairsCore),

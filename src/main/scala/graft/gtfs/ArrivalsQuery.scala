@@ -359,6 +359,42 @@ object ArrivalsQuery {
       .orderBy(col("run_id"), col("stop_id"))
   }
 
+  /** Headway regularity per (stop, service day) — the bunching audit a
+    * transit feed is judged by: inter-arrival gaps at each stop, their
+    * exact integer sums, and the coefficient of variation in milli
+    * (σ/μ via the population identity n·Σg²−S² — one fixed-shape
+    * sqrt + divide, everything before it exact longs). CV ≈ 0 is
+    * clockwork service; CV ≥ ~500 milli flags irregular/bunched
+    * arrivals (two buses at once, then nothing). Scale: gaps are one
+    * lead window partitioned by (run, stop, day) — the arrivals
+    * expansion's own clustering — then a per-key rollup.
+    */
+  def headwayRegularity(arrivals: DataFrame): DataFrame = {
+    val byStopDay = Window
+      .partitionBy(col("run_id"), col("stop_id"), col("service_date"))
+      .orderBy(col("event_ts"), col("trip_id"))
+    arrivals
+      .withColumn("next_ts", lead(col("event_ts"), 1).over(byStopDay))
+      .filter(col("next_ts").isNotNull)
+      .select(col("run_id"), col("stop_id"), col("service_date"),
+        (unix_timestamp(col("next_ts")) - unix_timestamp(col("event_ts")))
+          .as("gap"))
+      .groupBy(col("run_id"), col("stop_id"), col("service_date"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("gap_sum"),
+        sum(col("gap") * col("gap")).as("gap_sq_sum"))
+      .withColumn("mean_gap_secs", expr("gap_sum div n_gaps"))
+      .withColumn("cv_milli", when(col("gap_sum") > 0, round(
+        sqrt((col("n_gaps") * col("gap_sq_sum") - col("gap_sum") * col("gap_sum"))
+          .cast("double")) / col("gap_sum").cast("double") * 1000)
+        .cast("long")))
+      .withColumn("irregular",
+        coalesce(col("cv_milli") > 500L, lit(false)))
+      .select(col("run_id"), col("stop_id"), col("service_date"),
+        col("n_gaps"), col("gap_sum"), col("gap_sq_sum"),
+        col("mean_gap_secs"), col("cv_milli"), col("irregular"))
+      .orderBy(col("run_id"), col("stop_id"), col("service_date"))
+  }
+
   /** Kafka-ready JSON shaping with the reference's exact field names and
     * 7-fractional-digit local-time (domain/GtfsArrival.java:20-36).
     */

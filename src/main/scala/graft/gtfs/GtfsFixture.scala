@@ -177,6 +177,15 @@ object GtfsFixture {
       calendar(s), calendarDates(s), trips(s), stopTimes(s), stops(s),
       transfers(s), "S1", "2019-02-21", 8L * 3600)
 
+  /** Headway-regularity audit over the fixture's expanded arrivals —
+    * oracle twin of [[ArrivalsQuery.headwayRegularity]].
+    */
+  def headwayOracleQuery(s: SparkSession): DataFrame =
+    ArrivalsQuery.headwayRegularity(
+      ArrivalsQuery.arrivalsWithExceptions(
+        calendar(s), calendarDates(s), trips(s), stopTimes(s), stops(s),
+        "2019-02-18", "2019-02-25"))
+
   /** Headway materialisation over the fixture — oracle twin of
     * [[ArrivalsQuery.expandFrequencies]]: T2's three 20-minute
     * instances with template-offset arithmetic, everything else
