@@ -195,6 +195,15 @@ object SparkEntry {
     "q_mann_kendall" -> ((s, dir) => Relational.mannKendall(s, dir)),
     "q_pettitt" -> ((s, dir) => Relational.pettittChangepoint(s, dir)),
     "q_fisher_index" -> ((s, dir) => Relational.fisherPriceIndex(s, dir)),
+    "q_welch_ttest" -> ((s, dir) => Stats.welchTTest(s, dir)),
+    "q_chi_square" -> ((s, dir) => Stats.chiSquareTypeWeekday(s, dir)),
+    "q_anova_f" -> ((s, dir) => Stats.anovaF(s, dir)),
+    "q_kendall_tau" -> ((s, dir) => Stats.kendallTauDaily(s, dir)),
+    "q_average_precision" -> ((s, dir) => Stats.averagePrecision(s, dir)),
+    "q_holdout_calibration" ->
+      ((s, dir) => Stats.holdoutCalibration(s, dir)),
+    "q_link_prediction" -> ((s, dir) => Stats.linkPrediction(s, dir)),
+    "q_hits" -> ((s, dir) => Stats.hitsSupplierCustomer(s, dir)),
     "q_abc_classification" ->
       ((s, dir) => Relational.abcClassification(s, dir)),
     "q_largest_remainder" ->
@@ -7498,5 +7507,226 @@ object SparkEntry {
                - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 1.5), 4)
              AS skewness
          FROM s ORDER BY event_type""",
+    // Welch t / Satterthwaite df / Cohen's d: exact integer moments
+    // (HUGEINT/DECIMAL sum of squares), then ONE shared float shape.
+    "q_welch_ttest" ->
+      """WITH g AS (SELECT (c_mktsegment = 'BUILDING') AS treated,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS s,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT) *
+               CAST(round(o_totalprice * 100) AS BIGINT)) AS ss
+           FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY 1),
+         j AS (SELECT t.n AS n1, t.s AS s1, t.ss AS ss1,
+             c.n AS n2, c.s AS s2, c.ss AS ss2
+           FROM (SELECT * FROM g WHERE treated) t,
+                (SELECT * FROM g WHERE NOT treated) c),
+         k AS (SELECT *,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+             (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+             (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+               / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+           FROM j),
+         l AS (SELECT *,
+             v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2
+           FROM k)
+         SELECT n1 AS n_treated, n2 AS n_control,
+           CAST(s1 // n1 AS BIGINT) AS mean_t_cents,
+           CAST(s2 // n2 AS BIGINT) AS mean_c_cents,
+           CAST(round((m1 - m2) / sqrt(se2) * 1000) AS BIGINT) AS t_milli,
+           CAST(round(se2 * se2 /
+             ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+                / (CAST(n1 AS DOUBLE) - 1.0) +
+              (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+                / (CAST(n2 AS DOUBLE) - 1.0)) * 1000) AS BIGINT)
+             AS df_milli,
+           CAST(round((m1 - m2) / sqrt(
+             ((CAST(n1 AS DOUBLE) - 1.0) * v1 +
+              (CAST(n2 AS DOUBLE) - 1.0) * v2) /
+             (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) * 1000)
+             AS BIGINT) AS d_milli
+         FROM l""",
+    // χ² over the dense type×weekday grid: per-cell wide-int floor
+    // division keeps the statistic exact; the family window is 35 rows.
+    "q_chi_square" ->
+      """WITH cells AS (SELECT event_type,
+           CAST(date_part('isodow', CAST(ts AS DATE)) - 1 AS BIGINT) AS wd,
+           CAST(count(*) AS BIGINT) AS o FROM events GROUP BY 1, 2),
+         rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+           FROM cells GROUP BY 1),
+         ct AS (SELECT wd, CAST(sum(o) AS BIGINT) AS c FROM cells
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(count(DISTINCT wd) AS BIGINT) AS n_wd FROM cells),
+         grid AS (SELECT rt.event_type, ct.wd, rt.r, ct.c,
+             coalesce(cells.o, 0) AS o
+           FROM rt CROSS JOIN ct LEFT JOIN cells
+             ON cells.event_type = rt.event_type AND cells.wd = ct.wd),
+         t AS (SELECT g.event_type, g.wd, g.o, tot.n, tot.n_types,
+             tot.n_wd,
+             CAST(CAST(g.r AS HUGEINT) * g.c * 1000000 // tot.n AS BIGINT)
+               AS e_micro,
+             CAST((CAST(g.o AS HUGEINT) * tot.n
+                   - CAST(g.r AS HUGEINT) * g.c) *
+                  (CAST(g.o AS HUGEINT) * tot.n
+                   - CAST(g.r AS HUGEINT) * g.c) * 1000000
+                  // (CAST(g.r AS HUGEINT) * g.c * tot.n) AS BIGINT)
+               AS term_u
+           FROM grid g CROSS JOIN tot)
+         SELECT event_type, wd, o, e_micro, term_u,
+           CAST(sum(term_u) OVER () AS BIGINT) AS chi2_u,
+           (n_types - 1) * (n_wd - 1) AS dof,
+           CAST(round(sqrt(
+             CAST(CAST(sum(term_u) OVER () AS BIGINT) AS DOUBLE)
+               / 1000000.0 /
+             CAST(n * least(n_types - 1, n_wd - 1) AS DOUBLE)) * 1000)
+             AS BIGINT) AS v_milli
+         FROM t ORDER BY event_type, wd""",
+    // One-way ANOVA: all-integer SS split in micro-units; F itself is
+    // one integer floor division — exact milli, no float anywhere.
+    "q_anova_f" ->
+      """WITH g AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT)
+             AS n_g,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS s_g,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT) *
+               CAST(round(o_totalprice * 100) AS BIGINT)) AS ss_g
+           FROM orders GROUP BY 1),
+         g2 AS (SELECT *, CAST(s_g AS HUGEINT) * s_g * 1000000 // n_g
+             AS a_u FROM g),
+         fam AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             sum(CAST(s_g AS HUGEINT)) AS s_tot, sum(ss_g) AS ss_tot,
+             CAST(count(*) AS BIGINT) AS k, sum(a_u) AS a_u FROM g2),
+         fam2 AS (SELECT k, n, a_u,
+             s_tot * s_tot * 1000000 // n AS b_u,
+             ss_tot * 1000000 AS ss_u FROM fam),
+         fam3 AS (SELECT k, n, a_u - b_u AS ssb_u, ss_u - a_u AS ssw_u,
+             ss_u - b_u AS sst_u FROM fam2),
+         fam4 AS (SELECT k, n,
+             CAST(ssb_u * (n - k) * 1000 // (ssw_u * (k - 1)) AS BIGINT)
+               AS f_milli,
+             CAST(ssb_u * 10000 // sst_u AS BIGINT) AS eta_sq_bp
+           FROM fam3)
+         SELECT g.o_orderpriority, g.n_g,
+           CAST(g.s_g // g.n_g AS BIGINT) AS mean_cents,
+           fam4.k, fam4.n, fam4.f_milli, fam4.eta_sq_bp
+         FROM g CROSS JOIN fam4 ORDER BY g.o_orderpriority""",
+    // Kendall τ-b: concordance over calendar² day pairs + tie-corrected
+    // denominator (tie sums kept doubled to stay integer).
+    "q_kendall_tau" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x,
+           CAST(count(*) AS BIGINT) AS y FROM orders GROUP BY 1),
+         p AS (SELECT CAST(sum(CASE
+               WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1
+               WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN -1 ELSE 0 END)
+               AS BIGINT) AS nc_minus_nd,
+             CAST(count(*) AS BIGINT) AS n0
+           FROM daily a JOIN daily b ON a.day < b.day),
+         t1 AS (SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS n1x2 FROM
+           (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x)),
+         t2 AS (SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS n2x2 FROM
+           (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY y)),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+         SELECT n_days, n0, nc_minus_nd,
+           CAST(n1x2 // 2 AS BIGINT) AS n1,
+           CAST(n2x2 // 2 AS BIGINT) AS n2,
+           CAST(round(CAST(nc_minus_nd AS DOUBLE) /
+             sqrt(CAST(n0 - n1x2 // 2 AS DOUBLE) *
+                  CAST(n0 - n2x2 // 2 AS DOUBLE)) * 1000) AS BIGINT)
+             AS tau_milli
+         FROM p CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN nd""",
+    // AP: precision@rank at each positive, exact micro floor divisions.
+    "q_average_precision" ->
+      """WITH r AS (SELECT event_id, value,
+           (event_type = 'purchase') AS pos,
+           CAST(row_number() OVER (ORDER BY value DESC, event_id)
+             AS BIGINT) AS rk_all FROM events),
+         p AS (SELECT rk_all,
+             CAST(row_number() OVER (ORDER BY rk_all) AS BIGINT) AS rk
+           FROM r WHERE pos),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_pos,
+             CAST(sum(rk * 1000000 // rk_all) AS BIGINT) AS sum_prec_u
+           FROM p),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN pos AND rk_all <= 100 THEN 1 ELSE 0 END)
+               AS BIGINT) AS pos_at_100 FROM r)
+         SELECT n_events, n_pos,
+           CAST(sum_prec_u // n_pos AS BIGINT) AS ap_u,
+           CAST(pos_at_100 * 10000 // 100 AS BIGINT) AS p_at_100_bp
+         FROM t CROSS JOIN a""",
+    // Holdout calibration: md5 split (the q_hash_split hash), fixed
+    // 50-wide value bins, test-mass-weighted |gap| = ECE in bp.
+    "q_holdout_calibration" ->
+      """WITH ev AS (SELECT
+           CAST(concat('0x', substring(md5(concat('cal:',
+             CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS b,
+           least(9, CAST(floor(value / 50.0) AS BIGINT)) AS bin,
+           (event_type = 'purchase') AS pos FROM events),
+         tr AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos_train FROM ev WHERE b < 50 GROUP BY 1),
+         te AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos_test FROM ev WHERE b >= 50 GROUP BY 1),
+         j AS (SELECT tr.bin, n_train,
+             CAST(pos_train * 10000 // n_train AS BIGINT) AS r_train_bp,
+             n_test,
+             CAST(pos_test * 10000 // n_test AS BIGINT) AS r_test_bp
+           FROM tr JOIN te ON tr.bin = te.bin),
+         w AS (SELECT *, abs(r_train_bp - r_test_bp) AS gap_bp FROM j)
+         SELECT bin, n_train, r_train_bp, n_test, r_test_bp, gap_bp,
+           CAST(sum(n_test * gap_bp) OVER () // sum(n_test) OVER ()
+             AS BIGINT) AS ece_bp
+         FROM w ORDER BY bin""",
+    // Link prediction on the LSH candidate graph: wedges through
+    // fanout-capped centers, scored on non-edges only.
+    "q_link_prediction" ->
+      s"""WITH $minhashCtes,
+         p AS ($minhashPairsSelect),
+         ed AS (SELECT doc_a AS a, doc_b AS b FROM p
+                UNION ALL SELECT doc_b, doc_a FROM p),
+         dg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM ed
+           GROUP BY a),
+         wg AS (SELECT e1.b AS ua, e2.b AS ub,
+             CAST(count(*) AS BIGINT) AS cn,
+             CAST(sum(1000000 // dz.d) AS BIGINT) AS ra_u
+           FROM ed e1 JOIN dg dz ON dz.a = e1.a AND dz.d <= 64
+             JOIN ed e2 ON e2.a = e1.a AND e1.b < e2.b
+           GROUP BY 1, 2),
+         ne AS (SELECT ua, ub, cn, ra_u,
+             (p.doc_a IS NOT NULL) AS is_edge
+           FROM wg LEFT JOIN p
+             ON p.doc_a = wg.ua AND p.doc_b = wg.ub)
+         SELECT ne.ua AS doc_a, ne.ub AS doc_b, is_edge, cn, ra_u,
+           CAST(cn * 10000 // (du.d + dw.d - cn) AS BIGINT) AS jacc_bp,
+           CAST(du.d * dw.d AS BIGINT) AS pa
+         FROM ne JOIN dg du ON du.a = ne.ua JOIN dg dw ON dw.a = ne.ub
+         ORDER BY doc_a, doc_b""",
+    // HITS, two max-normalized half-steps over the distinct
+    // supplier→customer supply edges.
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+           FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+         a1 AS (SELECT ck, CAST(count(*) * 1000000 AS BIGINT) AS a_raw
+           FROM e GROUP BY ck),
+         a1n AS (SELECT ck, CAST(a_raw * 1000000 //
+             (SELECT max(a_raw) FROM a1) AS BIGINT) AS a_u FROM a1),
+         h1 AS (SELECT sk, CAST(sum(a_u) AS BIGINT) AS h_raw
+           FROM e JOIN a1n USING (ck) GROUP BY sk),
+         h1n AS (SELECT sk, CAST(h_raw * 1000000 //
+             (SELECT max(h_raw) FROM h1) AS BIGINT) AS h_u FROM h1),
+         a2 AS (SELECT ck, CAST(sum(h_u) AS BIGINT) AS a_raw
+           FROM e JOIN h1n USING (sk) GROUP BY ck),
+         a2n AS (SELECT ck, CAST(a_raw * 1000000 //
+             (SELECT max(a_raw) FROM a2) AS BIGINT) AS a_u FROM a2)
+         SELECT 'hub' AS role, sk AS node_id, h_u AS score_u FROM h1n
+         UNION ALL
+         SELECT 'auth' AS role, ck AS node_id, a_u AS score_u FROM a2n
+         ORDER BY role, node_id""",
   )
 }

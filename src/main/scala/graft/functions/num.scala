@@ -32,6 +32,22 @@ object num {
         lit(s"$name exceeds BIGINT range: "), c.cast("string"))).cast("long"))
   }
 
+  /** Exact floor division that STAYS wide: Spark's `div`
+    * (IntegralDivide) always narrows its quotient to BIGINT, so a
+    * quotient past int64 raises under ANSI even when the caller wants
+    * to keep accumulating in decimal. For non-negative operands,
+    * a − (a % b) is exactly divisible by b, so the decimal divide is
+    * exact (no fractional part for the result-scale rounding to touch)
+    * and the cast back to scale 0 loses nothing. Exact while the
+    * quotient fits 32 digits (decimal(38,6)'s integral capacity) —
+    * beyond the reach of any gate SF. Matches DuckDB `//` on HUGEINT.
+    */
+  def floorDivWide(a: Column, b: Column): Column = {
+    val ad = a.cast("decimal(38,0)")
+    val bd = b.cast("decimal(38,0)")
+    ((ad - pmod(ad, bd)) / bd).cast("decimal(38,0)")
+  }
+
   /** Emit an exact wide-decimal as its decimal-digit STRING — the
     * portable representation for values that genuinely exceed int64
     * (both Spark's DecimalType and DuckDB's HUGEINT print plain
