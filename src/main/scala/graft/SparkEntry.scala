@@ -204,6 +204,11 @@ object SparkEntry {
       ((s, dir) => Stats.holdoutCalibration(s, dir)),
     "q_link_prediction" -> ((s, dir) => Stats.linkPrediction(s, dir)),
     "q_hits" -> ((s, dir) => Stats.hitsSupplierCustomer(s, dir)),
+    "q_tost_equivalence" -> ((s, dir) => Stats.tostEquivalence(s, dir)),
+    "q_entropy_l_diversity" ->
+      ((s, dir) => Relational.entropyLDiversity(s, dir)),
+    "q_median_polish" -> ((s, dir) => Relational.medianPolish(s, dir)),
+    "q_rouge_pairs" -> ((s, dir) => Dedup.rougePairs(s, dir)),
     "q_abc_classification" ->
       ((s, dir) => Relational.abcClassification(s, dir)),
     "q_largest_remainder" ->
@@ -7684,7 +7689,8 @@ object SparkEntry {
              AS BIGINT) AS ece_bp
          FROM w ORDER BY bin""",
     // Link prediction on the LSH candidate graph: wedges through
-    // fanout-capped centers, scored on non-edges only.
+    // fanout-capped centers; is_edge separates known links (threshold
+    // calibration) from predicted ones.
     "q_link_prediction" ->
       s"""WITH $minhashCtes,
          p AS ($minhashPairsSelect),
@@ -7728,5 +7734,138 @@ object SparkEntry {
          UNION ALL
          SELECT 'auth' AS role, ck AS node_id, a_u AS score_u FROM a2n
          ORDER BY role, node_id""",
+    // TOST equivalence: same moment CTEs as q_welch_ttest, margin =
+    // control mean / 100 in exact cents, two one-sided t's in milli.
+    "q_tost_equivalence" ->
+      """WITH g AS (SELECT (c_mktsegment = 'BUILDING') AS treated,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS s,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT) *
+               CAST(round(o_totalprice * 100) AS BIGINT)) AS ss
+           FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY 1),
+         j AS (SELECT t.n AS n1, t.s AS s1, t.ss AS ss1,
+             c.n AS n2, c.s AS s2, c.ss AS ss2
+           FROM (SELECT * FROM g WHERE treated) t,
+                (SELECT * FROM g WHERE NOT treated) c),
+         k AS (SELECT *,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+             (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+             (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+               / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+           FROM j),
+         l AS (SELECT *,
+             sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) AS se,
+             CAST(s2 // n2 // 100 AS BIGINT) AS delta_cents FROM k),
+         m AS (SELECT n1, n2, delta_cents,
+             CAST(round((m1 - m2 + CAST(delta_cents AS DOUBLE)) / se
+               * 1000) AS BIGINT) AS t_lower_milli,
+             CAST(round((m1 - m2 - CAST(delta_cents AS DOUBLE)) / se
+               * 1000) AS BIGINT) AS t_upper_milli FROM l)
+         SELECT n1 AS n_treated, n2 AS n_control, delta_cents,
+           t_lower_milli, t_upper_milli,
+           (t_lower_milli > 1645 AND t_upper_milli < -1645) AS equivalent
+         FROM m""",
+    // Entropy l-diversity: per-band ln terms rounded to integers so the
+    // cross-band sum is order-independent; one exp per class.
+    "q_entropy_l_diversity" ->
+      """WITH cells AS (SELECT c_nationkey, c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band,
+           CAST(count(*) AS BIGINT) AS cnt
+           FROM customer GROUP BY 1, 2, 3),
+         tots AS (SELECT c_nationkey, c_mktsegment,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS l_distinct
+           FROM cells GROUP BY 1, 2),
+         t AS (SELECT cells.c_nationkey, cells.c_mktsegment, n,
+             l_distinct,
+             CAST(round(CAST(cnt AS DOUBLE) *
+               ln(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000)
+               AS BIGINT) AS term_u
+           FROM cells JOIN tots USING (c_nationkey, c_mktsegment)),
+         h AS (SELECT c_nationkey, c_mktsegment,
+             max(n) AS class_size, max(l_distinct) AS l_distinct,
+             CAST(sum(term_u) AS BIGINT) AS h_sum_u
+           FROM t GROUP BY 1, 2),
+         h2 AS (SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
+             CAST(h_sum_u // class_size AS BIGINT) AS h_micro FROM h),
+         h3 AS (SELECT *,
+             CAST(round(exp(CAST(h_micro AS DOUBLE) / 1000000.0) * 1000)
+               AS BIGINT) AS l_eff_milli FROM h2)
+         SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
+           h_micro, l_eff_milli, l_eff_milli < 2000 AS l2_risky
+         FROM h3 ORDER BY c_nationkey, c_mktsegment""",
+    // Median polish: two row/col sweeps; quantile_disc(0.5) is the same
+    // lower-middle element the engine's sorted-list index picks.
+    "q_median_polish" ->
+      """WITH o AS (SELECT c_nationkey,
+           CAST(date_part('isodow', CAST(o_orderdate AS DATE)) - 1
+             AS BIGINT) AS wd,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders JOIN customer ON c_custkey = o_custkey),
+         cells AS (SELECT c_nationkey, wd, CAST(sum(cents) AS BIGINT)
+             AS v FROM o GROUP BY 1, 2),
+         g0 AS (SELECT a.c_nationkey, b.wd, coalesce(c.v, 0) AS v
+           FROM (SELECT DISTINCT c_nationkey FROM cells) a
+           CROSS JOIN (SELECT DISTINCT wd FROM cells) b
+           LEFT JOIN cells c ON c.c_nationkey = a.c_nationkey
+             AND c.wd = b.wd),
+         rm1 AS (SELECT c_nationkey, quantile_disc(v, 0.5) AS rm1
+           FROM g0 GROUP BY 1),
+         g1 AS (SELECT g0.c_nationkey, g0.wd, g0.v - rm1 AS v
+           FROM g0 JOIN rm1 USING (c_nationkey)),
+         cm1 AS (SELECT wd, quantile_disc(v, 0.5) AS cm1 FROM g1
+           GROUP BY 1),
+         g2 AS (SELECT g1.c_nationkey, g1.wd, g1.v - cm1 AS v
+           FROM g1 JOIN cm1 USING (wd)),
+         rm2 AS (SELECT c_nationkey, quantile_disc(v, 0.5) AS rm2
+           FROM g2 GROUP BY 1),
+         g3 AS (SELECT g2.c_nationkey, g2.wd, g2.v - rm2 AS v
+           FROM g2 JOIN rm2 USING (c_nationkey)),
+         cm2 AS (SELECT wd, quantile_disc(v, 0.5) AS cm2 FROM g3
+           GROUP BY 1),
+         g4 AS (SELECT g3.c_nationkey, g3.wd, g3.v - cm2 AS v
+           FROM g3 JOIN cm2 USING (wd))
+         SELECT g0.c_nationkey, g0.wd, g0.v AS cell_cents,
+           CAST(rm1.rm1 + rm2.rm2 AS BIGINT) AS row_eff_cents,
+           CAST(cm1.cm1 + cm2.cm2 AS BIGINT) AS col_eff_cents,
+           CAST(g4.v AS BIGINT) AS resid_cents
+         FROM g0 JOIN rm1 USING (c_nationkey) JOIN rm2 USING (c_nationkey)
+           JOIN cm1 USING (wd) JOIN cm2 USING (wd)
+           JOIN g4 ON g4.c_nationkey = g0.c_nationkey AND g4.wd = g0.wd
+         ORDER BY g0.c_nationkey, g0.wd""",
+    // ROUGE-2 with clipped (multiset) bigram counts over the LSH
+    // candidate pairs; recalls and F in exact bp.
+    "q_rouge_pairs" ->
+      s"""WITH $minhashCtes,
+         p AS ($minhashPairsSelect),
+         bi AS (SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> array_to_string(toks[i:i+1], ' '))) AS sh
+             FROM docs WHERE len(toks) >= 2)
+           GROUP BY doc_id, sh),
+         tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi FROM bi
+           GROUP BY doc_id),
+         ov AS (SELECT p.doc_a, p.doc_b,
+             CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov2
+           FROM p JOIN bi a ON a.doc_id = p.doc_a
+             JOIN bi b ON b.doc_id = p.doc_b AND b.sh = a.sh
+           GROUP BY 1, 2)
+         SELECT p.doc_a, p.doc_b, coalesce(ov.ov2, 0) AS ov2,
+           ta.n_bi AS n_bi_a, tb.n_bi AS n_bi_b,
+           CAST(coalesce(ov.ov2, 0) * 10000 // ta.n_bi AS BIGINT)
+             AS r_a_bp,
+           CAST(coalesce(ov.ov2, 0) * 10000 // tb.n_bi AS BIGINT)
+             AS r_b_bp,
+           CAST(2 * coalesce(ov.ov2, 0) * 10000 // (ta.n_bi + tb.n_bi)
+             AS BIGINT) AS f2_bp
+         FROM p LEFT JOIN ov ON ov.doc_a = p.doc_a AND ov.doc_b = p.doc_b
+           JOIN tot ta ON ta.doc_id = p.doc_a
+           JOIN tot tb ON tb.doc_id = p.doc_b
+         ORDER BY p.doc_a, p.doc_b""",
   )
 }

@@ -546,6 +546,43 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** ROUGE-2 between LSH candidate pairs — the MULTISET bigram overlap
+    * (Σ min(count_a, count_b), the clipped counts of the summarization
+    * metric), where [[containmentPairs]]/Jaccard see only distinct
+    * shingles: a doc that repeats a template paragraph five times
+    * matches it five times here, once there — which is exactly the
+    * difference between "shares phrasing" and "is mostly the same
+    * text". Per ordered pair: recall of each side's bigram mass and the
+    * symmetric F in bp, all exact floor divisions. Bigram counts are
+    * one groupBy over the shingle stream; the overlap join is
+    * candidate-bounded, never corpus².
+    */
+  def rougePairs(s: SparkSession, dir: String): DataFrame =
+    rougePairs(s, dir, sharedLshPairs(s, dir))
+
+  def rougePairs(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val bi = shingleStream(docs, 2)
+      .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // totals + both overlap legs read it
+    val tot = bi.groupBy($"doc_id").agg(sum($"c").as("n_bi"))
+    val ov = pairs
+      .join(bi.toDF("doc_a", "sh", "ca"), Seq("doc_a"))
+      .join(bi.toDF("doc_b", "sh", "cb"), Seq("doc_b", "sh"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum(least($"ca", $"cb")).as("ov2"))
+    pairs
+      .join(ov, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("ov2"))
+      .join(tot.toDF("doc_a", "n_bi_a"), Seq("doc_a"))
+      .join(tot.toDF("doc_b", "n_bi_b"), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", $"ov2", $"n_bi_a", $"n_bi_b",
+        expr("ov2 * 10000 div n_bi_a").as("r_a_bp"),
+        expr("ov2 * 10000 div n_bi_b").as("r_b_bp"),
+        expr("2 * ov2 * 10000 div (n_bi_a + n_bi_b)").as("f2_bp"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Cross-source overlap matrix: near-dup pair counts per unordered
     * source pair — the provenance question a multi-source corpus asks
     * before training ("how much of source B is already in source A?").

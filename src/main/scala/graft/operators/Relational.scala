@@ -3031,6 +3031,102 @@ object Relational {
       .orderBy($"c_nationkey", $"c_mktsegment")
   }
 
+  /** Entropy l-diversity per quasi-identifier class — the strict member
+    * of the privacy triad ([[kAnonymity]] counts, [[tCloseness]]
+    * distributions, this one concentrations): distinct-l says a class
+    * with bands {99% low, 1% high} is 2-diverse; entropy-l sees the
+    * 99% concentration. H = Σ (c/n)·ln(n/c) per class, effective
+    * l = e^H, both from exact band counts: each band contributes ONE
+    * fixed-shape ln term rounded to an integer (so the cross-band sum
+    * is order-independent), the class divide is an exact floor, and
+    * e^H is one fixed-shape exp of that integer. Flagged against
+    * l ≥ 2 (entropy form). One groupBy over the customer dim.
+    */
+  def entropyLDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables(s, dir, "customer")
+      .select($"c_nationkey", $"c_mktsegment",
+        when($"c_acctbal" < 0, "debt")
+          .when($"c_acctbal" < 5000, "low").otherwise("high").as("band"))
+      .groupBy($"c_nationkey", $"c_mktsegment", $"band")
+      .agg(count(lit(1)).as("cnt"))
+    val tots = cells.groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(sum($"cnt").as("n"), count(lit(1)).as("l_distinct"))
+    cells.join(tots, Seq("c_nationkey", "c_mktsegment"))
+      .withColumn("term_u",
+        round($"cnt".cast("double") *
+          log($"n".cast("double") / $"cnt".cast("double")) * 1000000)
+          .cast("long"))
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(max($"n").as("class_size"), max($"l_distinct").as("l_distinct"),
+        sum($"term_u").as("h_sum_u"))
+      .withColumn("h_micro", expr("h_sum_u div class_size"))
+      .withColumn("l_eff_milli",
+        round(exp($"h_micro".cast("double") / lit(1000000.0)) * 1000)
+          .cast("long"))
+      .select($"c_nationkey", $"c_mktsegment", $"class_size",
+        $"l_distinct", $"h_micro", $"l_eff_milli",
+        ($"l_eff_milli" < 2000L).as("l2_risky"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  /** Tukey median polish of the nation × weekday revenue grid — the
+    * robust two-way decomposition (value = row effect + column effect +
+    * residual, all medians, no means): where a mean-based profile lets
+    * one outlier day smear the whole nation's weekday shape, medians
+    * localize it in ONE residual cell, which is what makes the residual
+    * grid the right anomaly surface for a two-way rollup. Two full
+    * row/col sweeps (the conventional stopping point), medians exact:
+    * each row/column is a bounded list (≤7 / ≤|nations| values), sorted
+    * and indexed at (n+1)/2 — the same lower-middle element DuckDB's
+    * quantile_disc(0.5) picks, so integers stay integers end to end.
+    * By construction cell = row_eff + col_eff + resid EXACTLY. The fact
+    * scan is one groupBy; every sweep runs on the dimension-bounded
+    * grid.
+    */
+  def medianPolish(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def medOdd = (c: Column) => element_at(array_sort(collect_list(c)),
+      ((count(lit(1)) + 1L) / 2L).cast("int"))
+    val cells = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey".as("o_custkey"), $"c_nationkey"), Seq("o_custkey"))
+      .groupBy($"c_nationkey",
+        graft.functions.dates.weekdayIndex($"o_orderdate".cast("date"))
+          .cast("long").as("wd"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("v"))
+    val g0 = cells.select($"c_nationkey").distinct()
+      .crossJoin(cells.select($"wd").distinct())
+      .join(cells, Seq("c_nationkey", "wd"), "left")
+      .na.fill(0L, Seq("v"))
+      .localCheckpoint() // four sweeps + the final join read it
+    def rowSweep(g: DataFrame, name: String) = {
+      val rm = g.groupBy($"c_nationkey").agg(medOdd($"v").as(name))
+      (g.join(broadcast(rm), Seq("c_nationkey"))
+        .select($"c_nationkey", $"wd", ($"v" - col(name)).as("v")), rm)
+    }
+    def colSweep(g: DataFrame, name: String) = {
+      val cm = g.groupBy($"wd").agg(medOdd($"v").as(name))
+      (g.join(broadcast(cm), Seq("wd"))
+        .select($"c_nationkey", $"wd", ($"v" - col(name)).as("v")), cm)
+    }
+    val (g1, rm1) = rowSweep(g0, "rm1")
+    val (g2, cm1) = colSweep(g1, "cm1")
+    val (g3, rm2) = rowSweep(g2, "rm2")
+    val (g4, cm2) = colSweep(g3, "cm2")
+    g0.select($"c_nationkey", $"wd", $"v".as("cell_cents"))
+      .join(broadcast(rm1), Seq("c_nationkey"))
+      .join(broadcast(rm2), Seq("c_nationkey"))
+      .join(broadcast(cm1), Seq("wd"))
+      .join(broadcast(cm2), Seq("wd"))
+      .join(g4.select($"c_nationkey", $"wd", $"v".as("resid_cents")),
+        Seq("c_nationkey", "wd"))
+      .select($"c_nationkey", $"wd", $"cell_cents",
+        ($"rm1" + $"rm2").as("row_eff_cents"),
+        ($"cm1" + $"cm2").as("col_eff_cents"), $"resid_cents")
+      .orderBy($"c_nationkey", $"wd")
+  }
+
   /** Difference-in-differences over the order history — the causal
     * workhorse for "did the thing we changed move the metric": treated
     * segment vs the rest, before vs after the calendar midpoint, the

@@ -40,8 +40,14 @@ object Stats {
     * scale). The group rollup is the only fact-sized work; everything
     * after is a 2-row cross of scalars.
     */
-  def welchTTest(s: SparkSession, dir: String,
-                 segment: String = "BUILDING"): DataFrame = {
+  /** Exact two-group sufficient statistics (n, Σcents, Σcents² per
+    * side, one 1×1 cross) for one market segment vs the rest — shared
+    * by [[welchTTest]] and [[tostEquivalence]] so the moment
+    * convention cannot drift between the difference test and the
+    * equivalence test.
+    */
+  private def segmentMoments(s: SparkSession, dir: String,
+                             segment: String): DataFrame = {
     import s.implicits._
     val g = Tables(s, dir, "orders")
       .join(Tables(s, dir, "customer")
@@ -56,7 +62,13 @@ object Stats {
       .select($"n".as("n1"), $"s".as("s1"), $"ss".as("ss1"))
     val c = g.filter(!$"treated")
       .select($"n".as("n2"), $"s".as("s2"), $"ss".as("ss2"))
-    val j = t.crossJoin(c)
+    t.crossJoin(c)
+  }
+
+  def welchTTest(s: SparkSession, dir: String,
+                 segment: String = "BUILDING"): DataFrame = {
+    import s.implicits._
+    val j = segmentMoments(s, dir, segment)
     val m1 = d($"s1") / d($"n1"); val m2 = d($"s2") / d($"n2")
     val v1 = (d($"ss1") - d($"s1") * d($"s1") / d($"n1")) /
       (d($"n1") - lit(1.0))
@@ -74,6 +86,34 @@ object Stats {
       round((m1 - m2) / sqrt(se2) * 1000).cast("long").as("t_milli"),
       round(dfW * 1000).cast("long").as("df_milli"),
       round((m1 - m2) / sqrt(sp2) * 1000).cast("long").as("d_milli"))
+  }
+
+  /** TOST equivalence test (two one-sided Welch t's) of order value,
+    * one segment vs the rest — the flip side of [[welchTTest]]: "can we
+    * CONFIRM the segments spend the same, within ±1% of the control
+    * mean?" A non-significant difference test can't say that (absence
+    * of evidence); TOST can. Margin δ = control mean / 100, exact
+    * cents. Equivalent at α=0.05 when the lower one-sided t clears
+    * +1.645 AND the upper clears −1.645 (the normal quantile — df is
+    * in the thousands here, where t ≈ z to 3 decimals). Same
+    * one-scan moment rollup as the t-test.
+    */
+  def tostEquivalence(s: SparkSession, dir: String,
+                      segment: String = "BUILDING"): DataFrame = {
+    import s.implicits._
+    val j = segmentMoments(s, dir, segment)
+      .withColumn("delta_cents", expr("s2 div n2 div 100"))
+    val m1 = d($"s1") / d($"n1"); val m2 = d($"s2") / d($"n2")
+    val v1 = (d($"ss1") - d($"s1") * d($"s1") / d($"n1")) /
+      (d($"n1") - lit(1.0))
+    val v2 = (d($"ss2") - d($"s2") * d($"s2") / d($"n2")) /
+      (d($"n2") - lit(1.0))
+    val se = sqrt(v1 / d($"n1") + v2 / d($"n2"))
+    val tLo = round((m1 - m2 + d($"delta_cents")) / se * 1000).cast("long")
+    val tHi = round((m1 - m2 - d($"delta_cents")) / se * 1000).cast("long")
+    j.select($"n1".as("n_treated"), $"n2".as("n_control"), $"delta_cents",
+      tLo.as("t_lower_milli"), tHi.as("t_upper_milli"),
+      (tLo > 1645L && tHi < -1645L).as("equivalent"))
   }
 
   /** Pearson χ² independence test of event type × weekday (Monday=0),

@@ -820,4 +820,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("rougePairs: clipped overlap bounded by both sides, F between recalls") {
+    val rows = Dedup.rougePairs(spark, sf).collect()
+    val pairKeys = Dedup.sharedLshPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet === pairKeys, "one ROUGE row per LSH candidate pair")
+    rows.foreach { r =>
+      val ov = r.getAs[Long]("ov2")
+      assert(ov <= math.min(r.getAs[Long]("n_bi_a"), r.getAs[Long]("n_bi_b")),
+        "clipped overlap can't exceed either side's bigram mass")
+      val ra = r.getAs[Long]("r_a_bp"); val rb = r.getAs[Long]("r_b_bp")
+      val f = r.getAs[Long]("f2_bp")
+      assert(ra <= 10000L && rb <= 10000L)
+      // harmonic mean sits between the recalls (±1 for the floors)
+      assert(f >= math.min(ra, rb) - 1 && f <= math.max(ra, rb) + 1)
+    }
+  }
+
 }

@@ -1703,4 +1703,38 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("entropy l-diversity: H bounded by ln(distinct), flags track l=2") {
+    val rows = Relational.entropyLDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("h_micro")
+      val lDist = r.getAs[Long]("l_distinct")
+      assert(h >= 0L, "entropy is nonnegative")
+      // H <= ln(l_distinct) (uniform maximizes), so l_eff <= l_distinct
+      assert(h <= math.round(math.log(lDist.toDouble) * 1e6) + 1)
+      val lEff = r.getAs[Long]("l_eff_milli")
+      assert(lEff <= lDist * 1000 + 1)
+      assert(r.getAs[Boolean]("l2_risky") === (lEff < 2000L))
+    }
+  }
+
+  test("median polish: exact additive decomposition over a dense grid") {
+    val rows = Relational.medianPolish(spark, sf).collect()
+    val nks = rows.map(_.getAs[Int]("c_nationkey")).distinct.length
+    val wds = rows.map(_.getAs[Long]("wd")).distinct.length
+    assert(rows.length === nks * wds, "grid must be dense")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cell_cents") ===
+        r.getAs[Long]("row_eff_cents") + r.getAs[Long]("col_eff_cents") +
+          r.getAs[Long]("resid_cents"),
+        "cell = row effect + col effect + residual, exactly")
+    }
+    // medians localize shocks: at least half of each row's residuals
+    // sit at or below the row's median absolute residual — weak sanity
+    // that the polish actually centered rows (last sweep was columns,
+    // so rows are within one sweep of centered, not exactly)
+    assert(rows.map(_.getAs[Long]("resid_cents")).count(_ == 0L) >= 1,
+      "a converged-ish polish pins at least one cell to zero")
+  }
+
 }

@@ -24,6 +24,15 @@ class StatsSpec extends SparkSpec {
       s"t sign must track the mean gap: t=$t gap=$gap")
   }
 
+  test("tost: margin is 1% of control mean, one-sided t's bracket, flag consistent") {
+    val r = Stats.tostEquivalence(spark, sf).collect().head
+    val w = Stats.welchTTest(spark, sf).collect().head
+    assert(r.getAs[Long]("delta_cents") === w.getAs[Long]("mean_c_cents") / 100)
+    val lo = r.getAs[Long]("t_lower_milli"); val hi = r.getAs[Long]("t_upper_milli")
+    assert(lo >= hi, "adding the margin can only raise the statistic")
+    assert(r.getAs[Boolean]("equivalent") === (lo > 1645L && hi < -1645L))
+  }
+
   test("chi-square: dense grid, per-cell terms nonneg, dof identity") {
     val rows = Stats.chiSquareTypeWeekday(spark, sf).collect()
     val types = rows.map(_.getAs[String]("event_type")).distinct.length
