@@ -62,7 +62,7 @@ object Stats {
       .select($"n".as("n1"), $"s".as("s1"), $"ss".as("ss1"))
     val c = g.filter(!$"treated")
       .select($"n".as("n2"), $"s".as("s2"), $"ss".as("ss2"))
-    t.crossJoin(c)
+    t.crossJoin(broadcast(c)) // 1×1 scalar cross, never a cartesian
   }
 
   def welchTTest(s: SparkSession, dir: String,
