@@ -209,6 +209,9 @@ object SparkEntry {
       ((s, dir) => Relational.entropyLDiversity(s, dir)),
     "q_median_polish" -> ((s, dir) => Relational.medianPolish(s, dir)),
     "q_rouge_pairs" -> ((s, dir) => Dedup.rougePairs(s, dir)),
+    "q_abc_xyz" -> ((s, dir) => Relational.xyzClassification(s, dir)),
+    "q_croston" -> ((s, dir) => Relational.croston(s, dir)),
+    "q_dtw_profiles" -> ((s, dir) => Stats.dtwWeekdayProfiles(s, dir)),
     "q_abc_classification" ->
       ((s, dir) => Relational.abcClassification(s, dir)),
     "q_largest_remainder" ->
@@ -1413,6 +1416,26 @@ object SparkEntry {
        GROUP BY doc_id
        HAVING count(DISTINCT tok) = 3
        ORDER BY score DESC, doc_id LIMIT 25"""
+
+  /** One DTW anti-diagonal for the q_dtw_profiles oracle: cells with
+    * i+j = k take cost + least(up, left, diag) over the accumulated
+    * frontier u(k−1); `least` skips NULL border predecessors in both
+    * engines (verified), mirroring Stats.dtwWeekdayProfiles' wavefront
+    * rounds join for join.
+    */
+  private def dtwRoundCtes(k: Int): String =
+    s"""d$k AS MATERIALIZED (SELECT c.na, c.nb, c.i, c.j,
+           c.c + least(p1.d, p2.d, p3.d) AS d
+         FROM costs c
+         LEFT JOIN u${k - 1} p1 ON p1.na = c.na AND p1.nb = c.nb
+           AND p1.i = c.i - 1 AND p1.j = c.j
+         LEFT JOIN u${k - 1} p2 ON p2.na = c.na AND p2.nb = c.nb
+           AND p2.i = c.i AND p2.j = c.j - 1
+         LEFT JOIN u${k - 1} p3 ON p3.na = c.na AND p3.nb = c.nb
+           AND p3.i = c.i - 1 AND p3.j = c.j - 1
+         WHERE c.i + c.j = $k),
+       u$k AS MATERIALIZED (SELECT * FROM u${k - 1}
+         UNION ALL SELECT * FROM d$k)"""
 
   /** One unrolled power-iteration round for the q_power_iteration
     * oracle — fixed-point matvec terms, exact-integer norm², HALF_UP
@@ -7867,5 +7890,105 @@ object SparkEntry {
            JOIN tot ta ON ta.doc_id = p.doc_a
            JOIN tot tb ON tb.doc_id = p.doc_b
          ORDER BY p.doc_a, p.doc_b""",
+    // ABC (cumulative revenue) × XYZ (weekly-demand CV) matrix; weeks
+    // are epoch-day//7 so both engines bucket identically.
+    "q_abc_xyz" ->
+      """WITH pp AS (SELECT l_partkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) AS rev FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM pp),
+         abc AS (SELECT l_partkey, rev, total,
+             CASE WHEN cum * 10 <= total * 7 THEN 'A'
+                  WHEN cum * 10 <= total * 9 THEN 'B'
+                  ELSE 'C' END AS abc_class
+           FROM (SELECT l_partkey, rev,
+               CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey)
+                 AS BIGINT) AS cum FROM pp) CROSS JOIN tot),
+         wk AS (SELECT l_partkey,
+             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               // 7 AS week,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+           FROM lineitem GROUP BY 1, 2),
+         mo AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS sq, sum(q * q) AS ssq
+           FROM wk GROUP BY 1),
+         cv AS (SELECT l_partkey,
+             CASE WHEN n > 1 THEN CAST(round(
+               sqrt((CAST(n AS DOUBLE) * CAST(ssq AS DOUBLE)
+                 - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) /
+               (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) * 10000)
+               AS BIGINT) END AS cv_bp
+           FROM mo),
+         x AS (SELECT l_partkey,
+             CASE WHEN cv_bp IS NULL THEN 'Z'
+                  WHEN cv_bp < 5000 THEN 'X'
+                  WHEN cv_bp < 10000 THEN 'Y' ELSE 'Z' END AS xyz_class
+           FROM cv)
+         SELECT abc_class, xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS revenue_cents,
+           CAST(sum(rev) * 10000 // max(total) AS BIGINT) AS share_bp
+         FROM abc JOIN x USING (l_partkey)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Croston: recursive fold over DEMAND EVENTS of the lowest-keyed
+    // part (size and interval EWMAs in micro, α = 1/8).
+    "q_croston" ->
+      """WITH RECURSIVE pk AS (SELECT min(l_partkey) AS pk FROM lineitem),
+         d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+           FROM lineitem, pk WHERE l_partkey = pk GROUP BY 1),
+         idx AS (SELECT day, q,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(coalesce(datediff('day',
+               lag(day) OVER (ORDER BY day), day), 1) AS BIGINT) AS gap
+           FROM d),
+         c(i, day, q, gap, z, p) AS (
+           SELECT i, day, q, gap, q * 1000000,
+             CAST(1000000 AS BIGINT) FROM idx WHERE i = 1
+           UNION ALL
+           SELECT x.i, x.day, x.q, x.gap,
+             (x.q * 1000000 + 7 * c.z) // 8,
+             (x.gap * 1000000 + 7 * c.p) // 8
+           FROM c JOIN idx x ON x.i = c.i + 1)
+         SELECT day, q, gap, CAST(z AS BIGINT) AS z_u,
+           CAST(p AS BIGINT) AS p_u,
+           CAST(CAST(z AS HUGEINT) * 1000000 // p AS BIGINT) AS f_u
+         FROM c ORDER BY day""",
+    // DTW wavefront: one CTE per anti-diagonal, borders handled by
+    // least() skipping NULL predecessors in both engines.
+    "q_dtw_profiles" ->
+      s"""WITH prof AS (SELECT c_nationkey,
+           CAST(date_part('isodow', CAST(o_orderdate AS DATE)) - 1
+             AS BIGINT) AS wd,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS v
+           FROM orders JOIN customer ON c_custkey = o_custkey
+           GROUP BY 1, 2),
+         dense AS (SELECT a.c_nationkey, b.wd, coalesce(p.v, 0) AS v
+           FROM (SELECT DISTINCT c_nationkey FROM prof) a
+           CROSS JOIN (SELECT DISTINCT wd FROM prof) b
+           LEFT JOIN prof p ON p.c_nationkey = a.c_nationkey
+             AND p.wd = b.wd),
+         costs AS MATERIALIZED (SELECT x.c_nationkey AS na,
+             y.c_nationkey AS nb,
+             x.wd + 1 AS i, y.wd + 1 AS j, abs(x.v - y.v) AS c
+           FROM dense x JOIN dense y
+             ON x.c_nationkey < y.c_nationkey),
+         u2 AS (SELECT na, nb, i, j, c AS d FROM costs
+           WHERE i = 1 AND j = 1),
+         ${(3 to 14).map(dtwRoundCtes).mkString(",\n         ")},
+         mw AS (SELECT max(i) AS m FROM costs),
+         l1 AS (SELECT na, nb, CAST(sum(c) AS BIGINT) AS l1_cents
+           FROM costs WHERE i = j GROUP BY 1, 2)
+         SELECT u.na AS nation_a, u.nb AS nation_b,
+           CAST(u.d AS BIGINT) AS dtw_cents, l1.l1_cents,
+           CASE WHEN l1.l1_cents > 0
+             THEN CAST(u.d * 10000 // l1.l1_cents AS BIGINT) END
+             AS dtw_over_l1_bp
+         FROM u14 u
+           JOIN l1 ON l1.na = u.na AND l1.nb = u.nb
+           CROSS JOIN mw
+         WHERE u.i = mw.m AND u.j = mw.m
+         ORDER BY nation_a, nation_b""",
   )
 }

@@ -3254,6 +3254,108 @@ object Relational {
       .orderBy($"abc_class")
   }
 
+  /** ABC × XYZ inventory segmentation matrix — the two-axis view every
+    * supply planner actually uses: revenue concentration (A ≤70% of
+    * cumulative revenue, B ≤90%, C tail — the [[abcClassification]]
+    * convention, per part via the distributed prefix sum) crossed with
+    * demand VARIABILITY (weekly-demand coefficient of variation:
+    * X < 0.5, Y < 1.0, Z above or undefined — a single active week has
+    * no variance and lands in Z, the honest bucket for "can't
+    * forecast"). A-X cells are forecast-and-automate; A-Z cells are the
+    * expensive surprises. Weeks are epoch-day÷7 (engine-portable, no
+    * ISO week edge cases); CV from exact weekly moment sums, one
+    * fixed-shape sqrt per part. Two fact groupBys + the part-level
+    * prefix sum; the matrix rollup is ≤9 rows.
+    */
+  def xyzClassification(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    val perPart = li.groupBy($"l_partkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("rev"))
+      .localCheckpoint() // prefix sum + grand total read it
+    val tot = perPart.agg(sum($"rev").as("total"))
+    val abc = globalPrefixSum(perPart, Seq($"rev".desc, $"l_partkey"),
+        $"rev", "cum_excl")
+      .withColumn("cum", $"cum_excl" + $"rev")
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when($"cum" * 10 <= $"total" * 7, "A")
+          .when($"cum" * 10 <= $"total" * 9, "B")
+          .otherwise("C"))
+      .select($"l_partkey", $"rev", $"total", $"abc_class")
+    val weekly = li
+      .groupBy($"l_partkey",
+        expr("datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01') div 7")
+          .as("week"))
+      .agg(sum(round($"l_quantity").cast("long")).as("q"))
+    val cv = weekly.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n"), sum($"q").as("sq"),
+        sum($"q" * $"q").as("ssq"))
+      .withColumn("cv_bp", when($"n" > 1L, round(
+        sqrt(($"n".cast("double") * $"ssq".cast("double") -
+          $"sq".cast("double") * $"sq".cast("double")) /
+          ($"n".cast("double") * ($"n".cast("double") - lit(1.0)))) /
+          ($"sq".cast("double") / $"n".cast("double")) * 10000)
+        .cast("long")))
+      .withColumn("xyz_class",
+        when($"cv_bp".isNull, "Z").when($"cv_bp" < 5000L, "X")
+          .when($"cv_bp" < 10000L, "Y").otherwise("Z"))
+      .select($"l_partkey", $"xyz_class")
+    abc.join(cv, Seq("l_partkey"))
+      .groupBy($"abc_class", $"xyz_class")
+      .agg(count(lit(1)).as("n_parts"), sum($"rev").as("revenue_cents"),
+        max($"total").as("total"))
+      .select($"abc_class", $"xyz_class", $"n_parts", $"revenue_cents",
+        expr("revenue_cents * 10000 div total").as("share_bp"))
+      .orderBy($"abc_class", $"xyz_class")
+  }
+
+  /** Croston's method on an intermittent demand series — the forecast
+    * the EWMA/Holt family gets WRONG for sparse demand (smoothing the
+    * zeros drives the level to zero right before the next spike):
+    * smooth the nonzero demand SIZES and the inter-demand INTERVALS
+    * separately (α = 1/8 each, integer micro fold), forecast =
+    * size/interval per day. The series is the sparsest natural one in
+    * the schema — the single lowest-keyed part's daily shipped
+    * quantity (deterministic pick, documented; any part id could be
+    * parameterized in). State is one (size, interval) pair over at most
+    * calendar-many demand events — the same bounded driver fold as
+    * [[holtWinters]], with the recursion over DEMAND EVENTS only, so
+    * sparsity makes it cheaper, not longer.
+    */
+  def croston(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    val pk = li.agg(min($"l_partkey")).collect().head.getLong(0)
+    val events = li.filter($"l_partkey" === pk)
+      .groupBy($"l_shipdate".cast("date").as("day"))
+      .agg(sum(round($"l_quantity").cast("long")).as("q"))
+      .select($"day".cast("string").as("day"), $"q")
+      .orderBy($"day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var z = events.head._2 * 1000000L
+    var p = 1000000L // first interval: 1 day by convention
+    var prevDay = java.time.LocalDate.parse(events.head._1)
+    val rows = events.zipWithIndex.map { case ((day, q), i) =>
+      val dd = java.time.LocalDate.parse(day)
+      val gap = if (i == 0) 1L
+        else java.time.temporal.ChronoUnit.DAYS.between(prevDay, dd)
+      prevDay = dd
+      if (i > 0) {
+        z = (q * 1000000L + 7L * z) / 8L
+        p = (gap * 1000000L + 7L * p) / 8L
+      }
+      // widen the ×10⁶ for the ratio: a heavy-demand part would push
+      // z·10⁶ past int64 long before z itself (oracle uses HUGEINT)
+      (day, q, gap, z, p, (BigInt(z) * 1000000 / BigInt(p)).toLong)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1))
+      .toDF("day", "q", "gap", "z_u", "p_u", "f_u")
+      .select(to_date($"day").as("day"), $"q", $"gap", $"z_u", $"p_u",
+        $"f_u")
+      .orderBy($"day")
+  }
+
   /** Percent-of-parent hierarchy rollup — the region→nation drill-down
     * every OLAP cube renders: exact order-revenue cents per nation with
     * its share of the parent region and of the grand total in basis

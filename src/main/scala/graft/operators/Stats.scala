@@ -345,6 +345,68 @@ object Stats {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Dynamic time warping between every pair of nation weekday revenue
+    * profiles — the alignment-tolerant series distance the aligned L1
+    * isn't: a nation whose week is shifted by a day (late-posting
+    * billing, timezone) is "far" pointwise but near under warping, and
+    * the dtw/L1 ratio in bp says exactly how much of the distance was
+    * alignment artifact. The DP runs as an anti-diagonal WAVEFRONT over
+    * relational rounds (all pairs advance one diagonal per round — the
+    * [[Relational.voptimalHistogram]] level-DP pattern applied to
+    * cross-series alignment), 2·7−2 bounded rounds of three
+    * shifted-coordinate left joins; `least` skips the missing border
+    * predecessors in both engines. Everything after the one fact
+    * groupBy is |nations|²·49 rows — dimension-bounded at any SF.
+    */
+  def dtwWeekdayProfiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prof = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey".as("o_custkey"), $"c_nationkey"), Seq("o_custkey"))
+      .groupBy($"c_nationkey",
+        graft.functions.dates.weekdayIndex($"o_orderdate".cast("date"))
+          .cast("long").as("wd"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("v"))
+    val dense = prof.select($"c_nationkey").distinct()
+      .crossJoin(broadcast(prof.select($"wd").distinct()))
+      .join(prof, Seq("c_nationkey", "wd"), "left")
+      .na.fill(0L, Seq("v"))
+      .localCheckpoint() // both sides of the pair cost join read it
+    val x = dense.select($"c_nationkey".as("na"), ($"wd" + 1L).as("i"),
+      $"v".as("xv"))
+    val y = dense.select($"c_nationkey".as("nb"), ($"wd" + 1L).as("j"),
+      $"v".as("yv"))
+    val costs = x.join(y, $"na" < $"nb")
+      .select($"na", $"nb", $"i", $"j", abs($"xv" - $"yv").as("c"))
+      .localCheckpoint() // every wavefront round reads it
+    var dp = costs.filter($"i" === 1L && $"j" === 1L)
+      .select($"na", $"nb", $"i", $"j", $"c".as("d"))
+      .localCheckpoint()
+    for (k <- 3 to 14) { // anti-diagonals i+j = k over the 7×7 grid
+      val step = costs.filter($"i" + $"j" === k)
+        .join(dp.select($"na", $"nb", ($"i" + 1L).as("i"), $"j",
+          $"d".as("d_up")), Seq("na", "nb", "i", "j"), "left")
+        .join(dp.select($"na", $"nb", $"i", ($"j" + 1L).as("j"),
+          $"d".as("d_left")), Seq("na", "nb", "i", "j"), "left")
+        .join(dp.select($"na", $"nb", ($"i" + 1L).as("i"),
+          ($"j" + 1L).as("j"), $"d".as("d_diag")),
+          Seq("na", "nb", "i", "j"), "left")
+        .select($"na", $"nb", $"i", $"j",
+          ($"c" + least($"d_up", $"d_left", $"d_diag")).as("d"))
+      dp = dp.union(step).localCheckpoint() // lineage rule: flat rounds
+    }
+    val mw = costs.agg(max($"i").as("m"))
+    val l1 = costs.filter($"i" === $"j").groupBy($"na", $"nb")
+      .agg(sum($"c").as("l1_cents"))
+    dp.crossJoin(broadcast(mw)).filter($"i" === $"m" && $"j" === $"m")
+      .join(l1, Seq("na", "nb"))
+      .select($"na".as("nation_a"), $"nb".as("nation_b"),
+        $"d".as("dtw_cents"), $"l1_cents",
+        when($"l1_cents" > 0L, expr("d * 10000 div l1_cents"))
+          .as("dtw_over_l1_bp"))
+      .orderBy($"nation_a", $"nation_b")
+  }
+
   /** HITS hubs & authorities over the supplier→customer supply graph
     * (distinct edges from lineitem ⋈ orders): which suppliers reach the
     * best-supplied customers, and which customers are reached by the

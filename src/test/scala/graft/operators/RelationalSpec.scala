@@ -1703,6 +1703,38 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("abc-xyz: matrix partitions the part universe, shares bounded") {
+    val rows = Relational.xyzClassification(spark, sf).collect()
+    val nParts = Tables(spark, sf, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum === nParts,
+      "every part lands in exactly one matrix cell")
+    assert(rows.map(_.getAs[Long]("share_bp")).sum <= 10000L,
+      "floor-divided shares can't exceed the whole")
+    rows.foreach { r =>
+      assert(Set("A", "B", "C")(r.getAs[String]("abc_class")))
+      assert(Set("X", "Y", "Z")(r.getAs[String]("xyz_class")))
+    }
+  }
+
+  test("croston: fold over demand events only, forecast = size/interval") {
+    val rows = Relational.croston(spark, sf).collect()
+    import spark.implicits._
+    val li = Tables(spark, sf, "lineitem")
+    val pk = li.agg(org.apache.spark.sql.functions.min($"l_partkey"))
+      .collect().head.getLong(0)
+    val nDays = li.filter($"l_partkey" === pk)
+      .select($"l_shipdate".cast("date")).distinct().count()
+    assert(rows.length.toLong === nDays, "one row per demand day")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gap") >= 1L)
+      assert(r.getAs[Long]("f_u") ===
+        (BigInt(r.getAs[Long]("z_u")) * 1000000 /
+          BigInt(r.getAs[Long]("p_u"))).toLong,
+        "forecast is exactly size/interval in micro")
+    }
+  }
+
   test("entropy l-diversity: H bounded by ln(distinct), flags track l=2") {
     val rows = Relational.entropyLDiversity(spark, sf).collect()
     assert(rows.nonEmpty)

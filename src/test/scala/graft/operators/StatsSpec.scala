@@ -119,6 +119,20 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("dtw: warped distance never exceeds the aligned L1 path") {
+    val rows = Stats.dtwWeekdayProfiles(spark, sf).collect()
+    val n = rows.flatMap(r => Seq(r.getAs[Int]("nation_a"),
+      r.getAs[Int]("nation_b"))).distinct.length
+    assert(rows.length === n * (n - 1) / 2, "one row per unordered pair")
+    rows.foreach { r =>
+      val dtw = r.getAs[Long]("dtw_cents"); val l1 = r.getAs[Long]("l1_cents")
+      assert(dtw >= 0L && dtw <= l1,
+        "the aligned diagonal is one admissible warp path")
+      if (l1 > 0)
+        assert(r.getAs[Long]("dtw_over_l1_bp") === dtw * 10000 / l1)
+    }
+  }
+
   test("hits: each role max-normalizes to exactly 1e6") {
     val rows = Stats.hitsSupplierCustomer(spark, sf).collect()
     val byRole = rows.groupBy(_.getAs[String]("role"))
