@@ -180,6 +180,54 @@ object Streams {
       }
   }
 
+  /** Streaming EXACT median per event type — no P²/t-digest
+    * approximation: the state is the value-grid histogram (value is
+    * 2-dp data on a bounded range, so round(value·10⁴) keys a grid
+    * whose size is range-bounded, constant in event count — the same
+    * grid [[energyDriftSink]] and the batch medianValue rely on), and
+    * an exact histogram reproduces ANY quantile exactly. Each trigger
+    * emits per-type (batch_id, n, median) with the batch operator's
+    * even-count convention (mean of the two middle elements), so the
+    * last emission is bit-identical to
+    * [[graft.operators.Events.medianValue]] over the same rows —
+    * pinned by spec. Driver cost per trigger: |types|·|grid| rows.
+    */
+  def medianSink(events: DataFrame, targetDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val hist = events
+      .select(col("event_type"),
+        round(col("value") * 10000).cast("long").as("vq"))
+      .groupBy(col("event_type"), col("vq")).agg(count(lit(1)).as("n"))
+    hist.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val rows = batch.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        if (rows.nonEmpty) {
+          val out = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+            case (tpe, cells) =>
+              val sorted = cells.sortBy(_._2)
+              val n = sorted.map(_._3).sum
+              // batch-op convention: rows (n+1) div 2 and n div 2 + 1,
+              // mean of the two (equal for odd n)
+              def at(rank: Long): Long = {
+                var cum = 0L
+                sorted.find { c => cum += c._3; cum >= rank }.get._2
+              }
+              val m = (at((n + 1) / 2) / 10000.0 +
+                at(n / 2 + 1) / 10000.0) / 2
+              (batchId, tpe, n,
+                BigDecimal(m).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble)
+          }
+          out.toDF("batch_id", "event_type", "n_events", "median_value")
+            .write.mode("append").parquet(targetDir)
+        }
+        ()
+      }
+  }
+
   /** Streaming n-gram novelty gate + first-occurrence index — the
     * ingest twin of [[graft.operators.TextOps.ngramNovelty]]: each
     * micro-batch's docs are scored against the STORED shingle set

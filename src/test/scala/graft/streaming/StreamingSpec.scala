@@ -467,6 +467,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L)._5 > 0L)
   }
 
+  test("medianSink: exact grid-histogram median equals the batch operator " +
+       "after any batch split") {
+    val dst = java.nio.file.Files.createTempDirectory("med-out")
+      .toString + "/med"
+    val ckpt = java.nio.file.Files.createTempDirectory("med-ckpt").toString
+    val batchRows = graft.operators.Events.medianValue(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("median_value"), r.getAs[Long]("n_events"))))
+      .toMap
+    val events = graft.Tables(spark, sf, "events")
+      .select($"event_type", $"value").as[(String, Double)].collect().toSeq
+    val input = MemoryStream[(String, Double)](spark)
+    val q = Streams.medianSink(input.toDF().toDF("event_type", "value"), dst)
+      .option("checkpointLocation", ckpt).start()
+    // split mid-stream: medians over a prefix differ, the complete-mode
+    // histogram must still converge to the batch answer
+    val (h1, h2) = events.splitAt(events.length / 3)
+    input.addData(h1); q.processAllAvailable()
+    input.addData(h2); q.processAllAvailable()
+    q.stop()
+    val last = spark.read.parquet(dst).collect()
+      .filter(_.getAs[Long]("batch_id") == 1L)
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("median_value"), r.getAs[Long]("n_events"))))
+      .toMap
+    assert(last.keySet === batchRows.keySet)
+    last.foreach { case (tpe, (m, n)) =>
+      assert(n === batchRows(tpe)._2, s"$tpe count")
+      assert(m === batchRows(tpe)._1,
+        s"$tpe: stream median $m != batch ${batchRows(tpe)._1}")
+    }
+  }
+
   test("holtWintersSink: full history reproduces the batch Holt-Winters " +
        "recursion including the rotating seasonal state") {
     val dst = java.nio.file.Files.createTempDirectory("hw-out")
