@@ -212,6 +212,9 @@ object SparkEntry {
     "q_abc_xyz" -> ((s, dir) => Relational.xyzClassification(s, dir)),
     "q_croston" -> ((s, dir) => Relational.croston(s, dir)),
     "q_dtw_profiles" -> ((s, dir) => Stats.dtwWeekdayProfiles(s, dir)),
+    "q_p_chart" -> ((s, dir) => Events.pChart(s, dir)),
+    "q_nelson_aalen" -> ((s, dir) => Events.nelsonAalen(s, dir)),
+    "q_hurst" -> ((s, dir) => Stats.hurstExponent(s, dir)),
     "q_abc_classification" ->
       ((s, dir) => Relational.abcClassification(s, dir)),
     "q_largest_remainder" ->
@@ -7990,5 +7993,111 @@ object SparkEntry {
            CROSS JOIN mw
          WHERE u.i = mw.m AND u.j = mw.m
          ORDER BY nation_a, nation_b""",
+    // Shewhart p-chart: exact daily rate, pooled-rate 3-sigma limits
+    // (one fixed-shape sqrt), LCL clamped at zero.
+    "q_p_chart" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         pooled AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(n) AS BIGINT) AS sn FROM daily),
+         t AS (SELECT day, n, x,
+             CAST(x * 10000 // n AS BIGINT) AS p_bp,
+             CAST(round((CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE)
+               + 3.0 * sqrt(CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE)
+                 * (1.0 - CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE))
+                 / CAST(n AS DOUBLE))) * 10000) AS BIGINT) AS ucl_bp,
+             greatest(CAST(0 AS BIGINT),
+               CAST(round((CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE)
+                 - 3.0 * sqrt(CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE)
+                   * (1.0 - CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE))
+                   / CAST(n AS DOUBLE))) * 10000) AS BIGINT)) AS lcl_bp
+           FROM daily CROSS JOIN pooled)
+         SELECT day, n, x, p_bp, ucl_bp, lcl_bp,
+           (p_bp > ucl_bp OR p_bp < lcl_bp) AS ooc
+         FROM t ORDER BY day""",
+    // Nelson-Aalen over the shared survival lives: cumulative exact
+    // hazard terms, e^{-H} per row.
+    "q_nelson_aalen" ->
+      s"""WITH $survivalLivesCtes,
+         lt AS (SELECT t, death FROM lives),
+         byt AS (SELECT t,
+             CAST(sum(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN death THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM lt GROUP BY t),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lt),
+         rs AS (SELECT t, d, c, n_total
+             - CAST(coalesce(sum(d + c) OVER (ORDER BY t ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_risk
+           FROM byt CROSS JOIN tot),
+         na AS (SELECT t, n_risk, d, c,
+             CAST(1000000 * d // n_risk AS BIGINT) AS h_term_ppm
+           FROM rs),
+         na2 AS (SELECT t, n_risk, d, c, h_term_ppm,
+             CAST(sum(h_term_ppm) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS h_cum_ppm
+           FROM na)
+         SELECT t AS t_hours, n_risk, d AS n_deaths, c AS n_censored,
+           h_term_ppm, h_cum_ppm,
+           CAST(round(exp(-CAST(h_cum_ppm AS DOUBLE) / 1000000.0) * 1000)
+             AS BIGINT) AS s_na_milli
+         FROM na2 ORDER BY t_hours""",
+    // Hurst R/S: integer-scaled block ranges (z = w*cum - k*s), one
+    // sqrt per block micro-rounded, 5-point integer-log OLS slope.
+    "q_hurst" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS v FROM orders GROUP BY 1),
+         rk AS (SELECT v,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rk
+           FROM daily),
+         wins AS (SELECT v, rk, w, (rk - 1) // w AS blk,
+             (rk - 1) % w + 1 AS k
+           FROM rk CROSS JOIN
+             (SELECT unnest([8, 16, 32, 64, 128]) AS w)),
+         pre AS (SELECT w, blk, k, v,
+             CAST(sum(v) OVER (PARTITION BY w, blk ORDER BY rk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(v) OVER (PARTITION BY w, blk) AS BIGINT) AS s_blk
+           FROM wins),
+         blocks AS (SELECT w, blk, CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(v) AS BIGINT) AS sv,
+             sum(CAST(v AS HUGEINT) * v) AS ssv,
+             CAST(max(w * cum - k * s_blk) AS BIGINT) AS z_max,
+             CAST(min(w * cum - k * s_blk) AS BIGINT) AS z_min
+           FROM pre GROUP BY 1, 2),
+         rsb AS (SELECT w, CAST(round(
+               CAST(z_max - z_min AS DOUBLE) /
+               sqrt(CAST(CAST(w AS HUGEINT) * ssv
+                 - CAST(sv AS HUGEINT) * sv AS DOUBLE)) * 1000000)
+               AS BIGINT) AS rs_u
+           FROM blocks
+           WHERE nb = w
+             AND CAST(w AS HUGEINT) * ssv - CAST(sv AS HUGEINT) * sv > 0),
+         perw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(rs_u) AS BIGINT) AS rs_sum_u FROM rsb GROUP BY 1),
+         logs AS (SELECT w, n_blocks,
+             CAST(rs_sum_u // n_blocks AS BIGINT) AS rs_mean_u,
+             CAST(round(ln(CAST(w AS DOUBLE)) * 1000000) AS BIGINT)
+               AS lw_u,
+             CAST(round(ln(CAST(rs_sum_u // n_blocks AS DOUBLE)
+               / 1000000.0) * 1000000) AS BIGINT) AS lrs_u
+           FROM perw),
+         sl AS (SELECT w, n_blocks, rs_mean_u,
+             CAST(count(*) OVER () AS BIGINT) AS kk,
+             CAST(sum(lw_u) OVER () AS BIGINT) AS sx,
+             CAST(sum(lrs_u) OVER () AS BIGINT) AS sy,
+             CAST(sum(lw_u * lrs_u) OVER () AS BIGINT) AS sxy,
+             CAST(sum(lw_u * lw_u) OVER () AS BIGINT) AS sxx
+           FROM logs)
+         SELECT CAST(w AS BIGINT) AS w, n_blocks, rs_mean_u,
+           CAST(round(CAST(kk * sxy - sx * sy AS DOUBLE)
+             / CAST(kk * sxx - sx * sx AS DOUBLE) * 1000) AS BIGINT)
+             AS hurst_milli
+         FROM sl ORDER BY w""",
   )
 }

@@ -1471,6 +1471,70 @@ object Events {
       .select($"user_id", $"t", $"death")
   }
 
+  /** Nelson–Aalen cumulative hazard over the same per-user lives as
+    * [[kaplanMeier]] — the estimator you integrate when hazard is the
+    * quantity of interest (failure INTENSITY, not survival
+    * probability): H(t) = Σ_{tᵢ≤t} dᵢ/n_risk in exact ppm terms (one
+    * floor division per event time, cumulative sum over the bounded
+    * event-time frame), plus the implied survival e^{−H} in milli —
+    * which dominates the KM product-limit curve everywhere
+    * (e^{−h} ≥ 1−h term by term), an inequality the spec pins. Shares
+    * survivalLives so the censoring convention cannot drift.
+    */
+  def nelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lives = survivalLives(s, dir)
+    val byT = lives.groupBy($"t")
+      .agg(sum(when($"death", 1L).otherwise(0L)).as("d"),
+        sum(when(!$"death", 1L).otherwise(0L)).as("c"))
+    val tot = lives.agg(count(lit(1)).as("n_total"))
+    val cum = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        $"n_total" - coalesce(sum($"d" + $"c").over(prev), lit(0L)))
+      .withColumn("h_term_ppm", expr("1000000 * d div n_risk"))
+      .withColumn("h_cum_ppm", sum($"h_term_ppm").over(cum))
+      .withColumn("s_na_milli",
+        round(exp(-$"h_cum_ppm".cast("double") / lit(1000000.0)) * 1000)
+          .cast("long"))
+      .select($"t".as("t_hours"), $"n_risk", $"d".as("n_deaths"),
+        $"c".as("n_censored"), $"h_term_ppm", $"h_cum_ppm", $"s_na_milli")
+      .orderBy($"t_hours")
+  }
+
+  /** Shewhart p-chart of the daily error share — the control-chart
+    * member of the monitoring family (CUSUM detects small sustained
+    * shifts, EWMA smooths, Page–Hinkley sequential-tests; the p-chart
+    * answers the floor question "is TODAY inside common-cause
+    * variation?"): limits p̄ ± 3·√(p̄(1−p̄)/n_day) from the pooled rate,
+    * per-day n so low-traffic days get honestly wider bands. The day
+    * rate is exact bp; the limits are one fixed-shape sqrt from exact
+    * pooled integers. One fact groupBy; the pooled row broadcasts.
+    */
+  def pChart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "events")
+      .groupBy($"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("x"))
+      .localCheckpoint() // pooled rate re-aggregates it
+    val pooled = daily.agg(sum($"x").as("sx"), sum($"n").as("sn"))
+    val pb = $"sx".cast("double") / $"sn".cast("double")
+    val sig = sqrt(pb * (lit(1.0) - pb) / $"n".cast("double"))
+    daily.crossJoin(broadcast(pooled))
+      .withColumn("p_bp", expr("x * 10000 div n"))
+      .withColumn("ucl_bp",
+        round((pb + lit(3.0) * sig) * 10000).cast("long"))
+      .withColumn("lcl_bp",
+        greatest(lit(0L), round((pb - lit(3.0) * sig) * 10000).cast("long")))
+      .withColumn("ooc", $"p_bp" > $"ucl_bp" || $"p_bp" < $"lcl_bp")
+      .select($"day", $"n", $"x", $"p_bp", $"ucl_bp", $"lcl_bp", $"ooc")
+      .orderBy($"day")
+  }
+
   def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lives = survivalLives(s, dir)

@@ -345,6 +345,72 @@ object Stats {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Hurst exponent of daily revenue by rescaled-range analysis — the
+    * long-memory diagnostic the ACF can't give in one number: H ≈ 0.5
+    * is a random walk, H > 0.5 trending/persistent (shocks compound —
+    * CUSUM-style monitors fire late), H < 0.5 mean-reverting. Classic
+    * R/S: split the day series into complete blocks of w ∈ {8,16,32,
+    * 64,128}; per block the range of mean-adjusted cumulative sums over
+    * the population sd — algebra keeps both exact-integer-scaled
+    * (zₖ = w·cumsumₖ − k·s, so R/S = (max z − min z)/√(w·Σv²−s²), ONE
+    * sqrt per block, micro-rounded so the cross-block mean is
+    * order-independent); H is the 5-point log-log OLS slope from
+    * integer-scaled logs. The day rank is a calendar-bounded frame (the
+    * mannKendall dispensation); block prefix sums run partitioned.
+    */
+  def hurstExponent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("v"))
+      .withColumn("rk", row_number().over(Window.orderBy($"day"))
+        .cast("long")) // calendar-bounded frame
+      .localCheckpoint()
+    val wins = daily.crossJoin(
+      broadcast(Seq(8L, 16L, 32L, 64L, 128L).toDF("w")))
+      .withColumn("blk", expr("(rk - 1) div w"))
+      .withColumn("k", expr("(rk - 1) % w + 1"))
+    val byBlk = Window.partitionBy($"w", $"blk").orderBy($"rk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = wins
+      .withColumn("cum", sum($"v").over(byBlk))
+      .withColumn("s_blk",
+        sum($"v").over(Window.partitionBy($"w", $"blk")))
+      .withColumn("z", $"w" * $"cum" - $"k" * $"s_blk")
+      .groupBy($"w", $"blk")
+      .agg(count(lit(1)).as("nb"), sum($"v").as("sv"),
+        sum($"v".cast(dec) * $"v").as("ssv"),
+        max($"z").as("z_max"), min($"z").as("z_min"))
+    val rs = blocks.filter($"nb" === $"w") // complete blocks only
+      .withColumn("var_w", ($"w".cast(dec) * $"ssv" -
+        $"sv".cast(dec) * $"sv".cast(dec)))
+      .filter($"var_w" > 0) // constant block: R/S undefined
+      .withColumn("rs_u", round(($"z_max" - $"z_min").cast("double") /
+        sqrt($"var_w".cast("double")) * 1000000).cast("long"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("n_blocks"), sum($"rs_u").as("rs_sum_u"))
+      .withColumn("rs_mean_u", expr("rs_sum_u div n_blocks"))
+      .withColumn("lw_u", round(log($"w".cast("double")) * 1000000)
+        .cast("long"))
+      .withColumn("lrs_u",
+        round(log($"rs_mean_u".cast("double") / lit(1000000.0)) * 1000000)
+          .cast("long"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing) // ≤5 window-size rows
+    rs
+      .withColumn("kk", count(lit(1)).over(all))
+      .withColumn("sx", sum($"lw_u").over(all))
+      .withColumn("sy", sum($"lrs_u").over(all))
+      .withColumn("sxy", sum($"lw_u" * $"lrs_u").over(all))
+      .withColumn("sxx", sum($"lw_u" * $"lw_u").over(all))
+      .withColumn("hurst_milli", round(
+        ($"kk" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"kk" * $"sxx" - $"sx" * $"sx").cast("double") * 1000)
+        .cast("long"))
+      .select($"w", $"n_blocks", $"rs_mean_u", $"hurst_milli")
+      .orderBy($"w")
+  }
+
   /** Dynamic time warping between every pair of nation weekday revenue
     * profiles — the alignment-tolerant series distance the aligned L1
     * isn't: a nation whose week is shifted by a day (late-posting

@@ -982,4 +982,39 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("pChart: limits bracket the pooled rate, flag recomputes") {
+    val rows = Events.pChart(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val sx = rows.map(_.getAs[Long]("x")).sum
+    val sn = rows.map(_.getAs[Long]("n")).sum
+    val pbarBp = sx * 10000 / sn
+    rows.foreach { r =>
+      assert(r.getAs[Long]("x") <= r.getAs[Long]("n"))
+      val u = r.getAs[Long]("ucl_bp"); val l = r.getAs[Long]("lcl_bp")
+      assert(l >= 0L && u >= pbarBp && l <= pbarBp + 1,
+        "3-sigma limits must bracket the pooled rate")
+      val p = r.getAs[Long]("p_bp")
+      assert(r.getAs[Boolean]("ooc") === (p > u || p < l))
+    }
+  }
+
+  test("nelsonAalen: exp(-H) dominates the KM product-limit curve") {
+    val na = Events.nelsonAalen(spark, sf).collect()
+      .map(r => r.getAs[Long]("t_hours") ->
+        ((r.getAs[Long]("h_cum_ppm"), r.getAs[Long]("s_na_milli")))).toMap
+    val km = Events.kaplanMeier(spark, sf).collect()
+    assert(na.keySet === km.map(_.getAs[Long]("t_hours")).toSet,
+      "same event-time grid as KM (shared lives)")
+    km.foreach { r =>
+      val t = r.getAs[Long]("t_hours")
+      val sKm = math.exp(r.getAs[Long]("ln_s_u") / 1e6) * 1000
+      // e^{-h} >= 1-h per term => exp(-H) >= S_KM (±1 for the roundings)
+      assert(na(t)._2 + 1 >= sKm.floor.toLong,
+        s"NA survival must dominate KM at t=$t")
+    }
+    // H is nondecreasing in t
+    val byT = na.toSeq.sortBy(_._1).map(_._2._1)
+    assert(byT === byT.sorted, "cumulative hazard must be monotone")
+  }
+
 }

@@ -119,6 +119,18 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("hurst: R/S grows with window, slope lands in (0, 1)") {
+    val rows = Stats.hurstExponent(spark, sf).collect()
+    assert(rows.length >= 2, "need at least two window sizes for a slope")
+    val byW = rows.sortBy(_.getAs[Long]("w"))
+    val rsSeq = byW.map(_.getAs[Long]("rs_mean_u"))
+    assert(rsSeq === rsSeq.sorted,
+      "mean rescaled range must grow with window size")
+    val h = rows.head.getAs[Long]("hurst_milli")
+    assert(rows.forall(_.getAs[Long]("hurst_milli") === h))
+    assert(h > 0L && h < 1000L, s"Hurst exponent out of (0,1): $h")
+  }
+
   test("dtw: warped distance never exceeds the aligned L1 path") {
     val rows = Stats.dtwWeekdayProfiles(spark, sf).collect()
     val n = rows.flatMap(r => Seq(r.getAs[Int]("nation_a"),
