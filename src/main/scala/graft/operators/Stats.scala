@@ -416,13 +416,17 @@ object Stats {
     * isn't: a nation whose week is shifted by a day (late-posting
     * billing, timezone) is "far" pointwise but near under warping, and
     * the dtw/L1 ratio in bp says exactly how much of the distance was
-    * alignment artifact. The DP runs as an anti-diagonal WAVEFRONT over
-    * relational rounds (all pairs advance one diagonal per round — the
-    * [[Relational.voptimalHistogram]] level-DP pattern applied to
-    * cross-series alignment), 2·7−2 bounded rounds of three
-    * shifted-coordinate left joins; `least` skips the missing border
-    * predecessors in both engines. Everything after the one fact
-    * groupBy is |nations|²·49 rows — dimension-bounded at any SF.
+    * alignment artifact. The fact scan reduces to a |nations|×7 profile
+    * grid — dimension-bounded at ANY scale factor — so the DP itself is
+    * a bounded driver fold (the [[Relational.holtWinters]]
+    * dispensation: collect the audit-sized grid once, fold, parallelize
+    * the result). MEASURED dead end: running the DP as 12 anti-diagonal
+    * wavefront rounds of shifted-coordinate joins (the
+    * voptimalHistogram level-DP pattern) profiled at ~41 s at sf0.1 —
+    * pure round-scheduling overhead on ≤15k-row frames — vs sub-second
+    * for the fold over the identical integers. Wavefront-as-rounds is
+    * for DATA-sized DP frontiers; dimension-bounded grids belong on the
+    * driver.
     */
   def dtwWeekdayProfiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -433,43 +437,36 @@ object Stats {
         graft.functions.dates.weekdayIndex($"o_orderdate".cast("date"))
           .cast("long").as("wd"))
       .agg(sum(round($"o_totalprice" * 100).cast("long")).as("v"))
-    val dense = prof.select($"c_nationkey").distinct()
-      .crossJoin(broadcast(prof.select($"wd").distinct()))
-      .join(prof, Seq("c_nationkey", "wd"), "left")
-      .na.fill(0L, Seq("v"))
-      .localCheckpoint() // both sides of the pair cost join read it
-    val x = dense.select($"c_nationkey".as("na"), ($"wd" + 1L).as("i"),
-      $"v".as("xv"))
-    val y = dense.select($"c_nationkey".as("nb"), ($"wd" + 1L).as("j"),
-      $"v".as("yv"))
-    val costs = x.join(y, $"na" < $"nb")
-      .select($"na", $"nb", $"i", $"j", abs($"xv" - $"yv").as("c"))
-      .localCheckpoint() // every wavefront round reads it
-    var dp = costs.filter($"i" === 1L && $"j" === 1L)
-      .select($"na", $"nb", $"i", $"j", $"c".as("d"))
-      .localCheckpoint()
-    for (k <- 3 to 14) { // anti-diagonals i+j = k over the 7×7 grid
-      val step = costs.filter($"i" + $"j" === k)
-        .join(dp.select($"na", $"nb", ($"i" + 1L).as("i"), $"j",
-          $"d".as("d_up")), Seq("na", "nb", "i", "j"), "left")
-        .join(dp.select($"na", $"nb", $"i", ($"j" + 1L).as("j"),
-          $"d".as("d_left")), Seq("na", "nb", "i", "j"), "left")
-        .join(dp.select($"na", $"nb", ($"i" + 1L).as("i"),
-          ($"j" + 1L).as("j"), $"d".as("d_diag")),
-          Seq("na", "nb", "i", "j"), "left")
-        .select($"na", $"nb", $"i", $"j",
-          ($"c" + least($"d_up", $"d_left", $"d_diag")).as("d"))
-      dp = dp.union(step).localCheckpoint() // lineage rule: flat rounds
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val nations = prof.keys.map(_._1).toSeq.distinct.sorted
+    val wds = prof.keys.map(_._2).toSeq.distinct.sorted
+    val m = wds.length
+    def series(nk: Int): Array[Long] =
+      wds.map(wd => prof.getOrElse((nk, wd), 0L)).toArray // absent = 0
+    val rows = for {
+      ai <- nations.indices; bi <- (ai + 1) until nations.length
+    } yield {
+      val xs = series(nations(ai)); val ys = series(nations(bi))
+      val dp = Array.fill(m, m)(0L)
+      for (i <- 0 until m; j <- 0 until m) {
+        val c = math.abs(xs(i) - ys(j))
+        dp(i)(j) = c + ((i, j) match {
+          case (0, 0) => 0L
+          case (0, _) => dp(0)(j - 1)
+          case (_, 0) => dp(i - 1)(0)
+          case _ => math.min(dp(i - 1)(j),
+            math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+        })
+      }
+      val l1 = (0 until m).map(i => math.abs(xs(i) - ys(i))).sum
+      (nations(ai), nations(bi), dp(m - 1)(m - 1), l1,
+        if (l1 > 0) dp(m - 1)(m - 1) * 10000 / l1 else -1L)
     }
-    val mw = costs.agg(max($"i").as("m"))
-    val l1 = costs.filter($"i" === $"j").groupBy($"na", $"nb")
-      .agg(sum($"c").as("l1_cents"))
-    dp.crossJoin(broadcast(mw)).filter($"i" === $"m" && $"j" === $"m")
-      .join(l1, Seq("na", "nb"))
-      .select($"na".as("nation_a"), $"nb".as("nation_b"),
-        $"d".as("dtw_cents"), $"l1_cents",
-        when($"l1_cents" > 0L, expr("d * 10000 div l1_cents"))
-          .as("dtw_over_l1_bp"))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1))
+      .toDF("nation_a", "nation_b", "dtw_cents", "l1_cents", "gain")
+      .select($"nation_a", $"nation_b", $"dtw_cents", $"l1_cents",
+        when($"gain" >= 0L, $"gain").as("dtw_over_l1_bp"))
       .orderBy($"nation_a", $"nation_b")
   }
 
