@@ -215,6 +215,10 @@ object SparkEntry {
     "q_p_chart" -> ((s, dir) => Events.pChart(s, dir)),
     "q_nelson_aalen" -> ((s, dir) => Events.nelsonAalen(s, dir)),
     "q_hurst" -> ((s, dir) => Stats.hurstExponent(s, dir)),
+    "q_seasonal_strength" ->
+      ((s, dir) => Relational.seasonalStrength(s, dir)),
+    "q_pacf" -> ((s, dir) => Relational.pacf3(s, dir)),
+    "q_cohort_ltv" -> ((s, dir) => Events.cohortLtv(s, dir)),
     "q_abc_classification" ->
       ((s, dir) => Relational.abcClassification(s, dir)),
     "q_largest_remainder" ->
@@ -8099,5 +8103,108 @@ object SparkEntry {
              / CAST(kk * sxx - sx * sx AS DOUBLE) * 1000) AS BIGINT)
              AS hurst_milli
          FROM sl ORDER BY w""",
+    // STL-style strength diagnostics over the shared decomposition
+    // chain; variance-numerator ratios are exact integers (n cancels).
+    "q_seasonal_strength" ->
+      s"""WITH $seasonalCtes,
+         r AS (SELECT
+             CAST((d_u - seasonal_u) // 1000000 AS BIGINT) AS rr,
+             CAST(d_u // 1000000 AS BIGINT) AS sr,
+             CAST((trend_u + d_u - seasonal_u) // 1000000 AS BIGINT)
+               AS tr
+           FROM f JOIN seas ON seas.weekday = f.weekday),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(rr AS HUGEINT)) AS s_r,
+             sum(CAST(rr AS HUGEINT) * rr) AS ss_r,
+             sum(CAST(sr AS HUGEINT)) AS s_sr,
+             sum(CAST(sr AS HUGEINT) * sr) AS ss_sr,
+             sum(CAST(tr AS HUGEINT)) AS s_tr,
+             sum(CAST(tr AS HUGEINT) * tr) AS ss_tr
+           FROM r)
+         SELECT n,
+           CASE WHEN n * ss_sr - s_sr * s_sr > 0 THEN
+             greatest(CAST(0 AS BIGINT), 10000 -
+               CAST((n * ss_r - s_r * s_r) * 10000
+                 // (n * ss_sr - s_sr * s_sr) AS BIGINT)) END
+             AS seasonal_strength_bp,
+           CASE WHEN n * ss_tr - s_tr * s_tr > 0 THEN
+             greatest(CAST(0 AS BIGINT), 10000 -
+               CAST((n * ss_r - s_r * s_r) * 10000
+                 // (n * ss_tr - s_tr * s_tr) AS BIGINT)) END
+             AS trend_strength_bp
+         FROM m""",
+    // PACF lags 1-3: the ACF moment chain to exact rho ppm, then the
+    // closed-form Durbin-Levinson unroll in identical double shapes.
+    "q_pacf" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s FROM daily),
+         y AS (SELECT day, n * cents - s AS y, n
+           FROM daily CROSS JOIN st),
+         l AS (SELECT y AS y0, n,
+             lead(y, 1) OVER w AS y1, lead(y, 2) OVER w AS y2,
+             lead(y, 3) OVER w AS y3
+           FROM y WINDOW w AS (ORDER BY day)),
+         a AS (SELECT max(n) AS n,
+             CAST(sum(CAST(y0 AS HUGEINT) * y0) AS HUGEINT) AS g0,
+             CAST(sum(CAST(y0 AS HUGEINT) * y1) AS HUGEINT) AS g1,
+             CAST(sum(CAST(y0 AS HUGEINT) * y2) AS HUGEINT) AS g2,
+             CAST(sum(CAST(y0 AS HUGEINT) * y3) AS HUGEINT) AS g3
+           FROM l),
+         rho AS (SELECT
+             CAST((g1 * 1000000 + 1000000 * g0) // g0 - 1000000
+               AS BIGINT) AS rho1,
+             CAST((g2 * 1000000 + 1000000 * g0) // g0 - 1000000
+               AS BIGINT) AS rho2,
+             CAST((g3 * 1000000 + 1000000 * g0) // g0 - 1000000
+               AS BIGINT) AS rho3 FROM a),
+         d AS (SELECT rho1, rho2, rho3,
+             CAST(rho1 AS DOUBLE) / 1000000.0 AS r1,
+             CAST(rho2 AS DOUBLE) / 1000000.0 AS r2,
+             CAST(rho3 AS DOUBLE) / 1000000.0 AS r3 FROM rho),
+         p2 AS (SELECT *, CASE
+             WHEN abs(1.0 - r1 * r1) < 0.000000000001 THEN NULL
+             ELSE (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi22 FROM d),
+         p3 AS (SELECT *, r1 - phi22 * r1 AS phi21 FROM p2),
+         p4 AS (SELECT *, CASE WHEN phi22 IS NULL
+             OR abs(1.0 - phi21 * r1 - phi22 * r2) < 0.000000000001
+               THEN NULL
+             ELSE (r3 - phi21 * r2 - phi22 * r1)
+               / (1.0 - phi21 * r1 - phi22 * r2) END AS phi33 FROM p3)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS lag_k, rho1 AS rho_u,
+             CAST(round(r1 * 1000) AS BIGINT) AS pacf_milli FROM p4
+           UNION ALL SELECT 2, rho2, CAST(round(phi22 * 1000) AS BIGINT)
+             FROM p4
+           UNION ALL SELECT 3, rho3, CAST(round(phi33 * 1000) AS BIGINT)
+             FROM p4)
+         ORDER BY lag_k""",
+    // Cohort LTV: epoch-week cohorts, per-capita running revenue.
+    "q_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+             AS week FROM events),
+         co AS (SELECT user_id, CAST(min(week) AS BIGINT) AS cohort_week
+           FROM ev GROUP BY 1),
+         sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+           FROM co GROUP BY 1),
+         rev AS (SELECT co.cohort_week,
+             CAST(ev.week - co.cohort_week AS BIGINT) AS age_week,
+             CAST(sum(cents) AS BIGINT) AS rev_cents
+           FROM ev JOIN co USING (user_id)
+           WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT cohort_week, age_week, rev_cents,
+             CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+               ORDER BY age_week) AS BIGINT) AS cum_cents
+           FROM rev)
+         SELECT c.cohort_week, c.age_week, sz.n_users, c.rev_cents,
+           c.cum_cents,
+           CAST(c.cum_cents // sz.n_users AS BIGINT)
+             AS ltv_per_user_cents
+         FROM c JOIN sz USING (cohort_week)
+         ORDER BY cohort_week, age_week""",
   )
 }

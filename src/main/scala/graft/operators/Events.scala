@@ -735,6 +735,40 @@ object Events {
     * map-side combined; the cohort frame joins back broadcast-small
     * relative to orders at any scale.
     */
+  /** Cohort LTV curve — cumulative purchase revenue per signup-week
+    * cohort by age week, per capita: the growth question
+    * [[cohortRetention]]'s activity rates can't answer ("are newer
+    * cohorts MONETIZING faster, not just staying?"). Cohort = the
+    * user's first-event epoch-week (engine-portable bucket, no ISO week
+    * edges); LTV = running revenue cents div cohort size, exact. The
+    * running sum partitions by cohort over age weeks — a
+    * calendar-bounded frame per cohort, fully parallel across cohorts.
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"user_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"),
+        expr("datediff(CAST(ts AS DATE), DATE'1970-01-01') div 7")
+          .as("week"))
+      .localCheckpoint() // cohort assignment + revenue rollup read it
+    val cohort = ev.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    val size = cohort.groupBy($"cohort_week")
+      .agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter($"event_type" === "purchase")
+      .join(cohort, Seq("user_id"))
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("age_week"))
+      .agg(sum($"cents").as("rev_cents"))
+    val byAge = Window.partitionBy($"cohort_week").orderBy($"age_week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(broadcast(size), Seq("cohort_week"))
+      .withColumn("cum_cents", sum($"rev_cents").over(byAge))
+      .select($"cohort_week", $"age_week", $"n_users", $"rev_cents",
+        $"cum_cents",
+        expr("cum_cents div n_users").as("ltv_per_user_cents"))
+      .orderBy($"cohort_week", $"age_week")
+  }
+
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val orders = Tables(s, dir, "orders")

@@ -957,6 +957,43 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Seasonal/trend strength of the daily revenue series — the one-row
+    * summary of [[seasonalDecompose]] (Cleveland's STL diagnostics):
+    * F_s = 1 − Var(R)/Var(S+R) says how much of the detrended variance
+    * the weekday pattern explains, F_t = 1 − Var(R)/Var(T+R) the same
+    * for the trend — the two numbers that decide whether a forecast
+    * needs [[holtWinters]] or plain [[holtLinear]]. Both are exact
+    * integer variance-numerator ratios (n·Σx²−(Σx)² with the n
+    * cancelling), components floored from micro back to cents first so
+    * the wide products stay far inside decimal38 at any gate SF;
+    * clamped at 0 per the STL convention. One decomposition pass, one
+    * moment rollup.
+    */
+  def seasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val d = seasonalDecompose(s, dir)
+      .select(expr("remainder_u div 1000000").as("r"),
+        expr("(seasonal_u + remainder_u) div 1000000").as("sr"),
+        expr("(trend_u + remainder_u) div 1000000").as("tr"))
+    val m = d.agg(count(lit(1)).as("n"),
+      sum($"r".cast(dec)).as("s_r"), sum($"r".cast(dec) * $"r").as("ss_r"),
+      sum($"sr".cast(dec)).as("s_sr"),
+      sum($"sr".cast(dec) * $"sr").as("ss_sr"),
+      sum($"tr".cast(dec)).as("s_tr"),
+      sum($"tr".cast(dec) * $"tr").as("ss_tr"))
+    def strength(vNum: Column, name: String): Column =
+      when(vNum > 0, greatest(lit(0L),
+        lit(10000L) - graft.functions.num.toLongChecked(
+          graft.functions.num.floorDivWide(
+            expr("(n * ss_r - s_r * s_r) * 10000"), vNum), name)))
+    m.withColumn("vsr", expr("n * ss_sr - s_sr * s_sr"))
+      .withColumn("vtr", expr("n * ss_tr - s_tr * s_tr"))
+      .select($"n",
+        strength($"vsr", "fs").as("seasonal_strength_bp"),
+        strength($"vtr", "ft").as("trend_strength_bp"))
+  }
+
   /** Column-stat drift between two corpus snapshots — the data-contract
     * check that runs BEFORE a new crawl replaces the old one: per
     * column, both snapshots' row count, exact NDV, min/max and average
@@ -2144,6 +2181,56 @@ object Relational {
         graft.functions.num.digits($"gamma_num").as("gamma_num"),
         $"rho_u", $"q_milli", $"crit_milli",
         ($"q_milli" > $"crit_milli").as("reject"))
+      .orderBy($"lag_k")
+  }
+
+  /** Partial autocorrelation of daily revenue at lags 1–3 — the
+    * order-selection companion to [[acfLjungBox]]: the ACF of an AR(p)
+    * series decays forever, the PACF CUTS OFF after lag p, so these
+    * three numbers are how a forecaster picks the AR order. Closed-form
+    * Durbin–Levinson unroll (k=3 needs no loop) over the SAME exact
+    * integer autocorrelations the ACF emits (rho in ppm, so both
+    * engines start the float stage from identical integers); the
+    * |1−r²|-style denominators are guarded to NULL when degenerate,
+    * identically on both sides. The heavy work is the one ACF moment
+    * pass; the unroll is three scalars on the driver (the bounded-fold
+    * dispensation).
+    */
+  def pacf3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rho = acfLjungBox(s, dir, 3).select($"lag_k", $"rho_u")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = rho(1L) / 1000000.0
+    val r2 = rho(2L) / 1000000.0
+    val r3 = rho(3L) / 1000000.0
+    // round-half-away-from-zero on the binary double — exactly DuckDB's
+    // std::round(x*1000). NOT floor(t+0.5): that misrounds the doubles
+    // just under .5 whose +0.5 sum rounds up in FP; t−floor(t) is exact
+    // for t < 2^52, so the explicit comparison has no such edge.
+    def milli(x: Double): java.lang.Long = {
+      val t = math.abs(x) * 1000
+      val fl = math.floor(t)
+      val r = if (t - fl >= 0.5) fl + 1 else fl
+      java.lang.Long.valueOf((math.signum(x) * r).toLong)
+    }
+    val phi11 = r1
+    val den2 = 1.0 - r1 * r1
+    val phi22 = if (math.abs(den2) < 1e-12) Double.NaN
+      else (r2 - r1 * r1) / den2
+    val phi21 = r1 - phi22 * r1
+    val den3 = 1.0 - phi21 * r1 - phi22 * r2
+    val phi33 = if (phi22.isNaN || math.abs(den3) < 1e-12) Double.NaN
+      else (r3 - phi21 * r2 - phi22 * r1) / den3
+    def cell(x: Double): java.lang.Long = if (x.isNaN) null else milli(x)
+    val rows = Seq((1L, rho(1L), cell(phi11)), (2L, rho(2L), cell(phi22)),
+      (3L, rho(3L), cell(phi33)))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("lag_k", LongType, false),
+      StructField("rho_u", LongType, false),
+      StructField("pacf_milli", LongType, true)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2, t._3)), 1), schema)
       .orderBy($"lag_k")
   }
 

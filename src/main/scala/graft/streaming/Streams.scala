@@ -228,6 +228,54 @@ object Streams {
       }
   }
 
+  /** Streaming Shewhart p-chart — the control-chart twin of
+    * [[graft.operators.Events.pChart]]: each trigger recomputes the
+    * pooled rate and per-day 3σ limits over everything seen (state =
+    * per-day (n, errors) counts, calendar-bounded) and emits the full
+    * chart, so the LAST emission is row-identical to the batch operator
+    * over the same events — pinned by spec. The float stage mirrors the
+    * batch operator's exact-integer-to-double shapes, including Spark's
+    * BigDecimal HALF_UP rounding, so stream ≡ batch holds bit-for-bit.
+    */
+  def pChartSink(events: DataFrame, targetDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val daily = events
+      .select(col("day").cast("date").as("day"),
+        (col("event_type") === "error").as("is_err"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"),
+        sum(when(col("is_err"), 1L).otherwise(0L)).as("x"))
+    daily.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val days = batch.collect()
+          .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        if (days.nonEmpty) {
+          val sx = days.map(_._3).sum; val sn = days.map(_._2).sum
+          val pb = sx.toDouble / sn.toDouble
+          // Spark Round(double): BigDecimal.valueOf + HALF_UP — mirror it
+          def r0(v: Double): Long =
+            BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+              .toLong
+          val rows = days.map { case (day, n, x) =>
+            val sig = math.sqrt(pb * (1.0 - pb) / n.toDouble)
+            val ucl = r0((pb + 3.0 * sig) * 10000)
+            val lcl = math.max(0L, r0((pb - 3.0 * sig) * 10000))
+            val pBp = x * 10000 / n
+            (batchId, day, n, x, pBp, ucl, lcl, pBp > ucl || pBp < lcl)
+          }
+          rows.toSeq.toDF("batch_id", "day", "n", "x", "p_bp", "ucl_bp",
+              "lcl_bp", "ooc")
+            .select(col("batch_id"), to_date(col("day")).as("day"),
+              col("n"), col("x"), col("p_bp"), col("ucl_bp"),
+              col("lcl_bp"), col("ooc"))
+            .write.mode("append").parquet(targetDir)
+        }
+        ()
+      }
+  }
+
   /** Streaming n-gram novelty gate + first-occurrence index — the
     * ingest twin of [[graft.operators.TextOps.ngramNovelty]]: each
     * micro-batch's docs are scored against the STORED shingle set

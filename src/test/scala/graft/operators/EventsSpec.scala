@@ -982,6 +982,20 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("cohortLtv: cumulative per-capita revenue is monotone per cohort") {
+    val rows = Events.cohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cohort_week")).foreach { case (_, rs) =>
+      val byAge = rs.sortBy(_.getAs[Long]("age_week"))
+      val cums = byAge.map(_.getAs[Long]("cum_cents"))
+      assert(cums === cums.sorted, "running revenue must be monotone")
+      byAge.foreach { r =>
+        assert(r.getAs[Long]("ltv_per_user_cents") ===
+          r.getAs[Long]("cum_cents") / r.getAs[Long]("n_users"))
+      }
+    }
+  }
+
   test("pChart: limits bracket the pooled rate, flag recomputes") {
     val rows = Events.pChart(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -1703,6 +1703,34 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("seasonal strength: bp-bounded, counts match the decomposition") {
+    val r = Relational.seasonalStrength(spark, sf).collect().head
+    assert(r.getAs[Long]("n") ===
+      Relational.seasonalDecompose(spark, sf).count())
+    Seq("seasonal_strength_bp", "trend_strength_bp").foreach { c =>
+      if (!r.isNullAt(r.fieldIndex(c))) {
+        val v = r.getAs[Long](c)
+        assert(v >= 0L && v <= 10000L, s"$c out of [0,10000]: $v")
+      }
+    }
+  }
+
+  test("pacf: lag-1 partial equals the plain autocorrelation") {
+    val rows = Relational.pacf3(spark, sf).collect()
+      .map(r => r.getAs[Long]("lag_k") ->
+        ((r.getAs[Long]("rho_u"),
+          Option(r.getAs[java.lang.Long]("pacf_milli"))))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L))
+    val acf = Relational.acfLjungBox(spark, sf, 3).collect()
+      .map(r => r.getAs[Long]("lag_k") -> r.getAs[Long]("rho_u")).toMap
+    rows.foreach { case (k, (rho, _)) => assert(rho === acf(k)) }
+    // phi_11 == r1 by construction
+    rows(1L)._2.foreach { p =>
+      val expected = math.round(rows(1L)._1 / 1000.0)
+      assert((p - expected).abs <= 1L, s"phi11 $p vs rho/1000 $expected")
+    }
+  }
+
   test("abc-xyz: matrix partitions the part universe, shares bounded") {
     val rows = Relational.xyzClassification(spark, sf).collect()
     val nParts = Tables(spark, sf, "lineitem")

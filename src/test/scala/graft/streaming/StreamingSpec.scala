@@ -500,6 +500,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("pChartSink: final emission is row-identical to the batch p-chart " +
+       "across a mid-stream split") {
+    val dst = java.nio.file.Files.createTempDirectory("pchart-out")
+      .toString + "/pchart"
+    val ckpt = java.nio.file.Files.createTempDirectory("pchart-ckpt")
+      .toString
+    val batchRows = graft.operators.Events.pChart(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("x"), r.getAs[Long]("p_bp"),
+          r.getAs[Long]("ucl_bp"), r.getAs[Long]("lcl_bp"),
+          r.getAs[Boolean]("ooc")))).toMap
+    val events = graft.Tables(spark, sf, "events")
+      .select($"ts".cast("date").cast("string"), $"event_type")
+      .as[(String, String)].collect().toSeq
+    val input = MemoryStream[(String, String)](spark)
+    val q = Streams.pChartSink(
+      input.toDF().toDF("day", "event_type"), dst)
+      .option("checkpointLocation", ckpt).start()
+    val (h1, h2) = events.splitAt(events.length / 2)
+    input.addData(h1); q.processAllAvailable()
+    input.addData(h2); q.processAllAvailable()
+    q.stop()
+    val last = spark.read.parquet(dst).collect()
+      .filter(_.getAs[Long]("batch_id") == 1L)
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("x"), r.getAs[Long]("p_bp"),
+          r.getAs[Long]("ucl_bp"), r.getAs[Long]("lcl_bp"),
+          r.getAs[Boolean]("ooc")))).toMap
+    assert(last === batchRows,
+      "stream p-chart != batch p-chart on the same events")
+  }
+
   test("holtWintersSink: full history reproduces the batch Holt-Winters " +
        "recursion including the rotating seasonal state") {
     val dst = java.nio.file.Files.createTempDirectory("hw-out")
