@@ -915,9 +915,11 @@ object SparkEntry {
          FROM u ORDER BY b"""
   }
 
-  /** Earliest-arrival oracle: Bellman-Ford label-relaxation rounds of
+  /** Earliest-arrival oracle: RAPTOR-style label-relaxation rounds of
     * ArrivalsQuery.earliestArrivals unrolled as generated CTEs over the
-    * fixture feed (origin S1, 08:00, service day 2019-02-21).
+    * fixture feed (origin S1, 08:00, service day 2019-02-21). Ride legs
+    * are trip SUFFIXES (board call i, alight any later call j), exactly
+    * like the engine's seq-inequality self-join.
     */
   private def gtfsEarliestArrivalOracle(rounds: Int): String = {
     val rcte = (1 to rounds).map { i =>
@@ -936,17 +938,16 @@ object SparkEntry {
     s"""WITH $gtfsArrivalCtes,
          act AS (SELECT DISTINCT run_id, trip_id FROM unioned
            WHERE service_date = DATE '2019-02-21'),
-         stt AS (SELECT st.run_id, st.trip_id, st.stop_id,
-             st.departure_time,
-             lead(st.stop_id) OVER w AS to_stop,
-             lead(st.arrival_time) OVER w AS arr
-           FROM st JOIN act USING (run_id, trip_id)
-           WINDOW w AS (PARTITION BY st.run_id, st.trip_id
-             ORDER BY st.arrival_time)),
-         legs AS (SELECT run_id, stop_id AS from_stop,
-             CAST(departure_time AS BIGINT) AS dep, to_stop,
-             CAST(arr AS BIGINT) AS arr
-           FROM stt WHERE to_stop IS NOT NULL),
+         calls AS (SELECT st.run_id, st.trip_id, st.stop_id,
+             CAST(st.arrival_time AS BIGINT) AS arr_t,
+             CAST(st.departure_time AS BIGINT) AS dep_t,
+             row_number() OVER (PARTITION BY st.run_id, st.trip_id
+               ORDER BY st.arrival_time, st.stop_id) AS seq
+           FROM st JOIN act USING (run_id, trip_id)),
+         legs AS (SELECT bd.run_id, bd.stop_id AS from_stop,
+             bd.dep_t AS dep, al.stop_id AS to_stop, al.arr_t AS arr
+           FROM calls bd JOIN calls al ON al.run_id = bd.run_id
+             AND al.trip_id = bd.trip_id AND bd.seq < al.seq),
          tx(run_id, from_stop_id, to_stop_id, transfer_type,
              min_transfer_time) AS (VALUES
              (1, 'S1', 'S2', 2, 300), (1, 'S2', 'S1', 0, NULL),

@@ -287,18 +287,25 @@ object ArrivalsQuery {
     * (consecutive in-trip calls of trips active on `serviceDate`, board
     * when the label at the from-stop ≤ departure) and transfer legs
     * (transfers.txt edges, type 3 excluded, label + min_transfer_time).
-    * Solved by `maxRounds` Bellman-Ford label-relaxation rounds — each
+    * Solved by `maxRounds` RAPTOR-style label-relaxation rounds — each
     * round is one join of the bounded label frame against the legs,
-    * plus a min-rollup; a round is a JOURNEY LEG bound, so 4 rounds
-    * covers 4-leg itineraries (extend for hub-and-spoke feeds). All
-    * arithmetic is integer seconds; unreachable stops report NULL.
+    * plus a min-rollup; a ride leg is a TRIP SUFFIX (board at call i,
+    * alight at ANY later call j of the same trip), so one round relaxes
+    * a whole ride no matter how many stations it passes, and
+    * `maxRounds` bounds the number of JOURNEY legs (rides + walks),
+    * not hops — 4 rounds covers 4-leg itineraries even on 50-stop
+    * trips. All arithmetic is integer seconds; unreachable stops
+    * report NULL.
     *
-    * Scale: legs are stop_times-sized, built once (one window pass over
-    * the active subset) and checkpointed; the label frame is
-    * stop-bounded, so every round is a small-side join against the
-    * materialized legs — never a re-expansion, never a cartesian.
-    * Reference tables: transfers per 05-create-schema.sh:163-182;
-    * activity semantics shared with [[arrivalsWithExceptions]].
+    * Scale: suffix legs are Σ_trip L·(L−1)/2 rows — bounded by
+    * (max calls per trip)/2 × stop_times, a feed constant (≤ ~50×
+    * for metro feeds) — built once as an equi-join on (run, trip)
+    * with a seq inequality, checkpointed, and re-read every round;
+    * the label frame is stop-bounded, so every round is a small-side
+    * join against the materialized legs — never a re-expansion, never
+    * a cartesian. Reference tables: transfers per
+    * 05-create-schema.sh:163-182; activity semantics shared with
+    * [[arrivalsWithExceptions]].
     */
   def earliestArrivals(calendar: DataFrame, calendarDates: DataFrame,
                        trips: DataFrame, stopTimes: DataFrame,
@@ -312,14 +319,21 @@ object ArrivalsQuery {
         stopTimes, stops, serviceDate, nextDay)
       .select(col("run_id"), col("trip_id")).distinct()
     val wTrip = Window.partitionBy(col("run_id"), col("trip_id"))
-      .orderBy(col("arrival_time"))
-    val legs = stopTimes.join(active, Seq("run_id", "trip_id"))
-      .withColumn("to_stop", lead(col("stop_id"), 1).over(wTrip))
-      .withColumn("arr", lead(col("arrival_time"), 1).over(wTrip))
-      .filter(col("to_stop").isNotNull)
-      .select(col("run_id"), col("stop_id").as("from_stop"),
-        col("departure_time").cast("long").as("dep"),
-        col("to_stop"), col("arr").cast("long").as("arr"))
+      .orderBy(col("arrival_time"), col("stop_id"))
+    val calls = stopTimes.join(active, Seq("run_id", "trip_id"))
+      .withColumn("seq", row_number().over(wTrip))
+      .select(col("run_id"), col("trip_id"), col("seq"), col("stop_id"),
+        col("arrival_time").cast("long").as("arr_t"),
+        col("departure_time").cast("long").as("dep_t"))
+      .localCheckpoint() // both sides of the suffix self-join read it
+    val legs = calls.alias("bd")
+      .join(calls.alias("al"),
+        col("bd.run_id") === col("al.run_id") &&
+          col("bd.trip_id") === col("al.trip_id") &&
+          col("bd.seq") < col("al.seq"))
+      .select(col("bd.run_id").as("run_id"),
+        col("bd.stop_id").as("from_stop"), col("bd.dep_t").as("dep"),
+        col("al.stop_id").as("to_stop"), col("al.arr_t").as("arr"))
       .localCheckpoint() // re-read every relaxation round
     val foot = transfers
       .filter(coalesce(col("transfer_type"), lit(0)) =!= 3)

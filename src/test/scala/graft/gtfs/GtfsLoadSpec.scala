@@ -331,4 +331,44 @@ class GtfsLoadSpec extends SparkSpec {
     val late = run(4, 150L)
     assert(late === Map("X" -> Some(150L), "Y" -> None, "Z" -> None))
   }
+
+  test("earliestArrivals: a round is a RIDE leg, not a hop — one trip " +
+       "through 4 stations is fully reachable in ONE round") {
+    // single trip P calling W(dep 100) -> X(arr 200) -> Y(arr 300) ->
+    // Z(arr 400): trip-suffix relaxation must label X, Y AND Z after
+    // one round; per-hop legs would need three.
+    val cal = Seq((1L, "ALL", true, true, true, true, true, true, true,
+        20240101, 20241231))
+      .toDF("run_id", "service_id", "monday", "tuesday", "wednesday",
+        "thursday", "friday", "saturday", "sunday", "start_date", "end_date")
+    val cd = Seq.empty[(Long, String, Int, Int)]
+      .toDF("run_id", "service_id", "date", "exception_type")
+    val tr = Seq((1L, "ALL", "P")).toDF("run_id", "service_id", "trip_id")
+    val st = Seq(
+      (1L, "P", 50L, "W", 100L), (1L, "P", 200L, "X", 260L),
+      (1L, "P", 300L, "Y", 360L), (1L, "P", 400L, "Z", 460L))
+      .toDF("run_id", "trip_id", "arrival_time", "stop_id", "departure_time")
+    val sp = Seq((1L, "W", "Wst", 0.0, 0.0), (1L, "X", "Xst", 0.0, 0.0),
+        (1L, "Y", "Yst", 0.0, 0.0), (1L, "Z", "Zst", 0.0, 0.0))
+      .toDF("run_id", "stop_id", "stop_name", "stop_lat", "stop_lon")
+    val tx = Seq.empty[(Long, String, String, Int, Int)]
+      .toDF("run_id", "from_stop_id", "to_stop_id", "transfer_type",
+        "min_transfer_time")
+    val one = ArrivalsQuery.earliestArrivals(
+        cal, cd, tr, st, sp, tx, "W", "2024-06-03", 0L, maxRounds = 1)
+      .collect().map(r => r.getString(1) ->
+        Option(r.get(r.fieldIndex("arr_secs"))).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(one === Map("W" -> Some(0L), "X" -> Some(200L),
+      "Y" -> Some(300L), "Z" -> Some(400L)))
+    // boarding mid-trip still honors the label <= departure bound:
+    // from Y at t=500 (> dep 360) nothing boards
+    val lateMid = ArrivalsQuery.earliestArrivals(
+        cal, cd, tr, st, sp, tx, "Y", "2024-06-03", 500L, maxRounds = 2)
+      .collect().map(r => r.getString(1) ->
+        Option(r.get(r.fieldIndex("arr_secs"))).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(lateMid === Map("W" -> None, "X" -> None,
+      "Y" -> Some(500L), "Z" -> None))
+  }
 }
