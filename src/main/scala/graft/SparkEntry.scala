@@ -228,6 +228,7 @@ object SparkEntry {
       ((s, dir) => TextOps.qualityBrierDecomposition(s, dir)),
     "q_kneser_ney" -> ((s, dir) => TextOps.kneserNeySurprisal(s, dir)),
     "q_lsh_planner" -> ((s, dir) => Dedup.lshPlanner(s, dir)),
+    "q_planned_lsh_pairs" -> ((s, dir) => Dedup.plannedLshPairs(s, dir)),
     "q_neardup_robustness" ->
       ((s, dir) => Dedup.nearDupRobustness(s, dir)),
     "q_energy_distance" -> ((s, dir) => Events.energyDistance(s, dir)),
@@ -741,7 +742,7 @@ object SparkEntry {
        ORDER BY bucket"""
   }
 
-  private val minhashCtes =
+  private val minhashMhCtes =
     s"""docs AS (SELECT doc_id, $toks AS toks FROM documents),
        sh AS (SELECT doc_id, unnest(list_transform(
            generate_series(1, len(toks) - 2),
@@ -750,11 +751,21 @@ object SparkEntry {
        seeds AS (SELECT unnest(generate_series(0, 11)) AS seed),
        mh AS (SELECT doc_id, seed,
            min(md5(concat(CAST(seed AS VARCHAR), ':', sh))) AS mh
-         FROM sh, seeds GROUP BY doc_id, seed),
-       bands AS (SELECT doc_id, seed // 3 AS band,
+         FROM sh, seeds GROUP BY doc_id, seed)"""
+
+  /** Band CTE over `mh` with a pluggable rows-per-band divisor — "3"
+    * for the fixed-scheme pair oracles, a scalar subquery over the
+    * planner's chosen config for q_planned_lsh_pairs.
+    */
+  private def minhashBandsCte(rDivisor: String): String =
+    s"""bands AS (SELECT doc_id, seed // $rDivisor AS band,
            string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || mh, ','
              ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || mh) AS sig
          FROM mh GROUP BY doc_id, band)"""
+
+  private val minhashCtes =
+    s"""$minhashMhCtes,
+       ${minhashBandsCte("3")}"""
 
   private val minhashPairsSelect =
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -878,7 +889,11 @@ object SparkEntry {
     * multiplication chains (no libm pow) over the blocked-Jaccard pair
     * frame, unioned and ranked.
     */
-  private def lshPlannerOracle(numHashes: Int, thresholdMilli: Long): String = {
+  /** Planner CTE block (corpus sims + per-config expected FP/FN union)
+    * — shared by the standalone q_lsh_planner oracle and the
+    * q_planned_lsh_pairs composition so the decision cannot drift.
+    */
+  private def lshPlannerCtes(numHashes: Int, thresholdMilli: Long): String = {
     val configs = (1 to numHashes).filter(numHashes % _ == 0)
       .map(r => (numHashes / r, r))
     val branches = configs.map { case (b, r) =>
@@ -896,7 +911,7 @@ object SparkEntry {
              FROM (SELECT s_milli, CAST(s_milli AS DOUBLE) / 1000.0 AS sd
                FROM sims)))"""
     }.mkString("\n         UNION ALL ")
-    s"""WITH d AS (SELECT doc_id, lang, n_chars, list_distinct($toks) AS toks
+    s"""d AS (SELECT doc_id, lang, n_chars, list_distinct($toks) AS toks
            FROM documents),
          sims AS MATERIALIZED (SELECT
              CAST(round(jaccard * 1000) AS BIGINT) AS s_milli
@@ -905,7 +920,11 @@ object SparkEntry {
                  len(list_distinct(a.toks || b.toks)), 4) AS jaccard
              FROM d a JOIN d b ON a.lang = b.lang
                AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id)),
-         u AS ($branches)
+         u AS ($branches)"""
+  }
+
+  private def lshPlannerOracle(numHashes: Int, thresholdMilli: Long): String =
+    s"""WITH ${lshPlannerCtes(numHashes, thresholdMilli)}
          SELECT b, r, n_pairs, fp_mass_u, fn_mass_u,
            fp_mass_u + fn_mass_u AS cost_u,
            CAST(row_number() OVER (ORDER BY fp_mass_u + fn_mass_u, b)
@@ -913,7 +932,26 @@ object SparkEntry {
            row_number() OVER (ORDER BY fp_mass_u + fn_mass_u, b) = 1
              AS chosen
          FROM u ORDER BY b"""
-  }
+
+  /** Planner-driven pair oracle: the planner CTEs pick the cost-argmin
+    * (b, r), and the SAME minhash band CTEs re-band with the chosen
+    * rows-per-band via a scalar subquery — composing the q_lsh_planner
+    * and q_minhash_lsh_pairs oracles exactly like Dedup.plannedLshPairs
+    * composes the operators.
+    */
+  private def plannedLshPairsOracle(numHashes: Int,
+                                    thresholdMilli: Long): String =
+    s"""WITH ${lshPlannerCtes(numHashes, thresholdMilli)},
+         chosen AS (SELECT b, r FROM u
+           ORDER BY fp_mass_u + fn_mass_u, b LIMIT 1),
+         $minhashMhCtes,
+         ${minhashBandsCte("(SELECT r FROM chosen)")}
+         SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b, c.b, c.r
+         FROM bands ba JOIN bands bb
+           ON ba.band = bb.band AND ba.sig = bb.sig
+             AND ba.doc_id < bb.doc_id
+         CROSS JOIN chosen c
+         ORDER BY doc_a, doc_b"""
 
   /** Earliest-arrival oracle: RAPTOR-style label-relaxation rounds of
     * ArrivalsQuery.earliestArrivals unrolled as generated CTEs over the
@@ -5539,6 +5577,7 @@ object SparkEntry {
            coalesce(cv_milli > 500, false) AS irregular
          FROM r ORDER BY run_id, stop_id, service_date""",
     "q_lsh_planner" -> lshPlannerOracle(12, 700L),
+    "q_planned_lsh_pairs" -> plannedLshPairsOracle(12, 700L),
     "q_neardup_robustness" ->
       s"""WITH RECURSIVE lsh AS ($minhashPairsCore),
          p AS (SELECT doc_a, doc_b FROM lsh),

@@ -78,10 +78,22 @@ object Dedup {
   def lshPlanner(s: SparkSession, dir: String, numHashes: Int = 12,
                  thresholdMilli: Long = 700L): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val sims = ngramJaccardPairs(s, dir)
       .select(round($"jaccard" * 1000).cast("long").as("s_milli"))
       .localCheckpoint() // one scan per (b, r) config
+    lshPlannerFromSims(sims, numHashes, thresholdMilli)
+  }
+
+  /** Planner core over an explicit pair-similarity frame (one
+    * `s_milli` column) — split out so specs can drive the decision
+    * with a constructed distribution and so [[plannedLshPairs]] shares
+    * the exact argmin the standalone planner reports.
+    */
+  private[graft] def lshPlannerFromSims(sims: DataFrame, numHashes: Int,
+                                        thresholdMilli: Long): DataFrame = {
+    val s = sims.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val configs = (1 to numHashes).filter(numHashes % _ == 0)
       .map(r => (numHashes / r, r))
     val perConfig = configs.map { case (b, r) =>
@@ -260,6 +272,27 @@ object Dedup {
     import s.implicits._
     val mins = minhashMins(Tables(s, dir, "documents"), shingleSize, numHashes)
     lshPairsFromMins(mins, numHashes, rowsPerBand).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Planner-driven LSH pairs — [[lshPlanner]]'s cost-argmin (b, r)
+    * actually feeding the banding, instead of the hardcoded (4, 3)
+    * default: run the planner against the corpus's own pair-similarity
+    * distribution, take the chosen factorization of the `numHashes`
+    * budget, band with it. The decision frame is |divisors(numHashes)|
+    * rows, so the argmin collect is a bounded driver fold, not a data
+    * scan; pair generation itself is the same single-shuffle banding
+    * as [[minhashLshPairs]]. Output carries the chosen (b, r) so a
+    * release manifest records WHICH scheme produced the candidate set.
+    */
+  def plannedLshPairs(s: SparkSession, dir: String, shingleSize: Int = 3,
+                      numHashes: Int = 12,
+                      thresholdMilli: Long = 700L): DataFrame = {
+    import s.implicits._
+    val pick = lshPlanner(s, dir, numHashes, thresholdMilli)
+      .filter($"chosen").select($"b", $"r").head()
+    val (b, r) = (pick.getInt(0), pick.getInt(1))
+    minhashLshPairs(s, dir, shingleSize, numHashes, rowsPerBand = r)
+      .select($"doc_a", $"doc_b", lit(b).as("b"), lit(r).as("r"))
   }
 
   /** Edit-distance-verified near-dup: the MinHash-LSH candidate set

@@ -838,4 +838,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lshPlanner argmin departs from the hardcoded (4, 3) default " +
+       "when the corpus's pair similarities demand it") {
+    // every candidate pair is a true near-dup (s >= 0.95, all above the
+    // 700-milli threshold): false negatives are the only cost, so the
+    // single-row-per-band scheme b=12, r=1 (highest collision
+    // probability) must win — NOT the default b=4, r=3
+    val sims = Seq(950L, 960L, 970L, 980L, 990L).toDF("s_milli")
+    val plan = Dedup.lshPlannerFromSims(sims, numHashes = 12,
+      thresholdMilli = 700L)
+    val picked = plan.filter($"chosen").select($"b", $"r").head()
+    assert((picked.getInt(0), picked.getInt(1)) === (12, 1))
+    assert((picked.getInt(0), picked.getInt(1)) !== (4, 3),
+      "planner must be able to override the default scheme")
+    // and plannedLshPairs carries the corpus-chosen scheme through:
+    // its (b, r) columns equal the standalone planner's chosen row
+    val chosen = Dedup.lshPlanner(spark, sf).filter($"chosen")
+      .select($"b", $"r").head()
+    val pairs = Dedup.plannedLshPairs(spark, sf)
+    val schemes = pairs.select($"b", $"r").distinct().collect()
+    assert(schemes.length === 1)
+    assert((schemes(0).getInt(0), schemes(0).getInt(1)) ===
+      (chosen.getInt(0), chosen.getInt(1)))
+  }
+
 }
