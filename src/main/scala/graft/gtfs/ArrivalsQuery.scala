@@ -318,22 +318,7 @@ object ArrivalsQuery {
     val active = arrivalsWithExceptions(calendar, calendarDates, trips,
         stopTimes, stops, serviceDate, nextDay)
       .select(col("run_id"), col("trip_id")).distinct()
-    val wTrip = Window.partitionBy(col("run_id"), col("trip_id"))
-      .orderBy(col("arrival_time"), col("stop_id"))
-    val calls = stopTimes.join(active, Seq("run_id", "trip_id"))
-      .withColumn("seq", row_number().over(wTrip))
-      .select(col("run_id"), col("trip_id"), col("seq"), col("stop_id"),
-        col("arrival_time").cast("long").as("arr_t"),
-        col("departure_time").cast("long").as("dep_t"))
-      .localCheckpoint() // both sides of the suffix self-join read it
-    val legs = calls.alias("bd")
-      .join(calls.alias("al"),
-        col("bd.run_id") === col("al.run_id") &&
-          col("bd.trip_id") === col("al.trip_id") &&
-          col("bd.seq") < col("al.seq"))
-      .select(col("bd.run_id").as("run_id"),
-        col("bd.stop_id").as("from_stop"), col("bd.dep_t").as("dep"),
-        col("al.stop_id").as("to_stop"), col("al.arr_t").as("arr"))
+    val legs = suffixLegs(stopTimes, active)
       .localCheckpoint() // re-read every relaxation round
     val foot = transfers
       .filter(coalesce(col("transfer_type"), lit(0)) =!= 3)
@@ -345,24 +330,8 @@ object ArrivalsQuery {
       .select(col("run_id"), col("stop_id")).distinct()
       .withColumn("best", lit(departSecs))
       .localCheckpoint()
-    for (_ <- 1 to maxRounds) {
-      val ride = labels
-        .join(legs, labels("run_id") === legs("run_id") &&
-          labels("stop_id") === legs("from_stop") && col("best") <= col("dep"))
-        .select(legs("run_id"), col("to_stop").as("stop_id"),
-          col("arr").as("cand"))
-      val walk = labels
-        .join(foot, labels("run_id") === foot("run_id") &&
-          labels("stop_id") === foot("from_stop"))
-        .select(foot("run_id"), col("to_stop").as("stop_id"),
-          (col("best") + col("mtt")).as("cand"))
-      labels = labels.select(col("run_id"), col("stop_id"),
-          col("best").as("cand"))
-        .unionAll(ride).unionAll(walk)
-        .groupBy(col("run_id"), col("stop_id"))
-        .agg(min(col("cand")).as("best"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to maxRounds)
+      labels = relaxationRound(labels, legs, foot).localCheckpoint()
     stops.select(col("run_id"), col("stop_id"), col("stop_name"))
       .join(labels, Seq("run_id", "stop_id"), "left")
       .select(col("run_id"), col("stop_id"), col("stop_name"),
@@ -371,6 +340,55 @@ object ArrivalsQuery {
           dates.gtfsEventTimestamp(to_date(lit(serviceDate)), col("best"))))
           .as("arr_time"))
       .orderBy(col("run_id"), col("stop_id"))
+  }
+
+  /** Trip-suffix ride legs: every (board call i, alight call j>i) pair
+    * of each active trip, via a seq-inequality self-join on the
+    * (run_id, trip_id) equi-keys. Package-private (graft) so PlanSpec audits
+    * the exact production join shape at a scaled fixture.
+    */
+  private[graft] def suffixLegs(stopTimes: DataFrame,
+                               active: DataFrame): DataFrame = {
+    val wTrip = Window.partitionBy(col("run_id"), col("trip_id"))
+      .orderBy(col("arrival_time"), col("stop_id"))
+    val calls = stopTimes.join(active, Seq("run_id", "trip_id"))
+      .withColumn("seq", row_number().over(wTrip))
+      .select(col("run_id"), col("trip_id"), col("seq"), col("stop_id"),
+        col("arrival_time").cast("long").as("arr_t"),
+        col("departure_time").cast("long").as("dep_t"))
+      .localCheckpoint() // both sides of the suffix self-join read it
+    calls.alias("bd")
+      .join(calls.alias("al"),
+        col("bd.run_id") === col("al.run_id") &&
+          col("bd.trip_id") === col("al.trip_id") &&
+          col("bd.seq") < col("al.seq"))
+      .select(col("bd.run_id").as("run_id"),
+        col("bd.stop_id").as("from_stop"), col("bd.dep_t").as("dep"),
+        col("al.stop_id").as("to_stop"), col("al.arr_t").as("arr"))
+  }
+
+  /** One RAPTOR relaxation round: the stop-bounded label frame joins
+    * the materialized ride legs (board when label ≤ departure) and the
+    * footpath edges, then min-rolls back to one row per (run, stop) —
+    * so the frame entering the next round is again ≤ |stops| rows.
+    * Package-private for the same PlanSpec audit.
+    */
+  private[graft] def relaxationRound(labels: DataFrame, legs: DataFrame,
+                                    foot: DataFrame): DataFrame = {
+    val ride = labels
+      .join(legs, labels("run_id") === legs("run_id") &&
+        labels("stop_id") === legs("from_stop") && col("best") <= col("dep"))
+      .select(legs("run_id"), col("to_stop").as("stop_id"),
+        col("arr").as("cand"))
+    val walk = labels
+      .join(foot, labels("run_id") === foot("run_id") &&
+        labels("stop_id") === foot("from_stop"))
+      .select(foot("run_id"), col("to_stop").as("stop_id"),
+        (col("best") + col("mtt")).as("cand"))
+    labels.select(col("run_id"), col("stop_id"), col("best").as("cand"))
+      .unionAll(ride).unionAll(walk)
+      .groupBy(col("run_id"), col("stop_id"))
+      .agg(min(col("cand")).as("best"))
   }
 
   /** Headway regularity per (stop, service day) — the bunching audit a

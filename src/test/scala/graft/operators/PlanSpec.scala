@@ -160,6 +160,93 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("scaled earliestArrivals: the suffix-leg self-join shuffles (no " +
+       "scaled side broadcasts), the relaxation round broadcasts ONLY " +
+       "the stop-bounded label frame, and labels stay stop-bounded") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import graft.gtfs.{ArrivalsQuery, GtfsFixture}
+    import spark.implicits._
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (32 * 1024).toString)
+    try {
+      val mult = 2000
+      val active = GtfsFixture.scaledTrips(spark, mult)
+        .select($"run_id", $"trip_id")
+      val legs = ArrivalsQuery.suffixLegs(
+        GtfsFixture.scaledStopTimes(spark, mult), active)
+      val legNodes = allNodes(legs)
+      assert(!legNodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "both sides of the suffix self-join are stop_times-sized — " +
+        "neither may broadcast")
+      assert(legNodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+        n.isInstanceOf[ShuffledHashJoinExec]))
+      assert(!legNodes.exists(_.isInstanceOf[CartesianProductExec]))
+      // one production-shaped relaxation round: labels (1 origin row,
+      // checkpointed like the real loop) against the UN-checkpointed
+      // legs pipeline, so a broadcast build that contains any join node
+      // would mean the fact side was broadcast
+      val labels0 = GtfsFixture.stops(spark).filter($"stop_id" === "S1")
+        .select($"run_id", $"stop_id").distinct()
+        .withColumn("best", org.apache.spark.sql.functions.lit(28800L))
+        .localCheckpoint()
+      val foot = GtfsFixture.transfers(spark)
+        .filter($"transfer_type" =!= 3)
+        .select($"run_id", $"from_stop_id".as("from_stop"),
+          $"to_stop_id".as("to_stop"),
+          org.apache.spark.sql.functions.coalesce($"min_transfer_time",
+            org.apache.spark.sql.functions.lit(0)).cast("long").as("mtt"))
+        .localCheckpoint()
+      val round = ArrivalsQuery.relaxationRound(labels0, legs, foot)
+      val roundNodes = allNodes(round)
+      val bhj = roundNodes.collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.nonEmpty, "the 1-row label frame should broadcast")
+      bhj.foreach { b =>
+        val build = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+        }
+        val joinInBuild = build.collect {
+          case j: SortMergeJoinExec => j
+          case j: ShuffledHashJoinExec => j
+          case j: BroadcastHashJoinExec => j
+        }
+        assert(joinInBuild.isEmpty,
+          "a broadcast build containing the suffix join means the FACT " +
+          "side was broadcast: " + b.toString.take(500))
+      }
+      // the round's output is stop-bounded: one row per (run, stop)
+      assert(round.count() <= GtfsFixture.stops(spark).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("scaled headwayRegularity: gap window and rollup share one hash " +
+       "shuffle of the arrivals stream; dims still broadcast upstream") {
+    import graft.gtfs.{ArrivalsQuery, GtfsFixture}
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (32 * 1024).toString)
+    try {
+      val mult = 2000
+      val arrivals = ArrivalsQuery.arrivalsWithExceptions(
+        GtfsFixture.calendar(spark), GtfsFixture.calendarDates(spark),
+        GtfsFixture.scaledTrips(spark, mult),
+        GtfsFixture.scaledStopTimes(spark, mult),
+        GtfsFixture.stops(spark), "2019-02-18", "2019-02-25")
+        .localCheckpoint() // isolate the audit to the headway pipeline
+      val df = ArrivalsQuery.headwayRegularity(arrivals)
+      val shuffles = allNodes(df).collect {
+        case s: ShuffleExchangeExec => s.outputPartitioning
+      }
+      // lead window hash-partitions on (run, stop, day); the groupBy on
+      // the same keys reuses it — the only other exchange is the final
+      // presentation sort's range partitioning
+      val dataShuffles = shuffles.filterNot(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RangePartitioning])
+      assert(dataShuffles.size <= 1,
+        s"headway pipeline must shuffle the arrivals stream once: $shuffles")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("shared-chunk self-join reuses one exchange for both sides") {
     // the df-cap window shuffles on ch — the same key the self-join
     // needs — so the expensive chunking pass must be computed once and
