@@ -42,6 +42,27 @@ object Bench {
     Seq(once(), once(), once()).min
   }
 
+  /** Fixed-work PARALLEL canary: one small 32-task shuffle, timed.
+    * The single-thread canary reads per-core speed, but the round-11
+    * driver artifacts showed multi-JOB queries stalling (13.3s vs 0.75s
+    * idle) while the single-thread canary stayed flat — vCPU scheduling
+    * starves task parallelism without slowing any one core. Reader
+    * protocol: pcanary_max/pcanary co-moving with a query "regression"
+    * = host jitter; flat pcanary spread + slow query = real. Both min
+    * AND max of 3 are recorded because the spread IS the signal.
+    */
+  def parallelCanary(spark: SparkSession): (Double, Double) = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 3200000L, 1, 32).selectExpr("id % 9973 AS k")
+        .groupBy("k").count().count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warmup
+    val runs = Seq(once(), once(), once())
+    (runs.min, runs.max)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -68,26 +89,34 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, runs.map(_._1).min, runs.forall(_._2))
+      (name, runs.map(_._1).min, runs.forall(_._2), runs.map(_._1).max)
     }
     val total = results.filter(_._3).map(_._2).sum
     // top-level error count: a broken run must not look like a fast run
     // to anything that reads only the headline value
     val errors = results.count(!_._3)
-    // timed AFTER the sweep so it reads the ambient load the queries saw
+    // timed AFTER the sweep so they read the ambient load the queries saw
     val canary = canarySec()
+    val (pcMin, pcMax) = parallelCanary(spark)
 
     // Locale.ROOT: the f interpolator uses the JVM default locale, which
     // on comma-decimal locales would emit "0,680" and break the JSON
-    def entry(r: (String, Double, Boolean)): String =
-      "\"" + r._1 + "\":" + (if (r._3)
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(r._2))
-      else "\"error\"")
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    def entry(r: (String, Double, Boolean, Double)): String =
+      "\"" + r._1 + "\":" + (if (r._3) fmt(r._2) else "\"error\"")
 
-    // full detail (all queries, name order) → file
+    // full detail (all queries, name order) → file, plus the per-query
+    // min→max run spread: a query whose own 3 runs disagree by >2x was
+    // jittered DURING this bench — distinguishable from a regression
+    // (which moves min and max together) without a local re-run
     val fullQs = results.map(entry).mkString("{", ",", "}")
-    val canaryStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(canary))
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"canary_sec":$canaryStr,"queries":$fullQs,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val spreadQs = results.filter(_._3)
+      .map(r => "\"" + r._1 + "\":[" + fmt(r._2) + "," + fmt(r._4) + "]")
+      .mkString("{", ",", "}")
+    val canaryStr = fmt(canary)
+    val pcStr = s""""pcanary_sec":${fmt(pcMin)},"pcanary_max_sec":${fmt(pcMax)}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"canary_sec":$canaryStr,$pcStr,"queries":$fullQs,"run_spread":$spreadQs,"n_queries":${results.size},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_details.json")
       try w.println(full) finally w.close()
@@ -95,7 +124,7 @@ object Bench {
 
     // stdout line: errors first (never drop an "error" marker), then the
     // slowest queries that fit the length budget
-    val prefix = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"canary_sec":$canaryStr,"n_queries":${results.size},"sf":"$sfDir","queries":{"""
+    val prefix = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"canary_sec":$canaryStr,$pcStr,"n_queries":${results.size},"sf":"$sfDir","queries":{"""
     val suffix = "}}"
     val budget = 1400 - prefix.length - suffix.length
     val ranked = results.filter(!_._3) ++ results.filter(_._3).sortBy(-_._2)
