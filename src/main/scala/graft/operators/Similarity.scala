@@ -1771,29 +1771,39 @@ object Similarity {
     bitextMine(s, sharedCrossHalfSims(s, dir, planesPerBand, nBands),
       k, marginBp)
 
-  /** One banding + cross-half collision + exact-cosine pass,
-    * materialized for fan-out: (x, y, cs_u) for every even/odd bucket
-    * collision, cosine quantized to 1e-4 longs. Checkpointed so every
-    * consumer (the mining margin windows, recall audits, diagnostics)
-    * reads the single materialized frame instead of re-running the
-    * band projection and verify joins.
+  /** One cross-half collision + exact-cosine pass, materialized for
+    * fan-out: (x, y, cs_u) for every even/odd bucket collision, cosine
+    * quantized to 1e-4 longs. Checkpointed so every consumer (the
+    * mining margin windows, recall audits, diagnostics) reads the
+    * single materialized frame instead of re-running the collision and
+    * verify joins.
+    *
+    * Collision source: the two STORED band indexes (even half, odd
+    * half), both bucketed by (band, sig) via [[embeddingBandIndexByPred]]
+    * — so after the write-once build, the collision join reads both
+    * sides shuffle-free on their bucketing (no band re-projection, no
+    * exchange; BucketingSpec pins the no-exchange shape). Banding is
+    * deterministic per vector, so the stored side-restricted tables
+    * equal the fresh band frame filtered — candidates are bit-identical
+    * to the previous in-query banding.
     */
   def sharedCrossHalfSims(s: SparkSession, dir: String,
                           planesPerBand: Int = AutoPlanes,
                           nBands: Int = 24): DataFrame = {
     import s.implicits._
-    val e0 = embDouble(s, dir)
-    val r = if (planesPerBand > 0) planesPerBand
-            else autoPlanesPerBand(e0.count())
-    val e = e0
+    val e = embDouble(s, dir)
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"vec_id")
-      .localCheckpoint() // band projection and both verify joins read it
-    val bands = bandedPlaneBuckets(e, r, nBands, 64).localCheckpoint()
-    // cross-half collisions only: even (x) probes, odd (y) index side
-    val cand = bands.alias("bx")
-      .join(bands.alias("by"),
-        col("bx.band") === col("by.band") && col("bx.sig") === col("by.sig") &&
-          col("bx.vec_id") % 2 === 0 && col("by.vec_id") % 2 === 1)
+      .localCheckpoint() // both verify joins read it
+    // corpus size off the materialized checkpoint — no second scan
+    val r = if (planesPerBand > 0) planesPerBand
+            else autoPlanesPerBand(e.count())
+    val evenBands = embeddingBandIndexByPred(s, dir, $"vec_id" % 2 === 0,
+      r, nBands)
+    val oddBands = embeddingBandIndexByPred(s, dir, $"vec_id" % 2 === 1,
+      r, nBands)
+    val cand = evenBands.alias("bx")
+      .join(oddBands.alias("by"),
+        col("bx.band") === col("by.band") && col("bx.sig") === col("by.sig"))
       .select(col("bx.vec_id").as("x"), col("by.vec_id").as("y"))
       .distinct()
     cand
@@ -1813,6 +1823,10 @@ object Similarity {
     import s.implicits._
     val byX = Window.partitionBy($"x").orderBy($"cs_u".desc, $"y")
     val byY = Window.partitionBy($"y").orderBy($"cs_u".desc, $"x")
+    // NOT checkpointed despite two consumers (the neighborhood rollup
+    // and the final margin select): the byX exchange is reused between
+    // them, and a measured checkpoint here cost +1.5s (barrier +
+    // materialization) instead of saving a window pass
     val fwd = sims.withColumn("rn", row_number().over(byX))
       .filter($"rn" <= k)
     val sax = fwd.groupBy($"x").agg(sum($"cs_u").as("sax_u"))

@@ -115,6 +115,32 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("cross-half collision joins the two stored band indexes with " +
+       "no exchange on EITHER side") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val r = Similarity.autoPlanesPerBand(
+        Tables(spark, sf, "embeddings").count())
+      val even = Similarity.embeddingBandIndexByPred(spark, sf,
+        $"vec_id" % 2 === 0, r, 24)
+      val odd = Similarity.embeddingBandIndexByPred(spark, sf,
+        $"vec_id" % 2 === 1, r, 24)
+      // the exact collision join sharedCrossHalfSims issues: both sides
+      // are bucketed by (band, sig) with the same bucket count, so the
+      // join must be satisfied by the stored layout — zero exchanges
+      val cand = even.alias("bx")
+        .join(odd.alias("by"),
+          org.apache.spark.sql.functions.col("bx.band") ===
+            org.apache.spark.sql.functions.col("by.band") &&
+          org.apache.spark.sql.functions.col("bx.sig") ===
+            org.apache.spark.sql.functions.col("by.sig"))
+        .select(org.apache.spark.sql.functions.col("bx.vec_id").as("x"),
+          org.apache.spark.sql.functions.col("by.vec_id").as("y"))
+      assert(countShuffles(cand) === 0,
+        cand.queryExecution.executedPlan.toString.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("incremental winnow probe reads the stored fingerprint index without shuffling it") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
