@@ -179,6 +179,8 @@ object SparkEntry {
     "q_holt_linear" -> Relational.holtLinear,
     "q_t_closeness" -> ((s, dir) => Relational.tCloseness(s, dir)),
     "q_dedup_survivorship" -> Dedup.dedupSurvivorship,
+    "q_dedup_design_report" ->
+      ((s, dir) => Dedup.dedupDesignReport(s, dir)),
     "q_doremi_step" -> TextOps.doremiStep,
     "q_ngram_novelty" -> TextOps.ngramNovelty,
     "q_skyline_docs" -> TextOps.skylineDocs,
@@ -932,6 +934,132 @@ object SparkEntry {
            row_number() OVER (ORDER BY fp_mass_u + fn_mass_u, b) = 1
              AS chosen
          FROM u ORDER BY b"""
+
+  /** Shared dedup-QA oracle fragments — each is a standalone query row
+    * AND a facet of the q_dedup_design_report composition, so the
+    * report's oracle literally recombines the parents' SQL (lazy: they
+    * reference fragments defined later in the object).
+    */
+  private lazy val dedupThresholdSweepOracle: String =
+    s"""WITH $minhashCtes,
+         pairs AS ($minhashPairsSelect),
+         shs AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i:i+2], ' '))) AS shs
+           FROM docs WHERE len(toks) >= 3),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         sc AS (SELECT p.doc_a, p.doc_b,
+             (len(list_intersect(a.shs, b.shs)) * 10000)
+               // (len(a.shs) + len(b.shs)
+                  - len(list_intersect(a.shs, b.shs))) AS sim_bp
+           FROM pairs p JOIN shs a ON a.doc_id = p.doc_a
+             JOIN shs b ON b.doc_id = p.doc_b),
+         grid AS (SELECT unnest(generate_series(5000, 9500, 500))
+           AS thr_bp)
+         SELECT CAST(thr_bp AS BIGINT) AS thr_bp,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped,
+           CAST(count(DISTINCT doc_b) * 10000 // max(n_docs) AS BIGINT)
+             AS loss_bp
+         FROM sc JOIN grid ON sim_bp >= thr_bp CROSS JOIN nn
+         GROUP BY thr_bp ORDER BY thr_bp"""
+
+  private lazy val captureRecaptureOracle: String =
+    s"""WITH $minhashCtes,
+         mp AS ($minhashPairsSelect),
+         f AS ($simhashCore),
+         sbk AS (SELECT doc_id, simhash,
+             concat(CAST(bi AS VARCHAR), ':',
+               CAST((simhash >> (bi * 15)) & 32767 AS VARCHAR)) AS bucket
+           FROM f, (SELECT unnest(generate_series(0, 3)) AS bi)),
+         sp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sbk a JOIN sbk b
+             ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash))
+             <= ${operators.Dedup.DefaultMaxHamming}),
+         c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_minhash FROM mp),
+         c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_simhash FROM sp),
+         cb AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+           FROM mp JOIN sp USING (doc_a, doc_b)),
+         j AS (SELECT n_minhash, n_simhash, n_both,
+             n_minhash + n_simhash - n_both AS n_union,
+             (n_minhash + 1) * (n_simhash + 1) // (n_both + 1) - 1
+               AS chapman_est
+           FROM c1 CROSS JOIN c2 CROSS JOIN cb)
+         SELECT n_minhash, n_simhash, n_both, n_union, chapman_est,
+           chapman_est - n_union AS est_missed,
+           n_minhash * 1000000 // greatest(chapman_est, 1)
+             AS minhash_recall_ppm,
+           n_simhash * 1000000 // greatest(chapman_est, 1)
+             AS simhash_recall_ppm
+         FROM j"""
+
+  private lazy val dedupSurvivorshipOracle: String =
+    s"""WITH RECURSIVE $ccReachCtes,
+         canon AS (SELECT a AS doc_id, min(r) AS canon_id
+           FROM reach GROUP BY a),
+         q AS (SELECT doc_id,
+             CAST(round($qualityExpr * 10000) AS BIGINT) AS qu
+           FROM documents),
+         m AS (SELECT c.doc_id, qu,
+             CASE WHEN c.doc_id = c.canon_id THEN CAST(1 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS surv
+           FROM canon c JOIN q USING (doc_id)),
+         cells AS (SELECT qu, CAST(sum(surv) AS BIGINT) AS s1,
+             CAST(sum(1 - surv) AS BIGINT) AS s2
+           FROM m GROUP BY qu),
+         f AS (SELECT qu,
+             CAST(sum(s1) OVER (ORDER BY qu) AS BIGINT) AS f1,
+             CAST(sum(s2) OVER (ORDER BY qu) AS BIGINT) AS f2
+           FROM cells),
+         tt AS (SELECT CAST(sum(s1) AS BIGINT) AS n1,
+             CAST(sum(s2) AS BIGINT) AS n2,
+             CAST(sum(s1 * qu) AS BIGINT) AS sq1,
+             CAST(sum(s2 * qu) AS BIGINT) AS sq2
+           FROM cells)
+         SELECT n1 AS n_survivors, n2 AS n_victims,
+           CAST(CAST(max(abs(f1 * n2 - f2 * n1)) AS HUGEINT) * 10000
+             // (n1 * n2) AS BIGINT) AS ks_bp,
+           sq1 // n1 AS mean_qu_surv, sq2 // n2 AS mean_qu_vict
+         FROM f CROSS JOIN tt GROUP BY n1, n2, sq1, sq2"""
+
+  /** The dedup design report: the four parent oracles verbatim as
+    * materialized CTE subqueries, pivoted to the long (facet, metric,
+    * value) schema — the same composition Dedup.dedupDesignReport does
+    * over the operators.
+    */
+  private lazy val dedupDesignReportOracle: String =
+    s"""WITH pl AS MATERIALIZED (${lshPlannerOracle(12, 700L)}),
+         ts AS MATERIALIZED ($dedupThresholdSweepOracle),
+         cr AS MATERIALIZED ($captureRecaptureOracle),
+         sv AS MATERIALIZED ($dedupSurvivorshipOracle)
+         SELECT facet, metric, value FROM (
+           SELECT 'lsh_scheme' AS facet, 'bands' AS metric,
+             CAST(b AS BIGINT) AS value FROM pl WHERE chosen
+           UNION ALL SELECT 'lsh_scheme', 'rows_per_band',
+             CAST(r AS BIGINT) FROM pl WHERE chosen
+           UNION ALL SELECT 'lsh_scheme', 'cost_u', cost_u
+             FROM pl WHERE chosen
+           UNION ALL SELECT 'threshold_7000bp', 'n_pairs', n_pairs
+             FROM ts WHERE thr_bp = 7000
+           UNION ALL SELECT 'threshold_7000bp', 'n_docs_dropped',
+             n_docs_dropped FROM ts WHERE thr_bp = 7000
+           UNION ALL SELECT 'threshold_7000bp', 'loss_bp', loss_bp
+             FROM ts WHERE thr_bp = 7000
+           UNION ALL SELECT 'capture_recapture', 'chapman_est',
+             chapman_est FROM cr
+           UNION ALL SELECT 'capture_recapture', 'est_missed',
+             est_missed FROM cr
+           UNION ALL SELECT 'capture_recapture', 'minhash_recall_ppm',
+             minhash_recall_ppm FROM cr
+           UNION ALL SELECT 'capture_recapture', 'simhash_recall_ppm',
+             simhash_recall_ppm FROM cr
+           UNION ALL SELECT 'survivorship', 'ks_bp', ks_bp FROM sv
+           UNION ALL SELECT 'survivorship', 'mean_qu_surv',
+             mean_qu_surv FROM sv
+           UNION ALL SELECT 'survivorship', 'mean_qu_vict',
+             mean_qu_vict FROM sv)
+         ORDER BY facet, metric"""
 
   /** Planner-driven pair oracle: the planner CTEs pick the cost-argmin
     * (b, r), and the SAME minhash band CTEs re-band with the chosen
@@ -2460,29 +2588,7 @@ object SparkEntry {
              JOIN shs b ON b.doc_id = p.doc_b)
          SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_pairs
          FROM jt GROUP BY bin ORDER BY bin""",
-    "q_dedup_threshold_sweep" ->
-      s"""WITH $minhashCtes,
-         pairs AS ($minhashPairsSelect),
-         shs AS (SELECT doc_id, list_distinct(list_transform(
-             generate_series(1, len(toks) - 2),
-             i -> array_to_string(toks[i:i+2], ' '))) AS shs
-           FROM docs WHERE len(toks) >= 3),
-         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-         sc AS (SELECT p.doc_a, p.doc_b,
-             (len(list_intersect(a.shs, b.shs)) * 10000)
-               // (len(a.shs) + len(b.shs)
-                  - len(list_intersect(a.shs, b.shs))) AS sim_bp
-           FROM pairs p JOIN shs a ON a.doc_id = p.doc_a
-             JOIN shs b ON b.doc_id = p.doc_b),
-         grid AS (SELECT unnest(generate_series(5000, 9500, 500))
-           AS thr_bp)
-         SELECT CAST(thr_bp AS BIGINT) AS thr_bp,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped,
-           CAST(count(DISTINCT doc_b) * 10000 // max(n_docs) AS BIGINT)
-             AS loss_bp
-         FROM sc JOIN grid ON sim_bp >= thr_bp CROSS JOIN nn
-         GROUP BY thr_bp ORDER BY thr_bp""",
+    "q_dedup_threshold_sweep" -> dedupThresholdSweepOracle,
     "q_trend_sign_reversals" ->
       """WITH daily AS (SELECT c.c_nationkey, CAST(o_orderdate AS DATE)
              AS day,
@@ -3937,35 +4043,7 @@ object SparkEntry {
              doc_id) AS INT) AS rank FROM ag)
          SELECT rank, doc_id, dl, score_u FROM top
          WHERE rank <= 25 ORDER BY rank""",
-    "q_capture_recapture" ->
-      s"""WITH $minhashCtes,
-         mp AS ($minhashPairsSelect),
-         f AS ($simhashCore),
-         sbk AS (SELECT doc_id, simhash,
-             concat(CAST(bi AS VARCHAR), ':',
-               CAST((simhash >> (bi * 15)) & 32767 AS VARCHAR)) AS bucket
-           FROM f, (SELECT unnest(generate_series(0, 3)) AS bi)),
-         sp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM sbk a JOIN sbk b
-             ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.simhash, b.simhash))
-             <= ${operators.Dedup.DefaultMaxHamming}),
-         c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_minhash FROM mp),
-         c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_simhash FROM sp),
-         cb AS (SELECT CAST(count(*) AS BIGINT) AS n_both
-           FROM mp JOIN sp USING (doc_a, doc_b)),
-         j AS (SELECT n_minhash, n_simhash, n_both,
-             n_minhash + n_simhash - n_both AS n_union,
-             (n_minhash + 1) * (n_simhash + 1) // (n_both + 1) - 1
-               AS chapman_est
-           FROM c1 CROSS JOIN c2 CROSS JOIN cb)
-         SELECT n_minhash, n_simhash, n_both, n_union, chapman_est,
-           chapman_est - n_union AS est_missed,
-           n_minhash * 1000000 // greatest(chapman_est, 1)
-             AS minhash_recall_ppm,
-           n_simhash * 1000000 // greatest(chapman_est, 1)
-             AS simhash_recall_ppm
-         FROM j""",
+    "q_capture_recapture" -> captureRecaptureOracle,
     "q_matrix_profile" -> matrixProfileOracle(7),
     "q_voptimal_histogram" -> vOptOracle(6),
     "q_basket_rules" ->
@@ -6127,34 +6205,8 @@ object SparkEntry {
            CAST(CAST(gap_sum AS HUGEINT) * 10000
              // (class_size * n_tot * 2) AS BIGINT) > 2000 AS t_risky
          FROM a ORDER BY c_nationkey, c_mktsegment""",
-    "q_dedup_survivorship" ->
-      s"""WITH RECURSIVE $ccReachCtes,
-         canon AS (SELECT a AS doc_id, min(r) AS canon_id
-           FROM reach GROUP BY a),
-         q AS (SELECT doc_id,
-             CAST(round($qualityExpr * 10000) AS BIGINT) AS qu
-           FROM documents),
-         m AS (SELECT c.doc_id, qu,
-             CASE WHEN c.doc_id = c.canon_id THEN CAST(1 AS BIGINT)
-               ELSE CAST(0 AS BIGINT) END AS surv
-           FROM canon c JOIN q USING (doc_id)),
-         cells AS (SELECT qu, CAST(sum(surv) AS BIGINT) AS s1,
-             CAST(sum(1 - surv) AS BIGINT) AS s2
-           FROM m GROUP BY qu),
-         f AS (SELECT qu,
-             CAST(sum(s1) OVER (ORDER BY qu) AS BIGINT) AS f1,
-             CAST(sum(s2) OVER (ORDER BY qu) AS BIGINT) AS f2
-           FROM cells),
-         tt AS (SELECT CAST(sum(s1) AS BIGINT) AS n1,
-             CAST(sum(s2) AS BIGINT) AS n2,
-             CAST(sum(s1 * qu) AS BIGINT) AS sq1,
-             CAST(sum(s2 * qu) AS BIGINT) AS sq2
-           FROM cells)
-         SELECT n1 AS n_survivors, n2 AS n_victims,
-           CAST(CAST(max(abs(f1 * n2 - f2 * n1)) AS HUGEINT) * 10000
-             // (n1 * n2) AS BIGINT) AS ks_bp,
-           sq1 // n1 AS mean_qu_surv, sq2 // n2 AS mean_qu_vict
-         FROM f CROSS JOIN tt GROUP BY n1, n2, sq1, sq2""",
+    "q_dedup_survivorship" -> dedupSurvivorshipOracle,
+    "q_dedup_design_report" -> dedupDesignReportOracle,
     "q_doremi_step" ->
       s"""WITH $surprisalPerDocCtes,
          d AS (SELECT pd2.doc_id, xent_u, source

@@ -1901,4 +1901,46 @@ object Dedup {
           " div (n_survivors * n_victims) AS BIGINT)").as("ks_bp"),
         $"mean_qu_surv", $"mean_qu_vict")
   }
+
+  /** The dedup DESIGN REVIEW in one frame — the [[graft.operators.TextOps.releaseManifest]]
+    * discipline applied to the dedup family: the four QA verdicts that
+    * each separately adjudicate the SAME banding pipeline ([[lshPlanner]]'s
+    * chosen scheme, [[dedupThresholdSweep]] at the deployed 7000 bp bar,
+    * [[captureRecapture]]'s missed-pair estimate, [[dedupSurvivorship]]'s
+    * policy-bias KS) composed into one long-format release artifact.
+    * The oracle recombines the SAME four oracle fragments and must land
+    * on identical values — the composition proof, not a new computation.
+    * Each facet's pipeline runs once; the report adds only bounded
+    * stacks over their (≤10-row) outputs.
+    */
+  def dedupDesignReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planner = lshPlanner(s, dir).filter($"chosen")
+      .selectExpr("""stack(3,
+        'bands', CAST(b AS BIGINT),
+        'rows_per_band', CAST(r AS BIGINT),
+        'cost_u', cost_u) AS (metric, value)""")
+      .select(lit("lsh_scheme").as("facet"), $"metric", $"value")
+    val sweep = dedupThresholdSweep(s, dir).filter($"thr_bp" === 7000L)
+      .selectExpr("""stack(3,
+        'n_pairs', n_pairs,
+        'n_docs_dropped', n_docs_dropped,
+        'loss_bp', loss_bp) AS (metric, value)""")
+      .select(lit("threshold_7000bp").as("facet"), $"metric", $"value")
+    val recap = captureRecapture(s, dir)
+      .selectExpr("""stack(4,
+        'chapman_est', chapman_est,
+        'est_missed', est_missed,
+        'minhash_recall_ppm', minhash_recall_ppm,
+        'simhash_recall_ppm', simhash_recall_ppm) AS (metric, value)""")
+      .select(lit("capture_recapture").as("facet"), $"metric", $"value")
+    val surv = dedupSurvivorship(s, dir)
+      .selectExpr("""stack(3,
+        'ks_bp', ks_bp,
+        'mean_qu_surv', mean_qu_surv,
+        'mean_qu_vict', mean_qu_vict) AS (metric, value)""")
+      .select(lit("survivorship").as("facet"), $"metric", $"value")
+    planner.unionAll(sweep).unionAll(recap).unionAll(surv)
+      .orderBy($"facet", $"metric")
+  }
 }

@@ -838,6 +838,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupDesignReport recombines exactly its four parents' values") {
+    val rep = Dedup.dedupDesignReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expected = scala.collection.mutable.Map[(String, String), Long]()
+    val pl = Dedup.lshPlanner(spark, sf).filter($"chosen").head()
+    expected(("lsh_scheme", "bands")) = pl.getAs[Int]("b").toLong
+    expected(("lsh_scheme", "rows_per_band")) = pl.getAs[Int]("r").toLong
+    expected(("lsh_scheme", "cost_u")) = pl.getAs[Long]("cost_u")
+    Dedup.dedupThresholdSweep(spark, sf).filter($"thr_bp" === 7000L)
+      .collect().foreach { ts =>
+        expected(("threshold_7000bp", "n_pairs")) = ts.getAs[Long]("n_pairs")
+        expected(("threshold_7000bp", "n_docs_dropped")) =
+          ts.getAs[Long]("n_docs_dropped")
+        expected(("threshold_7000bp", "loss_bp")) = ts.getAs[Long]("loss_bp")
+      }
+    val cr = Dedup.captureRecapture(spark, sf).head()
+    expected(("capture_recapture", "chapman_est")) =
+      cr.getAs[Long]("chapman_est")
+    expected(("capture_recapture", "est_missed")) =
+      cr.getAs[Long]("est_missed")
+    expected(("capture_recapture", "minhash_recall_ppm")) =
+      cr.getAs[Long]("minhash_recall_ppm")
+    expected(("capture_recapture", "simhash_recall_ppm")) =
+      cr.getAs[Long]("simhash_recall_ppm")
+    val sv = Dedup.dedupSurvivorship(spark, sf).head()
+    expected(("survivorship", "ks_bp")) = sv.getAs[Long]("ks_bp")
+    expected(("survivorship", "mean_qu_surv")) = sv.getAs[Long]("mean_qu_surv")
+    expected(("survivorship", "mean_qu_vict")) = sv.getAs[Long]("mean_qu_vict")
+    assert(rep === expected.toMap)
+  }
+
   test("lshPlanner argmin departs from the hardcoded (4, 3) default " +
        "when the corpus's pair similarities demand it") {
     // every candidate pair is a true near-dup (s >= 0.95, all above the
