@@ -1025,7 +1025,8 @@ object Streams {
     */
   def tokenizePackShardSink(docs: DataFrame, merges: Seq[(String, String)],
                             dstDir: String,
-                            budget: Int = graft.operators.Packing.PackBudget)
+                            budget: Int = graft.operators.Packing.PackBudget,
+                            compactEvery: Int = CompactEvery)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
@@ -1072,6 +1073,11 @@ object Streams {
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         if (fs.exists(statePath)) fs.delete(statePath, true)
         fs.rename(tmp, statePath)
+        // shard-tree OPTIMIZE on the index-store cadence: every append
+        // adds a file per partition, so a long-lived sink fragments;
+        // the rewrite is content-identical (StreamingSpec pins it)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.warehouse.Layout.compactPartitionedText(spark, dstDir)
       }
       ()
     }
@@ -1153,35 +1159,50 @@ object Streams {
 
   /** Shared commit half of every versioned-snapshot sink: write the new
     * `snap_<batchId>`, then the NEW meta pointer (its own dir — no
-    * rename over the old one), then retire older pointers and their
-    * snapshots. Crash before the new meta commits → old meta still
-    * resolves; crash mid-cleanup → max-id resolution still picks the
-    * new one and the next batch re-retires the stragglers.
+    * rename over the old one), then retire pointers and snapshots
+    * beyond the newest `retain` versions. Crash before the new meta
+    * commits → old meta still resolves; crash mid-cleanup → max-id
+    * resolution still picks the new one and the next batch re-retires
+    * the stragglers.
+    *
+    * `retain` is the version-retention knob: 1 (default) keeps only
+    * the just-committed version — the tightest footprint; N > 1 keeps
+    * the N newest, which is what a deployment with concurrent
+    * snapshot readers wants (a reader that resolved the previous
+    * pointer an instant before this commit keeps a complete snapshot
+    * under its feet) and what version-diff debugging reads. Resolution
+    * is unconditionally max-id, so retention never changes what
+    * readers see or which replayed batch ids skip.
     */
   private def commitVersionedSnapshot(
       spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, batchId: Long,
-      next: DataFrame): Unit = {
+      next: DataFrame, retain: Int = 1): Unit = {
     val vdir = s"snap_$batchId"
     next.write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(root, vdir).toString)
     val metaP = new org.apache.hadoop.fs.Path(root, s"$CdcMetaPrefix$batchId")
     spark.createDataFrame(Seq((vdir, batchId))).toDF("dir", "batch_id")
       .coalesce(1).write.mode("overwrite").parquet(metaP.toString)
+    def idOf(n: String): Option[Long] =
+      if (n.startsWith(CdcMetaPrefix) &&
+          n.drop(CdcMetaPrefix.length).forall(_.isDigit))
+        Some(n.drop(CdcMetaPrefix.length).toLong)
+      else if (n.startsWith("snap_") && n.drop(5).forall(_.isDigit))
+        Some(n.drop(5).toLong)
+      else None
+    val present = fs.listStatus(root).iterator.map(_.getPath)
+      .flatMap(p => idOf(p.getName)).toSeq
+    val keep = (present :+ batchId).distinct.sorted(Ordering[Long].reverse)
+      .take(math.max(retain, 1)).toSet
     fs.listStatus(root).iterator.map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        (n.startsWith(CdcMetaPrefix) &&
-          n.drop(CdcMetaPrefix.length).forall(_.isDigit) &&
-          n.drop(CdcMetaPrefix.length).toLong < batchId) ||
-        (n.startsWith("snap_") &&
-          n.drop(5).forall(_.isDigit) && n.drop(5).toLong < batchId)
-      }
+      .filter(p => idOf(p.getName).exists(id => !keep.contains(id)))
       .foreach(p => fs.delete(p, true))
   }
 
-  def cdcApplySink(changes: DataFrame, snapshotDir: String)
+  def cdcApplySink(changes: DataFrame, snapshotDir: String,
+                   retainVersions: Int = 1)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
@@ -1208,7 +1229,8 @@ object Streams {
           .join(b.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
           .unionByName(b.filter(col("status").isin("added", "modified"))
             .select(col("doc_id"), col("fp")))
-        commitVersionedSnapshot(spark, fs, root, batchId, next)
+        commitVersionedSnapshot(spark, fs, root, batchId, next,
+          retainVersions)
       }
       ()
     }
@@ -1228,7 +1250,8 @@ object Streams {
     * Durability rides [[commitVersionedSnapshot]]: versioned snapshots
     * + max-id meta, replayed batch ids ≤ committed skipped whole.
     */
-  def ivmAggSink(deltas: DataFrame, viewDir: String)
+  def ivmAggSink(deltas: DataFrame, viewDir: String,
+                 retainVersions: Int = 1)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     deltas.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
@@ -1268,7 +1291,8 @@ object Streams {
               + coalesce(col("s2_d"), lit(0L).cast(dec)))
               .cast(dec).as("s2"))
           .filter(col("n") > 0L)
-        commitVersionedSnapshot(spark, fs, root, batchId, next)
+        commitVersionedSnapshot(spark, fs, root, batchId, next,
+          retainVersions)
       }
       ()
     }

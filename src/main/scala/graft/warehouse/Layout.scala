@@ -112,6 +112,67 @@ object Layout {
     (before, spark.table(table).inputFiles.length)
   }
 
+  /** OPTIMIZE for a (lang, bin)-partitioned TEXT shard tree (the
+    * tokenize-pack-shard sink's output): streaming appends add one file
+    * per partition per micro-batch, so a long-lived shard dir scans a
+    * file per batch ever appended. This rewrite reads the tree
+    * (partition discovery supplies lang/bin), repartitions on the
+    * partition key (one task → one file per partition dir), and swaps
+    * the compacted tree in per-partition — content-identical, only the
+    * file count changes.
+    *
+    * Crash safety (single-writer window, like every OPTIMIZE): the
+    * compacted tree stages under `_compact_tmp` (underscore-prefixed —
+    * invisible to partition discovery, like `_pack_state`), each lang
+    * dir is then moved whole to an invisible `_new_<dir>` sibling, and
+    * only then does the visible swap happen per directory. Every
+    * `_new_<dir>` is by construction a COMPLETE compacted copy of its
+    * target, so the entry-time recovery pass can always finish a
+    * crashed swap: old target present → it is superseded, delete and
+    * promote; target absent → promote. A crash mid-staging just leaves
+    * a stale `_compact_tmp` that the next run deletes and rewrites.
+    * Returns (files before, files after).
+    */
+  def compactPartitionedText(spark: SparkSession, dir: String,
+                             partCols: Seq[String] = Seq("lang", "bin"))
+      : (Int, Int) = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newPrefix = "_new_"
+    def children() = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    def promote(nw: Path): Unit = {
+      val target = new Path(root, nw.getName.drop(newPrefix.length))
+      if (fs.exists(target)) fs.delete(target, true) // superseded old copy
+      fs.rename(nw, target)
+      ()
+    }
+    // finish any crashed swap before touching the tree
+    children().filter(_.getName.startsWith(newPrefix)).foreach(promote)
+    val staging = new Path(root, "_compact_tmp")
+    if (fs.exists(staging)) fs.delete(staging, true) // stale partial build
+    def filesUnder(p: Path): Seq[Path] = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) buf += it.next().getPath
+      buf.toSeq
+    }
+    def dataFiles() = children()
+      .filter(p => p.getName.contains("="))
+      .flatMap(filesUnder)
+    val before = dataFiles().length
+    if (before == 0) return (0, 0) // nothing visible to compact yet
+    spark.read.text(dir)
+      .repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*)
+      .text(staging.toString)
+    // stage every compacted partition dir invisibly, then swap each in
+    val built = fs.listStatus(staging).filter(_.isDirectory).map(_.getPath)
+    built.foreach(p => fs.rename(p, new Path(root, newPrefix + p.getName)))
+    fs.delete(staging, true)
+    children().filter(_.getName.startsWith(newPrefix)).foreach(promote)
+    (before, dataFiles().length)
+  }
+
   /** Column expression for the Morton interleave of already-normalized
     * dimensions (each in [0, 2^16) — see
     * [[graft.functions.expressions.ZOrderKey]]).

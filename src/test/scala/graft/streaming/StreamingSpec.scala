@@ -337,6 +337,90 @@ class StreamingSpec extends SparkSpec {
     Seq(tA, tB).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("tokenizePackShardSink auto-compaction: shard contents identical " +
+       "to the uncompacted run, file count bounded") {
+    val merges = graft.operators.TextOps.bpeMergeTable(spark, sf)
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"lang", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val slices = docs.grouped(math.max(docs.length / 4, 1)).toSeq
+    def run(every: Int): String = {
+      val dst = java.nio.file.Files
+        .createTempDirectory(s"pack-compact-$every").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"pack-compact-ckpt-$every").toString
+      val input = MemoryStream[(Long, String, String)](spark)
+      val q = Streams.tokenizePackShardSink(
+          input.toDF().toDF("doc_id", "lang", "text"), merges, dst,
+          compactEvery = every)
+        .option("checkpointLocation", ckpt).start()
+      // micro-batch ids 0..; every=2 compacts after batch 2
+      slices.foreach { g => input.addData(g); q.processAllAvailable() }
+      q.stop()
+      dst
+    }
+    val dA = run(2)
+    val dB = run(0)
+    def contents(d: String) = spark.read.text(d)
+      .selectExpr("lang", "CAST(bin AS BIGINT) AS bin", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    val cA = contents(dA)
+    assert(cA === contents(dB))
+    assert(cA.nonEmpty)
+    val fA = spark.read.text(dA).inputFiles.length
+    val fB = spark.read.text(dB).inputFiles.length
+    assert(fA < fB,
+      s"compaction at batch 2 must shrink the file count ($fA vs $fB)")
+    // post-compaction: one file per partition plus at most one
+    // appended file-set per later batch
+    val nParts = cA.map(c => (c._1, c._2)).distinct.size
+    assert(fA <= 2 * nParts, s"file count unbounded after compaction: $fA")
+  }
+
+  test("cdcApplySink retention: retainVersions keeps exactly the N " +
+       "newest committed snapshots; replay-skip and resolution unchanged") {
+    val dst = java.nio.file.Files.createTempDirectory("cdc-retain").toString
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = Streams.cdcApplySink(
+      input.toDF().toDF("doc_id", "status", "fp"), dst,
+      retainVersions = 2).start()
+    input.addData((1L, "added", "a"), (2L, "added", "b"))
+    q.processAllAvailable() // batch 0
+    input.addData((2L, "modified", "b2"))
+    q.processAllAvailable() // batch 1
+    input.addData((3L, "added", "c"))
+    q.processAllAvailable() // batch 2
+    q.stop()
+    val dirs = new java.io.File(dst).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.contains("snap_2") && dirs.contains("snap_1"),
+      s"two newest versions must survive: $dirs")
+    assert(!dirs.contains("snap_0") && !dirs.contains("_cdc_meta_0"),
+      s"version 0 must be retired under retain=2: $dirs")
+    // resolution is still max-id: the reader sees the newest fold
+    val cur = Streams.readCdcSnapshot(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cur === Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // the retained PREVIOUS version is a complete readable snapshot —
+    // the concurrent-reader guarantee the knob exists for
+    val prev = spark.read.parquet(s"$dst/snap_1").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(prev === Set((1L, "a"), (2L, "b2")))
+    // a redelivered batch (fresh query, id 0 <= committed 2) skips whole
+    val replay = MemoryStream[(Long, String, String)](spark)
+    val q2 = Streams.cdcApplySink(
+      replay.toDF().toDF("doc_id", "status", "fp"), dst,
+      retainVersions = 2).start()
+    replay.addData((9L, "added", "x"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(Streams.readCdcSnapshot(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === cur,
+      "stale batch mutated the committed snapshot")
+  }
+
   test("psiDriftSink: full current half reproduces the batch PSI exactly; " +
        "a shifted batch trips the alarm") {
     val dst = java.nio.file.Files.createTempDirectory("psi-out").toString + "/psi"
