@@ -7978,16 +7978,20 @@ object SparkEntry {
              JOIN bi b ON b.doc_id = p.doc_b AND b.sh = a.sh
            GROUP BY 1, 2)
          SELECT p.doc_a, p.doc_b, coalesce(ov.ov2, 0) AS ov2,
-           ta.n_bi AS n_bi_a, tb.n_bi AS n_bi_b,
-           CAST(coalesce(ov.ov2, 0) * 10000 // ta.n_bi AS BIGINT)
+           coalesce(ta.n_bi, 0) AS n_bi_a, coalesce(tb.n_bi, 0) AS n_bi_b,
+           CASE WHEN coalesce(ta.n_bi, 0) > 0 THEN
+             CAST(coalesce(ov.ov2, 0) * 10000 // ta.n_bi AS BIGINT) END
              AS r_a_bp,
-           CAST(coalesce(ov.ov2, 0) * 10000 // tb.n_bi AS BIGINT)
+           CASE WHEN coalesce(tb.n_bi, 0) > 0 THEN
+             CAST(coalesce(ov.ov2, 0) * 10000 // tb.n_bi AS BIGINT) END
              AS r_b_bp,
-           CAST(2 * coalesce(ov.ov2, 0) * 10000 // (ta.n_bi + tb.n_bi)
-             AS BIGINT) AS f2_bp
+           CASE WHEN coalesce(ta.n_bi, 0) + coalesce(tb.n_bi, 0) > 0 THEN
+             CAST(2 * coalesce(ov.ov2, 0) * 10000
+               // (coalesce(ta.n_bi, 0) + coalesce(tb.n_bi, 0)) AS BIGINT)
+             END AS f2_bp
          FROM p LEFT JOIN ov ON ov.doc_a = p.doc_a AND ov.doc_b = p.doc_b
-           JOIN tot ta ON ta.doc_id = p.doc_a
-           JOIN tot tb ON tb.doc_id = p.doc_b
+           LEFT JOIN tot ta ON ta.doc_id = p.doc_a
+           LEFT JOIN tot tb ON tb.doc_id = p.doc_b
          ORDER BY p.doc_a, p.doc_b""",
     // ABC (cumulative revenue) × XYZ (weekly-demand CV) matrix; weeks
     // are epoch-day//7 so both engines bucket identically.
@@ -8068,11 +8072,19 @@ object SparkEntry {
            CROSS JOIN (SELECT DISTINCT wd FROM prof) b
            LEFT JOIN prof p ON p.c_nationkey = a.c_nationkey
              AND p.wd = b.wd),
+         -- contiguous DP indices via dense_rank over the observed
+         -- weekdays, matching the engine's compaction: a weekday absent
+         -- corpus-wide must not leave a hole in the anti-diagonal chain
+         wdx AS (SELECT wd,
+             CAST(dense_rank() OVER (ORDER BY wd) AS BIGINT) AS ix
+           FROM (SELECT DISTINCT wd FROM prof)),
          costs AS MATERIALIZED (SELECT x.c_nationkey AS na,
              y.c_nationkey AS nb,
-             x.wd + 1 AS i, y.wd + 1 AS j, abs(x.v - y.v) AS c
+             wx.ix AS i, wy.ix AS j, abs(x.v - y.v) AS c
            FROM dense x JOIN dense y
-             ON x.c_nationkey < y.c_nationkey),
+             ON x.c_nationkey < y.c_nationkey
+           JOIN wdx wx ON wx.wd = x.wd
+           JOIN wdx wy ON wy.wd = y.wd),
          u2 AS (SELECT na, nb, i, j, c AS d FROM costs
            WHERE i = 1 AND j = 1),
          ${(3 to 14).map(dtwRoundCtes).mkString(",\n         ")},

@@ -607,12 +607,18 @@ object Dedup {
       .agg(sum(least($"ca", $"cb")).as("ov2"))
     pairs
       .join(ov, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("ov2"))
-      .join(tot.toDF("doc_a", "n_bi_a"), Seq("doc_a"))
-      .join(tot.toDF("doc_b", "n_bi_b"), Seq("doc_b"))
+      // LEFT joins: a single-token doc has zero bigrams and thus no
+      // totals row — it must still emit its candidate-pair row (the
+      // one-ROUGE-row-per-LSH-pair invariant) with NULL recalls, not
+      // silently vanish from the report
+      .join(tot.toDF("doc_a", "n_bi_a"), Seq("doc_a"), "left")
+      .join(tot.toDF("doc_b", "n_bi_b"), Seq("doc_b"), "left")
+      .na.fill(0L, Seq("n_bi_a", "n_bi_b"))
       .select($"doc_a", $"doc_b", $"ov2", $"n_bi_a", $"n_bi_b",
-        expr("ov2 * 10000 div n_bi_a").as("r_a_bp"),
-        expr("ov2 * 10000 div n_bi_b").as("r_b_bp"),
-        expr("2 * ov2 * 10000 div (n_bi_a + n_bi_b)").as("f2_bp"))
+        when($"n_bi_a" > 0, expr("ov2 * 10000 div n_bi_a")).as("r_a_bp"),
+        when($"n_bi_b" > 0, expr("ov2 * 10000 div n_bi_b")).as("r_b_bp"),
+        when($"n_bi_a" + $"n_bi_b" > 0,
+          expr("2 * ov2 * 10000 div (n_bi_a + n_bi_b)")).as("f2_bp"))
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -2200,9 +2200,14 @@ object Relational {
     import s.implicits._
     val rho = acfLjungBox(s, dir, 3).select($"lag_k", $"rho_u")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val r1 = rho(1L) / 1000000.0
-    val r2 = rho(2L) / 1000000.0
-    val r3 = rho(3L) / 1000000.0
+    // a day series too short to emit lags 2-3 degrades to NULL rows —
+    // the same NULL contract as the degenerate phi denominators, never
+    // a NoSuchElementException
+    def rd(k: Long): Double =
+      rho.get(k).map(_ / 1000000.0).getOrElse(Double.NaN)
+    val r1 = rd(1L)
+    val r2 = rd(2L)
+    val r3 = rd(3L)
     // round-half-away-from-zero on the binary double — exactly DuckDB's
     // std::round(x*1000). NOT floor(t+0.5): that misrounds the doubles
     // just under .5 whose +0.5 sum rounds up in FP; t−floor(t) is exact
@@ -2215,18 +2220,22 @@ object Relational {
     }
     val phi11 = r1
     val den2 = 1.0 - r1 * r1
-    val phi22 = if (math.abs(den2) < 1e-12) Double.NaN
+    // NaN inputs fall into the NaN branch: abs(NaN) >= eps is false
+    val phi22 = if (!(math.abs(den2) >= 1e-12) || r2.isNaN) Double.NaN
       else (r2 - r1 * r1) / den2
     val phi21 = r1 - phi22 * r1
     val den3 = 1.0 - phi21 * r1 - phi22 * r2
-    val phi33 = if (phi22.isNaN || math.abs(den3) < 1e-12) Double.NaN
+    val phi33 = if (phi22.isNaN || !(math.abs(den3) >= 1e-12) || r3.isNaN)
+      Double.NaN
       else (r3 - phi21 * r2 - phi22 * r1) / den3
     def cell(x: Double): java.lang.Long = if (x.isNaN) null else milli(x)
-    val rows = Seq((1L, rho(1L), cell(phi11)), (2L, rho(2L), cell(phi22)),
-      (3L, rho(3L), cell(phi33)))
+    def ru(k: Long): java.lang.Long =
+      rho.get(k).map(java.lang.Long.valueOf).orNull
+    val rows = Seq((1L, ru(1L), cell(phi11)), (2L, ru(2L), cell(phi22)),
+      (3L, ru(3L), cell(phi33)))
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("lag_k", LongType, false),
-      StructField("rho_u", LongType, false),
+      StructField("rho_u", LongType, true),
       StructField("pacf_milli", LongType, true)))
     s.createDataFrame(
       s.sparkContext.parallelize(rows.map(t =>

@@ -171,6 +171,14 @@ object Stats {
     * value is exact, not rounded. Output: the per-priority means plus
     * the family row stats (F, η² in bp) repeated per row. One fact
     * groupBy; the family fold is k=5 rows.
+    *
+    * Headroom bound (the chiSquareTypeWeekday discipline): the F
+    * numerator ssb_u·(N−k)·10³ scales like N²·σ²·10⁹ — at cent-scale
+    * order values (σ ≈ 10⁷ cents) it brushes decimal38 past N ≈ 3·10⁷
+    * orders. Beyond that, drop the 10⁶ micro scaling from a_u/b_u
+    * before forming the ratio (costs ≤1 milli of F precision, buys ~6
+    * digits of N headroom); under ANSI the overflow raises loudly, it
+    * never silently wraps.
     */
   def anovaF(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

