@@ -244,6 +244,8 @@ object SparkEntry {
       ((s, _) => gtfs.GtfsFixture.connectionsOracleQuery(s)),
     "q_gtfs_earliest_arrival" ->
       ((s, _) => gtfs.GtfsFixture.earliestArrivalOracleQuery(s)),
+    "q_gtfs_arrival_profile" ->
+      ((s, _) => gtfs.GtfsFixture.earliestArrivalProfileOracleQuery(s)),
     "q_gtfs_headway_cv" ->
       ((s, _) => gtfs.GtfsFixture.headwayOracleQuery(s)),
     "q_heaps_law" -> TextOps.heapsLaw,
@@ -1087,7 +1089,11 @@ object SparkEntry {
     * are trip SUFFIXES (board call i, alight any later call j), exactly
     * like the engine's seq-inequality self-join.
     */
-  private def gtfsEarliestArrivalOracle(rounds: Int): String = {
+  /** Shared relaxation-round CTE prefix (through l<rounds>) for the
+    * earliest-arrival and arrival-profile oracles — one generator, so
+    * the two queries' round semantics cannot drift.
+    */
+  private def gtfsEarliestArrivalCtes(rounds: Int): String = {
     val rcte = (1 to rounds).map { i =>
       s"""l$i AS (SELECT run_id, stop_id, CAST(min(cand) AS BIGINT) AS best
          FROM (
@@ -1101,7 +1107,7 @@ object SparkEntry {
                AND f.from_stop_id = l.stop_id)
          GROUP BY 1, 2)"""
     }.mkString(",\n         ")
-    s"""WITH $gtfsArrivalCtes,
+    s"""$gtfsArrivalCtes,
          act AS (SELECT DISTINCT run_id, trip_id FROM unioned
            WHERE service_date = DATE '2019-02-21'),
          calls AS (SELECT st.run_id, st.trip_id, st.stop_id,
@@ -1123,7 +1129,11 @@ object SparkEntry {
            FROM tx WHERE coalesce(transfer_type, 0) <> 3),
          l0 AS (SELECT run_id, stop_id, CAST(28800 AS BIGINT) AS best
            FROM sp WHERE stop_id = 'S1'),
-         $rcte
+         $rcte"""
+  }
+
+  private def gtfsEarliestArrivalOracle(rounds: Int): String =
+    s"""WITH ${gtfsEarliestArrivalCtes(rounds)}
          SELECT CAST(sp.run_id AS BIGINT) AS run_id, sp.stop_id,
            sp.stop_name, lr.best AS arr_secs,
            CASE WHEN lr.best IS NULL THEN NULL
@@ -1133,6 +1143,22 @@ object SparkEntry {
          FROM sp LEFT JOIN l$rounds lr
            ON lr.run_id = sp.run_id AND lr.stop_id = sp.stop_id
          ORDER BY sp.run_id, sp.stop_id"""
+
+  /** RAPTOR profile oracle: the same relaxation CTEs, one SELECT per
+    * leg budget k emitting l<k>'s cumulative labels.
+    */
+  private def gtfsArrivalProfileOracle(rounds: Int): String = {
+    val perRound = (1 to rounds).map { k =>
+      s"""SELECT run_id, stop_id, CAST($k AS BIGINT) AS n_legs, best
+         FROM l$k"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH ${gtfsEarliestArrivalCtes(rounds)},
+         pr AS ($perRound)
+         SELECT CAST(sp.run_id AS BIGINT) AS run_id, sp.stop_id,
+           sp.stop_name, pr.n_legs, pr.best AS arr_secs
+         FROM pr JOIN sp ON sp.run_id = pr.run_id
+           AND sp.stop_id = pr.stop_id
+         ORDER BY sp.run_id, sp.stop_id, pr.n_legs"""
   }
 
   /** Removal-effect attribution oracle: the exact ppm value-iteration
@@ -5628,6 +5654,7 @@ object SparkEntry {
     "q_absorption_steps" -> absorptionStepsOracle("purchase", 25),
     "q_markov_attribution" -> markovAttributionOracle("purchase", 25),
     "q_gtfs_earliest_arrival" -> gtfsEarliestArrivalOracle(4),
+    "q_gtfs_arrival_profile" -> gtfsArrivalProfileOracle(4),
     "q_gtfs_headway_cv" ->
       s"""WITH $gtfsArrivalCtes,
          ev AS (SELECT run_id, trip_id, stop_id, service_date,

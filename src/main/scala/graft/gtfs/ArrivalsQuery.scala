@@ -342,6 +342,50 @@ object ArrivalsQuery {
       .orderBy(col("run_id"), col("stop_id"))
   }
 
+  /** RAPTOR arrival PROFILE: earliest arrival at every reached stop
+    * for each LEG BUDGET 1..maxRounds — the Pareto curve ("get there
+    * by when, with how many boardings/walks") that round-based transit
+    * routing exists to produce, not just the final relaxed label.
+    * Row (stop, k) is the earliest arrival using AT MOST k legs; a
+    * stop first reached in round j appears from k = j on (labels are
+    * cumulative minima). Same legs/footpath machinery as
+    * [[earliestArrivals]] — [[suffixLegs]] + [[relaxationRound]] —
+    * so the two queries cannot drift; unreached (stop, k) cells are
+    * absent rather than NULL.
+    */
+  def earliestArrivalProfile(calendar: DataFrame, calendarDates: DataFrame,
+                             trips: DataFrame, stopTimes: DataFrame,
+                             stops: DataFrame, transfers: DataFrame,
+                             originStop: String, serviceDate: String,
+                             departSecs: Long,
+                             maxRounds: Int = 4): DataFrame = {
+    val nextDay = java.time.LocalDate.parse(serviceDate).plusDays(1).toString
+    val active = arrivalsWithExceptions(calendar, calendarDates, trips,
+        stopTimes, stops, serviceDate, nextDay)
+      .select(col("run_id"), col("trip_id")).distinct()
+    val legs = suffixLegs(stopTimes, active).localCheckpoint()
+    val foot = transfers
+      .filter(coalesce(col("transfer_type"), lit(0)) =!= 3)
+      .select(col("run_id"), col("from_stop_id").as("from_stop"),
+        col("to_stop_id").as("to_stop"),
+        coalesce(col("min_transfer_time"), lit(0)).cast("long").as("mtt"))
+      .localCheckpoint()
+    var labels = stops.filter(col("stop_id") === originStop)
+      .select(col("run_id"), col("stop_id")).distinct()
+      .withColumn("best", lit(departSecs))
+      .localCheckpoint()
+    val perRound = (1 to maxRounds).map { k =>
+      labels = relaxationRound(labels, legs, foot).localCheckpoint()
+      labels.withColumn("n_legs", lit(k.toLong))
+    }
+    perRound.reduce(_ unionAll _)
+      .join(stops.select(col("run_id"), col("stop_id"), col("stop_name")),
+        Seq("run_id", "stop_id"))
+      .select(col("run_id"), col("stop_id"), col("stop_name"),
+        col("n_legs"), col("best").as("arr_secs"))
+      .orderBy(col("run_id"), col("stop_id"), col("n_legs"))
+  }
+
   /** Trip-suffix ride legs: every (board call i, alight call j>i) pair
     * of each active trip, via a seq-inequality self-join on the
     * (run_id, trip_id) equi-keys. Package-private (graft) so PlanSpec audits

@@ -177,6 +177,15 @@ object GtfsFixture {
       calendar(s), calendarDates(s), trips(s), stopTimes(s), stops(s),
       transfers(s), "S1", "2019-02-21", 8L * 3600)
 
+  /** RAPTOR arrival profile over the fixture — oracle twin of
+    * [[ArrivalsQuery.earliestArrivalProfile]]: same origin/day as the
+    * earliest-arrival query, one row per (reached stop, leg budget).
+    */
+  def earliestArrivalProfileOracleQuery(s: SparkSession): DataFrame =
+    ArrivalsQuery.earliestArrivalProfile(
+      calendar(s), calendarDates(s), trips(s), stopTimes(s), stops(s),
+      transfers(s), "S1", "2019-02-21", 8L * 3600)
+
   /** Headway-regularity audit over the fixture's expanded arrivals —
     * oracle twin of [[ArrivalsQuery.headwayRegularity]].
     */

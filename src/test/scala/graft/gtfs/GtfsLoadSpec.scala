@@ -370,5 +370,43 @@ class GtfsLoadSpec extends SparkSpec {
       .toMap
     assert(lateMid === Map("W" -> None, "X" -> None,
       "Y" -> Some(500L), "Z" -> None))
+    // the PROFILE is the cumulative Pareto curve: the whole trip is
+    // reachable at leg budget 1, and budget 2 repeats the settled labels
+    val prof = ArrivalsQuery.earliestArrivalProfile(
+        cal, cd, tr, st, sp, tx, "W", "2024-06-03", 0L, maxRounds = 2)
+      .collect().map(r => (r.getString(1), r.getAs[Long]("n_legs")) ->
+        r.getAs[Long]("arr_secs")).toMap
+    val oneLeg = Map("W" -> 0L, "X" -> 200L, "Y" -> 300L, "Z" -> 400L)
+    assert(prof === (oneLeg.map { case (s0, t) => (s0, 1L) -> t } ++
+      oneLeg.map { case (s0, t) => (s0, 2L) -> t }))
+  }
+
+  test("earliestArrivalProfile: a stop needing two rides appears only " +
+       "from leg budget 2 in the Pareto profile") {
+    val cal = Seq((1L, "ALL", true, true, true, true, true, true, true,
+        20240101, 20241231))
+      .toDF("run_id", "service_id", "monday", "tuesday", "wednesday",
+        "thursday", "friday", "saturday", "sunday", "start_date", "end_date")
+    val cd = Seq.empty[(Long, String, Int, Int)]
+      .toDF("run_id", "service_id", "date", "exception_type")
+    val tr = Seq((1L, "ALL", "A"), (1L, "ALL", "B"))
+      .toDF("run_id", "service_id", "trip_id")
+    val st = Seq(
+      (1L, "A", 50L, "X", 100L), (1L, "A", 200L, "Y", 260L),
+      (1L, "B", 250L, "Y", 300L), (1L, "B", 400L, "Z", 460L))
+      .toDF("run_id", "trip_id", "arrival_time", "stop_id", "departure_time")
+    val sp = Seq((1L, "X", "Xst", 0.0, 0.0), (1L, "Y", "Yst", 0.0, 0.0),
+        (1L, "Z", "Zst", 0.0, 0.0))
+      .toDF("run_id", "stop_id", "stop_name", "stop_lat", "stop_lon")
+    val tx = Seq.empty[(Long, String, String, Int, Int)]
+      .toDF("run_id", "from_stop_id", "to_stop_id", "transfer_type",
+        "min_transfer_time")
+    val prof = ArrivalsQuery.earliestArrivalProfile(
+        cal, cd, tr, st, sp, tx, "X", "2024-06-03", 0L, maxRounds = 2)
+      .collect().map(r => (r.getString(1), r.getAs[Long]("n_legs")) ->
+        r.getAs[Long]("arr_secs")).toMap
+    assert(prof === Map(
+      ("X", 1L) -> 0L, ("Y", 1L) -> 200L,
+      ("X", 2L) -> 0L, ("Y", 2L) -> 200L, ("Z", 2L) -> 400L))
   }
 }
