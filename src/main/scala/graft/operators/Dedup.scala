@@ -1414,7 +1414,15 @@ object Dedup {
     updated.unionByName(newNodes)
   }
 
-  def dedupAssignments(s: SparkSession, dir: String): DataFrame = {
+  def dedupAssignments(s: SparkSession, dir: String): DataFrame =
+    dedupAssignments(s, dir, minhashLshPairs(s, dir))
+
+  /** Assignments over a precomputed LSH pair frame — the
+    * [[sharedLshPairs]] injection point; exact-dup star edges are
+    * always rebuilt (one hash groupBy, cheap).
+    */
+  def dedupAssignments(s: SparkSession, dir: String,
+                       lshPairs: DataFrame): DataFrame = {
     import s.implicits._
     // star edges min->each member (not min->max: a 3+-copy group's middle
     // members would fall out of the component otherwise)
@@ -1426,7 +1434,8 @@ object Dedup {
     // localCheckpoint: dedupClusters unions the pair frame with its own
     // flip before materializing edges — un-checkpointed, the MinHash +
     // distinct pipeline would execute twice
-    val pairs = minhashLshPairs(s, dir).unionByName(exactPairs).distinct()
+    val pairs = lshPairs.select($"doc_a", $"doc_b")
+      .unionByName(exactPairs).distinct()
       .localCheckpoint()
     dedupClusters(pairs).orderBy($"doc_id")
   }
@@ -1798,9 +1807,17 @@ object Dedup {
     * Scale: both pair sets are LSH-bounded; the overlap is one join
     * on (doc_a, doc_b); output is one row.
     */
-  def captureRecapture(s: SparkSession, dir: String): DataFrame = {
+  def captureRecapture(s: SparkSession, dir: String): DataFrame =
+    captureRecapture(s, dir, minhashLshPairs(s, dir))
+
+  /** Capture 1 over a precomputed MinHash-LSH pair frame — the
+    * [[sharedLshPairs]] injection point (SimHash, capture 2, is a
+    * different detector by design and always builds fresh).
+    */
+  def captureRecapture(s: SparkSession, dir: String,
+                       lshPairs: DataFrame): DataFrame = {
     import s.implicits._
-    val mh = minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
+    val mh = lshPairs.select($"doc_a", $"doc_b")
       .localCheckpoint() // count side and overlap side both read it
     val sh = simhashPairs(s, dir).select($"doc_a", $"doc_b")
       .localCheckpoint()
@@ -1835,11 +1852,18 @@ object Dedup {
     * sweep costs one scoring pass regardless of grid size.
     */
   def dedupThresholdSweep(s: SparkSession, dir: String,
-                          shingleSize: Int = 3): DataFrame = {
+                          shingleSize: Int = 3): DataFrame =
+    dedupThresholdSweep(s, dir, minhashLshPairs(s, dir), shingleSize)
+
+  /** Sweep over a precomputed candidate pair frame — the
+    * [[sharedLshPairs]] injection point, so the design report pays for
+    * ONE banding pass across its facets.
+    */
+  def dedupThresholdSweep(s: SparkSession, dir: String, pairs: DataFrame,
+                          shingleSize: Int): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
     val nDocs = docs.count()
-    val pairs = minhashLshPairs(s, dir)
     val sd = shingleStream(docs, shingleSize).distinct().localCheckpoint()
     val sizes = sd.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val scored = pairs
@@ -1878,10 +1902,17 @@ object Dedup {
     * groupBy over the clustered docs; the quality-cell rollup is
     * 1e4-bounded, so the ECDF window is audit-sized at any corpus.
     */
-  def dedupSurvivorship(s: SparkSession, dir: String): DataFrame = {
+  def dedupSurvivorship(s: SparkSession, dir: String): DataFrame =
+    dedupSurvivorship(s, dir, minhashLshPairs(s, dir))
+
+  /** Survivorship over a precomputed LSH pair frame — the
+    * [[sharedLshPairs]] injection point.
+    */
+  def dedupSurvivorship(s: SparkSession, dir: String,
+                        lshPairs: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val m = dedupAssignments(s, dir)
+    val m = dedupAssignments(s, dir, lshPairs)
       .join(TextOps.qualityScores(s, dir)
         .select($"doc_id", round($"quality" * 10000).cast("long").as("qu")),
         Seq("doc_id"))
@@ -1927,20 +1958,22 @@ object Dedup {
         'rows_per_band', CAST(r AS BIGINT),
         'cost_u', cost_u) AS (metric, value)""")
       .select(lit("lsh_scheme").as("facet"), $"metric", $"value")
-    val sweep = dedupThresholdSweep(s, dir).filter($"thr_bp" === 7000L)
+    val shared = sharedLshPairs(s, dir) // ONE banding pass, three facets
+    val sweep = dedupThresholdSweep(s, dir, shared, 3)
+      .filter($"thr_bp" === 7000L)
       .selectExpr("""stack(3,
         'n_pairs', n_pairs,
         'n_docs_dropped', n_docs_dropped,
         'loss_bp', loss_bp) AS (metric, value)""")
       .select(lit("threshold_7000bp").as("facet"), $"metric", $"value")
-    val recap = captureRecapture(s, dir)
+    val recap = captureRecapture(s, dir, shared)
       .selectExpr("""stack(4,
         'chapman_est', chapman_est,
         'est_missed', est_missed,
         'minhash_recall_ppm', minhash_recall_ppm,
         'simhash_recall_ppm', simhash_recall_ppm) AS (metric, value)""")
       .select(lit("capture_recapture").as("facet"), $"metric", $"value")
-    val surv = dedupSurvivorship(s, dir)
+    val surv = dedupSurvivorship(s, dir, shared)
       .selectExpr("""stack(3,
         'ks_bp', ks_bp,
         'mean_qu_surv', mean_qu_surv,
