@@ -181,6 +181,8 @@ object SparkEntry {
     "q_dedup_survivorship" -> Dedup.dedupSurvivorship,
     "q_dedup_design_report" ->
       ((s, dir) => Dedup.dedupDesignReport(s, dir)),
+    "q_rho_learnability" ->
+      ((s, dir) => TextOps.rhoLearnability(s, dir)),
     "q_doremi_step" -> TextOps.doremiStep,
     "q_ngram_novelty" -> TextOps.ngramNovelty,
     "q_skyline_docs" -> TextOps.skylineDocs,
@@ -936,6 +938,57 @@ object SparkEntry {
            row_number() OVER (ORDER BY fp_mass_u + fn_mass_u, b) = 1
              AS chosen
          FROM u ORDER BY b"""
+
+  /** RHO-learnability oracle: the surprisal chain twice (base = whole
+    * train split, reference = its quality-≥-threshold slice), one
+    * scoring pass with four left joins, excess-xent rank.
+    */
+  private def rhoLearnabilityOracle(refQualityMin: Long,
+                                    topK: Int): String =
+    s"""WITH docs AS (SELECT doc_id,
+           CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket,
+           CAST(round($qualityExpr * 10000) AS BIGINT) AS qu,
+           $toks AS toks FROM documents),
+         tgb AS (${bigramUnnest("bucket < 80")}),
+         cabb AS (SELECT g, count(*) AS c FROM tgb GROUP BY g),
+         cab2 AS (SELECT a, count(*) AS c FROM (SELECT unnest(toks) AS a
+           FROM docs WHERE bucket < 80) GROUP BY a),
+         vb AS (SELECT count(*) AS v FROM cab2),
+         tgr AS (${bigramUnnest(s"bucket < 80 AND qu >= $refQualityMin")}),
+         cabr AS (SELECT g, count(*) AS c FROM tgr GROUP BY g),
+         car2 AS (SELECT a, count(*) AS c FROM (SELECT unnest(toks) AS a
+           FROM docs WHERE bucket < 80 AND qu >= $refQualityMin)
+           GROUP BY a),
+         vr AS (SELECT count(*) AS v FROM car2),
+         ev AS (${bigramUnnest("TRUE")}),
+         sc AS (SELECT ev.doc_id,
+             CAST(round(-ln(CAST(coalesce(cb.c, 0) + 1 AS DOUBLE) /
+               CAST(coalesce(ab.c, 0) + vb.v AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS lpb_u,
+             CAST(round(-ln(CAST(coalesce(cr.c, 0) + 1 AS DOUBLE) /
+               CAST(coalesce(ar.c, 0) + vr.v AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS lpr_u
+           FROM ev
+           LEFT JOIN cabb cb ON cb.g = ev.g
+           LEFT JOIN cabr cr ON cr.g = ev.g
+           LEFT JOIN cab2 ab ON ab.a = split_part(ev.g, ' ', 1)
+           LEFT JOIN car2 ar ON ar.a = split_part(ev.g, ' ', 1)
+           CROSS JOIN vb CROSS JOIN vr),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(lpb_u) AS BIGINT) AS slb,
+             CAST(sum(lpr_u) AS BIGINT) AS slr
+           FROM sc GROUP BY doc_id),
+         x AS (SELECT doc_id, n_bigrams,
+             slb // n_bigrams AS xent_base_u,
+             slr // n_bigrams AS xent_ref_u,
+             slb // n_bigrams - slr // n_bigrams AS learn_u
+           FROM pd)
+         SELECT doc_id, n_bigrams, xent_base_u, xent_ref_u, learn_u,
+           CAST(row_number() OVER (ORDER BY learn_u DESC, doc_id)
+             AS BIGINT) AS rnk,
+           row_number() OVER (ORDER BY learn_u DESC, doc_id) <= $topK
+             AS selected
+         FROM x ORDER BY doc_id"""
 
   /** Shared dedup-QA oracle fragments — each is a standalone query row
     * AND a facet of the q_dedup_design_report composition, so the
@@ -6234,6 +6287,7 @@ object SparkEntry {
          FROM a ORDER BY c_nationkey, c_mktsegment""",
     "q_dedup_survivorship" -> dedupSurvivorshipOracle,
     "q_dedup_design_report" -> dedupDesignReportOracle,
+    "q_rho_learnability" -> rhoLearnabilityOracle(5000L, 100),
     "q_doremi_step" ->
       s"""WITH $surprisalPerDocCtes,
          d AS (SELECT pd2.doc_id, xent_u, source

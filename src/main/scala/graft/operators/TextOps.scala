@@ -1800,6 +1800,80 @@ object TextOps {
       .select($"doc_id", $"n_bigrams", expr("slp div n_bigrams").as("xent_u"))
   }
 
+  /** RHO-style learnability selection (Lin et al. 2024's "Rho-1: Not
+    * All Tokens Are What You Need" idea at document granularity, with
+    * bigram LMs standing in for the reference/train pair): score every
+    * document under TWO add-one bigram models — the BASE model trained
+    * on the whole train split, and the REFERENCE model trained only on
+    * its high-quality slice (quality ≥ `refQualityMin` bp) — and rank
+    * by excess cross-entropy xent_base − xent_ref. A high-excess doc is
+    * one the generic corpus model finds surprising but the quality
+    * model explains: quality-LIKE yet underrepresented — exactly the
+    * data a curation pass upsamples next. Negative excess = the generic
+    * model explains it better than the quality model does (boilerplate
+    * the quality slice lacks).
+    *
+    * Exactness: both models score in one pass over the bigram stream
+    * (four broadcast count joins, two per-bigram fixed-point surprisals
+    * — the [[surprisalFilter]] arithmetic twice), per-doc xent by
+    * integer floor division, so learn_u is exact in both engines. The
+    * ranking rides [[graft.operators.Relational.globalRowNumber]]
+    * (range-partitioned, never a single-partition window); model state
+    * is vocabulary-bounded broadcast, never corpus-sized.
+    */
+  def rhoLearnability(s: SparkSession, dir: String,
+                      refQualityMin: Long = 5000L,
+                      topK: Int = 100): DataFrame = {
+    import s.implicits._
+    val toksF = docsFanned(s, dir)
+      .withColumn("bucket", hashBucket($"doc_id", "split:"))
+      .select($"doc_id", $"bucket", $"text", $"n_chars",
+        text.tokensLower($"text").as("toks"))
+      .withColumn("qu",
+        round(text.qualityScoreTokens($"text", $"toks", $"n_chars")
+          * 10000).cast("long"))
+      .select($"doc_id", $"bucket", $"qu", $"toks")
+      .localCheckpoint() // both model-count passes + scoring read it
+    def counts(tr: DataFrame, sfx: String) = {
+      val cAb = tr.select(explode(text.shinglesFromTokens($"toks", 2)).as("g"))
+        .groupBy($"g").agg(count(lit(1)).as(s"c_ab_$sfx"))
+      val cA = tr.select(explode($"toks").as("a"))
+        .groupBy($"a").agg(count(lit(1)).as(s"c_a_$sfx"))
+      val v = cA.agg(count(lit(1)).as(s"v_$sfx"))
+      (cAb, cA, v)
+    }
+    val (cAbB, cAB, vB) = counts(toksF.filter($"bucket" < 80), "b")
+    val (cAbR, cAR, vR) = counts(
+      toksF.filter($"bucket" < 80 && $"qu" >= refQualityMin), "r")
+    def lp(cab: Column, ca: Column, v: Column): Column =
+      round(-log((coalesce(cab, lit(0L)) + 1).cast("double") /
+        (coalesce(ca, lit(0L)) + v).cast("double")) * 1000000.0)
+        .cast("long")
+    val perDoc = toksF
+      .select($"doc_id", explode(text.shinglesFromTokens($"toks", 2)).as("g"))
+      .withColumn("a", split($"g", " ").getItem(0))
+      .join(broadcast(cAbB), Seq("g"), "left")
+      .join(broadcast(cAB), Seq("a"), "left")
+      .join(broadcast(cAbR), Seq("g"), "left")
+      .join(broadcast(cAR), Seq("a"), "left")
+      .crossJoin(broadcast(vB)).crossJoin(broadcast(vR))
+      .select($"doc_id",
+        lp($"c_ab_b", $"c_a_b", $"v_b").as("lpb_u"),
+        lp($"c_ab_r", $"c_a_r", $"v_r").as("lpr_u"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"lpb_u").as("slb"), sum($"lpr_u").as("slr"))
+      .select($"doc_id", $"n_bigrams",
+        expr("slb div n_bigrams").as("xent_base_u"),
+        expr("slr div n_bigrams").as("xent_ref_u"))
+      .withColumn("learn_u", $"xent_base_u" - $"xent_ref_u")
+    Relational.globalRowNumber(perDoc,
+        Seq($"learn_u".desc, $"doc_id"))
+      .select($"doc_id", $"n_bigrams", $"xent_base_u", $"xent_ref_u",
+        $"learn_u", $"rk".as("rnk"), ($"rk" <= topK).as("selected"))
+      .orderBy($"doc_id")
+  }
+
   def surprisalFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val perDoc = surprisalPerDoc(s, dir)

@@ -2304,4 +2304,37 @@ class TextOpsSpec extends SparkSpec {
     assert(best._4 > 0L)
   }
 
+  test("rhoLearnability: excess xent is exact, ranks are a permutation " +
+       "in (learn_u desc, doc_id) order, selection is the top-k prefix") {
+    val rows = TextOps.rhoLearnability(spark, sf, topK = 10).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("learn_u") ===
+        r.getAs[Long]("xent_base_u") - r.getAs[Long]("xent_ref_u"))
+    }
+    val ranks = rows.map(_.getAs[Long]("rnk")).sorted
+    assert(ranks === (1L to rows.length.toLong).toArray,
+      "global rank must be a 1..n permutation")
+    val byRank = rows.sortBy(_.getAs[Long]("rnk"))
+    val keys = byRank.map(r =>
+      (-r.getAs[Long]("learn_u"), r.getAs[Long]("doc_id")))
+    assert(keys === keys.sorted,
+      "rank order must equal (learn_u desc, doc_id) order")
+    byRank.foreach(r => assert(r.getAs[Boolean]("selected") ===
+      (r.getAs[Long]("rnk") <= 10L)))
+    // the reference model explains its own training slice at least as
+    // well on average: mean excess over high-quality train docs is
+    // >= the corpus mean (the direction the selector exists for)
+    val hq = TextOps.qualityScores(spark, sf)
+      .selectExpr("doc_id", "CAST(round(quality * 10000) AS BIGINT) AS qu")
+      .collect().filter(_.getLong(1) >= 5000L).map(_.getLong(0)).toSet
+    val bucketed = rows.partition(r => hq.contains(r.getAs[Long]("doc_id")))
+    if (bucketed._1.nonEmpty && bucketed._2.nonEmpty) {
+      def mean(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(_.getAs[Long]("learn_u")).sum.toDouble / rs.length
+      assert(mean(bucketed._1) >= mean(bucketed._2),
+        "high-quality docs must score at least as learnable on average")
+    }
+  }
+
 }
