@@ -248,6 +248,8 @@ object SparkEntry {
       ((s, _) => gtfs.GtfsFixture.earliestArrivalOracleQuery(s)),
     "q_gtfs_arrival_profile" ->
       ((s, _) => gtfs.GtfsFixture.earliestArrivalProfileOracleQuery(s)),
+    "q_gtfs_trip_patterns" ->
+      ((s, _) => gtfs.GtfsFixture.tripPatternsOracleQuery(s)),
     "q_gtfs_headway_cv" ->
       ((s, _) => gtfs.GtfsFixture.headwayOracleQuery(s)),
     "q_heaps_law" -> TextOps.heapsLaw,
@@ -5708,6 +5710,18 @@ object SparkEntry {
     "q_markov_attribution" -> markovAttributionOracle("purchase", 25),
     "q_gtfs_earliest_arrival" -> gtfsEarliestArrivalOracle(4),
     "q_gtfs_arrival_profile" -> gtfsArrivalProfileOracle(4),
+    "q_gtfs_trip_patterns" ->
+      s"""WITH $gtfsValuesCtes,
+         pat AS (SELECT run_id, trip_id,
+             string_agg(stop_id, '>' ORDER BY arrival_time, stop_id)
+               AS pattern,
+             CAST(count(*) AS BIGINT) AS n_stops
+           FROM st GROUP BY run_id, trip_id)
+         SELECT CAST(run_id AS BIGINT) AS run_id, pattern, n_stops,
+           CAST(count(*) AS BIGINT) AS n_trips,
+           min(trip_id) AS first_trip
+         FROM pat GROUP BY run_id, pattern, n_stops
+         ORDER BY run_id, pattern""",
     "q_gtfs_headway_cv" ->
       s"""WITH $gtfsArrivalCtes,
          ev AS (SELECT run_id, trip_id, stop_id, service_date,

@@ -435,6 +435,29 @@ object ArrivalsQuery {
       .agg(min(col("cand")).as("best"))
   }
 
+  /** Trip-pattern mining: the distinct ordered stop sequences (route
+    * variants) hiding in stop_times, with how many trips share each —
+    * the first question route analysis asks of a feed the reference
+    * loads but never aggregates (stop_times per
+    * 05-create-schema.sh:144-160). Calls order by (arrival_time,
+    * stop_id) — the same total order every consumer here uses — via
+    * sort_array over structs, so the pattern string is deterministic
+    * at any partitioning. One groupBy per trip, one per pattern; the
+    * per-trip call list is trip-length-bounded, never corpus-sized.
+    */
+  def tripPatterns(stopTimes: DataFrame): DataFrame =
+    stopTimes
+      .groupBy(col("run_id"), col("trip_id"))
+      .agg(sort_array(collect_list(
+        struct(col("arrival_time"), col("stop_id")))).as("calls"))
+      .select(col("run_id"), col("trip_id"),
+        array_join(transform(col("calls"), c => c("stop_id")), ">")
+          .as("pattern"),
+        size(col("calls")).cast("long").as("n_stops"))
+      .groupBy(col("run_id"), col("pattern"), col("n_stops"))
+      .agg(count(lit(1)).as("n_trips"), min(col("trip_id")).as("first_trip"))
+      .orderBy(col("run_id"), col("pattern"))
+
   /** Headway regularity per (stop, service day) — the bunching audit a
     * transit feed is judged by: inter-arrival gaps at each stop, their
     * exact integer sums, and the coefficient of variation in milli

@@ -186,6 +186,12 @@ object GtfsFixture {
       calendar(s), calendarDates(s), trips(s), stopTimes(s), stops(s),
       transfers(s), "S1", "2019-02-21", 8L * 3600)
 
+  /** Trip patterns over the fixture stop_times — oracle twin of
+    * [[ArrivalsQuery.tripPatterns]].
+    */
+  def tripPatternsOracleQuery(s: SparkSession): DataFrame =
+    ArrivalsQuery.tripPatterns(stopTimes(s))
+
   /** Headway-regularity audit over the fixture's expanded arrivals —
     * oracle twin of [[ArrivalsQuery.headwayRegularity]].
     */

@@ -381,6 +381,22 @@ class GtfsLoadSpec extends SparkSpec {
       oneLeg.map { case (s0, t) => (s0, 2L) -> t }))
   }
 
+  test("tripPatterns: variants partition the trip set; order is by " +
+       "call time, not id") {
+    import graft.gtfs.GtfsFixture
+    val pats = ArrivalsQuery.tripPatterns(GtfsFixture.stopTimes(spark))
+      .collect()
+    // T1 and T2 share S1>S2; T4 rides the REVERSE S2>S1 (a different
+    // variant); T3 is S3>S1
+    val byPattern = pats.map(r => r.getAs[String]("pattern") ->
+      (r.getAs[Long]("n_trips"), r.getAs[String]("first_trip"))).toMap
+    assert(byPattern === Map(
+      "S1>S2" -> (2L, "T1"), "S2>S1" -> (1L, "T4"), "S3>S1" -> (1L, "T3")))
+    assert(pats.map(_.getAs[Long]("n_trips")).sum === 4L,
+      "every trip belongs to exactly one pattern")
+    assert(pats.forall(_.getAs[Long]("n_stops") === 2L))
+  }
+
   test("earliestArrivalProfile: a stop needing two rides appears only " +
        "from leg budget 2 in the Pareto profile") {
     val cal = Seq((1L, "ALL", true, true, true, true, true, true, true,
