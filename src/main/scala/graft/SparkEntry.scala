@@ -127,6 +127,8 @@ object SparkEntry {
     "q_quality_lr" -> ((s, dir) => TextOps.qualityLrTrain(s, dir)),
     "q_quality_lr_scores" -> ((s, dir) => TextOps.qualityLrScores(s, dir)),
     "q_lr_calibration" -> ((s, dir) => TextOps.qualityLrCalibration(s, dir)),
+    "q_dataset_cartography" ->
+      ((s, dir) => TextOps.datasetCartography(s, dir)),
     "q_dsir_select" -> ((s, dir) => TextOps.dsirSelect(s, dir)),
     "q_span_scrub" -> ((s, dir) => TextOps.spanScrub(s, dir)),
     "q_span_scrub_clean" -> ((s, dir) => TextOps.spanScrubClean(s, dir)),
@@ -3867,6 +3869,32 @@ object SparkEntry {
            p >= 0.5 AS pred, CAST(y AS INT) AS y
          FROM (SELECT doc_id, y, $lrP AS p FROM feats CROSS JOIN w5)
          ORDER BY doc_id""",
+    "q_dataset_cartography" ->
+      s"""WITH $lrBaseCtes,
+         ws AS (SELECT w0u, w1u, w2u, w3u FROM w1
+           UNION ALL SELECT w0u, w1u, w2u, w3u FROM w2
+           UNION ALL SELECT w0u, w1u, w2u, w3u FROM w3
+           UNION ALL SELECT w0u, w1u, w2u, w3u FROM w4
+           UNION ALL SELECT w0u, w1u, w2u, w3u FROM w5),
+         stepc AS (SELECT doc_id, y,
+             CASE WHEN y = 1.0
+               THEN CAST(round(($lrP) * 1000000.0) AS BIGINT)
+               ELSE 1000000 - CAST(round(($lrP) * 1000000.0) AS BIGINT)
+               END AS c
+           FROM feats CROSS JOIN ws),
+         pd AS (SELECT doc_id, y,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS sc2
+           FROM stepc GROUP BY doc_id, y)
+         SELECT doc_id, CAST(y AS INT) AS y,
+           CAST(sc // 5 AS BIGINT) AS conf_u,
+           CAST(round(sqrt(CAST(5 * sc2 - sc * sc AS DOUBLE)) / 5.0)
+             AS BIGINT) AS vari_u,
+           CASE WHEN CAST(round(sqrt(CAST(5 * sc2 - sc * sc AS DOUBLE))
+               / 5.0) AS BIGINT) >= 150000 THEN 'ambiguous'
+             WHEN sc // 5 >= 500000 THEN 'easy_to_learn'
+             ELSE 'hard_to_learn' END AS region
+         FROM pd ORDER BY doc_id""",
     "q_lr_calibration" ->
       s"""WITH $lrBaseCtes,
          scored AS (SELECT y, p, CAST(round(p * 1000000.0) AS BIGINT) AS p_u

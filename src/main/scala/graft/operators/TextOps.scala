@@ -2563,6 +2563,48 @@ object TextOps {
       .toDF("step", "w0_u", "w1_u", "w2_u", "w3_u").orderBy($"step")
   }
 
+  /** Dataset cartography (Swayamdipta et al. 2020, "Dataset
+    * Cartography: Mapping and Diagnosing Datasets with Training
+    * Dynamics"): per document, the MEAN and VARIABILITY of the model's
+    * confidence in the TRUE label across the training trajectory —
+    * here the 5 GD steps of [[qualityLrTrain]], whose per-step weights
+    * already exist as exact micro-integers. High-confidence/low-
+    * variability docs are easy-to-learn (safe but redundant),
+    * low/low are hard-to-learn (often mislabeled — audit first), and
+    * high-variability docs are ambiguous (the slice that moves
+    * decision boundaries — what curation keeps). All five step scores
+    * fold into ONE scan as literal-weight projections; confidence is
+    * an integer floor-mean, variability one fixed-shape sqrt over the
+    * exact integer n·Σc²−S² (the headwayRegularity discipline), so
+    * both engines agree bit-for-bit.
+    */
+  def datasetCartography(s: SparkSession, dir: String, steps: Int = 5,
+                         lr: Double = 0.5,
+                         variThreshold: Long = 150000L): DataFrame = {
+    import s.implicits._
+    val hist = lrTrainCore(s, dir, steps, lr)._1
+    val feats = lrFeatFrame(s, dir)
+    val cCols = hist.map { case (step, w0, w1, w2, w3) =>
+      val p = lrScore((0 to 3).map(j => col(s"x$j")), Vector(w0, w1, w2, w3))
+      val pu = round(p * lit(1000000.0)).cast("long")
+      when($"y" === 1.0, pu).otherwise(lit(1000000L) - pu).as(s"c$step")
+    }
+    val sumC = (1 to steps).map(i => col(s"c$i")).reduce(_ + _)
+    val sumC2 = (1 to steps).map(i => col(s"c$i") * col(s"c$i"))
+      .reduce(_ + _)
+    feats.select(($"doc_id" +: $"y" +: cCols): _*)
+      .withColumn("conf_u", expr(
+        s"(${(1 to steps).map("c" + _).mkString(" + ")}) div $steps"))
+      .withColumn("vari_u",
+        round(sqrt((lit(steps.toLong) * sumC2 - sumC * sumC)
+          .cast("double")) / lit(steps.toDouble)).cast("long"))
+      .select($"doc_id", $"y".cast("int").as("y"), $"conf_u", $"vari_u",
+        when($"vari_u" >= variThreshold, lit("ambiguous"))
+          .when($"conf_u" >= 500000L, lit("easy_to_learn"))
+          .otherwise(lit("hard_to_learn")).as("region"))
+      .orderBy($"doc_id")
+  }
+
   /** Batch inference with the trained weights: per document the
     * hard-sigmoid probability (fixed-pointed to 1e-6 — exact), the
     * accept verdict, and the true label — the frame a threshold sweep /

@@ -2304,6 +2304,28 @@ class TextOpsSpec extends SparkSpec {
     assert(best._4 > 0L)
   }
 
+  test("datasetCartography: confidence/variability in range, region " +
+       "mapping consistent, every document mapped exactly once") {
+    val rows = TextOps.datasetCartography(spark, sf).collect()
+    val nDocs = graft.Tables(spark, sf, "documents").count()
+    assert(rows.length.toLong === nDocs)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === rows.length)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("conf_u"); val v = r.getAs[Long]("vari_u")
+      assert(c >= 0L && c <= 1000000L, s"conf out of range: $c")
+      // max possible std of values in [0, 1e6] is 5e5
+      assert(v >= 0L && v <= 500000L, s"vari out of range: $v")
+      val expected =
+        if (v >= 150000L) "ambiguous"
+        else if (c >= 500000L) "easy_to_learn"
+        else "hard_to_learn"
+      assert(r.getAs[String]("region") === expected)
+    }
+    // the map must be non-degenerate on the gate corpus: at least two
+    // regions populated (a single-region map carries no signal)
+    assert(rows.map(_.getAs[String]("region")).distinct.length >= 2)
+  }
+
   test("rhoLearnability: excess xent is exact, ranks are a permutation " +
        "in (learn_u desc, doc_id) order, selection is the top-k prefix") {
     val rows = TextOps.rhoLearnability(spark, sf, topK = 10).collect()
