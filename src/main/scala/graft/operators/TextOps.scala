@@ -1825,6 +1825,22 @@ object TextOps {
                       refQualityMin: Long = 5000L,
                       topK: Int = 100): DataFrame = {
     import s.implicits._
+    val perDoc = rhoPerDocScores(s, dir, refQualityMin)
+    Relational.globalRowNumber(perDoc,
+        Seq($"learn_u".desc, $"doc_id"))
+      .select($"doc_id", $"n_bigrams", $"xent_base_u", $"xent_ref_u",
+        $"learn_u", $"rk".as("rnk"), ($"rk" <= topK).as("selected"))
+      .orderBy($"doc_id")
+  }
+
+  /** The dual-model scoring stage of [[rhoLearnability]], pre-ranking —
+    * package-private so PlanSpec audits the one-scan / four-broadcast
+    * shape directly (the public op checkpoints it inside the
+    * range-partitioned ranking).
+    */
+  private[graft] def rhoPerDocScores(s: SparkSession, dir: String,
+                                     refQualityMin: Long): DataFrame = {
+    import s.implicits._
     val toksF = docsFanned(s, dir)
       .withColumn("bucket", hashBucket($"doc_id", "split:"))
       .select($"doc_id", $"bucket", $"text", $"n_chars",
@@ -1849,7 +1865,7 @@ object TextOps {
       round(-log((coalesce(cab, lit(0L)) + 1).cast("double") /
         (coalesce(ca, lit(0L)) + v).cast("double")) * 1000000.0)
         .cast("long")
-    val perDoc = toksF
+    toksF
       .select($"doc_id", explode(text.shinglesFromTokens($"toks", 2)).as("g"))
       .withColumn("a", split($"g", " ").getItem(0))
       .join(broadcast(cAbB), Seq("g"), "left")
@@ -1867,11 +1883,6 @@ object TextOps {
         expr("slb div n_bigrams").as("xent_base_u"),
         expr("slr div n_bigrams").as("xent_ref_u"))
       .withColumn("learn_u", $"xent_base_u" - $"xent_ref_u")
-    Relational.globalRowNumber(perDoc,
-        Seq($"learn_u".desc, $"doc_id"))
-      .select($"doc_id", $"n_bigrams", $"xent_base_u", $"xent_ref_u",
-        $"learn_u", $"rk".as("rnk"), ($"rk" <= topK).as("selected"))
-      .orderBy($"doc_id")
   }
 
   def surprisalFilter(s: SparkSession, dir: String): DataFrame = {

@@ -247,6 +247,41 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("rhoLearnability: model counts broadcast against one bigram " +
+       "scan; the excess-xent ranking never single-partitions") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      CartesianProductExec, SortMergeJoinExec}
+    // the scoring stage (pre-ranking): one bigram scan, every model
+    // join a broadcast, nothing corpus-sized shuffles
+    val score = allNodes(TextOps.rhoPerDocScores(spark, sf, 5000L))
+    assert(score.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 4,
+      "all four model-count joins must broadcast (vocab-bounded state)")
+    assert(!score.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!score.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "no corpus-sized shuffle join anywhere in the scoring pass")
+    // the public op's ranking rides globalRowNumber: the only
+    // unpartitioned window orders the numParts-row offsets frame (the
+    // documented exception); the data-sized rank window is partitioned
+    val nodes = allNodes(TextOps.rhoLearnability(spark, sf))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "the data-sized rank must ride a partitioned window")
+  }
+
+  test("datasetCartography: five step scores fold into one scan — no " +
+       "data shuffle beyond the presentation sort") {
+    val df = TextOps.datasetCartography(spark, sf)
+    val shuffles = allNodes(df).collect {
+      case s: ShuffleExchangeExec => s.outputPartitioning
+    }
+    val dataShuffles = shuffles.filterNot(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.RangePartitioning])
+    assert(dataShuffles.isEmpty,
+      s"cartography must be scan-speed over the feature checkpoint: $shuffles")
+  }
+
   test("shared-chunk self-join reuses one exchange for both sides") {
     // the df-cap window shuffles on ch — the same key the self-join
     // needs — so the expensive chunking pass must be computed once and
