@@ -129,6 +129,8 @@ object SparkEntry {
     "q_lr_calibration" -> ((s, dir) => TextOps.qualityLrCalibration(s, dir)),
     "q_dataset_cartography" ->
       ((s, dir) => TextOps.datasetCartography(s, dir)),
+    "q_conformal_gate" ->
+      ((s, dir) => TextOps.conformalQualityGate(s, dir)),
     "q_dsir_select" -> ((s, dir) => TextOps.dsirSelect(s, dir)),
     "q_span_scrub" -> ((s, dir) => TextOps.spanScrub(s, dir)),
     "q_span_scrub_clean" -> ((s, dir) => TextOps.spanScrubClean(s, dir)),
@@ -3869,6 +3871,33 @@ object SparkEntry {
            p >= 0.5 AS pred, CAST(y AS INT) AS y
          FROM (SELECT doc_id, y, $lrP AS p FROM feats CROSS JOIN w5)
          ORDER BY doc_id""",
+    "q_conformal_gate" ->
+      s"""WITH q AS (SELECT doc_id,
+           CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket,
+           CAST(round($qualityExpr * 10000) AS BIGINT) AS qu
+           FROM documents),
+         cal AS (SELECT doc_id, qu FROM q
+           WHERE bucket >= 80 AND bucket < 90),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cal),
+         kk AS (SELECT CAST(1000 * (n + 1) // 10000 AS BIGINT) AS k
+           FROM nn),
+         thr AS (SELECT qu FROM (SELECT qu,
+             row_number() OVER (ORDER BY qu, doc_id) AS rn FROM cal)
+           CROSS JOIN kk WHERE rn = k),
+         ev AS (SELECT qu FROM q WHERE bucket >= 90)
+         SELECT (SELECT n FROM nn) AS n_cal, (SELECT k FROM kk) AS k,
+           CASE WHEN (SELECT k FROM kk) >= 1
+             THEN (SELECT qu FROM thr) END AS threshold_qu,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CASE WHEN (SELECT k FROM kk) >= 1 THEN
+             CAST(sum(CASE WHEN qu >= (SELECT qu FROM thr)
+               THEN 1 ELSE 0 END) AS BIGINT) END AS n_covered,
+           CASE WHEN (SELECT k FROM kk) >= 1 AND count(*) > 0 THEN
+             CAST(sum(CASE WHEN qu >= (SELECT qu FROM thr)
+               THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) END
+             AS coverage_u,
+           CAST(900000 AS BIGINT) AS target_u
+         FROM ev""",
     "q_dataset_cartography" ->
       s"""WITH $lrBaseCtes,
          ws AS (SELECT w0u, w1u, w2u, w3u FROM w1

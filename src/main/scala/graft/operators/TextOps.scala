@@ -2574,6 +2574,58 @@ object TextOps {
       .toDF("step", "w0_u", "w1_u", "w2_u", "w3_u").orderBy($"step")
   }
 
+  /** Split-conformal quality gate (Vovk's split conformal prediction,
+    * the Papadopoulos et al. 2002 inductive form): from the held-back
+    * calibration slice (hash buckets 80-89 — between train and eval),
+    * the k-th smallest quality with k = ⌊α(n+1)⌋ is a threshold such
+    * that a fresh exchangeable document scores ≥ it with probability
+    * ≥ 1−α — a FINITE-SAMPLE guarantee, no distributional assumption,
+    * which is what a "keep documents above the quality bar" gate
+    * actually needs before anyone trusts the bar. Output: the
+    * threshold, and the guarantee AUDITED on the eval split (measured
+    * coverage vs the 1−α target — the proven-bounds discipline of the
+    * sketch audits). k < 1 (calibration too small for the requested α)
+    * reports NULL threshold/coverage instead of a fabricated bar.
+    *
+    * Exactness: quality quantizes to the usual 1e4 integers; the k-th
+    * order statistic rides [[graft.operators.Relational.globalRowNumber]]
+    * over (qu, doc_id) — a total order, so the threshold is the same
+    * row in any engine; coverage is an integer floor division. The
+    * only driver values are the calibration count and the one
+    * threshold row (bounded collects).
+    */
+  def conformalQualityGate(s: SparkSession, dir: String,
+                           alphaBp: Long = 1000L): DataFrame = {
+    import s.implicits._
+    val scored = docsFanned(s, dir)
+      .withColumn("bucket", hashBucket($"doc_id", "split:"))
+      .select($"doc_id", $"bucket", $"text", $"n_chars",
+        text.tokensLower($"text").as("toks"))
+      .select($"doc_id", $"bucket",
+        round(text.qualityScoreTokens($"text", $"toks", $"n_chars")
+          * 10000).cast("long").as("qu"))
+      .localCheckpoint() // calibration rank + eval coverage read it
+    val cal = scored.filter($"bucket" >= 80 && $"bucket" < 90)
+      .select($"doc_id", $"qu")
+    val nCal = cal.count()
+    val k = alphaBp * (nCal + 1) / 10000
+    val thr: Option[Long] =
+      if (k < 1) None
+      else Some(Relational.globalRowNumber(cal, Seq($"qu", $"doc_id"))
+        .filter($"rk" === k).head().getAs[Long]("qu"))
+    val ev = scored.filter($"bucket" >= 90)
+    val base = ev.agg(count(lit(1)).as("n_eval"),
+      thr.map(t => sum(when($"qu" >= t, 1L).otherwise(0L)))
+        .getOrElse(lit(null).cast("long")).as("n_covered"))
+    base.select(
+      lit(nCal).as("n_cal"), lit(k).as("k"),
+      thr.map(lit(_)).getOrElse(lit(null)).cast("long").as("threshold_qu"),
+      $"n_eval", $"n_covered",
+      when($"n_eval" > 0, expr("n_covered * 1000000 div n_eval"))
+        .as("coverage_u"),
+      lit(1000000L - alphaBp * 100).as("target_u"))
+  }
+
   /** Dataset cartography (Swayamdipta et al. 2020, "Dataset
     * Cartography: Mapping and Diagnosing Datasets with Training
     * Dynamics"): per document, the MEAN and VARIABILITY of the model's

@@ -2304,6 +2304,39 @@ class TextOpsSpec extends SparkSpec {
     assert(best._4 > 0L)
   }
 
+  test("conformalQualityGate: threshold is the exact k-th calibration " +
+       "order statistic; an undersized calibration yields NULLs, not a " +
+       "fabricated bar") {
+    val cal = TextOps.qualityScores(spark, sf)
+      .selectExpr("doc_id", "CAST(round(quality * 10000) AS BIGINT) AS qu")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (id, _) =>
+        val b = java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils
+            .md5Hex(s"split:$id").substring(0, 15), 16) % 100
+        b >= 80 && b < 90
+      }
+    val alpha = 5000L // big enough for k >= 1 on the tiny sf slice
+    val r = TextOps.conformalQualityGate(spark, sf, alphaBp = alpha)
+      .head()
+    assert(r.getAs[Long]("n_cal") === cal.length.toLong)
+    val k = alpha * (cal.length + 1) / 10000
+    assert(r.getAs[Long]("k") === k)
+    val expectedThr = cal.map(_._2).sorted.apply(k.toInt - 1)
+    // ties on qu are broken by doc_id in rank order, but the k-th QU
+    // value itself is tie-invariant
+    assert(r.getAs[Long]("threshold_qu") === expectedThr)
+    assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_eval"))
+    assert(r.getAs[Long]("coverage_u") ===
+      r.getAs[Long]("n_covered") * 1000000L / r.getAs[Long]("n_eval"))
+    // alpha so small that k = 0: the guarantee is vacuous and the gate
+    // must say so with NULLs
+    val v = TextOps.conformalQualityGate(spark, sf, alphaBp = 1L).head()
+    assert(v.getAs[Long]("k") === 0L)
+    assert(v.isNullAt(v.fieldIndex("threshold_qu")))
+    assert(v.isNullAt(v.fieldIndex("coverage_u")))
+  }
+
   test("datasetCartography: confidence/variability in range, region " +
        "mapping consistent, every document mapped exactly once") {
     val rows = TextOps.datasetCartography(spark, sf).collect()
