@@ -240,6 +240,7 @@ object SparkEntry {
     "q_neardup_robustness" ->
       ((s, dir) => Dedup.nearDupRobustness(s, dir)),
     "q_energy_distance" -> ((s, dir) => Events.energyDistance(s, dir)),
+    "q_event_burstiness" -> ((s, dir) => Events.eventBurstiness(s, dir)),
     "q_funnel_latency" -> ((s, dir) => Events.funnelLatency(s, dir)),
     "q_youden_cutoff" -> ((s, dir) => TextOps.youdenCutoff(s, dir)),
     "q_gtfs_arrivals" ->
@@ -3871,6 +3872,25 @@ object SparkEntry {
            p >= 0.5 AS pred, CAST(y AS INT) AS y
          FROM (SELECT doc_id, y, $lrP AS p FROM feats CROSS JOIN w5)
          ORDER BY doc_id""",
+    "q_event_burstiness" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+         sp AS (SELECT CAST(datediff('day', min(day), max(day)) + 1
+           AS BIGINT) AS d FROM daily),
+         pt AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_active_days,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS q
+           FROM daily GROUP BY 1)
+         SELECT event_type, d AS n_days, n_active_days, s AS n_events,
+           CAST(s * 1000 // d AS BIGINT) AS mean_milli,
+           CAST(round(CAST(d * q - s * s AS DOUBLE)
+             / CAST(d * s AS DOUBLE) * 1000) AS BIGINT) AS fano_milli,
+           CAST(floor((sqrt(CAST(d * q - s * s AS DOUBLE)) - s)
+             / (sqrt(CAST(d * q - s * s AS DOUBLE)) + s) * 1000000)
+             AS BIGINT) AS burstiness_u
+         FROM pt CROSS JOIN sp ORDER BY event_type""",
     "q_conformal_gate" ->
       s"""WITH q AS (SELECT doc_id,
            CAST(concat('0x', substring(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket,

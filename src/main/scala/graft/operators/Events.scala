@@ -1770,4 +1770,50 @@ object Events {
           .as("rho"))
       .orderBy($"lag_k")
   }
+
+  /** Per-type burstiness over the daily arrival counts: the Fano
+    * factor (variance/mean — 1000 milli = Poisson; above = clumped
+    * arrivals, below = regular) and the Goh–Barabási burstiness
+    * coefficient B = (σ−μ)/(σ+μ) ∈ (−1, 1) — the two numbers an
+    * event-stream capacity plan reads before trusting any Poisson
+    * assumption. Days the type is silent count as ZERO observations
+    * (the span is the corpus's own [min, max] event-day range), which
+    * is what makes a bursty-but-often-silent type score high instead
+    * of looking regular on its active days only.
+    *
+    * Exactness: per-day counts are exact longs; with D = span days,
+    * S = Σx and Q = Σx², variance rides the population identity
+    * (D·Q − S²)/D², so σ·D = sqrt(D·Q − S²) — ONE fixed-shape sqrt of
+    * an exact integer, shared by both outputs:
+    * fano_milli = (D·Q − S²)/(D·S)·1000 (round, positive), and
+    * burstiness_u = floor((r − S)/(r + S)·10⁶) with r = σ·D (floor,
+    * because B is SIGNED and floor agrees across engines where a
+    * signed half-boundary round may not). D·Q tops out ~10¹⁸ at
+    * 10⁶-row day-type cells over a 10³-day span — inside int64 at any
+    * gate scale; ANSI raises loudly beyond. One fact groupBy; the
+    * rollup is |types|-bounded.
+    */
+  def eventBurstiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "events")
+      .select($"event_type", $"ts".cast("date").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("x"))
+      .localCheckpoint() // span + per-type rollup read it
+    val span = daily.agg(
+      (datediff(max($"day"), min($"day")) + 1).cast("long").as("d"))
+    daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_active_days"), sum($"x").as("s"),
+        sum($"x" * $"x").as("q"))
+      .crossJoin(broadcast(span))
+      .withColumn("r", sqrt(($"d" * $"q" - $"s" * $"s").cast("double")))
+      .select($"event_type", $"d".as("n_days"), $"n_active_days",
+        $"s".as("n_events"),
+        expr("s * 1000 div d").as("mean_milli"),
+        round(($"d" * $"q" - $"s" * $"s").cast("double") /
+          ($"d" * $"s").cast("double") * 1000).cast("long")
+          .as("fano_milli"),
+        floor(($"r" - $"s") / ($"r" + $"s") * 1000000).cast("long")
+          .as("burstiness_u"))
+      .orderBy($"event_type")
+  }
 }

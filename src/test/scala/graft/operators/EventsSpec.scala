@@ -1031,4 +1031,34 @@ class EventsSpec extends SparkSpec {
     assert(byT === byT.sorted, "cumulative hazard must be monotone")
   }
 
+  test("eventBurstiness: Fano and B recompute from the daily counts " +
+       "with silent days as zeros; B stays in (-1e6, 1e6)") {
+    import graft.Tables
+    val daily = Tables(spark, sf, "events")
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day")
+      .groupBy($"event_type", $"day").count()
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2)))
+    val d = daily.map(_._2.toEpochDay).max - daily.map(_._2.toEpochDay).min + 1
+    val rows = Events.eventBurstiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val xs = daily.filter(_._1 == et).map(_._3)
+      val s0 = xs.sum; val q = xs.map(x => x * x).sum
+      assert(r.getAs[Long]("n_days") === d)
+      assert(r.getAs[Long]("n_active_days") === xs.length.toLong)
+      assert(r.getAs[Long]("n_events") === s0)
+      assert(r.getAs[Long]("mean_milli") === s0 * 1000 / d)
+      val fano = math.round(
+        (d * q - s0 * s0).toDouble / (d * s0).toDouble * 1000)
+      assert(r.getAs[Long]("fano_milli") === fano)
+      val rr = math.sqrt((d * q - s0 * s0).toDouble)
+      assert(r.getAs[Long]("burstiness_u") ===
+        math.floor((rr - s0) / (rr + s0) * 1000000).toLong)
+      val b = r.getAs[Long]("burstiness_u")
+      assert(b > -1000000L && b < 1000000L)
+    }
+  }
+
 }
