@@ -121,17 +121,42 @@ object Layout {
     * the compacted tree in per-partition — content-identical, only the
     * file count changes.
     *
-    * Crash safety (single-writer window, like every OPTIMIZE): the
-    * compacted tree stages under `_compact_tmp` (underscore-prefixed —
-    * invisible to partition discovery, like `_pack_state`), each lang
-    * dir is then moved whole to an invisible `_new_<dir>` sibling, and
-    * only then does the visible swap happen per directory. Every
-    * `_new_<dir>` is by construction a COMPLETE compacted copy of its
-    * target, so the entry-time recovery pass can always finish a
-    * crashed swap: old target present → it is superseded, delete and
-    * promote; target absent → promote. A crash mid-staging just leaves
-    * a stale `_compact_tmp` that the next run deletes and rewrites.
-    * Returns (files before, files after).
+    * Crash safety (single-WRITER window, like every OPTIMIZE — but the
+    * restarted writer may APPEND between a crash and the next
+    * compaction, and ad-hoc readers may scan at any time, so the swap
+    * must never hold the only copy of committed data in a state a
+    * recovery pass could delete): the compacted tree stages under
+    * `_compact_tmp` (underscore-prefixed — invisible to partition
+    * discovery, like `_pack_state`), each lang dir is then moved whole
+    * to an invisible `_new_<dir>` sibling, and the visible swap per
+    * directory is RENAME-ASIDE: live dir → `_old_<dir>`, `_new_<dir>`
+    * → live, delete `_old_`. The live dir is absent only between two
+    * metadata renames (no delete in the reader-visible window), and at
+    * every instant committed data exists under the live name, `_old_`,
+    * or `_new_`.
+    *
+    * Entry-time recovery is NON-DESTRUCTIVE by case analysis on what a
+    * crash (plus any post-crash appends by the restarted sink) can
+    * leave behind:
+    *   - `_new_` present, live dir ABSENT: crashed between the two
+    *     renames — `_new_` is the only complete copy; finish the
+    *     promote (and drop the superseded `_old_`).
+    *   - `_new_` AND `_old_` present, live dir present: crashed between
+    *     the renames AND the restarted sink recreated the live dir with
+    *     post-crash batches only (the pre-crash content is `_old_` ≡
+    *     compacted `_new_`). Merge the live dir's data files INTO
+    *     `_new_`, promote it, drop `_old_` — nothing committed is lost.
+    *   - `_new_` present, `_old_` absent, live dir present: the swap
+    *     for this dir never started, so the live dir is the complete
+    *     (possibly newer) copy and `_new_` is a stale build — delete
+    *     `_new_`, let this run rebuild. (The pre-round-13 recovery
+    *     deleted the LIVE dir here, silently dropping any batches the
+    *     restarted sink had committed since the crash.)
+    *   - `_old_` present, `_new_` absent: crashed after the promote —
+    *     the live dir is complete; drop `_old_` (or, if the live dir is
+    *     somehow absent too, restore `_old_` as the live dir).
+    * A crash mid-staging just leaves a stale `_compact_tmp` that the
+    * next run deletes and rewrites. Returns (files before, files after).
     */
   def compactPartitionedText(spark: SparkSession, dir: String,
                              partCols: Seq[String] = Seq("lang", "bin"))
@@ -139,15 +164,67 @@ object Layout {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val newPrefix = "_new_"
+    val oldPrefix = "_old_"
     def children() = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    // move every visible data file/dir under src into dst (recursively),
+    // uniquifying on the ~impossible name collision rather than clobbering
+    def mergeVisibleInto(src: Path, dst: Path): Unit =
+      fs.listStatus(src).foreach { st =>
+        val n = st.getPath.getName
+        if (visible(n)) {
+          val d = new Path(dst, n)
+          if (st.isDirectory) {
+            if (!fs.exists(d)) { fs.rename(st.getPath, d); () }
+            else mergeVisibleInto(st.getPath, d)
+          } else {
+            var cand = d
+            var i = 0
+            while (fs.exists(cand)) { i += 1; cand = new Path(dst, s"${n}_r$i") }
+            fs.rename(st.getPath, cand)
+            ()
+          }
+        }
+      }
     def promote(nw: Path): Unit = {
-      val target = new Path(root, nw.getName.drop(newPrefix.length))
-      if (fs.exists(target)) fs.delete(target, true) // superseded old copy
+      val name = nw.getName.drop(newPrefix.length)
+      val target = new Path(root, name)
+      val aside = new Path(root, oldPrefix + name)
+      if (fs.exists(target)) fs.rename(target, aside)
       fs.rename(nw, target)
+      if (fs.exists(aside)) fs.delete(aside, true)
       ()
     }
-    // finish any crashed swap before touching the tree
-    children().filter(_.getName.startsWith(newPrefix)).foreach(promote)
+    // non-destructive recovery of any crashed swap before touching the tree
+    children().filter(_.getName.startsWith(newPrefix)).foreach { nw =>
+      val name = nw.getName.drop(newPrefix.length)
+      val target = new Path(root, name)
+      val aside = new Path(root, oldPrefix + name)
+      if (!fs.exists(target)) {
+        // crashed between rename-aside and rename-in: _new_ holds the
+        // only complete copy — finish the promote
+        fs.rename(nw, target)
+        if (fs.exists(aside)) fs.delete(aside, true)
+      } else if (fs.exists(aside)) {
+        // mid-swap crash + restarted sink recreated the live dir with
+        // post-crash appends only: fold them into the compacted copy
+        mergeVisibleInto(target, nw)
+        fs.delete(target, true)
+        fs.rename(nw, target)
+        fs.delete(aside, true)
+      } else {
+        // swap never started: the live dir is authoritative (and may
+        // carry post-crash appends) — the staged copy is stale
+        fs.delete(nw, true)
+      }
+      ()
+    }
+    // _old_ without _new_: crashed after the promote — live dir complete
+    children().filter(_.getName.startsWith(oldPrefix)).foreach { od =>
+      val target = new Path(root, od.getName.drop(oldPrefix.length))
+      if (fs.exists(target)) fs.delete(od, true) else fs.rename(od, target)
+      ()
+    }
     val staging = new Path(root, "_compact_tmp")
     if (fs.exists(staging)) fs.delete(staging, true) // stale partial build
     def filesUnder(p: Path): Seq[Path] = {

@@ -105,6 +105,114 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  // --- compactPartitionedText crash-state recovery ---------------------
+  // The swap protocol must never lose committed rows, in particular when
+  // a restarted streaming sink APPENDS between a crash and the next
+  // compaction (its _pack_state offsets are already advanced, so lost
+  // appends are never replayed — silent permanent loss).
+
+  private def hfs = new org.apache.hadoop.fs.Path(base)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def buildTextTree(dir: String): Unit = {
+    Seq(("en", 0L, "en-a"), ("en", 0L, "en-b"), ("en", 1L, "en-c"),
+        ("de", 0L, "de-a"), ("de", 0L, "de-b"))
+      .toDF("lang", "bin", "value")
+      .write.mode("overwrite").partitionBy("lang", "bin").text(dir)
+  }
+
+  private def treeRows(dir: String): Set[String] =
+    spark.read.text(dir).collect().map(_.getString(0)).toSet
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val fs = hfs
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(src), fs,
+      new org.apache.hadoop.fs.Path(dst), false, false,
+      spark.sparkContext.hadoopConfiguration)
+    ()
+  }
+
+  private def appendRow(dir: String, part: String, row: String): Unit = {
+    val fs = hfs
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$part/appended-$row.txt")
+    val out = fs.create(p, false)
+    out.write((row + "\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def noSwapDebris(dir: String): Unit = {
+    val fs = hfs
+    val leftover = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("_new_") || n.startsWith("_old_"))
+    assert(leftover.isEmpty, s"swap debris left behind: ${leftover.toSeq}")
+  }
+
+  test("compactPartitionedText recovery keeps post-crash appends when the " +
+       "swap never started (stale _new_ alongside a live dir)") {
+    val dir = s"$base/crash-stale-new"
+    buildTextTree(dir)
+    val baseline = treeRows(dir)
+    // crash between staging renames and promotes: a complete compacted
+    // copy sits at _new_lang=en while the live dir is untouched...
+    copyDir(s"$dir/lang=en", s"$dir/_new_lang=en")
+    // ...and the restarted sink then commits another micro-batch
+    appendRow(dir, "lang=en/bin=0", "en-post-crash")
+    val (_, after) = Layout.compactPartitionedText(spark, dir)
+    assert(after >= 1)
+    assert(treeRows(dir) === baseline + "en-post-crash",
+      "recovery must not delete the live dir's post-crash appends")
+    noSwapDebris(dir)
+  }
+
+  test("compactPartitionedText recovery finishes a mid-swap crash " +
+       "(live dir absent, _old_ + _new_ present)") {
+    val dir = s"$base/crash-mid-swap"
+    buildTextTree(dir)
+    val baseline = treeRows(dir)
+    copyDir(s"$dir/lang=en", s"$dir/_new_lang=en")
+    hfs.rename(new org.apache.hadoop.fs.Path(s"$dir/lang=en"),
+      new org.apache.hadoop.fs.Path(s"$dir/_old_lang=en"))
+    val (_, after) = Layout.compactPartitionedText(spark, dir)
+    assert(after >= 1)
+    assert(treeRows(dir) === baseline)
+    noSwapDebris(dir)
+  }
+
+  test("compactPartitionedText recovery merges post-crash appends into a " +
+       "mid-swap dir (live recreated by the sink, _old_ + _new_ present)") {
+    val dir = s"$base/crash-merge"
+    buildTextTree(dir)
+    val baseline = treeRows(dir)
+    copyDir(s"$dir/lang=en", s"$dir/_new_lang=en")
+    hfs.rename(new org.apache.hadoop.fs.Path(s"$dir/lang=en"),
+      new org.apache.hadoop.fs.Path(s"$dir/_old_lang=en"))
+    // the restarted sink recreates the live dir with post-crash rows only
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/lang=en/bin=0"))
+    appendRow(dir, "lang=en/bin=0", "en-post-crash")
+    appendRow(dir, "lang=en/bin=1", "en-post-crash-2")
+    val (_, after) = Layout.compactPartitionedText(spark, dir)
+    assert(after >= 1)
+    assert(treeRows(dir) ===
+      baseline + "en-post-crash" + "en-post-crash-2",
+      "recovery must keep BOTH the pre-crash compacted copy and the " +
+        "sink's post-crash appends")
+    noSwapDebris(dir)
+  }
+
+  test("compactPartitionedText recovery drops a superseded _old_ left by " +
+       "a crash after the promote") {
+    val dir = s"$base/crash-old-only"
+    buildTextTree(dir)
+    val baseline = treeRows(dir)
+    copyDir(s"$dir/lang=de", s"$dir/_old_lang=de")
+    val (_, after) = Layout.compactPartitionedText(spark, dir)
+    assert(after >= 1)
+    assert(treeRows(dir) === baseline)
+    noSwapDebris(dir)
+  }
+
   test("clustered compaction yields disjoint per-file key ranges") {
     val src = s"$base/frag2"
     val dst = s"$base/clustered"
