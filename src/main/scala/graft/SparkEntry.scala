@@ -776,9 +776,11 @@ object SparkEntry {
              ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || mh) AS sig
          FROM mh GROUP BY doc_id, band)"""
 
-  private val minhashCtes =
+  private def minhashCtesFor(rDivisor: String): String =
     s"""$minhashMhCtes,
-       ${minhashBandsCte("3")}"""
+       ${minhashBandsCte(rDivisor)}"""
+
+  private val minhashCtes = minhashCtesFor("3")
 
   private val minhashPairsSelect =
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -788,10 +790,15 @@ object SparkEntry {
   /** MinHash-LSH candidate pairs, sans ORDER BY — shared between the
     * q_minhash_lsh_pairs oracle and the dedup-assignments oracle's edge
     * list (both must agree bit-for-bit with Dedup.minhashLshPairs).
+    * The `For` variant takes the band divisor (a literal or a scalar
+    * subquery over a planner-chosen config) so compositions can band
+    * with a non-default scheme.
     */
-  private val minhashPairsCore =
-    s"""WITH $minhashCtes
+  private def minhashPairsCoreFor(rDivisor: String): String =
+    s"""WITH ${minhashCtesFor(rDivisor)}
        $minhashPairsSelect"""
+
+  private val minhashPairsCore = minhashPairsCoreFor("3")
 
   /** Windowed polynomial hash terms for the portable-CDC chunk oracle —
     * generated from Chunker.Bpow so the SQL constants cannot drift from
@@ -808,8 +815,8 @@ object SparkEntry {
     * = transitive closure) — shared by the dedup-assignments and
     * dedup-corpus oracles so their edge lists cannot drift.
     */
-  private val ccReachCtes =
-    s"""lsh AS ($minhashPairsCore),
+  private def ccReachCtesFor(rDivisor: String): String =
+    s"""lsh AS (${minhashPairsCoreFor(rDivisor)}),
        ex AS (SELECT mn AS doc_a, doc_id AS doc_b FROM (
            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
            FROM documents)
@@ -822,6 +829,8 @@ object SparkEntry {
          SELECT a, b FROM edges
          UNION SELECT a, a FROM edges
          UNION SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a)"""
+
+  private val ccReachCtes = ccReachCtesFor("3")
 
   /** Per-doc 60-bit SimHash (md5-prefix token hash — the same
     * engine-portable hash Dedup.tokenHash60 uses), sans ORDER BY.
@@ -1002,8 +1011,8 @@ object SparkEntry {
     * report's oracle literally recombines the parents' SQL (lazy: they
     * reference fragments defined later in the object).
     */
-  private lazy val dedupThresholdSweepOracle: String =
-    s"""WITH $minhashCtes,
+  private def dedupThresholdSweepOracleFor(rDivisor: String): String =
+    s"""WITH ${minhashCtesFor(rDivisor)},
          pairs AS ($minhashPairsSelect),
          shs AS (SELECT doc_id, list_distinct(list_transform(
              generate_series(1, len(toks) - 2),
@@ -1026,8 +1035,11 @@ object SparkEntry {
          FROM sc JOIN grid ON sim_bp >= thr_bp CROSS JOIN nn
          GROUP BY thr_bp ORDER BY thr_bp"""
 
-  private lazy val captureRecaptureOracle: String =
-    s"""WITH $minhashCtes,
+  private lazy val dedupThresholdSweepOracle: String =
+    dedupThresholdSweepOracleFor("3")
+
+  private def captureRecaptureOracleFor(rDivisor: String): String =
+    s"""WITH ${minhashCtesFor(rDivisor)},
          mp AS ($minhashPairsSelect),
          f AS ($simhashCore),
          sbk AS (SELECT doc_id, simhash,
@@ -1056,8 +1068,11 @@ object SparkEntry {
              AS simhash_recall_ppm
          FROM j"""
 
-  private lazy val dedupSurvivorshipOracle: String =
-    s"""WITH RECURSIVE $ccReachCtes,
+  private lazy val captureRecaptureOracle: String =
+    captureRecaptureOracleFor("3")
+
+  private def dedupSurvivorshipOracleFor(rDivisor: String): String =
+    s"""WITH RECURSIVE ${ccReachCtesFor(rDivisor)},
          canon AS (SELECT a AS doc_id, min(r) AS canon_id
            FROM reach GROUP BY a),
          q AS (SELECT doc_id,
@@ -1085,16 +1100,31 @@ object SparkEntry {
            sq1 // n1 AS mean_qu_surv, sq2 // n2 AS mean_qu_vict
          FROM f CROSS JOIN tt GROUP BY n1, n2, sq1, sq2"""
 
-  /** The dedup design report: the four parent oracles verbatim as
-    * materialized CTE subqueries, pivoted to the long (facet, metric,
-    * value) schema — the same composition Dedup.dedupDesignReport does
-    * over the operators.
+  private lazy val dedupSurvivorshipOracle: String =
+    dedupSurvivorshipOracleFor("3")
+
+  /** The dedup design report: the four parent oracles as materialized
+    * CTE subqueries, pivoted to the long (facet, metric, value) schema —
+    * the same composition Dedup.dedupDesignReport does over the
+    * operators. The planner CTEs run ONCE at the outer level; the
+    * chosen rows-per-band feeds the three candidate-set facets' band
+    * CTEs as a scalar subquery (the q_planned_lsh_pairs composition),
+    * so the lsh_scheme facet names exactly the scheme that produced the
+    * adjudicated candidate set, whatever the planner picks.
     */
-  private lazy val dedupDesignReportOracle: String =
-    s"""WITH pl AS MATERIALIZED (${lshPlannerOracle(12, 700L)}),
-         ts AS MATERIALIZED ($dedupThresholdSweepOracle),
-         cr AS MATERIALIZED ($captureRecaptureOracle),
-         sv AS MATERIALIZED ($dedupSurvivorshipOracle)
+  private lazy val dedupDesignReportOracle: String = {
+    val rDiv = "(SELECT r FROM design_chosen)"
+    s"""WITH ${lshPlannerCtes(12, 700L)},
+         design_chosen AS MATERIALIZED (SELECT b, r FROM u
+           ORDER BY fp_mass_u + fn_mass_u, b LIMIT 1),
+         pl AS MATERIALIZED (SELECT b, r,
+             fp_mass_u + fn_mass_u AS cost_u,
+             row_number() OVER (ORDER BY fp_mass_u + fn_mass_u, b) = 1
+               AS chosen
+           FROM u),
+         ts AS MATERIALIZED (${dedupThresholdSweepOracleFor(rDiv)}),
+         cr AS MATERIALIZED (${captureRecaptureOracleFor(rDiv)}),
+         sv AS MATERIALIZED (${dedupSurvivorshipOracleFor(rDiv)})
          SELECT facet, metric, value FROM (
            SELECT 'lsh_scheme' AS facet, 'bands' AS metric,
              CAST(b AS BIGINT) AS value FROM pl WHERE chosen
@@ -1122,6 +1152,7 @@ object SparkEntry {
            UNION ALL SELECT 'survivorship', 'mean_qu_vict',
              mean_qu_vict FROM sv)
          ORDER BY facet, metric"""
+  }
 
   /** Planner-driven pair oracle: the planner CTEs pick the cost-argmin
     * (b, r), and the SAME minhash band CTEs re-band with the chosen

@@ -1941,24 +1941,36 @@ object Dedup {
 
   /** The dedup DESIGN REVIEW in one frame — the [[graft.operators.TextOps.releaseManifest]]
     * discipline applied to the dedup family: the four QA verdicts that
-    * each separately adjudicate the SAME banding pipeline ([[lshPlanner]]'s
-    * chosen scheme, [[dedupThresholdSweep]] at the deployed 7000 bp bar,
-    * [[captureRecapture]]'s missed-pair estimate, [[dedupSurvivorship]]'s
-    * policy-bias KS) composed into one long-format release artifact.
-    * The oracle recombines the SAME four oracle fragments and must land
-    * on identical values — the composition proof, not a new computation.
-    * Each facet's pipeline runs once; the report adds only bounded
-    * stacks over their (≤10-row) outputs.
+    * each separately adjudicate the SAME banding pipeline composed into
+    * one long-format release artifact. "Same" is structural, not
+    * aspirational: [[lshPlanner]] picks the cost-argmin (b, r) first,
+    * the shared candidate frame is BANDED WITH THAT CHOSEN
+    * rows-per-band (the [[plannedLshPairs]] path), and the
+    * [[dedupThresholdSweep]] (at the deployed 7000 bp bar),
+    * [[captureRecapture]] missed-pair estimate and [[dedupSurvivorship]]
+    * policy-bias KS all adjudicate that one candidate set — so the
+    * lsh_scheme facet names exactly the scheme that produced the other
+    * three verdicts, whatever the planner picks on a given corpus.
+    * The oracle recombines the SAME four oracle fragments (with the
+    * chosen r as a scalar subquery into the band CTE) and must land
+    * on identical values — the composition proof, not a new
+    * computation. The planner decision frame is |divisors(numHashes)|
+    * rows (checkpointed once, read by the facet and the argmin);
+    * each facet's pipeline runs once over the shared pairs; the
+    * report adds only bounded stacks over their (≤10-row) outputs.
     */
   def dedupDesignReport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val planner = lshPlanner(s, dir).filter($"chosen")
+    val plan = lshPlanner(s, dir).localCheckpoint() // facet + argmin read it
+    val pick = plan.filter($"chosen").select($"b", $"r").head()
+    val planner = plan.filter($"chosen")
       .selectExpr("""stack(3,
         'bands', CAST(b AS BIGINT),
         'rows_per_band', CAST(r AS BIGINT),
         'cost_u', cost_u) AS (metric, value)""")
       .select(lit("lsh_scheme").as("facet"), $"metric", $"value")
-    val shared = sharedLshPairs(s, dir) // ONE banding pass, three facets
+    // ONE banding pass with the planner-chosen scheme, three facets
+    val shared = sharedLshPairs(s, dir, rowsPerBand = pick.getInt(1))
     val sweep = dedupThresholdSweep(s, dir, shared, 3)
       .filter($"thr_bp" === 7000L)
       .selectExpr("""stack(3,

@@ -2584,8 +2584,11 @@ object TextOps {
     * actually needs before anyone trusts the bar. Output: the
     * threshold, and the guarantee AUDITED on the eval split (measured
     * coverage vs the 1−α target — the proven-bounds discipline of the
-    * sketch audits). k < 1 (calibration too small for the requested α)
-    * reports NULL threshold/coverage instead of a fabricated bar.
+    * sketch audits). A degenerate rank — k < 1 (calibration too small
+    * for the requested α) or k > nCal (α ≥ 1, e.g. alphaBp ≥ 10⁴,
+    * where ⌊α(n+1)⌋ exceeds the calibration size) — reports NULL
+    * threshold/coverage instead of a fabricated bar, matching the
+    * oracle's scalar-subquery NULL contract on the same inputs.
     *
     * Exactness: quality quantizes to the usual 1e4 integers; the k-th
     * order statistic rides [[graft.operators.Relational.globalRowNumber]]
@@ -2610,7 +2613,7 @@ object TextOps {
     val nCal = cal.count()
     val k = alphaBp * (nCal + 1) / 10000
     val thr: Option[Long] =
-      if (k < 1) None
+      if (k < 1 || k > nCal) None
       else Some(Relational.globalRowNumber(cal, Seq($"qu", $"doc_id"))
         .filter($"rk" === k).head().getAs[Long]("qu"))
     val ev = scored.filter($"bucket" >= 90)

@@ -838,7 +838,8 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("dedupDesignReport recombines exactly its four parents' values") {
+  test("dedupDesignReport recombines exactly its four parents' values, " +
+       "all adjudicating the PLANNER-CHOSEN banding scheme") {
     val rep = Dedup.dedupDesignReport(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val expected = scala.collection.mutable.Map[(String, String), Long]()
@@ -846,14 +847,20 @@ class DedupSpec extends SparkSpec {
     expected(("lsh_scheme", "bands")) = pl.getAs[Int]("b").toLong
     expected(("lsh_scheme", "rows_per_band")) = pl.getAs[Int]("r").toLong
     expected(("lsh_scheme", "cost_u")) = pl.getAs[Long]("cost_u")
-    Dedup.dedupThresholdSweep(spark, sf).filter($"thr_bp" === 7000L)
+    // the three candidate-set facets must be computed from pairs banded
+    // with the planner's chosen rows-per-band — the report's lsh_scheme
+    // facet names the scheme that actually produced the adjudicated set
+    val chosenPairs =
+      Dedup.sharedLshPairs(spark, sf, rowsPerBand = pl.getAs[Int]("r"))
+    Dedup.dedupThresholdSweep(spark, sf, chosenPairs, 3)
+      .filter($"thr_bp" === 7000L)
       .collect().foreach { ts =>
         expected(("threshold_7000bp", "n_pairs")) = ts.getAs[Long]("n_pairs")
         expected(("threshold_7000bp", "n_docs_dropped")) =
           ts.getAs[Long]("n_docs_dropped")
         expected(("threshold_7000bp", "loss_bp")) = ts.getAs[Long]("loss_bp")
       }
-    val cr = Dedup.captureRecapture(spark, sf).head()
+    val cr = Dedup.captureRecapture(spark, sf, chosenPairs).head()
     expected(("capture_recapture", "chapman_est")) =
       cr.getAs[Long]("chapman_est")
     expected(("capture_recapture", "est_missed")) =
@@ -862,7 +869,7 @@ class DedupSpec extends SparkSpec {
       cr.getAs[Long]("minhash_recall_ppm")
     expected(("capture_recapture", "simhash_recall_ppm")) =
       cr.getAs[Long]("simhash_recall_ppm")
-    val sv = Dedup.dedupSurvivorship(spark, sf).head()
+    val sv = Dedup.dedupSurvivorship(spark, sf, chosenPairs).head()
     expected(("survivorship", "ks_bp")) = sv.getAs[Long]("ks_bp")
     expected(("survivorship", "mean_qu_surv")) = sv.getAs[Long]("mean_qu_surv")
     expected(("survivorship", "mean_qu_vict")) = sv.getAs[Long]("mean_qu_vict")

@@ -2335,6 +2335,13 @@ class TextOpsSpec extends SparkSpec {
     assert(v.getAs[Long]("k") === 0L)
     assert(v.isNullAt(v.fieldIndex("threshold_qu")))
     assert(v.isNullAt(v.fieldIndex("coverage_u")))
+    // alpha >= 1 (alphaBp >= 10^4): k = n_cal + 1 exceeds the calibration
+    // size — the gate must degrade to the same NULL contract (the oracle's
+    // scalar subquery is NULL there), not throw on an empty rank pick
+    val w = TextOps.conformalQualityGate(spark, sf, alphaBp = 10000L).head()
+    assert(w.getAs[Long]("k") === cal.length.toLong + 1L)
+    assert(w.isNullAt(w.fieldIndex("threshold_qu")))
+    assert(w.isNullAt(w.fieldIndex("coverage_u")))
   }
 
   test("datasetCartography: confidence/variability in range, region " +
