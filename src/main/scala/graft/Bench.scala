@@ -14,6 +14,24 @@ import org.apache.spark.sql.SparkSession
   * So the line carries the headline total plus the slowest queries that
   * fit (3-decimal precision), and the FULL per-query map is written to
   * bench_details.json next to the build for anyone who wants all of it.
+  *
+  * Session hygiene (round 13): every query's localCheckpoint blocks are
+  * explicitly released after its runs ([[Sessions.releaseCheckpointBlocks]]).
+  * Without this, blocks are reclaimed only by driver GC + the async
+  * ContextCleaner, which on a 128 GiB heap lags the sweep by minutes —
+  * round-12's driver artifact measured checkpoint-heavy queries late in
+  * the alphabetical sweep degrading up to 27× (q_simhash_pairs 0.86 s
+  * idle vs 23.4–34.7 s in-sweep) from that accumulated block pressure.
+  * `GRAFT_BENCH_RELEASE=0` disables the release for A/B diagnosis.
+  *
+  * Telemetry (round 13): a SparkListener records per-query shuffle
+  * read/write bytes, spill and peak task execution memory, and the
+  * residual persistent-RDD block bytes after release — wall-time alone
+  * cannot separate "plan regressed" from "session degraded", which cost
+  * round 12 a whole investigation. All of it lands in
+  * bench_details.json; the stdout line carries a compact `suspect`
+  * verdict (spread-jittered and regressed-vs-prior query names) so the
+  * artifact reader gets adjudication, not raw spreads.
   */
 object Bench {
   /** Fixed-work single-thread CPU canary (~1s on an idle core): a pure-JVM
@@ -63,10 +81,80 @@ object Bench {
     (runs.min, runs.max)
   }
 
+  /** Task-metric rollup for the bench sweep. Events arrive async on the
+    * listener bus; [[snapshotAfterDrain]] drains the bus before reading
+    * so one query's tail isn't attributed to the next.
+    */
+  private final class Telemetry extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    private val read = new AtomicLong
+    private val write = new AtomicLong
+    private val spill = new AtomicLong
+    private val peak = new AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+        var cur = peak.get()
+        while (m.peakExecutionMemory > cur &&
+          !peak.compareAndSet(cur, m.peakExecutionMemory)) cur = peak.get()
+      }
+    }
+    /** Drain-then-zero so a prior query's (or the warmup's) async
+      * task-end tail can't leak into the next query's counters.
+      */
+    def reset(spark: SparkSession): Unit = {
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark, 10000L)
+      read.set(0); write.set(0); spill.set(0); peak.set(0)
+    }
+    def snapshotAfterDrain(spark: SparkSession): (Long, Long, Long, Long) = {
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark, 10000L)
+      (read.get, write.get, spill.get, peak.get)
+    }
+  }
+
+  private case class QueryResult(name: String, minSec: Double, ok: Boolean,
+                                 maxSec: Double, shuffleReadB: Long,
+                                 shuffleWriteB: Long, spillB: Long,
+                                 peakTaskMemB: Long, residBlockB: Long,
+                                 residRdds: Int, gcSec: Double,
+                                 tOffsetSec: Double)
+
+  /** Total JVM GC time so far (all collectors) — per-query deltas
+    * separate "the engine was slow" from "the JVM paused the world",
+    * which round-13's A/B sweeps showed are episodic and wander between
+    * queries run-to-run.
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Prior per-query times from the last sweep's details file (if any) —
+    * the trailing reference the `suspect.regressed_vs_prior` verdict
+    * compares against. Minimal regex parse; absent/unparseable → empty.
+    */
+  private def priorTimes(path: String): Map[String, Double] =
+    try {
+      val txt = scala.io.Source.fromFile(path)
+      val s = try txt.mkString finally txt.close()
+      val qs = """"queries":\{(.*?)\}""".r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse("")
+      """"(q_[A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(qs)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val prior = priorTimes("bench_details.json")
     val spark = Sessions.local(cpus, cpus)
+    val telemetry = new Telemetry
+    spark.sparkContext.addSparkListener(telemetry)
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables(spark, sfDir, "lineitem").count()
     // steady-state methodology: one untimed warmup (pays one-time
@@ -80,21 +168,40 @@ object Bench {
     // so a typo'd 0/garbage value can't kill the bench mid-suite
     val nRuns = math.max(1,
       sys.env.get("GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
+    val doRelease = sys.env.getOrElse("GRAFT_BENCH_RELEASE", "1") != "0"
+    def release(): Unit = if (doRelease) {
+      Sessions.releaseCheckpointBlocks(spark); ()
+    }
+    val sweepT0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val tOff = (System.nanoTime() - sweepT0) / 1e9
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      release()
+      telemetry.reset(spark)
+      val gc0 = gcMillis()
       // a failing query must be distinguishable from a fast one: emit the
       // JSON per-query value as "error" instead of a normal-looking time
       val runs = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val t = (System.nanoTime() - t0) / 1e9
+        release() // outside the timer; blocks never outlive the run
+        (t, ok)
       }
-      (name, runs.map(_._1).min, runs.forall(_._2), runs.map(_._1).max)
+      val (sr, sw, sp, pk) = telemetry.snapshotAfterDrain(spark)
+      // residual persistent-RDD bytes AFTER release: ~0 when the release
+      // discipline works, a growing number when it doesn't — the direct
+      // measurement of round-12's session-degradation mechanism
+      val resid = spark.sparkContext.getRDDStorageInfo
+      QueryResult(name, runs.map(_._1).min, runs.forall(_._2),
+        runs.map(_._1).max, sr / nRuns, sw / nRuns, sp / nRuns, pk,
+        resid.map(r => r.memSize + r.diskSize).sum, resid.length,
+        (gcMillis() - gc0) / 1e3, tOff)
     }
-    val total = results.filter(_._3).map(_._2).sum
+    val total = results.filter(_.ok).map(_.minSec).sum
     // top-level error count: a broken run must not look like a fast run
     // to anything that reads only the headline value
-    val errors = results.count(!_._3)
+    val errors = results.count(!_.ok)
     // timed AFTER the sweep so they read the ambient load the queries saw
     val canary = canarySec()
     val (pcMin, pcMax) = parallelCanary(spark)
@@ -103,31 +210,62 @@ object Bench {
     // on comma-decimal locales would emit "0,680" and break the JSON
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    def entry(r: (String, Double, Boolean, Double)): String =
-      "\"" + r._1 + "\":" + (if (r._3) fmt(r._2) else "\"error\"")
+    def entry(r: QueryResult): String =
+      "\"" + r.name + "\":" + (if (r.ok) fmt(r.minSec) else "\"error\"")
+    def mb(b: Long): String = fmt(b / 1048576.0)
+
+    // adjudicated suspects (round-12 verdict item: the artifact should
+    // carry verdicts, not raw spreads):
+    //  - jitter: this sweep's own 3 runs disagree >2x (and >1s) — the
+    //    query was disturbed DURING the bench, not regressed
+    //  - regressed_vs_prior: min-of-3 more than 2x (+0.5s) the previous
+    //    sweep's min for the same query — moved min and max together,
+    //    the signature of a real change
+    val jitter = results
+      .filter(r => r.ok && r.maxSec > 2 * r.minSec && r.maxSec - r.minSec > 1.0)
+      .map(_.name)
+    val regressed = results
+      .filter(r => r.ok && prior.get(r.name).exists(p => r.minSec > 2 * p + 0.5))
+      .map(_.name)
+    def nameArr(ns: Seq[String]): String =
+      ns.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // full detail (all queries, name order) → file, plus the per-query
-    // min→max run spread: a query whose own 3 runs disagree by >2x was
-    // jittered DURING this bench — distinguishable from a regression
-    // (which moves min and max together) without a local re-run
+    // min→max run spread and task-metric telemetry
     val fullQs = results.map(entry).mkString("{", ",", "}")
-    val spreadQs = results.filter(_._3)
-      .map(r => "\"" + r._1 + "\":[" + fmt(r._2) + "," + fmt(r._4) + "]")
+    val spreadQs = results.filter(_.ok)
+      .map(r => "\"" + r.name + "\":[" + fmt(r.minSec) + "," + fmt(r.maxSec) + "]")
       .mkString("{", ",", "}")
+    val telemQs = results.map { r =>
+      "\"" + r.name + "\":{\"shuffle_read_mb\":" + mb(r.shuffleReadB) +
+        ",\"shuffle_write_mb\":" + mb(r.shuffleWriteB) +
+        ",\"spill_mb\":" + mb(r.spillB) +
+        ",\"peak_task_mem_mb\":" + mb(r.peakTaskMemB) +
+        ",\"resid_block_mb\":" + mb(r.residBlockB) +
+        ",\"resid_rdds\":" + r.residRdds +
+        ",\"gc_sec\":" + fmt(r.gcSec) +
+        ",\"t_offset_sec\":" + fmt(r.tOffsetSec) + "}"
+    }.mkString("{", ",", "}")
     val canaryStr = fmt(canary)
     val pcStr = s""""pcanary_sec":${fmt(pcMin)},"pcanary_max_sec":${fmt(pcMax)}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"canary_sec":$canaryStr,$pcStr,"queries":$fullQs,"run_spread":$spreadQs,"n_queries":${results.size},"sf":"$sfDir"}"""
+    def suspectStr(cap: Int): String =
+      s""""suspect":{"n_jitter":${jitter.size},""" +
+        s""""jitter":${nameArr(jitter.take(cap))},""" +
+        s""""n_regressed":${regressed.size},""" +
+        s""""regressed_vs_prior":${nameArr(regressed.take(cap))},""" +
+        s""""prior_known":${prior.nonEmpty},"release_enabled":$doRelease}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"canary_sec":$canaryStr,$pcStr,${suspectStr(Int.MaxValue)},"queries":$fullQs,"run_spread":$spreadQs,"telemetry":$telemQs,"n_queries":${results.size},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_details.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
 
     // stdout line: errors first (never drop an "error" marker), then the
-    // slowest queries that fit the length budget
-    val prefix = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"canary_sec":$canaryStr,$pcStr,"n_queries":${results.size},"sf":"$sfDir","queries":{"""
+    // suspect verdicts, then the slowest queries that fit the budget
+    val prefix = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"canary_sec":$canaryStr,$pcStr,${suspectStr(6)},"n_queries":${results.size},"sf":"$sfDir","queries":{"""
     val suffix = "}}"
     val budget = 1400 - prefix.length - suffix.length
-    val ranked = results.filter(!_._3) ++ results.filter(_._3).sortBy(-_._2)
+    val ranked = results.filter(!_.ok) ++ results.filter(_.ok).sortBy(-_.minSec)
     val kept = new scala.collection.mutable.ListBuffer[String]
     var used = 0
     ranked.foreach { r =>

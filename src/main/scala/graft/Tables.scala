@@ -100,4 +100,28 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Release every persistent RDD block still registered in the session —
+    * the `localCheckpoint()` materializations the iterative/fan-out
+    * operators use for lineage truncation, plus any `persist()`/`cache()`
+    * site. Returns the number of RDDs released.
+    *
+    * Why this exists: checkpoint blocks are only reclaimed when the
+    * driver GCs the RDD reference AND the async ContextCleaner processes
+    * it — on a large heap the old-gen GC that collects those references
+    * can lag MINUTES behind, so a long-lived session running many
+    * pipeline stages accumulates every stage's checkpoint blocks in the
+    * block manager (memory first, then disk). Round-12's driver bench
+    * measured the effect: queries late in a 346-query sweep degraded up
+    * to 27× (q_simhash_pairs 0.86 s idle → 23.4 s in-sweep) purely from
+    * accumulated block pressure. Call this BETWEEN pipeline stages
+    * (never mid-query — a stage's own checkpoints must stay alive while
+    * its consumers read them); the in-flight stage recomputes nothing,
+    * and the next stage starts against an empty block manager.
+    */
+  def releaseCheckpointBlocks(spark: SparkSession): Int = {
+    val rdds = spark.sparkContext.getPersistentRDDs
+    rdds.valuesIterator.foreach(_.unpersist(blocking = false))
+    rdds.size
+  }
 }

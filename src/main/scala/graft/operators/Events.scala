@@ -1184,12 +1184,23 @@ object Events {
     * driver-side — bounded by the value grid's distinct cardinality,
     * the artifact a drift monitor ships to the edge (the
     * [[psiReferenceCounts]] convention, without the bin choice).
+    * `maxGridCells` makes the bound EXPLICIT: distinct-value
+    * cardinality is data-dependent on an arbitrary value column, and
+    * an unbounded one must fail with a remediation note (pre-quantize
+    * coarser), not silently materialize an edge artifact the driver —
+    * and every monitor that ships it — cannot hold.
     */
-  def ksReferenceCounts(s: SparkSession, dir: String): Seq[(Long, Long)] = {
+  def ksReferenceCounts(s: SparkSession, dir: String,
+                        maxGridCells: Int = 1000000): Seq[(Long, Long)] = {
     import s.implicits._
-    valueHalves(s, dir).filter($"early")
+    val cells = valueHalves(s, dir).filter($"early")
       .groupBy($"vq").agg(count(lit(1)).as("n"))
-      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      .as[(Long, Long)].limit(maxGridCells + 1).collect()
+    if (cells.length > maxGridCells) throw new IllegalStateException(
+      s"ksReferenceCounts: reference histogram exceeds maxGridCells=" +
+        s"$maxGridCells distinct quantized cells — pre-quantize the " +
+        "value column to a coarser grid, or raise the cap deliberately.")
+    cells.toSeq.sortBy(_._1)
   }
 
   /** Exact two-sample Kolmogorov–Smirnov drift test: sup |F_early −

@@ -1586,6 +1586,47 @@ object Relational {
       .drop("_gp", "_ps", "_off", "_v")
   }
 
+  /** EXCLUSIVE global running sums of SEVERAL value columns at once in
+    * `orderCols` order — [[globalPrefixSum]] generalized so a consumer
+    * needing two cumulative series (e.g. a CDF over counts AND
+    * positives) pays ONE range shuffle + one checkpoint instead of one
+    * per series. Appends each `(valueCol, name)` as `name`.
+    */
+  def globalPrefixSums(df: DataFrame, orderCols: Seq[Column],
+                       values: Seq[(Column, String)],
+                       numParts: Int = 0): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val n = if (numParts > 0) numParts
+            else s.conf.get("spark.sql.shuffle.partitions").toInt
+    val vCols = values.zipWithIndex.map { case ((c, _), i) => (c, s"_v$i") }
+    val ranged = values.zip(vCols).foldLeft(
+        df.repartitionByRange(n, orderCols: _*)
+          .withColumn("_gp", spark_partition_id())) {
+        case (d, (_, (c, tmp))) => d.withColumn(tmp, c)
+      }
+      .localCheckpoint() // offsets + summed output both read it
+    val offsets = ranged.groupBy($"_gp")
+      .agg(vCols.map { case (_, tmp) => sum(col(tmp)).as(tmp + "s") }.head,
+        vCols.map { case (_, tmp) => sum(col(tmp)).as(tmp + "s") }.tail: _*)
+    val offs = vCols.foldLeft(offsets) { case (d, (_, tmp)) =>
+      d.withColumn(tmp + "o",
+        coalesce(sum(col(tmp + "s")).over(
+          Window.orderBy($"_gp").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    }.select($"_gp" +: vCols.map { case (_, tmp) => col(tmp + "o") }: _*)
+    val byPart = Window.partitionBy($"_gp").orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val summed = values.zip(vCols).foldLeft(
+        ranged.join(broadcast(offs), Seq("_gp"))) {
+        case (d, ((_, name), (_, tmp))) =>
+          d.withColumn(name,
+            col(tmp + "o") + coalesce(sum(col(tmp)).over(byPart), lit(0L)))
+      }
+    summed.drop("_gp" +: vCols.flatMap { case (_, tmp) =>
+      Seq(tmp, tmp + "o") }: _*)
+  }
+
   /** Customer-revenue Lorenz curve + exact Gini — the concentration
     * readout behind "our top decile carries the business": customers
     * ranked ascending by lifetime revenue (total (revenue, custkey)

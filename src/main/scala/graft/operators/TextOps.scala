@@ -1044,9 +1044,13 @@ object TextOps {
     * exact best single split by weighted Gini impurity — the root
     * node every tree ensemble grows first, and the one-line "is doc
     * length alone a language signal" audit. The candidate set is the
-    * distinct n_chars values (one groupBy + one cumulative window
-    * over the value-bounded rollup, never a per-doc scan per
-    * candidate); the objective is the fixed-point weighted impurity
+    * distinct n_chars values (one groupBy, then BOTH cumulative series
+    * — counts and positives — through ONE range-partitioned two-pass
+    * [[graft.operators.Relational.globalPrefixSums]], so no task ever
+    * sorts the full distinct-value frame: n_chars cardinality is
+    * data-dependent, and a single-partition window over it would be
+    * the one unbounded frame in the audit path); the objective is the
+    * fixed-point weighted impurity
     * cost_u9 = N·10⁹ − ⌊(posL²+negL²)·10⁹/nL⌋ − ⌊(posR²+negR²)·10⁹/nR⌋
     * in DECIMAL(38,0) (the squared counts overflow long past ~sf0.1),
     * with truncating division both engines share — so the argmin is
@@ -1061,11 +1065,15 @@ object TextOps {
       .groupBy($"n_chars")
       .agg(count(lit(1)).as("cnt"),
         sum(when($"lang" === "en", 1L).otherwise(0L)).as("pos"))
-    val w = Window.orderBy($"n_chars")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = byVal
-      .withColumn("nl", sum($"cnt").over(w))
-      .withColumn("posl", sum($"pos").over(w))
+    // inclusive cumulative = exclusive global prefix + own cell, both
+    // series in one range-partitioned pass — no single-task sort of the
+    // distinct-value frame
+    val cum = Relational
+      .globalPrefixSums(byVal, Seq($"n_chars"),
+        Seq(($"cnt", "_pc"), ($"pos", "_pp")))
+      .withColumn("nl", $"_pc" + $"cnt")
+      .withColumn("posl", $"_pp" + $"pos")
+      .drop("_pc", "_pp")
       .localCheckpoint() // totals and the candidate scan read it
     val tot = cum.agg(max($"nl").as("n"), max($"posl").as("p"))
     val cand = cum.crossJoin(broadcast(tot))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.{dates, geo}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -180,6 +180,31 @@ object Streams {
       }
   }
 
+  /** Driver-state guard for the exact-histogram sinks: collect the
+    * (…, n) histogram rollup only when its cardinality is within
+    * `maxGridCells`, else fail the stream with an actionable note. The
+    * exact sinks' state is bounded by the DISTINCT quantized values —
+    * range-bounded for the 2-dp fixture grids, but DATA-DEPENDENT on an
+    * arbitrary value column, and an unbounded-cardinality column would
+    * silently grow the per-trigger driver collect until the driver
+    * dies. `limit(cap + 1)` bounds the transfer even in the failure
+    * path; degrading to a coarser grid instead is deliberately NOT done
+    * here — it would silently break the sinks' stream ≡ batch exactness
+    * contract, and the right coarsening (pre-quantizing the value
+    * column) belongs to the caller who knows the value semantics.
+    */
+  private def collectBoundedHist(batch: DataFrame, maxGridCells: Int,
+                                 what: String): Array[Row] = {
+    val rows = batch.limit(maxGridCells + 1).collect()
+    if (rows.length > maxGridCells) throw new IllegalStateException(
+      s"$what: the exact value-grid histogram exceeds maxGridCells=" +
+        s"$maxGridCells distinct quantized cells. The sink's driver " +
+        "state is bounded by DISTINCT quantized values, not event " +
+        "count — pre-quantize the value column to a coarser grid, or " +
+        "raise maxGridCells deliberately if the driver can hold it.")
+    rows
+  }
+
   /** Streaming EXACT median per event type — no P²/t-digest
     * approximation: the state is the value-grid histogram (value is
     * 2-dp data on a bounded range, so round(value·10⁴) keys a grid
@@ -190,9 +215,13 @@ object Streams {
     * even-count convention (mean of the two middle elements), so the
     * last emission is bit-identical to
     * [[graft.operators.Events.medianValue]] over the same rows —
-    * pinned by spec. Driver cost per trigger: |types|·|grid| rows.
+    * pinned by spec. Driver cost per trigger: |types|·|grid| rows,
+    * guarded by `maxGridCells` (an unbounded-cardinality value column
+    * fails fast with a remediation note instead of growing the driver
+    * collect without bound).
     */
-  def medianSink(events: DataFrame, targetDir: String)
+  def medianSink(events: DataFrame, targetDir: String,
+                 maxGridCells: Int = 1000000)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val hist = events
       .select(col("event_type"),
@@ -202,7 +231,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val rows = batch.collect()
+        val rows = collectBoundedHist(batch, maxGridCells, "medianSink")
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         if (rows.nonEmpty) {
           val out = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
@@ -642,7 +671,7 @@ object Streams {
     * smears away, at the cost of value-grid-sized (bounded) state.
     */
   def ksDriftSink(values: DataFrame, refCounts: Seq[(Long, Long)],
-                  targetDir: String)
+                  targetDir: String, maxGridCells: Int = 1000000)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val n1 = refCounts.map(_._2).sum
     val hist = values
@@ -652,7 +681,8 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val cur = batch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val cur = collectBoundedHist(batch, maxGridCells, "ksDriftSink")
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
         val n2 = cur.values.sum
         val refMap = refCounts.toMap
         var c1 = 0L; var c2 = 0L; var dNum = 0L
@@ -684,7 +714,8 @@ object Streams {
     * and shape drifts a location-insensitive monitor misses.
     */
   def energyDriftSink(values: DataFrame, refCounts: Seq[(Long, Long)],
-                      targetDir: String, alarmU: Long)
+                      targetDir: String, alarmU: Long,
+                      maxGridCells: Int = 1000000)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val hist = values
       .select(round(col("value") * 10000).cast("long").as("vq"))
@@ -693,7 +724,8 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val cur = batch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val cur = collectBoundedHist(batch, maxGridCells, "energyDriftSink")
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
         val ref = refCounts.toMap
         val n1 = BigInt(ref.values.sum); val n2 = BigInt(cur.values.sum)
         if (n2 > 0) {
@@ -933,7 +965,20 @@ object Streams {
           "org.apache.spark:spark-sql-kafka-0-10_2.13 (same Spark version) " +
           "via --packages or the cluster's jars dir")
 
-  /** `gtfs-arrivals` topic source (reference topic, docker-compose.yml:61). */
+  /** `gtfs-arrivals` topic source (reference topic, docker-compose.yml:61).
+    *
+    * Wire-level status (round-13 adjudication): an embedded-broker
+    * round-trip spec (arrivals → kafkaSink → kafkaSource → geoFilter)
+    * needs `spark-sql-kafka-0-10` + a kafka-server test harness; neither
+    * artifact exists in this build environment's offline dependency
+    * cache or /opt/spark/jars (verified by cache search — zero kafka
+    * artifacts resolvable with zero egress), so the `format("kafka")`
+    * codepath itself stays exercised only at deployment. The semantic
+    * contract (JSON wire schema, at-least-once replay, geo filtering,
+    * checkpoint restart) is pinned by the file/memory-backed streaming
+    * specs, which drive the SAME transforms through the same
+    * DataStreamWriter surface.
+    */
   def kafkaSource(spark: org.apache.spark.sql.SparkSession,
                   endpoint: KafkaEndpoint): DataFrame = {
     requireConnector()

@@ -16,4 +16,13 @@ object GraftBridge {
 
   def expression(c: Column): CatalystExpression =
     classic.ExpressionUtils.expression(c)
+
+  /** Drain the listener bus (private[spark] surface) — bench telemetry
+    * reads task metrics from a SparkListener, and without a drain the
+    * tail of one query's async task-end events would be attributed to
+    * the next query. Returns false on timeout.
+    */
+  def drainListenerBus(spark: SparkSession, timeoutMillis: Long): Boolean =
+    try { spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 }

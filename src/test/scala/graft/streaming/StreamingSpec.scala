@@ -584,6 +584,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("histogram sinks fail fast with a remediation note when a " +
+       "high-cardinality value column exceeds the driver-state cap") {
+    val dst = java.nio.file.Files.createTempDirectory("med-cap-out")
+      .toString + "/med"
+    val ckpt = java.nio.file.Files.createTempDirectory("med-cap-ckpt")
+      .toString
+    val input = MemoryStream[(String, Double)](spark)
+    // every value distinct on the 1e-4 grid: cells = rows, cap = 50
+    val q = Streams.medianSink(input.toDF().toDF("event_type", "value"),
+        dst, maxGridCells = 50)
+      .option("checkpointLocation", ckpt).start()
+    input.addData((1 to 200).map(i => ("t", i * 0.01)))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("maxGridCells")),
+      s"expected the cap's remediation note, got: ${messages(ex)}")
+    // the batch-side reference helper carries the same explicit bound
+    val ex2 = intercept[IllegalStateException] {
+      graft.operators.Events.ksReferenceCounts(spark, sf, maxGridCells = 2)
+    }
+    assert(ex2.getMessage.contains("maxGridCells"))
+    // and the fixture grid stays comfortably inside the default cap
+    // (the positive stream ≡ batch pins run unchanged elsewhere)
+    assert(graft.operators.Events.ksReferenceCounts(spark, sf).nonEmpty)
+  }
+
   test("pChartSink: final emission is row-identical to the batch p-chart " +
        "across a mid-stream split") {
     val dst = java.nio.file.Files.createTempDirectory("pchart-out")
