@@ -169,11 +169,29 @@ object Bench {
     val nRuns = math.max(1,
       sys.env.get("GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
     val doRelease = sys.env.getOrElse("GRAFT_BENCH_RELEASE", "1") != "0"
+    // optional comma-separated subset for mini-sweep A/B diagnosis —
+    // same per-query protocol (warmup, release, telemetry) on a handful
+    // of queries, so a sweep-context effect is separable from the query
+    val only: Set[String] = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def selected = if (only.isEmpty) SparkEntry.queries
+                   else SparkEntry.queries.filter(kv => only(kv._1))
+    // Between queries: free checkpoint blocks, and every 16th query
+    // nudge a driver GC — shuffle files and broadcast pieces are only
+    // reclaimed when the ContextCleaner's weak references die, and a
+    // 96 GiB heap can go the whole sweep without an old-gen GC (Spark
+    // ships spark.cleaner.periodicGC.interval=30min for exactly this;
+    // a 346-query sweep wants it denser). Both run OUTSIDE the timers.
+    var sinceGc = 0
     def release(): Unit = if (doRelease) {
-      Sessions.releaseCheckpointBlocks(spark); ()
+      Sessions.releaseCheckpointBlocks(spark)
+      sinceGc += 1
+      if (sinceGc >= 16) { sinceGc = 0; System.gc() }
+      ()
     }
     val sweepT0 = System.nanoTime()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val tOff = (System.nanoTime() - sweepT0) / 1e9
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       release()

@@ -334,8 +334,14 @@ object Dedup {
       // the width-mx gap (safe for cap ≤ 1000, silently lossy past it)
       .filter($"mx" === 0 ||
         (abs($"la" - $"lb") * 10000) < ($"mx" * (10001L - minSimBp)))
+      // exact-equal prefixes skip the DP entirely: identical copies are
+      // the DOMINANT near-dup class in a real crawl (and the 10x clone
+      // stress corpus), and paying O(cap²) to compute lev=0 per clone
+      // pair turns the verify into the pipeline's straggler — the
+      // equality probe is O(cap) and semantically identical
       .select($"doc_a", $"doc_b", $"mx",
-        levenshtein($"pa", $"pb").cast("long").as("lev"))
+        when($"pa" === $"pb", lit(0L))
+          .otherwise(levenshtein($"pa", $"pb").cast("long")).as("lev"))
       .withColumn("sim_bp",
         when($"mx" === 0, lit(10000L))
           .otherwise(lit(10000L) - expr("(lev * 10000) div mx")))

@@ -3988,16 +3988,21 @@ object TextOps {
     */
   def burrowsDelta(s: SparkSession, dir: String, m: Int = 30): DataFrame = {
     import s.implicits._
-    val docToks = docsFanned(s, dir)
+    // materialize the (source, token) COUNT rollup, never the raw
+    // exploded token stream: every consumer (source lengths, global
+    // top-m, per-cell counts) reads an aggregate, so checkpointing the
+    // |sources|·|vocab|-bounded rollup instead of corpus-tokens-many
+    // rows keeps the materialization audit-sized at any corpus
+    val stc = docsFanned(s, dir)
       .select($"source", explode(text.tokensLower($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c_st"))
       .localCheckpoint() // source lengths + counts + top-m all read it
-    val srcLen = docToks.groupBy($"source").agg(count(lit(1)).as("len_s"))
-    val top = docToks.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val srcLen = stc.groupBy($"source").agg(sum($"c_st").as("len_s"))
+    val top = stc.groupBy($"tok").agg(sum($"c_st").as("c"))
       .orderBy($"c".desc, $"tok").limit(m).select($"tok")
     // dense (source × top token) relative-frequency grid in ppm —
     // missing cells are true zeros, so spine-join before the moments
-    val cnt = docToks.join(broadcast(top), Seq("tok"))
-      .groupBy($"source", $"tok").agg(count(lit(1)).as("c_st"))
+    val cnt = stc.join(broadcast(top), Seq("tok"))
     val f = srcLen.crossJoin(broadcast(top))
       .join(cnt, Seq("source", "tok"), "left")
       .select($"source", $"tok",
@@ -4041,14 +4046,16 @@ object TextOps {
   def jsdSources(s: SparkSession, dir: String, m: Int = 100): DataFrame = {
     import s.implicits._
     val dec = "decimal(38,0)"
-    val docToks = docsFanned(s, dir)
+    // (source, token) COUNT rollup, not the raw exploded stream — the
+    // burrowsDelta discipline: all consumers are aggregates, so the
+    // checkpoint is |sources|·|vocab|-bounded at any corpus
+    val stc = docsFanned(s, dir)
       .select($"source", explode(text.tokensLower($"text")).as("tok"))
-      .localCheckpoint() // vocab + counts both read it
-    val top = docToks.groupBy($"tok").agg(count(lit(1)).as("c"))
-      .orderBy($"c".desc, $"tok").limit(m).select($"tok")
-    val cnt = docToks.join(broadcast(top), Seq("tok"))
       .groupBy($"source", $"tok").agg(count(lit(1)).as("c_st"))
-      .localCheckpoint() // the grid and the per-source totals read it
+      .localCheckpoint() // vocab + counts both read it
+    val top = stc.groupBy($"tok").agg(sum($"c_st").as("c"))
+      .orderBy($"c".desc, $"tok").limit(m).select($"tok")
+    val cnt = stc.join(broadcast(top), Seq("tok"))
     val den = cnt.groupBy($"source")
       .agg((sum($"c_st") + lit(m.toLong)).as("d"))
     val grid = den.crossJoin(broadcast(top))
