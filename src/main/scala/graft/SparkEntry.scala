@@ -180,6 +180,7 @@ object SparkEntry {
       ((s, dir) => Relational.priceElasticity(s, dir)),
     "q_cusum_arl" -> ((s, dir) => Relational.cusumArl(s, dir)),
     "q_dominant_period" -> ((s, dir) => Relational.dominantPeriod(s, dir)),
+    "q_haar_energy" -> ((s, dir) => Relational.haarEnergy(s, dir)),
     "q_holt_linear" -> Relational.holtLinear,
     "q_t_closeness" -> ((s, dir) => Relational.tCloseness(s, dir)),
     "q_dedup_survivorship" -> Dedup.dedupSurvivorship,
@@ -253,6 +254,8 @@ object SparkEntry {
       ((s, _) => gtfs.GtfsFixture.earliestArrivalOracleQuery(s)),
     "q_gtfs_arrival_profile" ->
       ((s, _) => gtfs.GtfsFixture.earliestArrivalProfileOracleQuery(s)),
+    "q_gtfs_isochrone" ->
+      ((s, _) => gtfs.GtfsFixture.isochroneOracleQuery(s)),
     "q_gtfs_trip_patterns" ->
       ((s, _) => gtfs.GtfsFixture.tripPatternsOracleQuery(s)),
     "q_gtfs_headway_cv" ->
@@ -335,6 +338,8 @@ object SparkEntry {
     // -- dedup suite (§7.4) ------------------------------------------------
     "q_dedup_exact" -> Dedup.exact,
     "q_jaccard_pairs" -> Dedup.ngramJaccardPairs,
+    "q_sorted_neighborhood" ->
+      ((s, dir) => Dedup.sortedNeighborhoodPairs(s, dir)),
     "q_minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashLshPairs(s, dir)),
     "q_minhash_jaccard_est" -> ((s, dir) => Dedup.minhashJaccardEst(s, dir)),
     "q_incremental_lsh" -> ((s, dir) => Dedup.incrementalLshPairs(s, dir)),
@@ -349,6 +354,7 @@ object SparkEntry {
     "q_chunk_pairs" -> ((s, dir) => Chunker.sharedChunkPairs(s, dir)),
     "q_chunk_search" -> ((s, dir) => Chunker.chunkSearch(s, dir)),
     "q_dedup_assignments" -> Dedup.dedupAssignments,
+    "q_cluster_provenance" -> ((s, dir) => Dedup.clusterProvenance(s, dir)),
     "q_incremental_clusters" ->
       ((s, dir) => Dedup.incrementalClusters(s, dir)),
     "q_cluster_split" -> Dedup.clusterSplit,
@@ -361,6 +367,9 @@ object SparkEntry {
     "q_neardup_kcore" -> ((s, dir) => Dedup.kCore(s, dir)),
     "q_neardup_coreness" -> ((s, dir) => Dedup.coreness(s, dir)),
     "q_neardup_lpa" -> ((s, dir) => Dedup.labelPropagation(s, dir)),
+    "q_neardup_modularity" -> ((s, dir) => Dedup.nearDupModularity(s, dir)),
+    "q_dedup_method_agreement" ->
+      ((s, dir) => Dedup.dedupMethodAgreement(s, dir)),
     "q_neardup_triangles" -> ((s, dir) => Dedup.nearDupTriangles(s, dir)),
     "q_triangles_oriented" -> ((s, dir) => Dedup.nearDupTrianglesOriented(s, dir)),
     "q_containment_pairs" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
@@ -1394,6 +1403,37 @@ object SparkEntry {
        SELECT CAST(lag_k AS BIGINT) AS lag_k, rho_u,
          lag_k = best_lag AS dominant
        FROM r CROSS JOIN b ORDER BY lag_k"""
+  }
+
+  /** Haar wavelet-energy oracle: the exact integer pair-sum/difference
+    * cascade of Relational.haarEnergy unrolled as generated CTEs (one
+    * h/g pair per level) — generated so every level's even/odd split
+    * and the BIGINT casts are written once and cannot drift from the
+    * Scala loop.
+    */
+  private def haarEnergyOracle(levels: Int): String = {
+    val rounds = (1 to levels).map { i =>
+      s"""h$i AS (SELECT idx // 2 AS idx,
+           CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END) AS BIGINT) AS ev,
+           CAST(sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS od
+         FROM g${i - 1} GROUP BY 1),
+       g$i AS (SELECT idx, ev + od AS v, ev - od AS d FROM h$i)"""
+    }.mkString(",\n       ")
+    val energies = (1 to levels).map { i =>
+      s"""SELECT CAST($i AS INT) AS level,
+           CAST(count(*) AS BIGINT) AS n_coeffs,
+           CAST(sum(d * d) AS BIGINT) AS energy FROM g$i"""
+    }.mkString("\n       UNION ALL ")
+    s"""WITH dc AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         count(*) AS c FROM orders GROUP BY 1),
+       mn AS (SELECT min(day) AS d0 FROM dc),
+       cal AS (SELECT unnest(generate_series(0, ${(1 << levels) - 1})) AS idx),
+       g0 AS (SELECT idx, CAST(coalesce(c, 0) AS BIGINT) AS v
+         FROM cal CROSS JOIN mn
+         LEFT JOIN dc ON dc.day = mn.d0 + CAST(idx AS INT)),
+       $rounds
+       SELECT level, n_coeffs, energy FROM (
+         $energies) ORDER BY level"""
   }
 
   /** The GtfsFixture feed as literal VALUES CTEs (cal/cd/tr/st/sp) —
@@ -2665,6 +2705,24 @@ object SparkEntry {
     "q_minhash_lsh_pairs" ->
       s"""$minhashPairsCore
          ORDER BY doc_a, doc_b""",
+    // Sorted-neighborhood blocking: DuckDB's one-node row_number is the
+    // oracle twin of the engine's range-partitioned globalRowNumber
+    "q_sorted_neighborhood" ->
+      s"""WITH d AS (SELECT doc_id,
+           substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+             1, 24) AS bk,
+           list_distinct($toks) AS toks FROM documents),
+         r AS (SELECT doc_id, bk, toks,
+             row_number() OVER (ORDER BY bk, doc_id) AS rk FROM d),
+         g AS (SELECT unnest(generate_series(1, 3)) AS g)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(g.g AS BIGINT) AS rank_gap,
+           CAST(CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+             * 1000000
+             // nullif(CAST(len(list_distinct(a.toks || b.toks)) AS BIGINT),
+               0) AS BIGINT) AS jaccard_ppm
+         FROM r a CROSS JOIN g JOIN r b ON b.rk = a.rk + g.g
+         ORDER BY doc_a, doc_b""",
     "q_incremental_lsh" ->
       s"""WITH $minhashCtes
          SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS index_doc
@@ -2970,6 +3028,19 @@ object SparkEntry {
       s"""WITH RECURSIVE $ccReachCtes
          SELECT a AS doc_id, min(r) AS canon_id
          FROM reach GROUP BY a ORDER BY doc_id""",
+    // provenance rollup of the SAME CC assignments: cross-source dup
+    // families are the ones whose removal shifts the source mixture
+    "q_cluster_provenance" ->
+      s"""WITH RECURSIVE $ccReachCtes,
+         asn AS (SELECT a AS doc_id, min(r) AS canon_id
+           FROM reach GROUP BY a),
+         j AS (SELECT asn.canon_id, d.source, d.lang
+           FROM asn JOIN documents d USING (doc_id))
+         SELECT canon_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           count(DISTINCT source) > 1 AS cross_source
+         FROM j GROUP BY 1 HAVING count(*) > 1 ORDER BY canon_id""",
     // the incremental maintenance must EQUAL the full recompute — the
     // oracle is deliberately the same full-corpus CC
     "q_incremental_clusters" ->
@@ -3758,6 +3829,77 @@ object SparkEntry {
          ${lpaRoundCtes(2)},
          ${lpaRoundCtes(3)}
          SELECT v AS doc_id, lbl AS community FROM l3 ORDER BY doc_id""",
+    // Modularity of the SAME 3-round LPA partition q_neardup_lpa emits:
+    // identical edge list and round CTEs, plus the integer-ppm Q terms
+    "q_neardup_modularity" ->
+      s"""WITH lsh AS ($minhashPairsCore),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM lsh
+                   UNION ALL SELECT doc_b AS a, doc_a AS b FROM lsh),
+         l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM edges),
+         ${lpaRoundCtes(1)},
+         ${lpaRoundCtes(2)},
+         ${lpaRoundCtes(3)},
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lsh),
+         ein AS (SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS e_in
+           FROM lsh p JOIN l3 la ON la.v = p.doc_a
+             JOIN l3 lb ON lb.v = p.doc_b
+           WHERE la.lbl = lb.lbl GROUP BY 1),
+         degs AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d
+           FROM edges GROUP BY 1),
+         comm AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) AS BIGINT) AS deg_sum
+           FROM l3 JOIN degs USING (v) GROUP BY 1)
+         SELECT c.community, c.n_nodes,
+           CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, c.deg_sum,
+           CAST(coalesce(e.e_in, 0) * 1000000 // m
+             - ((c.deg_sum * c.deg_sum) // (4 * m)) * 1000000 // m
+             AS BIGINT) AS q_term_ppm
+         FROM comm c LEFT JOIN ein e USING (community) CROSS JOIN mm
+         ORDER BY community""",
+    // The three pair sets are verbatim the q_minhash_lsh_pairs /
+    // q_simhash_pairs / q_embedding_neardup oracle pipelines (vec_id ==
+    // doc_id by fixture contract), so the agreement matrix adjudicates
+    // exactly the frames those queries emit
+    "q_dedup_method_agreement" ->
+      s"""WITH mhp AS ($minhashPairsCore),
+         f AS ($simhashCore),
+         shb AS (SELECT doc_id, simhash,
+             concat(CAST(bi AS VARCHAR), ':',
+               CAST((simhash >> (bi * 15)) & 32767 AS VARCHAR)) AS bucket
+           FROM f, (SELECT unnest(generate_series(0, 3)) AS bi)),
+         shp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM shb a JOIN shb b
+             ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash))
+             <= ${operators.Dedup.DefaultMaxHamming}),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         $EmbLshSigCte,
+         emp AS (SELECT c.vec_a AS doc_a, c.vec_b AS doc_b
+           FROM cand c JOIN e a ON a.vec_id = c.vec_a
+             JOIN e b ON b.vec_id = c.vec_b
+           WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3),
+         tagged AS (SELECT 'minhash' AS method, doc_a, doc_b FROM mhp
+           UNION ALL SELECT 'simhash', doc_a, doc_b FROM shp
+           UNION ALL SELECT 'embedding', doc_a, doc_b FROM emp),
+         sizes AS (SELECT method, CAST(count(*) AS BIGINT) AS n
+           FROM tagged GROUP BY 1),
+         inter AS (SELECT a.method AS method_a, b.method AS method_b,
+             CAST(count(*) AS BIGINT) AS n_both
+           FROM tagged a JOIN tagged b
+             ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b
+               AND a.method < b.method
+           GROUP BY 1, 2)
+         SELECT method_a, method_b, n_a, n_b,
+           CAST(coalesce(n_both, 0) AS BIGINT) AS n_both,
+           CAST(coalesce(n_both, 0) * 1000000
+             // nullif(n_a + n_b - coalesce(n_both, 0), 0)
+             AS BIGINT) AS jaccard_ppm
+         FROM (SELECT a.method AS method_a, a.n AS n_a,
+               b.method AS method_b, b.n AS n_b
+             FROM sizes a, sizes b WHERE a.method < b.method) cmb
+         LEFT JOIN inter USING (method_a, method_b)
+         ORDER BY method_a, method_b""",
     "q_neardup_triangles" ->
       s"""WITH lsh AS ($minhashPairsCore),
          t AS (SELECT x.doc_a AS a, x.doc_b AS b, y.doc_b AS c
@@ -5817,6 +5959,20 @@ object SparkEntry {
     "q_absorption_steps" -> absorptionStepsOracle("purchase", 25),
     "q_markov_attribution" -> markovAttributionOracle("purchase", 25),
     "q_gtfs_earliest_arrival" -> gtfsEarliestArrivalOracle(4),
+    // Same relaxation CTEs as the earliest-arrival oracle; the
+    // isochrone is a budget-bucketed rollup of the final labels
+    "q_gtfs_isochrone" ->
+      s"""WITH ${gtfsEarliestArrivalCtes(4)},
+         arr AS (SELECT sp.run_id, lr.best FROM sp LEFT JOIN l4 lr
+           ON lr.run_id = sp.run_id AND lr.stop_id = sp.stop_id),
+         bud AS (SELECT unnest([900, 1800, 3600]) AS budget_secs)
+         SELECT CAST(run_id AS BIGINT) AS run_id,
+           CAST(budget_secs AS BIGINT) AS budget_secs,
+           CAST(sum(CASE WHEN best IS NOT NULL
+             AND best <= ${8 * 3600} + budget_secs
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_stops,
+           CAST(count(*) AS BIGINT) AS n_total
+         FROM arr CROSS JOIN bud GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_gtfs_arrival_profile" -> gtfsArrivalProfileOracle(4),
     "q_gtfs_trip_patterns" ->
       s"""WITH $gtfsValuesCtes,
@@ -6347,6 +6503,7 @@ object SparkEntry {
            min(CASE WHEN s_lo >= h THEN t END) AS first_lo_t
          FROM s2 GROUP BY p ORDER BY p""",
     "q_dominant_period" -> dominantPeriodOracle(30),
+    "q_haar_energy" -> haarEnergyOracle(10),
     "q_holt_linear" ->
       """WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

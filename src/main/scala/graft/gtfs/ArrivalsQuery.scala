@@ -386,6 +386,35 @@ object ArrivalsQuery {
       .orderBy(col("run_id"), col("stop_id"), col("n_legs"))
   }
 
+  /** Isochrone audit over the [[earliestArrivals]] labels: for each
+    * time budget, how many stops are reachable from the origin within
+    * budget seconds of departure — the service-coverage number a
+    * network planner reads per stop ("what does 15/30/60 minutes buy
+    * from here"). One row per (run, budget): reachable count against
+    * the total stop count. Cost on top of the relaxation rounds: one
+    * broadcast of the |budgets|-row frame against the stop-bounded
+    * label frame and a map-side-combined rollup.
+    */
+  def isochroneCounts(calendar: DataFrame, calendarDates: DataFrame,
+                      trips: DataFrame, stopTimes: DataFrame,
+                      stops: DataFrame, transfers: DataFrame,
+                      originStop: String, serviceDate: String,
+                      departSecs: Long,
+                      budgets: Seq[Long] = Seq(900L, 1800L, 3600L),
+                      maxRounds: Int = 4): DataFrame = {
+    val s = stopTimes.sparkSession
+    import s.implicits._
+    val arr = earliestArrivals(calendar, calendarDates, trips, stopTimes,
+      stops, transfers, originStop, serviceDate, departSecs, maxRounds)
+      .select(col("run_id"), col("arr_secs"))
+    arr.crossJoin(broadcast(budgets.toDF("budget_secs")))
+      .groupBy(col("run_id"), col("budget_secs"))
+      .agg(sum(when(col("arr_secs") <= lit(departSecs) + col("budget_secs"),
+          1L).otherwise(0L)).as("n_stops"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("run_id"), col("budget_secs"))
+  }
+
   /** Trip-suffix ride legs: every (board call i, alight call j>i) pair
     * of each active trip, via a seq-inequality self-join on the
     * (run_id, trip_id) equi-keys. Package-private (graft) so PlanSpec audits

@@ -186,6 +186,15 @@ object GtfsFixture {
       calendar(s), calendarDates(s), trips(s), stopTimes(s), stops(s),
       transfers(s), "S1", "2019-02-21", 8L * 3600)
 
+  /** Isochrone counts over the fixture — oracle twin of
+    * [[ArrivalsQuery.isochroneCounts]]: same origin/day/departure as
+    * the earliest-arrival query, one row per time budget.
+    */
+  def isochroneOracleQuery(s: SparkSession): DataFrame =
+    ArrivalsQuery.isochroneCounts(
+      calendar(s), calendarDates(s), trips(s), stopTimes(s), stops(s),
+      transfers(s), "S1", "2019-02-21", 8L * 3600)
+
   /** Trip patterns over the fixture stop_times — oracle twin of
     * [[ArrivalsQuery.tripPatterns]].
     */

@@ -62,6 +62,47 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Sorted-neighborhood blocking — the classic record-linkage
+    * alternative to LSH banding (Hernández–Stolfo): sort the corpus by
+    * a normalized blocking key (lowercased alphanumeric text prefix)
+    * and emit every pair within `window` ranks, verified with exact
+    * token-set Jaccard in integer ppm. Where MinHash banding recalls
+    * pairs that SHARE SHINGLES anywhere, the sorted neighborhood
+    * catches prefix-anchored families (boilerplate headers, templated
+    * pages) at O(window·n) candidates — a complementary blocking pass
+    * a linkage audit runs next to [[ngramJaccardPairs]]'s attribute
+    * blocking and [[minhashLshPairs]]'s banding.
+    *
+    * The global sort rank comes from [[Relational.globalRowNumber]]
+    * (range-partition + per-partition rank + numParts-row offset
+    * broadcast — never a single-task corpus sort), and the neighbor
+    * join is an EQUI-join on rank+gap (explode of 1..window), so the
+    * whole operator is two bounded shuffles at any corpus size.
+    */
+  def sortedNeighborhoodPairs(s: SparkSession, dir: String,
+                              window: Int = 3): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id",
+        substring(regexp_replace(lower($"text"), "[^a-z0-9]", ""), 1, 24)
+          .as("bk"),
+        text.distinctTokens($"text").as("toks"))
+    val ranked = Relational
+      .globalRowNumber(docs, Seq(col("bk"), col("doc_id")))
+      .localCheckpoint() // both sides of the rank-gap join read it
+    val a = ranked.select($"doc_id".as("doc_a"), $"toks".as("toks_a"), $"rk",
+        explode(sequence(lit(1L), lit(window.toLong))).as("rank_gap"))
+      .withColumn("rk_b", $"rk" + $"rank_gap")
+    val b = ranked.select($"doc_id".as("doc_b"), $"toks".as("toks_b"),
+      $"rk".as("rk_b"))
+    a.join(b, "rk_b")
+      .select($"doc_a", $"doc_b", $"rank_gap",
+        expr("CAST(CAST(size(array_intersect(toks_a, toks_b)) AS BIGINT)" +
+          " * 1000000 div nullif(CAST(size(array_union(toks_a, toks_b))" +
+          " AS BIGINT), 0) AS BIGINT)").as("jaccard_ppm"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** LSH parameter planner — turns the banding S-curve into a decision:
     * for every (bands b, rows r) factorization of the `numHashes` budget,
     * the EXPECTED false-positive and false-negative candidate mass
@@ -906,6 +947,100 @@ object Dedup {
     }
     labels.select($"v".as("doc_id"), $"lbl".as("community"))
       .orderBy($"doc_id")
+  }
+
+  def nearDupModularity(s: SparkSession, dir: String): DataFrame =
+    nearDupModularity(s, minhashLshPairs(s, dir))
+
+  /** Newman modularity of the [[labelPropagation]] partition over the
+    * near-dup graph — the one-number QA check on whether LPA's
+    * "families" are real structure or banding noise (a partition no
+    * better than random edge placement scores ~0; tight copy-clusters
+    * score high). Per community c: Q_c = e_c/m − (d_c/2m)², emitted in
+    * exact integer ppm via the repo's truncating-division convention so
+    * the oracle reproduces it bit-for-bit — e_c, d_c, m are plain
+    * counts, and both engines evaluate (e_c·10⁶ div m) −
+    * ((d_c² div 4m)·10⁶ div m) on BIGINTs (d_c ≤ 2m keeps d_c² inside
+    * int64 far beyond the 10x stress size).
+    *
+    * Cost on top of the LPA rounds: one edge⋈label join for e_c, one
+    * map-side-combined degree rollup, and a |communities|-row finish —
+    * every shuffle is O(E), nothing corpus².
+    */
+  def nearDupModularity(s: SparkSession, pairFrame: DataFrame): DataFrame = {
+    import s.implicits._
+    // pairs feed LPA, the e_c join, and the degree rollup — checkpoint
+    // once or the whole LSH pipeline re-runs per consumer
+    val pairs = pairFrame.select($"doc_a", $"doc_b").localCheckpoint()
+    val labels = labelPropagation(s, pairs).localCheckpoint()
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val ein = pairs
+      .join(labels.select($"doc_id".as("doc_a"), $"community".as("ca")), "doc_a")
+      .join(labels.select($"doc_id".as("doc_b"), $"community".as("cb")), "doc_b")
+      .filter($"ca" === $"cb")
+      .groupBy($"ca".as("community")).agg(count(lit(1)).as("e_in"))
+    val degs = pairs.select($"doc_a".as("v"))
+      .union(pairs.select($"doc_b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    labels.join(degs, labels("doc_id") === degs("v"))
+      .groupBy($"community")
+      .agg(count(lit(1)).as("n_nodes"), sum($"d").as("deg_sum"))
+      .join(ein, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select($"community", $"n_nodes",
+        coalesce($"e_in", lit(0L)).as("e_in"), $"deg_sum",
+        expr("CAST(coalesce(e_in, 0) * 1000000 div m" +
+          " - ((deg_sum * deg_sum) div (4 * m)) * 1000000 div m" +
+          " AS BIGINT)").as("q_term_ppm"))
+      .orderBy($"community")
+  }
+
+  /** Cross-method dedup agreement matrix: the pairwise Jaccard overlap
+    * (exact integer ppm) of the candidate-pair sets three independent
+    * near-dup detectors emit over the SAME corpus — MinHash-LSH
+    * (token-shingle Jaccard), SimHash (Hamming on the 60-bit
+    * fingerprint), and embedding sign-LSH (cosine). The release-audit
+    * question this answers: do the methods agree on WHICH pairs are
+    * near-dups, or is each harvesting a disjoint slice (in which case a
+    * single-method dedup under-collects and the threshold sweep's
+    * recall numbers don't transfer between methods)? Three rows, one
+    * per unordered method pair.
+    *
+    * Each pair set is the exact frame its own oracle-checked query
+    * emits (ids aligned: vec_id == doc_id by fixture contract, the same
+    * identification semanticDecontamination relies on). The tagged
+    * union is checkpointed once; sizes and intersections are map-side-
+    * combined counts; the 3×3 method cross is a broadcast of a
+    * 3-row aggregate — every shuffle is bounded by the LSH pair
+    * volume, never corpus².
+    */
+  def dedupMethodAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tagged = minhashLshPairs(s, dir)
+      .select($"doc_a", $"doc_b", lit("minhash").as("method"))
+      .unionByName(simhashPairs(s, dir)
+        .select($"doc_a", $"doc_b", lit("simhash").as("method")))
+      .unionByName(Similarity.embeddingNearDupPairs(s, dir)
+        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"),
+          lit("embedding").as("method")))
+      .localCheckpoint()
+    val sizes = tagged.groupBy($"method").agg(count(lit(1)).as("n"))
+    val inter = tagged.select($"doc_a", $"doc_b", $"method".as("method_a"))
+      .join(tagged.select($"doc_a", $"doc_b", $"method".as("method_b")),
+        Seq("doc_a", "doc_b"))
+      .filter($"method_a" < $"method_b")
+      .groupBy($"method_a", $"method_b").agg(count(lit(1)).as("n_both"))
+    sizes.select($"method".as("method_a"), $"n".as("n_a"))
+      .crossJoin(broadcast(sizes.select($"method".as("method_b"), $"n".as("n_b"))))
+      .filter($"method_a" < $"method_b")
+      .join(inter, Seq("method_a", "method_b"), "left")
+      .select($"method_a", $"method_b", $"n_a", $"n_b",
+        coalesce($"n_both", lit(0L)).as("n_both"),
+        // nullif: two empty pair sets degrade to NULL, never divide by 0
+        expr("CAST(coalesce(n_both, 0) * 1000000" +
+          " div nullif(n_a + n_b - coalesce(n_both, 0), 0)" +
+          " AS BIGINT)").as("jaccard_ppm"))
+      .orderBy($"method_a", $"method_b")
   }
 
   def nearDupTriangles(s: SparkSession, dir: String): DataFrame =
@@ -1908,6 +2043,32 @@ object Dedup {
     * groupBy over the clustered docs; the quality-cell rollup is
     * 1e4-bounded, so the ECDF window is audit-sized at any corpus.
     */
+  /** Provenance mix of every dup family: per CC cluster (size ≥ 2),
+    * how many docs, distinct sources, distinct languages — and the
+    * cross-source flag. The audit separates WITHIN-source duplication
+    * (a crawler re-fetching its own pages; dedup is safe) from
+    * CROSS-source duplication (syndication/mirrors; dropping all but
+    * one survivor silently changes the source mixture that
+    * [[graft.operators.TextOps]]'s mixture weights were tuned on).
+    * Cost on top of [[dedupAssignments]]: one join against the doc
+    * metadata and one map-side-combined rollup keyed by canon —
+    * cluster-bounded output at any corpus size.
+    */
+  def clusterProvenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"source", $"lang")
+    dedupAssignments(s, dir).join(docs, "doc_id")
+      .groupBy($"canon_id")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        countDistinct($"lang").as("n_langs"))
+      .filter($"n_docs" > 1)
+      .select($"canon_id", $"n_docs", $"n_sources", $"n_langs",
+        ($"n_sources" > 1).as("cross_source"))
+      .orderBy($"canon_id")
+  }
+
   def dedupSurvivorship(s: SparkSession, dir: String): DataFrame =
     dedupSurvivorship(s, dir, minhashLshPairs(s, dir))
 

@@ -2924,6 +2924,53 @@ object Relational {
       .orderBy($"lag_k")
   }
 
+  /** Haar discrete-wavelet energy decomposition of the daily order-count
+    * series — the multi-resolution twin of [[dominantPeriod]]: detail
+    * energy at level ℓ measures variance at the 2^ℓ-day scale, so a
+    * weekly cycle loads levels 2–3 and a quarterly drift loads 6–7.
+    * Unnormalized integer Haar (pair sums s=a+b and differences d=a−b,
+    * no √2) keeps every coefficient an exact BIGINT both engines
+    * reproduce; the series is the first 2^levels calendar days from the
+    * first order date, missing days as zeros (calendar-zero-fill, the
+    * [[seasonalDecompose]] convention).
+    *
+    * Scale shape: the day rollup is one distributed scan +
+    * map-side-combined count (calendar-bounded output at any corpus
+    * size); each of the `levels` cascade steps is a groupBy over an
+    * already ≤2^levels-row frame — the transform itself is
+    * fully parallel per level, so no driver fold is needed, unlike the
+    * inherently-sequential [[holtLinear]] recursion.
+    */
+  def haarEnergy(s: SparkSession, dir: String, levels: Int = 10): DataFrame = {
+    import s.implicits._
+    val n = 1 << levels
+    val dc = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val mn = dc.agg(min($"day").as("d0"))
+    var cur = s.range(n).select($"id".as("idx"))
+      .crossJoin(broadcast(mn))
+      .select($"idx", date_add($"d0", $"idx".cast("int")).as("day"))
+      .join(dc, Seq("day"), "left")
+      .select($"idx", coalesce($"c", lit(0L)).as("v"))
+      .localCheckpoint()
+    val perLevel = (1 to levels).map { l =>
+      // each group holds exactly one even and one odd index, so the
+      // null-skipping sums recover the ordered (a, b) pair without a sort
+      val g = cur.groupBy(expr("idx div 2").as("gidx"))
+        .agg(sum(when($"idx" % 2 === 0, $"v")).as("ev"),
+             sum(when($"idx" % 2 === 1, $"v")).as("od"))
+        .select($"gidx".as("idx"), ($"ev" + $"od").as("v"),
+          ($"ev" - $"od").as("d"))
+        .localCheckpoint()
+      cur = g.select($"idx", $"v")
+      g.agg(count(lit(1)).as("n_coeffs"),
+          sum($"d" * $"d").as("energy"))
+        .select(lit(l).as("level"), $"n_coeffs", $"energy")
+    }
+    perLevel.reduce(_ unionByName _).orderBy($"level")
+  }
+
   /** Holt linear-trend smoothing of daily revenue (double exponential —
     * the trend-aware upgrade of the EWMA monitor) with DYADIC-rational
     * gains α=1/4, β=1/8 so the whole recursion is exact integer

@@ -332,6 +332,36 @@ class GtfsLoadSpec extends SparkSpec {
     assert(late === Map("X" -> Some(150L), "Y" -> None, "Z" -> None))
   }
 
+  test("isochroneCounts: budget buckets recount the earliest-arrival " +
+       "labels; unreached stops count into the total only") {
+    val cal = Seq((1L, "ALL", true, true, true, true, true, true, true,
+        20240101, 20241231))
+      .toDF("run_id", "service_id", "monday", "tuesday", "wednesday",
+        "thursday", "friday", "saturday", "sunday", "start_date", "end_date")
+    val cd = Seq.empty[(Long, String, Int, Int)]
+      .toDF("run_id", "service_id", "date", "exception_type")
+    val tr = Seq((1L, "ALL", "A"), (1L, "ALL", "B"))
+      .toDF("run_id", "service_id", "trip_id")
+    val st = Seq(
+      (1L, "A", 50L, "X", 100L), (1L, "A", 200L, "Y", 260L),
+      (1L, "B", 250L, "Y", 300L), (1L, "B", 400L, "Z", 460L))
+      .toDF("run_id", "trip_id", "arrival_time", "stop_id", "departure_time")
+    val sp = Seq((1L, "X", "Xst", 0.0, 0.0), (1L, "Y", "Yst", 0.0, 0.0),
+        (1L, "Z", "Zst", 0.0, 0.0))
+      .toDF("run_id", "stop_id", "stop_name", "stop_lat", "stop_lon")
+    val tx = Seq((1L, "X", "Z", 3, 0))
+      .toDF("run_id", "from_stop_id", "to_stop_id", "transfer_type",
+        "min_transfer_time")
+    // labels from the earliestArrivals fixture: X=0, Y=200, Z=400
+    val rows = ArrivalsQuery.isochroneCounts(cal, cd, tr, st, sp, tx,
+        "X", "2024-06-03", 0L, Seq(150L, 250L, 450L))
+      .collect().map(r => r.getLong(r.fieldIndex("budget_secs")) ->
+        ((r.getLong(r.fieldIndex("n_stops")),
+          r.getLong(r.fieldIndex("n_total")))))
+    assert(rows.toSeq === Seq(150L -> ((1L, 3L)), 250L -> ((2L, 3L)),
+      450L -> ((3L, 3L))))
+  }
+
   test("earliestArrivals: a round is a RIDE leg, not a hop — one trip " +
        "through 4 stations is fully reachable in ONE round") {
     // single trip P calling W(dep 100) -> X(arr 200) -> Y(arr 300) ->

@@ -288,6 +288,119 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("nearDupModularity recounts from the LPA labels and the pair list; " +
+       "degree and internal-edge identities hold") {
+    val pairs = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lbl = Dedup.labelPropagation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val m = pairs.length.toLong
+    val ein = pairs.filter { case (a, b) => lbl(a) == lbl(b) }
+      .groupBy { case (a, _) => lbl(a) }
+      .map { case (c, xs) => (c, xs.length.toLong) }
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).map { case (v, xs) => (v, xs.length.toLong) }
+    val comm = lbl.keys.toSeq.groupBy(lbl)
+      .map { case (c, vs) => (c, (vs.size.toLong, vs.map(deg).sum)) }
+    val rows = Dedup.nearDupModularity(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === comm.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val c = r.getLong(0)
+      val (nn, ds) = comm(c)
+      val ei = ein.getOrElse(c, 0L)
+      assert(r.getAs[Long]("n_nodes") === nn)
+      assert(r.getAs[Long]("e_in") === ei)
+      assert(r.getAs[Long]("deg_sum") === ds)
+      // the exact truncating-division ppm formula, recounted in Java longs
+      assert(r.getAs[Long]("q_term_ppm") ===
+        ei * 1000000L / m - ((ds * ds) / (4 * m)) * 1000000L / m)
+    }
+    // graph identities: degrees double-count edges; internal edges <= m
+    assert(rows.map(_.getAs[Long]("deg_sum")).sum === 2 * m)
+    assert(rows.map(_.getAs[Long]("e_in")).sum <= m)
+  }
+
+  test("dedupMethodAgreement recounts from the three pair sets") {
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = Map(
+      "minhash" -> pairSet(Dedup.minhashLshPairs(spark, sf)
+        .select($"doc_a", $"doc_b")),
+      "simhash" -> pairSet(Dedup.simhashPairs(spark, sf)
+        .select($"doc_a", $"doc_b")),
+      "embedding" -> pairSet(Similarity.embeddingNearDupPairs(spark, sf)
+        .select($"vec_a", $"vec_b")))
+    val rows = Dedup.dedupMethodAgreement(spark, sf).collect()
+    assert(rows.length === 3)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("embedding", "minhash"), ("embedding", "simhash"),
+        ("minhash", "simhash")))
+    rows.foreach { r =>
+      val (sa, sb) = (sets(r.getString(0)), sets(r.getString(1)))
+      assert(r.getAs[Long]("n_a") === sa.size.toLong)
+      assert(r.getAs[Long]("n_b") === sb.size.toLong)
+      val nb = (sa intersect sb).size.toLong
+      assert(r.getAs[Long]("n_both") === nb)
+      val u = sa.size.toLong + sb.size.toLong - nb
+      if (u == 0) assert(r.isNullAt(r.fieldIndex("jaccard_ppm")))
+      else assert(r.getAs[Long]("jaccard_ppm") === nb * 1000000L / u)
+    }
+  }
+
+  test("sortedNeighborhoodPairs emits exactly the window-adjacent pairs " +
+       "of the key-sorted corpus with exact ppm Jaccard") {
+    val d = graft.Tables(spark, sf, "documents")
+      .select($"doc_id",
+        substring(regexp_replace(lower($"text"), "[^a-z0-9]", ""), 1, 24)
+          .as("bk"),
+        graft.functions.text.distinctTokens($"text").as("toks"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[String](2).toSet))
+    val sorted = d.sortBy(x => (x._2, x._1))
+    val expected = (for {
+      i <- sorted.indices; g <- 1 to 3; if i + g < sorted.length
+    } yield {
+      val (a, b) = (sorted(i), sorted(i + g))
+      val u = (a._3 union b._3).size
+      val j = if (u == 0) None
+              else Some((a._3 intersect b._3).size.toLong * 1000000L / u)
+      ((a._1, b._1), (g.toLong, j))
+    }).toMap
+    val rows = Dedup.sortedNeighborhoodPairs(spark, sf).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val (g, j) = expected((r.getLong(0), r.getLong(1)))
+      assert(r.getAs[Long]("rank_gap") === g)
+      if (j.isEmpty) assert(r.isNullAt(r.fieldIndex("jaccard_ppm")))
+      else assert(r.getAs[Long]("jaccard_ppm") === j.get)
+    }
+  }
+
+  test("clusterProvenance recounts source/lang mixes from the CC " +
+       "assignments; singleton clusters are absent") {
+    val asn = Dedup.dedupAssignments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val meta = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"source", $"lang")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    val expected = asn.groupBy(_._2).collect {
+      case (c, xs) if xs.length > 1 =>
+        val ms = xs.map(x => meta(x._1))
+        c -> ((xs.length.toLong, ms.map(_._1).distinct.length.toLong,
+          ms.map(_._2).distinct.length.toLong))
+    }
+    val rows = Dedup.clusterProvenance(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === expected.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val (n, ns, nl) = expected(r.getLong(0))
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("n_sources") === ns)
+      assert(r.getAs[Long]("n_langs") === nl)
+      assert(r.getAs[Boolean]("cross_source") === (ns > 1))
+    }
+  }
+
   test("kCore matches a sequential peel and has converged by its fixed rounds") {
     val k = 2
     val pairs = Dedup.minhashLshPairs(spark, sf).collect()

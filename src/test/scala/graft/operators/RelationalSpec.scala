@@ -1551,6 +1551,38 @@ class RelationalSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("err_u") === 0L)
   }
 
+  test("haarEnergy: the cascade recounts from the zero-filled calendar " +
+       "series and satisfies the scaled Parseval identity") {
+    val dc = Tables(spark, sf, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select($"day".cast("string"), $"c")
+      .as[(String, Long)].collect().toMap
+    val d0 = java.time.LocalDate.parse(dc.keys.min)
+    val series = (0 until 1024)
+      .map(i => BigInt(dc.getOrElse(d0.plusDays(i.toLong).toString, 0L)))
+    var cur = series.toVector
+    val expected = (1 to 10).map { l =>
+      val sums = cur.grouped(2).map(p => p(0) + p(1)).toVector
+      val diffs = cur.grouped(2).map(p => p(0) - p(1)).toVector
+      cur = sums
+      (l, diffs.length.toLong, diffs.map(x => x * x).sum)
+    }
+    val rows = Relational.haarEnergy(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.zip(expected).foreach { case (r, (l, n, e)) =>
+      assert(r.getAs[Int]("level") === l)
+      assert(r.getAs[Long]("n_coeffs") === n)
+      assert(BigInt(r.getAs[Long]("energy")) === e, s"energy at level $l")
+    }
+    // scaled Parseval for the unnormalized transform:
+    // 2^10 * sum(x^2) = sum_l 2^(10-l) * E_l + (sum x)^2
+    val lhs = series.map(x => x * x).sum * BigInt(1024)
+    val rhs = expected.map { case (l, _, e) => e * BigInt(1 << (10 - l)) }.sum +
+      series.sum * series.sum
+    assert(lhs === rhs)
+  }
+
   test("tCloseness: per-class EMD recounts from the band histograms; " +
        "a class distributed like the corpus scores ~0") {
     val cust = Tables(spark, sf, "customer")
