@@ -2948,11 +2948,15 @@ object Relational {
       .groupBy($"o_orderdate".cast("date").as("day"))
       .agg(count(lit(1)).as("c"))
     val mn = dc.agg(min($"day").as("d0"))
+    // the day rollup above is the distributed part; the zero-filled
+    // series is 2^levels rows — audit-bounded — so the cascade runs on
+    // ONE partition instead of `levels` × shuffle-partitions micro-tasks
     var cur = s.range(n).select($"id".as("idx"))
       .crossJoin(broadcast(mn))
       .select($"idx", date_add($"d0", $"idx".cast("int")).as("day"))
       .join(dc, Seq("day"), "left")
       .select($"idx", coalesce($"c", lit(0L)).as("v"))
+      .repartition(1)
       .localCheckpoint()
     val perLevel = (1 to levels).map { l =>
       // each group holds exactly one even and one odd index, so the
