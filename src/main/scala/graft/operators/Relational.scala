@@ -1330,6 +1330,12 @@ object Relational {
     val perms = Tables(s, dir, "orders")
       .select($"o_orderkey",
         round($"o_totalprice" * 100).cast("long").as("cents"))
+      // pin fan-out (r13, guide §2.5): the single-file orders scan is one
+      // task, and the (b+1)-way explode below otherwise computes all
+      // (b+1)·|orders| arm rows on it — repartition the narrow 16-byte
+      // rows first so the fan-out and the two md5s run 32-way
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        $"o_orderkey")
       .withColumn("h", concat(
         md5(concat(lit("perm:"), $"o_orderkey".cast("string"))),
         md5(concat(lit("perm2:"), $"o_orderkey".cast("string")))))
@@ -2708,6 +2714,10 @@ object Relational {
     val t0 = daily.agg(min($"day").as("d0"))
     val d = daily.crossJoin(broadcast(t0))
       .select(datediff($"day", $"d0").cast("long").as("t"), $"cents")
+      // pin fan-out (r13, guide §2.5): the day rollup AQE-coalesces to
+      // ONE partition, and the n²/2-row pair self-join below streams out
+      // of this checkpoint — un-pinned, every slope ran on a single task
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"t")
       .localCheckpoint() // pair self-join both sides + OLS read it
     val slopes = d.select($"t".as("ti"), $"cents".as("ci"))
       .join(broadcast(d.select($"t".as("tj"), $"cents".as("cj"))),
@@ -2722,7 +2732,11 @@ object Relational {
       .localCheckpoint() // count and median rank both read it
     val np = slopes.count()
     // rank on the bare value: ties order arbitrarily but the VALUES at
-    // the two middle ranks are the order statistics either way
+    // the two middle ranks are the order statistics either way.
+    // (r13: routing this through globalRowNumber measured 2.7s → 4.9s —
+    // the two-pass machinery costs more than one 32-bit×n²/2 sort at
+    // bench SF; the single-partition window stays, pair count is the
+    // bounded |days|²/2, not corpus-sized)
     val med = slopes
       .withColumn("rk",
         row_number().over(Window.orderBy($"slope_u")).cast("long"))
@@ -3604,6 +3618,12 @@ object Relational {
       .withColumn("cell_key", concat(
         lpad($"c_nationkey".cast("string"), 4, "0"), lit(":"),
         $"day".cast("string")))
+      // pin fan-out (r13, guide §2.5 / round-12 checkpoint-fanout rule):
+      // the day rollup AQE-coalesces to ONE partition (a few MB), and the
+      // (perms+1)-way crossJoin + md5 below fans out of the checkpoint —
+      // un-pinned, all (perms+1)·n_cells hash rows ran on a single task
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        $"cell_key")
       .localCheckpoint() // value ranks, perm grid, totals all read it
     val totals = cells.agg(count(lit(1)).as("n_cells"),
       sum($"cents").as("s_all"))
@@ -3612,22 +3632,33 @@ object Relational {
         .cast("long"))
       .select($"rb", $"cents".as("pcents"))
     val ps = s.range(perms + 1).toDF("p")
+    // r13 optimization (guide §2.3/§2.4, plans/r13/q_fdr_bh_*):
+    //  - project to (p, c_nationkey, ok) BEFORE the rank window's
+    //    exchange — cell_key only exists to derive ok, and carrying it
+    //    through the sort shuffled ~25% more bytes for nothing
+    //  - broadcast the n_cells-row rank→value table: the rank join was
+    //    a SortMergeJoin that re-shuffled all (perms+1)·n_cells rows
+    //  - localCheckpoint the (perms+1)·|nations| t_stat grid: obs and
+    //    pvals both read it, and un-materialized the whole permutation
+    //    pipeline (md5 + rank sort + join + rollup) executed TWICE
     val permed = cells.select($"c_nationkey", $"cell_key").crossJoin(ps)
       .withColumn("ok", when($"p" === 0, $"cell_key")
         .otherwise(md5(concat(lit("fdr:"), $"p".cast("string"), lit(":"),
           $"cell_key"))))
+      .select($"p", $"c_nationkey", $"ok")
       .withColumn("rp", row_number().over(
         Window.partitionBy($"p").orderBy($"ok")).cast("long"))
-      .join(vals, $"rp" === $"rb")
+      .join(broadcast(vals), $"rp" === $"rb")
       .groupBy($"p", $"c_nationkey")
       .agg(sum($"pcents").as("s_n"), count(lit(1)).as("c_n"))
       .crossJoin(broadcast(totals))
       .withColumn("t_stat", abs($"s_n".cast(dec) * $"n_cells" -
         $"s_all".cast(dec) * $"c_n"))
+      .localCheckpoint()
     val obs = permed.filter($"p" === 0)
       .select($"c_nationkey", $"c_n".as("n_days"), $"t_stat".as("t_obs"))
     val pvals = permed.filter($"p" >= 1)
-      .join(obs, Seq("c_nationkey"))
+      .join(broadcast(obs), Seq("c_nationkey"))
       .groupBy($"c_nationkey")
       .agg(max($"n_days").as("n_days"), max($"t_obs").as("t_obs"),
         sum(when($"t_stat" >= $"t_obs", 1L).otherwise(0L)).as("n_ge"))
