@@ -47,8 +47,19 @@ object vectors {
     * the same order), and the long sum is order-free — so distances
     * compare EXACTLY across engines, with no ulp-tiebreak risk in
     * argmin/top-k (the PQ codebook-assignment / ADC arithmetic).
+    * Native codegen'd loop (graft.functions.expressions.L2SqFixed);
+    * bit-identical to [[l2SqFixedHof]] (spec-pinned).
     */
-  def l2SqFixed(a: Column, b: Column): Column =
+  def l2SqFixed(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(expressions.L2SqFixed(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** Higher-order-function composition kept as the reference semantics
+    * (interpreted; cross-checks the native expression in specs).
+    */
+  def l2SqFixedHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b,
         (x, y) => round((x - y) * (x - y) * lit(1000000000000.0)).cast("long")),
