@@ -169,11 +169,38 @@ object Similarity {
     // both join sides read the band frame — checkpoint it or the
     // nBands x r hyperplane-dot projection runs once per side
     val bands = bandedPlaneBuckets(e, r, nBands, dim).localCheckpoint()
-    val cand = withProbes(bands, r, multiProbe).alias("x")
-      .join(bands.alias("y"),
+    // split each bucket's pair emission G ways (r13, guide §2.5): the
+    // (band, sig) self-join's INPUT is a few MB, so AQE coalesced it to
+    // ONE partition — but the join is emission-bound (the hot buckets
+    // emit millions of candidate rows), so the whole candidate stream
+    // plus the distinct's partial aggregation ran on a single task
+    // (event-log: a 2.6s one-task stage dominating the query, ~70% of
+    // its wall time). Salting: the build side keeps one deterministic
+    // grid cell g = vec_id mod G, the probe side explodes to all G
+    // cells, the join keys on (band, sig, g) — every (a < b) pair still
+    // appears exactly once (b's cell is unique), AQE can't starve the
+    // emission because a single (band, sig) key is now G keys, and the
+    // explicit keyed repartition is exempt from AQE coalescing.
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val emissionSplit = 8
+    val xSide = withProbes(bands, r, multiProbe)
+      .withColumn("g", explode(array((0 until emissionSplit).map(lit): _*)))
+      .repartition(nPart, col("band"), col("sig"), col("g"))
+    val ySide = bands
+      .withColumn("g", pmod(col("vec_id"), lit(emissionSplit)).cast("int"))
+      .repartition(nPart, col("band"), col("sig"), col("g"))
+    val cand = xSide.alias("x")
+      .join(ySide.alias("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.g") === col("y.g") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      // pin the distinct's merge width too: candidate rows are 16 bytes,
+      // so AQE's byte-based coalesce put the multi-million-row dedup
+      // merge on ONE task (event-log: 3M records into a single
+      // AQEShuffleRead). The keyed repartition satisfies the aggregate's
+      // required distribution (no extra exchange) and is coalesce-exempt.
+      .repartition(nPart, col("vec_a"), col("vec_b"))
       .distinct()
     cand
       .join(e.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na")), Seq("vec_a"))
