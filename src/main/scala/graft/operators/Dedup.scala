@@ -1140,14 +1140,27 @@ object Dedup {
     var edges = und
       .union(und.select($"b".as("a"), $"a".as("b")))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // fixpoint early-exit (r13): the peel is monotone (edges only ever
+    // shrink), so an unchanged edge COUNT means an unchanged edge SET
+    // and every remaining round is the identity the spec already relies
+    // on ("extra rounds are then identity") — skip them instead of
+    // paying 2 checkpoint jobs per no-op round. The count reads the
+    // just-materialized checkpoint blocks, ~free.
+    var prevCnt = edges.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val keep = edges.groupBy($"a").agg(count(lit(1)).as("d"))
         .filter($"d" >= k).select($"a".as("v"))
         .localCheckpoint()
       edges = edges
         .join(keep.toDF("a"), Seq("a"), "left_semi")
         .join(keep.toDF("b"), Seq("b"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the convergence count below is
+        // the ONE action that materializes it — the fixpoint check
+        // replaces the eager checkpoint job instead of adding to it
+      val cnt = edges.count()
+      converged = cnt == prevCnt
+      prevCnt = cnt
     }
     edges.groupBy($"a".as("doc_id"))
       .agg(count(lit(1)).as("core_degree"))
@@ -1180,14 +1193,21 @@ object Dedup {
       .select($"doc_id", lit(1).as("coreness"))
       .localCheckpoint()
     for (k <- 2 to maxK) {
-      for (_ <- 1 to rounds) {
+      // same monotone-fixpoint early-exit as [[kCore]]: an unchanged
+      // edge count ends the level's rounds (the rest are identity)
+      var prevCnt = edges.count()
+      var converged = false
+      for (_ <- 1 to rounds if !converged) {
         val keep = edges.groupBy($"a").agg(count(lit(1)).as("d"))
           .filter($"d" >= k).select($"a".as("v"))
           .localCheckpoint()
         edges = edges
           .join(keep.toDF("a"), Seq("a"), "left_semi")
           .join(keep.toDF("b"), Seq("b"), "left_semi")
-          .localCheckpoint()
+          .localCheckpoint(false) // lazy: materialized by the count
+        val cnt = edges.count()
+        converged = cnt == prevCnt
+        prevCnt = cnt
       }
       val members = edges.select($"a".as("doc_id")).distinct()
         .select($"doc_id", lit(true).as("in_k"))

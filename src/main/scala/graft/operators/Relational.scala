@@ -2434,21 +2434,30 @@ object Relational {
     // partial-aggregatable pass — a second consumer of the candidate
     // frame (the min-then-filter form) trips Spark's self-join attribute
     // dedup into mis-binding the i<j condition (observed DIVIDE_BY_ZERO)
-    // pin fan-out: dp frames AQE-coalesce to one partition (a few KB),
-    // but each level's (j < i) nested-loop join fans out to n²/2 rows
-    // of DECIMAL(38) sse — repartition or ONE task does the whole level
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-    // each level = exactly ONE distributed job: the n²/2 fan-out runs
-    // in parallel, the n-row (v, argmin) result collects to the driver
-    // (audit-sized: the DP state IS calendar-bounded), and the next
-    // level rebuilds the tiny dp frame from the collected rows — no
-    // per-level checkpoint job, no lineage growth
+    // r13 (guide §1.2: don't recompute what you throw away): the n²/2
+    // (j, i, sse) table is IDENTICAL across every DP level, but each
+    // level's plan used to re-fan-out and re-evaluate the DECIMAL(38)
+    // sse expression — b−1 recomputations of the query's dominant
+    // stage. Materialize it once, pinned to shuffle width BEFORE the
+    // fan-out (the zero-row union checkpoints single-partition
+    // otherwise, guide §2.5), and every level is then one broadcast
+    // join + partial-aggregated min over the stored rows.
+    val ssePre = lo
+      .repartition(nPart, $"j")
+      .join(broadcast(pre.select($"i", $"cs", $"cs2")), $"j" < $"i")
+      .withColumn("sse", sseExpr)
+      .select($"j", $"i", $"sse")
+      .localCheckpoint()
+    // each level = exactly ONE distributed job: the stored sse rows
+    // stream in parallel, the n-row (v, argmin) result collects to the
+    // driver (audit-sized: the DP state IS calendar-bounded), and the
+    // next level rebuilds the tiny dp frame from the collected rows —
+    // no per-level checkpoint job, no lineage growth
     def level(dpPrev: DataFrame): Array[org.apache.spark.sql.Row] =
-      dpPrev
-        .join(broadcast(lo), Seq("j"))
-        .repartition(nPart, $"j")
-        .join(broadcast(pre.select($"i", $"cs", $"cs2")), $"j" < $"i")
-        .withColumn("cost", $"vj" + sseExpr)
+      ssePre
+        .join(broadcast(dpPrev), Seq("j"))
+        .withColumn("cost", $"vj" + $"sse")
         .groupBy($"i")
         .agg(min(struct($"cost", $"j")).as("m"))
         .select($"i", $"m.cost".as("v"), $"m.j".as("am"))
@@ -2461,9 +2470,8 @@ object Relational {
       org.apache.spark.sql.types.StructField("vj",
         org.apache.spark.sql.types.DecimalType(38, 0))))
     var dpRows: Array[org.apache.spark.sql.Row] =
-      lo.filter($"j" === 0L)
-        .join(broadcast(pre.select($"i", $"cs", $"cs2")), $"j" < $"i")
-        .select($"i", sseExpr.as("v"))
+      ssePre.filter($"j" === 0L)
+        .select($"i", $"sse".as("v"))
         .collect()
     val argTables = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
     for (_ <- 2 to b) {
