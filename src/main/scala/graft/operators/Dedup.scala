@@ -1449,7 +1449,10 @@ object Dedup {
             col("b") === col("b3"))
           .filter(col("ca") =!= col("cb"))
           .select(col("ca"), col("cb")).distinct()
-        val quotientCk = checkpoint(quotient, true)
+        // lazy: the size-guard count below is the one action that
+        // materializes the quotient (the kCore fusion — an eager
+        // checkpoint plus a count was two jobs for one frame)
+        val quotientCk = checkpoint(quotient, false)
         val m = quotientCk.count()
         if (m <= maxLocalEdges) {
           // rep(label) = min doc_id of the label's quotient component; a
