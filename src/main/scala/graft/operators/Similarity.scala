@@ -1832,6 +1832,15 @@ object Similarity {
       .join(oddBands.alias("by"),
         col("bx.band") === col("by.band") && col("bx.sig") === col("by.sig"))
       .select(col("bx.vec_id").as("x"), col("by.vec_id").as("y"))
+      // pin the dedup + verify width (r13, the bandedPairsCore rule):
+      // 1.4M candidate rows are ~16 bytes each, so AQE's byte-based
+      // coalesce ran the distinct merge AND both cosine-verify joins on
+      // ONE task (event-log: 1.4M records into a single-task stage,
+      // 1.2–1.8s per run). The keyed repartition is coalesce-exempt and
+      // the aggregate reuses its distribution.
+      .repartition(
+        s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("x"), col("y"))
       .distinct()
     cand
       .join(e.select($"vec_id".as("x"), $"v".as("xv")), Seq("x"))
