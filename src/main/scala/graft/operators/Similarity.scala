@@ -76,15 +76,21 @@ object Similarity {
 
   private[graft] def bandedPlaneBuckets(e: DataFrame, planesPerBand: Int,
                                         nBands: Int, dim: Int = 64): DataFrame = {
-    val bandStructs = (0 until nBands).map { b =>
-      val sig = (0 until planesPerBand).map { k =>
-        val plane = typedLit((0 until dim).map(d => planeComponent(b * planesPerBand + k, d)))
-        when(vectors.dot(col("v"), plane) > 0, lit(1 << k)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), sig.as("sig"))
-    }
-    e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // r13 (guide §4): one BandSignatures expression instead of
+    // nBands·planesPerBand inlined when(dot(v, lit(plane)) > 0, …)
+    // terms — the inline composition generated a whole-stage method
+    // past the JVM's huge-method bytecode limit, so it never JIT-
+    // compiled and the projection ran interpreted (measured 1.2 s →
+    // 0.15 s noop at sf0.1 for the 2 000×96-dot frame). Signatures are
+    // bit-identical (same plane constants, same index-ascending dot,
+    // same > 0 on the same IEEE double; null dots contribute 0 bits in
+    // both forms — spec-pinned in SimilaritySpec).
+    val planes = Array.tabulate(nBands * planesPerBand, dim)(
+      (j, d) => planeComponent(j, d))
+    import org.apache.spark.sql.GraftBridge
+    val sigs = GraftBridge.column(graft.functions.expressions.BandSignatures(
+      GraftBridge.expression(col("v")), planes, planesPerBand))
+    e.select(col("vec_id"), posexplode(sigs).as(Seq("band", "sig")))
   }
 
   /** Embedding-cosine near-dup pairs: banded-LSH candidate generation

@@ -42,6 +42,27 @@ class SimilaritySpec extends SparkSpec {
       (nbr + na) * 10000L / vecs.length)
   }
 
+  test("BandSignatures expression matches the inline when(dot) composition bit for bit") {
+    import graft.functions.vectors
+    val e = Tables(spark, sf, "embeddings")
+      .select($"vec_id", vectors.toDoubleArray($"embedding").as("v"))
+    val r = 4; val nBands = 24; val dim = 64
+    // the pre-r13 inline reference composition, rebuilt verbatim
+    val bandStructs = (0 until nBands).map { b =>
+      val sig = (0 until r).map { k =>
+        val plane = typedLit((0 until dim).map(d =>
+          Similarity.planeComponent(b * r + k, d)))
+        when(vectors.dot($"v", plane) > 0, lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val ref = e.select($"vec_id", explode(array(bandStructs: _*)).as("bs"))
+      .select($"vec_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
+    val got = Similarity.bandedPlaneBuckets(e, r, nBands, dim)
+    assert(got.count() === ref.count())
+    assert(got.join(ref, Seq("vec_id", "band", "sig")).count() === ref.count())
+  }
+
   test("brute-force top-k returns k rows, sorted by similarity") {
     val df = Similarity.bruteForceTopK(spark, sf, queryId = 0L, k = 10)
     val sims = df.select($"cos_sim").collect().map(_.getDouble(0)).toSeq
