@@ -195,6 +195,10 @@ object Similarity {
     val ySide = bands
       .withColumn("g", pmod(col("vec_id"), lit(emissionSplit)).cast("int"))
       .repartition(nPart, col("band"), col("sig"), col("g"))
+    // (measured dead end, r13: a SHUFFLE_HASH hint here to skip the
+    // sort-merge sorts ran >10 minutes at 10x where SMJ takes ~60s —
+    // the residual vec_id< filter over a hashed hot bucket degrades;
+    // keep the sort-merge join.)
     val cand = xSide.alias("x")
       .join(ySide.alias("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
