@@ -13,6 +13,10 @@ import java.nio.file.{Files, Paths}
   */
 object Plans {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: runMain graft.Plans <sfDir> <outDir> <tag> [query ...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, tag) = args.take(3)
     val only = args.drop(3).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,7 +37,9 @@ object Plans {
         // their blocks so a multi-query dump doesn't accumulate pressure
         Sessions.releaseCheckpointBlocks(spark)
         println(s"[plans] wrote ${name}_$tag.txt")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal, not Throwable: an OOM/fatal error should kill the
+        // dump run loudly, not be logged away as a per-query failure
         System.err.println(s"[plans] $name failed: ${e.getMessage}")
       }
     }

@@ -124,4 +124,46 @@ object Sessions {
     rdds.valuesIterator.foreach(_.unpersist(blocking = false))
     rdds.size
   }
+
+  /** Materialize independent subtrees CONCURRENTLY (optimization guide
+    * §2.6: Spark's scheduler happily runs several jobs at once inside
+    * one application; actions are only sequential because driver code
+    * calls them sequentially). Composite operators whose facets each
+    * run a chain of eager actions (localCheckpoints, argmin collects,
+    * iterative CC rounds) serialize those chains when built inline —
+    * while one facet's 32-task job drains its straggler tail, every
+    * other core idles. Running each facet's CONSTRUCTION on its own
+    * driver thread lets the next facet's jobs back-fill those gaps;
+    * FIFO scheduling gives earlier jobs priority and later jobs the
+    * leftovers, which is exactly the back-fill behaviour wanted.
+    *
+    * Results return in input order and each thunk's result is fully
+    * materialized before this returns, so downstream composition (a
+    * unionAll of the facet frames, a join of the halves) sees exactly
+    * the frames a sequential build would have produced — the plan
+    * shape and results are identical, only the wall-clock overlap
+    * changes. Exceptions from any thunk propagate to the caller.
+    *
+    * The pool is a shared daemon cached pool: threads are reused
+    * across calls, nothing outlives the JVM, and nesting (a parallel
+    * facet that itself calls inParallel) cannot deadlock because the
+    * pool is unbounded.
+    */
+  private lazy val parPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-par")
+      t.setDaemon(true)
+      t
+    })
+  def inParallel[A](thunks: (() => A)*): Seq[A] = {
+    import java.util.concurrent.Callable
+    val futures = thunks.map(t => parPool.submit(new Callable[A] {
+      override def call(): A = t()
+    }))
+    // unwrap ExecutionException so callers see the original failure
+    futures.map { f =>
+      try f.get()
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+    }
+  }
 }

@@ -68,6 +68,23 @@ case class BandSignatures(child: Expression, planes: Array[Array[Double]],
     new GenericArrayData(out)
   }
 
+  // Structural equality over the plane CONTENTS (r14, ADVICE): Scala
+  // arrays compare by reference, so the default case-class equals made
+  // two semantically identical BandSignatures expressions never equal —
+  // Catalyst canonicalization, semanticEquals and common-subexpression
+  // elimination silently failed to dedup them. Arrays stay the storage
+  // (eval's hot loop indexes them unboxed); equality goes element-wise.
+  override def equals(other: Any): Boolean = other match {
+    case o: BandSignatures =>
+      planesPerBand == o.planesPerBand && child == o.child &&
+        java.util.Arrays.deepEquals(
+          planes.asInstanceOf[Array[AnyRef]], o.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(planesPerBand),
+      Int.box(java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])))
+
   override protected def withNewChildInternal(newChild: Expression): BandSignatures =
     copy(child = newChild)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Sessions, Tables}
 import graft.functions.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1016,14 +1016,23 @@ object Dedup {
     */
   def dedupMethodAgreement(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tagged = minhashLshPairs(s, dir)
-      .select($"doc_a", $"doc_b", lit("minhash").as("method"))
-      .unionByName(simhashPairs(s, dir)
-        .select($"doc_a", $"doc_b", lit("simhash").as("method")))
-      .unionByName(Similarity.embeddingNearDupPairs(s, dir)
+    // three INDEPENDENT detector pipelines (MinHash banding, SimHash
+    // fingerprints, embedding sign-LSH) — materialize them concurrently
+    // (r14, guide §2.6) instead of serializing three multi-job chains;
+    // the union over the three checkpointed frames is then a block read,
+    // cheap for both the sizes rollup and the agreement self-join
+    val Seq(mhP, shP, emP) = Sessions.inParallel(
+      () => minhashLshPairs(s, dir)
+        .select($"doc_a", $"doc_b", lit("minhash").as("method"))
+        .localCheckpoint(),
+      () => simhashPairs(s, dir)
+        .select($"doc_a", $"doc_b", lit("simhash").as("method"))
+        .localCheckpoint(),
+      () => Similarity.embeddingNearDupPairs(s, dir)
         .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"),
-          lit("embedding").as("method")))
-      .localCheckpoint()
+          lit("embedding").as("method"))
+        .localCheckpoint())
+    val tagged = mhP.unionByName(shP).unionByName(emP)
     val sizes = tagged.groupBy($"method").agg(count(lit(1)).as("n"))
     val inter = tagged.select($"doc_a", $"doc_b", $"method".as("method_a"))
       .join(tagged.select($"doc_a", $"doc_b", $"method".as("method_b")),
@@ -1633,9 +1642,17 @@ object Dedup {
     */
   def dedupBest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val quality = Tables(s, dir, "documents")
-      .select($"doc_id", text.qualityScore($"text", $"n_chars").as("quality"))
-    dedupAssignments(s, dir)
+    // overlap the quality scan with the CC job chain (r14, guide §2.6):
+    // dedupAssignments runs a sequence of small driver-blocking jobs
+    // (pair checkpoint, CC rounds, contract) that leave most cores
+    // idle; the full-text quality scoring scan back-fills them instead
+    // of running inside the final join job after the chain finishes
+    val Seq(assign, quality) = Sessions.inParallel(
+      () => dedupAssignments(s, dir),
+      () => Tables(s, dir, "documents")
+        .select($"doc_id", text.qualityScore($"text", $"n_chars").as("quality"))
+        .localCheckpoint())
+    assign
       .join(quality, Seq("doc_id"))
       .groupBy($"canon_id")
       .agg(count(lit(1)).as("n_members"),
@@ -1981,10 +1998,14 @@ object Dedup {
   def captureRecapture(s: SparkSession, dir: String,
                        lshPairs: DataFrame): DataFrame = {
     import s.implicits._
-    val mh = lshPairs.select($"doc_a", $"doc_b")
-      .localCheckpoint() // count side and overlap side both read it
-    val sh = simhashPairs(s, dir).select($"doc_a", $"doc_b")
-      .localCheckpoint()
+    // The two detectors are INDEPENDENT job chains (MinHash banding vs
+    // SimHash fingerprint+bucket join); build them concurrently (r14,
+    // guide §2.6) so one chain's straggler tails back-fill with the
+    // other's tasks instead of serializing ~6 driver-blocking jobs.
+    // Each checkpoint is still read by both its count and overlap side.
+    val Seq(mh, sh) = Sessions.inParallel(
+      () => lshPairs.select($"doc_a", $"doc_b").localCheckpoint(),
+      () => simhashPairs(s, dir).select($"doc_a", $"doc_b").localCheckpoint())
     val n1 = mh.agg(count(lit(1)).as("n_minhash"))
     val n2 = sh.agg(count(lit(1)).as("n_simhash"))
     val nb = mh.join(sh, Seq("doc_a", "doc_b"))
@@ -2159,28 +2180,35 @@ object Dedup {
         'rows_per_band', CAST(r AS BIGINT),
         'cost_u', cost_u) AS (metric, value)""")
       .select(lit("lsh_scheme").as("facet"), $"metric", $"value")
-    // ONE banding pass with the planner-chosen scheme, three facets
+    // ONE banding pass with the planner-chosen scheme, three facets.
+    // sharedLshPairs ends in an EAGER checkpoint, so the shared
+    // candidate frame is fully materialized before the facets fork;
+    // the facet pipelines are then independent job chains (shingle
+    // re-scoring, SimHash build, CC + quality rollup) and CONSTRUCT
+    // CONCURRENTLY (r14, guide §2.6) — wall-clock is the slowest
+    // facet, not the sum of three serialized multi-job chains.
     val shared = sharedLshPairs(s, dir, rowsPerBand = pick.getInt(1))
-    val sweep = dedupThresholdSweep(s, dir, shared, 3)
-      .filter($"thr_bp" === 7000L)
-      .selectExpr("""stack(3,
-        'n_pairs', n_pairs,
-        'n_docs_dropped', n_docs_dropped,
-        'loss_bp', loss_bp) AS (metric, value)""")
-      .select(lit("threshold_7000bp").as("facet"), $"metric", $"value")
-    val recap = captureRecapture(s, dir, shared)
-      .selectExpr("""stack(4,
-        'chapman_est', chapman_est,
-        'est_missed', est_missed,
-        'minhash_recall_ppm', minhash_recall_ppm,
-        'simhash_recall_ppm', simhash_recall_ppm) AS (metric, value)""")
-      .select(lit("capture_recapture").as("facet"), $"metric", $"value")
-    val surv = dedupSurvivorship(s, dir, shared)
-      .selectExpr("""stack(3,
-        'ks_bp', ks_bp,
-        'mean_qu_surv', mean_qu_surv,
-        'mean_qu_vict', mean_qu_vict) AS (metric, value)""")
-      .select(lit("survivorship").as("facet"), $"metric", $"value")
+    val Seq(sweep, recap, surv) = Sessions.inParallel(
+      () => dedupThresholdSweep(s, dir, shared, 3)
+        .filter($"thr_bp" === 7000L)
+        .selectExpr("""stack(3,
+          'n_pairs', n_pairs,
+          'n_docs_dropped', n_docs_dropped,
+          'loss_bp', loss_bp) AS (metric, value)""")
+        .select(lit("threshold_7000bp").as("facet"), $"metric", $"value"),
+      () => captureRecapture(s, dir, shared)
+        .selectExpr("""stack(4,
+          'chapman_est', chapman_est,
+          'est_missed', est_missed,
+          'minhash_recall_ppm', minhash_recall_ppm,
+          'simhash_recall_ppm', simhash_recall_ppm) AS (metric, value)""")
+        .select(lit("capture_recapture").as("facet"), $"metric", $"value"),
+      () => dedupSurvivorship(s, dir, shared)
+        .selectExpr("""stack(3,
+          'ks_bp', ks_bp,
+          'mean_qu_surv', mean_qu_surv,
+          'mean_qu_vict', mean_qu_vict) AS (metric, value)""")
+        .select(lit("survivorship").as("facet"), $"metric", $"value"))
     planner.unionAll(sweep).unionAll(recap).unionAll(surv)
       .orderBy($"facet", $"metric")
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Sessions, Tables}
 import graft.functions.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2029,13 +2029,23 @@ object TextOps {
     */
   def releaseManifest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val lvls = cascadeLevels(s, dir)
-    val losers = Dedup.dedupAssignments(s, dir)
-      .filter($"doc_id" =!= $"canon_id")
-      .select($"doc_id", lit(1).as("dup"))
-    val flagged = decontamination(s, dir)
-      .select($"train_doc".as("doc_id")).distinct()
-      .withColumn("cont", lit(1))
+    // the three stage inputs are INDEPENDENT pipelines (quality cascade
+    // scan, dedup CC chain, decontamination shingle join) — materialize
+    // them concurrently (r14, guide §2.6). The CC chain is a sequence
+    // of small driver-blocking jobs that leave cores idle; the cascade
+    // and decontamination scans back-fill them, and the final rollup
+    // job then reads three checkpointed frames instead of recomputing
+    // the two heavy scans inline.
+    val Seq(lvls, losers, flagged) = Sessions.inParallel(
+      () => cascadeLevels(s, dir).localCheckpoint(),
+      () => Dedup.dedupAssignments(s, dir)
+        .filter($"doc_id" =!= $"canon_id")
+        .select($"doc_id", lit(1).as("dup"))
+        .localCheckpoint(),
+      () => decontamination(s, dir)
+        .select($"train_doc".as("doc_id")).distinct()
+        .withColumn("cont", lit(1))
+        .localCheckpoint())
     val g = lvls
       .withColumn("in_train", hashBucket($"doc_id", "split:") < 80)
       .join(losers, Seq("doc_id"), "left")
